@@ -1,0 +1,61 @@
+"""Sinks (SURVEY.md §2.1 S5/S6).
+
+Single-file renders exist for parity with the reference's one-object outputs
+(metadata.csv / closure.csv / output-message.json); at scale the same DFs
+write partitioned parquet/csv via the normal writer. The errorifexists guard
+is the reference's overwrite protection (object_lib.py:196-209).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def require_absent(path: str) -> None:
+    """S6 write guard — raise if target exists (reference:
+    object_lib.py:196-209 raise_error_if_object_exists)."""
+    if os.path.exists(path):
+        raise FileExistsError(f"Object already exists: {path}")
+
+
+def write_single_text(text: str, path: str, allow_overwrite: bool = False) -> None:
+    """S5 literal/string sink (reference: object_lib.py:173-194
+    string_to_s3_object)."""
+    if not allow_overwrite:
+        require_absent(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+
+
+def write_single_csv(
+    df: DataFrame,
+    path: str,
+    order_by: list[str] | None = None,
+    allow_overwrite: bool = False,
+) -> None:
+    """Render a (small) result DF to ONE csv file, header included,
+    RFC-4180-minimal quoting — byte-compatible with the reference's
+    csv.DictWriter output (tre_bagit.py:31-63). Collects: metadata/closure
+    CSVs are per-consignment KB-scale; large tables use df.write.csv."""
+    text = render_csv(df, order_by=order_by)
+    write_single_text(text, path, allow_overwrite=allow_overwrite)
+
+
+def render_csv(df: DataFrame, order_by: list[str] | None = None) -> str:
+    """CSV string with csv.QUOTE_MINIMAL + '\\n' line terminator, matching
+    the reference's DictWriter byte-for-byte."""
+    import csv
+    import io
+
+    if order_by:
+        df = df.orderBy(*order_by)
+    columns = df.columns
+    out = io.StringIO()
+    writer = csv.writer(out, lineterminator="\n")
+    writer.writerow(columns)
+    for row in df.toLocalIterator():
+        writer.writerow(["" if row[c] is None else row[c] for c in columns])
+    return out.getvalue()
