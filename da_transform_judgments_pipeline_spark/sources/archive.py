@@ -1,0 +1,187 @@
+"""Archive (tar / tar.gz) container layer (SURVEY.md §1.5, §2.1 S13-S15).
+
+Spark has no tar codec, so this is the engine's one genuinely imperative
+layer: an Arrow-batched unpack UDF exploding members to rows, and a grouped
+pack via applyInPandas. Memory model matches the reference — one whole
+archive in RAM per task (s3_lib/s3_lib/tar_lib.py:45,87,143) — but archives
+process in parallel across executors instead of sequentially.
+
+At 100 TB scale the unit of parallelism is the archive: one consignment
+tar.gz per row/task. `spark.sql.files.maxPartitionBytes` doesn't split
+binaryFile rows, so skew is bounded by the largest archive (documented
+limit, same as the reference's Lambda memory bound).
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TAR_MEMBER_SCHEMA
+
+UNTAR_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("archive", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("mtime", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def _untar_bytes(blob: bytes) -> list[dict]:
+    """One archive → member dicts. Regular files only; leading './' stripped
+    (reference behavior: tar_lib.py:25-65 strips './', skips directories)."""
+    out = []
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = member.name
+            if name.startswith("./"):
+                name = name[2:]
+            fh = tf.extractfile(member)
+            out.append(
+                {
+                    "name": name,
+                    "size": int(member.size),
+                    "mtime": int(member.mtime),
+                    "content": fh.read() if fh is not None else None,
+                }
+            )
+    return out
+
+
+def untar(
+    archives: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """S13 unpack: (path, content) rows → one row per member
+    (archive, name, size, mtime, content) via mapInPandas (UDTF shape:
+    explode of a member array without materializing it as one giant cell).
+    """
+    schema = UNTAR_RESULT_SCHEMA
+
+    src = archives.select(
+        F.col(path_col).alias("archive"), F.col(content_col).alias("_blob")
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for archive, blob in zip(pdf["archive"], pdf["_blob"]):
+                members = _untar_bytes(bytes(blob))
+                if members:
+                    yield pd.DataFrame(
+                        {
+                            "archive": [archive] * len(members),
+                            "name": [m["name"] for m in members],
+                            "size": [m["size"] for m in members],
+                            "mtime": [m["mtime"] for m in members],
+                            "content": [m["content"] for m in members],
+                        }
+                    )
+
+    return src.mapInPandas(expand, schema=schema)
+
+
+def untar_members_udf():
+    """Scalar-UDF variant: content → array<struct> for explode() composition."""
+    return F.udf(_untar_bytes, TAR_MEMBER_SCHEMA)
+
+
+def tar_gz_pack(
+    members: DataFrame,
+    archive_col: str = "archive",
+    name_col: str = "name",
+    content_col: str = "content",
+    mtime_col: str | None = "mtime",
+    internal_prefix: str | None = None,
+    remove_prefix_col: str | None = None,
+    add_prefix_col: str | None = None,
+) -> DataFrame:
+    """S14/S15 pack sink: group member rows by target archive and build one
+    tar.gz blob per group (applyInPandas — the grouped-map twin of the
+    reference's driver-side packer, tar_lib.py:67-191).
+
+    Prefix handling mirrors both reference variants: a constant
+    ``internal_prefix`` prepended to every member name (S14), or per-row
+    remove/add prefix columns (S15 `S3objectsToZip`). Entry mtimes are
+    preserved when ``mtime_col`` is given.
+
+    Returns (archive, content BINARY, items ARRAY<STRUCT<name,size>>).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("archive", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), False),
+            T.StructField(
+                "items",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("name", T.StringType(), False),
+                            T.StructField("size", T.LongType(), False),
+                        ]
+                    )
+                ),
+                False,
+            ),
+        ]
+    )
+
+    cols = {
+        "archive": archive_col,
+        "name": name_col,
+        "content": content_col,
+    }
+    has_mtime = mtime_col is not None and mtime_col in members.columns
+    sel = [F.col(v).alias(k) for k, v in cols.items()]
+    if has_mtime:
+        sel.append(F.col(mtime_col).alias("mtime"))
+    if remove_prefix_col:
+        sel.append(F.col(remove_prefix_col).alias("rmprefix"))
+    if add_prefix_col:
+        sel.append(F.col(add_prefix_col).alias("addprefix"))
+    src = members.select(*sel)
+
+    prefix = internal_prefix or ""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("name", kind="stable")
+        buf = io.BytesIO()
+        items = []
+        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+            for rec in pdf.to_dict("records"):
+                name = rec["name"]
+                rm = rec.get("rmprefix")
+                if rm and name.startswith(rm):
+                    name = name[len(rm):]
+                add = rec.get("addprefix")
+                if add:
+                    name = add + name
+                name = prefix + name
+                data = bytes(rec["content"])
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                mtime = rec.get("mtime")
+                if mtime is not None and mtime == mtime:
+                    info.mtime = int(mtime)
+                tf.addfile(info, io.BytesIO(data))
+                items.append({"name": name, "size": len(data)})
+        return pd.DataFrame(
+            {
+                "archive": [pdf["archive"].iloc[0]],
+                "content": [buf.getvalue()],
+                "items": [items],
+            }
+        )
+
+    return src.groupBy("archive").applyInPandas(pack, schema=out_schema)

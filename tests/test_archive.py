@@ -1,0 +1,91 @@
+"""tar.gz unpack/pack layer (SURVEY.md §2.1 S13-S15)."""
+
+import io
+import os
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from da_transform_judgments_pipeline_spark.sources.archive import (
+    tar_gz_pack,
+    untar,
+)
+from da_transform_judgments_pipeline_spark.sources.catalog import read_file_catalog
+
+
+def make_tar_gz(entries: dict[str, bytes], with_dot_slash=False) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        info_dir = tarfile.TarInfo(name="bag")
+        info_dir.type = tarfile.DIRTYPE
+        tf.addfile(info_dir)
+        for name, data in entries.items():
+            if with_dot_slash:
+                name = "./" + name
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 1660000000
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+ENTRIES = {
+    "bag/bagit.txt": b"BagIt-Version: 0.97\n",
+    "bag/data/doc.docx": b"DOCXBYTES",
+    "bag/manifest-sha256.txt": b"deadbeef  data/doc.docx\n",
+}
+
+
+@pytest.fixture(scope="module")
+def archive_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("archives")
+    (d / "one.tar.gz").write_bytes(make_tar_gz(ENTRIES))
+    (d / "two.tar.gz").write_bytes(make_tar_gz(ENTRIES, with_dot_slash=True))
+    return d
+
+
+def test_untar_members(spark, archive_dir):
+    cat = read_file_catalog(spark, str(archive_dir), glob="*.tar.gz")
+    members = untar(cat)
+    rows = members.collect()
+    # 2 archives x 3 files (directory entries skipped)
+    assert len(rows) == 6
+    names = {r.name for r in rows}
+    # './' prefix stripped (reference tar_lib.py:53)
+    assert names == set(ENTRIES)
+    doc = [r for r in rows if r.name == "bag/data/doc.docx"][0]
+    assert bytes(doc.content) == b"DOCXBYTES"
+    assert doc.size == len(b"DOCXBYTES")
+    assert doc.mtime == 1660000000
+
+
+def test_pack_roundtrip(spark, archive_dir):
+    cat = read_file_catalog(spark, str(archive_dir), glob="one.tar.gz")
+    members = untar(cat).withColumn("archive", F.lit("repacked.tar.gz"))
+    packed = tar_gz_pack(members).collect()
+    assert len(packed) == 1
+    items = {i["name"]: i["size"] for i in packed[0]["items"]}
+    assert items == {n: len(b) for n, b in ENTRIES.items()}
+    # blob is a readable tar.gz whose contents round-trip
+    with tarfile.open(fileobj=io.BytesIO(bytes(packed[0]["content"])), mode="r:gz") as tf:
+        got = {m.name: tf.extractfile(m).read() for m in tf if m.isfile()}
+    assert got == ENTRIES
+    # mtime preserved (reference tar_lib.py:172)
+    with tarfile.open(fileobj=io.BytesIO(bytes(packed[0]["content"])), mode="r:gz") as tf:
+        assert all(m.mtime == 1660000000 for m in tf if m.isfile())
+
+
+def test_pack_prefix_substitution(spark, archive_dir):
+    cat = read_file_catalog(spark, str(archive_dir), glob="one.tar.gz")
+    members = (
+        untar(cat)
+        .withColumn("archive", F.lit("sip.tar.gz"))
+        .withColumn("rm", F.lit("bag/"))
+        .withColumn("add", F.lit("BATCH/SERIES/"))
+    )
+    packed = tar_gz_pack(
+        members, remove_prefix_col="rm", add_prefix_col="add"
+    ).collect()
+    names = {i["name"] for i in packed[0]["items"]}
+    assert names == {"BATCH/SERIES/" + n[len("bag/"):] for n in ENTRIES}

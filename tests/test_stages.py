@@ -1,0 +1,207 @@
+"""End-to-end pipeline-stage tests (SURVEY.md §3.2 entry point B).
+
+Builds a real BagIt tar.gz + sidecar, then chains
+bagit-available → validate_bagit → validate_bagit_files → bagit_to_dri_sip,
+checking event envelopes, lineage accumulation, and the SIP archive content
+(mirrors testing/tre_bagit_then_files_v2/run.py:17-21 and the module tests).
+"""
+
+import hashlib
+import io
+import json
+import tarfile
+
+import pytest
+
+from da_transform_judgments_pipeline_spark.plans.events import create_event
+from da_transform_judgments_pipeline_spark.plans.stages import (
+    EVENT_BAGIT_ERROR,
+    EVENT_BAGIT_RECEIVED,
+    EVENT_BAGIT_VALIDATED,
+    EVENT_SIP_AVAILABLE,
+    StageContext,
+    bagit_to_dri_sip,
+    validate_bagit,
+    validate_bagit_files,
+)
+
+REF = "TDR-2022-AA1"
+
+FILE_METADATA = (
+    "Filepath,FileName,FileType,Filesize,RightsCopyright,LegalStatus,HeldBy,"
+    "Language,FoiExemptionCode,LastModified\n"
+    "data/content/file-c1.txt,file-c1.txt,File,5,Crown Copyright,"
+    "Public Record,TNA,English,open,2022-09-29T15:10:20\n"
+    "data/content,content,Folder,,Crown Copyright,Public Record,TNA,English,open,\n"
+)
+
+BAG_INFO = (
+    "Consignment-Series: MOCKA 101\n"
+    f"Internal-Sender-Identifier: {REF}\n"
+    "Consignment-Export-Datetime: 2022-07-18T12:45:45Z\n"
+)
+
+BAGIT_TXT = "BagIt-Version: 0.97\nTag-File-Character-Encoding: UTF-8\n"
+DATA_FILE = b"hello"
+
+
+def sha(b: bytes) -> str:
+    return hashlib.sha256(b).hexdigest()
+
+
+def build_bagit_tar_gz() -> bytes:
+    """BagIt with correct manifests: data/ file + tag files at root."""
+    data_manifest = f"{sha(DATA_FILE)}  data/content/file-c1.txt\n"
+    root_files = {
+        "bagit.txt": BAGIT_TXT.encode(),
+        "bag-info.txt": BAG_INFO.encode(),
+        "file-metadata.csv": FILE_METADATA.encode(),
+        "manifest-sha256.txt": data_manifest.encode(),
+    }
+    tag_manifest = "".join(
+        f"{sha(content)}  {name}\n" for name, content in root_files.items()
+    )
+    entries = dict(root_files)
+    entries["tagmanifest-sha256.txt"] = tag_manifest.encode()
+    entries["data/content/file-c1.txt"] = DATA_FILE
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, content in entries.items():
+            info = tarfile.TarInfo(name=f"{REF}/{name}")
+            info.size = len(content)
+            info.mtime = 1660000000
+            tf.addfile(info, io.BytesIO(content))
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def delivery(tmp_path_factory):
+    d = tmp_path_factory.mktemp("delivery")
+    blob = build_bagit_tar_gz()
+    (d / f"{REF}.tar.gz").write_bytes(blob)
+    (d / f"{REF}.tar.gz.sha256").write_text(f"{sha(blob)}  {REF}.tar.gz\n")
+    return d
+
+
+@pytest.fixture()
+def ctx(tmp_path):
+    return StageContext(store_root=str(tmp_path / "store"),
+                        out_root=str(tmp_path / "out"))
+
+
+def available_event(delivery, retries=0):
+    return create_event(
+        environment="test",
+        producer="TDR",
+        process="consignment-export",
+        event_name="bagit-available",
+        type="judgment",
+        parameters={
+            "bagit-available": {
+                "resource": {"value": str(delivery / f"{REF}.tar.gz")},
+                "resource-validation": {
+                    "value": str(delivery / f"{REF}.tar.gz.sha256")
+                },
+                "number-of-retries": retries,
+                "reference": REF,
+            }
+        },
+    )
+
+
+def test_ok_path_end_to_end(spark, delivery, ctx):
+    e0 = available_event(delivery)
+    e1 = validate_bagit(spark, e0, ctx)
+    assert e1["producer"]["event-name"] == EVENT_BAGIT_RECEIVED, e1
+    # lineage accumulated, prior list copied not referenced (T7)
+    assert len(e1["UUIDs"]) == 2 and len(e0["UUIDs"]) == 1
+    assert e1["producer"]["type"] == "judgment"  # inherited from prior
+
+    e2 = validate_bagit_files(spark, e1, ctx)
+    assert e2["producer"]["event-name"] == EVENT_BAGIT_VALIDATED, e2
+    vf = e2["parameters"][EVENT_BAGIT_VALIDATED]["validated-files"]
+    assert len(vf["root"]) == 4 and len(vf["data"]) == 1
+    assert len(e2["UUIDs"]) == 3
+
+    e3 = bagit_to_dri_sip(spark, e2, ctx)
+    assert e3["producer"]["event-name"] == EVENT_SIP_AVAILABLE, e3
+    sip_path = e3["parameters"][EVENT_SIP_AVAILABLE]["s3-folder-url"]
+    with tarfile.open(sip_path, "r:gz") as tf:
+        names = sorted(m.name for m in tf if m.isfile())
+        metadata_csv = tf.extractfile(
+            "MOCKA101Y22TBAA1/MOCKA_101/metadata.csv"
+        ).read().decode()
+    assert names == [
+        "MOCKA101Y22TBAA1/MOCKA_101/closure.csv",
+        "MOCKA101Y22TBAA1/MOCKA_101/closure.csv.sha256",
+        "MOCKA101Y22TBAA1/MOCKA_101/closure.csvs",
+        "MOCKA101Y22TBAA1/MOCKA_101/content/file-c1.txt",
+        "MOCKA101Y22TBAA1/MOCKA_101/metadata.csv",
+        "MOCKA101Y22TBAA1/MOCKA_101/metadata.csv.sha256",
+        "MOCKA101Y22TBAA1/MOCKA_101/metadata.csvs",
+    ]
+    assert f"{sha(DATA_FILE)}" in metadata_csv
+    assert "Public Record(s)" in metadata_csv
+    # sidecar of the sip archive exists and verifies
+    sidecar = open(sip_path + ".sha256").read()
+    assert sidecar.endswith("MOCKA101Y22TBAA1.tar.gz\n")
+    assert sidecar.split()[0] == sha(open(sip_path, "rb").read())
+
+
+def test_bad_sidecar_checksum_routes_error(spark, delivery, ctx, tmp_path):
+    bad = tmp_path / "bad-delivery"
+    bad.mkdir()
+    (bad / f"{REF}.tar.gz").write_bytes((delivery / f"{REF}.tar.gz").read_bytes())
+    (bad / f"{REF}.tar.gz.sha256").write_text(f"{'0'*64}  {REF}.tar.gz\n")
+    e1 = validate_bagit(spark, available_event(bad), ctx)
+    assert e1["producer"]["event-name"] == EVENT_BAGIT_ERROR
+    errs = e1["parameters"][EVENT_BAGIT_ERROR]["errors"]
+    assert len(errs) == 1 and "Checksum mismatch" in errs[0]
+
+
+def test_wrong_basename_routes_error(spark, delivery, ctx, tmp_path):
+    bad = tmp_path / "bad-name"
+    bad.mkdir()
+    blob = (delivery / f"{REF}.tar.gz").read_bytes()
+    (bad / f"{REF}.tar.gz").write_bytes(blob)
+    (bad / f"{REF}.tar.gz.sha256").write_text(f"{sha(blob)}  other.tar.gz\n")
+    e1 = validate_bagit(spark, available_event(bad), ctx)
+    assert e1["producer"]["event-name"] == EVENT_BAGIT_ERROR
+    assert "does not match" in e1["parameters"][EVENT_BAGIT_ERROR]["errors"][0]
+
+
+def test_corrupt_inner_manifest_routes_error(spark, ctx, tmp_path):
+    """F9 failure injection: valid sidecar, corrupted inner data manifest."""
+    blob = build_bagit_tar_gz()
+    # rebuild with a wrong checksum inside manifest-sha256.txt
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:gz") as src, tarfile.open(
+        fileobj=buf, mode="w:gz"
+    ) as dst:
+        for m in src:
+            if not m.isfile():
+                continue
+            content = src.extractfile(m).read()
+            if m.name.endswith("/manifest-sha256.txt"):
+                content = f"{'f'*64}  data/content/file-c1.txt\n".encode()
+            info = tarfile.TarInfo(name=m.name)
+            info.size = len(content)
+            dst.addfile(info, io.BytesIO(content))
+    bad_blob = buf.getvalue()
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    (d / f"{REF}.tar.gz").write_bytes(bad_blob)
+    (d / f"{REF}.tar.gz.sha256").write_text(f"{sha(bad_blob)}  {REF}.tar.gz\n")
+
+    e1 = validate_bagit(spark, available_event(d), ctx)
+    assert e1["producer"]["event-name"] == EVENT_BAGIT_RECEIVED
+    e2 = validate_bagit_files(spark, e1, ctx)
+    assert e2["producer"]["event-name"] == EVENT_BAGIT_ERROR
+    errs = e2["parameters"][EVENT_BAGIT_ERROR]["errors"]
+    assert "does not match expected checksum" in errs[0]
+
+
+def test_event_json_round_trip(delivery):
+    e0 = available_event(delivery)
+    assert json.loads(json.dumps(e0)) == e0

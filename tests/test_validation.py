@@ -1,0 +1,94 @@
+"""Checksum verification joins + set reconciliation (SURVEY.md §2.3 J2-J4)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from da_transform_judgments_pipeline_spark.operators.validation import (
+    STATUS_MISMATCH,
+    STATUS_MISSING_FILE,
+    STATUS_OK,
+    STATUS_UNEXPECTED_FILE,
+    assert_exactly_one,
+    basename_matches,
+    checksum_report,
+    computed_checksums,
+    reconcile_sets,
+    verify_checksums,
+)
+
+
+def sha(b: bytes) -> str:
+    return hashlib.sha256(b).hexdigest()
+
+
+@pytest.fixture()
+def files(spark):
+    rows = [
+        ("data/a.txt", bytearray(b"alpha")),
+        ("data/b.txt", bytearray(b"beta")),
+        ("data/extra.txt", bytearray(b"extra")),
+    ]
+    return spark.createDataFrame(rows, "file string, content binary")
+
+
+@pytest.fixture()
+def manifest(spark):
+    rows = [
+        (sha(b"alpha"), "data/a.txt", "a.txt"),
+        ("0" * 64, "data/b.txt", "b.txt"),  # wrong checksum
+        (sha(b"gone"), "data/gone.txt", "gone.txt"),  # file absent
+    ]
+    return spark.createDataFrame(rows, "checksum string, file string, basename string")
+
+
+def test_checksum_report_statuses(spark, files, manifest):
+    report = checksum_report(manifest, computed_checksums(files))
+    got = {r.file: r.status for r in report.collect()}
+    assert got == {
+        "data/a.txt": STATUS_OK,
+        "data/b.txt": STATUS_MISMATCH,
+        "data/gone.txt": STATUS_MISSING_FILE,
+        "data/extra.txt": STATUS_UNEXPECTED_FILE,
+    }
+
+
+def test_verify_fail_fast(spark, files, manifest):
+    with pytest.raises(ValueError, match="Checksum validation failed"):
+        verify_checksums(manifest, computed_checksums(files))
+
+
+def test_verify_ok(spark, files):
+    good = spark.createDataFrame(
+        [(sha(b"alpha"), "data/a.txt", "a.txt"),
+         (sha(b"beta"), "data/b.txt", "b.txt"),
+         (sha(b"extra"), "data/extra.txt", "extra.txt")],
+        "checksum string, file string, basename string",
+    )
+    verify_checksums(good, computed_checksums(files))  # no raise
+
+
+def test_reconcile_sets(spark, files, manifest):
+    report = reconcile_sets(manifest, files)
+    got = {(r.file, r.status) for r in report.collect()}
+    assert got == {
+        ("data/gone.txt", STATUS_MISSING_FILE),
+        ("data/extra.txt", STATUS_UNEXPECTED_FILE),
+    }
+
+
+def test_assert_exactly_one(spark, manifest):
+    one = manifest.filter(F.col("basename") == "a.txt")
+    row = assert_exactly_one(one, "checksums")
+    assert row["file"] == "data/a.txt"
+    with pytest.raises(ValueError, match="expected 1, found 3"):
+        assert_exactly_one(manifest, "checksums")
+    with pytest.raises(ValueError, match="expected 1, found 0"):
+        assert_exactly_one(manifest.filter(F.lit(False)), "checksums")
+
+
+def test_basename_matches():
+    basename_matches("bag.tar.gz", "bag.tar.gz")
+    with pytest.raises(ValueError, match="does not match"):
+        basename_matches("bag.tar.gz", "other.tar.gz")
