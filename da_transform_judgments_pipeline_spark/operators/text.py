@@ -1,0 +1,173 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language-ID, quality
+scoring, token counting, document fingerprinting. Everything here is pure
+Catalyst (JVM-side, whole-stage codegen) — no Python in the hot path — so it
+scales linearly with executors over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# word-boundary token pattern shared by the token counter and the BPE-ish
+# estimator: letter runs, digit runs, or single non-space symbols
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+STOPWORDS_EN = [
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "be",
+]
+
+# tiny stopword profiles for the n-gram/stopword language heuristic
+LANGUAGE_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "que"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (empty-safe)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), "\\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish sub-word token estimate: count of letter-runs / digit-runs /
+    symbols. A cheap, deterministic proxy for tokenizer load planning."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite quality score.
+
+    Features: token count, char count, mean token length, punctuation /
+    digit / whitespace ratios, stopword ratio, uppercase ratio. The score is
+    a bounded [0,1] combination tuned for "does this read like prose".
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+
+    n_punct = n_chars - F.length(F.regexp_replace(c, "[\\p{Punct}]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(c, "[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(c, "[A-Z]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(c, "\\s", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN))
+    )
+
+    out = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars_computed", n_chars)
+        .withColumn(
+            "mean_token_len",
+            F.round((n_chars - n_space) / safe_tokens, 4),
+        )
+        .withColumn("punct_ratio", F.round(n_punct / safe_chars, 4))
+        .withColumn("digit_ratio", F.round(n_digit / safe_chars, 4))
+        .withColumn("upper_ratio", F.round(n_upper / safe_chars, 4))
+        .withColumn("stopword_ratio", F.round(stop_hits / safe_tokens, 4))
+    )
+    # prose-likeness: length in a sane band, some stopwords, low digit/punct
+    score = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.3
+        + F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.2
+    )
+    return out.withColumn("quality_score", F.round(score, 4))
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Stopword-profile language heuristic: per-language hit counts over the
+    token stream; argmax wins, 'und' (undetermined) when nothing hits.
+
+    Deterministic tie-break: higher count wins, then lexicographic language
+    code — so Spark and any oracle agree exactly.
+    """
+    profiles = profiles or LANGUAGE_PROFILES
+    toks = tokens(F.col(text_col))
+
+    def hits_for(words: list[str]):
+        # NB: single-arg lambda — a two-arg lambda would make F.filter bind
+        # the array index to the second parameter
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(words)))
+
+    out = df
+    for lang, words in sorted(profiles.items()):
+        out = out.withColumn(f"hits_{lang}", hits_for(words))
+    return out.withColumn(
+        "detected_lang",
+        F.when(
+            F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(profiles)])
+            == 0,
+            F.lit("und"),
+        ).otherwise(_argmax_lang(sorted(profiles))),
+    )
+
+
+def _argmax_lang(langs: list[str]) -> Column:
+    """Fold an argmax over (hits, lang) preferring higher hits, then earlier
+    language code — a deterministic CASE cascade (no UDF)."""
+    best = F.lit(langs[0])
+    best_hits = F.col(f"hits_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"hits_{lang}") > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
+    return best
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+
+    - `fingerprint_md5`: md5 of whitespace-normalized lowercase text (exact
+      content identity modulo spacing)
+    - `fingerprint_rolling`: xxhash64 rolling over 4-token windows, combined
+      order-insensitively (winnowing-style content signature robust to
+      local edits)
+    """
+    c = F.col(text_col)
+    normalized = F.lower(F.regexp_replace(F.trim(c), "\\s+", " "))
+    toks = tokens(c)
+    n = F.size(toks)
+    # guard short docs: sequence(0, n-4) counts DOWN when n < 4 and
+    # element_at would then range-error under ANSI mode
+    windows = F.when(
+        n >= 4,
+        F.transform(
+            F.sequence(F.lit(0), n - 4),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                    F.element_at(toks, i + 4),
+                )
+            ),
+        ),
+    ).otherwise(F.transform(toks, lambda t: F.xxhash64(t)))
+    # XOR combine: order-insensitive and overflow-free under ANSI mode
+    rolling = F.aggregate(
+        windows, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+    )
+    return df.withColumn("fingerprint_md5", F.md5(normalized)).withColumn(
+        "fingerprint_rolling", rolling
+    )

@@ -1,0 +1,151 @@
+"""Text-analysis, dedup, and similarity operators on the driver testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from da_transform_judgments_pipeline_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_text_stats(spark, docs):
+    out = text.text_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_computed", "stopword_ratio",
+        "quality_score",
+    )
+    rows = out.collect()
+    assert all(0 <= r.quality_score <= 1 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+    one = docs.filter(F.col("doc_id") == 0).first()
+    got = [r for r in rows if r.doc_id == 0][0]
+    assert got.n_tokens == len(one.text.split())
+    assert got.n_chars_computed == len(one.text)
+
+
+def test_language_id_deterministic(spark, docs):
+    out = text.language_id(docs)
+    rows = out.select("doc_id", "detected_lang").collect()
+    # vocabulary contains 'the' and 'a' → english profile hits dominate
+    langs = {r.detected_lang for r in rows}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+    # determinism
+    again = {r.doc_id: r.detected_lang for r in out.select("doc_id", "detected_lang").collect()}
+    assert all(again[r.doc_id] == r.detected_lang for r in rows)
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world foo bar baz"), (2, "hello world  foo bar baz"),
+         (3, "entirely different words here now")],
+        "id int, text string",
+    )
+    out = text.fingerprint(df, "text").collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].fingerprint_md5 == by_id[2].fingerprint_md5
+    assert by_id[1].fingerprint_md5 != by_id[3].fingerprint_md5
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique")],
+        "doc_id long, text string",
+    )
+    dups = dedup.exact_duplicates(df, ["text"], "doc_id").collect()
+    assert len(dups) == 1
+    assert dups[0].keep_id == 1 and dups[0].dup_ids == [1, 2]
+    kept = dedup.exact_dedup(df, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    """sf0.001 documents contain planted ~0.99-jaccard pairs; MinHash-LSH
+    must find what exact n-gram jaccard finds (high threshold ⇒ recall ~1)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.9).collect()
+    }
+    assert exact, "expected planted near-duplicates in testdata"
+    assert lsh == exact  # banded LSH at j≈0.99, b=16,r=4 ⇒ recall ≈ 1
+    # precision is exact by construction (candidates verified on true jaccard)
+
+
+def test_simhash_behavior(spark):
+    """SimHash invariants on controlled docs: identical text → hamming 0;
+    one-token edit on a long doc → small hamming; unrelated text → large.
+    (The sf testdata docs are ~20 tokens — too short for stable simhash, so
+    this test uses sized fixtures; minhash covers the tiny-doc regime.)"""
+    base = " ".join(f"tok{i % 97}word{i % 31}" for i in range(300))
+    edited = base.replace("tok5word5", "changedtoken", 1)
+    other = " ".join(f"zz{i}qq{i * 7 % 13}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other)],
+        "doc_id long, text string",
+    )
+    sig = df.select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("sig")
+    ).collect()
+    s = {r.doc_id: r.sig for r in sig}
+    assert s[1] == s[2]
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(s[1], s[3]) <= 10
+    assert ham(s[1], s[4]) >= 16
+
+    pairs = dedup.simhash_near_duplicates(df, max_hamming=10).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (1, 4) not in got
+
+
+def test_embedding_near_duplicates_threshold(spark, embeddings):
+    pairs = dedup.embedding_near_duplicates(embeddings, threshold=0.4)
+    rows = pairs.collect()
+    assert all(r.cosine >= 0.4 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_cosine_topk_matches_bruteforce(spark, embeddings):
+    qrow = embeddings.filter(F.col("vec_id") == 0).first()
+    q = list(qrow.embedding)
+    top = similarity.cosine_topk(embeddings, q, k=5).collect()
+    assert top[0].id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+    assert len(top) == 5
+    assert all(
+        top[i].cosine >= top[i + 1].cosine for i in range(len(top) - 1)
+    )
+
+
+def test_knn_join(spark, embeddings):
+    small = embeddings.limit(50)
+    out = similarity.knn_join(small, small, k=3).collect()
+    by_left = {}
+    for r in out:
+        by_left.setdefault(r.id_l, []).append(r)
+    assert all(len(v) == 3 for v in by_left.values())
+    assert all(r.id_l != r.id_r for r in out)
+
+
+def test_ann_recall_against_exact(spark, embeddings):
+    qrow = embeddings.filter(F.col("vec_id") == 1).first()
+    q = list(qrow.embedding)
+    exact = [r.id for r in similarity.cosine_topk(embeddings, q, k=10).collect()]
+    approx = [
+        r.id
+        for r in similarity.ann_topk(
+            embeddings, q, k=10, n_planes=8, max_hamming=4
+        ).collect()
+    ]
+    # generous hamming → decent recall on 500 vectors; query itself always found
+    assert 1 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (exact, approx)
