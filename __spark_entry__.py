@@ -1,38 +1,923 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry demonstrates one operator family from SURVEY.md §2
+(operator IDs cited in each docstring) or a beyond-reference LLM-pipeline
+operator (BASELINE.json north star), expressed on the driver testdata tables;
+``oracle_sql()`` returns the DuckDB-equivalent SQL. Column names/rounding are
+aligned on both sides (the driver hash-compares values after sorting columns
+by name).
+
+Library implementations live in ``da_transform_judgments_pipeline_spark``;
+queries call into them where the operator is non-trivial (dedup, similarity,
+text analysis) and use inline DataFrame plans for the simple relational
+shapes.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from da_transform_judgments_pipeline_spark.operators import (  # noqa: E402
+    dedup,
+    similarity,
+    text,
+)
+
+def _T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table.
+
+    ``events.ts`` is parquet ``timestamp[ns]``, which the vectorized reader
+    rejects; read it as raw long nanos (legacy conf) and rebuild a timestamp
+    at microsecond precision. Session timezone pinned to UTC so timestamp
+    rendering matches DuckDB's naive timestamps deterministically.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pricing-summary rollup (scan → filter → agg) on sf0.001."""
+    return q_a07_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources
+# ---------------------------------------------------------------------------
+
+def q_s01_prefix_scan(spark, sf_dir):
+    """S1/S2/P7: prefix-filter scan (s3_ls / startswith) over the doc catalog."""
+    docs = _T(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source").startswith("src1"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_s03_max_numeric_subfolder(spark, sf_dir):
+    """S3/A4: max numeric path-segment (retry discovery) via regexp + max."""
+    docs = _T(spark, sf_dir, "documents")
+    n = F.regexp_extract(F.col("source"), r"^src(\d+)$", 1)
+    return (
+        docs.select(n.alias("n"))
+        .filter(F.col("n") != "")
+        .agg(F.max(F.col("n").cast("int")).alias("max_subfolder"))
+    )
+
+
+def q_s07_keyvalue_parse(spark, sf_dir):
+    """S7 + §2.6 dot-path JSON extraction: props JSON → key, grouped counts."""
+    ev = _T(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k_value"))
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k_value")
+    )
+
+
+def q_s11_manifest_fixed_width(spark, sf_dir):
+    """S11/S12: fixed-width manifest projection (chars [0:64] + rest)."""
+    docs = _T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring("text", 1, 64).alias("head64"),
+        F.trim(F.expr("substring(text, 65)")).alias("rest"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+def q_p01_enum_normalization(spark, sf_dir):
+    """P1/P2: enum-normalization CASE chains (returnflag vocabulary)."""
+    li = _T(spark, sf_dir, "lineitem")
+    name = (
+        F.when(F.col("l_returnflag") == "R", "Returned")
+        .when(F.col("l_returnflag") == "A", "Accepted")
+        .when(F.col("l_returnflag") == "N", "None")
+        .otherwise("Unknown")
+    )
+    return (
+        li.select(name.alias("returnflag_name"))
+        .groupBy("returnflag_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("returnflag_name")
+    )
+
+
+def q_p03_constant_extension(spark, sf_dir):
+    """P3/P4: constant-column extension + lower() derivation."""
+    part = _T(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_brand").alias("brand_lower"),
+        F.lit("open_on_transfer").alias("closure_type"),
+        F.lit(0).alias("closure_period"),
+        F.lit("TRUE").alias("title_public"),
+    ).orderBy("p_partkey")
+
+
+def q_p05_identifier_build(spark, sf_dir):
+    """P5: identifier construction (prefix swap + normalization + concat)."""
+    part = _T(spark, sf_dir, "part")
+    ident = F.concat(
+        F.lit("file:/"),
+        F.regexp_replace(F.lower("p_type"), " ", "_"),
+        F.lit("/"),
+        F.col("p_partkey").cast("string"),
+    )
+    return part.select("p_partkey", ident.alias("identifier")).orderBy("p_partkey")
+
+
+def q_p06_conditional_column(spark, sf_dir):
+    """P6: conditional column (file→LastModified / folder→export datetime)."""
+    li = _T(spark, sf_dir, "lineitem")
+    dlm = F.when(
+        F.col("l_returnflag") == "N", F.to_date("l_shipdate").cast("string")
+    ).otherwise(F.lit("1995-01-01"))
+    return (
+        li.select(dlm.alias("date_last_modified"))
+        .groupBy("date_last_modified")
+        .agg(F.count("*").alias("n"))
+        .orderBy("date_last_modified")
+    )
+
+
+def q_p08_suffix_strip(spark, sf_dir):
+    """P8: suffix strip (regexp) + group count."""
+    docs = _T(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.regexp_replace("source", r"[0-9]+$", "").alias("source_family")
+        )
+        .groupBy("source_family")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source_family")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def q_j01_left_lookup_join(spark, sf_dir):
+    """J1: LEFT broadcast lookup join with null→'' coalesce (manifest join)."""
+    orders = _T(spark, sf_dir, "orders")
+    cust = _T(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_name")),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            F.coalesce("c_name", F.lit("")).alias("customer_name"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_j02_verification_join(spark, sf_dir):
+    """J2: verification join — per-order line count vs max linenumber,
+    mismatches get a status (checksum-verify shape, exact-int semantics)."""
+    li = _T(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.max("l_linenumber").alias("max_line"),
+    )
+    return per_order.select(
+        F.col("l_orderkey").alias("orderkey"),
+        "n_lines",
+        "max_line",
+        F.when(F.col("n_lines") == F.col("max_line"), "ok")
+        .otherwise("gap")
+        .alias("status"),
+    ).orderBy("orderkey")
+
+
+def q_j04_anti_join_reconciliation(spark, sf_dir):
+    """J4: bidirectional anti-join set reconciliation (customers↔orders)."""
+    orders = _T(spark, sf_dir, "orders")
+    cust = _T(spark, sf_dir, "customer")
+    no_orders = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select(F.col("c_custkey").alias("key"))
+        .withColumn("status", F.lit("customer-without-orders"))
+    )
+    orphan = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_anti")
+        .select(F.col("o_custkey").alias("key"))
+        .withColumn("status", F.lit("order-without-customer"))
+        .distinct()
+    )
+    return no_orders.unionByName(orphan).orderBy("status", "key")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+def q_a01_sha256(spark, sf_dir):
+    """A1/A2: SHA-256 checksum aggregation over content, executor-parallel."""
+    docs = _T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("checksum")
+    ).orderBy("doc_id")
+
+
+def q_a03_count_reconciliation(spark, sf_dir):
+    """A3/A5: reconciliation counts by group."""
+    ev = _T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_a06_collect_list(spark, sf_dir):
+    """A6: error/ok accumulation — sorted collect_list per key (joined to a
+    stable string so hashing is engine-agnostic)."""
+    orders = _T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")), ","
+            ).alias("order_ids")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_a07_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (scan→filter→agg headline)."""
+    li = _T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_a08_revenue_filter(spark, sf_dir):
+    """TPC-H Q6-shaped forecast-revenue filter (pushdown-friendly)."""
+    li = _T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_a09_top_customers(spark, sf_dir):
+    """TPC-H Q3-shaped: join + group + top-k by revenue."""
+    orders = _T(spark, sf_dir, "orders")
+    cust = _T(spark, sf_dir, "customer")
+    revenue = F.round(F.sum("o_totalprice"), 2)
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(revenue.alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+def q_a10_nation_region_rollup(spark, sf_dir):
+    """Star-join rollup: customer→nation→region (two broadcast joins)."""
+    cust = _T(spark, sf_dir, "customer")
+    nation = _T(spark, sf_dir, "nation")
+    region = _T(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_a11_monthly_rollup(spark, sf_dir):
+    """§2.6 date functions: monthly revenue rollup."""
+    orders = _T(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string")
+    return (
+        orders.groupBy(month.alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / ordering
+# ---------------------------------------------------------------------------
+
+def q_w02_latest_per_key(spark, sf_dir):
+    """W1/W2: latest-element selection per key (latest order per customer)."""
+    orders = _T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").cast("date").cast("string").alias("latest_date"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_w03_sequence_gap_check(spark, sf_dir):
+    """W3/T4: monotonic sequence check via lag (retry-counter semantics)."""
+    ev = _T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gap = (F.col("event_id") - F.lag("event_id").over(w)).alias("delta")
+    return (
+        ev.select("user_id", "event_id")
+        .withColumn("delta", gap)
+        .filter(F.col("delta").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_steps"),
+            F.round(F.avg("delta"), 4).alias("avg_gap"),
+            F.max("delta").alias("max_gap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_t01_tumbling_window(spark, sf_dir):
+    """T1 (batch twin of the stream tumbling agg): hourly event rollup."""
+    ev = _T(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).cast("string")
+    return (
+        ev.groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_t02_first_event_dedup(spark, sf_dir):
+    """T2/T3: idempotency-key dedup — first event per (user, type)."""
+    ev = _T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+def q_t04_retry_routing(spark, sf_dir):
+    """T4/T5/T6: ok/retry/dead-letter routing counts (retry limit <3)."""
+    ev = _T(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type") != "error", "ok")
+        .when(F.col("value") < 3, "retry")
+        .otherwise("dead-letter")
+    )
+    return (
+        ev.select(route.alias("route"))
+        .groupBy("route")
+        .agg(F.count("*").alias("n"))
+        .orderBy("route")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 scalar functions
+# ---------------------------------------------------------------------------
+
+def q_f01_url_parse(spark, sf_dir):
+    """parse_url/basename: URL path extraction over constructed URLs."""
+    ev = _T(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://store.example.com/consignments/"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("event_id").cast("string"),
+    )
+    path = F.parse_url(url, F.lit("PATH"))
+    return (
+        ev.select(
+            "event_id",
+            path.alias("url_path"),
+            F.element_at(F.split(path, "/"), -1).alias("basename"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q_d01_exact_dedup_stats(spark, sf_dir):
+    """Exact dedup (hash-groupBy): total vs distinct text counts."""
+    docs = _T(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("total_docs"),
+        F.count_distinct("text").alias("distinct_texts"),
+        F.count_distinct(F.md5(F.col("text"))).alias("distinct_hashes"),
+    )
+
+
+def q_d02_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
+    docs = _T(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_d03_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup with exact-jaccard verification (b=16, r=4;
+    recall ≈ 1 at j ≥ 0.9, so output matches the exact oracle)."""
+    docs = _T(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(docs, threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_d04_simhash_signatures(spark, sf_dir):
+    """SimHash 64-bit signatures (map-side array expressions)."""
+    docs = _T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+def q_e01_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.45)."""
+    emb = _T(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates(emb, threshold=0.45).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_e02_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs the vec_id=0 query vector."""
+    emb = _T(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return similarity.cosine_topk(emb, q, k=10)
+
+
+def q_x01_text_stats(spark, sf_dir):
+    """Token counting + quality features (exact-int + rounded ratios)."""
+    docs = _T(spark, sf_dir, "documents")
+    return (
+        text.text_stats(docs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars_computed",
+            "digit_ratio",
+            "stopword_ratio",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_x02_language_id(spark, sf_dir):
+    """Stopword-profile language heuristic (deterministic argmax)."""
+    docs = _T(spark, sf_dir, "documents")
+    return (
+        text.language_id(docs)
+        .select("doc_id", "hits_en", "hits_de", "hits_es", "hits_fr", "detected_lang")
+        .orderBy("doc_id")
+    )
+
+
+def q_x03_bpe_token_count(spark, sf_dir):
+    """BPE-ish sub-word token estimate (regexp tokenization)."""
+    docs = _T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.bpe_token_count("text").alias("bpe_tokens")
+    ).orderBy("doc_id")
+
+
+def q_x04_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    docs = _T(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim("text"), "\\s+", " "))
+    return docs.select(
+        "doc_id", F.md5(normalized).alias("fingerprint_md5")
+    ).orderBy("doc_id")
+
+
+def q_m01_binary_stats(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column stats (bytes + sha256)."""
+    docs = _T(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.sha2(blob, 256).alias("content_sha256"),
+    ).orderBy("doc_id")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s01_prefix_scan": q_s01_prefix_scan,
+    "s03_max_numeric_subfolder": q_s03_max_numeric_subfolder,
+    "s07_keyvalue_parse": q_s07_keyvalue_parse,
+    "s11_manifest_fixed_width": q_s11_manifest_fixed_width,
+    "p01_enum_normalization": q_p01_enum_normalization,
+    "p03_constant_extension": q_p03_constant_extension,
+    "p05_identifier_build": q_p05_identifier_build,
+    "p06_conditional_column": q_p06_conditional_column,
+    "p08_suffix_strip": q_p08_suffix_strip,
+    "j01_left_lookup_join": q_j01_left_lookup_join,
+    "j02_verification_join": q_j02_verification_join,
+    "j04_anti_join_reconciliation": q_j04_anti_join_reconciliation,
+    "a01_sha256": q_a01_sha256,
+    "a03_count_reconciliation": q_a03_count_reconciliation,
+    "a06_collect_list": q_a06_collect_list,
+    "a07_pricing_summary": q_a07_pricing_summary,
+    "a08_revenue_filter": q_a08_revenue_filter,
+    "a09_top_customers": q_a09_top_customers,
+    "a10_nation_region_rollup": q_a10_nation_region_rollup,
+    "a11_monthly_rollup": q_a11_monthly_rollup,
+    "w02_latest_per_key": q_w02_latest_per_key,
+    "w03_sequence_gap_check": q_w03_sequence_gap_check,
+    "t01_tumbling_window": q_t01_tumbling_window,
+    "t02_first_event_dedup": q_t02_first_event_dedup,
+    "t04_retry_routing": q_t04_retry_routing,
+    "f01_url_parse": q_f01_url_parse,
+    "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
+    "d02_ngram_jaccard": q_d02_ngram_jaccard,
+    "d03_minhash_lsh": q_d03_minhash_lsh,
+    "d04_simhash_signatures": q_d04_simhash_signatures,
+    "e01_embedding_near_dup": q_e01_embedding_near_dup,
+    "e02_cosine_topk": q_e02_cosine_topk,
+    "x01_text_stats": q_x01_text_stats,
+    "x02_language_id": q_x02_language_id,
+    "x03_bpe_token_count": q_x03_bpe_token_count,
+    "x04_fingerprint": q_x04_fingerprint,
+    "m01_binary_stats": q_m01_binary_stats,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB shingle pipeline shared by the jaccard oracles: distinct 3-gram
+# (chr(1)-joined) sets per doc from whitespace tokenization.
+_SHINGLE_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2]
+                        FOR i IN range(1, len(tk) - 1)]) AS shingles
+  FROM toks
+  WHERE len(tk) >= 3
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+_LANG_HITS = {
+    "en": "('the','a','of','and','to','in','is')",
+    "de": "('der','die','das','und','ist','nicht','ein')",
+    "fr": "('le','la','les','et','est','une','des')",
+    "es": "('el','la','los','y','es','una','que')",
+}
+
+
+def _lang_sql() -> str:
+    hits = ",\n  ".join(
+        f"len(list_filter(tk, t -> lower(t) IN {words})) AS hits_{lang}"
+        for lang, words in _LANG_HITS.items()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), h AS (
+  SELECT doc_id,
+  {hits}
+  FROM toks
+)
+SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+       ELSE
+         CASE
+           WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+           WHEN hits_es >  hits_en AND hits_es >= hits_fr AND hits_es >= hits_de THEN 'es'
+           WHEN hits_fr >  hits_en AND hits_fr >  hits_es AND hits_fr >= hits_de THEN 'fr'
+           ELSE 'de'
+         END
+  END AS detected_lang
+FROM h ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "s01_prefix_scan": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE source LIKE 'src1%' ORDER BY doc_id
+        """,
+        "s03_max_numeric_subfolder": r"""
+            SELECT max(CAST(regexp_extract(source, '^src(\d+)$', 1) AS INT))
+                   AS max_subfolder
+            FROM documents
+            WHERE regexp_extract(source, '^src(\d+)$', 1) <> ''
+        """,
+        "s07_keyvalue_parse": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY k_value
+        """,
+        "s11_manifest_fixed_width": """
+            SELECT doc_id, substr(text, 1, 64) AS head64,
+                   trim(substr(text, 65)) AS rest
+            FROM documents ORDER BY doc_id
+        """,
+        "p01_enum_normalization": """
+            SELECT CASE l_returnflag WHEN 'R' THEN 'Returned'
+                   WHEN 'A' THEN 'Accepted' WHEN 'N' THEN 'None'
+                   ELSE 'Unknown' END AS returnflag_name,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY returnflag_name
+        """,
+        "p03_constant_extension": """
+            SELECT p_partkey, lower(p_brand) AS brand_lower,
+                   'open_on_transfer' AS closure_type,
+                   0 AS closure_period, 'TRUE' AS title_public
+            FROM part ORDER BY p_partkey
+        """,
+        "p05_identifier_build": """
+            SELECT p_partkey,
+                   'file:/' || replace(lower(p_type), ' ', '_') || '/' ||
+                   CAST(p_partkey AS VARCHAR) AS identifier
+            FROM part ORDER BY p_partkey
+        """,
+        "p06_conditional_column": """
+            SELECT CASE WHEN l_returnflag = 'N'
+                        THEN CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+                        ELSE '1995-01-01' END AS date_last_modified,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY date_last_modified
+        """,
+        "p08_suffix_strip": """
+            SELECT regexp_replace(source, '[0-9]+$', '') AS source_family,
+                   count(*) AS n
+            FROM documents GROUP BY 1 ORDER BY source_family
+        """,
+        "j01_left_lookup_join": """
+            SELECT o_orderkey, coalesce(c_name, '') AS customer_name
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        "j02_verification_join": """
+            SELECT l_orderkey AS orderkey, count(*) AS n_lines,
+                   max(l_linenumber) AS max_line,
+                   CASE WHEN count(*) = max(l_linenumber) THEN 'ok'
+                        ELSE 'gap' END AS status
+            FROM lineitem GROUP BY l_orderkey ORDER BY orderkey
+        """,
+        "j04_anti_join_reconciliation": """
+            SELECT c_custkey AS key, 'customer-without-orders' AS status
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            UNION ALL
+            SELECT DISTINCT o_custkey AS key, 'order-without-customer' AS status
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+            ORDER BY status, key
+        """,
+        "a01_sha256": """
+            SELECT doc_id, sha256(text) AS checksum
+            FROM documents ORDER BY doc_id
+        """,
+        "a03_count_reconciliation": """
+            SELECT event_type, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "a06_collect_list": """
+            SELECT o_custkey,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "a07_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "a08_revenue_filter": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+              AND l_discount >= 0.02 AND l_quantity < 24
+        """,
+        "a09_top_customers": """
+            SELECT c_custkey, c_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 10
+        """,
+        "a10_nation_region_rollup": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "a11_monthly_rollup": """
+            SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                        AS VARCHAR) AS month,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY month
+        """,
+        "w02_latest_per_key": """
+            SELECT o_custkey, o_orderkey AS latest_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS latest_date
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders
+            ) WHERE rn = 1 ORDER BY o_custkey
+        """,
+        "w03_sequence_gap_check": """
+            SELECT user_id, count(*) AS n_steps,
+                   round(avg(delta), 4) AS avg_gap, max(delta) AS max_gap
+            FROM (
+              SELECT user_id,
+                     event_id - lag(event_id) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS delta
+              FROM events
+            ) WHERE delta IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "t01_tumbling_window": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "t02_first_event_dedup": """
+            SELECT user_id, event_type, min(event_id) AS first_event_id
+            FROM events GROUP BY user_id, event_type
+            ORDER BY user_id, event_type
+        """,
+        "t04_retry_routing": """
+            SELECT CASE WHEN event_type <> 'error' THEN 'ok'
+                        WHEN value < 3 THEN 'retry'
+                        ELSE 'dead-letter' END AS route, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY route
+        """,
+        "f01_url_parse": """
+            SELECT event_id,
+                   '/consignments/' || event_type || '/' ||
+                   CAST(event_id AS VARCHAR) AS url_path,
+                   CAST(event_id AS VARCHAR) AS basename
+            FROM events ORDER BY event_id
+        """,
+        "d01_exact_dedup_stats": """
+            SELECT count(*) AS total_docs,
+                   count(DISTINCT text) AS distinct_texts,
+                   count(DISTINCT md5(text)) AS distinct_hashes
+            FROM documents
+        """,
+        "d02_ngram_jaccard": _SHINGLE_CTE,
+        "d03_minhash_lsh": _SHINGLE_CTE,
+        "x02_language_id": _lang_sql(),
+        "x03_bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "x04_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                       AS fingerprint_md5
+            FROM documents ORDER BY doc_id
+        """,
+        "m01_binary_stats": """
+            SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   sha256(text) AS content_sha256
+            FROM documents ORDER BY doc_id
+        """,
+        "x01_text_stats": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            )
+            SELECT doc_id, len(tk) AS n_tokens,
+                   length(text) AS n_chars_computed,
+                   round((length(text) -
+                          length(regexp_replace(text, '[0-9]', '', 'g')))
+                         * 1.0 / greatest(length(text), 1), 4) AS digit_ratio,
+                   round(len(list_filter(tk, x -> lower(x) IN
+                         ('the','a','an','of','and','to','in','is','it','that',
+                          'for','on','with','as','was','at','by','be')))
+                         * 1.0 / greatest(len(tk), 1), 4) AS stopword_ratio
+            FROM t ORDER BY doc_id
+        """,
+        "e01_embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "e02_cosine_topk": """
+            SELECT b.vec_id AS id,
+                   round(list_cosine_similarity(
+                       CAST(b.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6) AS cosine
+            FROM embeddings b
+            ORDER BY cosine DESC, id LIMIT 10
+        """,
+    }
+    # d04_simhash_signatures intentionally has no oracle: the 64-bit
+    # signature depends on Spark's xxhash64 (not reproducible in DuckDB);
+    # the driver records the weaker rows-only check for it.
+    return sql

@@ -1,0 +1,96 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a full-result count (no collect of wide payloads;
+the work measured is the distributed plan, not driver materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: one per operator family — scan, projection, broadcast join,
+# anti-join, shuffle agg, top-k join agg, star join, window, dedup (exact +
+# MinHash-LSH + ngram), embedding similarity, text analysis.
+HEADLINE = [
+    "s01_prefix_scan",
+    "p01_enum_normalization",
+    "j01_left_lookup_join",
+    "j04_anti_join_reconciliation",
+    "a01_sha256",
+    "a07_pricing_summary",
+    "a08_revenue_filter",
+    "a09_top_customers",
+    "a10_nation_region_rollup",
+    "w02_latest_per_key",
+    "t01_tumbling_window",
+    "d01_exact_dedup_stats",
+    "d03_minhash_lsh",
+    "e01_embedding_near_dup",
+    "e02_cosine_topk",
+    "x01_text_stats",
+    "x03_bpe_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark-graft-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        # warm the reader metadata outside the timed region? No — cold plan
+        # per query mirrors the driver's measurement; keep it honest.
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

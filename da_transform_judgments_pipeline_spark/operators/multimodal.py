@@ -1,0 +1,128 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque BINARY columns with typed metadata structs, exactly as
+a 100 TB training-data pipeline would: the Spark-side schema, partitioning,
+Arrow batch shape, and UDF signatures are real and tested; the codec step is
+stubbed (decode libraries aren't in this container) behind
+``NotImplementedError`` or a deterministic fake, clearly marked.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_catalog(files: DataFrame, kind: str, mime: str | None = None) -> DataFrame:
+    """Wrap a binaryFile scan as a typed media table (schema above)."""
+    return files.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(mime).alias("mime"),
+        F.col("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(blob: bytes, dim: int) -> list[float]:
+    """STUB: deterministic fake 'decoded feature' — a real deployment swaps
+    this for PIL/ffmpeg/torchaudio decode + model embed. Derived from content
+    bytes so results are stable and testable."""
+    acc = 2166136261
+    out = []
+    step = max(1, len(blob) // dim) if blob else 1
+    for i in range(dim):
+        chunk = blob[i * step : (i + 1) * step] or b"\x00"
+        h = acc
+        for b in chunk[:16]:
+            h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+        out.append((h % 10_000) / 10_000.0)
+    return out
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, real_decode: bool = False
+) -> DataFrame:
+    """Decode/feature-extract over mapInPandas (Arrow-batched; one batch of
+    media rows per invocation — the shape a GPU decode stage needs).
+
+    With ``real_decode=True`` raises NotImplementedError (codec libs not in
+    this container); the default path runs the deterministic fake so the
+    Spark plumbing — schema, batching, partition parallelism — is exercised
+    for real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "media decode requires image/audio codecs not present in "
+                    "this environment; plug a decoder into extract_features"
+                )
+            blobs = [bytes(b) if b is not None else b"" for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(b) for b in blobs],
+                    "sha256": [hashlib.sha256(b).hexdigest() for b in blobs],
+                    "feature": [_fake_decode(b, dim) for b in blobs],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms) the
+    decode stage should materialize — pure Catalyst (sequence + explode), so
+    the expensive decode fans out over executors with even partitioning."""
+    duration = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), duration, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

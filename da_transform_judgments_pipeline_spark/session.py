@@ -29,6 +29,17 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle = str(shuffle_partitions or int(cpus))
 
+    # Python workers resolve Pandas-UDF closures by importing this package;
+    # make sure the package root is importable even when the consumer runs
+    # from another directory. Local-mode workers inherit the driver env; on a
+    # real cluster, ship the package with --py-files / spark.submit.pyFiles.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + py_path if py_path else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

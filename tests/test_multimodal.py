@@ -1,0 +1,75 @@
+"""Multimodal column plumbing: schema, Arrow batching, frame-sample plan.
+
+Reference parity: the reference treats file content as opaque bytes moved
+between stages (s3_lib/s3_lib/tar_lib.py:25-65 members, object_lib.py:87-171
+ingest); the multimodal layer generalizes that to typed media tables for a
+training-data pipeline (decode step stubbed — see operators/multimodal.py).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from da_transform_judgments_pipeline_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        Row(media_id=i, kind="image", mime="image/png",
+            content=bytes([i % 251]) * (100 + i), meta=None)
+        for i in range(8)
+    ]
+    return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_shapes(media):
+    out = multimodal.extract_features(media, dim=4).orderBy("media_id").collect()
+    assert len(out) == 8
+    for i, r in enumerate(out):
+        blob = bytes([i % 251]) * (100 + i)
+        assert r["n_bytes"] == len(blob)
+        assert r["sha256"] == hashlib.sha256(blob).hexdigest()
+        assert len(r["feature"]) == 4
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+
+
+def test_extract_features_deterministic(media):
+    a = multimodal.extract_features(media, dim=4).orderBy("media_id").collect()
+    b = multimodal.extract_features(media, dim=4).orderBy("media_id").collect()
+    assert [r["feature"] for r in a] == [r["feature"] for r in b]
+
+
+def test_real_decode_is_stubbed(media):
+    with pytest.raises(Exception) as exc:
+        multimodal.extract_features(media, real_decode=True).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark):
+    rows = [
+        Row(media_id=1, kind="video", mime=None, content=None,
+            meta=Row(width=None, height=None, duration_ms=3500, sample_rate=None)),
+        Row(media_id=2, kind="video", mime=None, content=None,
+            meta=Row(width=None, height=None, duration_ms=0, sample_rate=None)),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    got = {
+        (r["media_id"], r["frame_ts_ms"]) for r in plan.collect()
+    }
+    assert got == {(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0)}
+
+
+def test_media_catalog_from_binaryfile(spark, tmp_path):
+    p = tmp_path / "img.bin"
+    p.write_bytes(b"\x89PNG fake")
+    files = spark.read.format("binaryFile").load(str(p))
+    cat = multimodal.media_catalog(files, kind="image", mime="image/png")
+    r = cat.collect()[0]
+    assert r["kind"] == "image" and bytes(r["content"]) == b"\x89PNG fake"
+    assert set(cat.columns) == {"media_id", "kind", "mime", "content", "meta"}
