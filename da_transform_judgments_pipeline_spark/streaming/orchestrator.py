@@ -1,0 +1,242 @@
+"""Streaming orchestrator: the reference's SQS/SNS/Step-Functions layer as
+Structured Streaming (SURVEY.md §2.7).
+
+Mapping (reference file:line → here):
+
+- T1 trigger fan-out, ≤10 records/batch (tre_sqs_sf_trigger.py:6-9,186-207)
+  → file/text readStream with maxFilesPerTrigger + foreachBatch dispatch
+- T2 idempotency key `{reference}-{queue}-{latest_uuid}`
+  (tre_sqs_sf_trigger.py:144-148) → `exec_name` column
+- T3 duplicate-resend tolerance (test_tdr_duplicate_resend_parallel.py)
+  → dropDuplicates within a watermark on the idempotency key
+- T4 retry loop, limit <3 (tre_bagit_checksum_validation.py:159-163;
+  test_tdr_bagit_retry.py:64-78) → retry-count column + route filter
+- T5 ok/error bifurcation (tre_vb_validate_bagit.py:124-161) → route column
+- T6 dead-letter → alert (tre_dlq_slack_alerts.py:11-37) → DLQ parquet sink
+  + alert callback per batch
+- T8 message attributes (tre_forward.py:62-80) → attribute columns carried
+  on the output stream
+- T10 exactly-once-per-attempt guard (tre_editorial_integration.py:179-191)
+  → left-anti join against the processed-key table before dispatch
+
+Scale notes: all per-event work is row-parallel inside foreachBatch; the
+only stateful operator is the dedup (keyed state bounded by the watermark).
+The DLQ/processed tables are append-only parquet keyed by the idempotency
+key, so the T10 guard is a broadcast-able anti-join at any realistic
+dead-letter cardinality.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import events as ev
+
+DEFAULT_QUEUE = "tre-in"
+RETRY_LIMIT = 3  # retries 0,1 re-queue; 2 ⇒ dead-letter (state machine parity)
+
+ROUTE_OK = "ok"
+ROUTE_RETRY = "retry"
+ROUTE_DEAD_LETTER = "dead-letter"
+ROUTE_INVALID = "invalid"
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """T1 source: one JSON event per line under `path`; batch size mirrors
+    the reference's ≤10-records SQS trigger batches."""
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+    return ev.parse_events(raw)
+
+
+def with_identity(df: DataFrame, queue: str = DEFAULT_QUEUE) -> DataFrame:
+    """Identity/routing columns from the envelope:
+
+    - `event_name` (dispatch key), `reference` (consignment), `latest_uuid`
+      (W1 — newest lineage entry), `exec_name` (T2 idempotency key),
+      `retries` (T4 counter from the event's own parameter block),
+      `event_time` (envelope ns timestamp as a µs TIMESTAMP for watermarks).
+    """
+    e = F.col("event")
+    name = e["producer"]["event-name"]
+    payload = F.element_at(e["parameters"], name)
+    latest = F.element_at(F.map_values(F.element_at(e["UUIDs"], -1)), 1)
+    return (
+        df.withColumn("event_name", name)
+        .withColumn(
+            "reference", F.get_json_object(payload, "$.reference")
+        )
+        .withColumn("latest_uuid", latest)
+        .withColumn(
+            "exec_name",
+            F.concat_ws("-", "reference", F.lit(queue), "latest_uuid"),
+        )
+        .withColumn(
+            "retries",
+            F.coalesce(
+                F.get_json_object(payload, "$.number-of-retries").cast("int"),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "event_time",
+            F.timestamp_micros((F.col("event")["timestamp"] / 1000).cast("long")),
+        )
+    )
+
+
+def dedup_events(df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T3: drop duplicate sends of the same idempotency key. The watermark
+    bounds the dedup state (the reference relies on Step Functions' unique
+    execution names for the same effect)."""
+    return df.withWatermark("event_time", watermark).dropDuplicates(
+        ["exec_name"]
+    )
+
+
+def route_events(df: DataFrame, retry_limit: int = RETRY_LIMIT) -> DataFrame:
+    """T4/T5/T6 route column: invalid envelope → `invalid`; error events
+    re-queue while the NEXT attempt would still be under the limit
+    (reference parity: counters 0 and 1 re-queue, counter 2 ⇒ FAILED —
+    test_tdr_bagit_retry.py:72-77); at/over it → `dead-letter`; everything
+    else → `ok`."""
+    is_error = F.col("event_name").endswith("-error")
+    return ev.validate_events(df).withColumn(
+        "route",
+        F.when(F.size("errors") > 0, ROUTE_INVALID)
+        .when(is_error & (F.col("retries") < retry_limit - 1), ROUTE_RETRY)
+        .when(is_error, ROUTE_DEAD_LETTER)
+        .otherwise(ROUTE_OK),
+    )
+
+
+def with_message_attributes(df: DataFrame) -> DataFrame:
+    """T8: mirror the fields subscribers filter on as top-level columns
+    (SNS MessageAttributes parity: environment, producer, process, type,
+    event-name)."""
+    p = F.col("event")["producer"]
+    return (
+        df.withColumn("attr_environment", p["environment"])
+        .withColumn("attr_producer", p["name"])
+        .withColumn("attr_process", p["process"])
+        .withColumn("attr_type", p["type"])
+        .withColumn("attr_event_name", p["event-name"])
+    )
+
+
+def _processed_keys(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = os.path.join(out_dir, "processed")
+    try:
+        return spark.read.parquet(path).select("exec_name")
+    except Exception:
+        return None
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    stages: dict[str, Callable[[SparkSession, DataFrame], DataFrame]]
+    | None = None,
+    alert: Callable[[list[dict]], None] | None = None,
+    queue: str = DEFAULT_QUEUE,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    retry_limit: int = RETRY_LIMIT,
+):
+    """Run the event pipeline: read → identity → dedup → route →
+    foreachBatch dispatch.
+
+    Per batch (T1): `ok` rows are dispatched per event-name through
+    `stages` (each stage gets (spark, batch_df_for_its_event) and returns an
+    output-event DataFrame appended to out/events); `retry` rows append to
+    out/retries (a re-queue feed); `dead-letter` + `invalid` rows append to
+    out/dlq and fire the `alert` callback (T6 — Slack in the reference,
+    injectable here). Every dispatched exec_name is recorded in
+    out/processed, and a left-anti join against that table guards replays
+    (T10). Returns the StreamingQuery.
+    """
+    stages = stages or {}
+    stream = route_events(
+        dedup_events(with_identity(read_event_stream(
+            spark, input_path, max_files_per_trigger
+        ), queue)),
+        retry_limit,
+    )
+    stream = with_message_attributes(stream)
+
+    out_events = os.path.join(out_dir, "events")
+    out_retries = os.path.join(out_dir, "retries")
+    out_dlq = os.path.join(out_dir, "dlq")
+    out_processed = os.path.join(out_dir, "processed")
+
+    flat_cols = [
+        "value", "event_name", "reference", "latest_uuid", "exec_name",
+        "retries", "route", "errors",
+        "attr_environment", "attr_producer", "attr_process", "attr_type",
+        "attr_event_name",
+    ]
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        b = batch.select(*flat_cols, "event").persist()
+        try:
+            # T10 replay guard: drop exec_names we have already dispatched
+            seen = _processed_keys(spark, out_dir)
+            if seen is not None:
+                b = b.join(F.broadcast(seen), "exec_name", "left_anti")
+
+            ok = b.filter(F.col("route") == ROUTE_OK)
+            for event_name, stage_fn in stages.items():
+                sub = ok.filter(F.col("event_name") == event_name)
+                out = stage_fn(spark, sub)
+                if out is not None:
+                    out.write.mode("append").parquet(out_events)
+            unstaged = ok.filter(
+                ~F.col("event_name").isin(*stages.keys())
+                if stages
+                else F.lit(True)
+            )
+            # forward pass-through (tre_forward parity): unhandled ok events
+            # republish with their attribute columns
+            unstaged.select(*flat_cols).write.mode("append").parquet(
+                out_events
+            )
+
+            b.filter(F.col("route") == ROUTE_RETRY).select(
+                *flat_cols
+            ).write.mode("append").parquet(out_retries)
+
+            dead = b.filter(
+                F.col("route").isin(ROUTE_DEAD_LETTER, ROUTE_INVALID)
+            )
+            dead_rows = dead.select(
+                "exec_name", "event_name", "reference", "route", "errors"
+            ).collect()
+            if dead_rows:
+                dead.select(*flat_cols).write.mode("append").parquet(out_dlq)
+                if alert is not None:
+                    alert([r.asDict() for r in dead_rows])
+
+            b.select("exec_name").distinct().write.mode("append").parquet(
+                out_processed
+            )
+        finally:
+            b.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

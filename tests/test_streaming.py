@@ -1,0 +1,191 @@
+"""Streaming orchestrator tests (SURVEY.md §2.7 T1-T10).
+
+Mirrors the reference's module-test scenarios offline: ok-path dispatch,
+duplicate resend dedup (test_tdr_duplicate_resend_parallel.py), retry
+routing with limit <3 (test_tdr_bagit_retry.py:64-78), dead-letter alerts
+(tre_dlq_slack_alerts.py), and the editorial retry-sequence state
+(tre_editorial_integration.py:504-509).
+"""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from da_transform_judgments_pipeline_spark.plans import events as ev
+from da_transform_judgments_pipeline_spark.streaming import (
+    orchestrator,
+    retry_state,
+)
+
+
+def _event(reference, event_name="bagit-available", retries=0, env="test"):
+    return ev.create_event(
+        environment=env,
+        producer="TRE",
+        process="test-harness",
+        event_name=event_name,
+        parameters={
+            event_name: {
+                "reference": reference,
+                "number-of-retries": retries,
+            }
+        },
+        type="judgment",
+    )
+
+
+def _write_events(path, events, name="batch.jsonl"):
+    path.mkdir(parents=True, exist_ok=True)
+    (path / name).write_text(
+        "\n".join(json.dumps(e) for e in events) + "\n"
+    )
+
+
+def _run(spark, tmp_path, events, alert=None, stages=None):
+    indir = tmp_path / "in"
+    _write_events(indir, events)
+    out = tmp_path / "out"
+    q = orchestrator.run_pipeline(
+        spark,
+        str(indir),
+        str(out),
+        str(tmp_path / "ckpt"),
+        stages=stages,
+        alert=alert,
+    )
+    q.awaitTermination(60)
+    return out
+
+
+def _read(spark, path):
+    try:
+        return spark.read.parquet(str(path))
+    except Exception:
+        return None
+
+
+def test_ok_path_dispatch(spark, tmp_path):
+    events = [_event("TDR-2023-AAA"), _event("TDR-2023-BBB")]
+    out = _run(spark, tmp_path, events)
+    got = _read(spark, out / "events")
+    refs = {r["reference"] for r in got.collect()}
+    assert refs == {"TDR-2023-AAA", "TDR-2023-BBB"}
+    assert {r["route"] for r in got.collect()} == {"ok"}
+    # T8 message attributes present
+    assert {"attr_environment", "attr_event_name"} <= set(got.columns)
+
+
+def test_duplicate_resend_dedup(spark, tmp_path):
+    e = _event("TDR-2023-DUP")
+    out = _run(spark, tmp_path, [e, e, e])  # same latest_uuid resent 3x
+    got = _read(spark, out / "events").collect()
+    assert len(got) == 1  # T3: one execution per idempotency key
+
+
+def test_retry_and_dead_letter_routing(spark, tmp_path):
+    alerts = []
+    events = [
+        _event("TDR-2023-R0", "bagit-validation-error", retries=0),
+        _event("TDR-2023-R2", "bagit-validation-error", retries=2),
+        _event("TDR-2023-OK", "bagit-validated", retries=0),
+    ]
+    out = _run(spark, tmp_path, events, alert=alerts.extend)
+    retries = _read(spark, out / "retries").collect()
+    dlq = _read(spark, out / "dlq").collect()
+    oks = _read(spark, out / "events").collect()
+    assert [r["reference"] for r in retries] == ["TDR-2023-R0"]
+    assert [r["reference"] for r in dlq] == ["TDR-2023-R2"]
+    assert [r["reference"] for r in oks] == ["TDR-2023-OK"]
+    # T6: alert fired for the dead-lettered consignment
+    assert len(alerts) == 1 and alerts[0]["reference"] == "TDR-2023-R2"
+
+
+def test_invalid_event_routes_to_dlq(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir(parents=True)
+    (indir / "bad.jsonl").write_text('{"not": "an event"}\n')
+    out = tmp_path / "out"
+    alerts = []
+    q = orchestrator.run_pipeline(
+        spark, str(indir), str(out), str(tmp_path / "ckpt"),
+        alert=alerts.extend,
+    )
+    q.awaitTermination(60)
+    dlq = _read(spark, out / "dlq").collect()
+    assert len(dlq) == 1 and dlq[0]["route"] == "invalid"
+    assert len(alerts) == 1
+
+
+def test_stage_dispatch_and_replay_guard(spark, tmp_path):
+    seen_refs = []
+
+    def stage(spark_, batch):
+        seen_refs.extend(r["reference"] for r in batch.collect())
+        return None
+
+    e = _event("TDR-2023-STG", "bagit-available")
+    out = _run(
+        spark, tmp_path, [e], stages={"bagit-available": stage}
+    )
+    assert seen_refs == ["TDR-2023-STG"]
+    # replay the same event through a second run (fresh checkpoint → the
+    # stream re-reads it); the T10 processed-key guard must drop it
+    q = orchestrator.run_pipeline(
+        spark,
+        str(tmp_path / "in"),
+        str(out),
+        str(tmp_path / "ckpt2"),
+        stages={"bagit-available": stage},
+    )
+    q.awaitTermination(60)
+    assert seen_refs == ["TDR-2023-STG"]
+
+
+def test_retry_state_sequence(spark, tmp_path):
+    indir = tmp_path / "in"
+    events = [
+        _event("TDR-A", retries=0),
+        _event("TDR-A", retries=1),
+        _event("TDR-A", retries=3),  # gap: expected 2
+        _event("TDR-B", retries=1),  # gap: first must be 0
+    ]
+    _write_events(indir, events)
+    stream = orchestrator.with_identity(
+        orchestrator.read_event_stream(spark, str(indir))
+    )
+    judged = retry_state.track_retries(stream)
+    q = (
+        judged.writeStream.format("memory")
+        .queryName(f"retryjudge_{int(time.time())}")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql(f"select * from {q.name} order by reference, retry").collect()
+    got = [(r["reference"], r["retry"], r["status"]) for r in rows]
+    assert got == [
+        ("TDR-A", 0, "accepted"),
+        ("TDR-A", 1, "accepted"),
+        ("TDR-A", 3, "gap"),
+        ("TDR-B", 1, "gap"),
+    ]
+
+
+def test_retry_state_batch_twin(spark):
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 1), ("A", 3), ("B", 1)], ["reference", "retries"]
+    )
+    got = {
+        (r["reference"], r["retry"]): r["status"]
+        for r in retry_state.track_retries_batch(df).collect()
+    }
+    assert got == {
+        ("A", 0): "accepted",
+        ("A", 1): "accepted",
+        ("A", 3): "gap",
+        ("B", 1): "gap",
+    }
