@@ -67,6 +67,25 @@ def q_s01_prefix_scan(spark, sf_dir):
     )
 
 
+def q_s02_existence_probe(spark, sf_dir):
+    """S2: prefix existence probe (s3_object_exists) — a probe list joined
+    against the catalog with a startswith predicate; tiny probe side stays
+    broadcast (nested-loop on the broadcast side, scan-once on the big side)."""
+    docs = _T(spark, sf_dir, "documents")
+    probes = spark.createDataFrame(
+        [("src1",), ("src3",), ("no-such-prefix",)], ["probe"]
+    )
+    sources = docs.select("source").distinct()
+    return (
+        probes.join(
+            sources, F.col("source").startswith(F.col("probe")), "left"
+        )
+        .groupBy("probe")
+        .agg((F.count("source") > 0).alias("found"))
+        .orderBy("probe")
+    )
+
+
 def q_s03_max_numeric_subfolder(spark, sf_dir):
     """S3/A4: max numeric path-segment (retry discovery) via regexp + max."""
     docs = _T(spark, sf_dir, "documents")
@@ -171,6 +190,30 @@ def q_p08_suffix_strip(spark, sf_dir):
     )
 
 
+def q_p11_field_presence(spark, sf_dir):
+    """P11/T5: field-presence validation with error accumulation — per-row
+    constraint checks build an errors list (concat_ws skips the nulls), rows
+    route by error count (ok / quarantine), mirroring the reference's
+    missing_fields accumulation (tre_editorial_integration.py:197-242)."""
+    ev = _T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    e1 = F.when(k.isNull(), F.lit("missing-k"))
+    e2 = F.when(k >= 90, F.lit("k-out-of-range"))
+    e3 = F.when(F.col("value") < 0.05, F.lit("low-value"))
+    errors = F.concat_ws(";", e1, e2, e3)
+    n_errors = (
+        e1.isNotNull().cast("int")
+        + e2.isNotNull().cast("int")
+        + e3.isNotNull().cast("int")
+    )
+    return (
+        ev.select(errors.alias("errors"), n_errors.alias("n_errors"))
+        .groupBy("errors", "n_errors")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("errors", "n_errors")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.3 joins
 # ---------------------------------------------------------------------------
@@ -209,6 +252,27 @@ def q_j02_verification_join(spark, sf_dir):
         .otherwise("gap")
         .alias("status"),
     ).orderBy("orderkey")
+
+
+def q_j03_name_check(spark, sf_dir):
+    """J3: manifest-name vs URL-name cross-check predicate — derive the
+    basename from a constructed URL path and compare it against the expected
+    name, reporting match/mismatch counts (tre_vb_validate_bagit.py:111-116)."""
+    ev = _T(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://store.example.com/consignments/"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("event_id").cast("string"),
+    )
+    basename = F.element_at(F.split(F.parse_url(url, F.lit("PATH")), "/"), -1)
+    matches = basename == F.col("user_id").cast("string")
+    return (
+        ev.select(matches.alias("name_matches"))
+        .groupBy("name_matches")
+        .agg(F.count("*").alias("n"))
+        .orderBy("name_matches")
+    )
 
 
 def q_j04_anti_join_reconciliation(spark, sf_dir):
@@ -251,6 +315,20 @@ def q_a03_count_reconciliation(spark, sf_dir):
             F.count_distinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
+    )
+
+
+def q_a05_cardinality_assert(spark, sf_dir):
+    """A5: exactly-1 cardinality assertion as a report — group on the
+    (orderkey, linenumber) natural key and count groups violating n==1,
+    the DataFrame form of the reference's count()==1 guards."""
+    li = _T(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("*").alias("n")
+    )
+    return per_key.agg(
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("n") != 1).cast("int")).alias("n_violations"),
     )
 
 
@@ -351,8 +429,165 @@ def q_a11_monthly_rollup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-style analytics breadth (semi-join, star join, top-k, grouping sets,
+# set operations)
+# ---------------------------------------------------------------------------
+
+def q_a12_order_priority_count(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority count with an EXISTS semi-join on
+    lineitem (late-shipping lines). The semi-join side is projected to the
+    two needed columns before the shuffle so only matching keys move."""
+    orders = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01"))
+    )
+    late = li.select("l_orderkey", "l_shipdate")
+    joined = o.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_a13_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join (lineitem⋈orders⋈customer⋈supplier
+    ⋈nation⋈region) with same-nation predicate; dims broadcast, the two
+    fact-side shuffles hash on the join keys."""
+    li = _T(spark, sf_dir, "lineitem")
+    orders = _T(spark, sf_dir, "orders")
+    cust = _T(spark, sf_dir, "customer")
+    supp = _T(spark, sf_dir, "supplier")
+    nat = _T(spark, sf_dir, "nation")
+    reg = _T(spark, sf_dir, "region")
+    o = orders.filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01"))
+    )
+    df = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        df.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_a14_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customer⋈orders⋈lineitem, top-10
+    orders by discounted revenue. Dim filters push below the joins; the
+    top-k is a single takeOrdered over the agg output."""
+    li = _T(spark, sf_dir, "lineitem")
+    orders = _T(spark, sf_dir, "orders")
+    cust = _T(spark, sf_dir, "customer")
+    c = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    df = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        df.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_a15_region_nation_rollup(spark, sf_dir):
+    """ROLLUP grouping-set aggregation: (region, nation) hierarchy with
+    subtotal and grand-total rows — one shuffle produces all grouping sets."""
+    cust = _T(spark, sf_dir, "customer")
+    nat = _T(spark, sf_dir, "nation")
+    reg = _T(spark, sf_dir, "region")
+    df = cust.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        df.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_o01_set_operations(spark, sf_dir):
+    """Set operations: INTERSECT / EXCEPT over per-year customer key sets
+    (customers ordering in both 1996 and 1997 vs only 1996)."""
+    orders = _T(spark, sf_dir, "orders")
+
+    def year_keys(y):
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    k96, k97 = year_keys(1996), year_keys(1997)
+    both = k96.intersect(k97).select("o_custkey", F.lit("both").alias("tag"))
+    only96 = k96.exceptAll(k97).select(
+        "o_custkey", F.lit("only_1996").alias("tag")
+    )
+    return both.unionByName(only96).orderBy("tag", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
 # §2.5 windows / ordering
 # ---------------------------------------------------------------------------
+
+def q_w01_latest_element(spark, sf_dir):
+    """W1: latest-lineage-element selection — per-key event list ordered by
+    sequence, take element_at(-1) (UUIDs[-1] semantics). The per-key list
+    stays bounded (one user's events), so the sort is cheap map-side work
+    after one shuffle on the key."""
+    ev = _T(spark, sf_dir, "events")
+    hops = F.array_sort(
+        F.collect_list(F.struct("event_id", "event_type"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.size(hops).alias("n_hops"),
+            F.element_at(hops, -1)["event_type"].alias("latest_event_type"),
+        )
+        .orderBy("user_id")
+    )
+
 
 def q_w02_latest_per_key(spark, sf_dir):
     """W1/W2: latest-element selection per key (latest order per customer)."""
@@ -388,6 +623,46 @@ def q_w03_sequence_gap_check(spark, sf_dir):
             F.max("delta").alias("max_gap"),
         )
         .orderBy("user_id")
+    )
+
+
+def q_w04_running_total(spark, sf_dir):
+    """Window frame: per-customer running order total (rows unbounded
+    preceding → current). Money is summed in integer cents so the running
+    sum is exact and engine-order-independent."""
+    orders = _T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(cents).over(w).alias("running_cents"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q_w05_top_orders_per_customer(spark, sf_dir):
+    """Ranking window: top-3 orders per customer by totalprice
+    (row_number with deterministic tie-break on orderkey)."""
+    orders = _T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).alias("rank_n"),
+        )
+        .filter(F.col("rank_n") <= 3)
+        .orderBy("o_custkey", "rank_n")
     )
 
 
@@ -428,6 +703,31 @@ def q_t04_retry_routing(spark, sf_dir):
         .groupBy("route")
         .agg(F.count("*").alias("n"))
         .orderBy("route")
+    )
+
+
+def q_t07_lineage_append(spark, sf_dir):
+    """T7: lineage accumulation — append a `{producer}:{uuid}` hop to the
+    event's UUID list (concat(UUIDs, array(...)), message.py:137-144
+    semantics) entirely map-side; no shuffle."""
+    ev = _T(spark, sf_dir, "events")
+    base = F.array(
+        F.concat(F.lit("ingest:"), F.col("user_id").cast("string"))
+    )
+    appended = F.concat(
+        base,
+        F.array(
+            F.concat(F.lit("validate:"), F.col("event_id").cast("string"))
+        ),
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.size(appended).alias("n_hops"),
+            F.element_at(appended, -1).alias("latest_hop"),
+            F.array_join(appended, "|").alias("lineage"),
+        )
+        .orderBy("event_id")
     )
 
 
@@ -487,10 +787,12 @@ def q_d03_minhash_lsh(spark, sf_dir):
 
 
 def q_d04_simhash_signatures(spark, sf_dir):
-    """SimHash 64-bit signatures (map-side array expressions)."""
+    """SimHash 64-bit signatures (map-side array expressions). Uses the
+    md5-bit variant so DuckDB can reproduce the exact signature; the
+    xxhash64 variant (dedup.simhash64) is the faster scale path."""
     docs = _T(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", dedup.simhash64(F.col("text")).alias("simhash")
+        "doc_id", dedup.simhash64_md5(F.col("text")).alias("simhash")
     ).orderBy("doc_id")
 
 
@@ -507,6 +809,15 @@ def q_e02_cosine_topk(spark, sf_dir):
     emb = _T(spark, sf_dir, "embeddings")
     q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     return similarity.cosine_topk(emb, q, k=10)
+
+
+def q_e03_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via signed-random-projection LSH bucketing + exact
+    cosine rerank (the scale path for e02's brute force). Approximate by
+    design — no SQL oracle; the driver records the rows-only check."""
+    emb = _T(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return similarity.ann_topk(emb, q, k=10)
 
 
 def q_x01_text_stats(spark, sf_dir):
@@ -565,6 +876,7 @@ def q_m01_binary_stats(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_prefix_scan": q_s01_prefix_scan,
+    "s02_existence_probe": q_s02_existence_probe,
     "s03_max_numeric_subfolder": q_s03_max_numeric_subfolder,
     "s07_keyvalue_parse": q_s07_keyvalue_parse,
     "s11_manifest_fixed_width": q_s11_manifest_fixed_width,
@@ -573,22 +885,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p05_identifier_build": q_p05_identifier_build,
     "p06_conditional_column": q_p06_conditional_column,
     "p08_suffix_strip": q_p08_suffix_strip,
+    "p11_field_presence": q_p11_field_presence,
     "j01_left_lookup_join": q_j01_left_lookup_join,
     "j02_verification_join": q_j02_verification_join,
+    "j03_name_check": q_j03_name_check,
     "j04_anti_join_reconciliation": q_j04_anti_join_reconciliation,
     "a01_sha256": q_a01_sha256,
     "a03_count_reconciliation": q_a03_count_reconciliation,
+    "a05_cardinality_assert": q_a05_cardinality_assert,
     "a06_collect_list": q_a06_collect_list,
     "a07_pricing_summary": q_a07_pricing_summary,
     "a08_revenue_filter": q_a08_revenue_filter,
     "a09_top_customers": q_a09_top_customers,
     "a10_nation_region_rollup": q_a10_nation_region_rollup,
     "a11_monthly_rollup": q_a11_monthly_rollup,
+    "a12_order_priority_count": q_a12_order_priority_count,
+    "a13_local_supplier_volume": q_a13_local_supplier_volume,
+    "a14_shipping_priority": q_a14_shipping_priority,
+    "a15_region_nation_rollup": q_a15_region_nation_rollup,
+    "o01_set_operations": q_o01_set_operations,
+    "w01_latest_element": q_w01_latest_element,
     "w02_latest_per_key": q_w02_latest_per_key,
     "w03_sequence_gap_check": q_w03_sequence_gap_check,
+    "w04_running_total": q_w04_running_total,
+    "w05_top_orders_per_customer": q_w05_top_orders_per_customer,
     "t01_tumbling_window": q_t01_tumbling_window,
     "t02_first_event_dedup": q_t02_first_event_dedup,
     "t04_retry_routing": q_t04_retry_routing,
+    "t07_lineage_append": q_t07_lineage_append,
     "f01_url_parse": q_f01_url_parse,
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
     "d02_ngram_jaccard": q_d02_ngram_jaccard,
@@ -596,6 +920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d04_simhash_signatures": q_d04_simhash_signatures,
     "e01_embedding_near_dup": q_e01_embedding_near_dup,
     "e02_cosine_topk": q_e02_cosine_topk,
+    "e03_ann_lsh_topk": q_e03_ann_lsh_topk,
     "x01_text_stats": q_x01_text_stats,
     "x02_language_id": q_x02_language_id,
     "x03_bpe_token_count": q_x03_bpe_token_count,
@@ -676,11 +1001,57 @@ FROM h ORDER BY doc_id
 """
 
 
+def _simhash_sql() -> str:
+    """DuckDB mirror of dedup.simhash64_md5: md5 hex of each whitespace
+    token, bit i = bit (3 - i%4) of hex digit i//4, ±1 votes per bit,
+    sign-fold into one signed 64-bit value."""
+    votes = ",\n    ".join(
+        "list_sum(list_transform(mds, m -> "
+        f"(((strpos('0123456789abcdef', substring(m, {i // 4 + 1}, 1)) - 1)"
+        f" >> {3 - i % 4}) & 1) * 2 - 1)) AS v{i}"
+        for i in range(64)
+    )
+    fold = "\n     + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(63)
+    )
+    fold += (
+        "\n     + (CASE WHEN v63 > 0 THEN"
+        " CAST(-9223372036854775807 - 1 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       t -> t <> ''),
+           t -> md5(t)) AS mds
+  FROM documents
+), votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM toks
+)
+SELECT doc_id,
+       {fold} AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "s01_prefix_scan": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE source LIKE 'src1%' ORDER BY doc_id
+        """,
+        "s02_existence_probe": """
+            SELECT probe,
+                   EXISTS(SELECT 1 FROM documents
+                          WHERE source LIKE probe || '%') AS found
+            FROM (VALUES ('src1'), ('src3'), ('no-such-prefix')) AS p(probe)
+            ORDER BY probe
         """,
         "s03_max_numeric_subfolder": r"""
             SELECT max(CAST(regexp_extract(source, '^src(\d+)$', 1) AS INT))
@@ -729,6 +1100,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM documents GROUP BY 1 ORDER BY source_family
         """,
+        "p11_field_presence": """
+            WITH e AS (
+              SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                     value
+              FROM events
+            )
+            SELECT concat_ws(';',
+                     CASE WHEN k IS NULL THEN 'missing-k' END,
+                     CASE WHEN k >= 90 THEN 'k-out-of-range' END,
+                     CASE WHEN value < 0.05 THEN 'low-value' END) AS errors,
+                   (CASE WHEN k IS NULL THEN 1 ELSE 0 END
+                    + CASE WHEN k >= 90 THEN 1 ELSE 0 END
+                    + CASE WHEN value < 0.05 THEN 1 ELSE 0 END) AS n_errors,
+                   count(*) AS n_events
+            FROM e GROUP BY 1, 2 ORDER BY errors, n_errors
+        """,
+        "j03_name_check": """
+            SELECT CAST(event_id AS VARCHAR) = CAST(user_id AS VARCHAR)
+                       AS name_matches,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY name_matches
+        """,
         "j01_left_lookup_join": """
             SELECT o_orderkey, coalesce(c_name, '') AS customer_name
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
@@ -759,6 +1152,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "a05_cardinality_assert": """
+            SELECT count(*) AS n_groups,
+                   coalesce(sum(CASE WHEN n <> 1 THEN 1 ELSE 0 END), 0)
+                       AS n_violations
+            FROM (SELECT l_orderkey, l_linenumber, count(*) AS n
+                  FROM lineitem GROUP BY 1, 2)
         """,
         "a06_collect_list": """
             SELECT o_custkey,
@@ -807,6 +1207,106 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue,
                    count(*) AS n_orders
             FROM orders GROUP BY 1 ORDER BY month
+        """,
+        "a12_order_priority_count": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "a13_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "a14_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "a15_region_nation_rollup": """
+            SELECT r_name, n_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name, n_name
+        """,
+        "o01_set_operations": """
+            SELECT o_custkey, 'both' AS tag FROM (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1996
+              INTERSECT
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1997
+            )
+            UNION ALL
+            SELECT o_custkey, 'only_1996' AS tag FROM (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1996
+              EXCEPT
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1997
+            )
+            ORDER BY tag, o_custkey
+        """,
+        "w01_latest_element": """
+            SELECT user_id, count(*) AS n_hops,
+                   (list(event_type ORDER BY event_id))[-1]
+                       AS latest_event_type
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "w04_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running_cents
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "w05_top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS totalprice, rank_n
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank_n
+              FROM orders
+            ) WHERE rank_n <= 3 ORDER BY o_custkey, rank_n
+        """,
+        "t07_lineage_append": """
+            SELECT event_id, 2 AS n_hops,
+                   'validate:' || CAST(event_id AS VARCHAR) AS latest_hop,
+                   'ingest:' || CAST(user_id AS VARCHAR) ||
+                   '|validate:' || CAST(event_id AS VARCHAR) AS lineage
+            FROM events ORDER BY event_id
         """,
         "w02_latest_per_key": """
             SELECT o_custkey, o_orderkey AS latest_orderkey,
@@ -860,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d02_ngram_jaccard": _SHINGLE_CTE,
         "d03_minhash_lsh": _SHINGLE_CTE,
+        "d04_simhash_signatures": _simhash_sql(),
         "x02_language_id": _lang_sql(),
         "x03_bpe_token_count": r"""
             SELECT doc_id,
@@ -917,7 +1418,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, id LIMIT 10
         """,
     }
-    # d04_simhash_signatures intentionally has no oracle: the 64-bit
-    # signature depends on Spark's xxhash64 (not reproducible in DuckDB);
-    # the driver records the weaker rows-only check for it.
+    # e03_ann_lsh_topk intentionally has no oracle: LSH-bucketed ANN is
+    # approximate by design (recall < 1 is a legitimate outcome), so the
+    # driver records the weaker rows-only check for it; e02 is the exact
+    # brute-force baseline with a full oracle.
     return sql

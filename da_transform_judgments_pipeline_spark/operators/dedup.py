@@ -336,6 +336,55 @@ def simhash64(text: Column | str) -> Column:
     return sig
 
 
+def simhash64_md5(text: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens with md5-derived token bits.
+
+    Same vote/fold semantics as :func:`simhash64`, but the per-token hash is
+    the first 64 bits of ``md5(token)`` read as a big-endian hex bitstream
+    (bit *i* = bit ``3 - i%4`` of hex digit ``i//4``). md5 exists identically
+    in Spark and DuckDB, so this variant is cross-engine deterministic and
+    oracle-checkable; keep :func:`simhash64` (xxhash64) as the faster scale
+    path when no external oracle is needed."""
+    toks = tokens(text)
+    md5s = F.transform(toks, lambda t: F.md5(t))
+
+    def bit_votes(m: Column) -> Column:
+        digits = [
+            F.conv(F.substring(m, k + 1, 1), 16, 10).cast("int")
+            for k in range(16)
+        ]
+        return F.array(
+            *[
+                (
+                    F.shiftright(digits[i // 4], 3 - (i % 4))
+                    .bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                ).cast("int")
+                for i in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        md5s,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, m: F.zip_with(acc, bit_votes(m), lambda a, b: a + b),
+    )
+    terms = [
+        F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(63)
+    ]
+    terms.append(
+        F.when(F.element_at(votes, 64) > 0, F.lit(-(1 << 63)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return sig
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -107,6 +107,46 @@ def test_simhash_behavior(spark):
     assert (1, 2) in got and (1, 3) in got and (1, 4) not in got
 
 
+def test_simhash_md5_matches_python_reference(spark):
+    """simhash64_md5 must equal a pure-Python simhash over md5 token bits
+    (the cross-engine-deterministic contract the DuckDB oracle relies on)."""
+    import hashlib
+
+    def py_simhash(s: str) -> int:
+        toks = [t for t in s.strip().split() if t]
+        votes = [0] * 64
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for i in range(64):
+                # bit i = bit (3 - i%4) of hex digit i//4, i.e. big-endian
+                # over the first 64 bits of the digest
+                bit = (h >> (63 - i)) & 1
+                votes[i] += 1 if bit else -1
+        sig = 0
+        for i in range(63):
+            if votes[i] > 0:
+                sig += 1 << i
+        if votes[63] > 0:
+            sig += -(1 << 63)
+        return sig
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "hello world"),
+        (3, "  padded   whitespace\ttokens  "),
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", dedup.simhash64_md5(F.col("text")).alias("sig")
+        ).collect()
+    }
+    for doc_id, s in rows:
+        assert got[doc_id] == py_simhash(s), doc_id
+
+
 def test_embedding_near_duplicates_threshold(spark, embeddings):
     pairs = dedup.embedding_near_duplicates(embeddings, threshold=0.4)
     rows = pairs.collect()
