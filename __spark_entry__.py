@@ -863,6 +863,31 @@ def q_x04_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_m02_archive_roundtrip(spark, sf_dir):
+    """S13/S14 archive layer end-to-end: pack each source's documents into a
+    tar.gz (grouped applyInPandas), unpack via mapInPandas, and aggregate the
+    recovered members — the oracle checks the round-trip is lossless against
+    the ungrouped originals."""
+    from da_transform_judgments_pipeline_spark.sources import archive
+
+    docs = _T(spark, sf_dir, "documents")
+    members = docs.select(
+        F.col("source").alias("archive"),
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("name"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    packed = archive.tar_gz_pack(members)
+    unpacked = archive.untar(packed, path_col="archive")
+    return (
+        unpacked.groupBy("archive")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.octet_length("content")).alias("total_bytes"),
+        )
+        .orderBy("archive")
+    )
+
+
 def q_m01_binary_stats(spark, sf_dir):
     """Multimodal plumbing: opaque binary column stats (bytes + sha256)."""
     docs = _T(spark, sf_dir, "documents")
@@ -926,6 +951,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x03_bpe_token_count": q_x03_bpe_token_count,
     "x04_fingerprint": q_x04_fingerprint,
     "m01_binary_stats": q_m01_binary_stats,
+    "m02_archive_roundtrip": q_m02_archive_roundtrip,
 }
 
 
@@ -1378,6 +1404,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
                    sha256(text) AS content_sha256
             FROM documents ORDER BY doc_id
+        """,
+        "m02_archive_roundtrip": """
+            SELECT source AS archive, count(*) AS n_members,
+                   sum(octet_length(CAST(text AS BLOB))) AS total_bytes
+            FROM documents GROUP BY source ORDER BY archive
         """,
         "x01_text_stats": r"""
             WITH t AS (

@@ -1,0 +1,523 @@
+"""Parser staging + editorial integration stages (SURVEY.md §3.1 steps 3-7,
+§3.3): the reference's `tre-prepare-parser-input` and
+`tre-editorial-integration` Lambdas as composable event→dict functions.
+
+Reference citations:
+
+- prepare_parser_input ← tre-prepare-parser-input/prepare_parser_input.py:37-198
+  (stage copies + presigned document-url + `{context, parser-inputs}` output)
+- parser RPC contract  ← prepare_parser_input.py:92-103 (inputs) and
+  testing/parser_testing/test_parser_lambda_fn.py:82-134 (outputs); the
+  external .NET parser itself (tre-run-judgment-parser/Dockerfile:31) is a
+  black box behind :data:`Parser` — :func:`fake_parser` is a clearly-marked
+  deterministic stand-in that honors the exact I/O contract.
+- editorial_integration ← tre-editorial-integration/tre_editorial_integration.py:122-132
+  (P9 list/dict dispatch), :146-165 (P10 block locators), :197-242 (P11
+  field-presence validation), :179-191 (T10 first-run guard), :244-334
+  (ParserHandler packaging), :386-430 (TRE metadata merge), :472-542
+  (RetryHandler, T9/W3).
+
+Spark-first shape: the per-file work (copies, checksums, tar pack) runs as
+DataFrame plans over the store catalog — executor-parallel where the
+reference loops sequentially; only the event-level control flow (a handful
+of dict fields per consignment) stays on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import posixpath
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.archive import tar_gz_pack
+from ..sources.catalog import max_numeric_subfolder, read_file_catalog
+from ..sources.ingest import presigned_url
+from ..sources.sinks import write_single_text
+
+PRODUCER_NAME = "TRE"
+OUTPUT_MESSAGE_FILE = "output-message.json"
+FILE_TRE_METADATA = "metadata.json"
+# deterministic far-future default so URL generation is reproducible;
+# production passes a real epoch
+DEFAULT_EXPIRES_AT = 2**31 - 1
+DEFAULT_SIGNING_KEY = b"tre-signing-key"
+
+
+class EditorialIntegrationError(ValueError):
+    """Parity with TEEditorialIntegrationError."""
+
+
+# ---------------------------------------------------------------------------
+# stage: prepare parser input
+# ---------------------------------------------------------------------------
+
+def prepare_parser_input(
+    spark: SparkSession,
+    event: dict,
+    store: str,
+    expires_at: int = DEFAULT_EXPIRES_AT,
+    signing_key: bytes = DEFAULT_SIGNING_KEY,
+) -> dict:
+    """`bagit-validated` parameters → `{context, parser-inputs}` | error.
+
+    Copies the judgment document plus `bagit.txt` (as `bagit-info.txt`) and
+    `bag-info.txt` into `parsed/{type}/{reference}/{retry}/` and mints a
+    presigned document-url (reference: prepare_parser_input.py:37-198,
+    including the error envelope :183-187). The copies run as one
+    distributed catalog read + partition write, not sequential GETs.
+    """
+    output: dict = {"error": False}
+    try:
+        p = event["parameters"]["bagit-validated"]
+        reference = p["reference"]
+        validated = p["validated-files"]
+        doc_key = validated["data"][0]
+        filename = posixpath.basename(doc_key)
+        root = validated["path"]
+        # key convention consignments/{type}/{reference}/{retry}/... (§1.1)
+        parts = root.strip("/").split("/")
+        ctype, retry = parts[1], int(parts[3])
+        out_prefix = f"parsed/{ctype}/{reference}/{retry}/"
+
+        copies = [
+            (doc_key, filename),
+            (f"{root}/bagit.txt", "bagit-info.txt"),
+            (f"{root}/bag-info.txt", "bag-info.txt"),
+        ]
+        src = read_file_catalog(spark, [f"{store}/{k}" for k, _ in copies])
+        dest_by_base = {posixpath.basename(k): n for k, n in copies}
+        _copy_catalog(src, dest_by_base, f"{store}/{out_prefix}")
+
+        document_url = presigned_url(
+            f"file://{store}", out_prefix + filename, expires_at, signing_key
+        )
+        output["context"] = {
+            "number-of-retries": retry,
+            "s3-bagit-name": "bagit-info.txt",
+            "judgment-document": filename,
+            "consignment-type": ctype,
+            "bag-info-txt": "bag-info.txt",
+        }
+        output["parser-inputs"] = {
+            "consignment-reference": reference,
+            "s3-bucket": store,
+            "document-url": document_url,
+            "attachment-urls": [],
+            "s3-output-prefix": out_prefix,
+        }
+    except Exception as e:
+        output["error"] = True
+        output["error-message"] = f"{e}"
+    return output
+
+
+def _copy_catalog(src, dest_by_base: dict[str, str], dest_root: str) -> None:
+    """Distributed copy: each partition writes its rows under dest_root."""
+    dest_root = dest_root.rstrip("/")
+    rows = src.select(
+        F.element_at(F.split("path", "/"), -1).alias("base"), "content"
+    )
+
+    def write_partition(it):
+        for row in it:
+            name = dest_by_base.get(row["base"], row["base"])
+            path = os.path.join(dest_root, name)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(bytes(row["content"]))
+
+    rows.foreachPartition(write_partition)
+
+
+# ---------------------------------------------------------------------------
+# parser RPC boundary
+# ---------------------------------------------------------------------------
+
+Parser = Callable[[dict], dict]
+"""The external document parser: parser-inputs dict → parser-outputs dict.
+Production wires an RPC to the .NET parser service; tests use
+:func:`fake_parser`."""
+
+
+def fake_parser(parser_inputs: dict) -> dict:
+    """STUB — deterministic stand-in for the external .NET judgment parser
+    (the real parser is a separate service; this container has no .NET).
+    Honors the exact contract: reads the staged document under
+    `s3-output-prefix`, writes `{reference}.xml`, `metadata.json` and
+    `parser.log` next to it, returns the parser-outputs block
+    (test_parser_lambda_fn.py:82-134 shape)."""
+    store = parser_inputs["s3-bucket"]
+    prefix = parser_inputs["s3-output-prefix"]
+    ref = parser_inputs["consignment-reference"]
+    doc_name = posixpath.basename(
+        parser_inputs["document-url"].split("?", 1)[0]
+    )
+    doc_path = os.path.join(store, prefix, doc_name)
+    with open(doc_path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+
+    xml_name, log_name = f"{ref}.xml", "parser.log"
+    out_dir = os.path.join(store, prefix)
+    with open(os.path.join(out_dir, xml_name), "w") as f:
+        f.write(
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+            f"<judgment ref=\"{ref}\" source=\"{doc_name}\" "
+            f"sha256=\"{digest}\"/>\n"
+        )
+    with open(os.path.join(out_dir, FILE_TRE_METADATA), "w") as f:
+        json.dump(
+            {
+                "uri": f"https://caselaw.example/{ref}",
+                "court": "EWHC",
+                "cite": f"[{ref}]",
+                "date": "1970-01-01",
+                "name": f"Re {ref}",
+                "attachments": [],
+            },
+            f,
+        )
+    with open(os.path.join(out_dir, log_name), "w") as f:
+        f.write(f"parsed {doc_name} ok\n")
+    return {
+        "xml": xml_name,
+        "metadata": FILE_TRE_METADATA,
+        "images": [],
+        "attachments": [],
+        "log": log_name,
+        "error-messages": [],
+    }
+
+
+# ---------------------------------------------------------------------------
+# stage: editorial integration (P9 dispatch)
+# ---------------------------------------------------------------------------
+
+def editorial_integration(
+    spark: SparkSession,
+    event: list | dict,
+    environment: str = "test",
+    tre_version: str = "v0.1.0",
+    lambda_versions: dict | None = None,
+    expires_at: int = DEFAULT_EXPIRES_AT,
+    signing_key: bytes = DEFAULT_SIGNING_KEY,
+    store: str | None = None,
+    parsed_root: str = "parsed/",
+) -> dict:
+    """P9 record-shape dispatch (tre_editorial_integration.py:122-132):
+    list → parser-output handler, dict → retry handler."""
+    if isinstance(event, list):
+        return _parser_handler(
+            spark, event, environment, tre_version, lambda_versions or {},
+            expires_at, signing_key,
+        )
+    if isinstance(event, dict):
+        if store is None:
+            raise EditorialIntegrationError(
+                "Retry handling requires the store root (reference: "
+                "S3_BUCKET env var)"
+            )
+        return _retry_handler(
+            spark, event, store, parsed_root, expires_at, signing_key
+        )
+    raise EditorialIntegrationError(
+        "Invalid input event; expected list (from parser) or "
+        "dictionary (from retry)"
+    )
+
+
+def _locate_blocks(event: list) -> tuple[dict, dict, dict]:
+    """P10 block locators + A5 exactly-1 guards
+    (tre_editorial_integration.py:146-165)."""
+    context_block = [
+        i for i in event
+        if isinstance(i, dict) and "context" in i and "parser-inputs" in i
+    ]
+    if len(context_block) != 1:
+        raise EditorialIntegrationError(
+            'Error locating input parameter block with keys "context" and '
+            f'"parser-inputs"; {len(context_block)} records found'
+        )
+    parser_output_block: list = []
+    for i in event:
+        if isinstance(i, list):
+            parser_output_block = [
+                j for j in i if isinstance(j, dict) and "parser-outputs" in j
+            ]
+            if parser_output_block:
+                break
+    if len(parser_output_block) != 1:
+        raise EditorialIntegrationError(
+            'Error locating input parameter block with key '
+            f'"parser-outputs"; {len(parser_output_block)} records found'
+        )
+    return (
+        context_block[0]["context"],
+        context_block[0]["parser-inputs"],
+        parser_output_block[0]["parser-outputs"],
+    )
+
+
+def _validate_fields(context: dict, parser_inputs: dict, parser_outputs: dict):
+    """P11 field-presence validation with accumulated missing lists
+    (tre_editorial_integration.py:197-242)."""
+    missing = [
+        k for k in (
+            "number-of-retries", "bag-info-txt", "judgment-document",
+            "consignment-type",
+        ) if k not in context
+    ]
+    if missing:
+        raise EditorialIntegrationError(
+            f"Missing mandatory context block inputs: {missing}"
+        )
+    missing = [
+        k for k in ("consignment-reference", "s3-bucket", "s3-output-prefix")
+        if k not in parser_inputs
+    ]
+    if missing:
+        raise EditorialIntegrationError(
+            f"Missing mandatory parser input block inputs: {missing}"
+        )
+    missing = [
+        k for k in ("xml", "metadata", "images", "log", "error-messages")
+        if k not in parser_outputs
+    ]
+    if missing:
+        raise EditorialIntegrationError(
+            f"Missing mandatory parser output block inputs: {missing}"
+        )
+
+
+def _build_tre_metadata(
+    context: dict,
+    parser_inputs: dict,
+    parser_outputs: dict,
+    metadata_filename: str,
+    parser_metadata: dict,
+    bagit_info: dict,
+    environment: str,
+    tre_version: str,
+    lambda_versions: dict,
+) -> dict:
+    """TRE metadata merge (tre_editorial_integration.py:386-430): parser
+    metadata + bag-info + version fields under one parameters document."""
+    parser_content = dict(parser_metadata)
+    parser_content["error-messages"] = list(parser_outputs["error-messages"])
+    tre_params = {
+        "reference": f"{PRODUCER_NAME}-{parser_inputs['consignment-reference']}",
+        f"{environment}-tre-version": tre_version,
+        "payload": {
+            "filename": context["judgment-document"],
+            "xml": parser_outputs["xml"],
+            "metadata": metadata_filename,
+            "images": parser_outputs["images"],
+            "log": parser_outputs["log"],
+        },
+    }
+    tre_params.update(lambda_versions)
+    return {
+        "producer": {
+            "name": PRODUCER_NAME,
+            "process": "transform",
+            "type": context["consignment-type"],
+            "environment": environment,
+        },
+        "parameters": {
+            PRODUCER_NAME: tre_params,
+            "PARSER": parser_content,
+            "TDR": dict(bagit_info),
+        },
+    }
+
+
+def _parser_handler(
+    spark: SparkSession,
+    event: list,
+    environment: str,
+    tre_version: str,
+    lambda_versions: dict,
+    expires_at: int,
+    signing_key: bytes,
+) -> dict:
+    """ParserHandler (tre_editorial_integration.py:244-334): build the TRE
+    metadata file, pack `[metadata, xml, log, doc, images...]` into
+    `TRE-{ref}.tar.gz` under editorial retry 0, write the `.sha256` sidecar,
+    mint presigned URLs, persist the output message for retries."""
+    context, parser_inputs, parser_outputs = _locate_blocks(event)
+    _validate_fields(context, parser_inputs, parser_outputs)
+
+    store = parser_inputs["s3-bucket"]
+    prefix = parser_inputs["s3-output-prefix"]
+    ref = parser_inputs["consignment-reference"]
+
+    # T10 exactly-once guard: a numeric subfolder under the output prefix
+    # means this consignment attempt was already integrated
+    catalog = read_file_catalog(spark, f"{store}/{prefix}", with_content=False)
+    prior = max_numeric_subfolder(catalog, f"file:{store}/{prefix}")
+    if prior is not None:
+        raise EditorialIntegrationError(
+            f'First run of process found unexpected output folder "{prior}" '
+            f'at path "{prefix}" in bucket "{store}".'
+        )
+    ed_retry = 0
+    ed_prefix = f"{prefix}{ed_retry}/"
+
+    # TRE metadata file (merge of parser metadata + bag-info + versions)
+    metadata_name = f"{PRODUCER_NAME}-{ref}-{FILE_TRE_METADATA}"
+    parser_metadata = (
+        _read_json(os.path.join(store, prefix, parser_outputs["metadata"]))
+        if parser_outputs["metadata"] else {}
+    )
+    bagit_info = _read_keyvalue(
+        os.path.join(store, prefix, context["bag-info-txt"])
+    )
+    tre_metadata = _build_tre_metadata(
+        context, parser_inputs, parser_outputs, metadata_name,
+        parser_metadata, bagit_info, environment, tre_version,
+        lambda_versions,
+    )
+    write_single_text(
+        json.dumps(tre_metadata), os.path.join(store, ed_prefix, metadata_name)
+    )
+
+    # pack list (prepend the metadata file; skip parser files it omitted)
+    to_tar = [ed_prefix + metadata_name]
+    for name in (parser_outputs["xml"], parser_outputs["log"]):
+        if name is not None:
+            to_tar.append(prefix + name)
+    to_tar.append(prefix + context["judgment-document"])
+    for image in parser_outputs["images"] or []:
+        to_tar.append(prefix + image)
+
+    tar_key = f"{ed_prefix}{PRODUCER_NAME}-{ref}.tar.gz"
+    members = read_file_catalog(
+        spark, [f"{store}/{k}" for k in to_tar]
+    ).select(
+        F.lit(tar_key).alias("archive"),
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        "content",
+    )
+    packed = tar_gz_pack(members, internal_prefix=f"{ref}/").first()
+    tar_path = os.path.join(store, tar_key)
+    os.makedirs(os.path.dirname(tar_path), exist_ok=True)
+    with open(tar_path, "wb") as f:
+        f.write(bytes(packed["content"]))
+    tar_items = [
+        {"name": i["name"], "size": i["size"]} for i in packed["items"]
+    ]
+
+    # sha256 sidecar (one-row Spark scan, same plan as stage checksums)
+    tar_checksum = (
+        read_file_catalog(spark, f"{store}/{tar_key}")
+        .select(F.sha2("content", 256).alias("sha"))
+        .first()["sha"]
+    )
+    write_single_text(
+        f"{tar_checksum} {PRODUCER_NAME}-{ref}.tar.gz",
+        f"{store}/{tar_key}.sha256",
+    )
+
+    output_message = {
+        "editorial-output": {
+            "consignment-reference": ref,
+            "s3-folder-url": presigned_url(
+                f"file://{store}", tar_key, expires_at, signing_key
+            ),
+            "s3-sha256-url": presigned_url(
+                f"file://{store}", tar_key + ".sha256", expires_at, signing_key
+            ),
+            "consignment-type": context["consignment-type"],
+            "number-of-retries": ed_retry,
+        },
+        "tar-gz": {"bucket": store, "key": tar_key, "items": tar_items},
+    }
+    write_single_text(
+        json.dumps(output_message),
+        os.path.join(store, ed_prefix, OUTPUT_MESSAGE_FILE),
+    )
+    return output_message
+
+
+def _retry_handler(
+    spark: SparkSession,
+    event: dict,
+    store: str,
+    parsed_root: str,
+    expires_at: int,
+    signing_key: bytes,
+) -> dict:
+    """RetryHandler (tre_editorial_integration.py:472-542): recover the
+    persisted output message of the latest editorial attempt, enforce the
+    monotonic retry sequence (W3: incoming == last + 1), regenerate the
+    presigned URLs, bump the counter, persist under the new retry folder."""
+    missing = [
+        k for k in (
+            "number-of-retries", "consignment-reference", "consignment-type",
+        ) if k not in event
+    ]
+    if missing:
+        raise EditorialIntegrationError(
+            f"Missing mandatory input fields: {missing}"
+        )
+    ref = event["consignment-reference"]
+    ctype = event["consignment-type"]
+
+    tdr_root = f"{parsed_root}{ctype}/{ref}/"
+    catalog = read_file_catalog(
+        spark, f"{store}/{tdr_root}", with_content=False
+    )
+    latest_tdr = max_numeric_subfolder(catalog, f"file:{store}/{tdr_root}")
+    if latest_tdr is None:
+        raise EditorialIntegrationError("No TDR output data found")
+
+    ed_root = f"{tdr_root}{latest_tdr}/"
+    last_ed = max_numeric_subfolder(catalog, f"file:{store}/{ed_root}")
+    if last_ed is None:
+        raise EditorialIntegrationError("No Editorial output data found")
+
+    expected = int(last_ed) + 1
+    if int(event["number-of-retries"]) != expected:
+        raise EditorialIntegrationError(
+            f'Expected number-of-retries to be "{expected}" but got '
+            f'"{event["number-of-retries"]}"'
+        )
+
+    output_message = _read_json(
+        os.path.join(store, ed_root, str(last_ed), OUTPUT_MESSAGE_FILE)
+    )
+    tar = output_message["tar-gz"]
+    out = output_message["editorial-output"]
+    out["s3-folder-url"] = presigned_url(
+        f"file://{tar['bucket']}", tar["key"], expires_at, signing_key
+    )
+    out["s3-sha256-url"] = presigned_url(
+        f"file://{tar['bucket']}", tar["key"] + ".sha256", expires_at,
+        signing_key,
+    )
+    out["number-of-retries"] = expected
+    write_single_text(
+        json.dumps(output_message),
+        os.path.join(store, ed_root, str(expected), OUTPUT_MESSAGE_FILE),
+    )
+    return output_message
+
+
+def _read_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def _read_keyvalue(path: str, sep: str = ":") -> dict:
+    """bag-info key:value parse, left-most separator (object_lib.py:211-228)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if sep in line:
+                k, v = line.split(sep, 1)
+                out[k.strip()] = v.strip()
+    return out

@@ -1,0 +1,164 @@
+"""Ingest connectors: URL → object store with streaming checksum.
+
+Reference parity (SURVEY.md §2.1):
+
+- S4 `url_to_s3_object` (object_lib.py:87-171): streamed GET in 5 MB
+  chunks, running SHA-256 folded during transfer (A2, object_lib.py:118-162),
+  abort-and-clean on mismatch, overwrite guard (S6, object_lib.py:107-109).
+  Here: :func:`url_to_file` (single transfer) and :func:`ingest_urls`
+  (distributed — each partition transfers its URLs; the work parallelizes
+  across executors instead of the reference's sequential loop).
+- S9 `get_s3_object_presigned_url` (object_lib.py:244-258): a driver-side
+  service adapter, not a Spark operator — :func:`presigned_url` implements
+  the generic HMAC-SHA256 query-string scheme with an injectable key so no
+  cloud SDK is required.
+
+Transports are stdlib ``urllib`` — ``file://`` URLs exercise the full code
+path offline; ``https://`` works unchanged where the cluster has egress.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import os
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+READ_BLOCK_SIZE = 5 * 1024 * 1024  # reference parity: object_lib.py:19
+
+
+class ObjectExistsError(FileExistsError):
+    """Raised by the S6 overwrite guard."""
+
+
+class ChecksumMismatchError(ValueError):
+    """Raised when the running SHA-256 differs from the expected digest."""
+
+
+def url_to_file(
+    url: str,
+    dest: str,
+    expected_sha256: str | None = None,
+    allow_overwrite: bool = False,
+    chunk_size: int = READ_BLOCK_SIZE,
+) -> dict:
+    """S4/A2: stream ``url`` to ``dest`` with a running SHA-256.
+
+    The digest is folded chunk-by-chunk during the transfer (never a second
+    read pass); on mismatch the partial object is removed and
+    :class:`ChecksumMismatchError` raised — mirroring the reference's
+    multipart abort. Returns ``{url, dest, size, sha256}``.
+    """
+    if not allow_overwrite and os.path.exists(dest):
+        raise ObjectExistsError(dest)
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    digest = hashlib.sha256()
+    size = 0
+    tmp = dest + ".inprogress"
+    try:
+        with urllib.request.urlopen(url) as src, open(tmp, "wb") as out:
+            while True:
+                chunk = src.read(chunk_size)
+                if not chunk:
+                    break
+                digest.update(chunk)
+                out.write(chunk)
+                size += len(chunk)
+        actual = digest.hexdigest()
+        if expected_sha256 is not None and actual != expected_sha256.lower():
+            raise ChecksumMismatchError(
+                f"{url}: expected {expected_sha256}, got {actual}"
+            )
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return {"url": url, "dest": dest, "size": size, "sha256": actual}
+
+
+INGEST_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("dest", T.StringType(), False),
+        T.StructField("size", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def ingest_urls(
+    urls: DataFrame,
+    url_col: str = "url",
+    dest_col: str = "dest",
+    checksum_col: str | None = "expected_sha256",
+    allow_overwrite: bool = False,
+) -> DataFrame:
+    """Distributed S4: each partition transfers its rows (the reference's
+    sequential per-consignment copy loop, parallelized across executors).
+
+    Errors are accumulated per row (T5/A6 report-then-route style: ``ok``
+    flag + ``error`` message), never raised mid-job — a single bad URL must
+    not fail a 100 TB ingest; route the error rows instead.
+    """
+    import pandas as pd
+
+    has_ck = checksum_col is not None and checksum_col in urls.columns
+    cols = [url_col, dest_col] + ([checksum_col] if has_ck else [])
+    src = urls.select(*cols)
+
+    def transfer(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                url, dest = rec[url_col], rec[dest_col]
+                expected = rec.get(checksum_col) if has_ck else None
+                try:
+                    r = url_to_file(
+                        url, dest, expected, allow_overwrite=allow_overwrite
+                    )
+                    out.append(
+                        dict(r, ok=True, error=None)
+                    )
+                except Exception as e:  # accumulate, never fail the job
+                    out.append(
+                        {
+                            "url": url,
+                            "dest": dest,
+                            "size": None,
+                            "sha256": None,
+                            "ok": False,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url", "dest", "size", "sha256", "ok", "error",
+                ],
+            )
+
+    return src.mapInPandas(transfer, schema=INGEST_RESULT_SCHEMA)
+
+
+def presigned_url(
+    base_url: str,
+    key: str,
+    expires_at: int,
+    signing_key: bytes,
+) -> str:
+    """S9 adapter: HMAC-SHA256 query-string presigning (the generic scheme
+    cloud object stores implement; reference mints via boto3,
+    object_lib.py:244-258). Deterministic for a given (key, expiry,
+    signing_key) — callers pass an absolute ``expires_at`` epoch so URL
+    generation is reproducible and testable."""
+    canonical = f"{key}\n{expires_at}"
+    sig = hmac.new(signing_key, canonical.encode(), hashlib.sha256).hexdigest()
+    q = urllib.parse.urlencode({"X-Expires": expires_at, "X-Signature": sig})
+    return f"{base_url.rstrip('/')}/{urllib.parse.quote(key)}?{q}"
