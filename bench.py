@@ -19,8 +19,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 # Headline set: one per operator family — scan, projection, broadcast join,
-# anti-join, shuffle agg, top-k join agg, star join, window, dedup (exact +
-# MinHash-LSH + ngram), embedding similarity, text analysis.
+# anti-join, semi-join, 6-table star join, top-k, shuffle agg, grouping
+# sets, set ops, windows (latest-per-key, running frame), streaming-shaped
+# agg, archive pack/unpack, dedup (exact + MinHash-LSH), embedding
+# similarity (exact + ANN), text analysis.
 HEADLINE = [
     "s01_prefix_scan",
     "p01_enum_normalization",
@@ -31,12 +33,19 @@ HEADLINE = [
     "a08_revenue_filter",
     "a09_top_customers",
     "a10_nation_region_rollup",
+    "a12_order_priority_count",
+    "a13_local_supplier_volume",
+    "a14_shipping_priority",
+    "o01_set_operations",
     "w02_latest_per_key",
+    "w04_running_total",
     "t01_tumbling_window",
     "d01_exact_dedup_stats",
     "d03_minhash_lsh",
     "e01_embedding_near_dup",
     "e02_cosine_topk",
+    "e03_ann_lsh_topk",
+    "m02_archive_roundtrip",
     "x01_text_stats",
     "x03_bpe_token_count",
 ]

@@ -72,43 +72,56 @@ def knn_join(
     )
 
 
-def hyperplane_signature(
-    vec: Column, n_planes: int = 16, dim: int = 64, seed: int = 42
-) -> Column:
-    """Random-hyperplane (SRP) LSH signature as an INT bucket key.
+def plane_weights(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic SRP plane weights in [-0.5, 0.5): md5(seed:plane:dim)
+    derived, so any process (driver, executor, another engine) regenerates
+    identical planes — no stored model to ship."""
+    import hashlib
 
-    Plane weights are derived deterministically from (seed, plane, dim-index)
-    via a hash → [-0.5, 0.5) float — no stored model; any executor computes
-    identical planes. sign(dot(plane, vec)) per plane packs into bits.
-    """
-    bits = []
+    out = []
     for p in range(n_planes):
-        # deterministic pseudo-random weights per (plane, dim)
-        weights = F.array(
-            *[
-                (
-                    F.pmod(
-                        F.hash(F.lit(seed), F.lit(p), F.lit(d)).cast("long"),
-                        F.lit(10_000),
-                    ).cast("double")
-                    / 10_000.0
-                )
-                - 0.5
-                for d in range(dim)
-            ]
-        )
-        dot = F.aggregate(
-            F.zip_with(weights, vec, lambda w, x: w * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(
-            F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append((int(h[:8], 16) % 10_000) / 10_000.0 - 0.5)
+        out.append(row)
     return out
+
+
+def _hyperplane_sig_sql(
+    vec_sql: str, n_planes: int, dim: int, seed: int
+) -> str:
+    """SQL text for the SRP signature of a vector expression. Built as one
+    string (weights inlined as array literals) instead of n_planes×dim
+    Column objects — the py4j round-trips for 8×64 literal expressions cost
+    seconds of pure driver time per call (same fix as dedup's MinHash)."""
+    terms = []
+    for p, row in enumerate(plane_weights(n_planes, dim, seed)):
+        arr = ", ".join(f"{w}D" for w in row)
+        dot = (
+            f"aggregate(zip_with(array({arr}), {vec_sql},"
+            " (w, x) -> w * x), 0.0D, (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hyperplane_signature(
+    vec_sql: str, n_planes: int = 16, dim: int = 64, seed: int = 42
+) -> Column:
+    """Random-hyperplane (SRP) LSH signature of a vector-typed SQL
+    expression (e.g. ``"CAST(embedding AS array<double>)"``) as an INT
+    bucket key: sign(dot(plane, vec)) per plane packs into bits."""
+    return F.expr(_hyperplane_sig_sql(vec_sql, n_planes, dim, seed))
+
+
+def signature_of(vec: list[float], n_planes: int, seed: int = 42) -> int:
+    """Driver-side signature of a literal query vector (same planes)."""
+    sig = 0
+    for p, row in enumerate(plane_weights(n_planes, len(vec), seed)):
+        if sum(w * x for w, x in zip(row, vec)) >= 0:
+            sig += 1 << p
+    return sig
 
 
 def ann_topk(
@@ -130,19 +143,22 @@ def ann_topk(
     """
     dim = len(query_vec)
     vec = F.col(vec_col).cast("array<double>")
-    sig = hyperplane_signature(vec, n_planes, dim, seed)
+    sig = hyperplane_signature(
+        f"CAST({vec_col} AS array<double>)", n_planes, dim, seed
+    )
+    # the query vector is a literal — its signature is a plain int computed
+    # on the driver, so the bucket filter is a constant comparison per row
+    qsig = signature_of([float(x) for x in query_vec], n_planes, seed)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qsig = hyperplane_signature(q, n_planes, dim, seed)
     scored = (
         df.select(
             F.col(id_col).alias("id"),
             vec.alias("v"),
             sig.alias("sig"),
-            qsig.alias("qsig"),
         )
         .filter(
             F.bit_count(
-                F.col("sig").bitwiseXOR(F.col("qsig")).cast("long")
+                F.col("sig").bitwiseXOR(F.lit(qsig)).cast("long")
             )
             <= max_hamming
         )
