@@ -1,0 +1,95 @@
+"""Physical-plan quality gates: the properties that make these queries hold
+at 100 TB — predicate pushdown into the parquet scan, column pruning,
+broadcast joins for dims, map-side partial aggregation, semi-join shape,
+whole-stage codegen — asserted on the driver-contract queries so a
+regression in plan shape fails CI, not just a benchmark."""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entry.queries()
+    return {
+        name: _formatted(qs[name](spark, sf_dir))
+        for name in (
+            "s01_prefix_scan",
+            "a07_pricing_summary",
+            "a08_revenue_filter",
+            "j01_left_lookup_join",
+            "a12_order_priority_count",
+            "a13_local_supplier_volume",
+            "w02_latest_per_key",
+        )
+    }
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    assert "StringStartsWith(source,src1)" in plans["s01_prefix_scan"]
+    assert "LessThan(l_shipdate" in plans["a07_pricing_summary"]
+    # all three predicates of the revenue filter reach the scan
+    a08 = plans["a08_revenue_filter"]
+    assert "GreaterThanOrEqual(l_shipdate" in a08
+    assert "GreaterThanOrEqual(l_discount,0.02)" in a08
+    assert "LessThan(l_quantity,24.0)" in a08
+
+
+def test_column_pruning(plans):
+    # s01 projects 3 of documents' 5 columns; the wide text column must not
+    # be read
+    scan_schema = [
+        ln for ln in plans["s01_prefix_scan"].splitlines()
+        if "ReadSchema" in ln
+    ][0]
+    assert "text" not in scan_schema and "n_chars" in scan_schema
+    # j01 reads only the join/out columns of each side
+    j01 = plans["j01_left_lookup_join"]
+    assert "o_orderkey:bigint,o_custkey:bigint" in j01
+    assert "c_custkey:bigint,c_name:string" in j01
+
+
+def test_dimension_joins_broadcast(plans):
+    assert "BroadcastHashJoin" in plans["j01_left_lookup_join"]
+    # the 6-table star join must broadcast every dimension (5 joins, no
+    # shuffle join anywhere on the dim side)
+    assert plans["a13_local_supplier_volume"].count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plans["a13_local_supplier_volume"]
+    # and the region constant filter reaches the region scan
+    assert "EqualTo(r_name,ASIA)" in plans["a13_local_supplier_volume"]
+
+
+def test_semi_join_shape(plans):
+    assert "LeftSemi" in plans["a12_order_priority_count"]
+
+
+def test_partial_aggregation(plans):
+    # partial (map-side) + final HashAggregate around one exchange
+    a07 = plans["a07_pricing_summary"]
+    assert a07.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen(spark, sf_dir):
+    """The relational core must run inside codegen spans (`*(n)` markers).
+    AQE only finalizes the executed plan after an action, so collect first
+    and read the simple-mode explain."""
+    qs = entry.queries()
+    for name in ("s01_prefix_scan", "a07_pricing_summary",
+                 "j01_left_lookup_join"):
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        assert buf.getvalue().count("*(") >= 2, name
