@@ -546,6 +546,42 @@ def q_a15_region_nation_rollup(spark, sf_dir):
     )
 
 
+def q_a16_pivot(spark, sf_dir):
+    """PIVOT: returnflag categories become columns per linestatus row — one
+    shuffle on the group key; the pivot values are declared so no extra
+    distinct-discovery job runs."""
+    li = _T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_linestatus",
+            F.coalesce("A", F.lit(0)).alias("n_a"),
+            F.coalesce("N", F.lit(0)).alias("n_n"),
+            F.coalesce("R", F.lit(0)).alias("n_r"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_a17_quantiles(spark, sf_dir):
+    """Exact continuous percentiles (median/p90/p99) of order totals per
+    priority — `percentile` is exact (full sort per group); at larger scale
+    swap in approx_percentile for a single-pass sketch."""
+    orders = _T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_o01_set_operations(spark, sf_dir):
     """Set operations: INTERSECT / EXCEPT over per-year customer key sets
     (customers ordering in both 1996 and 1997 vs only 1996)."""
@@ -928,6 +964,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a13_local_supplier_volume": q_a13_local_supplier_volume,
     "a14_shipping_priority": q_a14_shipping_priority,
     "a15_region_nation_rollup": q_a15_region_nation_rollup,
+    "a16_pivot": q_a16_pivot,
+    "a17_quantiles": q_a17_quantiles,
     "o01_set_operations": q_o01_set_operations,
     "w01_latest_element": q_w01_latest_element,
     "w02_latest_per_key": q_w02_latest_per_key,
@@ -1282,6 +1320,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
             ORDER BY r_name, n_name
+        """,
+        "a16_pivot": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_n,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_r
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "a17_quantiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+                   round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "o01_set_operations": """
             SELECT o_custkey, 'both' AS tag FROM (
