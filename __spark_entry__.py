@@ -924,6 +924,40 @@ def q_m02_archive_roundtrip(spark, sf_dir):
     )
 
 
+def q_x05_chunking(spark, sf_dir):
+    """Training-data chunking: split each document into overlapping
+    token-window chunks (size 40, stride 30) — sequence → posexplode →
+    slice, all map-side; the chunk id is (doc_id, ordinal)."""
+    docs = _T(spark, sf_dir, "documents")
+    tk = F.expr(r"filter(split(trim(text), '\\s+'), t -> t <> '')")
+    starts = F.expr("sequence(1, greatest(size(tk), 1), 30)")
+    return (
+        docs.select("doc_id", tk.alias("tk"))
+        .select("doc_id", "tk", F.posexplode(starts).alias("chunk_no", "start"))
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.size(F.slice("tk", F.col("start"), 40)).alias("n_tokens"),
+            F.md5(F.array_join(F.slice("tk", F.col("start"), 40), " ")).alias(
+                "chunk_md5"
+            ),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+def q_e04_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids in long form (label, dim, mean) —
+    posexplode + groupBy avg; one shuffle keyed on (label, dim)."""
+    emb = _T(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
 def q_m01_binary_stats(spark, sf_dir):
     """Multimodal plumbing: opaque binary column stats (bytes + sha256)."""
     docs = _T(spark, sf_dir, "documents")
@@ -988,6 +1022,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x02_language_id": q_x02_language_id,
     "x03_bpe_token_count": q_x03_bpe_token_count,
     "x04_fingerprint": q_x04_fingerprint,
+    "x05_chunking": q_x05_chunking,
+    "e04_label_centroids": q_e04_label_centroids,
     "m01_binary_stats": q_m01_binary_stats,
     "m02_archive_roundtrip": q_m02_archive_roundtrip,
 }
@@ -1452,6 +1488,36 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                        AS fingerprint_md5
             FROM documents ORDER BY doc_id
+        """,
+        "x05_chunking": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), s AS (
+              SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk), 1) + 1, 30)) AS start,
+                     generate_subscripts(
+                       range(1, greatest(len(tk), 1) + 1, 30), 1) AS gs
+              FROM t
+            )
+            SELECT doc_id, gs - 1 AS chunk_no,
+                   len(tk[start : start + 39]) AS n_tokens,
+                   md5(array_to_string(tk[start : start + 39], ' '))
+                       AS chunk_md5
+            FROM s ORDER BY doc_id, chunk_no
+        """,
+        "e04_label_centroids": """
+            SELECT label, gs - 1 AS dim,
+                   round(avg(x), 6) AS centroid
+            FROM (
+              SELECT label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     generate_subscripts(embedding, 1) AS gs
+              FROM embeddings
+            )
+            GROUP BY 1, 2 ORDER BY label, dim
         """,
         "m01_binary_stats": """
             SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
