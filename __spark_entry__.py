@@ -791,6 +791,27 @@ def q_f01_url_parse(spark, sf_dir):
     )
 
 
+def q_f02_arn_parse(spark, sf_dir):
+    """§2.6 ARN parsing (split(arn, ':')[5] — tre_sqs_sf_trigger.py:136-138
+    semantics): extract account + resource from constructed ARNs."""
+    ev = _T(spark, sf_dir, "events")
+    arn = F.concat(
+        F.lit("arn:aws:sns:eu-west-2:"),
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.col("event_type"),
+    )
+    parts = F.split(arn, ":")
+    return (
+        ev.select(
+            "event_id",
+            F.element_at(parts, 5).alias("account"),
+            F.element_at(parts, 6).alias("resource"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # beyond-reference: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -1011,6 +1032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t04_retry_routing": q_t04_retry_routing,
     "t07_lineage_append": q_t07_lineage_append,
     "f01_url_parse": q_f01_url_parse,
+    "f02_arn_parse": q_f02_arn_parse,
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
     "d02_ngram_jaccard": q_d02_ngram_jaccard,
     "d03_minhash_lsh": q_d03_minhash_lsh,
@@ -1465,6 +1487,12 @@ def oracle_sql() -> dict[str, str]:
                    '/consignments/' || event_type || '/' ||
                    CAST(event_id AS VARCHAR) AS url_path,
                    CAST(event_id AS VARCHAR) AS basename
+            FROM events ORDER BY event_id
+        """,
+        "f02_arn_parse": """
+            SELECT event_id,
+                   CAST(user_id AS VARCHAR) AS account,
+                   event_type AS resource
             FROM events ORDER BY event_id
         """,
         "d01_exact_dedup_stats": """
