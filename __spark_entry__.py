@@ -672,7 +672,9 @@ def q_w04_running_total(spark, sf_dir):
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # DECIMAL(18,2) *then* ×100 is exact on both engines; round(x*100) on a
+    # double can disagree with DuckDB at banker's-rounding midpoints.
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     return (
         orders.select(
             "o_custkey",
@@ -1277,8 +1279,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a05_cardinality_assert": """
             SELECT count(*) AS n_groups,
-                   coalesce(sum(CASE WHEN n <> 1 THEN 1 ELSE 0 END), 0)
-                       AS n_violations
+                   CAST(coalesce(sum(CASE WHEN n <> 1 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_violations
             FROM (SELECT l_orderkey, l_linenumber, count(*) AS n
                   FROM lineitem GROUP BY 1, 2)
         """,
@@ -1381,9 +1383,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a16_pivot": """
             SELECT l_linestatus,
-                   sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_a,
-                   sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_n,
-                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_r
+                   CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_n,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_r
             FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
         """,
         "a17_quantiles": """
@@ -1420,11 +1425,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "w04_running_total": """
             SELECT o_custkey, o_orderkey,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) OVER (
                      PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS running_cents
+                        AS BIGINT) AS running_cents
             FROM orders ORDER BY o_custkey, o_orderkey
         """,
         "w05_top_orders_per_customer": """
@@ -1554,7 +1560,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "m02_archive_roundtrip": """
             SELECT source AS archive, count(*) AS n_members,
-                   sum(octet_length(CAST(text AS BLOB))) AS total_bytes
+                   CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT)
+                       AS total_bytes
             FROM documents GROUP BY source ORDER BY archive
         """,
         "x01_text_stats": r"""

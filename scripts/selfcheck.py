@@ -2,6 +2,12 @@
 mimicking the driver's comparison (row count + schema + order-insensitive
 value hash over columns sorted by name).
 
+Both sides are fetched through Arrow→pandas so type coercions are the same
+ones the driver sees (e.g. DuckDB HUGEINT → float64) instead of fetchall()'s
+lossy HUGEINT→int coercion, and the value normalizer is TYPE-SENSITIVE: an
+int64 0 and a float64 0.0 hash differently, reproducing the driver's
+a05/a16/w04 round-1 mismatches.
+
 Usage: python scripts/selfcheck.py [sf_dir] [query ...]
 """
 
@@ -25,17 +31,41 @@ TABLES = [
 
 
 def _norm(v):
+    # Unwrap numpy scalars so rendering depends on the logical value+type,
+    # not on numpy repr quirks.
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        try:
+            v = v.item()
+        except (AttributeError, ValueError):
+            pass
     if v is None:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
+        # repr keeps int/float distinct ('0' vs '0.0'): type-sensitive like
+        # the driver; shortest-roundtrip repr is deterministic per value.
+        return repr(round(v, 6))
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def df_rows(pdf):
+    """pandas DataFrame → list of tuples, NaN→None preserved per-cell."""
+    cols = list(pdf.columns)
+    out = []
+    for rec in pdf.itertuples(index=False, name=None):
+        row = []
+        for v in rec:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return out, cols
 
 
 def value_hash(rows, colnames):
@@ -85,8 +115,8 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            srows, scols = df_rows(spdf)
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}")
@@ -95,9 +125,8 @@ def main():
             print(f"weak  {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            drows = res.fetchall()
-            dcols = [d[0] for d in res.description]
+            dpdf = con.execute(oracles[name]).fetch_arrow_table().to_pandas()
+            drows, dcols = df_rows(dpdf)
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {ex}")
@@ -108,7 +137,25 @@ def main():
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
         else:
-            sh = value_hash([tuple(r) for r in srows], scols)
+            sdt = {c: spdf[c].dtype for c in scols}
+            ddt = {c: dpdf[c].dtype for c in dcols}
+            kind_diff = {
+                c: (str(sdt[c]), str(ddt[c]))
+                for c in sdt
+                if sdt[c].kind != ddt[c].kind
+            }
+            width_diff = {
+                c: (str(sdt[c]), str(ddt[c]))
+                for c in sdt
+                if sdt[c].kind == ddt[c].kind and sdt[c] != ddt[c]
+            }
+            if kind_diff:
+                # int-vs-float (etc.) is exactly the HUGEINT class of driver
+                # hash mismatch — hard failure.
+                problems.append(f"dtype kind mismatch {kind_diff}")
+            if width_diff:
+                print(f"warn  {name}: dtype width differs {width_diff}")
+            sh = value_hash(srows, scols)
             dh = value_hash(drows, dcols)
             if sh != dh:
                 problems.append("value-hash mismatch")
@@ -118,7 +165,7 @@ def main():
                         _norm(r[i])
                         for i in sorted(range(len(scols)), key=lambda i: scols[i])
                     )
-                    for r in [tuple(x) for x in srows]
+                    for r in srows
                 )
                 do = sorted(
                     "\x01".join(
