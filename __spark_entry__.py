@@ -863,6 +863,18 @@ def q_e01_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_e05_embedding_near_dup_lsh(spark, sf_dir):
+    """SRP-bucketed embedding near-dup (the scale path for e01): map-side
+    hyperplane signature → hamming-ball probe explode (narrow rows) →
+    bucket equi-join candidates → exact cosine verify. No all-pairs /
+    cartesian node in the plan; matches e01's exact output (radius from
+    binomial mean+3σ covers every true pair on this data)."""
+    emb = _T(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates_lsh(
+        emb, threshold=0.45, n_planes=8, dim=64
+    ).orderBy("id_a", "id_b")
+
+
 def q_e02_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k vs the vec_id=0 query vector."""
     emb = _T(spark, sf_dir, "embeddings")
@@ -1040,6 +1052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d03_minhash_lsh": q_d03_minhash_lsh,
     "d04_simhash_signatures": q_d04_simhash_signatures,
     "e01_embedding_near_dup": q_e01_embedding_near_dup,
+    "e05_embedding_near_dup_lsh": q_e05_embedding_near_dup_lsh,
     "e02_cosine_topk": q_e02_cosine_topk,
     "e03_ann_lsh_topk": q_e03_ann_lsh_topk,
     "x01_text_stats": q_x01_text_stats,
@@ -1583,6 +1596,19 @@ def oracle_sql() -> dict[str, str]:
             FROM t ORDER BY doc_id
         """,
         "e01_embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        # e05 is the bucketed scale path for the same semantics as e01 —
+        # identical oracle by design.
+        "e05_embedding_near_dup_lsh": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(
                        CAST(a.embedding AS DOUBLE[]),

@@ -614,3 +614,99 @@ def embedding_near_duplicates(
     return replicated.groupBy("grp").applyInPandas(
         pair_sims, schema="id_a long, id_b long, cosine double"
     )
+
+
+def embedding_near_duplicates_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    probe_radius: int | None = None,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-bucketed candidate generation +
+    exact cosine verification — the scale path replacing the blocked
+    all-pairs :func:`embedding_near_duplicates` (which stays as the exact
+    small-scale oracle).
+
+    Shape mirrors :func:`minhash_near_duplicates`: signature (map-side SRP,
+    similarity.hyperplane_signature) → one-sided hamming-ball probe (each
+    row explodes to sig XOR mask for every ≤radius-bit mask — NARROW rows,
+    two ints) → equi-join on the probed bucket key → exact cosine verify
+    with vectors joined back by id only for candidates. A pair at hamming d
+    collides via exactly one mask (the XOR of its signatures), and the
+    probe-side < base-side id filter keeps each unordered pair once, so no
+    dedup pass is needed.
+
+    Candidate volume scales with the ball coverage C(n_planes, ≤radius)/2^n.
+    At real near-dup thresholds the mean signature hamming is small (cosine
+    0.9 ⇒ mean ~2.3 of 16) and pruning is strong; the default radius
+    (binomial mean+3σ via similarity.probe_radius_for) buys ~99.9% recall
+    AT the threshold — callers trade `sigmas` down (or pass probe_radius)
+    for cheaper probing when approximate recall suffices. At loose
+    thresholds the radius approaches n_planes and the candidate COUNT
+    degrades toward all-pairs, but the plan stays a bucketed equi-join:
+    bounded memory per task, no cartesian/BNL node, and vectors move only
+    for candidates. Output (id_a, id_b, cosine), id_a < id_b, cosine
+    rounded to 6 — identical to embedding_near_duplicates.
+    """
+    from .similarity import (
+        hamming_ball_masks,
+        hyperplane_signature,
+        probe_radius_for,
+    )
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        dim = len(first[0])
+    radius = (
+        probe_radius
+        if probe_radius is not None
+        else probe_radius_for(threshold, n_planes)
+    )
+    masks = hamming_ball_masks(n_planes, radius)
+
+    base = _spread(
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+    ).withColumn(
+        "sig",
+        hyperplane_signature("CAST(vec AS array<double>)", n_planes, dim, seed),
+    )
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # narrow probe stream: (id, probed bucket) — the vector does NOT ride
+    # the |masks|× replication; at 100 TB this shuffle is linear in corpus
+    # size × ball size, never quadratic.
+    probes = base.select(
+        "id",
+        "sig",
+        F.explode(F.lit(masks)).alias("m"),
+    ).select("id", F.col("m").bitwiseXOR(F.col("sig")).alias("probe_sig"))
+
+    candidates = (
+        probes.alias("p")
+        .join(
+            base.select("id", "sig").alias("b"),
+            (F.col("p.probe_sig") == F.col("b.sig"))
+            & (F.col("p.id") < F.col("b.id")),
+        )
+        .select(F.col("p.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -124,6 +124,45 @@ def signature_of(vec: list[float], n_planes: int, seed: int = 42) -> int:
     return sig
 
 
+def hamming_ball_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks with ≤ radius set bits over n_planes bits — the
+    hamming-ball probe neighborhood (multi-probe LSH). Driver-side ints;
+    size = Σ C(n_planes, 0..radius), so callers keep n_planes small (8-16)
+    or radius tight when enumerating."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def probe_radius_for(
+    threshold: float, n_planes: int, sigmas: float = 3.0
+) -> int:
+    """Probe radius giving ~recall-1 for pairs at cosine ≥ threshold.
+
+    Per SRP theory a pair at angle θ flips each plane independently with
+    p = θ/π, so its signature hamming is Binomial(n_planes, p); covering
+    mean + `sigmas`·σ bounds the miss rate at the normal-tail level
+    (~0.1% at 3σ) for pairs AT the threshold — tighter pairs are safer.
+    Loose thresholds (θ → 90°) drive the radius toward n_planes: the ball
+    then covers most of signature space and candidate count degrades
+    toward the all-pairs COUNT (though never a materialized cross
+    product); real near-dup thresholds (≥0.85) keep the ball tiny.
+    """
+    import math
+
+    p = math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    mean = n_planes * p
+    sd = math.sqrt(n_planes * p * (1.0 - p))
+    return min(n_planes, int(math.ceil(mean + sigmas * sd)))
+
+
 def ann_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -154,6 +154,32 @@ def test_embedding_near_duplicates_threshold(spark, embeddings):
     assert all(r.id_a < r.id_b for r in rows)
 
 
+def test_embedding_near_duplicates_lsh_matches_exact(spark, embeddings):
+    """The SRP-bucketed scale path returns exactly the all-pairs result,
+    and its plan contains no cartesian/nested-loop node."""
+    exact = dedup.embedding_near_duplicates(embeddings, threshold=0.45)
+    lsh = dedup.embedding_near_duplicates_lsh(
+        embeddings, threshold=0.45, n_planes=8, dim=64
+    )
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    key = lambda r: (r.id_a, r.id_b, r.cosine)  # noqa: E731
+    assert sorted(map(key, lsh.collect())) == sorted(
+        map(key, exact.collect())
+    )
+
+
+def test_probe_radius_tightens_with_threshold():
+    loose = similarity.probe_radius_for(0.45, 16)
+    tight = similarity.probe_radius_for(0.95, 16)
+    assert tight < loose
+    # at 2σ (recall ~97.7% at the threshold) real near-dup thresholds keep
+    # the probe ball small
+    assert similarity.probe_radius_for(0.95, 16, sigmas=2.0) <= 5
+    assert len(similarity.hamming_ball_masks(8, 1)) == 9  # 1 + C(8,1)
+
+
 def test_cosine_topk_matches_bruteforce(spark, embeddings):
     qrow = embeddings.filter(F.col("vec_id") == 0).first()
     q = list(qrow.embedding)
