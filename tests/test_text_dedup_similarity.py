@@ -201,6 +201,58 @@ def test_knn_join(spark, embeddings):
     assert all(r.id_l != r.id_r for r in out)
 
 
+def test_ann_index_probe_prunes_partitions(spark, embeddings, tmp_path):
+    """The persisted index probe must scan only the hamming-neighborhood
+    partitions (PartitionFilters on sig), not the whole corpus, and agree
+    with the on-the-fly ann_topk at identical parameters."""
+    path = str(tmp_path / "ann_index")
+    similarity.build_ann_index(
+        embeddings, path, n_planes=8, seed=42, dim=64
+    )
+    q = list(embeddings.filter(F.col("vec_id") == 1).first().embedding)
+    probe = similarity.ann_topk_indexed(
+        spark, path, q, k=10, n_planes=8, max_hamming=2, seed=42
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig" in plan
+    rows = probe.collect()
+    # post-execution scan metrics: the probe touches ≤ |hamming ball| = 37
+    # partitions and reads a strict subset of the corpus rows
+    leaf = probe._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    metrics = leaf.metrics()
+    n_parts = metrics.apply("numPartitions").value()
+    n_rows = metrics.apply("numOutputRows").value()
+    assert n_parts <= len(similarity.hamming_ball_masks(8, 2))
+    assert n_rows < embeddings.count()
+    flat = similarity.ann_topk(
+        embeddings, q, k=10, n_planes=8, max_hamming=2, seed=42
+    )
+    key = lambda r: (r.id, r.cosine)  # noqa: E731
+    assert [key(r) for r in rows] == [key(r) for r in flat.collect()]
+
+
+def test_knn_join_lsh_no_crossjoin_and_recall(spark, embeddings):
+    small = embeddings.limit(100)
+    out = similarity.knn_join_lsh(
+        small, small, k=3, n_planes=8, probe_radius=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = out.collect()
+    assert all(r.id_l != r.id_r for r in rows)
+    by_left = {}
+    for r in rows:
+        by_left.setdefault(r.id_l, []).append(r)
+    assert all(len(v) <= 3 for v in by_left.values())
+    # recall vs the exact crossJoin k-NN: generous radius-4 ball on 8
+    # planes should recover at least half the true neighbor pairs
+    exact = similarity.knn_join(small, small, k=3).collect()
+    e = {(r.id_l, r.id_r) for r in exact}
+    a = {(r.id_l, r.id_r) for r in rows}
+    assert len(a & e) / len(e) >= 0.5
+
+
 def test_ann_recall_against_exact(spark, embeddings):
     qrow = embeddings.filter(F.col("vec_id") == 1).first()
     q = list(qrow.embedding)
