@@ -31,6 +31,22 @@ UUID_RE = re.compile(
 )
 CONSIGNMENT_TYPES = ("judgment", "standard")
 
+# Event-name vocabulary: schema.json:48-55 pins the officially-published
+# enum (consignment-export, bagit-received, bagit-validated); the rest are
+# the names the reference's own lambdas emit/consume
+# (tre_vb_validate_bagit.py EVENT_NAME_OUTPUT_OK/ERROR, tre_bagit_to_dri_sip
+# constants, tre_editorial_integration's editorial-output).
+EVENT_NAMES = (
+    "consignment-export",
+    "bagit-available",
+    "bagit-received",
+    "bagit-validated",
+    "bagit-validation-error",
+    "dri-preingest-sip-available",
+    "dri-preingest-sip-error",
+    "editorial-output",
+)
+
 
 # ---------------------------------------------------------------------------
 # driver-side (orchestrator) form
@@ -194,6 +210,11 @@ def validate_events(df: DataFrame, event_col: str = "event") -> DataFrame:
             e["producer"]["type"].isNotNull()
             & ~e["producer"]["type"].isin(*CONSIGNMENT_TYPES),
             "invalid-producer-type",
+        ),
+        err(
+            e["producer"]["event-name"].isNotNull()
+            & ~e["producer"]["event-name"].isin(*EVENT_NAMES),
+            "invalid-event-name",
         ),
     )
     return df.withColumn("errors", F.filter(checks, lambda c: c.isNotNull()))

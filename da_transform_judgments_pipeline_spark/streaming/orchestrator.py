@@ -31,7 +31,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import events as ev
@@ -117,6 +117,88 @@ def route_events(df: DataFrame, retry_limit: int = RETRY_LIMIT) -> DataFrame:
         .when(is_error, ROUTE_DEAD_LETTER)
         .otherwise(ROUTE_OK),
     )
+
+
+def bump_retry_counter(df: DataFrame) -> DataFrame:
+    """T4: increment the retry counter on the re-queue feed — in BOTH the
+    routing column and the event text's embedded `number-of-retries`
+    (reference parity: tre_bagit_checksum_validation.py:159-163 and
+    tre_files_checksum_validation.py:144-148 bump the counter in the error
+    output-message before the state machine re-queues it).
+
+    Without the embedded bump a re-ingested retry would recompute
+    `retries` from the stale payload and re-queue forever at the old
+    counter. The envelope is re-serialized from the parsed struct with the
+    event's own parameter block rewritten; a payload that never carried the
+    key gets it injected. Parameter blocks serialize as JSON-text map
+    values (strict-schema parse reads both encodings back identically).
+
+    A fresh `{producer}-UUID` lineage hop is appended too (T7): each retry
+    attempt is a NEW execution in the reference (v2 lambdas append a UUID
+    to the error event, v1 mints uuid4 per trigger — tdr_message.py:19-41),
+    so the re-queued event must carry a new idempotency key or the T3
+    dedup / T10 replay guard would swallow its own retry.
+    """
+    e = F.col("event")
+    name = F.col("event_name")
+    new_n = F.col("retries") + 1
+    n_str = new_n.cast("string")
+    new_uuids = F.concat(
+        e["UUIDs"],
+        F.array(
+            F.create_map(
+                F.concat(e["producer"]["name"], F.lit("-UUID")),
+                F.expr("uuid()"),
+            )
+        ),
+    )
+
+    def bumped(v: Column) -> Column:
+        has_key = F.get_json_object(v, "$.number-of-retries").isNotNull()
+        empty = v.rlike(r"^\s*\{\s*\}\s*$")
+        return (
+            F.when(
+                has_key,
+                F.regexp_replace(
+                    v,
+                    F.lit(r'"number-of-retries"\s*:\s*\d+'),
+                    F.concat(F.lit('"number-of-retries": '), n_str),
+                ),
+            )
+            .when(
+                empty,
+                F.concat(
+                    F.lit('{"number-of-retries": '), n_str, F.lit("}")
+                ),
+            )
+            .otherwise(
+                F.regexp_replace(
+                    v,
+                    F.lit(r"\}\s*$"),
+                    F.concat(
+                        F.lit(', "number-of-retries": '), n_str, F.lit("}")
+                    ),
+                )
+            )
+        )
+
+    new_params = F.transform_values(
+        e["parameters"],
+        lambda k, v: F.when(k == name, bumped(v)).otherwise(v),
+    )
+    new_value = F.to_json(
+        F.struct(
+            e["version"].alias("version"),
+            e["timestamp"].alias("timestamp"),
+            new_uuids.alias("UUIDs"),
+            e["producer"].alias("producer"),
+            new_params.alias("parameters"),
+        )
+    )
+    # value first: its expression reads the ORIGINAL `retries` column (a
+    # withColumn-replaced column would make the lazy reference see the
+    # already-bumped counter and double-increment the payload)
+    return df.withColumn("value", new_value).withColumn("retries", new_n)
 
 
 def with_message_attributes(df: DataFrame) -> DataFrame:
@@ -212,9 +294,11 @@ def run_pipeline(
                 out_events
             )
 
-            b.filter(F.col("route") == ROUTE_RETRY).select(
-                *flat_cols
-            ).write.mode("append").parquet(out_retries)
+            # T4: re-queued events carry the INCREMENTED counter (column +
+            # embedded payload) so the retry loop converges to dead-letter
+            bump_retry_counter(
+                b.filter(F.col("route") == ROUTE_RETRY)
+            ).select(*flat_cols).write.mode("append").parquet(out_retries)
 
             dead = b.filter(
                 F.col("route").isin(ROUTE_DEAD_LETTER, ROUTE_INVALID)

@@ -102,6 +102,56 @@ def test_retry_and_dead_letter_routing(spark, tmp_path):
     assert len(alerts) == 1 and alerts[0]["reference"] == "TDR-2023-R2"
 
 
+def test_retry_counter_increments_to_dead_letter(spark, tmp_path):
+    """T4 reference parity (test_tdr_bagit_retry.py:64-78 shape): one
+    failing event driven through the pipeline purely via the
+    orchestrator's OWN re-queue output — counter 0 re-queues as 1, 1
+    re-queues as 2, 2 dead-letters. The embedded payload counter must
+    match the routing column at every hop (no livelock at a stale 0)."""
+    ev0 = _event("TDR-RETRY-LOOP", "bagit-validation-error", retries=0)
+    out = _run(spark, tmp_path, [ev0])
+    for hop in (1, 2):
+        retry_rows = _read(spark, out / "retries").collect()
+        assert len(retry_rows) == hop
+        latest = max(retry_rows, key=lambda r: r["retries"])
+        assert latest["retries"] == hop
+        # the re-queue feed's event text carries the bumped counter
+        embedded = json.loads(latest["value"])
+        payload = embedded["parameters"]["bagit-validation-error"]
+        if isinstance(payload, str):
+            payload = json.loads(payload)
+        assert payload["number-of-retries"] == hop
+        # feed the orchestrator its own re-queue output as the next batch
+        indir = tmp_path / "in"
+        (indir / f"requeue{hop}.jsonl").write_text(latest["value"] + "\n")
+        q = orchestrator.run_pipeline(
+            spark,
+            str(indir),
+            str(out),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(60)
+    dlq = _read(spark, out / "dlq").collect()
+    assert [r["reference"] for r in dlq] == ["TDR-RETRY-LOOP"]
+    assert dlq[0]["retries"] == 2  # counter 2 => FAILED (retry limit <3)
+
+
+def test_unknown_event_name_routes_to_invalid(spark, tmp_path):
+    """P12/schema.json:48-55 parity: an event-name outside the enum routes
+    to `invalid` (dlq), not to the ok stream."""
+    bad = _event("TDR-BAD-NAME", "bagit-available")
+    bad["producer"]["event-name"] = "not-a-real-event"
+    bad["parameters"]["not-a-real-event"] = bad["parameters"].pop(
+        "bagit-available"
+    )
+    out = _run(spark, tmp_path, [bad, _event("TDR-FINE")])
+    dlq = _read(spark, out / "dlq").collect()
+    assert len(dlq) == 1 and dlq[0]["route"] == "invalid"
+    assert "invalid-event-name" in dlq[0]["errors"]
+    oks = _read(spark, out / "events").collect()
+    assert [r["reference"] for r in oks] == ["TDR-FINE"]
+
+
 def test_invalid_event_routes_to_dlq(spark, tmp_path):
     indir = tmp_path / "in"
     indir.mkdir(parents=True)
