@@ -13,6 +13,7 @@ import tarfile
 
 import pytest
 
+from da_transform_judgments_pipeline_spark.plans import legacy
 from da_transform_judgments_pipeline_spark.plans.events import create_event
 from da_transform_judgments_pipeline_spark.plans.stages import (
     EVENT_BAGIT_ERROR,
@@ -205,3 +206,58 @@ def test_corrupt_inner_manifest_routes_error(spark, ctx, tmp_path):
 def test_event_json_round_trip(delivery):
     e0 = available_event(delivery)
     assert json.loads(json.dumps(e0)) == e0
+
+
+# ---------------------------------------------------------------------------
+# v1 (legacy) flat-message entry path (SURVEY.md §3.1)
+# ---------------------------------------------------------------------------
+
+def v1_message(delivery, retries=0):
+    """testing/README.md:74-83 message format (legacy 'judgement'
+    spelling exercised deliberately)."""
+    return {
+        "consignment-reference": REF,
+        "s3-bagit-url": str(delivery / f"{REF}.tar.gz"),
+        "s3-sha-url": str(delivery / f"{REF}.tar.gz.sha256"),
+        "consignment-type": "judgement",
+        "number-of-retries": retries,
+    }
+
+
+def test_v1_execution_name_shape(delivery):
+    name = legacy.v1_execution_name(
+        v1_message(delivery, retries=1), queue="tre-tdr-in", unique_id="ab12"
+    )
+    assert name == f"tre-{REF}-1-tre-tdr-in-ab12"
+    # tdr_message.py missing-field fallback
+    assert legacy.v1_execution_name({}, unique_id="u").startswith("tre-X-X-")
+
+
+def test_v1_ok_path_through_shared_stages(spark, delivery, ctx):
+    out = legacy.validate_bagit_v1(spark, v1_message(delivery), ctx)
+    assert out["error"] is False
+    assert "error-message" not in out
+    assert out["s3-bagit-name"].endswith(f"{REF}.tar.gz")
+    # output-message: URL fields blanked, counter NOT incremented
+    om = out["output-message"]
+    assert om["s3-bagit-url"] == "" and om["s3-sha-url"] == ""
+    assert om["number-of-retries"] == 0
+    # the v2 event feeds the existing downstream stages unchanged
+    e2 = validate_bagit_files(spark, out["v2-event"], ctx)
+    assert e2["producer"]["event-name"] == EVENT_BAGIT_VALIDATED
+    # legacy "judgement" normalized into the v2 enum
+    assert out["v2-event"]["producer"]["type"] == "judgment"
+
+
+def test_v1_error_path_increments_counter(spark, delivery, ctx, tmp_path):
+    bad = tmp_path / "v1bad"
+    bad.mkdir()
+    (bad / f"{REF}.tar.gz").write_bytes(
+        (delivery / f"{REF}.tar.gz").read_bytes()
+    )
+    (bad / f"{REF}.tar.gz.sha256").write_text(f"{'0'*64}  {REF}.tar.gz\n")
+    out = legacy.validate_bagit_v1(spark, v1_message(bad, retries=1), ctx)
+    assert out["error"] is True
+    assert "checksum" in out["error-message"].lower()
+    # reference parity: the re-queue copy carries the bumped counter
+    assert out["output-message"]["number-of-retries"] == 2
