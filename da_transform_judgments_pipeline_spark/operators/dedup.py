@@ -23,6 +23,35 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Persist an operator intermediate (MEMORY_AND_DISK) and register it so
+    long-lived sessions can reclaim executor storage: dedup operators cache
+    shared subplans for the duration of one result materialization, and
+    repeated calls would otherwise accumulate cached partitions until the
+    context dies. Call :func:`release_cached` after materializing results."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate registered by dedup operators in this
+    process; returns the number released. Safe to call any time — Spark
+    recomputes lazily if a released plan is re-executed."""
+    n = 0
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure CPU-heavy per-row work has at least defaultParallelism
     partitions. A small parquet file scans as ONE split (maxPartitionBytes),
@@ -237,6 +266,16 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+# pair-combination generator over a sorted id array: for member x at index
+# i, pair with every later member — C(n,2) structs, generated distributed
+# (one group per row)
+_MEMBER_PAIRS_SQL = (
+    "flatten(transform(members, (x, i) ->"
+    " transform(slice(members, i + 2, size(members) - i - 1),"
+    " y -> struct(x AS x, y AS y))))"
+)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -246,6 +285,8 @@ def minhash_near_duplicates(
     bands: int = 16,
     threshold: float = 0.8,
     persist_shingles: bool = True,
+    collapse_exact: bool = True,
+    max_group_pairs: int = 10_000_000,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with EXACT Jaccard verification.
 
@@ -255,12 +296,29 @@ def minhash_near_duplicates(
     join shingle sets back by id → verify on true shingle-set Jaccard.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
 
-    The shingled base feeds three consumers (banding + both verify-join
-    sides); persist_shingles caches it once (MEMORY_AND_DISK — spills, never
-    OOMs) instead of re-tokenizing the corpus three times: ~2.5× faster at
-    bench scale. Disable to keep the operator fully streaming when the
-    shingle set exceeds cluster storage (the verify branches then recompute
-    with column pruning).
+    Skew hardening (`collapse_exact`, on by default): documents with
+    IDENTICAL shingle sets — boilerplate corpora's worst case, where every
+    member shares every band key and the band self-join would put an
+    O(group²) pair blow-up in one hot bucket — are collapsed to one
+    representative (a groupBy on a canonical set fingerprint) BEFORE
+    banding. Intra-group pairs are emitted directly as jaccard-1.0 rows via
+    a distributed per-group combination expression, and verified
+    representative pairs expand back through two membership joins. Result
+    set is identical; the band join never sees a duplicate-set bucket.
+    Residual near-identical (not equal) skew is split at runtime by AQE's
+    skew-join (on in session defaults — spark.sql.adaptive.skewJoin).
+    `max_group_pairs` guards the inherently-quadratic OUTPUT contract: a
+    duplicate group needing more pairs than the cap raises with a pointer
+    at exact_duplicates' cluster-style output instead of OOMing.
+
+    The shingled base feeds multiple consumers (set-collapse + banding +
+    both verify-join sides); persist_shingles caches the shared subplans
+    (MEMORY_AND_DISK — spills, never OOMs) instead of re-tokenizing the
+    corpus per consumer: ~2.5× faster at bench scale. Call
+    :func:`release_cached` to reclaim executor storage in long-lived
+    sessions. Disable to keep the operator fully streaming when the shingle
+    set exceeds cluster storage (branches then recompute with column
+    pruning).
 
     Verification makes the result exact-on-candidates: LSH only affects
     recall, never precision, so downstream joins see true Jaccard values.
@@ -278,10 +336,36 @@ def minhash_near_duplicates(
         .filter(F.size("shingles") > 0)
     )
     if persist_shingles:
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = _persist(base)
+
+    groups = None
+    if collapse_exact:
+        # canonical fingerprint of the (distinct) shingle set; sort makes
+        # it order-insensitive, \x02 can't appear inside a \x01-joined gram
+        keyed = base.withColumn(
+            "set_key",
+            F.md5(F.array_join(F.array_sort("shingles"), "\x02")),
+        )
+        groups = keyed.groupBy("set_key").agg(
+            F.min("id").alias("rep"),
+            F.sort_array(F.collect_list("id")).alias("members"),
+        )
+        if persist_shingles:
+            groups = _persist(groups)
+        work = (
+            keyed.join(
+                F.broadcast(groups.select("set_key", "rep")), "set_key"
+            )
+            .filter(F.col("id") == F.col("rep"))
+            .select("id", "shingles")
+        )
+        if persist_shingles:
+            work = _persist(work)
+    else:
+        work = base
 
     banded = (
-        base.withColumn("hp", F.expr(_hp_sql("shingles")))
+        work.withColumn("hp", F.expr(_hp_sql("shingles")))
         .withColumn("sig", F.expr(_sig_sql("hp", k)))
         .select(
             "id",
@@ -294,7 +378,7 @@ def minhash_near_duplicates(
         # this cache the whole signature pipeline (k×array_min over the
         # shingle hashes) would execute on BOTH sides. (id, band) is two
         # ints per doc per band — tiny even at 100 TB corpus scale.
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = _persist(banded)
 
     candidates = (
         banded.alias("a")
@@ -307,7 +391,7 @@ def minhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sh = base.select("id", "shingles")
+    sh = work.select("id", "shingles")
     paired = (
         candidates.join(
             sh.select(
@@ -325,11 +409,58 @@ def minhash_near_duplicates(
 
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    verified = (
         paired.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not collapse_exact:
+        return verified
+
+    # expand representative pairs back to member pairs (same jaccard for
+    # every cross pair of the two identical-set groups); membership joins
+    # key on rep ids, so AQE can split any residual hot representative
+    ma = groups.select(
+        F.col("rep").alias("id_a"), F.explode("members").alias("m_a")
+    )
+    mb = groups.select(
+        F.col("rep").alias("id_b"), F.explode("members").alias("m_b")
+    )
+    cross = (
+        verified.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    n_members = F.size("members")
+    n_pairs = (n_members * (n_members - F.lit(1)) / 2).cast("long")
+    guard_msg = F.concat(
+        F.lit(
+            "duplicate group exceeds max_group_pairs="
+            f"{max_group_pairs}; the all-pairs output contract is quadratic"
+            " in group size — use exact_duplicates for cluster-style"
+            " output. rep="
+        ),
+        F.col("rep").cast("string"),
+    )
+    # the guard lives INSIDE the exploded expression (a free-standing
+    # assert column would be pruned away as unused)
+    guarded_pairs = F.when(
+        n_pairs <= max_group_pairs, F.expr(_MEMBER_PAIRS_SQL)
+    ).otherwise(F.raise_error(guard_msg))
+    intra = (
+        groups.filter(n_members > 1)
+        .select(F.explode(guarded_pairs).alias("p"))
+        .select(
+            F.col("p.x").alias("id_a"),
+            F.col("p.y").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def ngram_jaccard_pairs(
@@ -677,7 +808,7 @@ def embedding_near_duplicates_lsh(
         "sig",
         hyperplane_signature("CAST(vec AS array<double>)", n_planes, dim, seed),
     )
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = _persist(base)
 
     # narrow probe stream: (id, probed bucket) — the vector does NOT ride
     # the |masks|× replication; at 100 TB this shuffle is linear in corpus
