@@ -79,8 +79,11 @@ def main() -> None:
     # the engine on the target data, not JVM cold-start. Standard benchmark
     # hygiene — the warmup never touches the measured sf_dir's plans' data
     # scale, and every timed query still plans + scans + executes fully.
+    # `--cold` (or SPARK_GRAFT_COLD=1) skips it, so these numbers can be
+    # validated against a cold-plan-per-query measurement methodology.
+    cold = "--cold" in sys.argv or os.environ.get("SPARK_GRAFT_COLD") == "1"
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
+    if not cold and os.path.isdir(warm_dir):
         for name in HEADLINE:
             fn = qs.get(name)
             if fn is None:

@@ -31,6 +31,7 @@ import os
 import posixpath
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -395,14 +396,25 @@ def _parser_handler(
         to_tar.append(prefix + image)
 
     tar_key = f"{ed_prefix}{PRODUCER_NAME}-{ref}.tar.gz"
+    # pack in to_tar order (metadata first — reference to_tar_list,
+    # tre_editorial_integration.py:257-287), not alphabetically: the
+    # ordinal is the position of the member's key suffix in to_tar
+    ordinal = F.lit(len(to_tar)).cast("long")
+    for i in range(len(to_tar) - 1, -1, -1):
+        ordinal = F.when(
+            F.col("path").endswith("/" + to_tar[i]), F.lit(i).cast("long")
+        ).otherwise(ordinal)
     members = read_file_catalog(
         spark, [f"{store}/{k}" for k in to_tar]
     ).select(
         F.lit(tar_key).alias("archive"),
         F.element_at(F.split("path", "/"), -1).alias("name"),
+        ordinal.alias("ord"),
         "content",
     )
-    packed = tar_gz_pack(members, internal_prefix=f"{ref}/").first()
+    packed = tar_gz_pack(
+        members, internal_prefix=f"{ref}/", order_col="ord"
+    ).first()
     tar_path = os.path.join(store, tar_key)
     os.makedirs(os.path.dirname(tar_path), exist_ok=True)
     with open(tar_path, "wb") as f:
@@ -468,10 +480,18 @@ def _retry_handler(
     ctype = event["consignment-type"]
 
     tdr_root = f"{parsed_root}{ctype}/{ref}/"
-    catalog = read_file_catalog(
-        spark, f"{store}/{tdr_root}", with_content=False
-    )
-    latest_tdr = max_numeric_subfolder(catalog, f"file:{store}/{tdr_root}")
+    try:
+        catalog = read_file_catalog(
+            spark, f"{store}/{tdr_root}", with_content=False
+        )
+        latest_tdr = max_numeric_subfolder(
+            catalog, f"file:{store}/{tdr_root}"
+        )
+    except AnalysisException:
+        # binaryFile raises PATH_NOT_FOUND at load time when parsed/{type}/
+        # {ref}/ doesn't exist; the reference's RetryHandler reports this as
+        # its domain error (tre_editorial_integration.py:493-495)
+        latest_tdr = None
     if latest_tdr is None:
         raise EditorialIntegrationError("No TDR output data found")
 

@@ -106,6 +106,7 @@ def tar_gz_pack(
     internal_prefix: str | None = None,
     remove_prefix_col: str | None = None,
     add_prefix_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """S14/S15 pack sink: group member rows by target archive and build one
     tar.gz blob per group (applyInPandas — the grouped-map twin of the
@@ -115,6 +116,12 @@ def tar_gz_pack(
     ``internal_prefix`` prepended to every member name (S14), or per-row
     remove/add prefix columns (S15 `S3objectsToZip`). Entry mtimes are
     preserved when ``mtime_col`` is given.
+
+    Members are packed name-sorted by default (deterministic under Spark's
+    unordered grouped-map input). Pass ``order_col`` (an integer ordinal
+    column) to pack in an explicit caller order instead — the reference's
+    `to_tar_list` packs metadata-first, not alphabetically
+    (tre_editorial_integration.py:257-287).
 
     Returns (archive, content BINARY, items ARRAY<STRUCT<name,size>>).
     """
@@ -150,12 +157,15 @@ def tar_gz_pack(
         sel.append(F.col(remove_prefix_col).alias("rmprefix"))
     if add_prefix_col:
         sel.append(F.col(add_prefix_col).alias("addprefix"))
+    if order_col:
+        sel.append(F.col(order_col).cast("long").alias("ord"))
     src = members.select(*sel)
 
     prefix = internal_prefix or ""
+    sort_key = "ord" if order_col else "name"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("name", kind="stable")
+        pdf = pdf.sort_values(sort_key, kind="stable")
         buf = io.BytesIO()
         items = []
         with tarfile.open(fileobj=buf, mode="w:gz") as tf:

@@ -89,3 +89,25 @@ def test_pack_prefix_substitution(spark, archive_dir):
     ).collect()
     names = {i["name"] for i in packed[0]["items"]}
     assert names == {"BATCH/SERIES/" + n[len("bag/"):] for n in ENTRIES}
+
+
+def test_pack_explicit_order(spark, archive_dir):
+    """order_col packs members in caller order (reference to_tar_list packs
+    metadata first — tre_editorial_integration.py:257-287), overriding the
+    default name sort; tar member sequence and items list both follow it."""
+    cat = read_file_catalog(spark, str(archive_dir), glob="one.tar.gz")
+    want = sorted(ENTRIES, reverse=True)  # deliberately anti-alphabetical
+    members = (
+        untar(cat)
+        .withColumn("archive", F.lit("ordered.tar.gz"))
+        .withColumn(
+            "ord",
+            F.array_position(F.array(*[F.lit(n) for n in want]), F.col("name")),
+        )
+    )
+    packed = tar_gz_pack(members, order_col="ord").collect()
+    assert [i["name"] for i in packed[0]["items"]] == want
+    with tarfile.open(
+        fileobj=io.BytesIO(bytes(packed[0]["content"])), mode="r:gz"
+    ) as tf:
+        assert [m.name for m in tf if m.isfile()] == want

@@ -83,18 +83,18 @@ def test_editorial_parser_handler_packages_tar(spark, store):
     tar_key = msg["tar-gz"]["key"]
     tar_path = os.path.join(store, tar_key)
     with tarfile.open(tar_path) as tf:
-        names = sorted(tf.getnames())
+        names = tf.getnames()
         meta = json.load(
             tf.extractfile(f"{REF}/TRE-{REF}-metadata.json")
         )
-    assert names == sorted(
-        [
-            f"{REF}/TRE-{REF}-metadata.json",
-            f"{REF}/{REF}.xml",
-            f"{REF}/parser.log",
-            f"{REF}/doc.docx",
-        ]
-    )
+    # members packed in to_tar_list order — metadata, xml, log, doc
+    # (reference tre_editorial_integration.py:257-287), NOT alphabetically
+    assert names == [
+        f"{REF}/TRE-{REF}-metadata.json",
+        f"{REF}/{REF}.xml",
+        f"{REF}/parser.log",
+        f"{REF}/doc.docx",
+    ]
     assert {i["name"] for i in msg["tar-gz"]["items"]} == set(names)
     # TRE metadata merges parser metadata + bag-info + versions
     assert meta["producer"]["name"] == "TRE"
@@ -160,5 +160,8 @@ def test_editorial_retry_requires_prior_output(spark, tmp_path):
         "consignment-type": "judgment",
         "number-of-retries": 1,
     }
-    with pytest.raises(Exception):
+    # a never-parsed consignment must surface the reference's domain error
+    # (tre_editorial_integration.py:493-495), not Spark's PATH_NOT_FOUND
+    with pytest.raises(editorial.EditorialIntegrationError) as ei:
         editorial.editorial_integration(spark, retry, store=str(tmp_path))
+    assert "No TDR output data found" in str(ei.value)
