@@ -266,6 +266,23 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+# order-insensitive exact-set fingerprint over the (h1, h2) hash-pair
+# array: (cardinality, xor of the combined 64-bit element, xor of its
+# xxhash64 remix) — two O(S) commutative folds over ALREADY-computed
+# hashes: no per-doc sort, no giant joined string, no re-hashing of shingle
+# strings, ANSI-safe (xor never overflows). A false merge needs a
+# simultaneous collision of both 64-bit xors at equal cardinality
+# (~2^-128): birthday-safe even at trillions of distinct sets.
+def _set_key_sql(hp_col: str) -> str:
+    return (
+        f"struct(size({hp_col}) AS n,"
+        f" aggregate(transform({hp_col}, h -> shiftleft(h.h1, 32) | h.h2),"
+        f" cast(0 as bigint), (a, x) -> a ^ x) AS x1,"
+        f" aggregate(transform({hp_col}, h -> xxhash64(h.h1, h.h2)),"
+        f" cast(0 as bigint), (a, x) -> a ^ x) AS x2)"
+    )
+
+
 # pair-combination generator over a sorted id array: for member x at index
 # i, pair with every later member — C(n,2) structs, generated distributed
 # (one group per row)
@@ -290,21 +307,25 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with EXACT Jaccard verification.
 
-    shingle → signature (map-side) → band-bucket self-join on (id, band)
-    ONLY — the band shuffle moves `bands` ints per doc, never the
-    bands×-replicated shingle arrays — → distinct candidate id pairs →
-    join shingle sets back by id → verify on true shingle-set Jaccard.
-    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    shingle → (h1, h2) hash pairs (strings hashed once, then dropped) →
+    signature (map-side) → band-bucket self-join on (id, band) ONLY — the
+    band shuffle moves `bands` ints per doc, never the bands×-replicated
+    shingle payload — → distinct candidate id pairs → join hash sets back
+    by id → verify set Jaccard on the 64-bit hash sets (equals string-set
+    Jaccard up to a per-pair 2^-64 collision). Output: (id_a, id_b,
+    jaccard) with id_a < id_b.
 
     Skew hardening (`collapse_exact`, on by default): documents with
     IDENTICAL shingle sets — boilerplate corpora's worst case, where every
     member shares every band key and the band self-join would put an
     O(group²) pair blow-up in one hot bucket — are collapsed to one
-    representative (a groupBy on a canonical set fingerprint) BEFORE
-    banding. Intra-group pairs are emitted directly as jaccard-1.0 rows via
-    a distributed per-group combination expression, and verified
-    representative pairs expand back through two membership joins. Result
-    set is identical; the band join never sees a duplicate-set bucket.
+    representative (a groupBy on a commutative set fingerprint over the
+    already-computed hashes) BEFORE banding. Intra-group pairs are emitted
+    directly as jaccard-1.0 rows via a distributed per-group combination
+    expression, and verified representative pairs expand back through an
+    explode-cross of the member lists that rode the verify joins (no extra
+    shuffle). Result set is identical; the band join never sees a
+    duplicate-set bucket.
     Residual near-identical (not equal) skew is split at runtime by AQE's
     skew-join (on in session defaults — spark.sql.adaptive.skewJoin).
     `max_group_pairs` guards the inherently-quadratic OUTPUT contract: a
@@ -335,43 +356,56 @@ def minhash_near_duplicates(
         # collide on the null signature (then divide by zero in jaccard)
         .filter(F.size("shingles") > 0)
     )
+    # Hash every shingle string ONCE into its (h1, h2) pair and drop the
+    # strings: the fingerprint, the signature, and the verify step all run
+    # on the fixed-width hash array, so shingle strings are never re-hashed
+    # and never shuffle. Verification Jaccard over the double-hashed set
+    # equals string-set Jaccard up to a per-pair 2^-64 collision.
+    hp_base = base.select("id", F.expr(_hp_sql("shingles")).alias("hp"))
     if persist_shingles:
-        base = _persist(base)
+        hp_base = _persist(hp_base)
 
     groups = None
     if collapse_exact:
-        # canonical fingerprint of the (distinct) shingle set; sort makes
-        # it order-insensitive, \x02 can't appear inside a \x01-joined gram
-        keyed = base.withColumn(
-            "set_key",
-            F.md5(F.array_join(F.array_sort("shingles"), "\x02")),
-        )
-        groups = keyed.groupBy("set_key").agg(
-            F.min("id").alias("rep"),
-            F.sort_array(F.collect_list("id")).alias("members"),
-        )
-        if persist_shingles:
-            groups = _persist(groups)
-        work = (
-            keyed.join(
-                F.broadcast(groups.select("set_key", "rep")), "set_key"
+        # Collapse each identical-set group to its min-id representative in
+        # ONE pass: set_key and the minhash signature are computed in the
+        # same map-side projection, and sig joins the groupBy KEY (an
+        # identical set implies an identical signature, so the grouping is
+        # unchanged — it just lets banding read the signature straight off
+        # the aggregate instead of re-deriving it or semi-joining reps
+        # back). The shuffle carries (set_key, sig, id) — k+5 ints per doc,
+        # never the hash arrays. No broadcast anywhere: a distinct-set
+        # table is O(corpus) rows and must never be collected driver-side.
+        groups = (
+            hp_base.select(
+                "id",
+                F.expr(_set_key_sql("hp")).alias("set_key"),
+                F.expr(_sig_sql("hp", k)).alias("sig"),
             )
-            .filter(F.col("id") == F.col("rep"))
-            .select("id", "shingles")
+            .groupBy("set_key", "sig")
+            .agg(
+                F.min("id").alias("rep"),
+                F.sort_array(F.collect_list("id")).alias("members"),
+            )
         )
         if persist_shingles:
-            work = _persist(work)
-    else:
-        work = base
-
-    banded = (
-        work.withColumn("hp", F.expr(_hp_sql("shingles")))
-        .withColumn("sig", F.expr(_sig_sql("hp", k)))
-        .select(
-            "id",
+            # feeds banding, the member expansion, and the intra-group
+            # pair generator
+            groups = _persist(groups)
+        banded = groups.select(
+            F.col("rep").alias("id"),
             F.explode(F.expr(_bands_sql("sig", bands, rows))).alias("band"),
         )
-    )
+    else:
+        banded = (
+            hp_base.withColumn("sig", F.expr(_sig_sql("hp", k)))
+            .select(
+                "id",
+                F.explode(
+                    F.expr(_bands_sql("sig", bands, rows))
+                ).alias("band"),
+            )
+        )
     if persist_shingles:
         # the band self-join references `banded` twice; when the planner
         # picks a broadcast join there is no exchange to reuse, so without
@@ -391,17 +425,16 @@ def minhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sh = work.select("id", "shingles")
     paired = (
         candidates.join(
-            sh.select(
-                F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+            hp_base.select(
+                F.col("id").alias("id_a"), F.col("hp").alias("sh_a")
             ),
             "id_a",
         )
         .join(
-            sh.select(
-                F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+            hp_base.select(
+                F.col("id").alias("id_b"), F.col("hp").alias("sh_b")
             ),
             "id_b",
         )
@@ -418,8 +451,9 @@ def minhash_near_duplicates(
         return verified
 
     # expand representative pairs back to member pairs (same jaccard for
-    # every cross pair of the two identical-set groups); membership joins
-    # key on rep ids, so AQE can split any residual hot representative
+    # every cross pair of the two identical-set groups); membership sides
+    # are narrow (rep, member) int pairs and the verified side is the
+    # post-threshold candidate set — AQE picks broadcast when it is small
     ma = groups.select(
         F.col("rep").alias("id_a"), F.explode("members").alias("m_a")
     )
@@ -840,4 +874,97 @@ def embedding_near_duplicates_lsh(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list → (id, cluster_id)
+    with cluster_id = min member id. The grouping step every dedup pipeline
+    needs after pair discovery: near-duplicate PAIRS become duplicate
+    CLUSTERS (keep one representative per component, drop the rest).
+
+    Distributed min-label propagation: each round every node sends its
+    current label to its neighbors and keeps the minimum seen
+    (edge join + min-combine groupBy — two narrow shuffles of (id, label)
+    int pairs per round). Converges in O(component diameter) rounds, and
+    near-duplicate components are shallow (stars/cliques around shared
+    content), so 2-4 rounds dominate in practice; `max_iterations` bounds
+    adversarial chains. Convergence is detected by the strictly-decreasing
+    sum of labels reaching a fixpoint — one cheap aggregate per round, no
+    old-vs-new join. Each round `localCheckpoint`s the label table: the
+    iteration would otherwise stack an exponentially deep lineage that
+    re-executes every prior round on each action (on a cluster, use a
+    durable `checkpoint` dir instead for executor-loss recovery).
+
+    Only ids appearing in `pairs` are labeled — callers wanting singleton
+    clusters can union the unpaired ids with label = own id afterwards.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _CACHED.append(edges)
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    if prev_sum is None:
+        return labels.select("id", F.col("label").alias("cluster_id"))
+
+    for _ in range(max_iterations):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "label")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash+LSH pair discovery
+    (:func:`minhash_near_duplicates`) piped into
+    :func:`connected_components`. Output (doc_id, cluster_id) covers only
+    documents that have at least one near-duplicate; cluster_id is the
+    minimum doc id of the component — the canonical "keep this one"
+    representative."""
+    pairs = minhash_near_duplicates(
+        df, id_col=id_col, text_col=text_col, threshold=threshold,
+        **minhash_kwargs,
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias(id_col), "cluster_id"
     )

@@ -171,3 +171,109 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint_md5", F.md5(normalized)).withColumn(
         "fingerprint_rolling", rolling
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level curation: deterministic sampling, contamination, heavy hitters
+# ---------------------------------------------------------------------------
+
+def deterministic_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash sampling: keep a row iff the md5 of its key
+    hashes below `rate`. Unlike df.sample(), the decision is a pure
+    function of the row key — reproducible across runs, cluster sizes, and
+    engines (any system with md5 selects the SAME rows, so a sample taken
+    by the Spark pipeline can be re-derived exactly by a warehouse audit
+    query), and it is a map-side filter Catalyst pushes into the scan: no
+    shuffle, no RNG state, linear at 100 TB.
+
+    The uniform variate is the first 8 hex chars of
+    md5(salt || key_cols joined by ':') compared lexicographically against
+    the hex rendering of rate·16^8 — md5 hex is uniform, so P(keep) = rate.
+    `salt` derives independent samples from the same keys (e.g. train/eval
+    splits)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = format(int(rate * (1 << 32)), "08x")
+    key = F.concat_ws(
+        ":", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    return df.filter(F.substring(F.md5(key), 1, 8) < F.lit(threshold))
+
+
+def ngram_set(text: Column | str, n: int, sep: str = " ") -> Column:
+    """Distinct word n-grams (sep-joined) as an array column — the
+    contamination / heavy-hitter unit. Built with zip_with over shifted
+    token slices (map-side, no explode)."""
+    toks = tokens(text)
+    size = F.size(toks)
+    m = size - (n - 1)
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        part = F.slice(toks, j + 1, m)
+        grams = F.zip_with(
+            grams, part, lambda a, b: F.concat(a, F.lit(sep), b)
+        )
+    empty = F.array().cast("array<string>")
+    return F.when(size >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, how many of its
+    distinct word n-grams also occur in the benchmark set. Documents with
+    n_contaminated > 0 leak evaluation data and should be dropped before
+    training.
+
+    Corpus n-grams stream map-side (explode of a per-row array — no
+    pre-shuffle); the benchmark's distinct n-gram set is BROADCAST:
+    benchmarks are small by construction (thousands of documents), so even
+    at a 100 TB corpus the join is a broadcast-hash semi pass with no
+    corpus shuffle. The only exchange is the final per-doc count groupBy,
+    keyed on (id) — narrow. Output: (id, n_contaminated) for contaminated
+    documents only.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ngram_set(text_col, n)).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(F.explode(ngram_set(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated"))
+        .select(F.col("id").alias(id_col), "n_contaminated")
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide heavy hitters: the k most frequent word n-grams
+    (document frequency — each document counts a gram once). One shuffle:
+    explode streams grams map-side, the groupBy count applies map-side
+    partial aggregation, and the top-k is a TakeOrderedAndProject (no
+    global sort materialization). Ties break on the gram string so the
+    result is deterministic."""
+    return (
+        df.select(F.explode(ngram_set(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(k)
+    )

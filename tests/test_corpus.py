@@ -1,0 +1,117 @@
+"""Corpus-curation operators: connected components / duplicate clusters,
+deterministic hash sampling, benchmark contamination, n-gram heavy hitters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from da_transform_judgments_pipeline_spark.operators import dedup, text
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 4), (7, 8), (8, 7)], ["id_a", "id_b"]
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7}
+    dedup.release_cached()
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a path graph is the worst case (diameter = n-1); label propagation
+    # still reaches the fixpoint because min labels hop every round
+    n = 17
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    rows = dedup.connected_components(pairs).collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert len(rows) == n + 1
+    dedup.release_cached()
+
+
+def test_duplicate_clusters_groups_near_dups(spark):
+    base = (
+        "spark catalyst tungsten shuffle partition broadcast join "
+        "aggregate window watermark state store checkpoint lineage "
+        "executor driver stage task codegen arrow pandas udf"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                       # exact dup of 1
+            (3, base + " epilogue"),         # near dup of 1/2
+            (4, "completely different words about cooking pasta dinner "
+                "tomato basil garlic olive oil parmesan recipe kitchen"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(docs, threshold=0.8).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}  # 4 has no near-dup -> unlabeled
+    dedup.release_cached()
+
+
+def test_deterministic_sample_reproducible_and_calibrated(spark):
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"), F.lit("src").alias("source")
+    )
+    s1 = dedup if False else text.deterministic_sample(df, ["doc_id"], 0.1)
+    ids1 = {r.doc_id for r in s1.collect()}
+    ids2 = {r.doc_id for r in text.deterministic_sample(df, ["doc_id"], 0.1).collect()}
+    assert ids1 == ids2                       # pure function of the key
+    assert 0.08 < len(ids1) / 20000 < 0.12    # calibrated rate
+    # nested rates: a 5% sample is a subset of the 10% sample (same salt)
+    ids_small = {
+        r.doc_id for r in text.deterministic_sample(df, ["doc_id"], 0.05).collect()
+    }
+    assert ids_small <= ids1
+    # a salted sample is (nearly) independent, not a subset
+    ids_salted = {
+        r.doc_id
+        for r in text.deterministic_sample(df, ["doc_id"], 0.1, salt="v2").collect()
+    }
+    assert ids_salted != ids1
+    with pytest.raises(ValueError):
+        text.deterministic_sample(df, ["doc_id"], 1.5)
+
+
+def test_deterministic_sample_plan_is_scan_side_filter(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).select(F.col("id").alias("doc_id")).write.parquet(p)
+    plan = text.deterministic_sample(
+        spark.read.parquet(p), ["doc_id"], 0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-side filter, no shuffle
+
+
+def test_contamination_counts_shared_grams(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # contains benchmark 5-grams
+            (2, "z y x w v u t s"),        # clean
+            (3, "q q q a b c d e q q"),    # one shared 5-gram
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(99, "a b c d e f")], ["doc_id", "text"])
+    got = {
+        r.doc_id: r.n_contaminated
+        for r in text.contamination(docs, bench, n=5).collect()
+    }
+    # doc 1 shares 'a b c d e' and 'b c d e f'; doc 3 shares 'a b c d e'
+    assert got == {1: 2, 3: 1}
+
+
+def test_top_ngrams_deterministic_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z x y z"), (2, "x y z only"), (3, "a b c")],
+        ["doc_id", "text"],
+    )
+    rows = text.top_ngrams(docs, n=3, k=2).collect()
+    # 'x y z' in docs 1+2 (distinct per doc); ties break on gram string
+    assert [(r.gram, r.n_docs) for r in rows] == [("x y z", 2), ("a b c", 1)]
