@@ -582,6 +582,33 @@ def q_a17_quantiles(spark, sf_dir):
     )
 
 
+def q_a18_quantiles_sketch(spark, sf_dir):
+    """Single-pass SKETCH percentiles (a17's scale path): approx_percentile
+    streams one Greenwald-Khanna summary per group — no per-group full sort,
+    bounded memory, mergeable map-side partials — which is the right
+    algorithm at 100 TB. `accuracy` trades memory for rank error; pinned to
+    max here so the sketch degenerates to exact DISCRETE quantiles
+    (elements of the data, DuckDB quantile_disc) and the oracle can verify
+    the plumbing end-to-end. a17 (exact continuous percentile) remains the
+    small-scale/interpolating twin."""
+    orders = _T(spark, sf_dir, "orders")
+    q = F.expr(
+        "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 2147483647)"
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(q.alias("q"), F.count("*").alias("n"))
+        .select(
+            "o_orderpriority",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p90"),
+            F.col("q")[2].alias("p99"),
+            "n",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_o01_set_operations(spark, sf_dir):
     """Set operations: INTERSECT / EXCEPT over per-year customer key sets
     (customers ordering in both 1996 and 1997 vs only 1996)."""
@@ -1158,6 +1185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a14_shipping_priority": q_a14_shipping_priority,
     "a15_region_nation_rollup": q_a15_region_nation_rollup,
     "a17_quantiles": q_a17_quantiles,
+    "a18_quantiles_sketch": q_a18_quantiles_sketch,
     "o01_set_operations": q_o01_set_operations,
     "w05_top_orders_per_customer": q_w05_top_orders_per_customer,
 }
@@ -1506,6 +1534,14 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
                    round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
                    round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "a18_quantiles_sketch": """
+            SELECT o_orderpriority,
+                   quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.9) AS p90,
+                   quantile_disc(o_totalprice, 0.99) AS p99,
                    count(*) AS n
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,

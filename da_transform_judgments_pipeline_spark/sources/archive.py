@@ -8,8 +8,10 @@ process in parallel across executors instead of sequentially.
 
 At 100 TB scale the unit of parallelism is the archive: one consignment
 tar.gz per row/task. `spark.sql.files.maxPartitionBytes` doesn't split
-binaryFile rows, so skew is bounded by the largest archive (documented
-limit, same as the reference's Lambda memory bound).
+binaryFile rows, so skew is bounded by the largest archive — and that
+bound is ENFORCED: archives above `max_archive_bytes` (default 2 GiB)
+raise :class:`ArchiveTooLargeError` task-side instead of OOM-killing the
+executor (same memory contract as the reference's Lambda bound).
 """
 
 from __future__ import annotations
@@ -24,6 +26,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import TAR_MEMBER_SCHEMA
+
+# Whole-archive-in-RAM bound (bytes). The task that unpacks or packs an
+# archive holds it fully in memory — same model as the reference's Lambda
+# (tar_lib.py loads the whole object; Lambda caps at 10 GiB RAM). 2 GiB
+# default leaves headroom for the member copies inside a worker that is
+# also running other tasks; callers with bigger executors can raise it,
+# None disables the guard.
+DEFAULT_MAX_ARCHIVE_BYTES = 2 << 30
+
+
+class ArchiveTooLargeError(ValueError):
+    """An archive (or the members packed into one) exceeds the configured
+    whole-archive-in-RAM bound. Raised task-side so the job fails fast with
+    a clear cause instead of an executor OOM kill."""
+
+
+def _check_size(what: str, size: int, limit: int | None) -> None:
+    if limit is not None and size > limit:
+        raise ArchiveTooLargeError(
+            f"{what} is {size} bytes, above the {limit}-byte "
+            "whole-archive-in-RAM bound; raise max_archive_bytes (bigger "
+            "executors) or split the archive upstream"
+        )
+
 
 UNTAR_RESULT_SCHEMA = T.StructType(
     [
@@ -63,10 +89,15 @@ def untar(
     archives: DataFrame,
     path_col: str = "path",
     content_col: str = "content",
+    max_archive_bytes: int | None = DEFAULT_MAX_ARCHIVE_BYTES,
 ) -> DataFrame:
     """S13 unpack: (path, content) rows → one row per member
     (archive, name, size, mtime, content) via mapInPandas (UDTF shape:
     explode of a member array without materializing it as one giant cell).
+
+    Archives above ``max_archive_bytes`` fail fast with
+    :class:`ArchiveTooLargeError` naming the archive, instead of an
+    opaque executor OOM (the whole blob lives in the task's RAM).
     """
     schema = UNTAR_RESULT_SCHEMA
 
@@ -77,6 +108,7 @@ def untar(
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for archive, blob in zip(pdf["archive"], pdf["_blob"]):
+                _check_size(f"archive {archive!r}", len(blob), max_archive_bytes)
                 members = _untar_bytes(bytes(blob))
                 if members:
                     yield pd.DataFrame(
@@ -107,6 +139,7 @@ def tar_gz_pack(
     remove_prefix_col: str | None = None,
     add_prefix_col: str | None = None,
     order_col: str | None = None,
+    max_archive_bytes: int | None = DEFAULT_MAX_ARCHIVE_BYTES,
 ) -> DataFrame:
     """S14/S15 pack sink: group member rows by target archive and build one
     tar.gz blob per group (applyInPandas — the grouped-map twin of the
@@ -166,6 +199,12 @@ def tar_gz_pack(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_key, kind="stable")
+        total = int(pdf["content"].map(len).sum())
+        _check_size(
+            f"archive {pdf['archive'].iloc[0]!r} ({len(pdf)} members)",
+            total,
+            max_archive_bytes,
+        )
         buf = io.BytesIO()
         items = []
         with tarfile.open(fileobj=buf, mode="w:gz") as tf:

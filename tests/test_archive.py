@@ -111,3 +111,23 @@ def test_pack_explicit_order(spark, archive_dir):
         fileobj=io.BytesIO(bytes(packed[0]["content"])), mode="r:gz"
     ) as tf:
         assert [m.name for m in tf if m.isfile()] == want
+
+
+def test_untar_size_guard(spark, archive_dir):
+    """S13 guard: an archive above max_archive_bytes fails fast with
+    ArchiveTooLargeError naming the archive, not an executor OOM."""
+    cat = read_file_catalog(spark, str(archive_dir), glob="one.tar.gz")
+    guarded = untar(cat, max_archive_bytes=10)
+    with pytest.raises(Exception, match="whole-archive-in-RAM bound"):
+        guarded.collect()
+    # None disables the guard
+    assert untar(cat, max_archive_bytes=None).count() == 3
+
+
+def test_pack_size_guard(spark):
+    """S14 guard: members summing above max_archive_bytes fail the pack."""
+    rows = [("a.tar.gz", f"f{i}.txt", b"x" * 100) for i in range(5)]
+    df = spark.createDataFrame(rows, "archive string, name string, content binary")
+    with pytest.raises(Exception, match="whole-archive-in-RAM bound"):
+        tar_gz_pack(df, max_archive_bytes=300).collect()
+    assert tar_gz_pack(df, max_archive_bytes=None).count() == 1
