@@ -137,22 +137,40 @@ def shingle_array(text: Column | str, n: int = 3) -> Column:
 _MASK32 = (1 << 32) - 1
 
 
-def _shingles_sql(text_col: str, n: int = 3) -> str:
-    """SQL text for shingle_array(text_col, n) (same semantics)."""
-    tk = f"filter(split(trim({text_col}), '\\\\s+'), t -> t <> '')"
-    m = f"(size(_tk) - {n - 1})"
-    grams = f"slice(_tk, 1, {m})"
+def _toks_sql(text_col: str) -> str:
+    """SQL text for tokens(text_col). Project this as its OWN column
+    before building shingles from it: the shingle expression references the
+    token array ~2n times, and higher-order functions are codegen-fallback,
+    so an inlined tokenization re-splits the text per reference (measured
+    ~25% of the whole MinHash pipeline at bench scale). A separate
+    projection evaluates it once — and CollapseProject will not merge it
+    back, because the optimizer never duplicates a non-trivial expression
+    referenced more than once."""
+    return f"filter(split(trim({text_col}), '\\\\s+'), t -> t <> '')"
+
+
+def _shingles_from_toks_sql(toks_col: str, n: int = 3) -> str:
+    """SQL text for the shingle build given an ALREADY-projected token
+    array column (see _toks_sql)."""
+    m = f"(size({toks_col}) - {n - 1})"
+    grams = f"slice({toks_col}, 1, {m})"
     for j in range(1, n):
         grams = (
-            f"zip_with({grams}, slice(_tk, {j + 1}, {m}),"
+            f"zip_with({grams}, slice({toks_col}, {j + 1}, {m}),"
             " (a, b) -> concat(a, char(1), b))"
         )
-    body = (
-        f"CASE WHEN size(_tk) >= {n} THEN array_distinct({grams})"
+    return (
+        f"CASE WHEN size({toks_col}) >= {n} THEN array_distinct({grams})"
         " ELSE CAST(array() AS array<string>) END"
     )
-    # bind the token array once via a lateral-style substitution
-    return body.replace("_tk", f"({tk})")
+
+
+def _shingles_sql(text_col: str, n: int = 3) -> str:
+    """SQL text for shingle_array(text_col, n) (same semantics). Inlines
+    the tokenization at every reference — fine for one-off expressions;
+    hot paths should stage _toks_sql as its own projection and use
+    _shingles_from_toks_sql."""
+    return _shingles_from_toks_sql(f"({_toks_sql(text_col)})", n)
 
 
 def _hp_sql(shingles_col: str) -> str:
@@ -350,8 +368,11 @@ def minhash_near_duplicates(
     # see the SQL-text builders note above.
     base = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-        .withColumn("shingles", F.expr(_shingles_sql(text_col, n)))
-        .drop(text_col)
+        # tokens staged as their own projection — evaluated once, not per
+        # shingle-expression reference (see _toks_sql)
+        .withColumn("_toks", F.expr(_toks_sql(text_col)))
+        .withColumn("shingles", F.expr(_shingles_from_toks_sql("_toks", n)))
+        .select("id", "shingles")
         # docs with no shingles have no similarity signal — and would all
         # collide on the null signature (then divide by zero in jaccard)
         .filter(F.size("shingles") > 0)
@@ -450,6 +471,16 @@ def minhash_near_duplicates(
     if not collapse_exact:
         return verified
 
+    # fast path: when NO group has more than one member (the common case —
+    # most corpora have near-dups but few byte-identical shingle sets),
+    # every rep is its own group, the intra-group pair set is empty, and
+    # the expansion joins are identity maps: `verified` IS the answer.
+    # The probe is one cheap action on the already-persisted groups table
+    # (same data-dependent-branch philosophy as AQE), and it saves three
+    # join stages plus a union per call.
+    if persist_shingles and groups.filter(F.size("members") > 1).isEmpty():
+        return verified
+
     # expand representative pairs back to member pairs (same jaccard for
     # every cross pair of the two identical-set groups); membership sides
     # are narrow (rep, member) int pairs and the verified side is the
@@ -511,9 +542,14 @@ def ngram_jaccard_pairs(
     join IS the cost — use minhash_near_duplicates at scale. Serves as the
     correctness oracle for the LSH path.
     """
-    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id",
-        F.explode(shingle_array(text_col, n)).alias("s"),
+    sh = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        # staged tokenization: split once, not per shingle-expr reference
+        .withColumn("_toks", F.expr(_toks_sql(text_col)))
+        .select(
+            "id",
+            F.explode(F.expr(_shingles_from_toks_sql("_toks", n))).alias("s"),
+        )
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     pairs = (

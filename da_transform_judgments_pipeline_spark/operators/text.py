@@ -205,11 +205,12 @@ def deterministic_sample(
     return df.filter(F.substring(F.md5(key), 1, 8) < F.lit(threshold))
 
 
-def ngram_set(text: Column | str, n: int, sep: str = " ") -> Column:
-    """Distinct word n-grams (sep-joined) as an array column — the
-    contamination / heavy-hitter unit. Built with zip_with over shifted
-    token slices (map-side, no explode)."""
-    toks = tokens(text)
+def ngram_set_from_tokens(toks: Column, n: int, sep: str = " ") -> Column:
+    """ngram_set given an ALREADY-projected token array column. Stage the
+    tokenization as its own projection in hot paths: this expression
+    references the token array ~2n times and higher-order functions are
+    codegen-fallback, so inlining tokens() re-splits the text per
+    reference."""
     size = F.size(toks)
     m = size - (n - 1)
     grams = F.slice(toks, 1, m)
@@ -220,6 +221,24 @@ def ngram_set(text: Column | str, n: int, sep: str = " ") -> Column:
         )
     empty = F.array().cast("array<string>")
     return F.when(size >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+def ngram_set(text: Column | str, n: int, sep: str = " ") -> Column:
+    """Distinct word n-grams (sep-joined) as an array column — the
+    contamination / heavy-hitter unit. Inlines the tokenization (fine for
+    one-off expressions); hot paths should project tokens() once and use
+    :func:`ngram_set_from_tokens`."""
+    return ngram_set_from_tokens(tokens(text), n, sep)
+
+
+def _grams_staged(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(original columns…, gram) — one row per distinct n-gram, with the
+    tokenization staged as its own projection (split once per document)."""
+    return (
+        df.withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn("gram", F.explode(ngram_set_from_tokens(F.col("_toks"), n)))
+        .drop("_toks")
+    )
 
 
 def contamination(
@@ -242,12 +261,12 @@ def contamination(
     keyed on (id) — narrow. Output: (id, n_contaminated) for contaminated
     documents only.
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(ngram_set(text_col, n)).alias("gram"),
-    )
+    grams = _grams_staged(
+        df.select(F.col(id_col).alias("id"), text_col), text_col, n
+    ).select("id", "gram")
     bench_grams = (
-        benchmark.select(F.explode(ngram_set(text_col, n)).alias("gram"))
+        _grams_staged(benchmark.select(text_col), text_col, n)
+        .select("gram")
         .distinct()
     )
     return (
@@ -271,7 +290,8 @@ def top_ngrams(
     global sort materialization). Ties break on the gram string so the
     result is deterministic."""
     return (
-        df.select(F.explode(ngram_set(text_col, n)).alias("gram"))
+        _grams_staged(df.select(text_col), text_col, n)
+        .select("gram")
         .groupBy("gram")
         .agg(F.count("*").alias("n_docs"))
         .orderBy(F.desc("n_docs"), F.asc("gram"))
