@@ -198,11 +198,19 @@ def deterministic_sample(
     splits)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    threshold = format(int(rate * (1 << 32)), "08x")
     key = F.concat_ws(
         ":", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
     )
-    return df.filter(F.substring(F.md5(key), 1, 8) < F.lit(threshold))
+    return df.filter(F.substring(F.md5(key), 1, 8) < F.lit(_hex_thr(rate)))
+
+
+def _hex_thr(rate: float) -> str:
+    """Lexicographic md5-prefix threshold for a keep-rate. rate=1.0 would
+    render as 9 hex chars ("100000000"), which sorts BELOW 8-char
+    prefixes starting with '2'..'f' and silently drops them — so full
+    rate returns "g", which sorts above every hex digit (keep-all)."""
+    v = int(rate * (1 << 32))
+    return "g" if v >= (1 << 32) else format(v, "08x")
 
 
 def ngram_set_from_tokens(toks: Column, n: int, sep: str = " ") -> Column:
@@ -297,3 +305,96 @@ def top_ngrams(
         .orderBy(F.desc("n_docs"), F.asc("gram"))
         .limit(k)
     )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn-style: ``tf · (ln((N+1)/(df+1)) + 1)``).
+
+    Plan shape, 100 TB-safe: tokens explode map-side (tokenization staged,
+    split once per doc); term frequency is one partial-agg shuffle on
+    (doc, term); document frequency one on (term). The df table joins back
+    on term — a shuffle-hash join co-partitioned on the SAME key its
+    groupBy just produced, so no extra exchange on the big side (the term
+    dictionary is corpus-sized: never broadcast/collected). Scalar N rides
+    a broadcast of a 1-row aggregate. Ranking is a per-doc window on the
+    (doc, term) table — keyed on the tf groupBy's own partitioning.
+
+    Scores are ranked AFTER rounding (6 dp) with a term-lexicographic
+    tiebreak, so the top-k set is deterministic across runs and engines.
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    terms = toked.select(
+        "id", F.explode(F.col("_toks")).alias("t")
+    ).select("id", F.lower("t").alias("term"))
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.distinct().groupBy("term").agg(
+        F.count("*").alias("df_t")
+    )
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1)).cast("double")
+                        / (F.col("df_t") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w))
+        .filter(F.col("rank_n") <= top_k)
+        .select(F.col("id").alias(id_col), "term", "score", "rank_n")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_cols: list[str],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling: each stratum keeps its own
+    rate (corpus rebalancing — upsample rare sources, downsample the crawl
+    monoculture). Same engine-portable md5-threshold core as
+    :func:`deterministic_sample`, with the threshold chosen by a CASE
+    chain on the stratum column — still a pure map-side filter (no
+    shuffle, no RNG, no per-stratum jobs), still exactly re-derivable by
+    any md5-capable engine. Strata not named in `rates` get
+    `default_rate` (0.0 = drop)."""
+    for s, r in {**rates, "<default>": default_rate}.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+
+    thr = None
+    for s in sorted(rates):
+        cond = F.col(strata_col) == s
+        lit = F.lit(_hex_thr(rates[s]))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    default_lit = F.lit(_hex_thr(default_rate))
+    thr = default_lit if thr is None else thr.otherwise(default_lit)
+    key = F.concat_ws(
+        ":", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    return df.filter(F.substring(F.md5(key), 1, 8) < thr)

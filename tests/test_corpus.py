@@ -115,3 +115,58 @@ def test_top_ngrams_deterministic_order(spark):
     rows = text.top_ngrams(docs, n=3, k=2).collect()
     # 'x y z' in docs 1+2 (distinct per doc); ties break on gram string
     assert [(r.gram, r.n_docs) for r in rows] == [("x y z", 2), ("a b c", 1)]
+
+
+def test_tf_idf_ranks_distinctive_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple shared shared"),
+            (2, "banana banana shared shared shared"),
+            (3, "cherry shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = text.tf_idf(docs, top_k=1).collect()
+    best = {r.doc_id: r.term for r in rows}
+    # the term unique to each doc outranks the corpus-wide one
+    assert best == {1: "apple", 2: "banana", 3: "cherry"}
+    # rank is deterministic and scores are rounded
+    assert all(r.rank_n == 1 for r in rows)
+
+
+def test_tf_idf_term_tiebreak_deterministic(spark):
+    docs = spark.createDataFrame([(1, "zed abc zed abc")], ["doc_id", "text"])
+    rows = text.tf_idf(docs, top_k=2).orderBy("rank_n").collect()
+    # equal scores -> lexicographic term order breaks the tie
+    assert [r.term for r in rows] == ["abc", "zed"]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("src"),
+    )
+    out = text.stratified_sample(
+        df, "src", {"s0": 0.5, "s1": 0.1}, ["src", "doc_id"]
+    )
+    counts = {
+        r.src: r.n
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["s0"] / 2000 - 0.5) < 0.06
+    assert abs(counts["s1"] / 2000 - 0.1) < 0.04
+    # pure function of the key: identical on re-run
+    again = text.stratified_sample(
+        df, "src", {"s0": 0.5, "s1": 0.1}, ["src", "doc_id"]
+    )
+    assert out.exceptAll(again).isEmpty() and again.exceptAll(out).isEmpty()
+
+
+def test_stratified_sample_default_rate_drops_unknown(spark):
+    df = spark.createDataFrame(
+        [(1, "known"), (2, "mystery")], ["doc_id", "src"]
+    )
+    kept = text.stratified_sample(df, "src", {"known": 1.0}, ["doc_id"])
+    assert [r.doc_id for r in kept.collect()] == [1]
+    with pytest.raises(ValueError, match="rate"):
+        text.stratified_sample(df, "src", {"known": 1.5}, ["doc_id"])
