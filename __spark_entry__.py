@@ -1118,6 +1118,38 @@ def q_x08_top_ngrams(spark, sf_dir):
     return text.top_ngrams(docs, n=3, k=20)
 
 
+def _minhash_index_prefix(spark, sf_dir: str) -> str:
+    """Per-(dataset, session) bucketed-table prefix for the incremental
+    MinHash index; data lives under the repo .cache like the ANN index."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{int(st.st_mtime)}"
+    ).replace(".", "_").replace("-", "_")
+    return f"mh_idx_{tag}"
+
+
+def q_d06_incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup: a NEW batch (doc_id % 13 == 0) checked
+    against the already-indexed corpus (the rest) via a PERSISTED MinHash
+    band index (two bucketed tables) — only the batch is shingled/signed;
+    neither index join re-shuffles the corpus. The 100 TB pattern: corpus
+    signature scan paid once at build, amortized over every batch."""
+    docs = _T(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 13 == 0)
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    prefix = _minhash_index_prefix(spark, sf_dir)
+    if not spark.catalog.tableExists(f"{prefix}_bands"):
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".cache", "mh", prefix
+        )
+        dedup.build_minhash_index(corpus, prefix, path=path)
+    return dedup.incremental_near_duplicates(
+        batch, spark, prefix, threshold=0.9
+    ).orderBy("id_new", "id_old")
+
+
 def q_x09_tfidf(spark, sf_dir):
     """Top-3 characteristic terms per document by smoothed TF-IDF — tf and
     df each one partial-agg shuffle; the df join lands co-partitioned on
@@ -1219,6 +1251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pairs; e01 recorded green in round 1), and x06 (md5-threshold
     # sampling, subsumed by x10's per-stratum thresholds). All remain
     # locally oracle-checked via scripts/selfcheck.py.
+    "d06_incremental_dedup": q_d06_incremental_dedup,
     "d02_ngram_jaccard": q_d02_ngram_jaccard,
     "e01_embedding_near_dup": q_e01_embedding_near_dup,
     "x06_deterministic_sample": q_x06_deterministic_sample,
@@ -1773,6 +1806,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d02_ngram_jaccard": _SHINGLE_CTE,
         "d03_minhash_lsh": _SHINGLE_CTE,
+        # batch (doc_id % 13 = 0) vs corpus (rest) cross-group pairs at
+        # exact shingle Jaccard >= 0.9 — ground truth for the incremental
+        # index path
+        "d06_incremental_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2]
+                        FOR i IN range(1, len(tk) - 1)]) AS shingles
+              FROM toks WHERE len(tk) >= 3
+            ), ex AS (
+              SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+                     count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.s = b.s
+              WHERE a.doc_id % 13 = 0 AND b.doc_id % 13 <> 0
+              GROUP BY 1, 2
+            )
+            SELECT i.id_new, i.id_old,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6)
+                       AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_new
+            JOIN sizes sb ON sb.doc_id = i.id_old
+            WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6)
+                  >= 0.9
+            ORDER BY id_new, id_old
+        """,
         # connected components as a recursive CTE: symmetric edge closure,
         # then min reachable id per node = cluster label
         "d05_duplicate_clusters": f"""

@@ -20,6 +20,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .scale import write_bucketed
 from .text import tokens
 
 
@@ -301,6 +302,29 @@ def _set_key_sql(hp_col: str) -> str:
     )
 
 
+def _hp_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, hp) — per-document distinct-shingle (h1, h2) hash pairs.
+
+    Tokens staged as their own projection (split once — see _toks_sql);
+    every shingle string is hashed ONCE into its pair and the strings are
+    dropped, so the fingerprint, the signature, and the verify step all
+    run on the fixed-width hash array and shingle strings never shuffle.
+    Jaccard over the double-hashed set equals string-set Jaccard up to a
+    per-pair 2^-64 collision. Docs with no shingles are dropped — they
+    have no similarity signal and would all collide on the null signature
+    (then divide by zero in jaccard)."""
+    return (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .withColumn("_toks", F.expr(_toks_sql(text_col)))
+        .withColumn("shingles", F.expr(_shingles_from_toks_sql("_toks", n)))
+        .select("id", "shingles")
+        .filter(F.size("shingles") > 0)
+        .select("id", F.expr(_hp_sql("shingles")).alias("hp"))
+    )
+
+
 # pair-combination generator over a sorted id array: for member x at index
 # i, pair with every later member — C(n,2) structs, generated distributed
 # (one group per row)
@@ -366,23 +390,7 @@ def minhash_near_duplicates(
     # the whole signature pipeline is built as SQL text (_shingles_sql &
     # co.) — one F.expr parse instead of thousands of py4j Column calls;
     # see the SQL-text builders note above.
-    base = (
-        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-        # tokens staged as their own projection — evaluated once, not per
-        # shingle-expression reference (see _toks_sql)
-        .withColumn("_toks", F.expr(_toks_sql(text_col)))
-        .withColumn("shingles", F.expr(_shingles_from_toks_sql("_toks", n)))
-        .select("id", "shingles")
-        # docs with no shingles have no similarity signal — and would all
-        # collide on the null signature (then divide by zero in jaccard)
-        .filter(F.size("shingles") > 0)
-    )
-    # Hash every shingle string ONCE into its (h1, h2) pair and drop the
-    # strings: the fingerprint, the signature, and the verify step all run
-    # on the fixed-width hash array, so shingle strings are never re-hashed
-    # and never shuffle. Verification Jaccard over the double-hashed set
-    # equals string-set Jaccard up to a per-pair 2^-64 collision.
-    hp_base = base.select("id", F.expr(_hp_sql("shingles")).alias("hp"))
+    hp_base = _hp_frame(df, id_col, text_col, n)
     if persist_shingles:
         hp_base = _persist(hp_base)
 
@@ -1003,4 +1011,119 @@ def duplicate_clusters(
     )
     return connected_components(pairs).select(
         F.col("id").alias(id_col), "cluster_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: persisted MinHash index + batch-vs-corpus query
+# ---------------------------------------------------------------------------
+
+def build_minhash_index(
+    df: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus MinHash index ONCE, as two bucketed tables:
+
+    - ``{table_prefix}_bands`` (band, id), bucketed on ``band``
+    - ``{table_prefix}_hp``    (id, hp),  bucketed+sorted on ``id``
+
+    This is the ingestion-time half of incremental dedup — the 100 TB
+    pattern where each new batch is checked against the corpus WITHOUT
+    re-shingling or re-signing it (the corpus-wide signature scan is paid
+    once here, amortized over every later batch; same design as
+    similarity.build_ann_index). Bucketing pre-pays the join shuffles:
+    incremental_near_duplicates joins candidates on band and fetches
+    verify sets by id with NO corpus-side Exchange in either join.
+    ``path`` places the table data outside the warehouse dir (external
+    tables)."""
+    rows = k // bands
+    hp = _hp_frame(df, id_col, text_col, n)
+    banded = (
+        hp.withColumn("sig", F.expr(_sig_sql("hp", k)))
+        .select(
+            "id",
+            F.explode(F.expr(_bands_sql("sig", bands, rows))).alias("band"),
+        )
+    )
+    write_bucketed(
+        banded,
+        f"{table_prefix}_bands",
+        "band",
+        buckets=buckets,
+        mode=mode,
+        path=None if path is None else f"{path}/bands",
+    )
+    write_bucketed(
+        hp,
+        f"{table_prefix}_hp",
+        "id",
+        buckets=buckets,
+        mode=mode,
+        path=None if path is None else f"{path}/hp",
+    )
+
+
+def incremental_near_duplicates(
+    batch: DataFrame,
+    spark,
+    table_prefix: str,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs between a NEW batch and an indexed corpus
+    (build_minhash_index) → (id_new, id_old, jaccard), exact-verified.
+
+    Only the batch is shingled/signed — the corpus work was paid at index
+    build. The band join's corpus side is bucketed on band and the verify
+    fetch's corpus side is bucketed on id, so neither join re-shuffles the
+    corpus: the batch (small by definition) shuffles into the corpus
+    bucketing, and AQE broadcasts the batch sides outright when they fit.
+    Batch rows whose id already exists in the corpus skip their self-pair.
+    LSH params (n, k, bands) must match the ones the index was built with.
+    """
+    rows = k // bands
+    bhp = _persist(_hp_frame(batch, id_col, text_col, n))
+    bband = (
+        bhp.withColumn("sig", F.expr(_sig_sql("hp", k)))
+        .select(
+            "id",
+            F.explode(F.expr(_bands_sql("sig", bands, rows))).alias("band"),
+        )
+    )
+    corp_bands = spark.table(f"{table_prefix}_bands")
+    cand = (
+        bband.select(F.col("id").alias("id_new"), "band")
+        .join(corp_bands.select(F.col("id").alias("id_old"), "band"), "band")
+        .filter(F.col("id_new") != F.col("id_old"))
+        .select("id_new", "id_old")
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    corp_hp = spark.table(f"{table_prefix}_hp")
+    paired = cand.join(
+        bhp.select(F.col("id").alias("id_new"), F.col("hp").alias("hp_new")),
+        "id_new",
+    ).join(
+        corp_hp.select(
+            F.col("id").alias("id_old"), F.col("hp").alias("hp_old")
+        ),
+        "id_old",
+    )
+    inter = F.size(F.array_intersect("hp_new", "hp_old")).cast("double")
+    union = F.size(F.array_union("hp_new", "hp_old")).cast("double")
+    return (
+        paired.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
     )

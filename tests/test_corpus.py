@@ -170,3 +170,46 @@ def test_stratified_sample_default_rate_drops_unknown(spark):
     assert [r.doc_id for r in kept.collect()] == [1]
     with pytest.raises(ValueError, match="rate"):
         text.stratified_sample(df, "src", {"known": 1.5}, ["doc_id"])
+
+
+def test_incremental_dedup_matches_batch_pairs(spark, tmp_path):
+    """build_minhash_index + incremental_near_duplicates finds the
+    batch-vs-corpus near-dup without re-shuffling the corpus in either
+    index join (corpus sides are bucketed on the join keys)."""
+    def doc(i):
+        # per-document vocabulary — no cross-doc shingle overlap
+        return " ".join(f"w{i}x{j}" for j in range(40))
+
+    corpus_rows = [(i, doc(i)) for i in range(0, 20)]
+    # batch doc 100 is a near-copy of corpus doc 3; doc 101 is novel
+    batch_rows = [
+        (100, doc(3) + " tail"),
+        (101, "completely different content with no overlap at all here"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+
+    prefix = "mh_idx_testinc"
+    dedup.build_minhash_index(
+        corpus, prefix, path=str(tmp_path / "idx"), buckets=4
+    )
+    try:
+        out = dedup.incremental_near_duplicates(
+            batch, spark, prefix, threshold=0.9
+        )
+        from da_transform_judgments_pipeline_spark.operators.scale import (
+            exchange_count,
+        )
+        # only the BATCH side may shuffle: band join (1) + verify join (1)
+        # + batch-side dropDuplicates/agg; the bucketed corpus tables
+        # contribute zero Exchanges. Empirically the plan carries 3 batch
+        # exchanges; the assertion guards against a corpus-side regression
+        # (which would add 2 more).
+        assert exchange_count(out) <= 4
+        rows = out.collect()
+        assert [(r.id_new, r.id_old) for r in rows] == [(100, 3)]
+        assert rows[0].jaccard >= 0.9
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_hp")
+        dedup.release_cached()
