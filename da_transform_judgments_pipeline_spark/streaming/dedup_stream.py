@@ -1,0 +1,135 @@
+"""Streaming ingestion dedup: every micro-batch of documents is checked
+against the persisted corpus MinHash index and then ADDED to it.
+
+The streaming twin of operators.dedup's incremental path: readStream →
+foreachBatch { flag near-dups vs index, append clean docs + their
+signatures }. State lives in the bucketed index tables, not in Spark
+streaming state — so the stream restarts cheaply (checkpoint only tracks
+source offsets), the index is queryable mid-stream by any other job, and
+state size is bounded by the corpus, not the watermark.
+
+Scale notes: per micro-batch work = shingle/sign the BATCH only (the
+corpus scan was paid at index build); both index joins land on bucketed
+tables with no corpus-side Exchange. Appends go through the same bucketed
+writer, so bucket co-location survives growth. At 100 TB the index tables
+are just two more tables in the lake — compaction/retention is ordinary
+table maintenance, not streaming-state surgery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _bands_sql,
+    _hp_frame,
+    _sig_sql,
+    incremental_near_duplicates,
+)
+from ..operators.scale import write_bucketed
+
+
+def _table_buckets(spark: SparkSession, table: str) -> int | None:
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Num Buckets":
+            return int(r.data_type)
+    return None
+
+
+def append_to_minhash_index(
+    batch: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    buckets: int | None = None,
+) -> None:
+    """Add a batch's band keys + hash sets to an existing index
+    (build_minhash_index created it). The bucket count is read from the
+    existing table's catalog entry by default — an append with a different
+    spec is rejected by Spark, so detection keeps the no-corpus-Exchange
+    join plans intact without the caller re-stating build parameters."""
+    if buckets is None:
+        buckets = _table_buckets(
+            batch.sparkSession, f"{table_prefix}_bands"
+        ) or 32
+    rows = k // bands
+    hp = _hp_frame(batch, id_col, text_col, n)
+    banded = hp.withColumn("sig", F.expr(_sig_sql("hp", k))).select(
+        "id",
+        F.explode(F.expr(_bands_sql("sig", bands, rows))).alias("band"),
+    )
+    write_bucketed(
+        banded, f"{table_prefix}_bands", "band", buckets=buckets,
+        mode="append",
+    )
+    write_bucketed(hp, f"{table_prefix}_hp", "id", buckets=buckets,
+                   mode="append")
+    # invalidate the writing session's cached file listing; sessions that
+    # READ the index (e.g. the outer session driving foreachBatch — each
+    # micro-batch runs in a cloned session with its own relation cache)
+    # must refresh too, or their next lookup reuses a stale FileIndex that
+    # predates this append. run_dedup_stream does this.
+    for t in (f"{table_prefix}_bands", f"{table_prefix}_hp"):
+        batch.sparkSession.catalog.refreshTable(t)
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    table_prefix: str,
+    out_dir: str,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    schema: str = "doc_id LONG, text STRING",
+    max_files_per_trigger: int = 10,
+    once: bool = True,
+):
+    """readStream over a document drop-dir; each micro-batch is
+    near-dup-checked against the index, flagged pairs land in
+    ``{out_dir}/duplicates``, clean (non-duplicate) docs land in
+    ``{out_dir}/accepted`` AND join the index so later batches dedup
+    against them. Exactly the reference's trigger shape
+    (maxFilesPerTrigger mirrors the ≤10-records SQS batch,
+    orchestrator.py) applied to corpus ingestion."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.filter(F.col(id_col).isNotNull()).persist()
+        try:
+            dups = incremental_near_duplicates(
+                batch, spark, table_prefix, threshold=threshold,
+                id_col=id_col, text_col=text_col,
+            )
+            dup_ids = dups.select(
+                F.col("id_new").alias(id_col)
+            ).distinct()
+            dups.write.mode("append").parquet(f"{out_dir}/duplicates")
+            clean = batch.join(dup_ids, id_col, "left_anti")
+            clean.write.mode("append").parquet(f"{out_dir}/accepted")
+            append_to_minhash_index(
+                clean, table_prefix, id_col=id_col, text_col=text_col
+            )
+            # the index joins above read the tables through the OUTER
+            # session — refresh its relation cache so the next micro-batch
+            # sees this batch's appended files (the wrapped micro-batch
+            # session's own refresh does not cross sessions)
+            for t in (f"{table_prefix}_bands", f"{table_prefix}_hp"):
+                spark.catalog.refreshTable(t)
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if once:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()

@@ -239,3 +239,68 @@ def test_retry_state_batch_twin(spark):
         ("A", 3): "gap",
         ("B", 1): "gap",
     }
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Streaming ingestion dedup: wave 1 seeds docs into the index; wave 2
+    contains a near-copy of a wave-1 STREAMED doc (not just the prebuilt
+    corpus) — proving the index grows mid-stream and later batches dedup
+    against earlier ones."""
+    import json
+
+    from da_transform_judgments_pipeline_spark.operators import dedup
+    from da_transform_judgments_pipeline_spark.streaming.dedup_stream import (
+        run_dedup_stream,
+    )
+
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(40))
+
+    prefix = "mh_idx_teststream"
+    seed = spark.createDataFrame([(0, doc(0))], ["doc_id", "text"])
+    dedup.build_minhash_index(
+        seed, prefix, path=str(tmp_path / "idx"), buckets=4
+    )
+    src = tmp_path / "drop"
+    src.mkdir()
+    out = tmp_path / "out"
+    try:
+        # wave 1: two novel docs
+        (src / "w1.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": doc(i)}) for i in (10, 11)
+            )
+        )
+        run_dedup_stream(
+            spark, str(src), prefix, str(out)
+        ).awaitTermination(120)
+        # wave 2: near-copy of streamed doc 10 + novel doc
+        (src / "w2.json").write_text(
+            "\n".join(
+                json.dumps(d)
+                for d in (
+                    {"doc_id": 20, "text": doc(10) + " tail"},
+                    {"doc_id": 21, "text": doc(21)},
+                )
+            )
+        )
+        run_dedup_stream(
+            spark, str(src), prefix, str(out)
+        ).awaitTermination(120)
+
+        dups = spark.read.parquet(str(out / "duplicates")).collect()
+        assert [(r.id_new, r.id_old) for r in dups] == [(20, 10)]
+        accepted = {
+            r.doc_id
+            for r in spark.read.parquet(str(out / "accepted")).collect()
+        }
+        assert accepted == {10, 11, 21}
+        # the duplicate never joined the index
+        idx_ids = {
+            r.id for r in spark.table(f"{prefix}_hp").select("id").collect()
+        }
+        assert idx_ids == {0, 10, 11, 21}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_hp")
+        dedup.release_cached()
