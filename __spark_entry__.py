@@ -1176,6 +1176,18 @@ def q_x10_stratified_sample(spark, sf_dir):
     )
 
 
+def q_x11_repetition(spark, sf_dir):
+    """Intra-document repetition signal (C4/Gopher-style filter): total vs
+    distinct trigram counts and the duplicated-trigram ratio — pure
+    map-side, no shuffle."""
+    docs = _T(spark, sf_dir, "documents")
+    return (
+        text.repetition_stats(docs, n=3)
+        .select("doc_id", "n_ngrams", "n_distinct", "dup_ngram_ratio")
+        .orderBy("doc_id")
+    )
+
+
 def q_e06_kmeans(spark, sf_dir):
     """Lloyd's k-means (k=8, 2 iterations, deterministic min-id seeds)
     over the embeddings: map-side assignment against driver-held literal
@@ -1252,6 +1264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sampling, subsumed by x10's per-stratum thresholds). All remain
     # locally oracle-checked via scripts/selfcheck.py.
     "d06_incremental_dedup": q_d06_incremental_dedup,
+    "x11_repetition": q_x11_repetition,
     "d02_ngram_jaccard": q_d02_ngram_jaccard,
     "e01_embedding_near_dup": q_e01_embedding_near_dup,
     "x06_deterministic_sample": q_x06_deterministic_sample,
@@ -1956,6 +1969,27 @@ def oracle_sql() -> dict[str, str]:
                           AS INT) AS rank_n
               FROM scored
             ) WHERE rank_n <= 3 ORDER BY doc_id, rank_n
+        """,
+        "x11_repetition": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     [array_to_string(tk[i:i+2], ' ')
+                      FOR i IN range(1, len(tk) - 1)] AS grams
+              FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> t <> '') AS tk
+                FROM documents
+              )
+            )
+            SELECT doc_id,
+                   CAST(len(grams) AS INT) AS n_ngrams,
+                   CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+                   CASE WHEN len(grams) > 0
+                        THEN round(1.0 - len(list_distinct(grams))
+                                   / CAST(len(grams) AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_ngram_ratio
+            FROM g ORDER BY doc_id
         """,
         "x10_stratified_sample": """
             SELECT doc_id, source, n_chars FROM documents

@@ -213,12 +213,12 @@ def _hex_thr(rate: float) -> str:
     return "g" if v >= (1 << 32) else format(v, "08x")
 
 
-def ngram_set_from_tokens(toks: Column, n: int, sep: str = " ") -> Column:
-    """ngram_set given an ALREADY-projected token array column. Stage the
-    tokenization as its own projection in hot paths: this expression
-    references the token array ~2n times and higher-order functions are
-    codegen-fallback, so inlining tokens() re-splits the text per
-    reference."""
+def ngrams_from_tokens(toks: Column, n: int, sep: str = " ") -> Column:
+    """ALL word n-grams (duplicates kept, document order) from an
+    ALREADY-projected token array column. Stage the tokenization as its
+    own projection in hot paths: this expression references the token
+    array ~2n times and higher-order functions are codegen-fallback, so
+    inlining tokens() re-splits the text per reference."""
     size = F.size(toks)
     m = size - (n - 1)
     grams = F.slice(toks, 1, m)
@@ -228,7 +228,13 @@ def ngram_set_from_tokens(toks: Column, n: int, sep: str = " ") -> Column:
             grams, part, lambda a, b: F.concat(a, F.lit(sep), b)
         )
     empty = F.array().cast("array<string>")
-    return F.when(size >= n, F.array_distinct(grams)).otherwise(empty)
+    return F.when(size >= n, grams).otherwise(empty)
+
+
+def ngram_set_from_tokens(toks: Column, n: int, sep: str = " ") -> Column:
+    """Distinct word n-grams from a pre-projected token array column (see
+    ngrams_from_tokens for the staging rationale)."""
+    return F.array_distinct(ngrams_from_tokens(toks, n, sep))
 
 
 def ngram_set(text: Column | str, n: int, sep: str = " ") -> Column:
@@ -398,3 +404,29 @@ def stratified_sample(
         ":", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
     )
     return df.filter(F.substring(F.md5(key), 1, 8) < thr)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition signal (the C4/Gopher-style filter:
+    machine-generated and template text repeats itself): per document, the
+    total vs distinct n-gram counts and the duplicated-n-gram ratio
+    (1 − distinct/total; 0 for docs too short to have an n-gram).
+
+    Pure map-side — one staged tokenization, one gram build, two size()
+    reductions; no shuffle, no explode. Filter on dup_ngram_ratio > ~0.2
+    to drop looping/boilerplate generations before training."""
+    toked = df.withColumn("_toks", tokens(F.col(text_col)))
+    grams = ngrams_from_tokens(F.col("_toks"), n)
+    out = toked.withColumn("n_ngrams", F.size(grams)).withColumn(
+        "n_distinct", F.size(F.array_distinct(grams))
+    )
+    ratio = F.when(F.col("n_ngrams") > 0,
+                   F.round(1.0 - F.col("n_distinct")
+                           / F.col("n_ngrams").cast("double"), 6)
+                   ).otherwise(F.lit(0.0))
+    return out.withColumn("dup_ngram_ratio", ratio).drop("_toks")

@@ -213,3 +213,19 @@ def test_incremental_dedup_matches_batch_pairs(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_hp")
         dedup.release_cached()
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham eggs " * 10),          # heavy trigram repetition
+            (2, " ".join(f"u{i}" for i in range(30))),  # all distinct
+            (3, "too short"),                    # no trigram at all
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text.repetition_stats(docs, n=3).collect()}
+    assert rows[1].dup_ngram_ratio > 0.8
+    assert rows[2].dup_ngram_ratio == 0.0
+    assert rows[2].n_ngrams == rows[2].n_distinct == 28
+    assert rows[3].n_ngrams == 0 and rows[3].dup_ngram_ratio == 0.0
