@@ -343,9 +343,10 @@ def tf_idf(
         "id", F.explode(F.col("_toks")).alias("t")
     ).select("id", F.lower("t").alias("term"))
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    dfreq = terms.distinct().groupBy("term").agg(
-        F.count("*").alias("df_t")
-    )
+    # document frequency derives FROM the tf aggregate — its rows are
+    # exactly the distinct (doc, term) pairs, so this reuses the tf
+    # shuffle (ReuseExchange) instead of paying a separate distinct
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n_docs = df.select(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
