@@ -28,6 +28,7 @@ from da_transform_judgments_pipeline_spark.operators import (  # noqa: E402
     clustering,
     dedup,
     similarity,
+    temporal,
     text,
 )
 
@@ -608,6 +609,49 @@ def q_a18_quantiles_sketch(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+def q_o02_asof_join(spark, sf_dir):
+    """As-of join: each click event matched to the user's most recent
+    STRICTLY-prior view event — union + carry-forward window (one shuffle
+    on user_id, no join, no pair blow-up), vs the oracle's LATERAL
+    argmax."""
+    ev = _T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    joined = temporal.as_of_join(
+        clicks, views, on="user_id", left_ts="click_ts", right_ts="ts",
+        right_cols=["view_id"], prefix="", tiebreak="view_id",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        "view_id",
+        F.col("ts").alias("view_ts"),
+        (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("gap_us"),
+    ).orderBy("click_id")
+
+
+def q_o03_range_count_join(spark, sf_dir):
+    """Range-count join: events by the same user in the 5 minutes before
+    each error event — bucketed interval join (two buckets per probe, no
+    theta-join blow-up)."""
+    ev = _T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    out = temporal.range_count_join(
+        errors, ev, on="user_id", window_seconds=300,
+        count_name="n_recent",
+    )
+    return out.select(
+        "error_id", "user_id", F.col("n_recent").cast("long").alias("n_recent")
+    ).orderBy("error_id")
 
 
 def q_o01_set_operations(spark, sf_dir):
@@ -1264,6 +1308,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sampling, subsumed by x10's per-stratum thresholds). All remain
     # locally oracle-checked via scripts/selfcheck.py.
     "d06_incremental_dedup": q_d06_incremental_dedup,
+    "o02_asof_join": q_o02_asof_join,
+    "o03_range_count_join": q_o03_range_count_join,
     "x11_repetition": q_x11_repetition,
     "d02_ngram_jaccard": q_d02_ngram_jaccard,
     "e01_embedding_near_dup": q_e01_embedding_near_dup,
@@ -1708,6 +1754,30 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.99) AS p99,
                    count(*) AS n
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "o02_asof_join": """
+            SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+                   v.event_id AS view_id, v.ts AS view_ts,
+                   epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+            FROM events c LEFT JOIN LATERAL (
+              SELECT event_id, ts FROM events v
+              WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                    AND v.ts < c.ts
+              ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) v ON true
+            WHERE c.event_type = 'click'
+            ORDER BY click_id
+        """,
+        "o03_range_count_join": """
+            SELECT e.event_id AS error_id, e.user_id,
+                   CAST((SELECT count(*) FROM events r
+                         WHERE r.user_id = e.user_id
+                           AND epoch_us(r.ts) < epoch_us(e.ts)
+                           AND epoch_us(r.ts) > epoch_us(e.ts) - 300000000
+                        ) AS BIGINT) AS n_recent
+            FROM events e
+            WHERE e.event_type = 'error'
+            ORDER BY error_id
         """,
         "o01_set_operations": """
             SELECT o_custkey, 'both' AS tag FROM (

@@ -1,0 +1,138 @@
+"""Temporal joins Spark has no native operator for: as-of join and
+range-count join, built as compositions of existing DataFrame ops.
+
+Both follow the same scale rule: never materialize the O(left × right)
+theta-join a naive `l.ts BETWEEN ...` join plans. The as-of join is a
+union + carry-forward window (ONE shuffle on the key, zero join); the
+range join buckets time so each row meets only its own and the adjacent
+bucket (shuffle on (key, bucket), candidate set linear in data for fixed
+window/bucket ratio).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "right_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For every left row, the single most recent right row with
+    ``right.ts < left.ts`` on the same key (trades-vs-quotes semantics);
+    unmatched left rows keep nulls.
+
+    NOT a join at runtime: both sides union into one stream tagged by
+    side, and a window over (key) ordered by (ts, side, tiebreak) carries
+    the latest right payload forward with last(..., ignoreNulls) — each
+    left row then reads the right row that preceded it. One shuffle on
+    the key, linear state, no pair blow-up: the naive alternative (range
+    theta join + per-left argmax) is O(left × right) per key and dies on
+    hot keys at 100 TB. Left rows sort BEFORE right rows at equal ts, so
+    the match is strictly-before. Ties among right rows at the same ts
+    break on ``tiebreak`` (max wins; default: first of right_cols).
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    tiebreak = tiebreak or right_cols[0]
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ets"),
+        F.lit(1).alias("_side"),
+        F.col(tiebreak).cast("long").alias("_tb"),
+        payload.alias("_payload"),
+    )
+    l = left.select(  # noqa: E741
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ets"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("_tb"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+    r = r.withColumn(
+        "_lrow", F.lit(None).cast(l.schema["_lrow"].dataType)
+    )
+    # right rows first at equal (ts, …)? No: LEFT first (side 0) so a
+    # right row at the same instant is NOT visible to it (strict <);
+    # among right rows, later ts then larger tiebreak wins last().
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ets", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = (
+        l.unionByName(r)
+        .withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 0)
+    )
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("_match._ts").alias(f"{prefix}{right_ts}"))
+    out_cols.extend(
+        F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_cols
+    )
+    return matched.select(*out_cols)
+
+
+def range_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    count_name: str = "n_in_range",
+) -> DataFrame:
+    """left + count of right rows with ``l.ts - window < r.ts < l.ts`` on
+    the same key (e.g. "events by this user in the 5 minutes before each
+    error").
+
+    Bucketed range join: timestamps bucket at window width, each left row
+    joins only (key, bucket) and (key, bucket-1) — every true match is in
+    one of the two — then the exact interval filter prunes. The candidate
+    set is linear in the data for a fixed window (two buckets per left
+    row), where the naive theta join is quadratic per key. AQE's skew
+    split handles hot (key, bucket) pairs.
+    """
+    bucket = lambda c: (  # noqa: E731
+        F.floor(F.unix_micros(F.col(c)) / F.lit(window_seconds * 1_000_000))
+    )
+    l = left.withColumn("_b", bucket(left_ts))  # noqa: E741
+    probes = l.withColumn(
+        "_probe", F.explode(F.array(F.col("_b"), F.col("_b") - 1))
+    )
+    r = right.select(
+        F.col(on).alias("_rk"),
+        F.unix_micros(F.col(right_ts)).alias("_rus"),
+        bucket(right_ts).alias("_rb"),
+    )
+    lus = F.unix_micros(F.col(left_ts))
+    hits = (
+        probes.join(
+            r,
+            (F.col(on) == F.col("_rk")) & (F.col("_probe") == F.col("_rb")),
+        )
+        .filter(
+            (F.col("_rus") < lus)
+            & (F.col("_rus") > lus - F.lit(window_seconds * 1_000_000))
+        )
+        .groupBy(*[F.col(c) for c in left.columns])
+        .agg(F.count("*").alias(count_name))
+    )
+    return (
+        l.drop("_b")
+        .join(hits, left.columns, "left")
+        .fillna({count_name: 0})
+    )

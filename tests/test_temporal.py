@@ -1,0 +1,90 @@
+"""As-of and range-count temporal joins (operators/temporal.py)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from da_transform_judgments_pipeline_spark.operators import temporal
+
+
+def _ts(m, s=0, us=0):
+    return datetime(2024, 1, 1, 0, m, s, us)
+
+
+def test_as_of_join_strict_before_and_tiebreak(spark):
+    clicks = spark.createDataFrame(
+        [
+            (100, 1, _ts(5)),   # after views 10, 11
+            (101, 1, _ts(2)),   # exactly AT view 10's ts -> must not match it
+            (102, 2, _ts(9)),   # user 2: one view before
+            (103, 3, _ts(1)),   # user 3: no views at all
+        ],
+        ["click_id", "user_id", "click_ts"],
+    )
+    views = spark.createDataFrame(
+        [
+            (10, 1, _ts(2)),
+            (11, 1, _ts(2)),    # same ts as view 10: max view_id wins
+            (12, 1, _ts(7)),    # after every click -> never matched
+            (13, 2, _ts(4)),
+        ],
+        ["view_id", "user_id", "ts"],
+    )
+    out = {
+        r.click_id: r.view_id
+        for r in temporal.as_of_join(
+            clicks, views, on="user_id", left_ts="click_ts",
+            right_cols=["view_id"], prefix="", tiebreak="view_id",
+        ).collect()
+    }
+    assert out == {100: 11, 101: None, 102: 13, 103: None}
+
+
+def test_as_of_join_plans_without_join(spark):
+    """The as-of match is a window, not a join: exactly one shuffle on the
+    key and no join operator anywhere in the plan."""
+    clicks = spark.createDataFrame([(1, 1, _ts(1))], ["click_id", "user_id", "click_ts"])
+    views = spark.createDataFrame([(2, 1, _ts(0))], ["view_id", "user_id", "ts"])
+    plan = (
+        temporal.as_of_join(
+            clicks, views, on="user_id", left_ts="click_ts",
+            right_cols=["view_id"],
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_count_join_window_boundaries(spark):
+    errors = spark.createDataFrame(
+        [(1, 7, _ts(10))], ["error_id", "user_id", "ts"]
+    )
+    events = spark.createDataFrame(
+        [
+            (20, 7, _ts(9, 59)),        # inside window
+            (21, 7, _ts(5, 0, 1)),      # just inside (299.999999s before)
+            (22, 7, _ts(5)),            # exactly window edge -> excluded
+            (23, 7, _ts(10)),           # same instant -> excluded (strict <)
+            (24, 7, _ts(11)),           # after -> excluded
+            (25, 8, _ts(9, 59)),        # other user -> excluded
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    out = temporal.range_count_join(
+        errors, events, on="user_id", window_seconds=300
+    ).collect()
+    assert [(r.error_id, r.n_in_range) for r in out] == [(1, 2)]
+
+
+def test_range_count_join_zero_fill(spark):
+    errors = spark.createDataFrame(
+        [(1, 7, _ts(10))], ["error_id", "user_id", "ts"]
+    )
+    events = spark.createDataFrame(
+        [(20, 9, _ts(9))], ["event_id", "user_id", "ts"]
+    )
+    out = temporal.range_count_join(
+        errors, events, on="user_id", window_seconds=300
+    ).collect()
+    assert [(r.error_id, r.n_in_range) for r in out] == [(1, 0)]
