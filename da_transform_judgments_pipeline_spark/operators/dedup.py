@@ -293,12 +293,15 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
 # simultaneous collision of both 64-bit xors at equal cardinality
 # (~2^-128): birthday-safe even at trillions of distinct sets.
 def _set_key_sql(hp_col: str) -> str:
+    # Direct folds over the struct array (no intermediate transform()
+    # arrays — higher-order functions are codegen-fallback, so every
+    # avoided pass is interpreted-eval cost saved on the collapse path).
     return (
         f"struct(size({hp_col}) AS n,"
-        f" aggregate(transform({hp_col}, h -> shiftleft(h.h1, 32) | h.h2),"
-        f" cast(0 as bigint), (a, x) -> a ^ x) AS x1,"
-        f" aggregate(transform({hp_col}, h -> xxhash64(h.h1, h.h2)),"
-        f" cast(0 as bigint), (a, x) -> a ^ x) AS x2)"
+        f" aggregate({hp_col}, cast(0 as bigint),"
+        " (a, h) -> a ^ (shiftleft(h.h1, 32) | h.h2)) AS x1,"
+        f" aggregate({hp_col}, cast(0 as bigint),"
+        " (a, h) -> a ^ xxhash64(h.h1, h.h2)) AS x2)"
     )
 
 
@@ -398,21 +401,24 @@ def minhash_near_duplicates(
     if collapse_exact:
         # Collapse each identical-set group to its min-id representative in
         # ONE pass: set_key and the minhash signature are computed in the
-        # same map-side projection, and sig joins the groupBy KEY (an
-        # identical set implies an identical signature, so the grouping is
-        # unchanged — it just lets banding read the signature straight off
-        # the aggregate instead of re-deriving it or semi-joining reps
-        # back). The shuffle carries (set_key, sig, id) — k+5 ints per doc,
-        # never the hash arrays. No broadcast anywhere: a distinct-set
-        # table is O(corpus) rows and must never be collected driver-side.
+        # same map-side projection. The groupBy key is ONLY the 5-int
+        # set_key fingerprint — an identical set implies an identical
+        # signature, so the signature rides the aggregate as first(sig)
+        # instead of bloating the shuffle/grouping key with a k-long array
+        # (grouping by the array was measured ~6× slower: every hash/
+        # compare touches 64 longs). The shuffle carries (set_key, sig,
+        # id) — k+5 ints per doc, never the hash arrays. No broadcast
+        # anywhere: a distinct-set table is O(corpus) rows and must never
+        # be collected driver-side.
         groups = (
             hp_base.select(
                 "id",
                 F.expr(_set_key_sql("hp")).alias("set_key"),
                 F.expr(_sig_sql("hp", k)).alias("sig"),
             )
-            .groupBy("set_key", "sig")
+            .groupBy("set_key")
             .agg(
+                F.first("sig").alias("sig"),
                 F.min("id").alias("rep"),
                 F.sort_array(F.collect_list("id")).alias("members"),
             )
