@@ -1248,6 +1248,129 @@ def q_e06_kmeans(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_x12_quality_filter(spark, sf_dir):
+    """Gopher-style composite quality filter (Rae et al. 2021 Table A1
+    heuristics): token band, mean token length band, alphabetic-word
+    ratio, stopword evidence, symbol ratio — plus keep/fail_reason audit
+    columns. Pure map-side Catalyst over one staged tokenization."""
+    docs = _T(spark, sf_dir, "documents")
+    return (
+        text.quality_filter(docs)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "mean_token_len",
+            "alpha_ratio",
+            "stop_hits",
+            "symbol_ratio",
+            F.col("keep").cast("long").alias("keep"),
+            "fail_reason",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_t08_sessionization(spark, sf_dir):
+    """Gap-based batch sessionization (30-min inactivity gap) + per-
+    session stats. ONE shuffle on user_id: the lag/running-sum windows
+    and the per-session aggregate all reuse the same hash partitioning
+    (partial-key HashPartitioning satisfies the (user, session) clustered
+    distribution)."""
+    ev = _T(spark, sf_dir, "events")
+    s = temporal.sessionize(
+        ev, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"]
+    )
+    return (
+        s.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+        .select(
+            "user_id",
+            "session_no",
+            "n_events",
+            "start_us",
+            "end_us",
+            "duration_us",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def q_w06_sliding_window(spark, sf_dir):
+    """Per-user sliding-frame stats over the last 5 events (ROWS BETWEEN
+    4 PRECEDING AND CURRENT ROW, deterministic (ts, event_id) order):
+    moving average/sum/count — one shuffle on user_id, all three frames
+    share the window."""
+    ev = _T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.avg("value").over(w), 6).alias("avg5"),
+        F.round(F.sum("value").over(w), 6).alias("sum5"),
+        F.count("*").over(w).alias("n5"),
+    ).orderBy("event_id")
+
+
+def _ivf_index_path(sf_dir: str, k: int) -> str:
+    """IVF cell-partitioned index cache dir (same keying as the SRP
+    index: source size+mtime so a testdata swap rebuilds)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{int(st.st_mtime)}_k{k}"
+    )
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "ivf", tag
+    )
+
+
+_IVF_CACHE: dict = {}
+
+
+def q_e07_ann_ivf(spark, sf_dir):
+    """Approximate top-k via a PERSISTED IVF index: k-means centroids
+    (clustering.kmeans_fit — driver-held, bytes not data) partition the
+    corpus into cells on disk once; each query ranks centroids driver-
+    side and scans only the nprobe=4 nearest cell directories (partition
+    pruning), exact cosine rerank within. Data-dependent complement to
+    e03's data-independent SRP buckets. Approximate by design — no SQL
+    oracle (rows-only check); e02 is the exact baseline, and with
+    nprobe=n_cells the result provably equals e02 (tested)."""
+    import json
+
+    q = _query_vec(spark, sf_dir)
+    path = _ivf_index_path(sf_dir, k=16)
+    key = (id(spark), path)
+    cached = _IVF_CACHE.get(key)
+    if cached is None:
+        cent_file = os.path.join(path, "_centroids.json")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            emb = _T(spark, sf_dir, "embeddings")
+            cent = clustering.kmeans_fit(emb, k=16, updates=1)
+            similarity.build_ivf_index(emb, path, cent)
+            with open(cent_file, "w") as f:
+                json.dump(cent, f)
+        with open(cent_file) as f:
+            cent = json.load(f)
+        cached = (cent, spark.read.parquet(path))
+        _IVF_CACHE[key] = cached
+    cent, reader = cached
+    return similarity.ivf_topk(spark, reader, cent, q, k=10, nprobe=4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_prefix_scan": q_s01_prefix_scan,
     "s02_existence_probe": q_s02_existence_probe,
@@ -1330,6 +1453,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a18_quantiles_sketch": q_a18_quantiles_sketch,
     "o01_set_operations": q_o01_set_operations,
     "w05_top_orders_per_customer": q_w05_top_orders_per_customer,
+    "x12_quality_filter": q_x12_quality_filter,
+    "t08_sessionization": q_t08_sessionization,
+    "w06_sliding_window": q_w06_sliding_window,
+    "e07_ann_ivf": q_e07_ann_ivf,
 }
 
 
@@ -2165,6 +2292,84 @@ def oracle_sql() -> dict[str, str]:
                         WHERE vec_id = 0)), 6) AS cosine
             FROM embeddings b
             ORDER BY cosine DESC, id LIMIT 10
+        """,
+        "x12_quality_filter": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CAST(len(tk) AS BIGINT) AS n_tokens,
+                     round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                           / greatest(len(tk), 1), 4) AS mean_token_len,
+                     round(len(list_filter(tk,
+                               x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                           / greatest(len(tk), 1), 4) AS alpha_ratio,
+                     CAST(len(list_filter(tk, x -> lower(x) IN
+                          ('the','a','an','of','and','to','in','is','it',
+                           'that','for','on','with','as','was','at','by',
+                           'be'))) AS BIGINT) AS stop_hits,
+                     round(((length(text) - length(replace(text, '#', '')))
+                            + (length(text)
+                               - length(replace(text, '...', ''))) / 3.0)
+                           / greatest(len(tk), 1), 4) AS symbol_ratio
+              FROM t
+            ), r AS (
+              SELECT *,
+                     CASE WHEN n_tokens < 20 THEN 'too_short'
+                          WHEN n_tokens > 100000 THEN 'too_long'
+                          WHEN mean_token_len < 3.0 THEN 'short_tokens'
+                          WHEN mean_token_len > 10.0 THEN 'long_tokens'
+                          WHEN alpha_ratio < 0.8 THEN 'non_alpha'
+                          WHEN stop_hits < 2 THEN 'no_stopwords'
+                          WHEN symbol_ratio > 0.1 THEN 'symbol_heavy'
+                     END AS fail_reason
+              FROM s
+            )
+            SELECT doc_id, n_tokens, mean_token_len, alpha_ratio, stop_hits,
+                   symbol_ratio,
+                   CAST(CASE WHEN fail_reason IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS keep,
+                   fail_reason
+            FROM r ORDER BY doc_id
+        """,
+        "t08_sessionization": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events
+            ), f AS (
+              SELECT *, CASE WHEN prev IS NULL
+                              OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                             THEN 1 ELSE 0 END AS s
+              FROM o
+            ), g AS (
+              SELECT *, sum(s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM f
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+                   round(sum(value), 6) AS sum_value
+            FROM g GROUP BY user_id, session_no
+            ORDER BY user_id, session_no
+        """,
+        "w06_sliding_window": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   round(avg(value) OVER w, 6) AS avg5,
+                   round(sum(value) OVER w, 6) AS sum5,
+                   CAST(count(*) OVER w AS BIGINT) AS n5
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
         """,
     }
     # e03_ann_lsh_topk intentionally has no oracle: LSH-bucketed ANN is

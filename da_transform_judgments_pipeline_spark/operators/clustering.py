@@ -123,6 +123,42 @@ def _update_centroids(
     return [by_cluster[c] for c in sorted(by_cluster)]
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    updates: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reproducible: bool = False,
+) -> list[list[float]]:
+    """Fit-only k-means: returns the FINAL centroid list (driver-side,
+    k·dim doubles) after ``updates`` assign+update rounds from the
+    deterministic lowest-id seeding. The centroids are the model an IVF
+    similarity index partitions on (see similarity.build_ivf_index);
+    they are bytes, not data — safe to hold, ship, and inline into
+    literal expressions."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if updates < 0:
+        raise ValueError(f"updates must be >= 0, got {updates}")
+    seeds = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("kmeans input is empty")
+    centroids = [[float(x) for x in r["v"]] for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(updates):
+        assigned = assign_clusters(df, centroids, id_col, vec_col)
+        centroids = _update_centroids(
+            assigned, df, id_col, vec_col, dim, k, reproducible
+        )
+    return centroids
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -142,26 +178,12 @@ def kmeans(
     into the FINAL centroid ordering; `dist` is the squared euclidean
     distance to it.
     """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    seeds = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(k)
-        .collect()
+    centroids = kmeans_fit(
+        df, k, iterations - 1, id_col, vec_col, reproducible
     )
-    if not seeds:
-        raise ValueError("kmeans input is empty")
-    centroids = [[float(x) for x in r["v"]] for r in seeds]
-    dim = len(centroids[0])
-    for it in range(iterations):
-        assigned = assign_clusters(df, centroids, id_col, vec_col)
-        if it < iterations - 1:
-            centroids = _update_centroids(
-                assigned, df, id_col, vec_col, dim, k, reproducible
-            )
+    assigned = assign_clusters(df, centroids, id_col, vec_col)
     return assigned.select(
         F.col("id").alias(id_col), "cluster", F.round("dist", 6).alias("dist")
     )

@@ -355,3 +355,75 @@ def ann_topk(
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("id")).limit(k)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an IVF (inverted-file) similarity index: every vector
+    assigned to its nearest centroid (map-side literal argmin — see
+    clustering.assign_clusters) and written partitioned by the cluster
+    id. The complement to the SRP index (build_ann_index): SRP buckets
+    are data-independent hyperplane signs, IVF cells follow the data's
+    actual density (centroids from clustering.kmeans_fit), giving fewer,
+    better-balanced probes on clustered corpora. A query then scans only
+    ``nprobe`` cell directories via partition pruning — at 100 TB the
+    full-corpus scan is paid once at build, never per query."""
+    from .clustering import assign_clusters
+
+    assigned = assign_clusters(df, centroids, id_col, vec_col).select(
+        "id", "cluster"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    base.join(assigned, "id").write.mode(mode).partitionBy(
+        "cluster"
+    ).parquet(path)
+
+
+def ivf_topk(
+    spark,
+    index: str | DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index (build_ivf_index):
+    rank the (driver-side, k·dim) centroids by distance to the query,
+    scan ONLY the ``nprobe`` nearest cells (partition pruning carries
+    `cluster IN (...)` into the file listing), exact cosine rerank
+    within. With nprobe = len(centroids) the probe set is the whole
+    corpus and the result equals exact cosine_topk — the recall knob is
+    explicit. Output schema matches cosine_topk: (id, cosine)."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            sum((a - b) * (a - b) for a, b in zip(centroids[i], q)),
+            i,
+        ),
+    )
+    probe = ranked[: max(1, nprobe)]
+    reader = spark.read.parquet(index) if isinstance(index, str) else index
+    idx = reader.filter(F.col("cluster").isin(probe))
+    qarr = ", ".join(f"{x!r}D" for x in q)
+    qnorm = math.sqrt(sum(x * x for x in q))
+    dot = (
+        f"aggregate(zip_with(vec, array({qarr}), (x, y) -> x * y),"
+        " 0.0D, (a, x) -> a + x)"
+    )
+    vnorm = "sqrt(aggregate(vec, 0.0D, (a, x) -> a + x * x))"
+    scored = idx.selectExpr(
+        "id", f"round(({dot}) / (({vnorm}) * {qnorm!r}D), 6) AS cosine"
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("id")).limit(k)

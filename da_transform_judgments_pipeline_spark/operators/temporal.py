@@ -136,3 +136,44 @@ def range_count_join(
         .join(hits, left.columns, "left")
         .fillna({count_name: 0})
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based batch sessionization: assign every row a per-key
+    ``session_no`` (1-based) that increments whenever the gap to the
+    previous event on the same key exceeds ``gap_seconds``.
+
+    The classic two-window formulation: lag() marks session starts, a
+    running sum over the same window ordering numbers them. ONE shuffle
+    on the key; both windows and any downstream per-session groupBy
+    reuse that partitioning (HashPartitioning(key) satisfies the
+    clustered distribution of (key, session_no)), so session stats cost
+    no second exchange. State is linear per key — no pair blow-up on hot
+    keys, unlike a self-join formulation. The streaming twin is
+    ``streaming/windows.py``'s native session_window; this is the batch/
+    backfill path over historical data.
+
+    ``order_cols`` breaks ordering ties at equal timestamps (default:
+    none — pass the event id for full determinism).
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    gap_us = F.lit(int(gap_seconds) * 1_000_000)
+    starts = (
+        F.when(
+            prev_us.isNull()
+            | (F.unix_micros(F.col(ts_col)) - prev_us > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_no", F.sum(starts).over(running))

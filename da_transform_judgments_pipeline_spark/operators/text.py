@@ -431,3 +431,68 @@ def repetition_stats(
                            / F.col("n_ngrams").cast("double"), 6)
                    ).otherwise(F.lit(0.0))
     return out.withColumn("dup_ngram_ratio", ratio).drop("_toks")
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher-style composite document-quality filter (rules after Rae et
+    al. 2021 "Scaling Language Models", Table A1 — the public heuristic
+    suite used to clean MassiveText): token-count band, mean-token-length
+    band, alphabetic-word ratio, minimum stopword evidence, and a
+    symbol-to-word ratio over '#' and '...' artifacts.
+
+    Adds the per-rule signals, ``keep`` (1/0), and ``fail_reason`` (the
+    FIRST failing rule in the documented order, NULL when kept) so a
+    curation pipeline can both filter and audit per-rule loss rates.
+    Entirely Catalyst expressions over a single staged tokenization —
+    map-side, codegen'd, no shuffle: at 100 TB this is a pure scan that
+    pushes through to the parquet reader."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    out = df.withColumn("_toks", toks)
+    tk = F.col("_toks")
+    n_tokens = F.size(tk)
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    n_space = F.length(c) - F.length(F.regexp_replace(c, "\\s", ""))
+    mean_token_len = F.round((F.length(c) - n_space) / safe_tokens, 4)
+    alpha_ratio = F.round(
+        F.size(F.filter(tk, lambda t: t.rlike("[A-Za-z]"))) / safe_tokens, 4
+    )
+    stop_hits = F.size(
+        F.filter(tk, lambda t: F.lower(t).isin(STOPWORDS_EN))
+    ).cast("long")
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis) / safe_tokens, 4)
+
+    out = (
+        out.withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", mean_token_len)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("stop_hits", stop_hits)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .drop("_toks")
+    )
+    fail = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("n_tokens") > max_tokens, "too_long")
+        .when(F.col("mean_token_len") < min_mean_token_len, "short_tokens")
+        .when(F.col("mean_token_len") > max_mean_token_len, "long_tokens")
+        .when(F.col("alpha_ratio") < min_alpha_ratio, "non_alpha")
+        .when(F.col("stop_hits") < min_stop_hits, "no_stopwords")
+        .when(F.col("symbol_ratio") > max_symbol_ratio, "symbol_heavy")
+    )
+    return out.withColumn("fail_reason", fail).withColumn(
+        "keep", F.when(fail.isNull(), 1).otherwise(0)
+    )

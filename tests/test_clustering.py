@@ -49,3 +49,55 @@ def test_kmeans_input_validation(spark):
         clustering.kmeans(df, k=0)
     with pytest.raises(ValueError, match="empty"):
         clustering.kmeans(df.filter(F.col("vec_id") < 0), k=2)
+
+
+def test_kmeans_fit_returns_final_centroids(spark):
+    df = _blobs(spark)
+    cent = clustering.kmeans_fit(df, k=2, updates=2)
+    assert len(cent) == 2 and all(len(c) == 3 for c in cent)
+    # after convergence on two tight blobs, centroids sit near the means
+    lo = min(cent, key=lambda c: c[0])
+    hi = max(cent, key=lambda c: c[0])
+    assert abs(lo[1] - 0.0) < 0.5 and abs(hi[1] - 10.0) < 0.5
+
+
+def test_ivf_index_full_probe_equals_exact(spark, tmp_path):
+    """With nprobe = n_cells the IVF probe covers the whole corpus, so the
+    result must EQUAL brute-force cosine_topk — the recall knob is
+    explicit and its endpoint is exact."""
+    from da_transform_judgments_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = clustering.kmeans_fit(emb, k=4, updates=1)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, cent)
+    q = list(emb.filter("vec_id = 1").first().embedding)
+    approx = similarity.ivf_topk(
+        spark, path, cent, q, k=10, nprobe=len(cent)
+    ).collect()
+    exact = similarity.cosine_topk(emb, q, k=10).collect()
+    key = lambda r: (r.id, r.cosine)  # noqa: E731
+    assert [key(r) for r in approx] == [key(r) for r in exact]
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    """nprobe < n_cells must scan only the probed cell directories
+    (partition pruning on cluster), a strict subset of the corpus."""
+    from da_transform_judgments_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = clustering.kmeans_fit(emb, k=8, updates=1)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, cent)
+    q = list(emb.filter("vec_id = 1").first().embedding)
+    probe = similarity.ivf_topk(spark, path, cent, q, k=10, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    rows = probe.collect()
+    assert len(rows) == 10
+    leaf = probe._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    metrics = leaf.metrics()
+    assert metrics.apply("numPartitions").value() <= 2
+    assert metrics.apply("numOutputRows").value() < emb.count()
+    # the query's own vector lives in the nearest probed cell
+    assert rows[0].id == 1 and rows[0].cosine == 1.0

@@ -229,3 +229,47 @@ def test_repetition_stats_flags_looping_text(spark):
     assert rows[2].dup_ngram_ratio == 0.0
     assert rows[2].n_ngrams == rows[2].n_distinct == 28
     assert rows[3].n_ngrams == 0 and rows[3].dup_ngram_ratio == 0.0
+
+
+def test_quality_filter_rules_and_audit_columns(spark):
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        quality_filter,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then it runs on "
+        "with the pack for a while as evening falls by the river bank"
+    )
+    rows = [
+        (1, good),                                  # passes every rule
+        (2, "short text only"),                     # too_short
+        (3, " ".join(["zzzzz"] * 30)),              # no stopwords
+        (4, " ".join(["12345"] * 30)),              # non_alpha first
+        (5, good + " " + "#" * 40),                 # symbol_heavy
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in quality_filter(df, min_tokens=10).collect()
+    }
+    assert out[1].keep == 1 and out[1].fail_reason is None
+    assert out[2].fail_reason == "too_short"
+    assert out[3].fail_reason == "no_stopwords"
+    assert out[4].fail_reason == "non_alpha"
+    assert out[5].fail_reason == "symbol_heavy"
+    assert all(out[i].keep == 0 for i in (2, 3, 4, 5))
+
+
+def test_quality_filter_is_map_side(spark):
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        quality_filter,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (
+        quality_filter(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -88,3 +88,50 @@ def test_range_count_join_zero_fill(spark):
         errors, events, on="user_id", window_seconds=300
     ).collect()
     assert [(r.error_id, r.n_in_range) for r in out] == [(1, 0)]
+
+
+def test_sessionize_gap_split_and_numbering(spark):
+    from da_transform_judgments_pipeline_spark.operators.temporal import (
+        sessionize,
+    )
+
+    rows = [
+        # user 1: two sessions split by a >30min gap
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:10:00"),
+        (3, 1, "2024-01-01 11:00:00"),  # 50min gap -> new session
+        (4, 1, "2024-01-01 11:05:00"),
+        # user 2: one session; gap exactly == 30min does NOT split
+        (5, 2, "2024-01-01 10:00:00"),
+        (6, 2, "2024-01-01 10:30:00"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "s"]).select(
+        "event_id", "user_id", F.to_timestamp("s").alias("ts")
+    )
+    out = sessionize(
+        df, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"]
+    ).collect()
+    sess = {r.event_id: r.session_no for r in out}
+    assert sess[1] == 1 and sess[2] == 1
+    assert sess[3] == 2 and sess[4] == 2
+    assert sess[5] == 1 and sess[6] == 1  # boundary gap stays together
+
+
+def test_sessionize_single_shuffle_for_session_stats(spark):
+    """Window + per-session aggregate must share ONE exchange: the
+    groupBy(user, session_no) is satisfied by the window's
+    HashPartitioning(user) (partial-key clustering)."""
+    from da_transform_judgments_pipeline_spark.operators.temporal import (
+        sessionize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], ["event_id", "user_id", "s"]
+    ).select("event_id", "user_id", F.to_timestamp("s").alias("ts"))
+    stats = (
+        sessionize(df, "user_id", "ts", 1800, ["event_id"])
+        .groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
