@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -35,18 +36,27 @@ from da_transform_judgments_pipeline_spark.operators import (  # noqa: E402
 def _T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table.
 
-    ``events.ts`` is parquet ``timestamp[ns]``, which the vectorized reader
-    rejects; read it as raw long nanos (legacy conf) and rebuild a timestamp
-    at microsecond precision. Session timezone pinned to UTC so timestamp
+    ``events.ts`` has shipped in two parquet layouts across testdata
+    generations: ``timestamp[ns]`` (which Spark's vectorized reader only
+    surfaces as a raw long via the ``nanosAsLong`` legacy conf) and plain
+    ``timestamp[us]`` (read natively as TIMESTAMP_NTZ). Inspect the schema
+    the reader actually produced and apply the nanos-long rebuild only when
+    ``ts`` arrives as a long. Session timezone pinned to UTC so timestamp
     rendering matches DuckDB's naive timestamps deterministically.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # timestamp[us] arrives as TIMESTAMP_NTZ; with the session tz
+            # pinned to UTC the NTZ→LTZ cast is value-identical, and LTZ is
+            # what the ts-arithmetic operators (unix_micros etc.) accept —
+            # the same type the ns-era rebuild produced.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
