@@ -761,9 +761,31 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding near-dup pairs — DEFAULT is the SRP-bucketed scale path
+    (:func:`embedding_near_duplicates_lsh`): candidate pairs come from
+    hamming-ball bucket collisions, exact cosine verify only on candidates;
+    no all-pairs term anywhere, safe at 100 TB. Recall tunes with
+    ``n_planes``/``probe_radius`` passed through ``lsh_kwargs``. For the
+    exact blocked all-pairs form — the small-corpus oracle, O(n²) flops —
+    call :func:`embedding_near_duplicates_exact` explicitly."""
+    return embedding_near_duplicates_lsh(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold, **lsh_kwargs
+    )
+
+
+def embedding_near_duplicates_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
     blocks: int | None = None,
 ) -> DataFrame:
     """Exact embedding near-dup pairs by cosine ≥ threshold (rounded to 6).
+
+    Small-scale ORACLE only — inherently O(n²); beyond ~10⁵ rows use
+    :func:`embedding_near_duplicates` (LSH-bucketed, the default).
 
     Blocked all-pairs: rows hash into B blocks; each row is shuffled to the
     B block-pair groups it participates in, and each group computes its
@@ -842,9 +864,10 @@ def embedding_near_duplicates_lsh(
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via SRP-bucketed candidate generation +
-    exact cosine verification — the scale path replacing the blocked
-    all-pairs :func:`embedding_near_duplicates` (which stays as the exact
-    small-scale oracle).
+    exact cosine verification — the scale path (and
+    :func:`embedding_near_duplicates`' default) replacing the blocked
+    all-pairs :func:`embedding_near_duplicates_exact` (which stays as the
+    exact small-scale oracle).
 
     Shape mirrors :func:`minhash_near_duplicates`: signature (map-side SRP,
     similarity.hyperplane_signature) → one-sided hamming-ball probe (each
@@ -865,7 +888,7 @@ def embedding_near_duplicates_lsh(
     degrades toward all-pairs, but the plan stays a bucketed equi-join:
     bounded memory per task, no cartesian/BNL node, and vectors move only
     for candidates. Output (id_a, id_b, cosine), id_a < id_b, cosine
-    rounded to 6 — identical to embedding_near_duplicates.
+    rounded to 6 — identical to embedding_near_duplicates_exact.
     """
     from .similarity import (
         hamming_ball_masks,

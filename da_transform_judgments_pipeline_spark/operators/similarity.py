@@ -44,10 +44,41 @@ def knn_join(
     right_id: str = "vec_id",
     left_vec: str = "embedding",
     right_vec: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """k-NN join — DEFAULT is the LSH-bucketed scale path
+    (:func:`knn_join_lsh`): no crossJoin node, shuffle bounded by bucket
+    collisions, safe at 100 TB. Approximate (recall tunes with
+    ``probe_radius``/``n_planes`` passed through ``lsh_kwargs``). For the
+    exact brute-force form — the small-corpus oracle, O(|L|·|R|) — call
+    :func:`knn_join_exact` explicitly. Output (id_l, id_r, cosine, rank)."""
+    return knn_join_lsh(
+        left,
+        right,
+        k=k,
+        left_id=left_id,
+        right_id=right_id,
+        left_vec=left_vec,
+        right_vec=right_vec,
+        **lsh_kwargs,
+    )
+
+
+def knn_join_exact(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
 ) -> DataFrame:
     """Exact k-NN join: for every left row, its k nearest right rows by
     cosine. Brute-force cross-score + per-left-id window top-k; broadcast
-    the smaller side when it fits. Output (id_l, id_r, cosine, rank)."""
+    the smaller side when it fits. Output (id_l, id_r, cosine, rank).
+
+    Small-scale ORACLE only — the crossJoin is O(|L|·|R|); beyond ~10⁵
+    rows use :func:`knn_join` (LSH-bucketed, the default)."""
     l = left.select(
         F.col(left_id).alias("id_l"),
         F.col(left_vec).cast("array<double>").alias("vl"),
@@ -228,6 +259,8 @@ def ann_topk_indexed(
     # (~0.3 s driver time saved; same trick as dedup's MinHash builders).
     qarr = ", ".join(f"{float(x)!r}D" for x in query_vec)
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    if qnorm == 0.0:
+        raise ValueError("query_vec has zero norm; cosine is undefined")
     dot = (
         f"aggregate(zip_with(vec, array({qarr}), (x, y) -> x * y),"
         " 0.0D, (a, x) -> a + x)"
@@ -253,7 +286,8 @@ def knn_join_lsh(
     right_vec: str = "embedding",
 ) -> DataFrame:
     """Approximate k-NN join via shared SRP bucketing — the scale path
-    replacing :func:`knn_join`'s crossJoin. Both sides get the same
+    (and :func:`knn_join`'s default) replacing the crossJoin of
+    :func:`knn_join_exact`. Both sides get the same
     map-side signature; the left side explodes over the hamming-ball probe
     masks as NARROW (id, probed-sig) rows, candidates come from the bucket
     equi-join (each pair collides via exactly one mask — no dedup pass),
@@ -261,7 +295,7 @@ def knn_join_lsh(
     keeps the top k. Left rows whose true neighbors fall outside the probe
     ball miss them (recall tunes with probe_radius/n_planes); rows with no
     candidate in the ball yield no output rows. Output (id_l, id_r,
-    cosine, rank) like knn_join."""
+    cosine, rank) like knn_join_exact."""
     if dim is None:
         first = left.select(left_vec).first()
         dim = len(first[0])
@@ -402,7 +436,12 @@ def ivf_topk(
     `cluster IN (...)` into the file listing), exact cosine rerank
     within. With nprobe = len(centroids) the probe set is the whole
     corpus and the result equals exact cosine_topk — the recall knob is
-    explicit. Output schema matches cosine_topk: (id, cosine)."""
+    explicit. Output schema matches cosine_topk: (id, cosine).
+
+    Note: centroids are ranked by squared-euclidean distance while the
+    rerank is cosine — equivalent orderings for L2-normalized embeddings
+    (the expected input); for unnormalized vectors the probed cells may
+    not be the cosine-nearest ones."""
     import math
 
     q = [float(x) for x in query_vec]
@@ -418,6 +457,8 @@ def ivf_topk(
     idx = reader.filter(F.col("cluster").isin(probe))
     qarr = ", ".join(f"{x!r}D" for x in q)
     qnorm = math.sqrt(sum(x * x for x in q))
+    if qnorm == 0.0:
+        raise ValueError("query_vec has zero norm; cosine is undefined")
     dot = (
         f"aggregate(zip_with(vec, array({qarr}), (x, y) -> x * y),"
         " 0.0D, (a, x) -> a + x)"

@@ -148,16 +148,27 @@ def test_simhash_md5_matches_python_reference(spark):
 
 
 def test_embedding_near_duplicates_threshold(spark, embeddings):
-    pairs = dedup.embedding_near_duplicates(embeddings, threshold=0.4)
+    pairs = dedup.embedding_near_duplicates_exact(embeddings, threshold=0.4)
     rows = pairs.collect()
     assert all(r.cosine >= 0.4 for r in rows)
     assert all(r.id_a < r.id_b for r in rows)
 
 
+def test_embedding_near_duplicates_default_is_lsh(spark, embeddings):
+    """The unsuffixed name routes to the LSH scale path: no cartesian or
+    nested-loop node in its plan."""
+    out = dedup.embedding_near_duplicates(
+        embeddings, threshold=0.45, n_planes=8, dim=64
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_embedding_near_duplicates_lsh_matches_exact(spark, embeddings):
     """The SRP-bucketed scale path returns exactly the all-pairs result,
     and its plan contains no cartesian/nested-loop node."""
-    exact = dedup.embedding_near_duplicates(embeddings, threshold=0.45)
+    exact = dedup.embedding_near_duplicates_exact(embeddings, threshold=0.45)
     lsh = dedup.embedding_near_duplicates_lsh(
         embeddings, threshold=0.45, n_planes=8, dim=64
     )
@@ -191,14 +202,24 @@ def test_cosine_topk_matches_bruteforce(spark, embeddings):
     )
 
 
-def test_knn_join(spark, embeddings):
+def test_knn_join_exact(spark, embeddings):
     small = embeddings.limit(50)
-    out = similarity.knn_join(small, small, k=3).collect()
+    out = similarity.knn_join_exact(small, small, k=3).collect()
     by_left = {}
     for r in out:
         by_left.setdefault(r.id_l, []).append(r)
     assert all(len(v) == 3 for v in by_left.values())
     assert all(r.id_l != r.id_r for r in out)
+
+
+def test_knn_join_default_is_lsh(spark, embeddings):
+    """The unsuffixed name routes to the LSH scale path: no cartesian or
+    nested-loop node in its plan."""
+    small = embeddings.limit(50)
+    out = similarity.knn_join(small, small, k=3, probe_radius=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_ann_index_probe_prunes_partitions(spark, embeddings, tmp_path):
@@ -247,7 +268,7 @@ def test_knn_join_lsh_no_crossjoin_and_recall(spark, embeddings):
     assert all(len(v) <= 3 for v in by_left.values())
     # recall vs the exact crossJoin k-NN: generous radius-4 ball on 8
     # planes should recover at least half the true neighbor pairs
-    exact = similarity.knn_join(small, small, k=3).collect()
+    exact = similarity.knn_join_exact(small, small, k=3).collect()
     e = {(r.id_l, r.id_r) for r in exact}
     a = {(r.id_l, r.id_r) for r in rows}
     assert len(a & e) / len(e) >= 0.5
