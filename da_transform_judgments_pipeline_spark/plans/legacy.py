@@ -98,6 +98,56 @@ def v1_to_v2_event(
     )
 
 
+def v1_to_v2_df(
+    df,
+    queue: str = "tre-tdr-in",
+    uid_col: str = "uid",
+):
+    """Distributed twin of :func:`v1_to_v2_event`: normalize a DataFrame of
+    flat v1 messages (columns `reference, bagit_url, sha_url, ctype,
+    retries` + a caller-supplied deterministic `uid` column standing in for
+    tdr_message.py's uuid4hex) into the v2 envelope fields.
+
+    Semantics mirror the dict adapter row-for-row: the legacy "judgement"
+    spelling (any case) normalizes to "judgment" and unknown types yield
+    NULL `type` (the error path); `retries` defaults to 0 when absent; the
+    execution name is `tre-{ref}-{retry}-{queue}-{uid}` with the reference
+    handler's missing-field fallback to "X" (tdr_message.py:19-41). URLs
+    map into the resource / resource-validation blocks' `value` fields
+    (schema_param_tdr_to_tre.json shape).
+    """
+    from pyspark.sql import functions as F
+
+    lowered = F.lower(F.col("ctype"))
+    norm_type = (
+        F.when(lowered.isin("judgement", "judgment"), F.lit("judgment"))
+        .when(lowered == "standard", F.lit("standard"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    retry_str = F.coalesce(
+        F.col("retries").cast("int").cast("string"), F.lit("X")
+    )
+    return df.select(
+        F.col("reference"),
+        F.lit("bagit-available").alias("event_name"),
+        norm_type.alias("type"),
+        F.col("bagit_url").alias("resource_value"),
+        F.col("sha_url").alias("resource_validation_value"),
+        F.lit("SHA256").alias("validation_method"),
+        F.coalesce(F.col("retries").cast("int"), F.lit(0)).alias(
+            "number_of_retries"
+        ),
+        F.concat_ws(
+            "-",
+            F.lit("tre"),
+            F.coalesce(F.col("reference"), F.lit("X")),
+            retry_str,
+            F.lit(queue),
+            F.col(uid_col),
+        ).alias("execution_name"),
+    )
+
+
 def validate_bagit_v1(
     spark: SparkSession,
     message: dict,

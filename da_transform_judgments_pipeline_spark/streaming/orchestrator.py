@@ -215,6 +215,21 @@ def with_message_attributes(df: DataFrame) -> DataFrame:
     )
 
 
+def replay_guard(batch: DataFrame, seen: DataFrame | None) -> DataFrame:
+    """T10 exactly-once-per-attempt guard: drop rows whose idempotency key
+    (`exec_name`) was already dispatched. The seen side is the processed-key
+    ledger — tiny relative to the batch (keys only), so it broadcasts and
+    the anti-join never shuffles the batch. Reference parity: Step
+    Functions' unique execution names reject duplicate starts
+    (tdr_message.py:19-41); here the ledger + left-anti join is the same
+    contract for arbitrary sinks."""
+    if seen is None:
+        return batch
+    return batch.join(
+        F.broadcast(seen.select("exec_name")), "exec_name", "left_anti"
+    )
+
+
 def _processed_keys(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = os.path.join(out_dir, "processed")
     try:
@@ -273,9 +288,7 @@ def run_pipeline(
         b = batch.select(*flat_cols, "event").persist()
         try:
             # T10 replay guard: drop exec_names we have already dispatched
-            seen = _processed_keys(spark, out_dir)
-            if seen is not None:
-                b = b.join(F.broadcast(seen), "exec_name", "left_anti")
+            b = replay_guard(b, _processed_keys(spark, out_dir))
 
             ok = b.filter(F.col("route") == ROUTE_OK)
             for event_name, stage_fn in stages.items():
