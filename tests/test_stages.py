@@ -233,6 +233,41 @@ def test_v1_execution_name_shape(delivery):
     assert legacy.v1_execution_name({}, unique_id="u").startswith("tre-X-X-")
 
 
+def test_v1_to_v2_df_matches_dict_adapter(spark, delivery):
+    """The distributed adapter row-for-row mirrors v1_to_v2_event /
+    v1_execution_name: type normalization (any-case 'judgement' →
+    'judgment', unknown → NULL), retries default 0, and the execution
+    name's missing-field fallback to 'X'."""
+    rows = [
+        ("TDR-1", "s3://b/1.tar.gz", "s3://b/1.sha", "judgement", 1, "u1"),
+        ("TDR-2", "s3://b/2.tar.gz", "s3://b/2.sha", "JUDGMENT", None, "u2"),
+        ("TDR-3", "s3://b/3.tar.gz", "s3://b/3.sha", "standard", 0, "u3"),
+        ("TDR-4", "s3://b/4.tar.gz", "s3://b/4.sha", "litigation", 2, "u4"),
+    ]
+    df = spark.createDataFrame(
+        rows, "reference string, bagit_url string, sha_url string, "
+        "ctype string, retries int, uid string"
+    )
+    got = {
+        r["reference"]: r
+        for r in legacy.v1_to_v2_df(df, queue="tre-tdr-in").collect()
+    }
+    assert got["TDR-1"]["type"] == "judgment"
+    assert got["TDR-2"]["type"] == "judgment"
+    assert got["TDR-3"]["type"] == "standard"
+    assert got["TDR-4"]["type"] is None  # unknown type → error path
+    assert got["TDR-2"]["number_of_retries"] == 0
+    assert got["TDR-2"]["execution_name"] == "tre-TDR-2-X-tre-tdr-in-u2"
+    # parity with the dict-side name builder at identical inputs
+    assert got["TDR-1"]["execution_name"] == legacy.v1_execution_name(
+        v1_message(delivery, retries=1) | {"consignment-reference": "TDR-1"},
+        queue="tre-tdr-in",
+        unique_id="u1",
+    )
+    assert got["TDR-1"]["resource_value"] == "s3://b/1.tar.gz"
+    assert got["TDR-1"]["resource_validation_value"] == "s3://b/1.sha"
+
+
 def test_v1_ok_path_through_shared_stages(spark, delivery, ctx):
     out = legacy.validate_bagit_v1(spark, v1_message(delivery), ctx)
     assert out["error"] is False

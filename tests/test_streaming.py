@@ -225,6 +225,20 @@ def test_retry_state_sequence(spark, tmp_path):
     ]
 
 
+def test_replay_guard_unit(spark):
+    """replay_guard: seen keys drop, unseen pass, None ledger is identity,
+    and the plan broadcasts the ledger (never shuffles the batch)."""
+    batch = spark.createDataFrame(
+        [("k1", 1), ("k2", 2), ("k3", 3)], ["exec_name", "payload"]
+    )
+    seen = spark.createDataFrame([("k2",)], ["exec_name"])
+    out = orchestrator.replay_guard(batch, seen)
+    assert sorted(r["exec_name"] for r in out.collect()) == ["k1", "k3"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert orchestrator.replay_guard(batch, None) is batch
+
+
 def test_retry_state_batch_twin(spark):
     df = spark.createDataFrame(
         [("A", 0), ("A", 1), ("A", 3), ("B", 1)], ["reference", "retries"]
