@@ -1228,6 +1228,24 @@ def q_m01_binary_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_m03_media_features(spark, sf_dir):
+    """Multimodal decode/feature-extract PLUMBING for real: documents' text
+    bytes as opaque media blobs through multimodal.extract_features'
+    Arrow-batched mapInPandas (the GPU-decode batch shape). The
+    SQL-checkable outputs (n_bytes, sha256) verify the batch path
+    end-to-end; the fake-decode feature vector itself is exercised by
+    tests (not SQL-expressible, so it stays out of this projection)."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = _T(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select("media_id", "n_bytes", "sha256").orderBy("media_id")
+
+
 def q_d05_duplicate_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: MinHash pair discovery piped into
     distributed min-label connected components (iterative edge join +
@@ -1537,6 +1555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e03_ann_lsh_topk": q_e03_ann_lsh_topk,
     "e05_embedding_near_dup_lsh": q_e05_embedding_near_dup_lsh,
     "m02_archive_roundtrip": q_m02_archive_roundtrip,
+    "m03_media_features": q_m03_media_features,
     "d03_minhash_lsh": q_d03_minhash_lsh,
     "d05_duplicate_clusters": q_d05_duplicate_clusters,
     "x09_tfidf": q_x09_tfidf,
@@ -2136,6 +2155,12 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(retries AS VARCHAR), 'X') ||
                    '-tre-tdr-in-' || md5(reference) AS execution_name
             FROM v1 ORDER BY reference
+        """,
+        "m03_media_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents ORDER BY media_id
         """,
         "w02_latest_per_key": """
             SELECT o_custkey, o_orderkey AS latest_orderkey,

@@ -115,6 +115,42 @@ def extract_features(
     )
 
 
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Image resize over mapInPandas — same honest-stub pattern as
+    :func:`extract_features`: the Spark-side shape (Arrow batching, output
+    schema with the new dimensions in ``meta``, executor fan-out) is real;
+    the pixel work is stubbed (``real_decode=True`` raises
+    NotImplementedError — PIL/opencv are not in this container; the stub
+    passes bytes through unchanged so output sizes remain testable)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "image resize requires a codec (PIL/opencv) not present "
+                    "in this environment; plug a decoder into resize_images"
+                )
+            # STUB passthrough: a real implementation decodes, resizes to
+            # (width, height), and re-encodes each blob here.
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["content"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema="media_id long, content binary, width int, height int"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms) the
     decode stage should materialize — pure Catalyst (sequence + explode), so

@@ -50,6 +50,24 @@ def test_real_decode_is_stubbed(media):
     )
 
 
+def test_resize_images_stub_plumbing(media):
+    out = (
+        multimodal.resize_images(media, width=224, height=224)
+        .orderBy("media_id")
+        .collect()
+    )
+    assert len(out) == 8
+    for i, r in enumerate(out):
+        assert (r["width"], r["height"]) == (224, 224)
+        # stub passes bytes through; a real decoder would re-encode
+        assert bytes(r["content"]) == bytes([i % 251]) * (100 + i)
+
+
+def test_resize_images_real_decode_is_stubbed(media):
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        multimodal.resize_images(media, 10, 10, real_decode=True).collect()
+
+
 def test_frame_sample_plan(spark):
     rows = [
         Row(media_id=1, kind="video", mime=None, content=None,
