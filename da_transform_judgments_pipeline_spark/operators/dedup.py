@@ -365,7 +365,14 @@ def minhash_near_duplicates(
     member shares every band key and the band self-join would put an
     O(group²) pair blow-up in one hot bucket — are collapsed to one
     representative (a groupBy on a commutative set fingerprint over the
-    already-computed hashes) BEFORE banding. Intra-group pairs are emitted
+    already-computed hashes) BEFORE banding. With persist_shingles the
+    collapse is SPLIT-routed: a narrow duplicate-key table (one map-side-
+    combined shuffle of 5-int fingerprints) semi/anti-joins the corpus so
+    only duplicate-group docs enter the collapse aggregate while everything
+    else bands map-side — collapse cost scales with the duplicated
+    population, not the corpus, and AQE runtime-sizes the key table
+    (broadcast when small, sort-merge when a boilerplate corpus makes it
+    big). Intra-group pairs are emitted
     directly as jaccard-1.0 rows via a distributed per-group combination
     expression, and verified representative pairs expand back through an
     explode-cross of the member lists that rode the verify joins (no extra
@@ -397,31 +404,64 @@ def minhash_near_duplicates(
     if persist_shingles:
         hp_base = _persist(hp_base)
 
+    split_dups = False
     groups = None
     if collapse_exact:
-        # Collapse each identical-set group to its min-id representative in
-        # ONE pass: set_key and the minhash signature are computed in the
-        # same map-side projection. The groupBy key is ONLY the 5-int
+        # set_key and the minhash signature are computed in the same
+        # map-side projection. The collapse groupBy key is ONLY the 5-int
         # set_key fingerprint — an identical set implies an identical
         # signature, so the signature rides the aggregate as first(sig)
         # instead of bloating the shuffle/grouping key with a k-long array
         # (grouping by the array was measured ~6× slower: every hash/
         # compare touches 64 longs). The shuffle carries (set_key, sig,
-        # id) — k+5 ints per doc, never the hash arrays. No broadcast
-        # anywhere: a distinct-set table is O(corpus) rows and must never
-        # be collected driver-side.
-        groups = (
-            hp_base.select(
+        # id) — k+5 ints per doc, never the hash arrays.
+        keyed = hp_base.select(
+            "id",
+            F.expr(_set_key_sql("hp")).alias("set_key"),
+            F.expr(_sig_sql("hp", k)).alias("sig"),
+        )
+        collapse_input = keyed
+        banded_nondup = None
+        if persist_shingles:
+            # Split routing — collapse cost proportional to the DUPLICATED
+            # population, never the corpus: dup_keys (one narrow shuffle of
+            # 5-int fingerprints, map-side combined) lists the identical-set
+            # groups; docs NOT in any — the overwhelming majority on real
+            # corpora — band map-side off the cached `keyed`, and only
+            # duplicate-group docs enter the collapse aggregate. Everything
+            # stays LAZY (no driver-side probe action): the semi/anti joins
+            # carry no broadcast hint, so AQE sizes dup_keys at runtime and
+            # broadcasts it only when it is actually small — a boilerplate
+            # corpus with a massive duplicate population degrades to a
+            # sort-merge join on the 5-int key, never an unbounded
+            # broadcast. keyed is persisted because both routes scan it and
+            # the signature computation (k×array_min) must run once.
+            split_dups = True
+            keyed = _persist(keyed)
+            # persisted: its two consumers (semi + anti) would otherwise
+            # re-run the fingerprint shuffle (AQE re-plans per subtree, so
+            # exchange reuse across them is not guaranteed — measured ~2x
+            # slower unpersisted)
+            dup_keys = _persist(
+                keyed.select("set_key")
+                .groupBy("set_key")
+                .count()
+                .filter(F.col("count") > 1)
+                .drop("count")
+            )
+            collapse_input = keyed.join(dup_keys, "set_key", "left_semi")
+            banded_nondup = keyed.join(
+                dup_keys, "set_key", "left_anti"
+            ).select(
                 "id",
-                F.expr(_set_key_sql("hp")).alias("set_key"),
-                F.expr(_sig_sql("hp", k)).alias("sig"),
+                F.explode(
+                    F.expr(_bands_sql("sig", bands, rows))
+                ).alias("band"),
             )
-            .groupBy("set_key")
-            .agg(
-                F.first("sig").alias("sig"),
-                F.min("id").alias("rep"),
-                F.sort_array(F.collect_list("id")).alias("members"),
-            )
+        groups = collapse_input.groupBy("set_key").agg(
+            F.first("sig").alias("sig"),
+            F.min("id").alias("rep"),
+            F.sort_array(F.collect_list("id")).alias("members"),
         )
         if persist_shingles:
             # feeds banding, the member expansion, and the intra-group
@@ -431,6 +471,11 @@ def minhash_near_duplicates(
             F.col("rep").alias("id"),
             F.explode(F.expr(_bands_sql("sig", bands, rows))).alias("band"),
         )
+        if banded_nondup is not None:
+            banded = banded_nondup.unionByName(banded)
+        # no banded persist here: both self-join sides re-derive the band
+        # keys with one cheap hash pass over the already-cached keyed/
+        # groups rows — the expensive signature pipeline never re-runs
     else:
         banded = (
             hp_base.withColumn("sig", F.expr(_sig_sql("hp", k)))
@@ -441,13 +486,14 @@ def minhash_near_duplicates(
                 ).alias("band"),
             )
         )
-    if persist_shingles:
-        # the band self-join references `banded` twice; when the planner
-        # picks a broadcast join there is no exchange to reuse, so without
-        # this cache the whole signature pipeline (k×array_min over the
-        # shingle hashes) would execute on BOTH sides. (id, band) is two
-        # ints per doc per band — tiny even at 100 TB corpus scale.
-        banded = _persist(banded)
+        if persist_shingles:
+            # the band self-join references `banded` twice; when the
+            # planner picks a broadcast join there is no exchange to
+            # reuse, so without this cache the whole signature pipeline
+            # (k×array_min over the shingle hashes) would execute on BOTH
+            # sides. (id, band) is two ints per doc per band — tiny even
+            # at 100 TB corpus scale.
+            banded = _persist(banded)
 
     candidates = (
         banded.alias("a")
@@ -485,32 +531,30 @@ def minhash_near_duplicates(
     if not collapse_exact:
         return verified
 
-    # fast path: when NO group has more than one member (the common case —
-    # most corpora have near-dups but few byte-identical shingle sets),
-    # every rep is its own group, the intra-group pair set is empty, and
-    # the expansion joins are identity maps: `verified` IS the answer.
-    # The probe is one cheap action on the already-persisted groups table
-    # (same data-dependent-branch philosophy as AQE), and it saves three
-    # join stages plus a union per call.
-    if persist_shingles and groups.filter(F.size("members") > 1).isEmpty():
-        return verified
-
     # expand representative pairs back to member pairs (same jaccard for
     # every cross pair of the two identical-set groups); membership sides
     # are narrow (rep, member) int pairs and the verified side is the
-    # post-threshold candidate set — AQE picks broadcast when it is small
+    # post-threshold candidate set — AQE picks broadcast when it is small.
+    # In split mode groups holds ONLY duplicate-set groups, so the joins
+    # are LEFT with identity fallback: a verified id with no group row is
+    # its own (sole) member.
     ma = groups.select(
         F.col("rep").alias("id_a"), F.explode("members").alias("m_a")
     )
     mb = groups.select(
         F.col("rep").alias("id_b"), F.explode("members").alias("m_b")
     )
+    join_type = "left" if split_dups else "inner"
     cross = (
-        verified.join(ma, "id_a")
-        .join(mb, "id_b")
+        verified.join(ma, "id_a", join_type)
+        .join(mb, "id_b", join_type)
         .select(
-            F.least("m_a", "m_b").alias("id_a"),
-            F.greatest("m_a", "m_b").alias("id_b"),
+            F.least(
+                F.coalesce("m_a", "id_a"), F.coalesce("m_b", "id_b")
+            ).alias("id_a"),
+            F.greatest(
+                F.coalesce("m_a", "id_a"), F.coalesce("m_b", "id_b")
+            ).alias("id_b"),
             "jaccard",
         )
     )
