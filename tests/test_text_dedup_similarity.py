@@ -81,6 +81,45 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     # precision is exact by construction (candidates verified on true jaccard)
 
 
+def test_minhash_split_collapse_paths_agree(spark, docs):
+    """The three physical routes — split-routed collapse (persisted, the
+    default), full collapse (persist_shingles=False), and no collapse —
+    must produce identical pairs on a corpus CONTAINING identical-set
+    groups, including intra-group jaccard-1.0 rows and member expansion of
+    rep-level matches."""
+    dup1 = docs.limit(6).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    dup2 = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    corpus = docs.unionByName(dup1).unionByName(dup2)
+    key = lambda r: (r.id_a, r.id_b, r.jaccard)  # noqa: E731
+    split = sorted(
+        map(key, dedup.minhash_near_duplicates(corpus, threshold=0.9).collect())
+    )
+    dedup.release_cached()
+    full = sorted(
+        map(
+            key,
+            dedup.minhash_near_duplicates(
+                corpus, threshold=0.9, persist_shingles=False
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(
+            key,
+            dedup.minhash_near_duplicates(
+                corpus, threshold=0.9, collapse_exact=False
+            ).collect(),
+        )
+    )
+    dedup.release_cached()
+    assert split == full == plain
+    # the duplicated docs must appear: each dup pairs with its original
+    pair_set = {(a, b) for a, b, _ in split}
+    originals = [r.doc_id for r in docs.limit(2).select("doc_id").collect()]
+    for o in originals:
+        assert (o, o + 2_000_000) in pair_set
+
+
 def test_simhash_behavior(spark):
     """SimHash invariants on controlled docs: identical text → hamming 0;
     one-token edit on a long doc → small hamming; unrelated text → large.
