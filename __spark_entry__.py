@@ -233,6 +233,98 @@ def q_p11_field_presence(spark, sf_dir):
     )
 
 
+def q_p09_shape_dispatch(spark, sf_dir):
+    """P9 record-shape dispatch (plans/editorial.editorial_integration's
+    list→parser / dict→retry / else→invalid routing,
+    tre_editorial_integration.py:122-132) as a relational twin: payloads of
+    three JSON shapes route by shape probes (is-array via $[0], dict-with-
+    retries via the key) and the dispatch is a map-side CASE."""
+    ev = _T(spark, sf_dir, "events")
+    payload = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit('[{"parser-outputs": "po-'),
+                F.col("event_id").cast("string"),
+                F.lit('"}]'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit('{"number-of-retries": '),
+                (F.col("event_id") % 3).cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .otherwise(F.lit('"just a string"'))
+    )
+    route = (
+        F.when(
+            F.get_json_object(payload, "$[0]").isNotNull(), "parser-output"
+        )
+        .when(
+            F.get_json_object(payload, "$['number-of-retries']").isNotNull(),
+            "retry",
+        )
+        .otherwise("invalid")
+    )
+    return (
+        ev.select(route.alias("route"))
+        .groupBy("route")
+        .agg(F.count("*").alias("n"))
+        .orderBy("route")
+    )
+
+
+def q_p10_block_locator(spark, sf_dir):
+    """P10 block locator + A5 exactly-one guard
+    (plans/editorial._locate_blocks, tre_editorial_integration.py:146-165)
+    as a relational twin: count array elements carrying BOTH required keys
+    (from_json → filter → size, all map-side) and route on the reference's
+    exactly-1 contract."""
+    ev = _T(spark, sf_dir, "events")
+    eid = F.col("event_id").cast("string")
+    block = F.concat(
+        F.lit('{"context": "c-'), eid,
+        F.lit('", "parser-inputs": "pi-'), eid, F.lit('"}'),
+    )
+    payload = (
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(F.lit("["), block, F.lit(', {"noise": "x"}]')),
+        )
+        .when(F.col("event_id") % 4 == 1, F.lit('[{"noise": "x"}]'))
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.concat(F.lit("["), block, F.lit(", "), block, F.lit("]")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('[{"context": "c-'), eid,
+                F.lit('"}, {"parser-inputs": "pi-'), eid, F.lit('"}]'),
+            )
+        )
+    )
+    arr = F.from_json(
+        payload, "array<struct<context:string, `parser-inputs`:string>>"
+    )
+    n_blocks = F.size(
+        F.filter(
+            arr,
+            lambda x: x["context"].isNotNull()
+            & x["parser-inputs"].isNotNull(),
+        )
+    )
+    status = F.when(n_blocks == 1, "ok").otherwise("error")
+    return (
+        ev.select(n_blocks.alias("n_blocks"), status.alias("status"))
+        .groupBy("n_blocks", "status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("n_blocks")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.3 joins
 # ---------------------------------------------------------------------------
@@ -1550,6 +1642,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t09_retry_state_recovery": q_t09_retry_state_recovery,
     "t10_exactly_once_guard": q_t10_exactly_once_guard,
     "l01_v1_legacy_adapter": q_l01_v1_legacy_adapter,
+    "p09_shape_dispatch": q_p09_shape_dispatch,
+    "p10_block_locator": q_p10_block_locator,
     # (d) round-3-touched similarity paths + re-confirmation spread
     "e02_cosine_topk": q_e02_cosine_topk,
     "e03_ann_lsh_topk": q_e03_ann_lsh_topk,
@@ -2155,6 +2249,67 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(retries AS VARCHAR), 'X') ||
                    '-tre-tdr-in-' || md5(reference) AS execution_name
             FROM v1 ORDER BY reference
+        """,
+        "p09_shape_dispatch": """
+            WITH p AS (
+              SELECT CASE CAST(event_id % 3 AS INT)
+                       WHEN 0 THEN '[{"parser-outputs": "po-' ||
+                            CAST(event_id AS VARCHAR) || '"}]'
+                       WHEN 1 THEN '{"number-of-retries": ' ||
+                            CAST(event_id % 3 AS VARCHAR) || '}'
+                       ELSE '"just a string"'
+                     END AS payload
+              FROM events
+            )
+            SELECT CASE
+                     WHEN json_extract(payload, '$[0]') IS NOT NULL
+                          THEN 'parser-output'
+                     WHEN json_extract(payload, '$."number-of-retries"')
+                          IS NOT NULL THEN 'retry'
+                     ELSE 'invalid'
+                   END AS route,
+                   count(*) AS n
+            FROM p GROUP BY 1 ORDER BY route
+        """,
+        "p10_block_locator": """
+            WITH b AS (
+              SELECT event_id,
+                     '{"context": "c-' || CAST(event_id AS VARCHAR) ||
+                     '", "parser-inputs": "pi-' ||
+                     CAST(event_id AS VARCHAR) || '"}' AS blk,
+                     CAST(event_id AS VARCHAR) AS id
+              FROM events
+            ), p AS (
+              SELECT CASE CAST(event_id % 4 AS INT)
+                       WHEN 0 THEN '[' || blk || ', {"noise": "x"}]'
+                       WHEN 1 THEN '[{"noise": "x"}]'
+                       WHEN 2 THEN '[' || blk || ', ' || blk || ']'
+                       ELSE '[{"context": "c-' || id ||
+                            '"}, {"parser-inputs": "pi-' || id || '"}]'
+                     END AS payload
+              FROM b
+            ), c AS (
+              -- constructed payload arrays have at most 2 elements, so the
+              -- locator scan unrolls to fixed-index probes
+              SELECT (
+                CASE WHEN json_extract_string(payload, '$[0].context')
+                          IS NOT NULL
+                      AND json_extract_string(payload,
+                            '$[0]."parser-inputs"') IS NOT NULL
+                     THEN 1 ELSE 0 END
+                + CASE WHEN json_extract_string(payload, '$[1].context')
+                            IS NOT NULL
+                        AND json_extract_string(payload,
+                              '$[1]."parser-inputs"') IS NOT NULL
+                       THEN 1 ELSE 0 END
+              ) AS n_blocks
+              FROM p
+            )
+            SELECT n_blocks,
+                   CASE WHEN n_blocks = 1 THEN 'ok' ELSE 'error' END
+                       AS status,
+                   count(*) AS n
+            FROM c GROUP BY 1, 2 ORDER BY n_blocks
         """,
         "m03_media_features": """
             SELECT doc_id AS media_id,
