@@ -233,6 +233,72 @@ def q_p11_field_presence(spark, sf_dir):
     )
 
 
+def q_s08_csv_scan(spark, sf_dir):
+    """S8 header-CSV scan (sources/bagit.read_file_metadata, the
+    file-metadata.csv reader): parses the committed fixture
+    fixtures/file-metadata.csv — quoted fields with embedded commas and
+    escaped quotes, empty-field→'' fill (DictReader parity), v1.1 required-
+    column check. A file-format scan, so the input is the repo fixture
+    rather than an sf table; DuckDB's read_csv is the oracle on the same
+    bytes."""
+    from da_transform_judgments_pipeline_spark.sources import bagit
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "file-metadata.csv",
+    )
+    df = bagit.read_file_metadata(spark, path)
+    cols = [c for c in df.columns if c != "_row_order"]
+    return df.select(*cols).orderBy("Filepath")
+
+
+def q_p12_event_validation(spark, sf_dir):
+    """P12 event-envelope schema validation (plans/events.validate_events,
+    the DataFrame twin of the reference's JSON-Schema check —
+    schema.json:1-113): envelopes constructed from the events table carry
+    one planted defect class per residue (invalid type, missing producer
+    name, unknown event-name, empty lineage); the validator accumulates an
+    errors array per row (T5 report-then-route, never raise)."""
+    from da_transform_judgments_pipeline_spark.plans import events as evp
+
+    ev = _T(spark, sf_dir, "events")
+    m = F.col("event_id") % 5
+    producer = F.struct(
+        F.lit("test").alias("environment"),
+        F.when(m == 2, F.lit(None).cast("string"))
+        .otherwise(F.lit("TRE"))
+        .alias("name"),
+        F.lit("consignment-export").alias("process"),
+        F.when(m == 1, "litigation").otherwise("judgment").alias("type"),
+        F.when(m == 3, "no-such-event")
+        .otherwise("bagit-available")
+        .alias("event-name"),
+    )
+    uuids = (
+        F.when(m == 4, F.array().cast("array<map<string,string>>"))
+        .otherwise(
+            F.array(
+                F.create_map(
+                    F.lit("TRE-UUID"), F.md5(F.col("event_id").cast("string"))
+                )
+            )
+        )
+    )
+    event = F.struct(
+        F.lit("1.0.0").alias("version"),
+        F.col("event_id").alias("timestamp"),
+        uuids.alias("UUIDs"),
+        producer.alias("producer"),
+    )
+    out = evp.validate_events(ev.select("event_id", event.alias("event")))
+    return out.select(
+        "event_id",
+        F.array_join("errors", ";").alias("errors"),
+        F.size("errors").alias("n_errors"),
+    ).orderBy("event_id")
+
+
 def q_p09_shape_dispatch(spark, sf_dir):
     """P9 record-shape dispatch (plans/editorial.editorial_integration's
     list→parser / dict→retry / else→invalid routing,
@@ -1644,6 +1710,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "l01_v1_legacy_adapter": q_l01_v1_legacy_adapter,
     "p09_shape_dispatch": q_p09_shape_dispatch,
     "p10_block_locator": q_p10_block_locator,
+    "p12_event_validation": q_p12_event_validation,
+    "s08_csv_scan": q_s08_csv_scan,
     # (d) round-3-touched similarity paths + re-confirmation spread
     "e02_cosine_topk": q_e02_cosine_topk,
     "e03_ann_lsh_topk": q_e03_ann_lsh_topk,
@@ -2249,6 +2317,33 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(retries AS VARCHAR), 'X') ||
                    '-tre-tdr-in-' || md5(reference) AS execution_name
             FROM v1 ORDER BY reference
+        """,
+        "s08_csv_scan": """
+            SELECT COALESCE("Filepath", '') AS "Filepath",
+                   COALESCE("FileName", '') AS "FileName",
+                   COALESCE("FileType", '') AS "FileType",
+                   COALESCE("Filesize", '') AS "Filesize",
+                   COALESCE("RightsCopyright", '') AS "RightsCopyright",
+                   COALESCE("LegalStatus", '') AS "LegalStatus",
+                   COALESCE("HeldBy", '') AS "HeldBy",
+                   COALESCE("Language", '') AS "Language",
+                   COALESCE("FoiExemptionCode", '') AS "FoiExemptionCode",
+                   COALESCE("LastModified", '') AS "LastModified",
+                   COALESCE("OriginalFilePath", '') AS "OriginalFilePath"
+            FROM read_csv('/root/repo/fixtures/file-metadata.csv',
+                          header = true, all_varchar = true)
+            ORDER BY "Filepath"
+        """,
+        "p12_event_validation": """
+            SELECT event_id,
+                   CASE CAST(event_id % 5 AS INT)
+                     WHEN 1 THEN 'invalid-producer-type'
+                     WHEN 2 THEN 'missing-producer-name'
+                     WHEN 3 THEN 'invalid-event-name'
+                     WHEN 4 THEN 'empty-uuids'
+                     ELSE '' END AS errors,
+                   CASE WHEN event_id % 5 = 0 THEN 0 ELSE 1 END AS n_errors
+            FROM events ORDER BY event_id
         """,
         "p09_shape_dispatch": """
             WITH p AS (

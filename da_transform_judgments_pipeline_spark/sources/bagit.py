@@ -44,7 +44,12 @@ def read_file_metadata(spark: SparkSession, path: str) -> DataFrame:
     downstream in the transform (strict parity). An `_row_order` column
     preserves input order for byte-exact golden output rendering.
     """
-    df = spark.read.csv(path, header=True, inferSchema=False)
+    # escape='"' = RFC4180 doubled-quote escaping, matching Python's
+    # csv.DictReader (the reference's parser — Spark's default escape is
+    # backslash, which would pass `""` through literally)
+    df = spark.read.csv(
+        path, header=True, inferSchema=False, escape='"'
+    )
     missing = [c for c in FILE_METADATA_COLUMNS_V11 if c not in df.columns]
     if missing:
         raise ValueError(f"file-metadata.csv missing required columns: {missing}")
