@@ -1512,6 +1512,38 @@ def q_x11_repetition(spark, sf_dir):
     )
 
 
+def q_x13_pii_redaction(spark, sf_dir):
+    """PII scrub (text.pii_redact, C4-style corpus cleaning): documents get
+    deterministic planted contact strings, the operator redacts emails +
+    international phone numbers map-side and reports audit counts."""
+    docs = _T(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), did, F.lit("@example.com or +44 20 7946 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    out = text.pii_redact(
+        docs.select("doc_id", planted.alias("text"))
+    )
+    return out.select(
+        "doc_id",
+        F.col("text").alias("redacted"),
+        "n_emails",
+        "n_phones",
+    ).orderBy("doc_id")
+
+
+def q_x14_line_dedup(spark, sf_dir):
+    """Corpus-global line-level dedup (text.line_dedup, C4 §2.2 rule):
+    8-token lines, each distinct line kept only in its min-id owner doc,
+    text reassembled in line order — explode → ownership groupBy →
+    co-partitioned join → reassembly, the bounded-shuffle formulation."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.line_dedup(docs, line_tokens=8).orderBy("doc_id")
+
+
 def q_e06_kmeans(spark, sf_dir):
     """Lloyd's k-means (k=8, 2 iterations, deterministic min-id seeds)
     over the embeddings: map-side assignment against driver-held literal
@@ -1712,21 +1744,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p10_block_locator": q_p10_block_locator,
     "p12_event_validation": q_p12_event_validation,
     "s08_csv_scan": q_s08_csv_scan,
-    # (d) round-3-touched similarity paths + re-confirmation spread
-    "e02_cosine_topk": q_e02_cosine_topk,
-    "e03_ann_lsh_topk": q_e03_ann_lsh_topk,
-    "e05_embedding_near_dup_lsh": q_e05_embedding_near_dup_lsh,
-    "m02_archive_roundtrip": q_m02_archive_roundtrip,
-    "m03_media_features": q_m03_media_features,
+    "x13_pii_redaction": q_x13_pii_redaction,
+    "x14_line_dedup": q_x14_line_dedup,
+    # (d) round-3-touched paths (d03/d05 split-routing, e02/e05 guards) —
+    # these changed this round and need a fresh recorded row
     "d03_minhash_lsh": q_d03_minhash_lsh,
     "d05_duplicate_clusters": q_d05_duplicate_clusters,
+    "e02_cosine_topk": q_e02_cosine_topk,
+    "e05_embedding_near_dup_lsh": q_e05_embedding_near_dup_lsh,
+    "m03_media_features": q_m03_media_features,
+    # ---- position 51+ (past the driver's recording cap): green r1/r2
+    # rows with implementations unchanged since (e03 is the rows-only
+    # check by design), plus the re-confirmation spread displaced by the
+    # round-3 additions; all remain covered by scripts/selfcheck.py
+    "e03_ann_lsh_topk": q_e03_ann_lsh_topk,
+    "m02_archive_roundtrip": q_m02_archive_roundtrip,
     "x09_tfidf": q_x09_tfidf,
     "a05_cardinality_assert": q_a05_cardinality_assert,
     "a16_pivot": q_a16_pivot,
     "w04_running_total": q_w04_running_total,
     "j02_verification_join": q_j02_verification_join,
-    # ---- position 51+ (past the driver's recording cap): double-green in
-    # r1+r2 with implementations unchanged since
     "s01_prefix_scan": q_s01_prefix_scan,
     "s02_existence_probe": q_s02_existence_probe,
     "s03_max_numeric_subfolder": q_s03_max_numeric_subfolder,
@@ -2317,6 +2354,60 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CAST(retries AS VARCHAR), 'X') ||
                    '-tre-tdr-in-' || md5(reference) AS execution_name
             FROM v1 ORDER BY reference
+        """,
+        "x13_pii_redaction": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+                     '@example.com or +44 20 7946 ' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+                         AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\\+\\d{2} \\d{2} \\d{4} \\d{4}', '<PHONE>', 'g')
+                       AS redacted,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                     '\\+\\d{2} \\d{2} \\d{4} \\d{4}')) AS INT) AS n_phones
+            FROM planted ORDER BY doc_id
+        """,
+        "x14_line_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), lines AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(0, CAST(ceil(len(tk) / 8.0) AS INT)),
+                       i -> struct_pack(
+                         line_no := i,
+                         line := array_to_string(tk[i*8+1 : i*8+8], ' ')
+                       )), recursive := true)
+              FROM toks
+              WHERE len(tk) > 0
+            ), owned AS (
+              SELECT doc_id, line_no, line,
+                     min(doc_id) OVER (PARTITION BY line) AS owner
+              FROM lines
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(
+                     CASE WHEN doc_id = owner THEN line END,
+                     ' ' ORDER BY line_no), '') AS text_deduped,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN doc_id = owner THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM owned GROUP BY doc_id ORDER BY doc_id
         """,
         "s08_csv_scan": """
             SELECT COALESCE("Filepath", '') AS "Filepath",

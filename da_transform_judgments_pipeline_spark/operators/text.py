@@ -496,3 +496,103 @@ def quality_filter(
     return out.withColumn("fail_reason", fail).withColumn(
         "keep", F.when(fail.isNull(), 1).otherwise(0)
     )
+
+
+# map-side PII patterns: kept to syntax valid in BOTH Java regex (Spark)
+# and RE2 (DuckDB/oracle) so the redaction is engine-reproducible
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+\\d{2} \\d{2} \\d{4} \\d{4}"
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """PII scrub for training corpora (C4/RefinedWeb-style cleaning):
+    replace email addresses and international-format phone numbers with
+    redaction tokens, and report per-document match counts for audit.
+
+    Pure map-side Catalyst (regexp_replace / regexp_extract_all) — no
+    shuffle, codegen'd, pushes through the scan at 100 TB. Patterns are
+    deliberately portable (Java regex ∩ RE2); real deployments extend the
+    pattern list (SSNs, IPs, street addresses) the same way."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, email_token),
+        PII_PHONE_RE,
+        phone_token,
+    )
+    return (
+        df.withColumn(
+            "n_emails",
+            F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))),
+        )
+        .withColumn(
+            "n_phones",
+            F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0))),
+        )
+        .withColumn(text_col, redacted)
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-global line-level dedup (C4's "discard duplicated lines
+    across documents" rule, Raffel et al. 2020 §2.2): documents split into
+    fixed-width token lines; each distinct line is KEPT only in its
+    minimum-id owner document and removed everywhere else; per-document
+    text is reassembled in original line order.
+
+    Output: (id, text_deduped, n_lines, n_kept). Docs with no tokens drop
+    (no lines to own).
+
+    Scale shape: one explode (inherent — the unit of dedup is the line),
+    one groupBy on line content for ownership (map-side partial min), one
+    join back co-partitioned on the same line key (no extra Exchange on
+    the big side), one reassembly groupBy on id. Line strings shuffle
+    once; at 100 TB hash the line to a 128-bit fingerprint first if line
+    text is long (the join key stays narrow)."""
+    L = line_tokens
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+        .filter(F.size("tk") > 0)
+    )
+    n_lines = F.ceil(F.size("tk") / F.lit(float(L))).cast("int")
+    lines = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_no"),
+        "tk",
+    ).select(
+        "id",
+        "line_no",
+        F.array_join(
+            F.slice("tk", F.col("line_no") * L + 1, F.lit(L)), " "
+        ).alias("line"),
+    )
+    owners = lines.groupBy("line").agg(F.min("id").alias("owner"))
+    joined = lines.join(owners, "line").withColumn(
+        "kept", (F.col("id") == F.col("owner")).cast("long")
+    )
+    kept_struct = F.when(
+        F.col("kept") == 1, F.struct("line_no", "line")
+    )
+    out = joined.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("kept").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )
+    return out.withColumnRenamed("id", id_col).select(
+        id_col, "text_deduped", "n_lines", "n_kept"
+    )

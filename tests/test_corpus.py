@@ -273,3 +273,61 @@ def test_quality_filter_is_map_side(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pii_redact_emails_and_phones(spark):
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        pii_redact,
+    )
+
+    rows = [
+        (1, "reach me at jane.doe+spam@example.co.uk thanks"),
+        (2, "call +44 20 7946 0958 or +33 14 5555 1234 today"),
+        (3, "clean text with no contact details at all"),
+        (4, "two mails a@b.io and c.d@e-f.org plus +49 30 1234 5678"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert out[1].n_emails == 1 and "<EMAIL>" in out[1].text
+    assert "jane.doe" not in out[1].text
+    assert out[2].n_phones == 2 and out[2].text.count("<PHONE>") == 2
+    assert out[3].n_emails == 0 and out[3].n_phones == 0
+    assert out[3].text == rows[2][1]
+    assert out[4].n_emails == 2 and out[4].n_phones == 1
+
+
+def test_pii_redact_is_map_side(spark):
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        pii_redact,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_line_dedup_keeps_min_id_owner(spark):
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        line_dedup,
+    )
+
+    shared = "one two three four"  # a full 4-token line, shared verbatim
+    rows = [
+        (1, shared + " alpha beta gamma delta"),
+        (2, shared + " epsilon zeta eta theta"),
+        (3, "totally unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in line_dedup(df, line_tokens=4).collect()
+    }
+    # doc 1 owns the shared line (min id); doc 2 loses it
+    assert out[1].n_lines == 2 and out[1].n_kept == 2
+    assert out[2].n_lines == 2 and out[2].n_kept == 1
+    assert shared in out[1].text_deduped
+    assert shared not in out[2].text_deduped
+    assert out[2].text_deduped == "epsilon zeta eta theta"
+    assert out[3].n_kept == 1
+    # reassembly preserves original line order
+    assert out[1].text_deduped == rows[0][1]
