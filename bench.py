@@ -53,6 +53,7 @@ HEADLINE = [
     "x01_text_stats",
     "x03_bpe_token_count",
     "x12_quality_filter",
+    "x14_line_dedup",
 ]
 
 
