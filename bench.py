@@ -39,9 +39,14 @@ HEADLINE = [
     "o01_set_operations",
     "w02_latest_per_key",
     "w04_running_total",
+    "w05_top_orders_per_customer",
     "t01_tumbling_window",
     "t08_sessionization",
+    "t09_retry_state_recovery",
+    "t10_exactly_once_guard",
+    "l01_v1_legacy_adapter",
     "o02_asof_join",
+    "o03_range_count_join",
     "d01_exact_dedup_stats",
     "d03_minhash_lsh",
     "d06_incremental_dedup",
@@ -53,6 +58,7 @@ HEADLINE = [
     "x01_text_stats",
     "x03_bpe_token_count",
     "x12_quality_filter",
+    "x13_pii_redaction",
     "x14_line_dedup",
 ]
 
@@ -140,6 +146,38 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         if best is not None:
             timings[name] = round(best, 3)
+
+    # Cold ANN index-build rows: e03/e07 time the probe against a prebuilt
+    # on-disk index (the intended serving shape), which leaves the
+    # amortized build cost invisible. These two rows surface it — each
+    # build runs ONCE (cold, no min-of-runs: a build is a one-time cost by
+    # definition) into a throwaway dir, never touching the shared cache the
+    # probe queries use.
+    import shutil
+    import tempfile
+
+    from da_transform_judgments_pipeline_spark.operators import (
+        clustering,
+        similarity,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench-ann-build-")
+    try:
+        emb = entrymod._T(spark, sf_dir, "embeddings")
+        qvec = entrymod._query_vec(spark, sf_dir)
+        t0 = time.perf_counter()
+        similarity.build_ann_index(
+            emb, os.path.join(tmp, "srp"), n_planes=8, seed=42, dim=len(qvec)
+        )
+        timings["build_ann_index"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        cent = clustering.kmeans_fit(emb, k=16, updates=1)
+        similarity.build_ivf_index(emb, os.path.join(tmp, "ivf"), cent)
+        timings["build_ivf_index"] = round(time.perf_counter() - t0, 3)
+    except Exception as ex:
+        errors["build_index"] = f"{type(ex).__name__}: {ex}"[:300]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -338,6 +338,27 @@ _MEMBER_PAIRS_SQL = (
 )
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimizer size estimate for a plan (bytes): file-size
+    based for scans, propagated through projections — read off the
+    optimized logical plan's statistics, no job triggered. None when the
+    estimate is unavailable (non-JVM plans, API drift)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
+# Corpora whose scan estimate is below this are "bench-scale": the split
+# routing's two extra persists + semi/anti joins cost more wall-clock than
+# the full-corpus collapse shuffle they avoid (~0.9 s flat overhead
+# measured at sf0.1 / ~5k docs). Above it — O(10⁶) docs and beyond — the
+# avoided (k+5)-int-per-doc collapse shuffle dominates and the split wins.
+SPLIT_DUPS_AUTO_THRESHOLD_BYTES = 256 << 20
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -349,6 +370,7 @@ def minhash_near_duplicates(
     persist_shingles: bool = True,
     collapse_exact: bool = True,
     max_group_pairs: int = 10_000_000,
+    split_dups: bool | str = "auto",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with EXACT Jaccard verification.
 
@@ -365,14 +387,23 @@ def minhash_near_duplicates(
     member shares every band key and the band self-join would put an
     O(group²) pair blow-up in one hot bucket — are collapsed to one
     representative (a groupBy on a commutative set fingerprint over the
-    already-computed hashes) BEFORE banding. With persist_shingles the
-    collapse is SPLIT-routed: a narrow duplicate-key table (one map-side-
-    combined shuffle of 5-int fingerprints) semi/anti-joins the corpus so
-    only duplicate-group docs enter the collapse aggregate while everything
-    else bands map-side — collapse cost scales with the duplicated
-    population, not the corpus, and AQE runtime-sizes the key table
-    (broadcast when small, sort-merge when a boilerplate corpus makes it
-    big). Intra-group pairs are emitted
+    already-computed hashes) BEFORE banding. When ``split_dups`` is active
+    the collapse is SPLIT-routed: a narrow duplicate-key table (one map-
+    side-combined shuffle of 5-int fingerprints) semi/anti-joins the corpus
+    so only duplicate-group docs enter the collapse aggregate while
+    everything else bands map-side — collapse cost scales with the
+    duplicated population, not the corpus, and AQE runtime-sizes the key
+    table (broadcast when small, sort-merge when a boilerplate corpus makes
+    it big). ``split_dups="auto"`` (default) routes through the split only
+    when the corpus's optimizer size estimate clears
+    SPLIT_DUPS_AUTO_THRESHOLD_BYTES (or is unknown — scale-safe default):
+    at bench scale the split's two extra persists + probe joins are pure
+    overhead (~0.9 s flat at sf0.1) while the full-corpus collapse shuffle
+    they avoid is tiny, so small corpora take the plain collapse groupBy;
+    at the 100 TB design point the avoided (k+5)-int-per-doc shuffle
+    dominates and auto picks the split. ``True``/``False`` force either
+    route (the split additionally requires persist_shingles — both probe
+    routes scan the keyed frame). Intra-group pairs are emitted
     directly as jaccard-1.0 rows via a distributed per-group combination
     expression, and verified representative pairs expand back through an
     explode-cross of the member lists that rode the verify joins (no extra
@@ -404,7 +435,14 @@ def minhash_near_duplicates(
     if persist_shingles:
         hp_base = _persist(hp_base)
 
-    split_dups = False
+    if isinstance(split_dups, str):
+        if split_dups != "auto":
+            raise ValueError(
+                f"split_dups must be True, False or 'auto', got {split_dups!r}"
+            )
+        est = _plan_size_bytes(df)
+        split_dups = est is None or est >= SPLIT_DUPS_AUTO_THRESHOLD_BYTES
+    use_split = bool(split_dups) and persist_shingles and collapse_exact
     groups = None
     if collapse_exact:
         # set_key and the minhash signature are computed in the same
@@ -422,7 +460,7 @@ def minhash_near_duplicates(
         )
         collapse_input = keyed
         banded_nondup = None
-        if persist_shingles:
+        if use_split:
             # Split routing — collapse cost proportional to the DUPLICATED
             # population, never the corpus: dup_keys (one narrow shuffle of
             # 5-int fingerprints, map-side combined) lists the identical-set
@@ -436,7 +474,6 @@ def minhash_near_duplicates(
             # sort-merge join on the 5-int key, never an unbounded
             # broadcast. keyed is persisted because both routes scan it and
             # the signature computation (k×array_min) must run once.
-            split_dups = True
             keyed = _persist(keyed)
             # persisted: its two consumers (semi + anti) would otherwise
             # re-run the fingerprint shuffle (AQE re-plans per subtree, so
@@ -544,7 +581,7 @@ def minhash_near_duplicates(
     mb = groups.select(
         F.col("rep").alias("id_b"), F.explode("members").alias("m_b")
     )
-    join_type = "left" if split_dups else "inner"
+    join_type = "left" if use_split else "inner"
     cross = (
         verified.join(ma, "id_a", join_type)
         .join(mb, "id_b", join_type)
@@ -805,17 +842,38 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    **lsh_kwargs,
+    method: str = "lsh",
+    **method_kwargs,
 ) -> DataFrame:
     """Embedding near-dup pairs — DEFAULT is the SRP-bucketed scale path
     (:func:`embedding_near_duplicates_lsh`): candidate pairs come from
     hamming-ball bucket collisions, exact cosine verify only on candidates;
     no all-pairs term anywhere, safe at 100 TB. Recall tunes with
-    ``n_planes``/``probe_radius`` passed through ``lsh_kwargs``. For the
-    exact blocked all-pairs form — the small-corpus oracle, O(n²) flops —
-    call :func:`embedding_near_duplicates_exact` explicitly."""
+    ``n_planes``/``probe_radius`` passed through ``method_kwargs``.
+
+    BEHAVIOR CHANGE (round 3): this name previously ran the exact blocked
+    all-pairs form and now defaults to the approximate LSH path — recall
+    can be < 1, so callers relying on exhaustive pairs get silently fewer
+    rows unless they opt back in. The routing is now EXPLICIT: pass
+    ``method="exact"`` for the old exhaustive behavior
+    (:func:`embedding_near_duplicates_exact`, O(n²) — small corpora only)
+    or ``method="lsh"`` (default) for the scale path."""
+    if method == "exact":
+        return embedding_near_duplicates_exact(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            **method_kwargs,
+        )
+    if method != "lsh":
+        raise ValueError(f"method must be 'lsh' or 'exact', got {method!r}")
     return embedding_near_duplicates_lsh(
-        df, id_col=id_col, vec_col=vec_col, threshold=threshold, **lsh_kwargs
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        **method_kwargs,
     )
 
 

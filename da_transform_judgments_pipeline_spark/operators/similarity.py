@@ -44,24 +44,33 @@ def knn_join(
     right_id: str = "vec_id",
     left_vec: str = "embedding",
     right_vec: str = "embedding",
-    **lsh_kwargs,
+    method: str = "lsh",
+    **method_kwargs,
 ) -> DataFrame:
     """k-NN join — DEFAULT is the LSH-bucketed scale path
     (:func:`knn_join_lsh`): no crossJoin node, shuffle bounded by bucket
     collisions, safe at 100 TB. Approximate (recall tunes with
-    ``probe_radius``/``n_planes`` passed through ``lsh_kwargs``). For the
-    exact brute-force form — the small-corpus oracle, O(|L|·|R|) — call
-    :func:`knn_join_exact` explicitly. Output (id_l, id_r, cosine, rank)."""
-    return knn_join_lsh(
-        left,
-        right,
+    ``probe_radius``/``n_planes`` passed through ``method_kwargs``).
+
+    BEHAVIOR CHANGE (round 3): this name previously ran the exact
+    brute-force join and now defaults to the approximate LSH path — left
+    rows whose true neighbors fall outside the probe ball lose them. The
+    routing is now EXPLICIT: pass ``method="exact"`` for the old exhaustive
+    behavior (:func:`knn_join_exact`, O(|L|·|R|) — small corpora only) or
+    ``method="lsh"`` (default). Output (id_l, id_r, cosine, rank)."""
+    kwargs = dict(
         k=k,
         left_id=left_id,
         right_id=right_id,
         left_vec=left_vec,
         right_vec=right_vec,
-        **lsh_kwargs,
+        **method_kwargs,
     )
+    if method == "exact":
+        return knn_join_exact(left, right, **kwargs)
+    if method != "lsh":
+        raise ValueError(f"method must be 'lsh' or 'exact', got {method!r}")
+    return knn_join_lsh(left, right, **kwargs)
 
 
 def knn_join_exact(

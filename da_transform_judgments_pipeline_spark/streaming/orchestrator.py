@@ -217,17 +217,22 @@ def with_message_attributes(df: DataFrame) -> DataFrame:
 
 def replay_guard(batch: DataFrame, seen: DataFrame | None) -> DataFrame:
     """T10 exactly-once-per-attempt guard: drop rows whose idempotency key
-    (`exec_name`) was already dispatched. The seen side is the processed-key
-    ledger — tiny relative to the batch (keys only), so it broadcasts and
-    the anti-join never shuffles the batch. Reference parity: Step
-    Functions' unique execution names reject duplicate starts
-    (tdr_message.py:19-41); here the ledger + left-anti join is the same
-    contract for arbitrary sinks."""
+    (`exec_name`) was already dispatched. Reference parity: Step Functions'
+    unique execution names reject duplicate starts (tdr_message.py:19-41);
+    here the ledger + left-anti join is the same contract for arbitrary
+    sinks.
+
+    No broadcast hint: the processed-key ledger GROWS without bound across
+    pipeline batches (every dispatched key, forever), so forcing a
+    broadcast would eventually exceed driver/executor memory on a
+    long-lived pipeline. AQE sizes the join at runtime — broadcast while
+    the ledger is genuinely small, shuffled anti-join once it isn't.
+    Deployments that must keep the broadcast fast-path should bound the
+    ledger themselves (key-range pruning by batch window, or compaction of
+    retired consignments) before calling."""
     if seen is None:
         return batch
-    return batch.join(
-        F.broadcast(seen.select("exec_name")), "exec_name", "left_anti"
-    )
+    return batch.join(seen.select("exec_name"), "exec_name", "left_anti")
 
 
 def _processed_keys(spark: SparkSession, out_dir: str) -> DataFrame | None:

@@ -82,17 +82,23 @@ def test_minhash_finds_planted_near_dups(spark, docs):
 
 
 def test_minhash_split_collapse_paths_agree(spark, docs):
-    """The three physical routes — split-routed collapse (persisted, the
-    default), full collapse (persist_shingles=False), and no collapse —
-    must produce identical pairs on a corpus CONTAINING identical-set
-    groups, including intra-group jaccard-1.0 rows and member expansion of
-    rep-level matches."""
+    """The three physical routes — split-routed collapse (forced: the auto
+    gate keeps test-scale corpora on the plain route), full collapse
+    (persist_shingles=False), and no collapse — must produce identical
+    pairs on a corpus CONTAINING identical-set groups, including
+    intra-group jaccard-1.0 rows and member expansion of rep-level
+    matches."""
     dup1 = docs.limit(6).withColumn("doc_id", F.col("doc_id") + 1_000_000)
     dup2 = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 2_000_000)
     corpus = docs.unionByName(dup1).unionByName(dup2)
     key = lambda r: (r.id_a, r.id_b, r.jaccard)  # noqa: E731
     split = sorted(
-        map(key, dedup.minhash_near_duplicates(corpus, threshold=0.9).collect())
+        map(
+            key,
+            dedup.minhash_near_duplicates(
+                corpus, threshold=0.9, split_dups=True
+            ).collect(),
+        )
     )
     dedup.release_cached()
     full = sorted(
@@ -118,6 +124,45 @@ def test_minhash_split_collapse_paths_agree(spark, docs):
     originals = [r.doc_id for r in docs.limit(2).select("doc_id").collect()]
     for o in originals:
         assert (o, o + 2_000_000) in pair_set
+
+
+def test_minhash_split_dups_auto_gate(spark, docs):
+    """split_dups="auto" (default) routes by the optimizer's corpus size
+    estimate: test/bench-scale corpora take the plain collapse (the split's
+    two extra persists + probe joins were the r3 d03 bench regression —
+    pure overhead when the avoided full-corpus shuffle is tiny), while
+    large or unestimable plans take the split. Observable in the optimized
+    plan: the split route carries the LeftSemi (collapse input restricted
+    to duplicate-key groups — the 100 TB win: collapse cost tracks the
+    DUPLICATED population) and LeftAnti (everything else bands map-side,
+    no collapse shuffle at all) probe joins; the plain route has neither.
+    Both routes must agree on results."""
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    small = dedup.minhash_near_duplicates(docs, threshold=0.9)
+    p_small = plan(small)
+    assert "LeftSemi" not in p_small and "LeftAnti" not in p_small
+
+    forced = dedup.minhash_near_duplicates(
+        docs, threshold=0.9, split_dups=True
+    )
+    p_forced = plan(forced)
+    assert "LeftSemi" in p_forced and "LeftAnti" in p_forced
+
+    # the gate itself: a tiny corpus estimates far below the threshold
+    est = dedup._plan_size_bytes(docs)
+    assert est is not None and est < dedup.SPLIT_DUPS_AUTO_THRESHOLD_BYTES
+
+    key = lambda r: (r.id_a, r.id_b, r.jaccard)  # noqa: E731
+    assert sorted(map(key, small.collect())) == sorted(
+        map(key, forced.collect())
+    )
+    dedup.release_cached()
+
+    with pytest.raises(ValueError, match="split_dups"):
+        dedup.minhash_near_duplicates(docs, split_dups="sometimes")
 
 
 def test_simhash_behavior(spark):
