@@ -354,9 +354,14 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
 # Corpora whose scan estimate is below this are "bench-scale": the split
 # routing's two extra persists + semi/anti joins cost more wall-clock than
 # the full-corpus collapse shuffle they avoid (~0.9 s flat overhead
-# measured at sf0.1 / ~5k docs). Above it — O(10⁶) docs and beyond — the
-# avoided (k+5)-int-per-doc collapse shuffle dominates and the split wins.
-SPLIT_DUPS_AUTO_THRESHOLD_BYTES = 256 << 20
+# measured at sf0.1 / ~5k docs). Above it the avoided (k+5)-int-per-doc
+# collapse shuffle dominates and the split wins. Calibrated empirically on
+# local[32] (scripts/skew_blowup.py, round 4): at a ~40 MB / 51k-doc
+# mostly-unique corpus the split still loses (5.1s plain vs 6.6s split);
+# at ~160 MB / 204k docs it wins 2.1× (20.9s plain vs 9.9s split) — the
+# crossover sits between, so 64 MB routes both measured points correctly
+# with margin.
+SPLIT_DUPS_AUTO_THRESHOLD_BYTES = 64 << 20
 
 
 def minhash_near_duplicates(

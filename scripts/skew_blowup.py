@@ -1,0 +1,198 @@
+"""One-off skew/scale validation of the dedup layer's hardening claims,
+executed (not just plan-asserted) beyond bench scale:
+
+1. DUP-HEAVY blow-up — the sf0.1 documents table duplicated ×50 (every
+   text in 50 identical-set copies, 250k docs): the collapse must keep the
+   band self-join un-blown (no O(group²) hot bucket), the quadratic-output
+   guard must stay below its cap while emitting the full ~6.1M-pair
+   contract, and d03 / d05 (connected components) / x14 (line-level dedup)
+   must complete without OOM. Wall times recorded.
+
+2. SPLIT WIN CASE — a large mostly-unique corpus (200k unique synthetic
+   docs + 2% duplicated population): split routing's claim is that the
+   collapse shuffle cost tracks the DUPLICATED population, not the corpus
+   — the unique majority bands map-side behind the LeftAnti probe instead
+   of paying the (k+5)-int-per-doc collapse shuffle. Timed split vs plain,
+   min of `RUNS`.
+
+Writes one JSON line per check to stdout and appends a summary to
+SKEWCHECK_r04.md. Usage: python scripts/skew_blowup.py [--quick]
+(--quick drops the blow-up factor to ×10 and the win corpus to 50k docs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    factor = 10 if quick else 50
+    n_unique = 50_000 if quick else 200_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from da_transform_judgments_pipeline_spark.operators import dedup, text
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("skew-blowup")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+
+    # ---- 1. dup-heavy blow-up -------------------------------------------
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_docs = docs.count()
+    copies = F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+    blown = (
+        docs.select("doc_id", "text", copies.alias("copy"))
+        .select(
+            (F.col("doc_id") * factor + F.col("copy")).alias("doc_id"),
+            "text",
+        )
+    )
+    # materialize once so each timed run reads a stable input, like a table
+    blown_path = "/tmp/skew_blowup_docs"
+    blown.write.mode("overwrite").parquet(blown_path)
+    blown = spark.read.parquet(blown_path)
+    n_blown = blown.count()
+
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_near_duplicates(blown, threshold=0.9)
+    n_pairs = pairs.count()
+    d03_s = time.perf_counter() - t0
+    dedup.release_cached()
+    # every original text is one identical-set group of `factor` members →
+    # at least n_docs * C(factor,2) intra pairs must come out
+    floor = n_docs * factor * (factor - 1) // 2
+    results["d03_dup_heavy"] = {
+        "docs": n_blown,
+        "pairs": n_pairs,
+        "intra_floor": floor,
+        "sec": round(d03_s, 2),
+        "ok": n_pairs >= floor,
+    }
+
+    t0 = time.perf_counter()
+    clusters = dedup.duplicate_clusters(blown, threshold=0.9)
+    n_clustered = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    d05_s = time.perf_counter() - t0
+    dedup.release_cached()
+    # every blown doc joins some cluster; cluster count ≤ distinct texts
+    results["d05_dup_heavy"] = {
+        "rows": n_clustered,
+        "clusters": n_clusters,
+        "sec": round(d05_s, 2),
+        "ok": n_clusters <= n_docs,
+    }
+
+    t0 = time.perf_counter()
+    deduped = text.line_dedup(blown, line_tokens=8)
+    n_x14 = deduped.count()
+    x14_s = time.perf_counter() - t0
+    results["x14_dup_heavy"] = {
+        "rows": n_x14,
+        "sec": round(x14_s, 2),
+        "ok": n_x14 == n_blown,
+    }
+
+    # ---- 2. split win case: large mostly-unique corpus ------------------
+    # deterministic unique texts (md5-derived tokens, ~24 tokens/doc) plus
+    # a 2% duplicated population in groups of 5
+    base = spark.range(n_unique).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{i}")))
+                for i in range(24)
+            ],
+        ).alias("text"),
+    )
+    dup_groups = n_unique // 250  # 2% of docs duplicated, groups of 5
+    dups = (
+        spark.range(dup_groups)
+        .select(F.col("id").alias("g"))
+        .select(
+            F.col("g"),
+            F.explode(F.array(*[F.lit(i) for i in range(5)])).alias("m"),
+        )
+        .select(
+            (F.lit(n_unique) + F.col("g") * 5 + F.col("m")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.md5(
+                        F.concat(
+                            F.lit("dup:"),
+                            F.col("g").cast("string"),
+                            F.lit(f":{i}"),
+                        )
+                    )
+                    for i in range(24)
+                ],
+            ).alias("text"),
+        )
+    )
+    win_path = "/tmp/skew_blowup_unique"
+    base.unionByName(dups).write.mode("overwrite").parquet(win_path)
+    corpus = spark.read.parquet(win_path)
+    n_corpus = corpus.count()
+
+    timings: dict[str, float] = {}
+    pair_counts: dict[str, int] = {}
+    for mode, kw in [("plain", {"split_dups": False}), ("split", {"split_dups": True})]:
+        best = None
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            pair_counts[mode] = dedup.minhash_near_duplicates(
+                corpus, threshold=0.9, **kw
+            ).count()
+            el = time.perf_counter() - t0
+            dedup.release_cached()
+            best = el if best is None else min(best, el)
+        timings[mode] = round(best, 2)
+    results["split_win_case"] = {
+        "docs": n_corpus,
+        "dup_docs": dup_groups * 5,
+        "pairs_plain": pair_counts["plain"],
+        "pairs_split": pair_counts["split"],
+        "plain_sec": timings["plain"],
+        "split_sec": timings["split"],
+        "results_agree": pair_counts["plain"] == pair_counts["split"],
+        "split_wins": timings["split"] <= timings["plain"],
+    }
+
+    print(json.dumps(results))
+    ok = all(v.get("ok", True) for v in results.values()) and results[
+        "split_win_case"
+    ]["results_agree"]
+
+    with open(os.path.join(REPO, "SKEWCHECK_r04.md"), "w") as f:
+        f.write("# Skew / scale blow-up validation (round 4)\n\n")
+        f.write(
+            f"Executed on local[32], factor ×{factor}, win-corpus "
+            f"{n_corpus} docs, min of {RUNS} runs.\n\n```json\n"
+            + json.dumps(results, indent=2)
+            + "\n```\n"
+        )
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

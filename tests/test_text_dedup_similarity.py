@@ -336,6 +336,44 @@ def test_ann_index_probe_prunes_partitions(spark, embeddings, tmp_path):
     assert [key(r) for r in rows] == [key(r) for r in flat.collect()]
 
 
+def test_embedding_near_dup_method_routing(spark, embeddings):
+    """The unsuffixed names dispatch on method=: 'exact' runs the blocked
+    all-pairs oracle form, 'lsh' (default) the SRP-bucketed path, anything
+    else raises — the r3 silent-semantics-change is now an explicit knob."""
+    small = embeddings.limit(60)
+    ex = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_duplicates(
+            small, threshold=0.45, method="exact"
+        ).collect()
+    }
+    default = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_duplicates(small, threshold=0.45).collect()
+    }
+    assert default <= ex  # LSH recall ≤ exact, precision exact-on-candidates
+    with pytest.raises(ValueError, match="method"):
+        dedup.embedding_near_duplicates(small, method="fuzzy")
+    with pytest.raises(ValueError, match="method"):
+        similarity.knn_join(small, small, method="fuzzy")
+
+
+def test_ann_index_full_radius_is_exact(spark, embeddings, tmp_path):
+    """The SRP index at its exact endpoint (max_hamming = n_planes: the
+    hamming ball covers all 2^n signatures, so the probe reads the whole
+    index): the result must equal brute-force cosine_topk, values AND
+    order — the exactness contract the e09 oracle query relies on."""
+    path = str(tmp_path / "ann_index_full")
+    similarity.build_ann_index(embeddings, path, n_planes=8, seed=42, dim=64)
+    q = list(embeddings.filter(F.col("vec_id") == 1).first().embedding)
+    full = similarity.ann_topk_indexed(
+        spark, path, q, k=10, n_planes=8, max_hamming=8, seed=42
+    ).collect()
+    brute = similarity.cosine_topk(embeddings, q, k=10).collect()
+    key = lambda r: (r.id, r.cosine)  # noqa: E731
+    assert [key(r) for r in full] == [key(r) for r in brute]
+
+
 def test_knn_join_lsh_no_crossjoin_and_recall(spark, embeddings):
     small = embeddings.limit(100)
     out = similarity.knn_join_lsh(
