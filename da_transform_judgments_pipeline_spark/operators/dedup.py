@@ -574,22 +574,24 @@ def minhash_near_duplicates(
         return verified
 
     # expand representative pairs back to member pairs (same jaccard for
-    # every cross pair of the two identical-set groups); membership sides
-    # are narrow (rep, member) int pairs and the verified side is the
-    # post-threshold candidate set — AQE picks broadcast when it is small.
-    # In split mode groups holds ONLY duplicate-set groups, so the joins
-    # are LEFT with identity fallback: a verified id with no group row is
-    # its own (sole) member.
-    ma = groups.select(
+    # every cross pair of the two identical-set groups). The membership
+    # sides carry ONLY duplicate-set groups (in plain mode singleton
+    # groups — the overwhelming majority — are filtered out; in split mode
+    # groups never held them), so they stay narrow (dup reps × members)
+    # and AQE broadcasts them against the post-threshold candidate set.
+    # The joins are LEFT with identity fallback: a verified id with no
+    # dup-group row is its own (sole) member.
+    n_members = F.size("members")
+    dup_groups = groups if use_split else groups.filter(n_members > 1)
+    ma = dup_groups.select(
         F.col("rep").alias("id_a"), F.explode("members").alias("m_a")
     )
-    mb = groups.select(
+    mb = dup_groups.select(
         F.col("rep").alias("id_b"), F.explode("members").alias("m_b")
     )
-    join_type = "left" if use_split else "inner"
     cross = (
-        verified.join(ma, "id_a", join_type)
-        .join(mb, "id_b", join_type)
+        verified.join(ma, "id_a", "left")
+        .join(mb, "id_b", "left")
         .select(
             F.least(
                 F.coalesce("m_a", "id_a"), F.coalesce("m_b", "id_b")
@@ -600,7 +602,6 @@ def minhash_near_duplicates(
             "jaccard",
         )
     )
-    n_members = F.size("members")
     n_pairs = (n_members * (n_members - F.lit(1)) / 2).cast("long")
     guard_msg = F.concat(
         F.lit(
@@ -617,7 +618,7 @@ def minhash_near_duplicates(
         n_pairs <= max_group_pairs, F.expr(_MEMBER_PAIRS_SQL)
     ).otherwise(F.raise_error(guard_msg))
     intra = (
-        groups.filter(n_members > 1)
+        dup_groups.filter(n_members > 1)
         .select(F.explode(guarded_pairs).alias("p"))
         .select(
             F.col("p.x").alias("id_a"),
