@@ -1165,6 +1165,25 @@ def q_d01_exact_dedup_stats(spark, sf_dir):
     )
 
 
+def q_d07_exact_dedup_survivors(spark, sf_dir):
+    """Exact dedup keep-first SURVIVORS (dedup.exact_dedup — the
+    materializing twin of d01's stats): one surviving row per distinct
+    text, the min-doc_id canonical. groupBy on the md5 content key + semi
+    join back — map-side partial agg then one narrow-key shuffle, no
+    corpus-wide window; the 100 TB shape for 'drop exact duplicates,
+    keep first'."""
+    docs = _T(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup(docs, ["text"], "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_d02_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (inverted-index join)."""
     docs = _T(spark, sf_dir, "documents")
@@ -1795,7 +1814,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # f01/f02 (double-green r1+r3, unchanged in r4). Everything past the
     # cap remains locally oracle-checked via scripts/selfcheck.py (README).
     # (a) repaired events family (green r1+r3, unchanged r4)
-    "s07_keyvalue_parse": q_s07_keyvalue_parse,
     "p11_field_presence": q_p11_field_presence,
     "j03_name_check": q_j03_name_check,
     "a03_count_reconciliation": q_a03_count_reconciliation,
@@ -1819,6 +1837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x12_quality_filter": q_x12_quality_filter,
     "a18_quantiles_sketch": q_a18_quantiles_sketch,
     "d02_ngram_jaccard": q_d02_ngram_jaccard,
+    "d07_exact_dedup_survivors": q_d07_exact_dedup_survivors,
     "e01_embedding_near_dup": q_e01_embedding_near_dup,
     "x06_deterministic_sample": q_x06_deterministic_sample,
     "a07_pricing_summary": q_a07_pricing_summary,
@@ -1859,6 +1878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e07_ann_ivf": q_e07_ann_ivf,
     "f01_url_parse": q_f01_url_parse,
     "f02_arn_parse": q_f02_arn_parse,
+    "s07_keyvalue_parse": q_s07_keyvalue_parse,
     "m02_archive_roundtrip": q_m02_archive_roundtrip,
     "x09_tfidf": q_x09_tfidf,
     "a05_cardinality_assert": q_a05_cardinality_assert,
@@ -2659,6 +2679,15 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT text) AS distinct_texts,
                    count(DISTINCT md5(text)) AS distinct_hashes
             FROM documents
+        """,
+        "d07_exact_dedup_survivors": """
+            WITH keep AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            )
+            SELECT d.doc_id, d.source,
+                   CAST(length(d.text) AS BIGINT) AS text_len
+            FROM documents d JOIN keep USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "d02_ngram_jaccard": _SHINGLE_CTE,
         "d03_minhash_lsh": _SHINGLE_CTE,
