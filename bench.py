@@ -161,6 +161,7 @@ def main() -> None:
         similarity,
     )
 
+    builds: dict[str, float] = {}
     tmp = tempfile.mkdtemp(prefix="bench-ann-build-")
     try:
         emb = entrymod._T(spark, sf_dir, "embeddings")
@@ -169,11 +170,11 @@ def main() -> None:
         similarity.build_ann_index(
             emb, os.path.join(tmp, "srp"), n_planes=8, seed=42, dim=len(qvec)
         )
-        timings["build_ann_index"] = round(time.perf_counter() - t0, 3)
+        builds["build_ann_index"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         cent = clustering.kmeans_fit(emb, k=16, updates=1)
         similarity.build_ivf_index(emb, os.path.join(tmp, "ivf"), cent)
-        timings["build_ivf_index"] = round(time.perf_counter() - t0, 3)
+        builds["build_ivf_index"] = round(time.perf_counter() - t0, 3)
     except Exception as ex:
         errors["build_index"] = f"{type(ex).__name__}: {ex}"[:300]
     finally:
@@ -185,6 +186,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # one-time cold index builds, kept OUT of the headline total so it
+        # stays comparable across rounds: e03/e07 time the per-query probe
+        # (the serving shape); these rows surface the amortized build cost
+        # (build_ivf_index includes the k-means centroid fit)
+        "index_builds": builds,
         "sf": sf,
     }
     if errors:
