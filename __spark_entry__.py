@@ -1622,8 +1622,10 @@ def q_x13_pii_redaction(spark, sf_dir):
 def q_x14_line_dedup(spark, sf_dir):
     """Corpus-global line-level dedup (text.line_dedup, C4 §2.2 rule):
     8-token lines, each distinct line kept only in its min-id owner doc,
-    text reassembled in line order — explode → ownership groupBy →
-    co-partitioned join → reassembly, the bounded-shuffle formulation."""
+    text reassembled in line order. Fingerprint formulation (the 100 TB
+    path): ownership and the keep/drop decision move only md5(line)
+    fingerprints + ordinals; the text shuffles exactly once, in the final
+    reassembly join against the doc's own token array."""
     docs = _T(spark, sf_dir, "documents")
     return text.line_dedup(docs, line_tokens=8).orderBy("doc_id")
 

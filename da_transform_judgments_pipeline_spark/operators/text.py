@@ -542,6 +542,7 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     line_tokens: int = 8,
+    key: str = "fingerprint",
 ) -> DataFrame:
     """Corpus-global line-level dedup (C4's "discard duplicated lines
     across documents" rule, Raffel et al. 2020 §2.2): documents split into
@@ -552,12 +553,27 @@ def line_dedup(
     Output: (id, text_deduped, n_lines, n_kept). Docs with no tokens drop
     (no lines to own).
 
-    Scale shape: one explode (inherent — the unit of dedup is the line),
-    one groupBy on line content for ownership (map-side partial min), one
-    join back co-partitioned on the same line key (no extra Exchange on
-    the big side), one reassembly groupBy on id. Line strings shuffle
-    once; at 100 TB hash the line to a 128-bit fingerprint first if line
-    text is long (the join key stays narrow)."""
+    Scale shape — ``key="fingerprint"`` (default, the 100 TB path): the
+    line is hashed map-side to a 128-bit md5 fingerprint and the LINE TEXT
+    NEVER SHUFFLES. Ownership groupBy (map-side partial min) and the
+    decision join move only (fp, id, line_no) — ≤48 bytes/line regardless
+    of line length; per-doc kept ordinals aggregate to one narrow int
+    array per doc; reassembly re-slices the kept line windows from the
+    document's own token array in a single id-keyed join, so the text
+    moves exactly once. Total: two narrow-key shuffles + one text-bearing
+    shuffle — vs THREE text-bearing shuffles in the ``key="content"``
+    legacy formulation (ownership, join-back, reassembly), which is kept
+    as the collision-impossible oracle form. An md5 collision (needed to
+    mis-share a line between two distinct texts) has per-pair probability
+    2^-128 — negligible at any corpus size.
+
+    A hot line (boilerplate shared by millions of docs) is a narrow-row
+    skew key in the decision join; AQE's skew-join splits it at runtime,
+    and the ownership aggregate is map-side combinable either way."""
+    if key not in ("fingerprint", "content"):
+        raise ValueError(
+            f"key must be 'fingerprint' or 'content', got {key!r}"
+        )
     L = line_tokens
     toks = (
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
@@ -575,6 +591,37 @@ def line_dedup(
             F.slice("tk", F.col("line_no") * L + 1, F.lit(L)), " "
         ).alias("line"),
     )
+    if key == "fingerprint":
+        narrow = lines.select(
+            "id", "line_no", F.md5("line").alias("fp")
+        )
+        owners = narrow.groupBy("fp").agg(F.min("id").alias("owner"))
+        flags = narrow.join(owners, "fp").select(
+            "id",
+            "line_no",
+            (F.col("id") == F.col("owner")).cast("long").alias("kept"),
+        )
+        kept_sets = flags.groupBy("id").agg(
+            F.count("*").alias("n_lines"),
+            F.sum("kept").alias("n_kept"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("kept") == 1, F.col("line_no"))
+                )
+            ).alias("keep_nos"),
+        )
+        out = toks.join(kept_sets, "id").select(
+            "id",
+            F.expr(
+                "array_join(flatten(transform(keep_nos,"
+                f" no -> slice(tk, no * {L} + 1, {L}))), ' ')"
+            ).alias("text_deduped"),
+            "n_lines",
+            "n_kept",
+        )
+        return out.withColumnRenamed("id", id_col).select(
+            id_col, "text_deduped", "n_lines", "n_kept"
+        )
     owners = lines.groupBy("line").agg(F.min("id").alias("owner"))
     joined = lines.join(owners, "line").withColumn(
         "kept", (F.col("id") == F.col("owner")).cast("long")

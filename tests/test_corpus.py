@@ -331,3 +331,25 @@ def test_line_dedup_keeps_min_id_owner(spark):
     assert out[3].n_kept == 1
     # reassembly preserves original line order
     assert out[1].text_deduped == rows[0][1]
+
+
+def test_line_dedup_formulations_agree(spark, sf_dir):
+    """The fingerprint formulation (narrow-key shuffles, text moves once)
+    and the content formulation (text-keyed, collision-impossible oracle
+    form) must produce identical output on real corpus data — including
+    ragged final lines and docs whose every line is owned elsewhere."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        line_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = lambda r: (r.doc_id, r.text_deduped, r.n_lines, r.n_kept)  # noqa: E731
+    fp = sorted(map(key, line_dedup(docs, line_tokens=8).collect()))
+    ct = sorted(
+        map(key, line_dedup(docs, line_tokens=8, key="content").collect())
+    )
+    assert fp == ct and fp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key"):
+        line_dedup(docs, key="blake3")
