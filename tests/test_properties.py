@@ -168,3 +168,29 @@ def test_percent_encode_matches_urllib(s):
     df = spark.createDataFrame([(s,)], ["v"])
     got = df.select(percent_encode("v").alias("e")).first()["e"]
     assert got == quote(s).replace("%3A", ":")
+
+
+@given(texts=docs_strategy, line_tokens=st.sampled_from([2, 3, 4]))
+@SLOW
+def test_line_dedup_fingerprint_equals_content(texts, line_tokens):
+    """The fingerprint formulation (narrow-key shuffles, text moves once)
+    is semantically IDENTICAL to the content-keyed form on arbitrary
+    corpora: same survivors, same reassembled text, same counts — for
+    ragged final lines, intra-doc repeats, and fully-owned docs alike."""
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    key = lambda r: (r.doc_id, r.text_deduped, r.n_lines, r.n_kept)  # noqa: E731
+    fp = sorted(
+        map(key, text.line_dedup(df, line_tokens=line_tokens).collect())
+    )
+    ct = sorted(
+        map(
+            key,
+            text.line_dedup(
+                df, line_tokens=line_tokens, key="content"
+            ).collect(),
+        )
+    )
+    assert fp == ct
