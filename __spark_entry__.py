@@ -1425,6 +1425,42 @@ def q_m04_pack_prefix_substitution(spark, sf_dir):
     )
 
 
+def q_m05_frame_sample_plan(spark, sf_dir):
+    """Multimodal frame-sampling PLAN (multimodal.frame_sample_plan): the
+    pure-Catalyst fan-out that precedes any video decode — one row per
+    (media_id, frame_ts_ms) at a fixed stride so the expensive decode
+    distributes evenly over executors. Media rows are documents posing as
+    videos with a deterministic duration (10 ms per byte); stride 500 ms.
+    sequence + explode, fully SQL-expressible — hash-checked against
+    DuckDB generate_series."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = _T(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            (F.octet_length("text") * 10).cast("int").alias("duration_ms")
+        ).alias("meta"),
+    )
+    return (
+        multimodal.frame_sample_plan(media, every_ms=500)
+        .select(
+            "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+        )
+        .orderBy("media_id", "frame_ts_ms")
+    )
+
+
+def q_x15_bpe_pair_counts(spark, sf_dir):
+    """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
+    corpus-wide adjacent-token-pair frequencies, top-100 by count with
+    deterministic (count desc, pair asc) tie order. One map-side pairing
+    (zip of shifted slices — no self-join), one combinable groupBy, top-N
+    via TakeOrderedAndProject."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, top_n=100)
+
+
 def q_x05_chunking(spark, sf_dir):
     """Training-data chunking: split each document into overlapping
     token-window chunks (size 40, stride 30) — sequence → posexplode →
@@ -1804,8 +1840,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recorded key set is exactly positions 1-50 in dict order). The round-4
     # window holds, in priority order: (a) queries NEW this round (e08/e09 —
     # the provably-exact ANN twins under hard DuckDB cosine oracles — m04,
-    # the S15 prefix-substitution pack, and d07, the exact-dedup keep-first
-    # survivors), (b) every query whose code changed this round (t09 status
+    # the S15 prefix-substitution pack, d07, the exact-dedup keep-first
+    # survivors, m05, the frame-sampling plan, and x15, the BPE pair-count
+    # step), (b) every query whose code changed this round (t09 status
     # sort key, t10 replay-guard broadcast removal, d03/d05
     # split_dups="auto" gate + expansion-join narrowing, x14 fingerprint
     # formulation, e01/e05 via the dedup module edit) — all inside the
@@ -1814,12 +1851,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # e07_ann_ivf (by-design oracle-free — its `err: no_oracle` row was
     # the scoreboard's only non-green entry; the SAME machinery is now
     # hash-checked in-window by e08, and e07's shared helper refactor
-    # [_ivf_cached] is 100% covered by e08's oracle) plus f01/f02/s07
-    # (double-green r1+r3, unchanged in r4). Everything past the cap
-    # remains locally oracle-checked via scripts/selfcheck.py (README).
+    # [_ivf_cached] is 100% covered by e08's oracle) plus
+    # f01/f02/s07/p11/j03 (double-green r1+r3, unchanged in r4).
+    # Everything past the cap remains locally oracle-checked via
+    # scripts/selfcheck.py (README).
     # (a) repaired events family (green r1+r3, unchanged r4)
-    "p11_field_presence": q_p11_field_presence,
-    "j03_name_check": q_j03_name_check,
     "a03_count_reconciliation": q_a03_count_reconciliation,
     "w01_latest_element": q_w01_latest_element,
     "w03_sequence_gap_check": q_w03_sequence_gap_check,
@@ -1827,10 +1863,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t02_first_event_dedup": q_t02_first_event_dedup,
     "t04_retry_routing": q_t04_retry_routing,
     "t07_lineage_append": q_t07_lineage_append,
-    # (a') NEW this round: exact-ANN twins + S15 pack
+    # (a') NEW this round: exact-ANN twins, S15 pack, dedup survivors,
+    # frame-sample plan, BPE pair counts
     "e08_ann_ivf_exact": q_e08_ann_ivf_exact,
     "e09_ann_srp_exact": q_e09_ann_srp_exact,
     "m04_pack_prefix_substitution": q_m04_pack_prefix_substitution,
+    "m05_frame_sample_plan": q_m05_frame_sample_plan,
+    "x15_bpe_pair_counts": q_x15_bpe_pair_counts,
     # (b) single-green r3 rows (first recorded r3) kept for confirmation
     "d06_incremental_dedup": q_d06_incremental_dedup,
     "o02_asof_join": q_o02_asof_join,
@@ -1883,6 +1922,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f01_url_parse": q_f01_url_parse,
     "f02_arn_parse": q_f02_arn_parse,
     "s07_keyvalue_parse": q_s07_keyvalue_parse,
+    "p11_field_presence": q_p11_field_presence,
+    "j03_name_check": q_j03_name_check,
     "m02_archive_roundtrip": q_m02_archive_roundtrip,
     "x09_tfidf": q_x09_tfidf,
     "a05_cardinality_assert": q_a05_cardinality_assert,
@@ -2996,6 +3037,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size
             FROM documents
             ORDER BY archive, name
+        """,
+        "m05_frame_sample_plan": """
+            SELECT doc_id AS media_id,
+                   UNNEST(generate_series(
+                       0,
+                       CAST(octet_length(CAST(text AS BLOB)) * 10 AS BIGINT),
+                       500)) AS frame_ts_ms
+            FROM documents
+            ORDER BY media_id, frame_ts_ms
+        """,
+        "x15_bpe_pair_counts": r"""
+            WITH t AS (
+              SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), p AS (
+              SELECT tk[i] || ' ' || tk[i + 1] AS pair
+              FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+              WHERE len(tk) >= 2
+            )
+            SELECT pair, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY pair
+            ORDER BY n_pairs DESC, pair LIMIT 100
         """,
         "x12_quality_filter": r"""
             WITH t AS (

@@ -537,6 +537,43 @@ def pii_redact(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Adjacent-token-pair frequencies — the inner counting step of BPE /
+    WordPiece tokenizer TRAINING (the merge rule is argmax of exactly this
+    table), run corpus-wide as one Catalyst plan: tokenize map-side, pair
+    adjacent tokens with a zip of two shifted slices (no self-join), one
+    explode, one map-side-combinable groupBy, top-N via
+    TakeOrderedAndProject. Output (pair, n_pairs) ordered by count desc
+    then pair — deterministic under ties.
+
+    At 100 TB this is the scalable formulation: the shuffle carries only
+    (pair, partial count) after map-side combine, and the top-N never
+    sorts the full pair table. Iterated BPE training re-runs it on the
+    merged corpus per round; each round is the same single-shuffle plan."""
+    tk = (
+        df.select(tokens(text_col).alias("tk"))
+        .filter(F.size("tk") >= 2)
+    )
+    pairs = tk.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, F.size("tk") - 1),
+                F.slice("tk", 2, F.size("tk") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n_pairs"))
+    return counted.orderBy(
+        F.col("n_pairs").desc(), F.col("pair")
+    ).limit(top_n)
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

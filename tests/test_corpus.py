@@ -353,3 +353,24 @@ def test_line_dedup_formulations_agree(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="key"):
         line_dedup(docs, key="blake3")
+
+
+def test_bpe_pair_counts_known_corpus(spark):
+    """Adjacent-pair frequencies on a hand-countable corpus: overlapping
+    pairs, repeated pairs across docs, sub-2-token docs dropped, and the
+    (count desc, pair asc) tie order."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        bpe_pair_counts,
+    )
+
+    rows = [
+        (1, "a b a b"),      # pairs: "a b" x2, "b a" x1
+        (2, "a b c"),        # "a b", "b c"
+        (3, "solo"),         # dropped (one token)
+        (4, ""),             # dropped (no tokens)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r.pair, r.n_pairs) for r in bpe_pair_counts(df).collect()]
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+    top1 = [(r.pair, r.n_pairs) for r in bpe_pair_counts(df, top_n=1).collect()]
+    assert top1 == [("a b", 3)]
