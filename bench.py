@@ -50,16 +50,22 @@ HEADLINE = [
     "d01_exact_dedup_stats",
     "d03_minhash_lsh",
     "d06_incremental_dedup",
+    "d07_exact_dedup_survivors",
     "e05_embedding_near_dup_lsh",
     "e02_cosine_topk",
     "e03_ann_lsh_topk",
     "e07_ann_ivf",
+    "e08_ann_ivf_exact",
+    "e09_ann_srp_exact",
     "m02_archive_roundtrip",
+    "m04_pack_prefix_substitution",
+    "m05_frame_sample_plan",
     "x01_text_stats",
     "x03_bpe_token_count",
     "x12_quality_filter",
     "x13_pii_redaction",
     "x14_line_dedup",
+    "x15_bpe_pair_counts",
 ]
 
 
