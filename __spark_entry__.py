@@ -1461,6 +1461,17 @@ def q_x15_bpe_pair_counts(spark, sf_dir):
     return text.bpe_pair_counts(docs, top_n=100)
 
 
+def q_x16_sequence_packing(spark, sf_dir):
+    """Sequence-packing layout (text.sequence_pack_plan): global token
+    offsets for the id-ordered concat-and-chunk stream, seq_len=256. The
+    global running sum runs as a two-phase parallel prefix scan (range
+    partitions → local windows → P driver-side subtotals), never a
+    single-partition global window; the oracle is the straightforward SQL
+    running-sum window, which must agree exactly."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.sequence_pack_plan(docs, seq_len=256).orderBy("doc_id")
+
+
 def q_x05_chunking(spark, sf_dir):
     """Training-data chunking: split each document into overlapping
     token-window chunks (size 40, stride 30) — sequence → posexplode →
@@ -1841,8 +1852,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window holds, in priority order: (a) queries NEW this round (e08/e09 —
     # the provably-exact ANN twins under hard DuckDB cosine oracles — m04,
     # the S15 prefix-substitution pack, d07, the exact-dedup keep-first
-    # survivors, m05, the frame-sampling plan, and x15, the BPE pair-count
-    # step), (b) every query whose code changed this round (t09 status
+    # survivors, m05, the frame-sampling plan, x15, the BPE pair-count
+    # step, and x16, the sequence-packing prefix scan), (b) every query
+    # whose code changed this round (t09 status
     # sort key, t10 replay-guard broadcast removal, d03/d05
     # split_dups="auto" gate + expansion-join narrowing, x14 fingerprint
     # formulation, e01/e05 via the dedup module edit) — all inside the
@@ -1852,11 +1864,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the scoreboard's only non-green entry; the SAME machinery is now
     # hash-checked in-window by e08, and e07's shared helper refactor
     # [_ivf_cached] is 100% covered by e08's oracle) plus
-    # f01/f02/s07/p11/j03 (double-green r1+r3, unchanged in r4).
+    # f01/f02/s07/p11/j03/a03 (double-green r1+r3, unchanged in r4).
     # Everything past the cap remains locally oracle-checked via
     # scripts/selfcheck.py (README).
     # (a) repaired events family (green r1+r3, unchanged r4)
-    "a03_count_reconciliation": q_a03_count_reconciliation,
     "w01_latest_element": q_w01_latest_element,
     "w03_sequence_gap_check": q_w03_sequence_gap_check,
     "t01_tumbling_window": q_t01_tumbling_window,
@@ -1870,6 +1881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m04_pack_prefix_substitution": q_m04_pack_prefix_substitution,
     "m05_frame_sample_plan": q_m05_frame_sample_plan,
     "x15_bpe_pair_counts": q_x15_bpe_pair_counts,
+    "x16_sequence_packing": q_x16_sequence_packing,
     # (b) single-green r3 rows (first recorded r3) kept for confirmation
     "d06_incremental_dedup": q_d06_incremental_dedup,
     "o02_asof_join": q_o02_asof_join,
@@ -1924,6 +1936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s07_keyvalue_parse": q_s07_keyvalue_parse,
     "p11_field_presence": q_p11_field_presence,
     "j03_name_check": q_j03_name_check,
+    "a03_count_reconciliation": q_a03_count_reconciliation,
     "m02_archive_roundtrip": q_m02_archive_roundtrip,
     "x09_tfidf": q_x09_tfidf,
     "a05_cardinality_assert": q_a05_cardinality_assert,
@@ -3046,6 +3059,26 @@ def oracle_sql() -> dict[str, str]:
                        500)) AS frame_ts_ms
             FROM documents
             ORDER BY media_id, frame_ts_ms
+        """,
+        "x16_sequence_packing": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS "offset"
+              FROM t WHERE n_tokens > 0
+            )
+            SELECT doc_id, n_tokens, "offset",
+                   "offset" // 256 AS chunk_start,
+                   ("offset" + n_tokens - 1) // 256 AS chunk_end
+            FROM o ORDER BY doc_id
         """,
         "x15_bpe_pair_counts": r"""
             WITH t AS (

@@ -66,6 +66,7 @@ HEADLINE = [
     "x13_pii_redaction",
     "x14_line_dedup",
     "x15_bpe_pair_counts",
+    "x16_sequence_packing",
 ]
 
 

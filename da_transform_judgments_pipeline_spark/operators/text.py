@@ -537,6 +537,88 @@ def pii_redact(
     )
 
 
+def sequence_pack_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 1024,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing LAYOUT (GPT-style training prep:
+    documents concatenated in id order, the token stream split into fixed
+    ``seq_len`` windows): per document, its global token offset in the
+    concatenated stream and the chunk span it occupies. Output
+    (id, n_tokens, offset, chunk_start, chunk_end) — the plan a packing
+    writer materializes. Token-less docs drop (nothing to pack).
+
+    Scale shape — a GLOBAL running sum without the single-partition global
+    window anti-pattern: the classic two-phase parallel prefix scan.
+    Range-repartition on id (so partitions tile the global order), compute
+    the running sum WITHIN each range (partition-local window — parallel),
+    collect only the P per-range subtotals to the driver (control plane:
+    P integers, not data — same pattern as k-means' centroids), and add
+    each range's driver-computed prefix back as a literal map lookup. The
+    result is independent of where the range boundaries fall, so the
+    sampling-based partitioner never affects values — only parallelism."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    ranged = toks.repartitionByRange(range_partitions, "id")
+    from pyspark.sql import Window
+
+    local = ranged.withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = local.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    # persist pins the range partitioning: the subtotal collect and the
+    # final select are separate jobs, and an unpinned plan would re-run
+    # the sampling-based range partitioner per job — the per-pid prefixes
+    # must describe the SAME physical partitions the final pass reads.
+    # Registered with dedup's cache registry (release_cached reclaims).
+    from .dedup import _persist
+
+    local = _persist(local)
+    subtotals = sorted(
+        (r["_pid"], r["s"])
+        for r in local.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    )
+    prefix: dict[int, int] = {}
+    acc = 0
+    for pid, s in subtotals:
+        prefix[pid] = acc
+        acc += s
+    if prefix:
+        entries = []
+        for pid, off in prefix.items():
+            entries.extend([F.lit(pid), F.lit(off)])
+        prefix_expr = F.coalesce(
+            F.element_at(F.create_map(*entries), F.col("_pid")),
+            F.lit(0),
+        )
+    else:
+        prefix_expr = F.lit(0)
+    offset = (F.col("_local_off") + prefix_expr).alias("offset")
+    out = local.select("id", "n_tokens", offset).select(
+        "id",
+        "n_tokens",
+        "offset",
+        F.expr(f"offset div {seq_len}").alias("chunk_start"),
+        F.expr(f"(offset + n_tokens - 1) div {seq_len}").alias("chunk_end"),
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
 def bpe_pair_counts(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -374,3 +374,31 @@ def test_bpe_pair_counts_known_corpus(spark):
     assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
     top1 = [(r.pair, r.n_pairs) for r in bpe_pair_counts(df, top_n=1).collect()]
     assert top1 == [("a b", 3)]
+
+
+def test_sequence_pack_plan_matches_sequential_scan(spark):
+    """The two-phase parallel prefix scan must equal the sequential
+    definition: offsets are the running sum of token counts in id order,
+    chunk spans are integer windows over the concatenated stream —
+    including a doc straddling a chunk boundary and empty docs dropping."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        sequence_pack_plan,
+    )
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(5))),   # offset 0
+        (2, ""),                                     # drops
+        (3, " ".join(f"u{i}" for i in range(6))),   # offset 5, straddles 8
+        (4, "x y"),                                  # offset 11
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.offset, r.chunk_start, r.chunk_end)
+        for r in sequence_pack_plan(df, seq_len=8, range_partitions=3).collect()
+    }
+    assert got == {
+        1: (5, 0, 0, 0),
+        3: (6, 5, 0, 1),   # tokens 5..10 span chunks 0 and 1
+        4: (2, 11, 1, 1),
+    }
+    dedup.release_cached()
