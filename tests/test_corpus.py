@@ -402,3 +402,31 @@ def test_sequence_pack_plan_matches_sequential_scan(spark):
         4: (2, 11, 1, 1),
     }
     dedup.release_cached()
+
+
+def test_new_text_operator_plan_shapes(spark, sf_dir):
+    """Physical-plan contracts for the round-4 text operators:
+    sequence_pack_plan must never collapse to a single-partition global
+    window (the anti-pattern its two-phase scan exists to avoid), and
+    bpe_pair_counts must be join-free with partial+final aggregation and
+    a TakeOrderedAndProject top-N (no full sort of the pair table)."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        bpe_pair_counts,
+        sequence_pack_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pack = sequence_pack_plan(docs, seq_len=256)
+    plan = pack._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    dedup.release_cached()
+
+    pairs = bpe_pair_counts(docs)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert not any(
+        j in plan
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
