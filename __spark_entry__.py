@@ -1331,8 +1331,10 @@ def q_x01_text_stats(spark, sf_dir):
         text.text_stats(docs)
         .select(
             "doc_id",
-            "n_tokens",
-            "n_chars_computed",
+            # long casts: the DuckDB oracle's len()/count() are BIGINT;
+            # matching the width keeps the driver's schema compare quiet
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_chars_computed").cast("long").alias("n_chars_computed"),
             "digit_ratio",
             "stopword_ratio",
         )
@@ -1345,7 +1347,14 @@ def q_x02_language_id(spark, sf_dir):
     docs = _T(spark, sf_dir, "documents")
     return (
         text.language_id(docs)
-        .select("doc_id", "hits_en", "hits_de", "hits_es", "hits_fr", "detected_lang")
+        .select(
+            "doc_id",
+            *[
+                F.col(c).cast("long").alias(c)
+                for c in ("hits_en", "hits_de", "hits_es", "hits_fr")
+            ],
+            "detected_lang",
+        )
         .orderBy("doc_id")
     )
 
@@ -1354,7 +1363,7 @@ def q_x03_bpe_token_count(spark, sf_dir):
     """BPE-ish sub-word token estimate (regexp tokenization)."""
     docs = _T(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", text.bpe_token_count("text").alias("bpe_tokens")
+        "doc_id", text.bpe_token_count("text").cast("long").alias("bpe_tokens")
     ).orderBy("doc_id")
 
 
@@ -1439,7 +1448,9 @@ def q_m05_frame_sample_plan(spark, sf_dir):
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.struct(
-            (F.octet_length("text") * 10).cast("int").alias("duration_ms")
+            # long BEFORE the multiply: a 32-bit product would silently
+            # wrap for media over ~214 MB while the BIGINT oracle doesn't
+            (F.octet_length("text").cast("long") * 10).alias("duration_ms")
         ).alias("meta"),
     )
     return (
@@ -1484,8 +1495,8 @@ def q_x05_chunking(spark, sf_dir):
         .select("doc_id", "tk", F.posexplode(starts).alias("chunk_no", "start"))
         .select(
             "doc_id",
-            "chunk_no",
-            F.size(F.slice("tk", F.col("start"), 40)).alias("n_tokens"),
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.size(F.slice("tk", F.col("start"), 40)).cast("long").alias("n_tokens"),
             F.md5(F.array_join(F.slice("tk", F.col("start"), 40), " ")).alias(
                 "chunk_md5"
             ),
@@ -1499,7 +1510,11 @@ def q_e04_label_centroids(spark, sf_dir):
     posexplode + groupBy avg; one shuffle keyed on (label, dim)."""
     emb = _T(spark, sf_dir, "embeddings")
     return (
-        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        emb.select(
+            "label",
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        .select("label", F.col("dim").cast("long").alias("dim"), "x")
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
         .orderBy("label", "dim")
@@ -1512,7 +1527,7 @@ def q_m01_binary_stats(spark, sf_dir):
     blob = F.col("text").cast("binary")
     return docs.select(
         "doc_id",
-        F.octet_length("text").alias("n_bytes"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
         F.sha2(blob, 256).alias("content_sha256"),
     ).orderBy("doc_id")
 

@@ -70,6 +70,23 @@ HEADLINE = [
 ]
 
 
+# The exact set BENCH_r03 timed — frozen so `r3_subtotal` compares
+# like-for-like across rounds even as HEADLINE grows.
+R3_HEADLINE = [
+    "s01_prefix_scan", "p01_enum_normalization", "j01_left_lookup_join",
+    "j04_anti_join_reconciliation", "a01_sha256", "a07_pricing_summary",
+    "a08_revenue_filter", "a09_top_customers", "a10_nation_region_rollup",
+    "a12_order_priority_count", "a13_local_supplier_volume",
+    "a14_shipping_priority", "o01_set_operations", "w02_latest_per_key",
+    "w04_running_total", "t01_tumbling_window", "t08_sessionization",
+    "o02_asof_join", "d01_exact_dedup_stats", "d03_minhash_lsh",
+    "d06_incremental_dedup", "e05_embedding_near_dup_lsh", "e02_cosine_topk",
+    "e03_ann_lsh_topk", "e07_ann_ivf", "m02_archive_roundtrip",
+    "x01_text_stats", "x03_bpe_token_count", "x12_quality_filter",
+    "x14_line_dedup",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -187,17 +204,48 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # Once-per-round smoke timing for every registered query NOT in the
+    # headline set: a single sf0.01 run each (no min-of-runs — this is a
+    # pathological-regression tripwire for the cheap queries, not a
+    # steady-state measurement; a plan that silently went quadratic shows
+    # up as seconds here regardless of noise).
+    smoke: dict[str, float] = {}
+    smoke_dir = os.environ.get(
+        "SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.01"
+    )
+    if os.path.isdir(smoke_dir) and "--no-smoke" not in sys.argv:
+        for name, fn in qs.items():
+            if name in HEADLINE:
+                continue
+            try:
+                t0 = time.perf_counter()
+                fn(spark, smoke_dir).count()
+                smoke[name] = round(time.perf_counter() - t0, 3)
+            except Exception as ex:
+                errors[f"smoke:{name}"] = f"{type(ex).__name__}: {ex}"[:300]
+            finally:
+                try:
+                    dedup.release_cached()
+                except Exception:
+                    pass
+
     total = round(sum(timings.values()), 3)
+    # Subtotal over the round-3 headline set (the 30 queries timed since
+    # r3), so round-over-round comparison stays meaningful even as new
+    # queries join HEADLINE and shift the grand total.
+    r3_set = [q for q in R3_HEADLINE if q in timings]
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        # one-time cold index builds, kept OUT of the headline total so it
-        # stays comparable across rounds: e03/e07 time the per-query probe
-        # (the serving shape); these rows surface the amortized build cost
+        # one-time cold index builds, kept OUT of the headline total (a
+        # build is a one-time cost; e03/e07 time the per-query probe — the
+        # serving shape); these rows surface the amortized build cost
         # (build_ivf_index includes the k-means centroid fit)
         "index_builds": builds,
+        "r3_subtotal": round(sum(timings[q] for q in r3_set), 3),
+        "smoke": smoke,
         "sf": sf,
     }
     if errors:

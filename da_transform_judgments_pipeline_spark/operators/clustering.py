@@ -31,18 +31,87 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _dist_sql(vec_col: str, centroid: list[float]) -> str:
-    """Squared-euclidean distance to a literal centroid, as one explicit
-    left-to-right sum — the fixed evaluation order is what makes the
-    number reproducible across engines (float addition isn't associative).
+    """Squared-euclidean distance to a literal centroid as a strict
+    left-to-right array fold — the fixed evaluation order is what makes
+    the number reproducible across engines (float addition isn't
+    associative), and the fold matches an explicit ``t1 + t2 + ... + tn``
+    sum bit-for-bit: ``aggregate`` folds ``((0.0 + t1) + t2) + ...`` and
+    ``0.0 + t1 == t1`` exactly for the non-negative squared terms.
     Squares are explicit multiplies, not power(x, 2): pow is only
     1-ulp-accurate and its libm differs between engines, while an IEEE-754
-    subtract+multiply is exactly rounded everywhere."""
-    terms = []
-    for i, c in enumerate(centroid):
-        a = f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
-        b = f"CAST({c!r} AS DOUBLE)"
-        terms.append(f"(({a} - {b}) * ({a} - {b}))")
-    return "(" + " + ".join(terms) + ")"
+    subtract+multiply is exactly rounded everywhere.
+
+    Why a fold and not an unrolled term sum: k·dim inlined terms compile
+    into ONE generated Java method; at k=16 × dim=64 (1,024 terms) that
+    method exceeds Janino's 64 KiB limit and Spark silently falls back to
+    interpreted evaluation for the whole projection (confirmed in the r4
+    bench log). Higher-order functions are CodegenFallback by design —
+    the surrounding projection stays codegen'd and the fold itself is a
+    tight loop over the array, so the expression size is O(1) in dim."""
+    lits = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in centroid)
+    return (
+        f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        f"array({lits}), (a, b) -> (a - b) * (a - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _assign_blas(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Throughput formulation of the assignment: one Arrow-batched pandas
+    UDF computing all k distances per batch as a single BLAS matrix
+    product (``||x||² − 2·X·Cᵀ + ||c||²``) and taking the row argmin
+    (numpy argmin = first minimum = the same lower-index tiebreak as the
+    fold path). Distances agree with the fold path to within float
+    summation reordering (last-ulp) — use ``method="fold"`` where
+    bit-exact cross-engine reproducibility matters (kmeans
+    reproducible=True); use this where throughput does (index builds:
+    k·dim multiply-adds per row in BLAS instead of a per-element lambda).
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)  # k × dim
+    cn = (C * C).sum(axis=1)  # ||c||², length k
+
+    proj = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    id_type = proj.schema["id"].dataType.simpleString()
+
+    def nearest(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in b["v"]],
+                dtype=np.float64,
+            )  # n × dim (one Arrow batch)
+            d = X @ C.T
+            d *= -2.0
+            d += (X * X).sum(axis=1)[:, None]
+            d += cn[None, :]
+            np.maximum(d, 0.0, out=d)  # clamp matmul-form negatives
+            cl = d.argmin(axis=1)
+            out = {"id": b["id"]}
+            if keep_vec:
+                out["v"] = b["v"]
+            out["cluster"] = cl.astype("int32")
+            out["dist"] = d[np.arange(len(cl)), cl]
+            yield pd.DataFrame(out)
+
+    vec_field = "v array<double>, " if keep_vec else ""
+    return proj.mapInPandas(
+        nearest, schema=f"id {id_type}, {vec_field}cluster int, dist double"
+    )
 
 
 def assign_clusters(
@@ -50,14 +119,23 @@ def assign_clusters(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "fold",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, cluster, dist) — nearest centroid per row, ties to the lower
-    cluster index. Pure map-side: the centroid list is compiled into one
-    least()-of-structs literal expression (k·dim literals), so there is no
-    join, no broadcast table, and no shuffle — the scan streams through a
-    single whole-stage-codegen projection."""
+    """(id[, v], cluster, dist) — nearest centroid per row, ties to the
+    lower
+    cluster index. Pure map-side either way — no join, no broadcast
+    table, no shuffle; the centroids ride along as k·dim literals
+    (``method="fold"``: array-fold distances + array_min argmin,
+    bit-reproducible across engines) or a k×dim numpy matrix
+    (``method="blas"``: one Arrow-batched matrix product per batch, the
+    throughput path for index builds)."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
+    if method == "blas":
+        return _assign_blas(df, centroids, id_col, vec_col, keep_vec)
+    if method != "fold":
+        raise ValueError(f"method must be 'fold' or 'blas', got {method!r}")
     pairs = ", ".join(
         f"struct({_dist_sql(vec_col, c)} AS dist, {i} AS cluster)"
         for i, c in enumerate(centroids)
@@ -65,36 +143,31 @@ def assign_clusters(
     # array_min on (dist, cluster) structs = argmin with deterministic
     # lower-index tiebreak (struct ordering is lexicographic)
     best = f"array_min(array({pairs}))"
-    return df.select(
-        F.col(id_col).alias("id"),
+    cols = [F.col(id_col).alias("id")]
+    if keep_vec:
+        # carrying the vector through lets consumers (centroid update,
+        # index build) avoid a join back to the corpus on id
+        cols.append(F.col(vec_col).cast("array<double>").alias("v"))
+    cols += [
         F.expr(f"{best}.cluster").alias("cluster"),
         F.expr(f"{best}.dist").alias("dist"),
-    )
+    ]
+    return df.select(*cols)
 
 
 def _update_centroids(
     assigned: DataFrame,
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    dim: int,
-    k: int,
     reproducible: bool,
 ) -> list[list[float]]:
-    """New centroid list (driver-side, k·dim doubles) from an assignment.
-    Clusters that lost every member keep no entry and are dropped — the
-    caller re-indexes, matching the oracle's dense re-ranking."""
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    exploded = (
-        assigned.select("id", "cluster")
-        .join(vecs, "id")
-        .select(
-            "cluster",
-            "id",
-            F.posexplode(F.col("v").cast("array<double>")).alias(
-                "pos", "val"
-            ),
-        )
+    """New centroid list (driver-side, k·dim doubles) from an assignment
+    that carries the vector through (assign_clusters keep_vec=True — no
+    join back to the corpus on id). Clusters that lost every member keep
+    no entry and are dropped — the caller re-indexes, matching the
+    oracle's dense re-ranking."""
+    exploded = assigned.select(
+        "cluster",
+        "id",
+        F.posexplode(F.col("v").cast("array<double>")).alias("pos", "val"),
     )
     if reproducible:
         # fold member values in id order: same IEEE-754 double additions in
@@ -130,17 +203,25 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     reproducible: bool = False,
+    method: str | None = None,
 ) -> list[list[float]]:
     """Fit-only k-means: returns the FINAL centroid list (driver-side,
     k·dim doubles) after ``updates`` assign+update rounds from the
     deterministic lowest-id seeding. The centroids are the model an IVF
     similarity index partitions on (see similarity.build_ivf_index);
     they are bytes, not data — safe to hold, ship, and inline into
-    literal expressions."""
+    literal expressions.
+
+    ``method`` picks the assignment formulation (see assign_clusters);
+    the default routes reproducible=True to the bit-exact "fold" path and
+    reproducible=False — which already tolerates parallel-summation drift
+    in its avg() update — to the BLAS throughput path."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if updates < 0:
         raise ValueError(f"updates must be >= 0, got {updates}")
+    if method is None:
+        method = "fold" if reproducible else "blas"
     seeds = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
@@ -150,12 +231,11 @@ def kmeans_fit(
     if not seeds:
         raise ValueError("kmeans input is empty")
     centroids = [[float(x) for x in r["v"]] for r in seeds]
-    dim = len(centroids[0])
     for _ in range(updates):
-        assigned = assign_clusters(df, centroids, id_col, vec_col)
-        centroids = _update_centroids(
-            assigned, df, id_col, vec_col, dim, k, reproducible
+        assigned = assign_clusters(
+            df, centroids, id_col, vec_col, method, keep_vec=True
         )
+        centroids = _update_centroids(assigned, reproducible)
     return centroids
 
 
@@ -166,6 +246,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     reproducible: bool = False,
+    method: str | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column → (id, cluster, dist).
 
@@ -180,10 +261,12 @@ def kmeans(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if method is None:
+        method = "fold" if reproducible else "blas"
     centroids = kmeans_fit(
-        df, k, iterations - 1, id_col, vec_col, reproducible
+        df, k, iterations - 1, id_col, vec_col, reproducible, method
     )
-    assigned = assign_clusters(df, centroids, id_col, vec_col)
+    assigned = assign_clusters(df, centroids, id_col, vec_col, method)
     return assigned.select(
         F.col("id").alias(id_col), "cluster", F.round("dist", 6).alias("dist")
     )

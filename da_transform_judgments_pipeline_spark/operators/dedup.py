@@ -69,13 +69,29 @@ def _spread(df: DataFrame) -> DataFrame:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def _null_safe_key(key_cols: list[str]) -> Column:
+    """Hash key over the columns with SQL GROUP BY null semantics: NULL is
+    its own group, distinct from '' (a bare concat_ws would map NULL to ''
+    and silently merge a NULL row into the empty-string group, diverging
+    from any GROUP BY oracle). Each column is tagged 'N' (null) or
+    'V'+value, so the tag byte keeps the encoding injective, and columns
+    join on \\x01 so per-column boundaries can't collide."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.col(c))
+        )
+        for c in key_cols
+    ]
+    return F.md5(F.concat_ws("\x01", *parts))
+
+
 def exact_duplicates(
     df: DataFrame, key_cols: list[str], id_col: str
 ) -> DataFrame:
     """Groups with >1 row on the (hashed) key: returns
     (dup_key, n_dups, keep_id, dup_ids) — keep_id is the min id (stable
     canonical representative)."""
-    key = F.md5(F.concat_ws("", *[F.col(c) for c in key_cols]))
+    key = _null_safe_key(key_cols)
     return (
         df.withColumn("dup_key", key)
         .groupBy("dup_key")
@@ -91,7 +107,7 @@ def exact_duplicates(
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep exactly one row (min id) per duplicate group — the scalable
     groupBy-hash form of exact dedup."""
-    key = F.md5(F.concat_ws("", *[F.col(c) for c in key_cols]))
+    key = _null_safe_key(key_cols)
     w_min = (
         df.withColumn("_k", key)
         .groupBy("_k")
@@ -447,6 +463,17 @@ def minhash_near_duplicates(
             )
         est = _plan_size_bytes(df)
         split_dups = est is None or est >= SPLIT_DUPS_AUTO_THRESHOLD_BYTES
+    elif split_dups and not (persist_shingles and collapse_exact):
+        # An EXPLICIT split_dups=True with its prerequisites disabled used
+        # to silently downgrade to the plain route — a caller asking for
+        # the split got different physical behavior with no signal. Only
+        # the 'auto' mode may fall back silently.
+        raise ValueError(
+            "split_dups=True requires persist_shingles=True and "
+            "collapse_exact=True (the split routes band input through the "
+            "cached collapsed groups); pass split_dups='auto' to let the "
+            "operator choose"
+        )
     use_split = bool(split_dups) and persist_shingles and collapse_exact
     groups = None
     if collapse_exact:

@@ -407,28 +407,33 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    method: str = "blas",
 ) -> None:
     """Materialize an IVF (inverted-file) similarity index: every vector
-    assigned to its nearest centroid (map-side literal argmin — see
+    assigned to its nearest centroid (map-side argmin — see
     clustering.assign_clusters) and written partitioned by the cluster
     id. The complement to the SRP index (build_ann_index): SRP buckets
     are data-independent hyperplane signs, IVF cells follow the data's
     actual density (centroids from clustering.kmeans_fit), giving fewer,
     better-balanced probes on clustered corpora. A query then scans only
     ``nprobe`` cell directories via partition pruning — at 100 TB the
-    full-corpus scan is paid once at build, never per query."""
+    full-corpus scan is paid once at build, never per query.
+
+    Default ``method="blas"``: the build is the throughput-critical
+    full-corpus pass and cell routing needs no bit-exact distances — a
+    vector landing one cell over on a float tie only moves which probe
+    set finds it, and the nprobe=n_cells exact endpoint (ivf_topk) is
+    assignment-independent by construction."""
     from .clustering import assign_clusters
 
-    assigned = assign_clusters(df, centroids, id_col, vec_col).select(
-        "id", "cluster"
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    )
-    base.join(assigned, "id").write.mode(mode).partitionBy(
-        "cluster"
-    ).parquet(path)
+    # keep_vec carries the vector through the assignment, so the build is
+    # ONE pass over the corpus straight into the partitioned write — no
+    # join back on id (the r4 shape joined (id, cluster) against the
+    # corpus again: a second scan + shuffle for nothing)
+    assigned = assign_clusters(
+        df, centroids, id_col, vec_col, method, keep_vec=True
+    ).select("id", F.col("v").alias("vec"), "cluster")
+    assigned.write.mode(mode).partitionBy("cluster").parquet(path)
 
 
 def ivf_topk(

@@ -15,8 +15,18 @@ executed (not just plan-asserted) beyond bench scale:
    of paying the (k+5)-int-per-doc collapse shuffle. Timed split vs plain,
    min of `RUNS`.
 
-Writes one JSON line per check to stdout and appends a summary to
-SKEWCHECK_r04.md. Usage: python scripts/skew_blowup.py [--quick]
+3. PREFIX-SCAN / PAIR-SHUFFLE blow-up — x16 (sequence packing: the
+   two-phase parallel prefix scan's range partitioner + driver subtotal
+   collect) and x15 (BPE pair counts: the map-side-combined pair shuffle)
+   run on the same ×50 dup-heavy corpus, so the scan's P-subtotal
+   collect and the pair-count shuffle see 250k skewed docs. Completion
+   without OOM + sanity-checked outputs.
+
+Writes one JSON line per check to stdout and WRITES (overwrites) a summary
+to SKEWCHECK_r05.md — or SKEWCHECK_quick.md under --quick, so a quick run
+can never clobber the committed full-scale evidence the README and the
+split-gate threshold calibration cite.
+Usage: python scripts/skew_blowup.py [--quick]
 (--quick drops the blow-up factor to ×10 and the win corpus to 50k docs).
 """
 
@@ -111,6 +121,37 @@ def main() -> None:
         "ok": n_x14 == n_blown,
     }
 
+    # x16: the two-phase prefix scan at ×50 — the range partitioner and
+    # the P driver-side subtotals must hold up on 250k docs (the driver
+    # still only sees P integers, never rows)
+    t0 = time.perf_counter()
+    packed = text.sequence_pack_plan(blown, seq_len=256)
+    n_x16 = packed.count()
+    # global invariant: the last doc's offset + its tokens == total tokens
+    last = packed.orderBy(F.col("offset").desc()).limit(1).collect()[0]
+    total_tokens = last["offset"] + last["n_tokens"]
+    x16_s = time.perf_counter() - t0
+    results["x16_dup_heavy"] = {
+        "rows": n_x16,
+        "total_tokens": int(total_tokens),
+        "sec": round(x16_s, 2),
+        "ok": n_x16 <= n_blown and total_tokens > 0,
+    }
+
+    # x15: corpus-wide adjacent-pair counts at ×50 — every pair count is
+    # a multiple of `factor` (identical copies), and the shuffle must
+    # map-side combine rather than OOM
+    t0 = time.perf_counter()
+    top_pairs = text.bpe_pair_counts(blown, top_n=100).collect()
+    x15_s = time.perf_counter() - t0
+    results["x15_dup_heavy"] = {
+        "rows": len(top_pairs),
+        "top_count": int(top_pairs[0]["n_pairs"]) if top_pairs else 0,
+        "sec": round(x15_s, 2),
+        "ok": len(top_pairs) == 100
+        and all(int(r["n_pairs"]) % factor == 0 for r in top_pairs),
+    }
+
     # ---- 2. split win case: large mostly-unique corpus ------------------
     # deterministic unique texts (md5-derived tokens, ~24 tokens/doc) plus
     # a 2% duplicated population in groups of 5
@@ -183,8 +224,9 @@ def main() -> None:
         "split_win_case"
     ]["results_agree"]
 
-    with open(os.path.join(REPO, "SKEWCHECK_r04.md"), "w") as f:
-        f.write("# Skew / scale blow-up validation (round 4)\n\n")
+    out_name = "SKEWCHECK_quick.md" if quick else "SKEWCHECK_r05.md"
+    with open(os.path.join(REPO, out_name), "w") as f:
+        f.write("# Skew / scale blow-up validation (round 5)\n\n")
         f.write(
             f"Executed on local[32], factor ×{factor}, win-corpus "
             f"{n_corpus} docs, min of {RUNS} runs.\n\n```json\n"

@@ -65,6 +65,33 @@ def test_exact_dedup(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
 
 
+def test_exact_dedup_null_is_its_own_group(spark):
+    """SQL GROUP BY semantics: NULL text must NOT merge into the ''
+    group (a bare concat_ws key would), and NULL rows dedup among
+    themselves."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.exact_dedup(df, ["text"], "doc_id").collect()
+    )
+    assert kept == [1, 2]  # one NULL survivor, one '' survivor
+    dups = dedup.exact_duplicates(df, ["text"], "doc_id").collect()
+    assert sorted(tuple(r.dup_ids) for r in dups) == [(1, 3), (2, 4)]
+
+
+def test_minhash_split_dups_prereq_error(spark, docs):
+    """Explicit split_dups=True with its prerequisites off must raise, not
+    silently downgrade to the plain route."""
+    import pytest
+
+    with pytest.raises(ValueError, match="split_dups=True requires"):
+        dedup.minhash_near_duplicates(
+            docs, persist_shingles=False, split_dups=True
+        )
+
+
 def test_minhash_finds_planted_near_dups(spark, docs):
     """sf0.001 documents contain planted ~0.99-jaccard pairs; MinHash-LSH
     must find what exact n-gram jaccard finds (high threshold ⇒ recall ~1)."""
