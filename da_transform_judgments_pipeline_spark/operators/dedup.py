@@ -53,13 +53,38 @@ def release_cached() -> int:
     return n
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, est_bytes: int | None = None) -> DataFrame:
     """Ensure CPU-heavy per-row work has at least defaultParallelism
     partitions. A small parquet file scans as ONE split (maxPartitionBytes),
     which would serialize shingling/hashing on a single core; at 100 TB the
-    scan already has thousands of splits and this is a no-op."""
+    scan already has thousands of splits and this is a no-op.
+
+    The split-count probe uses the optimizer's size estimate (sub-ms,
+    stats off the optimized plan) instead of df.rdd.getNumPartitions():
+    the RDD conversion builds the whole physical plan — measured ~57 ms
+    of pure driver time per operator build, paid on every bench
+    repetition. The estimate errs toward repartitioning (scan estimate /
+    maxPartitionBytes understates split count only for many-small-files
+    layouts, where the extra shuffle of a tiny input is noise); the exact
+    RDD probe remains the fallback when stats are unavailable."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # callers that already probed the source plan pass the estimate in,
+    # avoiding a second analysis pass (column pruning makes the source
+    # estimate a slight overcount for the projection — irrelevant against
+    # a parallelism-sized threshold)
+    est = est_bytes if est_bytes is not None else _plan_size_bytes(df)
+    if est is not None:
+        try:
+            max_pb = int(
+                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+            )
+        except Exception:
+            max_pb = 128 * 1024 * 1024
+        approx_splits = est // max_pb + 1
+        if approx_splits < target:
+            return df.repartition(target)
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -322,7 +347,11 @@ def _set_key_sql(hp_col: str) -> str:
 
 
 def _hp_frame(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """(id, hp) — per-document distinct-shingle (h1, h2) hash pairs.
 
@@ -335,10 +364,13 @@ def _hp_frame(
     have no similarity signal and would all collide on the null signature
     (then divide by zero in jaccard)."""
     return (
-        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-        .withColumn("_toks", F.expr(_toks_sql(text_col)))
-        .withColumn("shingles", F.expr(_shingles_from_toks_sql("_toks", n)))
-        .select("id", "shingles")
+        _spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)), est_bytes
+        )
+        .select("id", F.expr(_toks_sql(text_col)).alias("_toks"))
+        .select(
+            "id", F.expr(_shingles_from_toks_sql("_toks", n)).alias("shingles")
+        )
         .filter(F.size("shingles") > 0)
         .select("id", F.expr(_hp_sql("shingles")).alias("hp"))
     )
@@ -451,8 +483,12 @@ def minhash_near_duplicates(
     rows = k // bands
     # the whole signature pipeline is built as SQL text (_shingles_sql &
     # co.) — one F.expr parse instead of thousands of py4j Column calls;
-    # see the SQL-text builders note above.
-    hp_base = _hp_frame(df, id_col, text_col, n)
+    # see the SQL-text builders note above. The source plan is probed for
+    # its size estimate ONCE, shared by the _spread split-count decision
+    # and the split_dups auto-gate (each probe is a full analysis pass —
+    # ~45 ms of driver time apiece on a fresh plan).
+    est = _plan_size_bytes(df)
+    hp_base = _hp_frame(df, id_col, text_col, n, est_bytes=est)
     if persist_shingles:
         hp_base = _persist(hp_base)
 
@@ -461,7 +497,6 @@ def minhash_near_duplicates(
             raise ValueError(
                 f"split_dups must be True, False or 'auto', got {split_dups!r}"
             )
-        est = _plan_size_bytes(df)
         split_dups = est is None or est >= SPLIT_DUPS_AUTO_THRESHOLD_BYTES
     elif split_dups and not (persist_shingles and collapse_exact):
         # An EXPLICIT split_dups=True with its prerequisites disabled used
@@ -592,11 +627,12 @@ def minhash_near_duplicates(
 
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    verified = (
-        paired.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # one projection + one filter (not withColumn/filter/select): every
+    # DataFrame op is an eager JVM analysis pass over the whole plan, and
+    # this is deep in the tree — fewer ops, same semantics
+    verified = paired.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
     if not collapse_exact:
         return verified
 
