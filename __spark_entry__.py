@@ -1462,6 +1462,71 @@ def q_m05_frame_sample_plan(spark, sf_dir):
     )
 
 
+def q_m06_audio_window_plan(spark, sf_dir):
+    """Audio analysis-window PLAN (multimodal.audio_window_plan): one row
+    per overlapping STFT/fbank window (800 ms wide, 300 ms hop) — the
+    pure-Catalyst fan-out that precedes any audio decode, so the codec
+    work distributes evenly. Media rows are documents posing as clips
+    with a deterministic duration (10 ms per byte); clips shorter than
+    one window drop. sequence + posexplode, fully SQL-expressible."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = _T(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            (F.octet_length("text").cast("long") * 10).alias("duration_ms")
+        ).alias("meta"),
+    )
+    return (
+        multimodal.audio_window_plan(media, window_ms=800, hop_ms=300)
+        .orderBy("media_id", "win_no")
+    )
+
+
+def q_x17_unigram_lm_score(spark, sf_dir):
+    """Corpus-derived unigram-LM quality score (text.unigram_lm_score):
+    top-500 corpus vocabulary, per-doc OOV rate + arithmetic-mean
+    unigram probability in ppm. Integer counts + correctly-rounded
+    divisions only — deliberately no ln(), so the score is bit-identical
+    across engines. One wordcount shuffle, vocabulary broadcast back,
+    one per-doc aggregation."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.unigram_lm_score(docs, vocab_size=500).orderBy("doc_id")
+
+
+def q_e10_cluster_balanced_sample(spark, sf_dir):
+    """Diversity sampling (clustering.cluster_balanced_sample): k-means
+    k=8 / 2 iterations (reproducible mode — bit-exact vs the recursive
+    DuckDB oracle), then the 5 members closest to each centroid, rank
+    tie-broken on (dist, vec_id). Topic-balanced corpus curation as one
+    window shuffle on top of the e06 machinery."""
+    emb = _T(spark, sf_dir, "embeddings")
+    return (
+        clustering.cluster_balanced_sample(
+            emb, k=8, per_cluster=5, iterations=2, reproducible=True
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            "dist",
+            F.col("rank").cast("long").alias("sample_rank"),
+        )
+        .orderBy("cluster", "sample_rank")
+    )
+
+
+def q_a19_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle (temporal.retention_cohorts): users
+    bucketed by first-event week (fixed-width epoch intervals — integer
+    div, no calendar variance), counted in each later week they stay
+    active. Two keyed shuffles + a cohort join, no full-stream window."""
+    ev = _T(spark, sf_dir, "events")
+    return temporal.retention_cohorts(ev).orderBy(
+        "cohort_bucket", "bucket_offset"
+    )
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -1897,6 +1962,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m05_frame_sample_plan": q_m05_frame_sample_plan,
     "x15_bpe_pair_counts": q_x15_bpe_pair_counts,
     "x16_sequence_packing": q_x16_sequence_packing,
+    # NEW round 5: unigram-LM scoring, audio window plan, cluster-balanced
+    # diversity sample, retention cohorts
+    "x17_unigram_lm_score": q_x17_unigram_lm_score,
+    "m06_audio_window_plan": q_m06_audio_window_plan,
+    "e10_cluster_balanced_sample": q_e10_cluster_balanced_sample,
+    "a19_retention_cohorts": q_a19_retention_cohorts,
     # (b) single-green r3 rows (first recorded r3) kept for confirmation
     "d06_incremental_dedup": q_d06_incremental_dedup,
     "o02_asof_join": q_o02_asof_join,
@@ -2099,6 +2170,23 @@ def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
                                     ORDER BY dist, cluster) AS rn
           FROM dist2
         ) WHERE rn = 1 ORDER BY vec_id
+    """
+
+
+def _cluster_sample_sql(k: int = 8, per_cluster: int = 5) -> str:
+    """e10 oracle: the e06 k-means oracle (bit-exact reproducible mode)
+    wrapped with the per-cluster closest-N selection — rank on the SAME
+    rounded dist both engines emit, (dist, vec_id) tie-break."""
+    return f"""
+        WITH base AS ({_kmeans_sql(k)})
+        SELECT vec_id, cluster, dist, sample_rank FROM (
+          SELECT vec_id, cluster, dist,
+                 CAST(row_number() OVER (PARTITION BY cluster
+                                         ORDER BY dist, vec_id)
+                      AS BIGINT) AS sample_rank
+          FROM base
+        ) WHERE sample_rank <= {per_cluster}
+        ORDER BY cluster, sample_rank
     """
 
 
@@ -2945,6 +3033,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "e06_kmeans": _kmeans_sql(),
+        "e10_cluster_balanced_sample": _cluster_sample_sql(),
         "x05_chunking": r"""
             WITH t AS (
               SELECT doc_id,
@@ -3074,6 +3163,70 @@ def oracle_sql() -> dict[str, str]:
                        500)) AS frame_ts_ms
             FROM documents
             ORDER BY media_id, frame_ts_ms
+        """,
+        "m06_audio_window_plan": """
+            WITH media AS (
+              SELECT doc_id AS media_id,
+                     CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 10
+                         AS duration_ms
+              FROM documents
+            ),
+            w AS (
+              SELECT media_id,
+                     unnest(range(0, duration_ms - 800 + 1, 300))
+                         AS win_start_ms
+              FROM media WHERE duration_ms >= 800
+            )
+            SELECT media_id,
+                   CAST(row_number() OVER (PARTITION BY media_id
+                                           ORDER BY win_start_ms) - 1
+                        AS BIGINT) AS win_no,
+                   win_start_ms,
+                   win_start_ms + 800 AS win_end_ms
+            FROM w ORDER BY media_id, win_no
+        """,
+        "x17_unigram_lm_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         t -> t <> '')) AS tok
+              FROM documents
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            vocab AS (
+              SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 500
+            ),
+            total AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM counts),
+            per_doc AS (
+              SELECT t.doc_id,
+                     count(*) AS n_tokens,
+                     CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov,
+                     CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS sum_c
+              FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_tokens, n_oov,
+                   round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+                         6) AS oov_rate,
+                   round(CAST(sum_c AS DOUBLE) * 1000000.0
+                         / CAST(N * n_tokens AS DOUBLE), 6) AS mean_prob_ppm
+            FROM per_doc, total ORDER BY doc_id
+        """,
+        "a19_retention_cohorts": """
+            WITH ev AS (
+              SELECT user_id AS u, epoch_us(ts) // 604800000000 AS bucket
+              FROM events
+            ),
+            c AS (SELECT u, min(bucket) AS cohort_bucket FROM ev GROUP BY u),
+            a AS (SELECT DISTINCT u, bucket FROM ev)
+            SELECT cohort_bucket,
+                   bucket - cohort_bucket AS bucket_offset,
+                   CAST(count(DISTINCT u) AS BIGINT) AS n_users
+            FROM a JOIN c USING (u)
+            GROUP BY cohort_bucket, bucket_offset
+            ORDER BY cohort_bucket, bucket_offset
         """,
         "x16_sequence_packing": r"""
             WITH t AS (

@@ -239,6 +239,47 @@ def kmeans_fit(
     return centroids
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    k: int = 8,
+    per_cluster: int = 10,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reproducible: bool = True,
+    method: str | None = None,
+) -> DataFrame:
+    """Diversity sampling for corpus curation: k-means the embeddings,
+    then keep the ``per_cluster`` members CLOSEST to each centroid — a
+    topic-balanced subset instead of the frequency-biased sample a
+    uniform draw gives (the dominant topic stops drowning the tail).
+    Deterministic end-to-end with reproducible=True (min-id seeding,
+    id-ordered centroid folds, (dist, id) rank tie-break) — the whole
+    selection is SQL-oracle-expressible.
+
+    Output: (id_col, cluster, dist, rank) with rank 1..per_cluster.
+
+    Scale shape: the k-means passes are map-side + one narrow update
+    shuffle each (see kmeans); the per-cluster top-n is ONE window
+    shuffle keyed on cluster. With small k the window key is
+    low-cardinality — acceptable because each cluster's partition only
+    sorts its own members; for huge corpora push k up (finer clusters =
+    better balance AND better parallelism, the knobs align)."""
+    if per_cluster < 1:
+        raise ValueError(f"per_cluster must be >= 1, got {per_cluster}")
+    from pyspark.sql.window import Window
+
+    assigned = kmeans(
+        df, k, iterations, id_col, vec_col, reproducible, method
+    )
+    w = Window.partitionBy("cluster").orderBy("dist", id_col)
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cluster)
+        .select(id_col, "cluster", "dist", "rank")
+    )
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,

@@ -151,6 +151,37 @@ def resize_images(
     )
 
 
+def audio_window_plan(
+    media: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+) -> DataFrame:
+    """Audio feature-extraction *plan*: one row per overlapping analysis
+    window (the STFT/fbank batch shape — window_ms wide, sliding by
+    hop_ms), pure Catalyst (sequence + explode) so the expensive decode +
+    transform fans out evenly over executors before any codec runs.
+    Windows start at 0, hop_ms, 2·hop_ms, ... while they still fit
+    entirely inside the clip (win_start + window_ms <= duration_ms);
+    clips shorter than one window yield no rows (nothing to analyze).
+    Output: (media_id, win_no, win_start_ms, win_end_ms)."""
+    if window_ms < 1 or hop_ms < 1:
+        raise ValueError("window_ms and hop_ms must be >= 1")
+    duration = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    last_start = duration - F.lit(window_ms)
+    starts = F.when(
+        last_start >= 0,
+        F.sequence(F.lit(0).cast("long"), last_start, F.lit(hop_ms)),
+    ).otherwise(F.array().cast("array<long>"))
+    return media.select(
+        "media_id", F.posexplode(starts).alias("win_no", "win_start_ms")
+    ).select(
+        "media_id",
+        F.col("win_no").cast("long").alias("win_no"),
+        "win_start_ms",
+        (F.col("win_start_ms") + F.lit(window_ms)).alias("win_end_ms"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms) the
     decode stage should materialize — pure Catalyst (sequence + explode), so

@@ -177,3 +177,40 @@ def sessionize(
     )
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_no", F.sum(starts).over(running))
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = 7 * 24 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Cohort retention matrix over an event stream: users grouped by the
+    time bucket of their FIRST event (their cohort), counted in every
+    later bucket they remain active — the standard product-analytics
+    retention triangle, here as a batch operator over the events table.
+
+    Buckets are fixed-width epoch intervals (``bucket_us`` microseconds,
+    default one week): ``bucket = epoch_us(ts) div bucket_us`` — pure
+    integer arithmetic, identical in any engine (no calendar/timezone
+    date_trunc variance). Output: (cohort_bucket, bucket_offset, n_users)
+    where offset 0 counts the cohort's size itself.
+
+    Scale shape: (1) per-user min-bucket aggregate — one shuffle on user,
+    map-side combined; (2) the distinct (user, bucket) activity set —
+    same key, one shuffle; (3) cohort join back on user (co-keyed — AQE
+    broadcasts the cohort side when small); (4) the (cohort, offset)
+    count-distinct — users within one cohort-offset cell, map-side
+    partial. No window over the full stream, no per-event state."""
+    ub = F.expr(f"unix_micros({ts_col}) div {bucket_us}")
+    ev = df.select(F.col(user_col).alias("u"), ub.alias("bucket"))
+    cohorts = ev.groupBy("u").agg(F.min("bucket").alias("cohort_bucket"))
+    active = ev.distinct()
+    return (
+        active.join(cohorts, "u")
+        .groupBy(
+            "cohort_bucket",
+            (F.col("bucket") - F.col("cohort_bucket")).alias("bucket_offset"),
+        )
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

@@ -313,6 +313,67 @@ def top_ngrams(
     )
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Corpus-derived unigram language-model quality score per document —
+    the classic cheap LM filter (CCNet/Gopher-style: docs whose tokens
+    the corpus itself finds improbable are boilerplate/noise candidates).
+
+    Model: the top ``vocab_size`` tokens by corpus frequency (ties broken
+    on the token string — deterministic) form the vocabulary; a token
+    outside it is OOV. Per document (token-less docs drop — no signal):
+      n_tokens, n_oov, oov_rate = n_oov/n_tokens,
+      mean_prob_ppm = Σ c(t)·10⁶ / (N · n_tokens) over in-vocab tokens —
+    the arithmetic-mean unigram probability in parts-per-million. All
+    inputs to the two divisions are exact integers and each division is
+    one correctly-rounded IEEE-754 op, so the score is bit-identical
+    across engines — deliberately NO ln(): libm log differs between
+    engines (the pow() trap), while this score ranks documents the same
+    way for filtering purposes.
+
+    Scale shape: one token-count shuffle (wordcount — map-side combined),
+    vocabulary as a TakeOrderedAndProject of V rows broadcast back onto
+    the token stream (no second corpus shuffle for the lookup), one
+    per-doc aggregation shuffle keyed on id. The corpus total N rides a
+    broadcast single-row cross join — in-plan control data, no collect.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)
+    total = counts.agg(F.sum("c").alias("N"))
+    scored = toks.join(F.broadcast(vocab), "tok", "left")
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.sum(F.coalesce("c", F.lit(0))).alias("sum_c"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+            F.round(
+                F.col("sum_c").cast("double")
+                * F.lit(1000000.0)
+                / (F.col("N") * F.col("n_tokens")).cast("double"),
+                6,
+            ).alias("mean_prob_ppm"),
+        )
+    )
+
+
 def tf_idf(
     df: DataFrame,
     id_col: str = "doc_id",

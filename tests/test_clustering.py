@@ -133,3 +133,28 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     assert metrics.apply("numOutputRows").value() < emb.count()
     # the query's own vector lives in the nearest probed cell
     assert rows[0].id == 1 and rows[0].cosine == 1.0
+
+
+def test_cluster_balanced_sample(spark):
+    """Per-cluster cap holds, ranks start at 1 and order by distance, and
+    every cluster with members is represented — the diversity contract a
+    uniform sample can't give."""
+    df = _blobs(spark)
+    out = clustering.cluster_balanced_sample(
+        df, k=2, per_cluster=3, iterations=2
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert set(by_cluster) == {0, 1}
+    for members in by_cluster.values():
+        ranks = sorted(m.rank for m in members)
+        assert ranks == [1, 2, 3]
+        dists = [m.dist for m in sorted(members, key=lambda m: m.rank)]
+        assert dists == sorted(dists)
+
+
+def test_cluster_balanced_sample_validates(spark):
+    df = _blobs(spark)
+    with pytest.raises(ValueError, match="per_cluster"):
+        clustering.cluster_balanced_sample(df, k=2, per_cluster=0)

@@ -91,3 +91,37 @@ def test_media_catalog_from_binaryfile(spark, tmp_path):
     r = cat.collect()[0]
     assert r["kind"] == "image" and bytes(r["content"]) == b"\x89PNG fake"
     assert set(cat.columns) == {"media_id", "kind", "mime", "content", "meta"}
+
+
+def test_audio_window_plan_boundaries(spark):
+    """Window fit rule: starts at 0, hop, ... while start+window <=
+    duration; a clip shorter than one window yields no rows; a clip
+    exactly one window yields exactly one."""
+    import pyspark.sql.functions as F
+
+    media = spark.createDataFrame(
+        [(1, 1000), (2, 799), (3, 800), (4, 1399), (5, 1400)],
+        "media_id long, duration_ms long",
+    ).select("media_id", F.struct("duration_ms").alias("meta"))
+    out = multimodal.audio_window_plan(media, window_ms=800, hop_ms=300)
+    got = {
+        (r.media_id, r.win_no, r.win_start_ms, r.win_end_ms)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0, 0, 800),            # 1000ms: only start 0 fits (300+800>1000)
+        (3, 0, 0, 800),            # exactly one window
+        (4, 0, 0, 800), (4, 1, 300, 1100),
+        (5, 0, 0, 800), (5, 1, 300, 1100), (5, 2, 600, 1400),
+    }  # media 2 (799ms) yields nothing
+
+
+def test_audio_window_plan_validates(spark):
+    import pytest
+    import pyspark.sql.functions as F
+
+    media = spark.createDataFrame(
+        [(1, 1000)], "media_id long, duration_ms long"
+    ).select("media_id", F.struct("duration_ms").alias("meta"))
+    with pytest.raises(ValueError, match="window_ms and hop_ms"):
+        multimodal.audio_window_plan(media, window_ms=0, hop_ms=10)

@@ -135,3 +135,36 @@ def test_sessionize_single_shuffle_for_session_stats(spark):
     )
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_retention_cohorts(spark):
+    """Fixed-width epoch buckets: user 1's first event pins the cohort,
+    the offset-0 cell counts cohort size, later activity lands at its
+    week offset, and duplicate events within one bucket count a user
+    once."""
+    from da_transform_judgments_pipeline_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),  # week W
+        (1, "2024-01-01 05:00:00"),  # same bucket, same user — no double
+        (1, "2024-01-09 00:00:00"),  # week W+1
+        (2, "2024-01-02 00:00:00"),  # week W (same bucket as user 1)
+        (3, "2024-01-09 12:00:00"),  # cohort W+1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "s"]).select(
+        "user_id", F.to_timestamp("s").alias("ts")
+    )
+    out = {
+        (r.bucket_offset, r.n_users): r.cohort_bucket
+        for r in retention_cohorts(df).collect()
+    }
+    # cohort W: 2 users at offset 0, 1 retained at offset 1
+    # cohort W+1: 1 user at offset 0
+    offsets = sorted(
+        (r.cohort_bucket, r.bucket_offset, r.n_users)
+        for r in retention_cohorts(df).collect()
+    )
+    w = offsets[0][0]
+    assert offsets == [(w, 0, 2), (w, 1, 1), (w + 1, 0, 1)]

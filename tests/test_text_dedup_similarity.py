@@ -483,3 +483,24 @@ def test_ann_recall_against_exact(spark, embeddings):
     assert 1 in approx
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, (exact, approx)
+
+
+def test_unigram_lm_score(spark):
+    """Vocabulary = top-V by (count desc, token asc); OOV = outside it;
+    token-less docs drop; mean_prob_ppm is the exact integer ratio."""
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "rare zyx qwv tokens here"),
+         (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.unigram_lm_score(df, vocab_size=3).collect()}
+    # corpus: the=2, everything else 1 -> vocab = {the, cat, here} (ties
+    # break alphabetically among count-1 tokens)
+    assert set(out) == {1, 2}  # doc 3 has no tokens
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_oov) == (6, 3)  # sat/on/mat OOV
+    # sum_c for doc 1 = the(2)+cat(1)+the(2) = 5; N = 11 tokens
+    assert r1.mean_prob_ppm == round(5 * 1e6 / (11 * 6), 6)
+    r2 = out[2]
+    assert (r2.n_tokens, r2.n_oov) == (5, 4)  # only 'here' in vocab
+    assert r2.oov_rate == 0.8
