@@ -67,6 +67,10 @@ HEADLINE = [
     "x14_line_dedup",
     "x15_bpe_pair_counts",
     "x16_sequence_packing",
+    "x17_unigram_lm_score",
+    "m06_audio_window_plan",
+    "e10_cluster_balanced_sample",
+    "a19_retention_cohorts",
 ]
 
 

@@ -93,3 +93,54 @@ def test_whole_stage_codegen(spark, sf_dir):
         with contextlib.redirect_stdout(buf):
             df.explain()
         assert buf.getvalue().count("*(") >= 2, name
+
+
+def test_unigram_lm_vocab_join_broadcasts(spark, sf_dir):
+    """x17's vocabulary lookup must broadcast the V-row vocab onto the
+    token stream — the corpus-side token scan must NOT shuffle for the
+    join (its only exchanges are the wordcount and the per-doc agg)."""
+    from da_transform_judgments_pipeline_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        text.unigram_lm_score(docs, vocab_size=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_audio_window_plan_is_map_side(spark):
+    """m06's window fan-out is pure Catalyst — no Exchange, no Python."""
+    import pyspark.sql.functions as F
+
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, 5000)], "media_id long, duration_ms long"
+    ).select("media_id", F.struct("duration_ms").alias("meta"))
+    plan = (
+        multimodal.audio_window_plan(media)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_cluster_balanced_sample_single_window_shuffle(spark):
+    """e10's selection adds exactly ONE exchange on top of the map-side
+    assignment: the per-cluster window. (kmeans_fit's update shuffles run
+    during construction; the returned plan is assignment + window.)"""
+    from da_transform_judgments_pipeline_spark.operators import clustering
+
+    rows = [(i, [float(i % 3), 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    plan = (
+        clustering.cluster_balanced_sample(df, k=2, per_cluster=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
