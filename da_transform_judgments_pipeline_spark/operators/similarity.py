@@ -436,6 +436,30 @@ def build_ivf_index(
     assigned.write.mode(mode).partitionBy("cluster").parquet(path)
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "blas",
+) -> None:
+    """Incrementally grow a persisted IVF index: assign ONLY the new
+    batch against the frozen centroid model and append its rows into the
+    existing cluster directories — the ANN counterpart of the incremental
+    dedup path (dedup.incremental_near_duplicates): ingestion touches
+    batch-sized data, never the corpus. The centroids must be the ones
+    the index was built with (the model is the partitioning contract);
+    a probe after append sees old + new vectors in one partition-pruned
+    scan. Re-fit centroids + rebuild only when drift degrades recall —
+    the recall contract tests (tests/test_clustering.py) are the gauge.
+
+    At 100 TB this is the serving-shape write path: appends are
+    partition-local parquet adds (no compaction pass here; run one
+    offline when small-file counts grow)."""
+    build_ivf_index(df, path, centroids, id_col, vec_col, "append", method)
+
+
 def ivf_topk(
     spark,
     index: str | DataFrame,

@@ -3,4 +3,4 @@ SQS → trigger → Step Functions orchestration re-expressed as a streaming
 event pipeline with foreachBatch dispatch, idempotency dedup, retry routing
 with a dead-letter table, and keyed retry state."""
 
-from . import orchestrator, retry_state  # noqa: F401
+from . import orchestrator, retry_state, sessions  # noqa: F401

@@ -158,3 +158,31 @@ def test_cluster_balanced_sample_validates(spark):
     df = _blobs(spark)
     with pytest.raises(ValueError, match="per_cluster"):
         clustering.cluster_balanced_sample(df, k=2, per_cluster=0)
+
+
+def test_ivf_incremental_append(spark, tmp_path):
+    """Appending a batch against the frozen centroid model must make the
+    new vectors findable by the partition-pruned probe, leave old results
+    intact, and at nprobe=n_cells stay exactly equal to brute force over
+    the grown corpus."""
+    from da_transform_judgments_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    cent = clustering.kmeans_fit(base, k=4, updates=1)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, path, cent)
+    similarity.append_to_ivf_index(batch, path, cent)
+
+    q = list(emb.filter("vec_id = 450").first().embedding)  # appended vec
+    full = similarity.ivf_topk(
+        spark, path, cent, q, k=10, nprobe=len(cent)
+    ).collect()
+    exact = similarity.cosine_topk(emb, q, k=10).collect()
+    assert [(r.id, r.cosine) for r in full] == [
+        (r.id, r.cosine) for r in exact
+    ]
+    # the appended vector itself tops its own query via the pruned probe
+    probe = similarity.ivf_topk(spark, path, cent, q, k=1, nprobe=1).collect()
+    assert probe[0].id == 450 and probe[0].cosine == 1.0

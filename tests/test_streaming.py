@@ -318,3 +318,82 @@ def test_streaming_incremental_dedup(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_hp")
         dedup.release_cached()
+
+
+def test_streaming_sessionization_gap_and_timeout(spark, tmp_path):
+    """Stateful streaming sessionization (sessions.sessionize_stream):
+    a same-user event past the gap closes the open session ("gap"); a
+    user who stops sending is closed by the WATERMARK passing their gap
+    horizon ("timeout") — state must not outlive its session. Three
+    availableNow waves over one checkpoint exercise restart-persistent
+    state: wave 2's events close user 1's first session by gap; wave 3's
+    watermark advance fires user 2's event-time timeout."""
+    import json as _json
+
+    from da_transform_judgments_pipeline_spark.streaming import sessions
+
+    indir = tmp_path / "sess_in"
+    indir.mkdir(parents=True)
+    ckpt = str(tmp_path / "sess_ckpt")
+    outdir = str(tmp_path / "sess_out")
+    t0 = 1_700_000_000  # epoch seconds
+
+    def _wave(fname, rows):
+        (indir / fname).write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "ts": ts, "value": v})
+                for u, ts, v in rows
+            )
+            + "\n"
+        )
+
+    def _run():
+        schema = "user_id long, ts timestamp, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            .json(str(indir))
+        )
+        # file sink (memory sink cannot recover a checkpoint across the
+        # three separate availableNow runs that model restarts)
+        q = (
+            sessions.sessionize_stream(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def _iso(sec):
+        import datetime as dt
+
+        return dt.datetime.fromtimestamp(
+            sec, dt.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+
+    # wave 1: user 1 two close events (open session), user 2 one event
+    _wave("w1.jsonl", [(1, _iso(t0), 1.0), (1, _iso(t0 + 10), 2.0),
+                       (2, _iso(t0), 5.0)])
+    _run()
+    # wave 2: user 1 returns past the gap -> closes their first session
+    _wave("w2.jsonl", [(1, _iso(t0 + 3600), 3.0)])
+    _run()
+    # wave 3: far-future event advances the watermark past user 2's
+    # horizon -> their session times out during this run
+    _wave("w3.jsonl", [(9, _iso(t0 + 7200), 0.0)])
+    _run()
+
+    rows = (
+        spark.read.parquet(outdir).orderBy("user_id", "start_us").collect()
+    )
+    got = {
+        (r.user_id, r.closed_by): (r.start_us, r.end_us, r.n_events,
+                                   r.sum_value)
+        for r in rows
+    }
+    us = 1_000_000
+    assert got[(1, "gap")] == (t0 * us, (t0 + 10) * us, 2, 3.0)
+    assert got[(2, "timeout")] == (t0 * us, t0 * us, 1, 5.0)
