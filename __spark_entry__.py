@@ -1933,12 +1933,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (x17 unigram-LM score, m06 audio window plan, e10 cluster-balanced
     # diversity sample, a19 retention cohorts); (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
-    # split_dups prerequisite guard + _spread stats probe (d02-d07, e01,
-    # e05, x14 rides text.py unchanged but shares release paths), the
-    # k-means fold/BLAS assignment rework (e04? no — e04 is pure
-    # posexplode; e06, e08, e10 DO run it), the IVF build join removal
-    # (e08), and the int64 width casts (x01, x02, x03, x05, e04, m01,
-    # m05) — all inside the window per the r2 lesson; (c) r4 first-green
+    # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
+    # e05; x14 shares the release paths), the k-means fold/BLAS
+    # assignment rework + join-free IVF build (e06, e08, e10), and the
+    # int64 width casts (x01, x02, x03, x05, e04, m01, m05) — all inside
+    # the window per the r2 lesson; (c) r4 first-green
     # rows kept for a second recorded confirmation. Moved PAST the cap
     # this round: the TPC-H analytics family a07-a17 + o01 (double/triple
     # green r3+r4, unchanged in r5), e02 (triple green, unchanged),
