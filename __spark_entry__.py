@@ -1527,6 +1527,191 @@ def q_a19_retention_cohorts(spark, sf_dir):
     )
 
 
+def q_o04_event_funnel(spark, sf_dir):
+    """Ordered-funnel conversion (temporal.funnel_counts): users advancing
+    view → click → purchase with strictly increasing timestamps; one row
+    per step with the count of users who reached at least that step.
+    Spark runs the single-shuffle sorted-fold formulation
+    (collect per-user funnel events, aggregate() fold advancing a
+    (depth, last_ts) accumulator); the oracle runs the k-join sequential
+    min-timestamp formulation — two independent constructions that must
+    agree bit-for-bit (equal timestamps never chain on either side)."""
+    ev = _T(spark, sf_dir, "events")
+    return temporal.funnel_counts(
+        ev, ["view", "click", "purchase"]
+    ).orderBy("step_no")
+
+
+def q_d08_duplicate_weights(spark, sf_dir):
+    """Soft dedup (dedup.duplicate_weights): duplicate-count training
+    weights 1/n per exact-text group instead of row removal — every
+    distinct content unit contributes total weight 1.0 to a downstream
+    sampler. Cardinality-preserving; one null-safe-keyed shuffle
+    (groupBy count + co-keyed join back). The oracle's GROUP BY text /
+    IS NOT DISTINCT FROM join keeps NULL text as its own group, exactly
+    the semantics the tagged null-safe key encodes."""
+    docs = _T(spark, sf_dir, "documents")
+    return dedup.duplicate_weights(docs, ["text"], "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def q_x18_bigram_lm_score(spark, sf_dir):
+    """Corpus-derived BIGRAM-LM quality score (text.ngram_lm_score n=2):
+    top-500 corpus bigram vocabulary, per-doc bigram OOV rate + mean
+    bigram probability in ppm — catches word-order anomalies the x17
+    unigram filter is blind to. Bigrams are produced map-side (sequence/
+    slice over the token array, no self-join); same integer-exact,
+    ln()-free scoring as x17, so the result is bit-identical to the
+    DuckDB oracle."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.ngram_lm_score(docs, n=2, vocab_size=500).orderBy("doc_id")
+
+
+def q_x19_zipf_histogram(spark, sf_dir):
+    """Vocabulary Zipf spectrum (text.zipf_histogram): token types
+    bucketed by floor(log2(corpus frequency)) via exact integer msb
+    (length(bin(c)) - 1 — never floating log2), with per-band type and
+    occurrence counts. One wordcount shuffle + a ≤64-row control-plane
+    aggregate."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.zipf_histogram(docs).orderBy("freq_bucket")
+
+
+def q_m07_image_tile_plan(spark, sf_dir):
+    """Image-tiling PLAN (multimodal.tile_plan): one row per 256×256
+    patch the decode/embed stage should materialize — the pure-Catalyst
+    fan-out preceding a ViT-style encoder, edge tiles included (ceil
+    division). Media rows are documents posing as images with
+    deterministic dimensions derived from n_chars. Nested sequence +
+    explode, fully SQL-expressible — hash-checked against DuckDB
+    generate_series."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = _T(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            ((F.col("n_chars") * 7) % 1920 + 1).cast("int").alias("width"),
+            ((F.col("n_chars") * 5) % 1080 + 1).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+    return (
+        multimodal.tile_plan(media, tile_w=256, tile_h=256)
+        .select(
+            "media_id",
+            F.col("tile_x").cast("long").alias("tile_x"),
+            F.col("tile_y").cast("long").alias("tile_y"),
+        )
+        .orderBy("media_id", "tile_x", "tile_y")
+    )
+
+
+def q_a20_brand_supplier_counts(spark, sf_dir):
+    """TPC-H Q16-shaped parts/supplier relationship count: distinct
+    suppliers per (brand, size) over lineitem↔part, excluding STANDARD
+    parts and a complained-about supplier set (suppliers whose name ends
+    in '7'). Shape: the exclusion list is a broadcast LEFT ANTI join
+    (never a NOT IN re-scan), part dimension broadcasts into the fact
+    scan, one (brand, size) shuffle with a distinct-supplier aggregate.
+    [SURVEY §2.3 J4 anti-join family at analytics scale]"""
+    li = _T(spark, sf_dir, "lineitem")
+    part = _T(spark, sf_dir, "part")
+    supp = _T(spark, sf_dir, "supplier")
+    excluded = supp.filter(F.col("s_name").endswith("7")).select("s_suppkey")
+    dim = part.filter(F.col("p_type") != "STANDARD").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    return (
+        li.join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(dim), li.l_partkey == dim.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            F.col("p_size").cast("long").alias("p_size"),
+            F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+def q_a21_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume-customer report: orders whose summed
+    lineitem quantity exceeds 300, joined back to customer. Shape: the
+    HAVING subquery becomes an aggregate-then-join (sum per orderkey
+    first — map-side combinable — so the join input is already reduced
+    to the 46-in-60k qualifying keys), customer broadcasts. l_quantity
+    values are small integers in double, so the per-order sum is exact
+    in any summation order — safe to hash-compare."""
+    li = _T(spark, sf_dir, "lineitem")
+    orders = _T(spark, sf_dir, "orders")
+    cust = _T(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_orderdate").cast("date").cast("string").alias(
+                "orderdate"
+            ),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+def q_a22_idle_high_balance(spark, sf_dir):
+    """TPC-H Q22-shaped lost-opportunity report: customers with
+    above-average positive account balance who never placed an URGENT
+    order, grouped by nation. Shape: the scalar AVG subquery rides a
+    broadcast single-row cross join (in-plan control data, no collect);
+    the NOT EXISTS becomes a LEFT ANTI join against the pre-filtered,
+    pre-deduplicated urgent-customer key set; balances sum in exact
+    integer cents (decimal→long) so the aggregate is order-independent
+    and hash-safe."""
+    cust = _T(spark, sf_dir, "customer")
+    orders = _T(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .withColumn("bal_cents", cents)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("sum_bal_cents").cast("long").alias("sum_bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -1931,7 +2116,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # recorded key set is exactly positions 1-50 in dict order). The
     # round-5 window holds, in priority order: (a) queries NEW this round
     # (x17 unigram-LM score, m06 audio window plan, e10 cluster-balanced
-    # diversity sample, a19 retention cohorts); (b) every query whose code
+    # diversity sample, a19 retention cohorts, o04 ordered funnel, d08
+    # duplicate weights, x18 bigram-LM score, x19 Zipf spectrum, m07 image
+    # tile plan, a20/a21/a22 TPC-H Q16/Q18/Q22 shapes); (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
     # e05; x14 shares the release paths), the k-means fold/BLAS
@@ -1952,6 +2139,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m06_audio_window_plan": q_m06_audio_window_plan,
     "e10_cluster_balanced_sample": q_e10_cluster_balanced_sample,
     "a19_retention_cohorts": q_a19_retention_cohorts,
+    "o04_event_funnel": q_o04_event_funnel,
+    "d08_duplicate_weights": q_d08_duplicate_weights,
+    "x18_bigram_lm_score": q_x18_bigram_lm_score,
+    "x19_zipf_histogram": q_x19_zipf_histogram,
+    "m07_image_tile_plan": q_m07_image_tile_plan,
+    "a20_brand_supplier_counts": q_a20_brand_supplier_counts,
+    "a21_large_volume_customers": q_a21_large_volume_customers,
+    "a22_idle_high_balance": q_a22_idle_high_balance,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
@@ -3221,6 +3416,162 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN c USING (u)
             GROUP BY cohort_bucket, bucket_offset
             ORDER BY cohort_bucket, bucket_offset
+        """,
+        # o04: the k-join sequential min-timestamp formulation — an
+        # independent construction of the funnel the Spark fold must match
+        "o04_event_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step_no,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 2, CAST((SELECT count(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT 3, CAST((SELECT count(*) FROM s3) AS BIGINT)
+            ORDER BY step_no
+        """,
+        "d08_duplicate_weights": """
+            WITH g AS (
+              SELECT text, CAST(count(*) AS BIGINT) AS group_size
+              FROM documents GROUP BY text
+            )
+            SELECT d.doc_id, g.group_size,
+                   round(1.0 / g.group_size, 6) AS weight
+            FROM documents d
+            JOIN g ON d.text IS NOT DISTINCT FROM g.text
+            ORDER BY d.doc_id
+        """,
+        "x18_bigram_lm_score": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, tk[i] || chr(2) || tk[i + 1] AS tok
+              FROM tk, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+              WHERE len(tk) >= 2
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            vocab AS (
+              SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 500
+            ),
+            total AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM counts),
+            per_doc AS (
+              SELECT t.doc_id,
+                     count(*) AS n_tokens,
+                     CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov,
+                     CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS sum_c
+              FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_tokens, n_oov,
+                   round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+                         6) AS oov_rate,
+                   round(CAST(sum_c AS DOUBLE) * 1000000.0
+                         / CAST(N * n_tokens AS DOUBLE), 6) AS mean_prob_ppm
+            FROM per_doc, total ORDER BY doc_id
+        """,
+        # x19: printf('%b', c) is DuckDB's integer-exact binary rendering —
+        # length-1 = msb position = floor(log2) with no float involvement,
+        # mirroring Spark's length(bin(c)) - 1
+        "x19_zipf_histogram": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                  regexp_split_to_array(trim(text), '\s+'),
+                  x -> x <> '')) AS tok
+              FROM documents
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+            SELECT CAST(length(printf('%b', c)) - 1 AS BIGINT)
+                     AS freq_bucket,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c) AS BIGINT) AS n_occurrences
+            FROM counts GROUP BY freq_bucket ORDER BY freq_bucket
+        """,
+        "m07_image_tile_plan": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     (n_chars * 7) % 1920 + 1 AS w,
+                     (n_chars * 5) % 1080 + 1 AS h
+              FROM documents
+            ),
+            t AS (
+              SELECT media_id,
+                     (w + 255) // 256 AS nx,
+                     (h + 255) // 256 AS ny
+              FROM m WHERE w > 0 AND h > 0
+            )
+            SELECT media_id,
+                   CAST(tx.i AS BIGINT) AS tile_x,
+                   CAST(ty.j AS BIGINT) AS tile_y
+            FROM t,
+                 UNNEST(generate_series(0, nx - 1)) AS tx(i),
+                 UNNEST(generate_series(0, ny - 1)) AS ty(j)
+            ORDER BY media_id, tile_x, tile_y
+        """,
+        "a20_brand_supplier_counts": """
+            SELECT p_brand,
+                   CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_type <> 'STANDARD'
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+              )
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+        """,
+        "a21_large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 300
+            )
+            SELECT c_name,
+                   CAST(c_custkey AS BIGINT) AS c_custkey,
+                   CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+                   o_totalprice, sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+        """,
+        "a22_idle_high_balance": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS sum_bal_cents
+            FROM customer
+            WHERE c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT'
+              )
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         "x16_sequence_packing": r"""
             WITH t AS (

@@ -71,6 +71,14 @@ HEADLINE = [
     "m06_audio_window_plan",
     "e10_cluster_balanced_sample",
     "a19_retention_cohorts",
+    "o04_event_funnel",
+    "d08_duplicate_weights",
+    "x18_bigram_lm_score",
+    "x19_zipf_histogram",
+    "m07_image_tile_plan",
+    "a20_brand_supplier_counts",
+    "a21_large_volume_customers",
+    "a22_idle_high_balance",
 ]
 
 

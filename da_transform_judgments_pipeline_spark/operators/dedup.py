@@ -1327,3 +1327,39 @@ def incremental_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_new", "id_old", "jaccard")
     )
+
+
+def duplicate_weights(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING duplicates, assign every row a
+    training weight of 1/n where n is its exact-duplicate group size, so
+    each distinct content unit contributes total weight 1.0 to a
+    downstream loss/sampler regardless of how many times it was crawled
+    — the duplicate-down-weighting alternative to removal (used when
+    duplication frequency itself carries signal, e.g. boilerplate vs
+    popular quotes). Reference analogue: the checksum groups of
+    `/root/reference/lambda_functions/tre-validate-bagit-files/checksum_lib.py`
+    identify identical content; here the group size becomes a weight
+    instead of a validation verdict.
+
+    Output: (id_col, group_size, weight) — weight = round(1/n, 6), one
+    row per INPUT row (cardinality-preserving, unlike exact_dedup).
+
+    Scale shape: ONE shuffle — the null-safe key feeds a groupBy count,
+    joined back co-keyed on the same hash (AQE broadcasts the count side
+    when the distinct-key set is small; at 100 TB both sides partition
+    on the identical key so the join adds no third shuffle). A window
+    count-over-key would be the same single shuffle but forces the whole
+    group through one in-memory pane; the groupBy+join form spills
+    gracefully and keeps map-side partial aggregation."""
+    key = _null_safe_key(key_cols)
+    keyed = df.select(F.col(id_col), key.alias("_k"))
+    sizes = keyed.groupBy("_k").agg(F.count("*").alias("group_size"))
+    return keyed.join(sizes, "_k").select(
+        id_col,
+        F.col("group_size").cast("long").alias("group_size"),
+        F.round(F.lit(1.0) / F.col("group_size").cast("double"), 6).alias(
+            "weight"
+        ),
+    )

@@ -193,3 +193,40 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), duration, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def tile_plan(
+    media: DataFrame, tile_w: int = 256, tile_h: int = 256
+) -> DataFrame:
+    """Image tiling *plan*: one row per (media_id, tile_x, tile_y) patch
+    the decode/embed stage should materialize — the patch-extraction
+    fan-out every vision-training pipeline runs before a ViT-style
+    encoder. Edge tiles are included (ceil division), so every pixel is
+    covered; a 0-width/height or null-meta image contributes no tiles.
+
+    Pure Catalyst (two nested sequence/explode fan-outs — no Python, no
+    shuffle): the expensive per-tile decode inherits the scan's
+    partitioning and spreads over executors, and Spark's nested-loop-
+    free explode keeps the row expansion pipelined inside whole-stage
+    codegen. Same plan-before-decode pattern as frame_sample_plan /
+    audio window plan."""
+    if tile_w <= 0 or tile_h <= 0:
+        raise ValueError("tile dimensions must be positive")
+    width = F.coalesce(F.col("meta.width"), F.lit(0)).cast("long")
+    height = F.coalesce(F.col("meta.height"), F.lit(0)).cast("long")
+    nx = F.floor((width + tile_w - 1) / F.lit(tile_w))
+    ny = F.floor((height + tile_h - 1) / F.lit(tile_h))
+    return (
+        media.select("media_id", nx.alias("nx"), ny.alias("ny"))
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "media_id",
+            "ny",
+            F.explode(F.sequence(F.lit(0), F.col("nx") - 1)).alias("tile_x"),
+        )
+        .select(
+            "media_id",
+            "tile_x",
+            F.explode(F.sequence(F.lit(0), F.col("ny") - 1)).alias("tile_y"),
+        )
+    )

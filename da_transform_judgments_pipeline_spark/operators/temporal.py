@@ -214,3 +214,108 @@ def retention_cohorts(
         )
         .agg(F.count_distinct("u").alias("n_users"))
     )
+
+
+def funnel_depth(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_events_per_user: int = 100_000,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, how far through the step
+    sequence ``steps`` they progressed, where each step must occur at a
+    STRICTLY LATER timestamp than the step before it (the standard
+    product-analytics windowed-funnel semantics; reference analogue: the
+    step-functions state machine's stage progression,
+    `/root/reference/terraform/step-function-definition.json` — a record
+    advances through named stages in order, never backwards).
+
+    Semantics: depth d means there exist events e1..ed with
+    ``type(ei) = steps[i]`` and ``ts(e1) < ts(e2) < ... < ts(ed)``;
+    depth is the maximum such d. Equal timestamps never chain (strict
+    inequality), so the result is insensitive to the scan order of
+    same-timestamp events and bit-identical to the sequential
+    min-timestamp formulation (t1 = min ts of step1; t2 = min ts of
+    step2 with ts > t1; ...) — that simpler formulation IS the DuckDB
+    oracle for this operator, making the two independent formulations
+    cross-check each other.
+
+    Scale shape: events not in ``steps`` are filtered out BEFORE the
+    shuffle (usually the vast majority), then ONE groupBy-user shuffle
+    collects each user's (ts, type) funnel events, sorts them per user
+    (array_sort — per-group, not a global sort), and a single
+    ``aggregate`` fold advances a (depth, last_ts) accumulator — one
+    pass, no k self-joins, no window over the stream. The k-join
+    formulation the oracle uses would be k co-keyed shuffles; the fold
+    is one. Per-user funnel-event cardinality is bounded by
+    ``max_events_per_user`` via slice() as an OOM guard (a user beyond
+    it raises no error — excess latest events are ignored — documented
+    contract for adversarial hot keys).
+    """
+    if not steps:
+        raise ValueError("steps must be a non-empty list of event types")
+    step_arr = ", ".join("'" + s.replace("'", "\\'") + "'" for s in steps)
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("u"),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")
+        ).alias("e"),
+    )
+    per_user = ev.groupBy("u").agg(F.collect_list("e").alias("evs"))
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(array_sort(evs), 1, {max_events_per_user}),
+          named_struct('depth', 0, 'last_ts', timestamp'0001-01-01'),
+          (acc, e) -> IF(
+            acc.depth < size(array({step_arr}))
+              AND e.tp = element_at(array({step_arr}), acc.depth + 1)
+              AND (acc.depth = 0 OR e.ts > acc.last_ts),
+            named_struct('depth', acc.depth + 1, 'last_ts', e.ts),
+            acc),
+          acc -> acc.depth)
+        """
+    )
+    return per_user.select(
+        F.col("u").alias(user_col), fold.cast("long").alias("funnel_depth")
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion table on top of :func:`funnel_depth`: for each
+    step 1..k, the number of users whose depth reached at least that
+    step — the cumulative-conversion report every funnel dashboard
+    renders, with every step present even when no user stops exactly
+    there (an explicit 1..k spine, not the observed-depth histogram —
+    a missing intermediate row would silently misreport conversion).
+    The only data-scale cost is funnel_depth's single shuffle plus a
+    ≤(k+1)-row depth histogram; the spine×histogram θ-join is k·(k+1)
+    rows — control-plane, not data-plane."""
+    depths = funnel_depth(df, steps, user_col, ts_col, type_col)
+    hist = depths.groupBy("funnel_depth").agg(
+        F.count("*").alias("n_at_depth")
+    )
+    spine = df.sparkSession.range(1, len(steps) + 1).select(
+        F.col("id").alias("step_no")
+    )
+    return (
+        spine.join(
+            F.broadcast(hist),
+            hist.funnel_depth >= spine.step_no,
+            "left",
+        )
+        .groupBy("step_no")
+        .agg(
+            F.coalesce(F.sum("n_at_depth"), F.lit(0))
+            .cast("long")
+            .alias("n_users")
+        )
+    )

@@ -345,6 +345,63 @@ def unigram_lm_score(
         F.col(id_col).alias("id"),
         F.explode(tokens(text_col)).alias("tok"),
     )
+    return _lm_score_from_tokens(toks, id_col, vocab_size)
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """:func:`unigram_lm_score` generalized to word n-grams: the corpus's
+    top-``vocab_size`` n-grams form the vocabulary and each document is
+    scored by its n-gram OOV rate and mean n-gram probability (ppm). An
+    n=2 model catches word-ORDER anomalies the unigram filter is blind
+    to (shuffled/templated text has normal unigram stats but improbable
+    bigrams) — the standard second-stage cheap LM filter. Same integer-
+    exact, ln()-free construction as the unigram scorer, so results stay
+    bit-identical across engines. Output column names match the unigram
+    scorer (n_tokens counts n-grams here).
+
+    Scale shape identical to the unigram path: the n-gram stream is
+    produced map-side (a sequence/slice projection over the token array
+    — no self-join, same shifted-zip idea as bpe_pair_counts), then one
+    n-gram-count shuffle, a broadcast-back vocabulary, one per-doc
+    aggregation. Docs with < n tokens have no n-grams and drop (no
+    signal), mirroring the token-less drop above.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n == 1:
+        return unigram_lm_score(df, id_col, text_col, vocab_size)
+    tk = tokens(text_col)
+    # n-gram i = tokens[i..i+n-1] joined on \x02 (tokens are whitespace-
+    # split so the separator cannot occur inside a token). The < n-token
+    # case must be an EMPTY array, not sequence(1,0) — Spark's sequence
+    # counts DOWN when stop < start, which would fabricate grams.
+    grams = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.array_join(F.slice(tk, i, n), "\x02"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("tok")
+    )
+    return _lm_score_from_tokens(toks, id_col, vocab_size)
+
+
+def _lm_score_from_tokens(
+    toks: DataFrame, id_col: str, vocab_size: int
+) -> DataFrame:
+    """Shared LM-score tail: (id, tok) stream → per-doc OOV/probability
+    table. One wordcount shuffle, TakeOrderedAndProject vocabulary
+    broadcast back onto the token stream, one per-doc aggregation, total
+    N as an in-plan broadcast single-row cross join (no collect) — the
+    plan documented on unigram_lm_score."""
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
     vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)
     total = counts.agg(F.sum("c").alias("N"))
@@ -822,4 +879,33 @@ def line_dedup(
     )
     return out.withColumnRenamed("id", id_col).select(
         id_col, "text_deduped", "n_lines", "n_kept"
+    )
+
+
+def zipf_histogram(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary frequency-spectrum histogram: token types bucketed by
+    floor(log2(corpus frequency)) — the Zipf curve summary a tokenizer/
+    vocab designer reads to pick vocabulary size and min-frequency
+    cutoffs (how many types are hapax (bucket 0), how many live in each
+    doubling band, where the mass is).
+
+    Output: (freq_bucket, n_types, n_occurrences) — types = distinct
+    tokens in the band [2^b, 2^(b+1)), occurrences = their summed corpus
+    count. The bucket is computed as ``length(bin(c)) - 1`` — exact
+    integer msb position, NOT floating log2(): libm log2 of a power of
+    two can land an ulp below the integer and misbucket a type, and the
+    whole point is engine-bit-identical results.
+
+    Scale shape: the classic two-level aggregation — one wordcount
+    shuffle (map-side combined), then a ≤64-row bucket aggregate
+    (control-plane). Nothing else moves.
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    bucket = (F.length(F.bin("c")) - 1).cast("long")
+    return counts.groupBy(bucket.alias("freq_bucket")).agg(
+        F.count("*").alias("n_types"),
+        F.sum("c").cast("long").alias("n_occurrences"),
     )

@@ -125,3 +125,38 @@ def test_audio_window_plan_validates(spark):
     ).select("media_id", F.struct("duration_ms").alias("meta"))
     with pytest.raises(ValueError, match="window_ms and hop_ms"):
         multimodal.audio_window_plan(media, window_ms=0, hop_ms=10)
+
+
+def test_tile_plan_ceil_edges_and_degenerate(spark):
+    """Edge tiles are included via ceil division (300×257 at 256² →
+    2×2 grid); zero/null dimensions contribute no tiles; an exact
+    multiple doesn't over-tile (512×256 → 2×1)."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [
+            (1, 300, 257),
+            (2, 512, 256),
+            (3, 0, 100),
+            (4, None, None),
+        ],
+        ["media_id", "w", "h"],
+    ).select(
+        "media_id",
+        F.struct(
+            F.col("w").cast("int").alias("width"),
+            F.col("h").cast("int").alias("height"),
+        ).alias("meta"),
+    )
+    out = sorted(
+        (r.media_id, r.tile_x, r.tile_y)
+        for r in multimodal.tile_plan(df, 256, 256).collect()
+    )
+    assert out == [
+        (1, 0, 0),
+        (1, 0, 1),
+        (1, 1, 0),
+        (1, 1, 1),
+        (2, 0, 0),
+        (2, 1, 0),
+    ]

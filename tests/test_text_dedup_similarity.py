@@ -504,3 +504,72 @@ def test_unigram_lm_score(spark):
     r2 = out[2]
     assert (r2.n_tokens, r2.n_oov) == (5, 4)  # only 'here' in vocab
     assert r2.oov_rate == 0.8
+
+
+def test_ngram_lm_score_short_docs_drop(spark):
+    """Docs with fewer than n tokens produce NO n-grams (the sequence()
+    guard: Spark's sequence(1, 0) counts DOWN and would otherwise
+    fabricate grams from a 1-token doc) and therefore no output row."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha beta alpha beta"), (3, "  "), (4, None)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in t.ngram_lm_score(df, n=2).collect()}
+    assert set(out) == {2}
+    # doc 2's bigrams: (alpha,beta) x2, (beta,alpha) x1 — all in-vocab
+    assert out[2].n_tokens == 3 and out[2].n_oov == 0
+
+
+def test_ngram_lm_score_n1_delegates_to_unigram(spark):
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    df = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    a = t.ngram_lm_score(df, n=1).collect()
+    b = t.unigram_lm_score(df).collect()
+    assert a == b
+
+
+def test_zipf_histogram_power_of_two_buckets(spark):
+    """Bucket = exact integer msb: frequency 4 must land in bucket 2
+    (a float log2 off by one ulp would misbucket it), frequency 1 in
+    bucket 0, frequency 3 in bucket 1."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    # corpus: 'a' x4, 'b' x3, 'c' x1, 'd' x1
+    df = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "b b c d")], ["doc_id", "text"]
+    )
+    out = {
+        r.freq_bucket: (r.n_types, r.n_occurrences)
+        for r in t.zipf_histogram(df).collect()
+    }
+    assert out == {0: (2, 2), 1: (1, 3), 2: (1, 4)}
+
+
+def test_duplicate_weights_sum_to_one_per_group(spark):
+    """Every exact-duplicate group's weights sum to 1.0 (6-dp rounding
+    aside); NULL text is its OWN group, distinct from empty string."""
+    from da_transform_judgments_pipeline_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "same"),
+            (2, "same"),
+            (3, "other"),
+            (4, ""),
+            (5, None),
+            (6, None),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: (r.group_size, r.weight)
+        for r in dd.duplicate_weights(df, ["text"], "doc_id").collect()
+    }
+    assert len(rows) == 6  # cardinality-preserving
+    assert rows[1] == (2, 0.5) and rows[2] == (2, 0.5)
+    assert rows[3] == (1, 1.0)
+    assert rows[4] == (1, 1.0)  # '' alone — NOT merged with NULLs
+    assert rows[5] == (2, 0.5) and rows[6] == (2, 0.5)
