@@ -1712,6 +1712,112 @@ def q_a22_idle_high_balance(spark, sf_dir):
     )
 
 
+def q_o05_interval_overlap_join(spark, sf_dir):
+    """Keyed interval-overlap join (temporal.interval_overlap_join):
+    click-intervals × view-intervals per user, interval = [ts, ts +
+    (1 + event_id % 720) minutes) — all pairs on the same user whose
+    intervals intersect, with exact integer-microsecond overlap. Spark
+    runs the bucket-replicated equi-join with canonical-bucket pair
+    dedup (never a theta join); the oracle runs the raw theta join
+    DuckDB's IEJoin handles at small scale — two independent
+    formulations that must agree exactly."""
+    ev = _T(spark, sf_dir, "events")
+
+    def intervals(event_type):
+        dur_us = (1 + F.col("event_id") % 720) * 60_000_000
+        return ev.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("start"),
+            F.timestamp_micros(F.unix_micros("ts") + dur_us).alias("end"),
+        )
+
+    out = temporal.interval_overlap_join(
+        intervals("click"), intervals("view"), on="user_id"
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("l_event_id").cast("long").alias("l_event_id"),
+        F.col("r_event_id").cast("long").alias("r_event_id"),
+        F.col("overlap_us").cast("long").alias("overlap_us"),
+    ).orderBy("user_id", "l_event_id", "r_event_id")
+
+
+def q_a23_spend_percentiles(spark, sf_dir):
+    """Ranking-window family completion: per-nation customer spend
+    percentile (percent_rank), cumulative distribution (cume_dist) and
+    quartile (ntile(4)) in one shared window. Spend sums in exact
+    integer cents (decimal→long) so the aggregate is order-independent;
+    the window orders by (spend, custkey) — the unique key in the order
+    makes ntile's row positions (and thus all three functions)
+    engine-deterministic."""
+    orders = _T(spark, sf_dir, "orders")
+    cust = _T(spark, sf_dir, "customer")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    spend = (
+        orders.withColumn("_c", cents)
+        .groupBy("o_custkey")
+        .agg(F.sum("_c").alias("spend_cents"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("spend_cents", "c_custkey")
+    return (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            F.col("spend_cents").cast("long").alias("spend_cents"),
+        )
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .withColumn("cume", F.round(F.cume_dist().over(w), 6))
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .orderBy("c_custkey")
+    )
+
+
+def q_m08_modality_interleave(spark, sf_dir):
+    """Modality-interleaved batch layout (multimodal.modality_interleave
+    over scale.keyed_prefix_rank): documents tagged with modality =
+    doc_id % 3 land at global_pos = pos_in_modality·3 + modality, so a
+    sequential reader sees modalities round-robin. The per-modality rank
+    is the two-phase keyed prefix scan — modalities are the textbook
+    low-cardinality/huge-group case where a partitionBy(modality) window
+    would drag a third of the corpus through one task. The oracle IS
+    that keyed window (fine at sf scale) — the two formulations must
+    agree exactly."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = _T(spark, sf_dir, "documents")
+    tagged = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 3).cast("long").alias("modality"),
+    )
+    return (
+        multimodal.modality_interleave(tagged, n_modalities=3)
+        .select(
+            "media_id",
+            "modality",
+            F.col("pos_in_modality").cast("long").alias("pos_in_modality"),
+            "global_pos",
+        )
+        .orderBy("global_pos")
+    )
+
+
+def q_e11_mmr_rerank(spark, sf_dir):
+    """Diversity-aware retrieval head (similarity.mmr_rerank): Maximal
+    Marginal Relevance over the top-30 cosine candidates for the
+    vec_id=0 query, k=10, λ=0.5. Candidate generation + the C×C sim
+    matrix run engine-side (map-side score + TakeOrderedAndProject,
+    then a 30-row self-join); the inherently-sequential greedy loop
+    runs driver-side over control-plane floats, every input rounded to
+    6 dp BEFORE any argmax so engine and oracle decide identically. The
+    oracle is a DuckDB recursive CTE playing the same greedy game."""
+    emb = _T(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(
+        emb, _query_vec(spark, sf_dir), k=10, n_candidates=30, lambda_=0.5
+    ).orderBy("rank")
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -2118,7 +2224,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (x17 unigram-LM score, m06 audio window plan, e10 cluster-balanced
     # diversity sample, a19 retention cohorts, o04 ordered funnel, d08
     # duplicate weights, x18 bigram-LM score, x19 Zipf spectrum, m07 image
-    # tile plan, a20/a21/a22 TPC-H Q16/Q18/Q22 shapes); (b) every query whose code
+    # tile plan, a20/a21/a22 TPC-H Q16/Q18/Q22 shapes, o05 interval-overlap
+    # join, a23 spend percentiles, m08 modality interleave, e11 MMR
+    # rerank); (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
     # e05; x14 shares the release paths), the k-means fold/BLAS
@@ -2147,6 +2255,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a20_brand_supplier_counts": q_a20_brand_supplier_counts,
     "a21_large_volume_customers": q_a21_large_volume_customers,
     "a22_idle_high_balance": q_a22_idle_high_balance,
+    "o05_interval_overlap_join": q_o05_interval_overlap_join,
+    "a23_spend_percentiles": q_a23_spend_percentiles,
+    "m08_modality_interleave": q_m08_modality_interleave,
+    "e11_mmr_rerank": q_e11_mmr_rerank,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
@@ -3572,6 +3684,96 @@ def oracle_sql() -> dict[str, str]:
               )
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # o05: the raw theta join (DuckDB IEJoin) — the independent
+        # formulation the bucket-replicated Spark plan must match
+        "o05_interval_overlap_join": """
+            WITH c AS (
+              SELECT user_id, event_id, epoch_us(ts) AS su,
+                     epoch_us(ts) + (1 + event_id % 720) * 60000000 AS eu
+              FROM events WHERE event_type = 'click'
+            ),
+            v AS (
+              SELECT user_id, event_id, epoch_us(ts) AS su,
+                     epoch_us(ts) + (1 + event_id % 720) * 60000000 AS eu
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT c.user_id,
+                   c.event_id AS l_event_id,
+                   v.event_id AS r_event_id,
+                   CAST(least(c.eu, v.eu) - greatest(c.su, v.su)
+                        AS BIGINT) AS overlap_us
+            FROM c JOIN v ON c.user_id = v.user_id
+                         AND c.su < v.eu AND v.su < c.eu
+            ORDER BY c.user_id, l_event_id, r_event_id
+        """,
+        "a23_spend_percentiles": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT)
+                       AS spend_cents
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                   CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   spend_cents,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile
+            FROM customer JOIN spend ON c_custkey = o_custkey
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY spend_cents, c_custkey)
+            ORDER BY c_custkey
+        """,
+        # m08: the keyed-window formulation — fine at sf scale, the thing
+        # the two-phase prefix scan replaces at 100 TB
+        "m08_modality_interleave": """
+            WITH t AS (
+              SELECT doc_id AS media_id,
+                     CAST(doc_id % 3 AS BIGINT) AS modality
+              FROM documents
+            )
+            SELECT media_id, modality,
+                   CAST(row_number() OVER (PARTITION BY modality
+                                           ORDER BY media_id) - 1
+                        AS BIGINT) AS pos_in_modality,
+                   CAST((row_number() OVER (PARTITION BY modality
+                                            ORDER BY media_id) - 1) * 3
+                        + modality AS BIGINT) AS global_pos
+            FROM t ORDER BY global_pos
+        """,
+        # e11: recursive-CTE MMR — same greedy game, same 6-dp pre-rounding
+        "e11_mmr_rerank": """
+            WITH RECURSIVE
+            cand AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+                     round(list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[])
+                          FROM embeddings WHERE vec_id = 0)), 6) AS rel
+              FROM embeddings ORDER BY rel DESC, id LIMIT 30
+            ),
+            sel AS (
+              (SELECT CAST(1 AS BIGINT) AS rank, id, rel, [id] AS chosen
+               FROM cand ORDER BY rel DESC, id LIMIT 1)
+              UNION ALL
+              SELECT s.rank + 1, pick.id, pick.rel,
+                     list_append(s.chosen, pick.id)
+              FROM sel s, LATERAL (
+                SELECT c.id, c.rel
+                FROM cand c
+                WHERE NOT list_contains(s.chosen, c.id)
+                ORDER BY (0.5 * c.rel - 0.5 * (
+                    SELECT max(round(list_cosine_similarity(c.v, c2.v), 6))
+                    FROM cand c2 WHERE list_contains(s.chosen, c2.id)
+                  )) DESC, c.id
+                LIMIT 1
+              ) pick
+              WHERE s.rank < 10
+            )
+            SELECT rank, CAST(id AS BIGINT) AS id, rel
+            FROM sel ORDER BY rank
         """,
         "x16_sequence_packing": r"""
             WITH t AS (

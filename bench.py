@@ -79,6 +79,10 @@ HEADLINE = [
     "a20_brand_supplier_counts",
     "a21_large_volume_customers",
     "a22_idle_high_balance",
+    "o05_interval_overlap_join",
+    "a23_spend_percentiles",
+    "m08_modality_interleave",
+    "e11_mmr_rerank",
 ]
 
 

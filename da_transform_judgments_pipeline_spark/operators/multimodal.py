@@ -230,3 +230,48 @@ def tile_plan(
             F.explode(F.sequence(F.lit(0), F.col("ny") - 1)).alias("tile_y"),
         )
     )
+
+
+def modality_interleave(
+    df: DataFrame,
+    modality_col: str = "modality",
+    id_col: str = "media_id",
+    n_modalities: int | None = None,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic modality-interleaved layout for multimodal training
+    batches: row i of modality m lands at ``global_pos = i·M + m``, so a
+    sequential reader sees modalities round-robin (text, image, audio,
+    text, ...) instead of long single-modality runs — the standard batch-
+    composition step before sharding a mixed corpus to data loaders.
+    The position map is injective by construction; when one modality
+    exhausts, its slots simply stay vacant (gaps, never collisions).
+
+    ``modality_col`` must hold integer indices in ``[0, M)``. Per-
+    modality ranks come from :func:`..scale.keyed_prefix_rank` — the
+    two-phase per-key prefix scan — because modalities are the textbook
+    low-cardinality/huge-group case where a
+    ``Window.partitionBy(modality)`` would drag each modality's entire
+    corpus through ONE task; here every modality stays spread across all
+    range partitions and the driver only sees P×M small counts.
+    """
+    from .scale import keyed_prefix_rank
+
+    if n_modalities is None:
+        n_modalities = (
+            df.agg(F.max(F.col(modality_col)).cast("long")).first()[0] or 0
+        ) + 1
+    ranked = keyed_prefix_rank(
+        df,
+        key_col=modality_col,
+        order_col=id_col,
+        rank_name="pos_in_modality",
+        range_partitions=range_partitions,
+    )
+    return ranked.withColumn(
+        "global_pos",
+        (
+            F.col("pos_in_modality") * n_modalities
+            + F.col(modality_col).cast("long")
+        ).cast("long"),
+    )

@@ -90,3 +90,88 @@ def exchange_count(df: DataFrame) -> int:
         for ln in plan.splitlines()
         if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
     )
+
+
+def keyed_prefix_rank(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    rank_name: str = "rank_in_key",
+    range_partitions: int = 32,
+) -> DataFrame:
+    """0-based rank of each row WITHIN its key group, ordered by
+    ``order_col`` — computed WITHOUT ``Window.partitionBy(key)``, for
+    the low-cardinality/huge-group regime (modalities, languages,
+    shards) where a keyed window would funnel each giant group through
+    ONE task. High-cardinality keys don't need this: their groups are
+    small, a plain keyed window is fine.
+
+    Two-phase parallel prefix scan, generalized per key from
+    text.sequence_pack_plan's global scan: (1) range-repartition on
+    ``order_col`` alone — every key stays spread over ALL partitions;
+    (2) partition-local per-key ranks via a window on
+    (partition_id, key) — local panes, no cross-partition state;
+    (3) per-(partition, key) COUNTS collect to the driver — P×K small
+    integers, control-plane by the documented cardinality contract —
+    and fold into per-(partition, key) prefix offsets added back as a
+    literal map. The persist pins the sampled range partitioning so the
+    subtotal job and the final pass see identical physical partitions
+    (same pin rationale as sequence_pack_plan).
+
+    Ties on ``order_col`` within one key break by physical order inside
+    a partition — pass a unique order column (an id) for full
+    determinism, as with sequence_pack_plan.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _persist
+
+    ranged = df.repartitionByRange(range_partitions, order_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid", key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = _persist(
+        ranged.withColumn(
+            "_local_rank", F.coalesce(F.count("*").over(w_local), F.lit(0))
+        )
+    )
+    subtotals = sorted(
+        ((r["_pid"], r["_key"]), r["c"])
+        for r in local.groupBy(
+            F.col("_pid"), F.col(key_col).alias("_key")
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    prefix: dict[tuple, int] = {}
+    acc: dict = {}
+    for (pid, key), c in subtotals:
+        prefix[(pid, key)] = acc.get(key, 0)
+        acc[key] = acc.get(key, 0) + c
+    mapping = F.create_map(
+        *[
+            x
+            for (pid, key), off in prefix.items()
+            for x in (
+                F.concat_ws("\x01", F.lit(str(pid)), F.lit(str(key))),
+                F.lit(off),
+            )
+        ]
+    ) if prefix else F.create_map()
+    lookup = F.concat_ws(
+        "\x01", F.col("_pid").cast("string"), F.col(key_col).cast("string")
+    )
+    return (
+        local.withColumn(
+            rank_name,
+            (
+                F.coalesce(mapping[lookup], F.lit(0))
+                + F.col("_local_rank")
+            ).cast("long"),
+        )
+        .drop("_pid", "_local_rank")
+    )

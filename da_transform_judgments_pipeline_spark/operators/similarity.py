@@ -506,3 +506,90 @@ def ivf_topk(
         "id", f"round(({dot}) / (({vnorm}) * {qnorm!r}D), 6) AS cosine"
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("id")).limit(k)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 30,
+    lambda_: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank: the top-``n_candidates`` hits
+    by cosine relevance are greedily re-ordered so each pick maximizes
+    ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`` — the classic
+    diversity-aware retrieval head (Carbonell & Goldstein 1998) that
+    stops a result page (or a RAG context window) filling with ten
+    copies of the same document. Ties break on (score desc, id asc);
+    the first pick is the pure-relevance argmax.
+
+    Determinism contract (oracle-friendly): relevance and all pairwise
+    sims are ROUNDED to 6 dp *before* the greedy loop — both engine and
+    oracle compute scores from identical decimals, so argmax decisions
+    cannot diverge on summation-order ulps. λ·a − (1−λ)·b on those
+    rounded doubles is then bit-identical everywhere for λ=0.5.
+
+    Scale shape: candidate generation is the e02 machinery — map-side
+    score over the FULL corpus + TakeOrderedAndProject, no shuffle of
+    the table. Only the C-row candidate set is collected; the C² sim
+    matrix is computed ENGINE-side (a C×C self-join of the C-row frame
+    — trivial) with the same fold expression as the corpus scoring, and
+    the inherently-sequential greedy loop runs driver-side over C ids
+    and C²/2 floats — control-plane, the same pattern as k-means'
+    driver-held centroids. The corpus never feels k, C², or the loop.
+    """
+    spark = df.sparkSession
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("rel", F.round(cosine_similarity(F.col("v"), q), 6))
+        .orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(n_candidates)
+    )
+    rows = cand.collect()
+    rel = {r["id"]: r["rel"] for r in rows}
+    a, b = cand.alias("a"), cand.alias("b")
+    sim_rows = (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            F.round(
+                cosine_similarity(F.col("a.v"), F.col("b.v")), 6
+            ).alias("sim"),
+        )
+        .collect()
+    )
+    sim: dict[tuple, float] = {}
+    for r in sim_rows:
+        sim[(r["ia"], r["ib"])] = r["sim"]
+        sim[(r["ib"], r["ia"])] = r["sim"]
+    selected: list[tuple] = []
+    remaining = sorted(rel)
+    while remaining and len(selected) < k:
+        best = None
+        for c in remaining:
+            if selected:
+                max_sim = max(sim[(c, s[1])] for s in selected)
+            else:
+                max_sim = 0.0
+            score = lambda_ * rel[c] - (1.0 - lambda_) * max_sim
+            # argmax with id-asc tie-break: strictly-greater replaces
+            if best is None or score > best[0] or (
+                score == best[0] and c < best[1]
+            ):
+                best = (score, c)
+        selected.append((len(selected) + 1, best[1]))
+        remaining.remove(best[1])
+    out = [
+        (int(rank), rid, float(rel[rid])) for rank, rid in selected
+    ]
+    return spark.createDataFrame(
+        out, "rank long, id long, rel double"
+    )

@@ -319,3 +319,81 @@ def funnel_counts(
             .alias("n_users")
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width_s: int = 86_400,
+    l_prefix: str = "l_",
+    r_prefix: str = "r_",
+) -> DataFrame:
+    """Keyed interval-overlap join: all (left, right) pairs on the same
+    key whose half-open time intervals ``[start, end)`` intersect
+    (``l.start < r.end AND r.start < l.end``) — the third member of this
+    module's temporal-join family (as-of = point-vs-latest, range-count
+    = point-vs-window, this = interval-vs-interval).
+
+    Never the O(L×R) theta join Spark would plan for the raw predicate:
+    each interval is replicated to the fixed-width time buckets it
+    spans, candidates meet through a plain equi-join on (key, bucket),
+    and each true pair is counted EXACTLY once by keeping only the
+    canonical bucket ``floor(max(l.start, r.start) / width)`` — for an
+    overlapping pair that bucket provably lies inside both intervals'
+    replicated ranges, and it is unique per pair, so no dropDuplicates
+    shuffle is needed. The exact overlap predicate then prunes
+    same-bucket false candidates. Cost: shuffle on (key, bucket) with
+    replication factor 1 + span/width per row — linear for intervals
+    bounded by a few buckets (pick ``bucket_width_s`` near the typical
+    interval length; an interval ending exactly on a boundary carries
+    one harmless extra replica).
+
+    Output: key + ``l_``/``r_``-prefixed payload columns +
+    ``overlap_us`` (exact integer microseconds of intersection,
+    engine-portable — no float duration math).
+    """
+    w_us = bucket_width_s * 1_000_000
+
+    def explode_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        s_us = F.unix_micros(F.col(start_col))
+        e_us = F.unix_micros(F.col(end_col))
+        payload = [
+            F.col(c).alias(f"{prefix}{c}")
+            for c in df.columns
+            if c != on
+        ]
+        return df.select(
+            F.col(on),
+            s_us.alias(f"{prefix}s_us"),
+            e_us.alias(f"{prefix}e_us"),
+            F.explode(
+                F.sequence(
+                    F.floor(s_us / w_us), F.floor(e_us / w_us)
+                )
+            ).alias("bucket"),
+            *payload,
+        )
+
+    lb = explode_buckets(left, l_prefix)
+    rb = explode_buckets(right, r_prefix)
+    ls, le = F.col(f"{l_prefix}s_us"), F.col(f"{l_prefix}e_us")
+    rs, re_ = F.col(f"{r_prefix}s_us"), F.col(f"{r_prefix}e_us")
+    canonical = F.floor(F.greatest(ls, rs) / w_us) == F.col("bucket")
+    overlap = (ls < re_) & (rs < le)
+    return (
+        lb.join(rb, [on, "bucket"])
+        .filter(overlap & canonical)
+        .withColumn(
+            "overlap_us", F.least(le, re_) - F.greatest(ls, rs)
+        )
+        .drop(
+            "bucket",
+            f"{l_prefix}s_us",
+            f"{l_prefix}e_us",
+            f"{r_prefix}s_us",
+            f"{r_prefix}e_us",
+        )
+    )

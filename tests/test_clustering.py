@@ -186,3 +186,77 @@ def test_ivf_incremental_append(spark, tmp_path):
     # the appended vector itself tops its own query via the pruned probe
     probe = similarity.ivf_topk(spark, path, cent, q, k=1, nprobe=1).collect()
     assert probe[0].id == 450 and probe[0].cosine == 1.0
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """A near-duplicate of the top hit must be displaced by a less
+    relevant but diverse candidate, and the first pick is the pure
+    relevance argmax. Verified against an independent numpy greedy
+    reference on the same rounded inputs."""
+    from da_transform_judgments_pipeline_spark.operators import similarity
+
+    # query NOT in the corpus (a corpus member identical to the query
+    # makes every λ=0.5 score collapse to 0 — rel(c) == sim(c, pick1)):
+    # ids 1 and 2 are near-duplicates hugging the query, id 3 is diverse
+    vecs = [
+        (1, [0.95, 0.05, 0.0, 0.0]),
+        (2, [0.94, 0.06, 0.0, 0.0]),    # near-duplicate of 1
+        (3, [0.6, 0.0, 0.8, 0.0]),      # diverse, mid relevance
+        (4, [0.0, 1.0, 0.0, 0.0]),      # orthogonal, rel ~0
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = [
+        (r.rank, r.id)
+        for r in similarity.mmr_rerank(
+            df, [1.0, 0.0, 0.0, 0.0], k=3, n_candidates=4, lambda_=0.5
+        ).collect()
+    ]
+    # pick 1: id 1 (max rel). pick 2: id 3's diversity (sim(3,1)≈0.60)
+    # outscores the near-dup id 2 (sim(2,1)≈0.99999 → negative margin)
+    assert out == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_mmr_rerank_matches_numpy_reference(spark):
+    """Engine MMR vs an independent numpy implementation over random
+    vectors — same candidates, same rounding, same greedy decisions."""
+    import numpy as np
+
+    from da_transform_judgments_pipeline_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(40, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    q = [float(x) for x in mat[0]]
+    got = [
+        (r.rank, r.id)
+        for r in similarity.mmr_rerank(
+            df, q, k=8, n_candidates=20, lambda_=0.5
+        ).collect()
+    ]
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    rel = sorted(
+        ((cos(mat[i], np.array(q)), i) for i in range(40)),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    relmap = {i: r for r, i in rel}
+    chosen, remaining = [], sorted(relmap)
+    while remaining and len(chosen) < 8:
+        best = None
+        for c in remaining:
+            ms = max(
+                (cos(mat[c], mat[s]) for s in chosen), default=0.0
+            )
+            score = 0.5 * relmap[c] - 0.5 * ms
+            if best is None or score > best[0]:
+                best = (score, c)
+        chosen.append(best[1])
+        remaining.remove(best[1])
+    assert got == [(i + 1, c) for i, c in enumerate(chosen)]

@@ -160,3 +160,23 @@ def test_tile_plan_ceil_edges_and_degenerate(spark):
         (2, 0, 0),
         (2, 1, 0),
     ]
+
+
+def test_modality_interleave_round_robin(spark):
+    """global_pos is injective, round-robin across modalities while all
+    are live, and leaves gaps (never collisions) after one exhausts."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+    from da_transform_judgments_pipeline_spark.operators import dedup
+
+    rows = [(i, i % 3) for i in range(10)]  # modality 0: 4, 1: 3, 2: 3
+    df = spark.createDataFrame(rows, ["media_id", "modality"])
+    out = multimodal.modality_interleave(df, n_modalities=3).collect()
+    pos = {r.media_id: r.global_pos for r in out}
+    assert len(set(pos.values())) == len(pos)  # injective
+    # media ids 0,3,6,9 are modality 0 → positions 0,3,6,9
+    assert [pos[i] for i in (0, 3, 6, 9)] == [0, 3, 6, 9]
+    # first full round: one of each modality at 0,1,2
+    first_round = sorted(m for m, p in pos.items() if p < 3)
+    assert [p % 3 for p in sorted(pos.values())[:6]] == [0, 1, 2, 0, 1, 2]
+    assert len(first_round) == 3
+    dedup.release_cached()

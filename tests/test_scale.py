@@ -183,3 +183,33 @@ def test_minhash_uncollapsed_band_join_aqe_skew_split(spark):
             else:
                 spark.conf.set(k, v)
         dedup.release_cached()
+
+
+def test_keyed_prefix_rank_matches_window(spark):
+    """The two-phase per-key prefix scan must equal the keyed-window
+    row_number it replaces, across keys that straddle range-partition
+    boundaries."""
+    from pyspark.sql import Window
+
+    from da_transform_judgments_pipeline_spark.operators import dedup
+    from da_transform_judgments_pipeline_spark.operators.scale import (
+        keyed_prefix_rank,
+    )
+
+    rows = [(i, i % 3) for i in range(97)]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    got = {
+        (r.k, r.id): r.rank_in_key
+        for r in keyed_prefix_rank(
+            df, "k", "id", range_partitions=8
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("id")
+    want = {
+        (r.k, r.id): r.rn - 1
+        for r in df.withColumn(
+            "rn", F.row_number().over(w)
+        ).collect()
+    }
+    assert got == want
+    dedup.release_cached()

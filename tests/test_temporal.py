@@ -274,3 +274,47 @@ def test_funnel_counts_zero_users_step(spark):
         for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
     )
     assert out == [(1, 1), (2, 0), (3, 0)]
+
+
+def test_interval_overlap_join_edges(spark):
+    """Half-open semantics: touching intervals ([0,10) vs [10,20)) do
+    NOT match; cross-bucket overlaps match exactly once even though both
+    intervals replicate to multiple buckets; different keys never pair;
+    overlap_us is the exact intersection length."""
+    from da_transform_judgments_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, ["user_id", "event_id", "s", "e"]
+        ).select(
+            "user_id",
+            "event_id",
+            F.to_timestamp("s").alias("start"),
+            F.to_timestamp("e").alias("end"),
+        )
+
+    left = mk(
+        [
+            # spans two day-buckets; overlaps r1 across the boundary
+            (1, 10, "2024-01-01 20:00:00", "2024-01-02 04:00:00"),
+            # touches r2 exactly at its start — half-open, no match
+            (1, 11, "2024-01-03 00:00:00", "2024-01-03 01:00:00"),
+            (2, 12, "2024-01-01 00:00:00", "2024-01-01 12:00:00"),
+        ]
+    )
+    right = mk(
+        [
+            (1, 20, "2024-01-02 02:00:00", "2024-01-02 06:00:00"),
+            (1, 21, "2024-01-03 01:00:00", "2024-01-03 02:00:00"),
+            # user 3: same times as user 2's interval, different key
+            (3, 22, "2024-01-01 00:00:00", "2024-01-01 12:00:00"),
+        ]
+    )
+    out = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id, r.overlap_us)
+        for r in interval_overlap_join(left, right, "user_id").collect()
+    )
+    # exactly ONE pair: (10, 20) overlapping 02:00-04:00 = 2h
+    assert out == [(1, 10, 20, 2 * 3600 * 1_000_000)]
