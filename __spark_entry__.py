@@ -1818,6 +1818,32 @@ def q_e11_mmr_rerank(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q_d09_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (dedup.containment_pairs):
+    C(A→B) = |sh(A)∩sh(B)| / |sh(A)| ≥ 0.8 over 3-gram shingles — the
+    doc-inside-doc detector Jaccard misses (short doc contained in a
+    long one). Inverted-index shingle equi-join, both directions
+    emitted; exact configuration (no hot-shingle cap) so the DuckDB
+    shingle CTE is a hard oracle."""
+    docs = _T(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_o06_resample_gapfill(spark, sf_dir):
+    """Time-series regularization (temporal.resample_gapfill): per-user
+    daily grid between each user's first and last event with event
+    counts, exact integer-cent value sums, and carry-forward of the
+    last active day's sum across gaps. Per-key map-side spine fan-out
+    (sequence+explode from a per-key [min,max] aggregate — no global
+    calendar cross join), co-keyed left join, one forward-fill window."""
+    ev = _T(spark, sf_dir, "events")
+    return temporal.resample_gapfill(
+        ev, value_col="value", bucket_s=86_400, forward_fill=True
+    ).orderBy("user_id", "bucket")
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -2226,7 +2252,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # duplicate weights, x18 bigram-LM score, x19 Zipf spectrum, m07 image
     # tile plan, a20/a21/a22 TPC-H Q16/Q18/Q22 shapes, o05 interval-overlap
     # join, a23 spend percentiles, m08 modality interleave, e11 MMR
-    # rerank); (b) every query whose code
+    # rerank, d09 containment pairs, o06 resample/gap-fill); (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
     # e05; x14 shares the release paths), the k-means fold/BLAS
@@ -2259,6 +2285,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a23_spend_percentiles": q_a23_spend_percentiles,
     "m08_modality_interleave": q_m08_modality_interleave,
     "e11_mmr_rerank": q_e11_mmr_rerank,
+    "d09_containment_pairs": q_d09_containment_pairs,
+    "o06_resample_gapfill": q_o06_resample_gapfill,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
@@ -3774,6 +3802,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rank, CAST(id AS BIGINT) AS id, rel
             FROM sel ORDER BY rank
+        """,
+        "d09_containment_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([tk[i] || chr(1) || tk[i+1] || chr(1)
+                                    || tk[i+2]
+                                    FOR i IN range(1, len(tk) - 1)])
+                       AS shingles
+              FROM toks WHERE len(tk) >= 3
+            ), ex AS (
+              SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   round(n_inter * 1.0 / sa.n_sh, 6) AS containment
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+            WHERE round(n_inter * 1.0 / sa.n_sh, 6) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "o06_resample_gapfill": """
+            WITH pb AS (
+              SELECT user_id AS k,
+                     epoch_us(ts) // 86400000000 AS bucket,
+                     count(*) AS n_events,
+                     sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS value_cents
+              FROM events GROUP BY 1, 2
+            ),
+            span AS (
+              SELECT k, min(bucket) AS lo, max(bucket) AS hi
+              FROM pb GROUP BY k
+            ),
+            spine AS (
+              SELECT k, unnest(generate_series(lo, hi)) AS bucket FROM span
+            ),
+            dense AS (
+              SELECT s.k, s.bucket,
+                     coalesce(pb.n_events, 0) AS n_events,
+                     CAST(coalesce(pb.value_cents, 0) AS BIGINT)
+                       AS value_cents
+              FROM spine s
+              LEFT JOIN pb ON pb.k = s.k AND pb.bucket = s.bucket
+            )
+            SELECT k AS user_id, bucket,
+                   CAST(n_events AS BIGINT) AS n_events, value_cents,
+                   CAST(coalesce(
+                     last_value(CASE WHEN n_events > 0
+                                     THEN value_cents END IGNORE NULLS)
+                       OVER (PARTITION BY k ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW),
+                     0) AS BIGINT) AS carried_cents
+            FROM dense ORDER BY user_id, bucket
         """,
         "x16_sequence_packing": r"""
             WITH t AS (

@@ -83,6 +83,8 @@ HEADLINE = [
     "a23_spend_percentiles",
     "m08_modality_interleave",
     "e11_mmr_rerank",
+    "d09_containment_pairs",
+    "o06_resample_gapfill",
 ]
 
 

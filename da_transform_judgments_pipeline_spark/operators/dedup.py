@@ -1363,3 +1363,69 @@ def duplicate_weights(
             "weight"
         ),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Containment near-dup pairs: ``C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|``
+    — the asymmetric companion to Jaccard that catches a document
+    CONTAINED in a longer one (quote-in-article, chunk-in-original,
+    version-subset), where Jaccard stays low because the union is
+    dominated by the big side. Emits BOTH directions: one ordered row
+    per (id_a, id_b), a ≠ b, with containment of a's shingle set in b's
+    ≥ threshold — so "a is inside b" and "b is inside a" are separate,
+    independently-thresholded facts.
+
+    Same staged shingle machinery as :func:`ngram_jaccard_pairs`
+    (tokenize once, distinct n-grams, inverted-index equi-join on the
+    shingle — never a doc×doc cross join). The one extra scale knob is
+    ``max_shingle_df``: a shingle appearing in more than that many
+    documents (boilerplate n-grams — "all rights reserved") is dropped
+    from the INDEX side before pairing, bounding the per-shingle join
+    fan-out at the cost of slightly under-counting intersections for
+    pairs that only share boilerplate; None (default) keeps the operator
+    exact — the configuration the DuckDB oracle checks.
+    """
+    sh = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .withColumn("_toks", F.expr(_toks_sql(text_col)))
+        .select(
+            "id",
+            F.explode(F.expr(_shingles_from_toks_sql("_toks", n))).alias("s"),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s")
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "id_a",
+        )
+        .withColumn(
+            "containment", F.round(F.col("n_inter") / F.col("n_a"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

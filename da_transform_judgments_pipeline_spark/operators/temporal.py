@@ -397,3 +397,87 @@ def interval_overlap_join(
             f"{r_prefix}e_us",
         )
     )
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    bucket_s: int = 86_400,
+    forward_fill: bool = False,
+) -> DataFrame:
+    """Regularize an event stream into a dense per-key time grid: one
+    row per (key, bucket) for EVERY fixed-width bucket between the
+    key's first and last event — gaps included — with the bucket's
+    event count and (optionally) summed value, and optional
+    carry-forward of the last observed sum across empty buckets. The
+    resample-then-model step every time-series pipeline runs before
+    windowed features; gap rows are what distinguish "no data" from
+    "no row".
+
+    Buckets are integer epoch intervals (``epoch_us div (bucket_s·10⁶)``
+    — no calendar variance, same convention as retention_cohorts).
+    Value sums are exact integer cents (decimal(18,2)→long·100), so
+    aggregation order can't produce float drift.
+
+    Scale shape: (1) per-(key, bucket) aggregate — ONE data shuffle,
+    map-side combined; (2) per-key [min, max] bucket span from a
+    same-key aggregate, then the dense spine fans out MAP-SIDE via
+    sequence + explode (spine size = span/width per key — no
+    driver-side calendar table, no cross join with a global spine
+    covering keys' inactive eras); (3) spine LEFT JOIN aggregates,
+    co-keyed on (key, bucket) — AQE broadcasts the smaller side at
+    bench scale, co-partitions at 100 TB; (4) optional forward fill is
+    a per-key last(ignorenulls) ordered window — state linear in
+    buckets-per-key. A span cap is deliberately NOT imposed: span/width
+    is bounded by data duration over bucket width, which the caller
+    controls; one pathological key yields a long but narrow partition,
+    not a blow-up.
+    """
+    w_us = bucket_s * 1_000_000
+    bucket = F.floor(F.unix_micros(F.col(ts_col)) / w_us)
+    val = (
+        (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+        if value_col
+        else F.lit(0).cast("long")
+    )
+    per_bucket = (
+        df.select(
+            F.col(key_col).alias("k"), bucket.alias("bucket"), val.alias("_v")
+        )
+        .groupBy("k", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_v").alias("value_cents"),
+        )
+    )
+    span = per_bucket.groupBy("k").agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    spine = span.select(
+        "k", F.explode(F.sequence("_lo", "_hi")).alias("bucket")
+    )
+    dense = (
+        spine.join(per_bucket, ["k", "bucket"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .withColumn(
+            "value_cents", F.coalesce("value_cents", F.lit(0)).cast("long")
+        )
+    )
+    if forward_fill:
+        wf = (
+            Window.partitionBy("k")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = F.last(
+            F.when(F.col("n_events") > 0, F.col("value_cents")),
+            ignorenulls=True,
+        ).over(wf)
+        dense = dense.withColumn(
+            "carried_cents", F.coalesce(filled, F.lit(0)).cast("long")
+        )
+    return dense.withColumnRenamed("k", key_col).withColumn(
+        "n_events", F.col("n_events").cast("long")
+    )

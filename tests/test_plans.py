@@ -144,3 +144,55 @@ def test_cluster_balanced_sample_single_window_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_interval_overlap_join_never_theta(spark):
+    """o05's scale contract: the overlap join must plan as an EQUI-join
+    on (key, bucket) — no CartesianProduct, no BroadcastNestedLoopJoin
+    (the shapes Spark plans for a raw interval theta join)."""
+    import pyspark.sql.functions as F
+
+    from da_transform_judgments_pipeline_spark.operators import temporal
+
+    def mk(n0):
+        return spark.createDataFrame(
+            [(i % 5, i, "2024-01-01 00:00:00", "2024-01-01 06:00:00")
+             for i in range(n0, n0 + 20)],
+            ["user_id", "event_id", "s", "e"],
+        ).select(
+            "user_id", "event_id",
+            F.to_timestamp("s").alias("start"),
+            F.to_timestamp("e").alias("end"),
+        )
+
+    plan = (
+        temporal.interval_overlap_join(mk(0), mk(100), "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keyed_prefix_rank_no_keyed_exchange(spark):
+    """m08's scale contract: the per-key rank must NOT hash-partition on
+    the low-cardinality key — the only exchange is the range repartition
+    on the order column (hashpartitioning(modality) would funnel each
+    giant group through one task)."""
+    from da_transform_judgments_pipeline_spark.operators import dedup
+    from da_transform_judgments_pipeline_spark.operators.scale import (
+        keyed_prefix_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(50)], ["id", "k"]
+    )
+    out = keyed_prefix_rank(df, "k", "id", range_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(id" in plan
+    # the window runs on (_pid, k) INSIDE the range partitions — no
+    # exchange keyed on k alone
+    assert "hashpartitioning(k" not in plan
+    out.count()
+    dedup.release_cached()

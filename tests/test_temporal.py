@@ -318,3 +318,38 @@ def test_interval_overlap_join_edges(spark):
     )
     # exactly ONE pair: (10, 20) overlapping 02:00-04:00 = 2h
     assert out == [(1, 10, 20, 2 * 3600 * 1_000_000)]
+
+
+def test_resample_gapfill_dense_grid_and_carry(spark):
+    """Gaps materialize as zero rows between each key's first and last
+    bucket; carried_cents forward-fills the last ACTIVE day's sum; keys
+    don't leak into each other's spans."""
+    from da_transform_judgments_pipeline_spark.operators.temporal import (
+        resample_gapfill,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 2.50),
+        (1, "2024-01-01 11:00:00", 1.00),
+        # gap on jan 2-3
+        (1, "2024-01-04 09:00:00", 5.00),
+        (2, "2024-01-10 00:00:00", 7.25),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "s", "value"]).select(
+        "user_id", F.to_timestamp("s").alias("ts"), "value"
+    )
+    out = sorted(
+        (r.user_id, r.bucket, r.n_events, r.value_cents, r.carried_cents)
+        for r in resample_gapfill(
+            df, value_col="value", forward_fill=True
+        ).collect()
+    )
+    b0 = out[0][1]
+    assert [(u, b - b0, n, v, c) for u, b, n, v, c in out if u == 1] == [
+        (1, 0, 2, 350, 350),
+        (1, 1, 0, 0, 350),
+        (1, 2, 0, 0, 350),
+        (1, 3, 1, 500, 500),
+    ]
+    u2 = [(n, v, c) for u, b, n, v, c in out if u == 2]
+    assert u2 == [(1, 725, 725)]

@@ -573,3 +573,41 @@ def test_duplicate_weights_sum_to_one_per_group(spark):
     assert rows[3] == (1, 1.0)
     assert rows[4] == (1, 1.0)  # '' alone — NOT merged with NULLs
     assert rows[5] == (2, 0.5) and rows[6] == (2, 0.5)
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc fully inside a long one scores containment 1.0 in the
+    short→long direction and below threshold the other way; the
+    hot-shingle cap drops boilerplate-only pairs."""
+    from da_transform_judgments_pipeline_spark.operators import dedup as dd
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " zeta eta theta iota kappa " + "x y z w v u t s r q"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "completely different words here now")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in dd.containment_pairs(df, threshold=0.5).collect()
+    }
+    assert out[(1, 2)] == 1.0          # short fully contained in long
+    assert (2, 1) not in out           # long not contained in short
+    assert not any(3 in k for k in out)
+
+
+def test_containment_hot_shingle_cap(spark):
+    """max_shingle_df drops shingles shared by too many docs from the
+    index: pairs that only share boilerplate disappear."""
+    from da_transform_judgments_pipeline_spark.operators import dedup as dd
+
+    boiler = "all rights reserved by owner"
+    df = spark.createDataFrame(
+        [(i, f"doc {i} unique words here {boiler}") for i in range(1, 6)],
+        ["doc_id", "text"],
+    )
+    exact = dd.containment_pairs(df, threshold=0.3).count()
+    capped = dd.containment_pairs(
+        df, threshold=0.3, max_shingle_df=2
+    ).count()
+    assert exact > 0 and capped == 0
