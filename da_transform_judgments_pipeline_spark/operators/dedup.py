@@ -410,6 +410,12 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
 # crossover sits between, so 64 MB routes both measured points correctly
 # with margin.
 SPLIT_DUPS_AUTO_THRESHOLD_BYTES = 64 << 20
+# collapse crossover: same 64 MB optimizer-estimate threshold — below it the
+# identical-set collapse machinery is measured pure overhead (~0.7 s at
+# sf0.1) while the band join it protects cannot blow up; above it (or when
+# the estimate is unknown) the O(g²)-bucket protection is worth the extra
+# aggregate. Calibrated alongside the split gate (SKEWCHECK_r04/r05).
+COLLAPSE_EXACT_AUTO_THRESHOLD_BYTES = 64 << 20
 
 
 def minhash_near_duplicates(
@@ -421,7 +427,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     threshold: float = 0.8,
     persist_shingles: bool = True,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
     max_group_pairs: int = 10_000_000,
     split_dups: bool | str = "auto",
 ) -> DataFrame:
@@ -491,6 +497,25 @@ def minhash_near_duplicates(
     hp_base = _hp_frame(df, id_col, text_col, n, est_bytes=est)
     if persist_shingles:
         hp_base = _persist(hp_base)
+
+    if isinstance(collapse_exact, str):
+        if collapse_exact != "auto":
+            raise ValueError(
+                "collapse_exact must be True, False or 'auto', "
+                f"got {collapse_exact!r}"
+            )
+        # Same economics as the split_dups gate, one level down: the
+        # identical-set collapse (groupBy + member expansion + intra-group
+        # pair generator) only pays for itself when duplicate GROUPS are
+        # plausible enough to threaten the band join with O(g²) buckets.
+        # On a small corpus the collapse adds a measured ~0.7 s of pure
+        # plan overhead (sf0.1, A/B: 3.30 s with vs 2.58 s without,
+        # identical output — verification is exact either way); at the
+        # 100 TB design point the quadratic-bucket protection dominates.
+        # Unknown estimate defaults to collapse = the scale-safe route.
+        collapse_exact = (
+            est is None or est >= COLLAPSE_EXACT_AUTO_THRESHOLD_BYTES
+        )
 
     if isinstance(split_dups, str):
         if split_dups != "auto":

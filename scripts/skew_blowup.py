@@ -197,7 +197,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     pair_counts: dict[str, int] = {}
-    for mode, kw in [("plain", {"split_dups": False}), ("split", {"split_dups": True})]:
+    # collapse_exact pinned True in both modes: this experiment compares the
+    # split routing specifically, holding the collapse machinery constant
+    # (and the 'auto' collapse gate could flip near the 64 MB threshold at
+    # this corpus size, which would conflate the two effects)
+    for mode, kw in [
+        ("plain", {"split_dups": False, "collapse_exact": True}),
+        ("split", {"split_dups": True, "collapse_exact": True}),
+    ]:
         best = None
         for _ in range(RUNS):
             t0 = time.perf_counter()

@@ -129,6 +129,10 @@ def test_minhash_mixed_corpus_collapse_matches_uncollapsed(spark, sf_dir):
 
 
 def test_minhash_group_pair_cap_raises(spark):
+    """The quadratic-output guard lives in the collapse path; pin
+    collapse_exact=True (the 'auto' gate would route this tiny corpus to
+    plain banding, where a 50-doc group is harmless by construction —
+    the guard protects the at-scale route the gate picks there)."""
     from da_transform_judgments_pipeline_spark.operators import dedup
 
     docs = spark.range(50).select(
@@ -136,11 +140,37 @@ def test_minhash_group_pair_cap_raises(spark):
         F.lit("identical text for the cap guard check here").alias("text"),
     )
     pairs = dedup.minhash_near_duplicates(
-        docs, threshold=0.9, max_group_pairs=100
+        docs, threshold=0.9, max_group_pairs=100, collapse_exact=True
     )
     with pytest.raises(Exception, match="max_group_pairs"):
         pairs.collect()
     dedup.release_cached()
+
+
+def test_minhash_collapse_auto_gate_equivalence(spark):
+    """collapse_exact='auto' (default) must produce the identical pair
+    set as both forced routes on a duplicate-bearing corpus, and reject
+    unknown strings."""
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.operators import dedup
+
+    rows = [(i, f"shared prefix tokens alpha beta gamma delta {i % 4}")
+            for i in range(24)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    runs = {}
+    for mode in ("auto", True, False):
+        runs[str(mode)] = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.minhash_near_duplicates(
+                docs, threshold=0.9, collapse_exact=mode
+            ).collect()
+        )
+        dedup.release_cached()
+    assert runs["auto"] == runs["True"] == runs["False"]
+    assert len(runs["auto"]) > 0
+    with _pytest.raises(ValueError, match="collapse_exact"):
+        dedup.minhash_near_duplicates(docs, collapse_exact="maybe")
 
 
 def test_minhash_uncollapsed_band_join_aqe_skew_split(spark):

@@ -169,7 +169,7 @@ def test_minhash_split_collapse_paths_agree(spark, docs):
         map(
             key,
             dedup.minhash_near_duplicates(
-                corpus, threshold=0.9, split_dups=True
+                corpus, threshold=0.9, split_dups=True, collapse_exact=True
             ).collect(),
         )
     )
@@ -178,7 +178,10 @@ def test_minhash_split_collapse_paths_agree(spark, docs):
         map(
             key,
             dedup.minhash_near_duplicates(
-                corpus, threshold=0.9, persist_shingles=False
+                corpus,
+                threshold=0.9,
+                persist_shingles=False,
+                collapse_exact=True,
             ).collect(),
         )
     )
@@ -219,7 +222,7 @@ def test_minhash_split_dups_auto_gate(spark, docs):
     assert "LeftSemi" not in p_small and "LeftAnti" not in p_small
 
     forced = dedup.minhash_near_duplicates(
-        docs, threshold=0.9, split_dups=True
+        docs, threshold=0.9, split_dups=True, collapse_exact=True
     )
     p_forced = plan(forced)
     assert "LeftSemi" in p_forced and "LeftAnti" in p_forced
