@@ -1844,6 +1844,56 @@ def q_o06_resample_gapfill(spark, sf_dir):
     ).orderBy("user_id", "bucket")
 
 
+def q_t11_attribution_join(spark, sf_dir):
+    """Stream-stream attribution join, batch twin
+    (streaming/windows.attribution_join): every click paired with the
+    same user's views in the preceding 30 minutes. The one-directional
+    event-time range predicate is what bounds both sides' stream state
+    (view state drops `within` behind the watermark, click state at the
+    watermark); in batch mode the watermark is inert and the exact pair
+    semantics are what the DuckDB theta-join oracle checks. The
+    streaming microbatch path over the identical plan is covered by
+    tests/test_streaming.py."""
+    from da_transform_judgments_pipeline_spark.streaming import windows
+
+    ev = _T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = windows.attribution_join(clicks, views, within="30 minutes")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("click_event_id").cast("long").alias("click_event_id"),
+        F.col("view_event_id").cast("long").alias("view_event_id"),
+        (
+            F.unix_micros("click_ts") - F.unix_micros("view_ts")
+        ).cast("long").alias("delta_us"),
+    ).orderBy("user_id", "click_event_id", "view_event_id")
+
+
+def q_x20_normalize_text(spark, sf_dir):
+    """Unicode canonical normalization (text.normalize_text): NFC
+    composition (Arrow-batched pandas UDF — Spark SQL has no Unicode
+    normalization builtin; DuckDB's nfc_normalize implements the same
+    standard algorithm, making the oracle exact), C0/C1 control strip
+    and whitespace collapse JVM-side. The dedup-pipeline front door:
+    byte-identical text after this step is what the exact/minhash
+    stages key on."""
+    docs = _T(spark, sf_dir, "documents")
+    return (
+        text.normalize_text(docs)
+        .select(
+            "doc_id",
+            "text_norm",
+            (F.col("text_norm") != F.col("text")).alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -2252,7 +2302,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # duplicate weights, x18 bigram-LM score, x19 Zipf spectrum, m07 image
     # tile plan, a20/a21/a22 TPC-H Q16/Q18/Q22 shapes, o05 interval-overlap
     # join, a23 spend percentiles, m08 modality interleave, e11 MMR
-    # rerank, d09 containment pairs, o06 resample/gap-fill); (b) every query whose code
+    # rerank, d09 containment pairs, o06 resample/gap-fill, t11
+    # stream-stream attribution join, x20 unicode NFC normalization);
+    # (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
     # e05; x14 shares the release paths), the k-means fold/BLAS
@@ -2287,6 +2339,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e11_mmr_rerank": q_e11_mmr_rerank,
     "d09_containment_pairs": q_d09_containment_pairs,
     "o06_resample_gapfill": q_o06_resample_gapfill,
+    "t11_attribution_join": q_t11_attribution_join,
+    "x20_normalize_text": q_x20_normalize_text,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
@@ -3866,6 +3920,34 @@ def oracle_sql() -> dict[str, str]:
                                       AND CURRENT ROW),
                      0) AS BIGINT) AS carried_cents
             FROM dense ORDER BY user_id, bucket
+        """,
+        "t11_attribution_join": """
+            SELECT c.user_id,
+                   c.event_id AS click_event_id,
+                   v.event_id AS view_event_id,
+                   CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT)
+                     AS delta_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id
+             AND v.ts <= c.ts
+             AND v.ts >= c.ts - INTERVAL 30 MINUTE
+            ORDER BY c.user_id, click_event_id, view_event_id
+        """,
+        "x20_normalize_text": r"""
+            WITH n AS (
+              SELECT doc_id, text,
+                     CASE WHEN text IS NULL THEN NULL
+                          ELSE trim(regexp_replace(
+                                 nfc_normalize(regexp_replace(text,
+                                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]',
+                                   '', 'g')),
+                                 '\s+', ' ', 'g'))
+                     END AS text_norm
+              FROM documents
+            )
+            SELECT doc_id, text_norm, text_norm <> text AS changed
+            FROM n ORDER BY doc_id
         """,
         "x16_sequence_packing": r"""
             WITH t AS (

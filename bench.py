@@ -85,6 +85,8 @@ HEADLINE = [
     "e11_mmr_rerank",
     "d09_containment_pairs",
     "o06_resample_gapfill",
+    "t11_attribution_join",
+    "x20_normalize_text",
 ]
 
 

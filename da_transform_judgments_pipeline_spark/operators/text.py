@@ -926,3 +926,52 @@ def zipf_histogram(
         F.count("*").alias("n_types"),
         F.sum("c").cast("long").alias("n_occurrences"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Canonical Unicode text normalization for dedup/tokenizer
+    pipelines: NFC composition (é as one codepoint, not e+combining
+    accent — without it, byte-level dedup misses visually-identical
+    docs), C0/C1 control characters stripped (keeping \\t \\n), and
+    whitespace runs collapsed to single spaces with ends trimmed.
+
+    NFC runs in an Arrow-batched pandas UDF (Python's unicodedata —
+    Spark SQL has no normalization builtin; both it and DuckDB's
+    nfc_normalize implement the same Unicode standard algorithm, which
+    is what makes the oracle exact). The control-char strip and
+    whitespace collapse stay JVM-side regex on either side of the UDF,
+    so the Python surface is exactly one str.translate-free
+    normalize call per value per batch. NULL text passes through as
+    NULL, same as every scalar function here.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    # no type hints on the UDF: this module uses `from __future__ import
+    # annotations`, which turns them into strings pandas_udf can't parse;
+    # the explicit returnType + un-annotated signature is the robust form
+    @pandas_udf(StringType())
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v)
+            if v is not None
+            else None
+        )
+
+    stripped = F.regexp_replace(
+        F.col(text_col),
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]",
+        "",
+    )
+    collapsed = F.trim(F.regexp_replace(_nfc(stripped), "\\s+", " "))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(collapsed),
+    )

@@ -77,3 +77,60 @@ def sessionize(
             "n_events",
         )
     )
+
+
+def attribution_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    key_col: str = "user_id",
+    clicks_ts: str = "ts",
+    views_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream attribution join: each click pairs with the view(s)
+    by the same key in the preceding ``within`` interval — the canonical
+    ad/referral-attribution shape and the engine's Structured Streaming
+    stream-stream inner join surface.
+
+    Both sides carry a watermark and the join predicate bounds the
+    event-time distance in ONE direction range
+    (``view.ts <= click.ts AND view.ts >= click.ts - within``), which is
+    exactly what Spark needs to compute each side's state retention:
+    view state is dropped once the watermark passes ``within`` behind,
+    click state at the watermark itself — bounded state, no unbounded
+    buffering (an unconstrained stream-stream join would buffer both
+    streams forever). Works identically in batch mode (watermarks
+    inert), which is how the exact pair semantics are unit-tested; the
+    streaming test drives file-source microbatches through the same
+    plan. Output: key, click_ts, view_ts, plus the payload columns of
+    both sides prefixed ``click_`` / ``view_``.
+    """
+    c = clicks.select(
+        F.col(key_col).alias("_k"),
+        F.col(clicks_ts).alias("click_ts"),
+        *[
+            F.col(x).alias(f"click_{x}")
+            for x in clicks.columns
+            if x not in (key_col, clicks_ts)
+        ],
+    ).withWatermark("click_ts", watermark)
+    v = views.select(
+        F.col(key_col).alias("_vk"),
+        F.col(views_ts).alias("view_ts"),
+        *[
+            F.col(x).alias(f"view_{x}")
+            for x in views.columns
+            if x not in (key_col, views_ts)
+        ],
+    ).withWatermark("view_ts", watermark)
+    joined = c.join(
+        v,
+        (F.col("_k") == F.col("_vk"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {within}")
+        ),
+    )
+    return joined.drop("_vk").withColumnRenamed("_k", key_col)

@@ -397,3 +397,66 @@ def test_streaming_sessionization_gap_and_timeout(spark, tmp_path):
     us = 1_000_000
     assert got[(1, "gap")] == (t0 * us, (t0 + 10) * us, 2, 3.0)
     assert got[(2, "timeout")] == (t0 * us, t0 * us, 1, 5.0)
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """attribution_join over two FILE-SOURCE streams: pairs emitted
+    across microbatches match the batch twin exactly — the stream-stream
+    inner join with event-time range bounds (the predicate shape that
+    lets Spark drop both sides' state)."""
+    import json
+
+    from da_transform_judgments_pipeline_spark.streaming.windows import (
+        attribution_join,
+    )
+
+    clicks_dir, views_dir = tmp_path / "clicks", tmp_path / "views"
+    clicks_dir.mkdir(), views_dir.mkdir()
+
+    def write(d, name, rows):
+        (d / name).write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "ts": ts, "event_id": i})
+                for u, ts, i in rows
+            )
+        )
+
+    # wave 1: user 1 view@00, click@10 (pair); user 2 view@00 only
+    write(views_dir, "v1.json", [(1, "2024-01-01 00:00:00", 100),
+                                 (2, "2024-01-01 00:00:00", 101)])
+    write(clicks_dir, "c1.json", [(1, "2024-01-01 00:10:00", 200)])
+    # wave 2: user 2 click@20 pairs with wave-1 view (cross-batch state);
+    # user 1 click@50 is 50 min after the view — outside `within`
+    write(clicks_dir, "c2.json", [(2, "2024-01-01 00:20:00", 201),
+                                  (1, "2024-01-01 00:50:00", 202)])
+
+    schema = "user_id long, ts string, event_id long"
+
+    def src(d):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+
+    out = attribution_join(src(clicks_dir), src(views_dir))
+    q = (
+        out.select("user_id", "click_event_id", "view_event_id")
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.click_event_id, r.view_event_id)
+            for r in spark.sql("select * from attrib").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [(1, 200, 100), (2, 201, 101)]

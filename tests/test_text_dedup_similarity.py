@@ -614,3 +614,26 @@ def test_containment_hot_shingle_cap(spark):
         df, threshold=0.3, max_shingle_df=2
     ).count()
     assert exact > 0 and capped == 0
+
+
+def test_normalize_text_nfc_and_controls(spark):
+    """NFC composes e+combining-accent to é; control chars strip (tab/
+    newline survive as whitespace → collapsed); NULL passes through."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    decomposed = "caf" + "e" + "́"        # NFD-style café
+    composed = "café"
+    df = spark.createDataFrame(
+        [
+            (1, decomposed),
+            (2, "a\x00b\x07c"),
+            (3, "  spaced\tout\n\nwords  "),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text_norm for r in t.normalize_text(df).collect()}
+    assert out[1] == composed
+    assert out[2] == "abc"
+    assert out[3] == "spaced out words"
+    assert out[4] is None
