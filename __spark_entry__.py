@@ -1894,6 +1894,21 @@ def q_x20_normalize_text(spark, sf_dir):
     )
 
 
+def q_e12_pq_topk(spark, sf_dir):
+    """Product-Quantization ANN (similarity.pq_train/pq_encode/pq_topk):
+    m=4 subspace codebooks × k=16 centroids, corpus encoded to 4 codes
+    per vector (map-side fold argmins, no shuffle), query answered by
+    Asymmetric Distance Computation — m literal lookup tables summed per
+    row over the COMPRESSED corpus, TakeOrderedAndProject top-10.
+    Approximate by design (quantization error) → no SQL oracle, rows
+    checked only; recall@10-in-top-50 vs the exact euclidean scan is a
+    measured pytest contract (tests/test_clustering.py)."""
+    emb = _T(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=4, k=16, updates=1)
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_topk(codes, books, _query_vec(spark, sf_dir), k=10)
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -2303,7 +2318,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tile plan, a20/a21/a22 TPC-H Q16/Q18/Q22 shapes, o05 interval-overlap
     # join, a23 spend percentiles, m08 modality interleave, e11 MMR
     # rerank, d09 containment pairs, o06 resample/gap-fill, t11
-    # stream-stream attribution join, x20 unicode NFC normalization);
+    # stream-stream attribution join, x20 unicode NFC normalization,
+    # e12 PQ/ADC approximate top-k — rows-only by design, like e03/e07);
     # (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
@@ -2341,6 +2357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o06_resample_gapfill": q_o06_resample_gapfill,
     "t11_attribution_join": q_t11_attribution_join,
     "x20_normalize_text": q_x20_normalize_text,
+    "e12_pq_topk": q_e12_pq_topk,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
@@ -2361,6 +2378,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x02_language_id": q_x02_language_id,
     "x03_bpe_token_count": q_x03_bpe_token_count,
     "x05_chunking": q_x05_chunking,
+    # x04 moved IN-window this round: fingerprint() was re-staged (the
+    # lambda-inlining fix) — every r5-touched operator records a row
+    "x04_fingerprint": q_x04_fingerprint,
     # (c) r4 first-green rows kept for a second recorded confirmation
     "e09_ann_srp_exact": q_e09_ann_srp_exact,
     "m04_pack_prefix_substitution": q_m04_pack_prefix_substitution,
@@ -2435,7 +2455,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a01_sha256": q_a01_sha256,
     "a06_collect_list": q_a06_collect_list,
     "w02_latest_per_key": q_w02_latest_per_key,
-    "x04_fingerprint": q_x04_fingerprint,
     "x07_contamination": q_x07_contamination,
     "x08_top_ngrams": q_x08_top_ngrams,
     "x10_stratified_sample": q_x10_stratified_sample,

@@ -593,3 +593,124 @@ def mmr_rerank(
     return spark.createDataFrame(
         out, "rank long, id long, rel double"
     )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    updates: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train Product-Quantization codebooks (Jégou et al., PAMI 2011):
+    split the vector into ``m`` contiguous subspaces and k-means each
+    independently. Returns m codebooks × k centroids × (dim/m) floats —
+    driver-held model bytes (m·k·dim/m = k·dim doubles total, same
+    footprint as one k-means), safe to inline into literal expressions
+    exactly like the IVF centroids.
+
+    Each subspace fit is the existing kmeans_fit machinery on a sliced
+    projection — m small distributed fits, map-side assignment, one
+    narrow update shuffle per round; the corpus is scanned m·updates
+    times but never reshuffled on vectors.
+    """
+    from .clustering import kmeans_fit
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("embedding"),
+        )
+        books.append(kmeans_fit(sub, k=k, updates=updates))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m one-byte-ish codes (id, codes array<int>):
+    nearest sub-centroid per subspace. Pure map-side — m fold-distance
+    argmins over inlined literals, no shuffle, no Python; the encoded
+    corpus is dim/m·(bytes/float) smaller than the raw vectors, which is
+    the entire point at 100 TB (a 64-dim float corpus compresses 64×
+    with m=4, k=16).
+    """
+    from .clustering import _dist_sql
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    # two staged projections: the k-distance arrays land in their own
+    # columns FIRST, then argmin references the column twice — the same
+    # stage-before-reference rule the text operators learned the hard
+    # way (an inline array({dists}) under array_position AND array_min
+    # would evaluate every fold twice per row)
+    staged = df
+    for s in range(m):
+        sub = f"slice(CAST({vec_col} AS ARRAY<DOUBLE>), {s*dsub+1}, {dsub})"
+        dists = ", ".join(_dist_sql(sub, c) for c in codebooks[s])
+        staged = staged.withColumn(f"_pqd{s}", F.expr(f"array({dists})"))
+    codes = F.array(
+        *[
+            (
+                F.expr(f"array_position(_pqd{s}, array_min(_pqd{s}))") - 1
+            ).cast("int")
+            for s in range(m)
+        ]
+    )
+    return staged.select(
+        F.col(id_col).alias("id"), codes.alias("codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation: the query
+    is NOT quantized — per subspace, a k-entry table of exact
+    query-to-sub-centroid squared distances is computed driver-side
+    (m·k doubles — model-scale, not data-scale) and inlined as literal
+    arrays; each row's approx distance is the sum of m table lookups by
+    its stored code. Pure map-side projection over the COMPRESSED corpus
+    + TakeOrderedAndProject — the raw vectors are never read at query
+    time, which is what PQ buys. Ties break on id. Approximate by
+    design (quantization error): pair with an exact rerank over the
+    top-C or the e02 exact scan as oracle; recall is a measured pytest
+    contract."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    tables = []
+    for s in range(m):
+        q = query_vec[s * dsub : (s + 1) * dsub]
+        tables.append(
+            [
+                sum((a - b) * (a - b) for a, b in zip(q, c))
+                for c in codebooks[s]
+            ]
+        )
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(float(x)) for x in tables[s]]),
+            F.element_at("codes", s + 1) + 1,
+        )
+        for s in range(m)
+    ]
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = dist + t
+    return (
+        codes.select("id", F.round(dist, 6).alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col("id"))
+        .limit(k)
+    )

@@ -226,6 +226,99 @@ def main() -> None:
         "split_wins": timings["split"] <= timings["plain"],
     }
 
+    # ---- 3. hot-user funnel: ×factor event stream -----------------------
+    # 150 users × factor — each user's collect_list pane holds tens of
+    # thousands of structs; the sorted fold and the max_events_per_user
+    # slice guard must hold without OOM, and depth semantics must survive
+    # the blow-up (copies at identical timestamps never chain, so depths
+    # are unchanged from the base corpus).
+    from da_transform_judgments_pipeline_spark.operators import temporal
+
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev_blown = ev.select(
+        "user_id", "ts", "event_type", copies.alias("copy")
+    ).drop("copy")
+    base_depths = {
+        r["user_id"]: r["funnel_depth"]
+        for r in temporal.funnel_depth(
+            ev, ["view", "click", "purchase"]
+        ).collect()
+    }
+    t0 = time.perf_counter()
+    blown_depths = {
+        r["user_id"]: r["funnel_depth"]
+        for r in temporal.funnel_depth(
+            ev_blown, ["view", "click", "purchase"]
+        ).collect()
+    }
+    o04_s = time.perf_counter() - t0
+    n_ev_blown = ev_blown.count()
+    results["o04_hot_user_funnel"] = {
+        "events": n_ev_blown,
+        "users": len(blown_depths),
+        "sec": round(o04_s, 2),
+        "ok": blown_depths == base_depths,
+    }
+
+    # ---- 4. hot-key interval overlap: one user owns 10% of intervals ----
+    # uniform users get a handful of intervals; the hot user's intervals
+    # all land in one month, so its (key, bucket) cells carry hundreds of
+    # candidates each — the bucket replication and canonical-bucket pair
+    # dedup must neither lose pairs nor blow past the true overlap count.
+    n_iv = 20_000 * (factor // 10 if factor >= 10 else 1)
+    hot_share = n_iv // 10
+    iv = spark.range(n_iv).select(
+        F.when(F.col("id") < hot_share, F.lit(0))
+        .otherwise((F.col("id") % 997) + 1)
+        .alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000)
+             + (F.xxhash64(F.col("id")) % (30 * 86_400)) * 1_000_000)
+        ).alias("start"),
+    ).withColumn(
+        "end",
+        F.timestamp_micros(
+            F.unix_micros("start") + 600 * 1_000_000
+        ),
+    )
+    iv_path = "/tmp/skew_blowup_intervals"
+    iv.write.mode("overwrite").parquet(iv_path)
+    iv = spark.read.parquet(iv_path)
+    left = iv.filter(F.col("event_id") % 2 == 0)
+    right = iv.filter(F.col("event_id") % 2 == 1)
+    t0 = time.perf_counter()
+    n_ov = temporal.interval_overlap_join(
+        left, right, on="user_id", bucket_width_s=3600
+    ).count()
+    o05_s = time.perf_counter() - t0
+    # independent exact count via raw microsecond theta join (no buckets)
+    lm = left.select(
+        "user_id",
+        F.unix_micros("start").alias("ls"),
+        F.unix_micros("end").alias("le"),
+    )
+    rm = right.select(
+        F.col("user_id").alias("r_user_id"),
+        F.unix_micros("start").alias("rs"),
+        F.unix_micros("end").alias("re"),
+    )
+    n_theta = lm.join(
+        rm,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("ls") < F.col("re"))
+        & (F.col("rs") < F.col("le")),
+    ).count()
+    results["o05_hot_key_intervals"] = {
+        "intervals": n_iv,
+        "hot_intervals": hot_share,
+        "pairs": n_ov,
+        "theta_pairs": n_theta,
+        "sec": round(o05_s, 2),
+        "ok": n_ov == n_theta,
+    }
+
     print(json.dumps(results))
     ok = all(v.get("ok", True) for v in results.values()) and results[
         "split_win_case"

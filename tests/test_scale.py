@@ -243,3 +243,47 @@ def test_keyed_prefix_rank_matches_window(spark):
     }
     assert got == want
     dedup.release_cached()
+
+
+def test_collapse_probe_routes_on_group_size_not_bytes(spark, tmp_path):
+    """The auto collapse gate must key on the EXACT max identical-set
+    group size, not the (compression-distorted) byte estimate: a small
+    parquet corpus with one 40-member identical group routes to collapse
+    (collect_list in the optimized plan), while a same-sized corpus of
+    singleton groups routes plain. Inputs must be parquet-backed — a
+    createDataFrame LocalRelation reports Long.Max size (unknown), which
+    correctly short-circuits to the scale-safe collapse without probing."""
+    from da_transform_judgments_pipeline_spark.operators import dedup
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    uniq = spark.createDataFrame(
+        [(i, f"unique words alpha beta gamma delta {i}") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    dup_rows = [(i, "identical text body repeated many times over here")
+                for i in range(40)]
+    dup_rows += [(100 + i, f"unique filler text number {i} words")
+                 for i in range(20)]
+    dupy = spark.createDataFrame(dup_rows, ["doc_id", "text"])
+    uniq.write.parquet(str(tmp_path / "uniq"))
+    dupy.write.parquet(str(tmp_path / "dupy"))
+    uniq = spark.read.parquet(str(tmp_path / "uniq"))
+    dupy = spark.read.parquet(str(tmp_path / "dupy"))
+
+    p_uniq = plan(dedup.minhash_near_duplicates(uniq, threshold=0.9))
+    p_dupy = plan(dedup.minhash_near_duplicates(dupy, threshold=0.9))
+    dedup.release_cached()
+    assert "collect_list" not in p_uniq      # plain banding
+    assert "collect_list" in p_dupy          # collapse engaged
+    # and unknown-size inputs (LocalRelation → Long.Max estimate) must
+    # take the scale-safe collapse without probing
+    local = spark.createDataFrame(
+        [(i, f"some local words {i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    assert "collect_list" in plan(
+        dedup.minhash_near_duplicates(local, threshold=0.9)
+    )
+    dedup.release_cached()
