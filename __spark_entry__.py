@@ -1909,6 +1909,65 @@ def q_e12_pq_topk(spark, sf_dir):
     return similarity.pq_topk(codes, books, _query_vec(spark, sf_dir), k=10)
 
 
+def q_w07_ewma(spark, sf_dir):
+    """Per-user EWMA over the event stream (temporal.ewma, α=0.5 — an
+    exactly-representable binary fraction, so every fold step is the
+    same IEEE ops in the same order on any engine). Single groupBy-key
+    shuffle + per-group sorted fold, seeded with the first value — the
+    list_reduce seed convention, which is exactly the DuckDB oracle."""
+    ev = _T(spark, sf_dir, "events")
+    return temporal.ewma(
+        ev, alpha=0.5, tiebreak_col="event_id"
+    ).orderBy("user_id")
+
+
+def q_o07_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average of `value`
+    (temporal.time_weighted_avg): each observation weighted by the
+    microseconds until the user's next event — integer-exact cents·µs
+    sums (order-independent, map-side combinable), one keyed shuffle
+    shared by the lead() window and the aggregate, a single rounded
+    double division at the very end."""
+    ev = _T(spark, sf_dir, "events")
+    return temporal.time_weighted_avg(
+        ev, tiebreak_col="event_id"
+    ).orderBy("user_id")
+
+
+def q_j05_salted_revenue_join(spark, sf_dir):
+    """Skew-safe salted join (scale.salted_join): lineitem revenue per
+    supplier through a salt=8 join — the big side's rows scatter over 8
+    synthetic sub-keys, the 100-row supplier dim replicates 8×, and the
+    aggregate proves the result identical to the plain join the oracle
+    runs. The deterministic fallback for single-key skew beyond what
+    AQE's runtime skew-split handles; revenue in exact integer cents."""
+    from da_transform_judgments_pipeline_spark.operators import scale
+
+    li = _T(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)") * 100
+        ).cast("long").alias("price_cents"),
+    )
+    supp = _T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    return (
+        scale.salted_join(li, supp, "suppkey", salt=8)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("price_cents").alias("rev_cents"),
+        )
+        .select(
+            "s_name",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+        )
+        .orderBy("s_name")
+    )
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -2319,7 +2378,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # join, a23 spend percentiles, m08 modality interleave, e11 MMR
     # rerank, d09 containment pairs, o06 resample/gap-fill, t11
     # stream-stream attribution join, x20 unicode NFC normalization,
-    # e12 PQ/ADC approximate top-k — rows-only by design, like e03/e07);
+    # e12 PQ/ADC approximate top-k — rows-only by design, like e03/e07,
+    # w07 EWMA fold, o07 time-weighted average, j05 salted skew join);
     # (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
@@ -2358,6 +2418,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t11_attribution_join": q_t11_attribution_join,
     "x20_normalize_text": q_x20_normalize_text,
     "e12_pq_topk": q_e12_pq_topk,
+    "w07_ewma": q_w07_ewma,
+    "o07_time_weighted_avg": q_o07_time_weighted_avg,
+    "j05_salted_revenue_join": q_j05_salted_revenue_join,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
@@ -3967,6 +4030,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, text_norm, text_norm <> text AS changed
             FROM n ORDER BY doc_id
+        """,
+        # w07: list_reduce seeds with the FIRST element — the same seed
+        # convention the Spark fold uses (s1 = x1)
+        "w07_ewma": """
+            SELECT user_id,
+                   round(list_reduce(
+                       list(CAST(value AS DOUBLE)
+                            ORDER BY ts, event_id),
+                       (acc, x) -> acc * 0.5 + x * 0.5), 6) AS ewma,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "o07_time_weighted_avg": """
+            WITH d AS (
+              SELECT user_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS c,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                       - epoch_us(ts) AS dur
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(c * dur) AS BIGINT) AS num_cents_us,
+                   CAST(sum(dur) AS BIGINT) AS den_us,
+                   round(CAST(sum(c * dur) AS DOUBLE)
+                         / CAST(sum(dur) AS DOUBLE) / 100.0, 6) AS twa
+            FROM d WHERE dur IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "j05_salted_revenue_join": """
+            SELECT s_name,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name ORDER BY s_name
         """,
         "x16_sequence_packing": r"""
             WITH t AS (

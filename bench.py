@@ -87,6 +87,9 @@ HEADLINE = [
     "o06_resample_gapfill",
     "t11_attribution_join",
     "x20_normalize_text",
+    "w07_ewma",
+    "o07_time_weighted_avg",
+    "j05_salted_revenue_join",
 ]
 
 

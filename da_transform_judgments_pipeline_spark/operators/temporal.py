@@ -481,3 +481,102 @@ def resample_gapfill(
     return dense.withColumnRenamed("k", key_col).withColumn(
         "n_events", F.col("n_events").cast("long")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, final value per
+    key: ``s₁ = x₁; sᵢ = (1−α)·sᵢ₋₁ + α·xᵢ`` over the time-ordered
+    event stream — the standard smoothed-rate feature (and the seed
+    convention shared by DuckDB's list_reduce, which makes the oracle a
+    one-liner). For engine-bit-identical results pick an ``alpha`` with
+    an exact binary representation (0.5, 0.25, 0.375, ...): then every
+    step is two exactly-representable scalings and one rounding — the
+    same IEEE ops in the same order on any engine. The recurrence is
+    inherently sequential per key, so it runs as ONE groupBy-key shuffle
+    collecting each key's (ts, tiebreak, value) structs, a per-group
+    array_sort, and a single aggregate() fold — the funnel_depth
+    pattern; no window over the stream, no per-event state.
+    ``tiebreak_col`` orders equal timestamps (pass the event id for full
+    determinism)."""
+    fields = [F.col(ts_col).alias("ts")]
+    if tiebreak_col:
+        fields.append(F.col(tiebreak_col).alias("tb"))
+    fields.append(F.col(value_col).cast("double").alias("v"))
+    per_key = (
+        df.select(F.col(key_col).alias("k"), F.struct(*fields).alias("e"))
+        .groupBy("k")
+        .agg(F.expr("array_sort(collect_list(e))").alias("evs"))
+    )
+    a = float(alpha)
+    folded = F.expr(
+        f"""
+        aggregate(
+          slice(evs, 2, greatest(size(evs) - 1, 0)),
+          element_at(evs, 1).v,
+          (acc, e) -> acc * {1.0 - a!r} + e.v * {a!r})
+        """
+    )
+    return per_key.select(
+        F.col("k").alias(key_col),
+        F.round(folded, 6).alias("ewma"),
+        F.size("evs").cast("long").alias("n_events"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-weighted average: each observation holds its value
+    until the next one, so its weight is the microseconds until the
+    key's next event (the last event carries no interval and drops) —
+    the correct mean for irregularly-sampled state (sensor readings,
+    account balances), where the plain mean over-weights bursts.
+
+    Integer-exact until the final division: values become exact cents
+    (decimal(18,2)→long), weights are integer microseconds from a lead()
+    window, and the weighted sum is a long Σ cents·µs (map-side
+    combinable, order-independent — no float drift anywhere). One
+    shuffle on the key shared by the lead window and the aggregate.
+    Output: numerator/denominator longs + twa = num/den/100 rounded to
+    6 dp (one correctly-rounded double division on exact integers)."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    dur = (
+        F.lead(F.unix_micros(F.col(ts_col))).over(w)
+        - F.unix_micros(F.col(ts_col))
+    )
+    staged = df.select(
+        F.col(key_col).alias("k"), cents.alias("_c"), dur.alias("_d")
+    ).filter(F.col("_d").isNotNull())
+    return (
+        staged.groupBy("k")
+        .agg(
+            F.sum(F.col("_c") * F.col("_d")).alias("num_cents_us"),
+            F.sum("_d").alias("den_us"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("num_cents_us").cast("long").alias("num_cents_us"),
+            F.col("den_us").cast("long").alias("den_us"),
+            F.round(
+                F.col("num_cents_us").cast("double")
+                / F.col("den_us").cast("double")
+                / 100.0,
+                6,
+            ).alias("twa"),
+        )
+    )

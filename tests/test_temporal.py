@@ -353,3 +353,55 @@ def test_resample_gapfill_dense_grid_and_carry(spark):
     ]
     u2 = [(n, v, c) for u, b, n, v, c in out if u == 2]
     assert u2 == [(1, 725, 725)]
+
+
+def test_ewma_seed_and_order(spark):
+    """EWMA seeds with the first value (list_reduce convention), folds in
+    time order with event-id tie-break, and a single-event key returns
+    its value unchanged."""
+    from da_transform_judgments_pipeline_spark.operators.temporal import (
+        ewma,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 1.0),
+        (1, "2024-01-01 00:01:00", 2, 2.0),
+        (1, "2024-01-01 00:02:00", 3, 4.0),
+        (2, "2024-01-01 00:00:00", 4, 7.5),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "s", "event_id", "value"]
+    ).select(
+        "user_id", F.to_timestamp("s").alias("ts"), "event_id", "value"
+    )
+    out = {
+        r.user_id: (r.ewma, r.n_events)
+        for r in ewma(df, alpha=0.5, tiebreak_col="event_id").collect()
+    }
+    # s1=1.0; s2=0.5+1.0=1.5; s3=0.75+2.0=2.75
+    assert out[1] == (2.75, 3)
+    assert out[2] == (7.5, 1)
+
+
+def test_time_weighted_avg_interval_weights(spark):
+    """Weights are the µs to the NEXT event; the last event drops; the
+    numerator is exact integer cents·µs."""
+    from da_transform_judgments_pipeline_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        # value 10 held 1s, value 30 held 3s → twa = (10+90)/4 = 25
+        (1, "2024-01-01 00:00:00", 1, 10.0),
+        (1, "2024-01-01 00:00:01", 2, 30.0),
+        (1, "2024-01-01 00:00:04", 3, 999.0),  # last: no interval
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "s", "event_id", "value"]
+    ).select(
+        "user_id", F.to_timestamp("s").alias("ts"), "event_id", "value"
+    )
+    [r] = time_weighted_avg(df, tiebreak_col="event_id").collect()
+    assert r.den_us == 4_000_000
+    assert r.num_cents_us == 1000 * 1_000_000 + 3000 * 3_000_000
+    assert r.twa == 25.0
