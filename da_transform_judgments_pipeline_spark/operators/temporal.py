@@ -559,17 +559,21 @@ def time_weighted_avg(
         F.lead(F.unix_micros(F.col(ts_col))).over(w)
         - F.unix_micros(F.col(ts_col))
     )
+    # the key keeps its IDENTITY (no alias) between the window and the
+    # aggregate: an aliased key broke alias-aware partitioning propagation
+    # here and re-shuffled the already-partitioned stream — plan-checked
+    # in tests; the rename to the caller's name happens after the agg
     staged = df.select(
-        F.col(key_col).alias("k"), cents.alias("_c"), dur.alias("_d")
+        F.col(key_col), cents.alias("_c"), dur.alias("_d")
     ).filter(F.col("_d").isNotNull())
     return (
-        staged.groupBy("k")
+        staged.groupBy(key_col)
         .agg(
             F.sum(F.col("_c") * F.col("_d")).alias("num_cents_us"),
             F.sum("_d").alias("den_us"),
         )
         .select(
-            F.col("k").alias(key_col),
+            F.col(key_col),
             F.col("num_cents_us").cast("long").alias("num_cents_us"),
             F.col("den_us").cast("long").alias("den_us"),
             F.round(

@@ -196,3 +196,22 @@ def test_keyed_prefix_rank_no_keyed_exchange(spark):
     assert "hashpartitioning(k" not in plan
     out.count()
     dedup.release_cached()
+
+
+def test_time_weighted_avg_reuses_window_partitioning(spark, sf_dir):
+    """o07's aggregate must reuse the lead() window's hashpartitioning on
+    the key — keeping the key un-aliased between the two is what makes
+    alias-aware partitioning propagation hold. Exactly 2 exchanges: the
+    keyed window shuffle and the final presentation orderBy."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            entry.queries()["o07_time_weighted_avg"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert plan.count("Exchange") == 2
