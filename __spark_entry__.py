@@ -1968,6 +1968,32 @@ def q_j05_salted_revenue_join(spark, sf_dir):
     )
 
 
+def q_o08_scd2_intervals(spark, sf_dir):
+    """SCD type-2 history assembly (temporal.scd2_intervals): per-user
+    state (value bucketed to floor(value/25)) compressed into validity
+    intervals [valid_from, valid_to) — gaps-and-islands run numbering,
+    ONE keyed shuffle shared by both windows and the aggregate, open
+    current interval as NULL valid_to. Bounds emitted as epoch µs longs
+    (engine-width-neutral)."""
+    ev = _T(spark, sf_dir, "events")
+    st = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("state"),
+    )
+    out = temporal.scd2_intervals(
+        st, value_col="state", tiebreak_col="event_id"
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("version_no").cast("long").alias("version_no"),
+        F.col("state").cast("long").alias("state"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+    ).orderBy("user_id", "version_no")
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -2379,7 +2405,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rerank, d09 containment pairs, o06 resample/gap-fill, t11
     # stream-stream attribution join, x20 unicode NFC normalization,
     # e12 PQ/ADC approximate top-k — rows-only by design, like e03/e07,
-    # w07 EWMA fold, o07 time-weighted average, j05 salted skew join);
+    # w07 EWMA fold, o07 time-weighted average, j05 salted skew join,
+    # o08 SCD2 interval assembly);
     # (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
@@ -2421,6 +2448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w07_ewma": q_w07_ewma,
     "o07_time_weighted_avg": q_o07_time_weighted_avg,
     "j05_salted_revenue_join": q_j05_salted_revenue_join,
+    "o08_scd2_intervals": q_o08_scd2_intervals,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
@@ -4067,6 +4095,37 @@ def oracle_sql() -> dict[str, str]:
                                  * 100 AS BIGINT)) AS BIGINT) AS rev_cents
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name ORDER BY s_name
+        """,
+        "o08_scd2_intervals": """
+            WITH st AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(value / 25) AS BIGINT) AS state
+              FROM events
+            ),
+            marked AS (
+              SELECT *, CASE WHEN lag(state) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS DISTINCT FROM state THEN 1 ELSE 0 END AS chg
+              FROM st
+            ),
+            numbered AS (
+              SELECT *, CAST(sum(chg) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version_no
+              FROM marked
+            ),
+            runs AS (
+              SELECT user_id, version_no,
+                     min(state) AS state,
+                     min(ts) AS valid_from
+              FROM numbered GROUP BY user_id, version_no
+            )
+            SELECT user_id, version_no, state,
+                   epoch_us(valid_from) AS valid_from_us,
+                   epoch_us(lead(valid_from) OVER
+                     (PARTITION BY user_id ORDER BY version_no))
+                     AS valid_to_us
+            FROM runs ORDER BY user_id, version_no
         """,
         "x16_sequence_packing": r"""
             WITH t AS (

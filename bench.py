@@ -90,6 +90,7 @@ HEADLINE = [
     "w07_ewma",
     "o07_time_weighted_avg",
     "j05_salted_revenue_join",
+    "o08_scd2_intervals",
 ]
 
 

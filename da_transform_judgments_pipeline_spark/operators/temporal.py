@@ -584,3 +584,57 @@ def time_weighted_avg(
             ).alias("twa"),
         )
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Assemble slowly-changing-dimension type-2 history from a change
+    stream: per key, consecutive observations with the SAME value merge
+    into one validity interval ``[valid_from, valid_to)``; the current
+    value's interval has ``valid_to = NULL``. The standard warehouse
+    dimension-history shape, built from raw events in one pass.
+
+    Run-compression is the classic gaps-and-islands formulation: a
+    lag() marks change points, a running count over the same window
+    numbers the runs (version_no), and one groupBy((key, run)) takes
+    min/max bounds — ONE shuffle on the key, shared by both windows and
+    the aggregate (the key keeps its identity throughout — see
+    time_weighted_avg's alias note), no self-join, state linear per key.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag(F.col(value_col)).over(w)
+    is_change = (
+        F.when(
+            prev.isNull() | ~prev.eqNullSafe(F.col(value_col)), 1
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    numbered = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.sum(is_change).over(run).alias("version_no"),
+    )
+    runs = numbered.groupBy(key_col, "version_no").agg(
+        F.first(F.col(value_col)).alias(value_col),
+        F.min(ts_col).alias("valid_from"),
+    )
+    # valid_to = the NEXT run's valid_from (half-open intervals); the
+    # current run has no successor → NULL. A max-of-next-event-ts inside
+    # the run would be wrong: the final run's earlier rows point WITHIN
+    # the run, masking the open interval. Same keyed partitioning as the
+    # first window — no extra data shuffle.
+    w2 = Window.partitionBy(key_col).orderBy("version_no")
+    return runs.withColumn(
+        "valid_to", F.lead("valid_from").over(w2)
+    )

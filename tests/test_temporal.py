@@ -405,3 +405,35 @@ def test_time_weighted_avg_interval_weights(spark):
     assert r.den_us == 4_000_000
     assert r.num_cents_us == 1000 * 1_000_000 + 3000 * 3_000_000
     assert r.twa == 25.0
+
+
+def test_scd2_intervals_runs_and_open_current(spark):
+    """Consecutive same-value observations merge into one interval;
+    a value flip opens a new version; the current version's valid_to is
+    NULL even when its run has multiple rows (the max-of-next-ts trap);
+    reverting to an earlier value starts a NEW version, never reopens."""
+    from da_transform_judgments_pipeline_spark.operators.temporal import (
+        scd2_intervals,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "A"),
+        (1, "2024-01-02 00:00:00", 2, "A"),
+        (1, "2024-01-03 00:00:00", 3, "B"),
+        (1, "2024-01-04 00:00:00", 4, "A"),   # revert → version 3
+        (1, "2024-01-05 00:00:00", 5, "A"),   # current run, 2 rows
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "s", "event_id", "value"]
+    ).select(
+        "user_id", F.to_timestamp("s").alias("ts"), "event_id", "value"
+    )
+    out = sorted(
+        (r.version_no, r.value, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in scd2_intervals(df, tiebreak_col="event_id").collect()
+    )
+    assert out == [
+        (1, "A", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        (2, "B", "2024-01-03 00:00:00", "2024-01-04 00:00:00"),
+        (3, "A", "2024-01-04 00:00:00", None),
+    ]
