@@ -843,19 +843,26 @@ def simhash64(text: Column | str) -> Column:
     )
     # fold positive-vote bits back into one signed 64-bit value; bit 63 is
     # the sign bit, added as its two's-complement value
-    terms = [
-        F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        for i in range(63)
-    ]
-    terms.append(
-        F.when(F.element_at(votes, 64) > 0, F.lit(-(1 << 63)).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
+    # sign-fold to a LONG referencing `votes` exactly ONCE (as zip_with's
+    # argument): a 64-term element_at(votes, i) sum would inline the
+    # ENTIRE vote fold 64× per row — higher-order exprs sit outside
+    # codegen's subexpression elimination, so each bit re-ran the whole
+    # per-token aggregation (measured ~10× slower at sf0.01). Bit weights
+    # ride a literal array; bit 63 carries the long sign.
+    weights = F.array(
+        *[
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
     )
-    sig = terms[0]
-    for t in terms[1:]:
-        sig = sig + t
-    return sig
+    contrib = F.zip_with(
+        votes,
+        weights,
+        lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        contrib, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
 
 
 def simhash64_md5(text: Column | str) -> Column:
@@ -871,20 +878,28 @@ def simhash64_md5(text: Column | str) -> Column:
     md5s = F.transform(toks, lambda t: F.md5(t))
 
     def bit_votes(m: Column) -> Column:
-        digits = [
-            F.conv(F.substring(m, k + 1, 1), 16, 10).cast("int")
-            for k in range(16)
-        ]
-        return F.array(
-            *[
-                (
-                    F.shiftright(digits[i // 4], 3 - (i % 4))
-                    .bitwiseAND(F.lit(1))
-                    * 2
-                    - 1
-                ).cast("int")
-                for i in range(64)
-            ]
+        # each hex digit decodes ONCE (as transform's element variable),
+        # then fans out to its 4 bit votes via flatten — an indexed
+        # digits[i // 4] list would inline every conv 4× (higher-order
+        # exprs get no codegen subexpression elimination). Digit k covers
+        # bits 4k..4k+3, matching the documented bit order.
+        digit_arr = F.transform(
+            F.slice(F.split(m, ""), 1, 16),
+            lambda c: F.conv(c, 16, 10).cast("int"),
+        )
+        return F.flatten(
+            F.transform(
+                digit_arr,
+                lambda d: F.array(
+                    *[
+                        (
+                            F.shiftright(d, 3 - j).bitwiseAND(F.lit(1)) * 2
+                            - 1
+                        ).cast("int")
+                        for j in range(4)
+                    ]
+                ),
+            )
         )
 
     votes = F.aggregate(
@@ -892,19 +907,26 @@ def simhash64_md5(text: Column | str) -> Column:
         F.array_repeat(F.lit(0), 64),
         lambda acc, m: F.zip_with(acc, bit_votes(m), lambda a, b: a + b),
     )
-    terms = [
-        F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        for i in range(63)
-    ]
-    terms.append(
-        F.when(F.element_at(votes, 64) > 0, F.lit(-(1 << 63)).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
+    # sign-fold to a LONG referencing `votes` exactly ONCE (as zip_with's
+    # argument): a 64-term element_at(votes, i) sum would inline the
+    # ENTIRE vote fold 64× per row — higher-order exprs sit outside
+    # codegen's subexpression elimination, so each bit re-ran the whole
+    # per-token aggregation (measured ~10× slower at sf0.01). Bit weights
+    # ride a literal array; bit 63 carries the long sign.
+    weights = F.array(
+        *[
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
     )
-    sig = terms[0]
-    for t in terms[1:]:
-        sig = sig + t
-    return sig
+    contrib = F.zip_with(
+        votes,
+        weights,
+        lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        contrib, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
