@@ -141,18 +141,23 @@ def assign_clusters(
         for i, c in enumerate(centroids)
     )
     # array_min on (dist, cluster) structs = argmin with deterministic
-    # lower-index tiebreak (struct ordering is lexicographic)
+    # lower-index tiebreak (struct ordering is lexicographic). The argmin
+    # struct is STAGED as its own projection before the field extraction:
+    # `{best}.cluster` + `{best}.dist` inline would evaluate the whole
+    # k-fold distance argmin twice per row (higher-order exprs get no
+    # codegen subexpression elimination — the d04/x18 lesson).
     best = f"array_min(array({pairs}))"
     cols = [F.col(id_col).alias("id")]
     if keep_vec:
         # carrying the vector through lets consumers (centroid update,
         # index build) avoid a join back to the corpus on id
         cols.append(F.col(vec_col).cast("array<double>").alias("v"))
-    cols += [
-        F.expr(f"{best}.cluster").alias("cluster"),
-        F.expr(f"{best}.dist").alias("dist"),
-    ]
-    return df.select(*cols)
+    staged = df.select(*cols, F.expr(best).alias("_best"))
+    return staged.select(
+        *[c for c in staged.columns if c != "_best"],
+        F.col("_best.cluster").alias("cluster"),
+        F.col("_best.dist").alias("dist"),
+    )
 
 
 def _update_centroids(

@@ -556,16 +556,19 @@ def repetition_stats(
     Pure map-side — one staged tokenization, one gram build, two size()
     reductions; no shuffle, no explode. Filter on dup_ngram_ratio > ~0.2
     to drop looping/boilerplate generations before training."""
-    toked = df.withColumn("_toks", tokens(F.col(text_col)))
-    grams = ngrams_from_tokens(F.col("_toks"), n)
-    out = toked.withColumn("n_ngrams", F.size(grams)).withColumn(
-        "n_distinct", F.size(F.array_distinct(grams))
+    # grams staged as their own column — size() and array_distinct()
+    # would otherwise each re-run the zip_with gram build per row
+    toked = df.withColumn(
+        "_toks", tokens(F.col(text_col))
+    ).withColumn("_grams", ngrams_from_tokens(F.col("_toks"), n))
+    out = toked.withColumn("n_ngrams", F.size("_grams")).withColumn(
+        "n_distinct", F.size(F.array_distinct(F.col("_grams")))
     )
     ratio = F.when(F.col("n_ngrams") > 0,
                    F.round(1.0 - F.col("n_distinct")
                            / F.col("n_ngrams").cast("double"), 6)
                    ).otherwise(F.lit(0.0))
-    return out.withColumn("dup_ngram_ratio", ratio).drop("_toks")
+    return out.withColumn("dup_ngram_ratio", ratio).drop("_toks", "_grams")
 
 
 def quality_filter(
