@@ -1994,6 +1994,65 @@ def q_o08_scd2_intervals(spark, sf_dir):
     ).orderBy("user_id", "version_no")
 
 
+def q_a24_cube_summary(spark, sf_dir):
+    """CUBE grouping-sets rollup: lineitem quantity/revenue across every
+    subset of (returnflag, linestatus) with grouping_id() marking the
+    aggregation level — completes the grouping-sets family next to
+    a10/a15's ROLLUPs. Revenue sums in exact integer cents; one Expand +
+    single shuffle (Spark plans all 4 grouping sets in one pass)."""
+    li = _T(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    return (
+        li.withColumn("_c", cents)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping_id() is only resolvable INSIDE the cube aggregate
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("_c").alias("rev_cents"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "gid",
+            F.col("n_items").cast("long").alias("n_items"),
+            "sum_qty",
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+def q_w08_range_frame_window(spark, sf_dir):
+    """RANGE-frame window (the family member w04/w06's ROWS frames don't
+    cover): for every event, the count and exact cent-sum of the SAME
+    user's events in the trailing one-hour EVENT-TIME range — frame
+    bounds follow the ORDER BY value, not row positions, so ties and
+    gaps behave by time. One keyed shuffle; the range frame keeps state
+    linear per key."""
+    ev = _T(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.withColumn("_c", cents)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.count("*").over(w).cast("long").alias("n_trailing_1h"),
+            F.sum("_c").over(w).cast("long").alias("cents_trailing_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -2406,7 +2465,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stream-stream attribution join, x20 unicode NFC normalization,
     # e12 PQ/ADC approximate top-k — rows-only by design, like e03/e07,
     # w07 EWMA fold, o07 time-weighted average, j05 salted skew join,
-    # o08 SCD2 interval assembly);
+    # o08 SCD2 interval assembly, a24 CUBE grouping sets, w08 RANGE-frame
+    # window);
     # (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
@@ -2449,6 +2509,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o07_time_weighted_avg": q_o07_time_weighted_avg,
     "j05_salted_revenue_join": q_j05_salted_revenue_join,
     "o08_scd2_intervals": q_o08_scd2_intervals,
+    "a24_cube_summary": q_a24_cube_summary,
+    "w08_range_frame_window": q_w08_range_frame_window,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
@@ -4126,6 +4188,37 @@ def oracle_sql() -> dict[str, str]:
                      (PARTITION BY user_id ORDER BY version_no))
                      AS valid_to_us
             FROM runs ORDER BY user_id, version_no
+        """,
+        # a24: DuckDB's GROUPING(a,b) matches Spark's grouping_id bit
+        # order (first arg = MSB); NULLS FIRST pins the Spark sort order
+        "a24_cube_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                     AS gid,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag NULLS FIRST,
+                     l_linestatus NULLS FIRST
+        """,
+        "w08_range_frame_window": """
+            WITH t AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS c
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+                   CAST(sum(c) OVER w AS BIGINT) AS cents_trailing_1h
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 3600000000 PRECEDING
+                                   AND CURRENT ROW)
+            ORDER BY user_id, event_id
         """,
         "x16_sequence_packing": r"""
             WITH t AS (

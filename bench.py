@@ -91,6 +91,8 @@ HEADLINE = [
     "o07_time_weighted_avg",
     "j05_salted_revenue_join",
     "o08_scd2_intervals",
+    "a24_cube_summary",
+    "w08_range_frame_window",
 ]
 
 
