@@ -2531,9 +2531,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x02_language_id": q_x02_language_id,
     "x03_bpe_token_count": q_x03_bpe_token_count,
     "x05_chunking": q_x05_chunking,
-    # x04 moved IN-window this round: fingerprint() was re-staged (the
-    # lambda-inlining fix) — every r5-touched operator records a row
+    # x04 and x11 moved IN-window this round: fingerprint() was re-staged
+    # (the lambda-inlining fix) and repetition_stats' gram array is now a
+    # staged projection — every r5-touched operator records a row
     "x04_fingerprint": q_x04_fingerprint,
+    "x11_repetition": q_x11_repetition,
     # (c) r4 first-green rows kept for a second recorded confirmation
     "e09_ann_srp_exact": q_e09_ann_srp_exact,
     "m04_pack_prefix_substitution": q_m04_pack_prefix_substitution,
@@ -2559,7 +2561,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w06_sliding_window": q_w06_sliding_window,
     "t08_sessionization": q_t08_sessionization,
     "o02_asof_join": q_o02_asof_join,
-    "x11_repetition": q_x11_repetition,
     "x12_quality_filter": q_x12_quality_filter,
     "a18_quantiles_sketch": q_a18_quantiles_sketch,
     "x06_deterministic_sample": q_x06_deterministic_sample,
