@@ -59,3 +59,44 @@ def render_csv(df: DataFrame, order_by: list[str] | None = None) -> str:
     for row in df.toLocalIterator():
         writer.writerow(["" if row[c] is None else row[c] for c in columns])
     return out.getvalue()
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    target_file_mb: int = 256,
+    mode: str = "error",
+) -> int:
+    """Range-sorted, size-balanced parquet layout — the write-path
+    discipline a 100 TB table needs: globally range-partitioned on
+    ``order_cols`` (so downstream range predicates prune files via
+    min/max footer stats), sorted within each partition (so row-group
+    stats are tight), and sized to ``target_file_mb`` via the partition
+    count (one file per partition when row sizes are uniform).
+    Returns the partition count used.
+
+    The partition count comes from the optimizer's size estimate over
+    the target (uncompressed in-plan bytes / target size, min 1) — the
+    same sub-ms stats probe the dedup operators use; when stats are
+    unavailable it falls back to the current partition count. Skewed
+    order keys are handled by repartitionByRange's reservoir sampling:
+    a hot key spans several adjacent partitions rather than one giant
+    file. ``maxRecordsPerFile`` is deliberately NOT set — at uniform row
+    width the range partitioner already balances, and a records cap
+    would split the sorted runs row-count-wise, not byte-wise.
+    """
+    from ..operators.dedup import _plan_size_bytes
+
+    est = _plan_size_bytes(df)
+    if est is not None and est < (1 << 62):
+        n = max(1, int(est // (target_file_mb * 1024 * 1024)) + 1)
+    else:
+        n = max(1, df.rdd.getNumPartitions())
+    (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return n

@@ -296,3 +296,40 @@ def test_v1_error_path_increments_counter(spark, delivery, ctx, tmp_path):
     assert "checksum" in out["error-message"].lower()
     # reference parity: the re-queue copy carries the bumped counter
     assert out["output-message"]["number-of-retries"] == 2
+
+
+def test_write_sorted_parquet_layout(spark, tmp_path):
+    """The balanced writer produces a range-partitioned, within-file
+    sorted layout: files' key ranges are disjoint and each file is
+    internally ordered — the properties that make footer-stat pruning
+    and tight row groups work at scale."""
+    from pyspark.sql import functions as F
+
+    from da_transform_judgments_pipeline_spark.sources.sinks import (
+        write_sorted_parquet,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "sorted")
+    n = write_sorted_parquet(df, out, ["k"], target_file_mb=1)
+    assert n >= 1
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert len(files) >= 1
+    ranges = []
+    for f in files:
+        part = spark.read.parquet(f).select("k").collect()
+        ks = [r.k for r in part]
+        assert ks == sorted(ks)  # within-file order
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint file key ranges
