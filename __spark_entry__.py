@@ -2053,6 +2053,54 @@ def q_w08_range_frame_window(spark, sf_dir):
     )
 
 
+def q_f03_json_props(spark, sf_dir):
+    """JSON payload-column parsing at scale (the events table's `props`
+    string — the reference's event envelopes are exactly such JSON
+    payloads, SURVEY §1.2): from_json with an explicit schema (never
+    schema inference on the hot path), then a per-type aggregate over
+    the extracted field. Map-side parse + one combinable shuffle."""
+    ev = _T(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("_k").alias("n_with_k"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.min("_k").cast("long").alias("min_k"),
+            F.max("_k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_o09_week_over_week(spark, sf_dir):
+    """Week-over-week change: per event_type, weekly counts (fixed-width
+    integer epoch weeks — no calendar variance) with the previous week's
+    count and the delta via a lag window over the AGGREGATED buckets —
+    the window runs on (type × week) rows, thousands at most, never the
+    raw stream. One combinable count shuffle + a tiny keyed window."""
+    ev = _T(spark, sf_dir, "events")
+    week = F.expr("unix_micros(ts) div 604800000000")
+    weekly = ev.groupBy(
+        "event_type", week.alias("week_bucket")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week_bucket")
+    return (
+        weekly.withColumn("prev_n", F.lag("n").over(w))
+        .select(
+            "event_type",
+            F.col("week_bucket").cast("long").alias("week_bucket"),
+            F.col("n").cast("long").alias("n"),
+            F.col("prev_n").cast("long").alias("prev_n"),
+            (F.col("n") - F.coalesce(F.col("prev_n"), F.col("n")))
+            .cast("long")
+            .alias("delta"),
+        )
+        .orderBy("event_type", "week_bucket")
+    )
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -2466,7 +2514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # e12 PQ/ADC approximate top-k — rows-only by design, like e03/e07,
     # w07 EWMA fold, o07 time-weighted average, j05 salted skew join,
     # o08 SCD2 interval assembly, a24 CUBE grouping sets, w08 RANGE-frame
-    # window);
+    # window, f03 JSON-props parse, o09 week-over-week deltas);
     # (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
@@ -2511,6 +2559,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o08_scd2_intervals": q_o08_scd2_intervals,
     "a24_cube_summary": q_a24_cube_summary,
     "w08_range_frame_window": q_w08_range_frame_window,
+    "f03_json_props": q_f03_json_props,
+    "o09_week_over_week": q_o09_week_over_week,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
@@ -4220,6 +4270,33 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN 3600000000 PRECEDING
                                    AND CURRENT ROW)
             ORDER BY user_id, event_id
+        """,
+        "f03_json_props": """
+            SELECT event_type,
+                   CAST(count(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS n_with_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS min_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "o09_week_over_week": """
+            WITH weekly AS (
+              SELECT event_type,
+                     epoch_us(ts) // 604800000000 AS week_bucket,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, week_bucket, n,
+                   lag(n) OVER (PARTITION BY event_type
+                                ORDER BY week_bucket) AS prev_n,
+                   CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type
+                                                  ORDER BY week_bucket), n)
+                        AS BIGINT) AS delta
+            FROM weekly ORDER BY event_type, week_bucket
         """,
         "x16_sequence_packing": r"""
             WITH t AS (

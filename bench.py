@@ -93,6 +93,8 @@ HEADLINE = [
     "o08_scd2_intervals",
     "a24_cube_summary",
     "w08_range_frame_window",
+    "f03_json_props",
+    "o09_week_over_week",
 ]
 
 
