@@ -2101,6 +2101,33 @@ def q_o09_week_over_week(spark, sf_dir):
     )
 
 
+def q_s20_zorder_index(spark, sf_dir):
+    """Z-order/Morton layout key (scale.zorder_index): orders keyed on
+    the bit-interleave of (custkey, order-day) low 10 bits — the
+    space-filling-curve sort that gives file-level locality on BOTH
+    dimensions at once (a lexicographic sort prunes only its leading
+    column). Pure integer shifts, whole-stage codegen, bit-identical to
+    the oracle's restatement of the same formula (both sides are
+    generated from ONE loop — scale.zorder_sql). Materialize with
+    write_sorted_parquet ordered by zval for the actual layout."""
+    from da_transform_judgments_pipeline_spark.operators import scale
+
+    orders = _T(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 1024
+    y = F.expr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+    ) % 1024
+    return (
+        orders.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            x.cast("long").alias("xk"),
+            y.cast("long").alias("yk"),
+            scale.zorder_index(x, y, bits=10).alias("zval"),
+        )
+        .orderBy("zval", "o_orderkey")
+    )
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -2514,7 +2541,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # e12 PQ/ADC approximate top-k — rows-only by design, like e03/e07,
     # w07 EWMA fold, o07 time-weighted average, j05 salted skew join,
     # o08 SCD2 interval assembly, a24 CUBE grouping sets, w08 RANGE-frame
-    # window, f03 JSON-props parse, o09 week-over-week deltas);
+    # window, f03 JSON-props parse, o09 week-over-week deltas, s20
+    # z-order layout key);
     # (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
@@ -2561,6 +2589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w08_range_frame_window": q_w08_range_frame_window,
     "f03_json_props": q_f03_json_props,
     "o09_week_over_week": q_o09_week_over_week,
+    "s20_zorder_index": q_s20_zorder_index,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
@@ -4298,6 +4327,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS delta
             FROM weekly ORDER BY event_type, week_bucket
         """,
+        # s20: the SQL side of the Morton formula comes from the SAME
+        # generator as the Spark side (scale.zorder_sql) — placeholder
+        # substituted at dict build below
+        "s20_zorder_index": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey % 1024 AS BIGINT) AS xk,
+                   CAST((epoch_us(o_orderdate) // 86400000000) % 1024
+                        AS BIGINT) AS yk,
+                   CAST(__ZORDER__ AS BIGINT) AS zval
+            FROM orders
+            ORDER BY zval, o_orderkey
+        """,
         "x16_sequence_packing": r"""
             WITH t AS (
               SELECT doc_id,
@@ -4417,4 +4458,16 @@ def oracle_sql() -> dict[str, str]:
     # check for them; e02 is the exact brute-force baseline, and e08/e09
     # hash-check the SAME index machinery at its provably-exact endpoints
     # (nprobe = n_cells, max_hamming = n_planes).
+    from da_transform_judgments_pipeline_spark.operators.scale import (
+        zorder_sql,
+    )
+
+    sql["s20_zorder_index"] = sql["s20_zorder_index"].replace(
+        "__ZORDER__",
+        zorder_sql(
+            "(o_custkey % 1024)",
+            "((epoch_us(o_orderdate) // 86400000000) % 1024)",
+            bits=10,
+        ),
+    )
     return sql

@@ -95,6 +95,7 @@ HEADLINE = [
     "w08_range_frame_window",
     "f03_json_props",
     "o09_week_over_week",
+    "s20_zorder_index",
 ]
 
 

@@ -175,3 +175,42 @@ def keyed_prefix_rank(
         )
         .drop("_pid", "_local_rank")
     )
+
+
+def zorder_index(x: "F.Column", y: "F.Column", bits: int = 16) -> "F.Column":
+    """Morton/Z-order index of two non-negative integer columns: the low
+    ``bits`` of each dimension bit-interleaved (x in even positions, y
+    in odd) — the space-filling-curve key lakehouse layouts sort by so
+    ONE sorted file order gives locality (and therefore footer-stat file
+    pruning) on BOTH dimensions at once, where a lexicographic sort
+    only prunes on its leading column.
+
+    Pure integer shifts/masks — 2·bits cheap terms, whole-stage-codegen
+    friendly, bit-identical in any engine (the oracle re-states the same
+    formula). Pair with :func:`..sources.sinks.write_sorted_parquet`
+    ordered by the index to materialize the layout.
+    """
+    xi = x.cast("long")
+    yi = y.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(xi, i).bitwiseAND(F.lit(1)) * (1 << (2 * i)))
+            + (F.shiftright(yi, i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1)))
+        )
+    return z
+
+
+def zorder_sql(x_sql: str, y_sql: str, bits: int = 16) -> str:
+    """The identical Morton formula as SQL text (for oracles / other
+    engines): generated from the same loop so the two constructions
+    cannot drift."""
+    terms = []
+    for i in range(2 * bits):
+        src = x_sql if i % 2 == 0 else y_sql
+        bit = i // 2
+        terms.append(
+            f"(((CAST({src} AS BIGINT) >> {bit}) & 1) * {1 << i})"
+        )
+    return "(" + " + ".join(terms) + ")"

@@ -287,3 +287,45 @@ def test_collapse_probe_routes_on_group_size_not_bytes(spark, tmp_path):
         dedup.minhash_near_duplicates(local, threshold=0.9)
     )
     dedup.release_cached()
+
+
+def test_zorder_index_morton_and_locality(spark):
+    """The 2-bit Morton curve visits the textbook order; and sorting a
+    grid by the z-index gives materially better 2-D neighbor locality
+    than a lexicographic (x, y) sort (mean Manhattan distance between
+    consecutive rows — the property that makes BOTH dimensions prunable
+    from one file order)."""
+    from da_transform_judgments_pipeline_spark.operators.scale import (
+        zorder_index,
+    )
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], ["x", "y"]
+    )
+    z = grid.select(
+        "x", "y", zorder_index(F.col("x"), F.col("y"), bits=4).alias("z")
+    ).collect()
+    # textbook 2x2 case: (0,0)=0 (1,0)=1 (0,1)=2 (1,1)=3
+    zmap = {(r.x, r.y): r.z for r in z}
+    assert [zmap[(0, 0)], zmap[(1, 0)], zmap[(0, 1)], zmap[(1, 1)]] == [
+        0, 1, 2, 3,
+    ]
+    assert len(set(zmap.values())) == 256  # bijective on the grid
+
+    # the prunability property: split the sorted stream into 16 "files"
+    # of 16 rows — z-order files are 4×4 boxes (worst side 3), while a
+    # lexicographic sort yields 1×16 strips (worst side 15): a query on
+    # the SECOND dimension prunes z-files but must read every lex-file
+    def worst_box_side(order):
+        worst = 0
+        for i in range(0, len(order), 16):
+            chunk = order[i : i + 16]
+            xs = [p[0] for p in chunk]
+            ys = [p[1] for p in chunk]
+            worst = max(worst, max(xs) - min(xs), max(ys) - min(ys))
+        return worst
+
+    z_order = [(r.x, r.y) for r in sorted(z, key=lambda r: r.z)]
+    lex_order = sorted((r.x, r.y) for r in z)
+    assert worst_box_side(z_order) == 3
+    assert worst_box_side(lex_order) == 15
