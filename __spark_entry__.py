@@ -2128,6 +2128,25 @@ def q_s20_zorder_index(spark, sf_dir):
     )
 
 
+def q_a25_hll_distinct(spark, sf_dir):
+    """Mergeable HLL distinct-user counts per event type
+    (scale.hll_distinct_by_group over Spark's Datasketches builtins):
+    the 100 TB cardinality primitive — per-partition sketches merge
+    losslessly, daily states roll into monthly ones without raw data.
+    Approximate by design (±1.6% at lgk=12) → rows-only here (DuckDB's
+    HLL is a different implementation with different estimates); the
+    error band and union-mergeability are a measured pytest contract
+    (tests/test_scale.py::test_hll_distinct_error_and_merge)."""
+    from da_transform_judgments_pipeline_spark.operators import scale
+
+    ev = _T(spark, sf_dir, "events")
+    return (
+        scale.hll_distinct_by_group(ev, "event_type", "user_id")
+        .select("event_type", "approx_distinct")
+        .orderBy("event_type")
+    )
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -2542,7 +2561,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # w07 EWMA fold, o07 time-weighted average, j05 salted skew join,
     # o08 SCD2 interval assembly, a24 CUBE grouping sets, w08 RANGE-frame
     # window, f03 JSON-props parse, o09 week-over-week deltas, s20
-    # z-order layout key);
+    # z-order layout key, a25 mergeable-HLL distinct — rows-only like
+    # e03/e07/e12, with a measured error/merge pytest contract);
     # (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
@@ -2590,6 +2610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f03_json_props": q_f03_json_props,
     "o09_week_over_week": q_o09_week_over_week,
     "s20_zorder_index": q_s20_zorder_index,
+    "a25_hll_distinct": q_a25_hll_distinct,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,

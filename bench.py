@@ -96,6 +96,7 @@ HEADLINE = [
     "f03_json_props",
     "o09_week_over_week",
     "s20_zorder_index",
+    "a25_hll_distinct",
 ]
 
 

@@ -214,3 +214,43 @@ def zorder_sql(x_sql: str, y_sql: str, bits: int = 16) -> str:
             f"(((CAST({src} AS BIGINT) >> {bit}) & 1) * {1 << i})"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def hll_distinct_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Mergeable approximate distinct counts per group via Spark's
+    Datasketches HLL builtins: (group, estimate, sketch) where `sketch`
+    is the binary HLL state — the 100 TB cardinality primitive, because
+    sketches MERGE: per-partition sub-aggregates union losslessly (the
+    map-side combine the exact count-distinct's Expand can't give you),
+    daily sketches roll into monthly ones without touching raw data, and
+    the state is KB-scale regardless of cardinality. Relative error
+    ≈ 1.04/√2^lgk (~1.6% at the default lgk=12) — approximate by
+    design, so it gets a measured-error pytest contract instead of a
+    hash oracle (the e03/e07/e12 pattern)."""
+    sk = F.expr(f"hll_sketch_agg({value_col}, {lgk})")
+    return (
+        df.groupBy(group_col)
+        .agg(sk.alias("sketch"))
+        .select(
+            group_col,
+            F.expr("hll_sketch_estimate(sketch)").alias("approx_distinct"),
+            "sketch",
+        )
+    )
+
+
+def hll_union_estimate(sketches: DataFrame, sketch_col: str = "sketch"):
+    """Union a column of HLL sketches into one corpus-wide estimate —
+    the roll-up step (shards → global) that makes sketches worth
+    keeping. Returns the estimated distinct count as a Python int."""
+    row = sketches.agg(
+        F.expr(f"hll_sketch_estimate(hll_union_agg({sketch_col}))").alias(
+            "est"
+        )
+    ).first()
+    return int(row["est"])

@@ -329,3 +329,37 @@ def test_zorder_index_morton_and_locality(spark):
     lex_order = sorted((r.x, r.y) for r in z)
     assert worst_box_side(z_order) == 3
     assert worst_box_side(lex_order) == 15
+
+
+def test_hll_distinct_error_and_merge(spark):
+    """HLL sketch contract: per-group estimates within the documented
+    ~1.6% band (lgk=12) of exact distinct counts, and the UNION of group
+    sketches estimates the global distinct count — the mergeability that
+    justifies keeping sketch state at all (sub-aggregates roll up
+    without raw data)."""
+    from da_transform_judgments_pipeline_spark.operators.scale import (
+        hll_distinct_by_group,
+        hll_union_estimate,
+    )
+
+    # 3 groups with overlapping member sets
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 7000).alias("v"),  # overlap across groups
+    )
+    got = {
+        r.g: r.approx_distinct
+        for r in hll_distinct_by_group(df, "g", "v").collect()
+    }
+    exact = {
+        r.g: r.n
+        for r in df.groupBy("g")
+        .agg(F.count_distinct("v").alias("n"))
+        .collect()
+    }
+    for g in exact:
+        assert abs(got[g] - exact[g]) / exact[g] < 0.05
+    sketches = hll_distinct_by_group(df, "g", "v").select("sketch")
+    union_est = hll_union_estimate(sketches)
+    global_exact = df.select("v").distinct().count()
+    assert abs(union_est - global_exact) / global_exact < 0.05
