@@ -2561,8 +2561,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # w07 EWMA fold, o07 time-weighted average, j05 salted skew join,
     # o08 SCD2 interval assembly, a24 CUBE grouping sets, w08 RANGE-frame
     # window, f03 JSON-props parse, o09 week-over-week deltas, s20
-    # z-order layout key, a25 mergeable-HLL distinct — rows-only like
-    # e03/e07/e12, with a measured error/merge pytest contract);
+    # z-order layout key; e12 PQ and a25 HLL are new but approximate by
+    # design, so they sit PAST the cap with e03/e07 — a rows-only
+    # recorded row adds nothing over selfcheck, and their evidence is
+    # the measured pytest contracts);
     # (b) every query whose code
     # changed this round — the dedup module's null-safe exact key +
     # split_dups prerequisite guard + stats-probe _spread (d01-d07, e01,
@@ -2600,7 +2602,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o06_resample_gapfill": q_o06_resample_gapfill,
     "t11_attribution_join": q_t11_attribution_join,
     "x20_normalize_text": q_x20_normalize_text,
-    "e12_pq_topk": q_e12_pq_topk,
     "w07_ewma": q_w07_ewma,
     "o07_time_weighted_avg": q_o07_time_weighted_avg,
     "j05_salted_revenue_join": q_j05_salted_revenue_join,
@@ -2610,7 +2611,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f03_json_props": q_f03_json_props,
     "o09_week_over_week": q_o09_week_over_week,
     "s20_zorder_index": q_s20_zorder_index,
-    "a25_hll_distinct": q_a25_hll_distinct,
     # (b) r5-modified paths: dedup module (null-safe key, split guard,
     # stats-probe _spread), k-means assignment rework, width casts
     "d01_exact_dedup_stats": q_d01_exact_dedup_stats,
@@ -2670,6 +2670,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scripts/selfcheck.py and (e03/e07) the pytest recall contracts
     "m03_media_features": q_m03_media_features,
     "e03_ann_lsh_topk": q_e03_ann_lsh_topk,
+    # e12/a25: approximate by design (PQ quantization error; HLL
+    # estimate) → rows-only recorded rows add nothing over selfcheck, so
+    # they live past the cap like e03/e07; their evidence is the measured
+    # pytest contracts (PQ recall@10-in-50, HLL error+merge bands)
+    "e12_pq_topk": q_e12_pq_topk,
+    "a25_hll_distinct": q_a25_hll_distinct,
     "e07_ann_ivf": q_e07_ann_ivf,
     "e02_cosine_topk": q_e02_cosine_topk,
     "a07_pricing_summary": q_a07_pricing_summary,
