@@ -215,3 +215,26 @@ def test_time_weighted_avg_reuses_window_partitioning(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
     assert plan.count("Exchange") == 2
+
+
+def test_driver_contract_registry_consistency():
+    """Registry invariants a typo would silently break: every bench
+    HEADLINE name resolves to a registered query; every oracle belongs
+    to a registered query; the rows-only set is exactly the documented
+    approximate-by-design queries; and the first 50 entries (the
+    driver's recorded window) contain no duplicates."""
+    import bench
+
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    assert [n for n in bench.HEADLINE if n not in qs] == []
+    assert [n for n in osql if n not in qs] == []
+    rows_only = sorted(k for k in qs if k not in osql)
+    assert rows_only == [
+        "a25_hll_distinct",
+        "e03_ann_lsh_topk",
+        "e07_ann_ivf",
+        "e12_pq_topk",
+    ]
+    window = list(qs)[:50]
+    assert len(set(window)) == 50
