@@ -1226,7 +1226,19 @@ def q_e05_embedding_near_dup_lsh(spark, sf_dir):
     hyperplane signature → hamming-ball probe explode (narrow rows) →
     bucket equi-join candidates → exact cosine verify. No all-pairs /
     cartesian node in the plan; matches e01's exact output (radius from
-    binomial mean+3σ covers every true pair on this data)."""
+    binomial mean+3σ covers every true pair on this data).
+
+    Bench-cost note (r5 profile): at threshold 0.45 with 8 planes the
+    recall-1 radius is 5, whose ball covers 219/256 buckets — so the
+    candidate set is ~86% of all pairs (1.7M of 2M at sf0.1) and the
+    query's wall time is essentially the exact verify plus probe
+    overhead. That is the HONEST price of a hash-checkable (recall-1)
+    LSH demonstration at 8 planes; production configs at real corpus
+    sizes use 16-24+ planes, where the same radius rule covers a
+    vanishing fraction of buckets and the candidate set collapses.
+    The e05 number is therefore expected to sit near e01's and is NOT
+    a regression signal — the plan shape (no cartesian), not the
+    second, is its contract."""
     emb = _T(spark, sf_dir, "embeddings")
     return dedup.embedding_near_duplicates_lsh(
         emb, threshold=0.45, n_planes=8, dim=64
