@@ -55,7 +55,21 @@ def release_cached() -> int:
     # like the bench release caches between repetitions of the SAME
     # input, which is exactly when the memo earns its keep. A stale
     # entry can only mis-route performance, never correctness
-    # (verification is exact on either route).
+    # (verification is exact on either route). Use
+    # reset_collapse_probe_memo() to drop it explicitly.
+    return n
+
+
+def reset_collapse_probe_memo() -> int:
+    """Drop every memoized collapse-probe routing decision; returns the
+    number of entries dropped. Needed only when a SOURCE IS REWRITTEN IN
+    PLACE (same path, same plan hash, different data) — e.g. a test
+    fixture regenerated mid-session — so the next
+    :func:`minhash_near_duplicates` call re-probes the hottest set-key
+    group instead of reusing a routing boolean measured on the old data.
+    A stale entry mis-routes performance only, never correctness."""
+    n = len(_COLLAPSE_PROBE_MEMO)
+    _COLLAPSE_PROBE_MEMO.clear()
     return n
 
 
@@ -549,7 +563,12 @@ def minhash_near_duplicates(
             # the life of a session in this engine's usage (same
             # assumption the ANN index cache keys on); repeated calls on
             # the same input — benchmarks, retries, notebook reruns —
-            # pay the probe job once. release_cached() clears the memo.
+            # pay the probe job once. The memo deliberately SURVIVES
+            # release_cached() (it holds routing booleans, not executor
+            # storage); if a source is rewritten in place with the same
+            # plan hash, call reset_collapse_probe_memo() to force a
+            # re-probe (a stale entry mis-routes performance only —
+            # verification is exact on either route).
             try:
                 memo_key = df.semanticHash()
             except Exception:

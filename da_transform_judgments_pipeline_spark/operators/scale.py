@@ -139,25 +139,47 @@ def keyed_prefix_rank(
             "_local_rank", F.coalesce(F.count("*").over(w_local), F.lit(0))
         )
     )
+    # Subtotals collect the ENGINE-rendered key string (CAST(key AS
+    # STRING) evaluated by Spark), not a driver-side str(key): Python
+    # str() disagrees with Spark's cast for booleans ('True' vs 'true'),
+    # float formatting, and NULL (str(None)='None' vs concat_ws dropping
+    # the null) — a mismatch would make the map lookup silently miss and
+    # coalesce(..., 0) would return wrong ranks with no error. Using the
+    # engine's own rendering makes driver and engine keys byte-identical.
+    # Sort by pid first (ascending pid order per key is what makes the
+    # prefix fold correct); the key component only groups, so NULLs sort
+    # via a (is-null, value) pair to stay comparable with strings.
     subtotals = sorted(
-        ((r["_pid"], r["_key"]), r["c"])
-        for r in local.groupBy(
-            F.col("_pid"), F.col(key_col).alias("_key")
-        )
-        .agg(F.count("*").alias("c"))
-        .collect()
+        (
+            (
+                (r["_pid"], r["_keystr"]),
+                r["c"],
+            )
+            for r in local.groupBy(
+                F.col("_pid"),
+                F.col(key_col).cast("string").alias("_keystr"),
+            )
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ),
+        key=lambda t: (t[0][0], t[0][1] is not None, t[0][1] or ""),
     )
     prefix: dict[tuple, int] = {}
     acc: dict = {}
-    for (pid, key), c in subtotals:
-        prefix[(pid, key)] = acc.get(key, 0)
-        acc[key] = acc.get(key, 0) + c
+    for (pid, keystr), c in subtotals:
+        prefix[(pid, keystr)] = acc.get(keystr, 0)
+        acc[keystr] = acc.get(keystr, 0) + c
+    # Map keys replicate concat_ws semantics exactly: a NULL key is
+    # DROPPED by concat_ws, leaving just the pid — mirror that here so
+    # NULL-keyed rows also hit their offset.
     mapping = F.create_map(
         *[
             x
-            for (pid, key), off in prefix.items()
+            for (pid, keystr), off in prefix.items()
             for x in (
-                F.concat_ws("\x01", F.lit(str(pid)), F.lit(str(key))),
+                F.lit(
+                    f"{pid}\x01{keystr}" if keystr is not None else str(pid)
+                ),
                 F.lit(off),
             )
         ]

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import cosine_similarity
 
@@ -590,9 +591,18 @@ def mmr_rerank(
     out = [
         (int(rank), rid, float(rel[rid])) for rank, rid in selected
     ]
-    return spark.createDataFrame(
-        out, "rank long, id long, rel double"
+    # The result's id field keeps the INPUT id column's type (string doc
+    # ids, ints, ...) — the greedy loop is id-type-agnostic, so the
+    # output schema must not hardcode long.
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType(), False),
+            T.StructField("id", id_type, True),
+            T.StructField("rel", T.DoubleType(), True),
+        ]
     )
+    return spark.createDataFrame(out, out_schema)
 
 
 def pq_train(

@@ -611,10 +611,16 @@ def scd2_intervals(
     )
     w = Window.partitionBy(key_col).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
-    prev = F.lag(F.col(value_col)).over(w)
+    # lag() a one-field STRUCT, not the bare value: a bare lag() returns
+    # NULL both for "no previous row" and "previous value was NULL", so
+    # consecutive NULL-valued observations would split into separate
+    # versions. The struct wrapper is NULL only when there is no previous
+    # row; prev["v"] then carries the (possibly NULL) previous value for
+    # a null-safe IS DISTINCT FROM comparison.
+    prev = F.lag(F.struct(F.col(value_col).alias("v"))).over(w)
     is_change = (
         F.when(
-            prev.isNull() | ~prev.eqNullSafe(F.col(value_col)), 1
+            prev.isNull() | ~prev["v"].eqNullSafe(F.col(value_col)), 1
         )
         .otherwise(0)
         .cast("long")

@@ -299,3 +299,27 @@ def test_pq_recall_contract(spark):
     assert recall >= 0.5, f"PQ recall@10-in-50 too low: {recall}"
     # the query vector's own row must always survive (distance ~0)
     assert 7 in approx[:10] or 7 in approx
+
+
+def test_mmr_rerank_string_ids(spark):
+    """Regression: the output schema must inherit the input id column's
+    type — string doc ids used to crash createDataFrame against the
+    hardcoded 'id long' schema."""
+    from da_transform_judgments_pipeline_spark.operators import similarity
+
+    vecs = [
+        ("doc-a", [0.95, 0.05, 0.0, 0.0]),
+        ("doc-b", [0.94, 0.06, 0.0, 0.0]),
+        ("doc-c", [0.6, 0.0, 0.8, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = [
+        (r.rank, r.id)
+        for r in similarity.mmr_rerank(
+            df, [1.0, 0.0, 0.0, 0.0], k=2, n_candidates=3, lambda_=0.5
+        ).collect()
+    ]
+    assert out == [(1, "doc-a"), (2, "doc-c")]
+    assert dict(similarity.mmr_rerank(
+        df, [1.0, 0.0, 0.0, 0.0], k=1, n_candidates=2
+    ).dtypes)["id"] == "string"

@@ -363,3 +363,35 @@ def test_hll_distinct_error_and_merge(spark):
     union_est = hll_union_estimate(sketches)
     global_exact = df.select("v").distinct().count()
     assert abs(union_est - global_exact) / global_exact < 0.05
+
+
+def test_keyed_prefix_rank_nonstring_and_null_keys(spark):
+    """Regression: the offset map's keys must be rendered exactly as the
+    engine renders them — Python str() disagrees with Spark's CAST for
+    booleans ('True' vs 'true') and drops nothing for NULL (concat_ws
+    drops the null field). A mismatch silently coalesces to offset 0."""
+    from pyspark.sql import Window
+
+    from da_transform_judgments_pipeline_spark.operators import dedup
+    from da_transform_judgments_pipeline_spark.operators.scale import (
+        keyed_prefix_rank,
+    )
+
+    rows = [
+        (i, True if i % 3 == 0 else (False if i % 3 == 1 else None))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id int, k boolean")
+    got = {
+        (r.k, r.id): r.rank_in_key
+        for r in keyed_prefix_rank(
+            df, "k", "id", range_partitions=8
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("id")
+    want = {
+        (r.k, r.id): r.rn - 1
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    dedup.release_cached()

@@ -437,3 +437,36 @@ def test_scd2_intervals_runs_and_open_current(spark):
         (2, "B", "2024-01-03 00:00:00", "2024-01-04 00:00:00"),
         (3, "A", "2024-01-04 00:00:00", None),
     ]
+
+
+def test_scd2_intervals_merges_consecutive_nulls(spark):
+    """Regression: lag() on the bare value returns NULL both for 'no
+    previous row' and 'previous value was NULL', which split consecutive
+    NULL-valued observations into separate versions. The struct-lag form
+    must merge them (IS DISTINCT FROM semantics) and treat NULL→value
+    and value→NULL as real changes."""
+    from da_transform_judgments_pipeline_spark.operators.temporal import (
+        scd2_intervals,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, None),
+        (1, "2024-01-02 00:00:00", 2, None),   # same NULL run — merge
+        (1, "2024-01-03 00:00:00", 3, "A"),
+        (1, "2024-01-04 00:00:00", 4, None),   # A→NULL is a change
+        (1, "2024-01-05 00:00:00", 5, None),   # merge into version 3
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, s string, event_id int, value string"
+    ).select(
+        "user_id", F.to_timestamp("s").alias("ts"), "event_id", "value"
+    )
+    out = sorted(
+        (r.version_no, r.value, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in scd2_intervals(df, tiebreak_col="event_id").collect()
+    )
+    assert out == [
+        (1, None, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        (2, "A", "2024-01-03 00:00:00", "2024-01-04 00:00:00"),
+        (3, None, "2024-01-04 00:00:00", None),
+    ]
