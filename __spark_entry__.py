@@ -16,6 +16,7 @@ shapes.
 from __future__ import annotations
 
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -2557,6 +2558,62 @@ def q_e08_ann_ivf_exact(spark, sf_dir):
     )
 
 
+def q_e05b_embedding_lsh_pruned(spark, sf_dir):
+    """e05's PRUNED-regime configuration — the production posture the
+    8-plane demo can't show (its recall-1 ball covers 86% of buckets, so
+    its bench number measures the exact verify, not LSH pruning). Here:
+    threshold 0.9, 16 planes, radius from the SAME binomial rule with the
+    recall knob at sigmas=1 → radius 4, ball 2517/65536 buckets, measured
+    candidate fraction ~3.8% of all pairs (bench logs the exact number
+    per run via dedup.embedding_lsh_candidate_stats). Rows-only by
+    design: a sub-recall-1 radius is approximate (recall at the threshold
+    ≈ P[Binom(16, 0.144) ≤ 4] ≈ 92%), so there is no exact SQL oracle —
+    the planted-near-dup recall contract in
+    tests/test_text_dedup_similarity.py is its correctness evidence, and
+    e05 keeps the hash-checked recall-1 configuration."""
+    emb = _T(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_duplicates_lsh(
+        emb, threshold=0.9, n_planes=16, dim=64, sigmas=1.0
+    ).orderBy("id_a", "id_b")
+
+
+def q_b01_batch_validation(spark, sf_dir):
+    """Batched multi-consignment stage core (plans/batch.py
+    batch_validation_report): validates FOUR consignments' manifests,
+    checksums, and counts in ONE plan — the Spark-native twin of running
+    the reference's validate-bagit-files Lambda once per consignment
+    (tre_vb_validate_bagit_files.py:88-174). Input is the committed
+    fixture catalog fixtures/batch_store (one consignment per outcome
+    class: ok, checksum mismatch, manifest-lists-missing-file, extra
+    unlisted file); one row per consignment out, with the sequential
+    stage's error strings. The J2 checksum join's manifest side is
+    per-consignment KBs (broadcast); sha2 is map-side; the rollup is one
+    partial-agg groupBy. DuckDB replays the same parse/join/rollup over
+    read_blob on the same files."""
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        batch_validation_report,
+    )
+    from da_transform_judgments_pipeline_spark.sources.catalog import (
+        read_file_catalog,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "batch_store"
+    )
+    cat = read_file_catalog(spark, root)
+    rel = F.regexp_replace(F.col("path"), "^file:" + re.escape(root) + "/", "")
+    members = cat.select(
+        F.substring_index(rel, "/", 1).alias("consignment"),
+        F.expr(
+            f"substring(regexp_replace(path, '^file:{re.escape(root)}/', ''),"
+            " instr(regexp_replace(path,"
+            f" '^file:{re.escape(root)}/', ''), '/') + 1)"
+        ).alias("name"),
+        "content",
+    )
+    return batch_validation_report(members).orderBy("consignment")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Ordering note (round 5 rotation): the driver records oracle
     # comparisons for the FIRST 50 entries only (r1/r2 evidence: the
@@ -2593,6 +2650,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # a measured pytest contract: recall@10 floors vs the exact twins).
     # Everything past the cap remains locally oracle-checked via
     # scripts/selfcheck.py (README).
+    # (a) NEW round 6
+    "b01_batch_validation": q_b01_batch_validation,
     # (a) NEW round 5
     "x17_unigram_lm_score": q_x17_unigram_lm_score,
     "m06_audio_window_plan": q_m06_audio_window_plan,
@@ -2688,6 +2747,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pytest contracts (PQ recall@10-in-50, HLL error+merge bands)
     "e12_pq_topk": q_e12_pq_topk,
     "a25_hll_distinct": q_a25_hll_distinct,
+    # e05b: pruned-regime SRP near-dup (sigmas=1 radius) — approximate by
+    # design like e03/e07; evidence = planted-near-dup recall pytest +
+    # the bench's measured candidate-fraction log
+    "e05b_embedding_lsh_pruned": q_e05b_embedding_lsh_pruned,
     "e07_ann_ivf": q_e07_ann_ivf,
     "e02_cosine_topk": q_e02_cosine_topk,
     "a07_pricing_summary": q_a07_pricing_summary,
@@ -2934,6 +2997,117 @@ FROM votes ORDER BY doc_id
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        "b01_batch_validation": """
+            WITH blobs AS (
+              SELECT replace(filename,
+                             '/root/repo/fixtures/batch_store/', '') AS rel,
+                     decode(content) AS text
+              FROM read_blob('/root/repo/fixtures/batch_store/**')
+            ),
+            members AS (
+              SELECT split_part(rel, '/', 1) AS consignment,
+                     substr(rel, length(split_part(rel, '/', 1)) + 2) AS name,
+                     text
+              FROM blobs
+            ),
+            manifests AS (
+              SELECT consignment,
+                     CASE WHEN name = 'tagmanifest-sha256.txt'
+                          THEN 'root' ELSE 'data' END AS kind,
+                     CASE WHEN name = 'tagmanifest-sha256.txt'
+                          THEN 0 ELSE 1 END AS kord,
+                     lower(trim(substr(line, 1, 64))) AS expected,
+                     trim(substr(line, 65)) AS file
+              FROM members,
+                   unnest(string_split(text, chr(10))) AS t(line)
+              WHERE name IN ('tagmanifest-sha256.txt', 'manifest-sha256.txt')
+                AND length(trim(line)) > 0
+            ),
+            computed AS (
+              SELECT consignment, name AS file, sha256(text) AS actual
+              FROM members
+            ),
+            rep AS (
+              SELECT m.consignment, m.kind, m.kord, m.file, m.expected,
+                     c.actual,
+                     (c.actual IS NULL OR c.actual <> m.expected) AS bad
+              FROM manifests m
+              LEFT JOIN computed c
+                ON m.consignment = c.consignment AND m.file = c.file
+            ),
+            per_manifest AS (
+              SELECT consignment,
+                     CAST(coalesce(sum(CASE WHEN kind = 'root' THEN 1 END),
+                                   0) AS BIGINT) AS n_root_listed,
+                     CAST(coalesce(sum(CASE WHEN kind = 'data' THEN 1 END),
+                                   0) AS BIGINT) AS n_data_listed,
+                     CAST(coalesce(sum(CASE WHEN kind = 'root' AND bad
+                                            THEN 1 END), 0) AS BIGINT)
+                         AS n_root_bad,
+                     CAST(coalesce(sum(CASE WHEN kind = 'data' AND bad
+                                            THEN 1 END), 0) AS BIGINT)
+                         AS n_data_bad,
+                     min(CASE WHEN bad THEN {'kord': kord, 'file': file,
+                                             'expected': expected,
+                                             'actual': actual} END)
+                         AS first_bad
+              FROM rep GROUP BY consignment
+            ),
+            extracted AS (
+              SELECT consignment,
+                     CAST(count(*) AS BIGINT) AS n_extracted,
+                     CAST(coalesce(sum(CASE WHEN name LIKE 'data/%'
+                                            THEN 1 END), 0) AS BIGINT)
+                         AS n_data_extracted
+              FROM members GROUP BY consignment
+            ),
+            final AS (
+              SELECT e.consignment,
+                     coalesce(p.n_root_listed, 0) AS n_root_listed,
+                     coalesce(p.n_data_listed, 0) AS n_data_listed,
+                     coalesce(p.n_root_bad, 0) AS n_root_bad,
+                     coalesce(p.n_data_bad, 0) AS n_data_bad,
+                     e.n_extracted, e.n_data_extracted, p.first_bad,
+                     CASE
+                       WHEN p.first_bad IS NOT NULL THEN
+                         'Object "' || e.consignment || '/' ||
+                         p.first_bad.file || '" checksum "' ||
+                         coalesce(p.first_bad.actual, 'None') ||
+                         '" does not match expected checksum "' ||
+                         p.first_bad.expected || '" (' ||
+                         CAST(CASE WHEN p.first_bad.kord = 0
+                                   THEN p.n_root_bad
+                                   ELSE p.n_data_bad END AS VARCHAR) ||
+                         ' problem file(s) total)'
+                       WHEN e.n_extracted <> 1 + coalesce(p.n_root_listed, 0)
+                                               + coalesce(p.n_data_listed, 0)
+                       THEN
+                         'Incorrect total file count; ' ||
+                         CAST(1 + coalesce(p.n_root_listed, 0)
+                                + coalesce(p.n_data_listed, 0) AS VARCHAR) ||
+                         ' in manifest, but ' ||
+                         CAST(e.n_extracted AS VARCHAR) || ' found'
+                       WHEN coalesce(p.n_data_listed, 0)
+                            <> e.n_data_extracted THEN
+                         'Incorrect data file count; ' ||
+                         CAST(coalesce(p.n_data_listed, 0) AS VARCHAR) ||
+                         ' in manifest but ' ||
+                         CAST(e.n_data_extracted AS VARCHAR) || ' found'
+                     END AS error
+              FROM extracted e
+              LEFT JOIN per_manifest p ON e.consignment = p.consignment
+            )
+            SELECT consignment,
+                   CASE WHEN error IS NULL THEN 'ok' ELSE 'error' END
+                       AS status,
+                   error,
+                   n_root_listed, n_data_listed, n_root_bad, n_data_bad,
+                   n_extracted, n_data_extracted,
+                   first_bad.file AS first_bad_file,
+                   first_bad.expected AS first_bad_expected,
+                   first_bad.actual AS first_bad_actual
+            FROM final ORDER BY consignment
+        """,
         "s01_prefix_scan": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE source LIKE 'src1%' ORDER BY doc_id

@@ -97,6 +97,9 @@ HEADLINE = [
     "o09_week_over_week",
     "s20_zorder_index",
     "a25_hll_distinct",
+    # round 6
+    "b01_batch_validation",
+    "e05b_embedding_lsh_pruned",
 ]
 
 
@@ -263,24 +266,42 @@ def main() -> None:
                 except Exception:
                     pass
 
+    # Untimed pruning-economics probe for the e05b row: the MEASURED
+    # candidate fraction the pruned SRP config verifies (vs all pairs) —
+    # the point of the pruned regime is this number, not the wall-clock.
+    lsh_stats = None
+    try:
+        emb = entrymod._T(spark, sf_dir, "embeddings")
+        lsh_stats = dedup.embedding_lsh_candidate_stats(
+            emb, threshold=0.9, n_planes=16, sigmas=1.0, dim=64
+        )
+        dedup.release_cached()
+    except Exception as ex:
+        errors["e05b_stats"] = f"{type(ex).__name__}: {ex}"[:300]
+
     total = round(sum(timings.values()), 3)
     # Subtotal over the round-3 headline set (the 30 queries timed since
     # r3), so round-over-round comparison stays meaningful even as new
     # queries join HEADLINE and shift the grand total.
+    # Field order is deliberate: every SCALAR summary first, the large
+    # per-query maps last — the driver's tail capture has truncated the
+    # r5 line mid-way, and a truncation must cost detail rows, never the
+    # headline metric.
     r3_set = [q for q in R3_HEADLINE if q in timings]
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "sf": sf,
+        "r3_subtotal": round(sum(timings[q] for q in r3_set), 3),
         # one-time cold index builds, kept OUT of the headline total (a
         # build is a one-time cost; e03/e07 time the per-query probe — the
         # serving shape); these rows surface the amortized build cost
         # (build_ivf_index includes the k-means centroid fit)
         "index_builds": builds,
-        "r3_subtotal": round(sum(timings[q] for q in r3_set), 3),
+        "e05b_candidates": lsh_stats,
+        "queries": timings,
         "smoke": smoke,
-        "sf": sf,
     }
     if errors:
         out["errors"] = errors

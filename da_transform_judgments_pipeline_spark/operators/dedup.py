@@ -1141,57 +1141,21 @@ def embedding_near_duplicates_exact(
     )
 
 
-def embedding_near_duplicates_lsh(
+def _srp_candidates(
     df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.9,
-    n_planes: int = 8,
-    probe_radius: int | None = None,
-    seed: int = 42,
-    dim: int | None = None,
-) -> DataFrame:
-    """Embedding near-dup pairs via SRP-bucketed candidate generation +
-    exact cosine verification — the scale path (and
-    :func:`embedding_near_duplicates`' default) replacing the blocked
-    all-pairs :func:`embedding_near_duplicates_exact` (which stays as the
-    exact small-scale oracle).
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    radius: int,
+    seed: int,
+    dim: int,
+):
+    """Shared SRP candidate generation: signature → hamming-ball probe →
+    bucket equi-join. Returns (persisted base with id/vec/sig, candidate
+    pair frame id_a < id_b). Used by the near-dup operator and by the
+    pruning-economics probe :func:`embedding_lsh_candidate_stats`."""
+    from .similarity import hamming_ball_masks, hyperplane_signature
 
-    Shape mirrors :func:`minhash_near_duplicates`: signature (map-side SRP,
-    similarity.hyperplane_signature) → one-sided hamming-ball probe (each
-    row explodes to sig XOR mask for every ≤radius-bit mask — NARROW rows,
-    two ints) → equi-join on the probed bucket key → exact cosine verify
-    with vectors joined back by id only for candidates. A pair at hamming d
-    collides via exactly one mask (the XOR of its signatures), and the
-    probe-side < base-side id filter keeps each unordered pair once, so no
-    dedup pass is needed.
-
-    Candidate volume scales with the ball coverage C(n_planes, ≤radius)/2^n.
-    At real near-dup thresholds the mean signature hamming is small (cosine
-    0.9 ⇒ mean ~2.3 of 16) and pruning is strong; the default radius
-    (binomial mean+3σ via similarity.probe_radius_for) buys ~99.9% recall
-    AT the threshold — callers trade `sigmas` down (or pass probe_radius)
-    for cheaper probing when approximate recall suffices. At loose
-    thresholds the radius approaches n_planes and the candidate COUNT
-    degrades toward all-pairs, but the plan stays a bucketed equi-join:
-    bounded memory per task, no cartesian/BNL node, and vectors move only
-    for candidates. Output (id_a, id_b, cosine), id_a < id_b, cosine
-    rounded to 6 — identical to embedding_near_duplicates_exact.
-    """
-    from .similarity import (
-        hamming_ball_masks,
-        hyperplane_signature,
-        probe_radius_for,
-    )
-
-    if dim is None:
-        first = df.select(vec_col).first()
-        dim = len(first[0])
-    radius = (
-        probe_radius
-        if probe_radius is not None
-        else probe_radius_for(threshold, n_planes)
-    )
     masks = hamming_ball_masks(n_planes, radius)
 
     base = _spread(
@@ -1222,6 +1186,104 @@ def embedding_near_duplicates_lsh(
             & (F.col("p.id") < F.col("b.id")),
         )
         .select(F.col("p.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return base, candidates
+
+
+def embedding_lsh_candidate_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    probe_radius: int | None = None,
+    sigmas: float = 3.0,
+    seed: int = 42,
+    dim: int | None = None,
+) -> dict:
+    """Measure the SRP probe's pruning economics on real data: counts the
+    CANDIDATE pairs the hamming-ball bucket join would verify, against the
+    n·(n−1)/2 all-pairs total. Returns
+    ``{n, radius, ball_buckets, total_pairs, candidate_pairs,
+    candidate_fraction}`` — the number the bench logs next to e05b so the
+    recorded profile shows measured pruning, not a claimed one."""
+    from .similarity import hamming_ball_masks, probe_radius_for
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    radius = (
+        probe_radius
+        if probe_radius is not None
+        else probe_radius_for(threshold, n_planes, sigmas)
+    )
+    base, candidates = _srp_candidates(
+        df, id_col, vec_col, n_planes, radius, seed, dim
+    )
+    n = base.count()
+    n_cand = candidates.count()
+    total = n * (n - 1) // 2
+    return {
+        "n": n,
+        "radius": radius,
+        "ball_buckets": len(hamming_ball_masks(n_planes, radius)),
+        "total_pairs": total,
+        "candidate_pairs": n_cand,
+        "candidate_fraction": round(n_cand / total, 6) if total else 0.0,
+    }
+
+
+def embedding_near_duplicates_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    probe_radius: int | None = None,
+    seed: int = 42,
+    dim: int | None = None,
+    sigmas: float = 3.0,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-bucketed candidate generation +
+    exact cosine verification — the scale path (and
+    :func:`embedding_near_duplicates`' default) replacing the blocked
+    all-pairs :func:`embedding_near_duplicates_exact` (which stays as the
+    exact small-scale oracle).
+
+    Shape mirrors :func:`minhash_near_duplicates`: signature (map-side SRP,
+    similarity.hyperplane_signature) → one-sided hamming-ball probe (each
+    row explodes to sig XOR mask for every ≤radius-bit mask — NARROW rows,
+    two ints) → equi-join on the probed bucket key → exact cosine verify
+    with vectors joined back by id only for candidates. A pair at hamming d
+    collides via exactly one mask (the XOR of its signatures), and the
+    probe-side < base-side id filter keeps each unordered pair once, so no
+    dedup pass is needed.
+
+    Candidate volume scales with the ball coverage C(n_planes, ≤radius)/2^n.
+    At real near-dup thresholds the mean signature hamming is small (cosine
+    0.9 ⇒ mean ~2.3 of 16) and pruning is strong; the default radius
+    (binomial mean+3σ via similarity.probe_radius_for) buys ~99.9% recall
+    AT the threshold — callers trade `sigmas` down (or pass probe_radius)
+    for cheaper probing when approximate recall suffices. At loose
+    thresholds the radius approaches n_planes and the candidate COUNT
+    degrades toward all-pairs, but the plan stays a bucketed equi-join:
+    bounded memory per task, no cartesian/BNL node, and vectors move only
+    for candidates. Output (id_a, id_b, cosine), id_a < id_b, cosine
+    rounded to 6 — identical to embedding_near_duplicates_exact.
+    """
+    from .similarity import (
+        probe_radius_for,
+    )
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        dim = len(first[0])
+    radius = (
+        probe_radius
+        if probe_radius is not None
+        else probe_radius_for(threshold, n_planes, sigmas)
+    )
+    base, candidates = _srp_candidates(
+        df, id_col, vec_col, n_planes, radius, seed, dim
     )
 
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))

@@ -1,0 +1,494 @@
+"""Batched multi-consignment stage execution (SURVEY.md §3, §7.6).
+
+The per-event stages in :mod:`.stages` reproduce the reference's one-Lambda-
+invocation-per-consignment shape (tre_vb_validate_bagit_files.py:40-174):
+N consignments = N sequential stage invocations, each with its own driver
+round-trips. That is the right PARITY surface but the wrong SCALE surface —
+on a real cluster a nightly batch of thousands of consignments should be ONE
+Spark job, not thousands of driver loops.
+
+This module is the Spark-native batch twin: given ALL pending
+``bagit-received`` events, it
+
+1. reads every consignment's archive in ONE binaryFile scan,
+2. untars them all in ONE ``mapInPandas`` fan-out (one task per archive),
+3. writes every member in ONE distributed ``foreachPartition`` pass,
+4. parses every tag/data manifest from the already-in-flight member rows
+   (no re-read of what we just wrote),
+5. verifies every checksum with ONE join (the J2 machinery, keyed by
+   (consignment, file) instead of (file)),
+6. reconciles every consignment's counts in ONE aggregation (A3/J4),
+7. re-lists the store ONCE for the write-back audit count,
+
+then emits one ``bagit-validated`` / ``bagit-validation-error`` event per
+consignment with the same parameters and error strings as the sequential
+stage (equivalence is pytest-asserted against
+:func:`..plans.stages.validate_bagit_files` on the same store; the
+validated-file lists are sorted rather than manifest-line-ordered).
+
+Scale shape: per-consignment work never funnels through one task — untar is
+one task per archive, checksum sha2 is map-side over the member rows, the
+manifest side of the verification join is KBs per consignment (broadcast),
+and the only driver-side materialization is the N-row per-consignment report
+plus the manifest-sized validated-file lists the output events must carry
+(the same lists the reference's events carry — control-plane by contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.validation import STATUS_OK
+from ..sources.archive import untar
+from ..sources.catalog import read_file_catalog
+from ..sources.manifest import manifest_from_lines
+from .events import validate_event
+from .stages import (
+    EVENT_BAGIT_ERROR,
+    EVENT_BAGIT_RECEIVED,
+    EVENT_BAGIT_VALIDATED,
+    StageContext,
+    _write_members,
+)
+
+# Manifest kinds, in the order the sequential stage checks them: the
+# tagmanifest (root files) first, the data manifest second — the batch
+# report's "first error" must pick the same winner as the sequential
+# stage's first raise.
+KIND_ROOT = "root"
+KIND_DATA = "data"
+TAGMANIFEST = "tagmanifest-sha256.txt"
+DATA_MANIFEST = "manifest-sha256.txt"
+
+
+def batch_manifest_entries(
+    members: DataFrame,
+    consignment_col: str = "consignment",
+    name_col: str = "name",
+    content_col: str = "content",
+) -> DataFrame:
+    """Parse every consignment's tag + data manifests from in-flight member
+    rows → (consignment, kind, checksum, file, basename).
+
+    One plan over all consignments: filter to the two manifest basenames,
+    explode lines (S11 fixed-width parse, same projection as
+    :func:`..sources.manifest.read_manifest`). ``kind`` is 'root' for the
+    tagmanifest, 'data' for the data manifest.
+    """
+    m = members.filter(
+        F.col(name_col).isin(TAGMANIFEST, DATA_MANIFEST)
+    ).select(
+        F.col(consignment_col).alias("consignment"),
+        F.when(F.col(name_col) == F.lit(TAGMANIFEST), F.lit(KIND_ROOT))
+        .otherwise(F.lit(KIND_DATA))
+        .alias("kind"),
+        F.col(content_col).alias("content"),
+    )
+    return manifest_from_lines(m, "content")
+
+
+def batch_validation_report(
+    members: DataFrame,
+    consignment_col: str = "consignment",
+    name_col: str = "name",
+    content_col: str = "content",
+) -> DataFrame:
+    """Validate MANY consignments' manifests + checksums + counts in one
+    plan (reference semantics: tre_vb_validate_bagit_files.py:88-174,
+    batched; J2 checksum join + A3 count reconciliation keyed by
+    consignment).
+
+    Input: one row per extracted file per consignment —
+    (consignment, name, content), ``name`` relative to the unpacked root
+    (``bag-info.txt``, ``data/content/x.txt``, ...).
+
+    Output: ONE row per consignment:
+
+    - ``status`` 'ok' | 'error'
+    - ``error`` — NULL when ok, else the SAME message the sequential stage
+      raises, chosen with the SAME precedence: first bad tagmanifest entry,
+      else first bad data-manifest entry (bad = mismatch or missing,
+      ordered by file; missing files print actual='None' exactly like the
+      sequential stage's f-string), else total-count mismatch, else
+      data-count mismatch.
+    - audit counts: ``n_root_listed``/``n_data_listed`` (manifest entries),
+      ``n_root_bad``/``n_data_bad``, ``n_extracted``/``n_data_extracted``.
+
+    The store re-listing audit (sequential stage's third count check) needs
+    the filesystem, not these rows — :func:`validate_bagit_files_batch`
+    runs it; this report is the pure relational core, oracle-checkable.
+
+    Shape: checksum sha2 is map-side; the verification join's manifest side
+    is per-consignment KBs (broadcast); the rollup is one partial-agg
+    groupBy(consignment). Nothing funnels through a single task.
+    """
+    src = members.select(
+        F.col(consignment_col).alias("consignment"),
+        F.col(name_col).alias("name"),
+        F.col(content_col).alias("content"),
+    )
+
+    manifests = batch_manifest_entries(src)
+    computed = src.select(
+        "consignment",
+        F.col("name").alias("file"),
+        F.sha2(F.col("content").cast("binary"), 256).alias("actual"),
+    )
+
+    # J2, batched: manifest → files left join on (consignment, file).
+    # The reference's bad-filter keeps rows with a manifest entry whose
+    # file is missing OR mismatched (expected.isNotNull() in the
+    # sequential stage) — a left join IS that filter.
+    kord = F.when(F.col("kind") == KIND_ROOT, F.lit(0)).otherwise(F.lit(1))
+    report = (
+        manifests.select(
+            "consignment", "kind", "file",
+            F.col("checksum").alias("expected"),
+        )
+        .join(computed, ["consignment", "file"], "left")
+        .select(
+            "consignment",
+            "kind",
+            kord.alias("kord"),
+            "file",
+            "expected",
+            "actual",
+            (
+                F.col("actual").isNull()
+                | (F.col("actual") != F.col("expected"))
+            ).alias("bad"),
+        )
+    )
+
+    bad_struct = F.when(
+        F.col("bad"),
+        F.struct(
+            F.col("kord"), F.col("file"), F.col("expected"), F.col("actual")
+        ),
+    )
+    per_manifest = report.groupBy("consignment").agg(
+        F.sum(F.when(F.col("kind") == KIND_ROOT, 1).otherwise(0))
+        .cast("long")
+        .alias("n_root_listed"),
+        F.sum(F.when(F.col("kind") == KIND_DATA, 1).otherwise(0))
+        .cast("long")
+        .alias("n_data_listed"),
+        F.sum(
+            F.when((F.col("kind") == KIND_ROOT) & F.col("bad"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_root_bad"),
+        F.sum(
+            F.when((F.col("kind") == KIND_DATA) & F.col("bad"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_data_bad"),
+        # first error = min (kord, file): tagmanifest wins over data
+        # manifest, then file order — the sequential stage's raise order
+        F.min(bad_struct).alias("first_bad"),
+    )
+
+    extracted = src.groupBy("consignment").agg(
+        F.count("*").cast("long").alias("n_extracted"),
+        F.sum(F.when(F.col("name").startswith("data/"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_data_extracted"),
+    )
+
+    joined = extracted.join(per_manifest, "consignment", "left").select(
+        "consignment",
+        F.coalesce("n_root_listed", F.lit(0)).alias("n_root_listed"),
+        F.coalesce("n_data_listed", F.lit(0)).alias("n_data_listed"),
+        F.coalesce("n_root_bad", F.lit(0)).alias("n_root_bad"),
+        F.coalesce("n_data_bad", F.lit(0)).alias("n_data_bad"),
+        "n_extracted",
+        "n_data_extracted",
+        "first_bad",
+    )
+
+    # manifests_total = the tagmanifest file itself (+1) + every listed
+    # root + data file (sequential stage's arithmetic verbatim)
+    manifests_total = (
+        F.lit(1) + F.col("n_root_listed") + F.col("n_data_listed")
+    )
+    n_bad_for_first = F.when(
+        F.col("first_bad.kord") == 0, F.col("n_root_bad")
+    ).otherwise(F.col("n_data_bad"))
+    checksum_error = F.concat(
+        F.lit('Object "'),
+        F.col("consignment"),
+        F.lit("/"),
+        F.col("first_bad.file"),
+        F.lit('" checksum "'),
+        F.coalesce(F.col("first_bad.actual"), F.lit("None")),
+        F.lit('" does not match expected checksum "'),
+        F.col("first_bad.expected"),
+        F.lit('" ('),
+        n_bad_for_first.cast("string"),
+        F.lit(" problem file(s) total)"),
+    )
+    total_count_error = F.concat(
+        F.lit("Incorrect total file count; "),
+        manifests_total.cast("string"),
+        F.lit(" in manifest, but "),
+        F.col("n_extracted").cast("string"),
+        F.lit(" found"),
+    )
+    data_count_error = F.concat(
+        F.lit("Incorrect data file count; "),
+        F.col("n_data_listed").cast("string"),
+        F.lit(" in manifest but "),
+        F.col("n_data_extracted").cast("string"),
+        F.lit(" found"),
+    )
+    error = (
+        F.when(F.col("first_bad").isNotNull(), checksum_error)
+        .when(F.col("n_extracted") != manifests_total, total_count_error)
+        .when(
+            F.col("n_data_listed") != F.col("n_data_extracted"),
+            data_count_error,
+        )
+    )
+    return joined.select(
+        "consignment",
+        F.when(error.isNull(), F.lit(STATUS_OK))
+        .otherwise(F.lit("error"))
+        .alias("status"),
+        error.alias("error"),
+        "n_root_listed",
+        "n_data_listed",
+        "n_root_bad",
+        "n_data_bad",
+        "n_extracted",
+        "n_data_extracted",
+        F.col("first_bad.file").alias("first_bad_file"),
+        F.col("first_bad.expected").alias("first_bad_expected"),
+        F.col("first_bad.actual").alias("first_bad_actual"),
+    )
+
+
+def validate_bagit_files_batch(
+    spark: SparkSession, events: list[dict], ctx: StageContext
+) -> list[dict]:
+    """bagit-received* → (bagit-validated | bagit-validation-error)* —
+    ALL consignments in one set of Spark jobs.
+
+    Returns one output event per input event, in input order, with the
+    same parameters + error strings as running
+    :func:`..plans.stages.validate_bagit_files` per event (sequential /
+    batch equivalence is pytest-asserted). Consignments are keyed by
+    their unpacked root (``consignments/{type}/{reference}/{uuid}/...``) —
+    the reference's (type, reference, retry) grouping — so duplicate
+    references in one batch stay distinct.
+
+    Driver-side cost is O(batch): the N-row report, the manifest-sized
+    validated-file lists the events must carry, and the extracted-name
+    lists per consignment. Data-proportional work (untar, sha2, joins,
+    count rollups) is all executor-side, one job each for the whole batch.
+    """
+    plans: list[dict] = []
+    for event in events:
+        validate_event(event, EVENT_BAGIT_RECEIVED)
+        params = event["parameters"][EVENT_BAGIT_RECEIVED]
+        s3_bagit_name = params["s3-bagit-name"]
+        unpacked_root = (
+            s3_bagit_name[: -len(".tar.gz")]
+            if s3_bagit_name.endswith(".tar.gz")
+            else s3_bagit_name
+        )
+        plans.append(
+            {
+                "event": event,
+                "reference": params["reference"],
+                "store": params["s3-bucket"],
+                "s3_bagit_name": s3_bagit_name,
+                "out_prefix": os.path.split(s3_bagit_name)[0],
+                "unpacked_root": unpacked_root,
+                "archive_path": f"{params['s3-bucket']}/{s3_bagit_name}",
+            }
+        )
+    if not plans:
+        return []
+    if len({p["store"] for p in plans}) != 1:
+        raise ValueError("one batch = one store root")
+    store = plans[0]["store"]
+
+    # 1+2) ONE binaryFile scan over every archive, ONE untar fan-out.
+    # binaryFile paths come back with a file: scheme prefix — normalize
+    # when mapping archive → consignment.
+    archives = read_file_catalog(spark, [p["archive_path"] for p in plans])
+    members = untar(archives)
+    plan_rows = [
+        (p["archive_path"], p["unpacked_root"], p["out_prefix"])
+        for p in plans
+    ]
+    plan_df = spark.createDataFrame(
+        plan_rows, "archive_path string, unpacked_root string, out_prefix string"
+    )
+    keyed = members.withColumn(
+        "archive_nofs", F.regexp_replace("archive", "^file:", "")
+    ).join(
+        F.broadcast(plan_df),
+        F.col("archive_nofs") == F.col("archive_path"),
+        "left",
+    )
+
+    # 3) ONE distributed member write for every consignment (members land
+    # under {store}/{out_prefix}/{name}, the untar-in-place layout)
+    to_write = keyed.select(
+        F.when(
+            F.col("out_prefix") != "",
+            F.concat_ws("/", F.col("out_prefix"), F.col("name")),
+        )
+        .otherwise(F.col("name"))
+        .alias("name"),
+        "content",
+    )
+    extracted_names = _write_members(to_write, store)
+    # Per-consignment extracted counts keyed by the (uuid-unique)
+    # out_prefix: counts EVERY member the archive produced, including a
+    # malformed tar's stray siblings outside the unpacked root — the
+    # sequential stage's extracted_total sees those too, and the count
+    # checks below must agree with it.
+    n_all_by_prefix: dict[str, int] = {p["out_prefix"]: 0 for p in plans}
+    prefixes_desc = sorted(n_all_by_prefix, key=len, reverse=True)
+    for name in extracted_names:
+        for pref in prefixes_desc:
+            if pref == "" or name.startswith(pref + "/"):
+                n_all_by_prefix[pref] += 1
+                break
+
+    # 4+5+6) manifests + checksums + counts: one relational report over
+    # member rows STILL IN FLIGHT (never re-read from the store). Members
+    # inside the unpacked root are named relative to it (the report's
+    # name contract); top-level siblings can't occur in a bagit archive.
+    rel_members = keyed.filter(
+        F.col("name").startswith(F.concat(F.element_at(F.split(F.col("unpacked_root"), "/"), -1), F.lit("/")))
+    ).select(
+        F.col("unpacked_root").alias("consignment"),
+        F.expr(
+            "substring(name, length(element_at(split(unpacked_root, '/'), -1)) + 2)"
+        ).alias("name"),
+        "content",
+    )
+    report_rows = {
+        r["consignment"]: r
+        for r in batch_validation_report(rel_members).collect()
+    }
+    manifest_lists = {}
+    for r in (
+        batch_manifest_entries(rel_members)
+        .select("consignment", "kind", "file")
+        .collect()
+    ):
+        manifest_lists.setdefault(r["consignment"], {KIND_ROOT: [], KIND_DATA: []})[
+            r["kind"]
+        ].append(r["file"])
+
+    # 7) store re-listing audit, ONE scan: the sequential stage's third
+    # count check (extracted vs what the store now actually holds)
+    listing = (
+        read_file_catalog(
+            spark, [f"{store}/{p['unpacked_root']}" for p in plans],
+            with_content=False,
+        )
+        .select(
+            F.regexp_replace("path", "^file:" + _re(store) + "/", "").alias(
+                "relpath"
+            )
+        )
+    )
+    root_expr = F.coalesce(
+        *[
+            F.when(
+                F.col("relpath").startswith(p["unpacked_root"] + "/"),
+                F.lit(p["unpacked_root"]),
+            )
+            for p in plans
+        ]
+    ) if plans else F.lit(None)
+    listing_counts = {
+        r["root"]: r["n"]
+        for r in listing.select(root_expr.alias("root"))
+        .filter(F.col("root").isNotNull())
+        .groupBy("root")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    out_events: list[dict] = []
+    for p in plans:
+        root = p["unpacked_root"]
+        reference = p["reference"]
+        rep = report_rows.get(root)
+        lists = manifest_lists.get(root, {KIND_ROOT: [], KIND_DATA: []})
+        error: str | None = None
+        if rep is None:
+            error = f'Object "{p["archive_path"]}" produced no members'
+        elif rep["first_bad_file"] is not None:
+            # checksum errors come from the relational report (same
+            # message + precedence as the sequential stage's raises)
+            error = rep["error"]
+        else:
+            # the three count checks, in the sequential stage's order and
+            # with ITS operands: totals include stray members outside the
+            # unpacked root (n_all), which the root-relative report can't
+            # see — driver-side arithmetic on already-collected counts
+            n_all = n_all_by_prefix.get(p["out_prefix"], 0)
+            manifests_total = 1 + rep["n_root_listed"] + rep["n_data_listed"]
+            n_listed = listing_counts.get(root, 0)
+            if n_all != manifests_total:
+                error = (
+                    f"Incorrect total file count; {manifests_total} in "
+                    f"manifest, but {n_all} found"
+                )
+            elif rep["n_data_listed"] != rep["n_data_extracted"]:
+                error = (
+                    f"Incorrect data file count; {rep['n_data_listed']} in "
+                    f"manifest but {rep['n_data_extracted']} found"
+                )
+            elif n_listed != n_all:
+                error = (
+                    f"Incorrect data file count; {n_all} "
+                    f"extracted but {n_listed} found"
+                )
+        if error is not None:
+            out_events.append(
+                ctx.emit_error(
+                    EVENT_BAGIT_ERROR, p["event"], reference, ValueError(error)
+                )
+            )
+            continue
+        # sorted for determinism: the sequential stage carries manifest
+        # LINE order, which a distributed explode+collect can't promise —
+        # equivalence tests compare as sorted sets
+        validated = {
+            "path": root,
+            "root": sorted(f"{root}/{f}" for f in lists[KIND_ROOT]),
+            "data": sorted(f"{root}/{f}" for f in lists[KIND_DATA]),
+        }
+        out_events.append(
+            ctx.emit(
+                EVENT_BAGIT_VALIDATED,
+                p["event"],
+                {
+                    EVENT_BAGIT_VALIDATED: {
+                        "reference": reference,
+                        "s3-bucket": store,
+                        "s3-bagit-name": p["s3_bagit_name"],
+                        "s3-object-root": root,
+                        "validated-files": validated,
+                    }
+                },
+            )
+        )
+    return out_events
+
+
+def _re(s: str) -> str:
+    import re
+
+    return re.escape(s)

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 def read_file_catalog(
     spark: SparkSession,
-    root: str,
+    root: str | list[str],
     glob: str = "*",
     with_content: bool = True,
 ) -> DataFrame:
@@ -24,6 +24,8 @@ def read_file_catalog(
     S1 prefix-list scan (reference: s3_lib object_lib.py:37-52 s3_ls) and S10
     single-object get in one operator. With ``with_content=False`` only file
     status is read (column pruning drops the content read entirely).
+    ``root`` may be a list of roots — ONE scan over all of them (the batched
+    multi-consignment stages read every consignment's archive in one job).
     """
     df = (
         spark.read.format("binaryFile")

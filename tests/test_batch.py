@@ -1,0 +1,245 @@
+"""Batched multi-consignment stage tests (plans/batch.py).
+
+The batch twin must (a) produce the right per-consignment report on raw
+member rows (all four outcome classes), and (b) emit the SAME events as
+running the sequential stage once per consignment on an identical store —
+ONE set of Spark jobs for the whole batch (job-count asserted).
+"""
+
+import hashlib
+import io
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from da_transform_judgments_pipeline_spark.plans.batch import (
+    batch_validation_report,
+    validate_bagit_files_batch,
+)
+from da_transform_judgments_pipeline_spark.plans.events import create_event
+from da_transform_judgments_pipeline_spark.plans.stages import (
+    EVENT_BAGIT_ERROR,
+    EVENT_BAGIT_VALIDATED,
+    StageContext,
+    validate_bagit,
+    validate_bagit_files,
+)
+
+
+def sha(b: bytes) -> str:
+    return hashlib.sha256(b).hexdigest()
+
+
+BAGIT_TXT = b"BagIt-Version: 0.97\nTag-File-Character-Encoding: UTF-8\n"
+
+
+def members_for(consignment: str, tamper: str | None = None):
+    """In-memory unpacked-bagit member rows (consignment, name, content)."""
+    data = {
+        "data/content/file-1.txt": f"{consignment} one".encode(),
+        "data/content/file-2.txt": f"{consignment} two".encode(),
+    }
+    root = {
+        "bagit.txt": BAGIT_TXT,
+        "bag-info.txt": f"Internal-Sender-Identifier: {consignment}\n".encode(),
+    }
+    data_manifest = {k: sha(v) for k, v in data.items()}
+    if tamper == "mismatch":
+        data_manifest = {k: sha(v + b"!") for k, v in data.items()}  # 2 bad
+    if tamper == "missing":
+        data_manifest["data/content/ghost.txt"] = sha(b"ghost")
+    root["manifest-sha256.txt"] = "".join(
+        f"{c}  {k}\n" for k, c in sorted(data_manifest.items())
+    ).encode()
+    tag_manifest = "".join(
+        f"{sha(v)}  {k}\n" for k, v in sorted(root.items())
+    ).encode()
+    out = dict(root)
+    out["tagmanifest-sha256.txt"] = tag_manifest
+    out.update(data)
+    if tamper == "extra":
+        out["data/content/stray.txt"] = b"not in any manifest"
+    return [(consignment, name, content) for name, content in out.items()]
+
+
+def test_batch_report_all_outcomes(spark):
+    rows = (
+        members_for("C-OK")
+        + members_for("C-BAD", "mismatch")
+        + members_for("C-GHOST", "missing")
+        + members_for("C-EXTRA", "extra")
+    )
+    df = spark.createDataFrame(rows, "consignment string, name string, content binary")
+    rep = {r["consignment"]: r for r in batch_validation_report(df).collect()}
+    assert len(rep) == 4
+
+    ok = rep["C-OK"]
+    assert ok["status"] == "ok" and ok["error"] is None
+    assert (ok["n_root_listed"], ok["n_data_listed"]) == (3, 2)
+    # 3 root + tagmanifest + 2 data = 6 = 1 + 3 + 2
+    assert (ok["n_extracted"], ok["n_data_extracted"]) == (6, 2)
+
+    bad = rep["C-BAD"]
+    assert bad["status"] == "error" and bad["n_data_bad"] == 2
+    assert bad["first_bad_file"] == "data/content/file-1.txt"
+    assert bad["error"] == (
+        'Object "C-BAD/data/content/file-1.txt" checksum '
+        f'"{sha(b"C-BAD one")}" does not match expected checksum '
+        f'"{sha(b"C-BAD one!")}" (2 problem file(s) total)'
+    )
+
+    ghost = rep["C-GHOST"]
+    assert ghost["status"] == "error"
+    assert ghost["first_bad_file"] == "data/content/ghost.txt"
+    assert ghost["first_bad_actual"] is None
+    assert '" checksum "None" does not match' in ghost["error"]
+
+    extra = rep["C-EXTRA"]
+    assert extra["status"] == "error"
+    assert extra["error"] == (
+        "Incorrect total file count; 6 in manifest, but 7 found"
+    )
+
+
+def test_batch_report_root_manifest_precedes_data(spark):
+    """Both manifests bad → the tagmanifest's first bad file wins, exactly
+    like the sequential stage raising on the tagmanifest pass first."""
+    rows = members_for("C-X", "mismatch")
+    # corrupt bagit.txt so the tagmanifest entry for it mismatches too
+    rows = [
+        (c, n, b"corrupted!" if n == "bagit.txt" else v) for c, n, v in rows
+    ]
+    df = spark.createDataFrame(rows, "consignment string, name string, content binary")
+    [r] = batch_validation_report(df).collect()
+    assert r["first_bad_file"] == "bagit.txt"
+    assert r["n_root_bad"] == 1 and r["n_data_bad"] == 2
+    assert "(1 problem file(s) total)" in r["error"]
+
+
+def build_bagit_tar_gz(ref: str, tamper: str | None = None) -> bytes:
+    entries = {}
+    for _, name, content in members_for(ref, tamper):
+        entries[name] = content
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, content in sorted(entries.items()):
+            info = tarfile.TarInfo(name=f"{ref}/{name}")
+            info.size = len(content)
+            info.mtime = 1660000000
+            tf.addfile(info, io.BytesIO(content))
+    return buf.getvalue()
+
+
+def _received_events(spark, tmp_path, store_tag):
+    """Stage-A three consignments into one store; return (ctx, events)."""
+    delivery = tmp_path / f"delivery-{store_tag}"
+    delivery.mkdir()
+    ctx = StageContext(store_root=str(tmp_path / f"store-{store_tag}"))
+    events = []
+    for ref, tamper in (
+        ("TDR-2026-AAA", None),
+        ("TDR-2026-BBB", "mismatch"),
+        ("TDR-2026-CCC", "extra"),
+    ):
+        blob = build_bagit_tar_gz(ref, tamper)
+        (delivery / f"{ref}.tar.gz").write_bytes(blob)
+        (delivery / f"{ref}.tar.gz.sha256").write_text(
+            f"{sha(blob)}  {ref}.tar.gz\n"
+        )
+        e0 = create_event(
+            environment="test",
+            producer="TDR",
+            process="consignment-export",
+            event_name="bagit-available",
+            type="judgment",
+            parameters={
+                "bagit-available": {
+                    "resource": {"value": str(delivery / f"{ref}.tar.gz")},
+                    "resource-validation": {
+                        "value": str(delivery / f"{ref}.tar.gz.sha256")
+                    },
+                    "number-of-retries": 0,
+                    "reference": ref,
+                }
+            },
+        )
+        e1 = validate_bagit(spark, e0, ctx)
+        assert e1["producer"]["event-name"] == "bagit-received"
+        events.append(e1)
+    return ctx, events
+
+
+def _scrub(v):
+    import re
+
+    uuid_re = r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    if isinstance(v, str):
+        return re.sub(uuid_re, "<uuid>", v)
+    if isinstance(v, list):
+        return [_scrub(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _scrub(x) for k, x in v.items()}
+    return v
+
+
+def _norm(event):
+    """Comparable (event-name, reference, params) with store roots, event
+    uuids (fresh per run, embedded in store paths), and validated-file
+    ordering normalized away."""
+    name = event["producer"]["event-name"]
+    params = _scrub(dict(event["parameters"][name]))
+    if "s3-bucket" in params:
+        params = {**params, "s3-bucket": "<store>"}
+    if "validated-files" in params:
+        vf = params["validated-files"]
+        params["validated-files"] = {
+            "path": vf["path"],
+            "root": sorted(vf["root"]),
+            "data": sorted(vf["data"]),
+        }
+    return (name, params.get("reference"), params)
+
+
+def _run_in_job_group(spark, group, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        return fn()
+    finally:
+        sc.setJobGroup(None, None)
+
+
+def test_batch_stage_matches_sequential(spark, tmp_path):
+    """Same events out as the sequential stage — and strictly fewer Spark
+    jobs for the WHOLE batch than the sequential loop needs (the batch
+    job count is O(1) in consignments; the sequential loop is O(N))."""
+    ctx_seq, ev_seq = _received_events(spark, tmp_path, "seq")
+    ctx_bat, ev_bat = _received_events(spark, tmp_path, "bat")
+
+    sequential = _run_in_job_group(
+        spark,
+        "seq-stage",
+        lambda: [validate_bagit_files(spark, e, ctx_seq) for e in ev_seq],
+    )
+    batch = _run_in_job_group(
+        spark,
+        "batch-stage",
+        lambda: validate_bagit_files_batch(spark, ev_bat, ctx_bat),
+    )
+
+    assert [e["producer"]["event-name"] for e in batch] == [
+        EVENT_BAGIT_VALIDATED,
+        EVENT_BAGIT_ERROR,
+        EVENT_BAGIT_ERROR,
+    ]
+    assert [_norm(e) for e in batch] == [_norm(e) for e in sequential]
+    # lineage: prior UUIDs carried + one new per event (T7)
+    for prior, out in zip(ev_bat, batch):
+        assert out["UUIDs"][:-1] == prior["UUIDs"]
+        assert len(out["UUIDs"]) == len(prior["UUIDs"]) + 1
+
+    tracker = spark.sparkContext.statusTracker()
+    n_seq = len(tracker.getJobIdsForGroup("seq-stage"))
+    n_bat = len(tracker.getJobIdsForGroup("batch-stage"))
+    assert n_bat < n_seq, f"batch ran {n_bat} jobs vs sequential {n_seq}"

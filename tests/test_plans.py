@@ -233,6 +233,7 @@ def test_driver_contract_registry_consistency():
     assert rows_only == [
         "a25_hll_distinct",
         "e03_ann_lsh_topk",
+        "e05b_embedding_lsh_pruned",
         "e07_ann_ivf",
         "e12_pq_topk",
     ]
