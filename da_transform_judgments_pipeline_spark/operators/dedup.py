@@ -787,12 +787,42 @@ def minhash_near_duplicates(
     return cross.unionByName(intra)
 
 
+def hot_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Audit for the ``max_shingle_df`` cap in :func:`ngram_jaccard_pairs`
+    / :func:`containment_pairs`: the shingles the cap DROPS, with their
+    document frequency → (s, df), df desc. Run this before committing to
+    a cap value on a new corpus — it shows exactly which boilerplate
+    n-grams stop contributing to intersections, and how hot the hottest
+    one is (the uncapped join's fan-out is Σ df² over these rows)."""
+    sh = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .withColumn("_toks", F.expr(_toks_sql(text_col)))
+        .select(
+            "id",
+            F.explode(F.expr(_shingles_from_toks_sql("_toks", n))).alias("s"),
+        )
+    )
+    return (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .orderBy(F.col("df").desc(), "s")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
@@ -800,6 +830,18 @@ def ngram_jaccard_pairs(
     count → Jaccard from set sizes. Exact (no LSH recall loss); the shingle
     join IS the cost — use minhash_near_duplicates at scale. Serves as the
     correctness oracle for the LSH path.
+
+    ``max_shingle_df`` (same knob as :func:`containment_pairs`): a shingle
+    appearing in more than that many documents — boilerplate n-grams, the
+    join's quadratic hot spot (fan-out df² per shingle) — is dropped from
+    the index before pairing. Capped runs under-count intersections for
+    pairs that only share boilerplate (a desirable bias for near-dup
+    mining on boilerplate-heavy corpora) and are no longer exact — None
+    (default) keeps the operator exact, the configuration the DuckDB
+    oracle checks. :func:`hot_shingles` previews what a cap drops;
+    scripts/skew_blowup.py records a boilerplate corpus where the capped
+    path completes and the uncapped join's fan-out is measured
+    superlinear.
     """
     sh = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
@@ -811,6 +853,14 @@ def ngram_jaccard_pairs(
         )
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s")
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "s")

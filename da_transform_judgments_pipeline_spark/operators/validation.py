@@ -36,6 +36,57 @@ def computed_checksums(
     )
 
 
+def computed_checksums_streamed(
+    files: DataFrame,
+    path_col: str = "path",
+    file_col: str | None = None,
+    block_bytes: int = 5 * 1024 * 1024,
+) -> DataFrame:
+    """A1 for objects too big to hold as a row: stream each object through
+    SHA-256 in fixed ``block_bytes`` blocks (the reference's 5 MB chunked
+    fold, s3_lib checksum_lib.py:101-119) instead of materializing
+    ``content`` as one binary cell.
+
+    Input is a catalog WITHOUT content — (path[, file]) rows, e.g.
+    ``read_file_catalog(..., with_content=False)`` — so a multi-GB member
+    never rides a Spark row at all; peak executor memory per in-flight
+    file is one block. Objects are opened executor-side via
+    ``pyarrow.fs.FileSystem.from_uri`` (file:// locally; the same call
+    resolves object-store URIs where a pyarrow filesystem is available).
+    Output matches :func:`computed_checksums`: (file, actual), ``file``
+    taken from ``file_col`` when given else the raw path — so it drops
+    into :func:`checksum_report` unchanged.
+    """
+    import pandas as pd
+
+    src = files.select(
+        F.col(path_col).alias("_path"),
+        F.col(file_col if file_col else path_col).alias("_file"),
+    )
+
+    def fold(batches):
+        import hashlib
+
+        from pyarrow import fs as pafs
+
+        for pdf in batches:
+            names, digests = [], []
+            for path, fname in zip(pdf["_path"], pdf["_file"]):
+                fsys, p = pafs.FileSystem.from_uri(path)
+                h = hashlib.sha256()
+                with fsys.open_input_stream(p) as stream:
+                    while True:
+                        block = stream.read(block_bytes)
+                        if not block:
+                            break
+                        h.update(block)
+                names.append(fname)
+                digests.append(h.hexdigest())
+            yield pd.DataFrame({"file": names, "actual": digests})
+
+    return src.mapInPandas(fold, "file string, actual string")
+
+
 def checksum_report(manifest: DataFrame, computed: DataFrame) -> DataFrame:
     """J2 as a full-outer verification join → one row per (manifest ∪ files)
     entry with a status column.

@@ -23,7 +23,7 @@ executed (not just plan-asserted) beyond bench scale:
    without OOM + sanity-checked outputs.
 
 Writes one JSON line per check to stdout and WRITES (overwrites) a summary
-to SKEWCHECK_r05.md — or SKEWCHECK_quick.md under --quick, so a quick run
+to SKEWCHECK_r06.md — or SKEWCHECK_quick.md under --quick, so a quick run
 can never clobber the committed full-scale evidence the README and the
 split-gate threshold calibration cite.
 Usage: python scripts/skew_blowup.py [--quick]
@@ -319,14 +319,101 @@ def main() -> None:
         "ok": n_ov == n_theta,
     }
 
+    # ---- 5. boilerplate corpus: d02 hot-shingle cap ---------------------
+    # every doc ends with the same 12-token boilerplate tail → ~10 trigram
+    # shingles with df = N. The uncapped inverted-index self-join fans out
+    # Σ C(df, 2) rows over those shingles (quadratic in N); the capped path
+    # drops them from the index and must (a) complete at full N and
+    # (b) still find the planted true-duplicate pairs (their intersection
+    # includes unique shingles). Uncapped is run only on two SMALL slices
+    # to measure the superlinear growth directly; the full-N uncapped
+    # fan-out is reported analytically from the same df histogram.
+    n_boiler = 3_000 if quick else 20_000
+    boiler_tail = " ".join(f"boiler{i}" for i in range(12))
+
+    def boiler_text(idc):
+        return F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat(idc.cast("string"), F.lit(f"#{i}")))
+                for i in range(20)
+            ],
+            F.lit(boiler_tail),
+        )
+
+    bo_base = spark.range(n_boiler).select(
+        F.col("id").alias("doc_id"), boiler_text(F.col("id")).alias("text")
+    )
+    bo_dups = spark.range(100).select(
+        (F.col("id") + n_boiler).alias("doc_id"),
+        boiler_text(F.col("id")).alias("text"),  # clone of doc id
+    )
+    bo_path = "/tmp/skew_blowup_boiler"
+    bo_base.unionByName(bo_dups).write.mode("overwrite").parquet(bo_path)
+    bo = spark.read.parquet(bo_path)
+
+    # analytic fan-out from the df histogram (join rows = Σ C(df,2))
+    sh = (
+        bo.withColumn("_toks", F.expr(dedup._toks_sql("text")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(dedup._shingles_from_toks_sql("_toks", 3))
+            ).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+    )
+    fan = sh.agg(
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("uncapped"),
+        F.sum(
+            F.when(
+                F.col("df") <= 100, F.col("df") * (F.col("df") - 1) / 2
+            ).otherwise(0)
+        ).alias("capped"),
+    ).collect()[0]
+
+    t0 = time.perf_counter()
+    capped_pairs = dedup.ngram_jaccard_pairs(
+        bo, threshold=0.5, max_shingle_df=100
+    ).count()
+    d02_capped_s = time.perf_counter() - t0
+    dedup.release_cached()
+
+    uncapped_small: dict[int, float] = {}
+    for m in (n_boiler // 8, n_boiler // 4):
+        slice_df = bo.filter(F.col("doc_id") < m)
+        t0 = time.perf_counter()
+        dedup.ngram_jaccard_pairs(slice_df, threshold=0.5).count()
+        uncapped_small[m] = round(time.perf_counter() - t0, 2)
+        dedup.release_cached()
+    sizes_u = sorted(uncapped_small)
+    growth = (
+        uncapped_small[sizes_u[1]] / max(uncapped_small[sizes_u[0]], 1e-9)
+    )
+    results["d02_boilerplate_cap"] = {
+        "docs": n_boiler + 100,
+        "planted_dup_pairs": 100,
+        "capped_pairs": capped_pairs,
+        "capped_sec": round(d02_capped_s, 2),
+        "fanout_uncapped_rows": int(fan["uncapped"]),
+        "fanout_capped_rows": int(fan["capped"]),
+        "uncapped_small_sec": {str(k): v for k, v in uncapped_small.items()},
+        "uncapped_2x_growth": round(growth, 2),
+        # capped must complete AND keep every planted true-dup pair; the
+        # analytic fan-out gap is the blow-up evidence (timing-independent)
+        "ok": capped_pairs >= 100
+        and fan["uncapped"] > 50 * max(fan["capped"], 1),
+    }
+
     print(json.dumps(results))
     ok = all(v.get("ok", True) for v in results.values()) and results[
         "split_win_case"
     ]["results_agree"]
 
-    out_name = "SKEWCHECK_quick.md" if quick else "SKEWCHECK_r05.md"
+    out_name = "SKEWCHECK_quick.md" if quick else "SKEWCHECK_r06.md"
     with open(os.path.join(REPO, out_name), "w") as f:
-        f.write("# Skew / scale blow-up validation (round 5)\n\n")
+        f.write("# Skew / scale blow-up validation (round 6)\n\n")
         f.write(
             f"Executed on local[32], factor ×{factor}, win-corpus "
             f"{n_corpus} docs, min of {RUNS} runs.\n\n```json\n"

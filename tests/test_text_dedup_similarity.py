@@ -680,3 +680,39 @@ def test_embedding_lsh_pruned_regime_recall_and_pruning(spark):
     assert stats["candidate_fraction"] < 0.10, stats
     # every surviving pair must also be a candidate-verified true pair
     assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_hot_shingle_cap_and_audit(spark):
+    """d02's max_shingle_df (ported from containment_pairs): boilerplate
+    shingles leave the index, so boilerplate-only pairs disappear while
+    genuinely-similar pairs survive; hot_shingles reports exactly what a
+    cap drops, hottest first."""
+    from da_transform_judgments_pipeline_spark.operators import dedup as dd
+
+    boiler = "all rights reserved by owner"
+    rows = [(i, f"doc number {i} entirely unique {boiler}") for i in range(1, 6)]
+    # one genuinely near-duplicate pair sharing non-boilerplate content
+    rows += [
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(
+            df, threshold=0.3, max_shingle_df=2
+        ).collect()
+    }
+    assert (10, 11) in exact and (10, 11) in capped
+    assert any(a < 6 and b < 6 for a, b in exact)       # boilerplate pairs
+    assert not any(a < 6 and b < 6 for a, b in capped)  # ...dropped by cap
+
+    audit = dd.hot_shingles(df, max_shingle_df=2).collect()
+    assert audit and audit[0]["df"] == 5  # the 5-doc boilerplate shingles
+    assert all(r["df"] > 2 for r in audit)
+    dd.release_cached()

@@ -92,3 +92,55 @@ def test_basename_matches():
     basename_matches("bag.tar.gz", "bag.tar.gz")
     with pytest.raises(ValueError, match="does not match"):
         basename_matches("bag.tar.gz", "other.tar.gz")
+
+
+def test_computed_checksums_streamed_matches_sha2(spark, tmp_path):
+    """The chunked streaming hash must equal the whole-row sha2 path on
+    files spanning many blocks (block_bytes shrunk to force >100 blocks
+    per file), while never carrying content through a Spark row — input
+    is the content-free catalog."""
+    import hashlib
+
+    from da_transform_judgments_pipeline_spark.operators.validation import (
+        checksum_report,
+        computed_checksums_streamed,
+    )
+    from da_transform_judgments_pipeline_spark.sources.catalog import (
+        read_file_catalog,
+    )
+
+    # NB: no empty-file case — Spark's binaryFile source silently drops
+    # 0-byte files from the catalog, so they never reach the hash fold
+    blobs = {
+        "big-a.bin": bytes(range(256)) * 2000,   # 512 KB
+        "big-b.bin": b"xyz" * 100_000,           # 300 KB
+    }
+    for name, blob in blobs.items():
+        (tmp_path / name).write_bytes(blob)
+
+    cat = read_file_catalog(spark, str(tmp_path), with_content=False)
+    assert "content" not in cat.columns
+    out = {
+        r["file"]: r["actual"]
+        for r in computed_checksums_streamed(
+            cat, block_bytes=4096
+        ).collect()
+    }
+    for name, blob in blobs.items():
+        want = hashlib.sha256(blob).hexdigest()
+        [key] = [k for k in out if k.endswith(name)]
+        assert out[key] == want
+
+    # drops into checksum_report unchanged (the J2 join contract)
+    manifest = spark.createDataFrame(
+        [(hashlib.sha256(blobs["big-a.bin"]).hexdigest(),
+          f"file:{tmp_path}/big-a.bin")],
+        ["checksum", "file"],
+    )
+    rep = checksum_report(
+        manifest,
+        computed_checksums_streamed(
+            cat.filter(F.col("path").endswith("big-a.bin")), block_bytes=4096
+        ),
+    ).collect()
+    assert [r["status"] for r in rep] == ["ok"]
