@@ -461,6 +461,57 @@ def append_to_ivf_index(
     build_ivf_index(df, path, centroids, id_col, vec_col, "append", method)
 
 
+def compact_ivf_index(spark, path: str) -> dict:
+    """Index-lifecycle maintenance for :func:`append_to_ivf_index`: every
+    append adds one-or-more small parquet files per touched cluster
+    directory, and after N batches a probe's ``nprobe`` cell scan opens
+    N× more files than it needs. Rewrite the index to ONE file per
+    cluster (hash-repartition on the partition column → each cluster
+    lands in exactly one task → one file), preserving rows and therefore
+    every query result bit-for-bit.
+
+    Two-phase, filesystem-agnostic swap: compacted data is written to a
+    ``_compacting`` sibling first, then read back and overwritten into
+    ``path``, then the sibling is deleted through the Hadoop FileSystem
+    API — no POSIX rename assumed, so the same code path works on an
+    object store. (The window where ``path`` is being overwritten is NOT
+    transactional for concurrent readers — run compaction as the same
+    offline maintenance slot the append docstring prescribes; a lakehouse
+    table format would make the swap atomic.)
+
+    Returns {files_before, files_after, rows} for the caller's audit log.
+    """
+    reader = spark.read.parquet(path)
+    files_before = len(reader.inputFiles())
+    rows = reader.count()
+    tmp = path.rstrip("/") + "_compacting"
+    (
+        reader.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(tmp)
+    )
+    compacted = spark.read.parquet(tmp)
+    if compacted.count() != rows:
+        raise ValueError("compaction row-count mismatch; index left intact")
+    (
+        compacted.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+    files_after = len(spark.read.parquet(path).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }
+
+
 def ivf_topk(
     spark,
     index: str | DataFrame,

@@ -77,6 +77,109 @@ def append_to_minhash_index(
         batch.sparkSession.catalog.refreshTable(t)
 
 
+def compact_index_table(spark: SparkSession, table: str) -> dict:
+    """Index-lifecycle maintenance for the bucketed index tables: every
+    :func:`append_to_minhash_index` adds one-or-more files per bucket, so
+    after N micro-batches each bucket directory holds ~N small files and
+    every lookup pays N× the file-open cost. Rewrite the table to ~one
+    file per bucket WITHOUT changing its bucketing contract — the
+    no-corpus-Exchange join plans (the whole point of the bucketed index)
+    must survive compaction, which the pytest asserts via
+    scale.exchange_count.
+
+    Bucket count, bucket column, sortedness, and external location are
+    read from the catalog, never re-stated by the caller. Two-phase swap:
+    the compacted rows are first materialized into a ``_compacting``
+    staging table (independent of the source files), then written back
+    over the original via the same bucketed writer (external tables keep
+    their location), then the staging table is dropped. Spark's bucketed
+    writer emits one file per (task, bucket) pair, and the
+    hash-repartition on the bucket column puts each bucket in exactly one
+    task — hence ~one file per bucket after.
+
+    Returns {files_before, files_after, rows}.
+    """
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    buckets = int(desc["Num Buckets"])
+    key = desc["Bucket Columns"].strip("[]`").strip("`")
+    sort = bool(desc.get("Sort Columns", "[]").strip("[]"))
+    ext_path = (
+        desc.get("Location")
+        if desc.get("Type", "").strip().upper() == "EXTERNAL"
+        else None
+    )
+    src = spark.table(table)
+    files_before = len(src.inputFiles())
+    rows = src.count()
+
+    # Pin the bucketed SCAN on for the rewrite: the planner removes the
+    # repartition-on-bucket-key as redundant against the table's bucketing
+    # spec, but autoBucketedScan (on by default) would simultaneously
+    # disable the bucketed read for this no-join query — leaving NEITHER
+    # a shuffle NOR bucket-aligned partitions, so every task would write
+    # every bucket (task×bucket small files, the opposite of compaction).
+    # With the scan pinned bucketed, partitions == buckets and each task
+    # streams one bucket into exactly one file, no Exchange at all.
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "false")
+    try:
+        tmp = f"{table}_compacting"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        write_bucketed(
+            spark.table(table).repartition(buckets, F.col(key)), tmp, key,
+            buckets=buckets, sort=sort, mode="overwrite",
+        )
+        staged = spark.table(tmp)
+        if staged.count() != rows:
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            raise ValueError(
+                "compaction row-count mismatch; table left intact"
+            )
+        if ext_path:
+            # an EXTERNAL table's overwrite drops+recreates the catalog
+            # entry but leaves the old data files in the location — a
+            # path-based listing would then see stale + compacted files
+            # together. The staging table holds the only copy now; clear
+            # the location through the Hadoop FS API (object-store-safe)
+            # before writing.
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(ext_path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+        write_bucketed(
+            staged.repartition(buckets, F.col(key)), table, key,
+            buckets=buckets, sort=sort, mode="overwrite", path=ext_path,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        spark.catalog.refreshTable(table)
+        files_after = len(spark.table(table).inputFiles())
+    finally:
+        if saved is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, saved)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }
+
+
+def compact_minhash_index(spark: SparkSession, table_prefix: str) -> dict:
+    """Compact both halves of a MinHash index
+    (``{prefix}_bands`` + ``{prefix}_hp``) — see
+    :func:`compact_index_table`. Returns per-table stats."""
+    return {
+        t: compact_index_table(spark, f"{table_prefix}_{t}")
+        for t in ("bands", "hp")
+    }
+
+
 def run_dedup_stream(
     spark: SparkSession,
     source_dir: str,

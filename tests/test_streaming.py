@@ -460,3 +460,113 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     finally:
         q.stop()
     assert got == [(1, 200, 100), (2, 201, 101)]
+
+
+def test_compact_minhash_index_preserves_results_and_plan(spark, tmp_path):
+    """After N appends each bucket holds ~N small files; compaction must
+    shrink the file count to ~one per bucket while (a) the incremental
+    lookup returns identical pairs and (b) the bucketed no-corpus-
+    Exchange join plan survives (same exchange_count as before)."""
+    from da_transform_judgments_pipeline_spark.operators import dedup
+    from da_transform_judgments_pipeline_spark.operators.scale import (
+        exchange_count,
+    )
+    from da_transform_judgments_pipeline_spark.streaming.dedup_stream import (
+        append_to_minhash_index,
+        compact_minhash_index,
+    )
+
+    def doc(i):
+        return " ".join(f"w{i}x{j}" for j in range(40))
+
+    prefix = "mh_idx_testcompact"
+    dedup.build_minhash_index(
+        spark.createDataFrame([(0, doc(0))], ["doc_id", "text"]),
+        prefix, path=str(tmp_path / "idx"), buckets=4,
+    )
+    try:
+        for wave in range(3):
+            batch = spark.createDataFrame(
+                [(10 + wave * 10 + j, doc(10 + wave * 10 + j)) for j in range(3)],
+                ["doc_id", "text"],
+            )
+            append_to_minhash_index(batch, prefix)
+            dedup.release_cached()
+
+        probe = spark.createDataFrame(
+            [(500, doc(21) + " tail"), (501, doc(501))], ["doc_id", "text"]
+        )
+
+        def lookup():
+            out = dedup.incremental_near_duplicates(
+                probe, spark, prefix, threshold=0.9
+            )
+            n_ex = exchange_count(out)
+            rows = sorted((r.id_new, r.id_old) for r in out.collect())
+            dedup.release_cached()
+            return rows, n_ex
+
+        before_rows, before_ex = lookup()
+        assert before_rows == [(500, 21)]
+
+        stats = compact_minhash_index(spark, prefix)
+        for t in ("bands", "hp"):
+            assert stats[t]["files_after"] < stats[t]["files_before"], stats
+            assert stats[t]["files_after"] <= 4  # ~one per bucket
+        after_rows, after_ex = lookup()
+        assert after_rows == before_rows
+        assert after_ex == before_ex  # bucketing contract intact
+        # index contents survived bit-for-bit
+        ids = {r.id for r in spark.table(f"{prefix}_hp").collect()}
+        assert ids == {0} | {10 + w * 10 + j for w in range(3) for j in range(3)}
+    finally:
+        for t in ("bands", "hp"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}_compacting")
+        dedup.release_cached()
+
+
+def test_compact_ivf_index_identical_probes_fewer_files(spark, tmp_path):
+    """IVF compaction: after 3 appends the cluster dirs hold many small
+    files; compact to ~one per cluster with bit-identical probe results
+    (exact endpoint nprobe=n_cells compared before/after)."""
+    import numpy as np
+
+    from da_transform_judgments_pipeline_spark.operators import (
+        clustering,
+        similarity,
+    )
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(120, 16)
+
+    def frame(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in mat[i]]) for i in range(lo, hi)],
+            ["vec_id", "embedding"],
+        )
+
+    path = str(tmp_path / "ivf")
+    cent = clustering.kmeans_fit(frame(0, 60), k=4, updates=1)
+    similarity.build_ivf_index(frame(0, 60), path, cent)
+    for lo in (60, 80, 100):
+        similarity.append_to_ivf_index(frame(lo, lo + 20), path, cent)
+
+    q = [float(x) for x in mat[7]]
+    before = [
+        (r.id, r.cosine)
+        for r in similarity.ivf_topk(spark, path, cent, q, k=10, nprobe=4)
+        .collect()
+    ]
+    stats = similarity.compact_ivf_index(spark, path)
+    assert stats["rows"] == 120
+    assert stats["files_after"] < stats["files_before"], stats
+    assert stats["files_after"] <= 4  # one per cluster
+    after = [
+        (r.id, r.cosine)
+        for r in similarity.ivf_topk(spark, path, cent, q, k=10, nprobe=4)
+        .collect()
+    ]
+    assert after == before
+    import os
+    assert not os.path.exists(path + "_compacting")
