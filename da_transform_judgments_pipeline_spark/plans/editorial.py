@@ -145,6 +145,79 @@ Production wires an RPC to the .NET parser service; tests use
 :func:`fake_parser`."""
 
 
+def subprocess_parser(
+    command: list[str],
+    timeout_s: float = 60.0,
+    attempts: int = 2,
+) -> Parser:
+    """Wrap an external parser EXECUTABLE as a :data:`Parser` — the real
+    process boundary the reference crosses into its .NET parser container
+    (tre-run-judgment-parser/Dockerfile:1-31): parser-inputs go to the
+    child's stdin as one JSON document, parser-outputs come back on
+    stdout as one JSON document.
+
+    Failure semantics follow the parser-outputs contract
+    (test_parser_lambda_fn.py:82-134) rather than Python exceptions: a
+    parser that hangs (killed at ``timeout_s``), crashes (non-zero exit;
+    stderr tail captured), or writes garbage produces a parser-outputs
+    block with ``error-messages`` populated and the artifact fields None
+    — so the editorial stage still builds its TRE metadata (None members
+    are skipped from the tar, exactly the reference's optional-artifact
+    handling) and the orchestration layer routes the attempt through the
+    T4 retry loop like any other stage error. Transient flakiness is
+    absorbed here first: up to ``attempts`` tries per call, each failed
+    try recorded in ``error-messages`` (a success after a failed try
+    returns the parser's own output with the earlier failure appended,
+    keeping the audit trail)."""
+    import subprocess
+
+    required = ("xml", "metadata", "images", "log", "error-messages")
+
+    def call(parser_inputs: dict) -> dict:
+        errors: list[str] = []
+        for attempt in range(1, attempts + 1):
+            tag = f"attempt {attempt}/{attempts}"
+            try:
+                proc = subprocess.run(
+                    list(command),
+                    input=json.dumps(parser_inputs).encode(),
+                    capture_output=True,
+                    timeout=timeout_s,
+                )
+            except subprocess.TimeoutExpired:
+                errors.append(f"{tag}: parser timed out after {timeout_s}s")
+                continue
+            if proc.returncode != 0:
+                tail = proc.stderr.decode(errors="replace").strip()[-500:]
+                errors.append(
+                    f"{tag}: parser exited {proc.returncode}: {tail}"
+                )
+                continue
+            try:
+                out = json.loads(proc.stdout.decode())
+                if not isinstance(out, dict):
+                    raise ValueError("not a JSON object")
+            except ValueError as exc:
+                errors.append(f"{tag}: parser wrote invalid JSON ({exc})")
+                continue
+            missing = [k for k in required if k not in out]
+            if missing:
+                errors.append(f"{tag}: parser output missing keys {missing}")
+                continue
+            out["error-messages"] = list(out["error-messages"]) + errors
+            return out
+        return {
+            "xml": None,
+            "metadata": None,
+            "images": [],
+            "attachments": [],
+            "log": None,
+            "error-messages": errors,
+        }
+
+    return call
+
+
 def fake_parser(parser_inputs: dict) -> dict:
     """STUB — deterministic stand-in for the external .NET judgment parser
     (the real parser is a separate service; this container has no .NET).

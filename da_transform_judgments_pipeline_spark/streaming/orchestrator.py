@@ -255,6 +255,7 @@ def run_pipeline(
     available_now: bool = True,
     max_files_per_trigger: int = 10,
     retry_limit: int = RETRY_LIMIT,
+    on_batch_complete: Callable[[int], None] | None = None,
 ):
     """Run the event pipeline: read → identity → dedup → route →
     foreachBatch dispatch.
@@ -267,6 +268,14 @@ def run_pipeline(
     injectable here). Every dispatched exec_name is recorded in
     out/processed, and a left-anti join against that table guards replays
     (T10). Returns the StreamingQuery.
+
+    ``on_batch_complete(batch_id)`` runs as the LAST statement of each
+    batch — after every sink append including the processed-key ledger,
+    BEFORE Structured Streaming commits the batch's offsets. An exception
+    here is exactly the worst-case crash window (work done, checkpoint
+    not): on restart the batch replays and the T10 ledger must swallow
+    every row. The chaos test injects its crash through this hook; ops
+    metrics (batch latency counters) are the production use.
     """
     stages = stages or {}
     stream = route_events(
@@ -332,6 +341,8 @@ def run_pipeline(
             b.select("exec_name").distinct().write.mode("append").parquet(
                 out_processed
             )
+            if on_batch_complete is not None:
+                on_batch_complete(batch_id)
         finally:
             b.unpersist()
 

@@ -165,3 +165,122 @@ def test_editorial_retry_requires_prior_output(spark, tmp_path):
     with pytest.raises(editorial.EditorialIntegrationError) as ei:
         editorial.editorial_integration(spark, retry, store=str(tmp_path))
     assert "No TDR output data found" in str(ei.value)
+
+
+CHILD_SCRIPT = r"""
+import json, os, sys, time
+mode = sys.argv[1]
+if mode == "hang":
+    time.sleep(60)
+if mode == "crash":
+    print("kaboom: cannot parse document", file=sys.stderr)
+    sys.exit(3)
+if mode == "garbage":
+    print("<<<not json at all>>>")
+    sys.exit(0)
+if mode == "flaky":
+    marker = sys.argv[3]
+    if not os.path.exists(marker):
+        open(marker, "w").write("x")
+        print("transient failure", file=sys.stderr)
+        sys.exit(1)
+sys.path.insert(0, sys.argv[2])
+from da_transform_judgments_pipeline_spark.plans.editorial import fake_parser
+print(json.dumps(fake_parser(json.load(sys.stdin))))
+"""
+
+
+def _child_cmd(tmp_path, mode, *extra):
+    import sys
+
+    script = tmp_path / "child_parser.py"
+    if not script.exists():
+        script.write_text(CHILD_SCRIPT)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return [sys.executable, str(script), mode, repo, *extra]
+
+
+def test_subprocess_parser_ok_end_to_end(spark, store, tmp_path):
+    """The real process boundary: parser-inputs through a child process's
+    stdin/stdout, outputs identical to the in-process stub, and the full
+    editorial integration packages the child's artifacts."""
+    staged = editorial.prepare_parser_input(
+        spark, _validated_event(store), store
+    )
+    parser = editorial.subprocess_parser(
+        _child_cmd(tmp_path, "ok"), timeout_s=60
+    )
+    outputs = parser(staged["parser-inputs"])
+    assert outputs["error-messages"] == []
+    assert outputs["xml"] == f"{REF}.xml"
+    event = [
+        {"context": staged["context"], "parser-inputs": staged["parser-inputs"]},
+        [{"parser-outputs": outputs}],
+    ]
+    msg = editorial.editorial_integration(spark, event)
+    assert msg["editorial-output"]["consignment-reference"] == REF
+
+
+def test_subprocess_parser_failure_modes(tmp_path):
+    """Hanging → killed at the timeout; crashing → exit code + stderr tail
+    captured; garbage stdout → invalid-JSON error. All three return the
+    parser-outputs CONTRACT (error-messages populated, artifacts None) —
+    never a raise — so the stage/orchestrator route them through T4."""
+    import time
+
+    inputs = {"consignment-reference": REF, "s3-bucket": "x",
+              "s3-output-prefix": "y/", "document-url": "u"}
+
+    t0 = time.monotonic()
+    out = editorial.subprocess_parser(
+        _child_cmd(tmp_path, "hang"), timeout_s=1.0, attempts=1
+    )(inputs)
+    assert time.monotonic() - t0 < 15
+    assert out["xml"] is None and out["metadata"] is None
+    assert "timed out after 1.0s" in out["error-messages"][0]
+
+    out = editorial.subprocess_parser(
+        _child_cmd(tmp_path, "crash"), timeout_s=10, attempts=1
+    )(inputs)
+    assert "parser exited 3" in out["error-messages"][0]
+    assert "kaboom" in out["error-messages"][0]  # stderr tail captured
+
+    out = editorial.subprocess_parser(
+        _child_cmd(tmp_path, "garbage"), timeout_s=10, attempts=1
+    )(inputs)
+    assert "invalid JSON" in out["error-messages"][0]
+
+
+def test_subprocess_parser_flaky_retry_with_audit_trail(
+    spark, store, tmp_path
+):
+    """A parser that fails once then succeeds: the boundary absorbs the
+    transient failure on its second attempt, keeps the first failure in
+    error-messages, and the editorial stage carries that audit trail into
+    the merged TRE metadata's PARSER block — the signal downstream
+    routing (T4) and operators read."""
+    staged = editorial.prepare_parser_input(
+        spark, _validated_event(store), store
+    )
+    marker = str(tmp_path / "flaky-marker")
+    parser = editorial.subprocess_parser(
+        _child_cmd(tmp_path, "flaky", marker), timeout_s=30, attempts=2
+    )
+    outputs = parser(staged["parser-inputs"])
+    assert outputs["xml"] == f"{REF}.xml"  # succeeded on attempt 2
+    assert len(outputs["error-messages"]) == 1
+    assert "attempt 1/2" in outputs["error-messages"][0]
+
+    event = [
+        {"context": staged["context"], "parser-inputs": staged["parser-inputs"]},
+        [{"parser-outputs": outputs}],
+    ]
+    msg = editorial.editorial_integration(spark, event)
+    tar_key = msg["tar-gz"]["key"]
+    with tarfile.open(os.path.join(store, tar_key)) as tf:
+        meta = json.load(
+            tf.extractfile(f"{REF}/TRE-{REF}-metadata.json")
+        )
+    assert meta["parameters"]["PARSER"]["error-messages"] == outputs[
+        "error-messages"
+    ]

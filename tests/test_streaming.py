@@ -570,3 +570,105 @@ def test_compact_ivf_index_identical_probes_fewer_files(spark, tmp_path):
     assert after == before
     import os
     assert not os.path.exists(path + "_compacting")
+
+
+def test_pipeline_chaos_restart_exactly_once(spark, tmp_path):
+    """T2/T3/T4/T9/T10 COMPOSED under failure: one continuous pipeline
+    (one checkpoint) driven through 3 waves with (a) an injected crash in
+    the worst-case window — after every sink append including the
+    processed ledger, before the offset commit — forcing a full batch
+    replay on restart, (b) a verbatim duplicate resend in the same wave
+    (T3 in-batch dedup) AND across restart (T10 ledger — watermark state
+    died with the crash), and (c) the failing event driven around the
+    retry loop via the pipeline's own re-queue output until dead-letter.
+    Exactly-once at every sink: zero duplicate dispatches, retry counters
+    1 then 2, one DLQ row, one alert."""
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    alerts = []
+
+    ok_event = _event("TDR-CHAOS-OK", "bagit-validated")
+    bad_event = _event("TDR-CHAOS-BAD", "bagit-validation-error", retries=0)
+    wave1 = "\n".join(
+        json.dumps(e) for e in (ok_event, bad_event, ok_event)  # in-wave dup
+    ) + "\n"
+    (indir / "wave1.jsonl").write_text(wave1)
+
+    class Bomb(Exception):
+        pass
+
+    armed = {"crash": True}
+
+    def chaos_hook(batch_id):
+        if armed["crash"]:
+            armed["crash"] = False
+            raise Bomb("injected crash after sinks, before offset commit")
+
+    def run_wave():
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        q = orchestrator.run_pipeline(
+            spark, str(indir), str(out), ckpt,
+            alert=alerts.extend, on_batch_complete=chaos_hook,
+        )
+        try:
+            q.awaitTermination(120)
+        except StreamingQueryException as exc:
+            return exc
+        finally:
+            if q.isActive:
+                q.stop()
+        return None
+
+    # wave 1, attempt 1: crashes post-sinks. The query must FAIL (offsets
+    # uncommitted), with all sinks already written once.
+    failure = run_wave()
+    assert failure is not None and "Bomb" in str(failure)
+
+    # restart, same checkpoint: the batch replays, the T10 ledger swallows
+    # every row — sinks must NOT double up.
+    run_wave()
+    events_rows = _read(spark, out / "events").collect()
+    assert [r["reference"] for r in events_rows] == ["TDR-CHAOS-OK"]
+    retries_rows = _read(spark, out / "retries").collect()
+    assert [(r["reference"], r["retries"]) for r in retries_rows] == [
+        ("TDR-CHAOS-BAD", 1)
+    ]
+
+    # wave 2: verbatim resend of wave 1 (cross-restart duplicate — T3's
+    # watermark state is gone; only the T10 ledger can stop it) + the
+    # pipeline's own re-queue output fed back (retry hop 1 → 2)
+    (indir / "wave2.jsonl").write_text(wave1)
+    (indir / "wave2-requeue.jsonl").write_text(
+        retries_rows[0]["value"] + "\n"
+    )
+    run_wave()
+    events_rows = _read(spark, out / "events").collect()
+    assert [r["reference"] for r in events_rows] == ["TDR-CHAOS-OK"]
+    retries_rows = _read(spark, out / "retries").collect()
+    assert sorted(
+        (r["reference"], r["retries"]) for r in retries_rows
+    ) == [("TDR-CHAOS-BAD", 1), ("TDR-CHAOS-BAD", 2)]
+    assert _read(spark, out / "dlq") is None
+
+    # wave 3: feed the hop-2 re-queue — at the limit → dead-letter + alert
+    hop2 = max(retries_rows, key=lambda r: r["retries"])
+    (indir / "wave3-requeue.jsonl").write_text(hop2["value"] + "\n")
+    run_wave()
+    dlq = _read(spark, out / "dlq").collect()
+    assert [(r["reference"], r["retries"]) for r in dlq] == [
+        ("TDR-CHAOS-BAD", 2)
+    ]
+    assert len(alerts) == 1 and alerts[0]["reference"] == "TDR-CHAOS-BAD"
+    # final exactly-once audit: ok dispatched once across 3 deliveries +
+    # a replayed batch; ledger holds each exec_name exactly once
+    events_rows = _read(spark, out / "events").collect()
+    assert len(events_rows) == 1
+    processed = [
+        r["exec_name"] for r in _read(spark, out / "processed").collect()
+    ]
+    assert len(processed) == len(set(processed))
