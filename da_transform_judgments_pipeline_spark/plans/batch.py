@@ -45,8 +45,9 @@ from ..operators.validation import STATUS_OK
 from ..sources.archive import untar
 from ..sources.catalog import read_file_catalog
 from ..sources.manifest import manifest_from_lines
-from .events import validate_event
+from .events import latest_uuid, validate_event
 from .stages import (
+    EVENT_BAGIT_AVAILABLE,
     EVENT_BAGIT_ERROR,
     EVENT_BAGIT_RECEIVED,
     EVENT_BAGIT_VALIDATED,
@@ -486,6 +487,189 @@ def validate_bagit_files_batch(
             )
         )
     return out_events
+
+
+def validate_bagit_batch(
+    spark: SparkSession, events: list[dict], ctx: StageContext
+) -> list[dict]:
+    """bagit-available* → (bagit-received | bagit-validation-error)* —
+    the stage-A batch twin (sequential form: stages.validate_bagit,
+    reference tre_vb_validate_bagit.py:43-161), ALL deliveries in one set
+    of Spark jobs:
+
+    1. ONE binaryFile scan over every delivery's archive + sidecar,
+    2. ONE distributed copy into each consignment's store prefix
+       (``consignments/{type}/{reference}/{uuid}/``),
+    3. ONE scan over the STORED copies (the reference also hashes the
+       stored object, not the source) parsing every sidecar manifest and
+       sha2-ing every archive,
+    4. ONE joined report applying the stage's checks per consignment, in
+       its order and with its error strings: exactly-one sidecar row →
+       basename parity → archive checksum.
+
+    Emits one event per input event, in order, matching the sequential
+    stage (pytest-asserted equivalence).
+    """
+    plans: list[dict] = []
+    for event in events:
+        validate_event(event, EVENT_BAGIT_AVAILABLE)
+        params = event["parameters"][EVENT_BAGIT_AVAILABLE]
+        bagit_url = params["resource"]["value"]
+        sha_url = params["resource-validation"]["value"]
+        prefix = (
+            f"consignments/{event['producer']['type']}/"
+            f"{params['reference']}/{latest_uuid(event)}"
+        )
+        bagit_name = os.path.basename(bagit_url)
+        plans.append(
+            {
+                "event": event,
+                "reference": params["reference"],
+                "prefix": prefix,
+                "bagit_url": bagit_url,
+                "sha_url": sha_url,
+                "bagit_name": bagit_name,
+                "sha_name": os.path.basename(sha_url),
+                "s3_bagit_name": f"{prefix}/{bagit_name}",
+            }
+        )
+    if not plans:
+        return []
+
+    # 1+2) one scan over every delivery file, one distributed copy into
+    # the store (src → dest mapping joined in as a broadcast literal dim)
+    copy_rows = [
+        (p[src_key], f"{p['prefix']}/{p[name_key]}")
+        for p in plans
+        for src_key, name_key in (
+            ("bagit_url", "bagit_name"),
+            ("sha_url", "sha_name"),
+        )
+    ]
+    copy_df = spark.createDataFrame(copy_rows, "src string, dest string")
+    delivery = read_file_catalog(spark, [r[0] for r in copy_rows]).select(
+        F.regexp_replace("path", "^file:", "").alias("src"), "content"
+    )
+    to_copy = delivery.join(F.broadcast(copy_df), "src").select(
+        F.col("dest").alias("name"), "content"
+    )
+    _write_members(to_copy, ctx.store_root)
+
+    # 3) one scan over the stored copies: consignment key = the
+    # (uuid-unique) prefix, name = file under it
+    stored = read_file_catalog(
+        spark, [f"{ctx.store_root}/{p['prefix']}" for p in plans]
+    ).select(
+        F.regexp_replace(
+            "path", "^file:" + _re(ctx.store_root) + "/", ""
+        ).alias("key"),
+        "content",
+    )
+    plan_df = spark.createDataFrame(
+        [
+            (p["prefix"], p["bagit_name"], p["sha_name"])
+            for p in plans
+        ],
+        "prefix string, bagit_name string, sha_name string",
+    )
+    keyed = stored.withColumn(
+        "prefix", F.expr("substring(key, 1, length(key) - instr(reverse(key), '/'))")
+    ).withColumn(
+        "name", F.expr("substring(key, length(key) - instr(reverse(key), '/') + 2)")
+    ).join(F.broadcast(plan_df), "prefix")
+
+    manifests = manifest_from_lines(
+        keyed.filter(F.col("name") == F.col("sha_name")).select(
+            "prefix", "content"
+        ),
+        "content",
+    )
+    m_agg = manifests.groupBy("prefix").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min(F.struct("checksum", "file", "basename")).alias("entry"),
+    )
+    archives = keyed.filter(F.col("name") == F.col("bagit_name")).select(
+        "prefix", F.sha2(F.col("content").cast("binary"), 256).alias("actual")
+    )
+    report = {
+        r["prefix"]: r
+        for r in m_agg.join(archives, "prefix", "full_outer").collect()
+    }
+
+    # 4) the stage's checks, its order, its strings — driver-side
+    # arithmetic over the N collected rows (control-plane)
+    out_events: list[dict] = []
+    for p in plans:
+        r = report.get(p["prefix"])
+        error: str | None = None
+        n_rows = (r["n_rows"] if r is not None and r["n_rows"] else 0)
+        if n_rows != 1:
+            error = f"Incorrect number of checksums; expected 1, found {n_rows}"
+        else:
+            entry = r["entry"]
+            if entry["basename"] != p["bagit_name"]:
+                error = (
+                    f'The name "{entry["basename"]}" (derived from manifest '
+                    f'file entry) does not match the value '
+                    f'"{p["bagit_name"]}" (derived from the input URL)'
+                )
+            elif r["actual"] != entry["checksum"]:
+                error = (
+                    f'Checksum mismatch for "{p["s3_bagit_name"]}": expected '
+                    f'"{entry["checksum"]}", calculated "{r["actual"]}"'
+                )
+        if error is not None:
+            out_events.append(
+                ctx.emit_error(
+                    EVENT_BAGIT_ERROR, p["event"], p["reference"],
+                    ValueError(error),
+                )
+            )
+        else:
+            out_events.append(
+                ctx.emit(
+                    EVENT_BAGIT_RECEIVED,
+                    p["event"],
+                    {
+                        EVENT_BAGIT_RECEIVED: {
+                            "reference": p["reference"],
+                            "s3-bucket": ctx.store_root,
+                            "s3-bagit-name": p["s3_bagit_name"],
+                        }
+                    },
+                )
+            )
+    return out_events
+
+
+def validate_consignments_batch(
+    spark: SparkSession, events: list[dict], ctx: StageContext
+) -> list[dict]:
+    """The full intake chain, batched: bagit-available* → stage A
+    (:func:`validate_bagit_batch`) → stage B
+    (:func:`validate_bagit_files_batch`) → one terminal event per input
+    consignment (``bagit-validated`` or the first stage's error). Stage-A
+    failures short-circuit (their consignments never enter stage B,
+    exactly like the sequential state machine routing errors away);
+    everything else flows through as ONE stage-A job set + ONE stage-B
+    job set regardless of N."""
+    received = validate_bagit_batch(spark, events, ctx)
+    ok_idx = [
+        i
+        for i, e in enumerate(received)
+        if e["producer"]["event-name"] == EVENT_BAGIT_RECEIVED
+    ]
+    validated = (
+        validate_bagit_files_batch(
+            spark, [received[i] for i in ok_idx], ctx
+        )
+        if ok_idx
+        else []
+    )
+    out = list(received)
+    for i, v in zip(ok_idx, validated):
+        out[i] = v
+    return out
 
 
 def _re(s: str) -> str:

@@ -243,3 +243,126 @@ def test_batch_stage_matches_sequential(spark, tmp_path):
     n_seq = len(tracker.getJobIdsForGroup("seq-stage"))
     n_bat = len(tracker.getJobIdsForGroup("batch-stage"))
     assert n_bat < n_seq, f"batch ran {n_bat} jobs vs sequential {n_seq}"
+
+
+def _available_event(delivery, ref):
+    return create_event(
+        environment="test",
+        producer="TDR",
+        process="consignment-export",
+        event_name="bagit-available",
+        type="judgment",
+        parameters={
+            "bagit-available": {
+                "resource": {"value": str(delivery / f"{ref}.tar.gz")},
+                "resource-validation": {
+                    "value": str(delivery / f"{ref}.tar.gz.sha256")
+                },
+                "number-of-retries": 0,
+                "reference": ref,
+            }
+        },
+    )
+
+
+def _deliver(tmp_path, tag, specs):
+    """Write deliveries per spec: (ref, archive_tamper, sidecar_mode)."""
+    delivery = tmp_path / f"adelivery-{tag}"
+    delivery.mkdir()
+    for ref, archive_tamper, sidecar_mode in specs:
+        blob = build_bagit_tar_gz(ref, archive_tamper)
+        (delivery / f"{ref}.tar.gz").write_bytes(blob)
+        if sidecar_mode == "mismatch":
+            line = f"{sha(blob + b'!')}  {ref}.tar.gz\n"
+        elif sidecar_mode == "basename":
+            line = f"{sha(blob)}  other-{ref}.tar.gz\n"
+        elif sidecar_mode == "two-rows":
+            line = f"{sha(blob)}  {ref}.tar.gz\n{sha(b'x')}  extra.bin\n"
+        else:
+            line = f"{sha(blob)}  {ref}.tar.gz\n"
+        (delivery / f"{ref}.tar.gz.sha256").write_text(line)
+    return delivery
+
+
+def test_validate_bagit_batch_matches_sequential(spark, tmp_path):
+    """Stage A batched: one scan/copy/hash job set for N deliveries,
+    same events + error strings as the per-event stage across all four
+    outcome classes (ok, sidecar-checksum mismatch, basename mismatch,
+    wrong sidecar cardinality)."""
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        validate_bagit_batch,
+    )
+
+    specs = [
+        ("TDR-2026-AOK", None, "ok"),
+        ("TDR-2026-ABAD", None, "mismatch"),
+        ("TDR-2026-ANAME", None, "basename"),
+        ("TDR-2026-ATWO", None, "two-rows"),
+    ]
+    d_seq = _deliver(tmp_path, "seq", specs)
+    d_bat = _deliver(tmp_path, "bat", specs)
+    ctx_seq = StageContext(store_root=str(tmp_path / "astore-seq"))
+    ctx_bat = StageContext(store_root=str(tmp_path / "astore-bat"))
+
+    sequential = [
+        validate_bagit(spark, _available_event(d_seq, ref), ctx_seq)
+        for ref, _, _ in specs
+    ]
+    batch = validate_bagit_batch(
+        spark, [_available_event(d_bat, ref) for ref, _, _ in specs],
+        ctx_bat,
+    )
+    assert [e["producer"]["event-name"] for e in batch] == [
+        "bagit-received",
+        EVENT_BAGIT_ERROR,
+        EVENT_BAGIT_ERROR,
+        EVENT_BAGIT_ERROR,
+    ]
+    assert [_norm(e) for e in batch] == [_norm(e) for e in sequential]
+    # the stored copies exist under each consignment prefix
+    ok_params = batch[0]["parameters"]["bagit-received"]
+    import os
+    assert os.path.exists(
+        os.path.join(ctx_bat.store_root, ok_params["s3-bagit-name"])
+    )
+
+
+def test_validate_consignments_batch_full_chain(spark, tmp_path):
+    """A→B chained batch: stage-A failures short-circuit, stage-B runs
+    once over the survivors, terminal events match the sequential
+    two-stage chain per consignment."""
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        validate_consignments_batch,
+    )
+    from da_transform_judgments_pipeline_spark.plans.stages import (
+        validate_bagit_files,
+    )
+
+    specs = [
+        ("TDR-2026-COK", None, "ok"),          # both stages pass
+        ("TDR-2026-CBFL", "mismatch", "ok"),   # A ok, B checksum error
+        ("TDR-2026-CAFL", None, "mismatch"),   # A checksum error
+    ]
+    d_seq = _deliver(tmp_path, "cseq", specs)
+    d_bat = _deliver(tmp_path, "cbat", specs)
+    ctx_seq = StageContext(store_root=str(tmp_path / "cstore-seq"))
+    ctx_bat = StageContext(store_root=str(tmp_path / "cstore-bat"))
+
+    sequential = []
+    for ref, _, _ in specs:
+        a = validate_bagit(spark, _available_event(d_seq, ref), ctx_seq)
+        sequential.append(
+            validate_bagit_files(spark, a, ctx_seq)
+            if a["producer"]["event-name"] == "bagit-received"
+            else a
+        )
+    batch = validate_consignments_batch(
+        spark, [_available_event(d_bat, ref) for ref, _, _ in specs],
+        ctx_bat,
+    )
+    assert [e["producer"]["event-name"] for e in batch] == [
+        EVENT_BAGIT_VALIDATED,
+        EVENT_BAGIT_ERROR,
+        EVENT_BAGIT_ERROR,
+    ]
+    assert [_norm(e) for e in batch] == [_norm(e) for e in sequential]
