@@ -84,11 +84,18 @@ _LANGUAGE_MAP = {"English": "English"}
 _FOI_MAP = {"": "open", "open": "open"}
 
 
-def _identifier(identifier_prefix: str) -> F.Column:
+def _cfg(v) -> F.Column:
+    """Config value → Column: the per-consignment API passes literal
+    strings; the keyed batch path passes the broadcast config dim's
+    columns. Same plan either way."""
+    return F.lit(v) if isinstance(v, str) else v
+
+
+def _identifier(identifier_prefix) -> F.Column:
     """DRI identifier: Filepath with leading 'data/' swapped for the batch
     prefix, percent-encoded (':' preserved), trailing '/' iff folder
     (reference: tre_bagit.py:72-76)."""
-    raw = replace_first("Filepath", "data/", F.lit(identifier_prefix))
+    raw = replace_first("Filepath", "data/", _cfg(identifier_prefix))
     encoded = percent_encode(raw)
     return F.concat(
         encoded,
@@ -97,7 +104,7 @@ def _identifier(identifier_prefix: str) -> F.Column:
 
 
 def _with_common(
-    file_metadata: DataFrame, identifier_prefix: str, strict: bool
+    file_metadata: DataFrame, identifier_prefix, strict: bool
 ) -> DataFrame:
     return file_metadata.withColumn(
         "_folder", _mapped("FileType", _FOLDER_MAP, strict)
@@ -107,10 +114,11 @@ def _with_common(
 def dri_metadata(
     file_metadata: DataFrame,
     manifest: DataFrame,
-    consignment_reference: str,
-    export_datetime: str,
-    identifier_prefix: str,
+    consignment_reference,
+    export_datetime,
+    identifier_prefix,
     strict: bool = True,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """metadata.csv rows (reference: tre_bagit.py:31-45 to_metadata).
 
@@ -121,39 +129,42 @@ def dri_metadata(
     - enum maps with unknown-value errors in strict mode (P1)
     """
     base = _with_common(file_metadata, identifier_prefix, strict)
-    joined = base.join(
-        F.broadcast(manifest.select("file", "checksum")),
-        base["Filepath"] == F.col("file"),
-        "left",
-    )
+    m = manifest.select(*key_cols, "file", "checksum")
+    cond = base["Filepath"] == m["file"]
+    for k in key_cols:
+        cond = (base[k] == m[k]) & cond
+    joined = base.join(F.broadcast(m), cond, "left")
     order_cols = ["_row_order"] if "_row_order" in file_metadata.columns else []
     return joined.select(
+        *[base[k] for k in key_cols],
         *order_cols,
         F.col("identifier"),
         F.col("FileName").alias("file_name"),
         F.col("_folder").alias("folder"),
         F.when(F.col("_folder") == "file", F.col("LastModified"))
-        .otherwise(strip_z_suffix(F.lit(export_datetime)))
+        .otherwise(strip_z_suffix(_cfg(export_datetime)))
         .alias("date_last_modified"),
         F.coalesce(F.col("checksum"), F.lit("")).alias("checksum"),
         _mapped("RightsCopyright", _RIGHTS_MAP, strict).alias("rights_copyright"),
         _mapped("LegalStatus", _LEGAL_MAP, strict).alias("legal_status"),
         _mapped("HeldBy", _HELD_BY_MAP, strict).alias("held_by"),
         _mapped("Language", _LANGUAGE_MAP, strict).alias("language"),
-        F.lit(consignment_reference).alias("TDR_consignment_ref"),
+        _cfg(consignment_reference).alias("TDR_consignment_ref"),
     )
 
 
 def dri_closure(
     file_metadata: DataFrame,
-    identifier_prefix: str,
+    identifier_prefix,
     strict: bool = True,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """closure.csv rows (reference: tre_bagit.py:47-63 to_closure): enum maps
     (P2) + constant-column extension (P3)."""
     base = _with_common(file_metadata, identifier_prefix, strict)
     order_cols = ["_row_order"] if "_row_order" in file_metadata.columns else []
     return base.select(
+        *key_cols,
         *order_cols,
         F.col("identifier"),
         F.col("_folder").alias("folder"),
@@ -164,6 +175,46 @@ def dri_closure(
         F.lit("TRUE").alias("title_public"),
         F.lit("").alias("title_alternate"),
         F.lit("open_on_transfer").alias("closure_type"),
+    )
+
+
+def dri_metadata_keyed(
+    file_metadata: DataFrame,
+    manifest: DataFrame,
+    config: DataFrame,
+    key_col: str = "consignment",
+    strict: bool = True,
+) -> DataFrame:
+    """MANY consignments' metadata.csv rows in one plan: ``file_metadata``
+    and ``manifest`` carry ``key_col``; ``config`` is the per-consignment
+    dim (key_col, reference, export_datetime, identifier_prefix) —
+    broadcast onto the fact side, so the per-consignment literals of
+    :func:`dri_metadata` become columns and the manifest join becomes
+    (key, Filepath)-keyed. Identical rows to calling :func:`dri_metadata`
+    once per consignment (pytest-asserted)."""
+    fm = file_metadata.join(F.broadcast(config), key_col)
+    return dri_metadata(
+        fm,
+        manifest,
+        F.col("reference"),
+        F.col("export_datetime"),
+        F.col("identifier_prefix"),
+        strict,
+        key_cols=(key_col,),
+    )
+
+
+def dri_closure_keyed(
+    file_metadata: DataFrame,
+    config: DataFrame,
+    key_col: str = "consignment",
+    strict: bool = True,
+) -> DataFrame:
+    """MANY consignments' closure.csv rows in one plan — see
+    :func:`dri_metadata_keyed`."""
+    fm = file_metadata.join(F.broadcast(config), key_col)
+    return dri_closure(
+        fm, F.col("identifier_prefix"), strict, key_cols=(key_col,)
     )
 
 

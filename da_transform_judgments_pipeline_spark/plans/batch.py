@@ -642,6 +642,340 @@ def validate_bagit_batch(
     return out_events
 
 
+EVENT_SIP_AVAILABLE = "dri-preingest-sip-available"
+EVENT_SIP_ERROR = "dri-preingest-sip-error"
+
+
+def bagit_to_dri_sip_batch(
+    spark: SparkSession, events: list[dict], ctx: StageContext
+) -> list[dict]:
+    """bagit-validated* → (dri-preingest-sip-available |
+    dri-preingest-sip-error)* — the stage-3 batch twin (sequential form:
+    stages.bagit_to_dri_sip, reference tre_bagit_to_dri_sip.py:38-150),
+    ALL consignments' SIPs built in one set of Spark jobs:
+
+    1. ONE scan collects every bag-info.txt (N×a-dozen kv rows —
+       config-plane); per-consignment :func:`..operators.dri_sip.
+       dri_config` naming is driver arithmetic. Config failures (missing
+       keys, malformed reference) route that consignment to the error
+       event and drop it from the batch, like the sequential try/except.
+    2. ONE keyed manifest scan + ONE keyed file-metadata.csv scan (all
+       files in one spark.read.csv — the batch therefore assumes a
+       uniform TDR header vocabulary across its consignments; mix v1.1
+       and v1.2 batches by grouping on vocabulary first).
+    3. ONE plan renders every consignment's metadata.csv + closure.csv
+       (dri_metadata_keyed / dri_closure_keyed over a broadcast config
+       dim; per-group CSV text via render_csv_by_key — byte-identical to
+       the sequential render).
+    4. ONE distributed write lands CSVs, .sha256 sidecars (sha2 over the
+       in-flight CSV text — the same bytes the file holds), and schema
+       files under each ``{root}/sip/``.
+    5. ONE tar_gz_pack call packs every SIP (applyInPandas groups by
+       archive — one task per consignment's tar.gz, the same per-archive
+       memory model as the sequential stage), then one distributed write
+       lands each archive + its sidecar under ``ctx.out_root``.
+
+    Note on error isolation: after config build, the remaining work is
+    one fused job set — an engine-side strict-enum error (dri_sip P1
+    parity raises) fails the whole batch rather than one consignment.
+    Consignments reaching this stage already passed full checksum
+    validation, so that is the rare path; when per-consignment isolation
+    matters more than batch throughput, run the sequential stage.
+    """
+    from ..operators.dri_sip import (
+        dri_closure_keyed,
+        dri_config,
+        dri_metadata_keyed,
+    )
+    from ..schemas import DRI_CLOSURE_COLUMNS, DRI_METADATA_COLUMNS
+    from ..sources.archive import tar_gz_pack
+    from ..sources.bagit import FILE_METADATA_COLUMNS_V11
+    from ..sources.sinks import render_csv_by_key
+    from .stages import _dri_schema_text
+
+    plans: list[dict] = []
+    for event in events:
+        validate_event(event, EVENT_BAGIT_VALIDATED)
+        params = event["parameters"][EVENT_BAGIT_VALIDATED]
+        plans.append(
+            {
+                "event": event,
+                "reference": params["reference"],
+                "store": params["s3-bucket"],
+                "root": params["s3-object-root"],
+            }
+        )
+    if not plans:
+        return []
+    if len({p["store"] for p in plans}) != 1:
+        raise ValueError("one batch = one store root")
+    store = plans[0]["store"]
+
+    # 1) config: one scan over every bag-info.txt, parsed driver-side
+    # with the reference's left-most-colon split (object_lib.py:211-228)
+    info_rows = read_file_catalog(
+        spark, [f"{store}/{p['root']}/bag-info.txt" for p in plans]
+    ).select("path", "content").collect()
+    info_by_root: dict[str, dict] = {}
+    for r in info_rows:
+        for p in plans:
+            if r["path"].endswith(f"/{p['root']}/bag-info.txt") or r[
+                "path"
+            ].endswith(f":{store}/{p['root']}/bag-info.txt"):
+                kv = {}
+                for line in bytes(r["content"]).decode().splitlines():
+                    if line.strip():
+                        k, _, v = line.partition(":")
+                        kv[k.strip()] = v.strip()
+                info_by_root[p["root"]] = kv
+                break
+
+    out_events: dict[int, dict] = {}
+    live: list[dict] = []
+    for i, p in enumerate(plans):
+        try:
+            info = info_by_root.get(p["root"])
+            if info is None:
+                raise ValueError(f"bag-info.txt not found under {p['root']}")
+            dc = dri_config(p["reference"], info["Consignment-Series"])
+            p["dc"] = dc
+            p["export_dt"] = info["Consignment-Export-Datetime"]
+            p["index"] = i
+            live.append(p)
+        except (KeyError, ValueError) as exc:
+            msg = (
+                f"missing bag-info key: {exc}"
+                if isinstance(exc, KeyError)
+                else str(exc)
+            )
+            out_events[i] = ctx.emit_error(
+                EVENT_SIP_ERROR, p["event"], p["reference"], ValueError(msg)
+            )
+    if not live:
+        return [out_events[i] for i in range(len(plans))]
+
+    root_expr_cases = None
+    for p in live:
+        cond = F.col("path").contains(f"/{p['root']}/")
+        root_expr_cases = (
+            F.when(cond, F.lit(p["root"]))
+            if root_expr_cases is None
+            else root_expr_cases.when(cond, F.lit(p["root"]))
+        )
+
+    # 2) keyed manifest + file-metadata scans (one job each)
+    manifest = manifest_from_lines(
+        read_file_catalog(
+            spark, [f"{store}/{p['root']}/manifest-sha256.txt" for p in live]
+        )
+        .select(root_expr_cases.alias("consignment"), "content"),
+        "content",
+    )
+    fm = (
+        spark.read.csv(
+            [f"{store}/{p['root']}/file-metadata.csv" for p in live],
+            header=True,
+            inferSchema=False,
+            escape='"',
+        )
+        .withColumn("path", F.input_file_name())
+        .withColumn("consignment", root_expr_cases)
+        .drop("path")
+        .na.fill("")
+        .withColumn("_row_order", F.monotonically_increasing_id())
+    )
+    missing = [c for c in FILE_METADATA_COLUMNS_V11 if c not in fm.columns]
+    if missing:
+        raise ValueError(
+            f"file-metadata.csv missing required columns: {missing}"
+        )
+
+    config_df = spark.createDataFrame(
+        [
+            (
+                p["root"],
+                p["reference"],
+                p["export_dt"],
+                p["dc"]["IDENTIFIER_PREFIX"],
+            )
+            for p in live
+        ],
+        "consignment string, reference string, export_datetime string,"
+        " identifier_prefix string",
+    )
+
+    # 3) every consignment's CSV text in one plan each
+    md_csv = render_csv_by_key(
+        dri_metadata_keyed(fm, manifest, config_df),
+        "consignment",
+        DRI_METADATA_COLUMNS,
+    )
+    cl_csv = render_csv_by_key(
+        dri_closure_keyed(fm, config_df), "consignment", DRI_CLOSURE_COLUMNS
+    )
+
+    # 4) SIP metadata files: CSVs + sidecars + schema files → one write
+    name_dim = spark.createDataFrame(
+        [
+            (
+                p["root"],
+                p["dc"]["METADATA_IN_SIP"],
+                p["dc"]["CLOSURE_IN_SIP"],
+                p["dc"]["METADATA_CHECKSUM_IN_SIP"],
+                p["dc"]["CLOSURE_CHECKSUM_IN_SIP"],
+                p["dc"]["METADATA"],
+                p["dc"]["CLOSURE"],
+            )
+            for p in live
+        ],
+        "consignment string, md_key string, cl_key string, md_side string,"
+        " cl_side string, md_name string, cl_name string",
+    )
+
+    def _sip_files(csv_df, key_col, side_col, name_col):
+        j = csv_df.join(F.broadcast(name_dim), "consignment")
+        sip = F.concat(F.col("consignment"), F.lit("/sip/"))
+        return j.select(
+            F.concat(sip, F.col(key_col)).alias("name"),
+            F.col("csv").cast("binary").alias("content"),
+        ).unionByName(
+            j.select(
+                F.concat(sip, F.col(side_col)).alias("name"),
+                F.concat(
+                    F.sha2(F.col("csv").cast("binary"), 256),
+                    F.lit("  "),
+                    F.col(name_col),
+                    F.lit("\n"),
+                )
+                .cast("binary")
+                .alias("content"),
+            )
+        )
+
+    schema_rows = [
+        (
+            f"{p['root']}/sip/{p['dc'][dest_key]}",
+            _dri_schema_text(schema_name).encode(),
+        )
+        for p in live
+        for schema_name, dest_key in (
+            ("metadata-schema.txt", "METADATA_SCHEMA_IN_SIP"),
+            ("closure-schema.txt", "CLOSURE_SCHEMA_IN_SIP"),
+        )
+    ]
+    sip_meta = (
+        _sip_files(md_csv, "md_key", "md_side", "md_name")
+        .unionByName(_sip_files(cl_csv, "cl_key", "cl_side", "cl_name"))
+        .unionByName(
+            spark.createDataFrame(schema_rows, "name string, content binary")
+        )
+    )
+    _write_members(sip_meta, store)
+
+    # 5) one pack job for every SIP, then one archive+sidecar write
+    pack_dim = spark.createDataFrame(
+        [
+            (
+                p["root"],
+                p["dc"]["BATCH"] + ".tar.gz",
+                p["dc"]["INTERNAL_PREFIX"],
+            )
+            for p in live
+        ],
+        "consignment string, zip_name string, internal_prefix string",
+    )
+    data_members = read_file_catalog(
+        spark, [f"{store}/{p['root']}/data" for p in live]
+    ).withColumn("consignment", root_expr_cases).join(
+        F.broadcast(pack_dim), "consignment"
+    ).select(
+        "consignment",
+        F.col("zip_name").alias("archive"),
+        F.col("path").alias("name"),
+        "content",
+        F.unix_timestamp("modificationTime").alias("mtime"),
+        F.concat(
+            F.lit(f"file:{store}/"), F.col("consignment"), F.lit("/data/")
+        ).alias("rm"),
+        F.col("internal_prefix").alias("add"),
+    )
+    meta_members = read_file_catalog(
+        spark, [f"{store}/{p['root']}/sip" for p in live]
+    ).withColumn("consignment", root_expr_cases).join(
+        F.broadcast(pack_dim), "consignment"
+    ).filter(
+        F.col("path").startswith(
+            F.concat(
+                F.lit(f"file:{store}/"),
+                F.col("consignment"),
+                F.lit("/sip/"),
+                F.col("internal_prefix"),
+            )
+        )
+    ).select(
+        "consignment",
+        F.col("zip_name").alias("archive"),
+        F.col("path").alias("name"),
+        "content",
+        F.unix_timestamp("modificationTime").alias("mtime"),
+        F.concat(
+            F.lit(f"file:{store}/"),
+            F.col("consignment"),
+            F.lit("/sip/"),
+            F.col("internal_prefix"),
+        ).alias("rm"),
+        F.col("internal_prefix").alias("add"),
+    )
+    packed = tar_gz_pack(
+        data_members.unionByName(meta_members),
+        remove_prefix_col="rm",
+        add_prefix_col="add",
+    )
+    zip_to_root = {p["dc"]["BATCH"] + ".tar.gz": p["root"] for p in live}
+    if len(zip_to_root) != len(live):
+        raise ValueError("duplicate SIP batch names in one batch")
+    zip_dim = spark.createDataFrame(
+        [(z, r) for z, r in zip_to_root.items()], "archive string, root string"
+    )
+    to_out = packed.join(F.broadcast(zip_dim), "archive").select(
+        F.concat(
+            F.col("root"), F.lit("/sip/"), F.col("archive")
+        ).alias("name"),
+        "content",
+        F.concat(
+            F.sha2(F.col("content").cast("binary"), 256),
+            F.lit("  "),
+            F.col("archive"),
+            F.lit("\n"),
+        ).alias("sidecar"),
+    )
+    sidecars = to_out.select(
+        F.concat(F.col("name"), F.lit(".sha256")).alias("name"),
+        F.col("sidecar").cast("binary").alias("content"),
+    )
+    _write_members(
+        to_out.select("name", "content").unionByName(sidecars),
+        ctx.out_root,
+    )
+
+    for p in live:
+        zip_key = f"{p['root']}/sip/{p['dc']['BATCH']}.tar.gz"
+        out_path = f"{ctx.out_root}/{zip_key}"
+        out_events[p["index"]] = ctx.emit(
+            EVENT_SIP_AVAILABLE,
+            p["event"],
+            {
+                EVENT_SIP_AVAILABLE: {
+                    "reference": p["reference"],
+                    "s3-folder-url": out_path,
+                    "s3-sha256-url": out_path + ".sha256",
+                    "file-type": "TAR",
+                }
+            },
+        )
+    return [out_events[i] for i in range(len(plans))]
+
+
 def validate_consignments_batch(
     spark: SparkSession, events: list[dict], ctx: StageContext
 ) -> list[dict]:

@@ -61,6 +61,45 @@ def render_csv(df: DataFrame, order_by: list[str] | None = None) -> str:
     return out.getvalue()
 
 
+def render_csv_by_key(
+    df: DataFrame,
+    key_col: str,
+    columns: list[str],
+    order_col: str = "_row_order",
+) -> DataFrame:
+    """ENGINE-side per-group CSV rendering → one (key, csv) row per key,
+    byte-identical to :func:`render_csv` over each group (same csv.writer,
+    QUOTE_MINIMAL, '\\n' terminator). The batch counterpart of the
+    per-consignment render: N consignments' metadata/closure CSVs come out
+    of ONE applyInPandas job instead of N driver-side toLocalIterator
+    loops. Each group is one consignment's manifest-sized metadata —
+    thousands of rows, well inside a task."""
+    import csv
+    import io
+
+    import pandas as pd
+
+    cols = [key_col] + ([order_col] if order_col in df.columns else []) + [
+        c for c in columns if c not in (key_col, order_col)
+    ]
+    src = df.select(*cols)
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        if order_col in pdf.columns:
+            pdf = pdf.sort_values(order_col)
+        out = io.StringIO()
+        writer = csv.writer(out, lineterminator="\n")
+        writer.writerow(columns)
+        for rec in pdf[columns].itertuples(index=False, name=None):
+            writer.writerow(["" if v is None else v for v in rec])
+        return pd.DataFrame({key_col: [key], "csv": [out.getvalue()]})
+
+    return src.groupBy(key_col).applyInPandas(
+        render, schema=f"{key_col} string, csv string"
+    )
+
+
 def write_sorted_parquet(
     df: DataFrame,
     path: str,

@@ -366,3 +366,176 @@ def test_validate_consignments_batch_full_chain(spark, tmp_path):
         EVENT_BAGIT_ERROR,
     ]
     assert [_norm(e) for e in batch] == [_norm(e) for e in sequential]
+
+
+FILE_METADATA_HEADER = (
+    "Filepath,FileName,FileType,Filesize,RightsCopyright,LegalStatus,"
+    "HeldBy,Language,FoiExemptionCode,LastModified\n"
+)
+
+
+def members_for_sip(consignment: str):
+    """Unpacked-bagit members for the stage-3 (DRI SIP) flow: data files,
+    a matching file-metadata.csv, and a bag-info.txt carrying the series
+    + export datetime the transform needs."""
+    data = {
+        "data/content/file-1.txt": f"{consignment} one".encode(),
+        "data/content/file-2.txt": f"{consignment} two".encode(),
+    }
+    fm = FILE_METADATA_HEADER
+    for path, blob in sorted(data.items()):
+        name = path.rsplit("/", 1)[1]
+        fm += (
+            f"{path},{name},File,{len(blob)},Crown Copyright,Public Record,"
+            "TNA,English,open,2022-09-29T15:10:20\n"
+        )
+    fm += (
+        "data/content,content,Folder,,Crown Copyright,Public Record,"
+        "TNA,English,open,\n"
+    )
+    root = {
+        "bagit.txt": BAGIT_TXT,
+        "bag-info.txt": (
+            "Consignment-Series: MOCKA 101\n"
+            f"Internal-Sender-Identifier: {consignment}\n"
+            "Consignment-Export-Datetime: 2022-07-18T12:45:45Z\n"
+        ).encode(),
+        "file-metadata.csv": fm.encode(),
+    }
+    data_manifest = {k: sha(v) for k, v in data.items()}
+    root["manifest-sha256.txt"] = "".join(
+        f"{c}  {k}\n" for k, c in sorted(data_manifest.items())
+    ).encode()
+    tag_manifest = "".join(
+        f"{sha(v)}  {k}\n" for k, v in sorted(root.items())
+    ).encode()
+    out = dict(root)
+    out["tagmanifest-sha256.txt"] = tag_manifest
+    out.update(data)
+    return out
+
+
+def _validated_events(spark, tmp_path, tag, refs):
+    from da_transform_judgments_pipeline_spark.plans.stages import (
+        validate_bagit_files,
+    )
+
+    delivery = tmp_path / f"sdelivery-{tag}"
+    delivery.mkdir()
+    ctx = StageContext(
+        store_root=str(tmp_path / f"sstore-{tag}"),
+        out_root=str(tmp_path / f"sout-{tag}"),
+    )
+    events = []
+    for ref in refs:
+        entries = members_for_sip(ref)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+            for name, content in sorted(entries.items()):
+                info = tarfile.TarInfo(name=f"{ref}/{name}")
+                info.size = len(content)
+                info.mtime = 1660000000
+                tf.addfile(info, io.BytesIO(content))
+        blob = buf.getvalue()
+        (delivery / f"{ref}.tar.gz").write_bytes(blob)
+        (delivery / f"{ref}.tar.gz.sha256").write_text(
+            f"{sha(blob)}  {ref}.tar.gz\n"
+        )
+        a = validate_bagit(spark, _available_event(delivery, ref), ctx)
+        b = validate_bagit_files(spark, a, ctx)
+        assert b["producer"]["event-name"] == EVENT_BAGIT_VALIDATED, b
+        events.append(b)
+    return ctx, events
+
+
+def _read_sip_tar(path):
+    out = {}
+    with tarfile.open(path) as tf:
+        for m in tf.getmembers():
+            if m.isfile():
+                out[m.name] = tf.extractfile(m).read()
+    return out
+
+
+def test_bagit_to_dri_sip_batch_matches_sequential(spark, tmp_path):
+    """Stage 3 batched: every consignment's metadata/closure CSVs,
+    sidecars, schema files, and SIP tar.gz built in one job set — member
+    names and member BYTES identical to the sequential stage's SIPs
+    (tar-level bytes differ only via copy mtimes, so contents are
+    compared member-by-member)."""
+    import os
+
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        bagit_to_dri_sip_batch,
+    )
+    from da_transform_judgments_pipeline_spark.plans.stages import (
+        bagit_to_dri_sip,
+    )
+
+    refs = ["TDR-2026-SAA", "TDR-2026-SBB"]
+    ctx_seq, ev_seq = _validated_events(spark, tmp_path, "seq", refs)
+    ctx_bat, ev_bat = _validated_events(spark, tmp_path, "bat", refs)
+
+    sequential = [bagit_to_dri_sip(spark, e, ctx_seq) for e in ev_seq]
+    batch = bagit_to_dri_sip_batch(spark, ev_bat, ctx_bat)
+
+    assert [e["producer"]["event-name"] for e in batch] == [
+        "dri-preingest-sip-available"
+    ] * 2
+
+    def norm_out(event, out_root):
+        n, ref, params = _norm(event)
+        return n, ref, {
+            k: v.replace(out_root, "<out>") if isinstance(v, str) else v
+            for k, v in params.items()
+        }
+
+    assert [norm_out(e, ctx_bat.out_root) for e in batch] == [
+        norm_out(e, ctx_seq.out_root) for e in sequential
+    ]
+
+    for e_seq, e_bat in zip(sequential, batch):
+        p_seq = e_seq["parameters"]["dri-preingest-sip-available"]
+        p_bat = e_bat["parameters"]["dri-preingest-sip-available"]
+        tar_seq = _read_sip_tar(p_seq["s3-folder-url"])
+        tar_bat = _read_sip_tar(p_bat["s3-folder-url"])
+        assert sorted(tar_bat) == sorted(tar_seq)
+        for name in tar_seq:
+            assert tar_bat[name] == tar_seq[name], name
+        # sidecar digests cover each store's own archive bytes
+        for url, side in (
+            (p_seq["s3-folder-url"], p_seq["s3-sha256-url"]),
+            (p_bat["s3-folder-url"], p_bat["s3-sha256-url"]),
+        ):
+            digest = sha(open(url, "rb").read())
+            assert open(side).read().startswith(digest + "  ")
+        assert os.path.basename(p_bat["s3-folder-url"]).startswith("MOCKA101Y26TB")
+
+
+def test_bagit_to_dri_sip_batch_routes_config_errors(spark, tmp_path):
+    """A consignment whose bag-info lacks the series key routes to
+    dri-preingest-sip-error and drops out; the rest of the batch still
+    builds."""
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        bagit_to_dri_sip_batch,
+    )
+
+    ctx, events = _validated_events(
+        spark, tmp_path, "err", ["TDR-2026-SCC", "TDR-2026-SDD"]
+    )
+    # strip the series key from the second consignment's stored bag-info
+    root = events[1]["parameters"][EVENT_BAGIT_VALIDATED]["s3-object-root"]
+    bi = f"{ctx.store_root}/{root}/bag-info.txt"
+    lines = [
+        ln for ln in open(bi).read().splitlines()
+        if not ln.startswith("Consignment-Series")
+    ]
+    open(bi, "w").write("\n".join(lines) + "\n")
+
+    out = bagit_to_dri_sip_batch(spark, events, ctx)
+    assert [e["producer"]["event-name"] for e in out] == [
+        "dri-preingest-sip-available",
+        "dri-preingest-sip-error",
+    ]
+    errs = out[1]["parameters"]["dri-preingest-sip-error"]["errors"]
+    assert "Consignment-Series" in errs[0]
