@@ -977,32 +977,43 @@ def bagit_to_dri_sip_batch(
 
 
 def validate_consignments_batch(
-    spark: SparkSession, events: list[dict], ctx: StageContext
+    spark: SparkSession,
+    events: list[dict],
+    ctx: StageContext,
+    to_sip: bool = False,
 ) -> list[dict]:
     """The full intake chain, batched: bagit-available* → stage A
     (:func:`validate_bagit_batch`) → stage B
-    (:func:`validate_bagit_files_batch`) → one terminal event per input
-    consignment (``bagit-validated`` or the first stage's error). Stage-A
-    failures short-circuit (their consignments never enter stage B,
-    exactly like the sequential state machine routing errors away);
-    everything else flows through as ONE stage-A job set + ONE stage-B
-    job set regardless of N."""
-    received = validate_bagit_batch(spark, events, ctx)
-    ok_idx = [
-        i
-        for i, e in enumerate(received)
-        if e["producer"]["event-name"] == EVENT_BAGIT_RECEIVED
-    ]
-    validated = (
-        validate_bagit_files_batch(
-            spark, [received[i] for i in ok_idx], ctx
-        )
-        if ok_idx
-        else []
+    (:func:`validate_bagit_files_batch`) → optionally stage 3
+    (:func:`bagit_to_dri_sip_batch` when ``to_sip``) → one terminal
+    event per input consignment (``bagit-validated`` /
+    ``dri-preingest-sip-available`` or the first failing stage's error).
+    Failures at each stage short-circuit (those consignments never enter
+    the next stage, exactly like the sequential state machine routing
+    errors away); everything else flows through as ONE job set per stage
+    regardless of N — the whole nightly intake is three job sets."""
+
+    def advance(current: list[dict], ok_name: str, stage_fn) -> list[dict]:
+        ok_idx = [
+            i
+            for i, e in enumerate(current)
+            if e["producer"]["event-name"] == ok_name
+        ]
+        if not ok_idx:
+            return current
+        nxt = stage_fn(spark, [current[i] for i in ok_idx], ctx)
+        out = list(current)
+        for i, v in zip(ok_idx, nxt):
+            out[i] = v
+        return out
+
+    out = advance(
+        validate_bagit_batch(spark, events, ctx),
+        EVENT_BAGIT_RECEIVED,
+        validate_bagit_files_batch,
     )
-    out = list(received)
-    for i, v in zip(ok_idx, validated):
-        out[i] = v
+    if to_sip:
+        out = advance(out, EVENT_BAGIT_VALIDATED, bagit_to_dri_sip_batch)
     return out
 
 

@@ -539,3 +539,49 @@ def test_bagit_to_dri_sip_batch_routes_config_errors(spark, tmp_path):
     ]
     errs = out[1]["parameters"]["dri-preingest-sip-error"]["errors"]
     assert "Consignment-Series" in errs[0]
+
+
+def test_full_chain_to_sip(spark, tmp_path):
+    """Three job sets end-to-end: bagit-available deliveries → validated
+    → SIP, with a stage-B failure short-circuiting before the SIP
+    stage."""
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        validate_consignments_batch,
+    )
+
+    delivery = tmp_path / "fdelivery"
+    delivery.mkdir()
+    ctx = StageContext(
+        store_root=str(tmp_path / "fstore"),
+        out_root=str(tmp_path / "fout"),
+    )
+    events = []
+    for ref, good in (("TDR-2026-FAA", True), ("TDR-2026-FBB", False)):
+        entries = members_for_sip(ref)
+        if not good:  # corrupt a data file AFTER manifests were built
+            entries["data/content/file-1.txt"] = b"tampered"
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+            for name, content in sorted(entries.items()):
+                info = tarfile.TarInfo(name=f"{ref}/{name}")
+                info.size = len(content)
+                info.mtime = 1660000000
+                tf.addfile(info, io.BytesIO(content))
+        blob = buf.getvalue()
+        (delivery / f"{ref}.tar.gz").write_bytes(blob)
+        (delivery / f"{ref}.tar.gz.sha256").write_text(
+            f"{sha(blob)}  {ref}.tar.gz\n"
+        )
+        events.append(_available_event(delivery, ref))
+
+    out = validate_consignments_batch(spark, events, ctx, to_sip=True)
+    assert [e["producer"]["event-name"] for e in out] == [
+        "dri-preingest-sip-available",
+        EVENT_BAGIT_ERROR,
+    ]
+    url = out[0]["parameters"]["dri-preingest-sip-available"]["s3-folder-url"]
+    names = set(_read_sip_tar(url))
+    assert any(n.endswith("metadata.csv") for n in names)
+    assert any(n.endswith("file-1.txt") for n in names)
+    errs = out[1]["parameters"]["bagit-validation-error"]["errors"]
+    assert "does not match expected checksum" in errs[0]
