@@ -2564,8 +2564,14 @@ def q_e05b_embedding_lsh_pruned(spark, sf_dir):
     its bench number measures the exact verify, not LSH pruning). Here:
     threshold 0.9, 16 planes, radius from the SAME binomial rule with the
     recall knob at sigmas=1 → radius 4, ball 2517/65536 buckets, measured
-    candidate fraction ~3.8% of all pairs (bench logs the exact number
-    per run via dedup.embedding_lsh_candidate_stats). Rows-only by
+    candidate fraction 4.5% of all pairs at sf0.1 (90k verified of 2.0M —
+    bench logs the exact number per run via
+    dedup.embedding_lsh_candidate_stats). Wall-clock note: at n=2000 the
+    5M-row probe stream (n × ball 2517) costs more than the verify it
+    saves, so e05b times slightly ABOVE e05 here — the crossover favors
+    pruning as n grows, because candidates scale O(n²·fraction) while
+    probes scale O(n·ball); the recorded candidate fraction, not the
+    2k-vector wall-clock, is the 100 TB-relevant number. Rows-only by
     design: a sub-recall-1 radius is approximate (recall at the threshold
     ≈ P[Binom(16, 0.144) ≤ 4] ≈ 92%), so there is no exact SQL oracle —
     the planted-near-dup recall contract in
