@@ -239,3 +239,37 @@ def test_driver_contract_registry_consistency():
     ]
     window = list(qs)[:50]
     assert len(set(window)) == 50
+
+
+def test_batch_validation_report_plan_shape(spark):
+    """b01's relational core: the batched J2 verification join must never
+    plan as a cartesian/nested-loop product (it is an equi-join on
+    (consignment, file)), and sha2 must evaluate below the join (map-side
+    over the member scan), with a bounded number of shuffles. At sf scale
+    AQE broadcasts the tiny sides; at 100 TB the same equi-join degrades
+    to a shuffled join on the same keys — either way no quadratic node."""
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        batch_validation_report,
+    )
+
+    rows = []
+    for c in ("P-1", "P-2"):
+        rows += [
+            (c, "tagmanifest-sha256.txt", b"x" * 64 + b"  bagit.txt\n"),
+            (c, "manifest-sha256.txt", b"y" * 64 + b"  data/f.txt\n"),
+            (c, "bagit.txt", b"hello"),
+            (c, "data/f.txt", b"world"),
+        ]
+    df = spark.createDataFrame(
+        rows, "consignment string, name string, content binary"
+    )
+    out = batch_validation_report(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # sha2 is projected from the scan side, not recomputed post-join
+    assert "sha2" in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+    # and the report itself is correct on this toy input
+    got = {r["consignment"]: r["status"] for r in out.collect()}
+    assert got == {"P-1": "error", "P-2": "error"}  # planted mismatches
