@@ -243,6 +243,45 @@ def _processed_keys(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
 
 
+def compact_processed_ledger(
+    spark: SparkSession, out_dir: str, n_files: int = 4
+) -> dict:
+    """Ledger lifecycle maintenance: every pipeline batch appends one
+    small parquet to ``out/processed``, and the T10 replay guard re-reads
+    the whole directory each batch — after thousands of batches the
+    anti-join's build side is thousands of tiny files. Rewrite the ledger
+    to ``n_files`` files of DISTINCT keys (duplicate exec_names can
+    accumulate when a crashed batch replays after its ledger write — see
+    the chaos test; distinct is semantics-preserving for an anti-join
+    probe set).
+
+    Same two-phase swap as the index compactors: stage the distinct keys
+    in a sibling directory, row-count-validate, overwrite the ledger from
+    the stage, delete the stage via the Hadoop FS API. Run it from the
+    same offline maintenance slot — the guard's read is not transactional
+    against a concurrent rewrite. Returns
+    {files_before, files_after, keys}."""
+    path = os.path.join(out_dir, "processed")
+    src = spark.read.parquet(path)
+    files_before = len(src.inputFiles())
+    distinct = src.select("exec_name").distinct()
+    tmp = path.rstrip("/") + "_compacting"
+    distinct.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    n_keys = staged.count()
+    staged.repartition(n_files).write.mode("overwrite").parquet(path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+    files_after = len(spark.read.parquet(path).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "keys": n_keys,
+    }
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,

@@ -672,3 +672,42 @@ def test_pipeline_chaos_restart_exactly_once(spark, tmp_path):
         r["exec_name"] for r in _read(spark, out / "processed").collect()
     ]
     assert len(processed) == len(set(processed))
+
+
+def test_compact_processed_ledger_preserves_replay_guard(spark, tmp_path):
+    """After several batches (and a crash replay writing duplicate ledger
+    rows) the processed ledger holds many small files; compaction must
+    shrink the file count, dedupe keys, and leave the T10 guard dropping
+    exactly the same resends."""
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = tmp_path / "out"
+    for wave in range(3):
+        (indir / f"w{wave}.jsonl").write_text(
+            json.dumps(_event(f"TDR-LEDGER-{wave}", "bagit-validated")) + "\n"
+        )
+        q = orchestrator.run_pipeline(
+            spark, str(indir), str(out), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    stats = orchestrator.compact_processed_ledger(spark, str(out))
+    assert stats["keys"] == 3
+    assert stats["files_after"] < stats["files_before"], stats
+    assert stats["files_after"] <= 4
+
+    # resend every wave verbatim: the guard must still drop them all
+    for wave in range(3):
+        (indir / f"resend{wave}.jsonl").write_text(
+            (indir / f"w{wave}.jsonl").read_text()
+        )
+    q = orchestrator.run_pipeline(
+        spark, str(indir), str(out), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    events_rows = _read(spark, out / "events").collect()
+    assert sorted(r["reference"] for r in events_rows) == [
+        "TDR-LEDGER-0", "TDR-LEDGER-1", "TDR-LEDGER-2"
+    ]
+    import os
+    assert not os.path.exists(str(out / "processed_compacting"))
