@@ -2620,9 +2620,88 @@ def q_b01_batch_validation(spark, sf_dir):
     return batch_validation_report(members).orderBy("consignment")
 
 
+def q_b02_batch_dri_metadata(spark, sf_dir):
+    """Batched stage-3 relational core (operators/dri_sip.py
+    dri_metadata_keyed): FOUR consignments' DRI metadata.csv rows from
+    ONE plan — per-consignment transform literals become columns of a
+    broadcast config dim (built from each bag-info.txt, config-plane),
+    the checksum lookup joins keyed by (consignment, Filepath), and the
+    enum CASE maps / identifier build / conditional last-modified run
+    once over the union of all consignments' file-metadata rows
+    (reference semantics: tre_bagit.py:31-45 per consignment). DuckDB
+    replays the same config parse + maps + keyed left join over the same
+    fixture files. Fixture filenames are percent-encode-identity by
+    construction (the encoding itself is p05's oracle-checked surface)."""
+    from da_transform_judgments_pipeline_spark.operators.dri_sip import (
+        dri_config,
+        dri_metadata_keyed,
+    )
+    from da_transform_judgments_pipeline_spark.sources.catalog import (
+        read_file_catalog,
+    )
+    from da_transform_judgments_pipeline_spark.sources.manifest import (
+        manifest_from_lines,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "batch_store"
+    )
+    consignments = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    cfg_rows = []
+    for c in consignments:
+        kv = {}
+        with open(os.path.join(root, c, "bag-info.txt")) as f:
+            for line in f:
+                if line.strip():
+                    k, _, v = line.partition(":")
+                    kv[k.strip()] = v.strip()
+        dc = dri_config(
+            kv["Internal-Sender-Identifier"], kv["Consignment-Series"]
+        )
+        cfg_rows.append(
+            (
+                c,
+                kv["Internal-Sender-Identifier"],
+                kv["Consignment-Export-Datetime"],
+                dc["IDENTIFIER_PREFIX"],
+            )
+        )
+    config = spark.createDataFrame(
+        cfg_rows,
+        "consignment string, reference string, export_datetime string,"
+        " identifier_prefix string",
+    )
+    key = F.regexp_extract(F.col("path"), "batch_store/([^/]+)/", 1)
+    manifest = manifest_from_lines(
+        read_file_catalog(spark, root, glob="manifest-sha256.txt")
+        .select(key.alias("consignment"), "content")
+    )
+    fm = (
+        spark.read.csv(
+            [f"{root}/{c}/file-metadata.csv" for c in consignments],
+            header=True,
+            inferSchema=False,
+            escape='"',
+        )
+        .withColumn(
+            "consignment",
+            F.regexp_extract(
+                F.input_file_name(), "batch_store/([^/]+)/", 1
+            ),
+        )
+        .na.fill("")
+    )
+    return dri_metadata_keyed(fm, manifest, config).orderBy(
+        "consignment", "identifier"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- Round 6 rotation: b01 (the batched multi-consignment stage
-    # core, NEW this round) leads the window. Every query whose code
+    # --- Round 6 rotation: b01/b02 (the batched multi-consignment stage
+    # cores — validation report and keyed DRI metadata, NEW this round)
+    # lead the window. Every query whose code
     # changed in r6 was already inside positions 1-50 and stays there:
     # o08 (scd2 struct-lag null fix), m08 (keyed_prefix_rank
     # engine-rendered offset keys), e11 (MMR id-typed schema), d02
@@ -2669,6 +2748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scripts/selfcheck.py (README).
     # (a) NEW round 6
     "b01_batch_validation": q_b01_batch_validation,
+    "b02_batch_dri_metadata": q_b02_batch_dri_metadata,
     # (a) NEW round 5
     "x17_unigram_lm_score": q_x17_unigram_lm_score,
     "m06_audio_window_plan": q_m06_audio_window_plan,
@@ -3124,6 +3204,110 @@ def oracle_sql() -> dict[str, str]:
                    first_bad.expected AS first_bad_expected,
                    first_bad.actual AS first_bad_actual
             FROM final ORDER BY consignment
+        """,
+        "b02_batch_dri_metadata": """
+            WITH info AS (
+              SELECT regexp_extract(filename, 'batch_store/([^/]+)/', 1)
+                         AS consignment,
+                     decode(content) AS t
+              FROM read_blob(
+                  '/root/repo/fixtures/batch_store/*/bag-info.txt')
+            ),
+            cfg AS (
+              SELECT consignment,
+                     trim(regexp_extract(t,
+                         'Internal-Sender-Identifier:([^\n]*)', 1))
+                         AS reference,
+                     trim(regexp_extract(t,
+                         'Consignment-Series:([^\n]*)', 1)) AS series,
+                     trim(regexp_extract(t,
+                         'Consignment-Export-Datetime:([^\n]*)', 1))
+                         AS export_datetime
+              FROM info
+            ),
+            cfg2 AS (
+              SELECT consignment, reference, export_datetime,
+                     'file:/' || replace(series, ' ', '') || 'Y' ||
+                     substr(split_part(reference, '-', 2), 3) || 'TB' ||
+                     split_part(reference, '-', 3) || '/' ||
+                     replace(series, ' ', '_') || '/' AS prefix
+              FROM cfg
+            ),
+            man AS (
+              SELECT regexp_extract(filename, 'batch_store/([^/]+)/', 1)
+                         AS consignment,
+                     lower(trim(substr(line, 1, 64))) AS checksum,
+                     trim(substr(line, 65)) AS file
+              FROM read_blob(
+                  '/root/repo/fixtures/batch_store/*/manifest-sha256.txt'),
+                   unnest(string_split(decode(content), chr(10))) AS t(line)
+              WHERE length(trim(line)) > 0
+            ),
+            -- per-consignment UNION (not a glob + filename=true: DuckDB's
+            -- injected filename column collides case-insensitively with
+            -- the CSV's FileName header); the four consignment names are
+            -- part of the committed fixture, like the paths themselves
+            fm AS (
+              SELECT 'TDR-2026-AAA' AS consignment, "Filepath", "FileName",
+                     "FileType", "RightsCopyright", "LegalStatus", "HeldBy",
+                     "Language", coalesce("LastModified", '')
+                         AS "LastModified"
+              FROM read_csv(
+                '/root/repo/fixtures/batch_store/TDR-2026-AAA/file-metadata.csv',
+                header = true, all_varchar = true)
+              UNION ALL
+              SELECT 'TDR-2026-BBB', "Filepath", "FileName", "FileType",
+                     "RightsCopyright", "LegalStatus", "HeldBy", "Language",
+                     coalesce("LastModified", '')
+              FROM read_csv(
+                '/root/repo/fixtures/batch_store/TDR-2026-BBB/file-metadata.csv',
+                header = true, all_varchar = true)
+              UNION ALL
+              SELECT 'TDR-2026-CCC', "Filepath", "FileName", "FileType",
+                     "RightsCopyright", "LegalStatus", "HeldBy", "Language",
+                     coalesce("LastModified", '')
+              FROM read_csv(
+                '/root/repo/fixtures/batch_store/TDR-2026-CCC/file-metadata.csv',
+                header = true, all_varchar = true)
+              UNION ALL
+              SELECT 'TDR-2026-DDD', "Filepath", "FileName", "FileType",
+                     "RightsCopyright", "LegalStatus", "HeldBy", "Language",
+                     coalesce("LastModified", '')
+              FROM read_csv(
+                '/root/repo/fixtures/batch_store/TDR-2026-DDD/file-metadata.csv',
+                header = true, all_varchar = true)
+            )
+            SELECT f.consignment,
+                   CASE WHEN starts_with(f."Filepath", 'data/')
+                        THEN c.prefix || substr(f."Filepath", 6)
+                        ELSE f."Filepath" END ||
+                   CASE WHEN f."FileType" = 'Folder' THEN '/' ELSE '' END
+                       AS identifier,
+                   f."FileName" AS file_name,
+                   CASE f."FileType" WHEN 'File' THEN 'file'
+                        WHEN 'Folder' THEN 'folder' END AS folder,
+                   CASE WHEN f."FileType" = 'File' THEN f."LastModified"
+                        ELSE regexp_replace(c.export_datetime, 'Z$', '')
+                        END AS date_last_modified,
+                   coalesce(m.checksum, '') AS checksum,
+                   CASE f."RightsCopyright" WHEN 'Crown Copyright'
+                        THEN 'Crown Copyright' END AS rights_copyright,
+                   CASE f."LegalStatus" WHEN 'Public Record'
+                        THEN 'Public Record(s)'
+                        WHEN 'Public Record(s)' THEN 'Public Record(s)'
+                        END AS legal_status,
+                   CASE f."HeldBy" WHEN 'TNA'
+                        THEN 'The National Archives, Kew'
+                        WHEN 'The National Archives, Kew'
+                        THEN 'The National Archives, Kew' END AS held_by,
+                   CASE f."Language" WHEN 'English' THEN 'English' END
+                       AS language,
+                   c.reference AS TDR_consignment_ref
+            FROM fm f
+            JOIN cfg2 c USING (consignment)
+            LEFT JOIN man m
+              ON m.consignment = f.consignment AND m.file = f."Filepath"
+            ORDER BY consignment, identifier
         """,
         "s01_prefix_scan": """
             SELECT doc_id, source, n_chars FROM documents

@@ -99,6 +99,7 @@ HEADLINE = [
     "a25_hll_distinct",
     # round 6
     "b01_batch_validation",
+    "b02_batch_dri_metadata",
     "e05b_embedding_lsh_pruned",
 ]
 

@@ -29,15 +29,39 @@ def sha(b: bytes) -> str:
     return hashlib.sha256(b).hexdigest()
 
 
+FILE_METADATA_HEADER = (
+    "Filepath,FileName,FileType,Filesize,RightsCopyright,LegalStatus,"
+    "HeldBy,Language,FoiExemptionCode,LastModified\n"
+)
+
+
 def members_for(consignment: str, tamper: str | None = None):
     data = {
         "data/content/file-1.txt": f"{consignment} one\n".encode(),
         "data/content/file-2.txt": f"{consignment} two\n".encode(),
         "data/content/folder-a/file-3.txt": f"{consignment} three\n".encode(),
     }
+    fm = FILE_METADATA_HEADER
+    for path, blob in sorted(data.items()):
+        name = path.rsplit("/", 1)[1]
+        fm += (
+            f"{path},{name},File,{len(blob)},Crown Copyright,Public Record,"
+            "TNA,English,open,2022-09-29T15:10:20\n"
+        )
+    for folder in ("data/content", "data/content/folder-a"):
+        fname = folder.rsplit("/", 1)[1]
+        fm += (
+            f"{folder},{fname},Folder,,Crown Copyright,Public Record,"
+            "TNA,English,open,\n"
+        )
     root = {
         "bagit.txt": BAGIT_TXT,
-        "bag-info.txt": f"Internal-Sender-Identifier: {consignment}\n".encode(),
+        "bag-info.txt": (
+            "Consignment-Series: MOCKA 101\n"
+            f"Internal-Sender-Identifier: {consignment}\n"
+            "Consignment-Export-Datetime: 2022-07-18T12:45:45Z\n"
+        ).encode(),
+        "file-metadata.csv": fm.encode(),
     }
     data_manifest = {k: sha(v) for k, v in data.items()}
     if tamper == "mismatch":
