@@ -329,13 +329,18 @@ def validate_bagit_files_batch(
     plan_df = spark.createDataFrame(
         plan_rows, "archive_path string, unpacked_root string, out_prefix string"
     )
+    # persisted ONCE: three downstream actions (member write, validation
+    # report, manifest-list collect) all derive from the untarred member
+    # set — without the persist each action would re-scan and re-untar
+    # EVERY archive (MEMORY_AND_DISK: the member set is the same bytes a
+    # task already held during untar, spilled if the batch is large)
     keyed = members.withColumn(
         "archive_nofs", F.regexp_replace("archive", "^file:", "")
     ).join(
         F.broadcast(plan_df),
         F.col("archive_nofs") == F.col("archive_path"),
         "left",
-    )
+    ).persist()
 
     # 3) ONE distributed member write for every consignment (members land
     # under {store}/{out_prefix}/{name}, the untar-in-place layout)
@@ -419,6 +424,7 @@ def validate_bagit_files_batch(
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    keyed.unpersist()
 
     out_events: list[dict] = []
     for p in plans:
