@@ -74,7 +74,10 @@ def computed_checksums_streamed(
             for path, fname in zip(pdf["_path"], pdf["_file"]):
                 fsys, p = pafs.FileSystem.from_uri(path)
                 h = hashlib.sha256()
-                with fsys.open_input_stream(p) as stream:
+                # compression=None: pyarrow auto-inflates by extension —
+                # a .gz object must hash its STORED bytes, not the
+                # decompressed stream
+                with fsys.open_input_stream(p, compression=None) as stream:
                     while True:
                         block = stream.read(block_bytes)
                         if not block:

@@ -503,15 +503,22 @@ def validate_bagit_batch(
     reference tre_vb_validate_bagit.py:43-161), ALL deliveries in one set
     of Spark jobs:
 
-    1. ONE binaryFile scan over every delivery's archive + sidecar,
-    2. ONE distributed copy into each consignment's store prefix
-       (``consignments/{type}/{reference}/{uuid}/``),
-    3. ONE scan over the STORED copies (the reference also hashes the
-       stored object, not the source) parsing every sidecar manifest and
-       sha2-ing every archive,
-    4. ONE joined report applying the stage's checks per consignment, in
+    1. ONE distributed STREAMED copy of every delivery's archive +
+       sidecar into its consignment store prefix
+       (``consignments/{type}/{reference}/{uuid}/``) — fixed 5 MB blocks
+       through pyarrow filesystem streams with a running SHA-256 folded
+       during the transfer (:func:`..sources.ingest.copy_objects_streamed`;
+       the reference's multipart copy + checksum fold,
+       object_lib.py:87-171 / checksum_lib.py:101-119). A multi-GB bagit
+       never materializes as a Spark row. The running digest IS the
+       stored bytes' digest, so no second read pass hashes the archive.
+    2. ONE scan over the (tiny) stored sidecars parsing every manifest,
+    3. ONE joined report applying the stage's checks per consignment, in
        its order and with its error strings: exactly-one sidecar row →
-       basename parity → archive checksum.
+       basename parity → archive checksum. A failed copy (unreadable
+       source, full disk) routes that consignment to the error event with
+       the transfer error — the batch twin's report-then-route upgrade
+       over the sequential stage's uncaught IOError.
 
     Emits one event per input event, in order, matching the sequential
     stage (pytest-asserted equivalence).
@@ -542,10 +549,13 @@ def validate_bagit_batch(
     if not plans:
         return []
 
-    # 1+2) one scan over every delivery file, one distributed copy into
-    # the store (src → dest mapping joined in as a broadcast literal dim)
+    # 1) one distributed streamed copy of every delivery file; the
+    # running digest doubles as the stored archive's checksum (no second
+    # read pass over archive bytes, which never ride a row)
+    from ..sources.ingest import copy_objects_streamed
+
     copy_rows = [
-        (p[src_key], f"{p['prefix']}/{p[name_key]}")
+        (p[src_key], f"{ctx.store_root}/{p['prefix']}/{p[name_key]}")
         for p in plans
         for src_key, name_key in (
             ("bagit_url", "bagit_name"),
@@ -553,63 +563,71 @@ def validate_bagit_batch(
         )
     ]
     copy_df = spark.createDataFrame(copy_rows, "src string, dest string")
-    delivery = read_file_catalog(spark, [r[0] for r in copy_rows]).select(
-        F.regexp_replace("path", "^file:", "").alias("src"), "content"
-    )
-    to_copy = delivery.join(F.broadcast(copy_df), "src").select(
-        F.col("dest").alias("name"), "content"
-    )
-    _write_members(to_copy, ctx.store_root)
-
-    # 3) one scan over the stored copies: consignment key = the
-    # (uuid-unique) prefix, name = file under it
-    stored = read_file_catalog(
-        spark, [f"{ctx.store_root}/{p['prefix']}" for p in plans]
-    ).select(
-        F.regexp_replace(
-            "path", "^file:" + _re(ctx.store_root) + "/", ""
-        ).alias("key"),
-        "content",
-    )
-    plan_df = spark.createDataFrame(
-        [
-            (p["prefix"], p["bagit_name"], p["sha_name"])
-            for p in plans
-        ],
-        "prefix string, bagit_name string, sha_name string",
-    )
-    keyed = stored.withColumn(
-        "prefix", F.expr("substring(key, 1, length(key) - instr(reverse(key), '/'))")
-    ).withColumn(
-        "name", F.expr("substring(key, length(key) - instr(reverse(key), '/') + 2)")
-    ).join(F.broadcast(plan_df), "prefix")
-
-    manifests = manifest_from_lines(
-        keyed.filter(F.col("name") == F.col("sha_name")).select(
-            "prefix", "content"
-        ),
-        "content",
-    )
-    m_agg = manifests.groupBy("prefix").agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.min(F.struct("checksum", "file", "basename")).alias("entry"),
-    )
-    archives = keyed.filter(F.col("name") == F.col("bagit_name")).select(
-        "prefix", F.sha2(F.col("content").cast("binary"), 256).alias("actual")
-    )
-    report = {
-        r["prefix"]: r
-        for r in m_agg.join(archives, "prefix", "full_outer").collect()
+    copy_results = {
+        r["dest"]: r for r in copy_objects_streamed(copy_df).collect()
     }
 
-    # 4) the stage's checks, its order, its strings — driver-side
+    # 2) one scan over the stored sidecars only (KBs each) → keyed
+    # manifest rows; archives are NOT re-read
+    sidecar_paths = [
+        f"{ctx.store_root}/{p['prefix']}/{p['sha_name']}"
+        for p in plans
+        if copy_results.get(
+            f"{ctx.store_root}/{p['prefix']}/{p['sha_name']}", {"ok": False}
+        )["ok"]
+    ]
+    prefix_expr = None
+    for p in plans:
+        cond = F.col("path").contains(f"/{p['prefix']}/")
+        prefix_expr = (
+            F.when(cond, F.lit(p["prefix"]))
+            if prefix_expr is None
+            else prefix_expr.when(cond, F.lit(p["prefix"]))
+        )
+    m_agg_rows = {}
+    if sidecar_paths:
+        manifests = manifest_from_lines(
+            read_file_catalog(spark, sidecar_paths).select(
+                prefix_expr.alias("prefix"), "content"
+            ),
+            "content",
+        )
+        m_agg_rows = {
+            r["prefix"]: r
+            for r in manifests.groupBy("prefix")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.min(F.struct("checksum", "file", "basename")).alias(
+                    "entry"
+                ),
+            )
+            .collect()
+        }
+
+    # 3) the stage's checks, its order, its strings — driver-side
     # arithmetic over the N collected rows (control-plane)
     out_events: list[dict] = []
     for p in plans:
-        r = report.get(p["prefix"])
+        bagit_dest = f"{ctx.store_root}/{p['prefix']}/{p['bagit_name']}"
+        sha_dest = f"{ctx.store_root}/{p['prefix']}/{p['sha_name']}"
+        bagit_copy = copy_results.get(bagit_dest)
+        sha_copy = copy_results.get(sha_dest)
+        r = m_agg_rows.get(p["prefix"])
         error: str | None = None
-        n_rows = (r["n_rows"] if r is not None and r["n_rows"] else 0)
-        if n_rows != 1:
+        if bagit_copy is None or not bagit_copy["ok"]:
+            error = (
+                "Transfer failed for "
+                f'"{p["bagit_url"]}": '
+                f'{bagit_copy["error"] if bagit_copy else "not attempted"}'
+            )
+        elif sha_copy is None or not sha_copy["ok"]:
+            error = (
+                "Transfer failed for "
+                f'"{p["sha_url"]}": '
+                f'{sha_copy["error"] if sha_copy else "not attempted"}'
+            )
+        elif (r["n_rows"] if r is not None else 0) != 1:
+            n_rows = r["n_rows"] if r is not None else 0
             error = f"Incorrect number of checksums; expected 1, found {n_rows}"
         else:
             entry = r["entry"]
@@ -619,10 +637,11 @@ def validate_bagit_batch(
                     f'file entry) does not match the value '
                     f'"{p["bagit_name"]}" (derived from the input URL)'
                 )
-            elif r["actual"] != entry["checksum"]:
+            elif bagit_copy["sha256"] != entry["checksum"]:
                 error = (
                     f'Checksum mismatch for "{p["s3_bagit_name"]}": expected '
-                    f'"{entry["checksum"]}", calculated "{r["actual"]}"'
+                    f'"{entry["checksum"]}", calculated '
+                    f'"{bagit_copy["sha256"]}"'
                 )
         if error is not None:
             out_events.append(

@@ -98,3 +98,54 @@ def test_forward_sink_accumulates_failures(spark):
         alerts.forward_sink(transport, attribute_cols=("type",))(df, 0)
     # every record was attempted; both failures reported together
     assert len(sent) == 1 and len(ei.value.failures) == 2
+
+
+def test_copy_objects_streamed_gz_bytes_and_errors(spark, tmp_path):
+    """The streamed copier must move STORED bytes — pyarrow streams would
+    otherwise auto-inflate a .gz on read (and re-deflate on write) by
+    extension, corrupting both copy and digest. Also: per-row error
+    accumulation for a missing source, never a job failure."""
+    import gzip
+    import hashlib
+
+    from da_transform_judgments_pipeline_spark.sources.ingest import (
+        copy_objects_streamed,
+    )
+
+    blob = gzip.compress(b"payload " * 1000)
+    src = tmp_path / "archive.tar.gz"
+    src.write_bytes(blob)
+    pairs = spark.createDataFrame(
+        [
+            (str(src), str(tmp_path / "out" / "archive.tar.gz")),
+            (str(tmp_path / "missing.bin"), str(tmp_path / "out" / "m.bin")),
+        ],
+        "src string, dest string",
+    )
+    rows = {r["src"]: r for r in copy_objects_streamed(pairs).collect()}
+    ok = rows[str(src)]
+    assert ok["ok"] and ok["size"] == len(blob)
+    assert ok["sha256"] == hashlib.sha256(blob).hexdigest()
+    assert (tmp_path / "out" / "archive.tar.gz").read_bytes() == blob
+    bad = rows[str(tmp_path / "missing.bin")]
+    assert not bad["ok"] and bad["error"]
+
+
+def test_computed_checksums_streamed_gz_hashes_stored_bytes(spark, tmp_path):
+    """Same extension trap for the streamed hasher: a .gz object's digest
+    is over its stored (compressed) bytes."""
+    import gzip
+    import hashlib
+
+    from da_transform_judgments_pipeline_spark.operators.validation import (
+        computed_checksums_streamed,
+    )
+    from da_transform_judgments_pipeline_spark.sources.catalog import (
+        read_file_catalog,
+    )
+
+    blob = gzip.compress(b"zzz " * 5000)
+    (tmp_path / "x.gz").write_bytes(blob)
+    cat = read_file_catalog(spark, str(tmp_path), with_content=False)
+    [r] = computed_checksums_streamed(cat, block_bytes=1024).collect()
+    assert r["actual"] == hashlib.sha256(blob).hexdigest()
