@@ -90,14 +90,16 @@ class StageContext:
 
 
 def _sha256_of(spark: SparkSession, path: str) -> str:
-    row = (
-        read_file_catalog(spark, path)
-        .select(F.sha2(F.col("content"), 256).alias("sha"))
-        .first()
-    )
+    # streamed (5 MB blocks, content never a row) so a multi-GB bagit or
+    # SIP archive hashes in bounded memory — same digest as sha2(content)
+    from ..operators.validation import computed_checksums_streamed
+
+    row = computed_checksums_streamed(
+        read_file_catalog(spark, path, with_content=False)
+    ).first()
     if row is None:
         raise ValueError(f"Object not found: {path}")
-    return row["sha"]
+    return row["actual"]
 
 
 def validate_bagit(spark: SparkSession, event: dict, ctx: StageContext) -> dict:
