@@ -1042,6 +1042,46 @@ def validate_consignments_batch(
     return out
 
 
+def orchestrated_batch_stage(ctx: StageContext, to_sip: bool = False):
+    """Bridge the batched intake chain into the streaming orchestrator
+    (:func:`..streaming.orchestrator.run_pipeline`): returns a stage
+    function for the ``stages`` dict, keyed on ``bagit-available``. Each
+    micro-batch (≤10 events under the reference's SQS trigger shape —
+    control-plane to collect) runs the WHOLE chain as the batch twins'
+    three job sets and emits one terminal event row per consignment to
+    the orchestrator's events sink: (value, event_name, reference).
+
+    This is the composed 100 TB shape: T1 trigger batching + T3/T10
+    dedup/replay guards upstream in the orchestrator, then ONE job set
+    per stage for everything the trigger admitted — instead of the
+    reference's one state-machine execution per consignment."""
+    import json
+
+    def stage(spark: SparkSession, batch_df: DataFrame):
+        events = [
+            json.loads(r["value"])
+            for r in batch_df.select("value").collect()
+        ]
+        if not events:
+            return None
+        out = validate_consignments_batch(spark, events, ctx, to_sip=to_sip)
+        rows = [
+            (
+                json.dumps(e),
+                e["producer"]["event-name"],
+                e["parameters"][e["producer"]["event-name"]].get(
+                    "reference"
+                ),
+            )
+            for e in out
+        ]
+        return spark.createDataFrame(
+            rows, "value string, event_name string, reference string"
+        )
+
+    return stage
+
+
 def _re(s: str) -> str:
     import re
 

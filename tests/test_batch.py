@@ -585,3 +585,51 @@ def test_full_chain_to_sip(spark, tmp_path):
     assert any(n.endswith("file-1.txt") for n in names)
     errs = out[1]["parameters"]["bagit-validation-error"]["errors"]
     assert "does not match expected checksum" in errs[0]
+
+
+def test_orchestrated_batch_stage_via_pipeline(spark, tmp_path):
+    """T1 trigger batching composed with the batch twins: two deliveries
+    arrive as one micro-batch; the orchestrator's dispatch runs the whole
+    chain as one set of batch jobs and the events sink receives one
+    terminal row per consignment (validated + error)."""
+    import json as _json
+
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        orchestrated_batch_stage,
+    )
+    from da_transform_judgments_pipeline_spark.streaming import orchestrator
+
+    delivery = tmp_path / "odelivery"
+    delivery.mkdir()
+    ctx = StageContext(store_root=str(tmp_path / "ostore"))
+    events = []
+    for ref, tamper in (("TDR-2026-OAA", None), ("TDR-2026-OBB", "mismatch")):
+        blob = build_bagit_tar_gz(ref, tamper)
+        (delivery / f"{ref}.tar.gz").write_bytes(blob)
+        (delivery / f"{ref}.tar.gz.sha256").write_text(
+            f"{sha(blob)}  {ref}.tar.gz\n"
+        )
+        events.append(_available_event(delivery, ref))
+
+    indir = tmp_path / "oin"
+    indir.mkdir()
+    (indir / "wave.jsonl").write_text(
+        "\n".join(_json.dumps(e) for e in events) + "\n"
+    )
+    out = tmp_path / "oout"
+    q = orchestrator.run_pipeline(
+        spark, str(indir), str(out), str(tmp_path / "ockpt"),
+        stages={"bagit-available": orchestrated_batch_stage(ctx)},
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["reference"]: r["event_name"]
+        for r in spark.read.parquet(str(out / "events"))
+        .filter(F.col("event_name").isNotNull())
+        .collect()
+    }
+    assert got == {
+        "TDR-2026-OAA": EVENT_BAGIT_VALIDATED,
+        "TDR-2026-OBB": EVENT_BAGIT_ERROR,
+    }
