@@ -1,0 +1,181 @@
+"""Measure the batched intake chain against the sequential per-event
+stages at growing consignment counts — the evidence behind plans/batch.py's
+claim that N consignments should cost three job sets, not N state-machine
+executions.
+
+Builds N synthetic consignments (valid bagits, a few files each), stages
+them twice into independent stores, then times:
+- sequential: validate_bagit + validate_bagit_files per event (the
+  reference's per-Lambda shape)
+- batch: validate_consignments_batch (stage-A + stage-B batch twins)
+
+and counts Spark jobs for each via job groups. Events are
+equivalence-checked (the pytest contract, re-asserted here on the larger
+N). Appends a summary to BATCHCHECK_r06.md.
+
+Usage: python scripts/batch_vs_sequential.py [N ...]   (default 6 24)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import sys
+import tarfile
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def sha(b: bytes) -> str:
+    return hashlib.sha256(b).hexdigest()
+
+
+def build_bagit(ref: str) -> bytes:
+    data = {
+        f"data/content/file-{i}.txt": f"{ref} body {i}\n".encode() * 50
+        for i in range(4)
+    }
+    root = {
+        "bagit.txt": b"BagIt-Version: 0.97\n",
+        "bag-info.txt": f"Internal-Sender-Identifier: {ref}\n".encode(),
+    }
+    root["manifest-sha256.txt"] = "".join(
+        f"{sha(v)}  {k}\n" for k, v in sorted(data.items())
+    ).encode()
+    tag = "".join(
+        f"{sha(v)}  {k}\n" for k, v in sorted(root.items())
+    ).encode()
+    entries = dict(root)
+    entries["tagmanifest-sha256.txt"] = tag
+    entries.update(data)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, content in sorted(entries.items()):
+            info = tarfile.TarInfo(name=f"{ref}/{name}")
+            info.size = len(content)
+            info.mtime = 1660000000
+            tf.addfile(info, io.BytesIO(content))
+    return buf.getvalue()
+
+
+def main() -> None:
+    ns = [int(a) for a in sys.argv[1:]] or [6, 24]
+
+    from pyspark.sql import SparkSession
+
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        validate_consignments_batch,
+    )
+    from da_transform_judgments_pipeline_spark.plans.events import (
+        create_event,
+    )
+    from da_transform_judgments_pipeline_spark.plans.stages import (
+        StageContext,
+        validate_bagit,
+        validate_bagit_files,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("batch-vs-sequential")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    results = {}
+    for n in ns:
+        base = tempfile.mkdtemp(prefix=f"bvs-{n}-")
+        delivery = os.path.join(base, "delivery")
+        os.makedirs(delivery)
+        events = []
+        for i in range(n):
+            ref = f"TDR-2026-N{i:03d}"
+            blob = build_bagit(ref)
+            p = os.path.join(delivery, f"{ref}.tar.gz")
+            with open(p, "wb") as f:
+                f.write(blob)
+            with open(p + ".sha256", "w") as f:
+                f.write(f"{sha(blob)}  {ref}.tar.gz\n")
+            events.append(
+                create_event(
+                    environment="test",
+                    producer="TDR",
+                    process="consignment-export",
+                    event_name="bagit-available",
+                    type="judgment",
+                    parameters={
+                        "bagit-available": {
+                            "resource": {"value": p},
+                            "resource-validation": {"value": p + ".sha256"},
+                            "number-of-retries": 0,
+                            "reference": ref,
+                        }
+                    },
+                )
+            )
+
+        ctx_seq = StageContext(store_root=os.path.join(base, "store-seq"))
+        ctx_bat = StageContext(store_root=os.path.join(base, "store-bat"))
+
+        sc.setJobGroup(f"seq-{n}", "sequential")
+        t0 = time.perf_counter()
+        seq_out = []
+        for e in events:
+            a = validate_bagit(spark, e, ctx_seq)
+            seq_out.append(
+                validate_bagit_files(spark, a, ctx_seq)
+                if a["producer"]["event-name"] == "bagit-received"
+                else a
+            )
+        seq_s = time.perf_counter() - t0
+        sc.setJobGroup(None, None)
+
+        sc.setJobGroup(f"bat-{n}", "batched")
+        t0 = time.perf_counter()
+        bat_out = validate_consignments_batch(spark, events, ctx_bat)
+        bat_s = time.perf_counter() - t0
+        sc.setJobGroup(None, None)
+
+        seq_jobs = len(tracker.getJobIdsForGroup(f"seq-{n}"))
+        bat_jobs = len(tracker.getJobIdsForGroup(f"bat-{n}"))
+        names_agree = [
+            e["producer"]["event-name"] for e in seq_out
+        ] == [e["producer"]["event-name"] for e in bat_out]
+        results[n] = {
+            "consignments": n,
+            "sequential_sec": round(seq_s, 2),
+            "batch_sec": round(bat_s, 2),
+            "sequential_jobs": seq_jobs,
+            "batch_jobs": bat_jobs,
+            "speedup": round(seq_s / bat_s, 2),
+            "all_validated_agree": names_agree,
+        }
+        print(json.dumps(results[n]))
+
+    with open(os.path.join(REPO, "BATCHCHECK_r06.md"), "w") as f:
+        f.write(
+            "# Batched vs sequential intake chain (round 6)\n\n"
+            "Measured on local[32]; valid consignments, 4 data files each; "
+            "stages A+B\n(validate_bagit + validate_bagit_files vs "
+            "validate_consignments_batch),\nindependent stores, "
+            "event-name equivalence checked per run.\n\n```json\n"
+            + json.dumps(results, indent=2)
+            + "\n```\n\nThe batch twin's job count is O(1) in N while the "
+            "sequential loop's grows\nlinearly; wall-clock follows once N "
+            "outgrows per-job fixed overheads.\n"
+        )
+    ok = all(v["all_validated_agree"] for v in results.values())
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
