@@ -367,3 +367,134 @@ def test_scd2_intervals_tile_the_timeline(obs):
         assert opens == [ivs[-1]]
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from
+
+
+consignment_spec = st.tuples(
+    st.integers(min_value=0, max_value=3),   # n data files
+    st.booleans(),                           # corrupt a data file
+    st.booleans(),                           # ghost manifest entry
+    st.booleans(),                           # stray unlisted file
+    st.booleans(),                           # corrupt a root file
+)
+
+
+def _members_from_spec(tag, spec):
+    """Deterministic member dict for one consignment spec."""
+    import hashlib
+
+    def sha(b):
+        return hashlib.sha256(b).hexdigest()
+
+    n_data, corrupt_data, ghost, stray, corrupt_root = spec
+    data = {
+        f"data/content/f{i}.txt": f"{tag} body {i}".encode()
+        for i in range(n_data)
+    }
+    root = {
+        "bagit.txt": b"BagIt-Version: 0.97\n",
+        "bag-info.txt": f"Internal-Sender-Identifier: {tag}\n".encode(),
+    }
+    dm = {k: sha(v) for k, v in data.items()}
+    if corrupt_data and data:
+        first = sorted(data)[0]
+        dm[first] = sha(data[first] + b"!")
+    if ghost:
+        dm["data/content/ghost.txt"] = sha(b"ghost")
+    root["manifest-sha256.txt"] = "".join(
+        f"{c}  {k}\n" for k, c in sorted(dm.items())
+    ).encode()
+    tm = {k: sha(v) for k, v in sorted(root.items())}
+    if corrupt_root:
+        tm["bagit.txt"] = sha(b"tampered-root")
+    tag_manifest = "".join(f"{c}  {k}\n" for k, c in sorted(tm.items()))
+    out = dict(root)
+    out["tagmanifest-sha256.txt"] = tag_manifest.encode()
+    out.update(data)
+    if stray:
+        out["data/content/stray.bin"] = b"unlisted"
+    return out
+
+
+def _model_report(members):
+    """Independent pure-Python model of the sequential stage's checks
+    (tre_vb_validate_bagit_files semantics): returns (status, error)."""
+    import hashlib
+
+    def sha(b):
+        return hashlib.sha256(b).hexdigest()
+
+    def parse(blob):
+        rows = []
+        for line in blob.decode().split("\n"):
+            if line.strip():
+                rows.append(
+                    (line[:64].strip().lower(), line[64:].strip())
+                )
+        return rows
+
+    actual = {k: sha(v) for k, v in members.items()}
+    for kind, mname in (("root", "tagmanifest-sha256.txt"),
+                        ("data", "manifest-sha256.txt")):
+        listed = parse(members.get(mname, b""))
+        bad = []
+        for expected, fname in sorted(listed, key=lambda t: t[1]):
+            got = actual.get(fname)
+            if got is None or got != expected:
+                bad.append((fname, expected, got))
+        if bad:
+            fname, expected, got = bad[0]
+            return "error", (
+                f'Object "C/{fname}" checksum "{got}" does not match '
+                f'expected checksum "{expected}" '
+                f"({len(bad)} problem file(s) total)"
+            )
+    n_root = len(parse(members.get("tagmanifest-sha256.txt", b"")))
+    n_data_listed = len(parse(members.get("manifest-sha256.txt", b"")))
+    manifests_total = 1 + n_root + n_data_listed
+    if len(members) != manifests_total:
+        return "error", (
+            f"Incorrect total file count; {manifests_total} in manifest, "
+            f"but {len(members)} found"
+        )
+    n_data_extracted = sum(1 for k in members if k.startswith("data/"))
+    if n_data_listed != n_data_extracted:
+        return "error", (
+            f"Incorrect data file count; {n_data_listed} in manifest "
+            f"but {n_data_extracted} found"
+        )
+    return "ok", None
+
+
+@given(specs=st.lists(consignment_spec, min_size=1, max_size=5))
+@SLOW
+def test_batch_validation_report_matches_python_model(specs):
+    """Differential contract for the batched J2/A3 core: across random
+    consignment corpora (tampered data files, ghost manifest entries,
+    stray files, corrupted root files — independently per consignment),
+    batch_validation_report's (status, error) per consignment equals an
+    independent pure-Python reimplementation of the sequential checks.
+    The model prints python-None for missing actuals and counts each
+    manifest's bad rows exactly as the stage's f-strings do."""
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        batch_validation_report,
+    )
+
+    spark = _get_spark()
+    rows = []
+    want = {}
+    for i, spec in enumerate(specs):
+        cname = f"C{i}"
+        members = _members_from_spec(cname, spec)
+        status, error = _model_report(members)
+        if error is not None:
+            error = error.replace('"C/', f'"{cname}/')
+        want[cname] = (status, error)
+        rows += [(cname, k, v) for k, v in members.items()]
+    df = spark.createDataFrame(
+        rows, "consignment string, name string, content binary"
+    )
+    got = {
+        r["consignment"]: (r["status"], r["error"])
+        for r in batch_validation_report(df).collect()
+    }
+    assert got == want
