@@ -321,7 +321,10 @@ def validate_bagit_files_batch(
     # binaryFile paths come back with a file: scheme prefix — normalize
     # when mapping archive → consignment.
     archives = read_file_catalog(spark, [p["archive_path"] for p in plans])
-    members = untar(archives)
+    # report-mode untar: a corrupt delivery yields one error row instead
+    # of failing the whole batch job — that consignment routes to its own
+    # error event below, everyone else proceeds
+    members = untar(archives, on_error="report")
     plan_rows = [
         (p["archive_path"], p["unpacked_root"], p["out_prefix"])
         for p in plans
@@ -341,6 +344,19 @@ def validate_bagit_files_batch(
         F.col("archive_nofs") == F.col("archive_path"),
         "left",
     ).persist()
+
+    unpack_errors = {
+        r["unpacked_root"]: r["error"]
+        for r in keyed.filter(F.col("error").isNotNull())
+        .select("unpacked_root", "error")
+        .collect()
+    }
+    keyed = keyed.filter(F.col("error").isNull())
+    live_roots = [
+        p["unpacked_root"]
+        for p in plans
+        if p["unpacked_root"] not in unpack_errors
+    ]
 
     # 3) ONE distributed member write for every consignment (members land
     # under {store}/{out_prefix}/{name}, the untar-in-place layout)
@@ -398,32 +414,36 @@ def validate_bagit_files_batch(
     # count check (extracted vs what the store now actually holds)
     listing = (
         read_file_catalog(
-            spark, [f"{store}/{p['unpacked_root']}" for p in plans],
+            spark, [f"{store}/{r}" for r in live_roots],
             with_content=False,
         )
-        .select(
+        if live_roots
+        else None
+    )
+    listing_counts: dict[str, int] = {}
+    if listing is not None:
+        listing = listing.select(
             F.regexp_replace("path", "^file:" + _re(store) + "/", "").alias(
                 "relpath"
             )
         )
-    )
-    root_expr = F.coalesce(
-        *[
-            F.when(
-                F.col("relpath").startswith(p["unpacked_root"] + "/"),
-                F.lit(p["unpacked_root"]),
-            )
-            for p in plans
-        ]
-    ) if plans else F.lit(None)
-    listing_counts = {
-        r["root"]: r["n"]
-        for r in listing.select(root_expr.alias("root"))
-        .filter(F.col("root").isNotNull())
-        .groupBy("root")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+        root_expr = F.coalesce(
+            *[
+                F.when(
+                    F.col("relpath").startswith(r + "/"),
+                    F.lit(r),
+                )
+                for r in live_roots
+            ]
+        )
+        listing_counts = {
+            r["root"]: r["n"]
+            for r in listing.select(root_expr.alias("root"))
+            .filter(F.col("root").isNotNull())
+            .groupBy("root")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
     keyed.unpersist()
 
     out_events: list[dict] = []
@@ -433,7 +453,12 @@ def validate_bagit_files_batch(
         rep = report_rows.get(root)
         lists = manifest_lists.get(root, {KIND_ROOT: [], KIND_DATA: []})
         error: str | None = None
-        if rep is None:
+        if root in unpack_errors:
+            error = (
+                f'Unpack failed for "{p["archive_path"]}": '
+                f"{unpack_errors[root]}"
+            )
+        elif rep is None:
             error = f'Object "{p["archive_path"]}" produced no members'
         elif rep["first_bad_file"] is not None:
             # checksum errors come from the relational report (same

@@ -85,11 +85,20 @@ def _untar_bytes(blob: bytes) -> list[dict]:
     return out
 
 
+UNTAR_REPORT_SCHEMA = T.StructType(
+    list(UNTAR_RESULT_SCHEMA)[:1]
+    + [T.StructField("name", T.StringType(), True)]
+    + list(UNTAR_RESULT_SCHEMA)[2:]
+    + [T.StructField("error", T.StringType(), True)]
+)
+
+
 def untar(
     archives: DataFrame,
     path_col: str = "path",
     content_col: str = "content",
     max_archive_bytes: int | None = DEFAULT_MAX_ARCHIVE_BYTES,
+    on_error: str = "raise",
 ) -> DataFrame:
     """S13 unpack: (path, content) rows → one row per member
     (archive, name, size, mtime, content) via mapInPandas (UDTF shape:
@@ -98,8 +107,20 @@ def untar(
     Archives above ``max_archive_bytes`` fail fast with
     :class:`ArchiveTooLargeError` naming the archive, instead of an
     opaque executor OOM (the whole blob lives in the task's RAM).
+
+    ``on_error="report"`` adds an ``error`` column and isolates corrupt
+    archives instead of failing the job: a blob that won't untar (bad
+    gzip, truncated tar, over the size bound) yields ONE row
+    (archive, name=NULL, error=<message>) and every healthy archive's
+    members flow through with error=NULL. The batched stages route the
+    error rows per consignment — one bad delivery must not fail a
+    thousand-consignment job. Default "raise" keeps the strict
+    single-archive contract.
     """
-    schema = UNTAR_RESULT_SCHEMA
+    if on_error not in ("raise", "report"):
+        raise ValueError(f"on_error must be 'raise' or 'report', not {on_error!r}")
+    report = on_error == "report"
+    schema = UNTAR_REPORT_SCHEMA if report else UNTAR_RESULT_SCHEMA
 
     src = archives.select(
         F.col(path_col).alias("archive"), F.col(content_col).alias("_blob")
@@ -108,18 +129,36 @@ def untar(
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for archive, blob in zip(pdf["archive"], pdf["_blob"]):
-                _check_size(f"archive {archive!r}", len(blob), max_archive_bytes)
-                members = _untar_bytes(bytes(blob))
-                if members:
+                try:
+                    _check_size(
+                        f"archive {archive!r}", len(blob), max_archive_bytes
+                    )
+                    members = _untar_bytes(bytes(blob))
+                except Exception as e:
+                    if not report:
+                        raise
                     yield pd.DataFrame(
                         {
-                            "archive": [archive] * len(members),
-                            "name": [m["name"] for m in members],
-                            "size": [m["size"] for m in members],
-                            "mtime": [m["mtime"] for m in members],
-                            "content": [m["content"] for m in members],
+                            "archive": [archive],
+                            "name": [None],
+                            "size": [0],
+                            "mtime": [None],
+                            "content": [None],
+                            "error": [f"{type(e).__name__}: {e}"],
                         }
                     )
+                    continue
+                if members:
+                    out = {
+                        "archive": [archive] * len(members),
+                        "name": [m["name"] for m in members],
+                        "size": [m["size"] for m in members],
+                        "mtime": [m["mtime"] for m in members],
+                        "content": [m["content"] for m in members],
+                    }
+                    if report:
+                        out["error"] = [None] * len(members)
+                    yield pd.DataFrame(out)
 
     return src.mapInPandas(expand, schema=schema)
 

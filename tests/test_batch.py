@@ -633,3 +633,36 @@ def test_orchestrated_batch_stage_via_pipeline(spark, tmp_path):
         "TDR-2026-OAA": EVENT_BAGIT_VALIDATED,
         "TDR-2026-OBB": EVENT_BAGIT_ERROR,
     }
+
+
+def test_batch_isolates_corrupt_archive(spark, tmp_path):
+    """A delivery whose archive won't untar (validated sidecar, corrupt
+    gzip payload) must route to its OWN error event — never fail the
+    batch job — while the other consignments validate normally."""
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        validate_bagit_files_batch,
+    )
+
+    delivery = tmp_path / "kdelivery"
+    delivery.mkdir()
+    ctx = StageContext(store_root=str(tmp_path / "kstore"))
+    events = []
+    for ref, corrupt in (("TDR-2026-KAA", False), ("TDR-2026-KBB", True)):
+        blob = build_bagit_tar_gz(ref)
+        if corrupt:
+            blob = blob[:40] + b"\x00" * 64 + blob[104:]  # smash gzip body
+        (delivery / f"{ref}.tar.gz").write_bytes(blob)
+        (delivery / f"{ref}.tar.gz.sha256").write_text(
+            f"{sha(blob)}  {ref}.tar.gz\n"
+        )
+        e = validate_bagit(spark, _available_event(delivery, ref), ctx)
+        assert e["producer"]["event-name"] == "bagit-received"  # sha OK
+        events.append(e)
+
+    out = validate_bagit_files_batch(spark, events, ctx)
+    assert [e["producer"]["event-name"] for e in out] == [
+        EVENT_BAGIT_VALIDATED,
+        EVENT_BAGIT_ERROR,
+    ]
+    errs = out[1]["parameters"]["bagit-validation-error"]["errors"]
+    assert errs[0].startswith('Unpack failed for ')
