@@ -85,28 +85,36 @@ def extract_features(
     """Decode/feature-extract over mapInPandas (Arrow-batched; one batch of
     media rows per invocation — the shape a GPU decode stage needs).
 
-    With ``real_decode=True`` raises NotImplementedError (codec libs not in
-    this container); the default path runs the deterministic fake so the
-    Spark plumbing — schema, batching, partition parallelism — is exercised
-    for real.
+    ``real_decode=True`` runs the REAL pure-numpy codec
+    (:mod:`.imagecodec`) for uncompressed formats — PPM/PGM and 24/32-bit
+    BMP decode to actual pixels, features are per-channel moments + a
+    resampled luma grid — and raises :class:`.imagecodec.
+    UnsupportedImageError` (naming the sniffed format) for compressed
+    formats that need a codec library this container lacks. The default
+    fake path keeps the plumbing testable on arbitrary bytes.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        if real_decode:
+            from . import imagecodec
+
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "media decode requires image/audio codecs not present in "
-                    "this environment; plug a decoder into extract_features"
-                )
             blobs = [bytes(b) if b is not None else b"" for b in pdf["content"]]
+            if real_decode:
+                feats = [
+                    imagecodec.image_features(imagecodec.decode_image(b), dim)
+                    for b in blobs
+                ]
+            else:
+                feats = [_fake_decode(b, dim) for b in blobs]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": [len(b) for b in blobs],
                     "sha256": [hashlib.sha256(b).hexdigest() for b in blobs],
-                    "feature": [_fake_decode(b, dim) for b in blobs],
+                    "feature": feats,
                 }
             )
 
@@ -121,26 +129,35 @@ def resize_images(
     height: int,
     real_decode: bool = False,
 ) -> DataFrame:
-    """Image resize over mapInPandas — same honest-stub pattern as
-    :func:`extract_features`: the Spark-side shape (Arrow batching, output
-    schema with the new dimensions in ``meta``, executor fan-out) is real;
-    the pixel work is stubbed (``real_decode=True`` raises
-    NotImplementedError — PIL/opencv are not in this container; the stub
-    passes bytes through unchanged so output sizes remain testable)."""
+    """Image resize over mapInPandas. ``real_decode=True`` decodes,
+    nearest-neighbor-resizes, and re-encodes (as binary PPM) through the
+    pure-numpy codec (:mod:`.imagecodec`) for uncompressed input formats;
+    compressed formats raise :class:`.imagecodec.UnsupportedImageError`
+    naming what a codec library would be needed for. The default path is
+    the byte-passthrough stub (plumbing testable on arbitrary bytes)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real_decode:
+            from . import imagecodec
+
         for pdf in batches:
             if real_decode:
-                raise NotImplementedError(
-                    "image resize requires a codec (PIL/opencv) not present "
-                    "in this environment; plug a decoder into resize_images"
-                )
-            # STUB passthrough: a real implementation decodes, resizes to
-            # (width, height), and re-encodes each blob here.
+                content = [
+                    imagecodec.encode_ppm(
+                        imagecodec.resize_nearest(
+                            imagecodec.decode_image(bytes(b)), width, height
+                        )
+                    )
+                    for b in pdf["content"]
+                ]
+            else:
+                # STUB passthrough: swap in a codec-library decode/resize/
+                # re-encode for compressed formats here.
+                content = pdf["content"]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "content": pdf["content"],
+                    "content": content,
                     "width": width,
                     "height": height,
                 }

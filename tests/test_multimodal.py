@@ -42,12 +42,12 @@ def test_extract_features_deterministic(media):
     assert [r["feature"] for r in a] == [r["feature"] for r in b]
 
 
-def test_real_decode_is_stubbed(media):
-    with pytest.raises(Exception) as exc:
+def test_real_decode_rejects_non_image_bytes(media):
+    """real_decode now DECODES uncompressed formats (see the pixel-math
+    tests below); arbitrary non-image bytes must still fail loudly with
+    the sniffed format in the message, never fake a decode."""
+    with pytest.raises(Exception, match="UnsupportedImageError|codec"):
         multimodal.extract_features(media, real_decode=True).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, NotImplementedError
-    )
 
 
 def test_resize_images_stub_plumbing(media):
@@ -63,8 +63,8 @@ def test_resize_images_stub_plumbing(media):
         assert bytes(r["content"]) == bytes([i % 251]) * (100 + i)
 
 
-def test_resize_images_real_decode_is_stubbed(media):
-    with pytest.raises(Exception, match="NotImplementedError|resize"):
+def test_resize_images_real_decode_rejects_non_image_bytes(media):
+    with pytest.raises(Exception, match="UnsupportedImageError|codec"):
         multimodal.resize_images(media, 10, 10, real_decode=True).collect()
 
 
@@ -180,3 +180,122 @@ def test_modality_interleave_round_robin(spark):
     assert [p % 3 for p in sorted(pos.values())[:6]] == [0, 1, 2, 0, 1, 2]
     assert len(first_round) == 3
     dedup.release_cached()
+
+
+def _ppm(pixels):
+    """rows of (r,g,b) tuples → binary P6 bytes."""
+    h = len(pixels)
+    w = len(pixels[0])
+    body = bytes(c for row in pixels for px in row for c in px)
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def _bmp24(pixels):
+    """rows of (r,g,b) tuples → uncompressed 24-bit bottom-up BMP bytes."""
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(pixels):  # bottom-up
+        line = bytes(c for (r, g, b) in row for c in (b, g, r))  # BGR
+        raster += line + b"\x00" * (stride - len(line))
+    data_off = 54
+    header = (
+        b"BM"
+        + (data_off + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + raster
+
+
+def test_imagecodec_decodes_ppm_and_bmp_identically():
+    """The same 2x2 image through PPM and BMP must decode to identical
+    RGB arrays (exercises BGR swap, bottom-up flip, row padding); a PGM
+    replicates gray to 3 channels; JPEG magic raises with the format
+    named."""
+    import numpy as np
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.operators import imagecodec
+
+    pixels = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (10, 20, 30)],
+    ]
+    a = imagecodec.decode_image(_ppm(pixels))
+    b = imagecodec.decode_image(_bmp24(pixels))
+    assert a.shape == (2, 2, 3) and (a == b).all()
+    assert tuple(a[0, 0]) == (255, 0, 0) and tuple(a[1, 1]) == (10, 20, 30)
+
+    pgm = b"P5\n2 1\n255\n" + bytes([0, 200])
+    g = imagecodec.decode_image(pgm)
+    assert g.shape == (1, 2, 3) and tuple(g[0, 1]) == (200, 200, 200)
+
+    with _pytest.raises(imagecodec.UnsupportedImageError, match="JPEG"):
+        imagecodec.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+    # PPM round-trip: encode(decode(x)) == x
+    assert imagecodec.encode_ppm(a) == _ppm(pixels)
+
+    # nearest resize 4x4 -> 2x2 picks pixel centers
+    big = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    small = imagecodec.resize_nearest(big, 2, 2)
+    assert (small == big[[1, 3]][:, [1, 3]]).all()
+
+
+def test_extract_features_real_decode_pixel_math(spark):
+    """real_decode=True computes features from actual pixels: a solid red
+    PPM yields channel means (1, 0, 0), zero stds, and a luma grid at
+    red's luma — against the fake byte-hash path which cannot know any
+    of that."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    red = _ppm([[(255, 0, 0)] * 4] * 4)
+    files = spark.createDataFrame(
+        [("mem://red.ppm", bytearray(red))], ["path", "content"]
+    )
+    cat = multimodal.media_catalog(files, "image", "image/x-portable-pixmap")
+    [row] = multimodal.extract_features(cat, dim=10, real_decode=True).collect()
+    f = row["feature"]
+    assert f[:3] == [1.0, 0.0, 0.0]          # channel means
+    assert f[3:6] == [0.0, 0.0, 0.0]         # stds (solid color)
+    assert all(abs(v - 0.299) < 1e-6 for v in f[6:])  # luma grid
+    assert row["n_bytes"] == len(red)
+
+
+def test_resize_images_real_decode_roundtrip(spark):
+    """real_decode=True: a 4x4 PPM resizes to a 2x2 PPM whose decoded
+    pixels equal the nearest-neighbor selection; the stub path passes
+    bytes through untouched."""
+    import numpy as np
+
+    from da_transform_judgments_pipeline_spark.operators import (
+        imagecodec,
+        multimodal,
+    )
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, (4, 4, 3)).astype(np.uint8)
+    blob = imagecodec.encode_ppm(arr)
+    files = spark.createDataFrame(
+        [("mem://x.ppm", bytearray(blob))], ["path", "content"]
+    )
+    cat = multimodal.media_catalog(files, "image")
+    [row] = multimodal.resize_images(
+        cat, 2, 2, real_decode=True
+    ).collect()
+    got = imagecodec.decode_image(bytes(row["content"]))
+    assert (got == imagecodec.resize_nearest(arr, 2, 2)).all()
+    assert (row["width"], row["height"]) == (2, 2)
+
+    [stub] = multimodal.resize_images(cat, 2, 2).collect()
+    assert bytes(stub["content"]) == blob
