@@ -2620,6 +2620,70 @@ def q_b01_batch_validation(spark, sf_dir):
     return batch_validation_report(members).orderBy("consignment")
 
 
+def q_m09_image_decode_features(spark, sf_dir):
+    """REAL image decode under a hash oracle: per document a deterministic
+    4x4 binary PPM is generated executor-side (top half color
+    A(doc_id), bottom half color B(doc_id)), decoded by the pure-numpy
+    codec (operators/imagecodec.py — actual header parse + pixel
+    reshape), and featurized (per-channel means/stds + 2x2 nearest-
+    resampled luma grid). Because the image is a closed-form function of
+    doc_id, every feature value has an analytic formula DuckDB evaluates
+    directly — the decode path's pixel math is hash-checked end-to-end,
+    not just plumbing-checked. (Compressed formats remain out of scope:
+    no codec libs here; they raise with the sniffed format named.)"""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.operators.imagecodec import (
+            encode_ppm,
+        )
+
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                a = (d % 256, (d * 7) % 256, (d * 13) % 256)
+                b = ((d * 3) % 256, (d * 5) % 256, (d * 11) % 256)
+                arr = np.empty((4, 4, 3), dtype=np.uint8)
+                arr[:2] = a
+                arr[2:] = b
+                blobs.append(bytearray(encode_ppm(arr)))
+            yield pd.DataFrame({"path": pdf["doc_id"].astype(str),
+                                "doc_id": pdf["doc_id"],
+                                "content": blobs})
+
+    imgs = docs.mapInPandas(
+        make, "path string, doc_id long, content binary"
+    )
+    # media_catalog keys on xxhash64(path); key on doc_id instead so the
+    # oracle joins on the same id arithmetic
+    cat = imgs.select(
+        F.col("doc_id").alias("media_id"), F.col("content")
+    )
+    out = multimodal.extract_features(cat, dim=10, real_decode=True)
+    f = F.col("feature")
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "n_bytes",
+        *[
+            F.round(F.element_at(f, i + 1), 6).alias(name)
+            for i, name in enumerate(
+                [
+                    "mean_r", "mean_g", "mean_b",
+                    "std_r", "std_g", "std_b",
+                    "luma_1", "luma_2", "luma_3", "luma_4",
+                ]
+            )
+        ],
+    ).orderBy("doc_id")
+
+
 def q_b02_batch_dri_metadata(spark, sf_dir):
     """Batched stage-3 relational core (operators/dri_sip.py
     dri_metadata_keyed): FOUR consignments' DRI metadata.csv rows from
@@ -2749,6 +2813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) NEW round 6
     "b01_batch_validation": q_b01_batch_validation,
     "b02_batch_dri_metadata": q_b02_batch_dri_metadata,
+    "m09_image_decode_features": q_m09_image_decode_features,
     # (a) NEW round 5
     "x17_unigram_lm_score": q_x17_unigram_lm_score,
     "m06_audio_window_plan": q_m06_audio_window_plan,
@@ -3204,6 +3269,31 @@ def oracle_sql() -> dict[str, str]:
                    first_bad.expected AS first_bad_expected,
                    first_bad.actual AS first_bad_actual
             FROM final ORDER BY consignment
+        """,
+        "m09_image_decode_features": """
+            WITH c AS (
+              SELECT doc_id,
+                     (doc_id % 256) / 255.0 AS ar,
+                     ((doc_id * 7) % 256) / 255.0 AS ag,
+                     ((doc_id * 13) % 256) / 255.0 AS ab,
+                     ((doc_id * 3) % 256) / 255.0 AS br,
+                     ((doc_id * 5) % 256) / 255.0 AS bg,
+                     ((doc_id * 11) % 256) / 255.0 AS bb
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(59 AS BIGINT) AS n_bytes,
+                   round((ar + br) / 2, 6) AS mean_r,
+                   round((ag + bg) / 2, 6) AS mean_g,
+                   round((ab + bb) / 2, 6) AS mean_b,
+                   round(abs(ar - br) / 2, 6) AS std_r,
+                   round(abs(ag - bg) / 2, 6) AS std_g,
+                   round(abs(ab - bb) / 2, 6) AS std_b,
+                   round(0.299*ar + 0.587*ag + 0.114*ab, 6) AS luma_1,
+                   round(0.299*ar + 0.587*ag + 0.114*ab, 6) AS luma_2,
+                   round(0.299*br + 0.587*bg + 0.114*bb, 6) AS luma_3,
+                   round(0.299*br + 0.587*bg + 0.114*bb, 6) AS luma_4
+            FROM c ORDER BY doc_id
         """,
         "b02_batch_dri_metadata": """
             WITH info AS (

@@ -100,6 +100,7 @@ HEADLINE = [
     # round 6
     "b01_batch_validation",
     "b02_batch_dri_metadata",
+    "m09_image_decode_features",
     "e05b_embedding_lsh_pruned",
 ]
 
