@@ -2668,19 +2668,89 @@ def q_m09_image_decode_features(spark, sf_dir):
     )
     out = multimodal.extract_features(cat, dim=10, real_decode=True)
     f = F.col("feature")
+
+    # integer-exact comparison surface: means×510 = A+B, stds×510 = |A−B|,
+    # luma×255000 = 299·R + 587·G + 114·B — all exact integers for this
+    # two-color image, immune to 6-dp round() tie-break differences
+    def chan(i, scale, name):
+        return (
+            F.round(F.element_at(f, i + 1) * scale).cast("long").alias(name)
+        )
+
     return out.select(
         F.col("media_id").alias("doc_id"),
         "n_bytes",
-        *[
-            F.round(F.element_at(f, i + 1), 6).alias(name)
-            for i, name in enumerate(
-                [
-                    "mean_r", "mean_g", "mean_b",
-                    "std_r", "std_g", "std_b",
-                    "luma_1", "luma_2", "luma_3", "luma_4",
-                ]
+        chan(0, 510, "sum_r"),
+        chan(1, 510, "sum_g"),
+        chan(2, 510, "sum_b"),
+        chan(3, 510, "absdiff_r"),
+        chan(4, 510, "absdiff_g"),
+        chan(5, 510, "absdiff_b"),
+        chan(6, 255000, "luma_a_milli"),
+        chan(7, 255000, "luma_a2_milli"),
+        chan(8, 255000, "luma_b_milli"),
+        chan(9, 255000, "luma_b2_milli"),
+    ).orderBy("doc_id")
+
+
+def q_m10_audio_decode_features(spark, sf_dir):
+    """REAL audio decode under a hash oracle (the WAV counterpart of
+    m09): per document a deterministic square-wave WAV is generated
+    executor-side (PCM 16-bit mono, amplitude and half-period functions
+    of doc_id, 800 samples at 8 kHz), decoded by the pure-numpy RIFF
+    walker (operators/audiocodec.py), and featurized — RMS, peak, and
+    zero-crossing rate have closed forms for a square wave (RMS = peak =
+    A/32768; ZCR = (N/H - 1)/(N - 1) for half-period H dividing N), so
+    DuckDB evaluates every expected value analytically. Compressed audio
+    stays out of scope (raises with the sniffed container named)."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.operators.audiocodec import (
+            encode_wav,
+        )
+
+        n = 800
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                amp = 1000 + (d % 2000)
+                half = (5, 8, 10, 16)[d % 4]  # divides 800
+                wave = np.tile(
+                    np.concatenate(
+                        [np.full(half, amp), np.full(half, -amp)]
+                    ),
+                    n // (2 * half),
+                ).astype(np.int16)
+                blobs.append(bytearray(encode_wav(wave, 8000)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
             )
-        ],
+
+    clips = docs.mapInPandas(make, "doc_id long, content binary")
+    out = multimodal.audio_clip_features(
+        clips.select(F.col("doc_id").alias("media_id"), "content")
+    )
+    # integer-exact comparison surface: a square wave's RMS and peak in
+    # int16 units ARE the amplitude, and zcr·(n−1) IS the crossing count
+    # — re-integerized here so the oracle compares exact integers instead
+    # of 6-dp floats whose round() tie-breaking can differ across engines
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round(F.col("rms") * 32768).cast("long").alias("rms_i16"),
+        F.round(F.col("peak") * 32768).cast("long").alias("peak_i16"),
+        F.round(F.col("zcr") * (F.col("n_samples") - 1))
+        .cast("long")
+        .alias("n_zero_crossings"),
     ).orderBy("doc_id")
 
 
@@ -2815,6 +2885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b01_batch_validation": q_b01_batch_validation,
     "b02_batch_dri_metadata": q_b02_batch_dri_metadata,
     "m09_image_decode_features": q_m09_image_decode_features,
+    "m10_audio_decode_features": q_m10_audio_decode_features,
     # (a) NEW round 5
     "x17_unigram_lm_score": q_x17_unigram_lm_score,
     "m06_audio_window_plan": q_m06_audio_window_plan,
@@ -3271,29 +3342,47 @@ def oracle_sql() -> dict[str, str]:
                    first_bad.actual AS first_bad_actual
             FROM final ORDER BY consignment
         """,
+        "m10_audio_decode_features": """
+            WITH c AS (
+              SELECT doc_id,
+                     1000 + (doc_id % 2000) AS amp,
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN 5 WHEN 1 THEN 8
+                       WHEN 2 THEN 10 ELSE 16 END AS h
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(800 AS BIGINT) AS n_samples,
+                   CAST(100.0 AS DOUBLE) AS duration_ms,
+                   CAST(amp AS BIGINT) AS rms_i16,
+                   CAST(amp AS BIGINT) AS peak_i16,
+                   CAST(800 / h - 1 AS BIGINT) AS n_zero_crossings
+            FROM c ORDER BY doc_id
+        """,
         "m09_image_decode_features": """
             WITH c AS (
               SELECT doc_id,
-                     (doc_id % 256) / 255.0 AS ar,
-                     ((doc_id * 7) % 256) / 255.0 AS ag,
-                     ((doc_id * 13) % 256) / 255.0 AS ab,
-                     ((doc_id * 3) % 256) / 255.0 AS br,
-                     ((doc_id * 5) % 256) / 255.0 AS bg,
-                     ((doc_id * 11) % 256) / 255.0 AS bb
+                     doc_id % 256 AS ar,
+                     (doc_id * 7) % 256 AS ag,
+                     (doc_id * 13) % 256 AS ab,
+                     (doc_id * 3) % 256 AS br,
+                     (doc_id * 5) % 256 AS bg,
+                     (doc_id * 11) % 256 AS bb
               FROM documents
             )
             SELECT doc_id,
                    CAST(59 AS BIGINT) AS n_bytes,
-                   round((ar + br) / 2, 6) AS mean_r,
-                   round((ag + bg) / 2, 6) AS mean_g,
-                   round((ab + bb) / 2, 6) AS mean_b,
-                   round(abs(ar - br) / 2, 6) AS std_r,
-                   round(abs(ag - bg) / 2, 6) AS std_g,
-                   round(abs(ab - bb) / 2, 6) AS std_b,
-                   round(0.299*ar + 0.587*ag + 0.114*ab, 6) AS luma_1,
-                   round(0.299*ar + 0.587*ag + 0.114*ab, 6) AS luma_2,
-                   round(0.299*br + 0.587*bg + 0.114*bb, 6) AS luma_3,
-                   round(0.299*br + 0.587*bg + 0.114*bb, 6) AS luma_4
+                   CAST(ar + br AS BIGINT) AS sum_r,
+                   CAST(ag + bg AS BIGINT) AS sum_g,
+                   CAST(ab + bb AS BIGINT) AS sum_b,
+                   CAST(abs(ar - br) AS BIGINT) AS absdiff_r,
+                   CAST(abs(ag - bg) AS BIGINT) AS absdiff_g,
+                   CAST(abs(ab - bb) AS BIGINT) AS absdiff_b,
+                   CAST(299*ar + 587*ag + 114*ab AS BIGINT) AS luma_a_milli,
+                   CAST(299*ar + 587*ag + 114*ab AS BIGINT) AS luma_a2_milli,
+                   CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b_milli,
+                   CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b2_milli
             FROM c ORDER BY doc_id
         """,
         "b02_batch_dri_metadata": """

@@ -101,6 +101,7 @@ HEADLINE = [
     "b01_batch_validation",
     "b02_batch_dri_metadata",
     "m09_image_decode_features",
+    "m10_audio_decode_features",
     "e05b_embedding_lsh_pruned",
 ]
 

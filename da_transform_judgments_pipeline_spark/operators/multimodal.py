@@ -168,6 +168,45 @@ def resize_images(
     )
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms double,"
+    " rms double, peak double, zcr double"
+)
+
+
+def audio_clip_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + per-clip features over mapInPandas: WAV
+    (RIFF/PCM 16-bit) blobs decode through the pure-numpy codec
+    (:mod:`.audiocodec`) into duration / RMS / peak / zero-crossing-rate
+    — actual sample math, no external audio libs needed for this format.
+    Compressed audio raises :class:`.audiocodec.UnsupportedAudioError`
+    naming the sniffed container (MP3/OGG/FLAC are codec-library
+    territory; faking them would be dishonest). Output:
+    (media_id, sample_rate, n_samples, duration_ms, rms, peak, zcr)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import audiocodec
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                rate, samples = audiocodec.decode_wav(bytes(blob))
+                rows.append(
+                    {"media_id": mid, **audiocodec.audio_features(rate, samples)}
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "rms", "peak", "zcr",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 def audio_window_plan(
     media: DataFrame,
     window_ms: int = 1000,

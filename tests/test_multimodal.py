@@ -299,3 +299,45 @@ def test_resize_images_real_decode_roundtrip(spark):
 
     [stub] = multimodal.resize_images(cat, 2, 2).collect()
     assert bytes(stub["content"]) == blob
+
+
+def test_audiocodec_wav_roundtrip_and_features(spark):
+    """encode_wav/decode_wav round-trip (mono + stereo, odd-size chunk
+    padding), square-wave features are exact (RMS=peak=amplitude,
+    crossing count = N/H - 1), MP3 magic raises with the container
+    named, and the Spark operator computes the same numbers."""
+    import numpy as np
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.operators import (
+        audiocodec,
+        multimodal,
+    )
+
+    amp, half, n = 2000, 8, 800
+    wave = np.tile(
+        np.concatenate([np.full(half, amp), np.full(half, -amp)]),
+        n // (2 * half),
+    ).astype(np.int16)
+    blob = audiocodec.encode_wav(wave, 8000)
+    rate, samples = audiocodec.decode_wav(blob)
+    assert rate == 8000 and (samples[:, 0] == wave).all()
+
+    f = audiocodec.audio_features(rate, samples)
+    assert f["n_samples"] == n and f["duration_ms"] == 100.0
+    assert round(f["rms"] * 32768) == amp == round(f["peak"] * 32768)
+    assert round(f["zcr"] * (n - 1)) == n // half - 1
+
+    stereo = np.stack([wave, wave], axis=1)
+    r2, s2 = audiocodec.decode_wav(audiocodec.encode_wav(stereo, 44100))
+    assert r2 == 44100 and (s2 == stereo).all()
+
+    with _pytest.raises(audiocodec.UnsupportedAudioError, match="MP3"):
+        audiocodec.decode_wav(b"ID3\x04fake mp3 bytes")
+
+    clips = spark.createDataFrame(
+        [(7, bytearray(blob))], "media_id long, content binary"
+    )
+    [row] = multimodal.audio_clip_features(clips).collect()
+    assert (row["sample_rate"], row["n_samples"]) == (8000, n)
+    assert round(row["rms"] * 32768) == amp
