@@ -2754,6 +2754,55 @@ def q_m10_audio_decode_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_m11_video_decode_features(spark, sf_dir):
+    """REAL video decode under a hash oracle (the Y4M leg of the codec
+    triple, after m09/m10): per document a 4-frame 8x8 Y4M clip is
+    generated executor-side with constant per-frame luma
+    v(i) = (doc_id·31 + i·50) mod 256, decoded by the pure-numpy
+    yuv4mpeg2 parser (operators/videocodec.py), and reduced to per-frame
+    stats — constant frames make mean/min/max and the scene-cut delta
+    exact integers DuckDB computes analytically. One row per
+    (doc_id, frame_no). Compressed containers stay out of scope (raise
+    with the sniffed format named)."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.operators.videocodec import (
+            encode_y4m,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                luma = np.stack(
+                    [
+                        np.full((8, 8), (d * 31 + i * 50) % 256, np.uint8)
+                        for i in range(4)
+                    ]
+                )
+                blobs.append(bytearray(encode_y4m(luma, 30, 1)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    clips = docs.mapInPandas(make, "doc_id long, content binary")
+    return (
+        multimodal.video_frame_features(
+            clips.select(F.col("doc_id").alias("media_id"), "content")
+        )
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "frame_no", "width", "height", "fps_num", "fps_den",
+            "mean_luma_milli", "min_luma", "max_luma", "delta_milli",
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
 def q_b02_batch_dri_metadata(spark, sf_dir):
     """Batched stage-3 relational core (operators/dri_sip.py
     dri_metadata_keyed): FOUR consignments' DRI metadata.csv rows from
@@ -2886,6 +2935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b02_batch_dri_metadata": q_b02_batch_dri_metadata,
     "m09_image_decode_features": q_m09_image_decode_features,
     "m10_audio_decode_features": q_m10_audio_decode_features,
+    "m11_video_decode_features": q_m11_video_decode_features,
     # (a) NEW round 5
     "x17_unigram_lm_score": q_x17_unigram_lm_score,
     "m06_audio_window_plan": q_m06_audio_window_plan,
@@ -3341,6 +3391,24 @@ def oracle_sql() -> dict[str, str]:
                    first_bad.expected AS first_bad_expected,
                    first_bad.actual AS first_bad_actual
             FROM final ORDER BY consignment
+        """,
+        "m11_video_decode_features": """
+            WITH f AS (
+              SELECT d.doc_id, CAST(t.range AS BIGINT) AS frame_no,
+                     (d.doc_id * 31 + t.range * 50) % 256 AS v,
+                     CASE WHEN t.range > 0
+                          THEN (d.doc_id * 31 + (t.range - 1) * 50) % 256
+                          END AS pv
+              FROM documents d, range(4) t
+            )
+            SELECT doc_id, frame_no,
+                   CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                   CAST(30 AS INT) AS fps_num, CAST(1 AS INT) AS fps_den,
+                   CAST(v * 1000 AS BIGINT) AS mean_luma_milli,
+                   CAST(v AS INT) AS min_luma, CAST(v AS INT) AS max_luma,
+                   CAST(coalesce(abs(v - pv) * 1000, 0) AS BIGINT)
+                       AS delta_milli
+            FROM f ORDER BY doc_id, frame_no
         """,
         "m10_audio_decode_features": """
             WITH c AS (

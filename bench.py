@@ -102,6 +102,7 @@ HEADLINE = [
     "b02_batch_dri_metadata",
     "m09_image_decode_features",
     "m10_audio_decode_features",
+    "m11_video_decode_features",
     "e05b_embedding_lsh_pruned",
 ]
 

@@ -341,3 +341,44 @@ def test_audiocodec_wav_roundtrip_and_features(spark):
     [row] = multimodal.audio_clip_features(clips).collect()
     assert (row["sample_rate"], row["n_samples"]) == (8000, n)
     assert round(row["rms"] * 32768) == amp
+
+
+def test_videocodec_y4m_roundtrip_and_frame_stats(spark):
+    """encode_y4m/decode_y4m round-trip (header parse, FRAME markers,
+    chroma skip), per-frame stats exact for constant frames including
+    the scene-cut delta, MP4 magic raises with the container named, and
+    the Spark operator fans out one row per frame."""
+    import numpy as np
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.operators import (
+        multimodal,
+        videocodec,
+    )
+
+    luma = np.stack([
+        np.full((4, 6), 10, np.uint8),
+        np.full((4, 6), 200, np.uint8),
+        np.full((4, 6), 60, np.uint8),
+    ])
+    blob = videocodec.encode_y4m(luma, 24, 1)
+    w, h, num, den, got = videocodec.decode_y4m(blob)
+    assert (w, h, num, den) == (6, 4, 24, 1)
+    assert (got == luma).all()
+
+    stats = videocodec.frame_stats(got)
+    assert [s["mean_luma_milli"] for s in stats] == [10000, 200000, 60000]
+    assert [s["delta_milli"] for s in stats] == [0, 190000, 140000]
+
+    with _pytest.raises(videocodec.UnsupportedVideoError, match="MP4"):
+        videocodec.decode_y4m(b"\x00\x00\x00\x18ftypmp42fake")
+
+    clips = spark.createDataFrame(
+        [(9, bytearray(blob))], "media_id long, content binary"
+    )
+    rows = (
+        multimodal.video_frame_features(clips).orderBy("frame_no").collect()
+    )
+    assert [r["mean_luma_milli"] for r in rows] == [10000, 200000, 60000]
+    assert rows[1]["delta_milli"] == 190000
+    assert (rows[0]["width"], rows[0]["height"]) == (6, 4)
