@@ -40,9 +40,28 @@ def build_bagit(ref: str) -> bytes:
         f"data/content/file-{i}.txt": f"{ref} body {i}\n".encode() * 50
         for i in range(4)
     }
+    fm = (
+        "Filepath,FileName,FileType,Filesize,RightsCopyright,LegalStatus,"
+        "HeldBy,Language,FoiExemptionCode,LastModified\n"
+    )
+    for path, blob in sorted(data.items()):
+        name = path.rsplit("/", 1)[1]
+        fm += (
+            f"{path},{name},File,{len(blob)},Crown Copyright,Public Record,"
+            "TNA,English,open,2022-09-29T15:10:20\n"
+        )
+    fm += (
+        "data/content,content,Folder,,Crown Copyright,Public Record,"
+        "TNA,English,open,\n"
+    )
     root = {
         "bagit.txt": b"BagIt-Version: 0.97\n",
-        "bag-info.txt": f"Internal-Sender-Identifier: {ref}\n".encode(),
+        "bag-info.txt": (
+            "Consignment-Series: MOCKA 101\n"
+            f"Internal-Sender-Identifier: {ref}\n"
+            "Consignment-Export-Datetime: 2022-07-18T12:45:45Z\n"
+        ).encode(),
+        "file-metadata.csv": fm.encode(),
     }
     root["manifest-sha256.txt"] = "".join(
         f"{sha(v)}  {k}\n" for k, v in sorted(data.items())
@@ -64,7 +83,7 @@ def build_bagit(ref: str) -> bytes:
 
 
 def main() -> None:
-    ns = [int(a) for a in sys.argv[1:]] or [6, 24]
+    ns = [int(a) for a in sys.argv[1:] if not a.startswith("-")] or [6, 24]
 
     from pyspark.sql import SparkSession
 
@@ -76,6 +95,7 @@ def main() -> None:
     )
     from da_transform_judgments_pipeline_spark.plans.stages import (
         StageContext,
+        bagit_to_dri_sip,
         validate_bagit,
         validate_bagit_files,
     )
@@ -125,23 +145,29 @@ def main() -> None:
 
         ctx_seq = StageContext(store_root=os.path.join(base, "store-seq"))
         ctx_bat = StageContext(store_root=os.path.join(base, "store-bat"))
+        to_sip = "--sip" in sys.argv
 
         sc.setJobGroup(f"seq-{n}", "sequential")
         t0 = time.perf_counter()
         seq_out = []
         for e in events:
             a = validate_bagit(spark, e, ctx_seq)
-            seq_out.append(
+            b = (
                 validate_bagit_files(spark, a, ctx_seq)
                 if a["producer"]["event-name"] == "bagit-received"
                 else a
             )
+            if to_sip and b["producer"]["event-name"] == "bagit-validated":
+                b = bagit_to_dri_sip(spark, b, ctx_seq)
+            seq_out.append(b)
         seq_s = time.perf_counter() - t0
         sc.setJobGroup(None, None)
 
         sc.setJobGroup(f"bat-{n}", "batched")
         t0 = time.perf_counter()
-        bat_out = validate_consignments_batch(spark, events, ctx_bat)
+        bat_out = validate_consignments_batch(
+            spark, events, ctx_bat, to_sip=to_sip
+        )
         bat_s = time.perf_counter() - t0
         sc.setJobGroup(None, None)
 
@@ -152,6 +178,7 @@ def main() -> None:
         ] == [e["producer"]["event-name"] for e in bat_out]
         results[n] = {
             "consignments": n,
+            "chain": "A+B+SIP" if to_sip else "A+B",
             "sequential_sec": round(seq_s, 2),
             "batch_sec": round(bat_s, 2),
             "sequential_jobs": seq_jobs,
@@ -161,17 +188,22 @@ def main() -> None:
         }
         print(json.dumps(results[n]))
 
-    with open(os.path.join(REPO, "BATCHCHECK_r06.md"), "w") as f:
+    out_path = os.path.join(REPO, "BATCHCHECK_r06.md")
+    chain = "A+B+SIP" if "--sip" in sys.argv else "A+B"
+    header_needed = not os.path.exists(out_path)
+    with open(out_path, "a") as f:
+        if header_needed:
+            f.write(
+                "# Batched vs sequential intake chain (round 6)\n\n"
+                "Measured on local[32]; valid consignments, 4 data files "
+                "each; independent\nstores, event-name equivalence checked "
+                "per run. The batch twin's job count\nis O(1) in N while "
+                "the sequential loop's grows linearly.\n"
+            )
         f.write(
-            "# Batched vs sequential intake chain (round 6)\n\n"
-            "Measured on local[32]; valid consignments, 4 data files each; "
-            "stages A+B\n(validate_bagit + validate_bagit_files vs "
-            "validate_consignments_batch),\nindependent stores, "
-            "event-name equivalence checked per run.\n\n```json\n"
+            f"\n## Chain {chain}\n\n```json\n"
             + json.dumps(results, indent=2)
-            + "\n```\n\nThe batch twin's job count is O(1) in N while the "
-            "sequential loop's grows\nlinearly; wall-clock follows once N "
-            "outgrows per-job fixed overheads.\n"
+            + "\n```\n"
         )
     ok = all(v["all_validated_agree"] for v in results.values())
     sys.exit(0 if ok else 1)
