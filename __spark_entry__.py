@@ -2803,6 +2803,30 @@ def q_m11_video_decode_features(spark, sf_dir):
     )
 
 
+def q_x21_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING (text.bpe_train — the greedy merge-learning
+    loop x15's pair counts feed): 10 merges learned from the documents
+    corpus via the word-frequency formulation (one corpus shuffle, then
+    vocabulary-sized iterations). Output: the ordered merge table
+    (rank, left, right, pair_count). Rows-only by design — an iterative
+    argmax loop has no SQL oracle; its correctness evidence is the
+    differential pytest proving EXACT merge-sequence equality (ties and
+    early-stop included) with an independent pure-Python Sennrich
+    trainer, plus bpe_segment's token-count agreement."""
+    docs = _T(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=10)
+    if not merges:
+        return spark.createDataFrame(
+            [], "rank long, left string, right string, pair_count long"
+        )
+    return spark.createDataFrame(merges).select(
+        F.col("rank").cast("long"),
+        "left",
+        "right",
+        F.col("pair_count").cast("long"),
+    ).orderBy("rank")
+
+
 def q_b02_batch_dri_metadata(spark, sf_dir):
     """Batched stage-3 relational core (operators/dri_sip.py
     dri_metadata_keyed): FOUR consignments' DRI metadata.csv rows from
@@ -3037,6 +3061,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # design like e03/e07; evidence = planted-near-dup recall pytest +
     # the bench's measured candidate-fraction log
     "e05b_embedding_lsh_pruned": q_e05b_embedding_lsh_pruned,
+    # x21: iterative BPE merge learning — no SQL oracle exists for an
+    # argmax loop; evidence = exact-merge-sequence differential pytest
+    # vs an independent pure-Python trainer
+    "x21_bpe_train": q_x21_bpe_train,
     "e07_ann_ivf": q_e07_ann_ivf,
     "e02_cosine_topk": q_e02_cosine_topk,
     "a07_pricing_summary": q_a07_pricing_summary,

@@ -103,6 +103,7 @@ HEADLINE = [
     "m09_image_decode_features",
     "m10_audio_decode_features",
     "m11_video_decode_features",
+    "x21_bpe_train",
     "e05b_embedding_lsh_pruned",
 ]
 

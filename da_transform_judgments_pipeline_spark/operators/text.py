@@ -794,6 +794,138 @@ def bpe_pair_counts(
     ).limit(top_n)
 
 
+def _apply_merge(col: Column, left: str, right: str) -> Column:
+    """Apply ONE learned BPE merge to a symbol array — greedy leftmost
+    non-overlapping, exactly the reference algorithm's replace semantics —
+    as a pure Catalyst fold (no UDF): walk the symbols, and whenever the
+    accumulated tail is `left` and the next symbol is `right`, replace the
+    tail with the merged symbol."""
+    merged = left + right
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+) -> list[dict]:
+    """LEARN a BPE merge table (Sennrich et al., ACL 2016 — the algorithm
+    behind GPT-2/RoBERTa-style tokenizers): greedily merge the most
+    frequent adjacent symbol pair, ``n_merges`` times. Returns the ordered
+    merge list ``[{rank, left, right, pair_count}, ...]`` — driver-held
+    model bytes, like the k-means centroids.
+
+    The 100 TB shape is the original paper's own trick: BPE statistics
+    live on the WORD-FREQUENCY table, not the corpus — so the corpus is
+    shuffled ONCE (groupBy word), and every merge iteration runs on the
+    vocabulary (orders of magnitude smaller): one map-side pair explode
+    weighted by word count, one combinable agg for the arg-max pair, one
+    map-side Catalyst fold (:func:`_apply_merge`, no UDF) rewriting the
+    symbol arrays. ``localCheckpoint`` per round bounds the iterative
+    lineage exactly like dedup.connected_components. Ties break
+    deterministically (count desc, then pair lexicographic) so runs are
+    reproducible and the differential pytest against a pure-Python
+    reference trainer can demand EXACT merge-sequence equality.
+
+    Words are whitespace tokens split to characters with a ``</w>``
+    end-of-word marker (the classic formulation; merges never cross word
+    boundaries). Stops early when no pair reaches ``min_pair_count``.
+    """
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    cur = vocab.select(
+        F.concat(
+            F.filter(F.split("w", ""), lambda c: c != ""),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+        "n",
+    ).localCheckpoint()
+
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p")
+            .agg(F.sum("n").alias("c"))
+        )
+        top = (
+            pairs.orderBy(
+                F.col("c").desc(), F.col("p.l"), F.col("p.r")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_pair_count:
+            break
+        left, right, count = top[0]["p"]["l"], top[0]["p"]["r"], int(top[0]["c"])
+        merges.append(
+            {"rank": rank, "left": left, "right": right, "pair_count": count}
+        )
+        cur = cur.select(
+            _apply_merge(F.col("syms"), left, right).alias("syms"), "n"
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY a learned merge table (:func:`bpe_train`) to a corpus:
+    (id, token_count_bpe, symbols-per-word rows flattened to one
+    space-joined string per document for stable comparison). Map-side
+    only — the merges compile into a chain of Catalyst folds per word
+    (fine for the tens-to-hundreds of merges a test/tokenizer-prep pass
+    learns; production tokenizers precompile vocabularies instead of
+    replaying merges)."""
+    words = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w"),
+    )
+    syms = F.concat(
+        F.filter(F.split("w", ""), lambda c: c != ""),
+        F.array(F.lit("</w>")),
+    )
+    for m in merges:
+        syms = _apply_merge(syms, m["left"], m["right"])
+    return (
+        words.select(F.col(id_col), syms.alias("syms"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -236,6 +236,7 @@ def test_driver_contract_registry_consistency():
         "e05b_embedding_lsh_pruned",
         "e07_ann_ivf",
         "e12_pq_topk",
+        "x21_bpe_train",
     ]
     window = list(qs)[:50]
     assert len(set(window)) == 50
