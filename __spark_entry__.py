@@ -2803,6 +2803,25 @@ def q_m11_video_decode_features(spark, sf_dir):
     )
 
 
+def q_x22_token_budget_sample(spark, sf_dir):
+    """Domain-mixture sampling to a token budget (text.token_budget_sample
+    — the data-mixing step): four sources with weights 3/1/1/10 share a
+    2000-token budget; per-source keep-rates derive from ONE availability
+    agg (min(1, wᵢ·B/availᵢ) — src5's weight saturates at sf0.01,
+    exercising the keep-all threshold) and the sample itself is the
+    engine-agnostic md5-threshold filter, a pure function of
+    (source, doc_id). DuckDB recomputes availability, rates, thresholds
+    (same float arithmetic + truncating hex render), and the hash filter
+    — the whole mixture calculation is hash-checked, not just the
+    filter."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.token_budget_sample(
+        docs,
+        weights={"src1": 3.0, "src2": 1.0, "src3": 1.0, "src5": 10.0},
+        total_tokens=2000,
+    ).orderBy("doc_id")
+
+
 def q_x21_bpe_train(spark, sf_dir):
     """BPE tokenizer TRAINING (text.bpe_train — the greedy merge-learning
     loop x15's pair counts feed): 10 merges learned from the documents
@@ -2962,6 +2981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m09_image_decode_features": q_m09_image_decode_features,
     "m10_audio_decode_features": q_m10_audio_decode_features,
     "m11_video_decode_features": q_m11_video_decode_features,
+    "x22_token_budget_sample": q_x22_token_budget_sample,
     # (a) NEW round 5
     "x17_unigram_lm_score": q_x17_unigram_lm_score,
     "m06_audio_window_plan": q_m06_audio_window_plan,
@@ -3421,6 +3441,45 @@ def oracle_sql() -> dict[str, str]:
                    first_bad.expected AS first_bad_expected,
                    first_bad.actual AS first_bad_actual
             FROM final ORDER BY consignment
+        """,
+        "x22_token_budget_sample": r"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     len(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         t -> t <> '')) AS n_tokens,
+                     substring(
+                         md5(':' || source || ':' || doc_id), 1, 8) AS h
+              FROM documents
+            ),
+            avail AS (
+              SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS toks
+              FROM tok GROUP BY source
+            ),
+            rates AS (
+              SELECT source, toks,
+                     CASE source
+                       WHEN 'src1' THEN (3.0 / 15.0)
+                       WHEN 'src2' THEN (1.0 / 15.0)
+                       WHEN 'src3' THEN (1.0 / 15.0)
+                       WHEN 'src5' THEN (10.0 / 15.0)
+                     END AS wn
+              FROM avail
+            ),
+            thr AS (
+              SELECT source,
+                     CASE WHEN wn * 2000 / toks >= 1.0 THEN 'g'
+                          ELSE printf('%08x',
+                               CAST(floor((wn * 2000 / toks)
+                                          * 4294967296.0) AS BIGINT))
+                     END AS t
+              FROM rates WHERE wn IS NOT NULL
+            )
+            SELECT tok.doc_id, tok.source,
+                   CAST(tok.n_tokens AS INT) AS n_tokens
+            FROM tok JOIN thr USING (source)
+            WHERE tok.h < thr.t
+            ORDER BY tok.doc_id
         """,
         "m11_video_decode_features": """
             WITH f AS (

@@ -104,6 +104,7 @@ HEADLINE = [
     "m10_audio_decode_features",
     "m11_video_decode_features",
     "x21_bpe_train",
+    "x22_token_budget_sample",
     "e05b_embedding_lsh_pruned",
 ]
 

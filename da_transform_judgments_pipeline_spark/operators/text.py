@@ -794,6 +794,73 @@ def bpe_pair_counts(
     ).limit(top_n)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Domain-MIXTURE sampling to a TOKEN budget — the data-mixing step of
+    a training-data pipeline: given target mixture ``weights`` per source
+    and a global ``total_tokens`` budget, keep each source's documents at
+    the deterministic rate that lands its share of the budget,
+    ``rate_s = min(1, weight_s·B / available_s)`` (a source with fewer
+    tokens than its target is taken whole — the standard up-capped
+    epoch-0 behavior; callers repeat epochs for true oversampling).
+
+    Shape: ONE availability aggregation (S rows collected — control
+    plane), then a MAP-SIDE filter using the same engine-agnostic
+    md5-threshold machinery as :func:`deterministic_sample`, with the
+    per-source threshold compiled into a CASE chain. No shuffle on the
+    kept path; sources absent from ``weights`` are dropped. Sampling is a
+    pure function of (salt, source, id): reproducible across runs,
+    engines, and cluster sizes, and re-derivable by a warehouse audit
+    query. Returns (id, source, n_tokens) for the kept documents.
+    """
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be positive")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    avail = {
+        r["s"]: int(r["toks"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(token_count(text_col)).alias("toks"))
+        .collect()
+    }
+    thr = None
+    for s, w in sorted(weights.items()):
+        if s not in avail or avail[s] <= 0:
+            continue
+        rate = min(1.0, (w / wsum) * total_tokens / avail[s])
+        case = F.when(F.col(source_col) == s, F.lit(_hex_thr(rate)))
+        thr = case if thr is None else thr.when(
+            F.col(source_col) == s, F.lit(_hex_thr(rate))
+        )
+    if thr is None:
+        return df.select(
+            F.col(id_col), F.col(source_col),
+            token_count(text_col).alias("n_tokens"),
+        ).limit(0)
+    key = F.concat_ws(
+        ":", F.lit(salt), F.col(source_col), F.col(id_col).cast("string")
+    )
+    return (
+        df.withColumn("_thr", thr)
+        .filter(
+            F.col("_thr").isNotNull()
+            & (F.substring(F.md5(key), 1, 8) < F.col("_thr"))
+        )
+        .select(
+            F.col(id_col), F.col(source_col),
+            token_count(text_col).alias("n_tokens"),
+        )
+    )
+
+
 def _apply_merge(col: Column, left: str, right: str) -> Column:
     """Apply ONE learned BPE merge to a symbol array — greedy leftmost
     non-overlapping, exactly the reference algorithm's replace semantics —

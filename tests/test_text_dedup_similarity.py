@@ -823,3 +823,46 @@ def t_bpe(df):
     from da_transform_judgments_pipeline_spark.operators import text as t
 
     return t.bpe_train(df, n_merges=5)
+
+
+def test_token_budget_sample_mixture_calibration(spark):
+    """Per-source token yields land near weight_s x budget (hash sampling
+    is binomial — 3sigma tolerance); a source whose availability is under
+    its target is taken WHOLE; unlisted sources are dropped; the sample
+    is a pure function of keys (re-run identical)."""
+    import numpy as np
+
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    rng = np.random.RandomState(13)
+    rows = []
+    did = 0
+    for src, n_docs in (("a", 400), ("b", 400), ("tiny", 5)):
+        for _ in range(n_docs):
+            n_words = 10 + int(rng.randint(0, 20))
+            rows.append((did, src, " ".join(f"w{did}x{j}" for j in range(n_words))))
+            did += 1
+    rows.append((did, "unlisted", "should never appear"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    weights = {"a": 3.0, "b": 1.0, "tiny": 1.0}
+    budget = 8000
+    out = t.token_budget_sample(df, weights, budget).collect()
+    assert all(r["source"] != "unlisted" for r in out)
+
+    got = {}
+    for r in out:
+        got[r["source"]] = got.get(r["source"], 0) + r["n_tokens"]
+    wsum = sum(weights.values())
+    for src in ("a", "b"):
+        target = weights[src] / wsum * budget
+        # binomial std ≈ sqrt(target · mean_doc_tokens); 3σ with ~20-token docs
+        assert abs(got[src] - target) < 3 * (target * 20) ** 0.5, (src, got)
+    # tiny's availability (~5·20 tokens) is far below its 1600-token
+    # target → every tiny doc kept
+    assert sum(1 for r in out if r["source"] == "tiny") == 5
+
+    again = t.token_budget_sample(df, weights, budget).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )
