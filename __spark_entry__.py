@@ -2928,9 +2928,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Round 6 rotation: b01/b02 (the batched multi-consignment stage
     # cores — validation report and keyed DRI metadata) and m09/m10/m11
     # (the pure-numpy codec triple — image/audio/video decode under
-    # closed-form oracles), all NEW this round, lead the window; the five
-    # displaced tail entries (x02/x03/x05/x04/x11, all multi-green and
-    # unchanged) move past the cap under the standing policy. Every query whose code
+    # closed-form oracles) and x22 (mixture sampling), all NEW this
+    # round, lead the window; the displaced tail entries
+    # (x02/x03/x05/x04/x11 and the next boundary rows, all multi-green
+    # and unchanged) move past the cap under the standing policy. Every query whose code
     # changed in r6 was already inside positions 1-50 and stays there:
     # o08 (scd2 struct-lag null fix), m08 (keyed_prefix_rank
     # engine-rendered offset keys), e11 (MMR id-typed schema), d02
