@@ -344,6 +344,8 @@ def validate_bagit_files_batch(
         F.col("archive_nofs") == F.col("archive_path"),
         "left",
     ).persist()
+    _cached_members = keyed  # keep the handle: `keyed` is reassigned below
+    # and unpersist() on a derived frame would silently leak the cache
 
     unpack_errors = {
         r["unpacked_root"]: r["error"]
@@ -444,7 +446,7 @@ def validate_bagit_files_batch(
             .agg(F.count("*").alias("n"))
             .collect()
         }
-    keyed.unpersist()
+    _cached_members.unpersist()
 
     out_events: list[dict] = []
     for p in plans:
