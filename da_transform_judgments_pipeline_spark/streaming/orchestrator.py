@@ -301,7 +301,12 @@ def run_pipeline(
 
     Per batch (T1): `ok` rows are dispatched per event-name through
     `stages` (each stage gets (spark, batch_df_for_its_event) and returns an
-    output-event DataFrame appended to out/events); `retry` rows append to
+    output-event DataFrame appended to out/events — NB the sink is shared
+    with the unhandled-event pass-through's flat schema, so a stage
+    returning a different schema leaves mixed parquet schemas in the
+    directory; consumers of such sinks should read with mergeSchema=true
+    or filter on a stage-specific column, and stages that want a clean
+    sink should align with the pass-through columns); `retry` rows append to
     out/retries (a re-queue feed); `dead-letter` + `invalid` rows append to
     out/dlq and fire the `alert` callback (T6 — Slack in the reference,
     injectable here). Every dispatched exec_name is recorded in
