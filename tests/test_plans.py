@@ -274,3 +274,22 @@ def test_batch_validation_report_plan_shape(spark):
     # and the report itself is correct on this toy input
     got = {r["consignment"]: r["status"] for r in out.collect()}
     assert got == {"P-1": "error", "P-2": "error"}  # planted mismatches
+
+
+def test_token_budget_sample_is_map_side(spark):
+    """x22's scale contract: after the one availability agg (computed
+    before plan construction, control-plane), the SAMPLE itself is a
+    pure map-side filter — the returned plan carries no Exchange, so at
+    100 TB the kept path is a single scan."""
+    from da_transform_judgments_pipeline_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", "w " * 10) for i in range(40)],
+        ["doc_id", "source", "text"],
+    )
+    out = text.token_budget_sample(
+        df, {"s0": 1.0, "s1": 1.0}, total_tokens=100
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    out.count()
