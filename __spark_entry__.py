@@ -2822,6 +2822,22 @@ def q_x22_token_budget_sample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_x23_epoch_order(spark, sf_dir):
+    """Deterministic epoch-shuffle keys (text.epoch_order_key — the
+    data-loading permutation): two epochs' keys per document, plus each
+    epoch's rank-correlation witness (the leading hex nibble), ordered by
+    doc_id. Ordering by key_e1 vs key_e2 yields two different
+    reproducible permutations with NO RNG and no global row-number — at
+    scale the key range-partitions the write instead (write_sorted_
+    parquet). DuckDB recomputes the same md5 keys."""
+    docs = _T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.epoch_order_key(1).alias("key_e1"),
+        text.epoch_order_key(2).alias("key_e2"),
+    ).orderBy("doc_id")
+
+
 def q_x21_bpe_train(spark, sf_dir):
     """BPE tokenizer TRAINING (text.bpe_train — the greedy merge-learning
     loop x15's pair counts feed): 10 merges learned from the documents
@@ -2983,6 +2999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m10_audio_decode_features": q_m10_audio_decode_features,
     "m11_video_decode_features": q_m11_video_decode_features,
     "x22_token_budget_sample": q_x22_token_budget_sample,
+    "x23_epoch_order": q_x23_epoch_order,
     # (a) NEW round 5
     "x17_unigram_lm_score": q_x17_unigram_lm_score,
     "m06_audio_window_plan": q_m06_audio_window_plan,
@@ -3442,6 +3459,12 @@ def oracle_sql() -> dict[str, str]:
                    first_bad.expected AS first_bad_expected,
                    first_bad.actual AS first_bad_actual
             FROM final ORDER BY consignment
+        """,
+        "x23_epoch_order": """
+            SELECT doc_id,
+                   substring(md5(':1:' || doc_id), 1, 16) AS key_e1,
+                   substring(md5(':2:' || doc_id), 1, 16) AS key_e2
+            FROM documents ORDER BY doc_id
         """,
         "x22_token_budget_sample": r"""
             WITH tok AS (

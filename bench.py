@@ -105,6 +105,7 @@ HEADLINE = [
     "m11_video_decode_features",
     "x21_bpe_train",
     "x22_token_budget_sample",
+    "x23_epoch_order",
     "e05b_embedding_lsh_pruned",
 ]
 

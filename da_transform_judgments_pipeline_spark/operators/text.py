@@ -794,6 +794,31 @@ def bpe_pair_counts(
     ).limit(top_n)
 
 
+def epoch_order_key(
+    epoch: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> Column:
+    """Deterministic per-epoch shuffle KEY: md5(salt:epoch:id) prefix.
+    Ordering a corpus by this key is a reproducible pseudo-random
+    permutation that changes every epoch — the data-loading shuffle an
+    LLM training run needs, WITHOUT an RNG or a global rank: at 100 TB
+    you never materialize row numbers, you range-partition the WRITE on
+    this key (:func:`..sources.sinks.write_sorted_parquet`), and readers
+    consume files in key order. Engine-agnostic (md5), so the exact epoch
+    order is re-derivable by any auditing system."""
+    return F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(salt), F.lit(str(int(epoch))),
+                F.col(id_col).cast("string"),
+            )
+        ),
+        1,
+        16,
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     weights: dict[str, float],

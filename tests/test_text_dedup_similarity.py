@@ -866,3 +866,33 @@ def test_token_budget_sample_mixture_calibration(spark):
     assert sorted(r["doc_id"] for r in again) == sorted(
         r["doc_id"] for r in out
     )
+
+
+def test_epoch_order_is_permutation_and_epoch_dependent(spark):
+    """Epoch keys induce a full deterministic permutation (no collisions
+    at realistic scale — 16 hex chars), different epochs give different
+    orders, same epoch re-derives identically."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(300)], ["doc_id"]
+    )
+    rows = df.select(
+        "doc_id",
+        t.epoch_order_key(1).alias("k1"),
+        t.epoch_order_key(2).alias("k2"),
+    ).collect()
+    k1 = [r["k1"] for r in rows]
+    k2 = [r["k2"] for r in rows]
+    assert len(set(k1)) == 300 and len(set(k2)) == 300  # injective
+    order1 = [r["doc_id"] for r in sorted(rows, key=lambda r: r["k1"])]
+    order2 = [r["doc_id"] for r in sorted(rows, key=lambda r: r["k2"])]
+    assert sorted(order1) == list(range(300))  # a true permutation
+    assert order1 != order2                    # epochs reshuffle
+    again = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", t.epoch_order_key(1).alias("k")
+        ).collect()
+    }
+    assert all(again[r["doc_id"]] == r["k1"] for r in rows)
