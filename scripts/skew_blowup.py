@@ -406,6 +406,49 @@ def main() -> None:
         and fan["uncapped"] > 50 * max(fan["capped"], 1),
     }
 
+    # ---- 6. tokenizer prep on the dup-heavy corpus ----------------------
+    # BPE's word-frequency formulation makes its merges INVARIANT under
+    # exact duplication: the ×factor corpus must learn the SAME merge
+    # sequence as the base corpus with every pair_count exactly ×factor —
+    # a joint scale + correctness check (the vocabulary table, where the
+    # iterations run, does not grow at all). The mixture sampler's rates
+    # shrink ×factor against the same token budget; its sampled token
+    # yield must stay within the binomial band of the budget share.
+    t0 = time.perf_counter()
+    merges_base = text.bpe_train(docs, n_merges=6)
+    merges_blown = text.bpe_train(blown, n_merges=6)
+    x21_s = time.perf_counter() - t0
+    merges_ok = [
+        (m["left"], m["right"]) for m in merges_base
+    ] == [(m["left"], m["right"]) for m in merges_blown] and all(
+        mb["pair_count"] * factor == mx["pair_count"]
+        for mb, mx in zip(merges_base, merges_blown)
+    )
+    results["x21_dup_heavy"] = {
+        "merges": len(merges_blown),
+        "sec": round(x21_s, 2),
+        "ok": bool(merges_ok and merges_blown),
+    }
+
+    t0 = time.perf_counter()
+    blown_src = blown.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"))
+    )
+    budget = 200_000
+    sample = text.token_budget_sample(
+        blown_src, {"s0": 1.0, "s1": 1.0, "s2": 1.0, "s3": 1.0}, budget
+    )
+    got_tokens = sample.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
+    x22_s = time.perf_counter() - t0
+    results["x22_dup_heavy"] = {
+        "docs": n_blown,
+        "budget": budget,
+        "sampled_tokens": int(got_tokens or 0),
+        "sec": round(x22_s, 2),
+        # binomial band: ±5% of the budget is ~10σ headroom at this size
+        "ok": abs((got_tokens or 0) - budget) < 0.05 * budget,
+    }
+
     print(json.dumps(results))
     ok = all(v.get("ok", True) for v in results.values()) and results[
         "split_win_case"
