@@ -312,7 +312,29 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # The driver's capture keeps the TAIL of the output: r5 and r6 both
+    # recorded a front-truncated line (scalars-first ordering put
+    # headline_total exactly in the truncated region → `parsed: null`).
+    # Two defenses: (a) repeat the scalar summary as the LAST keys of the
+    # big object, (b) print a compact second line — scalars + per-query
+    # timings only, ~3 KB — as the FINAL line, so a tail capture of any
+    # reasonable size ends with one small complete JSON line.
+    out["headline_total"] = total
+    out["headline_unit"] = "sec"
+    out["headline_sf"] = sf
     print(json.dumps(out))
+    tail = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "r3_subtotal": out["r3_subtotal"],
+        "n_queries": len(timings),
+        "n_smoke": len(smoke),
+        "n_errors": len(errors),
+        "queries": timings,
+    }
+    print(json.dumps(tail))
     spark.stop()
 
 

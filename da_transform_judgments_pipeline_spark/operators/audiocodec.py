@@ -60,6 +60,13 @@ def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
             f"WAV format={audio_format} bits={bits} unsupported "
             "(only PCM 16-bit)"
         )
+    if channels < 1 or rate < 1:
+        # malformed fmt chunk: channels=0 would otherwise surface as a
+        # ZeroDivisionError in the frame arithmetic below, escaping the
+        # codec's typed-error contract
+        raise UnsupportedAudioError(
+            f"WAV malformed fmt chunk: channels={channels} rate={rate}"
+        )
     samples = np.frombuffer(
         data, dtype="<i2", count=(len(data) // (2 * channels)) * channels
     ).reshape(-1, channels)

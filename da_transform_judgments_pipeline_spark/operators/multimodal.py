@@ -79,8 +79,19 @@ def _fake_decode(blob: bytes, dim: int) -> list[float]:
     return out
 
 
+def _check_on_error(on_error: str) -> bool:
+    if on_error not in ("raise", "report"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'report', not {on_error!r}"
+        )
+    return on_error == "report"
+
+
 def extract_features(
-    media: DataFrame, dim: int = 16, real_decode: bool = False
+    media: DataFrame,
+    dim: int = 16,
+    real_decode: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode/feature-extract over mapInPandas (Arrow-batched; one batch of
     media rows per invocation — the shape a GPU decode stage needs).
@@ -92,7 +103,14 @@ def extract_features(
     UnsupportedImageError` (naming the sniffed format) for compressed
     formats that need a codec library this container lacks. The default
     fake path keeps the plumbing testable on arbitrary bytes.
+
+    ``on_error="report"`` isolates undecodable blobs instead of failing
+    the job (same contract as :func:`..sources.archive.untar`): an
+    ``error`` column is appended (NULL on success), a failed decode
+    yields its row with feature=NULL and the exception message — one
+    corrupt object must not fail a million-object batch.
     """
+    report = _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -102,25 +120,43 @@ def extract_features(
 
         for pdf in batches:
             blobs = [bytes(b) if b is not None else b"" for b in pdf["content"]]
-            if real_decode:
-                feats = [
-                    imagecodec.image_features(imagecodec.decode_image(b), dim)
-                    for b in blobs
-                ]
-            else:
-                feats = [_fake_decode(b, dim) for b in blobs]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": [len(b) for b in blobs],
-                    "sha256": [hashlib.sha256(b).hexdigest() for b in blobs],
-                    "feature": feats,
-                }
-            )
+            feats: list = []
+            errs: list = []
+            for b in blobs:
+                try:
+                    if real_decode:
+                        feats.append(
+                            imagecodec.image_features(
+                                imagecodec.decode_image(b), dim
+                            )
+                        )
+                    else:
+                        feats.append(_fake_decode(b, dim))
+                    errs.append(None)
+                except Exception as e:
+                    if not report:
+                        raise
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            out = {
+                "media_id": pdf["media_id"],
+                "n_bytes": [len(b) for b in blobs],
+                "sha256": [hashlib.sha256(b).hexdigest() for b in blobs],
+                "feature": feats,
+            }
+            if report:
+                out["error"] = errs
+            yield pd.DataFrame(out)
 
-    return media.select("media_id", "content").mapInPandas(
-        run, schema=FEATURE_SCHEMA
+    schema = (
+        T.StructType(
+            FEATURE_SCHEMA.fields
+            + [T.StructField("error", T.StringType(), True)]
+        )
+        if report
+        else FEATURE_SCHEMA
     )
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)
 
 
 def resize_images(
@@ -174,7 +210,7 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def audio_clip_features(media: DataFrame) -> DataFrame:
+def audio_clip_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL audio decode + per-clip features over mapInPandas: WAV
     (RIFF/PCM 16-bit) blobs decode through the pure-numpy codec
     (:mod:`.audiocodec`) into duration / RMS / peak / zero-crossing-rate
@@ -182,29 +218,42 @@ def audio_clip_features(media: DataFrame) -> DataFrame:
     Compressed audio raises :class:`.audiocodec.UnsupportedAudioError`
     naming the sniffed container (MP3/OGG/FLAC are codec-library
     territory; faking them would be dishonest). Output:
-    (media_id, sample_rate, n_samples, duration_ms, rms, peak, zcr)."""
+    (media_id, sample_rate, n_samples, duration_ms, rms, peak, zcr).
+
+    ``on_error="report"`` appends an ``error`` column (NULL on success)
+    and emits a NULL-feature row for each undecodable clip instead of
+    failing the job — the untar report contract."""
+    report = _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import audiocodec
 
+        cols = [
+            "media_id", "sample_rate", "n_samples", "duration_ms",
+            "rms", "peak", "zcr",
+        ] + (["error"] if report else [])
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                rate, samples = audiocodec.decode_wav(bytes(blob))
-                rows.append(
-                    {"media_id": mid, **audiocodec.audio_features(rate, samples)}
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "sample_rate", "n_samples", "duration_ms",
-                    "rms", "peak", "zcr",
-                ],
-            )
+                try:
+                    rate, samples = audiocodec.decode_wav(bytes(blob))
+                    row = {
+                        "media_id": mid,
+                        **audiocodec.audio_features(rate, samples),
+                    }
+                    if report:
+                        row["error"] = None
+                except Exception as e:
+                    if not report:
+                        raise
+                    row = {c: None for c in cols}
+                    row["media_id"] = mid
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return media.select("media_id", "content").mapInPandas(
-        run, schema=AUDIO_FEATURE_SCHEMA
-    )
+    schema = AUDIO_FEATURE_SCHEMA + (", error string" if report else "")
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)
 
 
 VIDEO_FRAME_SCHEMA = (
@@ -214,7 +263,7 @@ VIDEO_FRAME_SCHEMA = (
 )
 
 
-def video_frame_features(media: DataFrame) -> DataFrame:
+def video_frame_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL video decode + per-frame features over mapInPandas: Y4M
     (uncompressed yuv4mpeg2) blobs decode through the pure-numpy codec
     (:mod:`.videocodec`) into one row per frame with luma statistics and
@@ -222,42 +271,56 @@ def video_frame_features(media: DataFrame) -> DataFrame:
     :class:`.videocodec.UnsupportedVideoError` naming the sniffed format
     (MP4/MKV/AVI need a codec library; no fake decode). The fan-out row
     shape matches :func:`frame_sample_plan` — this is that plan's decode
-    stage for the one container decodable without codecs."""
+    stage for the one container decodable without codecs.
+
+    ``on_error="report"`` appends an ``error`` column (NULL on success);
+    an undecodable blob yields ONE row (frame_no NULL, error=<message>)
+    and every healthy video's frames flow through — the untar report
+    contract, so one corrupt object cannot fail a large batch."""
+    report = _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import videocodec
 
+        cols = [
+            "media_id", "frame_no", "width", "height", "fps_num",
+            "fps_den", "mean_luma_milli", "min_luma", "max_luma",
+            "delta_milli",
+        ] + (["error"] if report else [])
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                w, h, num, den, luma = videocodec.decode_y4m(bytes(blob))
-                for st in videocodec.frame_stats(luma):
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "frame_no": st["frame_no"],
-                            "width": w,
-                            "height": h,
-                            "fps_num": num,
-                            "fps_den": den,
-                            "mean_luma_milli": st["mean_luma_milli"],
-                            "min_luma": st["min_luma"],
-                            "max_luma": st["max_luma"],
-                            "delta_milli": st["delta_milli"],
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "frame_no", "width", "height", "fps_num",
-                    "fps_den", "mean_luma_milli", "min_luma", "max_luma",
-                    "delta_milli",
-                ],
-            )
+                try:
+                    w, h, num, den, luma = videocodec.decode_y4m(bytes(blob))
+                    stats = list(videocodec.frame_stats(luma))
+                except Exception as e:
+                    if not report:
+                        raise
+                    row = {c: None for c in cols}
+                    row["media_id"] = mid
+                    row["error"] = f"{type(e).__name__}: {e}"
+                    rows.append(row)
+                    continue
+                for st in stats:
+                    row = {
+                        "media_id": mid,
+                        "frame_no": st["frame_no"],
+                        "width": w,
+                        "height": h,
+                        "fps_num": num,
+                        "fps_den": den,
+                        "mean_luma_milli": st["mean_luma_milli"],
+                        "min_luma": st["min_luma"],
+                        "max_luma": st["max_luma"],
+                        "delta_milli": st["delta_milli"],
+                    }
+                    if report:
+                        row["error"] = None
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return media.select("media_id", "content").mapInPandas(
-        run, schema=VIDEO_FRAME_SCHEMA
-    )
+    schema = VIDEO_FRAME_SCHEMA + (", error string" if report else "")
+    return media.select("media_id", "content").mapInPandas(run, schema=schema)
 
 
 def audio_window_plan(

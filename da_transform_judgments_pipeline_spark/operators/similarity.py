@@ -8,6 +8,8 @@ cluster) and reranks exactly within buckets.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -470,14 +472,19 @@ def compact_ivf_index(spark, path: str) -> dict:
     lands in exactly one task → one file), preserving rows and therefore
     every query result bit-for-bit.
 
-    Two-phase, filesystem-agnostic swap: compacted data is written to a
-    ``_compacting`` sibling first, then read back and overwritten into
-    ``path``, then the sibling is deleted through the Hadoop FileSystem
-    API — no POSIX rename assumed, so the same code path works on an
-    object store. (The window where ``path`` is being overwritten is NOT
-    transactional for concurrent readers — run compaction as the same
-    offline maintenance slot the append docstring prescribes; a lakehouse
-    table format would make the swap atomic.)
+    Write-first, swap-last: the compacted copy is fully written (and
+    row-count verified) into a ``_compacting`` sibling while the live
+    index stays intact and readable; the swap is then two directory
+    renames through the Hadoop FileSystem API (live → ``_precompact_*``
+    trash, sibling → live) and the trash is deleted LAST, when it is
+    already garbage. At no point is the ONLY copy of the index mid-write:
+    a crash inside the two-rename window leaves the data in the sibling
+    (and possibly the trash) — recovery is renaming ``_compacting`` back
+    to ``path``. (On an object store a directory rename is an O(listing)
+    server-side copy rather than a metadata op; the swap is still
+    crash-redoable, just not atomic — run compaction in the same offline
+    maintenance slot the append docstring prescribes; a lakehouse table
+    format would make it atomic.)
 
     Returns {files_before, files_after, rows} for the caller's audit log.
     """
@@ -491,19 +498,19 @@ def compact_ivf_index(spark, path: str) -> dict:
         .partitionBy("cluster")
         .parquet(tmp)
     )
-    compacted = spark.read.parquet(tmp)
-    if compacted.count() != rows:
+    if spark.read.parquet(tmp).count() != rows:
         raise ValueError("compaction row-count mismatch; index left intact")
-    (
-        compacted.repartition("cluster")
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(path)
-    )
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    trash = path.rstrip("/") + "_precompact_" + uuid.uuid4().hex[:8]
+    if not fs.rename(hadoop_path(path), hadoop_path(trash)):
+        raise IOError(f"could not move live index aside: {path} -> {trash}")
+    if not fs.rename(hadoop_path(tmp), hadoop_path(path)):
+        # put the live index back; compacted copy remains in `tmp`
+        fs.rename(hadoop_path(trash), hadoop_path(path))
+        raise IOError(f"could not swap compacted index in: {tmp} -> {path}")
+    fs.delete(hadoop_path(trash), True)
     files_after = len(spark.read.parquet(path).inputFiles())
     return {
         "files_before": files_before,

@@ -714,7 +714,12 @@ def bagit_to_dri_sip_batch(
     2. ONE keyed manifest scan + ONE keyed file-metadata.csv scan (all
        files in one spark.read.csv — the batch therefore assumes a
        uniform TDR header vocabulary across its consignments; mix v1.1
-       and v1.2 batches by grouping on vocabulary first).
+       and v1.2 batches by grouping on vocabulary first). The read sets
+       ``enforceSchema=false`` so EVERY file's header row is validated
+       positionally against the schema taken from the first file — a
+       consignment whose CSV carries the same column names in a
+       different order fails the read loudly instead of silently
+       landing values in the wrong columns.
     3. ONE plan renders every consignment's metadata.csv + closure.csv
        (dri_metadata_keyed / dri_closure_keyed over a broadcast config
        dim; per-group CSV text via render_csv_by_key — byte-identical to
@@ -824,7 +829,8 @@ def bagit_to_dri_sip_batch(
         "content",
     )
     fm = (
-        spark.read.csv(
+        spark.read.option("enforceSchema", False)
+        .csv(
             [f"{store}/{p['root']}/file-metadata.csv" for p in live],
             header=True,
             inferSchema=False,

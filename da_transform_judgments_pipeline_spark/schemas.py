@@ -138,22 +138,6 @@ KEY_VALUE_SCHEMA = T.StructType(
     ]
 )
 
-# ---------------------------------------------------------------------------
-# §1.5 archives — one row per tar member (reference: s3_lib/s3_lib/
-# tar_lib.py:25-65); content kept in one BINARY column.
-# ---------------------------------------------------------------------------
-
-TAR_MEMBER_SCHEMA = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("name", T.StringType(), False),
-            T.StructField("size", T.LongType(), False),
-            T.StructField("mtime", T.LongType(), True),
-            T.StructField("content", T.BinaryType(), True),
-        ]
-    )
-)
-
 # §1.1 file catalog — binaryFile scan + path-derived partition columns
 CATALOG_PARTITION_COLUMNS = ["consignment_type", "reference", "retry", "relpath"]
 

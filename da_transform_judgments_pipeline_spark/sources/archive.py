@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schemas import TAR_MEMBER_SCHEMA
 
 # Whole-archive-in-RAM bound (bytes). The task that unpacks or packs an
 # archive holds it fully in memory — same model as the reference's Lambda
@@ -161,11 +160,6 @@ def untar(
                     yield pd.DataFrame(out)
 
     return src.mapInPandas(expand, schema=schema)
-
-
-def untar_members_udf():
-    """Scalar-UDF variant: content → array<struct> for explode() composition."""
-    return F.udf(_untar_bytes, TAR_MEMBER_SCHEMA)
 
 
 def tar_gz_pack(

@@ -18,6 +18,8 @@ table maintenance, not streaming-state surgery.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,6 +30,15 @@ from ..operators.dedup import (
     incremental_near_duplicates,
 )
 from ..operators.scale import write_bucketed
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API (works on any
+    supported filesystem, object stores included — no POSIX assumed)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def _table_buckets(spark: SparkSession, table: str) -> int | None:
@@ -88,16 +99,25 @@ def compact_index_table(spark: SparkSession, table: str) -> dict:
     scale.exchange_count.
 
     Bucket count, bucket column, sortedness, and external location are
-    read from the catalog, never re-stated by the caller. Two-phase swap:
-    the compacted rows are first materialized into a ``_compacting``
-    staging table (independent of the source files), then written back
-    over the original via the same bucketed writer (external tables keep
-    their location), then the staging table is dropped. Spark's bucketed
-    writer emits one file per (task, bucket) pair, and the
-    hash-repartition on the bucket column puts each bucket in exactly one
-    task — hence ~one file per bucket after.
+    read from the catalog, never re-stated by the caller. Write-first,
+    swap-last: the compacted copy is fully written (and row-count
+    verified) into a ``{table}_compacting`` staging table — at a FRESH
+    sibling location for external tables — while the live table and its
+    files stay untouched and readable. Only then does the swap happen:
+    ``DROP TABLE`` + ``ALTER TABLE … RENAME`` (two catalog operations),
+    and the old external location is deleted LAST, when it is already
+    garbage. If a crash lands inside the two-op swap window, the data
+    still exists in the ``_compacting`` staging table (and, for external
+    tables, also at the old location) — recovery is one statement:
+    ``ALTER TABLE {table}_compacting RENAME TO {table}``. Spark's
+    bucketed writer emits one file per (task, bucket) pair, and the
+    hash-repartition on the bucket column puts each bucket in exactly
+    one task — hence ~one file per bucket after.
 
-    Returns {files_before, files_after, rows}.
+    Returns {files_before, files_after, rows, location}; ``location`` is
+    the table's (new, ``_compact_<hex>``-suffixed) external location, or
+    None for managed tables. External readers go through the table name,
+    so the location drift is invisible to them.
     """
     desc = {
         r.col_name: r.data_type
@@ -129,33 +149,36 @@ def compact_index_table(spark: SparkSession, table: str) -> dict:
     try:
         tmp = f"{table}_compacting"
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        # compacted copy FIRST, to a fresh location for external tables —
+        # the live table and its data files stay intact and readable until
+        # the copy is fully written and verified
+        new_path = (
+            ext_path.rstrip("/") + "_compact_" + uuid.uuid4().hex[:8]
+            if ext_path
+            else None
+        )
         write_bucketed(
             spark.table(table).repartition(buckets, F.col(key)), tmp, key,
-            buckets=buckets, sort=sort, mode="overwrite",
+            buckets=buckets, sort=sort, mode="overwrite", path=new_path,
         )
-        staged = spark.table(tmp)
-        if staged.count() != rows:
+        if spark.table(tmp).count() != rows:
             spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            if new_path:
+                _fs_delete(spark, new_path)
             raise ValueError(
                 "compaction row-count mismatch; table left intact"
             )
+        # swap LAST: two catalog operations. A crash between them leaves
+        # the name unbound, but the staging table (and the old external
+        # files) still hold the data — recovery is
+        # `ALTER TABLE {tmp} RENAME TO {table}`.
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
         if ext_path:
-            # an EXTERNAL table's overwrite drops+recreates the catalog
-            # entry but leaves the old data files in the location — a
-            # path-based listing would then see stale + compacted files
-            # together. The staging table holds the only copy now; clear
-            # the location through the Hadoop FS API (object-store-safe)
-            # before writing.
-            spark.sql(f"DROP TABLE IF EXISTS {table}")
-            jvm = spark._jvm
-            hpath = jvm.org.apache.hadoop.fs.Path(ext_path)
-            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            fs.delete(hpath, True)
-        write_bucketed(
-            staged.repartition(buckets, F.col(key)), table, key,
-            buckets=buckets, sort=sort, mode="overwrite", path=ext_path,
-        )
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            # old location's files are garbage now (renamed external
+            # tables keep the new location) — delete through the Hadoop
+            # FS API (object-store-safe)
+            _fs_delete(spark, ext_path)
         spark.catalog.refreshTable(table)
         files_after = len(spark.table(table).inputFiles())
     finally:
@@ -167,6 +190,7 @@ def compact_index_table(spark: SparkSession, table: str) -> dict:
         "files_before": files_before,
         "files_after": files_after,
         "rows": rows,
+        "location": new_path,
     }
 
 

@@ -29,6 +29,7 @@ dead-letter cardinality.
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -255,25 +256,32 @@ def compact_processed_ledger(
     the chaos test; distinct is semantics-preserving for an anti-join
     probe set).
 
-    Same two-phase swap as the index compactors: stage the distinct keys
-    in a sibling directory, row-count-validate, overwrite the ledger from
-    the stage, delete the stage via the Hadoop FS API. Run it from the
-    same offline maintenance slot — the guard's read is not transactional
-    against a concurrent rewrite. Returns
-    {files_before, files_after, keys}."""
+    Same write-first/swap-last shape as the index compactors: stage the
+    distinct keys in a ``_compacting`` sibling (the live ledger stays
+    intact and readable throughout the write), then swap via two Hadoop
+    FS directory renames (live → ``_precompact_*`` trash, sibling →
+    live) and delete the trash LAST. A crash inside the two-rename
+    window leaves the data in the sibling — recovery is renaming
+    ``_compacting`` back to ``processed``. Run it from the same offline
+    maintenance slot — the guard's read is not transactional against a
+    concurrent rewrite. Returns {files_before, files_after, keys}."""
     path = os.path.join(out_dir, "processed")
     src = spark.read.parquet(path)
     files_before = len(src.inputFiles())
     distinct = src.select("exec_name").distinct()
     tmp = path.rstrip("/") + "_compacting"
     distinct.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    staged = spark.read.parquet(tmp)
-    n_keys = staged.count()
-    staged.repartition(n_files).write.mode("overwrite").parquet(path)
+    n_keys = spark.read.parquet(tmp).count()
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    trash = path.rstrip("/") + "_precompact_" + uuid.uuid4().hex[:8]
+    if not fs.rename(hadoop_path(path), hadoop_path(trash)):
+        raise IOError(f"could not move live ledger aside: {path} -> {trash}")
+    if not fs.rename(hadoop_path(tmp), hadoop_path(path)):
+        fs.rename(hadoop_path(trash), hadoop_path(path))
+        raise IOError(f"could not swap compacted ledger in: {tmp} -> {path}")
+    fs.delete(hadoop_path(trash), True)
     files_after = len(spark.read.parquet(path).inputFiles())
     return {
         "files_before": files_before,

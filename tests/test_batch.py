@@ -666,3 +666,32 @@ def test_batch_isolates_corrupt_archive(spark, tmp_path):
     ]
     errs = out[1]["parameters"]["bagit-validation-error"]["errors"]
     assert errs[0].startswith('Unpack failed for ')
+
+
+def test_bagit_to_dri_sip_batch_rejects_reordered_csv_header(spark, tmp_path):
+    """The one-scan file-metadata.csv read must fail LOUDLY when a
+    consignment's CSV carries the same column names in a different order
+    (enforceSchema=false validates every file's header against the
+    schema positionally) — silently landing values in the wrong columns
+    is the failure mode this guards against."""
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        bagit_to_dri_sip_batch,
+    )
+
+    ctx, events = _validated_events(
+        spark, tmp_path, "reord", ["TDR-2026-SEE", "TDR-2026-SFF"]
+    )
+    root = events[1]["parameters"][EVENT_BAGIT_VALIDATED]["s3-object-root"]
+    fm_path = f"{ctx.store_root}/{root}/file-metadata.csv"
+    lines = open(fm_path).read().splitlines()
+    header = lines[0].split(",")
+    i, j = header.index("FileType"), header.index("Language")
+
+    def swap(row):
+        cells = row.split(",")
+        cells[i], cells[j] = cells[j], cells[i]
+        return ",".join(cells)
+
+    open(fm_path, "w").write("\n".join(swap(ln) for ln in lines) + "\n")
+    with pytest.raises(Exception, match="(?i)header|conform"):
+        bagit_to_dri_sip_batch(spark, events, ctx)

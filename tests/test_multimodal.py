@@ -382,3 +382,84 @@ def test_videocodec_y4m_roundtrip_and_frame_stats(spark):
     assert [r["mean_luma_milli"] for r in rows] == [10000, 200000, 60000]
     assert rows[1]["delta_milli"] == 190000
     assert (rows[0]["width"], rows[0]["height"]) == (6, 4)
+
+
+def test_audiocodec_rejects_zero_channels_and_zero_rate():
+    """A malformed fmt chunk (channels=0 / rate=0) must raise the codec's
+    typed error, not escape as ZeroDivisionError from the frame math."""
+    import numpy as np
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.operators import audiocodec
+
+    good = bytearray(audiocodec.encode_wav(np.zeros(4, np.int16), 8000))
+    # fmt body starts at byte 20: format(2) channels(2) rate(4) ...
+    bad_ch = bytearray(good)
+    bad_ch[22:24] = (0).to_bytes(2, "little")
+    with _pytest.raises(audiocodec.UnsupportedAudioError, match="channels=0"):
+        audiocodec.decode_wav(bytes(bad_ch))
+    bad_rate = bytearray(good)
+    bad_rate[24:28] = (0).to_bytes(4, "little")
+    with _pytest.raises(audiocodec.UnsupportedAudioError, match="rate=0"):
+        audiocodec.decode_wav(bytes(bad_rate))
+
+
+def test_media_on_error_report_isolates_corrupt_blobs(spark):
+    """on_error='report' (untar contract) for the three real-decode media
+    operators: healthy blobs flow through with error=NULL, a corrupt blob
+    yields a NULL-feature row carrying the message instead of failing the
+    job; the default mode still raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.operators import (
+        audiocodec,
+        imagecodec,
+        multimodal,
+        videocodec,
+    )
+
+    wav = audiocodec.encode_wav(np.full(16, 5, np.int16), 8000)
+    audio = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"ID3\x04junk"))],
+        "media_id long, content binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.audio_clip_features(
+            audio, on_error="report"
+        ).collect()
+    }
+    assert rows[1]["error"] is None and rows[1]["sample_rate"] == 8000
+    assert "MP3" in rows[2]["error"] and rows[2]["sample_rate"] is None
+    with _pytest.raises(Exception, match="MP3"):
+        multimodal.audio_clip_features(audio).collect()
+
+    y4m = videocodec.encode_y4m(np.full((2, 2, 2), 7, np.uint8), 24, 1)
+    video = spark.createDataFrame(
+        [(3, bytearray(y4m)), (4, bytearray(b"\x00\x00\x00\x18ftypmp42xx"))],
+        "media_id long, content binary",
+    )
+    vrows = multimodal.video_frame_features(video, on_error="report").collect()
+    ok = [r for r in vrows if r["media_id"] == 3]
+    bad = [r for r in vrows if r["media_id"] == 4]
+    assert len(ok) == 2 and all(r["error"] is None for r in ok)
+    assert len(bad) == 1 and "MP4" in bad[0]["error"]
+    assert bad[0]["frame_no"] is None
+
+    ppm = imagecodec.encode_ppm(np.full((2, 2, 3), 9, np.uint8))
+    images = spark.createDataFrame(
+        [(5, bytearray(ppm)), (6, bytearray(b"\x89PNGjunk"))],
+        "media_id long, content binary",
+    )
+    irows = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(
+            images, real_decode=True, on_error="report"
+        ).collect()
+    }
+    assert irows[5]["error"] is None and irows[5]["feature"] is not None
+    assert irows[6]["feature"] is None and irows[6]["error"]
+
+    with _pytest.raises(ValueError, match="on_error"):
+        multimodal.audio_clip_features(audio, on_error="ignore")
