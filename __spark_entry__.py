@@ -2803,6 +2803,78 @@ def q_m11_video_decode_features(spark, sf_dir):
     )
 
 
+def q_m12_png_decode_features(spark, sf_dir):
+    """REAL compressed-format decode under a hash oracle: per document a
+    6x4 two-color PNG is assembled executor-side whose six scanlines use
+    ALL FIVE spec filters (0/1/2/3/4 then Up again), zlib-compressed into
+    one IDAT — the one compressed image format decodable with the
+    standard library (inflate + per-row defilter are public W3C spec, no
+    codec lib needed). The pure-stdlib decoder (operators/imagecodec.py
+    decode_png: chunk walk + CRC-32 verify + zlib inflate +
+    None/Sub/Up/Average/Paeth reconstruction) must recover the exact
+    pixels, so the same integer-exact feature surface as m09 (means×510,
+    stds×510, luma grid×255000 over a top-A/bottom-B image) has an
+    analytic DuckDB formula. n_bytes is excluded: the zlib stream length
+    varies per doc. This closes the 'PNG is achievable with stdlib
+    zlib' gap — decode path hash-checked end-to-end through inflate and
+    every filter type, not just plumbing-checked."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.operators.imagecodec import (
+            encode_png_filtered,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                a = (d % 256, (d * 7) % 256, (d * 13) % 256)
+                b = ((d * 3) % 256, (d * 5) % 256, (d * 11) % 256)
+                arr = np.empty((6, 4, 3), dtype=np.uint8)
+                arr[:3] = a
+                arr[3:] = b
+                blobs.append(
+                    bytearray(encode_png_filtered(arr, [0, 1, 2, 3, 4, 2]))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    imgs = docs.mapInPandas(make, "doc_id long, content binary")
+    out = multimodal.extract_features(
+        imgs.select(F.col("doc_id").alias("media_id"), "content"),
+        dim=10,
+        real_decode=True,
+    )
+    f = F.col("feature")
+
+    def chan(i, scale, name):
+        return (
+            F.round(F.element_at(f, i + 1) * scale).cast("long").alias(name)
+        )
+
+    # equal A/B halves (3 rows each) keep the m09 closed forms:
+    # mean×510 = A+B, std×510 = |A−B|; the 2x2 luma grid samples rows
+    # floor(0.5·6/2)=1 (A) and floor(1.5·6/2)=4 (B)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        chan(0, 510, "sum_r"),
+        chan(1, 510, "sum_g"),
+        chan(2, 510, "sum_b"),
+        chan(3, 510, "absdiff_r"),
+        chan(4, 510, "absdiff_g"),
+        chan(5, 510, "absdiff_b"),
+        chan(6, 255000, "luma_a_milli"),
+        chan(7, 255000, "luma_a2_milli"),
+        chan(8, 255000, "luma_b_milli"),
+        chan(9, 255000, "luma_b2_milli"),
+    ).orderBy("doc_id")
+
+
 def q_x22_token_budget_sample(spark, sf_dir):
     """Domain-mixture sampling to a token budget (text.token_budget_sample
     — the data-mixing step): four sources with weights 3/1/1/10 share a
@@ -2941,6 +3013,11 @@ def q_b02_batch_dri_metadata(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- Round 7 rotation: m12 (stdlib PNG decode — zlib inflate + all
+    # five scanline filters under the m09 closed-form oracle) is NEW and
+    # joins the window right after the codec triple; m05_frame_sample_plan
+    # (multi-green r4+r6, unchanged) moves past the cap under the
+    # standing policy.
     # --- Round 6 rotation: b01/b02 (the batched multi-consignment stage
     # cores — validation report and keyed DRI metadata) and m09/m10/m11
     # (the pure-numpy codec triple — image/audio/video decode under
@@ -2998,6 +3075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m09_image_decode_features": q_m09_image_decode_features,
     "m10_audio_decode_features": q_m10_audio_decode_features,
     "m11_video_decode_features": q_m11_video_decode_features,
+    "m12_png_decode_features": q_m12_png_decode_features,
     "x22_token_budget_sample": q_x22_token_budget_sample,
     "x23_epoch_order": q_x23_epoch_order,
     # (a) NEW round 5
@@ -3554,6 +3632,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    CAST(59 AS BIGINT) AS n_bytes,
+                   CAST(ar + br AS BIGINT) AS sum_r,
+                   CAST(ag + bg AS BIGINT) AS sum_g,
+                   CAST(ab + bb AS BIGINT) AS sum_b,
+                   CAST(abs(ar - br) AS BIGINT) AS absdiff_r,
+                   CAST(abs(ag - bg) AS BIGINT) AS absdiff_g,
+                   CAST(abs(ab - bb) AS BIGINT) AS absdiff_b,
+                   CAST(299*ar + 587*ag + 114*ab AS BIGINT) AS luma_a_milli,
+                   CAST(299*ar + 587*ag + 114*ab AS BIGINT) AS luma_a2_milli,
+                   CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b_milli,
+                   CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b2_milli
+            FROM c ORDER BY doc_id
+        """,
+        "m12_png_decode_features": """
+            WITH c AS (
+              SELECT doc_id,
+                     doc_id % 256 AS ar,
+                     (doc_id * 7) % 256 AS ag,
+                     (doc_id * 13) % 256 AS ab,
+                     (doc_id * 3) % 256 AS br,
+                     (doc_id * 5) % 256 AS bg,
+                     (doc_id * 11) % 256 AS bb
+              FROM documents
+            )
+            SELECT doc_id,
                    CAST(ar + br AS BIGINT) AS sum_r,
                    CAST(ag + bg AS BIGINT) AS sum_g,
                    CAST(ab + bb AS BIGINT) AS sum_b,

@@ -1,22 +1,27 @@
-"""Pure-numpy image codec for UNCOMPRESSED formats (PPM/PGM binary, BMP
-24/32-bit) — a real decode path for the multimodal operators in a container
-with no PIL/opencv/ffmpeg.
+"""Pure-numpy image codec: uncompressed formats (PPM/PGM binary, BMP
+24/32-bit) AND real PNG — a real decode path for the multimodal operators
+in a container with no PIL/opencv/ffmpeg.
 
-Scope is deliberate: formats whose pixel data is raw bytes decode fully
-(header parse + numpy reshape — public, trivial formats: netpbm P5/P6,
-Windows BMP BITMAPINFOHEADER without compression). Compressed formats
-(JPEG/PNG/GIF/WebP) still raise :class:`UnsupportedImageError` with the
-magic spelled out — entropy coders are codec-library territory, and a fake
+Scope: formats whose pixel data is raw bytes decode via header parse +
+numpy reshape (netpbm P5/P6, Windows BMP BITMAPINFOHEADER without
+compression). PNG decodes FULLY with the standard library: the W3C spec's
+container (chunk walk + CRC-32 verify), zlib inflate of IDAT, and the
+five per-scanline filters (None/Sub/Up/Average/Paeth) — 8-bit gray /
+RGB / palette / alpha, non-interlaced. Formats that genuinely need a
+codec library (JPEG/GIF/WebP, 16-bit or Adam7 PNG) raise
+:class:`UnsupportedImageError` with the magic spelled out — a fake
 "decode" there would be dishonest. The multimodal operators
 (:func:`.multimodal.extract_features` / :func:`.multimodal.resize_images`)
-use this under ``real_decode=True``: real pixel math for the raw formats,
-a clear per-format error for the rest.
+use this under ``real_decode=True``.
 
 All functions are executor-side helpers (called inside Arrow-batched
 mapInPandas): numpy in, numpy out, no Spark imports.
 """
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import numpy as np
 
@@ -115,7 +120,230 @@ def decode_image(blob: bytes) -> np.ndarray:
         )
         rgb = rows[:, :, [2, 1, 0]]  # BGR(A) → RGB
         return (rgb[::-1] if bottom_up else rgb).copy()
+    if blob[:8] == PNG_SIG:
+        return decode_png(blob)
     raise UnsupportedImageError(f"{sniff(blob)} requires a codec library")
+
+
+# ---------------------------------------------------------------------------
+# PNG — full stdlib decode (W3C PNG spec: zlib inflate + per-row filters)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color_type → samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(blob: bytes):
+    """Walk (type, data) chunks, verifying each CRC-32 (spec: CRC over
+    type + data) — a corrupt chunk raises instead of decoding garbage."""
+    pos = 8
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(blob):
+            raise UnsupportedImageError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", blob[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise UnsupportedImageError(
+                f"PNG chunk {ctype.decode(errors='replace')} CRC mismatch"
+            )
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+
+
+def _defilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Undo the five PNG scanline filters. Row layout: 1 filter byte +
+    w*ch sample bytes. None/Up are vectorized across the row; Sub is a
+    lag-``ch`` prefix sum (per residue class, a cumsum mod 256); Average
+    and Paeth genuinely recur on the left-neighbor RECONSTRUCTED byte, so
+    those rows walk pixels left-to-right (spec-faithful; at 100 TB the
+    decode cost lives inside the Arrow-batched executor stage either
+    way)."""
+    stride = w * ch
+    rows = raw.reshape(h, 1 + stride)
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    out = np.empty((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f, line = int(filters[y]), data[y]
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub
+            rec = line.copy()
+            for c in range(ch):
+                rec[c::ch] = np.cumsum(rec[c::ch]) % 256
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise UnsupportedImageError(f"PNG filter type {f} invalid")
+        out[y] = rec.astype(np.uint8)
+        prev = rec.astype(np.int16)
+    return out
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Full PNG decode with the standard library: chunk walk + CRC
+    verify, zlib-inflate the IDAT stream, undo per-row filters, map
+    palette / drop alpha / replicate gray — returns (H, W, 3) uint8.
+    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced; 16-bit
+    and Adam7 raise (the honest boundary of a stdlib decoder)."""
+    blob = bytes(blob)
+    if blob[:8] != PNG_SIG:
+        raise UnsupportedImageError(f"{sniff(blob)} is not PNG")
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(blob):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None or not idat:
+        raise UnsupportedImageError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise UnsupportedImageError(
+            f"PNG depth={depth} interlace={interlace} unsupported "
+            "(only 8-bit non-interlaced)"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise UnsupportedImageError(f"PNG color type {color_type} invalid")
+    ch = _PNG_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if raw.size != h * (1 + w * ch):
+        raise UnsupportedImageError("PNG pixel data size mismatch")
+    pix = _defilter(raw, h, w, ch).reshape(h, w, ch)
+    if color_type == 3:
+        if palette is None:
+            raise UnsupportedImageError("PNG palette image missing PLTE")
+        return palette[pix[:, :, 0]].copy()
+    if color_type == 4:  # gray + alpha → drop alpha, replicate
+        return np.repeat(pix[:, :, :1], 3, axis=2)
+    if color_type == 6:  # RGBA → drop alpha
+        return pix[:, :, :3].copy()
+    if ch == 1:
+        return np.repeat(pix, 3, axis=2)
+    return pix.copy()
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_samples(arr: np.ndarray, color_type: int) -> np.ndarray:
+    if color_type not in (0, 2):
+        raise ValueError("PNG encoder writes color type 0 or 2")
+    if color_type == 0:
+        return arr[:, :, 0] if arr.ndim == 3 else arr
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("PNG color_type=2 expects (H, W, 3)")
+    return arr
+
+
+def _png_package(scan: bytes, w: int, h: int, color_type: int) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png(arr: np.ndarray, color_type: int = 2) -> bytes:
+    """(H, W, 3) uint8 → PNG bytes (filter 0 scanlines, one zlib IDAT).
+    ``color_type=0`` writes 8-bit grayscale from channel 0. The decode
+    twin of :func:`decode_png`, used for fixtures and oracles."""
+    samples = _png_samples(arr, color_type)
+    h, w = samples.shape[:2]
+    rows = samples.astype(np.uint8).reshape(h, -1)
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rows], axis=1
+    ).tobytes()
+    return _png_package(scan, w, h, color_type)
+
+
+def encode_png_filtered(
+    arr: np.ndarray, filters: list[int], color_type: int = 2
+) -> bytes:
+    """PNG encoder that applies a CALLER-CHOSEN spec filter (0-4) per
+    scanline (cycling ``filters``) — a valid PNG any reader decodes to
+    the same pixels, used to drive every decoder filter path from tests
+    and oracle queries. At encode time the reconstructed neighbors equal
+    the raw bytes, so all five filters vectorize."""
+    samples = _png_samples(arr, color_type)
+    h, w = samples.shape[:2]
+    ch = 1 if samples.ndim == 2 else samples.shape[2]
+    rows = samples.astype(np.int16).reshape(h, -1)
+    stride = rows.shape[1]
+    prev = np.zeros(stride, dtype=np.int16)
+    scan = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        f = int(filters[y % len(filters)])
+        left = np.zeros(stride, dtype=np.int16)
+        left[ch:] = cur[:-ch]
+        prev_left = np.zeros(stride, dtype=np.int16)
+        prev_left[ch:] = prev[:-ch]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            filt = (cur - ((left + prev) >> 1)) % 256
+        elif f == 4:
+            p = left + prev - prev_left
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - prev_left),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, prev_left),
+            )
+            filt = (cur - pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        scan.append(f)
+        scan.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+    return _png_package(bytes(scan), w, h, color_type)
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:

@@ -1,10 +1,14 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Treats media as opaque BINARY columns with typed metadata structs, exactly as
-a 100 TB training-data pipeline would: the Spark-side schema, partitioning,
-Arrow batch shape, and UDF signatures are real and tested; the codec step is
-stubbed (decode libraries aren't in this container) behind
-``NotImplementedError`` or a deterministic fake, clearly marked.
+Treats media as opaque BINARY columns with typed metadata structs, exactly
+as a 100 TB training-data pipeline would: the Spark-side schema,
+partitioning, Arrow batch shape, and UDF signatures are real and tested.
+``real_decode=True`` paths run REAL pure-stdlib/numpy codecs
+(:mod:`.imagecodec` PPM/PGM/BMP/PNG, :mod:`.audiocodec` WAV/PCM,
+:mod:`.videocodec` Y4M) — actual pixel/sample math. Formats that
+genuinely need a codec library this container lacks (JPEG/MP3/H.264)
+raise a typed error naming the sniffed format; the default fake-decode
+path keeps plumbing testable on arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -96,13 +100,13 @@ def extract_features(
     """Decode/feature-extract over mapInPandas (Arrow-batched; one batch of
     media rows per invocation — the shape a GPU decode stage needs).
 
-    ``real_decode=True`` runs the REAL pure-numpy codec
-    (:mod:`.imagecodec`) for uncompressed formats — PPM/PGM and 24/32-bit
-    BMP decode to actual pixels, features are per-channel moments + a
-    resampled luma grid — and raises :class:`.imagecodec.
-    UnsupportedImageError` (naming the sniffed format) for compressed
-    formats that need a codec library this container lacks. The default
-    fake path keeps the plumbing testable on arbitrary bytes.
+    ``real_decode=True`` runs the REAL codec (:mod:`.imagecodec`):
+    PPM/PGM, 24/32-bit BMP, and full stdlib PNG (zlib inflate + all five
+    scanline filters) decode to actual pixels; features are per-channel
+    moments + a resampled luma grid. Formats that need a codec library
+    this container lacks (JPEG/GIF/WebP) raise :class:`.imagecodec.
+    UnsupportedImageError` naming the sniffed format. The default fake
+    path keeps the plumbing testable on arbitrary bytes.
 
     ``on_error="report"`` isolates undecodable blobs instead of failing
     the job (same contract as :func:`..sources.archive.untar`): an

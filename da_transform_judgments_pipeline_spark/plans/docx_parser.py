@@ -1,0 +1,297 @@
+"""A REAL document-transforming parser executable (U2): .docx judgment →
+LegalDocML-style XML + metadata.json + extracted images + parser.log.
+
+The reference runs its parser as a separate .NET Lambda container
+(lambda_functions/tre-run-judgment-parser/Dockerfile:1-31) speaking the
+parser-inputs/parser-outputs JSON contract
+(tre-prepare-parser-input/prepare_parser_input.py:92-103,
+test_parser_lambda_fn.py:82-134). This module is a working parser on the
+other side of that same contract, built from public knowledge only:
+
+- a .docx IS a zip (ECMA-376 Office Open XML): ``zipfile`` +
+  ``xml.etree`` read ``word/document.xml`` (WordprocessingML paragraphs),
+  ``docProps/core.xml`` (Dublin-Core properties), and ``word/media/*``
+  (embedded images) — no external libraries;
+- the output XML is an Akoma Ntoso (OASIS LegalDocML) judgment skeleton;
+- the neutral citation / court are extracted from the document text with
+  a public-format regex (``[2023] EWHC 123``).
+
+DELIBERATELY stdlib-only and import-free of the package, so
+``[sys.executable, __file__]`` is a complete parser command for
+:func:`.editorial.subprocess_parser` — the process boundary stays real
+(stdin JSON → child process → stdout JSON), and every failure mode
+(corrupt zip → non-zero exit + stderr, missing document, malformed
+input) exercises the boundary's contract with genuine errors.
+
+:func:`build_docx` is the deterministic encoder twin (same pattern as
+``audiocodec.encode_wav``): it assembles a real, Word-readable .docx
+from paragraphs + images with pinned zip timestamps, used to generate
+the committed fixture and property-test inputs.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import posixpath
+import re
+import sys
+import zipfile
+import xml.etree.ElementTree as ET
+
+W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+CP_NS = (
+    "http://schemas.openxmlformats.org/package/2006/metadata/"
+    "core-properties"
+)
+DC_NS = "http://purl.org/dc/elements/1.1/"
+DCTERMS_NS = "http://purl.org/dc/terms/"
+XSI_NS = "http://www.w3.org/2001/XMLSchema-instance"
+AKN_NS = "http://docs.oasis-open.org/legaldocml/ns/akn/3.0"
+
+# neutral-citation patterns (public formats):
+# "[2023] EWCA Civ 123" and "[2023] EWHC 123 (Admin)"
+CITE_RE = re.compile(
+    r"\[(\d{4})\]\s+(UKSC|UKPC|EWCA|EWHC|UKUT|EWFC|EWCOP)"
+    r"(?:\s+(Civ|Crim))?\s+(\d+)"
+    r"(?:\s+\((Admin|Ch|QB|KB|Fam|Pat|Comm|TCC|IPEC|Costs)\))?"
+)
+
+CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Default Extension="png" ContentType="image/png"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.wordprocessingml.document.main'
+    '+xml"/>'
+    '<Override PartName="/docProps/core.xml" ContentType="application/'
+    'vnd.openxmlformats-package.core-properties+xml"/>'
+    "</Types>"
+)
+
+ROOT_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+    '2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" '
+    'Target="word/document.xml"/>'
+    '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+    'package/2006/relationships/metadata/core-properties" '
+    'Target="docProps/core.xml"/>'
+    "</Relationships>"
+)
+
+
+def build_docx(
+    paragraphs: list[str],
+    title: str = "",
+    creator: str = "",
+    created: str = "1970-01-01T00:00:00Z",
+    images: dict[str, bytes] | None = None,
+) -> bytes:
+    """Assemble a minimal real .docx (ECMA-376 zip package) from
+    paragraph texts + optional embedded images, byte-deterministic
+    (pinned zip timestamps, sorted members) so fixtures are committable
+    and property tests reproducible."""
+    w = f"{{{W_NS}}}"
+    ET.register_namespace("w", W_NS)
+    doc = ET.Element(f"{w}document")
+    body = ET.SubElement(doc, f"{w}body")
+    for text in paragraphs:
+        p = ET.SubElement(body, f"{w}p")
+        # split across two runs when possible: a real Word file rarely
+        # holds a paragraph in one run, and the parser must join them
+        mid = len(text) // 2
+        for part in (text[:mid], text[mid:]):
+            if part or not text:
+                r = ET.SubElement(p, f"{w}r")
+                t = ET.SubElement(r, f"{w}t")
+                t.set(
+                    "{http://www.w3.org/XML/1998/namespace}space",
+                    "preserve",
+                )
+                t.text = part
+            if not text:
+                break
+    document_xml = ET.tostring(doc, xml_declaration=True, encoding="UTF-8")
+
+    core = ET.Element(f"{{{CP_NS}}}coreProperties")
+    ti = ET.SubElement(core, f"{{{DC_NS}}}title")
+    ti.text = title
+    cr = ET.SubElement(core, f"{{{DC_NS}}}creator")
+    cr.text = creator
+    cd = ET.SubElement(core, f"{{{DCTERMS_NS}}}created")
+    cd.set(f"{{{XSI_NS}}}type", "dcterms:W3CDTF")
+    cd.text = created
+    core_xml = ET.tostring(core, xml_declaration=True, encoding="UTF-8")
+
+    members: list[tuple[str, bytes]] = [
+        ("[Content_Types].xml", CONTENT_TYPES.encode()),
+        ("_rels/.rels", ROOT_RELS.encode()),
+        ("word/document.xml", document_xml),
+        ("docProps/core.xml", core_xml),
+    ]
+    for name, blob in sorted((images or {}).items()):
+        members.append((f"word/media/{name}", blob))
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, blob in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, blob)
+    return buf.getvalue()
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_docx(blob: bytes, reference: str) -> dict:
+    """Transform a .docx into the parser's artifacts. Returns
+    ``{xml: str, metadata: dict, images: {name: bytes}, log: [str]}``.
+    Raises (``zipfile.BadZipFile``, ``KeyError``) on a broken package —
+    the executable converts that to a non-zero exit, which
+    ``subprocess_parser`` reports per its contract."""
+    log: list[str] = [f"docx parser start: reference={reference}"]
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    doc_root = ET.fromstring(zf.read("word/document.xml"))
+
+    paragraphs: list[str] = []
+    for p in doc_root.iter(f"{{{W_NS}}}p"):
+        text = "".join(t.text or "" for t in p.iter(f"{{{W_NS}}}t"))
+        paragraphs.append(text)
+    log.append(f"extracted {len(paragraphs)} paragraphs")
+
+    title, creator, created = "", "", ""
+    try:
+        core = ET.fromstring(zf.read("docProps/core.xml"))
+        for el in core:
+            name = _local(el.tag)
+            if name == "title":
+                title = el.text or ""
+            elif name == "creator":
+                creator = el.text or ""
+            elif name == "created":
+                created = el.text or ""
+    except KeyError:
+        log.append("no docProps/core.xml; using fallbacks")
+
+    images: dict[str, bytes] = {}
+    for name in sorted(zf.namelist()):
+        if name.startswith("word/media/") and not name.endswith("/"):
+            images[posixpath.basename(name)] = zf.read(name)
+    log.append(f"extracted {len(images)} embedded images")
+
+    full_text = "\n".join(paragraphs)
+    m = CITE_RE.search(full_text)
+    if m:
+        cite = m.group(0)
+        court = m.group(2)
+        if m.group(3):
+            court += f" {m.group(3)}"
+        if m.group(5):
+            court += f" ({m.group(5)})"
+        uri = "https://caselaw.example/" + "/".join(
+            g.lower() for g in m.groups() if g
+        )
+        log.append(f"neutral citation found: {cite}")
+    else:
+        cite, court, uri = None, None, None
+        log.append("no neutral citation found in document text")
+
+    date = (created.split("T", 1)[0] or "1970-01-01") if created else (
+        "1970-01-01"
+    )
+    metadata = {
+        "uri": uri,
+        "court": court,
+        "cite": cite,
+        "date": date,
+        "name": title or f"Re {reference}",
+        "attachments": [],
+    }
+    if creator:
+        log.append(f"document creator: {creator}")
+
+    ET.register_namespace("", AKN_NS)
+    akn = f"{{{AKN_NS}}}"
+    root = ET.Element(f"{akn}akomaNtoso")
+    judgment = ET.SubElement(root, f"{akn}judgment", name="judgment")
+    meta_el = ET.SubElement(judgment, f"{akn}meta")
+    ident = ET.SubElement(meta_el, f"{akn}identification", source="#tre")
+    work = ET.SubElement(ident, f"{akn}FRBRWork")
+    ET.SubElement(work, f"{akn}FRBRname", value=metadata["name"])
+    ET.SubElement(work, f"{akn}FRBRdate", date=date, name="judgment")
+    if cite:
+        proprietary = ET.SubElement(meta_el, f"{akn}proprietary")
+        cite_el = ET.SubElement(proprietary, f"{akn}neutralCitation")
+        cite_el.text = cite
+    body = ET.SubElement(judgment, f"{akn}judgmentBody")
+    for i, text in enumerate(paragraphs, start=1):
+        para = ET.SubElement(body, f"{akn}paragraph", eId=f"para_{i}")
+        p_el = ET.SubElement(para, f"{akn}p")
+        p_el.text = text
+    xml_str = ET.tostring(
+        root, xml_declaration=True, encoding="unicode"
+    )
+    log.append("judgment XML rendered")
+    return {
+        "xml": xml_str,
+        "metadata": metadata,
+        "images": images,
+        "log": log,
+    }
+
+
+def main() -> int:
+    """The executable contract (:func:`.editorial.subprocess_parser`):
+    parser-inputs JSON on stdin, artifacts written next to the staged
+    document under ``{s3-bucket}/{s3-output-prefix}``, parser-outputs
+    JSON on stdout. Any failure (corrupt package, missing document,
+    malformed input) propagates as a traceback on stderr + non-zero
+    exit — the boundary converts it to the error-messages contract."""
+    inputs = json.load(sys.stdin)
+    store = inputs["s3-bucket"]
+    prefix = inputs["s3-output-prefix"]
+    ref = inputs["consignment-reference"]
+    doc_name = posixpath.basename(inputs["document-url"].split("?", 1)[0])
+    out_dir = os.path.join(store, prefix)
+    with open(os.path.join(out_dir, doc_name), "rb") as f:
+        blob = f.read()
+
+    result = parse_docx(blob, ref)
+
+    xml_name, meta_name, log_name = f"{ref}.xml", "metadata.json", "parser.log"
+    with open(os.path.join(out_dir, xml_name), "w") as f:
+        f.write(result["xml"])
+    with open(os.path.join(out_dir, meta_name), "w") as f:
+        json.dump(result["metadata"], f)
+    for name, img in result["images"].items():
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(img)
+    with open(os.path.join(out_dir, log_name), "w") as f:
+        f.write("\n".join(result["log"]) + "\n")
+
+    json.dump(
+        {
+            "xml": xml_name,
+            "metadata": meta_name,
+            "images": sorted(result["images"]),
+            "attachments": [],
+            "log": log_name,
+            "error-messages": [],
+        },
+        sys.stdout,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -463,3 +463,109 @@ def test_media_on_error_report_isolates_corrupt_blobs(spark):
 
     with _pytest.raises(ValueError, match="on_error"):
         multimodal.audio_clip_features(audio, on_error="ignore")
+
+
+def test_png_codec_full_decode_path():
+    """Real stdlib PNG decode: round-trips through both encoders, equals
+    the PPM decode on identical pixels, reconstructs all five scanline
+    filters, maps palettes, drops alpha, verifies chunk CRCs, and
+    refuses 16-bit — the honest stdlib boundary."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.operators import imagecodec as ic
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert (ic.decode_png(ic.encode_png(arr)) == arr).all()
+    # PNG == PPM == BMP-compatible decode on identical pixel content
+    assert (
+        ic.decode_image(ic.encode_png(arr))
+        == ic.decode_image(ic.encode_ppm(arr))
+    ).all()
+    # every filter type must reconstruct exactly
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        blob = ic.encode_png_filtered(arr, filters)
+        assert (ic.decode_png(blob) == arr).all(), filters
+    # grayscale replicates to 3 channels
+    g = rng.randint(0, 256, (6, 5), dtype=np.uint8)
+    out = ic.decode_png(ic.encode_png_filtered(g, [0, 1, 2, 3, 4], 0))
+    assert (out == g[:, :, None].repeat(3, 2)).all()
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    # palette (color type 3) maps through PLTE
+    pal = rng.randint(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, (3, 7), dtype=np.uint8)
+    scan = np.concatenate(
+        [np.zeros((3, 1), np.uint8), idx], axis=1
+    ).tobytes()
+    blob = (
+        ic.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 3, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert (ic.decode_png(blob) == pal[idx]).all()
+    # RGBA (color type 6) drops alpha
+    rgba = rng.randint(0, 256, (4, 4, 4), dtype=np.uint8)
+    scan = np.concatenate(
+        [np.zeros((4, 1), np.uint8), rgba.reshape(4, -1)], axis=1
+    ).tobytes()
+    blob = (
+        ic.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert (ic.decode_png(blob) == rgba[:, :, :3]).all()
+    # corrupt chunk CRC is a typed refusal, not garbage pixels
+    bad = bytearray(ic.encode_png(arr))
+    bad[20] ^= 0xFF
+    with _pytest.raises(ic.UnsupportedImageError, match="CRC"):
+        ic.decode_png(bytes(bad))
+    # 16-bit stays out of scope, named
+    blob16 = (
+        ic.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 18))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ic.UnsupportedImageError, match="depth=16"):
+        ic.decode_png(blob16)
+
+
+def test_extract_features_decodes_png_like_ppm(spark):
+    """The Spark real-decode path accepts PNG now: identical feature rows
+    for the same pixels shipped as PPM and as filtered PNG."""
+    import numpy as np
+
+    from da_transform_judgments_pipeline_spark.operators import (
+        imagecodec,
+        multimodal,
+    )
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(imagecodec.encode_ppm(arr))),
+            (2, bytearray(imagecodec.encode_png_filtered(arr, [0, 1, 2, 3, 4]))),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(
+            media, dim=10, real_decode=True
+        ).collect()
+    }
+    assert rows[1] == rows[2]
