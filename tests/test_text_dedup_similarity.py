@@ -896,3 +896,52 @@ def test_epoch_order_is_permutation_and_epoch_dependent(spark):
         ).collect()
     }
     assert all(again[r["doc_id"]] == r["k1"] for r in rows)
+
+
+def test_bpe_train_hybrid_paths_identical(spark):
+    """The driver-side merge loop (default when the vocab fits) and the
+    distributed fallback (max_driver_vocab=0) must learn the EXACT same
+    merge sequence — counts, ranks, and tie-breaks included."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "widest wide wider new low",
+        "the the the lowering widens",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], ["doc_id", "text"]
+    )
+    driver = t.bpe_train(df, n_merges=20)
+    distributed = t.bpe_train(df, n_merges=20, max_driver_vocab=0)
+    assert driver == distributed
+    assert driver == _ref_bpe_train(texts, 20)
+
+
+def test_bpe_train_production_merge_count(spark):
+    """n_merges=1000 under the same exact differential contract (the
+    production-scale 'done' bar): a deterministic 400-word corpus rich
+    enough to support >=1000 merges, trained via the hybrid driver loop,
+    must match the independent pure-Python trainer merge-for-merge."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    import numpy as np
+
+    rs = np.random.RandomState(42)
+    alphabet = list("abcdefghijklmnopqrstuvwxyz")
+    words = []
+    for i in range(600):
+        # 12-char seeded-random word (distinct w.h.p., little prefix
+        # sharing); each repeated >=2 so every intra-word pair clears
+        # min_pair_count — the corpus supports thousands of merges
+        w = "".join(rs.choice(alphabet, 12))
+        words.extend([w] * (2 + i % 3))
+    texts = [" ".join(words[i::8]) for i in range(8)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = t.bpe_train(df, n_merges=1000, min_pair_count=2)
+    want = _ref_bpe_train(texts, 1000, min_pair_count=2)
+    assert len(got) >= 1000, len(got)
+    assert got == want
