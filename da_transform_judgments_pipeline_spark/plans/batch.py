@@ -1039,6 +1039,7 @@ def validate_consignments_batch(
     events: list[dict],
     ctx: StageContext,
     to_sip: bool = False,
+    between_stages=None,
 ) -> list[dict]:
     """The full intake chain, batched: bagit-available* → stage A
     (:func:`validate_bagit_batch`) → stage B
@@ -1049,7 +1050,13 @@ def validate_consignments_batch(
     Failures at each stage short-circuit (those consignments never enter
     the next stage, exactly like the sequential state machine routing
     errors away); everything else flows through as ONE job set per stage
-    regardless of N — the whole nightly intake is three job sets."""
+    regardless of N — the whole nightly intake is three job sets.
+
+    ``between_stages(label)`` (optional) is called after each stage's
+    job set completes — the chaos harness uses it to kill the driver
+    BETWEEN job sets and prove a restart replays the chain to the same
+    terminal events with no duplicates (store writes are overwrite-
+    idempotent, so a half-run chain converges on replay)."""
 
     def advance(current: list[dict], ok_name: str, stage_fn) -> list[dict]:
         ok_idx = [
@@ -1065,17 +1072,22 @@ def validate_consignments_batch(
             out[i] = v
         return out
 
-    out = advance(
-        validate_bagit_batch(spark, events, ctx),
-        EVENT_BAGIT_RECEIVED,
-        validate_bagit_files_batch,
-    )
+    out = validate_bagit_batch(spark, events, ctx)
+    if between_stages:
+        between_stages("A")
+    out = advance(out, EVENT_BAGIT_RECEIVED, validate_bagit_files_batch)
+    if between_stages:
+        between_stages("B")
     if to_sip:
         out = advance(out, EVENT_BAGIT_VALIDATED, bagit_to_dri_sip_batch)
+        if between_stages:
+            between_stages("SIP")
     return out
 
 
-def orchestrated_batch_stage(ctx: StageContext, to_sip: bool = False):
+def orchestrated_batch_stage(
+    ctx: StageContext, to_sip: bool = False, between_stages=None
+):
     """Bridge the batched intake chain into the streaming orchestrator
     (:func:`..streaming.orchestrator.run_pipeline`): returns a stage
     function for the ``stages`` dict, keyed on ``bagit-available``. Each
@@ -1097,7 +1109,9 @@ def orchestrated_batch_stage(ctx: StageContext, to_sip: bool = False):
         ]
         if not events:
             return None
-        out = validate_consignments_batch(spark, events, ctx, to_sip=to_sip)
+        out = validate_consignments_batch(
+            spark, events, ctx, to_sip=to_sip, between_stages=between_stages
+        )
         rows = [
             (
                 json.dumps(e),

@@ -695,3 +695,144 @@ def test_bagit_to_dri_sip_batch_rejects_reordered_csv_header(spark, tmp_path):
     open(fm_path, "w").write("\n".join(swap(ln) for ln in lines) + "\n")
     with pytest.raises(Exception, match="(?i)header|conform"):
         bagit_to_dri_sip_batch(spark, events, ctx)
+
+
+def build_sip_tar_gz(ref: str) -> bytes:
+    """A SIP-ready bagit delivery (file-metadata.csv + series bag-info)."""
+    entries = members_for_sip(ref)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, content in sorted(entries.items()):
+            info = tarfile.TarInfo(name=f"{ref}/{name}")
+            info.size = len(content)
+            info.mtime = 1660000000
+            tf.addfile(info, io.BytesIO(content))
+    return buf.getvalue()
+
+
+def test_composed_chaos_stream_to_batch_chain(spark, tmp_path):
+    """The COMPOSED 100-TB shape under failure: trigger fan-out →
+    dedup/replay guards → batched A+B+SIP chain → events sink, driven
+    over 2 waves x 6 consignments with (a) a crash injected BETWEEN the
+    batch job sets on the first attempt (stage A's store writes already
+    landed, nothing committed downstream), (b) an in-wave duplicate
+    resend, and (c) a verbatim cross-wave resend after restart. The
+    restart must replay the whole chain over the half-written store to
+    the SAME terminal events — exactly one terminal event per
+    consignment, zero duplicates anywhere."""
+    import json as _json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from da_transform_judgments_pipeline_spark.plans.batch import (
+        orchestrated_batch_stage,
+    )
+    from da_transform_judgments_pipeline_spark.streaming import orchestrator
+
+    delivery = tmp_path / "xdelivery"
+    delivery.mkdir()
+    ctx = StageContext(
+        store_root=str(tmp_path / "xstore"),
+        out_root=str(tmp_path / "xout-sip"),
+    )
+
+    def deliver(ref, break_sidecar=False):
+        blob = build_sip_tar_gz(ref)
+        (delivery / f"{ref}.tar.gz").write_bytes(blob)
+        digest = sha(blob + b"!") if break_sidecar else sha(blob)
+        (delivery / f"{ref}.tar.gz.sha256").write_text(
+            f"{digest}  {ref}.tar.gz\n"
+        )
+        return _available_event(delivery, ref)
+
+    wave1_refs = [f"TDR-2026-X{i}A" for i in range(6)]
+    wave1 = [deliver(r, break_sidecar=(i == 3))
+             for i, r in enumerate(wave1_refs)]
+    indir = tmp_path / "xin"
+    indir.mkdir()
+    out = tmp_path / "xqout"
+    ckpt = str(tmp_path / "xckpt")
+    # in-wave duplicate: first event appears twice in the same file (T3)
+    (indir / "wave1.jsonl").write_text(
+        "\n".join(_json.dumps(e) for e in [wave1[0]] + wave1) + "\n"
+    )
+
+    crash = {"armed": True}
+
+    def boom(label):
+        if label == "A" and crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("chaos: killed between batch job sets")
+
+    stages = {
+        "bagit-available": orchestrated_batch_stage(
+            ctx, to_sip=True, between_stages=boom
+        )
+    }
+
+    def run():
+        q = orchestrator.run_pipeline(
+            spark, str(indir), str(out), ckpt, stages=stages
+        )
+        try:
+            q.awaitTermination(240)
+        except StreamingQueryException as exc:
+            return exc
+        finally:
+            if q.isActive:
+                q.stop()
+        return None
+
+    failure = run()
+    assert failure is not None and "chaos" in str(failure)
+    # crashed inside the stage: nothing reached the events sink
+    assert not (out / "events").exists() or not [
+        r for r in spark.read.parquet(str(out / "events")).collect()
+        if r["event_name"] is not None
+    ]
+
+    # restart replays the batch over the half-written store
+    assert run() is None
+
+    def terminal():
+        return {
+            r["reference"]: r["event_name"]
+            for r in spark.read.parquet(str(out / "events"))
+            .filter(F.col("event_name").isNotNull())
+            .collect()
+        }
+
+    want1 = {
+        r: ("bagit-validation-error" if i == 3
+            else "dri-preingest-sip-available")
+        for i, r in enumerate(wave1_refs)
+    }
+    got = terminal()
+    rows1 = spark.read.parquet(str(out / "events")).filter(
+        F.col("event_name").isNotNull()
+    ).count()
+    assert got == want1
+    assert rows1 == 6  # one terminal row per consignment, no duplicates
+
+    # wave 2: 6 new consignments + a verbatim cross-wave resend of
+    # wave 1's first event (T10 ledger must swallow it — watermark
+    # state died with the restart)
+    wave2_refs = [f"TDR-2026-X{i}B" for i in range(6)]
+    wave2 = [deliver(r) for r in wave2_refs]
+    (indir / "wave2.jsonl").write_text(
+        "\n".join(_json.dumps(e) for e in wave2 + [wave1[0]]) + "\n"
+    )
+    assert run() is None
+    got = terminal()
+    assert got == {
+        **want1,
+        **{r: "dri-preingest-sip-available" for r in wave2_refs},
+    }
+    total = spark.read.parquet(str(out / "events")).filter(
+        F.col("event_name").isNotNull()
+    ).count()
+    assert total == 12  # 2 waves x 6 — resends and replay added nothing
+    # every SIP the chain promised actually exists on disk
+    import glob as _glob
+    sips = _glob.glob(f"{ctx.out_root}/**/*.tar.gz", recursive=True)
+    assert len(sips) == 11  # 5 wave-1 + 6 wave-2 survivors
