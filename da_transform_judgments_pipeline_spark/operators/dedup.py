@@ -419,18 +419,7 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-# Corpora whose scan estimate is below this are "bench-scale": the split
-# routing's two extra persists + semi/anti joins cost more wall-clock than
-# the full-corpus collapse shuffle they avoid (~0.9 s flat overhead
-# measured at sf0.1 / ~5k docs). Above it the avoided (k+5)-int-per-doc
-# collapse shuffle dominates and the split wins. Calibrated empirically on
-# local[32] (scripts/skew_blowup.py, round 4): at a ~40 MB / 51k-doc
-# mostly-unique corpus the split still loses (5.1s plain vs 6.6s split);
-# at ~160 MB / 204k docs it wins 2.1× (20.9s plain vs 9.9s split) — the
-# crossover sits between, so 64 MB routes both measured points correctly
-# with margin.
-SPLIT_DUPS_AUTO_THRESHOLD_BYTES = 64 << 20
-# collapse crossover: same 64 MB optimizer-estimate threshold — below it the
+# collapse crossover: 64 MB optimizer-estimate threshold — below it the
 # identical-set collapse machinery is measured pure overhead (~0.7 s at
 # sf0.1) while the band join it protects cannot blow up; above it (or when
 # the estimate is unknown) the O(g²)-bucket protection is worth the extra
@@ -457,7 +446,6 @@ def minhash_near_duplicates(
     persist_shingles: bool = True,
     collapse_exact: bool | str = "auto",
     max_group_pairs: int = 10_000_000,
-    split_dups: bool | str = "auto",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with EXACT Jaccard verification.
 
@@ -474,28 +462,21 @@ def minhash_near_duplicates(
     member shares every band key and the band self-join would put an
     O(group²) pair blow-up in one hot bucket — are collapsed to one
     representative (a groupBy on a commutative set fingerprint over the
-    already-computed hashes) BEFORE banding. When ``split_dups`` is active
-    the collapse is SPLIT-routed: a narrow duplicate-key table (one map-
-    side-combined shuffle of 5-int fingerprints) semi/anti-joins the corpus
-    so only duplicate-group docs enter the collapse aggregate while
-    everything else bands map-side — collapse cost scales with the
-    duplicated population, not the corpus, and AQE runtime-sizes the key
-    table (broadcast when small, sort-merge when a boilerplate corpus makes
-    it big). ``split_dups="auto"`` (default) routes through the split only
-    when the corpus's optimizer size estimate clears
-    SPLIT_DUPS_AUTO_THRESHOLD_BYTES (or is unknown — scale-safe default):
-    at bench scale the split's two extra persists + probe joins are pure
-    overhead (~0.9 s flat at sf0.1) while the full-corpus collapse shuffle
-    they avoid is tiny, so small corpora take the plain collapse groupBy;
-    at the 100 TB design point the avoided (k+5)-int-per-doc shuffle
-    dominates and auto picks the split. ``True``/``False`` force either
-    route (the split additionally requires persist_shingles — both probe
-    routes scan the keyed frame). Intra-group pairs are emitted
-    directly as jaccard-1.0 rows via a distributed per-group combination
-    expression, and verified representative pairs expand back through an
-    explode-cross of the member lists that rode the verify joins (no extra
-    shuffle). Result set is identical; the band join never sees a
-    duplicate-set bucket.
+    already-computed hashes) BEFORE banding; the collapse shuffle carries
+    (set_key, sig, id) — k+5 ints per doc, never the hash arrays.
+    Intra-group pairs are emitted directly as jaccard-1.0 rows via a
+    distributed per-group combination expression, and verified
+    representative pairs expand back through an explode-cross of the
+    member lists that rode the verify joins (no extra shuffle). Result
+    set is identical; the band join never sees a duplicate-set bucket.
+    (An earlier ``split_dups`` router additionally semi/anti-joined a
+    narrow duplicate-key table so only duplicate-group docs entered the
+    collapse aggregate; it was RETIRED in round 7 — consecutive
+    min-of-3 A/B trials at 200k and 400k mostly-unique docs landed
+    inside the ±15% noise band in BOTH directions, so the router's two
+    extra persists + probe joins cost what the avoided shuffle saved at
+    every measurable scale. The measured-probe collapse decision below
+    is the retained routing.)
     Residual near-identical (not equal) skew is split at runtime by AQE's
     skew-join (on in session defaults — spark.sql.adaptive.skewJoin).
     `max_group_pairs` guards the inherently-quadratic OUTPUT contract: a
@@ -519,7 +500,7 @@ def minhash_near_duplicates(
     # co.) — one F.expr parse instead of thousands of py4j Column calls;
     # see the SQL-text builders note above. The source plan is probed for
     # its size estimate ONCE, shared by the _spread split-count decision
-    # and the split_dups auto-gate (each probe is a full analysis pass —
+    # and the collapse auto-gate (each probe is a full analysis pass —
     # ~45 ms of driver time apiece on a fresh plan).
     est = _plan_size_bytes(df)
     hp_base = _hp_frame(df, id_col, text_col, n, est_bytes=est)
@@ -587,24 +568,6 @@ def minhash_near_duplicates(
                 if memo_key is not None:
                     _COLLAPSE_PROBE_MEMO[memo_key] = collapse_exact
 
-    if isinstance(split_dups, str):
-        if split_dups != "auto":
-            raise ValueError(
-                f"split_dups must be True, False or 'auto', got {split_dups!r}"
-            )
-        split_dups = est is None or est >= SPLIT_DUPS_AUTO_THRESHOLD_BYTES
-    elif split_dups and not (persist_shingles and collapse_exact):
-        # An EXPLICIT split_dups=True with its prerequisites disabled used
-        # to silently downgrade to the plain route — a caller asking for
-        # the split got different physical behavior with no signal. Only
-        # the 'auto' mode may fall back silently.
-        raise ValueError(
-            "split_dups=True requires persist_shingles=True and "
-            "collapse_exact=True (the split routes band input through the "
-            "cached collapsed groups); pass split_dups='auto' to let the "
-            "operator choose"
-        )
-    use_split = bool(split_dups) and persist_shingles and collapse_exact
     groups = None
     if collapse_exact:
         # set_key and the minhash signature are computed in the same
@@ -620,44 +583,7 @@ def minhash_near_duplicates(
             F.expr(_set_key_sql("hp")).alias("set_key"),
             F.expr(_sig_sql("hp", k)).alias("sig"),
         )
-        collapse_input = keyed
-        banded_nondup = None
-        if use_split:
-            # Split routing — collapse cost proportional to the DUPLICATED
-            # population, never the corpus: dup_keys (one narrow shuffle of
-            # 5-int fingerprints, map-side combined) lists the identical-set
-            # groups; docs NOT in any — the overwhelming majority on real
-            # corpora — band map-side off the cached `keyed`, and only
-            # duplicate-group docs enter the collapse aggregate. Everything
-            # stays LAZY (no driver-side probe action): the semi/anti joins
-            # carry no broadcast hint, so AQE sizes dup_keys at runtime and
-            # broadcasts it only when it is actually small — a boilerplate
-            # corpus with a massive duplicate population degrades to a
-            # sort-merge join on the 5-int key, never an unbounded
-            # broadcast. keyed is persisted because both routes scan it and
-            # the signature computation (k×array_min) must run once.
-            keyed = _persist(keyed)
-            # persisted: its two consumers (semi + anti) would otherwise
-            # re-run the fingerprint shuffle (AQE re-plans per subtree, so
-            # exchange reuse across them is not guaranteed — measured ~2x
-            # slower unpersisted)
-            dup_keys = _persist(
-                keyed.select("set_key")
-                .groupBy("set_key")
-                .count()
-                .filter(F.col("count") > 1)
-                .drop("count")
-            )
-            collapse_input = keyed.join(dup_keys, "set_key", "left_semi")
-            banded_nondup = keyed.join(
-                dup_keys, "set_key", "left_anti"
-            ).select(
-                "id",
-                F.explode(
-                    F.expr(_bands_sql("sig", bands, rows))
-                ).alias("band"),
-            )
-        groups = collapse_input.groupBy("set_key").agg(
+        groups = keyed.groupBy("set_key").agg(
             F.first("sig").alias("sig"),
             F.min("id").alias("rep"),
             F.sort_array(F.collect_list("id")).alias("members"),
@@ -670,8 +596,6 @@ def minhash_near_duplicates(
             F.col("rep").alias("id"),
             F.explode(F.expr(_bands_sql("sig", bands, rows))).alias("band"),
         )
-        if banded_nondup is not None:
-            banded = banded_nondup.unionByName(banded)
         # no banded persist here: both self-join sides re-derive the band
         # keys with one cheap hash pass over the already-cached keyed/
         # groups rows — the expensive signature pipeline never re-runs
@@ -733,14 +657,14 @@ def minhash_near_duplicates(
 
     # expand representative pairs back to member pairs (same jaccard for
     # every cross pair of the two identical-set groups). The membership
-    # sides carry ONLY duplicate-set groups (in plain mode singleton
-    # groups — the overwhelming majority — are filtered out; in split mode
-    # groups never held them), so they stay narrow (dup reps × members)
-    # and AQE broadcasts them against the post-threshold candidate set.
-    # The joins are LEFT with identity fallback: a verified id with no
-    # dup-group row is its own (sole) member.
+    # sides carry ONLY duplicate-set groups (singleton groups — the
+    # overwhelming majority — are filtered out), so they stay narrow
+    # (dup reps × members) and AQE broadcasts them against the
+    # post-threshold candidate set. The joins are LEFT with identity
+    # fallback: a verified id with no dup-group row is its own (sole)
+    # member.
     n_members = F.size("members")
-    dup_groups = groups if use_split else groups.filter(n_members > 1)
+    dup_groups = groups.filter(n_members > 1)
     ma = dup_groups.select(
         F.col("rep").alias("id_a"), F.explode("members").alias("m_a")
     )

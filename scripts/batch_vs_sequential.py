@@ -11,9 +11,15 @@ them twice into independent stores, then times:
 
 and counts Spark jobs for each via job groups. Events are
 equivalence-checked (the pytest contract, re-asserted here on the larger
-N). Appends a summary to BATCHCHECK_r06.md.
+N). Appends a summary to BATCHCHECK_r07.md.
 
-Usage: python scripts/batch_vs_sequential.py [N ...]   (default 6 24)
+``--batch-only`` skips the sequential baseline (for soak N where the
+sequential loop's ~18 jobs/consignment would take tens of minutes to
+prove a point already made at smaller N) and records the batch side's
+job count, per-consignment wall-clock, and peak driver/JVM-heap memory.
+
+Usage: python scripts/batch_vs_sequential.py [--sip] [--batch-only] [N ...]
+(default 6 24)
 """
 
 from __future__ import annotations
@@ -146,22 +152,25 @@ def main() -> None:
         ctx_seq = StageContext(store_root=os.path.join(base, "store-seq"))
         ctx_bat = StageContext(store_root=os.path.join(base, "store-bat"))
         to_sip = "--sip" in sys.argv
+        batch_only = "--batch-only" in sys.argv
 
-        sc.setJobGroup(f"seq-{n}", "sequential")
-        t0 = time.perf_counter()
-        seq_out = []
-        for e in events:
-            a = validate_bagit(spark, e, ctx_seq)
-            b = (
-                validate_bagit_files(spark, a, ctx_seq)
-                if a["producer"]["event-name"] == "bagit-received"
-                else a
-            )
-            if to_sip and b["producer"]["event-name"] == "bagit-validated":
-                b = bagit_to_dri_sip(spark, b, ctx_seq)
-            seq_out.append(b)
-        seq_s = time.perf_counter() - t0
-        sc.setJobGroup(None, None)
+        seq_out, seq_s = None, None
+        if not batch_only:
+            sc.setJobGroup(f"seq-{n}", "sequential")
+            t0 = time.perf_counter()
+            seq_out = []
+            for e in events:
+                a = validate_bagit(spark, e, ctx_seq)
+                b = (
+                    validate_bagit_files(spark, a, ctx_seq)
+                    if a["producer"]["event-name"] == "bagit-received"
+                    else a
+                )
+                if to_sip and b["producer"]["event-name"] == "bagit-validated":
+                    b = bagit_to_dri_sip(spark, b, ctx_seq)
+                seq_out.append(b)
+            seq_s = time.perf_counter() - t0
+            sc.setJobGroup(None, None)
 
         sc.setJobGroup(f"bat-{n}", "batched")
         t0 = time.perf_counter()
@@ -171,41 +180,70 @@ def main() -> None:
         bat_s = time.perf_counter() - t0
         sc.setJobGroup(None, None)
 
-        seq_jobs = len(tracker.getJobIdsForGroup(f"seq-{n}"))
         bat_jobs = len(tracker.getJobIdsForGroup(f"bat-{n}"))
-        names_agree = [
-            e["producer"]["event-name"] for e in seq_out
-        ] == [e["producer"]["event-name"] for e in bat_out]
+        # peak memory: python driver RSS high-water + JVM heap-pool peaks
+        # (local mode: that one JVM is both "driver" and "executors")
+        import resource
+
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        heap_peak = 0
+        for pool in mf.getMemoryPoolMXBeans():
+            if pool.getType().toString() == "Heap memory":
+                heap_peak += pool.getPeakUsage().getUsed()
+        bat_names = [e["producer"]["event-name"] for e in bat_out]
         results[n] = {
             "consignments": n,
             "chain": "A+B+SIP" if to_sip else "A+B",
-            "sequential_sec": round(seq_s, 2),
             "batch_sec": round(bat_s, 2),
-            "sequential_jobs": seq_jobs,
+            "batch_sec_per_consignment": round(bat_s / n, 3),
             "batch_jobs": bat_jobs,
-            "speedup": round(seq_s / bat_s, 2),
-            "all_validated_agree": names_agree,
+            "batch_all_terminal_ok": all(
+                x in ("bagit-validated", "dri-preingest-sip-available")
+                for x in bat_names
+            ),
+            "driver_rss_peak_mb": rss_mb,
+            "jvm_heap_peak_mb": heap_peak // (1024 * 1024),
         }
+        if seq_out is not None:
+            seq_jobs = len(tracker.getJobIdsForGroup(f"seq-{n}"))
+            results[n].update(
+                {
+                    "sequential_sec": round(seq_s, 2),
+                    "sequential_jobs": seq_jobs,
+                    "speedup": round(seq_s / bat_s, 2),
+                    "all_validated_agree": [
+                        e["producer"]["event-name"] for e in seq_out
+                    ]
+                    == bat_names,
+                }
+            )
         print(json.dumps(results[n]))
 
-    out_path = os.path.join(REPO, "BATCHCHECK_r06.md")
+    out_path = os.path.join(REPO, "BATCHCHECK_r07.md")
     chain = "A+B+SIP" if "--sip" in sys.argv else "A+B"
     header_needed = not os.path.exists(out_path)
     with open(out_path, "a") as f:
         if header_needed:
             f.write(
-                "# Batched vs sequential intake chain (round 6)\n\n"
+                "# Batched vs sequential intake chain (round 7)\n\n"
                 "Measured on local[32]; valid consignments, 4 data files "
                 "each; independent\nstores, event-name equivalence checked "
                 "per run. The batch twin's job count\nis O(1) in N while "
-                "the sequential loop's grows linearly.\n"
+                "the sequential loop's grows linearly. Soak rows\n"
+                "(--batch-only) record per-consignment wall-clock and peak "
+                "driver RSS /\nJVM heap instead of the sequential baseline."
+                "\n"
             )
         f.write(
             f"\n## Chain {chain}\n\n```json\n"
             + json.dumps(results, indent=2)
             + "\n```\n"
         )
-    ok = all(v["all_validated_agree"] for v in results.values())
+    ok = all(
+        v.get("all_validated_agree", v["batch_all_terminal_ok"])
+        for v in results.values()
+    )
     sys.exit(0 if ok else 1)
 
 

@@ -8,12 +8,11 @@ executed (not just plan-asserted) beyond bench scale:
    contract, and d03 / d05 (connected components) / x14 (line-level dedup)
    must complete without OOM. Wall times recorded.
 
-2. SPLIT WIN CASE — a large mostly-unique corpus (200k unique synthetic
-   docs + 2% duplicated population): split routing's claim is that the
-   collapse shuffle cost tracks the DUPLICATED population, not the corpus
-   — the unique majority bands map-side behind the LeftAnti probe instead
-   of paying the (k+5)-int-per-doc collapse shuffle. Timed split vs plain,
-   min of `RUNS`.
+2. COLLAPSE ROUTING — a large mostly-unique corpus (200k unique synthetic
+   docs + 2% duplicated population): collapse vs plain banding A/B (must
+   agree; timing records the collapse insurance premium). The split_dups
+   router was retired in round 7 — the section comment carries the
+   pre-removal A/B evidence (noise-band straddle at 200k and 400k docs).
 
 3. PREFIX-SCAN / PAIR-SHUFFLE blow-up — x16 (sequence packing: the
    two-phase parallel prefix scan's range partitioner + driver subtotal
@@ -23,9 +22,9 @@ executed (not just plan-asserted) beyond bench scale:
    without OOM + sanity-checked outputs.
 
 Writes one JSON line per check to stdout and WRITES (overwrites) a summary
-to SKEWCHECK_r06.md — or SKEWCHECK_quick.md under --quick, so a quick run
+to SKEWCHECK_r07.md — or SKEWCHECK_quick.md under --quick, so a quick run
 can never clobber the committed full-scale evidence the README and the
-split-gate threshold calibration cite.
+collapse-gate threshold calibration cite.
 Usage: python scripts/skew_blowup.py [--quick]
 (--quick drops the blow-up factor to ×10 and the win corpus to 50k docs).
 """
@@ -152,7 +151,18 @@ def main() -> None:
         and all(int(r["n_pairs"]) % factor == 0 for r in top_pairs),
     }
 
-    # ---- 2. split win case: large mostly-unique corpus ------------------
+    # ---- 2. collapse routing on a large mostly-unique corpus ------------
+    # (The split_dups router was RETIRED in round 7. Pre-removal A/B,
+    # consecutive min-of-3 trials, collapse_exact pinned True both modes:
+    #   200k docs (r6 addendum): plain 8.6-16.9s vs split 9.1-15.3s
+    #   400k docs (r7 session): plain 16.9/14.8s vs split 17.1/14.0s
+    # — both straddle the ±15% noise band in BOTH directions, so the
+    # router's two extra persists + semi/anti probe joins cost what the
+    # avoided collapse shuffle saved at every measurable size; results
+    # agreed in every run. The retained routing is the est-gate +
+    # measured-probe collapse decision, A/B'd here instead: collapse vs
+    # plain banding must agree on results, and the timing records the
+    # collapse insurance premium on a mostly-unique corpus.)
     # deterministic unique texts (md5-derived tokens, ~24 tokens/doc) plus
     # a 2% duplicated population in groups of 5
     base = spark.range(n_unique).select(
@@ -197,13 +207,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     pair_counts: dict[str, int] = {}
-    # collapse_exact pinned True in both modes: this experiment compares the
-    # split routing specifically, holding the collapse machinery constant
-    # (and the 'auto' collapse gate could flip near the 64 MB threshold at
-    # this corpus size, which would conflate the two effects)
     for mode, kw in [
-        ("plain", {"split_dups": False, "collapse_exact": True}),
-        ("split", {"split_dups": True, "collapse_exact": True}),
+        ("plain_banding", {"collapse_exact": False}),
+        ("collapse", {"collapse_exact": True}),
     ]:
         best = None
         for _ in range(RUNS):
@@ -215,15 +221,18 @@ def main() -> None:
             dedup.release_cached()
             best = el if best is None else min(best, el)
         timings[mode] = round(best, 2)
-    results["split_win_case"] = {
+    results["collapse_routing_unique_corpus"] = {
         "docs": n_corpus,
         "dup_docs": dup_groups * 5,
-        "pairs_plain": pair_counts["plain"],
-        "pairs_split": pair_counts["split"],
-        "plain_sec": timings["plain"],
-        "split_sec": timings["split"],
-        "results_agree": pair_counts["plain"] == pair_counts["split"],
-        "split_wins": timings["split"] <= timings["plain"],
+        "pairs_plain": pair_counts["plain_banding"],
+        "pairs_collapse": pair_counts["collapse"],
+        "plain_sec": timings["plain_banding"],
+        "collapse_sec": timings["collapse"],
+        "split_router": "retired r7 (see section comment: noise-band "
+        "straddle at 200k and 400k docs in consecutive min-of-3 trials)",
+        "results_agree": pair_counts["plain_banding"]
+        == pair_counts["collapse"],
+        "ok": pair_counts["plain_banding"] == pair_counts["collapse"],
     }
 
     # ---- 3. hot-user funnel: ×factor event stream -----------------------
@@ -449,14 +458,120 @@ def main() -> None:
         "ok": abs((got_tokens or 0) - budget) < 0.05 * budget,
     }
 
-    print(json.dumps(results))
-    ok = all(v.get("ok", True) for v in results.values()) and results[
-        "split_win_case"
-    ]["results_agree"]
+    # ---- 7. epoch-shuffle ordering keys at ×factor ----------------------
+    # x23's keys are a pure function of (salt, epoch, id). On the blown
+    # corpus: collision-free per epoch, different between epochs, and a
+    # range-partitioned write on the key (the 100 TB shuffle shape — no
+    # global rank) must land BALANCED partitions, since the md5 key is
+    # uniform regardless of id skew.
+    t0 = time.perf_counter()
+    keyed = blown.select(
+        "doc_id",
+        text.epoch_order_key(1).alias("k1"),
+        text.epoch_order_key(2).alias("k2"),
+    )
+    agg = keyed.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("k1").alias("d1"),
+        F.countDistinct("k2").alias("d2"),
+        F.sum((F.col("k1") == F.col("k2")).cast("int")).alias("same"),
+    ).collect()[0]
+    sizes = [
+        r["count"]
+        for r in keyed.repartitionByRange(32, "k1")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    ]
+    balance = max(sizes) / (sum(sizes) / len(sizes))
+    x23_s = time.perf_counter() - t0
+    results["x23_epoch_order_blown"] = {
+        "rows": int(agg["n"]),
+        "distinct_e1": int(agg["d1"]),
+        "distinct_e2": int(agg["d2"]),
+        "same_key_rows": int(agg["same"]),
+        "range_partition_max_over_mean": round(balance, 3),
+        "sec": round(x23_s, 2),
+        "ok": agg["d1"] == agg["n"] == agg["d2"]
+        and agg["same"] == 0
+        and balance < 1.25,
+    }
 
-    out_name = "SKEWCHECK_quick.md" if quick else "SKEWCHECK_r06.md"
+    # ---- 8. e05b pruned-SRP candidate economics at 10× vectors ----------
+    # bench records the candidate fraction at n=2k (sf0.1), where the
+    # docstring's crossover math says the probe stream costs more than
+    # the verify it prunes. The 100 TB claim is that the FRACTION holds
+    # as n grows while all-pairs grows quadratically — so the absolute
+    # verify savings cross over. 10×: each copy deterministically
+    # jittered (±10% per element, xxhash-derived) so copies are near but
+    # not identical vectors.
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    base_stats = dedup.embedding_lsh_candidate_stats(
+        emb, threshold=0.9, n_planes=16, sigmas=1.0, dim=64
+    )
+    dedup.release_cached()
+    copies10 = F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    blown_emb = (
+        emb.select("vec_id", "embedding", copies10.alias("c"))
+        .select(
+            (F.col("vec_id") * 10 + F.col("c")).alias("vec_id"),
+            F.col("c"),
+            F.col("embedding"),
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + x
+                * (
+                    (
+                        F.xxhash64(
+                            F.concat_ws(
+                                ":",
+                                F.col("vec_id").cast("string"),
+                                i.cast("string"),
+                            )
+                        )
+                        % 201
+                        - 100
+                    ).cast("float")
+                    / 1000.0
+                ),
+            ).alias("embedding"),
+        )
+    )
+    t0 = time.perf_counter()
+    blown_stats = dedup.embedding_lsh_candidate_stats(
+        blown_emb, threshold=0.9, n_planes=16, sigmas=1.0, dim=64
+    )
+    e05b_s = time.perf_counter() - t0
+    dedup.release_cached()
+    saved_base = base_stats["total_pairs"] - base_stats["candidate_pairs"]
+    saved_blown = (
+        blown_stats["total_pairs"] - blown_stats["candidate_pairs"]
+    )
+    results["e05b_candidates_10x"] = {
+        "n_base": base_stats["n"],
+        "n_10x": blown_stats["n"],
+        "fraction_base": round(base_stats["candidate_fraction"], 4),
+        "fraction_10x": round(blown_stats["candidate_fraction"], 4),
+        "verify_pairs_saved_base": saved_base,
+        "verify_pairs_saved_10x": saved_blown,
+        "sec": round(e05b_s, 2),
+        # fraction must not degrade materially with n; savings must grow
+        # ~quadratically (>50× here for 10× n)
+        "ok": blown_stats["candidate_fraction"]
+        <= base_stats["candidate_fraction"] * 1.5
+        and saved_blown > 50 * max(saved_base, 1),
+    }
+
+    print(json.dumps(results))
+    ok = all(v.get("ok", True) for v in results.values())
+
+    out_name = "SKEWCHECK_quick.md" if quick else "SKEWCHECK_r07.md"
     with open(os.path.join(REPO, out_name), "w") as f:
-        f.write("# Skew / scale blow-up validation (round 6)\n\n")
+        f.write("# Skew / scale blow-up validation (round 7)\n\n")
         f.write(
             f"Executed on local[32], factor ×{factor}, win-corpus "
             f"{n_corpus} docs, min of {RUNS} runs.\n\n```json\n"

@@ -81,17 +81,6 @@ def test_exact_dedup_null_is_its_own_group(spark):
     assert sorted(tuple(r.dup_ids) for r in dups) == [(1, 3), (2, 4)]
 
 
-def test_minhash_split_dups_prereq_error(spark, docs):
-    """Explicit split_dups=True with its prerequisites off must raise, not
-    silently downgrade to the plain route."""
-    import pytest
-
-    with pytest.raises(ValueError, match="split_dups=True requires"):
-        dedup.minhash_near_duplicates(
-            docs, persist_shingles=False, split_dups=True
-        )
-
-
 def test_srp_ann_recall_contract(spark, tmp_path):
     """e03's approximate SRP path gets a MEASURED recall contract instead
     of 'approximate by design': recall@10 vs exact top-10 (mean over the
@@ -154,25 +143,23 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     # precision is exact by construction (candidates verified on true jaccard)
 
 
-def test_minhash_split_collapse_paths_agree(spark, docs):
-    """The three physical routes — split-routed collapse (forced: the auto
-    gate keeps test-scale corpora on the plain route), full collapse
-    (persist_shingles=False), and no collapse — must produce identical
-    pairs on a corpus CONTAINING identical-set groups, including
+def test_minhash_collapse_paths_agree(spark, docs):
+    """The physical routes — collapse (forced), full collapse without the
+    shared cache (persist_shingles=False), and no collapse — must produce
+    identical pairs on a corpus CONTAINING identical-set groups, including
     intra-group jaccard-1.0 rows and member expansion of rep-level
-    matches."""
+    matches. (The retired split_dups router's semi/anti probe joins must
+    be GONE from the collapse plan — it carries no LeftSemi/LeftAnti.)"""
     dup1 = docs.limit(6).withColumn("doc_id", F.col("doc_id") + 1_000_000)
     dup2 = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 2_000_000)
     corpus = docs.unionByName(dup1).unionByName(dup2)
     key = lambda r: (r.id_a, r.id_b, r.jaccard)  # noqa: E731
-    split = sorted(
-        map(
-            key,
-            dedup.minhash_near_duplicates(
-                corpus, threshold=0.9, split_dups=True, collapse_exact=True
-            ).collect(),
-        )
+    collapsed_df = dedup.minhash_near_duplicates(
+        corpus, threshold=0.9, collapse_exact=True
     )
+    plan = collapsed_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    collapsed = sorted(map(key, collapsed_df.collect()))
     dedup.release_cached()
     full = sorted(
         map(
@@ -194,51 +181,14 @@ def test_minhash_split_collapse_paths_agree(spark, docs):
         )
     )
     dedup.release_cached()
-    assert split == full == plain
+    assert collapsed == full == plain
     # the duplicated docs must appear: each dup pairs with its original
-    pair_set = {(a, b) for a, b, _ in split}
+    pair_set = {(a, b) for a, b, _ in collapsed}
     originals = [r.doc_id for r in docs.limit(2).select("doc_id").collect()]
     for o in originals:
         assert (o, o + 2_000_000) in pair_set
-
-
-def test_minhash_split_dups_auto_gate(spark, docs):
-    """split_dups="auto" (default) routes by the optimizer's corpus size
-    estimate: test/bench-scale corpora take the plain collapse (the split's
-    two extra persists + probe joins were the r3 d03 bench regression —
-    pure overhead when the avoided full-corpus shuffle is tiny), while
-    large or unestimable plans take the split. Observable in the optimized
-    plan: the split route carries the LeftSemi (collapse input restricted
-    to duplicate-key groups — the 100 TB win: collapse cost tracks the
-    DUPLICATED population) and LeftAnti (everything else bands map-side,
-    no collapse shuffle at all) probe joins; the plain route has neither.
-    Both routes must agree on results."""
-
-    def plan(df):
-        return df._jdf.queryExecution().optimizedPlan().toString()
-
-    small = dedup.minhash_near_duplicates(docs, threshold=0.9)
-    p_small = plan(small)
-    assert "LeftSemi" not in p_small and "LeftAnti" not in p_small
-
-    forced = dedup.minhash_near_duplicates(
-        docs, threshold=0.9, split_dups=True, collapse_exact=True
-    )
-    p_forced = plan(forced)
-    assert "LeftSemi" in p_forced and "LeftAnti" in p_forced
-
-    # the gate itself: a tiny corpus estimates far below the threshold
-    est = dedup._plan_size_bytes(docs)
-    assert est is not None and est < dedup.SPLIT_DUPS_AUTO_THRESHOLD_BYTES
-
-    key = lambda r: (r.id_a, r.id_b, r.jaccard)  # noqa: E731
-    assert sorted(map(key, small.collect())) == sorted(
-        map(key, forced.collect())
-    )
-    dedup.release_cached()
-
-    with pytest.raises(ValueError, match="split_dups"):
-        dedup.minhash_near_duplicates(docs, split_dups="sometimes")
+    with pytest.raises(ValueError, match="collapse_exact"):
+        dedup.minhash_near_duplicates(docs, collapse_exact="sometimes")
 
 
 def test_simhash_behavior(spark):
