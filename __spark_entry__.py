@@ -2875,6 +2875,82 @@ def q_m12_png_decode_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_m13_docx_parse(spark, sf_dir):
+    """REAL document transformation under a hash oracle — the full
+    encode→parse loop of the judgment parser at corpus scale: per
+    document a genuine ECMA-376 .docx (zip of WordprocessingML +
+    Dublin-Core props + an embedded PNG for every third doc) is
+    assembled executor-side by plans/docx_parser.build_docx with
+    paragraph/citation/title fields that are closed-form functions of
+    doc_id, then plans/editorial.parse_documents fans the REAL parser
+    (stdlib zip walk + XML parse + neutral-citation regex + Akoma Ntoso
+    render) over the corpus as one Arrow-batched mapInPandas stage.
+    Every output field — title from core props, extracted neutral
+    citation and court, date, paragraph count in the rendered XML,
+    embedded-image count — has an analytic formula DuckDB evaluates
+    directly. This is the m09-style oracle applied to the document
+    parser: the transformation's actual extraction logic is
+    hash-checked end-to-end, not just plumbing-checked."""
+    from da_transform_judgments_pipeline_spark.plans.editorial import (
+        parse_documents,
+    )
+
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.operators.imagecodec import (
+            encode_png,
+        )
+        from da_transform_judgments_pipeline_spark.plans.docx_parser import (
+            build_docx,
+        )
+
+        png = encode_png(np.full((2, 2, 3), 7, np.uint8))
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                paragraphs = [
+                    f"Case {d} heading",
+                    f"[{2000 + d % 30}] EWCA Civ {d % 900 + 1}",
+                ] + [
+                    f"Body paragraph {j} of case {d}."
+                    for j in range(d % 5)
+                ]
+                blobs.append(
+                    bytearray(
+                        build_docx(
+                            paragraphs,
+                            title=f"Case {d}",
+                            creator="Court of Appeal",
+                            created="2021-03-04T05:06:07Z",
+                            images=(
+                                {"image1.png": png} if d % 3 == 0 else {}
+                            ),
+                        )
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    corpus = docs.mapInPandas(make, "doc_id long, content binary")
+    return (
+        parse_documents(corpus)
+        .select(
+            "doc_id",
+            "name",
+            "cite",
+            "court",
+            F.col("date").alias("doc_date"),
+            "n_paragraphs",
+            "n_images",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_x22_token_budget_sample(spark, sf_dir):
     """Domain-mixture sampling to a token budget (text.token_budget_sample
     — the data-mixing step): four sources with weights 3/1/1/10 share a
@@ -3014,10 +3090,16 @@ def q_b02_batch_dri_metadata(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Round 7 rotation: m12 (stdlib PNG decode — zlib inflate + all
-    # five scanline filters under the m09 closed-form oracle) is NEW and
-    # joins the window right after the codec triple; m05_frame_sample_plan
-    # (multi-green r4+r6, unchanged) moves past the cap under the
-    # standing policy.
+    # five scanline filters under the m09 closed-form oracle) and m13
+    # (the REAL docx parser's full encode→parse loop over the corpus —
+    # title/citation/paragraph/image extraction under closed-form
+    # formulas) are NEW and join the window right after the codec
+    # triple; m01_binary_stats and m05_frame_sample_plan (multi-green,
+    # unchanged) move past the cap under the standing policy. Queries
+    # whose code changed this round and are in-window: d01-d09/e01/e05
+    # (split_dups router retirement — shared dedup module), x21-adjacent
+    # bpe paths (driver-side hybrid loop; x21 is rows-only with the
+    # n_merges=1000 differential pytest).
     # --- Round 6 rotation: b01/b02 (the batched multi-consignment stage
     # cores — validation report and keyed DRI metadata) and m09/m10/m11
     # (the pure-numpy codec triple — image/audio/video decode under
@@ -3076,6 +3158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m10_audio_decode_features": q_m10_audio_decode_features,
     "m11_video_decode_features": q_m11_video_decode_features,
     "m12_png_decode_features": q_m12_png_decode_features,
+    "m13_docx_parse": q_m13_docx_parse,
     "x22_token_budget_sample": q_x22_token_budget_sample,
     "x23_epoch_order": q_x23_epoch_order,
     # (a) NEW round 5
@@ -3667,6 +3750,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b_milli,
                    CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b2_milli
             FROM c ORDER BY doc_id
+        """,
+        "m13_docx_parse": """
+            SELECT doc_id,
+                   'Case ' || CAST(doc_id AS VARCHAR) AS name,
+                   '[' || CAST(2000 + doc_id % 30 AS VARCHAR)
+                       || '] EWCA Civ '
+                       || CAST(doc_id % 900 + 1 AS VARCHAR) AS cite,
+                   'EWCA Civ' AS court,
+                   '2021-03-04' AS doc_date,
+                   CAST(2 + doc_id % 5 AS INTEGER) AS n_paragraphs,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_images
+            FROM documents ORDER BY doc_id
         """,
         "b02_batch_dri_metadata": """
             WITH info AS (

@@ -1093,12 +1093,13 @@ def bpe_segment(
     text_col: str = "text",
 ) -> DataFrame:
     """APPLY a learned merge table (:func:`bpe_train`) to a corpus:
-    (id, token_count_bpe, symbols-per-word rows flattened to one
-    space-joined string per document for stable comparison). Map-side
-    only — the merges compile into a chain of Catalyst folds per word
-    (fine for the tens-to-hundreds of merges a test/tokenizer-prep pass
-    learns; production tokenizers precompile vocabularies instead of
-    replaying merges)."""
+    (id, token_count_bpe, n_words). Map-side only — the merges compile
+    into a chain of Catalyst folds per word: no Python on the hot path,
+    but the PLAN grows linearly with the table, so this path suits the
+    tens-to-hundreds of merges a test/tokenizer-prep pass learns. For
+    production-sized tables (the 32k merges :func:`bpe_train` now trains
+    hybrid) use :func:`bpe_segment_ranked` — same output, O(1) plan
+    size."""
     words = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("w"),
     )
@@ -1115,6 +1116,79 @@ def bpe_segment(
             F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
             F.count("*").cast("long").alias("n_words"),
         )
+    )
+
+
+def bpe_segment_ranked(
+    df: DataFrame,
+    merges: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Production-scale BPE segmentation: identical output contract to
+    :func:`bpe_segment` but the merge table ships to executors ONCE as a
+    broadcast rank dict and each word segments with the standard
+    priority-queue algorithm (repeatedly merge the present pair with the
+    LOWEST training rank — equivalent to replaying the merges in order,
+    the GPT-2 bpe() formulation) inside an Arrow-batched mapInPandas.
+    Plan size is O(1) in the merge count, per-word cost is
+    O(len · log len · merges-present), and a per-batch word cache
+    exploits Zipf (most tokens repeat). The fold path stays the
+    all-Catalyst differential anchor: a pytest asserts both paths agree
+    exactly."""
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+
+    words = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("w")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        rk = b_ranks.value
+        cache: dict[str, int] = {}
+
+        def n_syms(w: str) -> int:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w) + ["</w>"]
+            while len(syms) > 1:
+                best, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, best_i = r, i
+                if best is None:
+                    break
+                # merge EVERY occurrence of the winning pair, leftmost
+                # greedy — one training merge rewrites the whole word
+                left, right = syms[best_i], syms[best_i + 1]
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            counts = [n_syms(w) for w in pdf["w"]]
+            yield pd.DataFrame({"_id": pdf["_id"], "n": counts})
+
+    per_word = words.mapInPandas(run, schema="_id long, n long")
+    return per_word.groupBy(F.col("_id").alias(id_col)).agg(
+        F.sum("n").cast("long").alias("n_bpe_tokens"),
+        F.count("*").cast("long").alias("n_words"),
     )
 
 

@@ -218,6 +218,97 @@ def subprocess_parser(
     return call
 
 
+PARSED_DOC_SCHEMA = (
+    "doc_id long, xml string, name string, cite string, court string,"
+    " date string, n_paragraphs int, n_images int, error string"
+)
+
+
+def parse_documents(
+    docs,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    on_error: str = "report",
+):
+    """Distributed document transformation — the 100 TB shape of the
+    reference's one-Lambda-per-document parser step: instead of one
+    state-machine execution per judgment, the REAL docx parser
+    (:func:`.docx_parser.parse_docx` — stdlib zip walk, WordprocessingML
+    paragraph extraction, Dublin-Core props, neutral-citation regex,
+    Akoma Ntoso render) fans out over the corpus as an Arrow-batched
+    ``mapInPandas`` stage. One row in (id, docx bytes) → one row out
+    (id, judgment XML, extracted metadata fields, paragraph/image
+    counts).
+
+    ``on_error='report'`` (default — a corpus ALWAYS has corrupt
+    members) yields an error row per undecodable package instead of
+    failing the job; ``'raise'`` keeps the strict single-document
+    contract. Everything here is executor-side pure Python over Arrow
+    batches: no driver loop, no subprocess per row (the subprocess
+    boundary exists for out-of-process parsers — editorial.
+    subprocess_parser; this path runs the in-process library parser at
+    corpus scale)."""
+    if on_error not in ("raise", "report"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'report', not {on_error!r}"
+        )
+    report = on_error == "report"
+
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias("_blob")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from .docx_parser import parse_docx
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["_blob"]):
+                try:
+                    r = parse_docx(bytes(blob), str(did))
+                    m = r["metadata"]
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "xml": r["xml"],
+                            "name": m["name"],
+                            "cite": m["cite"],
+                            "court": m["court"],
+                            "date": m["date"],
+                            "n_paragraphs": r["xml"].count("<paragraph "),
+                            "n_images": len(r["images"]),
+                            "error": None,
+                        }
+                    )
+                except Exception as e:
+                    if not report:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "xml": None,
+                            "name": None,
+                            "cite": None,
+                            "court": None,
+                            "date": None,
+                            "n_paragraphs": None,
+                            "n_images": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "xml", "name", "cite", "court", "date",
+                    "n_paragraphs", "n_images", "error",
+                ],
+            )
+
+    return src.mapInPandas(run, schema=PARSED_DOC_SCHEMA)
+
+
 def fake_parser(parser_inputs: dict) -> dict:
     """STUB — deterministic stand-in for the external .NET judgment parser
     (the real parser is a separate service; this container has no .NET).

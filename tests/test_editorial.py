@@ -445,3 +445,43 @@ def io_bytes(b):
     import io
 
     return io.BytesIO(b)
+
+
+def test_parse_documents_corpus_operator(spark):
+    """The distributed parser stage: real docx packages parse per-row in
+    Arrow batches (paragraph joins across runs, citation extraction,
+    image counts), a corrupt package yields an error row in report mode
+    (the default — a corpus always has corrupt members) and raises under
+    on_error='raise'."""
+    from da_transform_judgments_pipeline_spark.plans.docx_parser import (
+        build_docx,
+    )
+    from da_transform_judgments_pipeline_spark.plans.editorial import (
+        parse_documents,
+    )
+
+    good = build_docx(
+        ["Heading here", "[2022] UKSC 11", "Body text"],
+        title="Good v Better",
+        created="2022-05-06T07:08:09Z",
+        images={"a.png": b"x", "b.png": b"y"},
+    )
+    corpus = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a zip at all"))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in parse_documents(corpus).collect()}
+    ok = rows[1]
+    assert ok["error"] is None
+    assert ok["name"] == "Good v Better"
+    assert ok["cite"] == "[2022] UKSC 11" and ok["court"] == "UKSC"
+    assert ok["date"] == "2022-05-06"
+    assert ok["n_paragraphs"] == 3 and ok["n_images"] == 2
+    assert "akomaNtoso" in ok["xml"] and "Body text" in ok["xml"]
+    bad = rows[2]
+    assert bad["xml"] is None and "BadZipFile" in bad["error"]
+
+    with pytest.raises(Exception, match="BadZipFile"):
+        parse_documents(corpus, on_error="raise").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        parse_documents(corpus, on_error="skip")

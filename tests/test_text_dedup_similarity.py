@@ -895,3 +895,79 @@ def test_bpe_train_production_merge_count(spark):
     want = _ref_bpe_train(texts, 1000, min_pair_count=2)
     assert len(got) >= 1000, len(got)
     assert got == want
+
+
+def test_bpe_segment_ranked_matches_fold_path(spark):
+    """The O(1)-plan ranked segmenter must produce exactly the fold
+    path's output (same (n_bpe_tokens, n_words) per doc) — the min-rank-
+    present loop is equivalent to replaying merges in training order."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "widest wide wider new low",
+        "the the the lowering widens",
+        "unseen wording lowers newest widest",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = t.bpe_train(df, n_merges=30)
+    fold = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+        for r in t.bpe_segment(df, merges).collect()
+    }
+    ranked = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+        for r in t.bpe_segment_ranked(df, merges).collect()
+    }
+    assert ranked == fold
+
+
+def test_bpe_segment_ranked_production_table(spark):
+    """Segmentation with a 1000-merge table (where the fold path's plan
+    would be infeasible): the ranked segmenter's per-doc token counts
+    must match a pure-Python sequential replay of the same merges."""
+    import numpy as np
+
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    rs = np.random.RandomState(7)
+    alphabet = list("abcdefghijklmnopqrstuvwxyz")
+    vocab_words = ["".join(rs.choice(alphabet, 12)) for _ in range(500)]
+    words = [w for i, w in enumerate(vocab_words) for _ in range(2 + i % 3)]
+    texts = [" ".join(words[i::6]) for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = t.bpe_train(df, n_merges=1000)
+    assert len(merges) >= 1000
+
+    def replay_count(s):
+        n = 0
+        for w in s.split():
+            syms = list(w) + ["</w>"]
+            for m in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == m["left"]
+                        and syms[i + 1] == m["right"]
+                    ):
+                        out.append(m["left"] + m["right"])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n += len(syms)
+        return n
+
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in t.bpe_segment_ranked(df, merges).collect()
+    }
+    for i, s in enumerate(texts):
+        assert got[i] == replay_count(s), i
