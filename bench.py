@@ -107,6 +107,9 @@ HEADLINE = [
     "x22_token_budget_sample",
     "x23_epoch_order",
     "e05b_embedding_lsh_pruned",
+    # round 7
+    "m12_png_decode_features",
+    "m13_docx_parse",
 ]
 
 
