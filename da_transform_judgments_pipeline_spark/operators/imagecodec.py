@@ -206,12 +206,23 @@ def _defilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
     return out
 
 
+# decoded-raster ceiling: a corrupt/hostile header (or a zlib bomb whose
+# header lies small) must produce a typed refusal, never an executor OOM
+# mid-Arrow-batch — the same whole-object-in-RAM bound archive.py applies
+PNG_MAX_DECODED_BYTES = 256 << 20
+
+
 def decode_png(blob: bytes) -> np.ndarray:
     """Full PNG decode with the standard library: chunk walk + CRC
     verify, zlib-inflate the IDAT stream, undo per-row filters, map
     palette / drop alpha / replicate gray — returns (H, W, 3) uint8.
     Supports bit depth 8, color types 0/2/3/4/6, non-interlaced; 16-bit
-    and Adam7 raise (the honest boundary of a stdlib decoder)."""
+    and Adam7 raise (the honest boundary of a stdlib decoder). EVERY
+    malformed-input failure — short IHDR, non-zlib IDAT, zlib bomb
+    (inflation is capped at the header-derived raster size, which is
+    itself bounded by PNG_MAX_DECODED_BYTES), out-of-range palette
+    index — raises :class:`UnsupportedImageError`, so the report-mode
+    operators can isolate any corrupt blob."""
     blob = bytes(blob)
     if blob[:8] != PNG_SIG:
         raise UnsupportedImageError(f"{sniff(blob)} is not PNG")
@@ -220,8 +231,14 @@ def decode_png(blob: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, data in _png_chunks(blob):
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise UnsupportedImageError(
+                    f"PNG IHDR length {len(data)} != 13"
+                )
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise UnsupportedImageError("PNG PLTE length invalid")
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
@@ -236,13 +253,33 @@ def decode_png(blob: bytes) -> np.ndarray:
     if color_type not in _PNG_CHANNELS:
         raise UnsupportedImageError(f"PNG color type {color_type} invalid")
     ch = _PNG_CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    if raw.size != h * (1 + w * ch):
+    if w < 1 or h < 1:
+        raise UnsupportedImageError(f"PNG dimensions {w}x{h} invalid")
+    expected = h * (1 + w * ch)
+    if expected > PNG_MAX_DECODED_BYTES:
+        raise UnsupportedImageError(
+            f"PNG raster {expected} bytes exceeds the "
+            f"{PNG_MAX_DECODED_BYTES}-byte decode bound"
+        )
+    try:
+        # bounded inflate: never materialize more than the header-derived
+        # raster size +1 (the +1 byte detects an over-long stream), no
+        # matter what the compressed stream claims
+        d = zlib.decompressobj()
+        inflated = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise UnsupportedImageError(f"PNG IDAT inflate failed: {exc}")
+    raw = np.frombuffer(inflated, np.uint8)
+    if raw.size != expected:
         raise UnsupportedImageError("PNG pixel data size mismatch")
     pix = _defilter(raw, h, w, ch).reshape(h, w, ch)
     if color_type == 3:
         if palette is None:
             raise UnsupportedImageError("PNG palette image missing PLTE")
+        if int(pix.max()) >= len(palette):
+            raise UnsupportedImageError(
+                "PNG palette index out of range"
+            )
         return palette[pix[:, :, 0]].copy()
     if color_type == 4:  # gray + alpha → drop alpha, replicate
         return np.repeat(pix[:, :, :1], 3, axis=2)

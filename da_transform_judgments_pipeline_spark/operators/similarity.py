@@ -508,7 +508,15 @@ def compact_ivf_index(spark, path: str) -> dict:
         raise IOError(f"could not move live index aside: {path} -> {trash}")
     if not fs.rename(hadoop_path(tmp), hadoop_path(path)):
         # put the live index back; compacted copy remains in `tmp`
-        fs.rename(hadoop_path(trash), hadoop_path(path))
+        if not fs.rename(hadoop_path(trash), hadoop_path(path)):
+            # the restore itself failed: be explicit about where the
+            # live data actually sits, or the operator will follow the
+            # normal recovery note and mistake the trash dir for garbage
+            raise IOError(
+                f"could not swap compacted index in AND could not "
+                f"restore the original: the LIVE index data is at "
+                f"{trash} (not {path}); the compacted copy is at {tmp}"
+            )
         raise IOError(f"could not swap compacted index in: {tmp} -> {path}")
     fs.delete(hadoop_path(trash), True)
     files_after = len(spark.read.parquet(path).inputFiles())

@@ -269,6 +269,18 @@ def main() -> int:
     result = parse_docx(blob, ref)
 
     xml_name, meta_name, log_name = f"{ref}.xml", "metadata.json", "parser.log"
+    # an untrusted package may embed media whose basename collides with
+    # the parser's own artifacts (metadata.json, {ref}.xml, the staged
+    # document) — silently clobbering them with image bytes while
+    # reporting success would corrupt the downstream package. Refuse
+    # loudly; the boundary converts the non-zero exit to the
+    # error-messages contract.
+    reserved = {xml_name, meta_name, log_name, doc_name}
+    clash = sorted(reserved & set(result["images"]))
+    if clash:
+        raise ValueError(
+            f"embedded image name collides with parser artifact: {clash}"
+        )
     with open(os.path.join(out_dir, xml_name), "w") as f:
         f.write(result["xml"])
     with open(os.path.join(out_dir, meta_name), "w") as f:

@@ -220,7 +220,7 @@ def subprocess_parser(
 
 PARSED_DOC_SCHEMA = (
     "doc_id long, xml string, name string, cite string, court string,"
-    " date string, n_paragraphs int, n_images int, error string"
+    " date string, n_paragraphs int, n_images int"
 )
 
 
@@ -241,9 +241,11 @@ def parse_documents(
     counts).
 
     ``on_error='report'`` (default — a corpus ALWAYS has corrupt
-    members) yields an error row per undecodable package instead of
-    failing the job; ``'raise'`` keeps the strict single-document
-    contract. Everything here is executor-side pure Python over Arrow
+    members) appends an ``error`` column (NULL on success) and yields an
+    error row per undecodable package instead of failing the job;
+    ``'raise'`` keeps the strict single-document contract and, like the
+    multimodal report-mode twins, omits the column (it could never be
+    non-NULL). Everything here is executor-side pure Python over Arrow
     batches: no driver loop, no subprocess per row (the subprocess
     boundary exists for out-of-process parsers — editorial.
     subprocess_parser; this path runs the in-process library parser at
@@ -258,6 +260,11 @@ def parse_documents(
         F.col(id_col).alias("doc_id"), F.col(content_col).alias("_blob")
     )
 
+    cols = [
+        "doc_id", "xml", "name", "cite", "court", "date",
+        "n_paragraphs", "n_images",
+    ] + (["error"] if report else [])
+
     def run(batches):
         import pandas as pd
 
@@ -269,44 +276,29 @@ def parse_documents(
                 try:
                     r = parse_docx(bytes(blob), str(did))
                     m = r["metadata"]
-                    rows.append(
-                        {
-                            "doc_id": did,
-                            "xml": r["xml"],
-                            "name": m["name"],
-                            "cite": m["cite"],
-                            "court": m["court"],
-                            "date": m["date"],
-                            "n_paragraphs": r["xml"].count("<paragraph "),
-                            "n_images": len(r["images"]),
-                            "error": None,
-                        }
-                    )
+                    row = {
+                        "doc_id": did,
+                        "xml": r["xml"],
+                        "name": m["name"],
+                        "cite": m["cite"],
+                        "court": m["court"],
+                        "date": m["date"],
+                        "n_paragraphs": r["xml"].count("<paragraph "),
+                        "n_images": len(r["images"]),
+                    }
+                    if report:
+                        row["error"] = None
                 except Exception as e:
                     if not report:
                         raise
-                    rows.append(
-                        {
-                            "doc_id": did,
-                            "xml": None,
-                            "name": None,
-                            "cite": None,
-                            "court": None,
-                            "date": None,
-                            "n_paragraphs": None,
-                            "n_images": None,
-                            "error": f"{type(e).__name__}: {e}",
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "xml", "name", "cite", "court", "date",
-                    "n_paragraphs", "n_images", "error",
-                ],
-            )
+                    row = {c: None for c in cols}
+                    row["doc_id"] = did
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return src.mapInPandas(run, schema=PARSED_DOC_SCHEMA)
+    schema = PARSED_DOC_SCHEMA + (", error string" if report else "")
+    return src.mapInPandas(run, schema=schema)
 
 
 def fake_parser(parser_inputs: dict) -> dict:

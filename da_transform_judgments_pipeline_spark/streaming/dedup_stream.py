@@ -18,6 +18,7 @@ table maintenance, not streaming-state surgery.
 
 from __future__ import annotations
 
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -148,15 +149,36 @@ def compact_index_table(spark: SparkSession, table: str) -> dict:
     spark.conf.set(conf_key, "false")
     try:
         tmp = f"{table}_compacting"
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        # a leftover staging table from a crashed previous run: DROP on an
+        # external table keeps its files, so capture and delete its
+        # location too — otherwise every crash orphans a full compacted
+        # copy on disk forever
+        if spark.catalog.tableExists(tmp):
+            stale = {
+                r.col_name: r.data_type
+                for r in spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {tmp}"
+                ).collect()
+            }
+            stale_loc = (
+                stale.get("Location")
+                if stale.get("Type", "").strip().upper() == "EXTERNAL"
+                else None
+            )
+            spark.sql(f"DROP TABLE {tmp}")
+            if stale_loc:
+                _fs_delete(spark, stale_loc)
         # compacted copy FIRST, to a fresh location for external tables —
         # the live table and its data files stay intact and readable until
-        # the copy is fully written and verified
-        new_path = (
-            ext_path.rstrip("/") + "_compact_" + uuid.uuid4().hex[:8]
-            if ext_path
-            else None
-        )
+        # the copy is fully written and verified. The suffix is appended
+        # to the STABLE base (any prior _compact_<hex> suffixes stripped),
+        # so repeated compactions never grow the path unboundedly.
+        new_path = None
+        if ext_path:
+            base = re.sub(
+                r"(_compact_[0-9a-f]{8})+$", "", ext_path.rstrip("/")
+            )
+            new_path = base + "_compact_" + uuid.uuid4().hex[:8]
         write_bucketed(
             spark.table(table).repartition(buckets, F.col(key)), tmp, key,
             buckets=buckets, sort=sort, mode="overwrite", path=new_path,

@@ -279,7 +279,12 @@ def compact_processed_ledger(
     if not fs.rename(hadoop_path(path), hadoop_path(trash)):
         raise IOError(f"could not move live ledger aside: {path} -> {trash}")
     if not fs.rename(hadoop_path(tmp), hadoop_path(path)):
-        fs.rename(hadoop_path(trash), hadoop_path(path))
+        if not fs.rename(hadoop_path(trash), hadoop_path(path)):
+            raise IOError(
+                f"could not swap compacted ledger in AND could not "
+                f"restore the original: the LIVE ledger data is at "
+                f"{trash} (not {path}); the compacted copy is at {tmp}"
+            )
         raise IOError(f"could not swap compacted ledger in: {tmp} -> {path}")
     fs.delete(hadoop_path(trash), True)
     files_after = len(spark.read.parquet(path).inputFiles())

@@ -181,16 +181,22 @@ def main() -> None:
         sc.setJobGroup(None, None)
 
         bat_jobs = len(tracker.getJobIdsForGroup(f"bat-{n}"))
-        # peak memory: python driver RSS high-water + JVM heap-pool peaks
-        # (local mode: that one JVM is both "driver" and "executors")
+        # peak memory: python driver RSS high-water, plus two JVM heap
+        # views (local mode: that one JVM is both "driver" and
+        # "executors"). Per-pool peaks occur at DIFFERENT instants
+        # (Eden's just before a young GC, Old Gen's before a full GC),
+        # so their sum is an UPPER BOUND on any instantaneous footprint,
+        # never an observed high-water mark — recorded under that name,
+        # alongside the actual heap in use after the run.
         import resource
 
         rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
         mf = spark._jvm.java.lang.management.ManagementFactory
-        heap_peak = 0
+        heap_peak_bound = 0
         for pool in mf.getMemoryPoolMXBeans():
             if pool.getType().toString() == "Heap memory":
-                heap_peak += pool.getPeakUsage().getUsed()
+                heap_peak_bound += pool.getPeakUsage().getUsed()
+        heap_used = mf.getMemoryMXBean().getHeapMemoryUsage().getUsed()
         bat_names = [e["producer"]["event-name"] for e in bat_out]
         results[n] = {
             "consignments": n,
@@ -203,7 +209,9 @@ def main() -> None:
                 for x in bat_names
             ),
             "driver_rss_peak_mb": rss_mb,
-            "jvm_heap_peak_mb": heap_peak // (1024 * 1024),
+            "jvm_heap_peak_upper_bound_mb": heap_peak_bound
+            // (1024 * 1024),
+            "jvm_heap_used_after_mb": heap_used // (1024 * 1024),
         }
         if seq_out is not None:
             seq_jobs = len(tracker.getJobIdsForGroup(f"seq-{n}"))

@@ -485,3 +485,53 @@ def test_parse_documents_corpus_operator(spark):
         parse_documents(corpus, on_error="raise").collect()
     with pytest.raises(ValueError, match="on_error"):
         parse_documents(corpus, on_error="skip")
+
+
+def test_real_docx_parser_rejects_artifact_name_collision(spark, store):
+    """An untrusted package embedding media named like a parser artifact
+    (metadata.json / {ref}.xml / the staged doc) must FAIL loudly across
+    the boundary — not silently clobber the artifacts and report
+    success."""
+    from da_transform_judgments_pipeline_spark.plans.docx_parser import (
+        build_docx,
+    )
+
+    doc = os.path.join(
+        store, "consignments", "judgment", REF, "0", REF, "data", "doc.docx"
+    )
+    evil = build_docx(
+        ["Some judgment text"],
+        title="Evil v Good",
+        images={"metadata.json": b'{"not": "the metadata"}'},
+    )
+    with open(doc, "wb") as f:
+        f.write(evil)
+    staged = editorial.prepare_parser_input(
+        spark, _validated_event(store), store
+    )
+    out = editorial.subprocess_parser(
+        _real_parser_cmd(), timeout_s=120, attempts=1
+    )(staged["parser-inputs"])
+    assert out["xml"] is None
+    assert "collides with parser artifact" in out["error-messages"][0]
+    # the real metadata.json was not replaced by image bytes
+    out_dir = os.path.join(store, staged["parser-inputs"]["s3-output-prefix"])
+    assert not os.path.exists(os.path.join(out_dir, f"{REF}.xml"))
+
+
+def test_parse_documents_raise_mode_has_no_error_column(spark):
+    """Mirror of the multimodal contract: the error column exists only
+    in report mode (under 'raise' it could never be non-NULL)."""
+    from da_transform_judgments_pipeline_spark.plans.docx_parser import (
+        build_docx,
+    )
+    from da_transform_judgments_pipeline_spark.plans.editorial import (
+        parse_documents,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, bytearray(build_docx(["hello"])))],
+        "doc_id long, content binary",
+    )
+    assert "error" not in parse_documents(corpus, on_error="raise").columns
+    assert "error" in parse_documents(corpus).columns

@@ -711,3 +711,62 @@ def test_compact_processed_ledger_preserves_replay_guard(spark, tmp_path):
     ]
     import os
     assert not os.path.exists(str(out / "processed_compacting"))
+
+
+def test_compact_index_table_repeat_and_crash_leftovers(spark, tmp_path):
+    """Two compaction hardening properties: (a) repeated compactions
+    append the _compact_<hex> suffix to the STABLE base path — locations
+    never compound unboundedly; (b) a leftover external staging table
+    from a crashed run is dropped AND its data files are deleted before
+    the new run stages (DROP alone would orphan a full copy forever)."""
+    import os
+    import re
+
+    from da_transform_judgments_pipeline_spark.operators import dedup
+    from da_transform_judgments_pipeline_spark.operators.scale import (
+        write_bucketed,
+    )
+    from da_transform_judgments_pipeline_spark.streaming.dedup_stream import (
+        compact_index_table,
+    )
+
+    def doc(i):
+        return " ".join(f"q{i}r{j}" for j in range(40))
+
+    prefix = "mh_idx_testrepeat"
+    dedup.build_minhash_index(
+        spark.createDataFrame(
+            [(i, doc(i)) for i in range(4)], ["doc_id", "text"]
+        ),
+        prefix, path=str(tmp_path / "ridx"), buckets=4,
+    )
+    dedup.release_cached()
+    table = f"{prefix}_bands"
+    try:
+        s1 = compact_index_table(spark, table)
+        s2 = compact_index_table(spark, table)
+        # one suffix only, applied to the stable base — never stacked
+        assert re.search(r"_compact_[0-9a-f]{8}$", s2["location"])
+        assert not re.search(
+            r"(_compact_[0-9a-f]{8}){2,}$", s2["location"]
+        )
+        assert s1["rows"] == s2["rows"]
+
+        # simulate a crashed previous run: a leftover EXTERNAL staging
+        # table with its own data files
+        stale_loc = str(tmp_path / "stale_staging")
+        write_bucketed(
+            spark.table(table), f"{table}_compacting", "band",
+            buckets=4, mode="overwrite", path=stale_loc,
+        )
+        assert os.path.isdir(stale_loc)
+        s3 = compact_index_table(spark, table)
+        assert s3["rows"] == s1["rows"]
+        assert not os.path.exists(stale_loc)  # orphaned copy reclaimed
+        # the table still reads correctly
+        assert spark.table(table).count() == s1["rows"]
+    finally:
+        for t in ("bands", "hp"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}_compacting")
+        dedup.release_cached()
