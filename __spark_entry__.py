@@ -2633,7 +2633,17 @@ def q_m09_image_decode_features(spark, sf_dir):
     no codec libs here; they raise with the sniffed format named.)"""
     from da_transform_judgments_pipeline_spark.operators import multimodal
 
-    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    # the testdata table is a single parquet file → one input split; the
+    # synthetic-media generator + real decode are Python-bound per-row
+    # work, so fan the ids out to the session's parallelism first (a
+    # shuffle of bare int64 ids — the decode stage must never inherit a
+    # serial partitioning; same principle as a binaryFile scan feeding a
+    # GPU decode stage at 100 TB)
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make(batches):
         import pandas as pd
@@ -2705,7 +2715,17 @@ def q_m10_audio_decode_features(spark, sf_dir):
     stays out of scope (raises with the sniffed container named)."""
     from da_transform_judgments_pipeline_spark.operators import multimodal
 
-    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    # the testdata table is a single parquet file → one input split; the
+    # synthetic-media generator + real decode are Python-bound per-row
+    # work, so fan the ids out to the session's parallelism first (a
+    # shuffle of bare int64 ids — the decode stage must never inherit a
+    # serial partitioning; same principle as a binaryFile scan feeding a
+    # GPU decode stage at 100 TB)
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make(batches):
         import numpy as np
@@ -2766,7 +2786,17 @@ def q_m11_video_decode_features(spark, sf_dir):
     with the sniffed format named)."""
     from da_transform_judgments_pipeline_spark.operators import multimodal
 
-    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    # the testdata table is a single parquet file → one input split; the
+    # synthetic-media generator + real decode are Python-bound per-row
+    # work, so fan the ids out to the session's parallelism first (a
+    # shuffle of bare int64 ids — the decode stage must never inherit a
+    # serial partitioning; same principle as a binaryFile scan feeding a
+    # GPU decode stage at 100 TB)
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make(batches):
         import numpy as np
@@ -2820,7 +2850,17 @@ def q_m12_png_decode_features(spark, sf_dir):
     every filter type, not just plumbing-checked."""
     from da_transform_judgments_pipeline_spark.operators import multimodal
 
-    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    # the testdata table is a single parquet file → one input split; the
+    # synthetic-media generator + real decode are Python-bound per-row
+    # work, so fan the ids out to the session's parallelism first (a
+    # shuffle of bare int64 ids — the decode stage must never inherit a
+    # serial partitioning; same principle as a binaryFile scan feeding a
+    # GPU decode stage at 100 TB)
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make(batches):
         import numpy as np
@@ -2895,7 +2935,17 @@ def q_m13_docx_parse(spark, sf_dir):
         parse_documents,
     )
 
-    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    # the testdata table is a single parquet file → one input split; the
+    # synthetic-media generator + real decode are Python-bound per-row
+    # work, so fan the ids out to the session's parallelism first (a
+    # shuffle of bare int64 ids — the decode stage must never inherit a
+    # serial partitioning; same principle as a binaryFile scan feeding a
+    # GPU decode stage at 100 TB)
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make(batches):
         import numpy as np
