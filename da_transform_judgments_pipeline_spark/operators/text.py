@@ -1192,6 +1192,138 @@ def bpe_segment_ranked(
     )
 
 
+def bpe_vocab(
+    df: DataFrame, merges: list[dict], text_col: str = "text"
+) -> dict[str, int]:
+    """Materialize the trained tokenizer's VOCABULARY (token → id): the
+    corpus's base symbols (every distinct character seen in whitespace
+    tokens, plus the ``</w>`` end-of-word marker) in sorted order, then
+    the merged tokens in rank order — the id layout GPT-2-style
+    tokenizers ship. One distinct-chars aggregation over the corpus
+    (map-side exploded, combinable), driver-held result like the merge
+    table itself (model bytes, not data)."""
+    chars = [
+        r["c"]
+        for r in df.select(
+            F.explode(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            tokens(text_col),
+                            lambda w: F.filter(
+                                F.split(w, ""), lambda ch: ch != ""
+                            ),
+                        )
+                    )
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    ]
+    vocab: dict[str, int] = {}
+    for sym in sorted(chars) + ["</w>"]:
+        vocab.setdefault(sym, len(vocab))
+    for m in merges:
+        vocab.setdefault(m["left"] + m["right"], len(vocab))
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[dict],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ENCODE a corpus to token ids — the artifact a training-data
+    pipeline actually feeds the model: (id, ids array<long>, n_tokens),
+    ids in document order across words. Same broadcast-rank min-rank-
+    present segmentation as :func:`bpe_segment_ranked` (so counts agree
+    with both segmenters, pytest-pinned), then each symbol maps through
+    the broadcast ``vocab``; a symbol absent from the vocab (a character
+    never seen at train time) encodes as -1 — the caller decides the
+    OOV policy (drop, replace, or byte-fallback) rather than the encoder
+    inventing one silently. Arrow-batched, one shuffle (the groupBy
+    reassembling documents from words)."""
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+    sc = df.sparkSession.sparkContext
+    b_ranks = sc.broadcast(ranks)
+    b_vocab = sc.broadcast(vocab)
+
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(text_col)).alias("_pos", "w"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        rk = b_ranks.value
+        vb = b_vocab.value
+        cache: dict[str, list] = {}
+
+        def encode(w: str) -> list:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w) + ["</w>"]
+            while len(syms) > 1:
+                best, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, best_i = r, i
+                if best is None:
+                    break
+                left, right = syms[best_i], syms[best_i + 1]
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            ids = [vb.get(s, -1) for s in syms]
+            cache[w] = ids
+            return ids
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "_pos": pdf["_pos"],
+                    "ids": [encode(w) for w in pdf["w"]],
+                }
+            )
+
+    per_word = words.mapInPandas(
+        run, schema="_id long, _pos int, ids array<long>"
+    )
+    return (
+        per_word.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "ids"))
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias("ids")
+        )
+        .select(
+            id_col, "ids", F.size("ids").cast("long").alias("n_tokens")
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -971,3 +971,51 @@ def test_bpe_segment_ranked_production_table(spark):
     }
     for i, s in enumerate(texts):
         assert got[i] == replay_count(s), i
+
+
+def test_bpe_encode_ids_round_trip(spark):
+    """Token-ID encoding closes the tokenizer path: ids decode back
+    through the inverted vocab to exactly the segmentation the ranked
+    segmenter produces, counts agree with both segmenters, ids preserve
+    document word order, and an unseen character encodes as -1 (explicit
+    OOV, never silent)."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "widest wide wider new low",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = t.bpe_train(df, n_merges=20)
+    vocab = t.bpe_vocab(df, merges)
+    # layout: base chars sorted, then merges in rank order
+    base = sorted({c for s in texts for c in s if c != " "})
+    assert [s for s, _ in sorted(vocab.items(), key=lambda kv: kv[1])][
+        : len(base)
+    ] == base
+    assert vocab["</w>"] == len(base)
+    for j, m in enumerate(merges):
+        assert vocab[m["left"] + m["right"]] == len(base) + 1 + j
+
+    enc = {r["doc_id"]: r for r in t.bpe_encode_ids(df, merges, vocab).collect()}
+    seg = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in t.bpe_segment_ranked(df, merges).collect()
+    }
+    inv = {v: k for k, v in vocab.items()}
+    for i, s in enumerate(texts):
+        ids = enc[i]["ids"]
+        assert enc[i]["n_tokens"] == len(ids) == seg[i]
+        assert all(v >= 0 for v in ids)  # no OOV on the training corpus
+        # decode: concatenating tokens (stripping </w>) rebuilds the text
+        rebuilt = "".join(inv[v] for v in ids).replace("</w>", " ").strip()
+        assert rebuilt == " ".join(s.split())
+
+    # unseen character at encode time -> explicit -1
+    oov = spark.createDataFrame([(9, "low zebra!")], ["doc_id", "text"])
+    row = t.bpe_encode_ids(oov, merges, vocab).collect()[0]
+    assert -1 in row["ids"]
+    assert row["n_tokens"] == len(row["ids"])
