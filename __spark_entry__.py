@@ -3001,6 +3001,22 @@ def q_m13_docx_parse(spark, sf_dir):
     )
 
 
+def q_d10_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup at sliding-window granularity
+    (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
+    completing the dedup suite alongside line-level x14, whole-document
+    MinHash d03, and n-gram Jaccard d02): every overlapping 20-token
+    window is md5-hashed; duplicated window texts keep only their
+    global-first occurrence (min (doc_id, start)) and every other
+    occurrence's span is cut from its document. DuckDB reproduces the
+    whole calculation — tokenization, window hashes, first-occurrence
+    ownership, span coverage, reassembly — so removal decisions are
+    hash-checked, not just row-counted. The documents table's planted
+    near-duplicate pairs give the query real spans to cut at sf0.01."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.substring_dedup(docs, window_tokens=20).orderBy("doc_id")
+
+
 def q_x22_token_budget_sample(spark, sf_dir):
     """Domain-mixture sampling to a token budget (text.token_budget_sample
     — the data-mixing step): four sources with weights 3/1/1/10 share a
@@ -3140,16 +3156,19 @@ def q_b02_batch_dri_metadata(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Round 7 rotation: m12 (stdlib PNG decode — zlib inflate + all
-    # five scanline filters under the m09 closed-form oracle) and m13
+    # five scanline filters under the m09 closed-form oracle), m13
     # (the REAL docx parser's full encode→parse loop over the corpus —
     # title/citation/paragraph/image extraction under closed-form
-    # formulas) are NEW and join the window right after the codec
-    # triple; m01_binary_stats and m05_frame_sample_plan (multi-green,
-    # unchanged) move past the cap under the standing policy. Queries
-    # whose code changed this round and are in-window: d01-d09/e01/e05
-    # (split_dups router retirement — shared dedup module), x21-adjacent
-    # bpe paths (driver-side hybrid loop; x21 is rows-only with the
-    # n_merges=1000 differential pytest).
+    # formulas), and d10 (exact-substring sliding-window dedup — the
+    # Lee et al. ExactSubstr family; DuckDB reproduces tokenization,
+    # window hashes, first-occurrence ownership, and span reassembly)
+    # are NEW and join the window right after the codec triple;
+    # e04_label_centroids, m01_binary_stats, and m05_frame_sample_plan
+    # (all multi-green, unchanged) move past the cap under the standing
+    # policy. Queries whose code changed this round and are in-window:
+    # d01-d09/e01/e05 (split_dups router retirement — shared dedup
+    # module), x21-adjacent bpe paths (driver-side hybrid loop; x21 is
+    # rows-only with the n_merges=1000 differential pytest).
     # --- Round 6 rotation: b01/b02 (the batched multi-consignment stage
     # cores — validation report and keyed DRI metadata) and m09/m10/m11
     # (the pure-numpy codec triple — image/audio/video decode under
@@ -3209,6 +3228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m11_video_decode_features": q_m11_video_decode_features,
     "m12_png_decode_features": q_m12_png_decode_features,
     "m13_docx_parse": q_m13_docx_parse,
+    "d10_substring_dedup": q_d10_substring_dedup,
     "x22_token_budget_sample": q_x22_token_budget_sample,
     "x23_epoch_order": q_x23_epoch_order,
     # (a) NEW round 5
@@ -3800,6 +3820,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b_milli,
                    CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b2_milli
             FROM c ORDER BY doc_id
+        """,
+        "d10_substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(range(1, len(tk) - 20 + 2)) AS p, tk
+              FROM toks WHERE len(tk) >= 20
+            ), hashed AS (
+              SELECT doc_id, p,
+                     md5(array_to_string(tk[p : p + 19], ' ')) AS h
+              FROM w
+            ), marked AS (
+              SELECT doc_id, p,
+                     row_number() OVER (
+                       PARTITION BY h ORDER BY doc_id, p) AS rn,
+                     count(*) OVER (PARTITION BY h) AS df
+              FROM hashed
+            ), rem AS (
+              SELECT doc_id, p FROM marked WHERE df > 1 AND rn > 1
+            ), pos AS (
+              SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+              FROM toks
+            ), keptpos AS (
+              SELECT pos.doc_id, pos.i, pos.tk[pos.i] AS tok
+              FROM pos
+              WHERE NOT EXISTS (
+                SELECT 1 FROM rem r
+                WHERE r.doc_id = pos.doc_id
+                  AND r.p <= pos.i AND pos.i <= r.p + 19
+              )
+            )
+            SELECT t.doc_id,
+                   COALESCE(k.text_deduped, '') AS text_deduped,
+                   CAST(len(t.tk) AS BIGINT) AS n_tokens,
+                   CAST(len(t.tk) - COALESCE(k.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM toks t
+            LEFT JOIN (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY i) AS text_deduped,
+                     count(*) AS n_kept
+              FROM keptpos GROUP BY doc_id
+            ) k USING (doc_id)
+            ORDER BY doc_id
         """,
         "m13_docx_parse": """
             SELECT doc_id,

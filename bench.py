@@ -110,6 +110,7 @@ HEADLINE = [
     # round 7
     "m12_png_decode_features",
     "m13_docx_parse",
+    "d10_substring_dedup",
 ]
 
 

@@ -1324,6 +1324,94 @@ def bpe_encode_ids(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    window_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-global EXACT-SUBSTRING dedup at sliding-window granularity
+    (the ExactSubstr family of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — the substring complement to
+    :func:`line_dedup`'s fixed lines and MinHash's whole-document
+    near-dup): every ``window_tokens``-token OVERLAPPING window is
+    hashed (md5 over the space-joined slice — engine-agnostic, so a SQL
+    oracle reproduces it); a window text appearing more than once in the
+    corpus keeps ONLY its first occurrence (global min (id, start)) and
+    every other occurrence's token span is removed from its document.
+    Adjacent/overlapping duplicated windows naturally merge into removed
+    SPANS, so a long copied passage disappears as one block while its
+    first occurrence survives verbatim — including self-repetition
+    within one document.
+
+    Scale shape: window hashing is map-side (slice + md5 over the token
+    array — no per-window string shuffle beyond the 16-byte hash); the
+    ownership shuffle moves (hash, id, start) triples, one per token
+    (~same volume class as the line_dedup fingerprint shuffle); removal
+    spans come back as per-doc START LISTS (each start covers a fixed
+    width, so spans never explode into per-token rows), and the final
+    reassembly is an index-filter over the cached token array. Docs
+    shorter than one window pass through untouched.
+
+    Output: (id, text_deduped, n_tokens, n_removed).
+    """
+    L = int(window_tokens)
+    if L < 2:
+        raise ValueError("window_tokens must be >= 2")
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("tk")
+    )
+    n = F.size("tk")
+    wins = base.select(
+        "id",
+        F.explode(
+            F.when(
+                n >= L, F.sequence(F.lit(1), n - L + 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+        "tk",
+    ).select(
+        "id",
+        "p",
+        F.md5(F.concat_ws(" ", F.slice("tk", F.col("p"), L))).alias("h"),
+    )
+    owners = wins.groupBy("h").agg(
+        F.min(F.struct("id", "p")).alias("first"),
+        F.count("*").alias("df"),
+    )
+    removals = (
+        wins.join(owners.filter(F.col("df") > 1), "h")
+        .filter(
+            (F.col("id") != F.col("first.id"))
+            | (F.col("p") != F.col("first.p"))
+        )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("p")).alias("starts"))
+    )
+    # kept(i) = no duplicated non-owner window start s covers position i
+    # (s <= i <= s+L-1). starts is sorted, so the exists() scan short-
+    # circuits; per-token cost is O(#spans), not O(#starts) in practice.
+    covered = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+
+    def keep(tok, i):
+        pos = i + 1  # 1-based window starts
+        return ~F.exists(
+            covered,
+            lambda s: (s <= pos) & (pos <= s + F.lit(L - 1)),
+        )
+
+    return (
+        base.join(removals, "id", "left")
+        .withColumn("_kept", F.filter("tk", keep))
+        .select(
+            F.col("id").alias(id_col),
+            F.concat_ws(" ", "_kept").alias("text_deduped"),
+            F.size("tk").cast("long").alias("n_tokens"),
+            (F.size("tk") - F.size("_kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

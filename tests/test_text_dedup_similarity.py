@@ -1019,3 +1019,37 @@ def test_bpe_encode_ids_round_trip(spark):
     row = t.bpe_encode_ids(oov, merges, vocab).collect()[0]
     assert -1 in row["ids"]
     assert row["n_tokens"] == len(row["ids"])
+
+
+def test_substring_dedup_semantics(spark):
+    """ExactSubstr-style window dedup: a copied passage is cut from every
+    occurrence except the global first (min (doc_id, start)), including
+    self-repetition inside one document; short docs pass through; token
+    accounting is exact."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    common = " ".join(f"c{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + common + " a4 a5"),
+            (2, "b1 b2 " + common + " b3"),
+            (3, "short doc here"),
+            (4, common + " " + common),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in t.substring_dedup(df, window_tokens=20).collect()
+    }
+    assert out[1]["n_removed"] == 0  # first occurrence survives verbatim
+    assert out[1]["text_deduped"].startswith("a1 a2 a3 c0")
+    assert out[2]["n_removed"] == 25  # exactly the copied passage
+    assert out[2]["text_deduped"] == "b1 b2 b3"
+    assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 3
+    assert out[4]["n_removed"] == 50  # both copies lose to doc 1
+    assert out[4]["text_deduped"] == ""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_tokens"):
+        t.substring_dedup(df, window_tokens=1)
