@@ -566,6 +566,40 @@ def main() -> None:
         and saved_blown > 50 * max(saved_base, 1),
     }
 
+    # ---- 9. exact-substring dedup at ×factor ----------------------------
+    # d10's ownership shuffle is one (hash, id, start) triple per token;
+    # the ×factor corpus is its worst case (every window df >= factor).
+    # EXACT invariant: copies of a doc share every window, so only the
+    # window-covered tokens of each group's min-id copy survive — total
+    # kept tokens must equal the BASE corpus's kept tokens plus
+    # (factor-1)x the tokens of docs too short to form one window (those
+    # pass through in every copy).
+    L = 20
+    t0 = time.perf_counter()
+    base_out = text.substring_dedup(docs, window_tokens=L).agg(
+        F.sum(F.col("n_tokens") - F.col("n_removed")).alias("kept"),
+    ).collect()[0]
+    short_toks = (
+        docs.select(text.token_count("text").alias("n"))
+        .filter(F.col("n") < L)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("t"))
+        .collect()[0]["t"]
+    )
+    blown_out = text.substring_dedup(blown, window_tokens=L).agg(
+        F.sum(F.col("n_tokens") - F.col("n_removed")).alias("kept"),
+        F.sum("n_removed").alias("removed"),
+    ).collect()[0]
+    d10_s = time.perf_counter() - t0
+    want_kept = int(base_out["kept"]) + (factor - 1) * int(short_toks)
+    results["d10_dup_heavy"] = {
+        "docs": n_blown,
+        "kept_tokens": int(blown_out["kept"]),
+        "removed_tokens": int(blown_out["removed"]),
+        "expected_kept": want_kept,
+        "sec": round(d10_s, 2),
+        "ok": int(blown_out["kept"]) == want_kept,
+    }
+
     print(json.dumps(results))
     ok = all(v.get("ok", True) for v in results.values())
 
