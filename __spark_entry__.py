@@ -1529,6 +1529,24 @@ def q_e10_cluster_balanced_sample(spark, sf_dir):
     )
 
 
+def q_e13_semantic_dedup(spark, sf_dir):
+    """Semantic dedup (clustering.semantic_dedup — SemDeDup's
+    cluster-then-prune shape): k-means k=8 (bit-exact reproducible mode,
+    one update round — the e06/e10 machinery), then within-cluster
+    keep-lowest-id pruning at cosine >= 0.9 on double-cast vectors.
+    DuckDB recomputes the NESTED pipeline end-to-end: the recursive-free
+    Lloyd's oracle for cluster assignment, then the per-cluster pairwise
+    rounded cosine and the min-offender selection — every pruning
+    decision (kept flag + pruned_by id) is hash-checked, not sampled."""
+    emb = _T(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(
+        emb, k=8, updates=1, reproducible=True
+    )
+    return clustering.semantic_dedup(emb, cents, threshold=0.45).orderBy(
+        "vec_id"
+    )
+
+
 def q_a19_retention_cohorts(spark, sf_dir):
     """Cohort retention triangle (temporal.retention_cohorts): users
     bucketed by first-event week (fixed-width epoch intervals — integer
@@ -3162,10 +3180,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # formulas), and d10 (exact-substring sliding-window dedup — the
     # Lee et al. ExactSubstr family; DuckDB reproduces tokenization,
     # window hashes, first-occurrence ownership, and span reassembly)
-    # are NEW and join the window right after the codec triple;
-    # e04_label_centroids, m01_binary_stats, and m05_frame_sample_plan
-    # (all multi-green, unchanged) move past the cap under the standing
-    # policy. Queries whose code changed this round and are in-window:
+    # are NEW and join the window right after the codec triple, along
+    # with e13 (SemDeDup cluster-then-prune over the e06 bit-exact
+    # k-means — the nested pipeline recomputed end-to-end by the oracle);
+    # e04_label_centroids, e08_ann_ivf_exact, m01_binary_stats, and
+    # m05_frame_sample_plan (all multi-green, unchanged) move past the
+    # cap under the standing policy. Queries whose code changed this round and are in-window:
     # d01-d09/e01/e05 (split_dups router retirement — shared dedup
     # module), x21-adjacent bpe paths (driver-side hybrid loop; x21 is
     # rows-only with the n_merges=1000 differential pytest).
@@ -3229,6 +3249,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m12_png_decode_features": q_m12_png_decode_features,
     "m13_docx_parse": q_m13_docx_parse,
     "d10_substring_dedup": q_d10_substring_dedup,
+    "e13_semantic_dedup": q_e13_semantic_dedup,
     "x22_token_budget_sample": q_x22_token_budget_sample,
     "x23_epoch_order": q_x23_epoch_order,
     # (a) NEW round 5
@@ -3490,6 +3511,34 @@ def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
                                     ORDER BY dist, cluster) AS rn
           FROM dist2
         ) WHERE rn = 1 ORDER BY vec_id
+    """
+
+
+def _semantic_dedup_sql(k: int = 8, threshold: float = 0.45) -> str:
+    """e13 oracle: the e06 k-means oracle's (vec_id, cluster) assignment
+    wrapped with the within-cluster keep-lowest-id cosine pruning —
+    rounded double cosine (the e01 parity recipe), min offending
+    lower-id neighbor, NULL pruned_by = kept."""
+    return f"""
+        WITH base AS ({_kmeans_sql(k)}),
+        av AS (
+          SELECT b.vec_id, b.cluster,
+                 CAST(e.embedding AS DOUBLE[]) AS v
+          FROM base b JOIN embeddings e USING (vec_id)
+        ),
+        pruned AS (
+          SELECT a.vec_id AS id_a, min(b.vec_id) AS pruned_by
+          FROM av a JOIN av b
+            ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                >= {threshold}
+          GROUP BY a.vec_id
+        )
+        SELECT av.vec_id, av.cluster,
+               (p.pruned_by IS NULL) AS kept,
+               p.pruned_by
+        FROM av LEFT JOIN pruned p ON av.vec_id = p.id_a
+        ORDER BY av.vec_id
     """
 
 
@@ -4759,6 +4808,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "e06_kmeans": _kmeans_sql(),
         "e10_cluster_balanced_sample": _cluster_sample_sql(),
+        "e13_semantic_dedup": _semantic_dedup_sql(),
         "x05_chunking": r"""
             WITH t AS (
               SELECT doc_id,

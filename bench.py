@@ -111,6 +111,7 @@ HEADLINE = [
     "m12_png_decode_features",
     "m13_docx_parse",
     "d10_substring_dedup",
+    "e13_semantic_dedup",
 ]
 
 

@@ -316,3 +316,62 @@ def kmeans(
     return assigned.select(
         F.col("id").alias(id_col), "cluster", F.round("dist", 6).alias("dist")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "fold",
+) -> DataFrame:
+    """Semantic (embedding-space) dedup, the cluster-then-prune shape of
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every vector
+    to its nearest centroid map-side, then compare pairs ONLY within a
+    cluster — an item is PRUNED when some LOWER-id cluster-mate's cosine
+    similarity clears ``threshold`` (the deterministic keep-lowest-id
+    formulation, matching exact_dedup's keep-first semantics and making
+    the whole decision oracle-expressible). Output: one row per input —
+    (id, cluster, kept, pruned_by) with ``pruned_by`` = the lowest
+    offending neighbor id (NULL when kept).
+
+    Scale shape — the reason SemDeDup exists: the pairwise term is
+    Σ|cluster|² instead of n², and it arrives via ONE shuffle on the
+    int cluster key (both self-join sides partition identically, so AQE
+    plans a single exchange per side and skew-splits a hot cluster).
+    Cosine runs on double-cast arrays rounded to 6 dp — the established
+    cross-engine float-parity recipe (e01/e02). Centroids are driver-held
+    model bytes (kmeans_fit), inlined as literals: no broadcast table,
+    no assignment join."""
+    from .dedup import cosine_similarity
+
+    assigned = assign_clusters(
+        df.select(id_col, vec_col), centroids, id_col, vec_col,
+        method=method, keep_vec=True,
+    )
+    a = assigned.select(
+        "cluster", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pruned = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") > F.col("id_b"))
+        .filter(
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+            >= F.lit(threshold)
+        )
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("pruned_by"))
+    )
+    return (
+        assigned.join(pruned, assigned["id"] == pruned["id_a"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.col("pruned_by").isNull().alias("kept"),
+            "pruned_by",
+        )
+    )

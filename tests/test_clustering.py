@@ -323,3 +323,55 @@ def test_mmr_rerank_string_ids(spark):
     assert dict(similarity.mmr_rerank(
         df, [1.0, 0.0, 0.0, 0.0], k=1, n_candidates=2
     ).dtypes)["id"] == "string"
+
+
+def test_semantic_dedup_cluster_then_prune(spark):
+    """SemDeDup semantics on controlled vectors: near-identical vectors
+    in the same cluster prune to the lowest id; a high-cosine pair
+    SPLIT across clusters is NOT pruned (the documented
+    cluster-locality tradeoff that buys the sum-of-cluster-sizes-squared
+    cost); orthogonal cluster-mates survive."""
+    from da_transform_judgments_pipeline_spark.operators import clustering
+
+    # two well-separated centroid directions in 4-d
+    c0, c1 = [10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0]
+    rows = [
+        (1, [10.0, 0.1, 0.0, 0.0]),   # cluster 0
+        (2, [10.0, 0.11, 0.0, 0.0]),  # near-dup of 1, cluster 0 -> pruned by 1
+        (3, [10.0, 0.12, 0.0, 0.0]),  # near-dup chain, cluster 0 -> pruned by 1
+        (4, [0.0, 10.0, 0.2, 0.0]),   # cluster 1
+        (5, [5.2, 5.0, 0.0, 0.0]),    # cosine~0.72 with id 1 BUT lands
+                                      # cluster 0/1 boundary: make it land c1
+        (6, [0.0, 0.0, 10.0, 0.0]),   # orthogonal, cluster 0 or 1, kept
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in clustering.semantic_dedup(
+            df, [c0, c1], threshold=0.95
+        ).collect()
+    }
+    assert out[1]["kept"] and out[1]["pruned_by"] is None
+    assert not out[2]["kept"] and out[2]["pruned_by"] == 1
+    assert not out[3]["kept"] and out[3]["pruned_by"] == 1  # lowest, not 2
+    assert out[4]["kept"]
+    assert out[6]["kept"]
+    # ids 1 and 5: cosine ~0.72 < threshold anyway; raise threshold
+    # scenario: a >0.95 pair split across clusters is not pruned
+    split = spark.createDataFrame(
+        [(1, [10.0, 9.0, 0.0, 0.0]), (2, [9.0, 10.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    res = {
+        r["vec_id"]: r
+        for r in clustering.semantic_dedup(
+            split, [c0, c1], threshold=0.9
+        ).collect()
+    }
+    # cosine(v1, v2) = 180/181 ~ 0.994 > 0.9, but they sit in different
+    # clusters -> both kept
+    assert res[1]["cluster"] != res[2]["cluster"]
+    assert res[1]["kept"] and res[2]["kept"]
