@@ -1529,6 +1529,17 @@ def q_e10_cluster_balanced_sample(spark, sf_dir):
     )
 
 
+def q_x24_contrastive_score(spark, sf_dir):
+    """DSIR-shaped importance scoring (text.contrastive_score): every
+    document's bigrams compared between the src1 target domain and the
+    rest of the corpus — mean target/raw gram frequency in ppm plus the
+    add-one-smoothed frequency lift, all integer-exact ln()-free
+    arithmetic (the x17/x18 cross-engine recipe). DuckDB recomputes the
+    gram stream, the joint T/R counts, the totals, and every division."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.contrastive_score(docs, "src1", n=2).orderBy("doc_id")
+
+
 def q_e13_semantic_dedup(spark, sf_dir):
     """Semantic dedup (clustering.semantic_dedup — SemDeDup's
     cluster-then-prune shape): k-means k=8 (bit-exact reproducible mode,
@@ -3182,10 +3193,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window hashes, first-occurrence ownership, and span reassembly)
     # are NEW and join the window right after the codec triple, along
     # with e13 (SemDeDup cluster-then-prune over the e06 bit-exact
-    # k-means — the nested pipeline recomputed end-to-end by the oracle);
-    # e04_label_centroids, e08_ann_ivf_exact, m01_binary_stats, and
-    # m05_frame_sample_plan (all multi-green, unchanged) move past the
-    # cap under the standing policy. Queries whose code changed this round and are in-window:
+    # k-means — the nested pipeline recomputed end-to-end by the oracle)
+    # and x24 (DSIR-shaped contrastive importance scoring — integer-exact
+    # ln()-free lift, gram stream + joint T/R counts recomputed by
+    # DuckDB);
+    # e04_label_centroids, e06_kmeans, e08_ann_ivf_exact,
+    # m01_binary_stats, and m05_frame_sample_plan (all multi-green,
+    # unchanged; e06's machinery is freshly hash-checked in-window
+    # through e13's nested oracle) move past the cap under the standing
+    # policy. Queries whose code changed this round and are in-window:
     # d01-d09/e01/e05 (split_dups router retirement — shared dedup
     # module), x21-adjacent bpe paths (driver-side hybrid loop; x21 is
     # rows-only with the n_merges=1000 differential pytest).
@@ -3250,6 +3266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m13_docx_parse": q_m13_docx_parse,
     "d10_substring_dedup": q_d10_substring_dedup,
     "e13_semantic_dedup": q_e13_semantic_dedup,
+    "x24_contrastive_score": q_x24_contrastive_score,
     "x22_token_budget_sample": q_x22_token_budget_sample,
     "x23_epoch_order": q_x23_epoch_order,
     # (a) NEW round 5
@@ -4809,6 +4826,45 @@ def oracle_sql() -> dict[str, str]:
         "e06_kmeans": _kmeans_sql(),
         "e10_cluster_balanced_sample": _cluster_sample_sql(),
         "e13_semantic_dedup": _semantic_dedup_sql(),
+        "x24_contrastive_score": """
+            WITH tk AS (
+              SELECT doc_id, (source = 'src1') AS is_t,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, CAST(is_t AS BIGINT) AS is_t,
+                     tk[i] || chr(2) || tk[i + 1] AS g
+              FROM tk, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+              WHERE len(tk) >= 2
+            ),
+            counts AS (
+              SELECT g, CAST(sum(is_t) AS BIGINT) AS tc,
+                     CAST(sum(1 - is_t) AS BIGINT) AS rc
+              FROM toks GROUP BY g
+            ),
+            totals AS (
+              SELECT CAST(sum(tc) AS BIGINT) AS T,
+                     CAST(sum(rc) AS BIGINT) AS R
+              FROM counts
+            ),
+            per_doc AS (
+              SELECT t.doc_id, count(*) AS n_grams,
+                     CAST(sum(c.tc) AS BIGINT) AS st,
+                     CAST(sum(c.rc) AS BIGINT) AS sr
+              FROM toks t JOIN counts c USING (g) GROUP BY t.doc_id
+            )
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   round(CAST(st AS DOUBLE) * 1000000.0
+                         / CAST(T * n_grams AS DOUBLE), 6) AS target_ppm,
+                   round(CAST(sr AS DOUBLE) * 1000000.0
+                         / CAST(R * n_grams AS DOUBLE), 6) AS raw_ppm,
+                   round(1000.0 * CAST((st + 1) * (R + 1) AS DOUBLE)
+                         / CAST((sr + 1) * (T + 1) AS DOUBLE), 6)
+                       AS lift_milli
+            FROM per_doc, totals ORDER BY doc_id
+        """,
         "x05_chunking": r"""
             WITH t AS (
               SELECT doc_id,

@@ -112,6 +112,7 @@ HEADLINE = [
     "m13_docx_parse",
     "d10_substring_dedup",
     "e13_semantic_dedup",
+    "x24_contrastive_score",
 ]
 
 

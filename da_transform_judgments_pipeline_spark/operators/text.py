@@ -392,14 +392,20 @@ def ngram_lm_score(
     staged = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_tk")
     )
-    tk = F.col("_tk")
+    toks = staged.select(
+        "id", F.explode(_gram_array(F.col("_tk"), n)).alias("tok")
+    )
+    return _lm_score_from_tokens(toks, id_col, vocab_size)
+
+
+def _gram_array(tk: Column, n: int) -> Column:
+    """Word n-grams of a STAGED token-array column, map-side: gram i =
+    tokens[i..i+n-1] joined on \\x02 (tokens are whitespace-split so the
+    separator cannot occur inside a token) — a fold of zip_with over n
+    shifted slices, O(n·len) total, single pass. The < n-token case must
+    be an EMPTY array, not sequence(1,0) — Spark's sequence counts DOWN
+    when stop < start, which would fabricate grams from short docs."""
     m = F.size(tk) - (n - 1)
-    # gram i = tokens[i..i+n-1] joined on \x02 (tokens are whitespace-
-    # split so the separator cannot occur inside a token): fold of
-    # zip_with over n shifted slices — O(n·len) total, single pass.
-    # The < n-token case must be an EMPTY array, not sequence(1,0) —
-    # Spark's sequence counts DOWN when stop < start, which would
-    # fabricate grams from short docs.
     grams = F.slice(tk, 1, F.greatest(m, F.lit(0)))
     for j in range(1, n):
         grams = F.zip_with(
@@ -407,8 +413,89 @@ def ngram_lm_score(
             F.slice(tk, j + 1, F.greatest(m, F.lit(0))),
             lambda a, b: F.concat(a, F.lit("\x02"), b),
         )
-    toks = staged.select("id", F.explode(grams).alias("tok"))
-    return _lm_score_from_tokens(toks, id_col, vocab_size)
+    return grams
+
+
+def contrastive_score(
+    df: DataFrame,
+    target_value: str,
+    source_col: str = "source",
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shaped data-selection signal (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — hashed
+    n-gram importance weights): score EVERY document by how much more
+    typical its n-grams are of the TARGET domain (rows where
+    ``source_col == target_value``) than of the rest of the corpus, in
+    this engine's integer-exact ln()-free style (the x17/x18 recipe:
+    libm log differs across engines; a mean-frequency lift ranks
+    documents the same way for selection purposes). Per n-gram g,
+    T_g / R_g = occurrences inside / outside the target; per document:
+
+      n_grams,
+      target_ppm = Σ T_g · 10⁶ / (T_total · n_grams)   (mean target freq)
+      raw_ppm    = Σ R_g · 10⁶ / (R_total · n_grams)   (mean raw freq)
+      lift_milli = 1000 · (ΣT_g + 1)(R_total + 1)
+                        / ((ΣR_g + 1)(T_total + 1))    (add-one smoothed)
+
+    — every division's inputs are exact integers below 2⁵³, so the
+    values are bit-identical across engines. High-lift raw documents are
+    the DSIR keep set. Scale shape: one gram-count shuffle (map-side
+    combined, T and R counted in the same aggregate), the per-gram join
+    back co-partitioned on the gram key, one per-doc aggregation, totals
+    as an in-plan broadcast single-row cross join (no collect). Docs
+    with < n tokens have no grams and drop (no signal)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(source_col) == F.lit(target_value)).cast("long").alias(
+            "_is_t"
+        ),
+        tokens(text_col).alias("_tk"),
+    )
+    toks = staged.select(
+        "id", "_is_t", F.explode(_gram_array(F.col("_tk"), n)).alias("g")
+    )
+    counts = toks.groupBy("g").agg(
+        F.sum("_is_t").alias("tc"),
+        F.sum(F.lit(1) - F.col("_is_t")).alias("rc"),
+    )
+    totals = counts.agg(
+        F.sum("tc").cast("long").alias("T"),
+        F.sum("rc").cast("long").alias("R"),
+    )
+    per_doc = (
+        toks.join(counts, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("tc").cast("long").alias("st"),
+            F.sum("rc").cast("long").alias("sr"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        F.round(
+            F.col("st") * F.lit(1_000_000.0)
+            / (F.col("T") * F.col("n_grams")).cast("double"),
+            6,
+        ).alias("target_ppm"),
+        F.round(
+            F.col("sr") * F.lit(1_000_000.0)
+            / (F.col("R") * F.col("n_grams")).cast("double"),
+            6,
+        ).alias("raw_ppm"),
+        F.round(
+            F.lit(1000.0)
+            * ((F.col("st") + 1) * (F.col("R") + 1)).cast("double")
+            / ((F.col("sr") + 1) * (F.col("T") + 1)).cast("double"),
+            6,
+        ).alias("lift_milli"),
+    )
 
 
 def _lm_score_from_tokens(

@@ -1053,3 +1053,40 @@ def test_substring_dedup_semantics(spark):
 
     with _pytest.raises(ValueError, match="window_tokens"):
         t.substring_dedup(df, window_tokens=1)
+
+
+def test_contrastive_score_ranks_target_like_docs(spark):
+    """DSIR-shaped selection signal on a controlled corpus: a raw doc
+    made of target-domain bigrams must out-lift a raw doc of
+    raw-domain bigrams; integer accounting is exact; short docs drop."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    target = "legal judgment court appeal ruling judge"
+    other = "cooking recipe flour sugar butter oven"
+    df = spark.createDataFrame(
+        [
+            (1, target, "tgt"),
+            (2, target + " extra words here", "tgt"),
+            (3, "legal judgment court appeal", "raw"),   # target-like
+            (4, "cooking recipe flour sugar", "raw"),    # raw-like
+            (5, other, "raw"),
+            (6, "x", "raw"),                             # <2 tokens: drops
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in t.contrastive_score(
+            df, "tgt", source_col="source", n=2
+        ).collect()
+    }
+    assert 6 not in out  # no bigrams, no signal
+    assert out[3]["lift_milli"] > out[4]["lift_milli"]
+    assert out[3]["target_ppm"] > out[4]["target_ppm"]
+    assert out[4]["raw_ppm"] > out[3]["raw_ppm"]
+    # exact gram accounting: doc 3 has 3 bigrams
+    assert out[3]["n_grams"] == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be"):
+        t.contrastive_score(df, "tgt", n=0)
