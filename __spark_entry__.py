@@ -1544,7 +1544,9 @@ def q_e13_semantic_dedup(spark, sf_dir):
     """Semantic dedup (clustering.semantic_dedup — SemDeDup's
     cluster-then-prune shape): k-means k=8 (bit-exact reproducible mode,
     one update round — the e06/e10 machinery), then within-cluster
-    keep-lowest-id pruning at cosine >= 0.9 on double-cast vectors.
+    keep-lowest-id pruning at cosine >= 0.45 on double-cast vectors (a
+    low threshold on purpose: the synthetic embeddings are near-
+    orthogonal, and 0.45 makes the pruning branch actually fire).
     DuckDB recomputes the NESTED pipeline end-to-end: the recursive-free
     Lloyd's oracle for cluster assignment, then the per-cluster pairwise
     rounded cosine and the min-offender selection — every pruning
@@ -4857,11 +4859,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
                    round(CAST(st AS DOUBLE) * 1000000.0
-                         / CAST(T * n_grams AS DOUBLE), 6) AS target_ppm,
+                         / (CAST(T AS DOUBLE) * CAST(n_grams AS DOUBLE)),
+                         6) AS target_ppm,
                    round(CAST(sr AS DOUBLE) * 1000000.0
-                         / CAST(R * n_grams AS DOUBLE), 6) AS raw_ppm,
-                   round(1000.0 * CAST((st + 1) * (R + 1) AS DOUBLE)
-                         / CAST((sr + 1) * (T + 1) AS DOUBLE), 6)
+                         / (CAST(R AS DOUBLE) * CAST(n_grams AS DOUBLE)),
+                         6) AS raw_ppm,
+                   round(1000.0 * CAST(st + 1 AS DOUBLE)
+                                * CAST(R + 1 AS DOUBLE)
+                         / (CAST(sr + 1 AS DOUBLE)
+                            * CAST(T + 1 AS DOUBLE)), 6)
                        AS lift_milli
             FROM per_doc, totals ORDER BY doc_id
         """,

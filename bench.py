@@ -133,6 +133,33 @@ R3_HEADLINE = [
 ]
 
 
+def output_lines(out: dict) -> list[str]:
+    """The bench emit contract, factored out so tests can pin it. Three
+    JSON lines in strictly increasing importance: (1) the full object,
+    (2) the per-query timings map (detail — a tail capture may chop it
+    harmlessly), (3) a <=300-byte scalars-ONLY summary LAST, so any tail
+    capture of >=300 chars ends with one small complete JSON line that
+    carries headline_total. r5-r7 all lost the headline to the driver's
+    ~2000-char tail capture; this ordering is the fix."""
+    final = {
+        "metric": "headline_total",
+        "value": out["headline_total"],
+        "unit": "sec",
+        "sf": out["headline_sf"],
+        "r3_subtotal": out["r3_subtotal"],
+        "n_queries": len(out["queries"]),
+        "n_smoke": len(out.get("smoke", {})),
+        "n_errors": len(out.get("errors", {})),
+    }
+    last = json.dumps(final)
+    assert len(last) <= 300, f"final bench line must stay tiny: {len(last)}"
+    return [
+        json.dumps(out),
+        json.dumps({"metric": "per_query_sec", "queries": out["queries"]}),
+        last,
+    ]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -318,29 +345,21 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    # The driver's capture keeps the TAIL of the output: r5 and r6 both
-    # recorded a front-truncated line (scalars-first ordering put
-    # headline_total exactly in the truncated region → `parsed: null`).
-    # Two defenses: (a) repeat the scalar summary as the LAST keys of the
-    # big object, (b) print a compact second line — scalars + per-query
-    # timings only, ~3 KB — as the FINAL line, so a tail capture of any
-    # reasonable size ends with one small complete JSON line.
+    # The driver's capture keeps the TAIL (last ~2000 chars) of the
+    # output: r5 and r6 recorded a front-truncated big line, and r7's
+    # ~2.8 KB compact second line STILL overflowed the capture because
+    # its scalars came first and the 87-entry queries map last. Three
+    # lines, strictly increasing importance: (1) the big object, (2) the
+    # per-query timings map (detail, may be truncated harmlessly),
+    # (3) a <=300-byte scalars-ONLY line LAST — any tail capture of
+    # >=300 chars ends with one small complete JSON line containing
+    # headline_total. test_bench_tail_line in tests/test_plans.py pins
+    # this contract with a simulated 2000-char capture.
     out["headline_total"] = total
     out["headline_unit"] = "sec"
     out["headline_sf"] = sf
-    print(json.dumps(out))
-    tail = {
-        "metric": "headline_total",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "r3_subtotal": out["r3_subtotal"],
-        "n_queries": len(timings),
-        "n_smoke": len(smoke),
-        "n_errors": len(errors),
-        "queries": timings,
-    }
-    print(json.dumps(tail))
+    for line in output_lines(out):
+        print(line)
     spark.stop()
 
 

@@ -440,13 +440,19 @@ def contrastive_score(
       lift_milli = 1000 · (ΣT_g + 1)(R_total + 1)
                         / ((ΣR_g + 1)(T_total + 1))    (add-one smoothed)
 
-    — every division's inputs are exact integers below 2⁵³, so the
-    values are bit-identical across engines. High-lift raw documents are
-    the DSIR keep set. Scale shape: one gram-count shuffle (map-side
-    combined, T and R counted in the same aggregate), the per-gram join
-    back co-partitioned on the gram key, one per-doc aggregation, totals
-    as an in-plan broadcast single-row cross join (no collect). Docs
-    with < n tokens have no grams and drop (no signal)."""
+    — each FACTOR is an exact integer cast to double before the
+    multiply (never a LONG product: st·R can exceed int64 at corpus
+    scale and would wrap in non-ANSI Spark), so while the products stay
+    below 2⁵³ — true at every oracle SF — the values are bit-identical
+    across engines; past 2⁵³ they round instead of wrapping. High-lift
+    raw documents are the DSIR keep set. A degenerate corpus (T_total
+    or R_total == 0: no target grams, or no raw grams) raises in-plan
+    via assert_true rather than emitting silent NULL/inf scores. Scale
+    shape: one gram-count shuffle (map-side combined, T and R counted
+    in the same aggregate), the per-gram join back co-partitioned on
+    the gram key, one per-doc aggregation, totals as an in-plan
+    broadcast single-row cross join (no collect). Docs with < n tokens
+    have no grams and drop (no signal)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     staged = df.select(
@@ -463,9 +469,24 @@ def contrastive_score(
         F.sum("_is_t").alias("tc"),
         F.sum(F.lit(1) - F.col("_is_t")).alias("rc"),
     )
+    # The degenerate-corpus guard is threaded THROUGH T (not a separate
+    # column) so column pruning cannot drop it: any evaluation of T —
+    # and every output column divides by T or R — trips assert_true
+    # first, raising a typed message instead of ANSI DIVIDE_BY_ZERO or
+    # silent NULLs.
+    nonzero = F.assert_true(
+        (F.col("T") > 0) & (F.col("R") > 0),
+        F.lit(
+            "contrastive_score: degenerate corpus — zero target or"
+            " zero raw n-grams (T or R == 0)"
+        ),
+    )
     totals = counts.agg(
         F.sum("tc").cast("long").alias("T"),
         F.sum("rc").cast("long").alias("R"),
+    ).select(
+        F.when(nonzero.isNull(), F.col("T")).alias("T"),
+        "R",
     )
     per_doc = (
         toks.join(counts, "g")
@@ -481,18 +502,22 @@ def contrastive_score(
         "n_grams",
         F.round(
             F.col("st") * F.lit(1_000_000.0)
-            / (F.col("T") * F.col("n_grams")).cast("double"),
+            / (F.col("T").cast("double") * F.col("n_grams").cast("double")),
             6,
         ).alias("target_ppm"),
         F.round(
             F.col("sr") * F.lit(1_000_000.0)
-            / (F.col("R") * F.col("n_grams")).cast("double"),
+            / (F.col("R").cast("double") * F.col("n_grams").cast("double")),
             6,
         ).alias("raw_ppm"),
         F.round(
             F.lit(1000.0)
-            * ((F.col("st") + 1) * (F.col("R") + 1)).cast("double")
-            / ((F.col("sr") + 1) * (F.col("T") + 1)).cast("double"),
+            * (F.col("st") + 1).cast("double")
+            * (F.col("R") + 1).cast("double")
+            / (
+                (F.col("sr") + 1).cast("double")
+                * (F.col("T") + 1).cast("double")
+            ),
             6,
         ).alias("lift_milli"),
     )

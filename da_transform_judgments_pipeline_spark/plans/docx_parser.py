@@ -50,6 +50,34 @@ DCTERMS_NS = "http://purl.org/dc/terms/"
 XSI_NS = "http://www.w3.org/2001/XMLSchema-instance"
 AKN_NS = "http://docs.oasis-open.org/legaldocml/ns/akn/3.0"
 
+# Decompression bounds, checked against DECLARED sizes before any
+# zf.read and against ACTUAL produced bytes during the read (a hostile
+# header can lie small): the archive.DEFAULT_MAX_ARCHIVE_BYTES /
+# imagecodec.PNG_MAX_DECODED_BYTES pattern for the docx surface.
+DOCX_MAX_MEMBER_BYTES = 256 << 20
+DOCX_MAX_TOTAL_BYTES = 1 << 30
+
+
+class DocxBombError(ValueError):
+    """Raised when a docx zip declares or produces more decompressed
+    bytes than the bounds allow — converted to a non-zero exit by the
+    executable, then to a per-row error report by subprocess_parser."""
+
+
+def _read_bounded(zf: "zipfile.ZipFile", name: str) -> bytes:
+    """zf.read with an actual-bytes cap: reads at most
+    DOCX_MAX_MEMBER_BYTES + 1 decompressed bytes and raises rather than
+    materializing a member whose header under-declared its size."""
+    with zf.open(name) as fh:
+        data = fh.read(DOCX_MAX_MEMBER_BYTES + 1)
+        if len(data) > DOCX_MAX_MEMBER_BYTES:
+            raise DocxBombError(
+                f"zip member {name!r} produced more than "
+                f"{DOCX_MAX_MEMBER_BYTES} decompressed bytes"
+            )
+    return data
+
+
 # neutral-citation patterns (public formats):
 # "[2023] EWCA Civ 123" and "[2023] EWHC 123 (Admin)"
 CITE_RE = re.compile(
@@ -156,12 +184,32 @@ def _local(tag: str) -> str:
 def parse_docx(blob: bytes, reference: str) -> dict:
     """Transform a .docx into the parser's artifacts. Returns
     ``{xml: str, metadata: dict, images: {name: bytes}, log: [str]}``.
-    Raises (``zipfile.BadZipFile``, ``KeyError``) on a broken package —
-    the executable converts that to a non-zero exit, which
-    ``subprocess_parser`` reports per its contract."""
+    Raises (``zipfile.BadZipFile``, ``KeyError``,
+    ``DocxBombError``) on a broken or hostile package — the executable
+    converts that to a non-zero exit, which ``subprocess_parser``
+    reports per its contract. Every member read is bounded by
+    DOCX_MAX_MEMBER_BYTES / DOCX_MAX_TOTAL_BYTES (declared sizes checked
+    BEFORE decompression, mirroring archive.DEFAULT_MAX_ARCHIVE_BYTES
+    and imagecodec.PNG_MAX_DECODED_BYTES): a zip bomb inside an Arrow
+    batch would otherwise OOM the executor, and an OOM kill escapes the
+    per-row ``on_error='report'`` isolation this error feeds."""
     log: list[str] = [f"docx parser start: reference={reference}"]
     zf = zipfile.ZipFile(io.BytesIO(blob))
-    doc_root = ET.fromstring(zf.read("word/document.xml"))
+    total = 0
+    for info in zf.infolist():
+        if info.file_size > DOCX_MAX_MEMBER_BYTES:
+            raise DocxBombError(
+                f"zip member {info.filename!r} declares "
+                f"{info.file_size} decompressed bytes "
+                f"(> {DOCX_MAX_MEMBER_BYTES})"
+            )
+        total += info.file_size
+    if total > DOCX_MAX_TOTAL_BYTES:
+        raise DocxBombError(
+            f"zip declares {total} total decompressed bytes "
+            f"(> {DOCX_MAX_TOTAL_BYTES})"
+        )
+    doc_root = ET.fromstring(_read_bounded(zf, "word/document.xml"))
 
     paragraphs: list[str] = []
     for p in doc_root.iter(f"{{{W_NS}}}p"):
@@ -171,7 +219,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
 
     title, creator, created = "", "", ""
     try:
-        core = ET.fromstring(zf.read("docProps/core.xml"))
+        core = ET.fromstring(_read_bounded(zf, "docProps/core.xml"))
         for el in core:
             name = _local(el.tag)
             if name == "title":
@@ -186,7 +234,17 @@ def parse_docx(blob: bytes, reference: str) -> dict:
     images: dict[str, bytes] = {}
     for name in sorted(zf.namelist()):
         if name.startswith("word/media/") and not name.endswith("/"):
-            images[posixpath.basename(name)] = zf.read(name)
+            base = posixpath.basename(name)
+            if base in images:
+                # two media members in different subfolders sharing a
+                # basename would silently clobber each other in the
+                # flat artifact namespace — fail loud, like the
+                # reserved-artifact clash check in main()
+                raise ValueError(
+                    "embedded media basename collision: "
+                    f"{base!r} appears more than once under word/media/"
+                )
+            images[base] = _read_bounded(zf, name)
     log.append(f"extracted {len(images)} embedded images")
 
     full_text = "\n".join(paragraphs)

@@ -447,6 +447,70 @@ def io_bytes(b):
     return io.BytesIO(b)
 
 
+def test_parse_docx_zip_bomb_and_collision_guards():
+    """Hostile-package guards: a member whose header declares an
+    oversized decompressed size, a total over the package bound, a
+    member whose header LIES small but inflates big, and two media
+    members that collide on basename all raise typed errors instead of
+    OOMing the executor (an OOM kill escapes on_error='report' row
+    isolation) or silently dropping image bytes."""
+    import io
+    import zipfile
+
+    from da_transform_judgments_pipeline_spark.plans import docx_parser
+    from da_transform_judgments_pipeline_spark.plans.docx_parser import (
+        DocxBombError,
+        build_docx,
+        parse_docx,
+    )
+
+    # declared member size over the bound (patch the bound down so the
+    # fixture stays tiny)
+    big = build_docx(["x" * 2000], title="T")
+    orig_member = docx_parser.DOCX_MAX_MEMBER_BYTES
+    orig_total = docx_parser.DOCX_MAX_TOTAL_BYTES
+    try:
+        docx_parser.DOCX_MAX_MEMBER_BYTES = 100
+        with pytest.raises(DocxBombError, match="declares"):
+            parse_docx(big, "R-1")
+        docx_parser.DOCX_MAX_MEMBER_BYTES = orig_member
+        docx_parser.DOCX_MAX_TOTAL_BYTES = 100
+        with pytest.raises(DocxBombError, match="total"):
+            parse_docx(big, "R-1")
+        # the actual-bytes cap in _read_bounded: a member inflating past
+        # the cap raises even when the declared-size precheck was skipped
+        docx_parser.DOCX_MAX_TOTAL_BYTES = orig_total
+        docx_parser.DOCX_MAX_MEMBER_BYTES = 50
+        with zipfile.ZipFile(io.BytesIO(big)) as zf:
+            with pytest.raises(DocxBombError, match="produced"):
+                docx_parser._read_bounded(zf, "word/document.xml")
+        # a header that lies SMALL is caught by zipfile itself (reads
+        # truncate at the declared size, CRC then mismatches) — still a
+        # loud error, converted to a non-zero exit by the executable
+        buf = io.BytesIO(big)
+        with zipfile.ZipFile(buf) as zf:
+            zf.getinfo("word/document.xml").file_size = 10  # lie
+            with pytest.raises(Exception):
+                docx_parser._read_bounded(zf, "word/document.xml")
+    finally:
+        docx_parser.DOCX_MAX_MEMBER_BYTES = orig_member
+        docx_parser.DOCX_MAX_TOTAL_BYTES = orig_total
+
+    # basename collision across media subfolders: both members survive
+    # the zip, but the flat artifact namespace cannot hold both
+    base = build_docx(["hello"], title="T")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, zipfile.ZipFile(
+        buf, "w", zipfile.ZIP_DEFLATED
+    ) as zout:
+        for name in zin.namelist():
+            zout.writestr(name, zin.read(name))
+        zout.writestr("word/media/a/img.png", b"one")
+        zout.writestr("word/media/b/img.png", b"two")
+    with pytest.raises(ValueError, match="basename collision"):
+        parse_docx(buf.getvalue(), "R-1")
+
+
 def test_parse_documents_corpus_operator(spark):
     """The distributed parser stage: real docx packages parse per-row in
     Arrow batches (paragraph joins across runs, citation extraction,

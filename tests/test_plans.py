@@ -242,6 +242,44 @@ def test_driver_contract_registry_consistency():
     assert len(set(window)) == 50
 
 
+def test_bench_tail_line_survives_2000_char_capture():
+    """The driver records only the TAIL (~2000 chars) of bench.py's
+    stdout; r5-r7 all recorded `parsed: null` because the line carrying
+    headline_total overflowed the capture. Pin the contract: with a
+    realistically large registry (120 queries, 90 smoke), the LAST line
+    of output_lines() is <=300 bytes, scalars-only, and parses to the
+    headline metric even from a simulated 2000-char tail capture."""
+    import json
+
+    import bench
+
+    out = {
+        "metric": "headline_total",
+        "value": 39.712,
+        "unit": "sec",
+        "sf": 0.1,
+        "r3_subtotal": 13.456,
+        "index_builds": {"build_ivf_index": 1.234},
+        "e05b_candidates": {"fraction": 0.0451},
+        "queries": {f"q{i:03d}_some_operator_name": 0.123 for i in range(120)},
+        "smoke": {f"s{i:03d}_smoke_query_name": 0.045 for i in range(90)},
+        "headline_total": 39.712,
+        "headline_unit": "sec",
+        "headline_sf": 0.1,
+    }
+    lines = bench.output_lines(out)
+    assert len(lines) == 3
+    assert len(lines[-1]) <= 300
+    captured_tail = "\n".join(lines)[-2000:]
+    last = captured_tail.splitlines()[-1]
+    parsed = json.loads(last)
+    assert parsed["metric"] == "headline_total"
+    assert parsed["value"] == 39.712
+    assert parsed["r3_subtotal"] == 13.456
+    assert parsed["n_queries"] == 120
+    assert "queries" not in parsed
+
+
 def test_batch_validation_report_plan_shape(spark):
     """b01's relational core: the batched J2 verification join must never
     plan as a cartesian/nested-loop product (it is an equi-join on

@@ -1090,3 +1090,27 @@ def test_contrastive_score_ranks_target_like_docs(spark):
 
     with _pytest.raises(ValueError, match="n must be"):
         t.contrastive_score(df, "tgt", n=0)
+
+
+def test_contrastive_score_degenerate_corpus_raises(spark):
+    """T==0 (no target grams) and R==0 (no raw grams) must fail loud at
+    evaluation via the in-plan assert_true, not emit silent NULL/inf
+    scores that diverge between Spark (NULL on /0) and DuckDB (inf)."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    all_raw = spark.createDataFrame(
+        [(1, "alpha beta gamma", "raw"), (2, "delta eps zeta", "raw")],
+        ["doc_id", "text", "source"],
+    )
+    with pytest.raises(Exception, match="degenerate corpus"):
+        t.contrastive_score(all_raw, "tgt").collect()
+    all_tgt = all_raw.withColumn("source", F.lit("tgt"))
+    with pytest.raises(Exception, match="degenerate corpus"):
+        t.contrastive_score(all_tgt, "tgt").collect()
+    # a target doc that is too short to produce grams is degenerate too
+    short_tgt = spark.createDataFrame(
+        [(1, "solo", "tgt"), (2, "alpha beta gamma", "raw")],
+        ["doc_id", "text", "source"],
+    )
+    with pytest.raises(Exception, match="degenerate corpus"):
+        t.contrastive_score(short_tgt, "tgt").collect()
