@@ -1546,18 +1546,23 @@ def q_e13_semantic_dedup(spark, sf_dir):
     one update round — the e06/e10 machinery), then within-cluster
     keep-lowest-id pruning at cosine >= 0.45 on double-cast vectors (a
     low threshold on purpose: the synthetic embeddings are near-
-    orthogonal, and 0.45 makes the pruning branch actually fire).
-    DuckDB recomputes the NESTED pipeline end-to-end: the recursive-free
-    Lloyd's oracle for cluster assignment, then the per-cluster pairwise
-    rounded cosine and the min-offender selection — every pruning
-    decision (kept flag + pruned_by id) is hash-checked, not sampled."""
+    orthogonal, and 0.45 makes the pruning branch actually fire). The
+    CAPPED path runs here deliberately — max_cluster_size=50 is below
+    the ~62-member average cluster at sf0.01, so oversized clusters take
+    the anchor-bounded branch (compare only vs the 16 lowest-id members)
+    while small clusters keep exact full-pairwise semantics. DuckDB
+    recomputes the NESTED pipeline end-to-end: the recursive-free
+    Lloyd's oracle for cluster assignment, then the per-cluster
+    size/rank gating, the rounded-cosine pairing, and the min-offender
+    selection — every pruning decision (kept flag + pruned_by id) on
+    BOTH regimes is hash-checked, not sampled."""
     emb = _T(spark, sf_dir, "embeddings")
     cents = clustering.kmeans_fit(
         emb, k=8, updates=1, reproducible=True
     )
-    return clustering.semantic_dedup(emb, cents, threshold=0.45).orderBy(
-        "vec_id"
-    )
+    return clustering.semantic_dedup(
+        emb, cents, threshold=0.45, max_cluster_size=50, n_anchors=16
+    ).orderBy("vec_id")
 
 
 def q_a19_retention_cohorts(spark, sf_dir):
@@ -3533,23 +3538,35 @@ def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
     """
 
 
-def _semantic_dedup_sql(k: int = 8, threshold: float = 0.45) -> str:
+def _semantic_dedup_sql(
+    k: int = 8,
+    threshold: float = 0.45,
+    max_cluster_size: int = 50,
+    n_anchors: int = 16,
+) -> str:
     """e13 oracle: the e06 k-means oracle's (vec_id, cluster) assignment
     wrapped with the within-cluster keep-lowest-id cosine pruning —
     rounded double cosine (the e01 parity recipe), min offending
-    lower-id neighbor, NULL pruned_by = kept."""
+    lower-id neighbor, NULL pruned_by = kept. Mirrors the capped-path
+    gating exactly: the b (lower-id) side of a pair must belong to a
+    cluster at or under max_cluster_size OR rank within the cluster's
+    n_anchors lowest ids."""
     return f"""
         WITH base AS ({_kmeans_sql(k)}),
         av AS (
           SELECT b.vec_id, b.cluster,
-                 CAST(e.embedding AS DOUBLE[]) AS v
+                 CAST(e.embedding AS DOUBLE[]) AS v,
+                 row_number() OVER (PARTITION BY b.cluster
+                                    ORDER BY b.vec_id) AS rk,
+                 count(*) OVER (PARTITION BY b.cluster) AS sz
           FROM base b JOIN embeddings e USING (vec_id)
         ),
         pruned AS (
           SELECT a.vec_id AS id_a, min(b.vec_id) AS pruned_by
           FROM av a JOIN av b
             ON a.cluster = b.cluster AND a.vec_id > b.vec_id
-          WHERE round(list_cosine_similarity(a.v, b.v), 6)
+          WHERE (b.sz <= {max_cluster_size} OR b.rk <= {n_anchors})
+            AND round(list_cosine_similarity(a.v, b.v), 6)
                 >= {threshold}
           GROUP BY a.vec_id
         )

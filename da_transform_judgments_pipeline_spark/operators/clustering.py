@@ -325,6 +325,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "fold",
+    max_cluster_size: int | None = None,
+    n_anchors: int = 32,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup, the cluster-then-prune shape of
     SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every vector
@@ -334,18 +336,43 @@ def semantic_dedup(
     formulation, matching exact_dedup's keep-first semantics and making
     the whole decision oracle-expressible). Output: one row per input —
     (id, cluster, kept, pruned_by) with ``pruned_by`` = the lowest
-    offending neighbor id (NULL when kept).
+    offending compared neighbor id (NULL when kept).
 
     Scale shape — the reason SemDeDup exists: the pairwise term is
     Σ|cluster|² instead of n², and it arrives via ONE shuffle on the
     int cluster key (both self-join sides partition identically, so AQE
-    plans a single exchange per side and skew-splits a hot cluster).
-    Cosine runs on double-cast arrays rounded to 6 dp — the established
-    cross-engine float-parity recipe (e01/e02). Centroids are driver-held
-    model bytes (kmeans_fit), inlined as literals: no broadcast table,
-    no assignment join."""
+    plans a single exchange per side). BUT Σ|c|² is still quadratic in
+    the degenerate case dedup exists for — a near-dup-heavy corpus
+    collapsing into one mega-cluster — and AQE skew-splitting only
+    balances that work, it does not reduce it. ``max_cluster_size``
+    bounds it: clusters at or under the cap keep EXACT full-pairwise
+    semantics (so capped == uncapped whenever no cluster exceeds the
+    cap); members of an oversized cluster are compared only against the
+    cluster's ``n_anchors`` lowest-id members (its deterministic
+    representatives — anchor-vs-anchor pairs included), making the
+    oversized term |c|·n_anchors, linear in |c|. On the mega-cluster
+    this cap targets — a ball of near-dups — the anchors are near-dups
+    of every member, so the pruning decision is preserved; the
+    approximation only loses pairs whose ONLY offender ranks past the
+    anchor set, the same recall trade every banded method in this
+    engine makes (and unlike those, it is exact below the cap). Both
+    regimes run in ONE plan: the b-side filter
+    ``(size <= cap) OR (rank <= n_anchors)`` needs a single
+    row_number/count window on the same cluster key the join shuffles
+    on. Cosine runs on double-cast arrays rounded to 6 dp — the
+    established cross-engine float-parity recipe (e01/e02). Centroids
+    are driver-held model bytes (kmeans_fit), inlined as literals: no
+    broadcast table, no assignment join."""
     from .dedup import cosine_similarity
 
+    from pyspark.sql.window import Window
+
+    if max_cluster_size is not None and max_cluster_size < 1:
+        raise ValueError(
+            f"max_cluster_size must be >= 1, got {max_cluster_size}"
+        )
+    if n_anchors < 1:
+        raise ValueError(f"n_anchors must be >= 1, got {n_anchors}")
     assigned = assign_clusters(
         df.select(id_col, vec_col), centroids, id_col, vec_col,
         method=method, keep_vec=True,
@@ -353,9 +380,24 @@ def semantic_dedup(
     a = assigned.select(
         "cluster", F.col("id").alias("id_a"), F.col("v").alias("va")
     )
-    b = assigned.select(
-        "cluster", F.col("id").alias("id_b"), F.col("v").alias("vb")
-    )
+    if max_cluster_size is None:
+        b = assigned.select(
+            "cluster", F.col("id").alias("id_b"), F.col("v").alias("vb")
+        )
+    else:
+        w_rank = Window.partitionBy("cluster").orderBy("id")
+        w_size = Window.partitionBy("cluster")
+        b = (
+            assigned.withColumn("_rk", F.row_number().over(w_rank))
+            .withColumn("_sz", F.count("*").over(w_size))
+            .filter(
+                (F.col("_sz") <= F.lit(max_cluster_size))
+                | (F.col("_rk") <= F.lit(n_anchors))
+            )
+            .select(
+                "cluster", F.col("id").alias("id_b"), F.col("v").alias("vb")
+            )
+        )
     pruned = (
         a.join(b, "cluster")
         .filter(F.col("id_a") > F.col("id_b"))
