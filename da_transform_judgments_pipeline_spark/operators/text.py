@@ -1462,16 +1462,23 @@ def substring_dedup(
     (~same volume class as the line_dedup fingerprint shuffle); removal
     spans come back as per-doc START LISTS (each start covers a fixed
     width, so spans never explode into per-token rows), and the final
-    reassembly is an index-filter over the cached token array. Docs
-    shorter than one window pass through untouched.
+    reassembly is an index-filter over the cached token array. The
+    token stage is PERSISTED (the d02/d09 staged-shingle pattern, via
+    dedup's cache registry — call ``dedup.release_cached()`` after
+    materializing): it feeds both the window fan-out and the reassembly
+    join, and without the persist the dominant input — the corpus text
+    — would be scanned and tokenized twice. Docs shorter than one
+    window pass through untouched.
 
     Output: (id, text_deduped, n_tokens, n_removed).
     """
+    from .dedup import _persist
+
     L = int(window_tokens)
     if L < 2:
         raise ValueError("window_tokens must be >= 2")
-    base = df.select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("tk")
+    base = _persist(
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
     )
     n = F.size("tk")
     wins = base.select(

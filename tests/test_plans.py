@@ -331,3 +331,32 @@ def test_token_budget_sample_is_map_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     out.count()
+
+
+def test_substring_dedup_single_source_scan(spark, tmp_path):
+    """d10's token stage feeds BOTH the window fan-out and the
+    reassembly join; it is persisted so the dominant input — the corpus
+    text — is scanned and tokenized exactly once. Gate: the executed
+    plan shows ONE parquet scan of the source and reuses the cached
+    token stage (InMemoryTableScan) for every other consumer."""
+    from da_transform_judgments_pipeline_spark.operators import dedup, text
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 10) for i in range(20)],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    out = text.substring_dedup(df, window_tokens=5)
+    try:
+        out.count()  # materialize so the persist is populated
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # every Scan parquet in the printout is the one nested inside an
+        # InMemoryRelation's cached-child description — i.e. EVERY
+        # consumer of the token stage reads the cache, and the real
+        # parquet scan runs once, to populate it
+        n_cached = plan.count("InMemoryTableScan")
+        assert n_cached >= 2  # window fan-out + reassembly join
+        assert plan.count("Scan parquet") == n_cached
+    finally:
+        dedup.release_cached()
