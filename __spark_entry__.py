@@ -2951,6 +2951,85 @@ def q_m12_png_decode_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_m14_jpeg_decode_features(spark, sf_dir):
+    """REAL lossy-compressed decode under a hash oracle: per document a
+    16x8 two-block baseline JPEG (ITU T.81 — markers, Annex K tables,
+    Huffman entropy coding, DCT) is assembled executor-side by the
+    deterministic encoder twin (jpegcodec.encode_jpeg_baseline) and
+    decoded by the general pure-numpy baseline decoder
+    (jpegcodec.decode_jpeg: marker walk, canonical Huffman with byte
+    unstuffing, DC differential prediction, dequant + dezigzag, float64
+    IDCT with pinned rounding, fixed-point YCbCr→RGB). Constant 8x8
+    blocks make the WHOLE lossy chain closed-form: the DCT of a
+    constant block is DC-only, the DC quantum is pinned to 16, so
+    decoded pixels are an exact integer function of the input color
+    (pinned color convert → round-half-away DC quantize → dequant →
+    exact DC-only IDCT → fixed-point color convert) that DuckDB
+    recomputes per doc. Feature surface = m09/m12 (means×510, stds×510,
+    luma grid×255000) over the DECODED colors. JPEG is what a real
+    100 TB multimodal corpus contains — this is the engine's first
+    lossy-format decode, hash-checked end-to-end through the entropy
+    coder and the transform, not just plumbing-checked."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.operators.jpegcodec import (
+            encode_jpeg_baseline,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                a = (d % 256, (d * 7) % 256, (d * 13) % 256)
+                b = ((d * 3) % 256, (d * 5) % 256, (d * 11) % 256)
+                arr = np.empty((16, 8, 3), dtype=np.uint8)
+                arr[:8] = a
+                arr[8:] = b
+                blobs.append(bytearray(encode_jpeg_baseline(arr)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    imgs = docs.mapInPandas(make, "doc_id long, content binary")
+    out = multimodal.extract_features(
+        imgs.select(F.col("doc_id").alias("media_id"), "content"),
+        dim=10,
+        real_decode=True,
+    )
+    f = F.col("feature")
+
+    def chan(i, scale, name):
+        return (
+            F.round(F.element_at(f, i + 1) * scale).cast("long").alias(name)
+        )
+
+    # equal A'/B' halves (8 rows each, A'/B' = the closed-form DECODED
+    # colors) keep the m09/m12 closed forms: mean×510 = A'+B',
+    # std×510 = |A'−B'|; the 2x2 luma grid samples rows
+    # floor(0.5·16/2)=4 (A') and floor(1.5·16/2)=12 (B')
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        chan(0, 510, "sum_r"),
+        chan(1, 510, "sum_g"),
+        chan(2, 510, "sum_b"),
+        chan(3, 510, "absdiff_r"),
+        chan(4, 510, "absdiff_g"),
+        chan(5, 510, "absdiff_b"),
+        chan(6, 255000, "luma_a_milli"),
+        chan(7, 255000, "luma_a2_milli"),
+        chan(8, 255000, "luma_b_milli"),
+        chan(9, 255000, "luma_b2_milli"),
+    ).orderBy("doc_id")
+
+
 def q_m13_docx_parse(spark, sf_dir):
     """REAL document transformation under a hash oracle — the full
     encode→parse loop of the judgment parser at corpus scale: per
@@ -3191,6 +3270,21 @@ def q_b02_batch_dri_metadata(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- Round 8 rotation: m14 (baseline JPEG — the engine's first
+    # LOSSY decode: Annex K tables, Huffman entropy coding, DCT;
+    # constant blocks make the whole chain closed-form for the oracle),
+    # d11 (incremental exact-substring dedup — persisted window-hash
+    # ownership index, the d06 lifecycle for ExactSubstr), and x25
+    # (data-selection pipeline — contrastive score → token-budget
+    # select → epoch order, the x24/x22/x23 composition recomputed
+    # end-to-end by DuckDB) are NEW and lead the window. Displaced past
+    # the cap: d07/e01/e05 (multi-green, unchanged this round; e05's
+    # machinery stays pinned by e05b's measured candidate fraction and
+    # e01's by the e02 family). Changed-this-round queries already
+    # in-window: e13 (cluster-size cap — capped path now the recorded
+    # regime), d10 (persisted token stage), x24 (double-cast factors +
+    # degenerate guard), m13 (zip-bomb bounds + basename collision
+    # guard upstream).
     # --- Round 7 rotation: m12 (stdlib PNG decode — zlib inflate + all
     # five scanline filters under the m09 closed-form oracle), m13
     # (the REAL docx parser's full encode→parse loop over the corpus —
@@ -3263,6 +3357,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # a measured pytest contract: recall@10 floors vs the exact twins).
     # Everything past the cap remains locally oracle-checked via
     # scripts/selfcheck.py (README).
+    # (a) NEW round 8
+    "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     # (a) NEW round 6
     "b01_batch_validation": q_b01_batch_validation,
     "b02_batch_dri_metadata": q_b02_batch_dri_metadata,
@@ -3575,6 +3671,114 @@ def _semantic_dedup_sql(
                p.pruned_by
         FROM av LEFT JOIN pruned p ON av.vec_id = p.id_a
         ORDER BY av.vec_id
+    """
+
+
+def _jpeg_decode_sql() -> str:
+    """m14 oracle: the m12 color scheme pushed through the CLOSED-FORM
+    baseline-JPEG chain for constant 8x8 blocks (jpegcodec module
+    docstring): pinned integer RGB→YCbCr (scaled JFIF coefficients,
+    floor division), round-half-away DC quantization at the pinned
+    quantum 16, exact DC-only IDCT (dequant/8 — an even integer), level
+    shift + clamp, then libjpeg's fixed-point YCbCr→RGB. Every step is
+    integer/floor arithmetic, so DuckDB recomputes decoded pixels
+    exactly; the feature surface is m12's (sums ×510, absdiffs ×510,
+    luma ×255000) over the DECODED colors."""
+
+    def cl(e: str) -> str:
+        return f"least(255.0, greatest(0.0, {e}))"
+
+    def ey(r, g, b):
+        return cl(
+            f"floor((299000*{r} + 587000*{g} + 114000*{b} + 500000)"
+            "/1000000.0)"
+        )
+
+    def ecb(r, g, b):
+        return cl(
+            f"128 + floor((-168736*{r} - 331264*{g} + 500000*{b}"
+            " + 500000)/1000000.0)"
+        )
+
+    def ecr(r, g, b):
+        return cl(
+            f"128 + floor((500000*{r} - 418688*{g} - 81312*{b}"
+            " + 500000)/1000000.0)"
+        )
+
+    def dc(ch):
+        # x = 8*(ch-128); qdc = round-half-away(x/16); out = 2*qdc + 128
+        return cl(
+            f"CASE WHEN {ch} >= 128"
+            f" THEN 128 + 2*floor((8*({ch}-128)+8)/16.0)"
+            f" ELSE 128 - 2*floor((8*(128-{ch})+8)/16.0) END"
+        )
+
+    def fr(y, cr):
+        return cl(f"{y} + floor((91881*({cr}-128) + 32768)/65536.0)")
+
+    def fg(y, cb, cr):
+        return cl(
+            f"{y} - floor((22554*({cb}-128) + 46802*({cr}-128)"
+            " + 32768)/65536.0)"
+        )
+
+    def fb(y, cb):
+        return cl(f"{y} + floor((116130*({cb}-128) + 32768)/65536.0)")
+
+    enc = ", ".join(
+        f"{expr} AS {n}"
+        for blk in ("a", "b")
+        for expr, n in (
+            (ey(f"{blk}r", f"{blk}g", f"{blk}b"), f"y{blk}"),
+            (ecb(f"{blk}r", f"{blk}g", f"{blk}b"), f"cb{blk}"),
+            (ecr(f"{blk}r", f"{blk}g", f"{blk}b"), f"cr{blk}"),
+        )
+    )
+    deq = ", ".join(
+        f"{dc(ch + blk)} AS {ch}{blk}2"
+        for blk in ("a", "b")
+        for ch in ("y", "cb", "cr")
+    )
+    rgb = ", ".join(
+        f"{expr} AS {n}"
+        for blk in ("a", "b")
+        for expr, n in (
+            (fr(f"y{blk}2", f"cr{blk}2"), f"{blk}r2"),
+            (fg(f"y{blk}2", f"cb{blk}2", f"cr{blk}2"), f"{blk}g2"),
+            (fb(f"y{blk}2", f"cb{blk}2"), f"{blk}b2"),
+        )
+    )
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 doc_id % 256 AS ar,
+                 (doc_id * 7) % 256 AS ag,
+                 (doc_id * 13) % 256 AS ab,
+                 (doc_id * 3) % 256 AS br,
+                 (doc_id * 5) % 256 AS bg,
+                 (doc_id * 11) % 256 AS bb
+          FROM documents
+        ),
+        e AS (SELECT doc_id, {enc} FROM c),
+        d AS (SELECT doc_id, {deq} FROM e),
+        p AS (SELECT doc_id, {rgb} FROM d)
+        SELECT doc_id,
+               CAST(ar2 + br2 AS BIGINT) AS sum_r,
+               CAST(ag2 + bg2 AS BIGINT) AS sum_g,
+               CAST(ab2 + bb2 AS BIGINT) AS sum_b,
+               CAST(abs(ar2 - br2) AS BIGINT) AS absdiff_r,
+               CAST(abs(ag2 - bg2) AS BIGINT) AS absdiff_g,
+               CAST(abs(ab2 - bb2) AS BIGINT) AS absdiff_b,
+               CAST(299*ar2 + 587*ag2 + 114*ab2 AS BIGINT)
+                   AS luma_a_milli,
+               CAST(299*ar2 + 587*ag2 + 114*ab2 AS BIGINT)
+                   AS luma_a2_milli,
+               CAST(299*br2 + 587*bg2 + 114*bb2 AS BIGINT)
+                   AS luma_b_milli,
+               CAST(299*br2 + 587*bg2 + 114*bb2 AS BIGINT)
+                   AS luma_b2_milli
+        FROM p ORDER BY doc_id
     """
 
 
@@ -4845,6 +5049,7 @@ def oracle_sql() -> dict[str, str]:
         "e06_kmeans": _kmeans_sql(),
         "e10_cluster_balanced_sample": _cluster_sample_sql(),
         "e13_semantic_dedup": _semantic_dedup_sql(),
+        "m14_jpeg_decode_features": _jpeg_decode_sql(),
         "x24_contrastive_score": """
             WITH tk AS (
               SELECT doc_id, (source = 'src1') AS is_t,

@@ -113,6 +113,7 @@ HEADLINE = [
     "d10_substring_dedup",
     "e13_semantic_dedup",
     "x24_contrastive_score",
+    "m14_jpeg_decode_features",
 ]
 
 

@@ -122,6 +122,10 @@ def decode_image(blob: bytes) -> np.ndarray:
         return (rgb[::-1] if bottom_up else rgb).copy()
     if blob[:8] == PNG_SIG:
         return decode_png(blob)
+    if blob[:3] == b"\xff\xd8\xff":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(blob)
     raise UnsupportedImageError(f"{sniff(blob)} requires a codec library")
 
 
