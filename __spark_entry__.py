@@ -3132,6 +3132,35 @@ def q_d10_substring_dedup(spark, sf_dir):
     return text.substring_dedup(docs, window_tokens=20).orderBy("doc_id")
 
 
+def q_d11_incremental_substring_dedup(spark, sf_dir):
+    """Incremental EXACT-SUBSTRING dedup (text.incremental_substring_dedup
+    — the ExactSubstr twin of d06's MinHash lifecycle): a NEW batch
+    (doc_id % 13 == 0) is deduped against the already-indexed corpus
+    (the rest) via a PERSISTED window-hash ownership table bucketed on
+    the hash — only the batch is tokenized/hashed (the corpus scan was
+    paid at index build, amortized over every later batch), and the
+    index join plans with zero corpus-side Exchange. Semantics: a batch
+    window is cut when its text exists anywhere in the corpus OR at an
+    earlier (id, start) within the batch. DuckDB recomputes the whole
+    incremental decision — corpus hash set, batch windows, the
+    corpus-hit/batch-first rule, span coverage, reassembly — so every
+    removal is hash-checked."""
+    docs = _T(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 13 == 0)
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    table = f"ss_{_minhash_index_prefix(spark, sf_dir)}"
+    if not spark.catalog.tableExists(table):
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".cache", "ss", table
+        )
+        text.build_substring_index(
+            corpus, table, window_tokens=20, path=path
+        )
+    return text.incremental_substring_dedup(
+        batch, spark, table, window_tokens=20
+    ).orderBy("doc_id")
+
+
 def q_x22_token_budget_sample(spark, sf_dir):
     """Domain-mixture sampling to a token budget (text.token_budget_sample
     — the data-mixing step): four sources with weights 3/1/1/10 share a
@@ -3359,6 +3388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scripts/selfcheck.py (README).
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
+    "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
     # (a) NEW round 6
     "b01_batch_validation": q_b01_batch_validation,
     "b02_batch_dri_metadata": q_b02_batch_dri_metadata,
@@ -4156,6 +4186,62 @@ def oracle_sql() -> dict[str, str]:
               FROM keptpos GROUP BY doc_id
             ) k USING (doc_id)
             ORDER BY doc_id
+        """,
+        "d11_incremental_substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), cw AS (
+              SELECT DISTINCT
+                     md5(array_to_string(tk[p : p + 19], ' ')) AS h
+              FROM (
+                SELECT doc_id, unnest(range(1, len(tk) - 20 + 2)) AS p, tk
+                FROM toks WHERE len(tk) >= 20 AND doc_id % 13 <> 0
+              )
+            ), bw AS (
+              SELECT doc_id, p,
+                     md5(array_to_string(tk[p : p + 19], ' ')) AS h
+              FROM (
+                SELECT doc_id, unnest(range(1, len(tk) - 20 + 2)) AS p, tk
+                FROM toks WHERE len(tk) >= 20 AND doc_id % 13 = 0
+              )
+            ), marked AS (
+              SELECT b.doc_id, b.p,
+                     (b.h IN (SELECT h FROM cw)) AS in_corpus,
+                     row_number() OVER (
+                       PARTITION BY b.h ORDER BY b.doc_id, b.p) AS rn
+              FROM bw b
+            ), rem AS (
+              SELECT doc_id, p FROM marked WHERE in_corpus OR rn > 1
+            ), bt AS (
+              SELECT doc_id, tk FROM toks WHERE doc_id % 13 = 0
+            ), pos AS (
+              SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+              FROM bt
+            ), keptpos AS (
+              SELECT pos.doc_id, pos.i, pos.tk[pos.i] AS tok
+              FROM pos
+              WHERE NOT EXISTS (
+                SELECT 1 FROM rem r
+                WHERE r.doc_id = pos.doc_id
+                  AND r.p <= pos.i AND pos.i <= r.p + 19
+              )
+            )
+            SELECT t.doc_id,
+                   COALESCE(k.text_deduped, '') AS text_deduped,
+                   CAST(len(t.tk) AS BIGINT) AS n_tokens,
+                   CAST(len(t.tk) - COALESCE(k.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM bt t
+            LEFT JOIN (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY i) AS text_deduped,
+                     count(*) AS n_kept
+              FROM keptpos GROUP BY doc_id
+            ) k USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "m13_docx_parse": """
             SELECT doc_id,

@@ -114,6 +114,7 @@ HEADLINE = [
     "e13_semantic_dedup",
     "x24_contrastive_score",
     "m14_jpeg_decode_features",
+    "d11_incremental_substring_dedup",
 ]
 
 

@@ -1480,8 +1480,27 @@ def substring_dedup(
     base = _persist(
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
     )
+    wins = _window_hashes(base, L)
+    owners = wins.groupBy("h").agg(
+        F.min(F.struct("id", "p")).alias("first"),
+        F.count("*").alias("df"),
+    )
+    removed = (
+        wins.join(owners.filter(F.col("df") > 1), "h")
+        .filter(
+            (F.col("id") != F.col("first.id"))
+            | (F.col("p") != F.col("first.p"))
+        )
+        .select("id", "p")
+    )
+    return _reassemble(base, removed, L, id_col)
+
+
+def _window_hashes(base: DataFrame, L: int) -> DataFrame:
+    """(id, tk) → one (id, p, h) row per overlapping L-token window:
+    1-based start p, md5 over the space-joined slice — all map-side."""
     n = F.size("tk")
-    wins = base.select(
+    return base.select(
         "id",
         F.explode(
             F.when(
@@ -1494,20 +1513,19 @@ def substring_dedup(
         "p",
         F.md5(F.concat_ws(" ", F.slice("tk", F.col("p"), L))).alias("h"),
     )
-    owners = wins.groupBy("h").agg(
-        F.min(F.struct("id", "p")).alias("first"),
-        F.count("*").alias("df"),
+
+
+def _reassemble(
+    base: DataFrame, removed: DataFrame, L: int, id_col: str
+) -> DataFrame:
+    """Shared substring-dedup tail: collapse removed (id, p) window
+    starts into per-doc sorted START LISTS (each start covers a fixed
+    L-token width, so spans never explode into per-token rows) and
+    index-filter each doc's own token array."""
+    removals = removed.groupBy("id").agg(
+        F.array_sort(F.collect_list("p")).alias("starts")
     )
-    removals = (
-        wins.join(owners.filter(F.col("df") > 1), "h")
-        .filter(
-            (F.col("id") != F.col("first.id"))
-            | (F.col("p") != F.col("first.p"))
-        )
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list("p")).alias("starts"))
-    )
-    # kept(i) = no duplicated non-owner window start s covers position i
+    # kept(i) = no removed window start s covers position i
     # (s <= i <= s+L-1). starts is sorted, so the exists() scan short-
     # circuits; per-token cost is O(#spans), not O(#starts) in practice.
     covered = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
@@ -1529,6 +1547,142 @@ def substring_dedup(
             (F.size("tk") - F.size("_kept")).cast("long").alias("n_removed"),
         )
     )
+
+
+def build_substring_index(
+    df: DataFrame,
+    table: str,
+    window_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's window-hash OWNERSHIP table once — the
+    ingestion-time half of incremental exact-substring dedup (the
+    ExactSubstr analogue of dedup.build_minhash_index): one row per
+    DISTINCT window hash, carrying its first occurrence
+    ``(h, id, p)`` (global min (id, p) — the same owner rule as
+    :func:`substring_dedup`), bucketed on ``h``. Every later batch
+    joins its window hashes against this table with NO corpus-side
+    Exchange; the corpus-wide tokenize + hash scan is paid once here.
+    State size is one row per distinct window hash (~per corpus token)
+    — the honest ExactSubstr state (Lee et al. use a suffix array of
+    the same scale). Maintain with :func:`append_to_substring_index`
+    per batch and dedup_stream.compact_index_table for the small-file
+    lifecycle."""
+    L = int(window_tokens)
+    if L < 2:
+        raise ValueError("window_tokens must be >= 2")
+    from .scale import write_bucketed
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("tk")
+    )
+    owners = (
+        _window_hashes(base, L)
+        .groupBy("h")
+        .agg(F.min(F.struct("id", "p")).alias("first"))
+        .select("h", F.col("first.id").alias("id"), F.col("first.p").alias("p"))
+    )
+    write_bucketed(owners, table, "h", buckets=buckets, mode=mode, path=path)
+
+
+def incremental_substring_dedup(
+    batch: DataFrame,
+    spark,
+    table: str,
+    window_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup of a NEW batch against the indexed corpus
+    (build_substring_index) — production corpus dedup is incremental,
+    and this gives ExactSubstr the same persisted-index lifecycle d06
+    gives MinHash. A batch window is REMOVED when its hash exists in
+    the index (the corpus saw that text first) or when an earlier
+    (id, p) occurrence exists within the batch itself; batch-internal
+    first occurrences survive, exactly :func:`substring_dedup`'s
+    keep-first rule applied with the corpus as the earlier wave. When
+    batch ids follow corpus ids (the production ingestion order), the
+    decisions equal the full-corpus :func:`substring_dedup` restricted
+    to batch rows — pinned by pytest.
+
+    Scale shape: only the BATCH is tokenized and hashed (one persisted
+    pass — the d10 single-scan rule); the index join is a left join on
+    ``h`` into the table's bucketing, so the corpus side plans with
+    ZERO Exchange (plan-asserted) and the batch-internal ownership
+    groupBy reuses the join's hash partitioning. Output: one row per
+    batch doc — (id, text_deduped, n_tokens, n_removed)."""
+    from .dedup import _persist
+
+    L = int(window_tokens)
+    if L < 2:
+        raise ValueError("window_tokens must be >= 2")
+    base = _persist(
+        batch.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+    )
+    wins = _window_hashes(base, L)
+    idx = spark.table(table).select("h", F.lit(True).alias("_corpus"))
+    marked = wins.join(idx, "h", "left")
+    fresh = marked.filter(F.col("_corpus").isNull())
+    owners = fresh.groupBy("h").agg(
+        F.min(F.struct("id", "p")).alias("first"),
+        F.count("*").alias("df"),
+    )
+    batch_removed = (
+        fresh.join(owners.filter(F.col("df") > 1), "h")
+        .filter(
+            (F.col("id") != F.col("first.id"))
+            | (F.col("p") != F.col("first.p"))
+        )
+        .select("id", "p")
+    )
+    corpus_removed = marked.filter(F.col("_corpus").isNotNull()).select(
+        "id", "p"
+    )
+    return _reassemble(
+        base, corpus_removed.unionByName(batch_removed), L, id_col
+    )
+
+
+def append_to_substring_index(
+    batch: DataFrame,
+    table: str,
+    window_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int | None = None,
+) -> None:
+    """Add a processed batch's NEW window hashes (those absent from the
+    index) with their batch-first owners — the state-update half of the
+    incremental lifecycle (dedup_stream.append_to_minhash_index's
+    pattern: anti-join keeps the table one-row-per-hash so lookup joins
+    never multiply; bucket count is read from the catalog so the
+    no-corpus-Exchange plans survive appends)."""
+    L = int(window_tokens)
+    spark = batch.sparkSession
+    if buckets is None:
+        from ..streaming.dedup_stream import _table_buckets
+
+        buckets = _table_buckets(spark, table) or 32
+    from .scale import write_bucketed
+
+    base = batch.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("tk")
+    )
+    new_owners = (
+        _window_hashes(base, L)
+        .join(spark.table(table).select("h"), "h", "left_anti")
+        .groupBy("h")
+        .agg(F.min(F.struct("id", "p")).alias("first"))
+        .select(
+            "h", F.col("first.id").alias("id"), F.col("first.p").alias("p")
+        )
+    )
+    write_bucketed(new_owners, table, "h", buckets=buckets, mode="append")
+    spark.catalog.refreshTable(table)
 
 
 def line_dedup(
