@@ -1540,6 +1540,29 @@ def q_x24_contrastive_score(spark, sf_dir):
     return text.contrastive_score(docs, "src1", n=2).orderBy("doc_id")
 
 
+def q_x25_data_selection(spark, sf_dir):
+    """The composed data-selection pipeline (text.select_for_training —
+    what x24/x22/x23 exist FOR, in one plan): DSIR-shaped contrastive
+    scoring against the src1 target domain, the >=1000-lift keep filter
+    over raw docs, mixture sampling of the keep set to a 1500-token
+    budget (weights src0:2 src2:1 src3:1 src4:4 — availability computed
+    on the POST-selection pool), and the epoch-1 reproducible order key
+    on every kept row. DuckDB recomputes the WHOLE chain — gram counts,
+    lift, keep filter, availability, float rates, hex thresholds, hash
+    filter, epoch keys — so the three operators' interplay is
+    regression-pinned, not just each piece."""
+    docs = _T(spark, sf_dir, "documents")
+    out = text.select_for_training(
+        docs,
+        "src1",
+        weights={"src0": 2.0, "src2": 1.0, "src3": 1.0, "src4": 4.0},
+        total_tokens=1500,
+        lift_threshold_milli=1000.0,
+        epoch=1,
+    ).orderBy("doc_id")
+    return out
+
+
 def q_e13_semantic_dedup(spark, sf_dir):
     """Semantic dedup (clustering.semantic_dedup — SemDeDup's
     cluster-then-prune shape): k-means k=8 (bit-exact reproducible mode,
@@ -3389,6 +3412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
+    "x25_data_selection": q_x25_data_selection,
     # (a) NEW round 6
     "b01_batch_validation": q_b01_batch_validation,
     "b02_batch_dri_metadata": q_b02_batch_dri_metadata,
@@ -3701,6 +3725,107 @@ def _semantic_dedup_sql(
                p.pruned_by
         FROM av LEFT JOIN pruned p ON av.vec_id = p.id_a
         ORDER BY av.vec_id
+    """
+
+
+def _contrastive_sql() -> str:
+    """x24 oracle (shared with x25's composed pipeline): gram stream +
+    joint T/R counts + per-doc integer-exact lift — see
+    q_x24_contrastive_score."""
+    return """
+            WITH tk AS (
+              SELECT doc_id, (source = 'src1') AS is_t,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, CAST(is_t AS BIGINT) AS is_t,
+                     tk[i] || chr(2) || tk[i + 1] AS g
+              FROM tk, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+              WHERE len(tk) >= 2
+            ),
+            counts AS (
+              SELECT g, CAST(sum(is_t) AS BIGINT) AS tc,
+                     CAST(sum(1 - is_t) AS BIGINT) AS rc
+              FROM toks GROUP BY g
+            ),
+            totals AS (
+              SELECT CAST(sum(tc) AS BIGINT) AS T,
+                     CAST(sum(rc) AS BIGINT) AS R
+              FROM counts
+            ),
+            per_doc AS (
+              SELECT t.doc_id, count(*) AS n_grams,
+                     CAST(sum(c.tc) AS BIGINT) AS st,
+                     CAST(sum(c.rc) AS BIGINT) AS sr
+              FROM toks t JOIN counts c USING (g) GROUP BY t.doc_id
+            )
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   round(CAST(st AS DOUBLE) * 1000000.0
+                         / (CAST(T AS DOUBLE) * CAST(n_grams AS DOUBLE)),
+                         6) AS target_ppm,
+                   round(CAST(sr AS DOUBLE) * 1000000.0
+                         / (CAST(R AS DOUBLE) * CAST(n_grams AS DOUBLE)),
+                         6) AS raw_ppm,
+                   round(1000.0 * CAST(st + 1 AS DOUBLE)
+                                * CAST(R + 1 AS DOUBLE)
+                         / (CAST(sr + 1 AS DOUBLE)
+                            * CAST(T + 1 AS DOUBLE)), 6)
+                       AS lift_milli
+            FROM per_doc, totals ORDER BY doc_id
+        """
+
+
+def _x25_sql() -> str:
+    """x25 oracle: the FULL composed data-selection pipeline — the x24
+    scoring CTEs verbatim (shared literal, zero drift), the >=1000-lift
+    raw-doc keep filter, the x22 mixture machinery (availability on the
+    post-selection pool, float rates in the same op order, truncating
+    hex thresholds, md5 hash filter), and the x23 epoch key."""
+    return f"""
+        WITH sc AS ({_contrastive_sql()}),
+        keep AS (
+          SELECT d.doc_id, d.source,
+                 len(list_filter(
+                     regexp_split_to_array(trim(d.text), '\\s+'),
+                     t -> t <> '')) AS n_tokens,
+                 substring(
+                     md5(':' || d.source || ':' || d.doc_id), 1, 8) AS h,
+                 sc.lift_milli
+          FROM documents d JOIN sc USING (doc_id)
+          WHERE d.source <> 'src1' AND sc.lift_milli >= 1000.0
+        ),
+        avail AS (
+          SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS toks
+          FROM keep GROUP BY source
+        ),
+        rates AS (
+          SELECT source, toks,
+                 CASE source
+                   WHEN 'src0' THEN (2.0 / 8.0)
+                   WHEN 'src2' THEN (1.0 / 8.0)
+                   WHEN 'src3' THEN (1.0 / 8.0)
+                   WHEN 'src4' THEN (4.0 / 8.0)
+                 END AS wn
+          FROM avail
+        ),
+        thr AS (
+          SELECT source,
+                 CASE WHEN wn * 1500 / toks >= 1.0 THEN 'g'
+                      ELSE printf('%08x',
+                           CAST(floor((wn * 1500 / toks)
+                                      * 4294967296.0) AS BIGINT))
+                 END AS t
+          FROM rates WHERE wn IS NOT NULL
+        )
+        SELECT k.doc_id, k.source,
+               CAST(k.n_tokens AS BIGINT) AS n_tokens,
+               k.lift_milli,
+               substring(md5(':1:' || k.doc_id), 1, 16) AS epoch_key
+        FROM keep k JOIN thr USING (source)
+        WHERE k.h < thr.t
+        ORDER BY k.doc_id
     """
 
 
@@ -5136,49 +5261,8 @@ def oracle_sql() -> dict[str, str]:
         "e10_cluster_balanced_sample": _cluster_sample_sql(),
         "e13_semantic_dedup": _semantic_dedup_sql(),
         "m14_jpeg_decode_features": _jpeg_decode_sql(),
-        "x24_contrastive_score": """
-            WITH tk AS (
-              SELECT doc_id, (source = 'src1') AS is_t,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                 x -> x <> '') AS tk
-              FROM documents
-            ),
-            toks AS (
-              SELECT doc_id, CAST(is_t AS BIGINT) AS is_t,
-                     tk[i] || chr(2) || tk[i + 1] AS g
-              FROM tk, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
-              WHERE len(tk) >= 2
-            ),
-            counts AS (
-              SELECT g, CAST(sum(is_t) AS BIGINT) AS tc,
-                     CAST(sum(1 - is_t) AS BIGINT) AS rc
-              FROM toks GROUP BY g
-            ),
-            totals AS (
-              SELECT CAST(sum(tc) AS BIGINT) AS T,
-                     CAST(sum(rc) AS BIGINT) AS R
-              FROM counts
-            ),
-            per_doc AS (
-              SELECT t.doc_id, count(*) AS n_grams,
-                     CAST(sum(c.tc) AS BIGINT) AS st,
-                     CAST(sum(c.rc) AS BIGINT) AS sr
-              FROM toks t JOIN counts c USING (g) GROUP BY t.doc_id
-            )
-            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-                   round(CAST(st AS DOUBLE) * 1000000.0
-                         / (CAST(T AS DOUBLE) * CAST(n_grams AS DOUBLE)),
-                         6) AS target_ppm,
-                   round(CAST(sr AS DOUBLE) * 1000000.0
-                         / (CAST(R AS DOUBLE) * CAST(n_grams AS DOUBLE)),
-                         6) AS raw_ppm,
-                   round(1000.0 * CAST(st + 1 AS DOUBLE)
-                                * CAST(R + 1 AS DOUBLE)
-                         / (CAST(sr + 1 AS DOUBLE)
-                            * CAST(T + 1 AS DOUBLE)), 6)
-                       AS lift_milli
-            FROM per_doc, totals ORDER BY doc_id
-        """,
+        "x25_data_selection": _x25_sql(),
+        "x24_contrastive_score": _contrastive_sql(),
         "x05_chunking": r"""
             WITH t AS (
               SELECT doc_id,

@@ -115,6 +115,7 @@ HEADLINE = [
     "x24_contrastive_score",
     "m14_jpeg_decode_features",
     "d11_incremental_substring_dedup",
+    "x25_data_selection",
 ]
 
 

@@ -998,6 +998,67 @@ def token_budget_sample(
     )
 
 
+def select_for_training(
+    df: DataFrame,
+    target_value: str,
+    weights: dict[str, float],
+    total_tokens: int,
+    lift_threshold_milli: float = 1000.0,
+    epoch: int = 1,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    salt: str = "",
+) -> DataFrame:
+    """The end-to-end data-selection pipeline the pieces exist for —
+    score, select to a budget, order for training, in one plan:
+
+    1. :func:`contrastive_score` (DSIR-shaped importance): every doc
+       scored against the target domain; the keep set is raw docs with
+       ``lift_milli >= lift_threshold_milli`` (>= 1000 = more
+       target-typical than raw-typical).
+    2. :func:`token_budget_sample` over the keep set: the mixture
+       ``weights`` share ``total_tokens`` — availability is computed on
+       the POST-SELECTION pool (the budget applies to what survived
+       selection, which is what a data-mixing run actually has).
+    3. :func:`epoch_order_key`: the reproducible training permutation
+       key attached to every kept row.
+
+    Output: (id, source, n_tokens, lift_milli, epoch_key) — the
+    manifest a training data-loader consumes. Scale shape: the score
+    subplan is persisted (it feeds both the keep-filter join and the
+    final score column — one gram pipeline, not two; release with
+    ``dedup.release_cached()``), the selection join is id-keyed, the
+    sample filter is map-side, and the epoch key is a pure expression:
+    nothing here adds a shuffle beyond x24's own."""
+    from .dedup import _persist
+
+    scores = _persist(
+        contrastive_score(
+            df, target_value, source_col, n, id_col, text_col
+        ).select(F.col(id_col).alias("_sid"), "lift_milli")
+    )
+    keep = (
+        df.filter(F.col(source_col) != F.lit(target_value))
+        .join(scores, F.col(id_col) == F.col("_sid"))
+        .filter(F.col("lift_milli") >= F.lit(float(lift_threshold_milli)))
+    )
+    sampled = token_budget_sample(
+        keep, weights, total_tokens, source_col, text_col, id_col, salt
+    )
+    return (
+        sampled.join(scores, F.col(id_col) == F.col("_sid"))
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "lift_milli",
+            epoch_order_key(epoch, id_col, salt).alias("epoch_key"),
+        )
+    )
+
+
 def _apply_merge(col: Column, left: str, right: str) -> Column:
     """Apply ONE learned BPE merge to a symbol array — greedy leftmost
     non-overlapping, exactly the reference algorithm's replace semantics —

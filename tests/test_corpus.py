@@ -430,3 +430,36 @@ def test_new_text_operator_plan_shapes(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_select_for_training_composes_score_budget_order(spark):
+    """The composed pipeline keeps target-like raw docs, drops raw docs
+    with no target-gram signal, never emits the target domain itself,
+    respects the mixture's source set, and stamps every kept row with
+    the reproducible epoch key."""
+    target = "legal judgment court appeal ruling judge"
+    other = "cooking recipe flour sugar butter oven"
+    rows = (
+        [(i, target, "tgt") for i in range(1, 4)]
+        + [(10 + i, "legal judgment court appeal extra", "raw") for i in range(3)]
+        + [(20 + i, other + " words", "raw") for i in range(3)]
+        + [(30, "legal judgment court appeal", "excluded_src")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = text.select_for_training(
+        df, "tgt", weights={"raw": 1.0}, total_tokens=10_000,
+        lift_threshold_milli=1000.0,
+    ).collect()
+    dedup.release_cached()
+    ids = {r["doc_id"] for r in out}
+    assert ids and ids <= {10, 11, 12}        # target-like raw docs only
+    assert all(r["source"] == "raw" for r in out)
+    assert all(r["lift_milli"] >= 1000.0 for r in out)
+    assert all(len(r["epoch_key"]) == 16 for r in out)
+    # deterministic: same call, same manifest
+    again = text.select_for_training(
+        df, "tgt", weights={"raw": 1.0}, total_tokens=10_000,
+        lift_threshold_milli=1000.0,
+    ).collect()
+    dedup.release_cached()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
