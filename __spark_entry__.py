@@ -3108,6 +3108,18 @@ def q_m13_docx_parse(spark, sf_dir):
                     f"Body paragraph {j} of case {d}."
                     for j in range(d % 5)
                 ]
+                numbered = [
+                    f"Numbered point {j} of case {d}."
+                    for j in range(d % 4)
+                ]
+                tables = (
+                    [[
+                        [f"sched {d} r{r} c{c}" for c in range(2)]
+                        for r in range(d % 3 + 1)
+                    ]]
+                    if d % 4 == 0
+                    else []
+                )
                 blobs.append(
                     bytearray(
                         build_docx(
@@ -3118,6 +3130,8 @@ def q_m13_docx_parse(spark, sf_dir):
                             images=(
                                 {"image1.png": png} if d % 3 == 0 else {}
                             ),
+                            numbered=numbered,
+                            tables=tables,
                         )
                     )
                 )
@@ -3133,6 +3147,9 @@ def q_m13_docx_parse(spark, sf_dir):
             "court",
             F.col("date").alias("doc_date"),
             "n_paragraphs",
+            "n_numbered",
+            "n_tables",
+            "n_table_cells",
             "n_images",
         )
         .orderBy("doc_id")
@@ -4376,7 +4393,14 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id % 900 + 1 AS VARCHAR) AS cite,
                    'EWCA Civ' AS court,
                    '2021-03-04' AS doc_date,
-                   CAST(2 + doc_id % 5 AS INTEGER) AS n_paragraphs,
+                   CAST(2 + doc_id % 5 + doc_id % 4 AS INTEGER)
+                       AS n_paragraphs,
+                   CAST(doc_id % 4 AS INTEGER) AS n_numbered,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_tables,
+                   CAST(CASE WHEN doc_id % 4 = 0
+                             THEN 2 * (doc_id % 3 + 1) ELSE 0 END
+                        AS INTEGER) AS n_table_cells,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
                         AS INTEGER) AS n_images
             FROM documents ORDER BY doc_id

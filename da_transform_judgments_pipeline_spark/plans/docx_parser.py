@@ -116,23 +116,50 @@ ROOT_RELS = (
 )
 
 
+NUMBERING_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<w:numbering xmlns:w="{W_NS}">'
+    '<w:abstractNum w:abstractNumId="0"><w:lvl w:ilvl="0">'
+    '<w:numFmt w:val="decimal"/><w:lvlText w:val="%1."/>'
+    "</w:lvl></w:abstractNum>"
+    '<w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>'
+    "</w:numbering>"
+)
+
+DOC_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+    '2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/numbering" '
+    'Target="numbering.xml"/>'
+    "</Relationships>"
+)
+
+
 def build_docx(
     paragraphs: list[str],
     title: str = "",
     creator: str = "",
     created: str = "1970-01-01T00:00:00Z",
     images: dict[str, bytes] | None = None,
+    numbered: list[str] | None = None,
+    tables: list[list[list[str]]] | None = None,
 ) -> bytes:
     """Assemble a minimal real .docx (ECMA-376 zip package) from
-    paragraph texts + optional embedded images, byte-deterministic
-    (pinned zip timestamps, sorted members) so fixtures are committable
-    and property tests reproducible."""
+    paragraph texts + optional NUMBERED paragraphs (``w:numPr`` with a
+    real ``word/numbering.xml`` part + document relationship — the
+    structure of a judgment's numbered points), optional TABLES
+    (``w:tbl``/``w:tr``/``w:tc`` — schedules and cost tables; each
+    table is rows of cell strings), and optional embedded images.
+    Byte-deterministic (pinned zip timestamps, sorted members) so
+    fixtures are committable and property tests reproducible."""
     w = f"{{{W_NS}}}"
     ET.register_namespace("w", W_NS)
     doc = ET.Element(f"{w}document")
     body = ET.SubElement(doc, f"{w}body")
-    for text in paragraphs:
-        p = ET.SubElement(body, f"{w}p")
+
+    def add_runs(p, text):
         # split across two runs when possible: a real Word file rarely
         # holds a paragraph in one run, and the parser must join them
         mid = len(text) // 2
@@ -147,6 +174,24 @@ def build_docx(
                 t.text = part
             if not text:
                 break
+
+    for text in paragraphs:
+        add_runs(ET.SubElement(body, f"{w}p"), text)
+    for text in numbered or []:
+        p = ET.SubElement(body, f"{w}p")
+        ppr = ET.SubElement(p, f"{w}pPr")
+        numpr = ET.SubElement(ppr, f"{w}numPr")
+        ET.SubElement(numpr, f"{w}ilvl", {f"{w}val": "0"})
+        ET.SubElement(numpr, f"{w}numId", {f"{w}val": "1"})
+        add_runs(p, text)
+    for rows in tables or []:
+        tbl = ET.SubElement(body, f"{w}tbl")
+        ET.SubElement(tbl, f"{w}tblPr")
+        for row in rows:
+            tr = ET.SubElement(tbl, f"{w}tr")
+            for cell in row:
+                tc = ET.SubElement(tr, f"{w}tc")
+                add_runs(ET.SubElement(tc, f"{w}p"), cell)
     document_xml = ET.tostring(doc, xml_declaration=True, encoding="UTF-8")
 
     core = ET.Element(f"{{{CP_NS}}}coreProperties")
@@ -165,6 +210,16 @@ def build_docx(
         ("word/document.xml", document_xml),
         ("docProps/core.xml", core_xml),
     ]
+    if numbered:
+        ct = CONTENT_TYPES.replace(
+            "</Types>",
+            '<Override PartName="/word/numbering.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.'
+            'wordprocessingml.numbering+xml"/></Types>',
+        )
+        members[0] = ("[Content_Types].xml", ct.encode())
+        members.append(("word/numbering.xml", NUMBERING_XML.encode()))
+        members.append(("word/_rels/document.xml.rels", DOC_RELS.encode()))
     for name, blob in sorted((images or {}).items()):
         members.append((f"word/media/{name}", blob))
 
@@ -211,11 +266,38 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         )
     doc_root = ET.fromstring(_read_bounded(zf, "word/document.xml"))
 
-    paragraphs: list[str] = []
-    for p in doc_root.iter(f"{{{W_NS}}}p"):
-        text = "".join(t.text or "" for t in p.iter(f"{{{W_NS}}}t"))
-        paragraphs.append(text)
-    log.append(f"extracted {len(paragraphs)} paragraphs")
+    w = f"{{{W_NS}}}"
+
+    def run_text(el) -> str:
+        return "".join(t.text or "" for t in el.iter(f"{w}t"))
+
+    # STRUCTURAL body walk (not a flat w:p iter): top-level paragraphs
+    # keep their w:numPr numbering flag, and w:tbl blocks become tables
+    # of cell texts instead of leaking their cells into the paragraph
+    # stream — real judgments carry schedules and numbered points
+    # (reference contract: the .NET parser's document model,
+    # prepare_parser_input.py:92-103).
+    paragraphs: list[tuple[str, bool]] = []  # (text, numbered)
+    tables: list[list[list[str]]] = []
+    body_el = doc_root.find(f"{w}body")
+    for child in body_el if body_el is not None else []:
+        tag = _local(child.tag)
+        if tag == "p":
+            numbered = (
+                child.find(f"{w}pPr/{w}numPr") is not None
+            )
+            paragraphs.append((run_text(child), numbered))
+        elif tag == "tbl":
+            rows = [
+                [run_text(tc) for tc in tr.findall(f"{w}tc")]
+                for tr in child.findall(f"{w}tr")
+            ]
+            tables.append(rows)
+    n_numbered = sum(1 for _, numbered in paragraphs if numbered)
+    log.append(
+        f"extracted {len(paragraphs)} paragraphs "
+        f"({n_numbered} numbered), {len(tables)} tables"
+    )
 
     title, creator, created = "", "", ""
     try:
@@ -247,7 +329,10 @@ def parse_docx(blob: bytes, reference: str) -> dict:
             images[base] = _read_bounded(zf, name)
     log.append(f"extracted {len(images)} embedded images")
 
-    full_text = "\n".join(paragraphs)
+    full_text = "\n".join(
+        [t for t, _ in paragraphs]
+        + [c for rows in tables for row in rows for c in row]
+    )
     m = CITE_RE.search(full_text)
     if m:
         cite = m.group(0)
@@ -292,10 +377,23 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         cite_el = ET.SubElement(proprietary, f"{akn}neutralCitation")
         cite_el.text = cite
     body = ET.SubElement(judgment, f"{akn}judgmentBody")
-    for i, text in enumerate(paragraphs, start=1):
+    num_no = 0
+    for i, (text, numbered) in enumerate(paragraphs, start=1):
         para = ET.SubElement(body, f"{akn}paragraph", eId=f"para_{i}")
+        if numbered:
+            num_no += 1
+            num_el = ET.SubElement(para, f"{akn}num")
+            num_el.text = f"{num_no}."
         p_el = ET.SubElement(para, f"{akn}p")
         p_el.text = text
+    for j, rows in enumerate(tables, start=1):
+        tbl_el = ET.SubElement(body, f"{akn}table", eId=f"table_{j}")
+        for row in rows:
+            tr_el = ET.SubElement(tbl_el, f"{akn}tr")
+            for cell in row:
+                td_el = ET.SubElement(tr_el, f"{akn}td")
+                cp = ET.SubElement(td_el, f"{akn}p")
+                cp.text = cell
     xml_str = ET.tostring(
         root, xml_declaration=True, encoding="unicode"
     )
@@ -305,6 +403,8 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         "metadata": metadata,
         "images": images,
         "log": log,
+        "tables": tables,
+        "n_numbered": n_numbered,
     }
 
 

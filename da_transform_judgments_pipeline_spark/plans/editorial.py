@@ -220,7 +220,8 @@ def subprocess_parser(
 
 PARSED_DOC_SCHEMA = (
     "doc_id long, xml string, name string, cite string, court string,"
-    " date string, n_paragraphs int, n_images int"
+    " date string, n_paragraphs int, n_numbered int, n_tables int,"
+    " n_table_cells int, n_images int"
 )
 
 
@@ -262,7 +263,8 @@ def parse_documents(
 
     cols = [
         "doc_id", "xml", "name", "cite", "court", "date",
-        "n_paragraphs", "n_images",
+        "n_paragraphs", "n_numbered", "n_tables", "n_table_cells",
+        "n_images",
     ] + (["error"] if report else [])
 
     def run(batches):
@@ -284,6 +286,11 @@ def parse_documents(
                         "court": m["court"],
                         "date": m["date"],
                         "n_paragraphs": r["xml"].count("<paragraph "),
+                        "n_numbered": r["n_numbered"],
+                        "n_tables": len(r["tables"]),
+                        "n_table_cells": sum(
+                            len(row) for rows in r["tables"] for row in rows
+                        ),
                         "n_images": len(r["images"]),
                     }
                     if report:
