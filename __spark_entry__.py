@@ -3132,6 +3132,11 @@ def q_m13_docx_parse(spark, sf_dir):
                             ),
                             numbered=numbered,
                             tables=tables,
+                            headers=(
+                                [f"Neutral Citation Case {d}"]
+                                if d % 5 == 0
+                                else None
+                            ),
                         )
                     )
                 )
@@ -3150,6 +3155,7 @@ def q_m13_docx_parse(spark, sf_dir):
             "n_numbered",
             "n_tables",
             "n_table_cells",
+            "n_headers",
             "n_images",
         )
         .orderBy("doc_id")
@@ -4401,6 +4407,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 4 = 0
                              THEN 2 * (doc_id % 3 + 1) ELSE 0 END
                         AS INTEGER) AS n_table_cells,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_headers,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
                         AS INTEGER) AS n_images
             FROM documents ORDER BY doc_id

@@ -126,15 +126,25 @@ NUMBERING_XML = (
     "</w:numbering>"
 )
 
-DOC_RELS = (
-    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-    '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
-    '2006/relationships">'
-    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
-    'officeDocument/2006/relationships/numbering" '
-    'Target="numbering.xml"/>'
-    "</Relationships>"
+_OFFICE_REL = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 )
+R_NS = _OFFICE_REL
+
+
+def _doc_rels(entries: list[tuple[str, str, str]]) -> bytes:
+    """word/_rels/document.xml.rels from (rId, relation-type-suffix,
+    target) triples."""
+    rels = "".join(
+        f'<Relationship Id="{rid}" Type="{_OFFICE_REL}/{kind}" '
+        f'Target="{target}"/>'
+        for rid, kind, target in entries
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">' + rels + "</Relationships>"
+    ).encode()
 
 
 def build_docx(
@@ -145,13 +155,17 @@ def build_docx(
     images: dict[str, bytes] | None = None,
     numbered: list[str] | None = None,
     tables: list[list[list[str]]] | None = None,
+    headers: list[str] | None = None,
 ) -> bytes:
     """Assemble a minimal real .docx (ECMA-376 zip package) from
     paragraph texts + optional NUMBERED paragraphs (``w:numPr`` with a
     real ``word/numbering.xml`` part + document relationship — the
     structure of a judgment's numbered points), optional TABLES
     (``w:tbl``/``w:tr``/``w:tc`` — schedules and cost tables; each
-    table is rows of cell strings), and optional embedded images.
+    table is rows of cell strings), optional page HEADERS (a real
+    ``word/header1.xml`` part wired through ``w:sectPr``/
+    ``w:headerReference`` + relationship — where courts put the
+    neutral-citation banner), and optional embedded images.
     Byte-deterministic (pinned zip timestamps, sorted members) so
     fixtures are committable and property tests reproducible."""
     w = f"{{{W_NS}}}"
@@ -192,6 +206,21 @@ def build_docx(
             for cell in row:
                 tc = ET.SubElement(tr, f"{w}tc")
                 add_runs(ET.SubElement(tc, f"{w}p"), cell)
+    header_xml = None
+    if headers:
+        ET.register_namespace("r", R_NS)
+        sect = ET.SubElement(body, f"{w}sectPr")
+        ET.SubElement(
+            sect,
+            f"{w}headerReference",
+            {f"{w}type": "default", f"{{{R_NS}}}id": "rIdHdr1"},
+        )
+        hdr = ET.Element(f"{w}hdr")
+        for text in headers:
+            add_runs(ET.SubElement(hdr, f"{w}p"), text)
+        header_xml = ET.tostring(
+            hdr, xml_declaration=True, encoding="UTF-8"
+        )
     document_xml = ET.tostring(doc, xml_declaration=True, encoding="UTF-8")
 
     core = ET.Element(f"{{{CP_NS}}}coreProperties")
@@ -210,16 +239,29 @@ def build_docx(
         ("word/document.xml", document_xml),
         ("docProps/core.xml", core_xml),
     ]
+    overrides = []
+    rels: list[tuple[str, str, str]] = []
     if numbered:
-        ct = CONTENT_TYPES.replace(
-            "</Types>",
+        overrides.append(
             '<Override PartName="/word/numbering.xml" ContentType='
             '"application/vnd.openxmlformats-officedocument.'
-            'wordprocessingml.numbering+xml"/></Types>',
+            'wordprocessingml.numbering+xml"/>'
         )
-        members[0] = ("[Content_Types].xml", ct.encode())
+        rels.append(("rId1", "numbering", "numbering.xml"))
         members.append(("word/numbering.xml", NUMBERING_XML.encode()))
-        members.append(("word/_rels/document.xml.rels", DOC_RELS.encode()))
+    if header_xml is not None:
+        overrides.append(
+            '<Override PartName="/word/header1.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.'
+            'wordprocessingml.header+xml"/>'
+        )
+        rels.append(("rIdHdr1", "header", "header1.xml"))
+        members.append(("word/header1.xml", header_xml))
+    if overrides:
+        ct = CONTENT_TYPES.replace("</Types>", "".join(overrides) + "</Types>")
+        members[0] = ("[Content_Types].xml", ct.encode())
+    if rels:
+        members.append(("word/_rels/document.xml.rels", _doc_rels(rels)))
     for name, blob in sorted((images or {}).items()):
         members.append((f"word/media/{name}", blob))
 
@@ -294,9 +336,16 @@ def parse_docx(blob: bytes, reference: str) -> dict:
             ]
             tables.append(rows)
     n_numbered = sum(1 for _, numbered in paragraphs if numbered)
+    headers: list[str] = []
+    for name in sorted(zf.namelist()):
+        if re.fullmatch(r"word/header\d+\.xml", name):
+            hroot = ET.fromstring(_read_bounded(zf, name))
+            for p in hroot.iter(f"{w}p"):
+                headers.append(run_text(p))
     log.append(
         f"extracted {len(paragraphs)} paragraphs "
-        f"({n_numbered} numbered), {len(tables)} tables"
+        f"({n_numbered} numbered), {len(tables)} tables, "
+        f"{len(headers)} header paragraphs"
     )
 
     title, creator, created = "", "", ""
@@ -332,6 +381,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
     full_text = "\n".join(
         [t for t, _ in paragraphs]
         + [c for rows in tables for row in rows for c in row]
+        + headers  # courts put the citation banner in the page header
     )
     m = CITE_RE.search(full_text)
     if m:
@@ -376,6 +426,13 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         proprietary = ET.SubElement(meta_el, f"{akn}proprietary")
         cite_el = ET.SubElement(proprietary, f"{akn}neutralCitation")
         cite_el.text = cite
+    if headers:
+        # AKN judgment structure: meta, header, judgmentBody — the
+        # page-header banner lands in the judgment's formal <header>
+        hdr_el = ET.SubElement(judgment, f"{akn}header")
+        for text in headers:
+            hp = ET.SubElement(hdr_el, f"{akn}p")
+            hp.text = text
     body = ET.SubElement(judgment, f"{akn}judgmentBody")
     num_no = 0
     for i, (text, numbered) in enumerate(paragraphs, start=1):
@@ -405,6 +462,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         "log": log,
         "tables": tables,
         "n_numbered": n_numbered,
+        "headers": headers,
     }
 
 

@@ -221,7 +221,7 @@ def subprocess_parser(
 PARSED_DOC_SCHEMA = (
     "doc_id long, xml string, name string, cite string, court string,"
     " date string, n_paragraphs int, n_numbered int, n_tables int,"
-    " n_table_cells int, n_images int"
+    " n_table_cells int, n_headers int, n_images int"
 )
 
 
@@ -264,7 +264,7 @@ def parse_documents(
     cols = [
         "doc_id", "xml", "name", "cite", "court", "date",
         "n_paragraphs", "n_numbered", "n_tables", "n_table_cells",
-        "n_images",
+        "n_headers", "n_images",
     ] + (["error"] if report else [])
 
     def run(batches):
@@ -291,6 +291,7 @@ def parse_documents(
                         "n_table_cells": sum(
                             len(row) for rows in r["tables"] for row in rows
                         ),
+                        "n_headers": len(r["headers"]),
                         "n_images": len(r["images"]),
                     }
                     if report:

@@ -11,7 +11,7 @@ them twice into independent stores, then times:
 
 and counts Spark jobs for each via job groups. Events are
 equivalence-checked (the pytest contract, re-asserted here on the larger
-N). Appends a summary to BATCHCHECK_r07.md.
+N). Appends a summary to BATCHCHECK_r08.md.
 
 ``--batch-only`` skips the sequential baseline (for soak N where the
 sequential loop's ~18 jobs/consignment would take tens of minutes to
@@ -228,13 +228,13 @@ def main() -> None:
             )
         print(json.dumps(results[n]))
 
-    out_path = os.path.join(REPO, "BATCHCHECK_r07.md")
+    out_path = os.path.join(REPO, "BATCHCHECK_r08.md")
     chain = "A+B+SIP" if "--sip" in sys.argv else "A+B"
     header_needed = not os.path.exists(out_path)
     with open(out_path, "a") as f:
         if header_needed:
             f.write(
-                "# Batched vs sequential intake chain (round 7)\n\n"
+                "# Batched vs sequential intake chain (round 8)\n\n"
                 "Measured on local[32]; valid consignments, 4 data files "
                 "each; independent\nstores, event-name equivalence checked "
                 "per run. The batch twin's job count\nis O(1) in N while "

@@ -600,12 +600,190 @@ def main() -> None:
         "ok": int(blown_out["kept"]) == want_kept,
     }
 
+    # ---- 10. semantic dedup: planted MEGA-CLUSTER -----------------------
+    # The degenerate corpus SemDeDup exists for: a near-dup ball that
+    # collapses into ONE cluster. Uncapped, the within-cluster pair term
+    # is |ball|² (quadratic in n — the round-7 verdict's one confirmed
+    # scale-killer); with max_cluster_size the ball's term is
+    # |ball|·n_anchors (linear). Empirics: (a) uncapped wall time ~4x
+    # when the ball doubles (quadratic), capped stays ~2x (linear);
+    # (b) the full-scale ball runs ONLY capped, with every non-min
+    # member pruned by the ball minimum — the uncapped pair count at
+    # that size is recorded as arithmetic, not executed.
+    from da_transform_judgments_pipeline_spark.operators import clustering
+
+    dim = 16
+    c0 = [10.0] + [0.0] * (dim - 1)
+    c1 = [0.0, 10.0] + [0.0] * (dim - 2)
+    ball_n = 20_000 if quick else 100_000
+    scatter_n = ball_n // 5
+    anchors = 32
+
+    def mega_corpus(nball):
+        # scatter scales WITH the ball (nball // 5) so the small-ball
+        # timing runs measure the ball's pair term, not a fixed-size
+        # scatter cluster's own self-join
+        ball = spark.range(nball).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.lit(10.0),
+                (F.col("id") % 97).cast("double") / 10000.0,
+                *[F.lit(0.0)] * (dim - 2),
+            ).alias("embedding"),
+        )
+        scatter = spark.range(nball // 5).select(
+            (F.col("id") + nball).alias("vec_id"),
+            F.array(
+                F.lit(0.0),
+                F.lit(10.0),
+                ((F.col("id") * 31) % 101).cast("double") / 10.0,
+                *[F.lit(0.0)] * (dim - 3),
+            ).alias("embedding"),
+        )
+        return ball.unionByName(scatter)
+
+    timings_mega: dict[str, float] = {}
+    for nb, mode in (
+        (ball_n // 20, "uncapped"),
+        (ball_n // 10, "uncapped"),
+        (ball_n // 20, "capped"),
+        (ball_n // 10, "capped"),
+    ):
+        corp = mega_corpus(nb)
+        kw = (
+            {}
+            if mode == "uncapped"
+            else {"max_cluster_size": 1000, "n_anchors": anchors}
+        )
+        t0 = time.perf_counter()
+        clustering.semantic_dedup(corp, [c0, c1], 0.99, **kw).filter(
+            ~F.col("kept")
+        ).count()
+        timings_mega[f"{mode}_{nb}"] = round(time.perf_counter() - t0, 2)
+    # full-scale ball, capped only
+    t0 = time.perf_counter()
+    full = clustering.semantic_dedup(
+        mega_corpus(ball_n), [c0, c1], 0.99,
+        max_cluster_size=1000, n_anchors=anchors,
+    )
+    agg = full.agg(
+        F.count("*").alias("rows"),
+        F.sum((~F.col("kept")).cast("long")).alias("pruned"),
+        F.sum(
+            ((~F.col("kept")) & (F.col("pruned_by") == 0)).cast("long")
+        ).alias("pruned_by_min"),
+    ).collect()[0]
+    mega_s = time.perf_counter() - t0
+    grow = lambda m: timings_mega[f"{m}_{ball_n // 10}"] / max(
+        timings_mega[f"{m}_{ball_n // 20}"], 0.01
+    )
+    results["e13_mega_cluster"] = {
+        "ball": ball_n,
+        "scatter": scatter_n,
+        "rows": int(agg["rows"]),
+        "pruned": int(agg["pruned"]),
+        "pruned_by_ball_min": int(agg["pruned_by_min"]),
+        "capped_pairs_ball": ball_n * anchors,
+        "uncapped_pairs_ball_arith": ball_n * (ball_n - 1) // 2,
+        "uncapped_2x_growth": round(grow("uncapped"), 2),
+        "capped_2x_growth": round(grow("capped"), 2),
+        "timings_small": timings_mega,
+        "sec_full_capped": round(mega_s, 2),
+        # every ball member except vec_id 0 pruned BY vec_id 0; capped
+        # growth must stay well under the uncapped quadratic's
+        "ok": int(agg["pruned_by_min"]) == ball_n - 1
+        and grow("capped") < grow("uncapped"),
+    }
+
+    # ---- 11. corpus-scale document parsing at ×factor --------------------
+    # m13's stage (parse_documents over real docx packages) at blow-up
+    # scale with planted corrupt members: per-doc cost must stay flat
+    # from ×10 to ×factor (no super-linear stage), error isolation must
+    # report EXACTLY the corrupt rows, and driver RSS stays bounded
+    # (Arrow batches stream; nothing corpus-sized collects).
+    import resource
+
+    from da_transform_judgments_pipeline_spark.plans.editorial import (
+        parse_documents,
+    )
+
+    def docx_corpus(n):
+        ids = spark.range(n).select(F.col("id").alias("doc_id")).repartition(
+            32
+        )
+
+        def make(batches):
+            import pandas as pd
+
+            from da_transform_judgments_pipeline_spark.plans.docx_parser import (
+                build_docx,
+            )
+
+            for pdf in batches:
+                blobs = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    if d % 1000 == 999:
+                        blobs.append(bytearray(b"corrupt not a zip"))
+                        continue
+                    blobs.append(
+                        bytearray(
+                            build_docx(
+                                [f"Case {d}", f"[{2000 + d % 30}] UKSC {d % 90 + 1}"],
+                                title=f"Case {d}",
+                                numbered=[f"point {j}" for j in range(d % 3)],
+                                tables=(
+                                    [[["a", "b"], ["c", "d"]]]
+                                    if d % 7 == 0
+                                    else []
+                                ),
+                            )
+                        )
+                    )
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "content": blobs}
+                )
+
+        return ids.mapInPandas(make, "doc_id long, content binary")
+
+    parse_t: dict[int, float] = {}
+    n_small = 1000 * (2 if quick else 10)
+    n_big = 1000 * (10 if quick else 50)
+    parse_documents(docx_corpus(500)).count()  # spin up Arrow workers
+    for n in (n_small, n_big):
+        t0 = time.perf_counter()
+        out = parse_documents(docx_corpus(n))
+        aggp = out.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("errs"),
+            F.sum(F.coalesce("n_tables", F.lit(0))).alias("tables"),
+        ).collect()[0]
+        parse_t[n] = round(time.perf_counter() - t0, 2)
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    per_doc_small = parse_t[n_small] / n_small
+    per_doc_big = parse_t[n_big] / n_big
+    results["m13_parse_blowup"] = {
+        "docs": n_big,
+        "rows": int(aggp["rows"]),
+        "error_rows": int(aggp["errs"]),
+        "expected_errors": n_big // 1000,
+        "tables_parsed": int(aggp["tables"]),
+        "sec_small": parse_t[n_small],
+        "sec_big": parse_t[n_big],
+        "ms_per_doc_small": round(per_doc_small * 1000, 3),
+        "ms_per_doc_big": round(per_doc_big * 1000, 3),
+        "driver_rss_mb": rss_mb,
+        "ok": int(aggp["rows"]) == n_big
+        and int(aggp["errs"]) == n_big // 1000
+        and per_doc_big <= per_doc_small * 1.5,
+    }
+
     print(json.dumps(results))
     ok = all(v.get("ok", True) for v in results.values())
 
-    out_name = "SKEWCHECK_quick.md" if quick else "SKEWCHECK_r07.md"
+    out_name = "SKEWCHECK_quick.md" if quick else "SKEWCHECK_r08.md"
     with open(os.path.join(REPO, out_name), "w") as f:
-        f.write("# Skew / scale blow-up validation (round 7)\n\n")
+        f.write("# Skew / scale blow-up validation (round 8)\n\n")
         f.write(
             f"Executed on local[32], factor ×{factor}, win-corpus "
             f"{n_corpus} docs, min of {RUNS} runs.\n\n```json\n"

@@ -688,3 +688,43 @@ def test_parse_documents_counts_tables_and_numbering(spark):
     assert rows[1]["n_tables"] == 1 and rows[1]["n_table_cells"] == 6
     assert rows[1]["n_paragraphs"] == 4
     assert rows[2]["n_numbered"] == 0 and rows[2]["n_tables"] == 0
+
+
+def test_docx_headers_roundtrip_and_citation_from_banner(spark):
+    """Page headers (w:sectPr/w:headerReference + a real header1.xml
+    part): header paragraphs round-trip into the AKN <header> element,
+    the citation banner in the page header drives citation extraction
+    when the body has none, and headerless documents emit no <header>."""
+    from da_transform_judgments_pipeline_spark.plans.docx_parser import (
+        build_docx,
+        parse_docx,
+    )
+    from da_transform_judgments_pipeline_spark.plans.editorial import (
+        parse_documents,
+    )
+
+    blob = build_docx(
+        ["Body with no citation at all"],
+        title="T v U",
+        headers=["IN THE HIGH COURT", "[2023] EWHC 42 (Admin)"],
+    )
+    r = parse_docx(blob, "R-1")
+    assert r["headers"] == ["IN THE HIGH COURT", "[2023] EWHC 42 (Admin)"]
+    assert r["metadata"]["cite"] == "[2023] EWHC 42 (Admin)"
+    assert r["metadata"]["court"] == "EWHC (Admin)"
+    assert "<header>" in r["xml"] and "IN THE HIGH COURT" in r["xml"]
+    # header text stays out of the body paragraph count
+    assert r["xml"].count("<paragraph ") == 1
+
+    plain = parse_docx(build_docx(["p"]), "R-2")
+    assert plain["headers"] == [] and "<header>" not in plain["xml"]
+
+    corpus = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(build_docx(["p"])))],
+        "doc_id long, content binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in parse_documents(corpus, on_error="raise").collect()
+    }
+    assert rows[1]["n_headers"] == 2 and rows[2]["n_headers"] == 0
