@@ -7,8 +7,10 @@ numpy reshape (netpbm P5/P6, Windows BMP BITMAPINFOHEADER without
 compression). PNG decodes FULLY with the standard library: the W3C spec's
 container (chunk walk + CRC-32 verify), zlib inflate of IDAT, and the
 five per-scanline filters (None/Sub/Up/Average/Paeth) — 8-bit gray /
-RGB / palette / alpha, non-interlaced. Formats that genuinely need a
-codec library (JPEG/GIF/WebP, 16-bit or Adam7 PNG) raise
+RGB / palette / alpha, non-interlaced. Baseline JPEG decodes via the
+sibling :mod:`.jpegcodec` (pure numpy: Huffman + IDCT + fixed-point
+color convert). Formats that genuinely need a codec library
+(GIF/WebP, progressive JPEG, 16-bit or Adam7 PNG) raise
 :class:`UnsupportedImageError` with the magic spelled out — a fake
 "decode" there would be dishonest. The multimodal operators
 (:func:`.multimodal.extract_features` / :func:`.multimodal.resize_images`)
