@@ -509,6 +509,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise UnsupportedImageError("JPEG: marker sync lost")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them so the real tag byte is not misread as a
+        # segment length by the generic skip below
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
         tag = blob[pos + 1]
         if tag == 0xD8:
             pos += 2
@@ -580,6 +585,16 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if sof is None:
                 raise UnsupportedImageError("JPEG: SOS before SOF")
             ns = seg[0]
+            if ns != len(sof["comps"]):
+                # T.81 allows baseline non-interleaved multi-scan (one
+                # scan per component); decoding only the first scan
+                # would silently return Y-only gray for a color image.
+                # Honest refusal instead — same stance as progressive.
+                raise UnsupportedImageError(
+                    f"JPEG: non-interleaved scan ({ns} of "
+                    f"{len(sof['comps'])} components) unsupported — "
+                    "single interleaved baseline scan only"
+                )
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]

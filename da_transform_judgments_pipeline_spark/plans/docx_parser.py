@@ -64,16 +64,33 @@ class DocxBombError(ValueError):
     executable, then to a per-row error report by subprocess_parser."""
 
 
-def _read_bounded(zf: "zipfile.ZipFile", name: str) -> bytes:
+def _read_bounded(
+    zf: "zipfile.ZipFile", name: str, budget: list | None = None
+) -> bytes:
     """zf.read with an actual-bytes cap: reads at most
     DOCX_MAX_MEMBER_BYTES + 1 decompressed bytes and raises rather than
-    materializing a member whose header under-declared its size."""
+    materializing a member whose header under-declared its size.
+
+    ``budget`` is a one-element list holding the cumulative ACTUAL
+    decompressed bytes read so far across the whole package; when the
+    running total would exceed DOCX_MAX_TOTAL_BYTES this raises. The
+    declared-size total check in parse_docx is advisory only — many
+    members each under-declaring would pass it while their real
+    inflated sizes sum past the bound, so the cumulative check must be
+    on actual bytes."""
     with zf.open(name) as fh:
         data = fh.read(DOCX_MAX_MEMBER_BYTES + 1)
         if len(data) > DOCX_MAX_MEMBER_BYTES:
             raise DocxBombError(
                 f"zip member {name!r} produced more than "
                 f"{DOCX_MAX_MEMBER_BYTES} decompressed bytes"
+            )
+    if budget is not None:
+        budget[0] += len(data)
+        if budget[0] > DOCX_MAX_TOTAL_BYTES:
+            raise DocxBombError(
+                f"zip produced more than {DOCX_MAX_TOTAL_BYTES} total "
+                f"decompressed bytes (at member {name!r})"
             )
     return data
 
@@ -306,7 +323,10 @@ def parse_docx(blob: bytes, reference: str) -> dict:
             f"zip declares {total} total decompressed bytes "
             f"(> {DOCX_MAX_TOTAL_BYTES})"
         )
-    doc_root = ET.fromstring(_read_bounded(zf, "word/document.xml"))
+    actual = [0]  # cumulative ACTUAL decompressed bytes across members
+    doc_root = ET.fromstring(
+        _read_bounded(zf, "word/document.xml", actual)
+    )
 
     w = f"{{{W_NS}}}"
 
@@ -339,7 +359,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
     headers: list[str] = []
     for name in sorted(zf.namelist()):
         if re.fullmatch(r"word/header\d+\.xml", name):
-            hroot = ET.fromstring(_read_bounded(zf, name))
+            hroot = ET.fromstring(_read_bounded(zf, name, actual))
             for p in hroot.iter(f"{w}p"):
                 headers.append(run_text(p))
     log.append(
@@ -350,7 +370,9 @@ def parse_docx(blob: bytes, reference: str) -> dict:
 
     title, creator, created = "", "", ""
     try:
-        core = ET.fromstring(_read_bounded(zf, "docProps/core.xml"))
+        core = ET.fromstring(
+            _read_bounded(zf, "docProps/core.xml", actual)
+        )
         for el in core:
             name = _local(el.tag)
             if name == "title":
@@ -375,7 +397,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
                     "embedded media basename collision: "
                     f"{base!r} appears more than once under word/media/"
                 )
-            images[base] = _read_bounded(zf, name)
+            images[base] = _read_bounded(zf, name, actual)
     log.append(f"extracted {len(images)} embedded images")
 
     full_text = "\n".join(

@@ -728,3 +728,40 @@ def test_docx_headers_roundtrip_and_citation_from_banner(spark):
         for r in parse_documents(corpus, on_error="raise").collect()
     }
     assert rows[1]["n_headers"] == 2 and rows[2]["n_headers"] == 0
+
+
+def test_parse_docx_cumulative_actual_bytes_bound():
+    """Members that each pass the PER-MEMBER actual-bytes cap can still
+    sum past the package bound (each header under-declares, the
+    declared-total precheck passes, but the real inflated sizes
+    accumulate): the cumulative ACTUAL budget threaded through
+    _read_bounded must trip, preventing the multi-member zip-bomb OOM
+    that escapes on_error='report' row isolation."""
+    import io
+    import zipfile
+
+    from da_transform_judgments_pipeline_spark.plans import docx_parser
+    from da_transform_judgments_pipeline_spark.plans.docx_parser import (
+        DocxBombError,
+        build_docx,
+    )
+
+    blob = build_docx(
+        ["alpha " * 50],
+        title="T",
+        images={"a.png": b"\x01" * 400, "b.png": b"\x02" * 400},
+    )
+    orig_total = docx_parser.DOCX_MAX_TOTAL_BYTES
+    try:
+        # each member is under the (untouched) per-member cap; reading
+        # them back-to-back against one budget must raise at the member
+        # that pushes the running ACTUAL total past the package bound
+        docx_parser.DOCX_MAX_TOTAL_BYTES = 500
+        budget = [0]
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            with pytest.raises(DocxBombError, match="total decompressed"):
+                for name in sorted(zf.namelist()):
+                    docx_parser._read_bounded(zf, name, budget)
+        assert budget[0] > 500  # tripped ON the cumulative check
+    finally:
+        docx_parser.DOCX_MAX_TOTAL_BYTES = orig_total

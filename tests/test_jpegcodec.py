@@ -263,3 +263,45 @@ def test_png_jpeg_proximity_on_block_images():
         gap = int(np.abs(jpg.astype(int) - png.astype(int)).max())
         worst = max(worst, gap)
     assert worst <= 16, worst
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes preceding a
+    marker; some encoders/muxers emit them. The marker walk must skip
+    them rather than misreading the real tag byte as a segment length
+    (which desyncs the walk and raises a spurious refusal on a fully
+    valid baseline file)."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (8, 16, 3)).astype(np.uint8)
+    blob = J.encode_jpeg_baseline(arr)
+    baseline = J.decode_jpeg(blob)
+    # insert fill bytes before the first post-SOI marker and before SOS
+    padded = blob[:2] + b"\xff\xff\xff" + blob[2:]
+    sos_at = padded.find(b"\xff\xda")
+    padded = padded[:sos_at] + b"\xff" + padded[sos_at:]
+    assert (J.decode_jpeg(padded) == baseline).all()
+
+
+def test_non_interleaved_multi_scan_refused_not_grayscaled():
+    """A legal baseline file whose 3 components come as SEPARATE scans
+    (T.81 non-interleaved) must raise a typed refusal — decoding only
+    the first SOS would silently return the luma plane replicated as
+    gray RGB, i.e. wrong pixels reported as success."""
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    blob = J.encode_jpeg_baseline(arr)
+    sos_at = blob.find(b"\xff\xda")
+    seg_len = int.from_bytes(blob[sos_at + 2:sos_at + 4], "big")
+    assert seg_len == 12  # ns=3: 2 len + 1 ns + 3 pairs + Ss/Se/AhAl
+    seg = blob[sos_at + 4:sos_at + 2 + seg_len]
+    # rewrite the SOS header to claim a single-component scan
+    one_comp = (
+        blob[:sos_at + 2]
+        + (8).to_bytes(2, "big")      # new len: 2 + 1 + 1 pair + 3
+        + bytes([1])                  # ns = 1
+        + seg[1:3]                    # first (cid, tables) pair
+        + seg[-3:]                    # Ss, Se, AhAl
+        + blob[sos_at + 2 + seg_len:]
+    )
+    with pytest.raises(UnsupportedImageError, match="non-interleaved"):
+        J.decode_jpeg(one_comp)
