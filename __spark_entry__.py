@@ -1563,6 +1563,33 @@ def q_x25_data_selection(spark, sf_dir):
     return out
 
 
+def q_x26_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail bucketing (text.perplexity_buckets,
+    Wenzek et al. 2020 §4.3): every document scored with the integer-
+    exact unigram LM (the x17 scorer — ln()-free, so bucket boundaries
+    are bit-identical across engines), then NTILE(3) per source group
+    on (score DESC, doc_id). DuckDB recomputes the scorer AND the
+    windowed tiling; NTILE's extra-rows-to-early-buckets rule is the
+    same in both engines."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.perplexity_buckets(docs, vocab_size=500).orderBy("doc_id")
+
+
+def q_x27_line_repetition(spark, sf_dir):
+    """Gopher duplicate-line repetition signal (text.
+    line_repetition_stats, Rae et al. 2021 Table A1 — the line half;
+    repetition_stats is the n-gram half): documents split into 2-token
+    lines (the line_dedup line notion — short lines make intra-doc
+    duplicates actually occur on this corpus), per doc the duplicate-
+    line fraction and duplicate-line CHAR fraction over all
+    occurrences. DuckDB recomputes lines, per-line counts, and both
+    ratios."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.line_repetition_stats(docs, line_tokens=2).orderBy(
+        "doc_id"
+    )
+
+
 def q_e13_semantic_dedup(spark, sf_dir):
     """Semantic dedup (clustering.semantic_dedup — SemDeDup's
     cluster-then-prune shape): k-means k=8 (bit-exact reproducible mode,
@@ -3352,10 +3379,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ownership index, the d06 lifecycle for ExactSubstr), and x25
     # (data-selection pipeline — contrastive score → token-budget
     # select → epoch order, the x24/x22/x23 composition recomputed
-    # end-to-end by DuckDB) are NEW and lead the window. Displaced past
-    # the cap: d07/e01/e05 (multi-green, unchanged this round; e05's
+    # end-to-end by DuckDB) are NEW and lead the window, joined by x26
+    # (CCNet perplexity bucketing — the x17 scorer + per-source NTILE,
+    # both recomputed by DuckDB) and x27 (Gopher duplicate-line
+    # fraction + duplicate-line char fraction — the line half of the
+    # repetition suite). Displaced past the cap: d07/e01/e05 and then
+    # d05/d06 for x26/x27 (all multi-green, unchanged this round; e05's
     # machinery stays pinned by e05b's measured candidate fraction and
-    # e01's by the e02 family). Changed-this-round queries already
+    # e01's by the e02 family, d05/d06's by the d10/d11 dedup rows and
+    # the d06 lifecycle pytests). Changed-this-round queries already
     # in-window: e13 (cluster-size cap — capped path now the recorded
     # regime), d10 (persisted token stage), x24 (double-cast factors +
     # degenerate guard), m13 (zip-bomb bounds + basename collision
@@ -3436,6 +3468,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
     "x25_data_selection": q_x25_data_selection,
+    "x26_perplexity_buckets": q_x26_perplexity_buckets,
+    "x27_line_repetition": q_x27_line_repetition,
     # (a) NEW round 6
     "b01_batch_validation": q_b01_batch_validation,
     "b02_batch_dri_metadata": q_b02_batch_dri_metadata,
@@ -5295,6 +5329,81 @@ def oracle_sql() -> dict[str, str]:
         "m14_jpeg_decode_features": _jpeg_decode_sql(),
         "x25_data_selection": _x25_sql(),
         "x24_contrastive_score": _contrastive_sql(),
+        # x26: the x17 scorer verbatim, then NTILE(3) per source on
+        # (score DESC, doc_id) — both engines give early tiles the
+        # extra rows, so bucket boundaries are value-exact
+        "x26_perplexity_buckets": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         t -> t <> '')) AS tok
+              FROM documents
+            ),
+            counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            vocab AS (
+              SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 500
+            ),
+            total AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM counts),
+            per_doc AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS sum_c
+              FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+              GROUP BY t.doc_id
+            ),
+            scored AS (
+              SELECT doc_id, n_tokens,
+                     round(CAST(sum_c AS DOUBLE) * 1000000.0
+                           / CAST(N * n_tokens AS DOUBLE),
+                           6) AS mean_prob_ppm
+              FROM per_doc, total
+            ),
+            tiled AS (
+              SELECT s.doc_id, d.source, s.n_tokens, s.mean_prob_ppm,
+                     NTILE(3) OVER (
+                       PARTITION BY d.source
+                       ORDER BY s.mean_prob_ppm DESC, s.doc_id
+                     ) AS bucket_no
+              FROM scored s JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, source, n_tokens, mean_prob_ppm, bucket_no,
+                   CASE bucket_no WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                        ELSE 'middle' END AS bucket
+            FROM tiled ORDER BY doc_id
+        """,
+        # x27: 2-token lines (the x14 line notion), per-line counts,
+        # duplicate-line fraction + duplicate-line char fraction —
+        # integer inputs, one correctly-rounded division each
+        "x27_line_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents
+            ), lines AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(0, CAST(ceil(len(tk) / 2.0) AS INT)),
+                       i -> array_to_string(tk[i*2+1 : i*2+2], ' ')
+                     )) AS line
+              FROM toks WHERE len(tk) > 0
+            ), per_line AS (
+              SELECT doc_id, line, count(*) AS cnt,
+                     length(line) AS len
+              FROM lines GROUP BY doc_id, line
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_lines,
+                   CAST(count(*) AS BIGINT) AS n_distinct_lines,
+                   round(1.0 - CAST(count(*) AS DOUBLE)
+                             / CAST(sum(cnt) AS DOUBLE),
+                         6) AS dup_line_ratio,
+                   round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * len
+                                       ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(cnt * len) AS DOUBLE),
+                         6) AS dup_line_char_ratio
+            FROM per_line GROUP BY doc_id ORDER BY doc_id
+        """,
         "x05_chunking": r"""
             WITH t AS (
               SELECT doc_id,

@@ -113,9 +113,12 @@ HEADLINE = [
     "d10_substring_dedup",
     "e13_semantic_dedup",
     "x24_contrastive_score",
+    # round 8
     "m14_jpeg_decode_features",
     "d11_incremental_substring_dedup",
     "x25_data_selection",
+    "x26_perplexity_buckets",
+    "x27_line_repetition",
 ]
 
 

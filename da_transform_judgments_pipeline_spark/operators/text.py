@@ -469,11 +469,13 @@ def contrastive_score(
         F.sum("_is_t").alias("tc"),
         F.sum(F.lit(1) - F.col("_is_t")).alias("rc"),
     )
-    # The degenerate-corpus guard is threaded THROUGH T (not a separate
-    # column) so column pruning cannot drop it: any evaluation of T —
-    # and every output column divides by T or R — trips assert_true
-    # first, raising a typed message instead of ANSI DIVIDE_BY_ZERO or
-    # silent NULLs.
+    # The degenerate-corpus guard is threaded THROUGH BOTH T and R (not
+    # a separate column) so column pruning cannot drop it: every output
+    # column divides by T or R, so whichever survives pruning still
+    # trips assert_true first, raising a typed message instead of ANSI
+    # DIVIDE_BY_ZERO or silent NULL/NaN. (Threading through T alone
+    # would let `.select("raw_ppm")` prune T — and the guard with it —
+    # while raw_ppm divides by R.)
     nonzero = F.assert_true(
         (F.col("T") > 0) & (F.col("R") > 0),
         F.lit(
@@ -486,7 +488,7 @@ def contrastive_score(
         F.sum("rc").cast("long").alias("R"),
     ).select(
         F.when(nonzero.isNull(), F.col("T")).alias("T"),
-        "R",
+        F.when(nonzero.isNull(), F.col("R")).alias("R"),
     )
     per_doc = (
         toks.join(counts, "g")
@@ -681,6 +683,140 @@ def repetition_stats(
                            / F.col("n_ngrams").cast("double"), 6)
                    ).otherwise(F.lit(0.0))
     return out.withColumn("dup_ngram_ratio", ratio).drop("_toks", "_grams")
+
+
+def line_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 8,
+) -> DataFrame:
+    """Intra-document duplicate-LINE signal — the other half of the
+    Gopher repetition suite (Rae et al. 2021 Table A1: "duplicate line
+    fraction" and "duplicate line character fraction"; the n-gram half
+    is :func:`repetition_stats`). Documents split into fixed-width
+    token lines (the :func:`line_dedup` line notion — corpus text may
+    carry no newlines); per document:
+
+      n_lines, n_distinct_lines,
+      dup_line_ratio      = 1 − distinct/total,
+      dup_line_char_ratio = chars in lines occurring >1× (ALL
+                            occurrences) / total line chars
+
+    Template/looping generations repeat whole lines; filter on either
+    ratio. Docs with no tokens drop (no lines — no signal).
+
+    Scale shape: explode to (id, line) → one (id, line) groupBy with
+    map-side partial aggregation (a duplicated line combines before the
+    shuffle — the hot-doc case shrinks, not grows), then one id-keyed
+    groupBy. Both aggregates move only counts and lengths, never the
+    reassembled text; no join, no window. The divisions are exact
+    integers in, one correctly-rounded IEEE-754 op each, so ratios are
+    bit-identical across engines."""
+    if line_tokens < 1:
+        raise ValueError(f"line_tokens must be >= 1, got {line_tokens}")
+    L = line_tokens
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("tk")
+    ).filter(F.size("tk") > 0)
+    n_lines = F.ceil(F.size("tk") / F.lit(float(L))).cast("int")
+    lines = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_no"),
+        "tk",
+    ).select(
+        "id",
+        F.array_join(
+            F.slice("tk", F.col("line_no") * L + 1, F.lit(L)), " "
+        ).alias("line"),
+    )
+    per_line = lines.groupBy("id", "line").agg(
+        F.count("*").alias("cnt"),
+        F.first(F.length("line")).alias("len"),
+    )
+    agg = per_line.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.count("*").cast("long").alias("n_distinct_lines"),
+        F.sum(F.col("cnt") * F.col("len")).cast("long").alias("_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.col("len"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("_dup_chars"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        "n_distinct_lines",
+        F.round(
+            1.0
+            - F.col("n_distinct_lines").cast("double")
+            / F.col("n_lines").cast("double"),
+            6,
+        ).alias("dup_line_ratio"),
+        F.round(
+            F.col("_dup_chars").cast("double")
+            / F.col("_chars").cast("double"),
+            6,
+        ).alias("dup_line_char_ratio"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n_buckets: int = 3,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
+    each document with a cheap LM, split each group — CCNet uses the
+    language, here ``group_col`` — into equal head/middle/tail thirds
+    by score; training mixes then sample by bucket). The scorer is
+    :func:`unigram_lm_score` (integer-exact, ln()-free, so bucket
+    boundaries are bit-identical across engines); HEAD is the
+    highest-probability (lowest-perplexity) third.
+
+    Output: (id, group, n_tokens, mean_prob_ppm, bucket_no, bucket)
+    where bucket_no is the 1-based NTILE and bucket ∈ head/middle/tail
+    (NULL for n_buckets ≠ 3 beyond the ends' names). Token-less docs
+    drop (no score — CCNet drops them too). Ordering inside a group is
+    (mean_prob_ppm DESC, id) — fully deterministic.
+
+    Scale shape: the scorer's plan (one wordcount shuffle, broadcast
+    vocabulary, one per-doc aggregation), a broadcast join back to the
+    (id, group) pairs, then ONE window sort per group — NTILE is a
+    streaming window (no frame buffering), so the cost is a shuffle on
+    ``group_col`` plus a per-partition sort. A group is a language or
+    domain — thousands of groups, so the sort parallelizes; a single
+    giant group degrades to a single-partition sort, which is the
+    operator's honest lower bound (global ranks need a global order —
+    CCNet itself sorts per language)."""
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    scored = unigram_lm_score(
+        df, id_col=id_col, text_col=text_col, vocab_size=vocab_size
+    ).select(id_col, "n_tokens", "mean_prob_ppm")
+    groups = df.select(F.col(id_col), F.col(group_col))
+    joined = scored.join(groups, id_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("mean_prob_ppm"), F.col(id_col))
+    )
+    out = joined.withColumn(
+        "bucket_no", F.ntile(n_buckets).over(w).cast("long")
+    )
+    name = (
+        F.when(F.col("bucket_no") == 1, "head")
+        .when(F.col("bucket_no") == n_buckets, "tail")
+        .when(F.lit(n_buckets) == 3, "middle")
+    )
+    return out.select(
+        id_col, group_col, "n_tokens", "mean_prob_ppm",
+        "bucket_no", name.alias("bucket"),
+    )
 
 
 def quality_filter(

@@ -1241,3 +1241,92 @@ def test_incremental_substring_dedup_within_batch_first_kept(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ss_idx_testwb")
         dedup.release_cached()
+
+
+def test_contrastive_score_guard_survives_column_pruning(spark):
+    """The degenerate-corpus guard is threaded through BOTH totals:
+    selecting only raw_ppm (divides by R) on an all-target corpus, or
+    only target_ppm (divides by T) on an all-raw corpus, must still
+    raise — Catalyst prunes the unused total, and a guard attached to
+    only one of them would vanish with it, yielding silent NaN."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "tgt"), (2, "delta eps zeta", "tgt")],
+        ["doc_id", "text", "source"],
+    )
+    with pytest.raises(Exception, match="degenerate corpus"):
+        t.contrastive_score(docs, "tgt").select(
+            "doc_id", "raw_ppm"
+        ).collect()
+    all_raw = docs.withColumn("source", F.lit("raw"))
+    with pytest.raises(Exception, match="degenerate corpus"):
+        t.contrastive_score(all_raw, "tgt").select(
+            "doc_id", "target_ppm"
+        ).collect()
+
+
+def test_line_repetition_stats_closed_form(spark):
+    """Handcrafted duplicate-line docs: ratios match hand-computed
+    values; a doc with no duplicated lines scores 0; token-less docs
+    drop."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c d"),   # lines: "a b","a b","c d"
+            (2, "x y z w"),       # lines: "x y","z w" — no dups
+            (3, "   "),           # token-less → drops
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in t.line_repetition_stats(docs, line_tokens=2).collect()
+    }
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert r1["n_lines"] == 3 and r1["n_distinct_lines"] == 2
+    assert r1["dup_line_ratio"] == round(1 - 2 / 3, 6)
+    # "a b" twice: 2*3 chars duplicated of 9 total line chars
+    assert r1["dup_line_char_ratio"] == round(6 / 9, 6)
+    r2 = rows[2]
+    assert r2["dup_line_ratio"] == 0.0
+    assert r2["dup_line_char_ratio"] == 0.0
+    with pytest.raises(ValueError, match="line_tokens"):
+        t.line_repetition_stats(docs, line_tokens=0)
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark):
+    """CCNet bucketing invariants: within each group the tiles are
+    balanced (sizes differ by at most 1, early tiles get extras), HEAD
+    holds the highest-probability docs (every head score >= every tail
+    score inside a group), and bucket names map 1→head / n→tail."""
+    from da_transform_judgments_pipeline_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            # src A: "common common ..." ranks above OOV-ish docs
+            (i, ("common " * 5 + f"rare{i}") if i % 3 else "common " * 6,
+             "A" if i < 20 else "B")
+            for i in range(1, 35)
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = t.perplexity_buckets(docs, vocab_size=10).collect()
+    assert {r["bucket"] for r in out} == {"head", "middle", "tail"}
+    for g in ("A", "B"):
+        grp = [r for r in out if r["source"] == g]
+        sizes = [
+            sum(1 for r in grp if r["bucket_no"] == b) for b in (1, 2, 3)
+        ]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)  # extras go early
+        head = [r["mean_prob_ppm"] for r in grp if r["bucket"] == "head"]
+        tail = [r["mean_prob_ppm"] for r in grp if r["bucket"] == "tail"]
+        assert min(head) >= max(tail)
+    with pytest.raises(ValueError, match="n_buckets"):
+        t.perplexity_buckets(docs, n_buckets=1)
+    # n_buckets=2: ends keep their names, no middle
+    two = t.perplexity_buckets(docs, n_buckets=2, vocab_size=10).collect()
+    assert {r["bucket"] for r in two} == {"head", "tail"}
