@@ -1,20 +1,37 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) — pure numpy + stdlib.
+"""Sequential + progressive JPEG (ITU-T T.81 / ISO 10918-1) — pure
+numpy + stdlib.
 
 The reference pipeline's own corpus is PNG (its parser emits PNGs), but a
-real 100 TB multimodal corpus is mostly JPEG, so this closes the engine's
-highest-value decode refusal. Everything here is public spec:
+real 100 TB multimodal corpus is mostly JPEG — including ~10% progressive
+streams — so this closes the engine's highest-value decode refusals.
+Everything here is public spec:
 
-- :func:`decode_jpeg` is a GENERAL baseline decoder: marker walk (SOI /
-  APPn / COM / DQT / SOF0-1 / DHT / DRI / SOS / RSTn / EOI), canonical
-  Huffman decode with byte-unstuffing, DC differential prediction with
-  restart-interval resets, dequantize + dezigzag, float64 separable IDCT
-  with pinned round-half-up, sampling-factor upsampling (4:4:4 / 4:2:2 /
-  4:2:0 by pixel replication), and libjpeg-style FIXED-POINT integer
-  YCbCr→RGB (jdcolor.c's public 16-bit constants) so the color stage is
-  integer-exact and therefore SQL-expressible. Progressive (SOF2),
-  arithmetic coding, 12-bit precision, and >2 sampling factors raise
-  typed ``UnsupportedImageError``-family errors — honest refusals, never
-  garbage pixels.
+- :func:`decode_jpeg` is a GENERAL decoder for sequential (SOF0/SOF1)
+  AND progressive (SOF2) streams: marker walk (SOI / APPn / COM / DQT /
+  SOF / DHT / DRI / SOS / RSTn / EOI), canonical Huffman decode with
+  byte-unstuffing, multi-scan architecture (every scan decodes into
+  per-component quantized-coefficient buffers; pixels render once at
+  EOI), DC differential prediction with restart-interval resets,
+  progressive spectral selection + successive approximation (T.81 §G:
+  EOB run-length coding, AC refinement correction bits), vectorized
+  dequantize + dezigzag + einsum IDCT with pinned round-half-up,
+  sampling-factor upsampling (4:4:4 / 4:2:2 / 4:2:0 by pixel
+  replication), and libjpeg-style FIXED-POINT integer YCbCr→RGB
+  (jdcolor.c's public 16-bit constants) so the color stage is
+  integer-exact and therefore SQL-expressible. Arithmetic coding,
+  lossless/hierarchical SOFs, 12-bit precision, >2 sampling factors,
+  and incomplete scan sets raise typed ``UnsupportedImageError``-family
+  errors — honest refusals, never garbage pixels.
+
+- :func:`encode_jpeg_progressive` is the progressive ENCODER TWIN: the
+  same pinned color convert / DCT / quantization as the baseline twin
+  (so the coefficient arrays are identical), transmitted through a
+  pinned scan script covering every progressive path — interleaved DC
+  first pass at Al=1, per-component AC first passes with a split luma
+  band, then DC/AC refinement to Al=0 with EOBRUN + buffered correction
+  bits. Progressive transmission is a REORDERING of the same data, so
+  decoded pixels must equal the baseline stream's decode bit-for-bit —
+  the differential test that validates both directions at once.
 
 - :func:`encode_jpeg_baseline` is the deterministic ENCODER TWIN (the
   audiocodec.encode_wav / imagecodec.encode_png_filtered pattern): Annex
@@ -321,18 +338,13 @@ def _marker(tag: int, payload: bytes) -> bytes:
     )
 
 
-def encode_jpeg_baseline(
-    arr: np.ndarray, subsample: bool = False
-) -> bytes:
-    """Deterministic baseline JFIF encoder twin: (H, W, 3) uint8 RGB →
-    single-scan SOF0 bytes. 4:4:4 by default; ``subsample=True`` emits
-    4:2:0 with pinned floor((a+b+c+d+2)/4) chroma averaging. All tables
-    and every rounding rule are pinned (module docstring) so decoded
-    pixels of constant blocks are a closed-form integer function of the
-    input color."""
+def _component_planes(arr: np.ndarray, subsample: bool):
+    """Shared encoder front half: RGB → padded per-component sample
+    planes [(cid, hs, vs, tq, plane)]. 4:4:4 by default;
+    ``subsample=True`` gives 4:2:0 with pinned floor((a+b+c+d+2)/4)
+    chroma averaging."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
-        raise ValueError("encode_jpeg_baseline expects (H, W, 3) uint8")
-    h, w = arr.shape[:2]
+        raise ValueError("JPEG encoder expects (H, W, 3) uint8")
     ycc = rgb_to_ycbcr_int(arr).astype(np.int64)
     if subsample:
         y_plane = _pad_edge(ycc[..., 0], 16)
@@ -346,17 +358,29 @@ def encode_jpeg_baseline(
             crf[0::2, 0::2] + crf[0::2, 1::2] + crf[1::2, 0::2]
             + crf[1::2, 1::2] + 2
         ) // 4
-        comps = [
+        return [
             (1, 2, 2, 0, y_plane),
             (2, 1, 1, 1, cb),
             (3, 1, 1, 1, cr),
         ]
-    else:
-        comps = [
-            (1, 1, 1, 0, _pad_edge(ycc[..., 0], 8)),
-            (2, 1, 1, 1, _pad_edge(ycc[..., 1], 8)),
-            (3, 1, 1, 1, _pad_edge(ycc[..., 2], 8)),
-        ]
+    return [
+        (1, 1, 1, 0, _pad_edge(ycc[..., 0], 8)),
+        (2, 1, 1, 1, _pad_edge(ycc[..., 1], 8)),
+        (3, 1, 1, 1, _pad_edge(ycc[..., 2], 8)),
+    ]
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray, subsample: bool = False
+) -> bytes:
+    """Deterministic baseline JFIF encoder twin: (H, W, 3) uint8 RGB →
+    single-scan SOF0 bytes. 4:4:4 by default; ``subsample=True`` emits
+    4:2:0 with pinned floor((a+b+c+d+2)/4) chroma averaging. All tables
+    and every rounding rule are pinned (module docstring) so decoded
+    pixels of constant blocks are a closed-form integer function of the
+    input color."""
+    h, w = arr.shape[:2]
+    comps = _component_planes(arr, subsample)
     qtabs = [JPEG_QUANT_LUMA, JPEG_QUANT_CHROMA]
     dc_enc = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
     ac_enc = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
@@ -491,12 +515,22 @@ def _decode_huff(br: _BitReader, table) -> int:
 def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0/SOF1) JFIF/JPEG blob → (H, W, 3) uint8
-    RGB. Grayscale replicates to 3 channels. Raises
-    :class:`UnsupportedImageError` on progressive/arithmetic/12-bit
-    streams, unknown Huffman codes, truncation, or decoded sizes over
+    """Decode a sequential (SOF0/SOF1) or PROGRESSIVE (SOF2) JFIF/JPEG
+    blob → (H, W, 3) uint8 RGB. Grayscale replicates to 3 channels.
+
+    Multi-scan architecture (T.81 §E/§G): every scan decodes into
+    per-component quantized-coefficient buffers (zigzag order); pixels
+    render once at the end (vectorized dequant + IDCT). This covers
+    single-scan baseline, sequential non-interleaved multi-scan (one
+    scan per component), progressive spectral selection (DC scan +
+    per-component AC bands with EOB run-length coding), and progressive
+    successive approximation (Al-shifted first passes, then DC/AC
+    refinement scans with correction bits).
+
+    Raises :class:`UnsupportedImageError` on arithmetic/hierarchical/
+    12-bit streams, unknown Huffman codes, truncation, incomplete scan
+    sets (a component with no DC scan), or decoded sizes over
     JPEG_MAX_DECODED_BYTES — never returns garbage pixels."""
     blob = bytes(blob)
     if blob[:3] != b"\xff\xd8\xff":
@@ -504,9 +538,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     sof = None
+    coeffs: list[np.ndarray] = []
+    dc_seen: list[bool] = []
     restart_interval = 0
+    n_scans = 0
     pos = 2
-    while pos < len(blob):
+    while pos + 1 < len(blob):
         if blob[pos] != 0xFF:
             raise UnsupportedImageError("JPEG: marker sync lost")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
@@ -515,7 +552,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
             pos += 1
         tag = blob[pos + 1]
-        if tag == 0xD8:
+        if tag == 0xD8 or tag == 0x01 or 0xD0 <= tag <= 0xD7:
+            # SOI / TEM / stray RSTn: standalone markers, no length field
             pos += 2
             continue
         if tag == 0xD9:  # EOI
@@ -537,7 +575,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 q[ZIGZAG] = zz
                 qtabs[tq] = q.reshape(8, 8)
                 i += 65
-        elif tag in (0xC0, 0xC1):  # baseline / extended sequential
+        elif tag in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progr.
+            if sof is not None:
+                raise UnsupportedImageError("JPEG: multiple SOF markers")
             prec = seg[0]
             if prec != 8:
                 raise UnsupportedImageError(
@@ -563,12 +603,36 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 raise UnsupportedImageError(
                     f"JPEG: decoded size {h * w * 3} exceeds bound"
                 )
-            sof = {"h": h, "w": w, "comps": comps}
-        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # full (MCU-padded) block grid — what interleaved scans
+                # cover — and the TRUE component grid non-interleaved
+                # scans cover (T.81 A.2.2: ceil of the scaled dims)
+                c["bh"] = mcus_y * c["v"]
+                c["bw"] = mcus_x * c["h"]
+                cw = -(-(w * c["h"]) // hmax)
+                ch = -(-(h * c["v"]) // vmax)
+                c["nb_x"] = -(-cw // 8)
+                c["nb_y"] = -(-ch // 8)
+            sof = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": tag == 0xC2,
+                "hmax": hmax, "vmax": vmax,
+                "mcus_x": mcus_x, "mcus_y": mcus_y,
+            }
+            coeffs = [
+                np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
+                for c in comps
+            ]
+            dc_seen = [False] * ncomp
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                      0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
-                f"JPEG: SOF 0x{tag:02X} (progressive/arithmetic/"
-                "hierarchical) unsupported — baseline only"
+                f"JPEG: SOF 0x{tag:02X} (lossless/arithmetic/"
+                "hierarchical) unsupported"
             )
         elif tag == 0xC4:  # DHT
             i = 0
@@ -585,103 +649,287 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if sof is None:
                 raise UnsupportedImageError("JPEG: SOS before SOF")
             ns = seg[0]
-            if ns != len(sof["comps"]):
-                # T.81 allows baseline non-interleaved multi-scan (one
-                # scan per component); decoding only the first scan
-                # would silently return Y-only gray for a color image.
-                # Honest refusal instead — same stance as progressive.
+            if not 1 <= ns <= len(sof["comps"]):
                 raise UnsupportedImageError(
-                    f"JPEG: non-interleaved scan ({ns} of "
-                    f"{len(sof['comps'])} components) unsupported — "
-                    "single interleaved baseline scan only"
+                    f"JPEG: scan with {ns} components"
                 )
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(
-                    x for x in sof["comps"] if x["id"] == cid
-                )
-                scan.append((comp, tt >> 4, tt & 0x0F))
-            data_start = pos + 2 + seg_len
-            return _decode_scan(
-                blob, data_start, sof, scan, qtabs, htabs,
-                restart_interval,
-            )
-        # APPn / COM / others: skip
-        pos += 2 + seg_len
-    raise UnsupportedImageError("JPEG: no scan data found")
-
-
-def _decode_scan(
-    blob, start, sof, scan, qtabs, htabs, restart_interval
-) -> np.ndarray:
-    h, w = sof["h"], sof["w"]
-    comps = [c for c, _, _ in scan]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
-                 dtype=np.float64)
-        for c in comps
-    ]
-    br = _BitReader(blob, start)
-    prev_dc = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                br.restart()
-                prev_dc = [0] * len(comps)
-            for ci, (comp, td, ta) in enumerate(scan):
-                try:
-                    dc_tab = htabs[(0, td)]
-                    ac_tab = htabs[(1, ta)]
-                    q = qtabs[comp["tq"]]
-                except KeyError as ex:
+                hit = [
+                    (i, x) for i, x in enumerate(sof["comps"])
+                    if x["id"] == cid
+                ]
+                if not hit:
                     raise UnsupportedImageError(
-                        f"JPEG: missing table {ex}"
-                    ) from None
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _decode_huff(br, dc_tab)
-                        diff = _extend(br.receive(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise UnsupportedImageError(
-                                    "JPEG: AC index overrun"
-                                )
-                            zz[k] = _extend(br.receive(s), s)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.int64)
-                        coef[ZIGZAG] = zz
-                        F = (coef.reshape(8, 8) * q).astype(np.float64)
-                        block = _C.T @ F @ _C
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
-            mcu_count += 1
+                        f"JPEG: scan references unknown component {cid}"
+                    )
+                ci, comp = hit[0]
+                scan.append((ci, comp, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if not sof["progressive"] and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise UnsupportedImageError(
+                    "JPEG: sequential scan with progressive parameters"
+                )
+            pos = _decode_scan_coeffs(
+                blob, pos + 2 + seg_len, sof, scan, htabs,
+                restart_interval, coeffs, ss, se, ah, al, dc_seen,
+            )
+            n_scans += 1
+            continue
+        # APPn / COM / DNL / others: skip
+        pos += 2 + seg_len
+    if sof is None or n_scans == 0:
+        raise UnsupportedImageError("JPEG: no scan data found")
+    missing = [
+        c["id"] for c, seen in zip(sof["comps"], dc_seen) if not seen
+    ]
+    if missing:
+        raise UnsupportedImageError(
+            f"JPEG: no DC scan for component(s) {missing} — "
+            "incomplete scan set"
+        )
+    return _render_coeffs(sof, coeffs, qtabs)
+
+
+def _scan_tables(htabs, td, ta, need_dc, need_ac):
+    dc_tab = ac_tab = None
+    if need_dc:
+        dc_tab = htabs.get((0, td))
+        if dc_tab is None:
+            raise UnsupportedImageError(f"JPEG: missing DC table {td}")
+    if need_ac:
+        ac_tab = htabs.get((1, ta))
+        if ac_tab is None:
+            raise UnsupportedImageError(f"JPEG: missing AC table {ta}")
+    return dc_tab, ac_tab
+
+
+def _decode_scan_coeffs(
+    blob, start, sof, scan, htabs, restart_interval,
+    coeffs, ss, se, ah, al, dc_seen,
+):
+    """Decode ONE scan's entropy-coded segment into the coefficient
+    buffers; returns the position of the next marker after the scan.
+    Handles all five scan shapes: sequential full-band, progressive DC
+    first / DC refine (interleaved), progressive AC first / AC refine
+    (single-component, EOBRUN + correction bits — T.81 G.1.2)."""
+    progressive = sof["progressive"]
+    dc_band = ss == 0
+    if progressive:
+        if dc_band and se != 0:
+            raise UnsupportedImageError(
+                "JPEG: progressive DC scan with Se != 0"
+            )
+        if not dc_band and len(scan) != 1:
+            raise UnsupportedImageError(
+                "JPEG: progressive AC scan must be single-component"
+            )
+        if se > 63 or ss > se:
+            raise UnsupportedImageError("JPEG: bad spectral band")
+        if ah and ah != al + 1:
+            raise UnsupportedImageError(
+                "JPEG: successive approximation must refine one bit"
+            )
+    br = _BitReader(blob, start)
+
+    if len(scan) > 1:
+        def mcu_iter():
+            for my in range(sof["mcus_y"]):
+                for mx in range(sof["mcus_x"]):
+                    yield [
+                        (ci, comp, td, ta,
+                         my * comp["v"] + by, mx * comp["h"] + bx)
+                        for (ci, comp, td, ta) in scan
+                        for by in range(comp["v"])
+                        for bx in range(comp["h"])
+                    ]
+    else:
+        ci0, comp0, td0, ta0 = scan[0]
+        def mcu_iter():
+            for by in range(comp0["nb_y"]):
+                for bx in range(comp0["nb_x"]):
+                    yield [(ci0, comp0, td0, ta0, by, bx)]
+
+    tabs = {
+        ci: _scan_tables(
+            htabs, td, ta,
+            need_dc=(not progressive or (dc_band and ah == 0)),
+            need_ac=(not progressive or not dc_band),
+        )
+        for ci, comp, td, ta in scan
+    }
+    preds = {ci: 0 for ci, *_ in scan}
+    eobrun = 0
+    mcu_count = 0
+    for blocks in mcu_iter():
+        if restart_interval and mcu_count and (
+            mcu_count % restart_interval == 0
+        ):
+            br.restart()
+            preds = {ci: 0 for ci in preds}
+            eobrun = 0
+        for ci, comp, td, ta, by, bx in blocks:
+            dc_tab, ac_tab = tabs[ci]
+            zz = coeffs[ci][by, bx]
+            if not progressive:
+                s = _decode_huff(br, dc_tab)
+                diff = _extend(br.receive(s), s) if s else 0
+                preds[ci] += diff
+                blk = np.zeros(64, dtype=np.int64)
+                blk[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _decode_huff(br, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise UnsupportedImageError(
+                            "JPEG: AC index overrun"
+                        )
+                    blk[k] = _extend(br.receive(s), s)
+                    k += 1
+                coeffs[ci][by, bx] = blk
+                dc_seen[ci] = True
+            elif dc_band and ah == 0:  # DC first
+                s = _decode_huff(br, dc_tab)
+                diff = _extend(br.receive(s), s) if s else 0
+                preds[ci] += diff
+                zz[0] = preds[ci] << al
+                dc_seen[ci] = True
+            elif dc_band:  # DC refine: one raw bit per block
+                if br.read_bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+            elif ah == 0:  # AC first
+                eobrun = _ac_first_block(br, zz, ac_tab, ss, se, al,
+                                         eobrun)
+            else:  # AC refine
+                eobrun = _ac_refine_block(br, zz, ac_tab, ss, se, al,
+                                          eobrun)
+        mcu_count += 1
+
+    # entropy data done; find the next marker (skip stuffing and RSTn)
+    p = br.pos
+    while p + 1 < len(blob):
+        if (
+            blob[p] == 0xFF
+            and blob[p + 1] != 0x00
+            and not (0xD0 <= blob[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return len(blob)
+
+
+def _ac_first_block(br, zz, ac_tab, ss, se, al, eobrun):
+    """Progressive AC first pass for one block (T.81 G.1.2.2): values
+    arrive Al-shifted; EOBn codes (s=0, r<15) start a run of
+    (1<<r)+bits end-of-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise UnsupportedImageError("JPEG: AC band overrun")
+        zz[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, zz, ac_tab, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as ±(1<<Al) (s must be 1); every
+    already-nonzero coefficient traversed costs one correction bit
+    (two's-complement test against the Al bit — Python ints share C's
+    semantics here); EOBn covers the rest of this block plus following
+    whole blocks, correction bits still consumed during traversal."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # ZRL: skip 16 zero-history slots (val stays 0)
+            else:
+                if s != 1:
+                    raise UnsupportedImageError(
+                        "JPEG: refinement magnitude must be 1"
+                    )
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0:
+                if br.read_bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _render_coeffs(sof, coeffs, qtabs) -> np.ndarray:
+    """Coefficient buffers → pixels: vectorized dezigzag, dequantize,
+    einsum IDCT over all blocks at once, pinned round-half-up,
+    replication upsampling, fixed-point color convert."""
+    h, w = sof["h"], sof["w"]
+    comps = sof["comps"]
+    hmax, vmax = sof["hmax"], sof["vmax"]
+    planes = []
+    for comp, cf in zip(comps, coeffs):
+        q = qtabs.get(comp["tq"])
+        if q is None:
+            raise UnsupportedImageError(
+                f"JPEG: missing quant table {comp['tq']}"
+            )
+        nat = np.zeros_like(cf)
+        nat[:, :, ZIGZAG] = cf
+        by, bx = cf.shape[:2]
+        deq = nat.reshape(by, bx, 8, 8).astype(np.float64) * q
+        blk = np.einsum("ij,abjk,kl->abil", _C.T, deq, _C)
+        planes.append(blk.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
     # pinned round-half-up after level shift, then clamp
     pix = [
-        np.clip(np.floor(p + 128.0 + 0.5), 0, 255).astype(np.int64)
+        np.clip(np.floor(p + 128.5), 0, 255).astype(np.int64)
         for p in planes
     ]
-    # upsample by replication to full MCU-grid resolution, crop to (h, w)
     full = []
     for c, p in zip(comps, pix):
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -690,5 +938,268 @@ def _decode_scan(
     if len(full) == 1:
         g = full[0].astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
-    ycc = np.stack(full, axis=-1)
-    return ycbcr_to_rgb_fixed(ycc)
+    return ycbcr_to_rgb_fixed(np.stack(full, axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder twin
+# ---------------------------------------------------------------------------
+
+
+def _flat_table(symbols):
+    """All-same-length canonical Huffman table over ``symbols`` — valid
+    (n codes of length L is canonical whenever n <= 2^L - 1),
+    deliberately uncompressed: the progressive twin optimizes for
+    decoder-path coverage (it needs EOBn symbols Annex K tables lack),
+    not for size."""
+    syms = list(symbols)
+    length = max(2, (len(syms) + 1).bit_length())
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return bits, syms
+
+
+_PROG_DC = _flat_table(range(12))
+# EOBn (r<15, s=0), ZRL, and (r, s=1..10): everything the progressive
+# scan types can emit
+_PROG_AC = _flat_table(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: wraps _BitWriter with
+    the EOBRUN accumulator and the buffered-correction-bit (BE) queue
+    that EOB codes carry (T.81 G.1.2.3 / figure G.7 semantics)."""
+
+    def __init__(self, dc_codes, ac_codes) -> None:
+        self.bw = _BitWriter()
+        self.dc = dc_codes
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.be: list[int] = []
+
+    def sym_ac(self, rs: int) -> None:
+        code, ln = self.ac[rs]
+        self.bw.write(code, ln)
+
+    def bits(self, bits: list[int]) -> None:
+        for b in bits:
+            self.bw.write(b, 1)
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            rr = self.eobrun.bit_length() - 1
+            self.sym_ac(rr << 4)
+            if rr:
+                self.bw.write(self.eobrun - (1 << rr), rr)
+            self.bits(self.be)
+            self.be = []
+            self.eobrun = 0
+
+    def finish(self) -> bytes:
+        self.flush_eob()
+        self.bw.flush()
+        return bytes(self.bw.out)
+
+
+def _emit_dc_diff(w: _ProgScanWriter, diff: int) -> None:
+    s = _ssss(diff)
+    code, ln = w.dc[s]
+    w.bw.write(code, ln)
+    if s:
+        w.bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_ac_first(w: _ProgScanWriter, zz, ss, se, al) -> None:
+    """One block of an AC first pass: Al-shifted magnitudes (truncation
+    toward zero), run-length + EOBRUN accumulation."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        vals.append(a if v >= 0 else -a)
+    if not any(vals):
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.flush_eob()
+        return
+    w.flush_eob()
+    r = 0
+    for v in vals:
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            w.sym_ac(0xF0)
+            r -= 16
+        s = _ssss(v)
+        w.sym_ac((r << 4) | s)
+        w.bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r:
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.flush_eob()
+
+
+def _emit_ac_refine(w: _ProgScanWriter, zz, ss, se, al) -> None:
+    """One block of an AC refinement pass: newly-nonzero coefficients
+    (|v|>>Al == 1) as RS codes with s=1 + a sign bit; already-nonzero
+    coefficients contribute one correction bit each, buffered and
+    emitted with the NEXT RS/ZRL/EOB code (stream order must match the
+    decoder's traversal — see _ac_refine_block)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_pos = -1  # band-relative index of the last newly-nonzero coef
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob_pos = i
+    r = 0
+    br: list[int] = []
+    for i, a in enumerate(absv):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_pos:
+            w.flush_eob()
+            w.sym_ac(0xF0)
+            r -= 16
+            w.bits(br)
+            br = []
+        if a > 1:  # history coefficient: one correction bit
+            br.append(a & 1)
+            continue
+        # newly nonzero
+        w.flush_eob()
+        w.sym_ac((r << 4) | 1)
+        w.bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        w.bits(br)
+        br = []
+        r = 0
+    if r > 0 or br:
+        w.eobrun += 1
+        w.be.extend(br)
+        if w.eobrun == 0x7FFF or len(w.be) > 900:
+            w.flush_eob()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, subsample: bool = False
+) -> bytes:
+    """Deterministic PROGRESSIVE JFIF encoder twin: (H, W, 3) uint8 RGB
+    → SOF2 bytes with a pinned scan script exercising every progressive
+    decode path — interleaved DC first pass at Al=1, per-component AC
+    first passes at Al=1 (the luma band split 1-5 / 6-63 to exercise
+    spectral selection), then DC and AC refinement passes down to Al=0.
+
+    Same pinned color convert / DCT / quantization as
+    :func:`encode_jpeg_baseline`, so the final coefficient arrays are
+    IDENTICAL — progressive transmission is a reordering, and decoded
+    pixels must equal the baseline stream's decode bit-for-bit (the
+    differential test in tests/test_jpegcodec.py)."""
+    h, w = arr.shape[:2]
+    planes = _component_planes(arr, subsample)
+    qtabs = [JPEG_QUANT_LUMA, JPEG_QUANT_CHROMA]
+
+    # quantized zigzag coefficient arrays per component (full padded
+    # grid — identical arithmetic to the baseline encoder's inner loop)
+    coeff = []
+    for cid, hs, vs, tq, plane in planes:
+        by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+        cf = np.zeros((by, bx, 64), dtype=np.int64)
+        qzz = qtabs[tq][ZIGZAG].astype(np.float64)
+        for yb in range(by):
+            for xb in range(bx):
+                block = plane[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] - 128
+                cf[yb, xb] = _quantize_rha(
+                    _fdct_block(block).reshape(64)[ZIGZAG], qzz
+                )
+        coeff.append(cf)
+
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    out = bytearray(b"\xff\xd8")
+    out += _marker(0xE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0]))
+    for tq, q in enumerate(qtabs):
+        out += _marker(0xDB, bytes([tq]) + bytes(q[ZIGZAG].tolist()))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(planes)])
+    for cid, hs, vs, tq, _ in planes:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += _marker(0xC2, bytes(sof))  # SOF2: progressive
+    for tc_th, (bits, syms) in ((0x00, _PROG_DC), (0x10, _PROG_AC)):
+        out += _marker(0xC4, bytes([tc_th]) + bytes(bits) + bytes(syms))
+    dc_codes = _canonical_codes(*_PROG_DC)
+    ac_codes = _canonical_codes(*_PROG_AC)
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        hdr = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return _marker(0xDA, bytes(hdr))
+
+    def nb_grid(ci):
+        _, hs, vs, _, _ = planes[ci]
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    # --- scan 1: interleaved DC first pass, Al=1
+    wtr = _ProgScanWriter(dc_codes, ac_codes)
+    preds = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, hs, vs, tq, _) in enumerate(planes):
+                for yb in range(vs):
+                    for xb in range(hs):
+                        v = int(
+                            coeff[ci][my * vs + yb, mx * hs + xb, 0]
+                        ) >> 1  # arithmetic shift: T.81 DC point transform
+                        _emit_dc_diff(wtr, v - preds[ci])
+                        preds[ci] = v
+    out += sos_header([p[0] for p in planes], 0, 0, 0, 1)
+    out += wtr.finish()
+
+    # --- AC first passes, Al=1 (luma band split for spectral selection)
+    ac_first_bands = [(0, 1, 5), (0, 6, 63), (1, 1, 63), (2, 1, 63)]
+    for ci, ss, se in ac_first_bands:
+        wtr = _ProgScanWriter(dc_codes, ac_codes)
+        nby, nbx = nb_grid(ci)
+        for yb in range(nby):
+            for xb in range(nbx):
+                _emit_ac_first(wtr, coeff[ci][yb, xb], ss, se, 1)
+        out += sos_header([planes[ci][0]], ss, se, 0, 1)
+        out += wtr.finish()
+
+    # --- DC refinement to Al=0 (raw bits, interleaved)
+    wtr = _ProgScanWriter(dc_codes, ac_codes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, hs, vs, tq, _) in enumerate(planes):
+                for yb in range(vs):
+                    for xb in range(hs):
+                        bit = int(
+                            coeff[ci][my * vs + yb, mx * hs + xb, 0]
+                        ) & 1
+                        wtr.bw.write(bit, 1)
+    out += sos_header([p[0] for p in planes], 0, 0, 1, 0)
+    out += wtr.finish()
+
+    # --- AC refinement to Al=0, one scan per component
+    for ci in range(len(planes)):
+        wtr = _ProgScanWriter(dc_codes, ac_codes)
+        nby, nbx = nb_grid(ci)
+        for yb in range(nby):
+            for xb in range(nbx):
+                _emit_ac_refine(wtr, coeff[ci][yb, xb], 1, 63, 0)
+        out += sos_header([planes[ci][0]], 1, 63, 1, 0)
+        out += wtr.finish()
+
+    out += b"\xff\xd9"
+    return bytes(out)

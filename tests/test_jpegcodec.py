@@ -215,7 +215,8 @@ def test_typed_refusals_and_bounds():
     rng = np.random.default_rng(1)
     arr = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
     blob = bytearray(J.encode_jpeg_baseline(arr))
-    # progressive: flip SOF0 → SOF2
+    # malformed: flipping SOF0 → SOF2 makes a progressive frame whose
+    # scan still carries sequential parameters (Ss=0, Se=63) — invalid
     sof_at = bytes(blob).find(b"\xff\xc0")
     prog = bytes(blob[:sof_at + 1]) + b"\xc2" + bytes(blob[sof_at + 2:])
     with pytest.raises(UnsupportedImageError, match="progressive"):
@@ -282,11 +283,11 @@ def test_fill_bytes_before_markers_are_skipped():
     assert (J.decode_jpeg(padded) == baseline).all()
 
 
-def test_non_interleaved_multi_scan_refused_not_grayscaled():
-    """A legal baseline file whose 3 components come as SEPARATE scans
-    (T.81 non-interleaved) must raise a typed refusal — decoding only
-    the first SOS would silently return the luma plane replicated as
-    gray RGB, i.e. wrong pixels reported as success."""
+def test_incomplete_scan_set_refused_not_grayscaled():
+    """A 3-component file carrying only ONE component's scan (a legal
+    non-interleaved scan, but an incomplete scan set) must raise a
+    typed refusal — rendering it would silently return the luma plane
+    replicated as gray RGB, i.e. wrong pixels reported as success."""
     rng = np.random.default_rng(9)
     arr = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
     blob = J.encode_jpeg_baseline(arr)
@@ -303,5 +304,95 @@ def test_non_interleaved_multi_scan_refused_not_grayscaled():
         + seg[-3:]                    # Ss, Se, AhAl
         + blob[sos_at + 2 + seg_len:]
     )
-    with pytest.raises(UnsupportedImageError, match="non-interleaved"):
+    with pytest.raises(UnsupportedImageError, match="incomplete"):
         J.decode_jpeg(one_comp)
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """The progressive differential pin: encode_jpeg_progressive uses
+    the IDENTICAL pinned color convert / DCT / quantization as the
+    baseline twin, so its coefficient arrays are the same and decoded
+    pixels must equal the baseline stream's decode bit-for-bit — any
+    error anywhere in the progressive machinery (DC point transform,
+    EOBRUN, spectral band split, AC refinement correction-bit order,
+    non-interleaved 4:2:0 block grids) desyncs the Huffman stream or
+    flips pixels."""
+    rng = np.random.default_rng(11)
+    for shape, sub in [
+        ((16, 24, 3), False),
+        ((16, 24, 3), True),
+        ((8, 8, 3), False),
+        ((13, 19, 3), False),   # non-multiple dims: edge blocks
+        ((13, 19, 3), True),    # + 4:2:0 nb-grid vs MCU-grid split
+        ((40, 56, 3), True),
+    ]:
+        arr = rng.integers(0, 256, shape).astype(np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg_baseline(arr, subsample=sub))
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(arr, subsample=sub)
+        )
+        assert (base == prog).all(), (shape, sub)
+
+
+def test_progressive_smooth_image_exercises_eobrun():
+    """A smooth gradient quantizes to long end-of-band runs: assert the
+    encoded stream contains an EOBn symbol with run > 1 (the flat-table
+    encoding makes symbols byte-inspectable is not possible post-
+    Huffman, so assert indirectly: the AC-first scans of a smooth image
+    are far smaller than those of noise — EOBRUN compression working —
+    and the decode still matches baseline bit-for-bit)."""
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = np.stack(
+        [yy * 2 + 40, xx * 2 + 30, (yy + xx) + 90], axis=-1
+    ).astype(np.uint8)
+    rng = np.random.default_rng(4)
+    noise = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    enc_smooth = J.encode_jpeg_progressive(smooth)
+    enc_noise = J.encode_jpeg_progressive(noise)
+    assert len(enc_smooth) < len(enc_noise) // 2
+    assert (
+        J.decode_jpeg(enc_smooth)
+        == J.decode_jpeg(J.encode_jpeg_baseline(smooth))
+    ).all()
+
+
+def test_progressive_scan_validation_refusals():
+    """Malformed progressive parameter combinations raise typed errors:
+    a multi-component AC scan, a DC scan with Se != 0, and a
+    refinement jumping more than one bit."""
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    blob = bytearray(J.encode_jpeg_progressive(arr))
+    # first SOS is the interleaved DC scan: 3 comps, Ss=0 Se=0 Ah=0 Al=1
+    sos = bytes(blob).find(b"\xff\xda")
+    seg_len = int.from_bytes(blob[sos + 2:sos + 4], "big")
+    assert blob[sos + 4] == 3 and blob[sos + 2 + seg_len - 3] == 0
+    # DC scan with Se != 0
+    bad = bytearray(blob)
+    bad[sos + 2 + seg_len - 2] = 5  # Se
+    with pytest.raises(UnsupportedImageError, match="DC scan"):
+        J.decode_jpeg(bytes(bad))
+    # multi-component AC scan
+    bad = bytearray(blob)
+    bad[sos + 2 + seg_len - 3] = 1  # Ss=1 with ns=3
+    bad[sos + 2 + seg_len - 2] = 63
+    with pytest.raises(UnsupportedImageError, match="single-component"):
+        J.decode_jpeg(bytes(bad))
+    # refinement must step one bit: Ah=2, Al=0
+    bad = bytearray(blob)
+    bad[sos + 2 + seg_len - 1] = 0x20
+    with pytest.raises(UnsupportedImageError, match="one bit"):
+        J.decode_jpeg(bytes(bad))
+
+
+def test_multiple_sof_markers_refused():
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    blob = J.encode_jpeg_baseline(arr)
+    sof_at = blob.find(b"\xff\xc0")
+    seg_len = int.from_bytes(blob[sof_at + 2:sof_at + 4], "big")
+    dup = (blob[:sof_at + 2 + seg_len]
+           + blob[sof_at:sof_at + 2 + seg_len]
+           + blob[sof_at + 2 + seg_len:])
+    with pytest.raises(UnsupportedImageError, match="multiple SOF"):
+        J.decode_jpeg(dup)
