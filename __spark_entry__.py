@@ -3003,23 +3003,24 @@ def q_m12_png_decode_features(spark, sf_dir):
 
 def q_m14_jpeg_decode_features(spark, sf_dir):
     """REAL lossy-compressed decode under a hash oracle: per document a
-    16x8 two-block baseline JPEG (ITU T.81 — markers, Annex K tables,
-    Huffman entropy coding, DCT) is assembled executor-side by the
-    deterministic encoder twin (jpegcodec.encode_jpeg_baseline) and
-    decoded by the general pure-numpy baseline decoder
-    (jpegcodec.decode_jpeg: marker walk, canonical Huffman with byte
-    unstuffing, DC differential prediction, dequant + dezigzag, float64
-    IDCT with pinned rounding, fixed-point YCbCr→RGB). Constant 8x8
-    blocks make the WHOLE lossy chain closed-form: the DCT of a
-    constant block is DC-only, the DC quantum is pinned to 16, so
-    decoded pixels are an exact integer function of the input color
-    (pinned color convert → round-half-away DC quantize → dequant →
-    exact DC-only IDCT → fixed-point color convert) that DuckDB
-    recomputes per doc. Feature surface = m09/m12 (means×510, stds×510,
-    luma grid×255000) over the DECODED colors. JPEG is what a real
-    100 TB multimodal corpus contains — this is the engine's first
-    lossy-format decode, hash-checked end-to-end through the entropy
-    coder and the transform, not just plumbing-checked."""
+    16x8 two-block JPEG (ITU T.81 — markers, Annex K tables, Huffman
+    entropy coding, DCT) is assembled executor-side by a deterministic
+    encoder twin — BASELINE SOF0 for even doc_ids, PROGRESSIVE SOF2
+    (spectral selection + successive approximation, EOBRUN, refinement
+    correction bits) for odd — and decoded by the general pure-numpy
+    multi-scan decoder (jpegcodec.decode_jpeg: marker walk, canonical
+    Huffman with byte unstuffing, DC differential prediction,
+    progressive scan accumulation into coefficient buffers, dequant +
+    dezigzag, float64 IDCT with pinned rounding, fixed-point
+    YCbCr→RGB). Constant 8x8 blocks make the WHOLE lossy chain
+    closed-form, and progressive transmission reorders the same pinned
+    coefficients, so decoded pixels are ONE exact integer function of
+    the input color regardless of encoder — which DuckDB recomputes per
+    doc. Feature surface = m09/m12 (means×510, stds×510, luma grid
+    ×255000) over the DECODED colors. JPEG — including its progressive
+    form, ~10% of real web corpora — is what a 100 TB multimodal corpus
+    contains; both entropy-coding regimes are hash-checked end-to-end
+    through the transform here, not just plumbing-checked."""
     from da_transform_judgments_pipeline_spark.operators import multimodal
 
     docs = (
@@ -3034,6 +3035,7 @@ def q_m14_jpeg_decode_features(spark, sf_dir):
 
         from da_transform_judgments_pipeline_spark.operators.jpegcodec import (
             encode_jpeg_baseline,
+            encode_jpeg_progressive,
         )
 
         for pdf in batches:
@@ -3045,7 +3047,18 @@ def q_m14_jpeg_decode_features(spark, sf_dir):
                 arr = np.empty((16, 8, 3), dtype=np.uint8)
                 arr[:8] = a
                 arr[8:] = b
-                blobs.append(bytearray(encode_jpeg_baseline(arr)))
+                # half the corpus baseline SOF0, half PROGRESSIVE SOF2
+                # (spectral selection + successive approximation):
+                # progressive transmission reorders the SAME pinned
+                # coefficients, so decoded pixels — and the closed-form
+                # oracle — are identical; the split puts the whole
+                # progressive decode path under the driver hash check
+                enc = (
+                    encode_jpeg_baseline
+                    if d % 2 == 0
+                    else encode_jpeg_progressive
+                )
+                blobs.append(bytearray(enc(arr)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     imgs = docs.mapInPandas(make, "doc_id long, content binary")
