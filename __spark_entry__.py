@@ -1615,6 +1615,41 @@ def q_e13_semantic_dedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_e14_incremental_semantic_dedup(spark, sf_dir):
+    """Incremental SemDeDup (clustering.semantic_dedup_incremental —
+    the e13 lifecycle twin of d06/d11): a NEW batch (vec_id % 7 == 0)
+    dedups against the already-indexed corpus (the rest) via a
+    PERSISTED (cluster, id, v, rk) table bucketed on the int cluster
+    key — the corpus side of the decision join plans with ZERO Exchange
+    (plan-asserted in pytest), and per-batch-item work is linear in its
+    cluster's index size. Semantics: a batch vector is pruned when ANY
+    corpus cluster-mate clears cosine 0.45 (corpus-first, the d11 rule)
+    or an earlier batch mate does; the capped regime (max_cluster_size
+    50 / 16 frozen anchors — the e13 parameters) gates the index side.
+    The k-means model is FIT ON THE CORPUS ONLY (production SemDeDup
+    freezes clustering at index build). DuckDB recomputes the NESTED
+    decision end-to-end: corpus-only Lloyd's fit, full-table
+    assignment, corpus ranks/sizes, both offender joins, and the min
+    across them."""
+    emb = _T(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    cents = clustering.kmeans_fit(
+        corpus, k=8, updates=1, reproducible=True
+    )
+    table = f"sem_{_minhash_index_prefix(spark, sf_dir)}"
+    if not spark.catalog.tableExists(table):
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".cache", "sem",
+            table,
+        )
+        clustering.build_semantic_index(corpus, cents, table, path=path)
+    return clustering.semantic_dedup_incremental(
+        batch, spark, table, cents, threshold=0.45,
+        max_cluster_size=50, n_anchors=16,
+    ).orderBy("vec_id")
+
+
 def q_a19_retention_cohorts(spark, sf_dir):
     """Cohort retention triangle (temporal.retention_cohorts): users
     bucketed by first-event week (fixed-width epoch intervals — integer
@@ -3394,13 +3429,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # select → epoch order, the x24/x22/x23 composition recomputed
     # end-to-end by DuckDB) are NEW and lead the window, joined by x26
     # (CCNet perplexity bucketing — the x17 scorer + per-source NTILE,
-    # both recomputed by DuckDB) and x27 (Gopher duplicate-line
-    # fraction + duplicate-line char fraction — the line half of the
-    # repetition suite). Displaced past the cap: d07/e01/e05 and then
-    # d05/d06 for x26/x27 (all multi-green, unchanged this round; e05's
-    # machinery stays pinned by e05b's measured candidate fraction and
-    # e01's by the e02 family, d05/d06's by the d10/d11 dedup rows and
-    # the d06 lifecycle pytests). Changed-this-round queries already
+    # both recomputed by DuckDB), x27 (Gopher duplicate-line fraction +
+    # duplicate-line char fraction — the line half of the repetition
+    # suite), and e14 (INCREMENTAL SemDeDup — the persisted
+    # cluster-bucketed index lifecycle, corpus-only model fit, capped
+    # corpus gating + exact batch-internal pairs, the whole nested
+    # decision recomputed by DuckDB). m14 now encodes odd doc_ids as
+    # PROGRESSIVE SOF2 (spectral selection + successive approximation)
+    # under the unchanged closed-form oracle. Displaced past the cap:
+    # d07/e01/e05 and then d04/d05/d06 for x26/x27/e14 (all multi-
+    # green, unchanged this round; e05's machinery stays pinned by
+    # e05b's measured candidate fraction and e01's by the e02 family,
+    # d04-d06's by the d10/d11 dedup rows and the d06 lifecycle
+    # pytests). Changed-this-round queries already
     # in-window: e13 (cluster-size cap — capped path now the recorded
     # regime), d10 (persisted token stage), x24 (double-cast factors +
     # degenerate guard), m13 (zip-bomb bounds + basename collision
@@ -3483,6 +3524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x25_data_selection": q_x25_data_selection,
     "x26_perplexity_buckets": q_x26_perplexity_buckets,
     "x27_line_repetition": q_x27_line_repetition,
+    "e14_incremental_semantic_dedup": q_e14_incremental_semantic_dedup,
     # (a) NEW round 6
     "b01_batch_validation": q_b01_batch_validation,
     "b02_batch_dri_metadata": q_b02_batch_dri_metadata,
@@ -3687,13 +3729,18 @@ _LANG_HITS = {
 }
 
 
-def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
+def _kmeans_sql(k: int = 8, dim: int = 64, src: str = "embeddings") -> str:
     """Recursive-free unrolled 2-iteration Lloyd's oracle mirroring
     clustering.kmeans(reproducible=True) bit-for-bit: explicit per-term
     (a-b)*(a-b) distance sums in fixed left-to-right order, id-ordered
     list_reduce folds for the centroid update (0.0+x == x exactly, so the
     engines' fold seeds agree), dense re-rank of surviving clusters, and
-    row_number (dist, cluster) argmin tiebreak."""
+    row_number (dist, cluster) argmin tiebreak.
+
+    ``src`` is the FIT population (seeds + both Lloyd's passes); the
+    final assignment always covers the full embeddings table, so a
+    model fit on a sub-population (e14's corpus wave) still labels
+    every vector."""
 
     def dist(cen_fmt: str) -> str:
         terms = []
@@ -3706,16 +3753,17 @@ def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
     d1 = dist("CAST(s.c[{i}] AS DOUBLE)")
     d2 = dist("c.cv[{i}]")
     return f"""
-        WITH seeds AS (
+        WITH fitsrc AS (SELECT vec_id, embedding FROM {src}),
+        seeds AS (
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                      AS cluster,
                  embedding AS c
-          FROM (SELECT vec_id, embedding FROM embeddings
+          FROM (SELECT vec_id, embedding FROM fitsrc
                 ORDER BY vec_id LIMIT {k})
         ),
         dist1 AS (
           SELECT e.vec_id, s.cluster, {d1} AS dist
-          FROM embeddings e CROSS JOIN seeds s
+          FROM fitsrc e CROSS JOIN seeds s
         ),
         a1 AS (
           SELECT vec_id, cluster FROM (
@@ -3729,7 +3777,7 @@ def _kmeans_sql(k: int = 8, dim: int = 64) -> str:
           SELECT a1.cluster, a1.vec_id,
                  unnest(range(1, len(e.embedding) + 1)) AS pos,
                  unnest(e.embedding) AS val
-          FROM a1 JOIN embeddings e USING (vec_id)
+          FROM a1 JOIN fitsrc e USING (vec_id)
         ),
         c1 AS (
           SELECT cluster, list(m ORDER BY pos) AS cv FROM (
@@ -3795,6 +3843,66 @@ def _semantic_dedup_sql(
                p.pruned_by
         FROM av LEFT JOIN pruned p ON av.vec_id = p.id_a
         ORDER BY av.vec_id
+    """
+
+
+def _incremental_semantic_sql(
+    k: int = 8,
+    threshold: float = 0.45,
+    max_cluster_size: int = 50,
+    n_anchors: int = 16,
+    batch_mod: int = 7,
+) -> str:
+    """e14 oracle: corpus-only Lloyd's fit (the parameterized e06
+    machinery) assigning the FULL table, then the two-wave incremental
+    decision — corpus offenders gated by the capped regime over
+    CORPUS-side ranks/sizes (the frozen index state), batch-internal
+    offenders exact and id-ordered, pruned_by = min across both."""
+    fit_src = (
+        "(SELECT vec_id, embedding FROM embeddings "
+        f"WHERE vec_id % {batch_mod} <> 0)"
+    )
+    return f"""
+        WITH base AS ({_kmeans_sql(k, src=fit_src)}),
+        av AS (
+          SELECT b.vec_id, b.cluster,
+                 CAST(e.embedding AS DOUBLE[]) AS v,
+                 (b.vec_id % {batch_mod} = 0) AS is_batch
+          FROM base b JOIN embeddings e USING (vec_id)
+        ),
+        corpus AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY vec_id) AS rk,
+                 count(*) OVER (PARTITION BY cluster) AS sz
+          FROM av WHERE NOT is_batch
+        ),
+        batch AS (SELECT * FROM av WHERE is_batch),
+        corpus_off AS (
+          SELECT a.vec_id AS id_a, min(b.vec_id) AS pruned_by
+          FROM batch a JOIN corpus b ON a.cluster = b.cluster
+          WHERE (b.sz <= {max_cluster_size} OR b.rk <= {n_anchors})
+            AND round(list_cosine_similarity(a.v, b.v), 6)
+                >= {threshold}
+          GROUP BY a.vec_id
+        ),
+        batch_off AS (
+          SELECT a.vec_id AS id_a, min(b.vec_id) AS pruned_by
+          FROM batch a JOIN batch b
+            ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                >= {threshold}
+          GROUP BY a.vec_id
+        ),
+        off AS (
+          SELECT id_a, min(pruned_by) AS pruned_by FROM (
+            SELECT * FROM corpus_off UNION ALL SELECT * FROM batch_off
+          ) GROUP BY id_a
+        )
+        SELECT b.vec_id, b.cluster, (o.pruned_by IS NULL) AS kept,
+               o.pruned_by
+        FROM batch b LEFT JOIN off o ON b.vec_id = o.id_a
+        ORDER BY b.vec_id
     """
 
 
@@ -5339,6 +5447,7 @@ def oracle_sql() -> dict[str, str]:
         "e06_kmeans": _kmeans_sql(),
         "e10_cluster_balanced_sample": _cluster_sample_sql(),
         "e13_semantic_dedup": _semantic_dedup_sql(),
+        "e14_incremental_semantic_dedup": _incremental_semantic_sql(),
         "m14_jpeg_decode_features": _jpeg_decode_sql(),
         "x25_data_selection": _x25_sql(),
         "x24_contrastive_score": _contrastive_sql(),

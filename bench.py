@@ -119,6 +119,7 @@ HEADLINE = [
     "x25_data_selection",
     "x26_perplexity_buckets",
     "x27_line_repetition",
+    "e14_incremental_semantic_dedup",
 ]
 
 

@@ -417,3 +417,187 @@ def semantic_dedup(
             "pruned_by",
         )
     )
+
+
+def build_semantic_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+    method: str = "fold",
+) -> None:
+    """Materialize the corpus's SemDeDup state once — the ingestion-time
+    half of INCREMENTAL semantic dedup (the e13 analogue of
+    text.build_substring_index / dedup.build_minhash_index): one row per
+    corpus vector, ``(cluster, id, v, rk)`` with ``rk`` the id-rank
+    within the cluster (the deterministic anchor order of
+    :func:`semantic_dedup`'s capped path), bucketed on the int cluster
+    key. Every later batch joins its cluster assignments against this
+    table with NO corpus-side Exchange; appends never change existing
+    ranks (new ids rank after old ones — enforced by
+    :func:`append_to_semantic_index`). The state holds ALL corpus
+    vectors, kept and pruned — cosine is not transitive, so a kept-only
+    index would change decisions; the full table is the honest exact
+    state, the same size class as the embedding column itself.
+    Centroids are the frozen model (kmeans_fit) — production SemDeDup
+    fixes its clustering at index build; re-fitting drifts every
+    decision."""
+    from pyspark.sql.window import Window
+
+    from .scale import write_bucketed
+
+    assigned = assign_clusters(
+        df.select(id_col, vec_col), centroids, id_col, vec_col,
+        method=method, keep_vec=True,
+    )
+    rk = F.row_number().over(Window.partitionBy("cluster").orderBy("id"))
+    write_bucketed(
+        assigned.select("cluster", "id", "v").withColumn("rk", rk),
+        table, "cluster", buckets=buckets, mode=mode, path=path,
+    )
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    spark,
+    table: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "fold",
+    max_cluster_size: int | None = None,
+    n_anchors: int = 32,
+) -> DataFrame:
+    """Semantic dedup of a NEW batch against the indexed corpus
+    (build_semantic_index) — production embedding dedup is incremental,
+    and this gives SemDeDup the same persisted-index lifecycle d06
+    gives MinHash and d11 gives ExactSubstr. A batch vector is PRUNED
+    when ANY corpus member of its cluster clears ``threshold`` (the
+    corpus saw that content first — regardless of numeric id, the d11
+    corpus-first rule) or when an EARLIER (lower-id) batch mate does;
+    ``pruned_by`` is the minimum offending id across both. Output: one
+    row per batch vector — (id, cluster, kept, pruned_by).
+
+    ``max_cluster_size``/``n_anchors`` reproduce the capped regime
+    against the index side: clusters whose CURRENT index size exceeds
+    the cap compare only against their ``rk <= n_anchors`` lowest-id
+    members (ranks are frozen at build/append, so the anchor set is
+    stable); batch-internal comparisons stay exact (a batch is bounded
+    by construction). Cluster sizes come from a groupBy on the bucketed
+    table — itself Exchange-free — broadcast back as the filter.
+
+    Scale shape: batch assignment is map-side (centroid literals — no
+    join); the index join is an equi-join on the int cluster key into
+    the table's bucketing, so the corpus side plans with ZERO Exchange
+    (plan-asserted in tests) while the small batch side shuffles into
+    the bucket layout; per-batch-item work is LINEAR in its cluster's
+    index size (or n_anchors under the cap) — the quadratic Σ|c|² term
+    exists only at index build, where semantic_dedup's cap bounds it."""
+    from .dedup import cosine_similarity
+
+    if max_cluster_size is not None and max_cluster_size < 1:
+        raise ValueError(
+            f"max_cluster_size must be >= 1, got {max_cluster_size}"
+        )
+    if n_anchors < 1:
+        raise ValueError(f"n_anchors must be >= 1, got {n_anchors}")
+    assigned = assign_clusters(
+        batch.select(id_col, vec_col), centroids, id_col, vec_col,
+        method=method, keep_vec=True,
+    )
+    a = assigned.select(
+        "cluster", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    idx = spark.table(table)
+    if max_cluster_size is not None:
+        counts = idx.groupBy("cluster").agg(F.count("*").alias("_sz"))
+        idx = idx.join(F.broadcast(counts), "cluster").filter(
+            (F.col("_sz") <= F.lit(max_cluster_size))
+            | (F.col("rk") <= F.lit(n_anchors))
+        )
+    b_corpus = idx.select(
+        "cluster", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    hit = F.round(
+        cosine_similarity(F.col("va"), F.col("vb")), 6
+    ) >= F.lit(threshold)
+    corpus_off = (
+        a.join(b_corpus, "cluster")
+        .filter(hit)
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("pruned_by"))
+    )
+    b_batch = assigned.select(
+        "cluster", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    batch_off = (
+        a.join(b_batch, "cluster")
+        .filter(F.col("id_a") > F.col("id_b"))
+        .filter(hit)
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("pruned_by"))
+    )
+    pruned = (
+        corpus_off.unionByName(batch_off)
+        .groupBy("id_a")
+        .agg(F.min("pruned_by").alias("pruned_by"))
+    )
+    return (
+        assigned.join(pruned, assigned["id"] == pruned["id_a"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.col("pruned_by").isNull().alias("kept"),
+            "pruned_by",
+        )
+    )
+
+
+def append_to_semantic_index(
+    batch: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "fold",
+    buckets: int | None = None,
+) -> None:
+    """Add a processed batch's vectors to the semantic index — the
+    state-update half of the incremental lifecycle. New rows rank AFTER
+    the cluster's existing members (rk = existing max + batch-internal
+    id rank), so anchor sets already referenced by earlier reads never
+    reshuffle; bucket count is read from the catalog so the
+    no-corpus-Exchange join plans survive appends. Compact small files
+    with dedup_stream.compact_index_table."""
+    from pyspark.sql.window import Window
+
+    spark = batch.sparkSession
+    if buckets is None:
+        from ..streaming.dedup_stream import _table_buckets
+
+        buckets = _table_buckets(spark, table) or 32
+    from .scale import write_bucketed
+
+    assigned = assign_clusters(
+        batch.select(id_col, vec_col), centroids, id_col, vec_col,
+        method=method, keep_vec=True,
+    )
+    base_rk = spark.table(table).groupBy("cluster").agg(
+        F.max("rk").alias("_base")
+    )
+    rk = F.row_number().over(Window.partitionBy("cluster").orderBy("id"))
+    rows = (
+        assigned.withColumn("_brk", rk)
+        .join(F.broadcast(base_rk), "cluster", "left")
+        .select(
+            "cluster", "id", "v",
+            (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_brk"))
+            .cast("int").alias("rk"),
+        )
+    )
+    write_bucketed(rows, table, "cluster", buckets=buckets, mode="append")

@@ -486,3 +486,168 @@ def test_semantic_dedup_validates_cap_params(spark):
         clustering.semantic_dedup(
             df, [[1.0, 0.0]], max_cluster_size=5, n_anchors=0
         )
+
+
+def test_semantic_dedup_incremental_lifecycle(spark, tmp_path):
+    """The SemDeDup incremental lifecycle (build → incremental → append
+    → incremental): with waves in id order and no cap, each wave's
+    incremental decisions equal the full-corpus semantic_dedup
+    restricted to that wave; corpus-first semantics holds even against
+    a HIGHER-id corpus member; and the bucketed index join adds ZERO
+    corpus-side Exchange."""
+    from da_transform_judgments_pipeline_spark.operators.scale import (
+        exchange_count,
+    )
+
+    c0, c1 = [10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0]
+    cents = [c0, c1]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    wave1 = [
+        (1, [10.0, 0.10, 0.0, 0.0]),
+        (2, [10.0, 0.11, 0.0, 0.0]),   # pruned by 1 at build
+        (4, [0.0, 10.0, 0.2, 0.0]),
+        (6, [0.0, 0.0, 10.0, 0.0]),
+    ]
+    wave2 = [
+        (10, [10.0, 0.12, 0.0, 0.0]),  # near-dup of corpus 1 → pruned
+        (11, [0.0, 10.0, 9.0, 0.0]),   # novel in cluster 1 → kept
+        (12, [0.0, 10.0, 9.01, 0.0]),  # near-dup of batch-mate 11
+    ]
+    wave3 = [
+        (20, [0.0, 10.0, 9.02, 0.0]),  # near-dup of appended 11 → pruned
+    ]
+    table = "sem_idx_testinc"
+    try:
+        clustering.build_semantic_index(
+            mk(wave1), cents, table, path=str(tmp_path / "semidx"),
+            buckets=4,
+        )
+
+        inc2 = {
+            r["vec_id"]: r
+            for r in clustering.semantic_dedup_incremental(
+                mk(wave2), spark, table, cents, threshold=0.95
+            ).collect()
+        }
+        full = {
+            r["vec_id"]: r
+            for r in clustering.semantic_dedup(
+                mk(wave1 + wave2), cents, threshold=0.95
+            ).collect()
+        }
+        assert set(inc2) == {10, 11, 12}
+        for vid in inc2:
+            assert inc2[vid]["kept"] == full[vid]["kept"], vid
+            assert inc2[vid]["pruned_by"] == full[vid]["pruned_by"], vid
+        assert not inc2[10]["kept"] and inc2[10]["pruned_by"] == 1
+        assert inc2[11]["kept"]
+        assert not inc2[12]["kept"] and inc2[12]["pruned_by"] == 11
+
+        # corpus-first: a batch id LOWER than its corpus offender still
+        # prunes (temporal order beats numeric id — the d11 rule)
+        early = {
+            r["vec_id"]: r
+            for r in clustering.semantic_dedup_incremental(
+                mk([(0, [10.0, 0.10, 0.0, 0.0])]), spark, table, cents,
+                threshold=0.95,
+            ).collect()
+        }
+        assert not early[0]["kept"] and early[0]["pruned_by"] == 1
+
+        clustering.append_to_semantic_index(mk(wave2), table, cents)
+        inc3 = {
+            r["vec_id"]: r
+            for r in clustering.semantic_dedup_incremental(
+                mk(wave3), spark, table, cents, threshold=0.95
+            ).collect()
+        }
+        assert not inc3[20]["kept"] and inc3[20]["pruned_by"] == 11
+
+        # ranks: appended rows rank after the cluster's existing members
+        rks = {
+            r["id"]: r["rk"] for r in spark.table(table).collect()
+        }
+        assert rks[11] > rks[4] and rks[12] > rks[11]
+
+        # exchange budget: with broadcast disabled, the bucketed index
+        # joins with zero corpus-side Exchange; an unbucketed copy of
+        # the same rows pays one more
+        spark.table(table).write.mode("overwrite").saveAsTable(
+            f"{table}_flat"
+        )
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            n_bucketed = exchange_count(
+                clustering.semantic_dedup_incremental(
+                    mk(wave3), spark, table, cents, threshold=0.95
+                )
+            )
+            n_flat = exchange_count(
+                clustering.semantic_dedup_incremental(
+                    mk(wave3), spark, f"{table}_flat", cents,
+                    threshold=0.95,
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        assert n_flat == n_bucketed + 1, (n_bucketed, n_flat)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sem_idx_testinc")
+        spark.sql("DROP TABLE IF EXISTS sem_idx_testinc_flat")
+
+
+def test_semantic_dedup_incremental_cap_uses_frozen_anchors(spark, tmp_path):
+    """Capped incremental regime: an oversized index cluster compares
+    only against its rk <= n_anchors lowest-id members; an offender
+    ranked past the anchor set is NOT seen (the documented recall
+    trade), while anchor offenders still prune."""
+    cents = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0]]
+    # cluster 0: ids 1..5, mutually orthogonal-ish except none near the
+    # probes; the probe's only offender is id 5 (rank 5)
+    corpus = [
+        (1, [10.0, 0.0, 1.0, 0.0]),
+        (2, [10.0, 0.0, -1.0, 0.0]),
+        (3, [10.0, 0.0, 0.0, 1.0]),
+        (4, [10.0, 0.0, 0.0, -1.0]),
+        (5, [10.0, 3.0, 0.0, 0.0]),
+    ]
+    probe = [(30, [10.0, 3.01, 0.0, 0.0])]  # near-dup of 5 only
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    table = "sem_idx_testcap"
+    try:
+        clustering.build_semantic_index(
+            mk(corpus), cents, table, path=str(tmp_path / "capidx"),
+            buckets=2,
+        )
+        kw = dict(threshold=0.999, max_cluster_size=3)
+        # anchors cover rank 5 → offender seen
+        seen = clustering.semantic_dedup_incremental(
+            mk(probe), spark, table, cents, n_anchors=5, **kw
+        ).collect()[0]
+        assert not seen["kept"] and seen["pruned_by"] == 5
+        # anchors stop at rank 4 → offender invisible, probe kept
+        blind = clustering.semantic_dedup_incremental(
+            mk(probe), spark, table, cents, n_anchors=4, **kw
+        ).collect()[0]
+        assert blind["kept"]
+        # cap >= cluster size → exact regardless of anchors
+        exact = clustering.semantic_dedup_incremental(
+            mk(probe), spark, table, cents, n_anchors=1,
+            threshold=0.999, max_cluster_size=5,
+        ).collect()[0]
+        assert not exact["kept"] and exact["pruned_by"] == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sem_idx_testcap")
