@@ -778,6 +778,66 @@ def main() -> None:
         and per_doc_big <= per_doc_small * 1.5,
     }
 
+    # ---- 12. incremental semantic dedup vs a GROWING index ---------------
+    # e14's scale claim: per-batch decision work is bounded by the capped
+    # regime (anchors gate the corpus side) regardless of index growth.
+    # Build indices at N and 2N from the mega-ball corpus, dedupe the
+    # SAME batch against both: capped timing must not scale with the
+    # index (flat-ish), and corpus-first semantics must hold — every
+    # ball-batch member pruned by the ball minimum (vec_id 0) even
+    # though the batch ids are numerically larger.
+    idx_small_n = ball_n // 10
+    idx_big_n = ball_n // 5
+    batch_n = 2_000
+    batch = spark.range(batch_n).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.array(
+            F.lit(10.0),
+            (F.col("id") % 89).cast("double") / 10000.0,
+            *[F.lit(0.0)] * (dim - 2),
+        ).alias("embedding"),
+    )
+    inc_t: dict[int, float] = {}
+    inc_pruned_by_min: dict[int, int] = {}
+    for n_idx in (idx_small_n, idx_big_n):
+        tbl = f"sem_idx_skew_{n_idx}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        clustering.build_semantic_index(
+            mega_corpus(n_idx), [c0, c1], tbl,
+            path=f"/tmp/skew_semidx_{n_idx}",
+        )
+        best = None
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            got = clustering.semantic_dedup_incremental(
+                batch, spark, tbl, [c0, c1], threshold=0.99,
+                max_cluster_size=1000, n_anchors=anchors,
+            ).agg(
+                F.sum(
+                    ((~F.col("kept")) & (F.col("pruned_by") == 0))
+                    .cast("long")
+                ).alias("by_min")
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        inc_t[n_idx] = round(best, 2)
+        inc_pruned_by_min[n_idx] = int(got["by_min"])
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    results["e14_incremental_vs_index_growth"] = {
+        "batch": batch_n,
+        "index_sizes": [idx_small_n, idx_big_n],
+        "sec": inc_t,
+        "pruned_by_ball_min": inc_pruned_by_min,
+        "growth_2x_index": round(
+            inc_t[idx_big_n] / max(inc_t[idx_small_n], 0.01), 2
+        ),
+        # anchors bound the corpus side: doubling the index must not
+        # double the batch decision time; semantics: the whole batch is
+        # a near-dup ball of the corpus ball -> all pruned by vec_id 0
+        "ok": inc_t[idx_big_n] <= inc_t[idx_small_n] * 1.5
+        and all(v == batch_n for v in inc_pruned_by_min.values()),
+    }
+
     print(json.dumps(results))
     ok = all(v.get("ok", True) for v in results.values())
 
