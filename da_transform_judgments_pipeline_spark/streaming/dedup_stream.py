@@ -282,3 +282,79 @@ def run_dedup_stream(
     if once:
         return writer.trigger(availableNow=True).start()
     return writer.start()
+
+
+def run_semantic_stream(
+    spark: SparkSession,
+    source_dir: str,
+    table: str,
+    out_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    schema: str = "vec_id LONG, embedding ARRAY<DOUBLE>",
+    max_files_per_trigger: int = 10,
+    once: bool = True,
+    max_cluster_size: int | None = None,
+    n_anchors: int = 32,
+):
+    """The SEMANTIC twin of :func:`run_dedup_stream` — streaming
+    SemDeDup over an embeddings drop-dir against the persisted
+    cluster-bucketed index (clustering.build_semantic_index): each
+    micro-batch's pruning decisions land in ``{out_dir}/pruned`` (one
+    row per batch vector: id, cluster, kept, pruned_by), kept vectors
+    in ``{out_dir}/accepted``, and the WHOLE batch — kept and pruned —
+    joins the index (cosine is not transitive; a kept-only index would
+    drift decisions, see build_semantic_index). The centroid model is
+    frozen (driver-held bytes) for the stream's lifetime, exactly like
+    production SemDeDup ingestion.
+
+    State lives in the bucketed index table, not in streaming state:
+    restarts are cheap (checkpoint = source offsets), the index stays
+    queryable mid-stream, and small-file growth is ordinary table
+    maintenance — compact_index_table works unchanged on the semantic
+    index (it is just another bucketed table)."""
+    from ..operators.clustering import (
+        append_to_semantic_index,
+        semantic_dedup_incremental,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.filter(F.col(id_col).isNotNull()).persist()
+        try:
+            decisions = semantic_dedup_incremental(
+                batch, spark, table, centroids, threshold=threshold,
+                id_col=id_col, vec_col=vec_col,
+                max_cluster_size=max_cluster_size, n_anchors=n_anchors,
+            ).persist()
+            decisions.filter(~F.col("kept")).write.mode("append").parquet(
+                f"{out_dir}/pruned"
+            )
+            kept_ids = decisions.filter(F.col("kept")).select(id_col)
+            batch.join(kept_ids, id_col).write.mode("append").parquet(
+                f"{out_dir}/accepted"
+            )
+            append_to_semantic_index(
+                batch, table, centroids, id_col=id_col, vec_col=vec_col
+            )
+            decisions.unpersist()
+            # the index reads above go through the OUTER session —
+            # refresh its relation cache so the next micro-batch sees
+            # this batch's appended files
+            spark.catalog.refreshTable(table)
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", f"{out_dir}/_checkpoint"
+    )
+    if once:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()

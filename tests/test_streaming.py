@@ -770,3 +770,89 @@ def test_compact_index_table_repeat_and_crash_leftovers(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}_compacting")
         dedup.release_cached()
+
+
+def test_streaming_semantic_dedup(spark, tmp_path):
+    """Streaming SemDeDup (dedup_stream.run_semantic_stream): wave 1
+    seeds vectors whose near-dups arrive in wave 2 — one duplicating
+    the PREBUILT corpus, one duplicating a wave-1 STREAMED vector
+    (the index grows mid-stream); pruned rows never reach accepted,
+    and the WHOLE batch (kept and pruned) joins the index per the
+    exact-state contract."""
+    import json
+
+    from da_transform_judgments_pipeline_spark.operators import clustering
+    from da_transform_judgments_pipeline_spark.streaming.dedup_stream import (
+        run_semantic_stream,
+    )
+
+    cents = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0]]
+    seed = spark.createDataFrame(
+        [(0, [10.0, 0.5, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    table = "sem_idx_teststream"
+    src = tmp_path / "drop"
+    src.mkdir()
+    out = tmp_path / "out"
+    try:
+        clustering.build_semantic_index(
+            seed, cents, table, path=str(tmp_path / "semidx"), buckets=2
+        )
+        (src / "w1.json").write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "embedding": v})
+                for i, v in [
+                    (10, [0.0, 10.0, 2.0, 0.0]),
+                    (11, [0.0, 0.0, 10.0, 0.0]),
+                ]
+            )
+        )
+        run_semantic_stream(
+            spark, str(src), table, str(out), cents, threshold=0.99
+        ).awaitTermination(120)
+        (src / "w2.json").write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "embedding": v})
+                for i, v in [
+                    (20, [10.0, 0.501, 0.0, 0.0]),  # near-dup of corpus 0
+                    (21, [0.0, 10.0, 2.001, 0.0]),  # near-dup of STREAMED 10
+                    (22, [0.0, 10.0, -9.0, 0.0]),   # novel
+                ]
+            )
+        )
+        run_semantic_stream(
+            spark, str(src), table, str(out), cents, threshold=0.99
+        ).awaitTermination(120)
+
+        pruned = {
+            r.vec_id: r.pruned_by
+            for r in spark.read.parquet(str(out / "pruned")).collect()
+        }
+        assert pruned == {20: 0, 21: 10}
+        accepted = {
+            r.vec_id
+            for r in spark.read.parquet(str(out / "accepted")).collect()
+        }
+        assert accepted == {10, 11, 22}
+        # exact-state contract: every streamed vector joined the index
+        idx_ids = {r.id for r in spark.table(table).select("id").collect()}
+        assert idx_ids == {0, 10, 11, 20, 21, 22}
+        # the semantic index is an ordinary bucketed table: the shared
+        # compaction lifecycle applies unchanged, and decisions survive
+        from da_transform_judgments_pipeline_spark.streaming.dedup_stream import (  # noqa: E501
+            compact_index_table,
+        )
+
+        stats = compact_index_table(spark, table)
+        assert stats["rows"] == 6
+        again = clustering.semantic_dedup_incremental(
+            spark.createDataFrame(
+                [(30, [10.0, 0.502, 0.0, 0.0])],
+                "vec_id long, embedding array<double>",
+            ),
+            spark, table, cents, threshold=0.99,
+        ).collect()[0]
+        assert not again["kept"] and again["pruned_by"] == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sem_idx_teststream")
