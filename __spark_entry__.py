@@ -3134,8 +3134,9 @@ def q_m13_docx_parse(spark, sf_dir):
     document a genuine ECMA-376 .docx (zip of WordprocessingML +
     Dublin-Core props + an embedded PNG for every third doc) is
     assembled executor-side by plans/docx_parser.build_docx with
-    paragraph/citation/title fields that are closed-form functions of
-    doc_id, then plans/editorial.parse_documents fans the REAL parser
+    paragraph/citation/title/hyperlink fields that are closed-form
+    functions of doc_id (doc_id %% 3 externally-targeted w:hyperlink
+    relationships per doc, resolved back through the rels part), then plans/editorial.parse_documents fans the REAL parser
     (stdlib zip walk + XML parse + neutral-citation regex + Akoma Ntoso
     render) over the corpus as one Arrow-batched mapInPandas stage.
     Every output field — title from core props, extracted neutral
@@ -3212,6 +3213,13 @@ def q_m13_docx_parse(spark, sf_dir):
                                 if d % 5 == 0
                                 else None
                             ),
+                            links=[
+                                (
+                                    f"see authority {j} of {d}",
+                                    f"https://caselaw.example/{d}/{j}",
+                                )
+                                for j in range(d % 3)
+                            ],
                         )
                     )
                 )
@@ -3231,6 +3239,7 @@ def q_m13_docx_parse(spark, sf_dir):
             "n_tables",
             "n_table_cells",
             "n_headers",
+            "n_links",
             "n_images",
         )
         .orderBy("doc_id")
@@ -4554,8 +4563,8 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id % 900 + 1 AS VARCHAR) AS cite,
                    'EWCA Civ' AS court,
                    '2021-03-04' AS doc_date,
-                   CAST(2 + doc_id % 5 + doc_id % 4 AS INTEGER)
-                       AS n_paragraphs,
+                   CAST(2 + doc_id % 5 + doc_id % 4 + doc_id % 3
+                        AS INTEGER) AS n_paragraphs,
                    CAST(doc_id % 4 AS INTEGER) AS n_numbered,
                    CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
                         AS INTEGER) AS n_tables,
@@ -4564,6 +4573,7 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS n_table_cells,
                    CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
                         AS INTEGER) AS n_headers,
+                   CAST(doc_id % 3 AS INTEGER) AS n_links,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
                         AS INTEGER) AS n_images
             FROM documents ORDER BY doc_id

@@ -151,10 +151,13 @@ R_NS = _OFFICE_REL
 
 def _doc_rels(entries: list[tuple[str, str, str]]) -> bytes:
     """word/_rels/document.xml.rels from (rId, relation-type-suffix,
-    target) triples."""
+    target) triples; hyperlink relations get TargetMode="External"
+    (ECMA-376 — their target is a URL, not a package part)."""
     rels = "".join(
         f'<Relationship Id="{rid}" Type="{_OFFICE_REL}/{kind}" '
-        f'Target="{target}"/>'
+        f'Target="{target}"'
+        + (' TargetMode="External"' if kind == "hyperlink" else "")
+        + "/>"
         for rid, kind, target in entries
     )
     return (
@@ -173,6 +176,7 @@ def build_docx(
     numbered: list[str] | None = None,
     tables: list[list[list[str]]] | None = None,
     headers: list[str] | None = None,
+    links: list[tuple[str, str]] | None = None,
 ) -> bytes:
     """Assemble a minimal real .docx (ECMA-376 zip package) from
     paragraph texts + optional NUMBERED paragraphs (``w:numPr`` with a
@@ -182,7 +186,10 @@ def build_docx(
     table is rows of cell strings), optional page HEADERS (a real
     ``word/header1.xml`` part wired through ``w:sectPr``/
     ``w:headerReference`` + relationship — where courts put the
-    neutral-citation banner), and optional embedded images.
+    neutral-citation banner), optional HYPERLINKS (``w:hyperlink``
+    with a real externally-targeted relationship per link — how
+    judgments cite legislation and earlier cases; each (anchor, url)
+    becomes its own paragraph), and optional embedded images.
     Byte-deterministic (pinned zip timestamps, sorted members) so
     fixtures are committable and property tests reproducible."""
     w = f"{{{W_NS}}}"
@@ -223,6 +230,15 @@ def build_docx(
             for cell in row:
                 tc = ET.SubElement(tr, f"{w}tc")
                 add_runs(ET.SubElement(tc, f"{w}p"), cell)
+    link_rels: list[tuple[str, str]] = []
+    for i, (anchor, url) in enumerate(links or [], start=1):
+        ET.register_namespace("r", R_NS)
+        p = ET.SubElement(body, f"{w}p")
+        hl = ET.SubElement(
+            p, f"{w}hyperlink", {f"{{{R_NS}}}id": f"rIdLn{i}"}
+        )
+        add_runs(hl, anchor)
+        link_rels.append((f"rIdLn{i}", url))
     header_xml = None
     if headers:
         ET.register_namespace("r", R_NS)
@@ -277,6 +293,8 @@ def build_docx(
     if overrides:
         ct = CONTENT_TYPES.replace("</Types>", "".join(overrides) + "</Types>")
         members[0] = ("[Content_Types].xml", ct.encode())
+    for rid, url in link_rels:
+        rels.append((rid, "hyperlink", url))
     if rels:
         members.append(("word/_rels/document.xml.rels", _doc_rels(rels)))
     for name, blob in sorted((images or {}).items()):
@@ -333,6 +351,18 @@ def parse_docx(blob: bytes, reference: str) -> dict:
     def run_text(el) -> str:
         return "".join(t.text or "" for t in el.iter(f"{w}t"))
 
+    # hyperlink relationship targets (r:id -> URL), ECMA-376 part rels
+    rel_targets: dict[str, str] = {}
+    try:
+        rels_root = ET.fromstring(
+            _read_bounded(zf, "word/_rels/document.xml.rels", actual)
+        )
+        for rel in rels_root:
+            if rel.get("Type", "").endswith("/hyperlink"):
+                rel_targets[rel.get("Id", "")] = rel.get("Target", "")
+    except KeyError:
+        pass  # no relationships part — legal for a linkless document
+
     # STRUCTURAL body walk (not a flat w:p iter): top-level paragraphs
     # keep their w:numPr numbering flag, and w:tbl blocks become tables
     # of cell texts instead of leaking their cells into the paragraph
@@ -341,6 +371,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
     # prepare_parser_input.py:92-103).
     paragraphs: list[tuple[str, bool]] = []  # (text, numbered)
     tables: list[list[list[str]]] = []
+    links: list[tuple[str, str]] = []  # (anchor text, resolved URL)
     body_el = doc_root.find(f"{w}body")
     for child in body_el if body_el is not None else []:
         tag = _local(child.tag)
@@ -349,6 +380,9 @@ def parse_docx(blob: bytes, reference: str) -> dict:
                 child.find(f"{w}pPr/{w}numPr") is not None
             )
             paragraphs.append((run_text(child), numbered))
+            for hl in child.iter(f"{w}hyperlink"):
+                rid = hl.get(f"{{{R_NS}}}id", "")
+                links.append((run_text(hl), rel_targets.get(rid, "")))
         elif tag == "tbl":
             rows = [
                 [run_text(tc) for tc in tr.findall(f"{w}tc")]
@@ -365,7 +399,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
     log.append(
         f"extracted {len(paragraphs)} paragraphs "
         f"({n_numbered} numbered), {len(tables)} tables, "
-        f"{len(headers)} header paragraphs"
+        f"{len(headers)} header paragraphs, {len(links)} hyperlinks"
     )
 
     title, creator, created = "", "", ""
@@ -448,6 +482,13 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         proprietary = ET.SubElement(meta_el, f"{akn}proprietary")
         cite_el = ET.SubElement(proprietary, f"{akn}neutralCitation")
         cite_el.text = cite
+    if links:
+        refs_el = ET.SubElement(meta_el, f"{akn}references", source="#tre")
+        for i, (anchor, target) in enumerate(links, start=1):
+            ET.SubElement(
+                refs_el, f"{akn}TLCReference",
+                eId=f"ref_{i}", href=target, showAs=anchor,
+            )
     if headers:
         # AKN judgment structure: meta, header, judgmentBody — the
         # page-header banner lands in the judgment's formal <header>
@@ -485,6 +526,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         "tables": tables,
         "n_numbered": n_numbered,
         "headers": headers,
+        "links": links,
     }
 
 

@@ -221,7 +221,7 @@ def subprocess_parser(
 PARSED_DOC_SCHEMA = (
     "doc_id long, xml string, name string, cite string, court string,"
     " date string, n_paragraphs int, n_numbered int, n_tables int,"
-    " n_table_cells int, n_headers int, n_images int"
+    " n_table_cells int, n_headers int, n_links int, n_images int"
 )
 
 
@@ -264,7 +264,7 @@ def parse_documents(
     cols = [
         "doc_id", "xml", "name", "cite", "court", "date",
         "n_paragraphs", "n_numbered", "n_tables", "n_table_cells",
-        "n_headers", "n_images",
+        "n_headers", "n_links", "n_images",
     ] + (["error"] if report else [])
 
     def run(batches):
@@ -292,6 +292,7 @@ def parse_documents(
                             len(row) for rows in r["tables"] for row in rows
                         ),
                         "n_headers": len(r["headers"]),
+                        "n_links": len(r["links"]),
                         "n_images": len(r["images"]),
                     }
                     if report:
