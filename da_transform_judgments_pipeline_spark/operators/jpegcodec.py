@@ -323,10 +323,11 @@ def _encode_block(
     return int(coefs_zz[0])
 
 
-def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+def _pad_edge(plane: np.ndarray, mult: int, mult_w: int | None = None):
+    """Edge-replicate pad to multiples of (mult, mult_w or mult)."""
     h, w = plane.shape
     ph = (-h) % mult
-    pw = (-w) % mult
+    pw = (-w) % (mult_w if mult_w is not None else mult)
     if ph or pw:
         plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
     return plane
@@ -338,14 +339,30 @@ def _marker(tag: int, payload: bytes) -> bytes:
     )
 
 
-def _component_planes(arr: np.ndarray, subsample: bool):
+def _component_planes(arr: np.ndarray, subsample):
     """Shared encoder front half: RGB → padded per-component sample
-    planes [(cid, hs, vs, tq, plane)]. 4:4:4 by default;
-    ``subsample=True`` gives 4:2:0 with pinned floor((a+b+c+d+2)/4)
-    chroma averaging."""
+    planes [(cid, hs, vs, tq, plane)]. ``subsample`` False → 4:4:4;
+    True or "420" → 4:2:0 with pinned floor((a+b+c+d+2)/4) chroma
+    averaging; "422" → 4:2:2 with pinned horizontal floor((a+b+1)/2)
+    averaging (the interlace-era broadcast sampling — decoder exercises
+    hmax=2/vmax=1 upsampling)."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("JPEG encoder expects (H, W, 3) uint8")
+    if subsample not in (False, True, "420", "422"):
+        raise ValueError(f"subsample must be False/True/'420'/'422',"
+                         f" got {subsample!r}")
     ycc = rgb_to_ycbcr_int(arr).astype(np.int64)
+    if subsample == "422":
+        y_plane = _pad_edge(ycc[..., 0], 8, 16)
+        cbf = _pad_edge(ycc[..., 1], 8, 16)
+        crf = _pad_edge(ycc[..., 2], 8, 16)
+        cb = (cbf[:, 0::2] + cbf[:, 1::2] + 1) // 2
+        cr = (crf[:, 0::2] + crf[:, 1::2] + 1) // 2
+        return [
+            (1, 2, 1, 0, y_plane),
+            (2, 1, 1, 1, cb),
+            (3, 1, 1, 1, cr),
+        ]
     if subsample:
         y_plane = _pad_edge(ycc[..., 0], 16)
         cbf = _pad_edge(ycc[..., 1], 16)
@@ -1004,6 +1021,14 @@ class _ProgScanWriter:
         self.bw.flush()
         return bytes(self.bw.out)
 
+    def restart(self, n: int) -> None:
+        """Emit an RSTn boundary: pending EOB state flushes (the
+        decoder resets EOBRUN at a restart), bits byte-align, and the
+        marker lands UNSTUFFED in the stream."""
+        self.flush_eob()
+        self.bw.flush()
+        self.bw.out += bytes([0xFF, 0xD0 + n % 8])
+
 
 def _emit_dc_diff(w: _ProgScanWriter, diff: int) -> None:
     s = _ssss(diff)
@@ -1086,7 +1111,7 @@ def _emit_ac_refine(w: _ProgScanWriter, zz, ss, se, al) -> None:
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, subsample: bool = False
+    arr: np.ndarray, subsample=False, restart_interval: int = 0
 ) -> bytes:
     """Deterministic PROGRESSIVE JFIF encoder twin: (H, W, 3) uint8 RGB
     → SOF2 bytes with a pinned scan script exercising every progressive
@@ -1098,7 +1123,12 @@ def encode_jpeg_progressive(
     :func:`encode_jpeg_baseline`, so the final coefficient arrays are
     IDENTICAL — progressive transmission is a reordering, and decoded
     pixels must equal the baseline stream's decode bit-for-bit (the
-    differential test in tests/test_jpegcodec.py)."""
+    differential test in tests/test_jpegcodec.py).
+
+    ``restart_interval`` > 0 emits DRI + RSTn boundaries every that
+    many MCUs in every scan (blocks, for the non-interleaved AC
+    scans), resetting DC predictors and EOB runs — exercising the
+    decoder's progressive restart resets."""
     h, w = arr.shape[:2]
     planes = _component_planes(arr, subsample)
     qtabs = [JPEG_QUANT_LUMA, JPEG_QUANT_CHROMA]
@@ -1134,6 +1164,8 @@ def encode_jpeg_progressive(
     out += _marker(0xC2, bytes(sof))  # SOF2: progressive
     for tc_th, (bits, syms) in ((0x00, _PROG_DC), (0x10, _PROG_AC)):
         out += _marker(0xC4, bytes([tc_th]) + bytes(bits) + bytes(syms))
+    if restart_interval:
+        out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
     dc_codes = _canonical_codes(*_PROG_DC)
     ac_codes = _canonical_codes(*_PROG_AC)
 
@@ -1153,8 +1185,14 @@ def encode_jpeg_progressive(
     # --- scan 1: interleaved DC first pass, Al=1
     wtr = _ProgScanWriter(dc_codes, ac_codes)
     preds = [0] * len(planes)
+    mcu_no = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_no and (
+                mcu_no % restart_interval == 0
+            ):
+                wtr.restart(mcu_no // restart_interval - 1)
+                preds = [0] * len(planes)
             for ci, (cid, hs, vs, tq, _) in enumerate(planes):
                 for yb in range(vs):
                     for xb in range(hs):
@@ -1163,6 +1201,7 @@ def encode_jpeg_progressive(
                         ) >> 1  # arithmetic shift: T.81 DC point transform
                         _emit_dc_diff(wtr, v - preds[ci])
                         preds[ci] = v
+            mcu_no += 1
     out += sos_header([p[0] for p in planes], 0, 0, 0, 1)
     out += wtr.finish()
 
@@ -1171,16 +1210,27 @@ def encode_jpeg_progressive(
     for ci, ss, se in ac_first_bands:
         wtr = _ProgScanWriter(dc_codes, ac_codes)
         nby, nbx = nb_grid(ci)
+        blk_no = 0
         for yb in range(nby):
             for xb in range(nbx):
+                if restart_interval and blk_no and (
+                    blk_no % restart_interval == 0
+                ):
+                    wtr.restart(blk_no // restart_interval - 1)
                 _emit_ac_first(wtr, coeff[ci][yb, xb], ss, se, 1)
+                blk_no += 1
         out += sos_header([planes[ci][0]], ss, se, 0, 1)
         out += wtr.finish()
 
     # --- DC refinement to Al=0 (raw bits, interleaved)
     wtr = _ProgScanWriter(dc_codes, ac_codes)
+    mcu_no = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_no and (
+                mcu_no % restart_interval == 0
+            ):
+                wtr.restart(mcu_no // restart_interval - 1)
             for ci, (cid, hs, vs, tq, _) in enumerate(planes):
                 for yb in range(vs):
                     for xb in range(hs):
@@ -1188,6 +1238,7 @@ def encode_jpeg_progressive(
                             coeff[ci][my * vs + yb, mx * hs + xb, 0]
                         ) & 1
                         wtr.bw.write(bit, 1)
+            mcu_no += 1
     out += sos_header([p[0] for p in planes], 0, 0, 1, 0)
     out += wtr.finish()
 
@@ -1195,9 +1246,15 @@ def encode_jpeg_progressive(
     for ci in range(len(planes)):
         wtr = _ProgScanWriter(dc_codes, ac_codes)
         nby, nbx = nb_grid(ci)
+        blk_no = 0
         for yb in range(nby):
             for xb in range(nbx):
+                if restart_interval and blk_no and (
+                    blk_no % restart_interval == 0
+                ):
+                    wtr.restart(blk_no // restart_interval - 1)
                 _emit_ac_refine(wtr, coeff[ci][yb, xb], 1, 63, 0)
+                blk_no += 1
         out += sos_header([planes[ci][0]], 1, 63, 1, 0)
         out += wtr.finish()
 

@@ -396,3 +396,36 @@ def test_multiple_sof_markers_refused():
            + blob[sof_at + 2 + seg_len:])
     with pytest.raises(UnsupportedImageError, match="multiple SOF"):
         J.decode_jpeg(dup)
+
+
+def test_progressive_restart_intervals_and_422_decode():
+    """Restart markers inside PROGRESSIVE scans (DRI + RSTn every N
+    MCUs/blocks in every scan type — DC predictors and EOB runs reset,
+    reader re-aligns) and 4:2:2 chroma subsampling (hmax=2/vmax=1
+    upsampling) both decode bit-identically to the plain baseline
+    stream of the same image."""
+    rng = np.random.default_rng(13)
+    for shape, sub, ri in [
+        ((24, 40, 3), False, 1),   # restart every MCU — worst case
+        ((24, 40, 3), True, 2),    # 4:2:0 + restarts
+        ((13, 19, 3), "422", 1),   # 4:2:2, odd dims, restarts
+        ((32, 32, 3), False, 3),
+    ]:
+        arr = rng.integers(0, 256, shape).astype(np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg_baseline(arr, subsample=sub))
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(
+                arr, subsample=sub, restart_interval=ri
+            )
+        )
+        assert (base == prog).all(), (shape, sub, ri)
+    # 4:2:2 baseline roundtrip on smooth images stays bounded
+    yy, xx = np.mgrid[0:24, 0:32]
+    smooth = np.stack(
+        [yy * 4 + 50, xx * 3 + 60, yy * 2 + xx * 2 + 40], axis=-1
+    ).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_baseline(smooth, subsample="422"))
+    err = np.abs(dec.astype(int) - smooth.astype(int))
+    assert err.mean() < 3 and err.max() <= 20
+    with pytest.raises(ValueError, match="subsample"):
+        J.encode_jpeg_baseline(smooth, subsample="411")
