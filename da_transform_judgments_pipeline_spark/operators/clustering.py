@@ -514,6 +514,17 @@ def semantic_dedup_incremental(
         "cluster", F.col("id").alias("id_a"), F.col("v").alias("va")
     )
     idx = spark.table(table)
+    # REPLAY TOLERANCE: exclude the batch's own ids from the corpus
+    # side. An at-least-once caller (run_semantic_stream's foreachBatch)
+    # can re-process a batch AFTER it was appended to the index; without
+    # this anti-join every replayed vector would match itself (cosine
+    # 1.0) and batch mates would flip decisions through the corpus-first
+    # rule. With it, decisions are a pure function of
+    # (index minus batch, batch) — identical on every replay. The
+    # broadcast anti-join keeps the index side's bucketed partitioning.
+    idx = idx.join(
+        F.broadcast(assigned.select("id")), "id", "left_anti"
+    )
     if max_cluster_size is not None:
         counts = idx.groupBy("cluster").agg(F.count("*").alias("_sz"))
         idx = idx.join(F.broadcast(counts), "cluster").filter(
@@ -587,12 +598,23 @@ def append_to_semantic_index(
         batch.select(id_col, vec_col), centroids, id_col, vec_col,
         method=method, keep_vec=True,
     )
+    # IDEMPOTENT append: drop batch rows whose id is already indexed
+    # (an at-least-once replay re-appends the same batch — duplicate
+    # rows would inflate cluster sizes and duplicate anchor ranks,
+    # breaking the frozen-rank contract). The semi probe broadcasts the
+    # small batch keys against the bucketed table: no index shuffle.
+    existing = spark.table(table).join(
+        F.broadcast(assigned.select("cluster", "id")),
+        ["cluster", "id"],
+        "leftsemi",
+    ).select("id")
+    fresh = assigned.join(F.broadcast(existing), "id", "left_anti")
     base_rk = spark.table(table).groupBy("cluster").agg(
         F.max("rk").alias("_base")
     )
     rk = F.row_number().over(Window.partitionBy("cluster").orderBy("id"))
     rows = (
-        assigned.withColumn("_brk", rk)
+        fresh.withColumn("_brk", rk)
         .join(F.broadcast(base_rk), "cluster", "left")
         .select(
             "cluster", "id", "v",

@@ -311,10 +311,12 @@ def run_semantic_stream(
     production SemDeDup ingestion.
 
     State lives in the bucketed index table, not in streaming state:
-    restarts are cheap (checkpoint = source offsets), the index stays
-    queryable mid-stream, and small-file growth is ordinary table
-    maintenance — compact_index_table works unchanged on the semantic
-    index (it is just another bucketed table)."""
+    restarts are cheap (checkpoint = source offsets), a replayed
+    micro-batch is harmless (decisions exclude the batch's own indexed
+    ids; the append is id-idempotent), the index stays queryable
+    mid-stream, and small-file growth is ordinary table maintenance —
+    compact_index_table works unchanged on the semantic index (it is
+    just another bucketed table)."""
     from ..operators.clustering import (
         append_to_semantic_index,
         semantic_dedup_incremental,
@@ -327,7 +329,16 @@ def run_semantic_stream(
     )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between the appends
+        # below and the checkpoint commit replays this batch. Both
+        # halves tolerate that — semantic_dedup_incremental excludes
+        # the batch's own ids from the corpus side (decisions identical
+        # on replay) and append_to_semantic_index drops already-indexed
+        # ids (no duplicate rows / ranks). The parquet outputs remain
+        # at-least-once (duplicate rows of the SAME decisions), the
+        # standard foreachBatch sink contract.
         batch = batch.filter(F.col(id_col).isNotNull()).persist()
+        decisions = None
         try:
             decisions = semantic_dedup_incremental(
                 batch, spark, table, centroids, threshold=threshold,
@@ -344,12 +355,13 @@ def run_semantic_stream(
             append_to_semantic_index(
                 batch, table, centroids, id_col=id_col, vec_col=vec_col
             )
-            decisions.unpersist()
             # the index reads above go through the OUTER session —
             # refresh its relation cache so the next micro-batch sees
             # this batch's appended files
             spark.catalog.refreshTable(table)
         finally:
+            if decisions is not None:
+                decisions.unpersist()
             batch.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

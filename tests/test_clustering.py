@@ -595,12 +595,83 @@ def test_semantic_dedup_incremental_lifecycle(spark, tmp_path):
                     threshold=0.95,
                 )
             )
+            # the CAPPED regime (the exact configuration e14 records)
+            # adds a size groupBy + gate on the index side — assert it
+            # stays Exchange-free on the bucketed table too
+            n_capped = exchange_count(
+                clustering.semantic_dedup_incremental(
+                    mk(wave3), spark, table, cents, threshold=0.95,
+                    max_cluster_size=50, n_anchors=16,
+                )
+            )
+            n_capped_flat = exchange_count(
+                clustering.semantic_dedup_incremental(
+                    mk(wave3), spark, f"{table}_flat", cents,
+                    threshold=0.95, max_cluster_size=50, n_anchors=16,
+                )
+            )
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         assert n_flat == n_bucketed + 1, (n_bucketed, n_flat)
+        # flat pays for the decision join AND the size groupBy
+        assert n_capped_flat == n_capped + 2, (n_capped, n_capped_flat)
     finally:
         spark.sql("DROP TABLE IF EXISTS sem_idx_testinc")
         spark.sql("DROP TABLE IF EXISTS sem_idx_testinc_flat")
+
+
+def test_semantic_dedup_incremental_replay_safe(spark, tmp_path):
+    """At-least-once tolerance (the foreachBatch replay window): after
+    a batch has ALREADY been appended to the index, re-running the
+    incremental decision on that same batch returns the ORIGINAL
+    decisions (no self-prunes, no corpus-first flips through batch
+    mates), and re-appending adds ZERO rows (id-idempotent)."""
+    cents = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0]]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    corpus = [(1, [10.0, 0.1, 0.0, 0.0])]
+    batch = [
+        (10, [0.0, 10.0, 1.0, 0.0]),
+        (11, [0.0, 10.0, 1.001, 0.0]),  # pruned by batch-mate 10
+    ]
+    table = "sem_idx_testreplay"
+    try:
+        clustering.build_semantic_index(
+            mk(corpus), cents, table, path=str(tmp_path / "ridx"),
+            buckets=2,
+        )
+        first = sorted(
+            tuple(r)
+            for r in clustering.semantic_dedup_incremental(
+                mk(batch), spark, table, cents, threshold=0.99
+            ).collect()
+        )
+        clustering.append_to_semantic_index(mk(batch), table, cents)
+        # --- the replay: same batch, index already contains it
+        replay = sorted(
+            tuple(r)
+            for r in clustering.semantic_dedup_incremental(
+                mk(batch), spark, table, cents, threshold=0.99
+            ).collect()
+        )
+        assert replay == first
+        assert {r[0]: r[2] for r in replay} == {10: True, 11: False}
+        clustering.append_to_semantic_index(mk(batch), table, cents)
+        rows = spark.table(table).collect()
+        assert len(rows) == 3  # 1 corpus + 2 batch, no duplicates
+        # ranks stay dense and unique within each cluster
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], []).append(r["rk"])
+        for rks in by_cluster.values():
+            assert sorted(rks) == list(range(1, len(rks) + 1))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sem_idx_testreplay")
 
 
 def test_semantic_dedup_incremental_cap_uses_frozen_anchors(spark, tmp_path):
