@@ -310,6 +310,89 @@ def parse_documents(
     return src.mapInPandas(run, schema=schema)
 
 
+PARSED_PDF_SCHEMA = (
+    "doc_id long, text string, title string, author string,"
+    " created string, cite string, court string, n_pages int,"
+    " n_lines int, n_chars int, n_images int, n_compressed_streams int"
+)
+
+
+def parse_pdfs(
+    docs,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    on_error: str = "report",
+):
+    """Distributed PDF text extraction — :func:`parse_documents`'s twin
+    for the OTHER dominant judgment/corpus format (the reference's
+    parser consumes Office documents; a 100 TB training corpus is
+    PDF-heavy). The REAL stdlib PDF parser
+    (:func:`.pdf_parser.parse_pdf` — classic-xref object store, COS
+    lexer, bounded FlateDecode, page-tree walk, BT/ET text-operator
+    extraction, Info metadata, neutral-citation regex) fans out over
+    the corpus as one Arrow-batched ``mapInPandas`` stage: one row in
+    (id, pdf bytes) → one row out (id, extracted text + metadata +
+    structure counts).
+
+    ``on_error='report'`` (default) appends an ``error`` column (NULL
+    on success) so one corrupt or bomb-bounded PDF isolates to its row
+    instead of failing the corpus job; ``'raise'`` keeps the strict
+    contract and omits the column."""
+    if on_error not in ("raise", "report"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'report', not {on_error!r}"
+        )
+    report = on_error == "report"
+
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias("_blob")
+    )
+
+    cols = [
+        "doc_id", "text", "title", "author", "created", "cite", "court",
+        "n_pages", "n_lines", "n_chars", "n_images",
+        "n_compressed_streams",
+    ] + (["error"] if report else [])
+
+    def run(batches):
+        import pandas as pd
+
+        from .pdf_parser import parse_pdf
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["_blob"]):
+                try:
+                    r = parse_pdf(bytes(blob), str(did))
+                    row = {
+                        "doc_id": did,
+                        "text": r["text"],
+                        "title": r["title"],
+                        "author": r["author"],
+                        "created": r["created"],
+                        "cite": r["cite"],
+                        "court": r["court"],
+                        "n_pages": r["n_pages"],
+                        "n_lines": len(r["lines"]),
+                        "n_chars": len(r["text"]),
+                        "n_images": r["n_images"],
+                        "n_compressed_streams": r["n_compressed_streams"],
+                    }
+                    if report:
+                        row["error"] = None
+                except Exception as e:
+                    if not report:
+                        raise
+                    row = {c: None for c in cols}
+                    row["doc_id"] = did
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = PARSED_PDF_SCHEMA + (", error string" if report else "")
+    return src.mapInPandas(run, schema=schema)
+
+
 def fake_parser(parser_inputs: dict) -> dict:
     """STUB — deterministic stand-in for the external .NET judgment parser
     (the real parser is a separate service; this container has no .NET).
