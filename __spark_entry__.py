@@ -3329,6 +3329,75 @@ def q_m15_pdf_parse(spark, sf_dir):
     )
 
 
+def q_m16_warc_extract(spark, sf_dir):
+    """WARC crawl intake under a hash oracle — the Common Crawl shape of
+    the reference's tar.gz consignment unpack: per document a genuine
+    .warc.gz file (a warcinfo record + doc_id %% 3 + 1 HTTP response
+    records, each its OWN gzip member per the CC convention, with real
+    sha1 payload digests and Content-Length framing) is assembled
+    executor-side by sources/warc.build_warc_gz from closed-form
+    fields, then sources/warc.warc_records splits members / parses WARC
+    + HTTP headers / RE-VERIFIES payload digests as one Arrow-batched
+    mapInPandas stage, and text.html_text (pure Catalyst regex — the
+    crawl's script/style-strip + tag-strip + entity-decode extraction)
+    lifts visible text from each HTML payload. Every output — URI,
+    status (404 for the third record of a file), payload length, digest
+    verification, the EXTRACTED TEXT itself — has an analytic formula
+    DuckDB evaluates directly."""
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        warc_records,
+    )
+
+    files = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.sources.warc import (
+            build_warc_gz,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                resp = [
+                    {
+                        "url": f"https://caselaw.example/{d}/{r}",
+                        "date": "2021-03-04T05:06:07Z",
+                        "status": 404 if r == 2 else 200,
+                        "payload": (
+                            f"<html><head><title>Doc {d}</title>"
+                            f"<script>var x = {d};</script></head>"
+                            f"<body><p>Para {r} of doc {d}.</p>"
+                            f"<!-- hidden --> &amp; more</body></html>"
+                        ).encode(),
+                    }
+                    for r in range(d % 3 + 1)
+                ]
+                blobs.append(bytearray(build_warc_gz(resp)))
+            yield pd.DataFrame(
+                {"file_id": pdf["doc_id"], "content": blobs}
+            )
+
+    corpus = files.mapInPandas(make, "file_id long, content binary")
+    recs = warc_records(corpus).filter(F.col("warc_type") == "response")
+    return (
+        recs.withColumn(
+            "text", text.html_text(F.col("payload").cast("string"))
+        )
+        .select(
+            "file_id", "pos", "target_uri", "http_status", "mime",
+            "payload_len", "digest_ok", "text",
+        )
+        .orderBy("file_id", "pos")
+    )
+
+
 def q_d10_substring_dedup(spark, sf_dir):
     """Exact-substring dedup at sliding-window granularity
     (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
@@ -3612,6 +3681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scripts/selfcheck.py (README).
     # (a) NEW round 9
     "m15_pdf_parse": q_m15_pdf_parse,
+    "m16_warc_extract": q_m16_warc_extract,
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
@@ -4676,6 +4746,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 0 THEN n_pages ELSE 0 END
                         AS INTEGER) AS n_compressed_streams
             FROM gen ORDER BY doc_id
+        """,
+        "m16_warc_extract": """
+            SELECT doc_id AS file_id,
+                   CAST(r + 1 AS INTEGER) AS pos,
+                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/' || CAST(r AS VARCHAR) AS target_uri,
+                   CAST(CASE WHEN r = 2 THEN 404 ELSE 200 END
+                        AS INTEGER) AS http_status,
+                   'text/html' AS mime,
+                   CAST(length(
+                     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                     || '</title><script>var x = '
+                     || CAST(doc_id AS VARCHAR)
+                     || ';</script></head><body><p>Para '
+                     || CAST(r AS VARCHAR) || ' of doc '
+                     || CAST(doc_id AS VARCHAR)
+                     || '.</p><!-- hidden --> &amp; more</body></html>'
+                   ) AS INTEGER) AS payload_len,
+                   TRUE AS digest_ok,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' Para '
+                       || CAST(r AS VARCHAR) || ' of doc '
+                       || CAST(doc_id AS VARCHAR) || '. & more' AS text
+            FROM documents,
+                 unnest(range(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS t(r)
+            ORDER BY file_id, pos
         """,
         "m13_docx_parse": """
             SELECT doc_id,

@@ -2019,6 +2019,38 @@ def zipf_histogram(
     )
 
 
+def html_text(col: Column | str) -> Column:
+    """Visible text from an HTML payload — the crawl-intake extraction
+    step between :mod:`..sources.warc` and every text-quality/dedup
+    operator (the trafilatura/jusText role, reduced to its deterministic
+    core). Entirely Catalyst regex/replace — no UDF, no parser state —
+    so it runs JVM-side inside whole-stage codegen at crawl scale:
+
+    1. ``<script>``/``<style>`` elements removed WITH their contents
+       (code is not prose), then comments;
+    2. every remaining tag becomes a space (block/inline distinction
+       dropped — the downstream whitespace collapse makes the output
+       independent of it);
+    3. the five XML core entities + ``&nbsp;`` decoded, ``&amp;`` LAST
+       (so ``&amp;lt;`` yields the literal ``&lt;`` — double-encoded
+       entities must not double-decode);
+    4. whitespace runs collapsed to single spaces, ends trimmed.
+
+    NULL in → NULL out."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

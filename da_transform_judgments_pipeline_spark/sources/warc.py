@@ -1,0 +1,373 @@
+"""WARC (Web ARChive, ISO 28500) source — the Common Crawl ingest path.
+
+The reference ingests consignments as tar.gz packages (see
+``archive.untar``); a 100 TB web/training corpus arrives as WARC: one
+``.warc.gz`` file = many INDEPENDENTLY gzipped members concatenated
+(the Common Crawl convention — per-record members are what make a
+petabyte archive random-accessible and a record-splitting scan
+parallelizable). This module reads that format with stdlib ``zlib``
+only, from public knowledge (ISO 28500 / the WARC 1.0 spec + RFC 1952
+multi-member gzip + RFC 9112 HTTP framing):
+
+- :func:`split_gzip_members` walks concatenated members via
+  ``decompressobj(…).unused_data``, with per-member and cumulative
+  bomb bounds (the ``docx_parser`` pattern);
+- :func:`parse_warc_record` parses the WARC version line + named
+  headers + ``Content-Length``-framed block; ``response`` records
+  carrying ``application/http`` are split into HTTP status line /
+  headers / payload;
+- ``WARC-Payload-Digest: sha1:BASE32`` is RE-VERIFIED against the
+  actual payload bytes (``digest_ok``) — the checksum-report posture of
+  ``validation.checksum_report`` applied to the web-archive surface;
+- :func:`warc_records` fans the whole read over a corpus of WARC blobs
+  as one Arrow-batched ``mapInPandas`` stage with ``on_error='report'``
+  row isolation (a crawl ALWAYS has truncated members).
+
+:func:`build_warc_gz` is the deterministic encoder twin
+(``build_pdf``/``build_docx`` pattern): real, ``warcio``-compatible
+bytes — per-record gzip members with pinned mtime, a leading
+``warcinfo`` record, correct Content-Length framing and genuine sha1
+payload digests — so closed-form oracles can recompute every parsed
+field.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import struct
+import zlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WARC_MAX_MEMBER_BYTES = 256 << 20
+WARC_MAX_TOTAL_BYTES = 1 << 30
+
+
+class WarcError(ValueError):
+    """Malformed or unsupported WARC content — typed so report mode can
+    isolate the blob with the real reason."""
+
+
+class WarcBombError(WarcError):
+    """A gzip member inflated past WARC_MAX_MEMBER_BYTES /
+    WARC_MAX_TOTAL_BYTES."""
+
+
+def split_gzip_members(blob: bytes) -> list[bytes]:
+    """Decompress a concatenation of independent gzip members into the
+    list of member payloads, bomb-bounded. A non-gzip blob is treated
+    as a single uncompressed WARC file (the spec allows plain .warc)."""
+    if blob[:2] != b"\x1f\x8b":
+        return [bytes(blob)]
+    out: list[bytes] = []
+    total = 0
+    rest = bytes(blob)
+    while rest:
+        if rest[:2] != b"\x1f\x8b":
+            raise WarcError(
+                f"garbage between gzip members at byte {len(blob) - len(rest)}"
+            )
+        dec = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            member = dec.decompress(rest, WARC_MAX_MEMBER_BYTES + 1)
+        except zlib.error as e:
+            raise WarcError(f"corrupt gzip member: {e}")
+        if len(member) > WARC_MAX_MEMBER_BYTES or dec.unconsumed_tail:
+            raise WarcBombError(
+                f"gzip member inflates past {WARC_MAX_MEMBER_BYTES} bytes"
+            )
+        if not dec.eof:
+            raise WarcError("truncated gzip member")
+        total += len(member)
+        if total > WARC_MAX_TOTAL_BYTES:
+            raise WarcBombError(
+                f"cumulative inflated bytes exceed {WARC_MAX_TOTAL_BYTES}"
+            )
+        out.append(member)
+        rest = dec.unused_data
+    return out
+
+
+def _parse_headers(block: bytes, what: str) -> tuple[str, dict]:
+    """First line + case-insensitively keyed named headers."""
+    try:
+        head = block.decode("latin-1")
+    except Exception:  # latin-1 never fails; defensive
+        raise WarcError(f"{what}: undecodable header block")
+    lines = head.split("\r\n")
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        if not ln:
+            continue
+        if ":" not in ln:
+            raise WarcError(f"{what}: malformed header line {ln!r}")
+        k, v = ln.split(":", 1)
+        headers[k.strip().lower()] = v.strip()
+    return lines[0], headers
+
+
+def parse_warc_record(member: bytes) -> dict:
+    """Parse ONE WARC record (= one gzip member's payload).
+
+    Returns dict with: ``warc_type``, ``record_id``, ``date``,
+    ``target_uri``, ``http_status`` (int or None), ``mime`` (HTTP
+    Content-Type or None), ``payload`` (bytes), ``digest_ok`` (bool or
+    None when the record carries no payload digest)."""
+    rec, used = _parse_one(member)
+    rest = member[used:]
+    if rest.strip(b"\r\n"):
+        raise WarcError(
+            f"{len(rest)} trailing bytes after the record (did you mean"
+            " parse_warc, which walks multi-record data?)"
+        )
+    return rec
+
+
+def _parse_one(member: bytes) -> tuple[dict, int]:
+    """Parse the record at the START of ``member``; also return how many
+    bytes it consumed (record + the \\r\\n\\r\\n record separator), so
+    plain multi-record .warc data can be walked frame by frame."""
+    sep = member.find(b"\r\n\r\n")
+    if sep < 0:
+        raise WarcError("record has no header terminator")
+    version, headers = _parse_headers(member[:sep], "warc record")
+    if not version.startswith("WARC/"):
+        raise WarcError(f"bad WARC version line {version!r}")
+    if version not in ("WARC/1.0", "WARC/1.1"):
+        raise WarcError(f"unsupported WARC version {version!r}")
+    try:
+        length = int(headers["content-length"])
+    except KeyError:
+        raise WarcError("record missing Content-Length")
+    except ValueError:
+        raise WarcError(
+            f"bad Content-Length {headers['content-length']!r}"
+        )
+    block = member[sep + 4:sep + 4 + length]
+    if len(block) != length:
+        raise WarcError(
+            f"record block truncated ({len(block)} < {length} bytes)"
+        )
+    wtype = headers.get("warc-type", "")
+    http_status = None
+    mime = None
+    payload = block
+    if wtype in ("response", "request") and headers.get(
+        "content-type", ""
+    ).startswith("application/http"):
+        hsep = block.find(b"\r\n\r\n")
+        if hsep < 0:
+            raise WarcError("http block has no header terminator")
+        status_line, http_headers = _parse_headers(block[:hsep], "http")
+        parts = status_line.split(None, 2)
+        if wtype == "response":
+            if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+                raise WarcError(f"bad HTTP status line {status_line!r}")
+            try:
+                http_status = int(parts[1])
+            except ValueError:
+                raise WarcError(f"bad HTTP status {parts[1]!r}")
+        mime = http_headers.get("content-type")
+        payload = block[hsep + 4:]
+    digest_ok = None
+    want = headers.get("warc-payload-digest")
+    if want is not None:
+        if not want.startswith("sha1:"):
+            raise WarcError(f"unsupported payload digest {want!r}")
+        got = base64.b32encode(
+            hashlib.sha1(payload).digest()
+        ).decode("ascii")
+        digest_ok = got == want[5:]
+    rec = {
+        "warc_type": wtype,
+        "record_id": headers.get("warc-record-id", ""),
+        "date": headers.get("warc-date", ""),
+        "target_uri": headers.get("warc-target-uri", ""),
+        "http_status": http_status,
+        "mime": mime,
+        "payload": payload,
+        "digest_ok": digest_ok,
+    }
+    used = sep + 4 + length
+    # consume the two CRLFs separating records (tolerate their absence
+    # at end-of-data)
+    for _ in range(2):
+        if member[used:used + 2] == b"\r\n":
+            used += 2
+    return rec, used
+
+
+def parse_warc(blob: bytes) -> list[dict]:
+    """All records of one WARC file — gzipped (one or more records per
+    member) or plain — in file order, each dict as
+    :func:`parse_warc_record` plus ``pos``."""
+    out = []
+    for member in split_gzip_members(blob):
+        while member.strip(b"\r\n"):
+            rec, used = _parse_one(member)
+            rec["pos"] = len(out)
+            out.append(rec)
+            member = member[used:]
+    return out
+
+
+WARC_RECORD_SCHEMA = (
+    "file_id long, pos int, warc_type string, record_id string,"
+    " date string, target_uri string, http_status int, mime string,"
+    " payload binary, payload_len int, digest_ok boolean"
+)
+
+
+def warc_records(
+    files: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    on_error: str = "report",
+) -> DataFrame:
+    """Distributed WARC record extraction: one row in (id, .warc.gz
+    bytes) → one row out PER RECORD. At 100 TB this is the crawl-intake
+    stage: a ``binaryFile`` scan of the archive feeds this operator and
+    every downstream text/dedup/quality stage sees plain (uri, payload)
+    rows. Parallelism is per-FILE (WARC files are the crawl's natural
+    ~1 GB work units); ``repartition`` the file catalog before this
+    stage when the source listing is skewed.
+
+    ``on_error='report'`` (default) appends an ``error`` column — a
+    truncated or bomb-bounded file yields ONE error row (pos NULL) and
+    the rest of the corpus proceeds; ``'raise'`` keeps the strict
+    contract and omits the column."""
+    if on_error not in ("raise", "report"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'report', not {on_error!r}"
+        )
+    report = on_error == "report"
+
+    src = files.select(
+        F.col(id_col).alias("file_id"), F.col(content_col).alias("_blob")
+    )
+    cols = [
+        "file_id", "pos", "warc_type", "record_id", "date", "target_uri",
+        "http_status", "mime", "payload", "payload_len", "digest_ok",
+    ] + (["error"] if report else [])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fid, blob in zip(pdf["file_id"], pdf["_blob"]):
+                try:
+                    for r in parse_warc(bytes(blob)):
+                        rows.append({
+                            "file_id": fid,
+                            "pos": r["pos"],
+                            "warc_type": r["warc_type"],
+                            "record_id": r["record_id"],
+                            "date": r["date"],
+                            "target_uri": r["target_uri"],
+                            "http_status": r["http_status"],
+                            "mime": r["mime"],
+                            "payload": bytearray(r["payload"]),
+                            "payload_len": len(r["payload"]),
+                            "digest_ok": r["digest_ok"],
+                            **({"error": None} if report else {}),
+                        })
+                except Exception as e:
+                    if not report:
+                        raise
+                    row = {c: None for c in cols}
+                    row["file_id"] = fid
+                    row["error"] = f"{type(e).__name__}: {e}"
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = WARC_RECORD_SCHEMA + (", error string" if report else "")
+    return src.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Encoder twin
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (pinned mtime=0, no name, XFL=0)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -zlib.MAX_WBITS)
+    body = co.compress(data) + co.flush()
+    header = b"\x1f\x8b\x08\x00" + struct.pack("<I", 0) + b"\x00\xff"
+    return (
+        header + body
+        + struct.pack("<I", zlib.crc32(data) & 0xFFFFFFFF)
+        + struct.pack("<I", len(data) & 0xFFFFFFFF)
+    )
+
+
+def _record(headers: list[tuple[str, str]], block: bytes) -> bytes:
+    head = "".join(f"{k}: {v}\r\n" for k, v in headers)
+    return (
+        b"WARC/1.0\r\n" + head.encode("latin-1")
+        + b"Content-Length: %d\r\n\r\n" % len(block)
+        + block + b"\r\n\r\n"
+    )
+
+
+def build_warc_gz(
+    responses: list[dict],
+    filename: str = "crawl.warc.gz",
+    gzip_members: bool = True,
+) -> bytes:
+    """Assemble a real .warc.gz file: a ``warcinfo`` record then one
+    ``response`` record per entry, each its own gzip member.
+
+    Each response dict: ``url``, ``date`` (ISO-8601 Z), ``payload``
+    (bytes), optional ``status`` (default 200), ``content_type``
+    (default text/html), ``record_id``. Digests are genuine sha1 over
+    the payload; everything is deterministic."""
+    members = []
+    info_body = (
+        b"software: da-transform-judgments-pipeline-spark\r\n"
+        b"format: WARC File Format 1.0\r\n"
+    )
+    members.append(_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", "<urn:uuid:00000000-0000-0000-0000-000000000000>"),
+            ("WARC-Date", "2021-03-04T05:06:07Z"),
+            ("WARC-Filename", filename),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        info_body,
+    ))
+    for i, r in enumerate(responses):
+        payload = bytes(r["payload"])
+        status = int(r.get("status", 200))
+        ctype = r.get("content_type", "text/html")
+        reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently",
+                  500: "Internal Server Error"}.get(status, "Status")
+        http = (
+            f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("latin-1") + payload
+        digest = base64.b32encode(
+            hashlib.sha1(payload).digest()
+        ).decode("ascii")
+        rid = r.get(
+            "record_id",
+            f"<urn:uuid:00000000-0000-0000-0000-{i + 1:012d}>",
+        )
+        members.append(_record(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Record-ID", rid),
+                ("WARC-Date", r["date"]),
+                ("WARC-Target-URI", r["url"]),
+                ("WARC-Payload-Digest", f"sha1:{digest}"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            http,
+        ))
+    if gzip_members:
+        return b"".join(_gzip_member(m) for m in members)
+    return b"".join(members)

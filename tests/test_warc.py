@@ -1,0 +1,149 @@
+"""WARC source (sources/warc) + html_text extraction tests."""
+
+import pytest
+
+from da_transform_judgments_pipeline_spark.sources import warc as W
+
+RESP = [
+    {
+        "url": f"https://caselaw.example/7/{r}",
+        "date": "2021-03-04T05:06:07Z",
+        "payload": f"<html><body><p>Body {r} of 7</p></body></html>".encode(),
+    }
+    for r in range(3)
+]
+
+
+def test_roundtrip_gz_and_plain():
+    for gz in (True, False):
+        recs = W.parse_warc(W.build_warc_gz(RESP, gzip_members=gz))
+        assert [r["warc_type"] for r in recs] == ["warcinfo"] + [
+            "response"
+        ] * 3
+        assert recs[0]["digest_ok"] is None  # warcinfo has no digest
+        for r in range(3):
+            rec = recs[r + 1]
+            assert rec["target_uri"] == f"https://caselaw.example/7/{r}"
+            assert rec["http_status"] == 200
+            assert rec["mime"] == "text/html"
+            assert rec["digest_ok"] is True
+            assert rec["payload"] == RESP[r]["payload"]
+            assert rec["pos"] == r + 1
+
+
+def test_member_layout_is_per_record():
+    """The CC convention: each record its own gzip member (what makes a
+    petabyte archive seekable)."""
+    blob = W.build_warc_gz(RESP)
+    assert len(W.split_gzip_members(blob)) == 4
+
+
+def test_digest_detects_payload_tamper():
+    members = W.split_gzip_members(W.build_warc_gz(RESP))
+    tampered = members[1].replace(b"Body 0", b"Body X")
+    assert W.parse_warc_record(tampered)["digest_ok"] is False
+
+
+def test_truncation_and_garbage_refused():
+    blob = W.build_warc_gz(RESP)
+    with pytest.raises(W.WarcError, match="truncated gzip member"):
+        W.parse_warc(blob[:-10])
+    with pytest.raises(W.WarcError, match="corrupt gzip"):
+        W.parse_warc(b"\x1f\x8bgarbage")
+    with pytest.raises(W.WarcError, match="garbage between"):
+        W.parse_warc(blob + b"not-gzip-tail")
+    # framing lies: Content-Length larger than the block
+    member = W.split_gzip_members(blob)[1]
+    import re
+
+    lied = re.sub(
+        rb"Content-Length: (\d+)",
+        lambda m: b"Content-Length: %d" % (int(m.group(1)) + 99),
+        member,
+        count=1,
+    )
+    with pytest.raises(W.WarcError, match="truncated"):
+        W.parse_warc_record(lied)
+
+
+def test_bomb_bounds(monkeypatch):
+    monkeypatch.setattr(W, "WARC_MAX_MEMBER_BYTES", 512)
+    blob = W.build_warc_gz(
+        [dict(RESP[0], payload=b"x" * 2048)]
+    )
+    with pytest.raises(W.WarcBombError, match="inflates past"):
+        W.parse_warc(blob)
+    monkeypatch.setattr(W, "WARC_MAX_MEMBER_BYTES", 1 << 20)
+    monkeypatch.setattr(W, "WARC_MAX_TOTAL_BYTES", 1024)
+    with pytest.raises(W.WarcBombError, match="cumulative"):
+        W.parse_warc(W.build_warc_gz(RESP))
+
+
+def test_status_variants_and_plain_multirecord_framing():
+    recs = W.parse_warc(
+        W.build_warc_gz(
+            [
+                dict(RESP[0], status=404),
+                dict(RESP[1], status=301),
+            ],
+            gzip_members=False,
+        )
+    )
+    assert [r["http_status"] for r in recs] == [None, 404, 301]
+
+
+def test_warc_records_report_isolation(spark):
+    import pandas as pd
+
+    good = bytearray(W.build_warc_gz(RESP))
+    bad = bytearray(W.build_warc_gz(RESP)[:-7])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, good), (2, bad), (3, good)],
+            columns=["file_id", "content"],
+        ),
+        "file_id long, content binary",
+    )
+    out = W.warc_records(df).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r["file_id"], []).append(r)
+    assert len(by_file[1]) == 4 and all(
+        r["error"] is None for r in by_file[1]
+    )
+    assert len(by_file[2]) == 1 and by_file[2][0]["error"] is not None
+    assert by_file[2][0]["pos"] is None
+    assert len(by_file[3]) == 4
+    with pytest.raises(Exception):
+        W.warc_records(df, on_error="raise").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        W.warc_records(df, on_error="nope")
+
+
+def test_html_text(spark):
+    from da_transform_judgments_pipeline_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    cases = [
+        # script/style removed WITH contents, tags become spaces
+        ("<p>a</p><script>var x=1;</script><b>b</b>", "a b"),
+        ("<style>p{color:red}</style>hi", "hi"),
+        # comments removed; entities decoded; &amp; last (no double decode)
+        ("x <!-- no --> &amp; y", "x & y"),
+        ("&amp;lt; stays encoded-once", "&lt; stays encoded-once"),
+        ("a&nbsp;b&quot;c&quot;&#39;d&#39;", 'a b"c"\'d\''),
+        # whitespace collapse + trim
+        ("  <div>\n  spaced \t out </div> ", "spaced out"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i int, html string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", T.html_text(F.col("html")).alias("t")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
