@@ -9,8 +9,11 @@ container (chunk walk + CRC-32 verify), zlib inflate of IDAT, and the
 five per-scanline filters (None/Sub/Up/Average/Paeth) — 8-bit gray /
 RGB / palette / alpha, non-interlaced. Baseline JPEG decodes via the
 sibling :mod:`.jpegcodec` (pure numpy: Huffman + IDCT + fixed-point
-color convert). Formats that genuinely need a codec library
-(GIF/WebP, progressive JPEG, 16-bit or Adam7 PNG) raise
+color convert); progressive JPEG via its multi-scan path. GIF87a/89a
+decodes fully here (LZW inflate + palette + interlace + extension-block
+skip), with :func:`encode_gif` as the deterministic twin. Formats that
+genuinely need a codec library
+(WebP, 16-bit or Adam7 PNG) raise
 :class:`UnsupportedImageError` with the magic spelled out — a fake
 "decode" there would be dishonest. The multimodal operators
 (:func:`.multimodal.extract_features` / :func:`.multimodal.resize_images`)
@@ -128,6 +131,8 @@ def decode_image(blob: bytes) -> np.ndarray:
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(blob)
+    if blob[:4] == b"GIF8":
+        return decode_gif(blob)
     raise UnsupportedImageError(f"{sniff(blob)} requires a codec library")
 
 
@@ -424,3 +429,276 @@ def image_features(arr: np.ndarray, dim: int = 16) -> list[float]:
     pad = np.zeros(n_grid)
     pad[: grid.size] = grid
     return [round(v, 6) for v in moments + pad.tolist()]
+
+
+# ---------------------------------------------------------------------------
+# GIF — full stdlib decode (GIF89a spec: LZW + palette + interlace)
+# ---------------------------------------------------------------------------
+
+GIF_MAX_CODE_WIDTH = 12  # per spec: codes never exceed 12 bits (4096)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int) -> bytearray:
+    """GIF-variant LZW: LSB-first variable-width codes, clear/EOI codes,
+    table capped at 4096, width grows when the table fills the current
+    width. ``max_out`` bounds output (bomb posture)."""
+    if not 2 <= min_code_size <= 11:
+        raise UnsupportedImageError(
+            f"GIF LZW minimum code size {min_code_size} out of range"
+        )
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev = None
+    bitpos, nbits = 0, len(data) * 8
+    while True:
+        if bitpos + width > nbits:
+            raise UnsupportedImageError("GIF LZW stream ended without EOI")
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i:byte_i + 4], "little")
+        code = (window >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+            if not entry:
+                raise UnsupportedImageError(
+                    f"GIF LZW code {code} references a reserved slot"
+                )
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise UnsupportedImageError(
+                f"GIF LZW code {code} beyond table size {len(table)}"
+            )
+        out += entry
+        if len(out) > max_out:
+            raise UnsupportedImageError(
+                f"GIF pixel data inflates past {max_out} bytes"
+            )
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < GIF_MAX_CODE_WIDTH:
+            width += 1
+        prev = entry
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Deterministic GIF-variant LZW encoder (the :func:`_lzw_decode`
+    twin): emits an initial clear code, resets at table 4096, EOI last.
+
+    Code width is driven by a SIMULATION OF THE DECODER's table, not by
+    the encoder's own dictionary: the decoder appends one entry while
+    processing every data code after the first, INCLUDING the stream's
+    final one (which the encoder pairs with no dictionary add) — so an
+    encoder that widens on its own adds emits EOI one bit narrow
+    whenever that tail append lands exactly on a 2^width boundary."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = bytearray()
+    acc = [0, 0]  # bit accumulator: value, count
+
+    def emit(code: int, width: int) -> None:
+        acc[0] |= code << acc[1]
+        acc[1] += width
+        while acc[1] >= 8:
+            bits.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    # decoder simulation: table size / current read width / whether the
+    # decoder holds a previous entry (it appends only when it does)
+    dec_size, width, dec_prev = eoi + 1, min_code_size + 1, False
+
+    def data_emit(code: int) -> None:
+        nonlocal dec_size, width, dec_prev
+        emit(code, width)
+        if dec_prev and dec_size < 4096:
+            dec_size += 1
+            if dec_size == (1 << width) and width < GIF_MAX_CODE_WIDTH:
+                width += 1
+        dec_prev = True
+
+    emit(clear, width)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        data_emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            dec_size, width, dec_prev = eoi + 1, min_code_size + 1, False
+        w = bytes([k])
+    if w:
+        data_emit(table[w])
+    emit(eoi, width)  # the EOI read itself appends nothing
+    if acc[1]:
+        bits.append(acc[0] & 0xFF)
+    return bytes(bits)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace (start, step)
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a blob to (H, W, 3) uint8:
+    logical-screen + color tables, extension-block skip, interlace,
+    and a real LZW inflate — all stdlib/numpy (the spec's compression
+    is LZW, public since the CompuServe 89a document). Transparency is
+    ignored (the palette color shows); animation frames past the first
+    are not decoded, but their presence is not an error — a corpus
+    feature stage reads poster frames, the m05/m11 pattern covers video."""
+    blob = bytes(blob)
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedImageError("not a GIF signature")
+    if len(blob) < 13:
+        raise UnsupportedImageError("truncated GIF header")
+    packed = blob[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            blob, np.uint8, 3 * n, pos
+        ).reshape(n, 3)
+        if gct.shape[0] * 3 + pos > len(blob):
+            raise UnsupportedImageError("truncated global color table")
+        pos += 3 * n
+    while pos < len(blob):
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(blob) and blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise UnsupportedImageError(
+                f"unknown GIF block 0x{b0:02x} at {pos - 1}"
+            )
+        if pos + 9 > len(blob):
+            raise UnsupportedImageError("truncated image descriptor")
+        w = int.from_bytes(blob[pos + 4:pos + 6], "little")
+        h = int.from_bytes(blob[pos + 6:pos + 8], "little")
+        ipacked = blob[pos + 8]
+        pos += 9
+        lct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if lct is None:
+            raise UnsupportedImageError("GIF image has no color table")
+        if w * h * 3 > PNG_MAX_DECODED_BYTES:
+            raise UnsupportedImageError(
+                f"GIF {w}x{h} exceeds decode bound"
+            )
+        if pos >= len(blob):
+            raise UnsupportedImageError("missing LZW minimum code size")
+        mcs = blob[pos]
+        pos += 1
+        chunks = []
+        while pos < len(blob) and blob[pos]:
+            ln = blob[pos]
+            chunk = blob[pos + 1:pos + 1 + ln]
+            if len(chunk) < ln:
+                raise UnsupportedImageError("truncated GIF data sub-block")
+            chunks.append(chunk)
+            pos += 1 + ln
+        if pos >= len(blob):
+            raise UnsupportedImageError("GIF data sub-blocks unterminated")
+        pos += 1
+        indices = _lzw_decode(b"".join(chunks), mcs, w * h)
+        if len(indices) < w * h:
+            raise UnsupportedImageError(
+                f"GIF LZW yielded {len(indices)} of {w * h} pixels"
+            )
+        idx = np.frombuffer(bytes(indices[:w * h]), np.uint8).reshape(h, w)
+        if int(idx.max(initial=0)) >= lct.shape[0]:
+            raise UnsupportedImageError("GIF pixel index beyond palette")
+        rgb = lct[idx]
+        return _deinterlace(rgb) if ipacked & 0x40 else rgb.copy()
+    raise UnsupportedImageError("GIF contains no image descriptor")
+
+
+def encode_gif(
+    arr: np.ndarray, interlace: bool = False, gce: bool = False
+) -> bytes:
+    """Deterministic GIF89a encoder twin of :func:`decode_gif`: palette
+    built from the image's unique colors in first-appearance order
+    (≤256 or ValueError), real LZW sub-blocks, optional interlaced row
+    order, optional (skippable) Graphic Control Extension."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_gif expects (H, W, 3) uint8")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    # np.unique sorts colors — reorder to first appearance for determinism
+    # independent of numpy's sort tie-breaking across versions
+    first = np.full(colors.shape[0], flat.shape[0], dtype=np.int64)
+    np.minimum.at(first, idx, np.arange(flat.shape[0]))
+    order = np.argsort(first, kind="stable")
+    colors = colors[order]
+    remap = np.empty_like(order)
+    remap[order] = np.arange(order.size)
+    idx = remap[idx]
+    n = colors.shape[0]
+    if n > 256:
+        raise ValueError(f"GIF palette overflow: {n} unique colors")
+    depth = 1
+    while (1 << depth) < n:
+        depth += 1
+    table_n = 1 << depth
+    pal = np.zeros((table_n, 3), np.uint8)
+    pal[:n] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT flag + size, bg, aspect
+    out += pal.tobytes()
+    if gce:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    rows = idx.reshape(h, w).astype(np.uint8)
+    if interlace:
+        order_rows = [
+            r for start, step in _GIF_PASSES for r in range(start, h, step)
+        ]
+        rows = rows[order_rows]
+    mcs = max(2, depth)
+    out += bytes([mcs])
+    lzw = _lzw_encode(rows.tobytes(), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

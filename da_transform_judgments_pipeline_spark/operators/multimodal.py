@@ -4,11 +4,11 @@ Treats media as opaque BINARY columns with typed metadata structs, exactly
 as a 100 TB training-data pipeline would: the Spark-side schema,
 partitioning, Arrow batch shape, and UDF signatures are real and tested.
 ``real_decode=True`` paths run REAL pure-stdlib/numpy codecs
-(:mod:`.imagecodec` PPM/PGM/BMP/PNG, :mod:`.jpegcodec` baseline
-JPEG, :mod:`.audiocodec` WAV/PCM, :mod:`.videocodec` Y4M) — actual
-pixel/sample math. Formats that genuinely need a codec library this
-container lacks (MP3/H.264, GIF/WebP) raise a typed error naming the
-sniffed format; the default fake-decode
+(:mod:`.imagecodec` PPM/PGM/BMP/PNG/GIF, :mod:`.jpegcodec` baseline
+and progressive JPEG, :mod:`.audiocodec` WAV/PCM, :mod:`.videocodec`
+Y4M) — actual pixel/sample math. Formats that genuinely need a codec
+library this container lacks (MP3/H.264, WebP) raise a typed error
+naming the sniffed format; the default fake-decode
 path keeps plumbing testable on arbitrary bytes.
 """
 
@@ -103,10 +103,11 @@ def extract_features(
 
     ``real_decode=True`` runs the REAL codec (:mod:`.imagecodec`):
     PPM/PGM, 24/32-bit BMP, full stdlib PNG (zlib inflate + all five
-    scanline filters), and baseline JPEG (:mod:`.jpegcodec`) decode to
+    scanline filters), GIF87a/89a (LZW + palette + interlace), and
+    baseline/progressive JPEG (:mod:`.jpegcodec`) decode to
     actual pixels; features are per-channel moments + a resampled luma
     grid. Formats that need a codec library this container lacks
-    (GIF/WebP, progressive JPEG) raise :class:`.imagecodec.
+    (WebP) raise :class:`.imagecodec.
     UnsupportedImageError` naming the sniffed format. The default fake
     path keeps the plumbing testable on arbitrary bytes.
 
