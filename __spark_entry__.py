@@ -1590,6 +1590,31 @@ def q_x27_line_repetition(spark, sf_dir):
     )
 
 
+def q_x28_ngram_repetition(spark, sf_dir):
+    """The FULL Gopher n-gram repetition suite (text.
+    ngram_repetition_suite — Rae et al. 2021 Table A1's remaining nine
+    signals, completing x11's single-n dup ratio and x27's line
+    fractions): per document the most-frequent-n-gram character
+    fraction for n=2,3,4 (tie → lexicographically smallest gram) and
+    the duplicated-n-gram character fraction for n=5..10 (occurrence-
+    counting). Spark computes every signal MAP-SIDE — one staged
+    tokenization, then sorted-array run-length encoding per n, no
+    explode/shuffle; DuckDB recomputes each via unnest + GROUP BY +
+    window, so two entirely different physical strategies must agree
+    on all nine fractions."""
+    docs = _T(spark, sf_dir, "documents")
+    return (
+        text.ngram_repetition_suite(docs)
+        .select(
+            "doc_id",
+            "top2_char_frac", "top3_char_frac", "top4_char_frac",
+            "dup5_char_frac", "dup6_char_frac", "dup7_char_frac",
+            "dup8_char_frac", "dup9_char_frac", "dup10_char_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_e13_semantic_dedup(spark, sf_dir):
     """Semantic dedup (clustering.semantic_dedup — SemDeDup's
     cluster-then-prune shape): k-means k=8 (bit-exact reproducible mode,
@@ -3763,6 +3788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m15_pdf_parse": q_m15_pdf_parse,
     "m16_warc_extract": q_m16_warc_extract,
     "m17_gif_decode_features": q_m17_gif_decode_features,
+    "x28_ngram_repetition": q_x28_ngram_repetition,
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
@@ -4250,6 +4276,76 @@ def _x25_sql() -> str:
         WHERE k.h < thr.t
         ORDER BY k.doc_id
     """
+
+
+def _x28_sql(top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
+    """DuckDB twin of text.ngram_repetition_suite: per n, unnest the
+    gram stream, GROUP BY counts, then a row_number window for the top
+    gram (count DESC, gram ASC — the lexicographic tie-break) or a
+    filtered sum for duplicated-gram coverage. Character totals use the
+    single-space-joined token stream on both engines."""
+    ctes = [
+        r"""base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t <> '') AS tk
+          FROM documents
+        )""",
+        "tot AS (SELECT doc_id, len(array_to_string(tk, ' ')) AS total"
+        " FROM base)",
+    ]
+
+    def counts(n):
+        return f"""c{n} AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(tk[i:i+{n - 1}], ' ')
+                           FOR i IN range(1, len(tk) - {n} + 2)]) AS g
+            FROM base
+          )
+          GROUP BY doc_id, g
+        )"""
+
+    sel = ["d.doc_id"]
+    joins = ["documents d JOIN tot t USING (doc_id)"]
+    for n in top_ns:
+        ctes.append(counts(n))
+        ctes.append(f"""t{n} AS (
+          SELECT doc_id, c * len(g) AS chars
+          FROM (
+            SELECT doc_id, g, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, g) AS rn
+            FROM c{n}
+          )
+          WHERE rn = 1
+        )""")
+        joins.append(f"LEFT JOIN t{n} USING (doc_id)")
+        sel.append(
+            f"CASE WHEN t.total > 0 THEN round(coalesce(t{n}.chars, 0)"
+            f" / CAST(t.total AS DOUBLE), 6) ELSE 0.0 END"
+            f" AS top{n}_char_frac"
+        )
+    for n in dup_ns:
+        ctes.append(counts(n))
+        ctes.append(f"""u{n} AS (
+          SELECT doc_id,
+                 sum(CASE WHEN c >= 2 THEN c * len(g) END) AS chars
+          FROM c{n} GROUP BY doc_id
+        )""")
+        joins.append(f"LEFT JOIN u{n} USING (doc_id)")
+        sel.append(
+            f"CASE WHEN t.total > 0 THEN round(coalesce(u{n}.chars, 0)"
+            f" / CAST(t.total AS DOUBLE), 6) ELSE 0.0 END"
+            f" AS dup{n}_char_frac"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT " + ",\n       ".join(sel)
+        + "\nFROM " + "\n     ".join(joins)
+        + "\nORDER BY d.doc_id"
+    )
 
 
 def _jpeg_decode_sql() -> str:
@@ -5786,6 +5882,7 @@ def oracle_sql() -> dict[str, str]:
         # x26: the x17 scorer verbatim, then NTILE(3) per source on
         # (score DESC, doc_id) — both engines give early tiles the
         # extra rows, so bucket boundaries are value-exact
+        "x28_ngram_repetition": _x28_sql(),
         "x26_perplexity_buckets": r"""
             WITH toks AS (
               SELECT doc_id,

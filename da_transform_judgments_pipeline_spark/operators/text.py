@@ -685,6 +685,130 @@ def repetition_stats(
     return out.withColumn("dup_ngram_ratio", ratio).drop("_toks", "_grams")
 
 
+def ngram_repetition_suite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The FULL Gopher repetition suite (Rae et al. 2021 Table A1 —
+    :func:`repetition_stats` and :func:`line_repetition_stats` cover two
+    of its twelve signals; this adds the other family): per document,
+
+    - ``top{n}_char_frac`` (n in ``top_ns``): characters covered by ALL
+      occurrences of the single most frequent n-gram, over total
+      characters — ties broken to the lexicographically smallest gram;
+    - ``dup{n}_char_frac`` (n in ``dup_ns``): characters covered by
+      occurrences of every n-gram that appears more than once
+      (occurrence-counting: overlapping coverage is summed, so values
+      may exceed 1 — filters threshold far below; the positional-union
+      variant is :func:`substring_dedup`'s span machinery).
+
+    Character counts use the single-space-joined token stream (the
+    canonical text both engines reconstruct identically); fractions are
+    0.0 for docs too short to have an n-gram. Entirely map-side: one
+    staged tokenization, then sorted-array run-length encoding per n —
+    no explode, no shuffle, scales as a projection over the corpus.
+
+    Every intermediate (sorted grams, run starts, runs) is staged as
+    its OWN projected column: nesting them as one expression duplicates
+    each subtree at every reference, and with nine n values the
+    unresolved tree grows multiplicatively until Catalyst analysis
+    dominates the query (the _toks_sql staging rationale, compounded)."""
+    toked = df.withColumn("_toks", tokens(F.col(text_col)))
+    out = toked.withColumn(
+        "_total", F.length(F.array_join(F.col("_toks"), " "))
+    )
+    total = F.col("_total")
+    tmp = ["_toks", "_total"]
+
+    def stage_runs(n: int) -> str:
+        nonlocal out
+        srt_c, sta_c, run_c = f"_srt{n}", f"_sta{n}", f"_runs{n}"
+        tmp.extend([srt_c, sta_c, run_c])
+        out = out.withColumn(
+            srt_c, F.array_sort(ngrams_from_tokens(F.col("_toks"), n))
+        )
+        srt = F.col(srt_c)
+        sz = F.size(srt)
+        out = out.withColumn(
+            sta_c,
+            F.when(
+                sz > 0,
+                F.filter(
+                    F.sequence(F.lit(0), sz - F.lit(1)),
+                    # ANSI mode: element_at(col, 0) errors — the i == 0
+                    # arm must be a lazy If branch
+                    lambda i: F.when(i == 0, F.lit(True)).otherwise(
+                        F.element_at(srt, i + 1) != F.element_at(srt, i)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+        starts = F.col(sta_c)
+        nst = F.size(starts)
+        out = out.withColumn(
+            run_c,
+            F.transform(
+                starts,
+                lambda s, j: F.struct(
+                    (
+                        F.when(
+                            j + 2 <= nst, F.element_at(starts, j + 2)
+                        ).otherwise(sz)
+                        - s
+                    ).cast("int").alias("cnt"),
+                    F.element_at(srt, s + 1).alias("gram"),
+                ),
+            ),
+        )
+        return run_c
+
+    for n in top_ns:
+        rc = stage_runs(n)
+        best_c = f"_best{n}"
+        tmp.append(best_c)
+        out = out.withColumn(
+            best_c,
+            F.array_min(
+                F.transform(
+                    F.col(rc),
+                    lambda r: F.struct(
+                        (-r["cnt"]).alias("nc"), r["gram"].alias("gram")
+                    ),
+                )
+            ),
+        )
+        best = F.col(best_c)
+        chars = (-best["nc"]).cast("long") * F.length(best["gram"])
+        out = out.withColumn(
+            f"top{n}_char_frac",
+            F.when(
+                (F.size(F.col(rc)) > 0) & (total > 0),
+                F.round(chars / total.cast("double"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    for n in dup_ns:
+        rc = stage_runs(n)
+        covered = F.aggregate(
+            F.col(rc),
+            F.lit(0).cast("long"),
+            lambda acc, r: acc
+            + F.when(
+                r["cnt"] >= 2,
+                r["cnt"].cast("long") * F.length(r["gram"]).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        out = out.withColumn(
+            f"dup{n}_char_frac",
+            F.when(
+                total > 0, F.round(covered / total.cast("double"), 6)
+            ).otherwise(F.lit(0.0)),
+        )
+    return out.drop(*tmp)
+
+
 def line_repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1266,6 +1266,54 @@ def test_contrastive_score_guard_survives_column_pruning(spark):
         ).collect()
 
 
+def test_ngram_repetition_suite_closed_form(spark):
+    """Handcrafted docs with hand-computed Gopher fractions: top-gram
+    coverage (with the lexicographic tie-break), duplicated-gram
+    coverage (occurrence-counting — may exceed 1), and the zero cases
+    (short doc, empty doc)."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        ngram_repetition_suite,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # tokens: a b a b a b x → joined "a b a b a b x" (13 chars)
+            # 2-grams: "a b"×3, "b a"×2, "b x"×1 → top covers 3·3 = 9
+            (1, "a b a b a b x"),
+            # tie between "x y"×1 and "y x"×1... all 2-grams distinct
+            # counts: doc with tie at count 2: "p q p q" → "p q"×2,
+            # "q p"×1 → no tie; craft tie: "u v w u v" →
+            # "u v"×2, "v w"×1, "w u"×1 → top = "u v" (4 chars? 3)×2=6
+            (2, "u v w u v"),
+            # dup 5-grams: 10 tokens repeated once → doc of 20 tokens:
+            # every 5-gram window that re-occurs counts all occurrences
+            (3, " ".join(["t%d" % i for i in range(10)] * 2)),
+            (4, "short doc"),  # one 2-gram, nothing duplicated, no 5-gram
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_repetition_suite(df).collect()
+    }
+    assert out[1]["top2_char_frac"] == round(9 / 13, 6)
+    assert out[2]["top2_char_frac"] == round(6 / 9, 6)
+    # doc 3: tokens t0..t9 t0..t9 (20 two-char tokens) → joined text
+    # 20·2+19 = 59 chars. 5-gram windows i = 0..15: w_i == w_{i+10}
+    # for i = 0..5 (w5 = t5..t9 = w15), windows 6..9 cross the seam
+    # uniquely → 6 duplicated grams × 2 occurrences = 12 occurrences,
+    # each gram 5·2+4 = 14 chars.
+    assert out[3]["dup5_char_frac"] == round(12 * 14 / 59, 6)
+    # occurrence-counting can exceed 1 by design on heavy repeats
+    assert out[3]["dup6_char_frac"] > 0
+    assert out[4]["top2_char_frac"] == round(9 / 9, 6)  # its only 2-gram
+    assert out[4]["dup5_char_frac"] == 0.0
+    for col in ("top2_char_frac", "top3_char_frac", "dup5_char_frac",
+                "dup10_char_frac"):
+        assert out[5][col] == 0.0
+
+
 def test_line_repetition_stats_closed_form(spark):
     """Handcrafted duplicate-line docs: ratios match hand-computed
     values; a doc with no duplicated lines scores 0; token-less docs
