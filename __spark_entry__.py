@@ -3503,6 +3503,80 @@ def q_m17_gif_decode_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_m18_g711_decode_features(spark, sf_dir):
+    """REAL companded-audio decode under a hash oracle (the m10 loop
+    through ITU-T G.711, telephony's 8-bit format): per document a
+    square wave whose amplitude is an EXACT G.711 segment level — built
+    analytically from doc_id as exponent/mantissa, μ-law expansion
+    ((m·8+132)·2^e − 132) for even ids, A-law (segmented, xor-0x55) for
+    odd — is companded to 8-bit by the deterministic encoder twin
+    (audiocodec.encode_wav_g711) and expanded back by the real decoder
+    (decode_wav formats 6/7, spec expansion tables). Because the level
+    sits exactly on the quantizer grid the lossy chain is round-trip
+    exact, so RMS/peak/crossing counts keep the m10 closed forms and
+    DuckDB evaluates the amplitude formula directly — sign convention,
+    bias, and segment arithmetic are all hash-checked."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.operators.audiocodec import (
+            encode_wav_g711,
+        )
+
+        n = 800
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                # mantissa pinned to 1..15: e = m = 0 is the zero level,
+                # whose square wave is silence (no crossings to count)
+                e, m = d % 8, (d * 3) % 15 + 1
+                if d % 2 == 0:
+                    amp = ((m * 8 + 132) << e) - 132
+                    law = "ulaw"
+                else:
+                    amp = (m * 16 + 8) if e == 0 else (
+                        (m * 16 + 264) << (e - 1)
+                    )
+                    law = "alaw"
+                half = (5, 8, 10, 16)[d % 4]
+                wave = np.tile(
+                    np.concatenate(
+                        [np.full(half, amp), np.full(half, -amp)]
+                    ),
+                    n // (2 * half),
+                ).astype(np.int16)
+                blobs.append(bytearray(encode_wav_g711(wave, 8000, law)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": blobs}
+            )
+
+    clips = docs.mapInPandas(make, "doc_id long, content binary")
+    out = multimodal.audio_clip_features(
+        clips.select(F.col("doc_id").alias("media_id"), "content")
+    )
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round(F.col("rms") * 32768).cast("long").alias("rms_i16"),
+        F.round(F.col("peak") * 32768).cast("long").alias("peak_i16"),
+        F.round(F.col("zcr") * (F.col("n_samples") - 1))
+        .cast("long")
+        .alias("n_zero_crossings"),
+    ).orderBy("doc_id")
+
+
 def q_d10_substring_dedup(spark, sf_dir):
     """Exact-substring dedup at sliding-window granularity
     (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
@@ -3789,6 +3863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m16_warc_extract": q_m16_warc_extract,
     "m17_gif_decode_features": q_m17_gif_decode_features,
     "x28_ngram_repetition": q_x28_ngram_repetition,
+    "m18_g711_decode_features": q_m18_g711_decode_features,
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
@@ -4716,6 +4791,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(abs(v - pv) * 1000, 0) AS BIGINT)
                        AS delta_milli
             FROM f ORDER BY doc_id, frame_no
+        """,
+        "m18_g711_decode_features": """
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(doc_id % 8 AS BIGINT) AS e,
+                     CAST((doc_id * 3) % 15 + 1 AS BIGINT) AS m,
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN 5 WHEN 1 THEN 8
+                       WHEN 2 THEN 10 ELSE 16 END AS h
+              FROM documents
+            ),
+            amps AS (
+              SELECT doc_id, h,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN ((m * 8 + 132) << e) - 132
+                          WHEN e = 0 THEN m * 16 + 8
+                          ELSE (m * 16 + 264) << (e - 1)
+                     END AS amp
+              FROM c
+            )
+            SELECT doc_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(800 AS BIGINT) AS n_samples,
+                   CAST(100.0 AS DOUBLE) AS duration_ms,
+                   CAST(amp AS BIGINT) AS rms_i16,
+                   CAST(amp AS BIGINT) AS peak_i16,
+                   CAST(800 / h - 1 AS BIGINT) AS n_zero_crossings
+            FROM amps ORDER BY doc_id
         """,
         "m10_audio_decode_features": """
             WITH c AS (

@@ -384,6 +384,64 @@ def test_videocodec_y4m_roundtrip_and_frame_stats(spark):
     assert (rows[0]["width"], rows[0]["height"]) == (6, 4)
 
 
+def test_g711_codec_bijection_and_anchors():
+    """Every G.711 code round-trips encode(decode(c)) == c (μ-law's
+    0x7F negative-zero alias of 0xFF excepted), and the spec's table
+    anchors hold — a wrong sign convention, bias, or segment rule
+    cannot pass."""
+    import numpy as np
+
+    from da_transform_judgments_pipeline_spark.operators import (
+        audiocodec as A,
+    )
+
+    codes = np.arange(256)
+    re_u = A.ulaw_encode(A._ULAW_DEC[codes])
+    assert all(re_u[c] == c for c in range(256) if c != 0x7F)
+    assert re_u[0x7F] == 0xFF  # negative zero canonicalizes
+    re_a = A.alaw_encode(A._ALAW_DEC[codes])
+    assert (re_a == codes).all()
+    assert A._ULAW_DEC[0xFF] == 0 and A._ULAW_DEC[0x80] == 32124
+    assert A._ALAW_DEC[0x55] == -8 and A._ALAW_DEC[0xAA] == 32256
+
+
+def test_g711_wav_roundtrip_and_quantization():
+    import numpy as np
+
+    from da_transform_judgments_pipeline_spark.operators import (
+        audiocodec as A,
+    )
+
+    # exact grid levels round-trip bit-exactly through the lossy chain
+    for law, table in (("ulaw", A._ULAW_DEC), ("alaw", A._ALAW_DEC)):
+        lv = int(table[0x90])
+        wave = np.array([lv, -lv] * 50, dtype=np.int16)
+        rate, got = A.decode_wav(A.encode_wav_g711(wave, 8000, law))
+        assert rate == 8000
+        assert np.array_equal(got[:, 0], wave), law
+    # off-grid input quantizes to a nearby level (lossy, bounded error:
+    # μ-law segment step at |x|~5000 is < 256)
+    wave = np.array([5000, -5000] * 50, dtype=np.int16)
+    _, got = A.decode_wav(A.encode_wav_g711(wave, 8000, "ulaw"))
+    assert (np.abs(got[:, 0].astype(int) - wave.astype(int)) < 256).all()
+    assert not np.array_equal(got[:, 0], wave)
+    # stereo interleave preserved
+    st = np.stack([wave, -wave], axis=1)
+    _, got2 = A.decode_wav(A.encode_wav_g711(st, 16000, "alaw"))
+    assert got2.shape == (100, 2)
+    assert np.array_equal(got2[:, 0], -got2[:, 1])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="law must be"):
+        A.encode_wav_g711(wave, 8000, "dpcm")
+    # format 7 with 16 bits is malformed, still refused
+    blob = bytearray(A.encode_wav_g711(wave, 8000, "ulaw"))
+    i = blob.index(b"fmt ") + 8
+    blob[i + 14:i + 16] = (16).to_bytes(2, "little")
+    with _pytest.raises(A.UnsupportedAudioError, match="format=7"):
+        A.decode_wav(bytes(blob))
+
+
 def test_audiocodec_rejects_zero_channels_and_zero_rate():
     """A malformed fmt chunk (channels=0 / rate=0) must raise the codec's
     typed error, not escape as ZeroDivisionError from the frame math."""
