@@ -3577,6 +3577,100 @@ def q_m18_g711_decode_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_x29_crawl_pipeline(spark, sf_dir):
+    """The composed CRAWL-INTAKE pipeline end-to-end (the x25 pattern
+    applied to ingestion): per document a real .warc.gz response (the
+    document's text wrapped in HTML with a script tag and a comment to
+    strip) flows through sources/warc.warc_records (member split + WARC/
+    HTTP parse + sha1 digest re-verification) → text.html_text (Catalyst
+    tag-strip extraction) → text.language_id (stopword-profile argmax)
+    → md5 content fingerprint over the normalized extraction → exact-dup
+    first-owner assignment (one shuffle on the fingerprint — the d01
+    keep-first rule over (doc_id, pos)). Every tenth crawl serves its
+    page TWICE (a mirror re-crawl at a second URL — the duplication
+    pattern crawl dedup exists for), so is_dup has real positives the
+    ownership window must catch. DuckDB recomputes the WHOLE chain from
+    the raw text — the HTML wrap/strip identity, tokenization, language
+    hits and tie-breaks, fingerprint, and ownership window."""
+    from pyspark.sql import Window
+
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        warc_records,
+    )
+
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.sources.warc import (
+            build_warc_gz,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                html = (
+                    "<html><head><title>Crawl Judgment</title>"
+                    "<script>track();</script></head><body><p>"
+                    + (txt or "")
+                    + "</p><!-- boilerplate --></body></html>"
+                ).encode()
+                n_serves = 2 if d % 10 == 0 else 1
+                blobs.append(
+                    bytearray(
+                        build_warc_gz([
+                            {
+                                "url": f"https://crawl.example/{d}/{r}",
+                                "date": "2021-03-04T05:06:07Z",
+                                "payload": html,
+                            }
+                            for r in range(n_serves)
+                        ])
+                    )
+                )
+            yield pd.DataFrame(
+                {"file_id": pdf["doc_id"], "content": blobs}
+            )
+
+    corpus = docs.mapInPandas(make, "file_id long, content binary")
+    recs = warc_records(corpus).filter(F.col("warc_type") == "response")
+    extracted = recs.select(
+        F.col("file_id").alias("doc_id"),
+        "pos",
+        "target_uri",
+        "digest_ok",
+        text.html_text(F.col("payload").cast("string")).alias("text"),
+    )
+    langed = text.language_id(extracted)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy("fp")
+    me = F.struct(F.col("doc_id"), F.col("pos"))
+    out = (
+        langed.withColumn("fp", F.md5(norm))
+        .withColumn("first", F.min(me).over(w))
+        .withColumn("is_dup", me != F.col("first"))
+    )
+    return out.select(
+        "doc_id",
+        "pos",
+        "target_uri",
+        "digest_ok",
+        "detected_lang",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        "fp",
+        F.col("first")["doc_id"].alias("first_doc"),
+        F.col("first")["pos"].alias("first_pos"),
+        "is_dup",
+    ).orderBy("doc_id", "pos")
+
+
 def q_d10_substring_dedup(spark, sf_dir):
     """Exact-substring dedup at sliding-window granularity
     (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
@@ -3858,12 +3952,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # a measured pytest contract: recall@10 floors vs the exact twins).
     # Everything past the cap remains locally oracle-checked via
     # scripts/selfcheck.py (README).
+    # --- Round 9 rotation: m15 (REAL stdlib PDF 1.4 parsing — classic
+    # xref + COS lexer + bounded FlateDecode + BT/ET text extraction,
+    # the m13 encode→parse loop for the other dominant document
+    # format), m16 (WARC crawl intake — per-record gzip members, WARC +
+    # HTTP header parsing, sha1 payload-digest re-verification, and
+    # html_text Catalyst tag-strip extraction, all under closed-form
+    # oracles), m17 (full GIF87a/89a decode — LZW inflate + palette +
+    # interlace under the m12 feature oracle; the last image-format
+    # refusal turned real), x28 (the FULL Gopher n-gram repetition
+    # suite — nine fractions computed map-side by sorted-array
+    # run-length encoding, recomputed by DuckDB via unnest+window), and
+    # m18 (G.711 μ-law/A-law expansion — square waves at exact segment
+    # levels make the lossy chain round-trip exact), and x29 (the
+    # COMPOSED crawl-intake pipeline: WARC → html_text → language-ID →
+    # fingerprint → first-owner dedup with planted mirror re-crawls,
+    # the x25 composition pattern applied to ingestion) are NEW and
+    # lead the window. Displaced past the cap: o09/s20/f03 (multi-
+    # green, unchanged; s20's layout machinery stays pinned by the m08
+    # family) and the d01-d03 dedup rows that had already rotated
+    # back — all multi-green, unchanged this round, still selfchecked
+    # locally via scripts/selfcheck.py.
     # (a) NEW round 9
     "m15_pdf_parse": q_m15_pdf_parse,
     "m16_warc_extract": q_m16_warc_extract,
     "m17_gif_decode_features": q_m17_gif_decode_features,
     "x28_ngram_repetition": q_x28_ngram_repetition,
     "m18_g711_decode_features": q_m18_g711_decode_features,
+    "x29_crawl_pipeline": q_x29_crawl_pipeline,
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
@@ -4421,6 +4537,70 @@ def _x28_sql(top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
         + "\nFROM " + "\n     ".join(joins)
         + "\nORDER BY d.doc_id"
     )
+
+
+def _x29_sql() -> str:
+    """x29 oracle: the whole crawl chain recomputed from raw text — the
+    HTML wrap/strip identity reduces to 'Crawl Judgment ' + whitespace-
+    collapsed text (the corpus is <>&-free, verified at generation),
+    then x02's language hits/tie-break, md5 fingerprint over the
+    lowercased extraction, and the min-owner dup window."""
+    hits = ",\n  ".join(
+        f"len(list_filter(tk, t -> lower(t) IN {words})) AS hits_{lang}"
+        for lang, words in _LANG_HITS.items()
+    )
+    return rf"""
+WITH ext AS (
+  SELECT doc_id,
+         'Crawl Judgment ' || trim(regexp_replace(text, '\s+', ' ', 'g'))
+             AS text
+  FROM documents
+), serves AS (
+  SELECT doc_id, CAST(r + 1 AS INT) AS pos, text
+  FROM ext,
+       unnest(range(0, CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END))
+           AS t(r)
+), toks AS (
+  SELECT doc_id, pos, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS tk
+  FROM serves
+), h AS (
+  SELECT doc_id, pos, text, tk,
+  {hits}
+  FROM toks
+), fp AS (
+  SELECT *, md5(lower(text)) AS fp FROM h
+), own AS (
+  SELECT *,
+         first_value(doc_id) OVER w AS first_doc,
+         first_value(pos) OVER w AS first_pos
+  FROM fp
+  WINDOW w AS (PARTITION BY fp ORDER BY doc_id, pos
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+)
+SELECT doc_id, pos,
+       'https://crawl.example/' || CAST(doc_id AS VARCHAR) || '/'
+           || CAST(pos - 1 AS VARCHAR) AS target_uri,
+       TRUE AS digest_ok,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0
+            THEN 'und'
+            ELSE CASE
+              WHEN hits_en >= hits_de AND hits_en >= hits_es
+                   AND hits_en >= hits_fr THEN 'en'
+              WHEN hits_es >  hits_en AND hits_es >= hits_fr
+                   AND hits_es >= hits_de THEN 'es'
+              WHEN hits_fr >  hits_en AND hits_fr >  hits_es
+                   AND hits_fr >= hits_de THEN 'fr'
+              ELSE 'de' END
+       END AS detected_lang,
+       CAST(len(tk) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       fp, first_doc, first_pos,
+       (doc_id <> first_doc OR pos <> first_pos) AS is_dup
+FROM own ORDER BY doc_id, pos
+"""
 
 
 def _jpeg_decode_sql() -> str:
@@ -5986,6 +6166,7 @@ def oracle_sql() -> dict[str, str]:
         # (score DESC, doc_id) — both engines give early tiles the
         # extra rows, so bucket boundaries are value-exact
         "x28_ngram_repetition": _x28_sql(),
+        "x29_crawl_pipeline": _x29_sql(),
         "x26_perplexity_buckets": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -120,6 +120,13 @@ HEADLINE = [
     "x26_perplexity_buckets",
     "x27_line_repetition",
     "e14_incremental_semantic_dedup",
+    # round 9
+    "m15_pdf_parse",
+    "m16_warc_extract",
+    "m17_gif_decode_features",
+    "m18_g711_decode_features",
+    "x28_ngram_repetition",
+    "x29_crawl_pipeline",
 ]
 
 
