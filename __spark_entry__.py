@@ -26,6 +26,9 @@ from pyspark.sql.types import LongType
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from da_transform_judgments_pipeline_spark.functions import (  # noqa: E402
+    strings,
+)
 from da_transform_judgments_pipeline_spark.operators import (  # noqa: E402
     clustering,
     dedup,
@@ -3671,6 +3674,41 @@ def q_x29_crawl_pipeline(spark, sf_dir):
     ).orderBy("doc_id", "pos")
 
 
+def q_f04_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (functions/strings.canonical_url — RFC 3986
+    §6, the crawl-dedup key): per document a deliberately messy absolute
+    URL is built in pure Catalyst (upper-cased scheme/host, a default or
+    explicit port by doc_id %% 3, dot-segments, a duplicate slash, an
+    unsorted query, a fragment) and canonicalized — scheme/host case
+    fold, default-port strip, dot-segment resolution via a REAL
+    aggregate fold ('.' skips, '..' pops — regex can't), duplicate-slash
+    collapse, bytewise query-param sort, fragment drop. DuckDB builds
+    the EXPECTED canonical string directly from doc_id, so every rule
+    is hash-checked; no UDF anywhere — the whole operator is
+    whole-stage-codegen JVM."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    port = (
+        F.when(d % 3 == 0, F.lit(":80"))
+        .when(d % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    messy = F.concat(
+        F.lit("HTTP://CaseLaw"), (d % 5).cast("string"),
+        F.lit(".Example.COM"), port,
+        F.lit("/a"), d.cast("string"),
+        F.lit("/./sub/../doc//"), d.cast("string"),
+        F.lit("?z="), d.cast("string"),
+        F.lit("&a=1&m="), (d % 7).cast("string"),
+        F.lit("#sec"), d.cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        messy.alias("url"),
+        strings.canonical_url(messy).alias("canonical"),
+    ).orderBy("doc_id")
+
+
 def q_d10_substring_dedup(spark, sf_dir):
     """Exact-substring dedup at sliding-window granularity
     (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
@@ -3980,6 +4018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x28_ngram_repetition": q_x28_ngram_repetition,
     "m18_g711_decode_features": q_m18_g711_decode_features,
     "x29_crawl_pipeline": q_x29_crawl_pipeline,
+    "f04_url_canonicalize": q_f04_url_canonicalize,
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
@@ -6166,6 +6205,27 @@ def oracle_sql() -> dict[str, str]:
         # (score DESC, doc_id) — both engines give early tiles the
         # extra rows, so bucket boundaries are value-exact
         "x28_ngram_repetition": _x28_sql(),
+        "f04_url_canonicalize": """
+            SELECT doc_id,
+                   'HTTP://CaseLaw' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.Example.COM'
+                     || CASE CAST(doc_id % 3 AS INT)
+                          WHEN 0 THEN ':80' WHEN 1 THEN ':8080'
+                          ELSE '' END
+                     || '/a' || CAST(doc_id AS VARCHAR)
+                     || '/./sub/../doc//' || CAST(doc_id AS VARCHAR)
+                     || '?z=' || CAST(doc_id AS VARCHAR)
+                     || '&a=1&m=' || CAST(doc_id % 7 AS VARCHAR)
+                     || '#sec' || CAST(doc_id AS VARCHAR) AS url,
+                   'http://caselaw' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.example.com'
+                     || CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+                     || '/a' || CAST(doc_id AS VARCHAR)
+                     || '/doc/' || CAST(doc_id AS VARCHAR)
+                     || '?a=1&m=' || CAST(doc_id % 7 AS VARCHAR)
+                     || '&z=' || CAST(doc_id AS VARCHAR) AS canonical
+            FROM documents ORDER BY doc_id
+        """,
         "x29_crawl_pipeline": _x29_sql(),
         "x26_perplexity_buckets": r"""
             WITH toks AS (

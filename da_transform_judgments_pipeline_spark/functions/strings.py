@@ -103,3 +103,70 @@ def percent_encode(s: pd.Series) -> pd.Series:
     from urllib.parse import quote
 
     return s.map(lambda v: None if v is None else quote(v).replace("%3A", ":"))
+
+
+def canonical_url(c: Column | str) -> Column:
+    """RFC 3986 §6 URL canonicalization — the crawl-dedup key (two
+    spellings of one page must collide BEFORE fingerprint dedup ever
+    sees their content). Pure Catalyst, no UDF:
+
+    - scheme and host lowercased; fragment dropped;
+    - default ports stripped (``:80`` for http, ``:443`` for https),
+      others kept;
+    - path dot-segments resolved with a REAL fold (``aggregate`` over
+      the segment array — ``.`` skipped, ``..`` pops, a regex cannot do
+      this), duplicate slashes collapsed, empty path → ``/``;
+    - query parameters sorted bytewise (duplicates kept), empty query
+      dropped.
+
+    Percent-encoding is left byte-exact (case-normalizing %XX without
+    decoding reserved characters needs a table the oracle would have to
+    mirror — out of scope, documented). NULL in → NULL out."""
+    u = F.trim(_col(c))
+    u = F.regexp_replace(u, "#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == ""),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    after = _substr_from(rest, F.length(authority) + 1)
+    path = F.regexp_extract(after, r"^([^?]*)", 1)
+    query = F.when(
+        after.contains("?"), F.regexp_extract(after, r"\?(.*)$", 1)
+    ).otherwise(F.lit(""))
+    # dot-segment resolution: fold segments, '.' drops, '..' pops —
+    # empty segments (duplicate slashes) drop too
+    segs = F.filter(
+        F.split(path, "/"), lambda s: (s != "") & (s != ".")
+    )
+    resolved = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            s == "..",
+            # '..' above root clamps (RFC 3986 §5.2.4) — and slice with
+            # length -1 on an empty stack is an ANSI error anyway
+            F.when(
+                F.size(acc) > 0, F.slice(acc, F.lit(1), F.size(acc) - 1)
+            ).otherwise(acc),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    canon_path = F.concat(F.lit("/"), F.array_join(resolved, "/"))
+    params = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: p != "")
+    )
+    canon_query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme == "", u  # not an absolute URL: pass through untouched
+    ).otherwise(
+        F.concat(scheme, F.lit("://"), host, port, canon_path, canon_query)
+    )

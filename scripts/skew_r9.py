@@ -222,7 +222,7 @@ def gif_section(spark, results):
 
     def run(n):
         out = multimodal.extract_features(
-            corpus(n), dim=10, real_decode=True
+            corpus(n), dim=10, real_decode=True, on_error="report"
         )
         return out.agg(
             F.count("*").alias("rows"),

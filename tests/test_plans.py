@@ -360,3 +360,72 @@ def test_substring_dedup_single_source_scan(spark, tmp_path):
         assert plan.count("Scan parquet") == n_cached
     finally:
         dedup.release_cached()
+
+
+def test_ngram_repetition_suite_is_map_side(spark):
+    """x28's scale contract: all nine Gopher repetition fractions are
+    computed as a projection (sorted-array run-length encoding per
+    document) — the plan carries NO Exchange and no Python stage, so at
+    100 TB the suite is a single scan."""
+    from da_transform_judgments_pipeline_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y z")], "doc_id long, text string"
+    )
+    out = text.ngram_repetition_suite(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_crawl_pipeline_single_shuffle(spark):
+    """x29's scale contract: after the Arrow-batched WARC record stage,
+    everything up to the dup-ownership window is map-side — the only
+    Exchange in the plan is the ONE hash partition on the content
+    fingerprint (plus its window sort)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from da_transform_judgments_pipeline_spark.operators import text
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        build_warc_gz,
+        warc_records,
+    )
+
+    blob = bytearray(build_warc_gz([{
+        "url": "https://crawl.example/1/0",
+        "date": "2021-03-04T05:06:07Z",
+        "payload": b"<html><body>hi there</body></html>",
+    }]))
+    files = spark.createDataFrame(
+        [(1, blob)], "file_id long, content binary"
+    )
+    recs = warc_records(files).filter(F.col("warc_type") == "response")
+    extracted = text.language_id(
+        recs.select(
+            F.col("file_id").alias("doc_id"), "pos",
+            text.html_text(F.col("payload").cast("string")).alias("text"),
+        )
+    )
+    me = F.struct(F.col("doc_id"), F.col("pos"))
+    out = extracted.withColumn(
+        "fp", F.md5(F.lower(F.col("text")))
+    ).withColumn("first", F.min(me).over(Window.partitionBy("fp")))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_warc_and_pdf_record_schemas_prune(spark):
+    """Column pruning through the Arrow stages: selecting one narrow
+    column from warc_records/parse_pdfs output plans without error and
+    the mapInPandas schema stays the declared contract (the stage
+    itself cannot prune — Python produces every column — but nothing
+    downstream re-shuffles to drop them)."""
+    from da_transform_judgments_pipeline_spark.plans.editorial import (
+        PARSED_PDF_SCHEMA,
+    )
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        WARC_RECORD_SCHEMA,
+    )
+
+    assert "payload binary" in WARC_RECORD_SCHEMA
+    assert "n_pages int" in PARSED_PDF_SCHEMA

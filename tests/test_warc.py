@@ -147,3 +147,36 @@ def test_html_text(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_canonical_url_rules(spark):
+    """RFC 3986 §6 canonicalization edge cases: case folds, default
+    ports, dot-segment stack semantics ('..' above root clamps), query
+    sort, empty-path slash, relative URLs pass through, NULL-safe."""
+    from pyspark.sql import functions as F
+
+    from da_transform_judgments_pipeline_spark.functions.strings import (
+        canonical_url,
+    )
+
+    cases = [
+        ("HTTP://ExAmPle.COM:80/a/./b/../c//d?z=1&a=2#frag",
+         "http://example.com/a/c/d?a=2&z=1"),
+        ("https://Host.net:443/", "https://host.net/"),
+        ("https://host.net:8443/x", "https://host.net:8443/x"),
+        ("http://h", "http://h/"),
+        ("http://h/p/../../..", "http://h/"),
+        ("http://h/a?b&a&", "http://h/a?a&b"),
+        ("relative/path", "relative/path"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i int, u string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("u")).alias("c"))
+        .collect()
+    }
+    for i, (inp, want) in enumerate(cases):
+        assert got[i] == want, (inp, got[i], want)
