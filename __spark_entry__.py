@@ -3709,6 +3709,28 @@ def q_f04_url_canonicalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_x30_split_assign(spark, sf_dir):
+    """Contamination-safe train/val/test assignment (text.split_assign):
+    the corpus plus a planted re-ingestion (every tenth document
+    re-appears under a NEW id with the same text — the duplication that
+    leaks benchmarks into training sets) is split 90/5/5 keyed on the
+    CONTENT fingerprint, not the row id, so both copies of every
+    duplicate land in the same split by construction. Pure map-side
+    md5-threshold expression (the x22/x10 variate — engine-independent);
+    DuckDB recomputes fingerprints, thresholds, and assignments."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    base = docs.union(dupes)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = base.withColumn("fp", F.md5(norm)).drop("text")
+    out = text.split_assign(
+        fp, ["fp"], {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "fp", "split").orderBy("doc_id")
+
+
 def q_d10_substring_dedup(spark, sf_dir):
     """Exact-substring dedup at sliding-window granularity
     (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
@@ -4005,12 +4027,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # levels make the lossy chain round-trip exact), and x29 (the
     # COMPOSED crawl-intake pipeline: WARC → html_text → language-ID →
     # fingerprint → first-owner dedup with planted mirror re-crawls,
-    # the x25 composition pattern applied to ingestion) are NEW and
-    # lead the window. Displaced past the cap: o09/s20/f03 (multi-
-    # green, unchanged; s20's layout machinery stays pinned by the m08
-    # family) and the d01-d03 dedup rows that had already rotated
-    # back — all multi-green, unchanged this round, still selfchecked
-    # locally via scripts/selfcheck.py.
+    # the x25 composition pattern applied to ingestion), and f04 (RFC
+    # 3986 URL canonicalization — the crawl-dedup key, dot-segment fold
+    # included — closed-form oracle) are NEW and lead the window
+    # (positions 1-7). Displaced past the cap this round: w08/f03/o09/
+    # s20 and the d01-d03 dedup rows — all multi-green, unchanged this
+    # round, still selfchecked locally via scripts/selfcheck.py (s20's
+    # layout machinery stays pinned by the m08 family, d01-d03's by the
+    # d10/d11 rows in-window; the position-50 boundary row is a24).
     # (a) NEW round 9
     "m15_pdf_parse": q_m15_pdf_parse,
     "m16_warc_extract": q_m16_warc_extract,
@@ -4019,6 +4043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m18_g711_decode_features": q_m18_g711_decode_features,
     "x29_crawl_pipeline": q_x29_crawl_pipeline,
     "f04_url_canonicalize": q_f04_url_canonicalize,
+    "x30_split_assign": q_x30_split_assign,
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
@@ -6205,6 +6230,29 @@ def oracle_sql() -> dict[str, str]:
         # (score DESC, doc_id) — both engines give early tiles the
         # extra rows, so bucket boundaries are value-exact
         "x28_ngram_repetition": _x28_sql(),
+        "x30_split_assign": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                   'g')))) AS fp
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                   'g'))))
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            h AS (
+              SELECT doc_id, fp,
+                     substring(md5(':' || fp), 1, 8) AS hv
+              FROM base
+            )
+            SELECT doc_id, fp,
+                   CASE WHEN hv < 'e6666666' THEN 'train'
+                        WHEN hv < 'f3333333' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h ORDER BY doc_id
+        """,
         "f04_url_canonicalize": """
             SELECT doc_id,
                    'HTTP://CaseLaw' || CAST(doc_id % 5 AS VARCHAR)

@@ -127,6 +127,8 @@ HEADLINE = [
     "m18_g711_decode_features",
     "x28_ngram_repetition",
     "x29_crawl_pipeline",
+    "f04_url_canonicalize",
+    "x30_split_assign",
 ]
 
 

@@ -212,6 +212,46 @@ def deterministic_sample(
     return df.filter(F.substring(F.md5(key), 1, 8) < F.lit(_hex_thr(rate)))
 
 
+def split_assign(
+    df: DataFrame,
+    key_cols: list[str],
+    rates: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, CONTAMINATION-SAFE train/val/test assignment: the
+    split is a pure function of the md5 of ``key_cols`` — key the split
+    on a CONTENT fingerprint (or dedup-cluster id), not the row id, and
+    every copy of a duplicated document lands in the SAME split, so
+    near-dup families can never straddle train and test (the benchmark-
+    leakage failure mode dedup pipelines exist to prevent).
+
+    Cumulative md5-prefix thresholds in ``rates`` insertion order (the
+    :func:`deterministic_sample` variate — engine-independent, so a
+    warehouse audit query re-derives the exact assignment); rates must
+    sum to 1 (±1e-9). Map-side expression only: no shuffle, no RNG
+    state, linear at 100 TB. ``salt`` derives independent splittings."""
+    total = sum(rates.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"rates must sum to 1, got {total}")
+    if len(rates) < 2:
+        raise ValueError("need at least two splits")
+    key = F.concat_ws(
+        ":", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+    )
+    h = F.substring(F.md5(key), 1, 8)
+    names = list(rates)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    chain = []
+    for name in names[:-1]:
+        cum += rates[name]
+        chain.append((name, _hex_thr(cum)))
+    for name, thr in reversed(chain):
+        expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 def _hex_thr(rate: float) -> str:
     """Lexicographic md5-prefix threshold for a keep-rate. rate=1.0 would
     render as 9 hex chars ("100000000"), which sorts BELOW 8-char
