@@ -202,3 +202,35 @@ def test_parse_pdfs_report_isolation(spark):
         parse_pdfs(df, on_error="raise").collect()
     with pytest.raises(ValueError, match="on_error"):
         parse_pdfs(df, on_error="nope")
+
+
+def test_binaryfile_scan_to_parse_pdfs(spark, tmp_path):
+    """The real consumer path: .pdf files on disk → binaryFile scan →
+    parse_pdfs, end to end."""
+    from da_transform_judgments_pipeline_spark.plans.editorial import (
+        parse_pdfs,
+    )
+
+    for i in range(3):
+        (tmp_path / f"j{i}.pdf").write_bytes(
+            build_pdf(
+                [f"Judgment {i}", f"[202{i}] UKSC {i + 1}"],
+                title=f"J{i}",
+                compress=(i % 2 == 0),
+            )
+        )
+    files = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path))
+        .selectExpr(
+            "cast(regexp_extract(path, 'j(\\\\d+)\\\\.pdf', 1) as long)"
+            " as doc_id",
+            "content",
+        )
+    )
+    out = parse_pdfs(files).orderBy("doc_id").collect()
+    assert [r["title"] for r in out] == ["J0", "J1", "J2"]
+    assert [r["cite"] for r in out] == [
+        "[2020] UKSC 1", "[2021] UKSC 2", "[2022] UKSC 3"
+    ]
+    assert all(r["error"] is None for r in out)

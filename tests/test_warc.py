@@ -180,3 +180,39 @@ def test_canonical_url_rules(spark):
     }
     for i, (inp, want) in enumerate(cases):
         assert got[i] == want, (inp, got[i], want)
+
+
+def test_binaryfile_scan_to_warc_records(spark, tmp_path):
+    """The real consumer path: .warc.gz files on disk → binaryFile scan
+    → warc_records → html_text, end to end."""
+    from pyspark.sql import functions as F
+
+    from da_transform_judgments_pipeline_spark.operators import text as T
+
+    for i in range(4):
+        (tmp_path / f"crawl-{i}.warc.gz").write_bytes(
+            W.build_warc_gz([{
+                "url": f"https://caselaw.example/{i}",
+                "date": "2021-03-04T05:06:07Z",
+                "payload": f"<html><body><p>case {i}</p></body></html>"
+                .encode(),
+            }])
+        )
+    files = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path))
+        .selectExpr(
+            "cast(regexp_extract(path, 'crawl-(\\\\d+)', 1) as long)"
+            " as file_id",
+            "content",
+        )
+    )
+    out = (
+        W.warc_records(files)
+        .filter(F.col("warc_type") == "response")
+        .withColumn("text", T.html_text(F.col("payload").cast("string")))
+        .orderBy("file_id")
+        .collect()
+    )
+    assert [r["text"] for r in out] == [f"case {i}" for i in range(4)]
+    assert all(r["digest_ok"] for r in out)
