@@ -3277,13 +3277,18 @@ def q_m13_docx_parse(spark, sf_dir):
 def q_m15_pdf_parse(spark, sf_dir):
     """REAL PDF text extraction under a hash oracle — the m13 loop for
     the corpus's OTHER document format: per document a genuine PDF 1.4
-    file (classic xref table, Helvetica text pages, Info dictionary; a
-    Flate-compressed content stream for every even doc_id, kerned TJ
-    show-arrays for every third, doc_id %% 3 raw image XObjects) is
+    file (Helvetica text pages, Info dictionary; a Flate-compressed
+    content stream for every even doc_id, kerned TJ show-arrays for
+    every third, doc_id %% 3 raw image XObjects; a classic xref TABLE
+    normally but a PDF 1.5 cross-reference STREAM — binary W=[1,4,2]
+    entries under the PNG Up predictor — for doc_id %% 5 == 4, with
+    every non-stream object additionally packed into a /Type /ObjStm
+    container via type-2 entries when doc_id %% 10 == 4) is
     assembled executor-side by plans/pdf_parser.build_pdf from
     closed-form paragraph/citation/metadata fields, then
-    plans/editorial.parse_pdfs fans the REAL stdlib parser (xref walk +
-    COS lexer + bounded FlateDecode + BT/ET text-operator extraction)
+    plans/editorial.parse_pdfs fans the REAL stdlib parser (xref
+    table AND stream walk + COS lexer + bounded FlateDecode + BT/ET
+    text-operator extraction)
     over the corpus as one Arrow-batched mapInPandas stage. Every
     output — the extracted text itself, title/author/created from the
     Info dict, neutral citation, page/line/char/image/compressed-stream
@@ -3331,6 +3336,8 @@ def q_m15_pdf_parse(spark, sf_dir):
                             compress=(d % 2 == 0),
                             tj_arrays=(d % 3 == 0),
                             images=d % 3,
+                            xref_stream=(d % 5 == 4),
+                            obj_streams=(d % 10 == 4),
                         )
                     )
                 )

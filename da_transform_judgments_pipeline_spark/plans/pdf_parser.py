@@ -276,6 +276,131 @@ class _Lexer:
         return out
 
 
+def _png_unpredict(data: bytes, columns: int, what: str) -> bytes:
+    """Reverse PNG row predictors 10-15 (ISO 32000 §7.4.4.4 routes them
+    to the PNG spec) over ``columns``-byte rows, 1 byte per component —
+    the encoding xref streams ship with in practice."""
+    rowlen = columns + 1
+    if rowlen <= 1 or len(data) % rowlen:
+        raise PdfError(
+            f"{what}: predictor data length {len(data)} not a multiple"
+            f" of row length {rowlen}"
+        )
+    out = bytearray()
+    prev = bytearray(columns)
+    for i in range(0, len(data), rowlen):
+        ft = data[i]
+        row = bytearray(data[i + 1:i + rowlen])
+        if ft == 1:  # Sub
+            for j in range(1, columns):
+                row[j] = (row[j] + row[j - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(columns):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(columns):
+                left = row[j - 1] if j else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(columns):
+                a = row[j - 1] if j else 0
+                b = prev[j]
+                c = prev[j - 1] if j else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                row[j] = (row[j] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfError(f"{what}: unknown PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _parse_xref_stream(data: bytes, start: int):
+    """Parse a PDF 1.5 cross-reference STREAM at ``start`` (ISO 32000
+    §7.5.8): a /Type /XRef stream object whose dict doubles as the
+    trailer; binary entries of /W field widths, optionally PNG-
+    predictor-coded, typed 0 (free) / 1 (offset) / 2 (in an object
+    stream).
+
+    Returns (offsets, compressed: {obj: (objstm_num, idx)}, trailer)."""
+    lx = _Lexer(data, start)
+    num, gen, kw = lx._word(), lx._word(), lx._word()
+    if kw != b"obj" or not num.isdigit():
+        raise PdfError(
+            f"startxref points at neither 'xref' nor an object"
+            f" ({num!r} {gen!r} {kw!r})"
+        )
+    obj = lx.read_object()
+    if not isinstance(obj, _Stream) or obj.dict.get("Type") != "XRef":
+        raise PdfError("startxref object is not a /Type /XRef stream")
+    length = obj.dict.get("Length")
+    if not isinstance(length, int):
+        raise PdfError("xref stream /Length must be a direct integer")
+    obj.raw = data[lx.pos:lx.pos + length]
+    if len(obj.raw) != length:
+        raise PdfError("xref stream truncated")
+    filt = obj.dict.get("Filter")
+    if filt is None:
+        body = obj.raw
+    elif filt == "FlateDecode":
+        dec = zlib.decompressobj()
+        try:
+            body = dec.decompress(obj.raw, PDF_MAX_STREAM_BYTES + 1)
+        except zlib.error as e:
+            raise PdfError(f"xref stream: corrupt Flate data ({e})")
+        if len(body) > PDF_MAX_STREAM_BYTES or dec.unconsumed_tail:
+            raise PdfBombError("xref stream inflates past bound")
+    else:
+        raise PdfError(f"xref stream: unsupported filter /{filt}")
+    parms = obj.dict.get("DecodeParms") or {}
+    if isinstance(parms, dict) and parms.get("Predictor", 1) >= 10:
+        body = _png_unpredict(
+            body, int(parms.get("Columns", 1)), "xref stream"
+        )
+    elif isinstance(parms, dict) and parms.get("Predictor", 1) != 1:
+        raise PdfError(
+            f"xref stream: unsupported predictor {parms.get('Predictor')}"
+        )
+    w = obj.dict.get("W")
+    if not (isinstance(w, list) and len(w) == 3
+            and all(isinstance(x, int) for x in w)):
+        raise PdfError(f"xref stream: bad /W {w!r}")
+    size = obj.dict.get("Size")
+    index = obj.dict.get("Index") or [0, size]
+    if not isinstance(size, int) or len(index) % 2:
+        raise PdfError("xref stream: bad /Size or /Index")
+    entry_len = sum(w)
+    offsets: dict[int, int] = {}
+    compressed: dict[int, tuple[int, int]] = {}
+    pos = 0
+    for k in range(0, len(index), 2):
+        first, count = int(index[k]), int(index[k + 1])
+        for obj_num in range(first, first + count):
+            if pos + entry_len > len(body):
+                raise PdfError("xref stream: entry data truncated")
+            fields = []
+            for width in w:
+                fields.append(
+                    int.from_bytes(body[pos:pos + width], "big")
+                    if width else None
+                )
+                pos += width
+            ftype = fields[0] if w[0] else 1  # absent type defaults to 1
+            if ftype == 1:
+                offsets.setdefault(obj_num, fields[1])
+            elif ftype == 2:
+                compressed.setdefault(
+                    obj_num, (fields[1], fields[2] or 0)
+                )
+            elif ftype != 0:
+                raise PdfError(f"xref stream: unknown entry type {ftype}")
+    return offsets, compressed, dict(obj.dict)
+
+
 def _parse_xref_table(data: bytes, start: int):
     """Parse one classic xref section + trailer at ``start``.
 
@@ -283,12 +408,6 @@ def _parse_xref_table(data: bytes, start: int):
     lx = _Lexer(data, start)
     word = lx._word()
     if word != b"xref":
-        if word.isdigit():
-            # startxref pointed at "N 0 obj": a PDF 1.5 xref STREAM
-            raise PdfError(
-                "cross-reference streams (PDF 1.5 /Type /XRef) are not"
-                " supported; only classic xref tables"
-            )
         raise PdfError(f"expected 'xref' at offset {start}, found {word!r}")
     offsets: dict[int, int] = {}
     while True:
@@ -337,6 +456,7 @@ class _Pdf:
         if m is None:
             raise PdfError("missing startxref")
         self.offsets: dict[int, int] = {}
+        self.compressed: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         seen = set()
         start = int(m.group(1))
@@ -345,15 +465,33 @@ class _Pdf:
             if start in seen:
                 raise PdfError("circular /Prev xref chain")
             seen.add(start)
-            offsets, trailer = _parse_xref_table(data, start)
+            probe = _Lexer(data, start)
+            if probe._word() == b"xref":
+                offsets, trailer = _parse_xref_table(data, start)
+                compressed = {}
+                # hybrid-reference file: the classic trailer points at a
+                # companion xref stream for 1.5-aware readers
+                if "XRefStm" in trailer:
+                    so, sc, _ = _parse_xref_stream(
+                        data, int(trailer["XRefStm"])
+                    )
+                    offsets = {**so, **offsets}
+                    compressed = sc
+            else:
+                offsets, compressed, trailer = _parse_xref_stream(
+                    data, start
+                )
             for k, v in offsets.items():
                 self.offsets.setdefault(k, v)
+            for k, v in compressed.items():
+                self.compressed.setdefault(k, v)
             for k, v in trailer.items():
                 self.trailer.setdefault(k, v)
             if "Prev" not in trailer:
                 break
             start = int(trailer["Prev"])
         self._cache: dict[int, object] = {}
+        self._objstms: dict[int, tuple[list, bytes, int]] = {}
         self._budget = [0]
 
     def resolve(self, obj):
@@ -361,10 +499,60 @@ class _Pdf:
             obj = self._load(obj.num)
         return obj
 
+    def _objstm(self, stm_num: int) -> tuple[list, bytes, int]:
+        """Load + decode one /Type /ObjStm container (ISO 32000 §7.5.7):
+        N (objnum, offset) header pairs, then the object bodies."""
+        if stm_num in self._objstms:
+            return self._objstms[stm_num]
+        container = self._load(stm_num)
+        if not isinstance(container, _Stream) or self.resolve(
+            container.dict.get("Type")
+        ) != "ObjStm":
+            raise PdfError(
+                f"object {stm_num} is not an object stream container"
+            )
+        n = self.resolve(container.dict.get("N"))
+        first = self.resolve(container.dict.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise PdfError(f"objstm {stm_num}: bad /N or /First")
+        buf = self.stream_bytes(container, f"objstm {stm_num}")
+        lx = _Lexer(buf, 0)
+        pairs = []
+        for _ in range(n):
+            a, b = lx._word(), lx._word()
+            if not (a.isdigit() and b.isdigit()):
+                raise PdfError(f"objstm {stm_num}: malformed pair table")
+            pairs.append((int(a), int(b)))
+        out = (pairs, buf, first)
+        self._objstms[stm_num] = out
+        return out
+
     def _load(self, num: int):
         if num in self._cache:
             return self._cache[num]
         if num not in self.offsets:
+            if num in self.compressed:
+                stm_num, idx = self.compressed[num]
+                pairs, buf, first = self._objstm(stm_num)
+                if idx >= len(pairs) or pairs[idx][0] != num:
+                    # tolerate index drift: find the object by number
+                    hits = [p for p in pairs if p[0] == num]
+                    if not hits:
+                        raise PdfError(
+                            f"object {num} not in objstm {stm_num}"
+                        )
+                    off = hits[0][1]
+                else:
+                    off = pairs[idx][1]
+                lx = _Lexer(buf, first + off)
+                obj = lx.read_object()
+                if isinstance(obj, _Stream):
+                    raise PdfError(
+                        f"object {num}: streams cannot live inside an"
+                        " object stream"
+                    )
+                self._cache[num] = obj
+                return obj
             raise PdfError(f"object {num} not in xref")
         lx = _Lexer(self.data, self.offsets[num])
         got_num = lx._word()
@@ -614,6 +802,8 @@ def build_pdf(
     compress: bool = False,
     tj_arrays: bool = False,
     images: int = 0,
+    xref_stream: bool = False,
+    obj_streams: bool = False,
 ) -> bytes:
     """Assemble a real PDF 1.4 file, deterministically (no timestamps
     beyond the explicit ``created``, pinned object numbering, pinned
@@ -622,9 +812,21 @@ def build_pdf(
     line as a kerned ``TJ`` array split at the first space (same
     extracted text); ``compress`` Flate-encodes every content stream;
     ``images`` embeds that many 2×2 raw /DeviceRGB image XObjects on
-    the first page (drawn via Do)."""
+    the first page (drawn via Do).
+
+    ``xref_stream`` writes a PDF 1.5 cross-reference STREAM (W=[1,4,2]
+    binary entries, PNG Up predictor, Flate) instead of the classic
+    table; ``obj_streams`` additionally packs every non-stream object
+    into one Flate-coded /Type /ObjStm container referenced by type-2
+    xref entries (requires ``xref_stream``). All modes decode to the
+    same document."""
     if paras_per_page < 1:
         raise ValueError("paras_per_page must be >= 1")
+    if obj_streams and not xref_stream:
+        raise ValueError(
+            "obj_streams requires xref_stream (classic tables cannot"
+            " express type-2 entries)"
+        )
     paras = list(paragraphs) or [""]
     pages = [
         paras[i:i + paras_per_page]
@@ -702,19 +904,79 @@ def build_pdf(
     info += b" >>"
     objs[info_id] = info
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    compressed_into: dict[int, tuple[int, int]] = {}
+    objstm_id = info_id + 1
+    if obj_streams:
+        dict_nums = [k for k in sorted(objs) if b"\nstream\n" not in objs[k]]
+        hdr_parts, body = [], bytearray()
+        for k in dict_nums:
+            hdr_parts.append(b"%d %d" % (k, len(body)))
+            body += objs[k] + b"\n"
+        hdr = b" ".join(hdr_parts) + b"\n"
+        payload = hdr + bytes(body)
+        zbody = zlib.compress(payload, 6)
+        for i, k in enumerate(dict_nums):
+            compressed_into[k] = (objstm_id, i)
+            del objs[k]
+        objs[objstm_id] = (
+            b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
+            b" /Length %d >>\nstream\n" % (len(dict_nums), len(hdr),
+                                           len(zbody))
+            + zbody + b"\nendstream"
+        )
+
+    version = b"1.5" if xref_stream else b"1.4"
+    out = bytearray(b"%PDF-" + version + b"\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
     for num in sorted(objs):
         offsets[num] = len(out)
         out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+
+    if not xref_stream:
+        xref_at = len(out)
+        n = max(objs) + 1
+        out += b"xref\n0 %d\n" % n
+        out += b"0000000000 65535 f \n"
+        for num in range(1, n):
+            out += b"%010d 00000 n \n" % offsets[num]
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (n, info_id, xref_at)
+        )
+        return bytes(out)
+
+    xref_id = max(list(objs) + list(compressed_into)) + 1
+    size = xref_id + 1
     xref_at = len(out)
-    n = max(objs) + 1
-    out += b"xref\n0 %d\n" % n
-    out += b"0000000000 65535 f \n"
-    for num in range(1, n):
-        out += b"%010d 00000 n \n" % offsets[num]
+    raw_rows = []
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num == xref_id:
+            t, f2, f3 = 1, xref_at, 0
+        elif num in offsets:
+            t, f2, f3 = 1, offsets[num], 0
+        else:
+            t, (stm, idx) = 2, compressed_into[num]
+            f2, f3 = stm, idx
+        raw_rows.append(
+            bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        )
+    # PNG Up predictor over 7-byte rows (what real writers emit)
+    filtered = bytearray()
+    prev = bytes(7)
+    for row in raw_rows:
+        filtered += b"\x02" + bytes(
+            (row[j] - prev[j]) & 0xFF for j in range(7)
+        )
+        prev = row
+    z = zlib.compress(bytes(filtered), 6)
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\n"
-        b"startxref\n%d\n%%%%EOF\n" % (n, info_id, xref_at)
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d]"
+        b" /Root 1 0 R /Info %d 0 R /Filter /FlateDecode"
+        b" /DecodeParms << /Predictor 12 /Columns 7 >> /Length %d"
+        b" >>\nstream\n" % (xref_id, size, size, info_id, len(z))
+        + z + b"\nendstream\nendobj\n"
     )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)

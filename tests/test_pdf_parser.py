@@ -121,14 +121,16 @@ def test_flate_bomb_refused():
         parse_pdf(blob)
 
 
-def test_unsupported_filter_and_xref_stream_refused():
+def test_unsupported_filter_and_bogus_startxref_refused():
     blob = _single_stream_pdf(b"BT ET", filt=b" /Filter /LZWDecode")
     with pytest.raises(PdfError, match="LZWDecode"):
         parse_pdf(blob)
-    # startxref pointing at an object = PDF 1.5 xref stream
+    # startxref pointing at neither a classic table nor an XRef stream
     good = build_pdf(["x"])
     tampered = good[: good.rfind(b"startxref")] + b"startxref\n9\n%%EOF\n"
-    with pytest.raises(PdfError, match="cross-reference streams"):
+    with pytest.raises(
+        PdfError, match="neither 'xref' nor an object|not a /Type /XRef"
+    ):
         parse_pdf(tampered)
 
 
@@ -234,3 +236,73 @@ def test_binaryfile_scan_to_parse_pdfs(spark, tmp_path):
         "[2020] UKSC 1", "[2021] UKSC 2", "[2022] UKSC 3"
     ]
     assert all(r["error"] is None for r in out)
+
+
+def test_xref_stream_and_object_stream_modes():
+    """PDF 1.5 structures: a /Type /XRef cross-reference stream (binary
+    W=[1,4,2] entries under the PNG Up predictor) and a /Type /ObjStm
+    object-stream container (type-2 entries) decode to EXACTLY the same
+    document as the classic-table encoding."""
+    paras = ["Case 7 heading", "[2007] EWCA Civ 8"] + [
+        f"Body {j} of 7." for j in range(4)
+    ]
+    base = None
+    for xs, os_ in ((False, False), (True, False), (True, True)):
+        for comp in (False, True):
+            r = parse_pdf(build_pdf(
+                paras, title="Case 7", author="CoA",
+                created="D:20210304050607Z", compress=comp,
+                tj_arrays=True, images=2,
+                xref_stream=xs, obj_streams=os_,
+            ))
+            key = {k: v for k, v in r.items()
+                   if k != "n_compressed_streams"}
+            assert r["lines"] == paras
+            assert r["n_images"] == 2 and r["n_pages"] == 2
+            if base is None:
+                base = key
+            assert key == base, (xs, os_, comp)
+    with pytest.raises(ValueError, match="requires xref_stream"):
+        build_pdf(["x"], obj_streams=True)
+
+
+def test_xref_stream_corruption_refused():
+    blob = build_pdf(["x"], xref_stream=True)
+    start = blob.rfind(b">>\nstream\n") + len(b">>\nstream\n")
+    # poison the zlib header of the xref stream's data
+    bad = blob[:start] + b"\x00\x00" + blob[start + 2:]
+    with pytest.raises(PdfError, match="corrupt Flate|not a"):
+        parse_pdf(bad)
+    # truncating the file kills startxref → typed refusal
+    with pytest.raises(PdfError):
+        parse_pdf(blob[:-40])
+
+
+def test_xref_stream_prev_chain_incremental_update():
+    """An incremental update whose NEW section is an xref stream over a
+    classic base: later sections win, /Prev walks back."""
+    base = build_pdf(["original text"], title="Old")
+    first_xref = int(base[base.rfind(b"startxref") + 9:].split()[0])
+    new_content = b"BT /F1 12 Tf 72 720 Td (updated text) Tj ET"
+    out = bytearray(base)
+    off5 = len(out)
+    out += (
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(new_content)
+        + new_content + b"\nendstream\nendobj\n"
+    )
+    xref_at = len(out)
+    import zlib as _z
+
+    # one type-1 entry for object 5, no predictor, W=[1,4,2]
+    entry = bytes([1]) + off5.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    z = _z.compress(entry)
+    out += (
+        b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Index [5 1]"
+        b" /Root 1 0 R /Prev %d /Filter /FlateDecode /Length %d"
+        b" >>\nstream\n" % (first_xref, len(z))
+        + z + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    r = parse_pdf(bytes(out))
+    assert r["text"] == "updated text"
+    assert r["title"] == "Old"
