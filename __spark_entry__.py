@@ -3738,6 +3738,64 @@ def q_x30_split_assign(spark, sf_dir):
     return out.select("doc_id", "fp", "split").orderBy("doc_id")
 
 
+def q_s21_robots_filter(spark, sf_dir):
+    """robots.txt crawl-policy filtering (operators/robots — RFC 9309:
+    group selection by product token with '*' fallback, Allow/Disallow
+    longest-match with Allow winning ties, no-match → allowed): per
+    document a URL on one of 20 hosts (path shape by doc_id %% 4), each
+    host's robots.txt generated closed-form (by host %% 3: a
+    Disallow-/private/-but-Allow-/private/public/ group, an
+    agent-specific graftbot group beside a deny-all '*' group — group
+    selection must pick graftbot — or an empty file). The parse is one
+    Arrow-batched pass per HOST (control-plane sized); the per-URL
+    decision is a broadcast join + pure array fold, so the crawl-scale
+    side never shuffles. Every decision has an analytic formula DuckDB
+    evaluates directly."""
+    from da_transform_judgments_pipeline_spark.operators import robots
+
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 4 == 0, F.lit("/private/doc.html"))
+        .when(d % 4 == 1, F.lit("/private/public/doc.html"))
+        .when(d % 4 == 2, F.lit("/tmp/x"))
+        .otherwise(F.lit("/ok"))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (d % 20).cast("string"),
+            F.lit(".example"), path,
+        ).alias("url"),
+    )
+    hosts = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.lit(
+                "User-agent: *\nDisallow: /private/\n"
+                "Allow: /private/public/\n"
+            ),
+        )
+        .when(
+            F.col("id") % 3 == 1,
+            F.lit(
+                "User-agent: graftbot\nDisallow: /tmp/\n\n"
+                "User-agent: *\nDisallow: /\n"
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("content"),
+    )
+    rules = robots.robots_rules(hosts, agent="graftbot")
+    return (
+        robots.robots_filter(urls, rules)
+        .select("doc_id", "url", "allowed")
+        .orderBy("doc_id")
+    )
+
+
 def q_d10_substring_dedup(spark, sf_dir):
     """Exact-substring dedup at sliding-window granularity
     (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
@@ -4051,6 +4109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x29_crawl_pipeline": q_x29_crawl_pipeline,
     "f04_url_canonicalize": q_f04_url_canonicalize,
     "x30_split_assign": q_x30_split_assign,
+    "s21_robots_filter": q_s21_robots_filter,
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
@@ -6237,6 +6296,24 @@ def oracle_sql() -> dict[str, str]:
         # (score DESC, doc_id) — both engines give early tiles the
         # extra rows, so bucket boundaries are value-exact
         "x28_ngram_repetition": _x28_sql(),
+        "s21_robots_filter": """
+            SELECT doc_id,
+                   'https://h' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example'
+                     || CASE CAST(doc_id % 4 AS INT)
+                          WHEN 0 THEN '/private/doc.html'
+                          WHEN 1 THEN '/private/public/doc.html'
+                          WHEN 2 THEN '/tmp/x'
+                          ELSE '/ok' END AS url,
+                   CASE
+                     WHEN doc_id % 20 % 3 = 0 AND doc_id % 4 = 0
+                       THEN FALSE
+                     WHEN doc_id % 20 % 3 = 1 AND doc_id % 4 = 2
+                       THEN FALSE
+                     ELSE TRUE
+                   END AS allowed
+            FROM documents ORDER BY doc_id
+        """,
         "x30_split_assign": r"""
             WITH base AS (
               SELECT doc_id,

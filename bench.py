@@ -129,6 +129,7 @@ HEADLINE = [
     "x29_crawl_pipeline",
     "f04_url_canonicalize",
     "x30_split_assign",
+    "s21_robots_filter",
 ]
 
 
