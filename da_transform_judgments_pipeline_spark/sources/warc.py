@@ -59,19 +59,33 @@ def split_gzip_members(blob: bytes) -> list[bytes]:
     """Decompress a concatenation of independent gzip members into the
     list of member payloads, bomb-bounded. A non-gzip blob is treated
     as a single uncompressed WARC file (the spec allows plain .warc)."""
+    return [m for m, _, _ in split_gzip_members_indexed(blob)]
+
+
+def split_gzip_members_indexed(
+    blob: bytes,
+) -> list[tuple[bytes, int, int]]:
+    """Like :func:`split_gzip_members` but each element is
+    (payload, compressed_offset, compressed_length) — the byte range of
+    that member INSIDE the .warc.gz file. These ranges are what a CDX
+    index stores: ``blob[off:off+length]`` is a complete standalone
+    gzip stream, so a petabyte archive serves any single record with
+    one ranged GET + one small inflate (the Common Crawl access
+    pattern)."""
     if blob[:2] != b"\x1f\x8b":
-        return [bytes(blob)]
-    out: list[bytes] = []
+        return [(bytes(blob), 0, len(blob))]
+    out: list[tuple[bytes, int, int]] = []
     total = 0
-    rest = bytes(blob)
-    while rest:
-        if rest[:2] != b"\x1f\x8b":
+    blob = bytes(blob)
+    pos = 0
+    while pos < len(blob):
+        if blob[pos:pos + 2] != b"\x1f\x8b":
             raise WarcError(
-                f"garbage between gzip members at byte {len(blob) - len(rest)}"
+                f"garbage between gzip members at byte {pos}"
             )
         dec = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            member = dec.decompress(rest, WARC_MAX_MEMBER_BYTES + 1)
+            member = dec.decompress(blob[pos:], WARC_MAX_MEMBER_BYTES + 1)
         except zlib.error as e:
             raise WarcError(f"corrupt gzip member: {e}")
         if len(member) > WARC_MAX_MEMBER_BYTES or dec.unconsumed_tail:
@@ -85,8 +99,9 @@ def split_gzip_members(blob: bytes) -> list[bytes]:
             raise WarcBombError(
                 f"cumulative inflated bytes exceed {WARC_MAX_TOTAL_BYTES}"
             )
-        out.append(member)
-        rest = dec.unused_data
+        clen = (len(blob) - pos) - len(dec.unused_data)
+        out.append((member, pos, clen))
+        pos += clen
     return out
 
 
@@ -371,3 +386,86 @@ def build_warc_gz(
     if gzip_members:
         return b"".join(_gzip_member(m) for m in members)
     return b"".join(members)
+
+
+WARC_CDX_SCHEMA = (
+    "file_id long, pos int, target_uri string, warc_type string,"
+    " offset long, length long, payload_digest string, http_status int"
+)
+
+
+def warc_cdx(
+    files: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    on_error: str = "report",
+) -> DataFrame:
+    """Build the CDX-style random-access index of a WARC corpus: one row
+    per record with the COMPRESSED byte range (offset, length) of its
+    gzip member inside the file — the structure that lets a petabyte
+    archive serve any single record with one ranged GET + one small
+    inflate instead of a full-file scan (what makes WARC corpora
+    seekable at 100 TB; pair with :func:`fetch_warc_record`). Digest
+    and HTTP status ride along so the index doubles as a fetch-free
+    integrity/quality surface."""
+    if on_error not in ("raise", "report"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'report', not {on_error!r}"
+        )
+    report = on_error == "report"
+
+    src = files.select(
+        F.col(id_col).alias("file_id"), F.col(content_col).alias("_blob")
+    )
+    cols = [
+        "file_id", "pos", "target_uri", "warc_type", "offset", "length",
+        "payload_digest", "http_status",
+    ] + (["error"] if report else [])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fid, blob in zip(pdf["file_id"], pdf["_blob"]):
+                try:
+                    for i, (member, off, clen) in enumerate(
+                        split_gzip_members_indexed(bytes(blob))
+                    ):
+                        rec, _ = _parse_one(member)
+                        rows.append({
+                            "file_id": fid,
+                            "pos": i,
+                            "target_uri": rec["target_uri"],
+                            "warc_type": rec["warc_type"],
+                            "offset": off,
+                            "length": clen,
+                            "payload_digest": base64.b32encode(
+                                hashlib.sha1(rec["payload"]).digest()
+                            ).decode("ascii"),
+                            "http_status": rec["http_status"],
+                            **({"error": None} if report else {}),
+                        })
+                except Exception as e:
+                    if not report:
+                        raise
+                    row = {c: None for c in cols}
+                    row["file_id"] = fid
+                    row["error"] = f"{type(e).__name__}: {e}"
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = WARC_CDX_SCHEMA + (", error string" if report else "")
+    return src.mapInPandas(run, schema=schema)
+
+
+def fetch_warc_record(blob: bytes, offset: int, length: int) -> dict:
+    """Random access: decode ONE record from its CDX byte range without
+    touching the rest of the file (``blob`` may be just the ranged
+    bytes — pass offset=0 then)."""
+    member = split_gzip_members(bytes(blob)[offset:offset + length])
+    if len(member) != 1:
+        raise WarcError(
+            f"CDX range does not hold exactly one member ({len(member)})"
+        )
+    return parse_warc_record(member[0])

@@ -216,3 +216,35 @@ def test_binaryfile_scan_to_warc_records(spark, tmp_path):
     )
     assert [r["text"] for r in out] == [f"case {i}" for i in range(4)]
     assert all(r["digest_ok"] for r in out)
+
+
+def test_warc_cdx_random_access(spark):
+    """The CDX contract: every indexed (offset, length) range is a
+    complete standalone gzip member — fetch_warc_record decodes the
+    record from ONLY those bytes (one ranged GET at archive scale), and
+    the index's digest matches the record actually stored there."""
+    blob = W.build_warc_gz(RESP)
+    files = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(blob[:-5]))],
+        "file_id long, content binary",
+    )
+    rows = W.warc_cdx(files).collect()
+    good = [r for r in rows if r["file_id"] == 1]
+    assert len(good) == 4 and all(r["error"] is None for r in good)
+    assert sum(r["length"] for r in good) == len(blob)
+    for r in good:
+        rec = W.fetch_warc_record(
+            blob[r["offset"]:r["offset"] + r["length"]], 0, r["length"]
+        )
+        assert rec["target_uri"] == r["target_uri"]
+        if rec["warc_type"] == "response":
+            import base64
+            import hashlib
+
+            assert r["payload_digest"] == base64.b32encode(
+                hashlib.sha1(rec["payload"]).digest()
+            ).decode("ascii")
+    bad = [r for r in rows if r["file_id"] == 2]
+    assert len(bad) == 1 and bad[0]["error"] is not None
+    with pytest.raises(W.WarcError, match="exactly one member"):
+        W.fetch_warc_record(blob, 0, len(blob))
