@@ -3796,6 +3796,38 @@ def q_s21_robots_filter(spark, sf_dir):
     )
 
 
+def q_x31_corpus_report(spark, sf_dir):
+    """The per-source CORPUS HEALTH REPORT — the composition a curation
+    team actually reads before training: per source, document count,
+    total tokens, English fraction numerator (x02's stopword argmax),
+    Gopher quality pass count (x12's full rule cascade), and distinct-
+    content count (the x29/x30 fingerprint — n_docs minus it is the
+    exact-dup volume). Every constituent operator already has a green
+    oracle; this pins their INTERPLAY: one quality scan + one language
+    scan + one fingerprint, then a single groupBy(source) — all counts
+    integer-exact, so the oracle (which recomputes the whole cascade in
+    SQL) hash-matches without float tolerance."""
+    docs = _T(spark, sf_dir, "documents")
+    q = text.quality_filter(docs)
+    lang = text.language_id(docs).select("doc_id", "detected_lang")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        q.join(lang, "doc_id")
+        .withColumn("fp", F.md5(norm))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum((F.col("detected_lang") == "en").cast("long")).alias(
+                "n_english"
+            ),
+            F.sum("keep").alias("n_quality_pass"),
+            F.countDistinct("fp").alias("n_distinct_content"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_d10_substring_dedup(spark, sf_dir):
     """Exact-substring dedup at sliding-window granularity
     (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
@@ -4110,6 +4142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f04_url_canonicalize": q_f04_url_canonicalize,
     "x30_split_assign": q_x30_split_assign,
     "s21_robots_filter": q_s21_robots_filter,
+    "x31_corpus_report": q_x31_corpus_report,
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
@@ -4667,6 +4700,75 @@ def _x28_sql(top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
         + "\nFROM " + "\n     ".join(joins)
         + "\nORDER BY d.doc_id"
     )
+
+
+def _x31_sql() -> str:
+    """x31 oracle: the x12 quality cascade + x02 language argmax + the
+    content fingerprint recomputed in one SQL pipeline, then the same
+    per-source integer-exact aggregates."""
+    hits = ",\n         ".join(
+        f"len(list_filter(tk, x -> lower(x) IN {words})) AS hits_{lang}"
+        for lang, words in _LANG_HITS.items()
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+               / greatest(len(tk), 1), 4) AS mean_token_len,
+         round(len(list_filter(tk,
+                   x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+               / greatest(len(tk), 1), 4) AS alpha_ratio,
+         CAST(len(list_filter(tk, x -> lower(x) IN
+              ('the','a','an','of','and','to','in','is','it',
+               'that','for','on','with','as','was','at','by',
+               'be'))) AS BIGINT) AS stop_hits,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text)
+                   - length(replace(text, '...', ''))) / 3.0)
+               / greatest(len(tk), 1), 4) AS symbol_ratio,
+         {hits}
+  FROM t
+), r AS (
+  SELECT *,
+         CASE WHEN n_tokens < 20 THEN 0
+              WHEN n_tokens > 100000 THEN 0
+              WHEN mean_token_len < 3.0 THEN 0
+              WHEN mean_token_len > 10.0 THEN 0
+              WHEN alpha_ratio < 0.8 THEN 0
+              WHEN stop_hits < 2 THEN 0
+              WHEN symbol_ratio > 0.1 THEN 0
+              ELSE 1 END AS keep,
+         CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0
+              THEN 'und'
+              ELSE CASE
+                WHEN hits_en >= hits_de AND hits_en >= hits_es
+                     AND hits_en >= hits_fr THEN 'en'
+                WHEN hits_es >  hits_en AND hits_es >= hits_fr
+                     AND hits_es >= hits_de THEN 'es'
+                WHEN hits_fr >  hits_en AND hits_fr >  hits_es
+                     AND hits_fr >= hits_de THEN 'fr'
+                ELSE 'de' END
+         END AS detected_lang
+  FROM s
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(r.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN r.detected_lang = 'en' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_english,
+       CAST(sum(r.keep) AS BIGINT) AS n_quality_pass,
+       CAST(count(DISTINCT md5(lower(trim(
+            regexp_replace(d.text, '\s+', ' ', 'g'))))) AS BIGINT)
+           AS n_distinct_content
+FROM documents d JOIN r USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
 
 
 def _x29_sql() -> str:
@@ -6359,6 +6461,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "x29_crawl_pipeline": _x29_sql(),
+        "x31_corpus_report": _x31_sql(),
         "x26_perplexity_buckets": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -130,6 +130,7 @@ HEADLINE = [
     "f04_url_canonicalize",
     "x30_split_assign",
     "s21_robots_filter",
+    "x31_corpus_report",
 ]
 
 
