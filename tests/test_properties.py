@@ -498,3 +498,119 @@ def test_batch_validation_report_matches_python_model(specs):
         for r in batch_validation_report(df).collect()
     }
     assert got == want
+
+
+FAST = settings(max_examples=60, deadline=None, derandomize=True)
+
+
+@FAST
+@given(
+    data=st.binary(min_size=0, max_size=4000),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+def test_gif_lzw_roundtrip_property(data, mcs):
+    """decode(encode(x)) == x for arbitrary index streams at every
+    minimum code size — the width-boundary and KwKwK cases fall out of
+    the byte strategy (regression guard for the tail-append width
+    bug)."""
+    from da_transform_judgments_pipeline_spark.operators.imagecodec import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    idx = bytes(b % (1 << mcs) for b in data)
+    assert bytes(_lzw_decode(_lzw_encode(idx, mcs), mcs, 10**7)) == idx
+
+
+@FAST
+@given(
+    paras=st.lists(
+        st.text(
+            alphabet=string.ascii_letters + string.digits + " ()\\#/-.,",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    compress=st.booleans(),
+    tj=st.booleans(),
+    xs=st.booleans(),
+)
+def test_pdf_text_roundtrip_property(paras, compress, tj, xs):
+    """build_pdf → parse_pdf recovers exactly the non-empty paragraph
+    lines across every encoder mode, including strings full of PDF
+    delimiters and escapes."""
+    from da_transform_judgments_pipeline_spark.plans.pdf_parser import (
+        build_pdf,
+        parse_pdf,
+    )
+
+    blob = build_pdf(
+        paras, compress=compress, tj_arrays=tj,
+        xref_stream=xs, obj_streams=xs,
+    )
+    # empty paragraphs emit an empty show string → no extracted line
+    assert parse_pdf(blob)["lines"] == [p for p in paras if p]
+
+
+@FAST
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=300), min_size=0, max_size=5
+    ),
+    gz=st.booleans(),
+)
+def test_warc_roundtrip_property(payloads, gz):
+    """build_warc_gz → parse_warc recovers every payload byte-exactly
+    with verified digests, in both framings."""
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        build_warc_gz,
+        parse_warc,
+    )
+
+    resp = [
+        {
+            "url": f"https://h.example/{i}",
+            "date": "2021-03-04T05:06:07Z",
+            "payload": p,
+        }
+        for i, p in enumerate(payloads)
+    ]
+    recs = parse_warc(build_warc_gz(resp, gzip_members=gz))
+    assert len(recs) == len(payloads) + 1
+    for i, p in enumerate(payloads):
+        assert recs[i + 1]["payload"] == p
+        assert recs[i + 1]["digest_ok"] is True
+
+
+@FAST
+@given(
+    rules=st.lists(
+        st.tuples(
+            st.text(alphabet="/abde", min_size=1, max_size=6),
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    path=st.text(alphabet="/abde", min_size=1, max_size=8),
+)
+def test_robots_longest_match_model_property(rules, path):
+    """parse_robots + the longest-match decision agree with a tiny
+    reference model: among matching rules take max(len) with Allow
+    winning ties; no match → allowed."""
+    from da_transform_judgments_pipeline_spark.operators.robots import (
+        parse_robots,
+    )
+
+    content = "User-agent: *\n" + "".join(
+        f"{'Allow' if a else 'Disallow'}: {p}\n" for p, a in rules
+    )
+    got_rules = parse_robots(content, "anybot")
+    assert got_rules == [(p, a) for p, a in rules]
+    matching = [(len(p), a) for p, a in got_rules if path.startswith(p)]
+    expected = max(matching)[1] if matching else True
+    # mirror of the Spark fold: max by (length, allow)
+    best = max(matching) if matching else None
+    assert (best[1] if best else True) == expected
