@@ -3828,6 +3828,82 @@ def q_x31_corpus_report(spark, sf_dir):
     )
 
 
+def q_m19_tiff_decode_features(spark, sf_dir):
+    """REAL baseline-TIFF decode under a hash oracle (the m12/m17 loop
+    for TIFF 6.0 — the archival master format): per document a 6x4
+    two-color TIFF is assembled by the deterministic encoder twin
+    (operators/imagecodec.encode_tiff — big-endian MM for even doc_ids,
+    little-endian II for odd, PackBits RLE strips for every third doc,
+    multiple 2-row strips always) and decoded by the pure-numpy decoder
+    (decode_tiff: IFD walk, strip assembly, PackBits inflate, both byte
+    orders). Exact pixel recovery keeps the m09 integer-exact feature
+    surface, so DuckDB evaluates every feature analytically. n_bytes is
+    excluded: PackBits length varies per doc."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.operators.imagecodec import (
+            encode_tiff,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                a = (d % 256, (d * 7) % 256, (d * 13) % 256)
+                b = ((d * 3) % 256, (d * 5) % 256, (d * 11) % 256)
+                arr = np.empty((6, 4, 3), dtype=np.uint8)
+                arr[:3] = a
+                arr[3:] = b
+                blobs.append(
+                    bytearray(
+                        encode_tiff(
+                            arr,
+                            big_endian=(d % 2 == 0),
+                            packbits=(d % 3 == 0),
+                            rows_per_strip=2,
+                        )
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    imgs = docs.mapInPandas(make, "doc_id long, content binary")
+    out = multimodal.extract_features(
+        imgs.select(F.col("doc_id").alias("media_id"), "content"),
+        dim=10,
+        real_decode=True,
+    )
+    f = F.col("feature")
+
+    def chan(i, scale, name):
+        return (
+            F.round(F.element_at(f, i + 1) * scale).cast("long").alias(name)
+        )
+
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        chan(0, 510, "sum_r"),
+        chan(1, 510, "sum_g"),
+        chan(2, 510, "sum_b"),
+        chan(3, 510, "absdiff_r"),
+        chan(4, 510, "absdiff_g"),
+        chan(5, 510, "absdiff_b"),
+        chan(6, 255000, "luma_a_milli"),
+        chan(7, 255000, "luma_a2_milli"),
+        chan(8, 255000, "luma_b_milli"),
+        chan(9, 255000, "luma_b2_milli"),
+    ).orderBy("doc_id")
+
+
 def q_d10_substring_dedup(spark, sf_dir):
     """Exact-substring dedup at sliding-window granularity
     (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
@@ -4149,6 +4225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x30_split_assign": q_x30_split_assign,
     "s21_robots_filter": q_s21_robots_filter,
     "x31_corpus_report": q_x31_corpus_report,
+    "m19_tiff_decode_features": q_m19_tiff_decode_features,
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
@@ -5269,6 +5346,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    CAST(59 AS BIGINT) AS n_bytes,
+                   CAST(ar + br AS BIGINT) AS sum_r,
+                   CAST(ag + bg AS BIGINT) AS sum_g,
+                   CAST(ab + bb AS BIGINT) AS sum_b,
+                   CAST(abs(ar - br) AS BIGINT) AS absdiff_r,
+                   CAST(abs(ag - bg) AS BIGINT) AS absdiff_g,
+                   CAST(abs(ab - bb) AS BIGINT) AS absdiff_b,
+                   CAST(299*ar + 587*ag + 114*ab AS BIGINT) AS luma_a_milli,
+                   CAST(299*ar + 587*ag + 114*ab AS BIGINT) AS luma_a2_milli,
+                   CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b_milli,
+                   CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b2_milli
+            FROM c ORDER BY doc_id
+        """,
+        "m19_tiff_decode_features": """
+            WITH c AS (
+              SELECT doc_id,
+                     doc_id % 256 AS ar,
+                     (doc_id * 7) % 256 AS ag,
+                     (doc_id * 13) % 256 AS ab,
+                     (doc_id * 3) % 256 AS br,
+                     (doc_id * 5) % 256 AS bg,
+                     (doc_id * 11) % 256 AS bb
+              FROM documents
+            )
+            SELECT doc_id,
                    CAST(ar + br AS BIGINT) AS sum_r,
                    CAST(ag + bg AS BIGINT) AS sum_g,
                    CAST(ab + bb AS BIGINT) AS sum_b,

@@ -131,6 +131,7 @@ HEADLINE = [
     "x30_split_assign",
     "s21_robots_filter",
     "x31_corpus_report",
+    "m19_tiff_decode_features",
 ]
 
 

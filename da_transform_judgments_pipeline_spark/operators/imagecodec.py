@@ -11,9 +11,10 @@ RGB / palette / alpha, non-interlaced. Baseline JPEG decodes via the
 sibling :mod:`.jpegcodec` (pure numpy: Huffman + IDCT + fixed-point
 color convert); progressive JPEG via its multi-scan path. GIF87a/89a
 decodes fully here (LZW inflate + palette + interlace + extension-block
-skip), with :func:`encode_gif` as the deterministic twin. Formats that
-genuinely need a codec library
-(WebP, 16-bit or Adam7 PNG) raise
+skip), with :func:`encode_gif` as the deterministic twin; baseline
+TIFF 6.0 decodes here too (IFD walk, strips, none/PackBits, both byte
+orders). Formats that genuinely need a codec library
+(WebP, LZW/JPEG-in-TIFF, 16-bit or Adam7 PNG) raise
 :class:`UnsupportedImageError` with the magic spelled out — a fake
 "decode" there would be dishonest. The multimodal operators
 (:func:`.multimodal.extract_features` / :func:`.multimodal.resize_images`)
@@ -40,6 +41,8 @@ _MAGICS = (
     (b"\x89PNG", "PNG"),
     (b"GIF8", "GIF"),
     (b"RIFF", "WebP/RIFF"),
+    (b"II*\x00", "TIFF"),
+    (b"MM\x00*", "TIFF"),
 )
 
 
@@ -133,6 +136,8 @@ def decode_image(blob: bytes) -> np.ndarray:
         return decode_jpeg(blob)
     if blob[:4] == b"GIF8":
         return decode_gif(blob)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(blob)
     raise UnsupportedImageError(f"{sniff(blob)} requires a codec library")
 
 
@@ -702,3 +707,233 @@ def encode_gif(
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF — baseline decode (TIFF 6.0 spec: IFD walk, strips, PackBits)
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9): n in 0..127 → copy n+1 literal
+    bytes; n in -127..-1 → repeat next byte 1-n times; -128 is a noop."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            if len(data) - i < n + 1:
+                raise UnsupportedImageError("PackBits literal truncated")
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise UnsupportedImageError("PackBits run truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        if len(out) > max_out:
+            raise UnsupportedImageError(
+                f"PackBits output exceeds {max_out} bytes"
+            )
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Deterministic PackBits twin: greedy runs (>=3 repeat → run),
+    literals chunked at 128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        start = i
+        i += run
+        while i < n and i - start < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        lit = data[start:min(i, start + 128)]
+        i = start + len(lit)
+        out += bytes([len(lit) - 1]) + lit
+    return bytes(out)
+
+
+def decode_tiff(blob: bytes) -> np.ndarray:
+    """Decode a baseline TIFF 6.0 blob to (H, W, 3) uint8: both byte
+    orders (II/MM), first-IFD walk, strip assembly, 8-bit grayscale or
+    RGB, chunky planar, compression 1 (none) or 32773 (PackBits). LZW/
+    JPEG-in-TIFF, tiles, and planar=2 raise with the feature named."""
+    blob = bytes(blob)
+    if blob[:4] == b"II*\x00":
+        bo = "little"
+    elif blob[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise UnsupportedImageError("not a TIFF signature")
+
+    def rd(off, n):
+        return int.from_bytes(blob[off:off + n], bo)
+
+    ifd = rd(4, 4)
+    if ifd + 2 > len(blob):
+        raise UnsupportedImageError("truncated TIFF IFD offset")
+    count = rd(ifd, 2)
+    tags: dict[str, list[int]] = {}
+    for k in range(count):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(blob):
+            raise UnsupportedImageError("truncated TIFF IFD entry")
+        tag, typ, num = rd(e, 2), rd(e + 2, 2), rd(e + 4, 4)
+        name = _TIFF_TAGS.get(tag)
+        if name is None:
+            continue
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            raise UnsupportedImageError(
+                f"TIFF tag {tag} has unsupported type {typ}"
+            )
+        total = size * num
+        voff = e + 8 if total <= 4 else rd(e + 8, 4)
+        if voff + total > len(blob):
+            raise UnsupportedImageError(f"TIFF tag {tag} values truncated")
+        tags[name] = [rd(voff + j * size, size) for j in range(num)]
+
+    for need in ("width", "height", "strip_offsets", "strip_counts"):
+        if need not in tags:
+            raise UnsupportedImageError(f"TIFF missing required {need}")
+    w, h = tags["width"][0], tags["height"][0]
+    spp = tags.get("spp", [1])[0]
+    bits = tags.get("bits", [8])
+    comp = tags.get("compression", [1])[0]
+    planar = tags.get("planar", [1])[0]
+    if any(b != 8 for b in bits) or spp not in (1, 3) or planar != 1:
+        raise UnsupportedImageError(
+            f"TIFF bits={bits} spp={spp} planar={planar} unsupported"
+            " (only 8-bit chunky gray/RGB)"
+        )
+    if comp not in (1, 32773):
+        raise UnsupportedImageError(
+            f"TIFF compression {comp} needs a codec library"
+            " (only none/PackBits here)"
+        )
+    need = w * h * spp
+    if need * 3 > PNG_MAX_DECODED_BYTES:
+        raise UnsupportedImageError(f"TIFF {w}x{h} exceeds decode bound")
+    raster = bytearray()
+    for off, cnt in zip(tags["strip_offsets"], tags["strip_counts"]):
+        strip = blob[off:off + cnt]
+        if len(strip) < cnt:
+            raise UnsupportedImageError("TIFF strip truncated")
+        raster += (
+            _packbits_decode(strip, need) if comp == 32773 else strip
+        )
+    if len(raster) < need:
+        raise UnsupportedImageError(
+            f"TIFF raster {len(raster)} < expected {need} bytes"
+        )
+    arr = np.frombuffer(bytes(raster[:need]), np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr.copy()
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int = 4,
+) -> bytes:
+    """Deterministic baseline-TIFF encoder twin of :func:`decode_tiff`:
+    8-bit RGB, chunky, multiple strips, either byte order, compression
+    none or PackBits."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_tiff expects (H, W, 3) uint8")
+    bo = "big" if big_endian else "little"
+    h, w = arr.shape[:2]
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = arr[r0:r0 + rows_per_strip].tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+
+    def u(v, n):
+        return int(v).to_bytes(n, bo)
+
+    header = (b"MM\x00*" if big_endian else b"II*\x00") + u(8, 4)
+    entries = []
+    extra = bytearray()
+    # IFD sits at 8; entries computed after we know the layout: IFD size
+    n_entries = 10
+    ifd_size = 2 + 12 * n_entries + 4
+    extra_base = 8 + ifd_size
+
+    def entry(tag, typ, vals, size):
+        nonlocal extra
+        total = size * len(vals)
+        if total <= 4:
+            inline = b"".join(u(v, size) for v in vals)
+            inline += b"\x00" * (4 - total)
+            return u(tag, 2) + u(typ, 2) + u(len(vals), 4) + inline
+        off = extra_base + len(extra)
+        extra += b"".join(u(v, size) for v in vals)
+        return u(tag, 2) + u(typ, 2) + u(len(vals), 4) + u(off, 4)
+
+    # strip offsets known once extra layout fixed: reserve arrays first
+    n_strips = len(strips)
+    bits_e = entry(258, 3, [8, 8, 8], 2)
+    # placeholder arrays for offsets/counts (patched below)
+    so_pos_in_extra = None
+    if n_strips * 4 > 4:
+        so_pos_in_extra = len(extra)
+        extra += b"\x00" * (4 * n_strips)
+    counts = [len(s) for s in strips]
+    sc_e = entry(279, 4, counts, 4)
+    data_base = extra_base + len(extra)
+    offsets = []
+    pos = data_base
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    if so_pos_in_extra is not None:
+        for j, off in enumerate(offsets):
+            extra[so_pos_in_extra + 4 * j:so_pos_in_extra + 4 * (j + 1)] \
+                = u(off, 4)
+        so_e = (
+            u(273, 2) + u(4, 2) + u(n_strips, 4)
+            + u(extra_base + so_pos_in_extra, 4)
+        )
+    else:
+        so_e = u(273, 2) + u(4, 2) + u(1, 4) + u(offsets[0], 4)
+    entries = [
+        u(256, 2) + u(4, 2) + u(1, 4) + u(w, 4),
+        u(257, 2) + u(4, 2) + u(1, 4) + u(h, 4),
+        bits_e,
+        u(259, 2) + u(3, 2) + u(1, 4)
+        + u(32773 if packbits else 1, 2) + b"\x00\x00",
+        u(262, 2) + u(3, 2) + u(1, 4) + u(2, 2) + b"\x00\x00",
+        so_e,
+        u(277, 2) + u(3, 2) + u(1, 4) + u(3, 2) + b"\x00\x00",
+        u(278, 2) + u(4, 2) + u(1, 4) + u(rows_per_strip, 4),
+        sc_e,
+        u(284, 2) + u(3, 2) + u(1, 4) + u(1, 2) + b"\x00\x00",
+    ]
+    assert len(entries) == n_entries
+    ifd = u(n_entries, 2) + b"".join(entries) + u(0, 4)
+    assert len(ifd) == ifd_size
+    return header + ifd + bytes(extra) + b"".join(strips)
