@@ -429,3 +429,18 @@ def test_warc_and_pdf_record_schemas_prune(spark):
 
     assert "payload binary" in WARC_RECORD_SCHEMA
     assert "n_pages int" in PARSED_PDF_SCHEMA
+
+
+def test_canonical_url_is_map_side(spark):
+    """f04's scale contract: canonicalization (incl. the dot-segment
+    aggregate fold) is a pure projection — no Exchange, no Python."""
+    from da_transform_judgments_pipeline_spark.functions.strings import (
+        canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "HTTP://A.b:80/x/../y?b&a#f")], "i int, u string"
+    )
+    out = df.select(canonical_url("u").alias("c"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
