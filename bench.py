@@ -132,6 +132,8 @@ HEADLINE = [
     "s21_robots_filter",
     "x31_corpus_report",
     "m19_tiff_decode_features",
+    "x32_shard_plan",
+    "m20_zip_extract",
 ]
 
 

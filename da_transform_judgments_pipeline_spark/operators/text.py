@@ -252,6 +252,43 @@ def split_assign(
     return df.withColumn(out_col, expr)
 
 
+def shard_plan(
+    df: DataFrame,
+    target_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-BALANCED output sharding: assign each document to a shard
+    so every shard holds ~``target_tokens`` (greedy by running total —
+    a shard's overshoot is bounded by one document). Training
+    dataloaders want uniform shards; naive row-count sharding skews by
+    document length.
+
+    Deterministic: documents pack in ``id_col`` order WITHIN each
+    source (shards never mix sources — the x22/x23 mixture semantics),
+    so the plan is reproducible across runs and engines. One window
+    sort per source partition; no global ordering bottleneck — at 100
+    TB each source's window runs parallel to the others, and a single
+    skewed source can be pre-split on a salt of the id order."""
+    if target_tokens < 1:
+        raise ValueError("target_tokens must be >= 1")
+    from pyspark.sql import Window
+
+    toks = token_count(F.col(text_col))
+    out = df.withColumn("n_tokens", toks)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return out.withColumn(
+        "shard",
+        F.floor(run_excl / F.lit(float(target_tokens))).cast("int"),
+    )
+
+
 def _hex_thr(rate: float) -> str:
     """Lexicographic md5-prefix threshold for a keep-rate. rate=1.0 would
     render as 9 hex chars ("100000000"), which sorts BELOW 8-char

@@ -41,6 +41,11 @@ class ArchiveTooLargeError(ValueError):
     a clear cause instead of an executor OOM kill."""
 
 
+class ArchiveError(ValueError):
+    """Structurally invalid archive bytes (bad magic, corrupt central
+    directory) — typed so report mode isolates the blob with the cause."""
+
+
 def _check_size(what: str, size: int, limit: int | None) -> None:
     if limit is not None and size > limit:
         raise ArchiveTooLargeError(
@@ -267,3 +272,124 @@ def tar_gz_pack(
         )
 
     return src.groupBy("archive").applyInPandas(pack, schema=out_schema)
+
+
+def _unzip_bytes(blob: bytes, max_bytes: int | None) -> list[dict]:
+    """Zip → member dicts with the docx_parser bomb posture: per-member
+    AND cumulative ACTUAL decompressed bytes bounded (headers can lie
+    small), central-directory driven (zipfile), deterministic order."""
+    import io
+    import zipfile
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+    except zipfile.BadZipFile as e:
+        raise ArchiveError(f"not a zip: {e}")
+    members = []
+    total = 0
+    limit = max_bytes if max_bytes is not None else float("inf")
+    for info in zf.infolist():
+        if info.is_dir():
+            continue
+        if info.file_size > limit:
+            raise ArchiveTooLargeError(
+                f"zip member {info.filename!r} declares"
+                f" {info.file_size} bytes (> {max_bytes})"
+            )
+        with zf.open(info) as f:
+            data = f.read(int(min(limit, info.file_size)) + 1)
+        if len(data) > info.file_size or len(data) > limit:
+            raise ArchiveTooLargeError(
+                f"zip member {info.filename!r} inflates past its header"
+                " or the bound"
+            )
+        total += len(data)
+        if total > limit:
+            raise ArchiveTooLargeError(
+                f"zip cumulative decompressed bytes exceed {max_bytes}"
+            )
+        dt = info.date_time
+        members.append({
+            "name": info.filename,
+            "size": len(data),
+            "mtime": None if dt == (1980, 1, 1, 0, 0, 0) else int(
+                __import__("calendar").timegm((*dt, 0, 0, 0))
+            ),
+            "content": bytearray(data),
+        })
+    return members
+
+
+def unzip(
+    archives: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+    max_archive_bytes: int | None = DEFAULT_MAX_ARCHIVE_BYTES,
+    on_error: str = "raise",
+) -> DataFrame:
+    """The :func:`untar` twin for ZIP containers (deliveries and Office
+    packages arrive zipped as often as tarred): (path, content) rows →
+    one row per member with the SAME schema and the same
+    ``on_error='report'`` isolation contract, so downstream stages are
+    container-agnostic. Decompression is bounded per member AND
+    cumulatively on actual bytes (zip headers can lie small — the
+    docx_parser bomb posture generalized to the archive surface)."""
+    if on_error not in ("raise", "report"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'report', not {on_error!r}"
+        )
+    report = on_error == "report"
+    schema = UNTAR_REPORT_SCHEMA if report else UNTAR_RESULT_SCHEMA
+
+    src = archives.select(
+        F.col(path_col).alias("archive"), F.col(content_col).alias("_blob")
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for archive, blob in zip(pdf["archive"], pdf["_blob"]):
+                try:
+                    _check_size(
+                        f"archive {archive!r}", len(blob),
+                        max_archive_bytes,
+                    )
+                    members = _unzip_bytes(bytes(blob), max_archive_bytes)
+                except Exception as e:
+                    if not report:
+                        raise
+                    # size is non-nullable in the shared schema: 0 like
+                    # untar's report rows
+                    yield pd.DataFrame([{
+                        "archive": archive, "name": None, "size": 0,
+                        "mtime": None, "content": None,
+                        "error": f"{type(e).__name__}: {e}",
+                    }])
+                    continue
+                rows = [
+                    {"archive": archive, **m,
+                     **({"error": None} if report else {})}
+                    for m in members
+                ]
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return src.mapInPandas(expand, schema=schema)
+
+
+def zip_pack(files: list[tuple[str, bytes]]) -> bytes:
+    """Deterministic zip builder twin (pinned 1980-01-01 timestamps,
+    stored order preserved, deflate level 6) — the build_docx zip layer
+    exposed for archive-level tests and oracles."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(
+        buf, "w", zipfile.ZIP_DEFLATED, compresslevel=6
+    ) as zf:
+        for name, data in files:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zi.external_attr = 0o644 << 16
+            zf.writestr(zi, data)
+    return buf.getvalue()

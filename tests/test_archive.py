@@ -131,3 +131,46 @@ def test_pack_size_guard(spark):
     with pytest.raises(Exception, match="whole-archive-in-RAM bound"):
         tar_gz_pack(df, max_archive_bytes=300).collect()
     assert tar_gz_pack(df, max_archive_bytes=None).count() == 1
+
+
+def test_unzip_roundtrip_report_isolation_and_bounds(spark):
+    """unzip: member-exact round trip through the deterministic
+    zip_pack twin, one corrupt blob isolates under report mode with the
+    untar-shared schema, and declared/actual decompressed bounds hold."""
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.sources.archive import (
+        unzip,
+        zip_pack,
+    )
+
+    blob = zip_pack([("a/x.txt", b"hello"), ("b/y.bin", bytes(range(256)) * 4)])
+    assert zip_pack([("a", b"b")]) == zip_pack([("a", b"b")])  # pinned
+    df = spark.createDataFrame(
+        [
+            ("p1.zip", bytearray(blob)),
+            ("p2.zip", bytearray(b"PK\x03\x04garbage")),
+            ("p3.zip", bytearray(zip_pack([("only.txt", b"solo")]))),
+        ],
+        "path string, content binary",
+    )
+    rows = unzip(df, on_error="report").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["archive"], []).append(r)
+    assert [r["name"] for r in by["p1.zip"]] == ["a/x.txt", "b/y.bin"]
+    assert bytes(by["p1.zip"][0]["content"]) == b"hello"
+    assert by["p1.zip"][1]["size"] == 1024
+    assert by["p2.zip"][0]["error"] is not None
+    assert by["p2.zip"][0]["name"] is None
+    assert by["p3.zip"][0]["error"] is None
+    with _pytest.raises(Exception):
+        unzip(df).collect()  # strict mode propagates the corrupt blob
+    big = spark.createDataFrame(
+        [("b.zip", bytearray(zip_pack([("big", b"\x00" * 100_000)])))],
+        "path string, content binary",
+    )
+    out = unzip(big, max_archive_bytes=1000, on_error="report").collect()
+    assert "ArchiveTooLargeError" in out[0]["error"]
+    with _pytest.raises(ValueError, match="on_error"):
+        unzip(df, on_error="nope")

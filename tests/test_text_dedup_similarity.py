@@ -1356,6 +1356,45 @@ def test_split_assign_contamination_safety_and_calibration(spark):
     assert "Exchange" not in plan
 
 
+def test_shard_plan_balance_and_determinism(spark):
+    """shard_plan: every shard's token total stays under target + its
+    largest document (the greedy bound), shards are contiguous from 0
+    per source, sources never mix, and the plan is rerun-identical."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        shard_plan,
+    )
+
+    rows = [
+        (i, f"s{i % 3}", "w " * (5 + (i * 37) % 90)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    target = 200
+    out = shard_plan(df, target_tokens=target).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault((r["source"], r["shard"]), []).append(
+            r["n_tokens"]
+        )
+    max_doc = max(r["n_tokens"] for r in out)
+    for (src, sh), toks in by_shard.items():
+        assert sum(toks) < target + max(toks), (src, sh, sum(toks))
+    for src in ("s0", "s1", "s2"):
+        shards = sorted({sh for (s, sh) in by_shard if s == src})
+        assert shards == list(range(len(shards)))
+        # greedy fill bound: a non-final shard holds at least
+        # target − (previous shard's overshoot) < target − max_doc
+        for sh in shards[:-1]:
+            assert sum(by_shard[(src, sh)]) > target - max_doc, (src, sh)
+    again = shard_plan(df, target_tokens=target).collect()
+    assert {(r["doc_id"], r["shard"]) for r in again} == {
+        (r["doc_id"], r["shard"]) for r in out
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_tokens"):
+        shard_plan(df, target_tokens=0)
+
+
 def test_line_repetition_stats_closed_form(spark):
     """Handcrafted duplicate-line docs: ratios match hand-computed
     values; a doc with no duplicated lines scores 0; token-less docs
