@@ -3978,6 +3978,52 @@ def q_m20_zip_extract(spark, sf_dir):
     )
 
 
+def q_s22_crawl_frontier(spark, sf_dir):
+    """Incremental crawl FRONTIER (sources/frontier — the d06/d11
+    lifecycle applied to URL discovery): the corpus's pages live in a
+    PERSISTED seen-URL index bucketed on the canonical form; a new
+    discovery batch (doc_id %% 13 == 0, each link arriving TWICE with
+    different fragments — a crawl re-discovers links constantly)
+    canonicalizes (RFC 3986: case fold, :443 strip, dot segments,
+    fragment drop), dedups internally by min URL, and anti-joins the
+    index with ZERO index-side Exchange (plan-gated in pytest). Every
+    26th doc re-discovers an already-indexed page through a messy
+    spelling, so the canonicalization is what keeps it OUT of the
+    frontier. DuckDB recomputes the whole decision closed-form."""
+    from da_transform_judgments_pipeline_spark.sources import frontier
+
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    table = f"urls_{_minhash_index_prefix(spark, sf_dir)}"
+    if not spark.catalog.tableExists(table):
+        corpus = docs.filter(d % 13 != 0).select(
+            F.concat(
+                F.lit("https://caselaw.example/case/"), d.cast("string")
+            ).alias("url")
+        )
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".cache", "urls",
+            table,
+        )
+        frontier.build_url_index(corpus, table, buckets=8, path=path)
+    k = F.when(d % 26 == 0, d + 1).otherwise(d).cast("string")
+    batch_docs = docs.filter(d % 13 == 0)
+
+    def messy(tag):
+        return batch_docs.select(
+            F.concat(
+                F.lit("HTTPS://CaseLaw.Example:443/case/x/../"), k,
+                F.lit(f"#{tag}"), d.cast("string"),
+            ).alias("url")
+        )
+
+    batch = messy("a").union(messy("b"))
+    return (
+        frontier.new_frontier_urls(batch, spark, table)
+        .orderBy("canonical")
+    )
+
+
 def q_d10_substring_dedup(spark, sf_dir):
     """Exact-substring dedup at sliding-window granularity
     (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
@@ -4307,6 +4353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m19_tiff_decode_features": q_m19_tiff_decode_features,
     "x32_shard_plan": q_x32_shard_plan,
     "m20_zip_extract": q_m20_zip_extract,
+    "s22_crawl_frontier": q_s22_crawl_frontier,
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
@@ -6586,6 +6633,16 @@ def oracle_sql() -> dict[str, str]:
         # (score DESC, doc_id) — both engines give early tiles the
         # extra rows, so bucket boundaries are value-exact
         "x28_ngram_repetition": _x28_sql(),
+        "s22_crawl_frontier": """
+            SELECT 'https://caselaw.example/case/'
+                     || CAST(doc_id AS VARCHAR) AS canonical,
+                   'HTTPS://CaseLaw.Example:443/case/x/../'
+                     || CAST(doc_id AS VARCHAR) || '#a'
+                     || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+            WHERE doc_id % 13 = 0 AND doc_id % 26 != 0
+            ORDER BY canonical
+        """,
         "m20_zip_extract": """
             WITH m AS (
               SELECT doc_id, 'doc.txt' AS name,

@@ -134,6 +134,7 @@ HEADLINE = [
     "m19_tiff_decode_features",
     "x32_shard_plan",
     "m20_zip_extract",
+    "s22_crawl_frontier",
 ]
 
 

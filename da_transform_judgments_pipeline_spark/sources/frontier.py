@@ -1,0 +1,96 @@
+"""Incremental crawl FRONTIER: a persisted seen-URL index and the
+per-batch "which of these are new" decision — the discovery half of a
+crawler (robots.py is the politeness half, warc.py the fetch-result
+half). The d06/d11/e14 incremental-index lifecycle applied to URLs:
+
+- URLs canonicalize first (:func:`..functions.strings.canonical_url` —
+  RFC 3986 §6), so `HTTP://Host:80/a/../b` and `http://host/b` collide
+  BEFORE the index is consulted;
+- the index holds one row per distinct canonical URL, bucketed on it,
+  so each batch's anti-join plans with ZERO index-side Exchange (the
+  batch shuffles; the 100 TB side never does — plan-gated in pytest);
+- batches dedup internally by keep-lowest ``(batch_id, pos)`` before
+  the index join (a crawl batch re-discovers the same link many times);
+- append + compaction reuse the dedup_stream lifecycle (crash-safe
+  write-first/swap-last, bucket layout preserved).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.strings import canonical_url
+
+
+def _canon(df: DataFrame, url_col: str) -> DataFrame:
+    return df.withColumn("canonical", canonical_url(F.col(url_col)))
+
+
+def build_url_index(
+    df: DataFrame,
+    table: str,
+    url_col: str = "url",
+    buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the seen-URL set once: one row per DISTINCT canonical
+    URL, bucketed on it. State is the frontier's honest minimum (every
+    crawler keeps exactly this set); the full-history scan is paid here
+    and amortized over every later batch."""
+    from ..operators.scale import write_bucketed
+
+    seen = _canon(df, url_col).select("canonical").distinct()
+    write_bucketed(
+        seen, table, "canonical", buckets=buckets, mode=mode, path=path
+    )
+
+
+def new_frontier_urls(
+    batch: DataFrame,
+    spark: SparkSession,
+    table: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """The per-batch frontier decision: canonicalize, keep the FIRST
+    discovery of each canonical within the batch (min struct — no
+    sort), then anti-join the persisted index. Returns the batch rows
+    that are genuinely new, with their ``canonical`` column. Append the
+    result's canonicals via :func:`append_to_url_index` after a
+    successful fetch wave."""
+    canon = _canon(batch, url_col)
+    firsts = (
+        canon.groupBy("canonical")
+        .agg(F.min(F.struct(F.col(url_col).alias("u"))).alias("first"))
+        .select("canonical", F.col("first.u").alias(url_col))
+    )
+    index = spark.table(table)
+    return firsts.join(index, "canonical", "left_anti")
+
+
+def append_to_url_index(
+    spark: SparkSession,
+    new_urls: DataFrame,
+    table: str,
+    buckets: int | None = None,
+) -> None:
+    """Append freshly-fetched canonicals to the index, preserving the
+    bucket layout (bucket count read from the catalog, the
+    append_to_substring_index pattern) so later batches' zero-Exchange
+    anti-join plans survive appends. An anti-join re-guard keeps the
+    table one-row-per-canonical even if a caller replays an append (the
+    d06 replay-safety rule)."""
+    if buckets is None:
+        from ..streaming.dedup_stream import _table_buckets
+
+        buckets = _table_buckets(spark, table) or 32
+    from ..operators.scale import write_bucketed
+
+    fresh = (
+        new_urls.select("canonical")
+        .distinct()
+        .join(spark.table(table), "canonical", "left_anti")
+    )
+    write_bucketed(fresh, table, "canonical", buckets=buckets, mode="append")
+    spark.catalog.refreshTable(table)
