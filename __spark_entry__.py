@@ -4331,14 +4331,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # orders, under the m09 analytic oracle), x32 (token-balanced
     # output sharding — exclusive prefix sums per source), and m20
     # (ZIP container extraction — the untar twin, member bytes
-    # closed-form) are NEW and lead the window (positions 1-13). m15
+    # closed-form), and s22 (the incremental crawl FRONTIER — persisted
+    # canonical-URL index, zero index-side Exchange) are NEW and lead
+    # the window (positions 1-14). m15
     # additionally exercises PDF 1.5 xref STREAMS and object streams
     # for doc_id%5==4/%10==4. Displaced past the cap this round:
-    # x20/w07/o07/j05/o08/a24/w08/f03/o09/s20 and the d01-d03
+    # t11/x20/w07/o07/j05/o08/a24/w08/f03/o09/s20 and the d01-d03
     # dedup rows — all multi-green, unchanged this round, still
     # selfchecked locally via scripts/selfcheck.py (s20's layout
     # machinery stays pinned by the m08 family, d01-d03's by the
-    # d10/d11 rows in-window; the position-50 boundary row is t11).
+    # d10/d11 rows in-window; the position-50 boundary row is o06).
     # (a) NEW round 9
     "m15_pdf_parse": q_m15_pdf_parse,
     "m16_warc_extract": q_m16_warc_extract,
