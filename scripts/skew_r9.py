@@ -285,17 +285,89 @@ def x28_section(spark, results):
     }
 
 
+def frontier_section(spark, results):
+    """Two-wave frontier at ×N: decision time vs INDEX size must stay
+    flat (the bucketed anti-join touches only the batch's buckets), and
+    wave-2 must classify wave-1's appends as seen."""
+    import shutil
+    import tempfile
+
+    from da_transform_judgments_pipeline_spark.sources import frontier
+
+    n_index, n_batch = 1_000_000 // SCALE, 50_000 // SCALE
+    tmp = tempfile.mkdtemp(prefix="frontier_skew_")
+    try:
+        for size_tag, n_idx in (("small", n_index // 10), ("big", n_index)):
+            table = f"frontier_skew_{size_tag}"
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            corpus = spark.range(n_idx).selectExpr(
+                "concat('https://h.example/', id) AS url"
+            )
+            frontier.build_url_index(
+                corpus, table, buckets=32,
+                path=os.path.join(tmp, size_tag),
+            )
+            # half the batch re-discovers indexed pages via messy
+            # spellings, half is genuinely new
+            batch = spark.range(n_batch).selectExpr(
+                "concat('HTTPS://H.example:443/x/../',"
+                " CASE WHEN id % 2 = 0 THEN id"
+                f" ELSE id + {n_idx} END, '#f', id) AS url"
+            )
+
+            def run():
+                return frontier.new_frontier_urls(
+                    batch, spark, table
+                ).count()
+
+            sec, new_count = timed(run)
+            results[f"s22_frontier_{size_tag}"] = {
+                "index_urls": n_idx,
+                "batch_urls": n_batch,
+                "new_found": int(new_count),
+                "expected_new": n_batch - n_batch // 2,
+                "sec": round(sec, 2),
+                "ok": bool(new_count == n_batch - n_batch // 2),
+            }
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        a = results["s22_frontier_small"]
+        b = results["s22_frontier_big"]
+        # 10x the index may not slow the same batch decision by >2x
+        b["growth_10x_index"] = round(b["sec"] / max(a["sec"], 1e-9), 2)
+        b["ok"] = bool(b["ok"] and b["sec"] <= 2 * a["sec"] + 0.5)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SECTIONS = {
+    "pdf": lambda s, r: pdf_section(s, r),
+    "warc": lambda s, r: warc_section(s, r),
+    "gif": lambda s, r: gif_section(s, r),
+    "x28": lambda s, r: x28_section(s, r),
+    "frontier": lambda s, r: frontier_section(s, r),
+}
+
+
 def main():
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     results = {}
-    pdf_section(spark, results)
-    warc_section(spark, results)
-    gif_section(spark, results)
-    x28_section(spark, results)
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    chosen = only or ["pdf", "warc", "gif", "x28", "frontier"]
+    for name in chosen:
+        SECTIONS[name](spark, results)
+    out_path = os.path.join(REPO, "SKEWCHECK_r09.md")
+    if only and os.path.exists(out_path):
+        # partial rerun: merge into the existing sections, don't clobber
+        prev = open(out_path).read()
+        i, j = prev.find("```json\n"), prev.rfind("\n```")
+        if i >= 0 and j > i:
+            merged = json.loads(prev[i + 8:j])
+            merged.update(results)
+            results = merged
     body = json.dumps(results, indent=2)
     factor = "quick" if QUICK else "full"
-    with open(os.path.join(REPO, "SKEWCHECK_r09.md"), "w") as f:
+    with open(out_path, "w") as f:
         f.write(
             "# Skew / scale blow-up validation (round 9)\n\n"
             f"Executed on local[32], {factor} scale, min of 2 runs, via "
