@@ -3248,6 +3248,14 @@ def q_m13_docx_parse(spark, sf_dir):
                                 )
                                 for j in range(d % 3)
                             ],
+                            footnotes=(
+                                [
+                                    f"Authority {j} for case {d}."
+                                    for j in range(d % 3 + 1)
+                                ]
+                                if d % 6 == 0
+                                else None
+                            ),
                         )
                     )
                 )
@@ -3268,6 +3276,8 @@ def q_m13_docx_parse(spark, sf_dir):
             "n_table_cells",
             "n_headers",
             "n_links",
+            "n_footnotes",
+            "n_footnote_refs",
             "n_images",
         )
         .orderBy("doc_id")
@@ -5744,6 +5754,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
                         AS INTEGER) AS n_headers,
                    CAST(doc_id % 3 AS INTEGER) AS n_links,
+                   CAST(CASE WHEN doc_id % 6 = 0 THEN doc_id % 3 + 1
+                             ELSE 0 END AS INTEGER) AS n_footnotes,
+                   CAST(CASE WHEN doc_id % 6 = 0 THEN doc_id % 3 + 1
+                             ELSE 0 END AS INTEGER) AS n_footnote_refs,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
                         AS INTEGER) AS n_images
             FROM documents ORDER BY doc_id

@@ -177,6 +177,7 @@ def build_docx(
     tables: list[list[list[str]]] | None = None,
     headers: list[str] | None = None,
     links: list[tuple[str, str]] | None = None,
+    footnotes: list[str] | None = None,
 ) -> bytes:
     """Assemble a minimal real .docx (ECMA-376 zip package) from
     paragraph texts + optional NUMBERED paragraphs (``w:numPr`` with a
@@ -189,7 +190,11 @@ def build_docx(
     neutral-citation banner), optional HYPERLINKS (``w:hyperlink``
     with a real externally-targeted relationship per link — how
     judgments cite legislation and earlier cases; each (anchor, url)
-    becomes its own paragraph), and optional embedded images.
+    becomes its own paragraph), optional FOOTNOTES (a real
+    ``word/footnotes.xml`` part + relationship; footnote i's
+    ``w:footnoteReference`` rides in body paragraph ``i %% len``
+    — where judgments keep citations of authorities), and optional
+    embedded images.
     Byte-deterministic (pinned zip timestamps, sorted members) so
     fixtures are committable and property tests reproducible."""
     w = f"{{{W_NS}}}"
@@ -213,8 +218,27 @@ def build_docx(
             if not text:
                 break
 
+    body_paras = []
     for text in paragraphs:
-        add_runs(ET.SubElement(body, f"{w}p"), text)
+        p = ET.SubElement(body, f"{w}p")
+        add_runs(p, text)
+        body_paras.append(p)
+    footnotes_xml = None
+    if footnotes:
+        if not body_paras:
+            raise ValueError("footnotes need at least one paragraph")
+        fns = ET.Element(f"{w}footnotes")
+        for i, note in enumerate(footnotes, start=1):
+            fn = ET.SubElement(fns, f"{w}footnote", {f"{w}id": str(i)})
+            add_runs(ET.SubElement(fn, f"{w}p"), note)
+            host = body_paras[(i - 1) % len(body_paras)]
+            r = ET.SubElement(host, f"{w}r")
+            ET.SubElement(
+                r, f"{w}footnoteReference", {f"{w}id": str(i)}
+            )
+        footnotes_xml = ET.tostring(
+            fns, xml_declaration=True, encoding="UTF-8"
+        )
     for text in numbered or []:
         p = ET.SubElement(body, f"{w}p")
         ppr = ET.SubElement(p, f"{w}pPr")
@@ -290,6 +314,14 @@ def build_docx(
         )
         rels.append(("rIdHdr1", "header", "header1.xml"))
         members.append(("word/header1.xml", header_xml))
+    if footnotes_xml is not None:
+        overrides.append(
+            '<Override PartName="/word/footnotes.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.'
+            'wordprocessingml.footnotes+xml"/>'
+        )
+        rels.append(("rIdFn1", "footnotes", "footnotes.xml"))
+        members.append(("word/footnotes.xml", footnotes_xml))
     if overrides:
         ct = CONTENT_TYPES.replace("</Types>", "".join(overrides) + "</Types>")
         members[0] = ("[Content_Types].xml", ct.encode())
@@ -396,10 +428,30 @@ def parse_docx(blob: bytes, reference: str) -> dict:
             hroot = ET.fromstring(_read_bounded(zf, name, actual))
             for p in hroot.iter(f"{w}p"):
                 headers.append(run_text(p))
+    footnotes: list[str] = []
+    n_footnote_refs = sum(
+        1 for _ in doc_root.iter(f"{w}footnoteReference")
+    )
+    if "word/footnotes.xml" in zf.namelist():
+        froot = ET.fromstring(
+            _read_bounded(zf, "word/footnotes.xml", actual)
+        )
+        for fn in froot.findall(f"{w}footnote"):
+            # real Word files carry separator/continuation pseudo-notes
+            # with ids <= 0 — not authorial content
+            try:
+                fid = int(fn.get(f"{w}id", "0"))
+            except ValueError:
+                fid = 0
+            if fid >= 1:
+                footnotes.append(
+                    "\n".join(run_text(p) for p in fn.findall(f"{w}p"))
+                )
     log.append(
         f"extracted {len(paragraphs)} paragraphs "
         f"({n_numbered} numbered), {len(tables)} tables, "
-        f"{len(headers)} header paragraphs, {len(links)} hyperlinks"
+        f"{len(headers)} header paragraphs, {len(links)} hyperlinks, "
+        f"{len(footnotes)} footnotes ({n_footnote_refs} references)"
     )
 
     title, creator, created = "", "", ""
@@ -438,6 +490,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         [t for t, _ in paragraphs]
         + [c for rows in tables for row in rows for c in row]
         + headers  # courts put the citation banner in the page header
+        + footnotes  # authorities are often cited only in footnotes
     )
     m = CITE_RE.search(full_text)
     if m:
@@ -514,6 +567,13 @@ def parse_docx(blob: bytes, reference: str) -> dict:
                 td_el = ET.SubElement(tr_el, f"{akn}td")
                 cp = ET.SubElement(td_el, f"{akn}p")
                 cp.text = cell
+    for k, note in enumerate(footnotes, start=1):
+        # AKN renders footnotes as authorialNote elements
+        note_el = ET.SubElement(
+            body, f"{akn}authorialNote", eId=f"note_{k}", marker=str(k)
+        )
+        np_el = ET.SubElement(note_el, f"{akn}p")
+        np_el.text = note
     xml_str = ET.tostring(
         root, xml_declaration=True, encoding="unicode"
     )
@@ -527,6 +587,8 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         "n_numbered": n_numbered,
         "headers": headers,
         "links": links,
+        "footnotes": footnotes,
+        "n_footnote_refs": n_footnote_refs,
     }
 
 

@@ -221,7 +221,8 @@ def subprocess_parser(
 PARSED_DOC_SCHEMA = (
     "doc_id long, xml string, name string, cite string, court string,"
     " date string, n_paragraphs int, n_numbered int, n_tables int,"
-    " n_table_cells int, n_headers int, n_links int, n_images int"
+    " n_table_cells int, n_headers int, n_links int, n_footnotes int,"
+    " n_footnote_refs int, n_images int"
 )
 
 
@@ -264,7 +265,8 @@ def parse_documents(
     cols = [
         "doc_id", "xml", "name", "cite", "court", "date",
         "n_paragraphs", "n_numbered", "n_tables", "n_table_cells",
-        "n_headers", "n_links", "n_images",
+        "n_headers", "n_links", "n_footnotes", "n_footnote_refs",
+        "n_images",
     ] + (["error"] if report else [])
 
     def run(batches):
@@ -293,6 +295,8 @@ def parse_documents(
                         ),
                         "n_headers": len(r["headers"]),
                         "n_links": len(r["links"]),
+                        "n_footnotes": len(r["footnotes"]),
+                        "n_footnote_refs": r["n_footnote_refs"],
                         "n_images": len(r["images"]),
                     }
                     if report:

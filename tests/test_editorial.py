@@ -828,3 +828,34 @@ def test_docx_hyperlinks_roundtrip(spark, store):
     parser = editorial.subprocess_parser(_real_parser_cmd(), timeout_s=120)
     outputs = parser(staged["parser-inputs"])
     assert outputs["error-messages"] == []
+
+
+def test_docx_footnotes_roundtrip_and_citation_from_note():
+    """Footnotes: a real word/footnotes.xml part round-trips through
+    build_docx -> parse_docx, references count from the body, a neutral
+    citation present ONLY in a footnote is still extracted, and the AKN
+    render carries authorialNote elements without inflating the
+    paragraph count."""
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.plans.docx_parser import (
+        build_docx,
+        parse_docx,
+    )
+
+    notes = ["See [2019] UKSC 41.", "Cf. earlier order.", "Third note."]
+    blob = build_docx(
+        ["Intro paragraph.", "Second paragraph."],
+        title="T",
+        footnotes=notes,
+    )
+    r = parse_docx(blob, "x")
+    assert r["footnotes"] == notes
+    assert r["n_footnote_refs"] == 3
+    assert r["metadata"]["cite"] == "[2019] UKSC 41"
+    assert "<authorialNote" in r["xml"] and 'marker="3"' in r["xml"]
+    assert r["xml"].count("<paragraph ") == 2
+    plain = parse_docx(build_docx(["a"]), "y")
+    assert plain["footnotes"] == [] and plain["n_footnote_refs"] == 0
+    with _pytest.raises(ValueError, match="at least one paragraph"):
+        build_docx([], footnotes=["orphan"])
