@@ -3844,9 +3844,11 @@ def q_m19_tiff_decode_features(spark, sf_dir):
     two-color TIFF is assembled by the deterministic encoder twin
     (operators/imagecodec.encode_tiff — big-endian MM for even doc_ids,
     little-endian II for odd, PackBits RLE strips for every third doc,
+    TIFF-variant LZW (MSB-first, early-change) for doc_id %% 5 == 1,
+    LZW under the horizontal-differencing predictor for %% 5 == 2,
     multiple 2-row strips always) and decoded by the pure-numpy decoder
-    (decode_tiff: IFD walk, strip assembly, PackBits inflate, both byte
-    orders). Exact pixel recovery keeps the m09 integer-exact feature
+    (decode_tiff: IFD walk, strip assembly, PackBits + LZW inflate,
+    predictor reversal, both byte orders). Exact pixel recovery keeps the m09 integer-exact feature
     surface, so DuckDB evaluates every feature analytically. n_bytes is
     excluded: PackBits length varies per doc."""
     from da_transform_judgments_pipeline_spark.operators import multimodal
@@ -3874,12 +3876,16 @@ def q_m19_tiff_decode_features(spark, sf_dir):
                 arr = np.empty((6, 4, 3), dtype=np.uint8)
                 arr[:3] = a
                 arr[3:] = b
+                pb = d % 3 == 0
+                lz = (not pb) and d % 5 in (1, 2)
                 blobs.append(
                     bytearray(
                         encode_tiff(
                             arr,
                             big_endian=(d % 2 == 0),
-                            packbits=(d % 3 == 0),
+                            packbits=pb,
+                            lzw=lz,
+                            predictor=(lz and d % 5 == 2),
                             rows_per_strip=2,
                         )
                     )

@@ -12,9 +12,10 @@ sibling :mod:`.jpegcodec` (pure numpy: Huffman + IDCT + fixed-point
 color convert); progressive JPEG via its multi-scan path. GIF87a/89a
 decodes fully here (LZW inflate + palette + interlace + extension-block
 skip), with :func:`encode_gif` as the deterministic twin; baseline
-TIFF 6.0 decodes here too (IFD walk, strips, none/PackBits, both byte
-orders). Formats that genuinely need a codec library
-(WebP, LZW/JPEG-in-TIFF, 16-bit or Adam7 PNG) raise
+TIFF 6.0 decodes here too (IFD walk, strips, none/PackBits/LZW with
+the horizontal-differencing predictor, both byte orders). Formats that
+genuinely need a codec library
+(WebP, JPEG-in-TIFF, 16-bit or Adam7 PNG) raise
 :class:`UnsupportedImageError` with the magic spelled out — a fake
 "decode" there would be dishonest. The multimodal operators
 (:func:`.multimodal.extract_features` / :func:`.multimodal.resize_images`)
@@ -717,6 +718,7 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+    317: "predictor",
 }
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
 
@@ -828,10 +830,16 @@ def decode_tiff(blob: bytes) -> np.ndarray:
             f"TIFF bits={bits} spp={spp} planar={planar} unsupported"
             " (only 8-bit chunky gray/RGB)"
         )
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise UnsupportedImageError(
             f"TIFF compression {comp} needs a codec library"
-            " (only none/PackBits here)"
+            " (only none/LZW/PackBits here)"
+        )
+    predictor = tags.get("predictor", [1])[0]
+    if predictor not in (1, 2):
+        raise UnsupportedImageError(
+            f"TIFF predictor {predictor} unsupported (only none/"
+            "horizontal differencing)"
         )
     need = w * h * spp
     if need * 3 > PNG_MAX_DECODED_BYTES:
@@ -841,14 +849,23 @@ def decode_tiff(blob: bytes) -> np.ndarray:
         strip = blob[off:off + cnt]
         if len(strip) < cnt:
             raise UnsupportedImageError("TIFF strip truncated")
-        raster += (
-            _packbits_decode(strip, need) if comp == 32773 else strip
-        )
+        if comp == 32773:
+            raster += _packbits_decode(strip, need)
+        elif comp == 5:
+            raster += _tiff_lzw_decode(strip, need)
+        else:
+            raster += strip
     if len(raster) < need:
         raise UnsupportedImageError(
             f"TIFF raster {len(raster)} < expected {need} bytes"
         )
     arr = np.frombuffer(bytes(raster[:need]), np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: each sample is stored as the delta
+        # from its left neighbor (same channel) — undo with a cumsum
+        arr = (np.cumsum(arr.astype(np.int64), axis=1) % 256).astype(
+            np.uint8
+        )
     if spp == 1:
         arr = np.repeat(arr, 3, axis=2)
     return arr.copy()
@@ -858,19 +875,37 @@ def encode_tiff(
     arr: np.ndarray,
     big_endian: bool = False,
     packbits: bool = False,
+    lzw: bool = False,
+    predictor: bool = False,
     rows_per_strip: int = 4,
 ) -> bytes:
     """Deterministic baseline-TIFF encoder twin of :func:`decode_tiff`:
     8-bit RGB, chunky, multiple strips, either byte order, compression
-    none or PackBits."""
+    none, PackBits, or LZW (optionally under the horizontal-differencing
+    predictor, tag 317 — the combination real writers emit)."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_tiff expects (H, W, 3) uint8")
+    if packbits and lzw:
+        raise ValueError("choose at most one of packbits/lzw")
+    if predictor and not lzw:
+        raise ValueError("predictor is only written with lzw")
     bo = "big" if big_endian else "little"
     h, w = arr.shape[:2]
+    src = arr
+    if predictor:
+        diff = arr.astype(np.int16)
+        diff[:, 1:, :] = (arr[:, 1:, :].astype(np.int16)
+                          - arr[:, :-1, :].astype(np.int16)) % 256
+        src = diff.astype(np.uint8)
     strips = []
     for r0 in range(0, h, rows_per_strip):
-        raw = arr[r0:r0 + rows_per_strip].tobytes()
-        strips.append(_packbits_encode(raw) if packbits else raw)
+        raw = src[r0:r0 + rows_per_strip].tobytes()
+        if packbits:
+            strips.append(_packbits_encode(raw))
+        elif lzw:
+            strips.append(_tiff_lzw_encode(raw))
+        else:
+            strips.append(raw)
 
     def u(v, n):
         return int(v).to_bytes(n, bo)
@@ -879,7 +914,7 @@ def encode_tiff(
     entries = []
     extra = bytearray()
     # IFD sits at 8; entries computed after we know the layout: IFD size
-    n_entries = 10
+    n_entries = 10 + (1 if predictor else 0)
     ifd_size = 2 + 12 * n_entries + 4
     extra_base = 8 + ifd_size
 
@@ -925,7 +960,7 @@ def encode_tiff(
         u(257, 2) + u(4, 2) + u(1, 4) + u(h, 4),
         bits_e,
         u(259, 2) + u(3, 2) + u(1, 4)
-        + u(32773 if packbits else 1, 2) + b"\x00\x00",
+        + u(32773 if packbits else (5 if lzw else 1), 2) + b"\x00\x00",
         u(262, 2) + u(3, 2) + u(1, 4) + u(2, 2) + b"\x00\x00",
         so_e,
         u(277, 2) + u(3, 2) + u(1, 4) + u(3, 2) + b"\x00\x00",
@@ -933,7 +968,122 @@ def encode_tiff(
         sc_e,
         u(284, 2) + u(3, 2) + u(1, 4) + u(1, 2) + b"\x00\x00",
     ]
+    if predictor:
+        entries.append(
+            u(317, 2) + u(3, 2) + u(1, 4) + u(2, 2) + b"\x00\x00"
+        )
+        entries.sort(key=lambda e: int.from_bytes(e[:2], bo))
     assert len(entries) == n_entries
     ifd = u(n_entries, 2) + b"".join(entries) + u(0, 4)
     assert len(ifd) == ifd_size
     return header + ifd + bytes(extra) + b"".join(strips)
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13) — MSB-first codes, fixed
+    Clear=256/EOI=257, and the EARLY CHANGE: code width grows when the
+    table reaches 2^width − 1 entries (one earlier than GIF's variant).
+    Streams must open with Clear and end with EOI."""
+    CLEAR, EOI = 256, 257
+    table: list[bytes] | None = None
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, nbits = 0, len(data) * 8
+    while True:
+        if bitpos + width > nbits:
+            raise UnsupportedImageError("TIFF LZW stream ended without EOI")
+        byte_i = bitpos >> 3
+        window = int.from_bytes(
+            data[byte_i:byte_i + 4].ljust(4, b"\x00"), "big"
+        )
+        code = (window >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            return bytes(out)
+        if table is None:
+            raise UnsupportedImageError(
+                "TIFF LZW stream does not start with Clear"
+            )
+        if code < len(table):
+            entry = table[code]
+            if not entry:
+                raise UnsupportedImageError(
+                    f"TIFF LZW code {code} references a reserved slot"
+                )
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise UnsupportedImageError(
+                f"TIFF LZW code {code} beyond table size {len(table)}"
+            )
+        out += entry
+        if len(out) > max_out:
+            raise UnsupportedImageError(
+                f"TIFF LZW output exceeds {max_out} bytes"
+            )
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        prev = entry
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Deterministic TIFF-LZW encoder twin. Width selection is driven by
+    a SIMULATION OF THE DECODER's table (the GIF lesson: the decoder
+    appends on the final data code too), with TIFF's early-change
+    boundary (2^width − 1) and the spec's reset-at-4094 rule."""
+    CLEAR, EOI = 256, 257
+    bits = bytearray()
+    acc = [0, 0]  # value, count — MSB-first
+
+    def emit(code: int, width: int) -> None:
+        acc[0] = (acc[0] << width) | code
+        acc[1] += width
+        while acc[1] >= 8:
+            bits.append((acc[0] >> (acc[1] - 8)) & 0xFF)
+            acc[1] -= 8
+            acc[0] &= (1 << acc[1]) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    dec_size, width, dec_prev = 258, 9, False
+
+    def data_emit(code: int) -> None:
+        nonlocal dec_size, width, dec_prev
+        emit(code, width)
+        if dec_prev and dec_size < 4096:
+            dec_size += 1
+            if dec_size == (1 << width) - 1 and width < 12:
+                width += 1
+        dec_prev = True
+
+    emit(CLEAR, width)
+    w = b""
+    for k in data:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        data_emit(table[w])
+        if next_code < 4094:  # spec: writer clears at 4094
+            table[wk] = next_code
+            next_code += 1
+        else:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            dec_size, width, dec_prev = 258, 9, False
+        w = bytes([k])
+    if w:
+        data_emit(table[w])
+    emit(EOI, width)
+    if acc[1]:
+        bits.append((acc[0] << (8 - acc[1])) & 0xFF)
+    return bytes(bits)

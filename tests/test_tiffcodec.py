@@ -62,10 +62,11 @@ def test_tiff_refusals():
     blob = bytearray(encode_tiff(img))
     with pytest.raises(UnsupportedImageError, match="not a TIFF"):
         decode_tiff(b"XX*\x00" + bytes(blob[4:]))
-    # unsupported compression: patch tag 259's inline value to 5 (LZW)
+    # unsupported compression: patch tag 259's inline value to 8
+    # (Deflate-in-TIFF — LZW is supported now, 8 still is not)
     i = blob.index((259).to_bytes(2, "little"))
-    blob[i + 8] = 5
-    with pytest.raises(UnsupportedImageError, match="compression 5"):
+    blob[i + 8] = 8
+    with pytest.raises(UnsupportedImageError, match="compression 8"):
         decode_tiff(bytes(blob))
     # truncated strip data
     good = encode_tiff(img)
@@ -106,3 +107,41 @@ def test_grayscale_spp1_replicates_hand_built():
             np.array([10, 20, 30, 40], np.uint8).reshape(2, 2, 1), 3, 2
         )
     )
+
+
+def test_tiff_lzw_and_predictor_roundtrip():
+    """TIFF-variant LZW (MSB-first, EARLY-change width growth — one
+    boundary earlier than GIF's variant) round-trips across shapes and
+    byte orders; the horizontal-differencing predictor round-trips and
+    actually compresses smooth gradients (its purpose)."""
+    from da_transform_judgments_pipeline_spark.operators.imagecodec import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.RandomState(2)
+    for shape in [(1, 1), (4, 4), (9, 5), (32, 32)]:
+        for be in (False, True):
+            img = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+            for kw in ({"lzw": True}, {"lzw": True, "predictor": True}):
+                got = decode_tiff(encode_tiff(img, big_endian=be, **kw))
+                assert np.array_equal(got, img), (shape, be, kw)
+    grad = np.tile(
+        np.arange(256, dtype=np.uint8)[None, :, None], (16, 1, 3)
+    )
+    assert len(encode_tiff(grad, lzw=True, predictor=True)) < len(
+        encode_tiff(grad, lzw=True)
+    )
+    # early-change boundary sweep (the GIF tail-append lesson, TIFF
+    # flavor) + 4094-reset stress
+    for ln in range(1, 400):
+        data = bytes(i % 7 for i in range(ln))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), 10**6) == data
+    data = bytes(range(256)) * 400
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), 10**7) == data
+    with pytest.raises(UnsupportedImageError, match="start with Clear"):
+        _tiff_lzw_decode(b"\x00\x00\x00", 100)
+    with pytest.raises(ValueError, match="at most one"):
+        encode_tiff(grad, packbits=True, lzw=True)
+    with pytest.raises(ValueError, match="only written with lzw"):
+        encode_tiff(grad, predictor=True)
