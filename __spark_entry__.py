@@ -1618,6 +1618,57 @@ def q_x28_ngram_repetition(spark, sf_dir):
     )
 
 
+_X33_PHRASE = " ".join(f"p{i}" for i in range(12))
+
+
+def _x33_augmented(docs):
+    """Deterministic repetition regimes for the union-fraction query
+    (natural ~50-token synthetic docs have no repeated 5-grams, which
+    would make every fraction 0.0 — a non-discriminating oracle):
+    doc_id%3==0 appends a 12-token phrase TWICE (clean duplicated
+    n-grams for every n ≤ 12); %3==1 appends 14 identical tokens (the
+    heavy-overlap regime where the occurrence-counting proxy (x28)
+    diverges hardest from the positional union — e.g. ~0.21 vs ~0.06
+    at n=5); %3==2 keeps natural text (fractions 0.0). The SQL twin
+    builds the identical text, so every regime is recomputed."""
+    d = F.col("doc_id")
+    rep = " " + _X33_PHRASE + " " + _X33_PHRASE
+    zs = " " + "z " * 13 + "z"
+    return docs.withColumn(
+        "text",
+        F.when(d % 3 == 0, F.concat(F.col("text"), F.lit(rep)))
+        .when(d % 3 == 1, F.concat(F.col("text"), F.lit(zs)))
+        .otherwise(F.col("text")),
+    )
+
+
+def q_x33_ngram_dup_union(spark, sf_dir):
+    """The PAPER-EXACT Gopher duplicated-n-gram character fractions
+    (text.ngram_dup_union_fractions — Rae et al. 2021 Table A1): per
+    document, for n=5..10, the fraction of characters of the joined
+    token stream inside AT LEAST ONE occurrence of a duplicated n-gram
+    — a positional UNION (each char counted once, values in [0,1]),
+    closing x28's documented occurrence-counting deviation. Spark
+    computes it map-side: duplicated-gram lookup map from a sorted
+    pass, per-occurrence flags, then one fold with a bounded (≤ n)
+    sliding-window EXISTS per token position — no explode, no shuffle.
+    DuckDB recomputes the union RELATIONALLY: flagged occurrence
+    starts via unnest + a count window, lateral range() expansion to
+    covered token/space positions, DISTINCT, then summed lengths —
+    two entirely different strategies for a set-union must agree to
+    6 decimals on all three planted regimes."""
+    docs = _x33_augmented(_T(spark, sf_dir, "documents"))
+    return (
+        text.ngram_dup_union_fractions(docs)
+        .select(
+            "doc_id",
+            "dup5_union_frac", "dup6_union_frac", "dup7_union_frac",
+            "dup8_union_frac", "dup9_union_frac", "dup10_union_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_e13_semantic_dedup(spark, sf_dir):
     """Semantic dedup (clustering.semantic_dedup — SemDeDup's
     cluster-then-prune shape): k-means k=8 (bit-exact reproducible mode,
@@ -4357,6 +4408,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # selfchecked locally via scripts/selfcheck.py (s20's layout
     # machinery stays pinned by the m08 family, d01-d03's by the
     # d10/d11 rows in-window; the position-50 boundary row is o06).
+    # --- Round 10 rotation: x33 (PAPER-EXACT Gopher positional-union
+    # duplicated-n-gram char fractions — closes x28's documented
+    # occurrence-counting deviation; three planted regimes incl. the
+    # heavy-overlap one where the two variants diverge ~3×) leads the
+    # window with the other round-10 entries below. Displacements are
+    # listed at the end of this comment block once the round's set is
+    # final; every displaced row is multi-green and stays selfchecked.
+    # (a) NEW round 10
+    "x33_ngram_dup_union": q_x33_ngram_dup_union,
     # (a) NEW round 9
     "m15_pdf_parse": q_m15_pdf_parse,
     "m16_warc_extract": q_m16_warc_extract,
@@ -4922,6 +4982,74 @@ def _x28_sql(top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
             f"CASE WHEN t.total > 0 THEN round(coalesce(u{n}.chars, 0)"
             f" / CAST(t.total AS DOUBLE), 6) ELSE 0.0 END"
             f" AS dup{n}_char_frac"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT " + ",\n       ".join(sel)
+        + "\nFROM " + "\n     ".join(joins)
+        + "\nORDER BY d.doc_id"
+    )
+
+
+def _x33_sql(dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
+    """DuckDB twin of text.ngram_dup_union_fractions: per n, flag the
+    duplicated-gram occurrence starts (unnest + count window), expand
+    each to its covered token positions i..i+n-1 (and space positions
+    i..i+n-2) with a lateral range(), take the DISTINCT position sets —
+    the positional union — and sum token lengths + space counts. The
+    same planted-regime text augmentation as the Spark side."""
+    aug = (
+        f"CASE WHEN doc_id % 3 = 0 THEN text ||"
+        f" ' {_X33_PHRASE} {_X33_PHRASE}'"
+        " WHEN doc_id % 3 = 1 THEN text || ' ' || repeat('z ', 13) || 'z'"
+        " ELSE text END"
+    )
+    ctes = [
+        rf"""base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim({aug}), '\s+'),
+                             t -> t <> '') AS tk
+          FROM documents
+        )""",
+        "tot AS (SELECT doc_id, len(array_to_string(tk, ' ')) AS total"
+        " FROM base)",
+    ]
+    sel = ["d.doc_id"]
+    joins = ["documents d JOIN tot t USING (doc_id)"]
+    for n in dup_ns:
+        ctes.append(f"""occ{n} AS (
+          SELECT doc_id, i FROM (
+            SELECT doc_id, i, g,
+                   count(*) OVER (PARTITION BY doc_id, g) AS c
+            FROM (
+              SELECT doc_id,
+                     unnest(range(1, len(tk) - {n} + 2)) AS i,
+                     unnest([array_to_string(tk[j:j+{n - 1}], ' ')
+                             FOR j IN range(1, len(tk) - {n} + 2)]) AS g
+              FROM base))
+          WHERE c >= 2
+        )""")
+        ctes.append(f"""ct{n} AS (
+          SELECT DISTINCT doc_id, u.t
+          FROM occ{n}, UNNEST(range(i, i + {n})) AS u(t)
+        )""")
+        ctes.append(f"""cs{n} AS (
+          SELECT DISTINCT doc_id, u.t
+          FROM occ{n}, UNNEST(range(i, i + {n - 1})) AS u(t)
+        )""")
+        ctes.append(f"""u{n} AS (
+          SELECT b.doc_id, sum(length(b.tk[c.t])) AS chars
+          FROM ct{n} c JOIN base b USING (doc_id) GROUP BY b.doc_id
+        )""")
+        ctes.append(f"""v{n} AS (
+          SELECT doc_id, count(*) AS chars FROM cs{n} GROUP BY doc_id
+        )""")
+        joins.append(f"LEFT JOIN u{n} USING (doc_id)")
+        joins.append(f"LEFT JOIN v{n} USING (doc_id)")
+        sel.append(
+            f"CASE WHEN t.total > 0 THEN round((coalesce(u{n}.chars, 0)"
+            f" + coalesce(v{n}.chars, 0)) / CAST(t.total AS DOUBLE), 6)"
+            f" ELSE 0.0 END AS dup{n}_union_frac"
         )
     return (
         "WITH " + ",\n".join(ctes)
@@ -6655,6 +6783,7 @@ def oracle_sql() -> dict[str, str]:
         # (score DESC, doc_id) — both engines give early tiles the
         # extra rows, so bucket boundaries are value-exact
         "x28_ngram_repetition": _x28_sql(),
+        "x33_ngram_dup_union": _x33_sql(),
         "s22_crawl_frontier": """
             SELECT 'https://caselaw.example/case/'
                      || CAST(doc_id AS VARCHAR) AS canonical,

@@ -590,11 +590,11 @@ def decode_gif(blob: bytes) -> np.ndarray:
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(blob):
+            raise UnsupportedImageError("truncated global color table")
         gct = np.frombuffer(
             blob, np.uint8, 3 * n, pos
         ).reshape(n, 3)
-        if gct.shape[0] * 3 + pos > len(blob):
-            raise UnsupportedImageError("truncated global color table")
         pos += 3 * n
     while pos < len(blob):
         b0 = blob[pos]
@@ -620,6 +620,8 @@ def decode_gif(blob: bytes) -> np.ndarray:
         lct = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(blob):
+                raise UnsupportedImageError("truncated local color table")
             lct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
             pos += 3 * n
         if lct is None:

@@ -3,38 +3,78 @@ between URL discovery and fetch in a crawl pipeline.
 
 Built from the public RFC only: group selection by most-specific
 ``User-agent`` (exact product token beats ``*``), ``Allow``/``Disallow``
-path rules, LONGEST-MATCH precedence with Allow winning length ties, and
-"no matching rule → allowed". Scope is the literal path-prefix form
-(every rule is a path prefix; a trailing ``*`` is redundant and
-stripped) — rules carrying mid-pattern ``*`` or ``$`` anchors raise a
-typed error naming the pattern rather than mis-filtering (regex-per-rule
-matching would also force per-row pattern compilation on the JVM side;
-prefix matching keeps the decision in whole-stage codegen).
+path rules, LONGEST-MATCH precedence with Allow winning length ties
+("most octets" per RFC 9309 §2.2.2), and "no matching rule → allowed".
+
+Pattern support is the full RFC set: literal path prefixes stay on the
+fast path (a ``startswith`` inside whole-stage codegen); rules carrying
+a mid-pattern ``*`` wildcard or an end-of-match ``$`` anchor are
+compiled ONCE at parse time into an anchored regex carried alongside
+the rule, and matched JVM-side with ``regexp_like`` inside the same
+array fold. A ``$`` anywhere but the end is a literal character (as in
+the reference googlebot parser); a trailing ``*`` (with or without a
+redundant ``$`` after it) is prefix-equivalent and normalized away.
 
 The parse runs once per robots.txt (a control-plane-sized input: one
 small file per HOST) in an Arrow-batched stage; the per-URL decision —
 the 100 TB side — is a broadcast join on host plus a pure array
-expression (filter by ``startswith``, fold to the longest match).
+expression (filter by prefix-or-regex, fold to the longest match).
+``on_error='report'`` isolates a pathological file to its own host row
+(empty rules + error message) instead of failing the stage — the same
+per-row isolation contract as warc_records / parse_pdfs / unzip.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 class RobotsParseError(ValueError):
-    """A rule uses features outside the literal-prefix subset."""
+    """A robots.txt could not be parsed — today that means it exceeds
+    the parsing limit (RFC 9309 §2.5: crawlers impose one, ≥500 KiB);
+    wildcard/anchor patterns are supported, not refused."""
 
 
-def parse_robots(content: str, agent: str) -> list[tuple[str, bool]]:
-    """Parse one robots.txt and select the rule group for ``agent``
-    (case-insensitive product-token match; specific group beats ``*``;
-    groups merge when several name the same agent, per RFC 9309 §2.2.1).
+#: RFC 9309 §2.5 lower bound for the parsing limit (Google uses the same).
+DEFAULT_MAX_ROBOTS_BYTES = 512 * 1024
 
-    Returns [(path_prefix, allow)] for the selected group."""
-    agent = agent.lower()
+
+def _normalize_pattern(val: str) -> str:
+    """Strip redundant suffixes: ``p*`` ≡ prefix ``p``; ``p*$`` ≡ ``p*``
+    ≡ prefix ``p`` (a wildcard immediately before the end anchor makes
+    the anchor vacuous)."""
+    if val.endswith("$") and val[:-1].endswith("*"):
+        val = val[:-1]
+    while val.endswith("*"):
+        val = val[:-1]
+    return val
+
+
+def rule_regex(pattern: str) -> str | None:
+    """Compile one (normalized) rule pattern to an anchored Java regex,
+    or ``None`` when the pattern is a pure literal prefix (the codegen
+    fast path). ``*`` → ``.*``; a trailing ``$`` → end anchor; ``$``
+    elsewhere is literal. ``re.escape`` output is Java-compatible (a
+    backslash before a non-alphanumeric is a literal there too)."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    if "*" not in core and not anchored:
+        return None
+    body = ".*".join(re.escape(chunk) for chunk in core.split("*"))
+    return "^" + body + ("$" if anchored else "")
+
+
+def _parse_groups(
+    content: str,
+) -> tuple[dict[str, list[tuple[str, bool]]], dict[str, float]]:
+    """One pass over a robots.txt: rule groups AND crawl-delays, both
+    keyed by lowercase product token. Groups merge when several name
+    the same agent (RFC 9309 §2.2.1)."""
     groups: dict[str, list[tuple[str, bool]]] = {}
+    delays: dict[str, float] = {}
     current: list[str] = []
     in_rules = False
     for raw in content.splitlines():
@@ -48,24 +88,61 @@ def parse_robots(content: str, agent: str) -> list[tuple[str, bool]]:
                 current = []
                 in_rules = False
             current.append(val.lower())
-            for a in (val.lower(),):
-                groups.setdefault(a, [])
+            groups.setdefault(val.lower(), [])
         elif key in ("allow", "disallow"):
             in_rules = True
             if val == "":
                 continue  # "Disallow:" empty = allow everything
-            core = val[:-1] if val.endswith("*") else val
-            if "*" in core or "$" in core:
-                raise RobotsParseError(
-                    f"rule pattern {val!r} uses wildcards/anchors beyond"
-                    " the literal-prefix subset"
-                )
+            pattern = _normalize_pattern(val)
+            if pattern == "":
+                continue
             for a in current:
-                groups.setdefault(a, []).append((core, key == "allow"))
-        # other keys (crawl-delay, sitemap) are ignored
+                groups.setdefault(a, []).append((pattern, key == "allow"))
+        elif key == "crawl-delay":
+            in_rules = True
+            try:
+                d = float(val)
+            except ValueError:
+                continue  # malformed delay: ignore the line, keep rules
+            for a in current:
+                if a not in delays:
+                    delays[a] = d
+        # other keys (sitemap, host) are ignored
+    return groups, delays
+
+
+def _select_group(groups: dict, agent: str):
+    agent = agent.lower()
     if agent in groups:
         return groups[agent]
-    return groups.get("*", [])
+    return groups.get("*", None)
+
+
+def parse_robots(content: str, agent: str) -> list[tuple[str, bool]]:
+    """Parse one robots.txt and select the rule group for ``agent``
+    (case-insensitive product-token match; specific group beats ``*``;
+    groups merge when several name the same agent, per RFC 9309 §2.2.1).
+
+    Returns [(pattern, allow)] for the selected group. Patterns may
+    contain mid-pattern ``*`` / end ``$`` — see :func:`rule_regex`."""
+    groups, _ = _parse_groups(content)
+    got = _select_group(groups, agent)
+    return got if got is not None else []
+
+
+def parse_crawl_delay(content: str, agent: str) -> float | None:
+    """The Crawl-delay (seconds) the selected group requests for
+    ``agent``, or None when no group states one. Crawl-delay is a de
+    facto extension (not in RFC 9309) but ubiquitous; group selection
+    follows the same product-token precedence as the rules."""
+    _, delays = _parse_groups(content)
+    agent = agent.lower()
+    if agent in delays:
+        return delays[agent]
+    return delays.get("*", None)
+
+
+_RULES_T = "array<struct<path:string,allow:boolean,re:string>>"
 
 
 def robots_rules(
@@ -73,10 +150,21 @@ def robots_rules(
     agent: str,
     host_col: str = "host",
     content_col: str = "content",
+    on_error: str = "raise",
+    max_bytes: int = DEFAULT_MAX_ROBOTS_BYTES,
 ) -> DataFrame:
-    """(host, robots.txt text) → (host, rules array<struct<path,allow>>)
-    for ``agent`` — one Arrow-batched parse per file; the output is the
-    small broadcast side of :func:`robots_filter`."""
+    """(host, robots.txt text) → (host, rules array<struct<path, allow,
+    re>>, crawl_delay) for ``agent`` — one Arrow-batched parse per file;
+    the output is the small broadcast side of :func:`robots_filter`.
+    ``re`` is null for literal-prefix rules (codegen fast path) and an
+    anchored regex for wildcard/anchor rules.
+
+    ``on_error='report'`` adds an ``error`` column and maps a
+    pathological file to (empty rules, null delay, message) instead of
+    failing the stage — drop/route error rows before broadcast."""
+    if on_error not in ("raise", "report"):
+        raise ValueError(f"on_error must be raise|report, got {on_error!r}")
+    report = on_error == "report"
 
     src = robots.select(
         F.col(host_col).alias("host"), F.col(content_col).alias("_txt")
@@ -88,18 +176,45 @@ def robots_rules(
         for pdf in batches:
             rows = []
             for host, txt in zip(pdf["host"], pdf["_txt"]):
-                rules = parse_robots(txt or "", agent)
-                rows.append({
-                    "host": host,
-                    "rules": [
-                        {"path": p, "allow": a} for p, a in rules
-                    ],
-                })
-            yield pd.DataFrame(rows, columns=["host", "rules"])
+                try:
+                    if txt is not None and len(txt) > max_bytes:
+                        raise RobotsParseError(
+                            f"robots.txt is {len(txt)} bytes, over the"
+                            f" {max_bytes}-byte parsing limit"
+                            " (RFC 9309 §2.5)"
+                        )
+                    groups, delays = _parse_groups(txt or "")
+                    rules = _select_group(groups, agent) or []
+                    a = agent.lower()
+                    delay = delays.get(a, delays.get("*", None))
+                    row = {
+                        "host": host,
+                        "rules": [
+                            {"path": p, "allow": al, "re": rule_regex(p)}
+                            for p, al in rules
+                        ],
+                        "crawl_delay": delay,
+                    }
+                except Exception as exc:
+                    if not report:
+                        if isinstance(exc, RobotsParseError):
+                            raise
+                        raise RobotsParseError(str(exc)) from exc
+                    row = {"host": host, "rules": [], "crawl_delay": None}
+                    row["error"] = f"{type(exc).__name__}: {exc}"
+                else:
+                    if report:
+                        row["error"] = None
+                rows.append(row)
+            cols = ["host", "rules", "crawl_delay"] + (
+                ["error"] if report else []
+            )
+            yield pd.DataFrame(rows, columns=cols)
 
-    return src.mapInPandas(
-        run, "host string, rules array<struct<path:string,allow:boolean>>"
-    )
+    schema = f"host string, rules {_RULES_T}, crawl_delay double"
+    if report:
+        schema += ", error string"
+    return src.mapInPandas(run, schema)
 
 
 def url_host(url: Column | str) -> Column:
@@ -125,20 +240,22 @@ def robots_filter(
     """Append an ``allowed`` column: RFC 9309 longest-match decision of
     each URL against its host's rule group. The rules side is one row
     per HOST (control-plane sized) → broadcast join; the decision is a
-    pure array fold (filter by prefix, max by (length, allow) so Allow
-    wins length ties), so the crawl-scale side never shuffles."""
+    pure array fold (filter by prefix — or by the rule's precompiled
+    regex when it carries wildcards — then max by (pattern octets,
+    allow) so Allow wins length ties), so the crawl-scale side never
+    shuffles."""
     path = url_pathq(F.col(url_col))
+    rules_side = rules.select("host", "rules").withColumnRenamed(
+        "host", "_host"
+    )
     joined = urls.withColumn("_host", url_host(F.col(url_col))).join(
-        F.broadcast(rules.withColumnRenamed("host", "_host")),
-        "_host",
-        "left",
+        F.broadcast(rules_side), "_host", "left"
     )
     matches = F.filter(
-        F.coalesce(
-            F.col("rules"),
-            F.array().cast("array<struct<path:string,allow:boolean>>"),
-        ),
-        lambda r: path.startswith(r["path"]),
+        F.coalesce(F.col("rules"), F.array().cast(_RULES_T)),
+        lambda r: F.when(
+            r["re"].isNotNull(), F.regexp_like(path, r["re"])
+        ).otherwise(path.startswith(r["path"])),
     )
     best = F.array_max(
         F.transform(

@@ -777,10 +777,14 @@ def ngram_repetition_suite(
       occurrences of the single most frequent n-gram, over total
       characters — ties broken to the lexicographically smallest gram;
     - ``dup{n}_char_frac`` (n in ``dup_ns``): characters covered by
-      occurrences of every n-gram that appears more than once
-      (occurrence-counting: overlapping coverage is summed, so values
-      may exceed 1 — filters threshold far below; the positional-union
-      variant is :func:`substring_dedup`'s span machinery).
+      occurrences of every n-gram that appears more than once —
+      OCCURRENCE-COUNTING, a cheap O(T) proxy: overlapping coverage is
+      summed, so values may exceed 1 and sit above the paper's numbers
+      on repetitive docs. The PAPER-EXACT positional-union formula
+      (each char counted once, values in [0, 1]) is
+      :func:`ngram_dup_union_fractions`; calibrate thresholds from Rae
+      et al. Table A1 against THAT, and use this one for cheap
+      pre-filters thresholded well below the divergence.
 
     Character counts use the single-space-joined token stream (the
     canonical text both engines reconstruct identically); fractions are
@@ -881,6 +885,115 @@ def ngram_repetition_suite(
             f"dup{n}_char_frac",
             F.when(
                 total > 0, F.round(covered / total.cast("double"), 6)
+            ).otherwise(F.lit(0.0)),
+        )
+    return out.drop(*tmp)
+
+
+def ngram_dup_union_fractions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The PAPER-EXACT Gopher duplicated-n-gram character fractions
+    (Rae et al. 2021 Table A1): per document and per n,
+    ``dup{n}_union_frac`` = the fraction of characters of the
+    single-space-joined token stream lying inside AT LEAST ONE
+    occurrence of an n-gram that appears more than once — a positional
+    UNION, each character counted at most once, so values are in
+    [0, 1]. :func:`ngram_repetition_suite`'s ``dup{n}_char_frac`` is
+    the cheap occurrence-counting proxy (overlapping coverage summed,
+    can exceed 1); this is the published formula.
+
+    Entirely map-side, O(n·T) per document per n: one staged
+    tokenization; per n a sorted pass extracts the duplicated-gram set
+    into a lookup MAP (O(1) per-occurrence membership via
+    try_element_at, never an array scan), each occurrence start is
+    flagged, and one fold over token positions ORs a BOUNDED (≤ n)
+    sliding window of flags to decide whether the token (and the space
+    after it) is covered. No explode, no shuffle — a projection over
+    the corpus, like the proxy suite. Each intermediate is staged as
+    its own projected column (the x28 analysis-blowup rationale)."""
+    toked = df.withColumn("_toks", tokens(F.col(text_col)))
+    out = toked.withColumn(
+        "_total", F.length(F.array_join(F.col("_toks"), " "))
+    )
+    toks = F.col("_toks")
+    total = F.col("_total")
+    sz = F.size(toks)
+    tmp = ["_toks", "_total"]
+
+    for n in dup_ns:
+        g_c, s_c, m_c, f_c = f"_g{n}", f"_s{n}", f"_m{n}", f"_f{n}"
+        tmp.extend([g_c, s_c, m_c, f_c])
+        out = out.withColumn(g_c, ngrams_from_tokens(toks, n))
+        out = out.withColumn(s_c, F.array_sort(F.col(g_c)))
+        srt = F.col(s_c)
+        gsz = F.size(srt)
+        # duplicated grams = adjacent equals in the sorted stream
+        dups = F.when(
+            gsz >= 2,
+            F.array_distinct(
+                F.filter(
+                    F.zip_with(
+                        F.slice(srt, 1, gsz - 1),
+                        F.slice(srt, 2, gsz - 1),
+                        lambda a, b: F.when(a == b, a),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        out = out.withColumn(
+            m_c,
+            F.map_from_arrays(
+                dups, F.array_repeat(F.lit(True), F.size(dups))
+            ),
+        )
+        out = out.withColumn(
+            f_c,
+            F.transform(
+                F.col(g_c),
+                lambda g: F.coalesce(
+                    F.try_element_at(F.col(m_c), g), F.lit(False)
+                ),
+            ),
+        )
+        flags = F.col(f_c)
+        last = sz - n  # last occurrence start index (0-based)
+
+        def win_exists(lo, hi):
+            return F.exists(
+                F.slice(flags, lo + 1, hi - lo + 1), lambda x: x
+            )
+
+        def step(acc, t):
+            tok_cov = win_exists(
+                F.greatest(t - (n - 1), F.lit(0)), F.least(t, last)
+            )
+            sp_cov = (t < sz - 1) & win_exists(
+                F.greatest(t - (n - 2), F.lit(0)), F.least(t, last)
+            )
+            return (
+                acc
+                + F.when(
+                    tok_cov,
+                    F.length(F.element_at(toks, t + 1)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                + F.when(sp_cov, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+
+        covered = F.aggregate(
+            F.sequence(F.lit(0), sz - 1), F.lit(0).cast("long"), step
+        )
+        out = out.withColumn(
+            f"dup{n}_union_frac",
+            F.when(
+                (sz >= n) & (total > 0),
+                F.round(covered / total.cast("double"), 6),
             ).otherwise(F.lit(0.0)),
         )
     return out.drop(*tmp)

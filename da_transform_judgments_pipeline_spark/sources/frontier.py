@@ -9,8 +9,11 @@ half). The d06/d11/e14 incremental-index lifecycle applied to URLs:
 - the index holds one row per distinct canonical URL, bucketed on it,
   so each batch's anti-join plans with ZERO index-side Exchange (the
   batch shuffles; the 100 TB side never does — plan-gated in pytest);
-- batches dedup internally by keep-lowest ``(batch_id, pos)`` before
-  the index join (a crawl batch re-discovers the same link many times);
+- batches dedup internally before the index join (a crawl batch
+  re-discovers the same link many times): keep-lowest min-struct over
+  ``(*order_cols, url)`` — pass e.g. ``order_cols=("batch_id", "pos")``
+  to keep the first discovery in arrival order, or omit it to keep the
+  lexicographically-smallest URL string per canonical;
 - append + compaction reuse the dedup_stream lifecycle (crash-safe
   write-first/swap-last, bucket layout preserved).
 """
@@ -52,17 +55,25 @@ def new_frontier_urls(
     spark: SparkSession,
     table: str,
     url_col: str = "url",
+    order_cols: tuple = (),
 ) -> DataFrame:
-    """The per-batch frontier decision: canonicalize, keep the FIRST
-    discovery of each canonical within the batch (min struct — no
-    sort), then anti-join the persisted index. Returns the batch rows
-    that are genuinely new, with their ``canonical`` column. Append the
-    result's canonicals via :func:`append_to_url_index` after a
-    successful fetch wave."""
+    """The per-batch frontier decision: canonicalize, keep ONE
+    representative per canonical within the batch (a min-struct over
+    ``(*order_cols, url)`` — no sort), then anti-join the persisted
+    index. With ``order_cols=("batch_id", "pos")`` the representative
+    is the first discovery in arrival order; with the default empty
+    tuple it is the lexicographically-smallest URL string. Returns the
+    batch rows that are genuinely new, with their ``canonical`` column.
+    Append the result's canonicals via :func:`append_to_url_index`
+    after a successful fetch wave."""
     canon = _canon(batch, url_col)
+    key = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(url_col).alias("u"),
+    )
     firsts = (
         canon.groupBy("canonical")
-        .agg(F.min(F.struct(F.col(url_col).alias("u"))).alias("first"))
+        .agg(F.min(key).alias("first"))
         .select("canonical", F.col("first.u").alias(url_col))
     )
     index = spark.table(table)

@@ -43,6 +43,17 @@ from pyspark.sql import functions as F
 
 WARC_MAX_MEMBER_BYTES = 256 << 20
 WARC_MAX_TOTAL_BYTES = 1 << 30
+#: Per-FILE compressed bound: warc_records/warc_cdx ride the whole file
+#: in one task (the ~1 GB Common Crawl work-unit convention); a
+#: pathological multi-GB WARC is refused with a typed error BEFORE the
+#: blob is walked, instead of becoming an implicit task-memory risk.
+WARC_MAX_FILE_BYTES = 2 << 30
+
+
+class WarcFileTooLargeError(ValueError):
+    """A .warc/.warc.gz file exceeds WARC_MAX_FILE_BYTES — split the
+    archive (or raise the bound) rather than riding multi-GB blobs
+    through single tasks."""
 
 
 class WarcError(ValueError):
@@ -53,6 +64,16 @@ class WarcError(ValueError):
 class WarcBombError(WarcError):
     """A gzip member inflated past WARC_MAX_MEMBER_BYTES /
     WARC_MAX_TOTAL_BYTES."""
+
+
+def _check_file_size(blob, max_file_bytes: int = None) -> None:
+    bound = WARC_MAX_FILE_BYTES if max_file_bytes is None else max_file_bytes
+    if blob is not None and len(blob) > bound:
+        raise WarcFileTooLargeError(
+            f"WARC file is {len(blob)} bytes, over the per-task bound"
+            f" of {bound} — split the archive into ~1 GB files (the"
+            " Common Crawl convention) or raise max_file_bytes"
+        )
 
 
 def split_gzip_members(blob: bytes) -> list[bytes]:
@@ -240,6 +261,7 @@ def warc_records(
     id_col: str = "file_id",
     content_col: str = "content",
     on_error: str = "report",
+    max_file_bytes: int = WARC_MAX_FILE_BYTES,
 ) -> DataFrame:
     """Distributed WARC record extraction: one row in (id, .warc.gz
     bytes) → one row out PER RECORD. At 100 TB this is the crawl-intake
@@ -274,6 +296,7 @@ def warc_records(
             rows = []
             for fid, blob in zip(pdf["file_id"], pdf["_blob"]):
                 try:
+                    _check_file_size(blob, max_file_bytes)
                     for r in parse_warc(bytes(blob)):
                         rows.append({
                             "file_id": fid,
@@ -390,7 +413,8 @@ def build_warc_gz(
 
 WARC_CDX_SCHEMA = (
     "file_id long, pos int, target_uri string, warc_type string,"
-    " offset long, length long, payload_digest string, http_status int"
+    " offset long, length long, member_pos int, payload_digest string,"
+    " http_status int"
 )
 
 
@@ -399,6 +423,7 @@ def warc_cdx(
     id_col: str = "file_id",
     content_col: str = "content",
     on_error: str = "report",
+    max_file_bytes: int = WARC_MAX_FILE_BYTES,
 ) -> DataFrame:
     """Build the CDX-style random-access index of a WARC corpus: one row
     per record with the COMPRESSED byte range (offset, length) of its
@@ -407,7 +432,14 @@ def warc_cdx(
     inflate instead of a full-file scan (what makes WARC corpora
     seekable at 100 TB; pair with :func:`fetch_warc_record`). Digest
     and HTTP status ride along so the index doubles as a fetch-free
-    integrity/quality surface."""
+    integrity/quality surface.
+
+    Every record is indexed, including spec-conforming .warc.gz files
+    with several records per gzip member and plain uncompressed .warc
+    (one member holding the whole file): such records share their
+    member's (offset, length) and are disambiguated by ``member_pos``
+    (record index within the member, 0 for the per-record-member
+    Common Crawl convention)."""
     if on_error not in ("raise", "report"):
         raise ValueError(
             f"on_error must be 'raise' or 'report', not {on_error!r}"
@@ -419,7 +451,7 @@ def warc_cdx(
     )
     cols = [
         "file_id", "pos", "target_uri", "warc_type", "offset", "length",
-        "payload_digest", "http_status",
+        "member_pos", "payload_digest", "http_status",
     ] + (["error"] if report else [])
 
     def run(batches):
@@ -429,23 +461,31 @@ def warc_cdx(
             rows = []
             for fid, blob in zip(pdf["file_id"], pdf["_blob"]):
                 try:
-                    for i, (member, off, clen) in enumerate(
-                        split_gzip_members_indexed(bytes(blob))
+                    _check_file_size(blob, max_file_bytes)
+                    pos = 0
+                    for member, off, clen in split_gzip_members_indexed(
+                        bytes(blob)
                     ):
-                        rec, _ = _parse_one(member)
-                        rows.append({
-                            "file_id": fid,
-                            "pos": i,
-                            "target_uri": rec["target_uri"],
-                            "warc_type": rec["warc_type"],
-                            "offset": off,
-                            "length": clen,
-                            "payload_digest": base64.b32encode(
-                                hashlib.sha1(rec["payload"]).digest()
-                            ).decode("ascii"),
-                            "http_status": rec["http_status"],
-                            **({"error": None} if report else {}),
-                        })
+                        mpos = 0
+                        while member.strip(b"\r\n"):
+                            rec, used = _parse_one(member)
+                            rows.append({
+                                "file_id": fid,
+                                "pos": pos,
+                                "target_uri": rec["target_uri"],
+                                "warc_type": rec["warc_type"],
+                                "offset": off,
+                                "length": clen,
+                                "member_pos": mpos,
+                                "payload_digest": base64.b32encode(
+                                    hashlib.sha1(rec["payload"]).digest()
+                                ).decode("ascii"),
+                                "http_status": rec["http_status"],
+                                **({"error": None} if report else {}),
+                            })
+                            pos += 1
+                            mpos += 1
+                            member = member[used:]
                 except Exception as e:
                     if not report:
                         raise
@@ -459,13 +499,28 @@ def warc_cdx(
     return src.mapInPandas(run, schema=schema)
 
 
-def fetch_warc_record(blob: bytes, offset: int, length: int) -> dict:
+def fetch_warc_record(
+    blob: bytes, offset: int, length: int, member_pos: int = 0
+) -> dict:
     """Random access: decode ONE record from its CDX byte range without
     touching the rest of the file (``blob`` may be just the ranged
-    bytes — pass offset=0 then)."""
+    bytes — pass offset=0 then). ``member_pos`` selects the record
+    within a multi-record member (0 = first, the Common Crawl
+    per-record-member case)."""
     member = split_gzip_members(bytes(blob)[offset:offset + length])
     if len(member) != 1:
         raise WarcError(
             f"CDX range does not hold exactly one member ({len(member)})"
         )
-    return parse_warc_record(member[0])
+    data = member[0]
+    for _ in range(member_pos):
+        if not data.strip(b"\r\n"):
+            raise WarcError(
+                f"member has fewer than {member_pos + 1} records"
+            )
+        _, used = _parse_one(data)
+        data = data[used:]
+    if not data.strip(b"\r\n"):
+        raise WarcError(f"member has fewer than {member_pos + 1} records")
+    rec, _ = _parse_one(data)
+    return rec

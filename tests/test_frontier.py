@@ -56,6 +56,35 @@ def test_frontier_two_wave_lifecycle(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_frontier_order_cols_arrival_order(spark, tmp_path):
+    """order_cols=('batch_id','pos') keeps the FIRST discovery in
+    arrival order (not the lexicographically-smallest URL)."""
+    from da_transform_judgments_pipeline_spark.sources import frontier
+
+    table = "frontier_t3"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        _urls(spark, ["https://h.example/seen"]), table,
+        buckets=2, path=str(tmp_path / "t3"),
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, 0, "https://h.example/c#zz"),  # arrives first
+            (1, 1, "https://h.example/c#aa"),  # lexicographically first
+            (2, 0, "https://h.example/c#00"),
+        ],
+        "batch_id int, pos int, url string",
+    )
+    got = frontier.new_frontier_urls(
+        batch, spark, table, order_cols=("batch_id", "pos")
+    ).collect()
+    assert len(got) == 1 and got[0]["url"] == "https://h.example/c#zz"
+    # default: lexicographically-smallest URL string
+    got2 = frontier.new_frontier_urls(batch, spark, table).collect()
+    assert got2[0]["url"] == "https://h.example/c#00"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_frontier_index_side_never_shuffles(spark, tmp_path):
     """The 100 TB contract: the persisted index (the corpus-scale side)
     joins with zero Exchange above its scan — only the batch shuffles.

@@ -88,6 +88,10 @@ def test_refusals():
     # WebP stays a typed refusal
     with pytest.raises(UnsupportedImageError, match="WebP"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBP")
+    # a blob cut INSIDE the global color table raises the typed error
+    # (bounds-checked before np.frombuffer, not numpy's bare ValueError)
+    with pytest.raises(UnsupportedImageError, match="truncated global"):
+        decode_gif(blob[:14])
 
 
 def test_corrupt_lzw_codes_refused():

@@ -377,6 +377,21 @@ def test_ngram_repetition_suite_is_map_side(spark):
     assert "Exchange" not in plan and "Python" not in plan, plan
 
 
+def test_ngram_dup_union_is_map_side(spark):
+    """x33's scale contract: the positional-union fractions are a pure
+    projection like the x28 proxy — NO Exchange, no Python stage; the
+    per-document cost is O(n·T) with the window bounded at n ≤ 10."""
+    from da_transform_judgments_pipeline_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c a b a b c"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    out = text.ngram_dup_union_fractions(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
 def test_crawl_pipeline_single_shuffle(spark):
     """x29's scale contract: after the Arrow-batched WARC record stage,
     everything up to the dup-ownership window is map-side — the only

@@ -29,10 +29,44 @@ def test_parse_groups_and_rules():
           "Sitemap: https://x/s.xml\n")
     assert parse_robots(c4, "z") == [("/y", False)]
     assert parse_robots("", "z") == []
-    with pytest.raises(RobotsParseError, match="literal-prefix"):
-        parse_robots("User-agent: *\nDisallow: /a*b\n", "z")
-    with pytest.raises(RobotsParseError, match="literal-prefix"):
-        parse_robots("User-agent: *\nDisallow: /a$\n", "z")
+    # wildcard / anchor patterns survive the parse verbatim ('/a*$' is
+    # prefix-equivalent and normalizes to '/a')
+    c5 = "User-agent: *\nDisallow: /a*b\nDisallow: /x$\nAllow: /a*$\n"
+    assert parse_robots(c5, "z") == [
+        ("/a*b", False), ("/x$", False), ("/a", True)
+    ]
+
+
+def test_rule_regex_compile():
+    from da_transform_judgments_pipeline_spark.operators.robots import (
+        rule_regex,
+    )
+    import re as _re
+
+    assert rule_regex("/plain/prefix") is None  # literal = fast path
+    r1 = rule_regex("/*?")  # the ubiquitous 'block query strings'
+    assert r1 == "^/.*\\?"
+    assert _re.search(r1, "/page?q=1") and not _re.search(r1, "/page")
+    r2 = rule_regex("/dir/$")  # end anchor
+    assert _re.search(r2, "/dir/") and not _re.search(r2, "/dir/x")
+    r3 = rule_regex("/a$b")  # mid-pattern '$' is a literal char
+    assert r3 is None  # no '*', no end anchor → still a literal prefix
+    assert rule_regex("/a$b*c") == "^/a\\$b.*c"
+
+
+def test_parse_crawl_delay():
+    from da_transform_judgments_pipeline_spark.operators.robots import (
+        parse_crawl_delay,
+    )
+
+    c = ("User-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /x\n\n"
+         "User-agent: *\nCrawl-delay: 10\n")
+    assert parse_crawl_delay(c, "graftbot") == 2.5
+    assert parse_crawl_delay(c, "otherbot") == 10.0
+    assert parse_crawl_delay("User-agent: *\nDisallow: /\n", "z") is None
+    # malformed delay value is ignored, rules kept
+    assert parse_crawl_delay(
+        "User-agent: *\nCrawl-delay: soon\n", "z") is None
 
 
 def test_robots_filter_longest_match_and_broadcast(spark):
@@ -70,3 +104,55 @@ def test_robots_filter_longest_match_and_broadcast(spark):
                    5: True, 6: True}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_robots_filter_wildcards_end_to_end(spark):
+    """Wildcard (*) and end-anchor ($) rules decide JVM-side via the
+    per-rule precompiled regex, mixed with literal-prefix rules in the
+    same fold; precedence is still most-octets with Allow tie-win."""
+    robots = spark.createDataFrame(
+        [
+            ("w.example",
+             "User-agent: *\nDisallow: /*?\nAllow: /search?safe\n"),
+            ("anchor.example",
+             "User-agent: *\nDisallow: /fish$\n"),
+        ],
+        "host string, content string",
+    )
+    rules = robots_rules(robots, agent="graftbot")
+    urls = spark.createDataFrame(
+        [
+            (0, "https://w.example/page?q=1"),       # /*? → deny
+            (1, "https://w.example/page"),           # no query → allow
+            (2, "https://w.example/search?safe=1"),  # longer Allow wins
+            (3, "https://anchor.example/fish"),      # exact end → deny
+            (4, "https://anchor.example/fishing"),   # anchor miss → allow
+        ],
+        "i long, url string",
+    )
+    got = {r["i"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
+    assert got == {0: False, 1: True, 2: True, 3: False, 4: True}
+
+
+def test_robots_rules_report_mode(spark):
+    """on_error='report' isolates a file over the RFC 9309 §2.5 parsing
+    limit to its own host row (empty rules + error message) instead of
+    failing the stage; the happy path carries crawl_delay; raise mode
+    surfaces the typed error."""
+    df = spark.createDataFrame(
+        [("good.example", "User-agent: *\nCrawl-delay: 3\nDisallow: /p\n"),
+         ("big.example", "#" + "x" * 200 + "\nUser-agent: *\nDisallow: /\n")],
+        "host string, content string",
+    )
+    out = {r["host"]: r for r in
+           robots_rules(df, agent="g", on_error="report",
+                        max_bytes=128).collect()}
+    assert out["good.example"]["error"] is None
+    assert out["good.example"]["crawl_delay"] == 3.0
+    assert [r["path"] for r in out["good.example"]["rules"]] == ["/p"]
+    assert out["big.example"]["rules"] == []
+    assert "parsing limit" in out["big.example"]["error"]
+    with pytest.raises(Exception, match="parsing limit"):
+        robots_rules(df, agent="g", max_bytes=128).collect()
+    with pytest.raises(ValueError, match="raise|report"):
+        robots_rules(df, agent="g", on_error="nope")

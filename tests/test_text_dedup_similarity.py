@@ -1314,6 +1314,55 @@ def test_ngram_repetition_suite_closed_form(spark):
         assert out[5][col] == 0.0
 
 
+def test_ngram_dup_union_fractions_closed_form(spark):
+    """The positional-union Gopher fractions against hand-computed
+    values — including the heavy-overlap doc where the occurrence-
+    counting proxy would overshoot (union is capped at 1.0 by
+    construction) and the full-repeat doc where the union covers the
+    WHOLE stream."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        ngram_dup_union_fractions,
+        ngram_repetition_suite,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # 10 distinct tokens repeated once (t0..t9 t0..t9, 59 chars
+            # joined). Duplicated 5-grams start at i=0..5 and i=10..15;
+            # they cover token positions 0..9 ∪ 10..19 = ALL 20 tokens
+            # (40 chars) and all spaces except the SEAM space between
+            # tokens 9 and 10 (no duplicated occurrence spans it: that
+            # would need a flagged i in 6..9) → union = 58/59
+            (1, " ".join(["t%d" % i for i in range(10)] * 2)),
+            # heavy overlap: 'z'×8 + distinct tail of 8 tokens.
+            # 5-grams: 'z z z z z' occurs 4× (i=0..3) → union covers
+            # tokens 0..7 (the 8 z's) + 7 spaces = 8 + 7 = 15 chars.
+            # tail tokens are 2-char ('a0'..'a7'): joined total =
+            # 8·1+8·2+15 spaces = 39. union_frac5 = 15/39.
+            (2, "z z z z z z z z " + " ".join("a%d" % i for i in range(8))),
+            (3, "no repeats here at all"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           ngram_dup_union_fractions(df).collect()}
+    assert out[1]["dup5_union_frac"] == round(58 / 59, 6)
+    assert out[2]["dup5_union_frac"] == round(15 / 39, 6)
+    assert out[2]["dup10_union_frac"] == 0.0  # no duplicated 10-gram
+    assert out[3]["dup5_union_frac"] == 0.0
+    assert out[4]["dup5_union_frac"] == 0.0
+    # the documented divergence: on the overlap doc the occurrence-
+    # counting proxy exceeds the union (4 occ × 9 chars = 36 vs 15)
+    proxy = {r["doc_id"]: r for r in ngram_repetition_suite(df).collect()}
+    assert proxy[2]["dup5_char_frac"] == round(36 / 39, 6)
+    assert proxy[2]["dup5_char_frac"] > out[2]["dup5_union_frac"]
+    # union never exceeds 1 on any doc
+    for r in out.values():
+        for n in (5, 6, 7, 8, 9, 10):
+            assert 0.0 <= r[f"dup{n}_union_frac"] <= 1.0
+
+
 def test_split_assign_contamination_safety_and_calibration(spark):
     """split_assign: (a) rows sharing the key NEVER straddle splits —
     the leakage guarantee; (b) split sizes calibrate to the rates;

@@ -248,3 +248,54 @@ def test_warc_cdx_random_access(spark):
     assert len(bad) == 1 and bad[0]["error"] is not None
     with pytest.raises(W.WarcError, match="exactly one member"):
         W.fetch_warc_record(blob, 0, len(blob))
+
+
+def test_warc_cdx_multi_record_members(spark):
+    """A plain uncompressed .warc (ONE member holding every record) and
+    any spec-conforming multi-record member index ALL records, not just
+    the first: rows share the member's byte range and are disambiguated
+    by member_pos, which fetch_warc_record honors."""
+    plain = W.build_warc_gz(RESP, gzip_members=False)
+    files = spark.createDataFrame(
+        [(1, bytearray(plain))], "file_id long, content binary"
+    )
+    rows = sorted(W.warc_cdx(files).collect(), key=lambda r: r["pos"])
+    assert len(rows) == 4  # warcinfo + 3 responses, one member
+    assert [r["member_pos"] for r in rows] == [0, 1, 2, 3]
+    assert all(r["offset"] == 0 and r["length"] == len(plain)
+               for r in rows)
+    for r in rows:
+        rec = W.fetch_warc_record(
+            plain, r["offset"], r["length"], member_pos=r["member_pos"]
+        )
+        assert rec["target_uri"] == r["target_uri"]
+        assert rec["warc_type"] == r["warc_type"]
+    with pytest.raises(W.WarcError, match="fewer than 9"):
+        W.fetch_warc_record(plain, 0, len(plain), member_pos=8)
+
+
+def test_warc_file_size_guard(spark):
+    """A file over max_file_bytes is refused with the typed error
+    BEFORE the blob is walked; report mode isolates it to one error row
+    while smaller files in the same corpus parse normally; raise mode
+    surfaces the typed name."""
+    blob = W.build_warc_gz(RESP)
+    small = W.build_warc_gz(RESP[:1])
+    bound = (len(small) + len(blob)) // 2
+    assert len(small) <= bound < len(blob)
+    files = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(small))],
+        "file_id long, content binary",
+    )
+    rows = W.warc_records(files, max_file_bytes=bound).collect()
+    big = [r for r in rows if r["file_id"] == 1]
+    assert len(big) == 1 and "WarcFileTooLargeError" in big[0]["error"]
+    ok = [r for r in rows if r["file_id"] == 2]
+    assert len(ok) == 2 and all(r["error"] is None for r in ok)
+    with pytest.raises(Exception, match="per-task bound"):
+        W.warc_records(files, on_error="raise",
+                       max_file_bytes=bound).collect()
+    cdx = W.warc_cdx(files, max_file_bytes=bound).collect()
+    assert sum(1 for r in cdx if r["file_id"] == 1) == 1
+    assert all("per-task bound" in r["error"]
+               for r in cdx if r["file_id"] == 1)
