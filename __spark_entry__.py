@@ -15,6 +15,7 @@ shapes.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import sys
@@ -4091,6 +4092,114 @@ def q_s22_crawl_frontier(spark, sf_dir):
     )
 
 
+def q_s24_crawl_stream_intake(spark, sf_dir):
+    """STREAMING crawl intake end-to-end (streaming/crawl_stream.
+    run_crawl_stream — the x29 chain driven by an arriving-WARC manifest
+    stream, the reference's event-driven T1 arrival shape applied to
+    ingestion): docs with doc_id %% 13 == 0 each become a real .warc.gz
+    on disk; their manifest arrives in TWO waves through one
+    foreachBatch stream (one checkpoint), wave 2 carrying (a) a resend
+    of an already-processed wave-1 file — absorbed by the T10
+    processed-path ledger — and (b) for doc_id %% 26 == 0 a re-crawl of
+    a wave-1 URL through a messy respelling — canonicalized, then
+    routed 'url_seen' by the frontier-index anti-join. The accepted
+    output (exactly one row per doc: URL, canonical, digest_ok,
+    language, Gopher quality keep, n_tokens/n_chars, fingerprint) is
+    fully DETERMINISTIC, so DuckDB recomputes a streaming pipeline's
+    result analytically — no rows-only concession. Temp dirs, the
+    frontier table, and the checkpoint are per-invocation and torn down
+    after a localCheckpoint detaches the result."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from da_transform_judgments_pipeline_spark.sources import frontier
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        build_warc_gz,
+    )
+    from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+        run_crawl_stream,
+    )
+
+    rows = (
+        _T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )  # control-plane: ~|docs|/13 rows drive FILE construction only
+    tmp = tempfile.mkdtemp(prefix="s24_crawl_stream_")
+    table = f"s24_frontier_{_uuid.uuid4().hex[:8]}"
+    try:
+        os.makedirs(f"{tmp}/warcs")
+        os.makedirs(f"{tmp}/manifests")
+
+        def warc_path(tag, d):
+            return f"{tmp}/warcs/{tag}_{d}.warc.gz"
+
+        def write_warc(tag, d, url, text):
+            html = (
+                "<html><head><title>Crawl Judgment</title>"
+                "<script>track();</script></head><body><p>"
+                + (text or "")
+                + "</p><!-- boilerplate --></body></html>"
+            ).encode()
+            blob = build_warc_gz([{
+                "url": url, "date": "2021-03-04T05:06:07Z",
+                "payload": html,
+            }])
+            with open(warc_path(tag, d), "wb") as f:
+                f.write(blob)
+
+        wave1, wave2 = [], []
+        for r in rows:
+            d = int(r["doc_id"])
+            url = f"https://crawl.example/case/{d}"
+            write_warc("base", d, url, r["text"])
+            entry = {"file_id": d, "path": warc_path("base", d)}
+            (wave1 if (d // 13) % 2 == 0 else wave2).append(entry)
+            if d % 26 == 0:  # wave-1 doc re-crawled messily in wave 2
+                write_warc(
+                    "re", d,
+                    f"HTTPS://Crawl.Example:443/x/../case/{d}#m", r["text"],
+                )
+                wave2.append(
+                    {"file_id": d + 10**9, "path": warc_path("re", d)}
+                )
+        if wave1:  # resend an already-processed file across waves
+            wave2.append(wave1[0])
+
+        frontier.build_url_index(
+            spark.createDataFrame(
+                [("https://crawl.example/seed",)], "url string"
+            ),
+            table, buckets=4, path=f"{tmp}/fidx",
+        )
+        for i, wave in enumerate((wave1, wave2)):
+            with open(f"{tmp}/manifests/wave{i}.jsonl", "w") as f:
+                f.write("\n".join(json.dumps(x) for x in wave) + "\n")
+            q = run_crawl_stream(
+                spark, f"{tmp}/manifests", table, f"{tmp}/out"
+            )
+            q.awaitTermination(300)
+        out = (
+            spark.read.parquet(f"{tmp}/out/accepted")
+            .select(
+                F.col("file_id").alias("doc_id"),
+                "target_uri", "canonical", "digest_ok",
+                "detected_lang", "n_tokens",
+                F.length("text").cast("int").alias("n_chars"),
+                F.col("quality_keep").cast("int").alias("quality_keep"),
+                "fp",
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_d10_substring_dedup(spark, sf_dir):
     """Exact-substring dedup at sliding-window granularity
     (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
@@ -4417,6 +4526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # final; every displaced row is multi-green and stays selfchecked.
     # (a) NEW round 10
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
+    "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
     # (a) NEW round 9
     "m15_pdf_parse": q_m15_pdf_parse,
     "m16_warc_extract": q_m16_warc_extract,
@@ -5189,6 +5299,83 @@ SELECT doc_id, pos,
        fp, first_doc, first_pos,
        (doc_id <> first_doc OR pos <> first_pos) AS is_dup
 FROM own ORDER BY doc_id, pos
+"""
+
+
+def _s24_sql() -> str:
+    """s24 oracle: the streaming intake's accepted output recomputed
+    ANALYTICALLY — every doc_id %% 13 == 0 lands exactly once (resends
+    die at the ledger, re-crawls at the frontier anti-join), so the
+    accepted set is the x29 extraction identity + x02 language argmax +
+    the x12 Gopher cascade + md5 fingerprint, straight SQL over
+    documents. A streaming pipeline hash-checked end to end."""
+    hits = ",\n  ".join(
+        f"len(list_filter(tk, t -> lower(t) IN {words})) AS hits_{lang}"
+        for lang, words in _LANG_HITS.items()
+    )
+    stop = (
+        "('the','a','an','of','and','to','in','is','it','that','for',"
+        "'on','with','as','was','at','by','be')"
+    )
+    return rf"""
+WITH ext AS (
+  SELECT doc_id,
+         'Crawl Judgment ' || trim(regexp_replace(text, '\s+', ' ', 'g'))
+             AS text
+  FROM documents WHERE doc_id % 13 = 0
+), toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS tk
+  FROM ext
+), h AS (
+  SELECT doc_id, text, tk,
+  {hits}
+  FROM toks
+), q AS (
+  SELECT *,
+         CAST(len(tk) AS INT) AS n_tokens,
+         round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+               / greatest(len(tk), 1), 4) AS mean_token_len,
+         round(len(list_filter(tk,
+                   x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+               / greatest(len(tk), 1), 4) AS alpha_ratio,
+         len(list_filter(tk, x -> lower(x) IN {stop})) AS stop_hits,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text)
+                   - length(replace(text, '...', ''))) / 3.0)
+               / greatest(len(tk), 1), 4) AS symbol_ratio
+  FROM h
+)
+SELECT doc_id,
+       'https://crawl.example/case/' || CAST(doc_id AS VARCHAR)
+           AS target_uri,
+       'https://crawl.example/case/' || CAST(doc_id AS VARCHAR)
+           AS canonical,
+       TRUE AS digest_ok,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0
+            THEN 'und'
+            ELSE CASE
+              WHEN hits_en >= hits_de AND hits_en >= hits_es
+                   AND hits_en >= hits_fr THEN 'en'
+              WHEN hits_es >  hits_en AND hits_es >= hits_fr
+                   AND hits_es >= hits_de THEN 'es'
+              WHEN hits_fr >  hits_en AND hits_fr >  hits_es
+                   AND hits_fr >= hits_de THEN 'fr'
+              ELSE 'de' END
+       END AS detected_lang,
+       n_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       CASE WHEN n_tokens < 20 THEN 0
+            WHEN n_tokens > 100000 THEN 0
+            WHEN mean_token_len < 3.0 THEN 0
+            WHEN mean_token_len > 10.0 THEN 0
+            WHEN alpha_ratio < 0.8 THEN 0
+            WHEN stop_hits < 2 THEN 0
+            WHEN symbol_ratio > 0.1 THEN 0
+            ELSE 1 END AS quality_keep,
+       md5(lower(text)) AS fp
+FROM q ORDER BY doc_id
 """
 
 
@@ -6784,6 +6971,7 @@ def oracle_sql() -> dict[str, str]:
         # extra rows, so bucket boundaries are value-exact
         "x28_ngram_repetition": _x28_sql(),
         "x33_ngram_dup_union": _x33_sql(),
+        "s24_crawl_stream_intake": _s24_sql(),
         "s22_crawl_frontier": """
             SELECT 'https://caselaw.example/case/'
                      || CAST(doc_id AS VARCHAR) AS canonical,

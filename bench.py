@@ -135,6 +135,9 @@ HEADLINE = [
     "x32_shard_plan",
     "m20_zip_extract",
     "s22_crawl_frontier",
+    # round 10
+    "x33_ngram_dup_union",
+    "s24_crawl_stream_intake",
 ]
 
 

@@ -1,0 +1,174 @@
+"""Streaming crawl-intake tests (streaming/crawl_stream): the x29 chain
+driven incrementally by an arriving-WARC manifest stream, with the T10
+ledger + idempotent frontier append proving exactly-once under chaos."""
+
+import json
+
+from da_transform_judgments_pipeline_spark.sources import frontier
+from da_transform_judgments_pipeline_spark.sources.warc import build_warc_gz
+from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+    run_crawl_stream,
+)
+
+
+def _html(body):
+    return (
+        "<html><head><script>t();</script></head><body><p>"
+        + body + "</p><!-- c --></body></html>"
+    ).encode()
+
+
+def _warc(path, urls_bodies):
+    blob = build_warc_gz([
+        {"url": u, "date": "2021-03-04T05:06:07Z", "payload": _html(b)}
+        for u, b in urls_bodies
+    ])
+    path.write_bytes(blob)
+    return str(path)
+
+
+def _read(spark, path):
+    try:
+        return spark.read.parquet(str(path))
+    except Exception:
+        return None
+
+
+def test_crawl_stream_two_wave_chaos_exactly_once(spark, tmp_path):
+    """One continuous crawl-intake stream (one checkpoint) through 2
+    waves with (a) an injected crash in the worst-case window — after
+    accepted/duplicates/errors sinks, the frontier append AND the
+    processed ledger, before the offset commit — forcing a full batch
+    replay on restart; (b) a duplicate manifest resend in the SAME wave
+    and a cross-restart resend of an already-processed file; (c) a
+    re-crawl of an already-indexed URL (url_seen), an in-batch
+    re-discovery (in_batch_dup), and a truncated WARC (error isolation).
+    Exactly-once everywhere: zero duplicate accepted rows, zero
+    duplicate frontier canonicals, one error row, ledger keys unique."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+
+    table = "crawl_stream_chaos_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame(
+            [("https://h.example/seed",)], "url string"
+        ),
+        table, buckets=4, path=str(tmp_path / "fidx"),
+    )
+
+    # wave-1 files: f1 = two new pages + a messy re-crawl of the seed;
+    # f2 = re-discovers /b (in-batch dup vs f1 pos 1) + one new page;
+    # f3 = truncated (error isolation)
+    f1 = _warc(warcs / "f1.warc.gz", [
+        ("https://h.example/a", "alpha body one"),
+        ("https://h.example/b#frag", "bravo body two"),
+        ("HTTPS://H.example:443/x/../seed", "seed recrawl"),
+    ])
+    f2 = _warc(warcs / "f2.warc.gz", [
+        ("https://h.example/b", "bravo mirror"),
+        ("https://h.example/c", "charlie body"),
+    ])
+    blob3 = build_warc_gz([{
+        "url": "https://h.example/broken",
+        "date": "2021-03-04T05:06:07Z", "payload": _html("x"),
+    }])
+    (warcs / "f3.warc.gz").write_bytes(blob3[:-7])
+    f3 = str(warcs / "f3.warc.gz")
+
+    lines = [
+        {"file_id": 1, "path": f1},
+        {"file_id": 1, "path": f1},  # duplicate resend, same wave
+        {"file_id": 2, "path": f2},
+        {"file_id": 3, "path": f3},
+    ]
+    (manifests / "wave1.jsonl").write_text(
+        "\n".join(json.dumps(x) for x in lines) + "\n"
+    )
+
+    armed = {"crash": True}
+
+    def chaos_hook(batch_id):
+        if armed["crash"]:
+            armed["crash"] = False
+            raise RuntimeError("injected crash before offset commit")
+
+    def run_wave():
+        q = run_crawl_stream(
+            spark, str(manifests), table, str(out),
+            on_batch_complete=chaos_hook,
+        )
+        try:
+            q.awaitTermination(120)
+        except StreamingQueryException as exc:
+            return exc
+        finally:
+            if q.isActive:
+                q.stop()
+        return None
+
+    # wave 1, attempt 1: all sinks written once, then the crash
+    failure = run_wave()
+    assert failure is not None and "injected crash" in str(failure)
+    # restart, same checkpoint: the batch replays; the ledger swallows it
+    assert run_wave() is None
+
+    acc = _read(spark, out / "accepted").collect()
+    assert sorted(r["canonical"] for r in acc) == [
+        "https://h.example/a", "https://h.example/b", "https://h.example/c",
+    ]
+    by_canon = {r["canonical"]: r for r in acc}
+    # the in-batch dup rule kept f1's /b (lowest (file_id, pos))
+    assert by_canon["https://h.example/b"]["file_id"] == 1
+    assert by_canon["https://h.example/a"]["text"] == "alpha body one"
+    assert all(r["digest_ok"] for r in acc)
+    assert all(r["detected_lang"] is not None for r in acc)
+    assert all(r["quality_keep"] in (0, 1) for r in acc)
+
+    dups = _read(spark, out / "duplicates").collect()
+    got = sorted((r["canonical"], r["reason"]) for r in dups)
+    assert got == [
+        ("https://h.example/b", "in_batch_dup"),
+        ("https://h.example/seed", "url_seen"),
+    ]
+    errs = _read(spark, out / "errors").collect()
+    assert len(errs) == 1 and errs[0]["file_id"] == 3
+
+    # wave 2: cross-restart resend of f1 (must be a no-op) + f4 whose
+    # /c is now url_seen (frontier grew in wave 1) and /d is new
+    f4 = _warc(warcs / "f4.warc.gz", [
+        ("https://h.example/c", "charlie again"),
+        ("https://h.example/d", "delta body"),
+    ])
+    (manifests / "wave2.jsonl").write_text(
+        json.dumps({"file_id": 1, "path": f1}) + "\n"
+        + json.dumps({"file_id": 4, "path": f4}) + "\n"
+    )
+    assert run_wave() is None
+
+    acc2 = _read(spark, out / "accepted").collect()
+    assert sorted(r["canonical"] for r in acc2) == [
+        "https://h.example/a", "https://h.example/b",
+        "https://h.example/c", "https://h.example/d",
+    ]
+    dups2 = _read(spark, out / "duplicates").collect()
+    assert sorted((r["canonical"], r["reason"]) for r in dups2) == [
+        ("https://h.example/b", "in_batch_dup"),
+        ("https://h.example/c", "url_seen"),
+        ("https://h.example/seed", "url_seen"),
+    ]
+    # frontier: one row per canonical, seed + a/b/c/d
+    idx = spark.table(table).collect()
+    canons = sorted(r["canonical"] for r in idx)
+    assert canons == sorted(set(canons))
+    assert len(canons) == 5
+    # ledger: each processed path exactly once (f1 NOT re-recorded)
+    led = [r["exec_name"] for r in
+           _read(spark, out / "processed").collect()]
+    assert sorted(led) == sorted(set(led)) and len(led) == 4
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
