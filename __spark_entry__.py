@@ -3048,7 +3048,13 @@ def q_m12_png_decode_features(spark, sf_dir):
     analytic DuckDB formula. n_bytes is excluded: the zlib stream length
     varies per doc. This closes the 'PNG is achievable with stdlib
     zlib' gap — decode path hash-checked end-to-end through inflate and
-    every filter type, not just plumbing-checked."""
+    every filter type, not just plumbing-checked. Round 10: the corpus
+    now exercises the WHOLE header matrix under the UNCHANGED oracle —
+    doc_id %% 3 == 1 ships Adam7-INTERLACED (seven pass grids scattered
+    back), %% 3 == 2 ships 16-BIT depth (big-endian samples, ×257
+    upscale so the high-byte downscale round-trips exactly), the rest
+    the five-filter baseline: same pixels, three on-disk layouts, one
+    closed form."""
     from da_transform_judgments_pipeline_spark.operators import multimodal
 
     # the testdata table is a single parquet file → one input split; the
@@ -3068,6 +3074,8 @@ def q_m12_png_decode_features(spark, sf_dir):
         import pandas as pd
 
         from da_transform_judgments_pipeline_spark.operators.imagecodec import (
+            encode_png16,
+            encode_png_adam7,
             encode_png_filtered,
         )
 
@@ -3080,9 +3088,13 @@ def q_m12_png_decode_features(spark, sf_dir):
                 arr = np.empty((6, 4, 3), dtype=np.uint8)
                 arr[:3] = a
                 arr[3:] = b
-                blobs.append(
-                    bytearray(encode_png_filtered(arr, [0, 1, 2, 3, 4, 2]))
-                )
+                if d % 3 == 1:
+                    blob = encode_png_adam7(arr)
+                elif d % 3 == 2:
+                    blob = encode_png16(arr)
+                else:
+                    blob = encode_png_filtered(arr, [0, 1, 2, 3, 4, 2])
+                blobs.append(bytearray(blob))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     imgs = docs.mapInPandas(make, "doc_id long, content binary")
@@ -3308,6 +3320,22 @@ def q_m13_docx_parse(spark, sf_dir):
                                 if d % 6 == 0
                                 else None
                             ),
+                            endnotes=(
+                                [
+                                    f"End authority {j} for case {d}."
+                                    for j in range(d % 4 + 1)
+                                ]
+                                if d % 6 == 3
+                                else None
+                            ),
+                            comments=(
+                                [
+                                    ("Editor", f"Review note {j} on {d}")
+                                    for j in range(d % 2 + 1)
+                                ]
+                                if d % 7 == 0
+                                else None
+                            ),
                         )
                     )
                 )
@@ -3330,6 +3358,10 @@ def q_m13_docx_parse(spark, sf_dir):
             "n_links",
             "n_footnotes",
             "n_footnote_refs",
+            "n_endnotes",
+            "n_endnote_refs",
+            "n_comments",
+            "n_comment_refs",
             "n_images",
         )
         .orderBy("doc_id")
@@ -6079,6 +6111,14 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END AS INTEGER) AS n_footnotes,
                    CAST(CASE WHEN doc_id % 6 = 0 THEN doc_id % 3 + 1
                              ELSE 0 END AS INTEGER) AS n_footnote_refs,
+                   CAST(CASE WHEN doc_id % 6 = 3 THEN doc_id % 4 + 1
+                             ELSE 0 END AS INTEGER) AS n_endnotes,
+                   CAST(CASE WHEN doc_id % 6 = 3 THEN doc_id % 4 + 1
+                             ELSE 0 END AS INTEGER) AS n_endnote_refs,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN doc_id % 2 + 1
+                             ELSE 0 END AS INTEGER) AS n_comments,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN doc_id % 2 + 1
+                             ELSE 0 END AS INTEGER) AS n_comment_refs,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
                         AS INTEGER) AS n_images
             FROM documents ORDER BY doc_id

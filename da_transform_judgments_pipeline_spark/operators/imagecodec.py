@@ -175,15 +175,20 @@ def _png_chunks(blob: bytes):
             return
 
 
-def _defilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+def _defilter(
+    raw: np.ndarray, h: int, w: int, ch: int, sample_bytes: int = 1
+) -> np.ndarray:
     """Undo the five PNG scanline filters. Row layout: 1 filter byte +
-    w*ch sample bytes. None/Up are vectorized across the row; Sub is a
-    lag-``ch`` prefix sum (per residue class, a cumsum mod 256); Average
-    and Paeth genuinely recur on the left-neighbor RECONSTRUCTED byte, so
-    those rows walk pixels left-to-right (spec-faithful; at 100 TB the
-    decode cost lives inside the Arrow-batched executor stage either
-    way)."""
-    stride = w * ch
+    w*ch*sample_bytes sample bytes. Filters operate on BYTES at a
+    left-distance of ``ch * sample_bytes`` (the spec's bpp — so the same
+    code covers 8- and 16-bit depths). None/Up are vectorized across
+    the row; Sub is a lag-``bpp`` prefix sum (per residue class, a
+    cumsum mod 256); Average and Paeth genuinely recur on the
+    left-neighbor RECONSTRUCTED byte, so those rows walk pixels
+    left-to-right (spec-faithful; at 100 TB the decode cost lives
+    inside the Arrow-batched executor stage either way)."""
+    bpp = ch * sample_bytes  # filter distance is BYTES per pixel (spec)
+    stride = w * bpp
     rows = raw.reshape(h, 1 + stride)
     filters = rows[:, 0]
     data = rows[:, 1:].astype(np.int16)
@@ -195,21 +200,21 @@ def _defilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
             rec = line
         elif f == 1:  # Sub
             rec = line.copy()
-            for c in range(ch):
-                rec[c::ch] = np.cumsum(rec[c::ch]) % 256
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(rec[c::bpp]) % 256
         elif f == 2:  # Up
             rec = (line + prev) % 256
         elif f == 3:  # Average
             rec = np.empty(stride, dtype=np.int16)
             for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (line[x] + ((left + prev[x]) >> 1)) % 256
         elif f == 4:  # Paeth
             rec = np.empty(stride, dtype=np.int16)
             for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (
@@ -229,17 +234,29 @@ def _defilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
 PNG_MAX_DECODED_BYTES = 256 << 20
 
 
+#: Adam7 pass grids (PNG spec §8.2): (start_row, start_col, row_inc,
+#: col_inc) for passes 1-7 — the union of the seven grids tiles every
+#: pixel exactly once; an empty pass contributes no scanlines.
+ADAM7_PASSES = [
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+]
+
+
 def decode_png(blob: bytes) -> np.ndarray:
     """Full PNG decode with the standard library: chunk walk + CRC
-    verify, zlib-inflate the IDAT stream, undo per-row filters, map
-    palette / drop alpha / replicate gray — returns (H, W, 3) uint8.
-    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced; 16-bit
-    and Adam7 raise (the honest boundary of a stdlib decoder). EVERY
-    malformed-input failure — short IHDR, non-zlib IDAT, zlib bomb
-    (inflation is capped at the header-derived raster size, which is
-    itself bounded by PNG_MAX_DECODED_BYTES), out-of-range palette
-    index — raises :class:`UnsupportedImageError`, so the report-mode
-    operators can isolate any corrupt blob."""
+    verify, zlib-inflate the IDAT stream, undo per-row filters (each
+    Adam7 pass is its own scanline sequence, scattered back on the
+    pass grid), map palette / drop alpha / replicate gray — returns
+    (H, W, 3) uint8. Supports bit depths 8 AND 16 (16-bit samples are
+    big-endian; output takes the high byte — the standard 16→8
+    downscale), color types 0/2/3/4/6, interlace methods 0 (none) and
+    1 (Adam7). Sub-byte depths (1/2/4) raise. EVERY malformed-input
+    failure — short IHDR, non-zlib IDAT, zlib bomb (inflation is
+    capped at the header-derived raster size, which is itself bounded
+    by PNG_MAX_DECODED_BYTES), out-of-range palette index — raises
+    :class:`UnsupportedImageError`, so the report-mode operators can
+    isolate any corrupt blob."""
     blob = bytes(blob)
     if blob[:8] != PNG_SIG:
         raise UnsupportedImageError(f"{sniff(blob)} is not PNG")
@@ -262,17 +279,31 @@ def decode_png(blob: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise UnsupportedImageError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (
+        0, 1
+    ):
         raise UnsupportedImageError(
             f"PNG depth={depth} interlace={interlace} unsupported "
-            "(only 8-bit non-interlaced)"
+            "(8/16-bit, interlace none/Adam7)"
         )
     if color_type not in _PNG_CHANNELS:
         raise UnsupportedImageError(f"PNG color type {color_type} invalid")
+    if depth == 16 and color_type == 3:
+        raise UnsupportedImageError("PNG 16-bit palette images are invalid")
     ch = _PNG_CHANNELS[color_type]
+    sb = depth // 8
     if w < 1 or h < 1:
         raise UnsupportedImageError(f"PNG dimensions {w}x{h} invalid")
-    expected = h * (1 + w * ch)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        passes = []
+        for sr, sc, ri, ci in ADAM7_PASSES:
+            pw = (w - sc + ci - 1) // ci if w > sc else 0
+            ph = (h - sr + ri - 1) // ri if h > sr else 0
+            if pw > 0 and ph > 0:
+                passes.append((sr, sc, ri, ci, pw, ph))
+    expected = sum(ph * (1 + pw * ch * sb) for *_, pw, ph in passes)
     if expected > PNG_MAX_DECODED_BYTES:
         raise UnsupportedImageError(
             f"PNG raster {expected} bytes exceeds the "
@@ -289,7 +320,15 @@ def decode_png(blob: bytes) -> np.ndarray:
     raw = np.frombuffer(inflated, np.uint8)
     if raw.size != expected:
         raise UnsupportedImageError("PNG pixel data size mismatch")
-    pix = _defilter(raw, h, w, ch).reshape(h, w, ch)
+    pix = np.empty((h, w, ch), dtype=np.uint8)
+    off = 0
+    for sr, sc, ri, ci, pw, ph in passes:
+        n = ph * (1 + pw * ch * sb)
+        sub = _defilter(raw[off:off + n], ph, pw, ch, sb)
+        off += n
+        # big-endian samples: byte 0 is the high byte (identity at sb=1)
+        sub = sub.reshape(ph, pw, ch, sb)[:, :, :, 0]
+        pix[sr::ri, sc::ci] = sub
     if color_type == 3:
         if palette is None:
             raise UnsupportedImageError("PNG palette image missing PLTE")
@@ -326,8 +365,11 @@ def _png_samples(arr: np.ndarray, color_type: int) -> np.ndarray:
     return arr
 
 
-def _png_package(scan: bytes, w: int, h: int, color_type: int) -> bytes:
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+def _png_package(
+    scan: bytes, w: int, h: int, color_type: int,
+    depth: int = 8, interlace: int = 0,
+) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -347,6 +389,45 @@ def encode_png(arr: np.ndarray, color_type: int = 2) -> bytes:
         [np.zeros((h, 1), np.uint8), rows], axis=1
     ).tobytes()
     return _png_package(scan, w, h, color_type)
+
+
+def encode_png_adam7(arr: np.ndarray, color_type: int = 2) -> bytes:
+    """(H, W, 3) uint8 → Adam7-INTERLACED PNG bytes: the seven passes'
+    sub-images extracted on the standard grids, each pass its own
+    filter-0 scanline sequence, one zlib IDAT. The interlaced decode
+    twin for :func:`decode_png` — any conforming reader reconstructs
+    the same pixels as the non-interlaced encoding."""
+    samples = _png_samples(arr, color_type)
+    h, w = samples.shape[:2]
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    scan = bytearray()
+    for sr, sc, ri, ci in ADAM7_PASSES:
+        sub = samples[sr::ri, sc::ci]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue  # empty pass: no scanlines at all (spec)
+        rows = sub.astype(np.uint8).reshape(ph, -1)
+        scan += np.concatenate(
+            [np.zeros((ph, 1), np.uint8), rows], axis=1
+        ).tobytes()
+    return _png_package(bytes(scan), w, h, color_type, interlace=1)
+
+
+def encode_png16(arr: np.ndarray, color_type: int = 2) -> bytes:
+    """(H, W, 3) uint16 (or uint8, upscaled ×257 — the exact 8→16
+    replication, so the decoder's high-byte downscale round-trips
+    bit-exact) → 16-bit PNG bytes, big-endian samples, filter-0
+    scanlines. The depth-16 decode twin for :func:`decode_png`."""
+    samples = _png_samples(arr, color_type)
+    if samples.dtype == np.uint8:
+        samples = samples.astype(np.uint16) * 257
+    h, w = samples.shape[:2]
+    rows = samples.astype(">u2").reshape(h, -1)
+    scan = b"".join(
+        b"\x00" + rows[y].tobytes() for y in range(h)
+    )
+    return _png_package(scan, w, h, color_type, depth=16)
 
 
 def encode_png_filtered(

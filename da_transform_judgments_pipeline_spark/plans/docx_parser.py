@@ -178,6 +178,8 @@ def build_docx(
     headers: list[str] | None = None,
     links: list[tuple[str, str]] | None = None,
     footnotes: list[str] | None = None,
+    endnotes: list[str] | None = None,
+    comments: list[tuple[str, str]] | None = None,
 ) -> bytes:
     """Assemble a minimal real .docx (ECMA-376 zip package) from
     paragraph texts + optional NUMBERED paragraphs (``w:numPr`` with a
@@ -193,7 +195,12 @@ def build_docx(
     becomes its own paragraph), optional FOOTNOTES (a real
     ``word/footnotes.xml`` part + relationship; footnote i's
     ``w:footnoteReference`` rides in body paragraph ``i %% len``
-    — where judgments keep citations of authorities), and optional
+    — where judgments keep citations of authorities), optional
+    ENDNOTES (``word/endnotes.xml`` — the same apparatus at document
+    end, same reference-in-body wiring via ``w:endnoteReference``),
+    optional COMMENTS (``word/comments.xml``; each (author, text)
+    comment is anchored by a ``w:commentReference`` in body paragraph
+    ``i %% len`` — the editorial review apparatus), and optional
     embedded images.
     Byte-deterministic (pinned zip timestamps, sorted members) so
     fixtures are committable and property tests reproducible."""
@@ -238,6 +245,41 @@ def build_docx(
             )
         footnotes_xml = ET.tostring(
             fns, xml_declaration=True, encoding="UTF-8"
+        )
+    endnotes_xml = None
+    if endnotes:
+        if not body_paras:
+            raise ValueError("endnotes need at least one paragraph")
+        ens = ET.Element(f"{w}endnotes")
+        for i, note in enumerate(endnotes, start=1):
+            en = ET.SubElement(ens, f"{w}endnote", {f"{w}id": str(i)})
+            add_runs(ET.SubElement(en, f"{w}p"), note)
+            host = body_paras[(i - 1) % len(body_paras)]
+            r = ET.SubElement(host, f"{w}r")
+            ET.SubElement(
+                r, f"{w}endnoteReference", {f"{w}id": str(i)}
+            )
+        endnotes_xml = ET.tostring(
+            ens, xml_declaration=True, encoding="UTF-8"
+        )
+    comments_xml = None
+    if comments:
+        if not body_paras:
+            raise ValueError("comments need at least one paragraph")
+        cms = ET.Element(f"{w}comments")
+        for i, (author, text) in enumerate(comments, start=1):
+            cm = ET.SubElement(
+                cms, f"{w}comment",
+                {f"{w}id": str(i), f"{w}author": author},
+            )
+            add_runs(ET.SubElement(cm, f"{w}p"), text)
+            host = body_paras[(i - 1) % len(body_paras)]
+            r = ET.SubElement(host, f"{w}r")
+            ET.SubElement(
+                r, f"{w}commentReference", {f"{w}id": str(i)}
+            )
+        comments_xml = ET.tostring(
+            cms, xml_declaration=True, encoding="UTF-8"
         )
     for text in numbered or []:
         p = ET.SubElement(body, f"{w}p")
@@ -322,6 +364,22 @@ def build_docx(
         )
         rels.append(("rIdFn1", "footnotes", "footnotes.xml"))
         members.append(("word/footnotes.xml", footnotes_xml))
+    if endnotes_xml is not None:
+        overrides.append(
+            '<Override PartName="/word/endnotes.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.'
+            'wordprocessingml.endnotes+xml"/>'
+        )
+        rels.append(("rIdEn1", "endnotes", "endnotes.xml"))
+        members.append(("word/endnotes.xml", endnotes_xml))
+    if comments_xml is not None:
+        overrides.append(
+            '<Override PartName="/word/comments.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.'
+            'wordprocessingml.comments+xml"/>'
+        )
+        rels.append(("rIdCm1", "comments", "comments.xml"))
+        members.append(("word/comments.xml", comments_xml))
     if overrides:
         ct = CONTENT_TYPES.replace("</Types>", "".join(overrides) + "</Types>")
         members[0] = ("[Content_Types].xml", ct.encode())
@@ -447,11 +505,44 @@ def parse_docx(blob: bytes, reference: str) -> dict:
                 footnotes.append(
                     "\n".join(run_text(p) for p in fn.findall(f"{w}p"))
                 )
+    endnotes: list[str] = []
+    n_endnote_refs = sum(
+        1 for _ in doc_root.iter(f"{w}endnoteReference")
+    )
+    if "word/endnotes.xml" in zf.namelist():
+        eroot = ET.fromstring(
+            _read_bounded(zf, "word/endnotes.xml", actual)
+        )
+        for en in eroot.findall(f"{w}endnote"):
+            # same separator/continuation pseudo-note filter as footnotes
+            try:
+                eid = int(en.get(f"{w}id", "0"))
+            except ValueError:
+                eid = 0
+            if eid >= 1:
+                endnotes.append(
+                    "\n".join(run_text(p) for p in en.findall(f"{w}p"))
+                )
+    comments: list[tuple[str, str]] = []  # (author, text)
+    n_comment_refs = sum(
+        1 for _ in doc_root.iter(f"{w}commentReference")
+    )
+    if "word/comments.xml" in zf.namelist():
+        croot = ET.fromstring(
+            _read_bounded(zf, "word/comments.xml", actual)
+        )
+        for cm in croot.findall(f"{w}comment"):
+            comments.append((
+                cm.get(f"{w}author", ""),
+                "\n".join(run_text(p) for p in cm.findall(f"{w}p")),
+            ))
     log.append(
         f"extracted {len(paragraphs)} paragraphs "
         f"({n_numbered} numbered), {len(tables)} tables, "
         f"{len(headers)} header paragraphs, {len(links)} hyperlinks, "
-        f"{len(footnotes)} footnotes ({n_footnote_refs} references)"
+        f"{len(footnotes)} footnotes ({n_footnote_refs} references), "
+        f"{len(endnotes)} endnotes ({n_endnote_refs} references), "
+        f"{len(comments)} comments ({n_comment_refs} anchors)"
     )
 
     title, creator, created = "", "", ""
@@ -491,6 +582,8 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         + [c for rows in tables for row in rows for c in row]
         + headers  # courts put the citation banner in the page header
         + footnotes  # authorities are often cited only in footnotes
+        + endnotes  # ... or in endnotes; comments are editorial
+        # apparatus, NOT judgment text — excluded from citation search
     )
     m = CITE_RE.search(full_text)
     if m:
@@ -574,6 +667,15 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         )
         np_el = ET.SubElement(note_el, f"{akn}p")
         np_el.text = note
+    for k, note in enumerate(endnotes, start=1):
+        # endnotes are the same AKN authorialNote apparatus, placed at
+        # document end (placement attribute per the AKN schema)
+        note_el = ET.SubElement(
+            body, f"{akn}authorialNote",
+            eId=f"endnote_{k}", marker=f"e{k}", placement="bottom",
+        )
+        np_el = ET.SubElement(note_el, f"{akn}p")
+        np_el.text = note
     xml_str = ET.tostring(
         root, xml_declaration=True, encoding="unicode"
     )
@@ -589,6 +691,10 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         "links": links,
         "footnotes": footnotes,
         "n_footnote_refs": n_footnote_refs,
+        "endnotes": endnotes,
+        "n_endnote_refs": n_endnote_refs,
+        "comments": comments,
+        "n_comment_refs": n_comment_refs,
     }
 
 

@@ -222,7 +222,8 @@ PARSED_DOC_SCHEMA = (
     "doc_id long, xml string, name string, cite string, court string,"
     " date string, n_paragraphs int, n_numbered int, n_tables int,"
     " n_table_cells int, n_headers int, n_links int, n_footnotes int,"
-    " n_footnote_refs int, n_images int"
+    " n_footnote_refs int, n_endnotes int, n_endnote_refs int,"
+    " n_comments int, n_comment_refs int, n_images int"
 )
 
 
@@ -266,6 +267,7 @@ def parse_documents(
         "doc_id", "xml", "name", "cite", "court", "date",
         "n_paragraphs", "n_numbered", "n_tables", "n_table_cells",
         "n_headers", "n_links", "n_footnotes", "n_footnote_refs",
+        "n_endnotes", "n_endnote_refs", "n_comments", "n_comment_refs",
         "n_images",
     ] + (["error"] if report else [])
 
@@ -297,6 +299,10 @@ def parse_documents(
                         "n_links": len(r["links"]),
                         "n_footnotes": len(r["footnotes"]),
                         "n_footnote_refs": r["n_footnote_refs"],
+                        "n_endnotes": len(r["endnotes"]),
+                        "n_endnote_refs": r["n_endnote_refs"],
+                        "n_comments": len(r["comments"]),
+                        "n_comment_refs": r["n_comment_refs"],
                         "n_images": len(r["images"]),
                     }
                     if report:

@@ -859,3 +859,50 @@ def test_docx_footnotes_roundtrip_and_citation_from_note():
     assert plain["footnotes"] == [] and plain["n_footnote_refs"] == 0
     with _pytest.raises(ValueError, match="at least one paragraph"):
         build_docx([], footnotes=["orphan"])
+
+
+def test_docx_endnotes_and_comments_roundtrip():
+    """Endnotes (word/endnotes.xml) and comments (word/comments.xml):
+    both round-trip through build_docx → parse_docx with body-anchored
+    reference counts; a citation present ONLY in an endnote is still
+    extracted (endnotes are judgment text) while comment text is
+    EXCLUDED from citation search (editorial apparatus); the AKN render
+    carries endnotes as placed authorialNote elements and never inflates
+    the paragraph count."""
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.plans.docx_parser import (
+        build_docx,
+        parse_docx,
+    )
+
+    ends = ["See [2020] EWHC 99 (Admin).", "Final endnote."]
+    cmts = [("Editor", "check this"), ("QA", "approved")]
+    blob = build_docx(
+        ["Intro paragraph.", "Second paragraph."],
+        title="T",
+        endnotes=ends,
+        comments=cmts,
+    )
+    r = parse_docx(blob, "x")
+    assert r["endnotes"] == ends
+    assert r["n_endnote_refs"] == 2
+    assert r["comments"] == cmts
+    assert r["n_comment_refs"] == 2
+    # endnote text reaches the citation scan...
+    assert r["metadata"]["cite"] == "[2020] EWHC 99 (Admin)"
+    assert 'eId="endnote_2"' in r["xml"] and 'marker="e2"' in r["xml"]
+    assert r["xml"].count("<paragraph ") == 2
+    # ...but a citation that exists ONLY in a comment is NOT extracted
+    only_cmt = parse_docx(
+        build_docx(["plain body"],
+                   comments=[("E", "see [2018] UKSC 7")]), "y",
+    )
+    assert only_cmt["metadata"]["cite"] is None
+    assert only_cmt["comments"] == [("E", "see [2018] UKSC 7")]
+    plain = parse_docx(build_docx(["a"]), "z")
+    assert plain["endnotes"] == [] and plain["comments"] == []
+    with _pytest.raises(ValueError, match="at least one paragraph"):
+        build_docx([], endnotes=["orphan"])
+    with _pytest.raises(ValueError, match="at least one paragraph"):
+        build_docx([], comments=[("a", "b")])

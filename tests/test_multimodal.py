@@ -590,15 +590,77 @@ def test_png_codec_full_decode_path():
     bad[20] ^= 0xFF
     with _pytest.raises(ic.UnsupportedImageError, match="CRC"):
         ic.decode_png(bytes(bad))
-    # 16-bit stays out of scope, named
+    # 16-bit DECODES now (high-byte downscale; ×257 upscale round-trips
+    # bit-exact) — the former refusal turned into a real decode
+    assert (ic.decode_png(ic.encode_png16(arr)) == arr).all()
+    deep = rng.randint(0, 65536, (3, 5, 3), dtype=np.uint16)
+    assert (
+        ic.decode_png(ic.encode_png16(deep))
+        == (deep >> 8).astype(np.uint8)
+    ).all()
+    # a hand-built 16-bit blob (no encoder involved): 1x1 RGB,
+    # big-endian samples 0x1234 0xABCD 0x00FF → high bytes 18,171,0
+    scan16 = b"\x00" + bytes([0x12, 0x34, 0xAB, 0xCD, 0x00, 0xFF])
     blob16 = (
         ic.PNG_SIG
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(b"\x00" * 18))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan16))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(ic.UnsupportedImageError, match="depth=16"):
-        ic.decode_png(blob16)
+    assert (ic.decode_png(blob16) == [[[0x12, 0xAB, 0x00]]]).all()
+    # Adam7 DECODES too: the 7 pass grids tile every pixel exactly once
+    # and the interlaced encoding reconstructs the plain pixels
+    cnt = np.zeros((33, 17), int)
+    for sr, sc, ri, ci in ic.ADAM7_PASSES:
+        cnt[sr::ri, sc::ci] += 1
+    assert (cnt == 1).all()
+    for shape in ((1, 1), (8, 8), (9, 13), (33, 17)):
+        a7 = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+        assert (ic.decode_png(ic.encode_png_adam7(a7)) == a7).all(), shape
+    # 16-bit + non-zero filters, hand-built (the filter left-distance is
+    # bpp = 6 BYTES for RGB16): row 1 stored Up-filtered, col 2 of a
+    # one-row image stored Sub-filtered against the pixel 6 bytes left
+    r0 = bytes([1, 2, 3, 4, 5, 6])
+    r1raw = bytes([10, 2, 30, 4, 50, 6])
+    r1f = bytes((a - b) % 256 for a, b in zip(r1raw, r0))
+    blob_up = (
+        ic.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + r0 + b"\x02" + r1f))
+        + chunk(b"IEND", b"")
+    )
+    assert (ic.decode_png(blob_up)
+            == [[[1, 3, 5]], [[10, 30, 50]]]).all()
+    p0 = bytes([9, 1, 8, 2, 7, 3])
+    p1raw = bytes([19, 1, 28, 2, 37, 3])
+    p1f = bytes((a - b) % 256 for a, b in zip(p1raw, p0))
+    blob_sub = (
+        ic.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x01" + p0 + p1f))
+        + chunk(b"IEND", b"")
+    )
+    assert (ic.decode_png(blob_sub)
+            == [[[9, 8, 7], [19, 28, 37]]]).all()
+    # sub-byte depths remain the named boundary
+    blob1 = (
+        ic.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 1, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ic.UnsupportedImageError, match="depth=1"):
+        ic.decode_png(blob1)
+    # 16-bit palette is invalid per spec — typed refusal
+    blobp = (
+        ic.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"\x00\x00\x00")
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ic.UnsupportedImageError, match="palette"):
+        ic.decode_png(blobp)
 
 
 def test_extract_features_decodes_png_like_ppm(spark):
