@@ -3890,6 +3890,91 @@ def q_s21_robots_filter(spark, sf_dir):
     )
 
 
+_X34_GOOD = "Café déjà-vu — naïve ‘quoted’ € ± ß"
+_X34_BAD = _X34_GOOD.encode("utf-8").decode("cp1252")
+
+
+def q_x34_fix_mojibake(spark, sf_dir):
+    """cp1252/UTF-8 double-encoding REPAIR (text.fix_mojibake — the
+    fixer every real crawl corpus needs before quality filtering:
+    'Café' arriving as 'CafÃ©'): a deterministic longest-first replace
+    chain over the pinned digraph table, pure Catalyst string ops.
+    Three regimes: doc_id %% 3 == 0 appends a mojibake'd phrase (accents,
+    em-dash, curly quotes, €, ± — 2- and 3-char digraphs), %% 3 == 1
+    appends the CLEAN phrase (the fixer must be a no-op on legitimate
+    accented text), %% 3 == 2 plain ASCII. DuckDB recomputes the
+    repaired text CLOSED-FORM (the repaired suffix is the known clean
+    phrase), plus the chars_recovered arithmetic — so both a missed
+    repair and an over-eager mangling of clean text hash-mismatch."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    staged = docs.withColumn(
+        "text",
+        F.when(d % 3 == 0, F.concat(F.col("text"), F.lit(" " + _X34_BAD)))
+        .when(d % 3 == 1, F.concat(F.col("text"), F.lit(" " + _X34_GOOD)))
+        .otherwise(F.col("text")),
+    )
+    return (
+        text.fix_mojibake(staged)
+        .select("doc_id", "fixed", "chars_recovered", "had_mojibake")
+        .orderBy("doc_id")
+    )
+
+
+def q_s23_fetch_schedule(spark, sf_dir):
+    """Per-host POLITENESS scheduling (robots.fetch_schedule —
+    completing the crawler triad: frontier s22 = discovery, robots s21
+    = permission, this = pacing): per document a URL on one of 7 hosts;
+    each host's robots.txt states a Crawl-delay closed-form by host %% 4
+    (none → the 1.0 s default; an agent-specific graftbot group beside
+    a decoy '*' group with delay 99 — group precedence must pick 2.5;
+    a plain '*' 10; a sub-second 0.5), parsed once per HOST and
+    broadcast. Every URL gets its 0-based per-host fetch slot (keyed
+    window rank over the URL string) and offset_sec = slot × delay —
+    the earliest polite fetch time. DuckDB recomputes delay selection,
+    slot ranks, and the offset arithmetic exactly."""
+    from da_transform_judgments_pipeline_spark.operators import robots
+
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"),
+            F.lit(".example/p/"), d.cast("string"),
+        ).alias("url"),
+    )
+    hosts = spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.when(
+            F.col("id") % 4 == 1,
+            F.lit(
+                "User-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /tmp\n\n"
+                "User-agent: *\nCrawl-delay: 99\n"
+            ),
+        )
+        .when(
+            F.col("id") % 4 == 2,
+            F.lit("User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"),
+        )
+        .when(
+            F.col("id") % 4 == 3,
+            F.lit("User-agent: *\nCrawl-delay: 0.5\n"),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /private/\n"))
+        .alias("content"),
+    )
+    rules = robots.robots_rules(hosts, agent="graftbot")
+    return (
+        robots.fetch_schedule(urls, rules)
+        .select(
+            "doc_id", "url", "host", "crawl_delay", "slot", "offset_sec"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_x31_corpus_report(spark, sf_dir):
     """The per-source CORPUS HEALTH REPORT — the composition a curation
     team actually reads before training: per source, document count,
@@ -4559,6 +4644,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) NEW round 10
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
+    "s23_fetch_schedule": q_s23_fetch_schedule,
+    "x34_fix_mojibake": q_x34_fix_mojibake,
     # (a) NEW round 9
     "m15_pdf_parse": q_m15_pdf_parse,
     "m16_warc_extract": q_m16_warc_extract,
@@ -7012,6 +7099,40 @@ def oracle_sql() -> dict[str, str]:
         "x28_ngram_repetition": _x28_sql(),
         "x33_ngram_dup_union": _x33_sql(),
         "s24_crawl_stream_intake": _s24_sql(),
+        "x34_fix_mojibake": f"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 2 THEN text
+                        ELSE text || ' {_X34_GOOD}' END AS fixed,
+                   CAST(CASE WHEN doc_id % 3 = 0
+                             THEN {len(_X34_BAD) - len(_X34_GOOD)}
+                             ELSE 0 END AS BIGINT) AS chars_recovered,
+                   doc_id % 3 = 0 AS had_mojibake
+            FROM documents ORDER BY doc_id
+        """,
+        "s23_fetch_schedule": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.example/p/' || CAST(doc_id AS VARCHAR)
+                         AS url,
+                     'h' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                         AS host,
+                     CAST(CASE WHEN doc_id % 7 IN (1, 5) THEN 2.5
+                               WHEN doc_id % 7 IN (2, 6) THEN 10
+                               WHEN doc_id % 7 = 3 THEN 0.5
+                               ELSE 1.0 END AS DOUBLE) AS crawl_delay
+              FROM documents
+            ), r AS (
+              SELECT *,
+                     CAST(row_number() OVER (PARTITION BY host
+                                             ORDER BY url) - 1 AS BIGINT)
+                         AS slot
+              FROM u
+            )
+            SELECT doc_id, url, host, crawl_delay, slot,
+                   round(slot * crawl_delay, 6) AS offset_sec
+            FROM r ORDER BY doc_id
+        """,
         "s22_crawl_frontier": """
             SELECT 'https://caselaw.example/case/'
                      || CAST(doc_id AS VARCHAR) AS canonical,

@@ -138,6 +138,8 @@ HEADLINE = [
     # round 10
     "x33_ngram_dup_union",
     "s24_crawl_stream_intake",
+    "s23_fetch_schedule",
+    "x34_fix_mojibake",
 ]
 
 

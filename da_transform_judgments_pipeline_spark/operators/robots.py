@@ -267,3 +267,62 @@ def robots_filter(
     )
     allowed = F.when(best.isNull(), F.lit(True)).otherwise(best["allow"])
     return joined.withColumn("allowed", allowed).drop("_host", "rules")
+
+
+def fetch_schedule(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    default_delay: float = 1.0,
+    order_col: str | None = None,
+    use_prefix_rank: bool = False,
+) -> DataFrame:
+    """The POLITENESS half of crawl scheduling (frontier = discovery,
+    robots_filter = permission, this = pacing): assign every URL a
+    per-host fetch ``slot`` (0-based rank within its host, ordered by
+    ``order_col`` or the URL string) and ``offset_sec`` = slot × the
+    host's Crawl-delay (``default_delay`` when the host's robots.txt
+    states none) — the earliest polite fetch time relative to the
+    host's first request. Pure Catalyst integer/decimal arithmetic: the
+    per-host delay rides the same control-plane broadcast as
+    robots_filter, and the slot is a keyed window rank.
+
+    At web scale host cardinality is huge and groups are small, so the
+    keyed window is the right default; for the few-giant-hosts regime
+    (an intranet crawl of three hosts) pass ``use_prefix_rank=True`` to
+    rank via the two-phase parallel prefix scan
+    (:func:`..operators.scale.keyed_prefix_rank`) instead of funneling
+    a giant host through one window task."""
+    from pyspark.sql import Window
+
+    order = order_col or url_col
+    delays = rules.select(
+        F.col("host").alias("_host"),
+        F.coalesce(F.col("crawl_delay"), F.lit(default_delay)).alias(
+            "crawl_delay"
+        ),
+    )
+    joined = urls.withColumn("_host", url_host(F.col(url_col))).join(
+        F.broadcast(delays), "_host", "left"
+    ).withColumn(
+        "crawl_delay",
+        F.coalesce(F.col("crawl_delay"), F.lit(default_delay)),
+    )
+    if use_prefix_rank:
+        from .scale import keyed_prefix_rank
+
+        ranked = keyed_prefix_rank(
+            joined, "_host", order, rank_name="slot"
+        )
+    else:
+        w = Window.partitionBy("_host").orderBy(order)
+        ranked = joined.withColumn(
+            "slot", (F.row_number().over(w) - 1).cast("long")
+        )
+    return (
+        ranked.withColumn(
+            "offset_sec",
+            F.round(F.col("slot") * F.col("crawl_delay"), 6),
+        )
+        .withColumnRenamed("_host", "host")
+    )

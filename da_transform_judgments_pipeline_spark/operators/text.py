@@ -1198,6 +1198,66 @@ def quality_filter(
     )
 
 
+#: Characters whose UTF-8 bytes, mis-read as Windows-1252 and
+#: re-encoded, produce the classic mojibake digraphs ("é" → "Ã©",
+#: "’" → "â€™"). The Latin-1 accents + the cp1252 punctuation block; a
+#: target char is skipped when its mojibake form would need one of the
+#: five bytes cp1252 leaves undefined (0x81 8D 8F 90 9D — e.g. "”"),
+#: since that corruption cannot arise from a strict cp1252 decode.
+MOJIBAKE_REPERTOIRE = (
+    "àáâãäåæçèéêëìíîïðñòóôõöøùúûüýþÿ"
+    "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖØÙÚÛÜÝÞ"
+    "€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“•–—˜™š›œž"
+    "¡¢£¤¥¦§¨©ª«¬®¯°±²³´µ¶·¸¹º»¼½¾¿×÷ß"
+)
+
+
+def mojibake_table() -> list[tuple[str, str]]:
+    """[(mojibake_form, char)] for the pinned repertoire, LONGEST form
+    first (3-byte UTF-8 chars produce 3-char digraphs that embed the
+    2-char ones — the replace chain must consume them first). Pure
+    derivation: form = char.encode('utf-8').decode('cp1252')."""
+    pairs = []
+    for c in MOJIBAKE_REPERTOIRE:
+        try:
+            m = c.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue  # needs a cp1252-undefined byte: unreachable form
+        pairs.append((m, c))
+    return sorted(pairs, key=lambda p: (-len(p[0]), p[0]))
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fixed",
+) -> DataFrame:
+    """Repair cp1252/UTF-8 DOUBLE-ENCODING mojibake — the single most
+    common encoding corruption in web crawls ("Café" stored as
+    "CafÃ©"): a deterministic replace chain over the pinned digraph
+    table (:func:`mojibake_table`), longest forms first so "â€™"
+    resolves before its embedded 2-char forms. Adds ``out_col`` (the
+    repaired text), ``chars_recovered`` (length shrink — every repaired
+    digraph collapses ≥2 chars to 1) and ``had_mojibake``.
+
+    Entirely Catalyst ``replace`` expressions — map-side, JVM-string
+    ops, no UDF, no shuffle: at 100 TB this composes into the x29/x31
+    intake scan like quality_filter does. The chain is idempotent on
+    clean text: repaired output contains none of the forms."""
+    src = F.col(text_col)
+    fixed = src
+    for m, c in mojibake_table():
+        fixed = F.replace(fixed, F.lit(m), F.lit(c))
+    out = df.withColumn(out_col, fixed)
+    return (
+        out.withColumn(
+            "chars_recovered",
+            (F.length(src) - F.length(F.col(out_col))).cast("long"),
+        )
+        .withColumn("had_mojibake", F.col(out_col) != src)
+    )
+
+
 # map-side PII patterns: kept to syntax valid in BOTH Java regex (Spark)
 # and RE2 (DuckDB/oracle) so the redaction is engine-reproducible
 PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

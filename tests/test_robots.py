@@ -134,6 +134,42 @@ def test_robots_filter_wildcards_end_to_end(spark):
     assert got == {0: False, 1: True, 2: True, 3: False, 4: True}
 
 
+def test_fetch_schedule_slots_and_delays(spark):
+    """Politeness pacing: slot = 0-based per-host rank over the URL
+    string; offset_sec = slot × the host's crawl-delay (default 1.0
+    when none stated or the host has no robots row); the delays side is
+    a broadcast; keyed_prefix_rank path agrees with the window path."""
+    from da_transform_judgments_pipeline_spark.operators.robots import (
+        fetch_schedule,
+    )
+
+    robots = spark.createDataFrame(
+        [("slow.example", "User-agent: *\nCrawl-delay: 3\nDisallow: /x\n"),
+         ("nodelay.example", "User-agent: *\nDisallow: /y\n")],
+        "host string, content string",
+    )
+    rules = robots_rules(robots, agent="g")
+    urls = spark.createDataFrame(
+        [(i, f"https://slow.example/p{i}") for i in range(4)]
+        + [(10, "https://nodelay.example/a"),
+           (11, "https://nodelay.example/b"),
+           (12, "https://norobots.example/z")],
+        "i long, url string",
+    )
+    out = fetch_schedule(urls, rules)
+    got = {r["i"]: (r["slot"], r["offset_sec"], r["crawl_delay"])
+           for r in out.collect()}
+    assert got[0] == (0, 0.0, 3.0) and got[3] == (3, 9.0, 3.0)
+    assert got[10] == (0, 0.0, 1.0) and got[11] == (1, 1.0, 1.0)
+    assert got[12] == (0, 0.0, 1.0)  # no robots row → default delay
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the giant-host regime ranks identically via the prefix scan
+    pr = fetch_schedule(urls, rules, use_prefix_rank=True)
+    got2 = {r["i"]: (r["slot"], r["offset_sec"]) for r in pr.collect()}
+    assert got2 == {k: v[:2] for k, v in got.items()}
+
+
 def test_robots_rules_report_mode(spark):
     """on_error='report' isolates a file over the RFC 9309 §2.5 parsing
     limit to its own host row (empty rules + error message) instead of

@@ -1363,6 +1363,44 @@ def test_ngram_dup_union_fractions_closed_form(spark):
             assert 0.0 <= r[f"dup{n}_union_frac"] <= 1.0
 
 
+def test_fix_mojibake_planted_and_noop(spark):
+    """fix_mojibake: planted cp1252 double-encodings repair to the
+    original text (2- and 3-char digraphs, longest-first), clean
+    accented text is untouched, the chain is idempotent, and the plan
+    is pure map-side Catalyst (no Exchange, no Python)."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        fix_mojibake,
+        mojibake_table,
+    )
+
+    good = "Café déjà-vu — naïve ‘quoted’ € ± ß æ Ø"
+    bad = good.encode("utf-8").decode("cp1252")
+    assert bad != good and "Ã©" in bad and "â€”" in bad
+    df = spark.createDataFrame(
+        [(1, f"intro {bad} outro"), (2, f"clean {good} text"),
+         (3, "plain ascii"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+    assert out[1]["fixed"] == f"intro {good} outro"
+    assert out[1]["had_mojibake"]
+    assert out[1]["chars_recovered"] == len(bad) - len(good)
+    assert out[2]["fixed"] == f"clean {good} text"
+    assert not out[2]["had_mojibake"] and out[2]["chars_recovered"] == 0
+    assert out[3]["fixed"] == "plain ascii"
+    assert out[4]["fixed"] is None
+    # idempotent: repairing repaired text changes nothing
+    twice = fix_mojibake(
+        fix_mojibake(df).select("doc_id", F.col("fixed").alias("text"))
+    ).collect()
+    assert all(r["chars_recovered"] in (0, None) for r in twice)
+    # longest-first ordering is what makes 3-char digraphs win
+    forms = [m for m, _ in mojibake_table()]
+    assert sorted(forms, key=len, reverse=True)[0] == forms[0]
+    plan = fix_mojibake(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
 def test_split_assign_contamination_safety_and_calibration(spark):
     """split_assign: (a) rows sharing the key NEVER straddle splits —
     the leakage guarantee; (b) split sizes calibrate to the rates;
