@@ -4637,10 +4637,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- Round 10 rotation: x33 (PAPER-EXACT Gopher positional-union
     # duplicated-n-gram char fractions — closes x28's documented
     # occurrence-counting deviation; three planted regimes incl. the
-    # heavy-overlap one where the two variants diverge ~3×) leads the
-    # window with the other round-10 entries below. Displacements are
-    # listed at the end of this comment block once the round's set is
-    # final; every displaced row is multi-green and stays selfchecked.
+    # heavy-overlap one where the two variants diverge ~3×), s24 (the
+    # STREAMING crawl intake — two-wave WARC-manifest foreachBatch with
+    # T10 ledger + frontier anti-join, accepted set recomputed
+    # analytically: a hash-checked streaming pipeline), s23 (per-host
+    # politeness schedule — Crawl-delay selection + per-host fetch
+    # slots, completing the crawler triad), and x34 (cp1252 mojibake
+    # repair — longest-first digraph replace chain, repair + no-op both
+    # closed-form) are NEW and lead the window. Displaced past the cap:
+    # m08/e11/d09/o06 (all multi-round green, unchanged this round,
+    # still selfchecked; m08's interleave machinery stays pinned by the
+    # m05-m07 family in selfcheck, e11/d09 by the e02/d02 families, o06
+    # by o07-o09). Changed-this-round queries already in-window:
+    # s21/s22 (robots wildcard+crawl_delay rules schema, frontier
+    # order_cols), m16 (WARC size guard + multi-record CDX), m12
+    # (Adam7/16-bit corpus members), m13 (endnotes/comments columns),
+    # x28 (docstring only). The position-50 boundary row is a23.
     # (a) NEW round 10
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,

@@ -65,8 +65,10 @@ CRAWL_DOC_COLUMNS = [
 def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(file_id, content) → (docs, errors): the x29 chain — WARC record
     parse (report mode), HTTP responses only, Catalyst HTML tag-strip,
-    language-ID, Gopher quality signals, md5 content fingerprint,
-    RFC 3986 canonical URL."""
+    cp1252 mojibake repair (x34 — a no-op on clean text, so it composes
+    with zero semantic cost and rescues double-encoded crawls before
+    the language/quality signals see them), language-ID, Gopher quality
+    signals, md5 content fingerprint, RFC 3986 canonical URL."""
     recs = warc_records(files, on_error="report")
     errors = recs.filter(F.col("error").isNotNull()).select(
         "file_id", "error"
@@ -79,7 +81,11 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         "pos",
         "target_uri",
         "digest_ok",
-        text.html_text(F.col("payload").cast("string")).alias("text"),
+        text.html_text(F.col("payload").cast("string")).alias("_raw"),
+    )
+    extracted = (
+        text.fix_mojibake(extracted, text_col="_raw", out_col="text")
+        .drop("_raw", "chars_recovered", "had_mojibake")
     )
     langed = text.language_id(extracted).select(
         "file_id", "pos", "detected_lang"
@@ -113,6 +119,7 @@ def run_crawl_stream(
     max_files_per_trigger: int = 10,
     once: bool = True,
     on_batch_complete: Callable[[int], None] | None = None,
+    rules: DataFrame | None = None,
 ):
     """readStream over a WARC-manifest drop-dir; per micro-batch:
     replay-guard the file list against the processed ledger, side-load
@@ -123,13 +130,22 @@ def run_crawl_stream(
     - re-crawls (canonical already indexed: ``url_seen``) and in-batch
       re-discoveries (``in_batch_dup``) → ``{out_dir}/duplicates`` with
       a ``reason`` column;
+    - with ``rules`` (a :func:`..operators.robots.robots_rules` frame —
+      the per-host policy broadcast), pages whose URL the host's
+      robots.txt disallows → ``{out_dir}/disallowed`` BEFORE the
+      frontier decision, and they never enter the index (a policy
+      change can make them fetchable later);
     - malformed/bomb-bounded files → ``{out_dir}/errors`` (one row per
       file, the report-mode contract);
 
     then append the accepted canonicals to the frontier index
     (idempotent), append the file paths to the ledger LAST, and fire
     ``on_batch_complete(batch_id)`` — the worst-case crash window the
-    chaos test exercises. Returns the StreamingQuery."""
+    chaos test exercises. Returns the StreamingQuery.
+
+    The ledger shares run_pipeline's layout, so
+    :func:`.orchestrator.compact_processed_ledger` is the maintenance
+    path when thousands of batches have accumulated small files."""
     stream = (
         spark.readStream.schema(MANIFEST_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -163,6 +179,14 @@ def run_crawl_stream(
             )
             docs, errors = _extract_docs(files)
             errors.write.mode("append").parquet(f"{out_dir}/errors")
+            if rules is not None:
+                from ..operators.robots import robots_filter
+
+                flagged = robots_filter(docs, rules, url_col="target_uri")
+                flagged.filter(~F.col("allowed")).select(
+                    *CRAWL_DOC_COLUMNS
+                ).write.mode("append").parquet(f"{out_dir}/disallowed")
+                docs = flagged.filter(F.col("allowed")).drop("allowed")
 
             me = F.struct(F.col("file_id"), F.col("pos"))
             first = F.min(me).over(Window.partitionBy("canonical"))

@@ -172,3 +172,55 @@ def test_crawl_stream_two_wave_chaos_exactly_once(spark, tmp_path):
            _read(spark, out / "processed").collect()]
     assert sorted(led) == sorted(set(led)) and len(led) == 4
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_crawl_stream_robots_gate_and_mojibake_repair(spark, tmp_path):
+    """The composed crawler triad in the stream: with a robots_rules
+    broadcast, disallowed pages route to out/disallowed BEFORE the
+    frontier decision and never enter the index; mojibake'd bodies are
+    repaired by the in-chain x34 fixer before language/quality see
+    them."""
+    from da_transform_judgments_pipeline_spark.operators.robots import (
+        robots_rules,
+    )
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+    table = "crawl_stream_robots_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://x.example/seed",)], "url string"),
+        table, buckets=2, path=str(tmp_path / "fidx"),
+    )
+    good = "Café body — naïve text of the judgment here"
+    bad = good.encode("utf-8").decode("cp1252")
+    f1 = _warc(warcs / "f1.warc.gz", [
+        ("https://h.example/private/x", "secret page"),
+        ("https://h.example/ok", bad),
+    ])
+    (manifests / "w.jsonl").write_text(
+        json.dumps({"file_id": 1, "path": f1}) + "\n"
+    )
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /private/\n")],
+            "host string, content string",
+        ),
+        agent="graftbot",
+    )
+    q = run_crawl_stream(
+        spark, str(manifests), table, str(out), rules=rules
+    )
+    q.awaitTermination(120)
+    acc = _read(spark, out / "accepted").collect()
+    assert [r["canonical"] for r in acc] == ["https://h.example/ok"]
+    assert acc[0]["text"] == good  # mojibake repaired in-chain
+    dis = _read(spark, out / "disallowed").collect()
+    assert [r["canonical"] for r in dis] == ["https://h.example/private/x"]
+    canons = {r["canonical"] for r in spark.table(table).collect()}
+    assert "https://h.example/private/x" not in canons
+    assert "https://h.example/ok" in canons
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
