@@ -3469,10 +3469,12 @@ def q_m16_warc_extract(spark, sf_dir):
     + HTTP headers / RE-VERIFIES payload digests as one Arrow-batched
     mapInPandas stage, and text.html_text (pure Catalyst regex — the
     crawl's script/style-strip + tag-strip + entity-decode extraction)
-    lifts visible text from each HTML payload. Every output — URI,
-    status (404 for the third record of a file), payload length, digest
-    verification, the EXTRACTED TEXT itself — has an analytic formula
-    DuckDB evaluates directly."""
+    lifts visible text from each HTML payload. Files of doc_id %% 5 == 2
+    additionally carry a 301 REDIRECT record whose Location header (the
+    crawl-frontier discovery signal) must come back verbatim. Every
+    output — URI, status (404 for the third record of a file), payload
+    length, digest verification, the Location target, the EXTRACTED
+    TEXT itself — has an analytic formula DuckDB evaluates directly."""
     from da_transform_judgments_pipeline_spark.sources.warc import (
         warc_records,
     )
@@ -3508,6 +3510,15 @@ def q_m16_warc_extract(spark, sf_dir):
                     }
                     for r in range(d % 3 + 1)
                 ]
+                if d % 5 == 2:
+                    resp.append({
+                        "url": f"https://caselaw.example/{d}/moved",
+                        "date": "2021-03-04T05:06:07Z",
+                        "status": 301,
+                        "location": f"https://caselaw.example/{d}/target",
+                        "payload":
+                            b"<html><body><p>Moved</p></body></html>",
+                    })
                 blobs.append(bytearray(build_warc_gz(resp)))
             yield pd.DataFrame(
                 {"file_id": pdf["doc_id"], "content": blobs}
@@ -3521,7 +3532,7 @@ def q_m16_warc_extract(spark, sf_dir):
         )
         .select(
             "file_id", "pos", "target_uri", "http_status", "mime",
-            "payload_len", "digest_ok", "text",
+            "location", "payload_len", "digest_ok", "text",
         )
         .orderBy("file_id", "pos")
     )
@@ -6170,6 +6181,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN r = 2 THEN 404 ELSE 200 END
                         AS INTEGER) AS http_status,
                    'text/html' AS mime,
+                   CAST(NULL AS VARCHAR) AS location,
                    CAST(length(
                      '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
                      || '</title><script>var x = '
@@ -6185,6 +6197,20 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id AS VARCHAR) || '. & more' AS text
             FROM documents,
                  unnest(range(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS t(r)
+            UNION ALL
+            SELECT doc_id AS file_id,
+                   CAST(doc_id % 3 + 2 AS INTEGER) AS pos,
+                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/moved' AS target_uri,
+                   CAST(301 AS INTEGER) AS http_status,
+                   'text/html' AS mime,
+                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/target' AS location,
+                   CAST(length('<html><body><p>Moved</p></body></html>')
+                        AS INTEGER) AS payload_len,
+                   TRUE AS digest_ok,
+                   'Moved' AS text
+            FROM documents WHERE doc_id % 5 = 2
             ORDER BY file_id, pos
         """,
         "m13_docx_parse": """

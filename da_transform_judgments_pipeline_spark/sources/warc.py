@@ -189,6 +189,7 @@ def _parse_one(member: bytes) -> tuple[dict, int]:
     wtype = headers.get("warc-type", "")
     http_status = None
     mime = None
+    location = None
     payload = block
     if wtype in ("response", "request") and headers.get(
         "content-type", ""
@@ -206,6 +207,7 @@ def _parse_one(member: bytes) -> tuple[dict, int]:
             except ValueError:
                 raise WarcError(f"bad HTTP status {parts[1]!r}")
         mime = http_headers.get("content-type")
+        location = http_headers.get("location")  # 3xx redirect target
         payload = block[hsep + 4:]
     digest_ok = None
     want = headers.get("warc-payload-digest")
@@ -223,6 +225,7 @@ def _parse_one(member: bytes) -> tuple[dict, int]:
         "target_uri": headers.get("warc-target-uri", ""),
         "http_status": http_status,
         "mime": mime,
+        "location": location,
         "payload": payload,
         "digest_ok": digest_ok,
     }
@@ -252,7 +255,8 @@ def parse_warc(blob: bytes) -> list[dict]:
 WARC_RECORD_SCHEMA = (
     "file_id long, pos int, warc_type string, record_id string,"
     " date string, target_uri string, http_status int, mime string,"
-    " payload binary, payload_len int, digest_ok boolean"
+    " location string, payload binary, payload_len int,"
+    " digest_ok boolean"
 )
 
 
@@ -286,7 +290,8 @@ def warc_records(
     )
     cols = [
         "file_id", "pos", "warc_type", "record_id", "date", "target_uri",
-        "http_status", "mime", "payload", "payload_len", "digest_ok",
+        "http_status", "mime", "location", "payload", "payload_len",
+        "digest_ok",
     ] + (["error"] if report else [])
 
     def run(batches):
@@ -307,6 +312,7 @@ def warc_records(
                             "target_uri": r["target_uri"],
                             "http_status": r["http_status"],
                             "mime": r["mime"],
+                            "location": r["location"],
                             "payload": bytearray(r["payload"]),
                             "payload_len": len(r["payload"]),
                             "digest_ok": r["digest_ok"],
@@ -360,8 +366,9 @@ def build_warc_gz(
 
     Each response dict: ``url``, ``date`` (ISO-8601 Z), ``payload``
     (bytes), optional ``status`` (default 200), ``content_type``
-    (default text/html), ``record_id``. Digests are genuine sha1 over
-    the payload; everything is deterministic."""
+    (default text/html), ``location`` (emits the ``Location`` header a
+    3xx redirect carries), ``record_id``. Digests are genuine sha1
+    over the payload; everything is deterministic."""
     members = []
     info_body = (
         b"software: da-transform-judgments-pipeline-spark\r\n"
@@ -382,10 +389,13 @@ def build_warc_gz(
         status = int(r.get("status", 200))
         ctype = r.get("content_type", "text/html")
         reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently",
-                  500: "Internal Server Error"}.get(status, "Status")
+                  302: "Found", 500: "Internal Server Error"}.get(
+            status, "Status")
+        loc = r.get("location")
+        loc_hdr = f"Location: {loc}\r\n" if loc else ""
         http = (
             f"HTTP/1.1 {status} {reason}\r\n"
-            f"Content-Type: {ctype}\r\n"
+            f"Content-Type: {ctype}\r\n{loc_hdr}"
             f"Content-Length: {len(payload)}\r\n\r\n"
         ).encode("latin-1") + payload
         digest = base64.b32encode(

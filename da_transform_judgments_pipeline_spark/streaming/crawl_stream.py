@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from ..functions.strings import canonical_url
 from ..operators import text
-from ..sources.frontier import append_to_url_index
+from ..sources.frontier import append_to_url_index, new_frontier_urls
 from ..sources.warc import warc_records
 from .orchestrator import _processed_keys, replay_guard
 
@@ -81,6 +81,8 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         "pos",
         "target_uri",
         "digest_ok",
+        "http_status",
+        "location",
         text.html_text(F.col("payload").cast("string")).alias("_raw"),
     )
     extracted = (
@@ -135,6 +137,11 @@ def run_crawl_stream(
       robots.txt disallows → ``{out_dir}/disallowed`` BEFORE the
       frontier decision, and they never enter the index (a policy
       change can make them fetchable later);
+    - 3xx responses carrying a Location header → ``{out_dir}/redirects``
+      (their own canonical IS marked fetched in the index), and their
+      targets — frontier-deduped but NOT indexed, since the index
+      records fetched URLs — → ``{out_dir}/discovered``, the fetch
+      queue for the next wave;
     - malformed/bomb-bounded files → ``{out_dir}/errors`` (one row per
       file, the report-mode contract);
 
@@ -190,13 +197,30 @@ def run_crawl_stream(
 
             me = F.struct(F.col("file_id"), F.col("pos"))
             first = F.min(me).over(Window.partitionBy("canonical"))
-            docs = docs.withColumn("_first", first).persist()
+            is_redir = (
+                F.col("http_status").isin(301, 302, 303, 307, 308)
+                & F.col("location").isNotNull()
+            )
+            docs = (
+                docs.withColumn("_first", first)
+                .withColumn("_redir", is_redir)
+                .persist()
+            )
             try:
                 survivors = docs.filter(me == F.col("_first"))
                 index = spark.table(frontier_table)
-                accepted = survivors.join(
-                    index, "canonical", "left_anti"
-                ).select(*CRAWL_DOC_COLUMNS)
+                fresh_docs = survivors.join(index, "canonical", "left_anti")
+                # a 3xx fetch is a SEEN url (it joins the index below)
+                # but not a corpus document: its row lands in
+                # out/redirects and its Location target becomes a
+                # frontier DISCOVERY for the next fetch wave
+                accepted = fresh_docs.filter(~F.col("_redir")).select(
+                    *CRAWL_DOC_COLUMNS
+                )
+                redirects = fresh_docs.filter(F.col("_redir")).select(
+                    "file_id", "pos", "target_uri", "canonical",
+                    "http_status", "location",
+                )
                 dup_in_batch = docs.filter(me != F.col("_first")).select(
                     *CRAWL_DOC_COLUMNS, F.lit("in_batch_dup").alias("reason")
                 )
@@ -204,11 +228,32 @@ def run_crawl_stream(
                     index.select("canonical"), "canonical", "left_semi"
                 ).select(*CRAWL_DOC_COLUMNS, F.lit("url_seen").alias("reason"))
                 accepted.write.mode("append").parquet(f"{out_dir}/accepted")
+                redirects.write.mode("append").parquet(
+                    f"{out_dir}/redirects"
+                )
                 dup_in_batch.union(dup_seen).write.mode("append").parquet(
                     f"{out_dir}/duplicates"
                 )
+                # discovered = redirect targets not yet fetched (index
+                # anti-join + in-batch min-struct dedup); they are NOT
+                # appended to the index — the index records FETCHED
+                # urls, so the target's own WARC is still accepted when
+                # it arrives. out/discovered is the dedup'd fetch queue.
+                discovered = new_frontier_urls(
+                    redirects.select(
+                        F.col("file_id"), F.col("pos"),
+                        F.col("location").alias("url"),
+                    ),
+                    spark, frontier_table,
+                    order_cols=("file_id", "pos"),
+                )
+                discovered.write.mode("append").parquet(
+                    f"{out_dir}/discovered"
+                )
                 append_to_url_index(
-                    spark, accepted.select("canonical"), frontier_table
+                    spark,
+                    fresh_docs.select("canonical"),
+                    frontier_table,
                 )
                 spark.catalog.refreshTable(frontier_table)
             finally:

@@ -224,3 +224,69 @@ def test_crawl_stream_robots_gate_and_mojibake_repair(spark, tmp_path):
     assert "https://h.example/private/x" not in canons
     assert "https://h.example/ok" in canons
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_crawl_stream_redirect_discovery(spark, tmp_path):
+    """3xx responses route to out/redirects (their URL marked fetched
+    in the index), and their Location targets land in out/discovered —
+    frontier-deduped but NOT indexed, so the target's own WARC is still
+    ACCEPTED when it arrives in a later wave."""
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        build_warc_gz,
+    )
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+    table = "crawl_stream_redirect_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://x.example/seed",)], "url string"),
+        table, buckets=2, path=str(tmp_path / "fidx"),
+    )
+    blob = build_warc_gz([
+        {"url": "https://h.example/old", "date": "2021-03-04T05:06:07Z",
+         "status": 301, "location": "https://h.example/new",
+         "payload": b"<html><body><p>moved</p></body></html>"},
+        {"url": "https://h.example/also-old",
+         "date": "2021-03-04T05:06:07Z",
+         "status": 302, "location": "https://h.example/new",
+         "payload": b"<html><body><p>moved too</p></body></html>"},
+        {"url": "https://h.example/page", "date": "2021-03-04T05:06:07Z",
+         "payload": b"<html><body><p>a real page body</p></body></html>"},
+    ])
+    (warcs / "f1.warc.gz").write_bytes(blob)
+    (manifests / "w1.jsonl").write_text(json.dumps(
+        {"file_id": 1, "path": str(warcs / "f1.warc.gz")}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+    acc = {r["canonical"] for r in _read(spark, out / "accepted").collect()}
+    assert acc == {"https://h.example/page"}
+    red = _read(spark, out / "redirects").collect()
+    assert sorted((r["canonical"], r["location"]) for r in red) == [
+        ("https://h.example/also-old", "https://h.example/new"),
+        ("https://h.example/old", "https://h.example/new"),
+    ]
+    disc = _read(spark, out / "discovered").collect()
+    # two redirects share one target → ONE discovery (in-batch dedup,
+    # arrival order keeps the first redirect's discovery)
+    assert [r["canonical"] for r in disc] == ["https://h.example/new"]
+    idx = {r["canonical"] for r in spark.table(table).collect()}
+    assert "https://h.example/old" in idx          # fetched → seen
+    assert "https://h.example/new" not in idx      # discovered ≠ fetched
+    # wave 2: the target's own WARC arrives → ACCEPTED (not url_seen)
+    blob2 = build_warc_gz([
+        {"url": "https://h.example/new", "date": "2021-03-04T05:06:07Z",
+         "payload": b"<html><body><p>the target body</p></body></html>"},
+    ])
+    (warcs / "f2.warc.gz").write_bytes(blob2)
+    (manifests / "w2.jsonl").write_text(json.dumps(
+        {"file_id": 2, "path": str(warcs / "f2.warc.gz")}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+    acc2 = {r["canonical"]: r["text"] for r in
+            _read(spark, out / "accepted").collect()}
+    assert acc2["https://h.example/new"] == "the target body"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
