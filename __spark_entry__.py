@@ -3986,6 +3986,95 @@ def q_s23_fetch_schedule(spark, sf_dir):
     )
 
 
+def q_s25_sitemap_discovery(spark, sf_dir):
+    """Sitemap ingestion (sources/sitemap — the third crawler discovery
+    channel after links and redirects, per the public sitemaps.org
+    protocol): per document a real sitemap file assembled executor-side
+    by the deterministic encoder twin — doc_id %% 4 == 0 a full
+    ``urlset`` (loc + lastmod + changefreq + priority, doc_id %% 5 + 1
+    entries), %% 4 == 1 a ``sitemapindex`` naming two child sitemaps,
+    %% 4 == 2 a minimal loc-only urlset under GZIP transport
+    (sitemap.xml.gz), %% 4 == 3 a gzip urlset with changefreq but no
+    priority — parsed by the namespace-tolerant Arrow-batched stage
+    with protocol limits enforced. Every field of every entry is a
+    closed-form function of (doc_id, position) DuckDB evaluates
+    directly."""
+    from da_transform_judgments_pipeline_spark.sources.sitemap import (
+        sitemap_entries,
+    )
+
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.sources.sitemap import (
+            build_sitemap,
+        )
+
+        freqs = ["daily", "weekly", "monthly", "yearly"]
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                if d % 4 == 0:
+                    blob = build_sitemap([
+                        {
+                            "loc": f"https://s{d}.example/page/{j}",
+                            "lastmod": f"2021-03-{(d + j) % 28 + 1:02d}",
+                            "changefreq": freqs[j % 4],
+                            "priority": ((d + j) % 11) / 10.0,
+                        }
+                        for j in range(d % 5 + 1)
+                    ])
+                elif d % 4 == 1:
+                    blob = build_sitemap(
+                        [
+                            {
+                                "loc": f"https://s{d}.example/sitemap{j}.xml",
+                                "lastmod":
+                                    f"2021-04-{(d + j) % 28 + 1:02d}",
+                            }
+                            for j in range(2)
+                        ],
+                        kind="sitemapindex",
+                    )
+                elif d % 4 == 2:
+                    blob = build_sitemap(
+                        [{"loc": f"https://s{d}.example/only"}],
+                        gzip_transport=True,
+                    )
+                else:
+                    blob = build_sitemap(
+                        [
+                            {
+                                "loc": f"https://s{d}.example/gz/{j}",
+                                "changefreq": freqs[(d + j) % 4],
+                            }
+                            for j in range(d % 3 + 1)
+                        ],
+                        gzip_transport=True,
+                    )
+                blobs.append(bytearray(blob))
+            yield pd.DataFrame(
+                {"sitemap_id": pdf["doc_id"], "content": blobs}
+            )
+
+    corpus = docs.mapInPandas(make, "sitemap_id long, content binary")
+    return (
+        sitemap_entries(corpus)
+        .select(
+            F.col("sitemap_id").alias("doc_id"),
+            "kind", "pos", "loc", "lastmod", "changefreq", "priority",
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
 def q_x31_corpus_report(spark, sf_dir):
     """The per-source CORPUS HEALTH REPORT — the composition a curation
     team actually reads before training: per source, document count,
@@ -4669,6 +4758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
     "s23_fetch_schedule": q_s23_fetch_schedule,
     "x34_fix_mojibake": q_x34_fix_mojibake,
+    "s25_sitemap_discovery": q_s25_sitemap_discovery,
     # (a) NEW round 9
     "m15_pdf_parse": q_m15_pdf_parse,
     "m16_warc_extract": q_m16_warc_extract,
@@ -7146,6 +7236,45 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS chars_recovered,
                    doc_id % 3 = 0 AS had_mojibake
             FROM documents ORDER BY doc_id
+        """,
+        "s25_sitemap_discovery": """
+            WITH f AS (SELECT ['daily','weekly','monthly','yearly'] AS fr)
+            SELECT doc_id, 'urlset' AS kind, CAST(j AS INTEGER) AS pos,
+                   'https://s' || CAST(doc_id AS VARCHAR) || '.example'
+                       || '/page/' || CAST(j AS VARCHAR) AS loc,
+                   '2021-03-' || lpad(CAST((doc_id + j) % 28 + 1
+                       AS VARCHAR), 2, '0') AS lastmod,
+                   fr[CAST(j % 4 + 1 AS INTEGER)] AS changefreq,
+                   CAST((doc_id + j) % 11 AS DOUBLE) / 10.0 AS priority
+            FROM documents, f,
+                 unnest(range(0, CAST(doc_id % 5 + 1 AS BIGINT))) AS t(j)
+            WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id, 'sitemapindex', CAST(j AS INTEGER),
+                   'https://s' || CAST(doc_id AS VARCHAR) || '.example'
+                       || '/sitemap' || CAST(j AS VARCHAR) || '.xml',
+                   '2021-04-' || lpad(CAST((doc_id + j) % 28 + 1
+                       AS VARCHAR), 2, '0'),
+                   NULL, NULL
+            FROM documents, unnest(range(0, 2)) AS t(j)
+            WHERE doc_id % 4 = 1
+            UNION ALL
+            SELECT doc_id, 'urlset', 0,
+                   'https://s' || CAST(doc_id AS VARCHAR)
+                       || '.example/only',
+                   NULL, NULL, NULL
+            FROM documents WHERE doc_id % 4 = 2
+            UNION ALL
+            SELECT doc_id, 'urlset', CAST(j AS INTEGER),
+                   'https://s' || CAST(doc_id AS VARCHAR) || '.example'
+                       || '/gz/' || CAST(j AS VARCHAR),
+                   NULL,
+                   fr[CAST((doc_id + j) % 4 + 1 AS INTEGER)],
+                   NULL
+            FROM documents, f,
+                 unnest(range(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS t(j)
+            WHERE doc_id % 4 = 3
+            ORDER BY doc_id, pos
         """,
         "s23_fetch_schedule": """
             WITH u AS (

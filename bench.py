@@ -140,6 +140,7 @@ HEADLINE = [
     "s24_crawl_stream_intake",
     "s23_fetch_schedule",
     "x34_fix_mojibake",
+    "s25_sitemap_discovery",
 ]
 
 

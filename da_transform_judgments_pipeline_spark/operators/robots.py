@@ -69,12 +69,16 @@ def rule_regex(pattern: str) -> str | None:
 
 def _parse_groups(
     content: str,
-) -> tuple[dict[str, list[tuple[str, bool]]], dict[str, float]]:
-    """One pass over a robots.txt: rule groups AND crawl-delays, both
-    keyed by lowercase product token. Groups merge when several name
-    the same agent (RFC 9309 §2.2.1)."""
+) -> tuple[
+    dict[str, list[tuple[str, bool]]], dict[str, float], list[str]
+]:
+    """One pass over a robots.txt: rule groups AND crawl-delays (both
+    keyed by lowercase product token) AND the file's ``Sitemap:`` URLs
+    (group-independent per the sitemaps.org protocol). Groups merge
+    when several name the same agent (RFC 9309 §2.2.1)."""
     groups: dict[str, list[tuple[str, bool]]] = {}
     delays: dict[str, float] = {}
+    sitemaps: list[str] = []
     current: list[str] = []
     in_rules = False
     for raw in content.splitlines():
@@ -107,8 +111,11 @@ def _parse_groups(
             for a in current:
                 if a not in delays:
                     delays[a] = d
-        # other keys (sitemap, host) are ignored
-    return groups, delays
+        elif key == "sitemap":
+            if val:
+                sitemaps.append(val)  # cross-group, order preserved
+        # other keys (host, clean-param) are ignored
+    return groups, delays, sitemaps
 
 
 def _select_group(groups: dict, agent: str):
@@ -125,7 +132,7 @@ def parse_robots(content: str, agent: str) -> list[tuple[str, bool]]:
 
     Returns [(pattern, allow)] for the selected group. Patterns may
     contain mid-pattern ``*`` / end ``$`` — see :func:`rule_regex`."""
-    groups, _ = _parse_groups(content)
+    groups, _, _ = _parse_groups(content)
     got = _select_group(groups, agent)
     return got if got is not None else []
 
@@ -135,11 +142,19 @@ def parse_crawl_delay(content: str, agent: str) -> float | None:
     ``agent``, or None when no group states one. Crawl-delay is a de
     facto extension (not in RFC 9309) but ubiquitous; group selection
     follows the same product-token precedence as the rules."""
-    _, delays = _parse_groups(content)
+    _, delays, _ = _parse_groups(content)
     agent = agent.lower()
     if agent in delays:
         return delays[agent]
     return delays.get("*", None)
+
+
+def parse_sitemap_urls(content: str) -> list[str]:
+    """The ``Sitemap:`` URLs a robots.txt advertises (group-independent
+    per the sitemaps.org protocol) — the crawler's entry points into
+    :func:`..sources.sitemap.sitemap_entries` discovery."""
+    _, _, sitemaps = _parse_groups(content)
+    return sitemaps
 
 
 _RULES_T = "array<struct<path:string,allow:boolean,re:string>>"
@@ -154,10 +169,13 @@ def robots_rules(
     max_bytes: int = DEFAULT_MAX_ROBOTS_BYTES,
 ) -> DataFrame:
     """(host, robots.txt text) → (host, rules array<struct<path, allow,
-    re>>, crawl_delay) for ``agent`` — one Arrow-batched parse per file;
-    the output is the small broadcast side of :func:`robots_filter`.
-    ``re`` is null for literal-prefix rules (codegen fast path) and an
-    anchored regex for wildcard/anchor rules.
+    re>>, crawl_delay, sitemaps) for ``agent`` — one Arrow-batched
+    parse per file; the output is the small broadcast side of
+    :func:`robots_filter` / :func:`fetch_schedule`, and ``sitemaps``
+    (the file's advertised ``Sitemap:`` URLs) seeds
+    :func:`..sources.sitemap.sitemap_entries` discovery. ``re`` is null
+    for literal-prefix rules (codegen fast path) and an anchored regex
+    for wildcard/anchor rules.
 
     ``on_error='report'`` adds an ``error`` column and maps a
     pathological file to (empty rules, null delay, message) instead of
@@ -183,7 +201,7 @@ def robots_rules(
                             f" {max_bytes}-byte parsing limit"
                             " (RFC 9309 §2.5)"
                         )
-                    groups, delays = _parse_groups(txt or "")
+                    groups, delays, sitemaps = _parse_groups(txt or "")
                     rules = _select_group(groups, agent) or []
                     a = agent.lower()
                     delay = delays.get(a, delays.get("*", None))
@@ -194,24 +212,31 @@ def robots_rules(
                             for p, al in rules
                         ],
                         "crawl_delay": delay,
+                        "sitemaps": sitemaps,
                     }
                 except Exception as exc:
                     if not report:
                         if isinstance(exc, RobotsParseError):
                             raise
                         raise RobotsParseError(str(exc)) from exc
-                    row = {"host": host, "rules": [], "crawl_delay": None}
+                    row = {
+                        "host": host, "rules": [], "crawl_delay": None,
+                        "sitemaps": [],
+                    }
                     row["error"] = f"{type(exc).__name__}: {exc}"
                 else:
                     if report:
                         row["error"] = None
                 rows.append(row)
-            cols = ["host", "rules", "crawl_delay"] + (
+            cols = ["host", "rules", "crawl_delay", "sitemaps"] + (
                 ["error"] if report else []
             )
             yield pd.DataFrame(rows, columns=cols)
 
-    schema = f"host string, rules {_RULES_T}, crawl_delay double"
+    schema = (
+        f"host string, rules {_RULES_T}, crawl_delay double,"
+        " sitemaps array<string>"
+    )
     if report:
         schema += ", error string"
     return src.mapInPandas(run, schema)
