@@ -4075,6 +4075,85 @@ def q_s25_sitemap_discovery(spark, sf_dir):
     )
 
 
+def q_g01_pagerank(spark, sf_dir):
+    """Distributed PAGERANK over a closed-form link graph
+    (operators/graph.pagerank — the classic iterative DataFrame job:
+    per iteration one co-partitioned join of ranks onto degree-
+    annotated edges, a partial-agg contribution sum shuffled on dst,
+    one control-plane dangling scalar, localCheckpoint lineage
+    truncation). Graph: the first 256 doc_ids, each with out-degree 2
+    (i → (i+1)%%256 and (2i+1)%%256). EXACTNESS BY CONSTRUCTION:
+    damping 0.5 with power-of-two N and out-degrees makes every
+    intermediate a dyadic rational inside double precision, so Spark's
+    and DuckDB's different summation orders produce BIT-identical
+    ranks — a float iterative algorithm with a hash-exact oracle
+    (DuckDB recomputes via 5 chained aggregation CTEs). Production
+    keeps damping 0.85; the determinism trick is for the oracle."""
+    from da_transform_judgments_pipeline_spark.operators import graph
+
+    nodes = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 256)
+        .select(F.col("doc_id").alias("node"))
+    )
+    n = F.col("node")
+    edges = nodes.select(
+        n.alias("src"), ((n + 1) % 256).alias("dst")
+    ).union(
+        nodes.select(n.alias("src"), ((n * 2 + 1) % 256).alias("dst"))
+    )
+    return (
+        graph.pagerank(nodes, edges, n_iterations=5, damping=0.5)
+        .orderBy("node")
+    )
+
+
+def q_f05_html_links(spark, sf_dir):
+    """HTML link extraction + resolution (text.html_links +
+    text.resolve_link — the link-discovery channel of the crawler,
+    beside redirects m16 and sitemaps s25): per document an HTML page
+    with six closed-form anchors (absolute, root-relative,
+    protocol-relative, fragment-only, mailto, single-quoted
+    root-relative) on a per-doc base URL. Spark extracts hrefs with a
+    pure-Catalyst regexp_extract_all and resolves the RFC 3986 subset;
+    DuckDB runs the IDENTICAL regex (Java ∩ RE2) over the same
+    constructed page and the same resolution CASE — extraction order,
+    capture semantics, and every resolution rule are differential."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://h"), (d % 5).cast("string"),
+        F.lit(".example/dir/page"),
+    )
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="https://ext.example/p'), ds,
+        F.lit('">x</a> <a class="l" href="/rel/'), ds,
+        F.lit('">y</a> <a href="//cdn.example/c'), ds,
+        F.lit('">z</a> <a href="#frag">f</a>'
+              ' <a href="mailto:a@b">m</a>'
+              " <a href='/sq/"), ds,
+        F.lit("'>s</a></body></html>"),
+    )
+    exploded = (
+        docs.withColumn("base_url", base)
+        .withColumn("_links", text.html_links(html))
+        .select(
+            "doc_id", "base_url",
+            F.posexplode("_links").alias("pos", "href"),
+        )
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        "href",
+        text.resolve_link(F.col("base_url"), F.col("href")).alias(
+            "resolved"
+        ),
+    ).orderBy("doc_id", "pos")
+
+
 def q_x31_corpus_report(spark, sf_dir):
     """The per-source CORPUS HEALTH REPORT — the composition a curation
     team actually reads before training: per source, document count,
@@ -4744,21 +4823,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # politeness schedule — Crawl-delay selection + per-host fetch
     # slots, completing the crawler triad), and x34 (cp1252 mojibake
     # repair — longest-first digraph replace chain, repair + no-op both
-    # closed-form) are NEW and lead the window. Displaced past the cap:
-    # m08/e11/d09/o06 (all multi-round green, unchanged this round,
-    # still selfchecked; m08's interleave machinery stays pinned by the
-    # m05-m07 family in selfcheck, e11/d09 by the e02/d02 families, o06
-    # by o07-o09). Changed-this-round queries already in-window:
-    # s21/s22 (robots wildcard+crawl_delay rules schema, frontier
-    # order_cols), m16 (WARC size guard + multi-record CDX), m12
-    # (Adam7/16-bit corpus members), m13 (endnotes/comments columns),
-    # x28 (docstring only). The position-50 boundary row is a23.
+    # closed-form) are NEW and lead the window, joined by s25 (sitemap
+    # ingestion — urlset/sitemapindex/gzip-transport under a four-regime
+    # closed-form oracle), g01 (distributed PageRank — the iterative
+    # link-graph job made HASH-EXACT by dyadic arithmetic: damping 0.5
+    # + power-of-two N/out-degrees, DuckDB recomputing via unrolled
+    # aggregation CTEs), and f05 (HTML link extraction + RFC 3986
+    # resolution — the identical Java∩RE2 regex run differentially by
+    # both engines). Displaced past the cap: m08/e11/d09/o06 and then
+    # a22/o05/a23 for s25/g01/f05 (all multi-round green, unchanged
+    # this round, still selfchecked; m08's interleave machinery stays
+    # pinned by the m05-m07 family, e11/d09 by the e02/d02 families,
+    # o06 by o07-o09, a22/a23/o05 by the a20/a21 TPC-H rows and o04).
+    # Changed-this-round queries already in-window: s21/s22 (robots
+    # wildcard+crawl_delay+sitemaps rules schema, frontier order_cols),
+    # m16 (WARC size guard + multi-record CDX + Location column + 301
+    # records), m12 (Adam7/16-bit corpus members), m13
+    # (endnotes/comments columns), x28 (docstring only). The
+    # position-50 boundary row is a21.
     # (a) NEW round 10
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
     "s23_fetch_schedule": q_s23_fetch_schedule,
     "x34_fix_mojibake": q_x34_fix_mojibake,
     "s25_sitemap_discovery": q_s25_sitemap_discovery,
+    "g01_pagerank": q_g01_pagerank,
+    "f05_html_links": q_f05_html_links,
     # (a) NEW round 9
     "m15_pdf_parse": q_m15_pdf_parse,
     "m16_warc_extract": q_m16_warc_extract,
@@ -5531,6 +5621,85 @@ SELECT doc_id, pos,
        fp, first_doc, first_pos,
        (doc_id <> first_doc OR pos <> first_pos) AS is_dup
 FROM own ORDER BY doc_id, pos
+"""
+
+
+def _g01_sql(k: int = 5) -> str:
+    """g01 oracle: PageRank recomputed as k chained aggregation CTEs
+    (DuckDB recursive CTEs forbid aggregates in the recursive term, so
+    the fixed iteration count is unrolled). Damping 0.5 + power-of-two
+    N/out-degrees keep all arithmetic dyadic-exact — see q_g01."""
+    ctes = [
+        """nodes AS (
+          SELECT doc_id AS node FROM documents WHERE doc_id < 256
+        )""",
+        """edges AS (
+          SELECT node AS src, (node + 1) % 256 AS dst FROM nodes
+          UNION ALL
+          SELECT node AS src, (node * 2 + 1) % 256 AS dst FROM nodes
+        )""",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "pr0 AS (SELECT node, CAST(1.0/256 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f"""pr{i} AS (
+          SELECT n.node,
+                 0.5/256 + 0.5 * coalesce(s.m, 0.0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / deg.d) AS m
+            FROM edges e
+            JOIN pr{i - 1} p ON p.node = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+          ) s USING (node)
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank FROM pr{k} ORDER BY node"
+    )
+
+
+def _f05_sql() -> str:
+    """f05 oracle: the IDENTICAL href regex run by DuckDB's RE2 over
+    the same constructed page, positions via a lateral range unnest,
+    and the same resolution CASE (base is always https://hK.example)."""
+    re_sql = text.HTML_HREF_RE.replace("'", "''")
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+             AS origin,
+         '<html><body><a href="https://ext.example/p'
+           || CAST(doc_id AS VARCHAR)
+           || '">x</a> <a class="l" href="/rel/'
+           || CAST(doc_id AS VARCHAR)
+           || '">y</a> <a href="//cdn.example/c'
+           || CAST(doc_id AS VARCHAR)
+           || '">z</a> <a href="#frag">f</a>'
+           || ' <a href="mailto:a@b">m</a>'
+           || ' <a href=''/sq/' || CAST(doc_id AS VARCHAR)
+           || '''>s</a></body></html>' AS html
+  FROM documents
+), x AS (
+  SELECT doc_id, origin,
+         regexp_extract_all(html, '{re_sql}', 1) AS links
+  FROM h
+)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS pos,
+       links[CAST(i AS INTEGER)] AS href,
+       CASE
+         WHEN regexp_matches(links[CAST(i AS INTEGER)],
+                             '^[Hh][Tt][Tt][Pp][Ss]?://')
+           THEN links[CAST(i AS INTEGER)]
+         WHEN starts_with(links[CAST(i AS INTEGER)], '//')
+           THEN 'https:' || links[CAST(i AS INTEGER)]
+         WHEN starts_with(links[CAST(i AS INTEGER)], '/')
+           THEN origin || links[CAST(i AS INTEGER)]
+         ELSE NULL
+       END AS resolved
+FROM x, unnest(range(1, len(links) + 1)) AS t(i)
+ORDER BY doc_id, pos
 """
 
 
@@ -7237,6 +7406,8 @@ def oracle_sql() -> dict[str, str]:
                    doc_id % 3 = 0 AS had_mojibake
             FROM documents ORDER BY doc_id
         """,
+        "g01_pagerank": _g01_sql(),
+        "f05_html_links": _f05_sql(),
         "s25_sitemap_discovery": """
             WITH f AS (SELECT ['daily','weekly','monthly','yearly'] AS fr)
             SELECT doc_id, 'urlset' AS kind, CAST(j AS INTEGER) AS pos,

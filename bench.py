@@ -141,6 +141,8 @@ HEADLINE = [
     "s23_fetch_schedule",
     "x34_fix_mojibake",
     "s25_sitemap_discovery",
+    "g01_pagerank",
+    "f05_html_links",
 ]
 
 

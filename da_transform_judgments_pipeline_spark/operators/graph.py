@@ -1,0 +1,104 @@
+"""Link-graph analytics over a crawled corpus — the ranking half of a
+crawl pipeline (discovery finds pages; the link graph decides which are
+worth keeping/fetching first). Public algorithms only: PageRank (Brin &
+Page 1998) with damping + uniform dangling-mass redistribution, and the
+degree surfaces a corpus report reads.
+
+Spark-first shape: the classic iterative DataFrame job — each iteration
+is one join (ranks onto the out-degree-annotated edge list), one
+map-side division, one shuffle on the destination (the partial-agg sum
+of contributions), and a left join back onto the node set. The driver
+holds only k (iteration count) and the per-iteration dangling-mass
+SCALAR; ranks are localCheckpoint'ed each round so the plan never grows
+(the d05 label-propagation lineage rule). At 100 TB this is exactly the
+GraphX/Pregel data layout without the RDD API."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
+    """(src, out_deg) — one shuffle, reused across every iteration."""
+    return edges.groupBy(src).agg(F.count("*").alias("out_deg"))
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iterations: int = 10,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over (nodes, edges): rank_0 = 1/N; per iteration
+    rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)/out_deg(u) + dangling/N)
+    where ``dangling`` is the rank mass sitting on nodes with no
+    out-edges (redistributed uniformly — the standard correction; drop
+    it and total mass leaks). Returns (node, rank) with Σrank = 1.
+
+    Determinism note for oracles: with ``damping=0.5`` and power-of-two
+    N and out-degrees, every intermediate is a dyadic rational well
+    inside double precision, so two engines agree BIT-exactly no matter
+    their summation order — the g01 driver query pins the operator that
+    way, while production keeps the usual 0.85.
+
+    Each iteration: one broadcast-free join of ranks onto the
+    degree-annotated edges (both sides hash-partition on ``src``), a
+    map-side division, a partial-agg sum shuffled on ``dst``, and a
+    left join back to the node set; dangling mass is ONE scalar
+    aggregate per iteration (control-plane). ``localCheckpoint`` keeps
+    lineage constant across iterations."""
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col(node_col).alias("node"),
+            F.lit(0.0).alias("rank"),
+        )
+    deg = out_degrees(edges, src_col)
+    fan = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).join(
+        deg.select(
+            F.col(src_col).alias("_src"), "out_deg"
+        ),
+        "_src",
+    )
+    base = nodes.select(F.col(node_col).alias("node")).distinct()
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
+    has_out = deg.select(F.col(src_col).alias("node"))
+    for _ in range(n_iterations):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )  # one scalar per iteration: control-plane
+        contribs = (
+            fan.join(
+                ranks.withColumnRenamed("node", "_src"), "_src"
+            )
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("m"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

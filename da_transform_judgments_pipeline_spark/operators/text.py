@@ -2425,6 +2425,48 @@ def html_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+#: href capture shared by Spark and the DuckDB oracle (Java regex ∩
+#: RE2): double- or single-quoted href inside an <a ...> tag.
+HTML_HREF_RE = """(?i)<a\\s[^>]*href=["']([^"']*)["']"""
+
+
+def html_links(col: Column | str) -> Column:
+    """All ``<a href>`` targets of an HTML payload, in document order —
+    the link-extraction half of crawl discovery (redirects and sitemaps
+    are the other channels). Pure Catalyst ``regexp_extract_all``: no
+    UDF, whole-stage codegen, and the pattern is Java-regex ∩ RE2 so
+    the DuckDB oracle runs the identical extraction. NULL in → empty
+    handled by the caller (regexp_extract_all of NULL is NULL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(HTML_HREF_RE), F.lit(1))
+
+
+def resolve_link(base_url: Column | str, href: Column | str) -> Column:
+    """Resolve one extracted href against the page URL — the subset of
+    RFC 3986 §5 a discovery pipeline needs, entirely Catalyst:
+
+    - absolute ``http(s)://...`` hrefs pass through;
+    - protocol-relative ``//host/path`` takes the base's scheme;
+    - root-relative ``/path`` takes the base's scheme://host;
+    - fragment-only, ``javascript:``/``mailto:``/other-scheme, empty,
+      and path-relative hrefs resolve to NULL (dropped — path-relative
+      resolution needs the full dot-segment merge; callers that want it
+      canonicalize ``base_dir || href`` through canonical_url).
+
+    Feed the result through :func:`..functions.strings.canonical_url`
+    before any frontier decision, like every other discovery channel."""
+    b = F.col(base_url) if isinstance(base_url, str) else base_url
+    h = F.col(href) if isinstance(href, str) else href
+    scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+    origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    return (
+        F.when(h.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,88 @@
+"""Link-graph analytics tests (operators/graph) + the link-extraction
+channel (text.html_links / resolve_link)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from da_transform_judgments_pipeline_spark.operators.graph import pagerank
+
+
+def _g(spark, nodes, edges):
+    return (
+        spark.createDataFrame([(n,) for n in nodes], "node long"),
+        spark.createDataFrame(edges, "src long, dst long"),
+    )
+
+
+def test_pagerank_hand_computed_and_mass_conserved(spark):
+    """Two iterations on a 3-node cycle-with-chord, damping 0.5,
+    hand-computed exactly (dyadic arithmetic); total mass is 1 at
+    every damping."""
+    nodes, edges = _g(
+        spark, [0, 1, 2], [(0, 1), (1, 2), (2, 0), (0, 2)]
+    )
+    # deg: 0→2, 1→1, 2→1. r0 = 1/3 each.
+    # it1: m(1) = r0(0)/2 = 1/6; m(2) = r0(0)/2 + r0(1) = 1/2;
+    #      m(0) = r0(2) = 1/3
+    # rank = 1/6 + 1/2·m → r1 = (1/3, 1/4, 5/12)
+    r1 = {r["node"]: r["rank"] for r in
+          pagerank(nodes, edges, n_iterations=1, damping=0.5).collect()}
+    assert r1 == {0: 1 / 6 + 1 / 2 * (1 / 3),
+                  1: 1 / 6 + 1 / 2 * (1 / 6),
+                  2: 1 / 6 + 1 / 2 * (1 / 2)}
+    out = pagerank(nodes, edges, n_iterations=7, damping=0.85)
+    total = out.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """A sink node's rank is redistributed uniformly — mass stays 1 and
+    the sink still accumulates rank from its inlinks."""
+    nodes, edges = _g(spark, [0, 1, 2], [(0, 2), (1, 2)])  # 2 is a sink
+    out = {r["node"]: r["rank"] for r in
+           pagerank(nodes, edges, n_iterations=4, damping=0.85).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out[2] > out[0] == out[1]
+    # without inlinks AND without outlinks everything is symmetric
+    nodes2, edges2 = _g(spark, [0, 1], [])
+    out2 = {r["node"]: r["rank"] for r in
+            pagerank(nodes2, edges2, n_iterations=3).collect()}
+    assert out2[0] == pytest.approx(0.5) and out2[1] == pytest.approx(0.5)
+
+
+def test_html_links_and_resolve(spark):
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        html_links,
+        resolve_link,
+    )
+
+    df = spark.createDataFrame(
+        [(
+            "https://h.example/dir/page",
+            '<a href="https://a.example/x">1</a>'
+            "<a href='/root'>2</a>"
+            '<A HREF="//cdn.example/c">3</A>'
+            '<a href="#f">4</a><a href="mailto:x@y">5</a>'
+            '<a href="relative/path">6</a>'
+            '<a data-x="1" href="HTTP://UP.example/">7</a>'
+            '<img href="/not-an-anchor">',
+        )],
+        "base string, html string",
+    )
+    out = df.select(
+        F.posexplode(html_links(F.col("html"))).alias("pos", "href")
+    ).join(df.select("base")).select(
+        "pos", "href",
+        resolve_link(F.col("base"), F.col("href")).alias("r"),
+    )
+    got = {r["pos"]: (r["href"], r["r"]) for r in out.collect()}
+    assert got[0] == ("https://a.example/x", "https://a.example/x")
+    assert got[1] == ("/root", "https://h.example/root")
+    assert got[2] == ("//cdn.example/c", "https://cdn.example/c")
+    assert got[3] == ("#f", None)
+    assert got[4] == ("mailto:x@y", None)
+    assert got[5] == ("relative/path", None)  # documented drop
+    assert got[6] == ("HTTP://UP.example/", "HTTP://UP.example/")
+    assert len(got) == 7  # the <img href> is not an anchor
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan  # pure Catalyst
