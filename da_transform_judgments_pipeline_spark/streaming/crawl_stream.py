@@ -83,6 +83,15 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         "digest_ok",
         "http_status",
         "location",
+        # link extraction reads the RAW markup (html_text strips tags);
+        # hrefs resolve against the page URL, unresolvable forms → null
+        F.filter(
+            F.transform(
+                text.html_links(F.col("payload").cast("string")),
+                lambda h: text.resolve_link(F.col("target_uri"), h),
+            ),
+            lambda u: u.isNotNull(),
+        ).alias("links"),
         text.html_text(F.col("payload").cast("string")).alias("_raw"),
     )
     extracted = (
@@ -139,9 +148,10 @@ def run_crawl_stream(
       change can make them fetchable later);
     - 3xx responses carrying a Location header → ``{out_dir}/redirects``
       (their own canonical IS marked fetched in the index), and their
-      targets — frontier-deduped but NOT indexed, since the index
-      records fetched URLs — → ``{out_dir}/discovered``, the fetch
-      queue for the next wave;
+      targets PLUS every page's extracted+resolved ``<a href>`` links
+      — frontier-deduped against the just-appended index but NOT
+      indexed themselves, since the index records fetched URLs —
+      → ``{out_dir}/discovered``, the fetch queue for the next wave;
     - malformed/bomb-bounded files → ``{out_dir}/errors`` (one row per
       file, the report-mode contract);
 
@@ -234,18 +244,30 @@ def run_crawl_stream(
                 dup_in_batch.union(dup_seen).write.mode("append").parquet(
                     f"{out_dir}/duplicates"
                 )
-                # discovered = redirect targets not yet fetched (index
-                # anti-join + in-batch min-struct dedup); they are NOT
-                # appended to the index — the index records FETCHED
-                # urls, so the target's own WARC is still accepted when
-                # it arrives. out/discovered is the dedup'd fetch queue.
+                # discovered = redirect targets + extracted page links
+                # not yet fetched: index anti-join + in-batch
+                # min-struct dedup, MINUS canonicals fetched in this
+                # very batch (the anti-join below — the index append
+                # must stay AFTER this point or lazy re-evaluation of
+                # fresh_docs would see its own appended rows and empty
+                # itself). Discoveries are NOT appended to the index
+                # (it records FETCHED urls), so a discovered page's own
+                # WARC is still accepted when it arrives.
+                # out/discovered is the dedup'd fetch queue.
                 discovered = new_frontier_urls(
                     redirects.select(
                         F.col("file_id"), F.col("pos"),
                         F.col("location").alias("url"),
+                    ).union(
+                        fresh_docs.select(
+                            "file_id", "pos",
+                            F.explode("links").alias("url"),
+                        )
                     ),
                     spark, frontier_table,
                     order_cols=("file_id", "pos"),
+                ).join(
+                    docs.select("canonical"), "canonical", "left_anti"
                 )
                 discovered.write.mode("append").parquet(
                     f"{out_dir}/discovered"

@@ -255,7 +255,11 @@ def test_crawl_stream_redirect_discovery(spark, tmp_path):
          "status": 302, "location": "https://h.example/new",
          "payload": b"<html><body><p>moved too</p></body></html>"},
         {"url": "https://h.example/page", "date": "2021-03-04T05:06:07Z",
-         "payload": b"<html><body><p>a real page body</p></body></html>"},
+         "payload": (b"<html><body><p>a real page body</p>"
+                     b'<a href="/linked">in-site</a>'
+                     b'<a href="https://h.example/page">self</a>'
+                     b'<a href="mailto:x@y">drop</a>'
+                     b"</body></html>")},
     ])
     (warcs / "f1.warc.gz").write_bytes(blob)
     (manifests / "w1.jsonl").write_text(json.dumps(
@@ -271,8 +275,12 @@ def test_crawl_stream_redirect_discovery(spark, tmp_path):
     ]
     disc = _read(spark, out / "discovered").collect()
     # two redirects share one target → ONE discovery (in-batch dedup,
-    # arrival order keeps the first redirect's discovery)
-    assert [r["canonical"] for r in disc] == ["https://h.example/new"]
+    # arrival order keeps the first redirect's discovery); the page's
+    # extracted /linked href is a discovery too; the self-link is
+    # suppressed (its canonical was just indexed) and mailto dropped
+    assert sorted(r["canonical"] for r in disc) == [
+        "https://h.example/linked", "https://h.example/new",
+    ]
     idx = {r["canonical"] for r in spark.table(table).collect()}
     assert "https://h.example/old" in idx          # fetched → seen
     assert "https://h.example/new" not in idx      # discovered ≠ fetched
