@@ -4113,13 +4113,16 @@ def q_f05_html_links(spark, sf_dir):
     """HTML link extraction + resolution (text.html_links +
     text.resolve_link — the link-discovery channel of the crawler,
     beside redirects m16 and sitemaps s25): per document an HTML page
-    with six closed-form anchors (absolute, root-relative,
+    with seven closed-form anchors (absolute, root-relative,
     protocol-relative, fragment-only, mailto, single-quoted
-    root-relative) on a per-doc base URL. Spark extracts hrefs with a
-    pure-Catalyst regexp_extract_all and resolves the RFC 3986 subset;
-    DuckDB runs the IDENTICAL regex (Java ∩ RE2) over the same
-    constructed page and the same resolution CASE — extraction order,
-    capture semantics, and every resolution rule are differential."""
+    root-relative, path-relative) on a per-doc base URL. Spark extracts
+    hrefs with a pure-Catalyst regexp_extract_all and resolves the
+    RFC 3986 subset with the §5.3 directory merge enabled
+    (merge_relative=True — the dot-segment fold is canonical_url's job
+    downstream, f04); DuckDB runs the IDENTICAL regex (Java ∩ RE2) over
+    the same constructed page and the same resolution CASE — extraction
+    order, capture semantics, and every resolution rule are
+    differential."""
     docs = _T(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     base = F.concat(
@@ -4134,7 +4137,8 @@ def q_f05_html_links(spark, sf_dir):
         F.lit('">z</a> <a href="#frag">f</a>'
               ' <a href="mailto:a@b">m</a>'
               " <a href='/sq/"), ds,
-        F.lit("'>s</a></body></html>"),
+        F.lit("'>s</a> <a href=\"rel/r"), ds,
+        F.lit('">r</a></body></html>'),
     )
     exploded = (
         docs.withColumn("base_url", base)
@@ -4148,9 +4152,9 @@ def q_f05_html_links(spark, sf_dir):
         "doc_id",
         F.col("pos").cast("int").alias("pos"),
         "href",
-        text.resolve_link(F.col("base_url"), F.col("href")).alias(
-            "resolved"
-        ),
+        text.resolve_link(
+            F.col("base_url"), F.col("href"), merge_relative=True
+        ).alias("resolved"),
     ).orderBy("doc_id", "pos")
 
 
@@ -5678,7 +5682,8 @@ WITH h AS (
            || '">z</a> <a href="#frag">f</a>'
            || ' <a href="mailto:a@b">m</a>'
            || ' <a href=''/sq/' || CAST(doc_id AS VARCHAR)
-           || '''>s</a></body></html>' AS html
+           || '''>s</a> <a href="rel/r' || CAST(doc_id AS VARCHAR)
+           || '">r</a></body></html>' AS html
   FROM documents
 ), x AS (
   SELECT doc_id, origin,
@@ -5696,6 +5701,11 @@ SELECT doc_id,
            THEN 'https:' || links[CAST(i AS INTEGER)]
          WHEN starts_with(links[CAST(i AS INTEGER)], '/')
            THEN origin || links[CAST(i AS INTEGER)]
+         WHEN links[CAST(i AS INTEGER)] <> ''
+              AND NOT starts_with(links[CAST(i AS INTEGER)], '#')
+              AND NOT regexp_matches(links[CAST(i AS INTEGER)],
+                                     '^[A-Za-z][A-Za-z0-9+.\\-]*:')
+           THEN origin || '/dir/' || links[CAST(i AS INTEGER)]
          ELSE NULL
        END AS resolved
 FROM x, unnest(range(1, len(links) + 1)) AS t(i)

@@ -2441,30 +2441,57 @@ def html_links(col: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(HTML_HREF_RE), F.lit(1))
 
 
-def resolve_link(base_url: Column | str, href: Column | str) -> Column:
+def resolve_link(
+    base_url: Column | str,
+    href: Column | str,
+    merge_relative: bool = False,
+) -> Column:
     """Resolve one extracted href against the page URL — the subset of
     RFC 3986 §5 a discovery pipeline needs, entirely Catalyst:
 
     - absolute ``http(s)://...`` hrefs pass through;
     - protocol-relative ``//host/path`` takes the base's scheme;
     - root-relative ``/path`` takes the base's scheme://host;
-    - fragment-only, ``javascript:``/``mailto:``/other-scheme, empty,
-      and path-relative hrefs resolve to NULL (dropped — path-relative
-      resolution needs the full dot-segment merge; callers that want it
-      canonicalize ``base_dir || href`` through canonical_url).
+    - fragment-only, ``javascript:``/``mailto:``/other-scheme and empty
+      hrefs resolve to NULL (dropped);
+    - path-relative hrefs: NULL by default; with
+      ``merge_relative=True`` they merge onto the base's directory
+      (RFC 3986 §5.3 merge — the query/fragment-stripped base path up
+      to its last ``/``). The merge intentionally leaves ``.``/``..``
+      segments in place: every discovery consumer runs
+      :func:`..functions.strings.canonical_url` next, whose dot-segment
+      fold (§5.2.4) finishes the resolution — splitting it this way
+      keeps both halves individually oracle-checkable.
 
-    Feed the result through :func:`..functions.strings.canonical_url`
-    before any frontier decision, like every other discovery channel."""
+    Feed the result through ``canonical_url`` before any frontier
+    decision, like every other discovery channel."""
     b = F.col(base_url) if isinstance(base_url, str) else base_url
     h = F.col(href) if isinstance(href, str) else href
     scheme = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
     origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
-    return (
+    out = (
         F.when(h.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"), h)
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
         .when(h.startswith("/"), F.concat(origin, h))
-        .otherwise(F.lit(None).cast("string"))
     )
+    if merge_relative:
+        path = F.regexp_replace(
+            F.regexp_replace(
+                b, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", ""
+            ),
+            r"[?#].*$", "",
+        )
+        base_dir = F.regexp_replace(path, r"[^/]*$", "")
+        base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+        relative_ok = (
+            (h != "")
+            & ~h.startswith("#")
+            & ~h.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+        )
+        out = out.when(
+            relative_ok, F.concat(origin, base_dir, h)
+        )
+    return out.otherwise(F.lit(None).cast("string"))
 
 
 def normalize_text(

@@ -81,8 +81,36 @@ def test_html_links_and_resolve(spark):
     assert got[2] == ("//cdn.example/c", "https://cdn.example/c")
     assert got[3] == ("#f", None)
     assert got[4] == ("mailto:x@y", None)
-    assert got[5] == ("relative/path", None)  # documented drop
+    assert got[5] == ("relative/path", None)  # default: documented drop
     assert got[6] == ("HTTP://UP.example/", "HTTP://UP.example/")
     assert len(got) == 7  # the <img href> is not an anchor
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan  # pure Catalyst
+    # merge_relative=True: path-relative merges onto the base DIRECTORY
+    # (RFC 3986 §5.3); dot segments are left for canonical_url's fold
+    merged = df.select(
+        resolve_link(
+            F.col("base"), F.lit("relative/path"), merge_relative=True
+        ).alias("r"),
+        resolve_link(
+            F.col("base"), F.lit("../up/x"), merge_relative=True
+        ).alias("dots"),
+        resolve_link(
+            F.lit("https://h.example"), F.lit("a"), merge_relative=True
+        ).alias("rootless"),
+        resolve_link(
+            F.col("base"), F.lit("mailto:x@y"), merge_relative=True
+        ).alias("still_null"),
+    ).collect()[0]
+    assert merged["r"] == "https://h.example/dir/relative/path"
+    assert merged["dots"] == "https://h.example/dir/../up/x"
+    from da_transform_judgments_pipeline_spark.functions.strings import (
+        canonical_url,
+    )
+
+    folded = spark.range(1).select(
+        canonical_url(F.lit("https://h.example/dir/../up/x")).alias("u")
+    ).collect()[0]["u"]
+    assert folded == "https://h.example/up/x"  # the downstream fold
+    assert merged["rootless"] == "https://h.example/a"
+    assert merged["still_null"] is None
