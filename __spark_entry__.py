@@ -3128,6 +3128,90 @@ def q_m12_png_decode_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_m21_webp_decode_features(spark, sf_dir):
+    """REAL lossless-WebP decode under a hash oracle (the m12 loop for
+    the LAST stdlib-feasible image format that was still a typed
+    refusal): per document the m12 6x4 two-color image is encoded as a
+    genuine VP8L bitstream by the deterministic twin
+    (operators/webpcodec.encode_webp_lossless — real canonical prefix
+    codes, RIFF container) with the on-disk LAYOUT rotating by doc_id:
+    %% 4 == 0 plain literals, 1 the subtract-green transform, 2 a
+    predictor transform (mode doc_id %% 14 — all fourteen spec
+    predictors appear across the corpus), 3 LZ77 run backrefs (direct
+    distance codes) + a color cache. The pure-stdlib decoder
+    (webpcodec.decode_webp: LSB-first bits, prefix codes, transforms
+    inverted in reverse order) must recover the exact pixels, so the
+    unchanged m09/m12 integer feature surface stays the closed form.
+    Lossy VP8 remains the module's typed refusal; distance codes 1..120
+    are the one named gap (the spec's literal neighbor table)."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.operators.webpcodec import (
+            encode_webp_lossless,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                a = (d % 256, (d * 7) % 256, (d * 13) % 256)
+                b = ((d * 3) % 256, (d * 5) % 256, (d * 11) % 256)
+                arr = np.empty((6, 4, 3), dtype=np.uint8)
+                arr[:3] = a
+                arr[3:] = b
+                if d % 4 == 1:
+                    blob = encode_webp_lossless(arr, subtract_green=True)
+                elif d % 4 == 2:
+                    blob = encode_webp_lossless(
+                        arr, predictor_mode=d % 14
+                    )
+                elif d % 4 == 3:
+                    blob = encode_webp_lossless(
+                        arr, lz77=True, cache_bits=4
+                    )
+                else:
+                    blob = encode_webp_lossless(arr)
+                blobs.append(bytearray(blob))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    corpus = docs.mapInPandas(make, "doc_id long, content binary")
+    out = multimodal.extract_features(
+        corpus.select(F.col("doc_id").alias("media_id"), "content"),
+        dim=10,
+        real_decode=True,
+    )
+    f = F.col("feature")
+
+    def chan(i, scale, name):
+        return (
+            F.round(F.element_at(f, i + 1) * scale).cast("long").alias(name)
+        )
+
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        chan(0, 510, "sum_r"),
+        chan(1, 510, "sum_g"),
+        chan(2, 510, "sum_b"),
+        chan(3, 510, "absdiff_r"),
+        chan(4, 510, "absdiff_g"),
+        chan(5, 510, "absdiff_b"),
+        chan(6, 255000, "luma_a_milli"),
+        chan(7, 255000, "luma_a2_milli"),
+        chan(8, 255000, "luma_b_milli"),
+        chan(9, 255000, "luma_b2_milli"),
+    ).orderBy("doc_id")
+
+
 def q_m14_jpeg_decode_features(spark, sf_dir):
     """REAL lossy-compressed decode under a hash oracle: per document a
     16x8 two-block JPEG (ITU T.81 — markers, Annex K tables, Huffman
@@ -4834,17 +4918,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # + power-of-two N/out-degrees, DuckDB recomputing via unrolled
     # aggregation CTEs), and f05 (HTML link extraction + RFC 3986
     # resolution — the identical Java∩RE2 regex run differentially by
-    # both engines). Displaced past the cap: m08/e11/d09/o06 and then
-    # a22/o05/a23 for s25/g01/f05 (all multi-round green, unchanged
-    # this round, still selfchecked; m08's interleave machinery stays
-    # pinned by the m05-m07 family, e11/d09 by the e02/d02 families,
-    # o06 by o07-o09, a22/a23/o05 by the a20/a21 TPC-H rows and o04).
-    # Changed-this-round queries already in-window: s21/s22 (robots
-    # wildcard+crawl_delay+sitemaps rules schema, frontier order_cols),
-    # m16 (WARC size guard + multi-record CDX + Location column + 301
-    # records), m12 (Adam7/16-bit corpus members), m13
+    # both engines), and m21 (REAL lossless-WebP decode — VP8L prefix
+    # codes/color cache/LZ77/all four transforms, the last
+    # stdlib-feasible image refusal turned real; close-distance codes
+    # 1..120 are the one named gap). Displaced past the cap:
+    # m08/e11/d09/o06 and then a21/a22/o05/a23 for s25/g01/f05/m21
+    # (all multi-round green, unchanged this round, still selfchecked;
+    # m08's interleave machinery stays pinned by the m05-m07 family,
+    # e11/d09 by the e02/d02 families, o06 by o07-o09, the a21-a23
+    # TPC-H rows by a20 and the a07-a17 family in selfcheck, o05 by
+    # o04/o06). Changed-this-round queries already in-window: s21/s22
+    # (robots wildcard+crawl_delay+sitemaps rules schema, frontier
+    # order_cols), m16 (WARC size guard + multi-record CDX + Location
+    # column + 301 records), m12 (Adam7/16-bit corpus members), m13
     # (endnotes/comments columns), x28 (docstring only). The
-    # position-50 boundary row is a21.
+    # position-50 boundary row is a20.
     # (a) NEW round 10
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
@@ -4853,6 +4941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s25_sitemap_discovery": q_s25_sitemap_discovery,
     "g01_pagerank": q_g01_pagerank,
     "f05_html_links": q_f05_html_links,
+    "m21_webp_decode_features": q_m21_webp_decode_features,
     # (a) NEW round 9
     "m15_pdf_parse": q_m15_pdf_parse,
     "m16_warc_extract": q_m16_warc_extract,
@@ -6255,6 +6344,30 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY doc_id
         """,
         "m17_gif_decode_features": """
+            WITH c AS (
+              SELECT doc_id,
+                     doc_id % 256 AS ar,
+                     (doc_id * 7) % 256 AS ag,
+                     (doc_id * 13) % 256 AS ab,
+                     (doc_id * 3) % 256 AS br,
+                     (doc_id * 5) % 256 AS bg,
+                     (doc_id * 11) % 256 AS bb
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(ar + br AS BIGINT) AS sum_r,
+                   CAST(ag + bg AS BIGINT) AS sum_g,
+                   CAST(ab + bb AS BIGINT) AS sum_b,
+                   CAST(abs(ar - br) AS BIGINT) AS absdiff_r,
+                   CAST(abs(ag - bg) AS BIGINT) AS absdiff_g,
+                   CAST(abs(ab - bb) AS BIGINT) AS absdiff_b,
+                   CAST(299*ar + 587*ag + 114*ab AS BIGINT) AS luma_a_milli,
+                   CAST(299*ar + 587*ag + 114*ab AS BIGINT) AS luma_a2_milli,
+                   CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b_milli,
+                   CAST(299*br + 587*bg + 114*bb AS BIGINT) AS luma_b2_milli
+            FROM c ORDER BY doc_id
+        """,
+        "m21_webp_decode_features": """
             WITH c AS (
               SELECT doc_id,
                      doc_id % 256 AS ar,

@@ -143,6 +143,7 @@ HEADLINE = [
     "s25_sitemap_discovery",
     "g01_pagerank",
     "f05_html_links",
+    "m21_webp_decode_features",
 ]
 
 

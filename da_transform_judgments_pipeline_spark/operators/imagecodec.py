@@ -5,17 +5,20 @@ in a container with no PIL/opencv/ffmpeg.
 Scope: formats whose pixel data is raw bytes decode via header parse +
 numpy reshape (netpbm P5/P6, Windows BMP BITMAPINFOHEADER without
 compression). PNG decodes FULLY with the standard library: the W3C spec's
-container (chunk walk + CRC-32 verify), zlib inflate of IDAT, and the
-five per-scanline filters (None/Sub/Up/Average/Paeth) — 8-bit gray /
-RGB / palette / alpha, non-interlaced. Baseline JPEG decodes via the
+container (chunk walk + CRC-32 verify), zlib inflate of IDAT, the
+five per-scanline filters (None/Sub/Up/Average/Paeth), 8- AND 16-bit
+depths, gray / RGB / palette / alpha, and BOTH interlace methods
+(Adam7 pass grids included). Baseline JPEG decodes via the
 sibling :mod:`.jpegcodec` (pure numpy: Huffman + IDCT + fixed-point
 color convert); progressive JPEG via its multi-scan path. GIF87a/89a
 decodes fully here (LZW inflate + palette + interlace + extension-block
 skip), with :func:`encode_gif` as the deterministic twin; baseline
 TIFF 6.0 decodes here too (IFD walk, strips, none/PackBits/LZW with
-the horizontal-differencing predictor, both byte orders). Formats that
-genuinely need a codec library
-(WebP, JPEG-in-TIFF, 16-bit or Adam7 PNG) raise
+the horizontal-differencing predictor, both byte orders); LOSSLESS
+WebP (VP8L) via the sibling :mod:`.webpcodec` (prefix codes, color
+cache, LZ77, all four transforms — see its docstring for the one
+named gap). Formats that genuinely need a codec library (lossy VP8
+WebP, JPEG-in-TIFF, sub-byte PNG depths) raise
 :class:`UnsupportedImageError` with the magic spelled out — a fake
 "decode" there would be dishonest. The multimodal operators
 (:func:`.multimodal.extract_features` / :func:`.multimodal.resize_images`)
@@ -139,6 +142,12 @@ def decode_image(blob: bytes) -> np.ndarray:
         return decode_gif(blob)
     if blob[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        # VP8L (lossless) decodes with stdlib entropy coding; lossy VP8
+        # stays a typed refusal inside decode_webp
+        from .webpcodec import decode_webp
+
+        return decode_webp(blob)
     raise UnsupportedImageError(f"{sniff(blob)} requires a codec library")
 
 
