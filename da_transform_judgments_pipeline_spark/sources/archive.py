@@ -245,7 +245,17 @@ def tar_gz_pack(
         )
         buf = io.BytesIO()
         items = []
-        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        # PIN the gzip header timestamp: mode="w:gz" stamps the CURRENT
+        # time into the gzip header, so two evaluations of the same
+        # plan (e.g. the archive branch and the sha256-sidecar branch
+        # of one union) produce different bytes when they straddle a
+        # second boundary — the sidecar then fails verification against
+        # its own archive. mtime=0 makes the pack a pure function of
+        # its inputs (the build_warc_gz/_gzip_member convention).
+        import gzip as _gzip
+
+        gz = _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0)
+        with tarfile.open(fileobj=gz, mode="w") as tf:
             for rec in pdf.to_dict("records"):
                 name = rec["name"]
                 rm = rec.get("rmprefix")
@@ -263,6 +273,7 @@ def tar_gz_pack(
                     info.mtime = int(mtime)
                 tf.addfile(info, io.BytesIO(data))
                 items.append({"name": name, "size": len(data)})
+        gz.close()  # flush the gzip trailer before reading the buffer
         return pd.DataFrame(
             {
                 "archive": [pdf["archive"].iloc[0]],

@@ -76,6 +76,25 @@ def test_pack_roundtrip(spark, archive_dir):
         assert all(m.mtime == 1660000000 for m in tf if m.isfile())
 
 
+def test_pack_is_a_pure_function(spark, archive_dir):
+    """Two evaluations of the same pack plan are BYTE-identical: the
+    gzip header timestamp is pinned (mode='w:gz' would stamp the
+    current time, so a plan whose archive bytes and sha256 sidecar are
+    computed in two branches of one union could fail verification
+    against itself when the branches straddle a second boundary — the
+    intermittent bagit_to_dri_sip_batch flake this pins down). Waits
+    across a second boundary to make the old behavior deterministic to
+    catch."""
+    import time
+
+    cat = read_file_catalog(spark, str(archive_dir), glob="one.tar.gz")
+    members = untar(cat).withColumn("archive", F.lit("det.tar.gz"))
+    first = bytes(tar_gz_pack(members).collect()[0]["content"])
+    time.sleep(1.1)  # straddle a wall-clock second
+    second = bytes(tar_gz_pack(members).collect()[0]["content"])
+    assert first == second
+
+
 def test_pack_prefix_substitution(spark, archive_dir):
     cat = read_file_catalog(spark, str(archive_dir), glob="one.tar.gz")
     members = (
