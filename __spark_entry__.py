@@ -4193,6 +4193,36 @@ def q_g01_pagerank(spark, sf_dir):
     )
 
 
+def q_g02_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (operators/graph.hits — Kleinberg's
+    link-analysis twin of g01's PageRank) over the same closed-form
+    256-node graph, UNNORMALIZED for 3 iterations: every hub/authority
+    score is then an INTEGER path count (exactly representable,
+    summation-order independent — the g01 exactness idea, integer
+    edition), so a float iterative algorithm is again hash-exact.
+    DuckDB recomputes via six unrolled join/aggregate CTEs
+    (a_i = EᵀA h_{i-1}, h_i = E a_i). Production uses
+    normalize=True (L1 per iteration), covered by pytest."""
+    from da_transform_judgments_pipeline_spark.operators import graph
+
+    nodes = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 256)
+        .select(F.col("doc_id").alias("node"))
+    )
+    n = F.col("node")
+    edges = nodes.select(
+        n.alias("src"), ((n + 1) % 256).alias("dst")
+    ).union(
+        nodes.select(n.alias("src"), ((n * 2 + 1) % 256).alias("dst"))
+    )
+    return (
+        graph.hits(nodes, edges, n_iterations=3, normalize=False)
+        .orderBy("node")
+    )
+
+
 def q_f05_html_links(spark, sf_dir):
     """HTML link extraction + resolution (text.html_links +
     text.resolve_link — the link-discovery channel of the crawler,
@@ -4921,18 +4951,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # both engines), and m21 (REAL lossless-WebP decode — VP8L prefix
     # codes/color cache/LZ77/all four transforms, the last
     # stdlib-feasible image refusal turned real; close-distance codes
-    # 1..120 are the one named gap). Displaced past the cap:
-    # m08/e11/d09/o06 and then a21/a22/o05/a23 for s25/g01/f05/m21
-    # (all multi-round green, unchanged this round, still selfchecked;
-    # m08's interleave machinery stays pinned by the m05-m07 family,
-    # e11/d09 by the e02/d02 families, o06 by o07-o09, the a21-a23
-    # TPC-H rows by a20 and the a07-a17 family in selfcheck, o05 by
-    # o04/o06). Changed-this-round queries already in-window: s21/s22
-    # (robots wildcard+crawl_delay+sitemaps rules schema, frontier
-    # order_cols), m16 (WARC size guard + multi-record CDX + Location
-    # column + 301 records), m12 (Adam7/16-bit corpus members), m13
-    # (endnotes/comments columns), x28 (docstring only). The
-    # position-50 boundary row is a20.
+    # 1..120 are the one named gap), and g02 (HITS — g01's exactness
+    # idea in integer form: unnormalized iterations are path COUNTS,
+    # summation-order independent). Displaced past the cap:
+    # m08/e11/d09/o06 and then a20/a21/a22/o05/a23 for
+    # s25/g01/g02/f05/m21 (all multi-round green, unchanged this
+    # round, still selfchecked; m08's interleave machinery stays
+    # pinned by the m05-m07 family, e11/d09 by the e02/d02 families,
+    # o06 by o07-o09, the a20-a23 TPC-H rows by the a07-a17 family in
+    # selfcheck, o05 by o04/o06). Changed-this-round queries already
+    # in-window: s21/s22 (robots wildcard+crawl_delay+sitemaps rules
+    # schema, frontier order_cols), m16 (WARC size guard + multi-record
+    # CDX + Location column + 301 records), m12 (Adam7/16-bit corpus
+    # members), m13 (endnotes/comments columns), x28 (docstring only).
+    # The position-50 boundary row is m07.
     # (a) NEW round 10
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
@@ -4940,6 +4972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x34_fix_mojibake": q_x34_fix_mojibake,
     "s25_sitemap_discovery": q_s25_sitemap_discovery,
     "g01_pagerank": q_g01_pagerank,
+    "g02_hits": q_g02_hits,
     "f05_html_links": q_f05_html_links,
     "m21_webp_decode_features": q_m21_webp_decode_features,
     # (a) NEW round 9
@@ -5749,6 +5782,42 @@ def _g01_sql(k: int = 5) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, rank FROM pr{k} ORDER BY node"
+    )
+
+
+def _g02_sql(k: int = 3) -> str:
+    """g02 oracle: k unrolled HITS iterations (a_i from h_{i-1}, h_i
+    from a_i), integer-valued doubles throughout — see q_g02."""
+    ctes = [
+        """nodes AS (
+          SELECT doc_id AS node FROM documents WHERE doc_id < 256
+        )""",
+        """edges AS (
+          SELECT node AS src, (node + 1) % 256 AS dst FROM nodes
+          UNION ALL
+          SELECT node AS src, (node * 2 + 1) % 256 AS dst FROM nodes
+        )""",
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f"""a{i} AS (
+          SELECT n.node, coalesce(s.v, 0.0) AS authority
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(h.hub) AS v
+            FROM edges e JOIN h{i - 1} h ON h.node = e.src
+            GROUP BY e.dst) s USING (node)
+        )""")
+        ctes.append(f"""h{i} AS (
+          SELECT n.node, coalesce(s.v, 0.0) AS hub
+          FROM nodes n LEFT JOIN (
+            SELECT e.src AS node, sum(a.authority) AS v
+            FROM edges e JOIN a{i} a ON a.node = e.dst
+            GROUP BY e.src) s USING (node)
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h{k}.node, h{k}.hub, a{k}.authority"
+        + f"\nFROM h{k} JOIN a{k} USING (node) ORDER BY node"
     )
 
 
@@ -7530,6 +7599,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "g01_pagerank": _g01_sql(),
+        "g02_hits": _g02_sql(),
         "f05_html_links": _f05_sql(),
         "s25_sitemap_discovery": """
             WITH f AS (SELECT ['daily','weekly','monthly','yearly'] AS fr)

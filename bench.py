@@ -142,6 +142,7 @@ HEADLINE = [
     "x34_fix_mojibake",
     "s25_sitemap_discovery",
     "g01_pagerank",
+    "g02_hits",
     "f05_html_links",
     "m21_webp_decode_features",
 ]

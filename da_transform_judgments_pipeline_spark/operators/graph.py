@@ -102,3 +102,61 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iterations: int = 10,
+    normalize: bool = True,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs-and-authorities over (nodes, edges):
+    per iteration ``auth(v) = Σ_{u→v} hub(u)`` then
+    ``hub(u) = Σ_{u→v} auth(v)``, both starting at 1. Returns
+    (node, hub, authority).
+
+    ``normalize=True`` (production) L1-normalizes both vectors each
+    iteration — float division, the usual form. ``normalize=False``
+    keeps the RAW sums: after k iterations ``authority(v)`` is the
+    INTEGER count of directed paths of a fixed alternating shape ending
+    at v, exactly representable and engine-order-independent — the g02
+    oracle trick (the g01 dyadic-damping idea, integer edition; DuckDB
+    recomputes via unrolled join/aggregate CTEs). Each iteration is two
+    hash-partitioned join+agg shuffles; lineage is truncated per round
+    like :func:`pagerank`."""
+    base = nodes.select(F.col(node_col).alias("node")).distinct()
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    hubs = base.withColumn("hub", F.lit(1.0))
+    auths = base.withColumn("authority", F.lit(1.0))
+    for _ in range(n_iterations):
+        a = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auths = base.join(a, "node", "left").select(
+            "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+        )
+        h = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hubs = base.join(h, "node", "left").select(
+            "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+        )
+        if normalize:
+            asum = auths.agg(F.sum("authority")).collect()[0][0] or 1.0
+            hsum = hubs.agg(F.sum("hub")).collect()[0][0] or 1.0
+            auths = auths.select(
+                "node", (F.col("authority") / asum).alias("authority")
+            )
+            hubs = hubs.select("node", (F.col("hub") / hsum).alias("hub"))
+        auths = auths.localCheckpoint(eager=True)
+        hubs = hubs.localCheckpoint(eager=True)
+    return hubs.join(auths, "node").select("node", "hub", "authority")

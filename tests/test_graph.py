@@ -50,6 +50,28 @@ def test_pagerank_dangling_mass_redistributed(spark):
     assert out2[0] == pytest.approx(0.5) and out2[1] == pytest.approx(0.5)
 
 
+def test_hits_hand_computed_and_normalized(spark):
+    """Unnormalized HITS = integer path counts (hand-computed on a
+    3-node graph); the normalized variant keeps L1 mass 1 on both
+    vectors and ranks the shared target highest."""
+    from da_transform_judgments_pipeline_spark.operators.graph import hits
+
+    nodes, edges = _g(spark, [0, 1, 2], [(0, 2), (1, 2), (2, 0)])
+    # h0 = 1. a1 = in-degree: a(2)=2, a(0)=1, a(1)=0.
+    # h1 = Σ a1 over out-edges: h(0)=a(2)=2, h(1)=2, h(2)=a(0)=1.
+    out = {r["node"]: r for r in
+           hits(nodes, edges, n_iterations=1, normalize=False).collect()}
+    assert (out[0]["authority"], out[1]["authority"],
+            out[2]["authority"]) == (1.0, 0.0, 2.0)
+    assert (out[0]["hub"], out[1]["hub"], out[2]["hub"]) == (2.0, 2.0, 1.0)
+    norm = hits(nodes, edges, n_iterations=4, normalize=True)
+    rows = norm.collect()
+    assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+    byn = {r["node"]: r["authority"] for r in rows}
+    assert byn[2] == max(byn.values())
+
+
 def test_html_links_and_resolve(spark):
     from da_transform_judgments_pipeline_spark.operators.text import (
         html_links,
