@@ -97,9 +97,12 @@ def _parse_groups(
             in_rules = True
             if val == "":
                 continue  # "Disallow:" empty = allow everything
+            # A non-empty value that normalizes to "" was a pure
+            # wildcard ("*", "*$", "**"): it matches EVERY path, so it
+            # must be kept as the match-all prefix "" — dropping it
+            # would invert the rule. Only a genuinely empty value
+            # (handled above) means "no rule".
             pattern = _normalize_pattern(val)
-            if pattern == "":
-                continue
             for a in current:
                 groups.setdefault(a, []).append((pattern, key == "allow"))
         elif key == "crawl-delay":

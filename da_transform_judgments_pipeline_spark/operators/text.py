@@ -2488,7 +2488,13 @@ def resolve_link(
             & ~h.startswith("#")
             & ~h.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
         )
+        # RFC 3986 §5.3: a query-only reference ("?page=2") keeps the
+        # FULL base path and replaces only the query — it is not merged
+        # onto the base directory.
+        base_path = F.when(path == "", F.lit("/")).otherwise(path)
         out = out.when(
+            h.startswith("?"), F.concat(origin, base_path, h)
+        ).when(
             relative_ok, F.concat(origin, base_dir, h)
         )
     return out.otherwise(F.lit(None).cast("string"))

@@ -438,10 +438,13 @@ def _apply_predictor_inverse(img: np.ndarray, modes: np.ndarray,
             TL = _split_argb(int(out[y - 1, x - 1])) if x and y else (
                 T if y else None
             )
+            # TR uses contiguous-buffer addressing (libwebp
+            # data[pos-width+1]): on the rightmost column it wraps to
+            # the LEFTMOST reconstructed pixel of the CURRENT row, not T.
             TR = (
                 _split_argb(int(out[y - 1, x + 1]))
                 if y and x + 1 < w
-                else (T if y else None)
+                else (_split_argb(int(out[y, 0])) if y else None)
             )
             pred = _predict(mode, L, T, TL, TR)
             res = _split_argb(int(img[y, x]))
@@ -688,6 +691,10 @@ def encode_webp_lossless(
     (predictor, then subtract-green); palette excludes the others."""
     arr = np.asarray(arr, dtype=np.uint8)
     h, w = arr.shape[:2]
+    if not (1 <= w <= (1 << 14)) or not (1 <= h <= (1 << 14)):
+        raise ValueError(
+            f"VP8L dimensions {w}x{h} outside 1..16384 (14-bit fields)"
+        )
     img = (
         np.full((h, w), 0xFF000000, dtype=np.uint64)
         | (arr[:, :, 0].astype(np.uint64) << 16)
@@ -769,10 +776,13 @@ def encode_webp_lossless(
                 TL = _split_argb(int(img[y - 1, x - 1])) if x and y else (
                     T if y else None
                 )
+                # rightmost column: TR wraps to the leftmost pixel of
+                # the current row (contiguous addressing, matches the
+                # inverse pass); reconstructed == original here.
                 TR = (
                     _split_argb(int(img[y - 1, x + 1]))
                     if y and x + 1 < w
-                    else (T if y else None)
+                    else (_split_argb(int(img[y, 0])) if y else None)
                 )
                 pred = _predict(mode, L, T, TL, TR)
                 res[y, x] = _join_argb(

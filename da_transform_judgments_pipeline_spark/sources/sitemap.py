@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import gzip
 import xml.etree.ElementTree as ET
+import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,10 +51,23 @@ def parse_sitemap(blob: bytes) -> tuple[str, list[dict]]:
     50k-entry limits with typed errors."""
     blob = bytes(blob)
     if blob[:2] == b"\x1f\x8b":
+        # Bounded inflation (the warc.py pattern): ask for at most
+        # limit+1 bytes so a gzip bomb is caught at the bound instead
+        # of allocating its full inflated size before the check.
+        dec = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            blob = gzip.decompress(blob)
-        except (OSError, EOFError) as exc:
+            blob = dec.decompress(blob, SITEMAP_MAX_BYTES + 1)
+        except zlib.error as exc:
             raise SitemapError(f"corrupt gzip transport: {exc}")
+        if len(blob) > SITEMAP_MAX_BYTES or dec.unconsumed_tail:
+            raise SitemapError(
+                "gzip transport inflates past the protocol's"
+                f" {SITEMAP_MAX_BYTES}-byte limit"
+            )
+        if not dec.eof:
+            raise SitemapError(
+                "corrupt gzip transport: truncated stream"
+            )
     if len(blob) > SITEMAP_MAX_BYTES:
         raise SitemapError(
             f"sitemap is {len(blob)} bytes, over the protocol's"

@@ -123,9 +123,20 @@ def test_html_links_and_resolve(spark):
         resolve_link(
             F.col("base"), F.lit("mailto:x@y"), merge_relative=True
         ).alias("still_null"),
+        resolve_link(
+            F.lit("https://h.example/a/b?x=1"), F.lit("?page=2"),
+            merge_relative=True,
+        ).alias("qonly"),
+        resolve_link(
+            F.lit("https://h.example"), F.lit("?p"), merge_relative=True
+        ).alias("qroot"),
     ).collect()[0]
     assert merged["r"] == "https://h.example/dir/relative/path"
     assert merged["dots"] == "https://h.example/dir/../up/x"
+    # RFC 3986 §5.3: query-only refs keep the FULL base path and swap
+    # only the query — not a directory merge
+    assert merged["qonly"] == "https://h.example/a/b?page=2"
+    assert merged["qroot"] == "https://h.example/?p"
     from da_transform_judgments_pipeline_spark.functions.strings import (
         canonical_url,
     )

@@ -35,6 +35,13 @@ def test_parse_groups_and_rules():
     assert parse_robots(c5, "z") == [
         ("/a*b", False), ("/x$", False), ("/a", True)
     ]
+    # a PURE wildcard ('*', '*$') matches every path: it must survive
+    # as the match-all prefix "", NOT be dropped like an empty Disallow
+    # (dropping would invert the rule — googlebot disallows everything)
+    c6 = "User-agent: *\nDisallow: *\n"
+    assert parse_robots(c6, "z") == [("", False)]
+    c7 = "User-agent: *\nAllow: *$\nDisallow: /\n"
+    assert parse_robots(c7, "z") == [("", True), ("/", False)]
 
 
 def test_rule_regex_compile():

@@ -65,6 +65,25 @@ def test_parse_typed_refusals():
         )
     with pytest.raises(SitemapError, match="corrupt gzip"):
         parse_sitemap(b"\x1f\x8b\x08\x00junk")
+    # truncated-but-valid-prefix gzip is also corrupt (decompressobj
+    # returns partial data without raising — the eof check catches it)
+    import gzip as _gzip
+
+    whole = _gzip.compress(b"<urlset></urlset>" * 50, mtime=0)
+    with pytest.raises(SitemapError, match="truncated"):
+        parse_sitemap(whole[:-8])
+
+
+def test_gzip_bomb_bounded():
+    """A small gzip bomb must be rejected AT the 50 MB bound — the
+    decompressobj(max_length) pattern — not after inflating the whole
+    payload into executor memory."""
+    import gzip as _gzip
+
+    bomb = _gzip.compress(b"\x00" * (60 << 20), 9, mtime=0)
+    assert len(bomb) < (1 << 20)  # ~60 KB transport for 60 MB inflated
+    with pytest.raises(SitemapError, match="inflates past"):
+        parse_sitemap(bomb)
 
 
 def test_sitemap_entries_report_isolation(spark):

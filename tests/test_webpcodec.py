@@ -82,6 +82,39 @@ def test_prefix_value_inverse():
         assert _prefix_value(code, br) == v, v
 
 
+def test_predictor_tr_wraps_to_row_start():
+    """Rightmost-column TR neighbor: VP8L uses contiguous-buffer
+    addressing (libwebp data[pos - width + 1]), so at x == w-1 TR is
+    the LEFTMOST reconstructed pixel of the CURRENT row, not T. Pinned
+    by hand-computing a 2x2 mode-3 (pure-TR) inverse — independent of
+    the encoder round-trip, which shares _predict and so cannot catch
+    a neighbor rule that is wrong on both sides."""
+    from da_transform_judgments_pipeline_spark.operators.webpcodec import (
+        _apply_predictor_inverse,
+    )
+
+    res = np.array(
+        [[0x00010203, 0x00040506], [0x00070809, 0x000A0B0C]],
+        dtype=np.uint64,
+    )
+    modes = np.array([[0xFF000000 | (3 << 8)]], dtype=np.int64)
+    out = _apply_predictor_inverse(res, modes, size_bits=4)
+    assert out[0, 0] == 0xFF010203  # mode 0: + opaque black
+    assert out[0, 1] == 0xFF050709  # top row: + L
+    assert out[1, 0] == 0xFF080A0C  # left col: + T
+    # mode 3 at the right edge: + out[1, 0] (row start), NOT out[0, 1]
+    assert out[1, 1] == 0xFF121518
+
+
+def test_dimension_guard():
+    """14-bit width/height fields: >16384 must be a typed error, not a
+    silently truncated header."""
+    with pytest.raises(ValueError, match="16384"):
+        encode_webp_lossless(np.zeros((1, 16385, 3), np.uint8))
+    with pytest.raises(ValueError, match="16384"):
+        encode_webp_lossless(np.zeros((16385, 1, 3), np.uint8))
+
+
 def test_typed_refusals():
     img = np.zeros((2, 2, 3), np.uint8)
     blob = bytearray(encode_webp_lossless(img))
