@@ -14,21 +14,30 @@ files' bytes through an ordinary ``binaryFile`` batch read — bytes are
 never stream state.
 
 Exactly-once posture (the orchestrator's T10 machinery applied to
-files):
+files) — EVERY crash window replays to identical sink contents:
 
-- the idempotency key is the WARC file path. A processed-path LEDGER
-  (``{out_dir}/processed``, the run_pipeline ledger shape) is
-  anti-joined first (:func:`..streaming.orchestrator.replay_guard`), so
-  a duplicate manifest resend — or a whole replayed micro-batch after a
-  crash in the post-ledger window (``on_batch_complete``, where the
-  chaos test injects) — re-processes NOTHING: zero duplicate corpus
-  rows, zero duplicate frontier rows.
-- the frontier append is idempotent by construction
-  (append_to_url_index re-guards with an anti-join), so a crash in the
-  mid-batch window (sinks written, ledger not) cannot duplicate INDEX
-  rows either; the parquet sinks remain at-least-once of the SAME
-  decisions in that window — the standard foreachBatch sink contract,
-  same as run_dedup_stream/run_pipeline.
+- the idempotency key is the WARC file path. The processed-path LEDGER
+  (``{out_dir}/processed``) is batch_id-PARTITIONED and each batch
+  overwrites its own partition; the replay guard anti-joins the ledger
+  MINUS the current batch's partition, so a crashed batch ALWAYS
+  replays in full (even after a partial ledger write) while a
+  cross-batch duplicate resend is still dropped.
+- every corpus sink (``accepted``/``duplicates``/``redirects``/
+  ``discovered``/``disallowed``/``errors``) is batch_id-partitioned and
+  written with dynamic-partition OVERWRITE: a replay after a crash in
+  the pre-ledger window REPLACES the batch's partition instead of
+  re-appending — zero duplicate rows in any window, not just
+  post-ledger.
+- replay decisions are pinned to the ORIGINAL attempt's index view:
+  before the frontier anti-joins, the batch's own previously-written
+  ``accepted``/``redirects`` partitions (if a crashed attempt left
+  them) are subtracted from the index, so a crash AFTER the idempotent
+  ``append_to_url_index`` cannot flip the batch's accepted rows into
+  ``url_seen`` duplicates on replay.
+
+The only atomicity assumed is parquet's per-job commit (files appear
+at job commit, the standard FileOutputCommitter contract) — the same
+assumption every foreachBatch file sink makes.
 
 Scale shape: per micro-batch the DRIVER touches only the manifest rows
 (≤ ``max_files_per_trigger`` paths — a control-plane list, collected
@@ -51,9 +60,21 @@ from ..functions.strings import canonical_url
 from ..operators import text
 from ..sources.frontier import append_to_url_index, new_frontier_urls
 from ..sources.warc import warc_records
-from .orchestrator import _processed_keys, replay_guard
+from .orchestrator import replay_guard
 
 MANIFEST_SCHEMA = "file_id LONG, path STRING"
+
+#: test seam — when set, called as ``hook(point, batch_id)`` at
+#: "after_sinks" (corpus sinks written, ledger not), "after_ledger"
+#: (ledger written, index not), and "after_index" (index appended,
+#: checkpoint offset not committed). The chaos tests raise from each
+#: point to prove every crash window replays to identical contents.
+_chaos_hook = None
+
+
+def _fire(point: str, batch_id: int) -> None:
+    if _chaos_hook is not None:
+        _chaos_hook(point, batch_id)
 
 #: columns of {out_dir}/accepted and /duplicates (duplicates adds reason)
 CRAWL_DOC_COLUMNS = [
@@ -122,6 +143,67 @@ def _norm_path(col):
     return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/{0,2}(/)", "$1")
 
 
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Write one batch's rows as the ``batch_id=N`` partition of a sink,
+    REPLACING that partition if a crashed earlier attempt already wrote
+    it (dynamic-partition overwrite) — the mechanism that makes every
+    pre-ledger crash window idempotent instead of at-least-once."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def _ledger_other_batches(spark, out_dir: str, batch_id: int):
+    """The replay-guard probe set: every ledgered path EXCEPT the
+    current batch's own partition — so a crashed batch replays in full
+    even when its ledger write survived (or half-survived), while a
+    cross-batch duplicate resend still anti-joins away. Tolerates the
+    compacted (unpartitioned) ledger layout, whose rows are all from
+    committed batches by construction."""
+    try:
+        led = spark.read.parquet(f"{out_dir}/processed")
+    except Exception:
+        return None
+    if "batch_id" in led.columns:
+        led = led.filter(F.col("batch_id") != F.lit(batch_id))
+    return led.select("exec_name")
+
+
+def _own_canonicals(spark, out_dir: str, batch_id: int):
+    """Canonicals a CRASHED earlier attempt of this very batch already
+    wrote to accepted/redirects — the exact set append_to_url_index
+    would have added. Subtracting them from the index view pins replay
+    decisions to the original attempt's pre-append view, closing the
+    crash-after-index-append window. Returns a localCheckpointed frame
+    (detached from the files the replay is about to overwrite) or None
+    when no earlier attempt exists (the happy path — a driver-side
+    existence probe, no Spark job)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    found = []
+    for sink in ("accepted", "redirects"):
+        p = f"{out_dir}/{sink}/batch_id={batch_id}"
+        try:
+            if hpath(p).getFileSystem(conf).exists(hpath(p)):
+                found.append(p)
+        except Exception:
+            pass
+    if not found:
+        return None
+    try:
+        df = spark.read.parquet(*found).select("canonical").distinct()
+        return df.localCheckpoint(eager=True)
+    except Exception:
+        # partition dir exists but holds no committed parquet (crash
+        # mid-write, pre-job-commit): nothing reached the index either
+        return None
+
+
 def run_crawl_stream(
     spark: SparkSession,
     manifest_dir: str,
@@ -155,10 +237,14 @@ def run_crawl_stream(
     - malformed/bomb-bounded files → ``{out_dir}/errors`` (one row per
       file, the report-mode contract);
 
-    then append the accepted canonicals to the frontier index
-    (idempotent), append the file paths to the ledger LAST, and fire
-    ``on_batch_complete(batch_id)`` — the worst-case crash window the
-    chaos test exercises. Returns the StreamingQuery.
+    Every sink is batch_id-partitioned and the batch's partition is
+    written with dynamic-partition OVERWRITE; then the file paths
+    overwrite the batch's ledger partition, then the accepted
+    canonicals append to the frontier index (idempotent), then
+    ``on_batch_complete(batch_id)`` fires. A crash ANYWHERE in that
+    sequence replays to identical contents (see the module docstring's
+    window-by-window argument); the chaos tests inject into each
+    window via the ``_chaos_hook`` seam. Returns the StreamingQuery.
 
     The ledger shares run_pipeline's layout, so
     :func:`.orchestrator.compact_processed_ledger` is the maintenance
@@ -175,7 +261,9 @@ def run_crawl_stream(
             .withColumn("exec_name", F.col("path"))
             .dropDuplicates(["path"])  # duplicate resends in one batch
         )
-        fresh = replay_guard(manifest, _processed_keys(spark, out_dir))
+        fresh = replay_guard(
+            manifest, _ledger_other_batches(spark, out_dir, batch_id)
+        )
         # the manifest IS control-plane: ≤ max_files_per_trigger paths
         # per micro-batch — this collect is a file list, never data
         entries = fresh.select("file_id", "path").collect()
@@ -195,14 +283,17 @@ def run_crawl_stream(
                 "file_id", "content"
             )
             docs, errors = _extract_docs(files)
-            errors.write.mode("append").parquet(f"{out_dir}/errors")
+            _write_batch_partition(errors, f"{out_dir}/errors", batch_id)
             if rules is not None:
                 from ..operators.robots import robots_filter
 
                 flagged = robots_filter(docs, rules, url_col="target_uri")
-                flagged.filter(~F.col("allowed")).select(
-                    *CRAWL_DOC_COLUMNS
-                ).write.mode("append").parquet(f"{out_dir}/disallowed")
+                _write_batch_partition(
+                    flagged.filter(~F.col("allowed")).select(
+                        *CRAWL_DOC_COLUMNS
+                    ),
+                    f"{out_dir}/disallowed", batch_id,
+                )
                 docs = flagged.filter(F.col("allowed")).drop("allowed")
 
             me = F.struct(F.col("file_id"), F.col("pos"))
@@ -218,7 +309,15 @@ def run_crawl_stream(
             )
             try:
                 survivors = docs.filter(me == F.col("_first"))
+                # the decision view of the index: on a replay after a
+                # crashed attempt already ran append_to_url_index,
+                # subtract that attempt's own canonicals (read back
+                # from its sink partitions) so accepted/url_seen
+                # decisions replay IDENTICALLY
                 index = spark.table(frontier_table)
+                own = _own_canonicals(spark, out_dir, batch_id)
+                if own is not None:
+                    index = index.join(own, "canonical", "left_anti")
                 fresh_docs = survivors.join(index, "canonical", "left_anti")
                 # a 3xx fetch is a SEEN url (it joins the index below)
                 # but not a corpus document: its row lands in
@@ -237,13 +336,6 @@ def run_crawl_stream(
                 dup_seen = survivors.join(
                     index.select("canonical"), "canonical", "left_semi"
                 ).select(*CRAWL_DOC_COLUMNS, F.lit("url_seen").alias("reason"))
-                accepted.write.mode("append").parquet(f"{out_dir}/accepted")
-                redirects.write.mode("append").parquet(
-                    f"{out_dir}/redirects"
-                )
-                dup_in_batch.union(dup_seen).write.mode("append").parquet(
-                    f"{out_dir}/duplicates"
-                )
                 # discovered = redirect targets + extracted page links
                 # not yet fetched: index anti-join + in-batch
                 # min-struct dedup, MINUS canonicals fetched in this
@@ -269,22 +361,45 @@ def run_crawl_stream(
                 ).join(
                     docs.select("canonical"), "canonical", "left_anti"
                 )
-                discovered.write.mode("append").parquet(
-                    f"{out_dir}/discovered"
+                # accepted is (re)written FIRST and redirects SECOND so
+                # a crash between them leaves exactly the prefix
+                # _own_canonicals reads back; every sink write replaces
+                # this batch's partition (idempotent under replay)
+                _write_batch_partition(
+                    accepted, f"{out_dir}/accepted", batch_id
                 )
+                _write_batch_partition(
+                    redirects, f"{out_dir}/redirects", batch_id
+                )
+                _write_batch_partition(
+                    dup_in_batch.union(dup_seen),
+                    f"{out_dir}/duplicates", batch_id,
+                )
+                _write_batch_partition(
+                    discovered, f"{out_dir}/discovered", batch_id
+                )
+                _fire("after_sinks", batch_id)
+                # ledger next (its partition also overwrites): from here
+                # a replay reprocesses the full batch because the guard
+                # excludes this batch's own partition
+                fresh.select("exec_name").withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("batch_id").parquet(f"{out_dir}/processed")
+                _fire("after_ledger", batch_id)
+                # index LAST — idempotent (anti-join re-guard), and any
+                # replay after this point restores the pre-append view
+                # via _own_canonicals
                 append_to_url_index(
                     spark,
                     fresh_docs.select("canonical"),
                     frontier_table,
                 )
                 spark.catalog.refreshTable(frontier_table)
+                _fire("after_index", batch_id)
             finally:
                 docs.unpersist()
-            # ledger LAST: every sink above is either idempotent (index)
-            # or derived from decisions this ledger append finalizes
-            fresh.select("exec_name").write.mode("append").parquet(
-                f"{out_dir}/processed"
-            )
         if on_batch_complete is not None:
             on_batch_complete(batch_id)
 

@@ -174,6 +174,95 @@ def test_crawl_stream_two_wave_chaos_exactly_once(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_crawl_stream_crash_every_window_exactly_once(spark, tmp_path):
+    """Crash injected into EACH window of the batch sequence — (1)
+    after the corpus sinks but BEFORE the ledger append (the worst
+    pre-ledger window: accepted already on disk, replay must OVERWRITE
+    it, not re-append), (2) after the ledger but before the index
+    append (replay must reprocess the full batch despite its own
+    ledger rows), (3) after the index append (replay must not flip its
+    own accepted rows into url_seen) — each followed by a restart.
+    After every recovery: zero duplicate accepted rows, duplicates
+    routing unchanged, one frontier row per canonical, unique ledger
+    keys."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from da_transform_judgments_pipeline_spark.streaming import (
+        crawl_stream as cs,
+    )
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+    table = "crawl_stream_window_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://w.example/seed",)], "url string"),
+        table, buckets=2, path=str(tmp_path / "fidx"),
+    )
+
+    def run_once():
+        q = run_crawl_stream(spark, str(manifests), table, str(out))
+        try:
+            q.awaitTermination(120)
+        except StreamingQueryException as exc:
+            return exc
+        finally:
+            if q.isActive:
+                q.stop()
+        return None
+
+    expected = ["https://w.example/seed"]
+    waves = [
+        ("after_sinks", ["a", "b"]),
+        ("after_ledger", ["c"]),
+        ("after_index", ["d", "e"]),
+    ]
+    for wave_no, (window, pages) in enumerate(waves):
+        _warc(warcs / f"w{wave_no}.warc.gz", [
+            (f"https://w.example/{p}", f"{p} body text") for p in pages
+        ] + [("https://w.example/seed", "seed recrawl")])
+        (manifests / f"wave{wave_no}.jsonl").write_text(json.dumps(
+            {"file_id": wave_no, "path": str(warcs / f"w{wave_no}.warc.gz")}
+        ) + "\n")
+
+        armed = {"on": True}
+
+        def hook(point, batch_id, _w=window, _armed=armed):
+            if point == _w and _armed["on"]:
+                _armed["on"] = False
+                raise RuntimeError(f"injected crash at {_w}")
+
+        cs._chaos_hook = hook
+        try:
+            failure = run_once()
+            assert failure is not None and "injected crash" in str(failure)
+            assert run_once() is None  # restart: replay converges
+        finally:
+            cs._chaos_hook = None
+
+        expected += [f"https://w.example/{p}" for p in pages]
+        acc = _read(spark, out / "accepted").collect()
+        got = sorted(r["canonical"] for r in acc)
+        assert got == sorted(set(got)), f"{window}: duplicate accepted"
+        assert got == sorted(expected[1:]), window
+        dups = sorted(
+            (r["canonical"], r["reason"])
+            for r in _read(spark, out / "duplicates").collect()
+        )
+        assert dups == [
+            ("https://w.example/seed", "url_seen"),
+        ] * (wave_no + 1), window
+        idx = [r["canonical"] for r in spark.table(table).collect()]
+        assert sorted(idx) == sorted(set(expected)), window
+        led = [r["exec_name"] for r in
+               _read(spark, out / "processed").collect()]
+        assert sorted(led) == sorted(set(led)) and len(led) == wave_no + 1
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_crawl_stream_robots_gate_and_mojibake_repair(spark, tmp_path):
     """The composed crawler triad in the stream: with a robots_rules
     broadcast, disallowed pages route to out/disallowed BEFORE the
