@@ -97,6 +97,10 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     responses = recs.filter(
         (F.col("error").isNull()) & (F.col("warc_type") == "response")
     )
+    # a response whose URL path names a sitemap is a DISCOVERY DOCUMENT,
+    # not a corpus page: its raw bytes ride along (only for these rows)
+    # so process_batch can parse <loc> entries into the fetch queue
+    is_sm = F.col("target_uri").rlike(r"\.xml(\.gz)?$")
     extracted = responses.select(
         "file_id",
         "pos",
@@ -104,6 +108,8 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         "digest_ok",
         "http_status",
         "location",
+        is_sm.alias("_sitemap"),
+        F.when(is_sm, F.col("payload")).alias("_smblob"),
         # link extraction reads the RAW markup (html_text strips tags);
         # hrefs resolve against the page URL, unresolvable forms → null
         F.filter(
@@ -186,7 +192,7 @@ def _own_canonicals(spark, out_dir: str, batch_id: int):
     hpath = jvm.org.apache.hadoop.fs.Path
     conf = spark._jsc.hadoopConfiguration()
     found = []
-    for sink in ("accepted", "redirects"):
+    for sink in ("accepted", "redirects", "sitemaps"):
         p = f"{out_dir}/{sink}/batch_id={batch_id}"
         try:
             if hpath(p).getFileSystem(conf).exists(hpath(p)):
@@ -196,8 +202,13 @@ def _own_canonicals(spark, out_dir: str, batch_id: int):
     if not found:
         return None
     try:
-        df = spark.read.parquet(*found).select("canonical").distinct()
-        return df.localCheckpoint(eager=True)
+        # per-path reads (the sinks have different schemas), unioned on
+        # the one shared column
+        df = None
+        for p in found:
+            part = spark.read.parquet(p).select("canonical")
+            df = part if df is None else df.union(part)
+        return df.distinct().localCheckpoint(eager=True)
     except Exception:
         # partition dir exists but holds no committed parquet (crash
         # mid-write, pre-job-commit): nothing reached the index either
@@ -229,11 +240,20 @@ def run_crawl_stream(
       frontier decision, and they never enter the index (a policy
       change can make them fetchable later);
     - 3xx responses carrying a Location header → ``{out_dir}/redirects``
-      (their own canonical IS marked fetched in the index), and their
-      targets PLUS every page's extracted+resolved ``<a href>`` links
-      — frontier-deduped against the just-appended index but NOT
-      indexed themselves, since the index records fetched URLs —
-      → ``{out_dir}/discovered``, the fetch queue for the next wave;
+      (their own canonical IS marked fetched in the index); fetched
+      SITEMAP responses (URL path ending ``.xml``/``.xml.gz``) →
+      ``{out_dir}/sitemaps`` (one summary row: kind, n_entries,
+      report-mode error), likewise indexed as fetched;
+    - the fetch queue ``{out_dir}/discovered`` unions FOUR discovery
+      channels — redirect targets, every page's extracted+resolved
+      ``<a href>`` links, each fetched sitemap's ``<loc>`` entries, and
+      (with ``rules``) the hosts' robots ``Sitemap:`` advertisements —
+      frontier-deduped against the index but NOT indexed themselves,
+      since the index records fetched URLs. With ``rules`` the queue
+      also carries the POLITENESS schedule: per-host ``slot`` and
+      ``offset_sec`` from the host's Crawl-delay
+      (:func:`..operators.robots.fetch_schedule`), so a rate-limited
+      fetcher can execute it directly;
     - malformed/bomb-bounded files → ``{out_dir}/errors`` (one row per
       file, the report-mode contract);
 
@@ -322,13 +342,75 @@ def run_crawl_stream(
                 # a 3xx fetch is a SEEN url (it joins the index below)
                 # but not a corpus document: its row lands in
                 # out/redirects and its Location target becomes a
-                # frontier DISCOVERY for the next fetch wave
-                accepted = fresh_docs.filter(~F.col("_redir")).select(
-                    *CRAWL_DOC_COLUMNS
-                )
+                # frontier DISCOVERY for the next fetch wave; likewise
+                # a fetched SITEMAP is seen-but-not-corpus: its row
+                # lands in out/sitemaps and its <loc> entries become
+                # discoveries
+                accepted = fresh_docs.filter(
+                    ~F.col("_redir") & ~F.col("_sitemap")
+                ).select(*CRAWL_DOC_COLUMNS)
                 redirects = fresh_docs.filter(F.col("_redir")).select(
                     "file_id", "pos", "target_uri", "canonical",
                     "http_status", "location",
+                )
+                sm_rows = fresh_docs.filter(
+                    F.col("_sitemap") & ~F.col("_redir")
+                ).select(
+                    "file_id", "pos", "target_uri", "canonical", "_smblob"
+                )
+                # parse each fetched sitemap's entries (report mode —
+                # a malformed sitemap isolates to one error row, never
+                # fails the batch); sid packs (file_id, pos) so entries
+                # join back to their response row for arrival ordering
+                from ..sources.sitemap import sitemap_entries
+
+                sm_src = sm_rows.withColumn(
+                    "sid", F.col("file_id") * F.lit(1 << 20) + F.col("pos")
+                )
+                sm_parsed = sitemap_entries(
+                    sm_src.select(
+                        F.col("sid").alias("sitemap_id"),
+                        F.col("_smblob").alias("content"),
+                    )
+                )
+                # LEFT join from the response rows: a zero-entry (or
+                # unparseable) sitemap still gets its summary row —
+                # _own_canonicals replays depend on every fetched
+                # sitemap canonical being on disk
+                sm_summary = (
+                    sm_src.select(
+                        F.col("sid").alias("sitemap_id"), "file_id",
+                        "pos", "target_uri", "canonical",
+                    )
+                    .join(
+                        sm_parsed.groupBy("sitemap_id").agg(
+                            F.min("kind").alias("kind"),
+                            F.count("loc").alias("n_entries"),
+                            F.min("error").alias("error"),
+                        ),
+                        "sitemap_id", "left",
+                    )
+                    .select(
+                        "file_id", "pos", "target_uri", "canonical",
+                        "kind",
+                        F.coalesce(F.col("n_entries"), F.lit(0)).alias(
+                            "n_entries"
+                        ),
+                        "error",
+                    )
+                )
+                sm_locs = (
+                    sm_parsed.filter(F.col("loc").isNotNull())
+                    .select("sitemap_id", "loc")  # drop entry pos: the
+                    # RESPONSE row's (file_id, pos) orders discoveries
+                    .join(
+                        sm_src.select(
+                            F.col("sid").alias("sitemap_id"), "file_id",
+                            "pos",
+                        ),
+                        "sitemap_id",
+                    )
+                    .select("file_id", "pos", F.col("loc").alias("url"))
                 )
                 dup_in_batch = docs.filter(me != F.col("_first")).select(
                     *CRAWL_DOC_COLUMNS, F.lit("in_batch_dup").alias("reason")
@@ -346,21 +428,45 @@ def run_crawl_stream(
                 # (it records FETCHED urls), so a discovered page's own
                 # WARC is still accepted when it arrives.
                 # out/discovered is the dedup'd fetch queue.
+                channels = redirects.select(
+                    F.col("file_id"), F.col("pos"),
+                    F.col("location").alias("url"),
+                ).union(
+                    fresh_docs.select(
+                        "file_id", "pos",
+                        F.explode("links").alias("url"),
+                    )
+                ).union(sm_locs)
+                if rules is not None and "sitemaps" in rules.columns:
+                    # robots 'Sitemap:' advertisements are standing
+                    # discoveries; file_id -1 ranks them first in ties,
+                    # and once a sitemap's WARC arrives its canonical
+                    # is indexed and the ad anti-joins away
+                    ads = rules.select(
+                        F.posexplode("sitemaps").alias("pos", "url")
+                    ).select(
+                        F.lit(-1).cast("long").alias("file_id"),
+                        F.col("pos"), "url",
+                    )
+                    channels = channels.union(ads)
                 discovered = new_frontier_urls(
-                    redirects.select(
-                        F.col("file_id"), F.col("pos"),
-                        F.col("location").alias("url"),
-                    ).union(
-                        fresh_docs.select(
-                            "file_id", "pos",
-                            F.explode("links").alias("url"),
-                        )
-                    ),
+                    channels,
                     spark, frontier_table,
                     order_cols=("file_id", "pos"),
                 ).join(
                     docs.select("canonical"), "canonical", "left_anti"
                 )
+                if rules is not None:
+                    # the POLITENESS half: every queued fetch gets its
+                    # per-host slot and earliest polite offset from the
+                    # host's Crawl-delay (s23's arithmetic, composed
+                    # into the stream so the queue is directly
+                    # executable by a rate-limited fetcher)
+                    from ..operators.robots import fetch_schedule
+
+                    discovered = fetch_schedule(
+                        discovered, rules, url_col="url"
+                    )
                 # accepted is (re)written FIRST and redirects SECOND so
                 # a crash between them leaves exactly the prefix
                 # _own_canonicals reads back; every sink write replaces
@@ -370,6 +476,9 @@ def run_crawl_stream(
                 )
                 _write_batch_partition(
                     redirects, f"{out_dir}/redirects", batch_id
+                )
+                _write_batch_partition(
+                    sm_summary, f"{out_dir}/sitemaps", batch_id
                 )
                 _write_batch_partition(
                     dup_in_batch.union(dup_seen),
