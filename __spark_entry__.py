@@ -19,11 +19,21 @@ import json
 import os
 import re
 import sys
+import time as _time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+
+#: harness-vs-engine timing split for the STREAMING queries (s24/s26
+#: build real files + a frontier table, run waves, then tear down):
+#: {query: {"fixture_sec", "stream_sec", "collect_sec", "teardown_sec"}}.
+#: bench.py reads this after each timing loop (the last repetition's
+#: split) so BENCH artifacts can separate stream cost from harness cost
+#: — one fixture-dominated entry otherwise obscures round-over-round
+#: comparisons.
+STREAM_SPLITS: dict[str, dict[str, float]] = {}
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -4535,6 +4545,7 @@ def q_s24_crawl_stream_intake(spark, sf_dir):
         run_crawl_stream,
     )
 
+    _t0 = _time.perf_counter()
     rows = (
         _T(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 13 == 0)
@@ -4543,6 +4554,7 @@ def q_s24_crawl_stream_intake(spark, sf_dir):
     )  # control-plane: ~|docs|/13 rows drive FILE construction only
     tmp = tempfile.mkdtemp(prefix="s24_crawl_stream_")
     table = f"s24_frontier_{_uuid.uuid4().hex[:8]}"
+    _t1 = _t2 = _t3 = None
     try:
         os.makedirs(f"{tmp}/warcs")
         os.makedirs(f"{tmp}/manifests")
@@ -4588,6 +4600,7 @@ def q_s24_crawl_stream_intake(spark, sf_dir):
             ),
             table, buckets=4, path=f"{tmp}/fidx",
         )
+        _t1 = _time.perf_counter()
         for i, wave in enumerate((wave1, wave2)):
             with open(f"{tmp}/manifests/wave{i}.jsonl", "w") as f:
                 f.write("\n".join(json.dumps(x) for x in wave) + "\n")
@@ -4595,6 +4608,7 @@ def q_s24_crawl_stream_intake(spark, sf_dir):
                 spark, f"{tmp}/manifests", table, f"{tmp}/out"
             )
             q.awaitTermination(300)
+        _t2 = _time.perf_counter()
         out = (
             spark.read.parquet(f"{tmp}/out/accepted")
             .select(
@@ -4608,9 +4622,150 @@ def q_s24_crawl_stream_intake(spark, sf_dir):
             .orderBy("doc_id")
             .localCheckpoint(eager=True)
         )
+        _t3 = _time.perf_counter()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(tmp, ignore_errors=True)
+        _t4 = _time.perf_counter()
+        if _t3 is not None:
+            STREAM_SPLITS["s24_crawl_stream_intake"] = {
+                "fixture_sec": round(_t1 - _t0, 3),
+                "stream_sec": round(_t2 - _t1, 3),
+                "collect_sec": round(_t3 - _t2, 3),
+                "teardown_sec": round(_t4 - _t3, 3),
+            }
+    return out
+
+
+def q_s26_crawl_schedule_stream(spark, sf_dir):
+    """The crawler triad COMPOSED in one stream batch (crawl_stream +
+    robots politeness + sitemap discovery): docs with doc_id %% 17 == 0
+    become pages on four hosts (h{doc_id%%4}.example), each linking a
+    per-doc /linked/{d} URL, itself (suppressed — fetched this batch),
+    and a per-host /common URL (in-batch dedup to ONE discovery); each
+    present host also ships a sitemap.xml WARC (urlset with three
+    closed-form /sm/{j} locs) and a robots.txt advertising BOTH that
+    sitemap (suppressed — fetched this batch) and a sitemap-extra.xml
+    that never arrives (a standing advertisement discovery). The result
+    is the out/discovered FETCH QUEUE with the politeness schedule:
+    per-host slot (rank by URL) and offset_sec = slot x Crawl-delay
+    (host k's delay = k+1). Every channel, the dedup, the suppression
+    rules, and the schedule arithmetic are closed-form, so DuckDB
+    recomputes the entire queue analytically."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from da_transform_judgments_pipeline_spark.operators.robots import (
+        robots_rules,
+    )
+    from da_transform_judgments_pipeline_spark.sources import frontier
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        build_warc_gz,
+    )
+    from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+        run_crawl_stream,
+    )
+
+    _t0 = _time.perf_counter()
+    rows = (
+        _T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+        .collect()
+    )  # control-plane: ~|docs|/17 ids drive FILE construction only
+    tmp = tempfile.mkdtemp(prefix="s26_crawl_sched_")
+    table = f"s26_frontier_{_uuid.uuid4().hex[:8]}"
+    _t1 = _t2 = _t3 = None
+    try:
+        os.makedirs(f"{tmp}/warcs")
+        os.makedirs(f"{tmp}/manifests")
+        hosts = sorted({int(r["doc_id"]) % 4 for r in rows})
+        pages = []
+        for r in rows:
+            d = int(r["doc_id"])
+            k = d % 4
+            html = (
+                f'<html><body><p>case {d} body</p>'
+                f'<a href="/linked/{d}">x</a>'
+                f'<a href="/page/{d}">self</a>'
+                f'<a href="/common">c</a></body></html>'
+            ).encode()
+            pages.append({
+                "url": f"https://h{k}.example/page/{d}",
+                "date": "2021-03-04T05:06:07Z", "payload": html,
+            })
+        with open(f"{tmp}/warcs/pages.warc.gz", "wb") as f:
+            f.write(build_warc_gz(pages))
+        manifest = [{"file_id": 1, "path": f"{tmp}/warcs/pages.warc.gz"}]
+        robots_src = []
+        for k in hosts:
+            sm = (
+                '<urlset xmlns='
+                '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + "".join(
+                    f"<url><loc>https://h{k}.example/sm/{j}</loc></url>"
+                    for j in range(3)
+                )
+                + "</urlset>"
+            ).encode()
+            blob = build_warc_gz([{
+                "url": f"https://h{k}.example/sitemap.xml",
+                "date": "2021-03-04T05:06:07Z", "payload": sm,
+            }])
+            with open(f"{tmp}/warcs/sm{k}.warc.gz", "wb") as f:
+                f.write(blob)
+            manifest.append(
+                {"file_id": 100 + k, "path": f"{tmp}/warcs/sm{k}.warc.gz"}
+            )
+            robots_src.append((
+                f"h{k}.example",
+                f"User-agent: *\nCrawl-delay: {k + 1}\n"
+                f"Sitemap: https://h{k}.example/sitemap.xml\n"
+                f"Sitemap: https://h{k}.example/sitemap-extra.xml\n",
+            ))
+        with open(f"{tmp}/manifests/wave.jsonl", "w") as f:
+            f.write("\n".join(json.dumps(x) for x in manifest) + "\n")
+        rules = robots_rules(
+            spark.createDataFrame(
+                robots_src, "host string, content string"
+            ),
+            agent="graftbot",
+        ).localCheckpoint(eager=True)
+        frontier.build_url_index(
+            spark.createDataFrame(
+                [("https://seed.example/",)], "url string"
+            ),
+            table, buckets=4, path=f"{tmp}/fidx",
+        )
+        _t1 = _time.perf_counter()
+        q = run_crawl_stream(
+            spark, f"{tmp}/manifests", table, f"{tmp}/out",
+            max_files_per_trigger=100000, rules=rules,
+        )
+        q.awaitTermination(300)
+        _t2 = _time.perf_counter()
+        out = (
+            spark.read.parquet(f"{tmp}/out/discovered")
+            .select(
+                "host", "crawl_delay", "canonical", "url",
+                "slot", "offset_sec",
+            )
+            .orderBy("host", "slot")
+            .localCheckpoint(eager=True)
+        )
+        _t3 = _time.perf_counter()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        _t4 = _time.perf_counter()
+        if _t3 is not None:
+            STREAM_SPLITS["s26_crawl_schedule_stream"] = {
+                "fixture_sec": round(_t1 - _t0, 3),
+                "stream_sec": round(_t2 - _t1, 3),
+                "collect_sec": round(_t3 - _t2, 3),
+                "teardown_sec": round(_t4 - _t3, 3),
+            }
     return out
 
 
@@ -4964,7 +5119,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # schema, frontier order_cols), m16 (WARC size guard + multi-record
     # CDX + Location column + 301 records), m12 (Adam7/16-bit corpus
     # members), m13 (endnotes/comments columns), x28 (docstring only).
-    # The position-50 boundary row is m07.
+    # --- Round 11 rotation: s26 (the crawler triad COMPOSED in one
+    # stream batch — link/sitemap/advertisement discovery channels +
+    # in-batch dedup + fetched-URL suppression + the politeness
+    # schedule, the whole fetch queue recomputed analytically by
+    # DuckDB) leads the window. Displaced past the cap: m07 (image
+    # tile plan — multi-round green, its tiling machinery stays pinned
+    # by the m05/m06 family in selfcheck). Changed-this-round queries
+    # already in-window: s24 (batch_id-partitioned idempotent sinks),
+    # f05 (query-only href branch added to resolve_link; fixture
+    # unchanged), s25 (bounded gzip inflation), s23/s21 (robots
+    # pure-wildcard rule), m21 (VP8L TR edge wrap + dimension guard).
+    # The position-50 boundary row is x19.
+    # (a) NEW round 11
+    "s26_crawl_schedule_stream": q_s26_crawl_schedule_stream,
     # (a) NEW round 10
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
@@ -5945,6 +6113,48 @@ SELECT doc_id,
             ELSE 1 END AS quality_keep,
        md5(lower(text)) AS fp
 FROM q ORDER BY doc_id
+"""
+
+
+def _s26_sql() -> str:
+    """s26 oracle: the composed stream's discovered FETCH QUEUE
+    recomputed analytically — per present host (distinct doc_id%%4 over
+    doc_id%%17==0): one /linked/{d} per doc, ONE /common (in-batch
+    dedup), three sitemap /sm/{j} locs, and the never-fetched
+    sitemap-extra.xml advertisement; fetched-this-batch URLs (pages,
+    the advertised sitemap.xml, self-links) are suppressed. Slot = URL
+    rank within host, offset = slot x (k+1) — a streaming discovery +
+    politeness pipeline hash-checked end to end."""
+    return """
+WITH docs AS (
+  SELECT doc_id, doc_id % 4 AS k FROM documents WHERE doc_id % 17 = 0
+), hosts AS (
+  SELECT DISTINCT k FROM docs
+), urls AS (
+  SELECT k, 'https://h' || CAST(k AS VARCHAR) || '.example/linked/'
+            || CAST(doc_id AS VARCHAR) AS url FROM docs
+  UNION ALL
+  SELECT k, 'https://h' || CAST(k AS VARCHAR) || '.example/common'
+  FROM hosts
+  UNION ALL
+  SELECT k, 'https://h' || CAST(k AS VARCHAR) || '.example/sm/'
+            || CAST(j AS VARCHAR)
+  FROM hosts, (VALUES (0), (1), (2)) t(j)
+  UNION ALL
+  SELECT k, 'https://h' || CAST(k AS VARCHAR)
+            || '.example/sitemap-extra.xml'
+  FROM hosts
+), sched AS (
+  SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+         CAST(k + 1 AS DOUBLE) AS crawl_delay,
+         url AS canonical, url,
+         CAST(row_number() OVER (PARTITION BY k ORDER BY url) - 1
+              AS BIGINT) AS slot
+  FROM urls
+)
+SELECT host, crawl_delay, canonical, url, slot,
+       round(slot * crawl_delay, 6) AS offset_sec
+FROM sched ORDER BY host, slot
 """
 
 
@@ -7588,6 +7798,7 @@ def oracle_sql() -> dict[str, str]:
         "x28_ngram_repetition": _x28_sql(),
         "x33_ngram_dup_union": _x33_sql(),
         "s24_crawl_stream_intake": _s24_sql(),
+        "s26_crawl_schedule_stream": _s26_sql(),
         "x34_fix_mojibake": f"""
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 2 THEN text

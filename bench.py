@@ -145,6 +145,8 @@ HEADLINE = [
     "g02_hits",
     "f05_html_links",
     "m21_webp_decode_features",
+    # round 11
+    "s26_crawl_schedule_stream",
 ]
 
 
@@ -179,6 +181,7 @@ def output_lines(out: dict) -> list[str]:
         "unit": "sec",
         "sf": out["headline_sf"],
         "r3_subtotal": out["r3_subtotal"],
+        "stream_harness": out.get("stream_harness", 0),
         "n_queries": len(out["queries"]),
         "n_smoke": len(out.get("smoke", {})),
         "n_errors": len(out.get("errors", {})),
@@ -360,12 +363,29 @@ def main() -> None:
     # r5 line mid-way, and a truncation must cost detail rows, never the
     # headline metric.
     r3_set = [q for q in R3_HEADLINE if q in timings]
+    # Streaming queries (s24/s26) build real files + a frontier table
+    # around the timed stream; the entry module records the last
+    # repetition's fixture/stream/collect/teardown split so the
+    # artifact separates ENGINE time from HARNESS time —
+    # stream_harness is the non-stream share inside headline_total.
+    splits = dict(getattr(entrymod, "STREAM_SPLITS", {}) or {})
+    harness = round(
+        sum(
+            v.get("fixture_sec", 0) + v.get("collect_sec", 0)
+            + v.get("teardown_sec", 0)
+            for k, v in splits.items()
+            if k in timings
+        ),
+        3,
+    )
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "r3_subtotal": round(sum(timings[q] for q in r3_set), 3),
+        "stream_splits": splits,
+        "stream_harness": harness,
         # one-time cold index builds, kept OUT of the headline total (a
         # build is a one-time cost; e03/e07 time the per-query probe — the
         # serving shape); these rows surface the amortized build cost

@@ -259,6 +259,13 @@ def test_bench_tail_line_survives_2000_char_capture():
         "unit": "sec",
         "sf": 0.1,
         "r3_subtotal": 13.456,
+        "stream_splits": {
+            "s24_crawl_stream_intake": {
+                "fixture_sec": 4.5, "stream_sec": 9.1,
+                "collect_sec": 0.4, "teardown_sec": 0.2,
+            },
+        },
+        "stream_harness": 5.1,
         "index_builds": {"build_ivf_index": 1.234},
         "e05b_candidates": {"fraction": 0.0451},
         "queries": {f"q{i:03d}_some_operator_name": 0.123 for i in range(120)},
@@ -276,6 +283,7 @@ def test_bench_tail_line_survives_2000_char_capture():
     assert parsed["metric"] == "headline_total"
     assert parsed["value"] == 39.712
     assert parsed["r3_subtotal"] == 13.456
+    assert parsed["stream_harness"] == 5.1
     assert parsed["n_queries"] == 120
     assert "queries" not in parsed
 
