@@ -4203,6 +4203,49 @@ def q_g01_pagerank(spark, sf_dir):
     )
 
 
+def q_g03_personalized_pagerank(spark, sf_dir):
+    """PERSONALIZED PageRank (graph.pagerank with a reset
+    distribution — random-walk-with-restart biased to a seed set, the
+    crawl-prioritization form: 'rank relative to pages we already
+    trust'), over a closed-form graph WITH dangling mass: nodes are
+    doc_ids < 256; even nodes link to node+1 (mod 256), multiples of 4
+    also to node+5 (mod 256) — so out-degrees are the powers of two
+    {1, 2} and all 128 odd nodes are DANGLING, exercising the
+    dangling·r(v) redistribution term every iteration. Seeds: the four
+    multiples of 64, weight 1/4 each. EXACTNESS BY CONSTRUCTION (the
+    g01 dyadic trick extended to personalization): damping 0.5,
+    power-of-two degrees and reset weights keep every intermediate —
+    including each iteration's dangling scalar — a small dyadic
+    rational, so Spark and DuckDB agree bit-exactly; DuckDB recomputes
+    via 4 unrolled iteration CTEs each carrying its own dangling
+    aggregate."""
+    from da_transform_judgments_pipeline_spark.operators import graph
+
+    nodes = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 256)
+        .select(F.col("doc_id").alias("node"))
+    )
+    n = F.col("node")
+    edges = nodes.filter(n % 2 == 0).select(
+        n.alias("src"), ((n + 1) % 256).alias("dst")
+    ).union(
+        nodes.filter(n % 4 == 0).select(
+            n.alias("src"), ((n + 5) % 256).alias("dst")
+        )
+    )
+    reset = nodes.filter(n % 64 == 0).select(
+        "node", F.lit(1.0).alias("weight")
+    )
+    return (
+        graph.pagerank(
+            nodes, edges, n_iterations=4, damping=0.5, reset=reset
+        )
+        .orderBy("node")
+    )
+
+
 def q_g02_hits(spark, sf_dir):
     """HITS hubs-and-authorities (operators/graph.hits — Kleinberg's
     link-analysis twin of g01's PageRank) over the same closed-form
@@ -5123,16 +5166,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stream batch — link/sitemap/advertisement discovery channels +
     # in-batch dedup + fetched-URL suppression + the politeness
     # schedule, the whole fetch queue recomputed analytically by
-    # DuckDB) leads the window. Displaced past the cap: m07 (image
-    # tile plan — multi-round green, its tiling machinery stays pinned
-    # by the m05/m06 family in selfcheck). Changed-this-round queries
+    # DuckDB) and g03 (PERSONALIZED PageRank with dangling mass — the
+    # dyadic-exact trick extended to a reset distribution and a
+    # per-iteration dangling scalar, 128 dangling nodes exercising the
+    # redistribution term) lead the window. Displaced past the cap:
+    # m07 and x19 (image tile plan / Zipf histogram — both multi-round
+    # green; m07's tiling machinery stays pinned by the m05/m06 family
+    # in selfcheck, x19's tokenization by the x17/x18 LM family).
+    # Changed-this-round queries
     # already in-window: s24 (batch_id-partitioned idempotent sinks),
     # f05 (query-only href branch added to resolve_link; fixture
     # unchanged), s25 (bounded gzip inflation), s23/s21 (robots
-    # pure-wildcard rule), m21 (VP8L TR edge wrap + dimension guard).
-    # The position-50 boundary row is x19.
+    # pure-wildcard rule), m21 (VP8L TR edge wrap + dimension guard),
+    # g01/g02 (persisted edge list + fused HITS normalizer collect —
+    # plan/action changes only, oracles unchanged).
+    # The position-50 boundary row is x18.
     # (a) NEW round 11
     "s26_crawl_schedule_stream": q_s26_crawl_schedule_stream,
+    "g03_personalized_pagerank": q_g03_personalized_pagerank,
     # (a) NEW round 10
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
@@ -5946,6 +5997,59 @@ def _g01_sql(k: int = 5) -> str:
             JOIN deg ON deg.src = e.src
             GROUP BY e.dst
           ) s USING (node)
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank FROM pr{k} ORDER BY node"
+    )
+
+
+def _g03_sql(k: int = 4) -> str:
+    """g03 oracle: personalized PageRank with dangling redistribution
+    unrolled — per iteration one dangling-scalar CTE (rank mass on
+    nodes without out-edges) and one update CTE
+    rank' = 0.5·r0 + 0.5·(m + dangling·r0). All arithmetic dyadic-exact
+    — see q_g03."""
+    ctes = [
+        """nodes AS (
+          SELECT doc_id AS node FROM documents WHERE doc_id < 256
+        )""",
+        """edges AS (
+          SELECT node AS src, (node + 1) % 256 AS dst FROM nodes
+          WHERE node % 2 = 0
+          UNION ALL
+          SELECT node AS src, (node + 5) % 256 AS dst FROM nodes
+          WHERE node % 4 = 0
+        )""",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        """r AS (
+          SELECT node,
+                 CASE WHEN node % 64 = 0 THEN CAST(0.25 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS r0
+          FROM nodes
+        )""",
+        "pr0 AS (SELECT node, r0 AS rank FROM r)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f"""dang{i} AS (
+          SELECT coalesce(sum(p.rank), 0.0) AS dang
+          FROM pr{i - 1} p LEFT JOIN deg ON deg.src = p.node
+          WHERE deg.src IS NULL
+        )""")
+        ctes.append(f"""pr{i} AS (
+          SELECT n.node,
+                 0.5 * r.r0
+                 + 0.5 * (coalesce(s.m, 0.0) + dg.dang * r.r0) AS rank
+          FROM nodes n
+          JOIN r ON r.node = n.node
+          CROSS JOIN dang{i} dg
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / deg.d) AS m
+            FROM edges e
+            JOIN pr{i - 1} p ON p.node = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = n.node
         )""")
     return (
         "WITH " + ",\n".join(ctes)
@@ -7811,6 +7915,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "g01_pagerank": _g01_sql(),
         "g02_hits": _g02_sql(),
+        "g03_personalized_pagerank": _g03_sql(),
         "f05_html_links": _f05_sql(),
         "s25_sitemap_discovery": """
             WITH f AS (SELECT ['daily','weekly','monthly','yearly'] AS fr)

@@ -147,6 +147,7 @@ HEADLINE = [
     "m21_webp_decode_features",
     # round 11
     "s26_crawl_schedule_stream",
+    "g03_personalized_pagerank",
 ]
 
 

@@ -32,25 +32,37 @@ def pagerank(
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
+    tol: float | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
-    """PageRank over (nodes, edges): rank_0 = 1/N; per iteration
-    rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)/out_deg(u) + dangling/N)
-    where ``dangling`` is the rank mass sitting on nodes with no
-    out-edges (redistributed uniformly — the standard correction; drop
-    it and total mass leaks). Returns (node, rank) with Σrank = 1.
+    """PageRank over (nodes, edges): rank_0 = r; per iteration
+    rank'(v) = (1-d)·r(v) + d·(Σ_{u→v} rank(u)/out_deg(u) +
+    dangling·r(v)) where ``dangling`` is the rank mass sitting on nodes
+    with no out-edges (redistributed along the reset distribution — the
+    standard correction; drop it and total mass leaks). ``r`` is
+    uniform 1/N by default; pass ``reset`` (node, weight — weights are
+    normalized here) for PERSONALIZED PageRank (Page et al. 1999 §6:
+    random-walk-with-restart biased to the seed set; nodes absent from
+    ``reset`` get r=0 and receive mass only through links). Returns
+    (node, rank) with Σrank = 1.
+
+    ``tol``: optional convergence early-exit — stop when the L1 delta
+    Σ|rank'-rank| falls below it (one extra scalar aggregate per
+    iteration, only when enabled); ``n_iterations`` stays the hard cap.
 
     Determinism note for oracles: with ``damping=0.5`` and power-of-two
     N and out-degrees, every intermediate is a dyadic rational well
     inside double precision, so two engines agree BIT-exactly no matter
     their summation order — the g01 driver query pins the operator that
-    way, while production keeps the usual 0.85.
+    way (g03 the personalized form, power-of-two reset weights), while
+    production keeps the usual 0.85.
 
     Each iteration: one broadcast-free join of ranks onto the
-    degree-annotated edges (both sides hash-partition on ``src``), a
-    map-side division, a partial-agg sum shuffled on ``dst``, and a
-    left join back to the node set; dangling mass is ONE scalar
-    aggregate per iteration (control-plane). ``localCheckpoint`` keeps
-    lineage constant across iterations."""
+    PERSISTED degree-annotated edge list (built once — both sides
+    hash-partition on ``src``), a map-side division, a partial-agg sum
+    shuffled on ``dst``, and a left join back to the node set; dangling
+    mass is ONE scalar aggregate per iteration (control-plane).
+    ``localCheckpoint`` keeps lineage constant across iterations."""
     n = nodes.count()
     if n == 0:
         return nodes.select(
@@ -65,42 +77,70 @@ def pagerank(
             F.col(src_col).alias("_src"), "out_deg"
         ),
         "_src",
-    )
+    ).persist()  # scanned every iteration: pay the join once
     base = nodes.select(F.col(node_col).alias("node")).distinct()
-    ranks = base.withColumn("rank", F.lit(1.0 / n))
+    if reset is not None:
+        total = reset.agg(F.sum("weight")).collect()[0][0]
+        if not total or total <= 0:
+            raise ValueError("reset weights must sum to a positive value")
+        base = base.join(
+            reset.select("node", (F.col("weight") / total).alias("_r0")),
+            "node", "left",
+        ).select("node", F.coalesce("_r0", F.lit(0.0)).alias("_r0"))
+    else:
+        base = base.withColumn("_r0", F.lit(1.0 / n))
+    base = base.persist()
+    ranks = base.select("node", F.col("_r0").alias("rank"))
     has_out = deg.select(F.col(src_col).alias("node"))
-    for _ in range(n_iterations):
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )  # one scalar per iteration: control-plane
-        contribs = (
-            fan.join(
-                ranks.withColumnRenamed("node", "_src"), "_src"
+    try:
+        for _ in range(n_iterations):
+            dangling = (
+                ranks.join(has_out, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )  # one scalar per iteration: control-plane
+            contribs = (
+                fan.join(
+                    ranks.withColumnRenamed("node", "_src"), "_src"
+                )
+                .select(
+                    F.col("_dst").alias("node"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("m"))
             )
-            .select(
-                F.col("_dst").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
+            new_ranks = (
+                base.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) * F.col("_r0")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("m"), F.lit(0.0))
+                            + F.lit(dangling) * F.col("_r0")
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("m"))
-        )
-        ranks = (
-            base.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("m"), F.lit(0.0))
-                        + F.lit(dangling / n)
+            if tol is not None:
+                delta = (
+                    new_ranks.join(
+                        ranks.withColumnRenamed("rank", "_prev"), "node"
                     )
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("_prev"))))
+                    .collect()[0][0]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    break
+            else:
+                ranks = new_ranks
+    finally:
+        fan.unpersist()
+        base.unpersist()
     return ranks
 
 
@@ -127,36 +167,50 @@ def hits(
     recomputes via unrolled join/aggregate CTEs). Each iteration is two
     hash-partitioned join+agg shuffles; lineage is truncated per round
     like :func:`pagerank`."""
-    base = nodes.select(F.col(node_col).alias("node")).distinct()
+    base = nodes.select(F.col(node_col).alias("node")).distinct().persist()
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).persist()  # scanned twice per iteration: pay the read once
     hubs = base.withColumn("hub", F.lit(1.0))
     auths = base.withColumn("authority", F.lit(1.0))
-    for _ in range(n_iterations):
-        a = (
-            e.join(hubs.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("authority"))
-        )
-        auths = base.join(a, "node", "left").select(
-            "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
-        )
-        h = (
-            e.join(auths.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("authority").alias("hub"))
-        )
-        hubs = base.join(h, "node", "left").select(
-            "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
-        )
-        if normalize:
-            asum = auths.agg(F.sum("authority")).collect()[0][0] or 1.0
-            hsum = hubs.agg(F.sum("hub")).collect()[0][0] or 1.0
-            auths = auths.select(
-                "node", (F.col("authority") / asum).alias("authority")
+    try:
+        for _ in range(n_iterations):
+            a = (
+                e.join(hubs.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("authority"))
             )
-            hubs = hubs.select("node", (F.col("hub") / hsum).alias("hub"))
-        auths = auths.localCheckpoint(eager=True)
-        hubs = hubs.localCheckpoint(eager=True)
+            auths = base.join(a, "node", "left").select(
+                "node",
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+            h = (
+                e.join(auths.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("authority").alias("hub"))
+            )
+            hubs = base.join(h, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            )
+            if normalize:
+                # ONE action for both normalizers (two scalar aggs
+                # cross-joined), halving the per-iteration collects
+                row = (
+                    auths.agg(F.sum("authority").alias("_a"))
+                    .crossJoin(hubs.agg(F.sum("hub").alias("_h")))
+                    .collect()[0]
+                )
+                asum = row["_a"] or 1.0
+                hsum = row["_h"] or 1.0
+                auths = auths.select(
+                    "node", (F.col("authority") / asum).alias("authority")
+                )
+                hubs = hubs.select(
+                    "node", (F.col("hub") / hsum).alias("hub")
+                )
+            auths = auths.localCheckpoint(eager=True)
+            hubs = hubs.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+        e.unpersist()
     return hubs.join(auths, "node").select("node", "hub", "authority")

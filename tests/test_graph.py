@@ -50,6 +50,81 @@ def test_pagerank_dangling_mass_redistributed(spark):
     assert out2[0] == pytest.approx(0.5) and out2[1] == pytest.approx(0.5)
 
 
+def test_pagerank_personalized_and_convergence(spark):
+    """Personalized PageRank: reset mass is biased to the seed set —
+    hand-computed one iteration (dyadic: damping 0.5, power-of-two
+    weights); a zero-weight node receives mass ONLY through links.
+    Convergence early-exit: on a symmetric 2-cycle rank is stationary
+    after the first iteration, so tol stops the loop immediately with
+    the same result as the full run."""
+    nodes, edges = _g(spark, [0, 1, 2], [(0, 1), (1, 2), (2, 0), (0, 2)])
+    reset = spark.createDataFrame(
+        [(0, 1.0), (1, 1.0)], "node long, weight double"
+    )
+    # r = (1/2, 1/2, 0); deg: 0→2, 1→1, 2→1; rank_0 = r
+    # m(0) = rank(2) = 0; m(1) = rank(0)/2 = 1/4;
+    # m(2) = rank(0)/2 + rank(1) = 3/4; dangling = 0
+    # rank1 = 0.5·r + 0.5·m → (1/4, 1/4 + 1/8, 3/8)
+    got = {r["node"]: r["rank"] for r in pagerank(
+        nodes, edges, n_iterations=1, damping=0.5, reset=reset
+    ).collect()}
+    assert got == {0: 0.25, 1: 0.375, 2: 0.375}
+    # mass conserved over more iterations + unnormalized weights
+    reset2 = spark.createDataFrame(
+        [(0, 3.0), (1, 1.0)], "node long, weight double"
+    )
+    out = pagerank(nodes, edges, n_iterations=5, damping=0.85,
+                   reset=reset2)
+    assert abs(out.agg(F.sum("rank")).collect()[0][0] - 1.0) < 1e-9
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(nodes, edges, reset=spark.createDataFrame(
+            [(0, 0.0)], "node long, weight double"
+        ))
+    # early-exit: 2-cycle is stationary from iteration 1
+    n2, e2 = _g(spark, [0, 1], [(0, 1), (1, 0)])
+    full = {r["node"]: r["rank"] for r in
+            pagerank(n2, e2, n_iterations=9, damping=0.85).collect()}
+    early = {r["node"]: r["rank"] for r in
+             pagerank(n2, e2, n_iterations=9, damping=0.85,
+                      tol=1e-12).collect()}
+    assert early == full == {0: pytest.approx(0.5), 1: pytest.approx(0.5)}
+
+
+def test_graph_jobs_per_iteration_budget(spark):
+    """The d06 exchange-budget idea applied to DRIVER ACTIONS: the
+    iterative jobs must stay at a constant action count per iteration
+    (PageRank: 1 dangling collect + 1 localCheckpoint; HITS: 1 fused
+    normalizer collect + 2 localCheckpoints) — a regression that adds a
+    collect per iteration multiplies driver round-trips at 100x the
+    edges. Pinned by counting Spark jobs for k=2 vs k=5."""
+    from da_transform_judgments_pipeline_spark.operators.graph import hits
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs(fn):
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        fn()
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    # AQE splits one action into several runtime jobs, so the portable
+    # invariant is AFFINITY in k: constant jobs per extra iteration —
+    # lineage truncation working and no accidental extra per-iteration
+    # action. (Driver ACTIONS per iteration: PageRank 2 = dangling
+    # collect + localCheckpoint; HITS 3 = the fused normalizer collect
+    # + 2 localCheckpoints, down from 4 before the fuse.)
+    nodes, edges = _g(spark, [0, 1, 2], [(0, 1), (1, 2), (2, 0)])
+    j2 = jobs(lambda: pagerank(nodes, edges, n_iterations=2))
+    j3 = jobs(lambda: pagerank(nodes, edges, n_iterations=3))
+    j5 = jobs(lambda: pagerank(nodes, edges, n_iterations=5))
+    per_iter = j3 - j2
+    assert j5 - j3 == 2 * per_iter, (j2, j3, j5)
+    h2 = jobs(lambda: hits(nodes, edges, n_iterations=2))
+    h3 = jobs(lambda: hits(nodes, edges, n_iterations=3))
+    h5 = jobs(lambda: hits(nodes, edges, n_iterations=5))
+    h_per_iter = h3 - h2
+    assert h5 - h3 == 2 * h_per_iter, (h2, h3, h5)
+
+
 def test_hits_hand_computed_and_normalized(spark):
     """Unnormalized HITS = integer path counts (hand-computed on a
     3-node graph); the normalized variant keeps L1 mass 1 on both
