@@ -3145,15 +3145,17 @@ def q_m21_webp_decode_features(spark, sf_dir):
     genuine VP8L bitstream by the deterministic twin
     (operators/webpcodec.encode_webp_lossless — real canonical prefix
     codes, RIFF container) with the on-disk LAYOUT rotating by doc_id:
-    %% 4 == 0 plain literals, 1 the subtract-green transform, 2 a
-    predictor transform (mode doc_id %% 14 — all fourteen spec
-    predictors appear across the corpus), 3 LZ77 run backrefs (direct
-    distance codes) + a color cache. The pure-stdlib decoder
-    (webpcodec.decode_webp: LSB-first bits, prefix codes, transforms
-    inverted in reverse order) must recover the exact pixels, so the
-    unchanged m09/m12 integer feature surface stays the closed form.
-    Lossy VP8 remains the module's typed refusal; distance codes 1..120
-    are the one named gap (the spec's literal neighbor table)."""
+    %% 8 == 0 plain literals, %% 8 == 4 CLOSE-DISTANCE LZ77 (the spec's
+    2-D neighbor codes — the two-color rows repeat, so previous-row
+    copies emit code 1 and runs code 2; r11 closed this last named
+    gap), 1 the subtract-green transform, 2 a predictor transform
+    (mode doc_id %% 14 — all fourteen spec predictors appear across
+    the corpus), 3 LZ77 run backrefs (direct distance codes) + a color
+    cache. The pure-stdlib decoder (webpcodec.decode_webp: LSB-first
+    bits, prefix codes, transforms inverted in reverse order) must
+    recover the exact pixels, so the unchanged m09/m12 integer feature
+    surface stays the closed form. Lossy VP8 remains the module's
+    typed refusal."""
     from da_transform_judgments_pipeline_spark.operators import multimodal
 
     docs = (
@@ -3188,6 +3190,10 @@ def q_m21_webp_decode_features(spark, sf_dir):
                 elif d % 4 == 3:
                     blob = encode_webp_lossless(
                         arr, lz77=True, cache_bits=4
+                    )
+                elif d % 8 == 4:
+                    blob = encode_webp_lossless(
+                        arr, lz77=True, close_distances=True
                     )
                 else:
                     blob = encode_webp_lossless(arr)

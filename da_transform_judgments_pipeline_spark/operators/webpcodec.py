@@ -6,14 +6,15 @@ assignment), meta prefix groups, color cache, LZ77 backward references,
 and the four transforms (predictor — all 14 modes, color transform,
 subtract-green, color-indexing with sub-byte pixel bundling).
 
-Scope boundary, stated exactly: LZ77 distance codes 1..120 are the
-spec's "close neighbor" 2-D offsets, published only as a literal
-120-entry table (no generative rule) — reproducing it from memory
-risks SILENTLY WRONG pixels, which is worse than a refusal, so those
-codes raise :class:`WebpError` naming this gap; direct distance codes
-(> 120, what :func:`encode_webp_lossless` emits) decode fully. Lossy
-VP8 stays a typed refusal in :func:`..operators.imagecodec.sniff`'s
-dispatch (a real DCT codec is out of stdlib scope).
+LZ77 distance codes 1..120 (the spec's "close neighbor" 2-D offsets,
+``_DIST_CODES``) decode fully since r11: the literal table is pinned
+THREE ways — against the spec's equivalent generative sort rule,
+against libwebp's inverse ``plane_to_code_lut``, and differentially
+via ``encode_webp_lossless(close_distances=True)`` round-trips — so a
+transcription slip in any one representation is caught by the others.
+Lossy VP8 stays a typed refusal in
+:func:`..operators.imagecodec.sniff`'s dispatch (a real DCT codec is
+out of stdlib scope).
 
 :func:`encode_webp_lossless` is the deterministic encoder twin
 (``build_pdf``/``encode_gif`` pattern): real, complete-Kraft prefix
@@ -330,14 +331,15 @@ def _decode_image_stream(
         elif s < 280:
             length = _prefix_value(s - 256, br)
             d_code = _prefix_value(dist_c.decode(br), br)
+            if d_code < 1:
+                raise WebpError("LZ77 distance code must be >= 1")
             if d_code <= 120:
-                raise WebpError(
-                    "VP8L close-distance code (1..120) unsupported: the"
-                    " spec's 2-D neighbor table is published only as a"
-                    " literal 120-entry list; refusing beats silently"
-                    " wrong pixels. Direct codes (>120) decode fully."
-                )
-            d = d_code - 120
+                # close neighborhood: (dx, dy) offset → scan-line
+                # distance, clamped to 1 (spec: "if dist < 1, dist=1")
+                dx, dy = _DIST_CODES[d_code - 1]
+                d = max(1, dy * w + dx)
+            else:
+                d = d_code - 120
             if d < 1 or d > i:
                 raise WebpError("LZ77 distance outside decoded window")
             for _ in range(length):
@@ -355,6 +357,48 @@ def _decode_image_stream(
             out[i] = cache[idx]
             i += 1
     return out.reshape(h, w)
+
+
+#: RFC 9649 §4.2.2: LZ77 distance codes 1..120 address a close 2-D
+#: pixel neighborhood as (dx, dy) offsets; the scan-line distance is
+#: dy*width + dx, clamped to >= 1; codes > 120 are direct distances
+#: minus 120. The spec prints the list literally; it is equivalently
+#: the neighborhood {dy 1..7, dx -7..8} ∪ {dy 0, dx 1..8} sorted by
+#: (dx²+dy², larger dy first, positive dx before negative) — the
+#: pytest pins this literal against BOTH that generative rule and
+#: libwebp's inverse plane_to_code_lut, so a transcription slip in any
+#: one representation is caught by the other two.
+_DIST_CODES: list[tuple[int, int]] = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+_DIST_TO_CODE = {off: i + 1 for i, off in enumerate(_DIST_CODES)}
+
+
+def _dist_to_code(dist: int, w: int) -> int:
+    """Inverse mapping for the encoder (libwebp VP8LDistanceToPlaneCode
+    shape): a scan-line distance decomposes as (x, y) = (dist %% w,
+    dist // w); it is a close code if (x, y) is in the neighborhood, or
+    (x - w, y + 1) is (the negative-dx wrap); otherwise dist + 120."""
+    y, x = divmod(dist, w)
+    code = _DIST_TO_CODE.get((x, y))
+    if code is None:
+        code = _DIST_TO_CODE.get((x - w, y + 1))
+    return code if code is not None else dist + 120
 
 
 def _avg2(a, b):
@@ -679,6 +723,7 @@ def encode_webp_lossless(
     palette: bool = False,
     cache_bits: int = 0,
     lz77: bool = False,
+    close_distances: bool = False,
 ) -> bytes:
     """(H, W, 3) uint8 → a real lossless WebP file. Options exercise
     the decoder's branches differentially: ``subtract_green``, a
@@ -797,12 +842,15 @@ def encode_webp_lossless(
         b = ((img & 0xFF) - g) & 0xFF
         img = (img & np.uint64(0xFF00FF00)) | (r << 16) | b
     bw.write(0, 1)  # end of transforms
-    _write_main_image(bw, img, cache_bits=cache_bits, lz77=lz77)
+    _write_main_image(
+        bw, img, cache_bits=cache_bits, lz77=lz77,
+        close_distances=close_distances,
+    )
     return _riff_wrap(bw, 0)
 
 
 def _write_main_image(bw: _BitWriter, img: np.ndarray, cache_bits: int,
-                      lz77: bool) -> None:
+                      lz77: bool, close_distances: bool = False) -> None:
     h, w = img.shape
     pixels = [int(p) for p in img.flat]
     # plan the token stream first (symbol sets drive the code tables)
@@ -820,6 +868,20 @@ def _write_main_image(bw: _BitWriter, img: np.ndarray, cache_bits: int,
                 tokens.append(("ref", run, 1))
                 if cache is not None:
                     cache[_cache_index(px, cache_bits)] = px
+                i += run
+                continue
+        if close_distances and lz77 and i >= w:
+            # previous-row match (distance w → close code 1, offset
+            # (0,1)): the copy the close-distance table exists for
+            run = 0
+            while i + run < n and pixels[i + run - w] == pixels[i + run]:
+                run += 1
+            if run >= 3:
+                if cache is not None:
+                    for j in range(run):
+                        p2 = pixels[i + j]
+                        cache[_cache_index(p2, cache_bits)] = p2
+                tokens.append(("ref", run, w))
                 i += run
                 continue
         if cache is not None:
@@ -844,7 +906,10 @@ def _write_main_image(bw: _BitWriter, img: np.ndarray, cache_bits: int,
         else:
             lcode, _, _ = _write_prefix_value(None, t[1])
             greens.add(256 + lcode)
-            dcode, _, _ = _write_prefix_value(None, t[2] + 120)
+            dsym = (
+                _dist_to_code(t[2], w) if close_distances else t[2] + 120
+            )
+            dcode, _, _ = _write_prefix_value(None, dsym)
             dists.add(dcode)
     bw.write(1 if cache_bits else 0, 1)
     if cache_bits:
@@ -869,7 +934,10 @@ def _write_main_image(bw: _BitWriter, img: np.ndarray, cache_bits: int,
             lcode, lextra, lbits = _write_prefix_value(None, t[1])
             _emit_symbol(bw, gc, 256 + lcode)
             bw.write(lextra, lbits)
-            dcode, dextra, dbits = _write_prefix_value(None, t[2] + 120)
+            dsym = (
+                _dist_to_code(t[2], w) if close_distances else t[2] + 120
+            )
+            dcode, dextra, dbits = _write_prefix_value(None, dsym)
             _emit_symbol(bw, dc, dcode)
             bw.write(dextra, dbits)
 

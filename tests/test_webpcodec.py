@@ -131,28 +131,107 @@ def test_typed_refusals():
         decode_webp(bytes(blob[:i]) + b"\x30" + bytes(blob[i + 1:]))
     with pytest.raises(WebpError, match="truncated"):
         decode_webp(bytes(blob[:-3]))
-    # the ONE named gap: close-distance codes refuse with the reason
+    # a close-distance code whose offset reaches before the decoded
+    # window is still a bounds error, not silent garbage
     from da_transform_judgments_pipeline_spark.operators import (
         webpcodec as W,
     )
 
     orig = W._write_prefix_value
 
-    def close_dist(bw, value):
-        # make the encoder emit distance VALUE 1 (a close code) instead
-        # of dist+120 — only the distance call passes value > 120
+    def force_code_one(bw, value):
+        # the encoder's first ref is dist 1 (+120 = 121); force the
+        # distance VALUE to 1 = offset (0,1) = one full row back, which
+        # at decode position 1 is outside the window
         if value > 120:
             return orig(bw, 1)
         return orig(bw, value)
 
-    W._write_prefix_value = close_dist
+    W._write_prefix_value = force_code_one
     try:
         flat = np.full((4, 4, 3), 9, np.uint8)
         evil = encode_webp_lossless(flat, lz77=True)
     finally:
         W._write_prefix_value = orig
-    with pytest.raises(WebpError, match="close-distance"):
+    with pytest.raises(WebpError, match="outside decoded window"):
         decode_webp(evil)
+
+
+def test_close_distance_table_three_way_pinned():
+    """_DIST_CODES pinned against (a) the spec's generative rule — the
+    close neighborhood sorted by (d², larger dy first, positive dx
+    first) — and (b) libwebp's inverse plane_to_code_lut (index
+    dy*16 + 8 - dx): three independent representations must agree on
+    all 120 entries, and the lut's 255 slots must be exactly the
+    impossible dy=0, dx<=0 positions."""
+    from da_transform_judgments_pipeline_spark.operators.webpcodec import (
+        _DIST_CODES,
+        _dist_to_code,
+    )
+
+    cands = [
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if not (dy == 0 and dx < 1)
+    ]
+    rule = sorted(
+        cands, key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1], p[0] < 0)
+    )
+    assert _DIST_CODES == rule
+    lut = [
+        96, 73, 55, 39, 23, 13, 5, 1,
+        255, 255, 255, 255, 255, 255, 255, 255,
+        101, 78, 58, 42, 26, 16, 8, 2, 0, 3, 9, 17, 27, 43, 59, 79,
+        102, 86, 62, 46, 32, 20, 10, 6, 4, 7, 11, 21, 33, 47, 63, 87,
+        105, 90, 70, 52, 37, 28, 18, 14, 12, 15, 19, 29, 38, 53, 71, 91,
+        110, 99, 82, 66, 48, 35, 30, 24, 22, 25, 31, 36, 49, 67, 83, 100,
+        115, 108, 94, 76, 64, 50, 44, 40, 34, 41, 45, 51, 65, 77, 95, 109,
+        118, 113, 103, 92, 80, 68, 60, 56, 54, 57, 61, 69, 81, 93, 104,
+        114,
+        119, 116, 111, 106, 97, 88, 84, 74, 72, 75, 85, 89, 98, 107, 112,
+        117,
+    ]
+    for i, (dx, dy) in enumerate(_DIST_CODES):
+        assert lut[dy * 16 + 8 - dx] == i
+    assert [i for i, v in enumerate(lut) if v == 255] == list(range(8, 16))
+    # the encoder inverse: every close code round-trips through
+    # _dist_to_code at a width where its offset is a real distance
+    for i, (dx, dy) in enumerate(_DIST_CODES):
+        w = 20
+        dist = dy * w + dx
+        if dist >= 1:
+            assert _dist_to_code(dist, w) == i + 1, (i + 1, dx, dy)
+    assert _dist_to_code(999, 20) == 999 + 120
+
+
+def test_close_distance_roundtrips():
+    """Differential decode of real close-distance streams: repeated
+    rows emit code 1 (offset (0,1) — previous-row copy), flat runs emit
+    code 2 (offset (1,0)); composed with color cache and on random
+    images (where close mode only relabels dist-1 runs)."""
+    rng = np.random.RandomState(17)
+    row = rng.randint(0, 256, (1, 9, 3), np.uint8)
+    stacked = np.repeat(row, 7, axis=0)  # 7 identical rows
+    for kw in (dict(), dict(cache_bits=3)):
+        blob = encode_webp_lossless(
+            stacked, lz77=True, close_distances=True, **kw
+        )
+        assert np.array_equal(decode_webp(blob), stacked), kw
+    flat = np.full((5, 6, 3), 31, np.uint8)
+    blob = encode_webp_lossless(flat, lz77=True, close_distances=True)
+    assert np.array_equal(decode_webp(blob), flat)
+    img = rng.randint(0, 256, (8, 5, 3), np.uint8)
+    img[3] = img[2]
+    img[4] = img[2]  # a 2-row vertical run mid-image
+    blob = encode_webp_lossless(img, lz77=True, close_distances=True)
+    assert np.array_equal(decode_webp(blob), img)
+    # close mode must actually change the stream for the stacked image
+    plain = encode_webp_lossless(stacked, lz77=True)
+    closed = encode_webp_lossless(
+        stacked, lz77=True, close_distances=True
+    )
+    assert plain != closed and len(closed) <= len(plain)
 
 
 def test_decode_image_dispatch():
