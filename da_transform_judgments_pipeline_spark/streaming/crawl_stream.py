@@ -254,6 +254,10 @@ def run_crawl_stream(
       ``offset_sec`` from the host's Crawl-delay
       (:func:`..operators.robots.fetch_schedule`), so a rate-limited
       fetcher can execute it directly;
+    - the LINK GRAPH accretes in ``{out_dir}/links``: one (src, dst)
+      canonical edge per extracted anchor of each newly-accepted page —
+      the input :func:`..operators.graph.pagerank` / ``hits`` rank to
+      prioritize the fetch queue;
     - malformed/bomb-bounded files → ``{out_dir}/errors`` (one row per
       file, the report-mode contract);
 
@@ -467,12 +471,28 @@ def run_crawl_stream(
                     discovered = fetch_schedule(
                         discovered, rules, url_col="url"
                     )
+                # the LINK-GRAPH edge sink: (src page canonical →
+                # resolved+canonicalized target), one row per extracted
+                # anchor of every newly-accepted page — what PageRank/
+                # HITS rank and the prioritizer reads; decision-
+                # deterministic, so replay-safe like every other sink
+                links_out = fresh_docs.filter(
+                    ~F.col("_redir") & ~F.col("_sitemap")
+                ).select(
+                    F.col("canonical").alias("src"),
+                    F.explode("links").alias("_u"),
+                ).select(
+                    "src", canonical_url(F.col("_u")).alias("dst")
+                )
                 # accepted is (re)written FIRST and redirects SECOND so
                 # a crash between them leaves exactly the prefix
                 # _own_canonicals reads back; every sink write replaces
                 # this batch's partition (idempotent under replay)
                 _write_batch_partition(
                     accepted, f"{out_dir}/accepted", batch_id
+                )
+                _write_batch_partition(
+                    links_out, f"{out_dir}/links", batch_id
                 )
                 _write_batch_partition(
                     redirects, f"{out_dir}/redirects", batch_id

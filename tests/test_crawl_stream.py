@@ -477,6 +477,15 @@ def test_crawl_stream_redirect_discovery(spark, tmp_path):
     idx = {r["canonical"] for r in spark.table(table).collect()}
     assert "https://h.example/old" in idx          # fetched → seen
     assert "https://h.example/new" not in idx      # discovered ≠ fetched
+    # the link-graph sink: one canonical edge per extracted anchor of
+    # the accepted page (self-link included — it IS an edge; mailto
+    # dropped at resolution)
+    edges = sorted((r["src"], r["dst"]) for r in
+                   _read(spark, out / "links").collect())
+    assert edges == [
+        ("https://h.example/page", "https://h.example/linked"),
+        ("https://h.example/page", "https://h.example/page"),
+    ]
     # wave 2: the target's own WARC arrives → ACCEPTED (not url_seen)
     blob2 = build_warc_gz([
         {"url": "https://h.example/new", "date": "2021-03-04T05:06:07Z",
