@@ -167,9 +167,11 @@ def _ledger_other_batches(spark, out_dir: str, batch_id: int):
     """The replay-guard probe set: every ledgered path EXCEPT the
     current batch's own partition — so a crashed batch replays in full
     even when its ledger write survived (or half-survived), while a
-    cross-batch duplicate resend still anti-joins away. Tolerates the
-    compacted (unpartitioned) ledger layout, whose rows are all from
-    committed batches by construction."""
+    cross-batch duplicate resend still anti-joins away. A compacted
+    ledger keeps the batch_id layout in the reserved ``batch_id=-1``
+    partition (see compact_processed_ledger), which real batch ids
+    (>= 0) never match; a plain unpartitioned ledger (no batch_id
+    column — the run_pipeline shape) is tolerated too."""
     try:
         led = spark.read.parquet(f"{out_dir}/processed")
     except Exception:

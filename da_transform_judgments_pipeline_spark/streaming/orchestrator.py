@@ -270,7 +270,19 @@ def compact_processed_ledger(
     files_before = len(src.inputFiles())
     distinct = src.select("exec_name").distinct()
     tmp = path.rstrip("/") + "_compacting"
-    distinct.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    if "batch_id" in src.columns:
+        # a batch_id-PARTITIONED ledger (run_crawl_stream's layout)
+        # must stay partitioned after compaction: plain files in the
+        # same root as later batch_id=N subdirs would break Spark's
+        # partition discovery ("conflicting directory structures").
+        # The compacted keys land in the reserved batch_id=-1
+        # partition (real batches are >= 0, so the guard's
+        # own-partition exclusion never matches it).
+        distinct.repartition(n_files).write.mode("overwrite").parquet(
+            tmp + "/batch_id=-1"
+        )
+    else:
+        distinct.repartition(n_files).write.mode("overwrite").parquet(tmp)
     n_keys = spark.read.parquet(tmp).count()
     jvm = spark._jvm
     hadoop_path = jvm.org.apache.hadoop.fs.Path

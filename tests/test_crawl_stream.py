@@ -315,6 +315,58 @@ def test_crawl_stream_robots_gate_and_mojibake_repair(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_crawl_ledger_compaction_keeps_partition_layout(spark, tmp_path):
+    """Compacting the crawl's batch_id-PARTITIONED ledger must keep the
+    partition layout (compacted keys land in the reserved batch_id=-1
+    partition): plain files beside later batch_id=N subdirs would break
+    Spark's partition discovery for every subsequent wave. After
+    compaction: a resend still drops at the guard, and a genuinely new
+    wave still writes its own ledger partition."""
+    from da_transform_judgments_pipeline_spark.streaming.orchestrator import (
+        compact_processed_ledger,
+    )
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+    table = "crawl_ledger_compact_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://x.example/seed",)], "url string"),
+        table, buckets=2, path=str(tmp_path / "fidx"),
+    )
+    f1 = _warc(warcs / "f1.warc.gz", [("https://h.example/a", "a body")])
+    (manifests / "w1.jsonl").write_text(json.dumps(
+        {"file_id": 1, "path": f1}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+
+    stats = compact_processed_ledger(spark, str(out))
+    assert stats["keys"] == 1
+    led = _read(spark, out / "processed")
+    assert "batch_id" in led.columns  # layout preserved
+    assert [r["batch_id"] for r in led.collect()] == [-1]
+
+    # wave 2: resend f1 (guard drops) + a new f2 (processed, new
+    # ledger partition lands beside batch_id=-1 without conflict)
+    f2 = _warc(warcs / "f2.warc.gz", [("https://h.example/b", "b body")])
+    (manifests / "w2.jsonl").write_text(
+        json.dumps({"file_id": 1, "path": f1}) + "\n"
+        + json.dumps({"file_id": 2, "path": f2}) + "\n"
+    )
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+    acc = sorted(r["canonical"]
+                 for r in _read(spark, out / "accepted").collect())
+    assert acc == ["https://h.example/a", "https://h.example/b"]
+    led2 = [r["exec_name"] for r in
+            _read(spark, out / "processed").collect()]
+    assert sorted(led2) == sorted(set(led2)) and len(led2) == 2
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_crawl_stream_sitemap_and_politeness(spark, tmp_path):
     """The crawler triad COMPOSED in the stream: robots 'Sitemap:'
     advertisements and fetched sitemaps' <loc> entries feed
