@@ -4252,6 +4252,42 @@ def q_g03_personalized_pagerank(spark, sf_dir):
     )
 
 
+def q_g04_weighted_pagerank(spark, sf_dir):
+    """WEIGHTED PageRank (graph.weight_edges + pagerank
+    weight_col="weight" — the crawl's out/links reduction: a page
+    linking a target three times votes three times): the raw edge list
+    carries MULTIPLICITY as duplicate rows (three copies of
+    i → (i+1)%%256 and one of i → (2i+1)%%256; at i = 0 the two targets
+    coincide, so weight_edges merges them into one weight-4 edge —
+    the merge rule is itself under test), weight_edges collapses them
+    to weighted edges, and each out-edge carries rank ∝ its weight
+    share. EXACTNESS: per-source total weight is always 4, so w/W ∈
+    {1/4, 3/4, 1} is dyadic; with damping 0.5 and N = 256 the g01
+    trick applies verbatim. DuckDB recomputes the multiplicity
+    grouping AND 4 weighted iterations via unrolled CTEs."""
+    from da_transform_judgments_pipeline_spark.operators import graph
+
+    nodes = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 256)
+        .select(F.col("doc_id").alias("node"))
+    )
+    n = F.col("node")
+    one = nodes.select(n.alias("src"), ((n + 1) % 256).alias("dst"))
+    raw = one.union(one).union(one).union(
+        nodes.select(n.alias("src"), ((n * 2 + 1) % 256).alias("dst"))
+    )
+    weighted = graph.weight_edges(raw)
+    return (
+        graph.pagerank(
+            nodes, weighted, n_iterations=4, damping=0.5,
+            weight_col="weight",
+        )
+        .orderBy("node")
+    )
+
+
 def q_g02_hits(spark, sf_dir):
     """HITS hubs-and-authorities (operators/graph.hits — Kleinberg's
     link-analysis twin of g01's PageRank) over the same closed-form
@@ -5175,10 +5211,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # DuckDB) and g03 (PERSONALIZED PageRank with dangling mass — the
     # dyadic-exact trick extended to a reset distribution and a
     # per-iteration dangling scalar, 128 dangling nodes exercising the
-    # redistribution term) lead the window. Displaced past the cap:
-    # m07 and x19 (image tile plan / Zipf histogram — both multi-round
-    # green; m07's tiling machinery stays pinned by the m05/m06 family
-    # in selfcheck, x19's tokenization by the x17/x18 LM family).
+    # redistribution term) and g04 (WEIGHTED PageRank — duplicate-row
+    # multiplicity collapsed by weight_edges, w/W always dyadic 1/4,
+    # 3/4, or 1 incl. the i=0 merged-edge case) lead the window.
+    # Displaced past the cap: m07, x19, x18 (image tile plan / Zipf
+    # histogram / bigram LM — all multi-round green; m07's tiling
+    # machinery stays pinned by the m05/m06 family in selfcheck,
+    # x18/x19's tokenization by x17 at position 45).
     # Changed-this-round queries
     # already in-window: s24 (batch_id-partitioned idempotent sinks),
     # f05 (query-only href branch added to resolve_link; fixture
@@ -5186,10 +5225,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pure-wildcard rule), m21 (VP8L TR edge wrap + dimension guard),
     # g01/g02 (persisted edge list + fused HITS normalizer collect —
     # plan/action changes only, oracles unchanged).
-    # The position-50 boundary row is x18.
+    # The position-50 boundary row is d08.
     # (a) NEW round 11
     "s26_crawl_schedule_stream": q_s26_crawl_schedule_stream,
     "g03_personalized_pagerank": q_g03_personalized_pagerank,
+    "g04_weighted_pagerank": q_g04_weighted_pagerank,
     # (a) NEW round 10
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
@@ -6056,6 +6096,48 @@ def _g03_sql(k: int = 4) -> str:
             JOIN deg ON deg.src = e.src
             GROUP BY e.dst
           ) s ON s.node = n.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank FROM pr{k} ORDER BY node"
+    )
+
+
+def _g04_sql(k: int = 4) -> str:
+    """g04 oracle: the duplicate-row edge list grouped to weighted
+    edges, then k weighted PageRank iterations unrolled — contribution
+    = rank·w/W(src) with W always 4 (dyadic). See q_g04."""
+    ctes = [
+        """nodes AS (
+          SELECT doc_id AS node FROM documents WHERE doc_id < 256
+        )""",
+        """raw AS (
+          SELECT node AS src, (node + 1) % 256 AS dst FROM nodes
+          UNION ALL
+          SELECT node AS src, (node + 1) % 256 AS dst FROM nodes
+          UNION ALL
+          SELECT node AS src, (node + 1) % 256 AS dst FROM nodes
+          UNION ALL
+          SELECT node AS src, (node * 2 + 1) % 256 AS dst FROM nodes
+        )""",
+        """edges AS (
+          SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM raw GROUP BY src, dst
+        )""",
+        "deg AS (SELECT src, sum(w) AS d FROM edges GROUP BY src)",
+        "pr0 AS (SELECT node, CAST(1.0/256 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f"""pr{i} AS (
+          SELECT n.node,
+                 0.5/256 + 0.5 * coalesce(s.m, 0.0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank * e.w / deg.d) AS m
+            FROM edges e
+            JOIN pr{i - 1} p ON p.node = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+          ) s USING (node)
         )""")
     return (
         "WITH " + ",\n".join(ctes)
@@ -7922,6 +8004,7 @@ def oracle_sql() -> dict[str, str]:
         "g01_pagerank": _g01_sql(),
         "g02_hits": _g02_sql(),
         "g03_personalized_pagerank": _g03_sql(),
+        "g04_weighted_pagerank": _g04_sql(),
         "f05_html_links": _f05_sql(),
         "s25_sitemap_discovery": """
             WITH f AS (SELECT ['daily','weekly','monthly','yearly'] AS fr)

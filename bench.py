@@ -148,6 +148,7 @@ HEADLINE = [
     # round 11
     "s26_crawl_schedule_stream",
     "g03_personalized_pagerank",
+    "g04_weighted_pagerank",
 ]
 
 

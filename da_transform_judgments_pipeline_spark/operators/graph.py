@@ -24,6 +24,19 @@ def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
     return edges.groupBy(src).agg(F.count("*").alias("out_deg"))
 
 
+def weight_edges(edges: DataFrame, src_col: str = "src",
+                 dst_col: str = "dst") -> DataFrame:
+    """Collapse duplicate (src, dst) rows into one WEIGHTED edge
+    (weight = multiplicity) — the natural reduction of a crawl's
+    ``out/links`` sink (a page linking a target three times votes
+    three times) and the input shape for
+    :func:`pagerank` ``weight_col="weight"``. One shuffle, and the
+    weighted graph is |distinct pairs| instead of |anchors|."""
+    return edges.groupBy(src_col, dst_col).agg(
+        F.count("*").cast("double").alias("weight")
+    )
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -34,6 +47,7 @@ def pagerank(
     dst_col: str = "dst",
     tol: float | None = None,
     reset: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over (nodes, edges): rank_0 = r; per iteration
     rank'(v) = (1-d)·r(v) + d·(Σ_{u→v} rank(u)/out_deg(u) +
@@ -49,6 +63,13 @@ def pagerank(
     ``tol``: optional convergence early-exit — stop when the L1 delta
     Σ|rank'-rank| falls below it (one extra scalar aggregate per
     iteration, only when enabled); ``n_iterations`` stays the hard cap.
+
+    ``weight_col``: optional WEIGHTED edges — each out-edge carries
+    rank ∝ its weight share of the source's total outgoing weight
+    (contribution = rank·w/W(u) instead of rank/out_deg(u)); feed
+    :func:`weight_edges` output to rank a crawl's link graph by anchor
+    multiplicity. Dyadic exactness extends: integer weights whose
+    per-source SUM is a power of two keep w/W exact (the g04 oracle).
 
     Determinism note for oracles: with ``damping=0.5`` and power-of-two
     N and out-degrees, every intermediate is a dyadic rational well
@@ -69,10 +90,21 @@ def pagerank(
             F.col(node_col).alias("node"),
             F.lit(0.0).alias("rank"),
         )
-    deg = out_degrees(edges, src_col)
-    fan = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).join(
+    if weight_col is not None:
+        deg = edges.groupBy(src_col).agg(
+            F.sum(weight_col).alias("out_deg")
+        )
+        fan_src = edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"),
+            F.col(weight_col).alias("_w"),
+        )
+    else:
+        deg = out_degrees(edges, src_col)
+        fan_src = edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"),
+            F.lit(1.0).alias("_w"),
+        )
+    fan = fan_src.join(
         deg.select(
             F.col(src_col).alias("_src"), "out_deg"
         ),
@@ -80,11 +112,14 @@ def pagerank(
     ).persist()  # scanned every iteration: pay the join once
     base = nodes.select(F.col(node_col).alias("node")).distinct()
     if reset is not None:
-        total = reset.agg(F.sum("weight")).collect()[0][0]
+        # sum per node first: duplicate seed rows must add weight, not
+        # multiply base rows through the left join
+        seeds = reset.groupBy("node").agg(F.sum("weight").alias("_w"))
+        total = seeds.agg(F.sum("_w")).collect()[0][0]
         if not total or total <= 0:
             raise ValueError("reset weights must sum to a positive value")
         base = base.join(
-            reset.select("node", (F.col("weight") / total).alias("_r0")),
+            seeds.select("node", (F.col("_w") / total).alias("_r0")),
             "node", "left",
         ).select("node", F.coalesce("_r0", F.lit(0.0)).alias("_r0"))
     else:
@@ -105,7 +140,11 @@ def pagerank(
                 )
                 .select(
                     F.col("_dst").alias("node"),
-                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                    # weighted share; _w is exactly 1.0 when unweighted
+                    # (multiplying by 1.0 is bit-exact, so the g01
+                    # oracle is unaffected)
+                    (F.col("rank") * F.col("_w") / F.col("out_deg"))
+                    .alias("c"),
                 )
                 .groupBy("node")
                 .agg(F.sum("c").alias("m"))

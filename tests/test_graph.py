@@ -80,6 +80,15 @@ def test_pagerank_personalized_and_convergence(spark):
         pagerank(nodes, edges, reset=spark.createDataFrame(
             [(0, 0.0)], "node long, weight double"
         ))
+    # duplicate seed rows ADD weight (never multiply base rows)
+    dup_reset = spark.createDataFrame(
+        [(0, 0.5), (0, 0.5), (1, 1.0)], "node long, weight double"
+    )
+    got_dup = pagerank(
+        nodes, edges, n_iterations=1, damping=0.5, reset=dup_reset
+    ).collect()
+    assert len(got_dup) == 3
+    assert {r["node"]: r["rank"] for r in got_dup} == got
     # early-exit: 2-cycle is stationary from iteration 1
     n2, e2 = _g(spark, [0, 1], [(0, 1), (1, 0)])
     full = {r["node"]: r["rank"] for r in
@@ -88,6 +97,49 @@ def test_pagerank_personalized_and_convergence(spark):
              pagerank(n2, e2, n_iterations=9, damping=0.85,
                       tol=1e-12).collect()}
     assert early == full == {0: pytest.approx(0.5), 1: pytest.approx(0.5)}
+
+
+def test_weighted_pagerank_and_weight_edges(spark):
+    """weight_edges collapses duplicate (src, dst) rows into
+    multiplicity weights (merging distinct planted edges that coincide);
+    weighted pagerank sends rank proportional to each edge's weight
+    share — hand-computed one iteration (dyadic), and unweighted ==
+    weight-1 bit-exactly."""
+    from da_transform_judgments_pipeline_spark.operators.graph import (
+        weight_edges,
+    )
+
+    nodes, edges = _g(
+        spark, [0, 1, 2],
+        # 0 → 1 three times, 0 → 2 once; 1 → 2; 2 → 0
+        [(0, 1), (0, 1), (0, 1), (0, 2), (1, 2), (2, 0)],
+    )
+    w = weight_edges(edges)
+    got_w = {(r["src"], r["dst"]): r["weight"] for r in w.collect()}
+    assert got_w == {(0, 1): 3.0, (0, 2): 1.0, (1, 2): 1.0, (2, 0): 1.0}
+    # W(0)=4: contribs m(1) = r0(0)·3/4 = 1/4; m(2) = r0(0)/4 + r0(1)
+    #       = 1/12 + 1/3 = 5/12; m(0) = r0(2) = 1/3
+    # rank = 1/6 + 1/2·m → (1/4, 7/24, 3/8 + ... ) hand-compute:
+    got = {r["node"]: r["rank"] for r in pagerank(
+        nodes, w, n_iterations=1, damping=0.5, weight_col="weight"
+    ).collect()}
+    assert got == {
+        0: 1 / 6 + 1 / 2 * (1 / 3),
+        1: 1 / 6 + 1 / 2 * (1 / 4),
+        2: 1 / 6 + 1 / 2 * (5 / 12),
+    }
+    # weight 1.0 everywhere == unweighted, bit-exact
+    plain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], "src long, dst long"
+    )
+    unw = {r["node"]: r["rank"] for r in pagerank(
+        nodes, plain, n_iterations=3, damping=0.5
+    ).collect()}
+    w1 = {r["node"]: r["rank"] for r in pagerank(
+        nodes, plain.withColumn("weight", F.lit(1.0)),
+        n_iterations=3, damping=0.5, weight_col="weight",
+    ).collect()}
+    assert unw == w1
 
 
 def test_graph_jobs_per_iteration_budget(spark):
