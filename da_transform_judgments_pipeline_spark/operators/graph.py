@@ -191,11 +191,15 @@ def hits(
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
+    tol: float | None = None,
 ) -> DataFrame:
     """HITS (Kleinberg 1999) hubs-and-authorities over (nodes, edges):
     per iteration ``auth(v) = Σ_{u→v} hub(u)`` then
     ``hub(u) = Σ_{u→v} auth(v)``, both starting at 1. Returns
-    (node, hub, authority).
+    (node, hub, authority). ``tol``: optional convergence early-exit —
+    stop when the combined L1 delta of both vectors falls below it
+    (one extra scalar action per iteration, meaningful with
+    ``normalize=True``; raw sums grow without bound).
 
     ``normalize=True`` (production) L1-normalizes both vectors each
     iteration — float division, the usual form. ``normalize=False``
@@ -212,6 +216,7 @@ def hits(
     ).persist()  # scanned twice per iteration: pay the read once
     hubs = base.withColumn("hub", F.lit(1.0))
     auths = base.withColumn("authority", F.lit(1.0))
+    prev_auths = prev_hubs = None
     try:
         for _ in range(n_iterations):
             a = (
@@ -249,6 +254,34 @@ def hits(
                 )
             auths = auths.localCheckpoint(eager=True)
             hubs = hubs.localCheckpoint(eager=True)
+            if tol is not None and prev_auths is not None:
+                # combined L1 delta over both vectors, ONE action
+                delta = (
+                    auths.join(
+                        prev_auths.withColumnRenamed("authority", "_p"),
+                        "node",
+                    )
+                    .agg(
+                        F.sum(
+                            F.abs(F.col("authority") - F.col("_p"))
+                        ).alias("_d")
+                    )
+                    .crossJoin(
+                        hubs.join(
+                            prev_hubs.withColumnRenamed("hub", "_q"),
+                            "node",
+                        ).agg(
+                            F.sum(
+                                F.abs(F.col("hub") - F.col("_q"))
+                            ).alias("_e")
+                        )
+                    )
+                    .select((F.col("_d") + F.col("_e")).alias("_t"))
+                    .collect()[0]["_t"]
+                )
+                if delta is not None and delta < tol:
+                    break
+            prev_auths, prev_hubs = auths, hubs
     finally:
         base.unpersist()
         e.unpersist()

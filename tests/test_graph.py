@@ -201,6 +201,15 @@ def test_hits_hand_computed_and_normalized(spark):
     rows = norm.collect()
     assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-9
     assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+    # convergence early-exit: once the normalized vectors are
+    # stationary, tol stops the loop with the full run's result
+    full = {r["node"]: (r["hub"], r["authority"]) for r in
+            hits(nodes, edges, n_iterations=30).collect()}
+    early = {r["node"]: (r["hub"], r["authority"]) for r in
+             hits(nodes, edges, n_iterations=30, tol=1e-12).collect()}
+    for k in full:
+        assert early[k][0] == pytest.approx(full[k][0], abs=1e-9)
+        assert early[k][1] == pytest.approx(full[k][1], abs=1e-9)
     byn = {r["node"]: r["authority"] for r in rows}
     assert byn[2] == max(byn.values())
 
