@@ -52,22 +52,36 @@ def parse_sitemap(blob: bytes) -> tuple[str, list[dict]]:
     blob = bytes(blob)
     if blob[:2] == b"\x1f\x8b":
         # Bounded inflation (the warc.py pattern): ask for at most
-        # limit+1 bytes so a gzip bomb is caught at the bound instead
-        # of allocating its full inflated size before the check.
-        dec = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        try:
-            blob = dec.decompress(blob, SITEMAP_MAX_BYTES + 1)
-        except zlib.error as exc:
-            raise SitemapError(f"corrupt gzip transport: {exc}")
-        if len(blob) > SITEMAP_MAX_BYTES or dec.unconsumed_tail:
-            raise SitemapError(
-                "gzip transport inflates past the protocol's"
-                f" {SITEMAP_MAX_BYTES}-byte limit"
-            )
-        if not dec.eof:
-            raise SitemapError(
-                "corrupt gzip transport: truncated stream"
-            )
+        # limit+1 bytes per member so a gzip bomb is caught at the
+        # bound instead of allocating its full inflated size before
+        # the check. Concatenated members (legal gzip transport) are
+        # decoded in sequence under the same CUMULATIVE bound —
+        # stopping at the first member would silently truncate the
+        # document.
+        parts: list[bytes] = []
+        remaining = blob
+        total = 0
+        while remaining:
+            dec = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                part = dec.decompress(
+                    remaining, SITEMAP_MAX_BYTES + 1 - total
+                )
+            except zlib.error as exc:
+                raise SitemapError(f"corrupt gzip transport: {exc}")
+            total += len(part)
+            if total > SITEMAP_MAX_BYTES or dec.unconsumed_tail:
+                raise SitemapError(
+                    "gzip transport inflates past the protocol's"
+                    f" {SITEMAP_MAX_BYTES}-byte limit"
+                )
+            if not dec.eof:
+                raise SitemapError(
+                    "corrupt gzip transport: truncated stream"
+                )
+            parts.append(part)
+            remaining = dec.unused_data
+        blob = b"".join(parts)
     if len(blob) > SITEMAP_MAX_BYTES:
         raise SitemapError(
             f"sitemap is {len(blob)} bytes, over the protocol's"

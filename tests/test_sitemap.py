@@ -74,6 +74,26 @@ def test_parse_typed_refusals():
         parse_sitemap(whole[:-8])
 
 
+def test_gzip_multi_member_transport():
+    """Concatenated gzip members are legal transport: the bounded
+    inflater must decode ALL members (stopping at the first would
+    silently truncate the urlset), still under the cumulative bound."""
+    import gzip as _gzip
+
+    xml = (
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://h/a</loc></url>"
+        b"<url><loc>https://h/b</loc></url></urlset>"
+    )
+    half = len(xml) // 2
+    blob = _gzip.compress(xml[:half], mtime=0) + _gzip.compress(
+        xml[half:], mtime=0
+    )
+    kind, entries = parse_sitemap(blob)
+    assert kind == "urlset"
+    assert [e["loc"] for e in entries] == ["https://h/a", "https://h/b"]
+
+
 def test_gzip_bomb_bounded():
     """A small gzip bomb must be rejected AT the 50 MB bound — the
     decompressobj(max_length) pattern — not after inflating the whole
