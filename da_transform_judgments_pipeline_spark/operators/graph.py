@@ -126,7 +126,9 @@ def pagerank(
         base = base.withColumn("_r0", F.lit(1.0 / n))
     base = base.persist()
     ranks = base.select("node", F.col("_r0").alias("rank"))
-    has_out = deg.select(F.col(src_col).alias("node"))
+    # persisted: the per-iteration dangling scalar anti-joins this —
+    # without the persist it re-aggregates the whole edge list each round
+    has_out = deg.select(F.col(src_col).alias("node")).persist()
     try:
         for _ in range(n_iterations):
             dangling = (
@@ -180,6 +182,7 @@ def pagerank(
     finally:
         fan.unpersist()
         base.unpersist()
+        has_out.unpersist()
     return ranks
 
 
