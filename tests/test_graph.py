@@ -154,9 +154,17 @@ def test_graph_jobs_per_iteration_budget(spark):
     tracker = spark.sparkContext.statusTracker()
 
     def jobs(fn):
-        before = len(tracker.getJobIdsForGroup(None) or [])
+        # job ids are monotonic; COUNTING retained ids breaks in a
+        # long session once spark.ui.retainedJobs evicts old entries
+        # (len() saturates and deltas go negative) — the id HIGH-WATER
+        # delta is eviction-proof
+        def high():
+            ids = tracker.getJobIdsForGroup(None) or []
+            return max(ids) if ids else 0
+
+        before = high()
         fn()
-        return len(tracker.getJobIdsForGroup(None) or []) - before
+        return high() - before
 
     # AQE splits one action into a variable number of runtime jobs
     # (±1-2 jitter per action between sessions), so the portable
