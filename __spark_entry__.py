@@ -4854,6 +4854,84 @@ def q_s26_crawl_schedule_stream(spark, sf_dir):
     return out
 
 
+def q_s27_crawl_link_graph(spark, sf_dir):
+    """The stream's LINK-GRAPH edge sink under a hash oracle
+    (crawl_stream out/links + graph.weight_edges — the discover half
+    of SKEWCHECK_r11's discover→rank loop, previously pytest-only):
+    docs with doc_id %% 23 == 0 become pages whose anchors are
+    closed-form — TWO copies of /t/{d%%7} (multiplicity → weight 2),
+    one /u/{d}, and one self-link /p/{d} (a page citing itself IS an
+    edge) — one stream batch extracts and resolves them into
+    out/links, and weight_edges collapses multiplicity. DuckDB
+    recomputes every (src, dst, weight) row analytically."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from da_transform_judgments_pipeline_spark.operators import graph
+    from da_transform_judgments_pipeline_spark.sources import frontier
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        build_warc_gz,
+    )
+    from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+        run_crawl_stream,
+    )
+
+    rows = (
+        _T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 23 == 0)
+        .select("doc_id")
+        .collect()
+    )  # control-plane: ~|docs|/23 ids drive FILE construction only
+    tmp = tempfile.mkdtemp(prefix="s27_link_graph_")
+    table = f"s27_frontier_{_uuid.uuid4().hex[:8]}"
+    try:
+        os.makedirs(f"{tmp}/warcs")
+        os.makedirs(f"{tmp}/manifests")
+        pages = []
+        for r in rows:
+            d = int(r["doc_id"])
+            html = (
+                f"<html><body><p>linked case {d}</p>"
+                f'<a href="/t/{d % 7}">x</a>'
+                f'<a href="/t/{d % 7}">x again</a>'
+                f'<a href="/u/{d}">y</a>'
+                f'<a href="/p/{d}">self</a></body></html>'
+            ).encode()
+            pages.append({
+                "url": f"https://s.example/p/{d}",
+                "date": "2021-03-04T05:06:07Z", "payload": html,
+            })
+        with open(f"{tmp}/warcs/pages.warc.gz", "wb") as f:
+            f.write(build_warc_gz(pages))
+        with open(f"{tmp}/manifests/wave.jsonl", "w") as f:
+            f.write(json.dumps(
+                {"file_id": 1, "path": f"{tmp}/warcs/pages.warc.gz"}
+            ) + "\n")
+        frontier.build_url_index(
+            spark.createDataFrame(
+                [("https://seed.example/",)], "url string"
+            ),
+            table, buckets=4, path=f"{tmp}/fidx",
+        )
+        q = run_crawl_stream(
+            spark, f"{tmp}/manifests", table, f"{tmp}/out",
+            max_files_per_trigger=100000,
+        )
+        q.awaitTermination(300)
+        out = (
+            graph.weight_edges(
+                spark.read.parquet(f"{tmp}/out/links").select("src", "dst")
+            )
+            .orderBy("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_d10_substring_dedup(spark, sf_dir):
     """Exact-substring dedup at sliding-window granularity
     (text.substring_dedup — the ExactSubstr family of Lee et al. 2022,
@@ -5213,11 +5291,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # per-iteration dangling scalar, 128 dangling nodes exercising the
     # redistribution term) and g04 (WEIGHTED PageRank — duplicate-row
     # multiplicity collapsed by weight_edges, w/W always dyadic 1/4,
-    # 3/4, or 1 incl. the i=0 merged-edge case) lead the window.
-    # Displaced past the cap: m07, x19, x18 (image tile plan / Zipf
-    # histogram / bigram LM — all multi-round green; m07's tiling
+    # 3/4, or 1 incl. the i=0 merged-edge case) and s27 (the stream's
+    # out/links edge sink under a hash oracle — extraction,
+    # resolution, self-edges, and weight_edges multiplicity all
+    # closed-form) lead the window. Displaced past the cap: m07, x19,
+    # x18, d08 (image tile plan / Zipf histogram / bigram LM /
+    # duplicate weights — all multi-round green; m07's tiling
     # machinery stays pinned by the m05/m06 family in selfcheck,
-    # x18/x19's tokenization by x17 at position 45).
+    # x18/x19's tokenization by x17 at position 46, d08's dedup
+    # weighting by the d01-d03 family).
     # Changed-this-round queries
     # already in-window: s24 (batch_id-partitioned idempotent sinks),
     # f05 (query-only href branch added to resolve_link; fixture
@@ -5225,11 +5307,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pure-wildcard rule), m21 (VP8L TR edge wrap + dimension guard),
     # g01/g02 (persisted edge list + fused HITS normalizer collect —
     # plan/action changes only, oracles unchanged).
-    # The position-50 boundary row is d08.
+    # The position-50 boundary row is o04.
     # (a) NEW round 11
     "s26_crawl_schedule_stream": q_s26_crawl_schedule_stream,
     "g03_personalized_pagerank": q_g03_personalized_pagerank,
     "g04_weighted_pagerank": q_g04_weighted_pagerank,
+    "s27_crawl_link_graph": q_s27_crawl_link_graph,
     # (a) NEW round 10
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
@@ -6101,6 +6184,33 @@ def _g03_sql(k: int = 4) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, rank FROM pr{k} ORDER BY node"
     )
+
+
+def _s27_sql() -> str:
+    """s27 oracle: the stream's extracted link edges recomputed
+    analytically — per doc_id %% 23 == 0 page, (p/{d} → t/{d%%7})
+    weight 2, (p/{d} → u/{d}) weight 1, the self edge weight 1."""
+    return """
+WITH docs AS (
+  SELECT doc_id AS d FROM documents WHERE doc_id % 23 = 0
+), edges AS (
+  SELECT 'https://s.example/p/' || CAST(d AS VARCHAR) AS src,
+         'https://s.example/t/' || CAST(d % 7 AS VARCHAR) AS dst,
+         CAST(2 AS DOUBLE) AS weight
+  FROM docs
+  UNION ALL
+  SELECT 'https://s.example/p/' || CAST(d AS VARCHAR),
+         'https://s.example/u/' || CAST(d AS VARCHAR),
+         CAST(1 AS DOUBLE)
+  FROM docs
+  UNION ALL
+  SELECT 'https://s.example/p/' || CAST(d AS VARCHAR),
+         'https://s.example/p/' || CAST(d AS VARCHAR),
+         CAST(1 AS DOUBLE)
+  FROM docs
+)
+SELECT src, dst, weight FROM edges ORDER BY src, dst
+"""
 
 
 def _g04_sql(k: int = 4) -> str:
@@ -8005,6 +8115,7 @@ def oracle_sql() -> dict[str, str]:
         "g02_hits": _g02_sql(),
         "g03_personalized_pagerank": _g03_sql(),
         "g04_weighted_pagerank": _g04_sql(),
+        "s27_crawl_link_graph": _s27_sql(),
         "f05_html_links": _f05_sql(),
         "s25_sitemap_discovery": """
             WITH f AS (SELECT ['daily','weekly','monthly','yearly'] AS fr)

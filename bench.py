@@ -149,6 +149,7 @@ HEADLINE = [
     "s26_crawl_schedule_stream",
     "g03_personalized_pagerank",
     "g04_weighted_pagerank",
+    "s27_crawl_link_graph",
 ]
 
 
