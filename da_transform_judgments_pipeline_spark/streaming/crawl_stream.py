@@ -111,11 +111,18 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         is_sm.alias("_sitemap"),
         F.when(is_sm, F.col("payload")).alias("_smblob"),
         # link extraction reads the RAW markup (html_text strips tags);
-        # hrefs resolve against the page URL, unresolvable forms → null
+        # hrefs resolve against the page URL with the RFC 3986 §5.3
+        # directory merge ON (path-relative and query-only hrefs are
+        # the bulk of real-site navigation — dropping them would blind
+        # discovery); dot segments are folded downstream by
+        # canonical_url, and genuinely unresolvable forms
+        # (fragment-only, mailto:, other schemes) → null → dropped
         F.filter(
             F.transform(
                 text.html_links(F.col("payload").cast("string")),
-                lambda h: text.resolve_link(F.col("target_uri"), h),
+                lambda h: text.resolve_link(
+                    F.col("target_uri"), h, merge_relative=True
+                ),
             ),
             lambda u: u.isNotNull(),
         ).alias("links"),

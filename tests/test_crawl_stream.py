@@ -503,6 +503,7 @@ def test_crawl_stream_redirect_discovery(spark, tmp_path):
          "payload": (b"<html><body><p>a real page body</p>"
                      b'<a href="/linked">in-site</a>'
                      b'<a href="https://h.example/page">self</a>'
+                     b'<a href="sub/rel">relative</a>'
                      b'<a href="mailto:x@y">drop</a>'
                      b"</body></html>")},
     ])
@@ -525,6 +526,7 @@ def test_crawl_stream_redirect_discovery(spark, tmp_path):
     # suppressed (its canonical was just indexed) and mailto dropped
     assert sorted(r["canonical"] for r in disc) == [
         "https://h.example/linked", "https://h.example/new",
+        "https://h.example/sub/rel",  # path-relative: §5.3 merge on
     ]
     idx = {r["canonical"] for r in spark.table(table).collect()}
     assert "https://h.example/old" in idx          # fetched → seen
@@ -537,6 +539,7 @@ def test_crawl_stream_redirect_discovery(spark, tmp_path):
     assert edges == [
         ("https://h.example/page", "https://h.example/linked"),
         ("https://h.example/page", "https://h.example/page"),
+        ("https://h.example/page", "https://h.example/sub/rel"),
     ]
     # wave 2: the target's own WARC arrives → ACCEPTED (not url_seen)
     blob2 = build_warc_gz([
