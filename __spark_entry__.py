@@ -4322,9 +4322,11 @@ def q_f05_html_links(spark, sf_dir):
     """HTML link extraction + resolution (text.html_links +
     text.resolve_link — the link-discovery channel of the crawler,
     beside redirects m16 and sitemaps s25): per document an HTML page
-    with seven closed-form anchors (absolute, root-relative,
+    with eight closed-form anchors (absolute, root-relative,
     protocol-relative, fragment-only, mailto, single-quoted
-    root-relative, path-relative) on a per-doc base URL. Spark extracts
+    root-relative, path-relative, UNQUOTED root-relative — legal HTML
+    the quote-only pattern used to miss) on a per-doc base URL. Spark
+    extracts
     hrefs with a pure-Catalyst regexp_extract_all and resolves the
     RFC 3986 subset with the §5.3 directory merge enabled
     (merge_relative=True — the dot-segment fold is canonical_url's job
@@ -4347,7 +4349,8 @@ def q_f05_html_links(spark, sf_dir):
               ' <a href="mailto:a@b">m</a>'
               " <a href='/sq/"), ds,
         F.lit("'>s</a> <a href=\"rel/r"), ds,
-        F.lit('">r</a></body></html>'),
+        F.lit('">r</a> <a href=/uq/'), ds,
+        F.lit(">u</a></body></html>"),
     )
     exploded = (
         docs.withColumn("base_url", base)
@@ -6296,6 +6299,7 @@ def _f05_sql() -> str:
     the same constructed page, positions via a lateral range unnest,
     and the same resolution CASE (base is always https://hK.example)."""
     re_sql = text.HTML_HREF_RE.replace("'", "''")
+    strip_sql = text.HREF_STRIP_RE.replace("'", "''")
     return f"""
 WITH h AS (
   SELECT doc_id,
@@ -6311,11 +6315,15 @@ WITH h AS (
            || ' <a href="mailto:a@b">m</a>'
            || ' <a href=''/sq/' || CAST(doc_id AS VARCHAR)
            || '''>s</a> <a href="rel/r' || CAST(doc_id AS VARCHAR)
-           || '">r</a></body></html>' AS html
+           || '">r</a> <a href=/uq/' || CAST(doc_id AS VARCHAR)
+           || '>u</a></body></html>' AS html
   FROM documents
 ), x AS (
   SELECT doc_id, origin,
-         regexp_extract_all(html, '{re_sql}', 1) AS links
+         list_transform(
+           regexp_extract_all(html, '{re_sql}', 1),
+           v -> regexp_replace(v, '{strip_sql}', '', 'g')
+         ) AS links
   FROM h
 )
 SELECT doc_id,

@@ -2427,18 +2427,33 @@ def html_text(col: Column | str) -> Column:
 
 #: href capture shared by Spark and the DuckDB oracle (Java regex ∩
 #: RE2): double- or single-quoted href inside an <a ...> tag.
-HTML_HREF_RE = """(?i)<a\\s[^>]*href=["']([^"']*)["']"""
+#: group 1 captures the href value WITH its quotes (or bare, for legal
+#: unquoted HTML attributes — terminated by whitespace/'>'); the
+#: alternation keeps regexp_extract_all to ONE group, and html_links
+#: strips the quote shell afterwards. Java-regex ∩ RE2 so the DuckDB
+#: oracle runs the identical extraction + strip.
+HTML_HREF_RE = (
+    """(?i)<a\\s[^>]*href=("[^"]*"|'[^']*'|[^\\s>"'][^\\s>]*)"""
+)
+#: the quote-shell strip applied to every captured value (both engines)
+HREF_STRIP_RE = """^["']|["']$"""
 
 
 def html_links(col: Column | str) -> Column:
     """All ``<a href>`` targets of an HTML payload, in document order —
     the link-extraction half of crawl discovery (redirects and sitemaps
-    are the other channels). Pure Catalyst ``regexp_extract_all``: no
-    UDF, whole-stage codegen, and the pattern is Java-regex ∩ RE2 so
-    the DuckDB oracle runs the identical extraction. NULL in → empty
-    handled by the caller (regexp_extract_all of NULL is NULL)."""
+    are the other channels). Handles double-quoted, single-quoted, AND
+    legal unquoted attribute values (captured with their quote shell,
+    stripped here). Pure Catalyst ``regexp_extract_all`` + transform:
+    no UDF, whole-stage codegen, and both patterns are Java-regex ∩
+    RE2 so the DuckDB oracle runs the identical extraction + strip.
+    NULL in → empty handled by the caller (regexp_extract_all of NULL
+    is NULL)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(c, F.lit(HTML_HREF_RE), F.lit(1))
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(HTML_HREF_RE), F.lit(1)),
+        lambda v: F.regexp_replace(v, HREF_STRIP_RE, ""),
+    )
 
 
 def resolve_link(

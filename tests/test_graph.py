@@ -237,6 +237,7 @@ def test_html_links_and_resolve(spark):
             '<a href="#f">4</a><a href="mailto:x@y">5</a>'
             '<a href="relative/path">6</a>'
             '<a data-x="1" href="HTTP://UP.example/">7</a>'
+            "<a href=/unquoted/x>8</a>"
             '<img href="/not-an-anchor">',
         )],
         "base string, html string",
@@ -255,7 +256,9 @@ def test_html_links_and_resolve(spark):
     assert got[4] == ("mailto:x@y", None)
     assert got[5] == ("relative/path", None)  # default: documented drop
     assert got[6] == ("HTTP://UP.example/", "HTTP://UP.example/")
-    assert len(got) == 7  # the <img href> is not an anchor
+    # unquoted attribute value (legal HTML): extracted and resolved
+    assert got[7] == ("/unquoted/x", "https://h.example/unquoted/x")
+    assert len(got) == 8  # the <img href> is not an anchor
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan  # pure Catalyst
     # merge_relative=True: path-relative merges onto the base DIRECTORY
