@@ -246,8 +246,18 @@ def robots_rules(
 
 
 def url_host(url: Column | str) -> Column:
+    """Lowercased host of an absolute URL — the politeness/robots
+    grouping key. Skips RFC 3986 userinfo (``user:pass@host`` must
+    group under ``host``, and userinfo may itself contain ``:``) and
+    stops before port/path/query/fragment."""
     c = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+)", 1))
+    return F.lower(
+        F.regexp_extract(
+            c,
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/:?#@]+)",
+            1,
+        )
+    )
 
 
 def url_pathq(url: Column | str) -> Column:
