@@ -95,6 +95,20 @@ def _read_bounded(
     return data
 
 
+def _parse_xml(blob: bytes):
+    """ET.fromstring with the entity-expansion guard: stdlib
+    ElementTree expands internal DTD entities (the billion-laughs
+    memory bomb), which the byte bounds above cannot catch because the
+    blow-up happens at EXPANSION time. OOXML parts never legitimately
+    carry a DTD, so the declaration is refused outright."""
+    if b"<!DOCTYPE" in blob[:4096] or b"<!ENTITY" in blob:
+        raise DocxBombError(
+            "DTD/entity declarations refused (XML entity-expansion"
+            " bomb guard)"
+        )
+    return ET.fromstring(blob)
+
+
 # neutral-citation patterns (public formats):
 # "[2023] EWCA Civ 123" and "[2023] EWHC 123 (Admin)"
 CITE_RE = re.compile(
@@ -432,7 +446,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
             f"(> {DOCX_MAX_TOTAL_BYTES})"
         )
     actual = [0]  # cumulative ACTUAL decompressed bytes across members
-    doc_root = ET.fromstring(
+    doc_root = _parse_xml(
         _read_bounded(zf, "word/document.xml", actual)
     )
 
@@ -444,7 +458,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
     # hyperlink relationship targets (r:id -> URL), ECMA-376 part rels
     rel_targets: dict[str, str] = {}
     try:
-        rels_root = ET.fromstring(
+        rels_root = _parse_xml(
             _read_bounded(zf, "word/_rels/document.xml.rels", actual)
         )
         for rel in rels_root:
@@ -483,7 +497,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
     headers: list[str] = []
     for name in sorted(zf.namelist()):
         if re.fullmatch(r"word/header\d+\.xml", name):
-            hroot = ET.fromstring(_read_bounded(zf, name, actual))
+            hroot = _parse_xml(_read_bounded(zf, name, actual))
             for p in hroot.iter(f"{w}p"):
                 headers.append(run_text(p))
     footnotes: list[str] = []
@@ -491,7 +505,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         1 for _ in doc_root.iter(f"{w}footnoteReference")
     )
     if "word/footnotes.xml" in zf.namelist():
-        froot = ET.fromstring(
+        froot = _parse_xml(
             _read_bounded(zf, "word/footnotes.xml", actual)
         )
         for fn in froot.findall(f"{w}footnote"):
@@ -510,7 +524,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         1 for _ in doc_root.iter(f"{w}endnoteReference")
     )
     if "word/endnotes.xml" in zf.namelist():
-        eroot = ET.fromstring(
+        eroot = _parse_xml(
             _read_bounded(zf, "word/endnotes.xml", actual)
         )
         for en in eroot.findall(f"{w}endnote"):
@@ -528,7 +542,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
         1 for _ in doc_root.iter(f"{w}commentReference")
     )
     if "word/comments.xml" in zf.namelist():
-        croot = ET.fromstring(
+        croot = _parse_xml(
             _read_bounded(zf, "word/comments.xml", actual)
         )
         for cm in croot.findall(f"{w}comment"):
@@ -547,7 +561,7 @@ def parse_docx(blob: bytes, reference: str) -> dict:
 
     title, creator, created = "", "", ""
     try:
-        core = ET.fromstring(
+        core = _parse_xml(
             _read_bounded(zf, "docProps/core.xml", actual)
         )
         for el in core:

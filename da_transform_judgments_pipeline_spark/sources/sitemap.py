@@ -87,6 +87,16 @@ def parse_sitemap(blob: bytes) -> tuple[str, list[dict]]:
             f"sitemap is {len(blob)} bytes, over the protocol's"
             f" {SITEMAP_MAX_BYTES}-byte limit"
         )
+    # stdlib ElementTree expands internal DTD entities (the
+    # billion-laughs memory bomb); sitemaps never legitimately carry a
+    # DTD, so refuse the declaration outright — the byte bound above
+    # cannot catch EXPANSION bombs
+    head = blob[:4096]
+    if b"<!DOCTYPE" in head or b"<!ENTITY" in blob:
+        raise SitemapError(
+            "DTD/entity declarations refused (XML entity-expansion"
+            " bomb guard)"
+        )
     try:
         root = ET.fromstring(blob)
     except ET.ParseError as exc:

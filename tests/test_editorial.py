@@ -496,6 +496,28 @@ def test_parse_docx_zip_bomb_and_collision_guards():
         docx_parser.DOCX_MAX_MEMBER_BYTES = orig_member
         docx_parser.DOCX_MAX_TOTAL_BYTES = orig_total
 
+    # XML entity-expansion bomb (billion laughs): byte bounds cannot
+    # catch an EXPANSION blow-up, so DTD/entity declarations are
+    # refused before ElementTree ever sees them
+    laughs = (
+        b'<?xml version="1.0"?><!DOCTYPE w [<!ENTITY a "ha">'
+        b'<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;&a;&a;">'
+        b'<!ENTITY c "&b;&b;&b;&b;&b;&b;&b;&b;&b;&b;">]>'
+        b'<w:document xmlns:w="' + docx_parser.W_NS.encode()
+        + b'"><w:body><w:p><w:r><w:t>&c;</w:t></w:r></w:p>'
+        b"</w:body></w:document>"
+    )
+    evil = io.BytesIO()
+    with zipfile.ZipFile(evil, "w") as zf:
+        with zipfile.ZipFile(io.BytesIO(big)) as src:
+            for n in src.namelist():
+                zf.writestr(
+                    n,
+                    laughs if n == "word/document.xml" else src.read(n),
+                )
+    with pytest.raises(DocxBombError, match="entity-expansion"):
+        parse_docx(evil.getvalue(), "R-1")
+
     # basename collision across media subfolders: both members survive
     # the zip, but the flat artifact namespace cannot hold both
     base = build_docx(["hello"], title="T")

@@ -65,6 +65,13 @@ def test_parse_typed_refusals():
         )
     with pytest.raises(SitemapError, match="corrupt gzip"):
         parse_sitemap(b"\x1f\x8b\x08\x00junk")
+    # XML entity-expansion bomb: DTD/entity declarations refused before
+    # ElementTree can expand them (byte bounds can't catch expansion)
+    with pytest.raises(SitemapError, match="entity-expansion"):
+        parse_sitemap(
+            b'<?xml version="1.0"?><!DOCTYPE u [<!ENTITY a "x">]>'
+            b"<urlset><url><loc>&a;</loc></url></urlset>"
+        )
     # truncated-but-valid-prefix gzip is also corrupt (decompressobj
     # returns partial data without raising — the eof check catches it)
     import gzip as _gzip
