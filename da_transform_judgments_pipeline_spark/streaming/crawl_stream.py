@@ -17,13 +17,14 @@ Exactly-once posture (the orchestrator's T10 machinery applied to
 files) — EVERY crash window replays to identical sink contents:
 
 - the idempotency key is the WARC file path. The processed-path LEDGER
-  (``{out_dir}/processed``) is batch_id-PARTITIONED and each batch
+  (``{out_dir}/processed``) is batch_key-PARTITIONED (a lineage-
+  qualified key — see orchestrator.batch_key) and each batch
   overwrites its own partition; the replay guard anti-joins the ledger
   MINUS the current batch's partition, so a crashed batch ALWAYS
   replays in full (even after a partial ledger write) while a
   cross-batch duplicate resend is still dropped.
 - every corpus sink (``accepted``/``duplicates``/``redirects``/
-  ``discovered``/``disallowed``/``errors``) is batch_id-partitioned and
+  ``discovered``/``disallowed``/``errors``) is batch_key-partitioned and
   written with dynamic-partition OVERWRITE: a replay after a crash in
   the pre-ledger window REPLACES the batch's partition instead of
   re-appending — zero duplicate rows in any window, not just
@@ -60,7 +61,12 @@ from ..functions.strings import canonical_url
 from ..operators import text
 from ..sources.frontier import append_to_url_index, new_frontier_urls
 from ..sources.warc import warc_records
-from .orchestrator import replay_guard
+from .orchestrator import (
+    batch_key,
+    ledger_other_batches as _ledger_other_batches,
+    replay_guard,
+    write_batch_partition as _write_batch_partition,
+)
 
 MANIFEST_SCHEMA = "file_id LONG, path STRING"
 
@@ -156,39 +162,7 @@ def _norm_path(col):
     return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/{0,2}(/)", "$1")
 
 
-def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
-    """Write one batch's rows as the ``batch_id=N`` partition of a sink,
-    REPLACING that partition if a crashed earlier attempt already wrote
-    it (dynamic-partition overwrite) — the mechanism that makes every
-    pre-ledger crash window idempotent instead of at-least-once."""
-    (
-        df.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(path)
-    )
-
-
-def _ledger_other_batches(spark, out_dir: str, batch_id: int):
-    """The replay-guard probe set: every ledgered path EXCEPT the
-    current batch's own partition — so a crashed batch replays in full
-    even when its ledger write survived (or half-survived), while a
-    cross-batch duplicate resend still anti-joins away. A compacted
-    ledger keeps the batch_id layout in the reserved ``batch_id=-1``
-    partition (see compact_processed_ledger), which real batch ids
-    (>= 0) never match; a plain unpartitioned ledger (no batch_id
-    column — the run_pipeline shape) is tolerated too."""
-    try:
-        led = spark.read.parquet(f"{out_dir}/processed")
-    except Exception:
-        return None
-    if "batch_id" in led.columns:
-        led = led.filter(F.col("batch_id") != F.lit(batch_id))
-    return led.select("exec_name")
-
-
-def _own_canonicals(spark, out_dir: str, batch_id: int):
+def _own_canonicals(spark, out_dir: str, key: str):
     """Canonicals a CRASHED earlier attempt of this very batch already
     wrote to accepted/redirects — the exact set append_to_url_index
     would have added. Subtracting them from the index view pins replay
@@ -202,7 +176,7 @@ def _own_canonicals(spark, out_dir: str, batch_id: int):
     conf = spark._jsc.hadoopConfiguration()
     found = []
     for sink in ("accepted", "redirects", "sitemaps"):
-        p = f"{out_dir}/{sink}/batch_id={batch_id}"
+        p = f"{out_dir}/{sink}/batch_key={key}"
         try:
             if hpath(p).getFileSystem(conf).exists(hpath(p)):
                 found.append(p)
@@ -270,7 +244,7 @@ def run_crawl_stream(
     - malformed/bomb-bounded files → ``{out_dir}/errors`` (one row per
       file, the report-mode contract);
 
-    Every sink is batch_id-partitioned and the batch's partition is
+    Every sink is batch_key-partitioned and the batch's partition is
     written with dynamic-partition OVERWRITE; then the file paths
     overwrite the batch's ledger partition, then the accepted
     canonicals append to the frontier index (idempotent), then
@@ -289,13 +263,14 @@ def run_crawl_stream(
     )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        key = batch_key(f"{out_dir}/_checkpoint", batch_id)
         manifest = (
             batch.filter(F.col("path").isNotNull())
             .withColumn("exec_name", F.col("path"))
             .dropDuplicates(["path"])  # duplicate resends in one batch
         )
         fresh = replay_guard(
-            manifest, _ledger_other_batches(spark, out_dir, batch_id)
+            manifest, _ledger_other_batches(spark, out_dir, key)
         )
         # the manifest IS control-plane: ≤ max_files_per_trigger paths
         # per micro-batch — this collect is a file list, never data
@@ -316,7 +291,7 @@ def run_crawl_stream(
                 "file_id", "content"
             )
             docs, errors = _extract_docs(files)
-            _write_batch_partition(errors, f"{out_dir}/errors", batch_id)
+            _write_batch_partition(errors, f"{out_dir}/errors", key)
             if rules is not None:
                 from ..operators.robots import robots_filter
 
@@ -325,7 +300,7 @@ def run_crawl_stream(
                     flagged.filter(~F.col("allowed")).select(
                         *CRAWL_DOC_COLUMNS
                     ),
-                    f"{out_dir}/disallowed", batch_id,
+                    f"{out_dir}/disallowed", key,
                 )
                 docs = flagged.filter(F.col("allowed")).drop("allowed")
 
@@ -348,7 +323,7 @@ def run_crawl_stream(
                 # from its sink partitions) so accepted/url_seen
                 # decisions replay IDENTICALLY
                 index = spark.table(frontier_table)
-                own = _own_canonicals(spark, out_dir, batch_id)
+                own = _own_canonicals(spark, out_dir, key)
                 if own is not None:
                     index = index.join(own, "canonical", "left_anti")
                 fresh_docs = survivors.join(index, "canonical", "left_anti")
@@ -498,33 +473,32 @@ def run_crawl_stream(
                 # _own_canonicals reads back; every sink write replaces
                 # this batch's partition (idempotent under replay)
                 _write_batch_partition(
-                    accepted, f"{out_dir}/accepted", batch_id
+                    accepted, f"{out_dir}/accepted", key
                 )
                 _write_batch_partition(
-                    links_out, f"{out_dir}/links", batch_id
+                    links_out, f"{out_dir}/links", key
                 )
                 _write_batch_partition(
-                    redirects, f"{out_dir}/redirects", batch_id
+                    redirects, f"{out_dir}/redirects", key
                 )
                 _write_batch_partition(
-                    sm_summary, f"{out_dir}/sitemaps", batch_id
+                    sm_summary, f"{out_dir}/sitemaps", key
                 )
                 _write_batch_partition(
                     dup_in_batch.union(dup_seen),
-                    f"{out_dir}/duplicates", batch_id,
+                    f"{out_dir}/duplicates", key,
                 )
                 _write_batch_partition(
-                    discovered, f"{out_dir}/discovered", batch_id
+                    discovered, f"{out_dir}/discovered", key
                 )
                 _fire("after_sinks", batch_id)
                 # ledger next (its partition also overwrites): from here
                 # a replay reprocesses the full batch because the guard
                 # excludes this batch's own partition
-                fresh.select("exec_name").withColumn(
-                    "batch_id", F.lit(batch_id)
-                ).write.mode("overwrite").option(
-                    "partitionOverwriteMode", "dynamic"
-                ).partitionBy("batch_id").parquet(f"{out_dir}/processed")
+                _write_batch_partition(
+                    fresh.select("exec_name"),
+                    f"{out_dir}/processed", key,
+                )
                 _fire("after_ledger", batch_id)
                 # index LAST — idempotent (anti-join re-guard), and any
                 # replay after this point restores the pre-append view

@@ -244,6 +244,71 @@ def _processed_keys(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
 
 
+def batch_key(checkpoint_dir: str, batch_id: int) -> str:
+    """The LINEAGE-QUALIFIED batch identity all idempotent sinks
+    partition on: an 8-hex digest of the checkpoint path plus the
+    micro-batch id. ``batch_id`` alone is NOT unique — a fresh
+    checkpoint restarts numbering at 0, so a cross-checkpoint resend
+    would alias the old batch's partition (forgiven by the guard,
+    clobbered by the overwrite). The checkpoint path is stable across
+    crash-restarts of one lineage (same replay → same key → partitions
+    replace) and differs across lineages (resend → different key → the
+    guard drops it)."""
+    import hashlib
+
+    lineage = hashlib.md5(
+        checkpoint_dir.rstrip("/").encode()
+    ).hexdigest()[:8]
+    return f"{lineage}-{batch_id}"
+
+
+def write_batch_partition(
+    df: DataFrame, path: str, key: str, writer: str | None = None
+) -> None:
+    """Write one batch's rows as the ``batch_key=<key>`` partition of a
+    sink, REPLACING that partition if a crashed earlier attempt already
+    wrote it (dynamic-partition overwrite) — the mechanism that makes
+    every pre-ledger crash window idempotent instead of at-least-once.
+
+    ``writer`` adds a second ``_writer=<name>`` partition level for
+    sinks several writers share within one batch (run_pipeline's
+    mixed-schema events sink): dynamic overwrite replaces only the
+    partitions PRESENT in the data, so each writer replaces its own
+    leaf without clobbering the others'."""
+    df = df.withColumn("batch_key", F.lit(key))
+    parts = ["batch_key"]
+    if writer is not None:
+        df = df.withColumn("_writer", F.lit(writer))
+        parts.append("_writer")
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*parts)
+        .parquet(path)
+    )
+
+
+def ledger_other_batches(
+    spark: SparkSession, out_dir: str, key: str
+) -> DataFrame | None:
+    """The replay-guard probe set: every ledgered key EXCEPT the
+    current batch's own partition — so a crashed batch replays in full
+    even when its ledger write survived (or half-survived), while a
+    duplicate resend (cross-batch or cross-checkpoint) still anti-joins
+    away. A compacted ledger keeps the layout in the reserved
+    ``batch_key=compacted`` partition (see
+    :func:`compact_processed_ledger`), which real keys never match; a
+    plain unpartitioned ledger (no batch_key column) is tolerated
+    too."""
+    try:
+        led = spark.read.parquet(os.path.join(out_dir, "processed"))
+    except Exception:
+        return None
+    if "batch_key" in led.columns:
+        led = led.filter(F.col("batch_key") != F.lit(key))
+    return led.select("exec_name")
+
+
 def compact_processed_ledger(
     spark: SparkSession, out_dir: str, n_files: int = 4
 ) -> dict:
@@ -270,16 +335,16 @@ def compact_processed_ledger(
     files_before = len(src.inputFiles())
     distinct = src.select("exec_name").distinct()
     tmp = path.rstrip("/") + "_compacting"
-    if "batch_id" in src.columns:
-        # a batch_id-PARTITIONED ledger (run_crawl_stream's layout)
+    if "batch_key" in src.columns:
+        # a batch_key-PARTITIONED ledger (the idempotent-sink layout)
         # must stay partitioned after compaction: plain files in the
-        # same root as later batch_id=N subdirs would break Spark's
+        # same root as later batch_key=K subdirs would break Spark's
         # partition discovery ("conflicting directory structures").
-        # The compacted keys land in the reserved batch_id=-1
-        # partition (real batches are >= 0, so the guard's
+        # The compacted keys land in the reserved batch_key=compacted
+        # partition (real keys are <lineage-hex>-<n>, so the guard's
         # own-partition exclusion never matches it).
         distinct.repartition(n_files).write.mode("overwrite").parquet(
-            tmp + "/batch_id=-1"
+            tmp + "/batch_key=compacted"
         )
     else:
         distinct.repartition(n_files).write.mode("overwrite").parquet(tmp)
@@ -326,17 +391,21 @@ def run_pipeline(
 
     Per batch (T1): `ok` rows are dispatched per event-name through
     `stages` (each stage gets (spark, batch_df_for_its_event) and returns an
-    output-event DataFrame appended to out/events — NB the sink is shared
-    with the unhandled-event pass-through's flat schema, so a stage
-    returning a different schema leaves mixed parquet schemas in the
-    directory; consumers of such sinks should read with mergeSchema=true
-    or filter on a stage-specific column, and stages that want a clean
-    sink should align with the pass-through columns); `retry` rows append to
-    out/retries (a re-queue feed); `dead-letter` + `invalid` rows append to
-    out/dlq and fire the `alert` callback (T6 — Slack in the reference,
-    injectable here). Every dispatched exec_name is recorded in
-    out/processed, and a left-anti join against that table guards replays
-    (T10). Returns the StreamingQuery.
+    output-event DataFrame written to out/events under its own
+    ``batch_id=N/_writer=stage_<name>`` partition — NB the sink is
+    shared across writers with possibly different schemas; consumers of
+    such sinks should read with mergeSchema=true or filter on a
+    stage-specific column, and stages that want a clean sink should
+    align with the pass-through columns); `retry` rows go to
+    out/retries (a re-queue feed) and `dead-letter` + `invalid` rows to
+    out/dlq — every sink batch_id-partitioned with dynamic-partition
+    OVERWRITE, and the replay guard anti-joins the ledger MINUS the
+    batch's own partition, so a crash in ANY window replays to
+    identical contents (the crawl_stream exactly-once posture; the
+    ``alert`` callback (T6 — Slack in the reference, injectable here)
+    remains at-least-once, as external side effects must). Every
+    dispatched exec_name is recorded in out/processed (T10). Returns
+    the StreamingQuery.
 
     ``on_batch_complete(batch_id)`` runs as the LAST statement of each
     batch — after every sink append including the processed-key ledger,
@@ -368,17 +437,33 @@ def run_pipeline(
     ]
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        key = batch_key(checkpoint_dir, batch_id)
         b = batch.select(*flat_cols, "event").persist()
         try:
-            # T10 replay guard: drop exec_names we have already dispatched
-            b = replay_guard(b, _processed_keys(spark, out_dir))
+            # T10 replay guard MINUS this batch's own ledger partition
+            # (lineage-qualified key): a crashed batch always replays
+            # in full, every sink below REPLACES its partition, and a
+            # cross-checkpoint resend carries a different lineage so it
+            # still anti-joins away — each crash window converges to
+            # exactly-once contents (the crawl_stream posture applied
+            # to the event pipeline)
+            b = replay_guard(
+                b, ledger_other_batches(spark, out_dir, key)
+            )
 
             ok = b.filter(F.col("route") == ROUTE_OK)
             for event_name, stage_fn in stages.items():
                 sub = ok.filter(F.col("event_name") == event_name)
                 out = stage_fn(spark, sub)
                 if out is not None:
-                    out.write.mode("append").parquet(out_events)
+                    # the events sink is shared by several writers per
+                    # batch with possibly different schemas: each gets
+                    # its own _writer partition leaf so replays replace
+                    # without clobbering the other writers' output
+                    write_batch_partition(
+                        out, out_events, key,
+                        writer=f"stage_{event_name}",
+                    )
             unstaged = ok.filter(
                 ~F.col("event_name").isin(*stages.keys())
                 if stages
@@ -386,15 +471,19 @@ def run_pipeline(
             )
             # forward pass-through (tre_forward parity): unhandled ok events
             # republish with their attribute columns
-            unstaged.select(*flat_cols).write.mode("append").parquet(
-                out_events
+            write_batch_partition(
+                unstaged.select(*flat_cols), out_events, key,
+                writer="forward",
             )
 
             # T4: re-queued events carry the INCREMENTED counter (column +
             # embedded payload) so the retry loop converges to dead-letter
-            bump_retry_counter(
-                b.filter(F.col("route") == ROUTE_RETRY)
-            ).select(*flat_cols).write.mode("append").parquet(out_retries)
+            write_batch_partition(
+                bump_retry_counter(
+                    b.filter(F.col("route") == ROUTE_RETRY)
+                ).select(*flat_cols),
+                out_retries, key,
+            )
 
             dead = b.filter(
                 F.col("route").isin(ROUTE_DEAD_LETTER, ROUTE_INVALID)
@@ -403,12 +492,17 @@ def run_pipeline(
                 "exec_name", "event_name", "reference", "route", "errors"
             ).collect()
             if dead_rows:
-                dead.select(*flat_cols).write.mode("append").parquet(out_dlq)
+                write_batch_partition(
+                    dead.select(*flat_cols), out_dlq, key
+                )
                 if alert is not None:
+                    # alerting stays at-least-once across a crash
+                    # replay (an external side effect has no partition
+                    # to overwrite) — the reference's Slack posture
                     alert([r.asDict() for r in dead_rows])
 
-            b.select("exec_name").distinct().write.mode("append").parquet(
-                out_processed
+            write_batch_partition(
+                b.select("exec_name").distinct(), out_processed, key
             )
             if on_batch_complete is not None:
                 on_batch_complete(batch_id)

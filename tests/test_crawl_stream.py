@@ -346,8 +346,8 @@ def test_crawl_ledger_compaction_keeps_partition_layout(spark, tmp_path):
     stats = compact_processed_ledger(spark, str(out))
     assert stats["keys"] == 1
     led = _read(spark, out / "processed")
-    assert "batch_id" in led.columns  # layout preserved
-    assert [r["batch_id"] for r in led.collect()] == [-1]
+    assert "batch_key" in led.columns  # layout preserved
+    assert [r["batch_key"] for r in led.collect()] == ["compacted"]
 
     # wave 2: resend f1 (guard drops) + a new f2 (processed, new
     # ledger partition lands beside batch_id=-1 without conflict)
@@ -460,7 +460,7 @@ def test_crawl_stream_sitemap_and_politeness(spark, tmp_path):
         if r["canonical"] == "https://h.example/sitemap.xml"
     ) == 1
     wave2 = {r["canonical"]: (r["slot"], r["offset_sec"]) for r in disc
-             if r["batch_id"] == 1}
+             if r["batch_key"].endswith("-1")}
     assert wave2 == {
         "https://h.example/s1": (0, 0.0),
         "https://h.example/s2": (1, 2.0),

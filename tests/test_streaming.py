@@ -674,6 +674,59 @@ def test_pipeline_chaos_restart_exactly_once(spark, tmp_path):
     assert len(processed) == len(set(processed))
 
 
+def test_pipeline_pre_ledger_crash_replays_exactly_once(spark, tmp_path):
+    """The crawl_stream exactly-once posture applied to run_pipeline: a
+    crash BETWEEN the event-sink writes and the ledger write forces a
+    full-batch replay, and the batch_key-partitioned dynamic-overwrite
+    sinks must REPLACE the crashed attempt's rows rather than
+    re-appending — zero duplicate event/ledger rows after recovery,
+    and a later cross-checkpoint resend still dies at the guard."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    indir = tmp_path / "in"
+    _write_events(indir, [_event("TDR-PRELEDGER", "bagit-available")])
+    out = tmp_path / "out"
+
+    orig = orchestrator.write_batch_partition
+    armed = {"on": True}
+
+    def chaotic(df, path, key, writer=None):
+        if armed["on"] and path.endswith("/processed"):
+            armed["on"] = False
+            raise RuntimeError("injected crash before the ledger write")
+        return orig(df, path, key, writer)
+
+    orchestrator.write_batch_partition = chaotic
+    try:
+        q = orchestrator.run_pipeline(
+            spark, str(indir), str(out), str(tmp_path / "ckpt")
+        )
+        with pytest.raises(StreamingQueryException, match="injected"):
+            q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        # events were already on disk when the crash hit
+        assert len(_read(spark, out / "events").collect()) == 1
+        # restart, same checkpoint: the batch replays in full
+        q = orchestrator.run_pipeline(
+            spark, str(indir), str(out), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+    finally:
+        orchestrator.write_batch_partition = orig
+    evs = _read(spark, out / "events").collect()
+    assert [r["reference"] for r in evs] == ["TDR-PRELEDGER"]
+    led = [r["exec_name"] for r in
+           _read(spark, out / "processed").collect()]
+    assert len(led) == len(set(led)) == 1
+    # cross-checkpoint resend of the same event: guard drops it
+    q = orchestrator.run_pipeline(
+        spark, str(indir), str(out), str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    assert len(_read(spark, out / "events").collect()) == 1
+
+
 def test_compact_processed_ledger_preserves_replay_guard(spark, tmp_path):
     """After several batches (and a crash replay writing duplicate ledger
     rows) the processed ledger holds many small files; compaction must
@@ -691,10 +744,13 @@ def test_compact_processed_ledger_preserves_replay_guard(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    stats = orchestrator.compact_processed_ledger(spark, str(out))
+    # n_files=1: with partitioned-overwrite ledgers each batch already
+    # writes exactly one file, so the shrink is 3 partitions → 1 file
+    stats = orchestrator.compact_processed_ledger(
+        spark, str(out), n_files=1
+    )
     assert stats["keys"] == 3
     assert stats["files_after"] < stats["files_before"], stats
-    assert stats["files_after"] <= 4
 
     # resend every wave verbatim: the guard must still drop them all
     for wave in range(3):
