@@ -1434,6 +1434,7 @@ def incremental_near_duplicates(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW batch and an indexed corpus
     (build_minhash_index) → (id_new, id_old, jaccard), exact-verified.
@@ -1445,7 +1446,14 @@ def incremental_near_duplicates(
     bucketing, and AQE broadcasts the batch sides outright when they fit.
     Batch rows whose id already exists in the corpus skip their self-pair.
     LSH params (n, k, bands) must match the ones the index was built with.
-    """
+
+    ``exclude_ids`` (a frame carrying ``id_col``): corpus rows with
+    these ids are ignored — run_dedup_stream passes the batch's own ids
+    so a crash-replay whose earlier attempt already appended the batch
+    to the index reproduces the ORIGINAL decisions instead of flagging
+    batch docs against their own index rows. The exclusion side is
+    broadcast (micro-batch sized), so the corpus keeps its
+    zero-Exchange plan."""
     rows = k // bands
     bhp = _persist(_hp_frame(batch, id_col, text_col, n))
     bband = (
@@ -1456,6 +1464,13 @@ def incremental_near_duplicates(
         )
     )
     corp_bands = spark.table(f"{table_prefix}_bands")
+    corp_hp_src = spark.table(f"{table_prefix}_hp")
+    if exclude_ids is not None:
+        ex = F.broadcast(
+            exclude_ids.select(F.col(id_col).alias("id")).distinct()
+        )
+        corp_bands = corp_bands.join(ex, "id", "left_anti")
+        corp_hp_src = corp_hp_src.join(ex, "id", "left_anti")
     cand = (
         bband.select(F.col("id").alias("id_new"), "band")
         .join(corp_bands.select(F.col("id").alias("id_old"), "band"), "band")
@@ -1463,7 +1478,7 @@ def incremental_near_duplicates(
         .select("id_new", "id_old")
         .dropDuplicates(["id_new", "id_old"])
     )
-    corp_hp = spark.table(f"{table_prefix}_hp")
+    corp_hp = corp_hp_src
     paired = cand.join(
         bhp.select(F.col("id").alias("id_new"), F.col("hp").alias("hp_new")),
         "id_new",

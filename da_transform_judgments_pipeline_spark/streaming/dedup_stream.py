@@ -70,6 +70,14 @@ def append_to_minhash_index(
         ) or 32
     rows = k // bands
     hp = _hp_frame(batch, id_col, text_col, n)
+    # replay re-guard (the d06 rule the frontier/substring appends
+    # already follow): ids already indexed are skipped, so a crashed
+    # batch's re-append cannot double the band/hash rows — duplicate hp
+    # rows would multiply later batches' verify joins
+    hp = hp.join(
+        batch.sparkSession.table(f"{table_prefix}_hp").select("id"),
+        "id", "left_anti",
+    )
     banded = hp.withColumn("sig", F.expr(_sig_sql("hp", k))).select(
         "id",
         F.explode(F.expr(_bands_sql("sig", bands, rows))).alias("band"),
@@ -244,26 +252,36 @@ def run_dedup_stream(
     ``{out_dir}/accepted`` AND join the index so later batches dedup
     against them. Exactly the reference's trigger shape
     (maxFilesPerTrigger mirrors the ≤10-records SQS batch,
-    orchestrator.py) applied to corpus ingestion."""
+    orchestrator.py) applied to corpus ingestion.
+
+    Exactly-once in EVERY crash window (the crawl_stream posture):
+    sinks are batch_key-partitioned with dynamic-partition overwrite (a
+    replay REPLACES the crashed attempt's rows), decisions exclude the
+    batch's OWN ids from the index view (a crash after the index append
+    cannot flip batch docs into duplicates of their own index rows on
+    replay), and the index append re-guards by id."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(source_dir)
     )
+    from .orchestrator import batch_key, write_batch_partition
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        key = batch_key(f"{out_dir}/_checkpoint", batch_id)
         batch = batch.filter(F.col(id_col).isNotNull()).persist()
         try:
             dups = incremental_near_duplicates(
                 batch, spark, table_prefix, threshold=threshold,
                 id_col=id_col, text_col=text_col,
+                exclude_ids=batch.select(id_col),
             )
             dup_ids = dups.select(
                 F.col("id_new").alias(id_col)
             ).distinct()
-            dups.write.mode("append").parquet(f"{out_dir}/duplicates")
+            write_batch_partition(dups, f"{out_dir}/duplicates", key)
             clean = batch.join(dup_ids, id_col, "left_anti")
-            clean.write.mode("append").parquet(f"{out_dir}/accepted")
+            write_batch_partition(clean, f"{out_dir}/accepted", key)
             append_to_minhash_index(
                 clean, table_prefix, id_col=id_col, text_col=text_col
             )
@@ -328,15 +346,15 @@ def run_semantic_stream(
         .json(source_dir)
     )
 
+    from .orchestrator import batch_key, write_batch_partition
+
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once: a crash between the appends
-        # below and the checkpoint commit replays this batch. Both
-        # halves tolerate that — semantic_dedup_incremental excludes
-        # the batch's own ids from the corpus side (decisions identical
-        # on replay) and append_to_semantic_index drops already-indexed
-        # ids (no duplicate rows / ranks). The parquet outputs remain
-        # at-least-once (duplicate rows of the SAME decisions), the
-        # standard foreachBatch sink contract.
+        # exactly-once in every crash window: decisions replay
+        # identically (semantic_dedup_incremental excludes the batch's
+        # own ids from the corpus side, append_to_semantic_index drops
+        # already-indexed ids), and the sinks REPLACE the batch's own
+        # partition on replay instead of re-appending.
+        key = batch_key(f"{out_dir}/_checkpoint", batch_id)
         batch = batch.filter(F.col(id_col).isNotNull()).persist()
         decisions = None
         try:
@@ -345,12 +363,12 @@ def run_semantic_stream(
                 id_col=id_col, vec_col=vec_col,
                 max_cluster_size=max_cluster_size, n_anchors=n_anchors,
             ).persist()
-            decisions.filter(~F.col("kept")).write.mode("append").parquet(
-                f"{out_dir}/pruned"
+            write_batch_partition(
+                decisions.filter(~F.col("kept")), f"{out_dir}/pruned", key
             )
             kept_ids = decisions.filter(F.col("kept")).select(id_col)
-            batch.join(kept_ids, id_col).write.mode("append").parquet(
-                f"{out_dir}/accepted"
+            write_batch_partition(
+                batch.join(kept_ids, id_col), f"{out_dir}/accepted", key
             )
             append_to_semantic_index(
                 batch, table, centroids, id_col=id_col, vec_col=vec_col
