@@ -3228,6 +3228,192 @@ def q_m21_webp_decode_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_m22_zstd_roundtrip(spark, sf_dir):
+    """REAL zstd (RFC 8878) decode under a hash oracle: per document the
+    text column is repeated 3 + doc_id %% 5 times (repetition plants
+    LZ77 matches) and compressed executor-side by the CANONICAL libzstd
+    encoder (pyarrow.Codec) at a level rotating 1/3/6/9/19 by doc_id —
+    so FSE sequence tables, Huffman literals (1- and 4-stream), raw/RLE
+    blocks and the repeat-offset history all appear across the corpus
+    exactly as real encoders emit them.  Every third document's frame
+    is preceded by a skippable frame (the warc.zst dictionary slot).
+    The pure-stdlib decoder (operators/compress.zstd_decompress, via
+    the Arrow-batched decompress_blobs operator) must recover the exact
+    payload bytes: decoded_len and decoded_md5 have closed forms DuckDB
+    recomputes with repeat(text, k).  The reference consumes gzip'd
+    consignments only (s3_lib untar path); zstd is what a 100 TB corpus
+    actually arrives under."""
+    from da_transform_judgments_pipeline_spark.operators.compress import (
+        decompress_blobs,
+    )
+
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import struct as _s
+
+        import pandas as pd
+        import pyarrow as pa
+
+        levels = [1, 3, 6, 9, 19]
+        for pdf in batches:
+            blobs = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                payload = txt.encode("utf-8") * (3 + d % 5)
+                frame = pa.Codec(
+                    "zstd", compression_level=levels[d % 5]
+                ).compress(payload, asbytes=True)
+                if d % 3 == 0:
+                    frame = _s.pack("<II", 0x184D2A50, 4) + b"dict" + frame
+                blobs.append(bytearray(frame))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    corpus = docs.mapInPandas(make, "doc_id long, content binary")
+    out = decompress_blobs(corpus, codec="zstd", on_error="raise")
+    return out.select(
+        "doc_id",
+        (F.col("doc_id") % 5).alias("level_slot"),
+        (F.lit(3) + F.col("doc_id") % 5).alias("n_repeats"),
+        F.length("decompressed").alias("decoded_len"),
+        F.md5("decompressed").alias("decoded_md5"),
+    ).orderBy("doc_id")
+
+
+def q_m23_multicodec_roundtrip(spark, sf_dir):
+    """LZ4-frame / snappy / gzip decode under one hash oracle: per
+    document the codec rotates by doc_id %% 3 (liblz4 frame with
+    xxHash32 header+content checksums, libsnappy raw varint+tag format
+    — both via the canonical C encoders in pyarrow.Codec — and stdlib
+    gzip), payload = text repeated 2 + doc_id %% 4 times.  The per-row
+    codec column drives operators/compress.decompress_blobs dispatch
+    (the mixed-transport corpus shape: one intake stage, heterogeneous
+    blobs).  decoded_len/decoded_md5 are recomputed closed-form by
+    DuckDB; a corrupt or mis-labeled row would hash-mismatch."""
+    from da_transform_judgments_pipeline_spark.operators.compress import (
+        decompress_blobs,
+    )
+
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import gzip as _gz
+
+        import pandas as pd
+        import pyarrow as pa
+
+        for pdf in batches:
+            blobs = []
+            codecs = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(did)
+                payload = txt.encode("utf-8") * (2 + d % 4)
+                codec = ("lz4", "snappy", "gzip")[d % 3]
+                if codec == "gzip":
+                    blob = _gz.compress(payload, mtime=0)
+                else:
+                    blob = pa.Codec(codec).compress(payload, asbytes=True)
+                blobs.append(bytearray(blob))
+                codecs.append(codec)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "codec": codecs, "content": blobs}
+            )
+
+    corpus = docs.mapInPandas(make, "doc_id long, codec string, content binary")
+    out = decompress_blobs(corpus, codec_col="codec", on_error="raise")
+    return out.select(
+        "doc_id",
+        "codec",
+        F.length("decompressed").alias("decoded_len"),
+        F.md5("decompressed").alias("decoded_md5"),
+    ).orderBy("doc_id")
+
+
+def q_m24_warc_zst_extract(spark, sf_dir):
+    """m16's WARC intake over the .warc.zst TRANSPORT (the IIPC/
+    next-generation Common Crawl layout): the identical closed-form
+    record corpus is packed by sources/warc.build_warc_zst — one REAL
+    libzstd frame per record plus a leading skippable frame — and read
+    back through the same warc_records operator, which now dispatches
+    gzip members / zstd frames / plain bytes per file
+    (sources/warc.split_warc_members_indexed).  The oracle is m16's
+    verbatim: transport must be invisible to every parsed field, so the
+    pure-stdlib zstd decoder sits inside a hash-checked end-to-end
+    pipeline (WARC headers, HTTP framing, sha1 digest re-verification,
+    html_text extraction) rather than a unit test."""
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        warc_records,
+    )
+
+    files = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.sources.warc import (
+            build_warc_zst,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                resp = [
+                    {
+                        "url": f"https://caselaw.example/{d}/{r}",
+                        "date": "2021-03-04T05:06:07Z",
+                        "status": 404 if r == 2 else 200,
+                        "payload": (
+                            f"<html><head><title>Doc {d}</title>"
+                            f"<script>var x = {d};</script></head>"
+                            f"<body><p>Para {r} of doc {d}.</p>"
+                            f"<!-- hidden --> &amp; more</body></html>"
+                        ).encode(),
+                    }
+                    for r in range(d % 3 + 1)
+                ]
+                if d % 5 == 2:
+                    resp.append({
+                        "url": f"https://caselaw.example/{d}/moved",
+                        "date": "2021-03-04T05:06:07Z",
+                        "status": 301,
+                        "location": f"https://caselaw.example/{d}/target",
+                        "payload":
+                            b"<html><body><p>Moved</p></body></html>",
+                    })
+                blobs.append(bytearray(build_warc_zst(
+                    resp, level=(d % 2) * 18 + 1
+                )))
+            yield pd.DataFrame(
+                {"file_id": pdf["doc_id"], "content": blobs}
+            )
+
+    corpus = files.mapInPandas(make, "file_id long, content binary")
+    recs = warc_records(corpus).filter(F.col("warc_type") == "response")
+    return (
+        recs.withColumn(
+            "text", text.html_text(F.col("payload").cast("string"))
+        )
+        .select(
+            "file_id", "pos", "target_uri", "http_status", "mime",
+            "location", "payload_len", "digest_ok", "text",
+        )
+        .orderBy("file_id", "pos")
+    )
+
+
 def q_m14_jpeg_decode_features(spark, sf_dir):
     """REAL lossy-compressed decode under a hash oracle: per document a
     16x8 two-block JPEG (ITU T.81 — markers, Annex K tables, Huffman
@@ -5310,7 +5496,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pure-wildcard rule), m21 (VP8L TR edge wrap + dimension guard),
     # g01/g02 (persisted edge list + fused HITS normalizer collect —
     # plan/action changes only, oracles unchanged).
-    # The position-50 boundary row is o04.
+    # --- Round 11b rotation: m22 (REAL zstd/RFC 8878 decode — FSE
+    # tables, 1- and 4-stream Huffman literals, repeat offsets,
+    # skippable frames — against frames the CANONICAL libzstd encoder
+    # emits at five levels), m23 (LZ4-frame/snappy/gzip per-row codec
+    # dispatch through decompress_blobs, xxHash32 checksums verified),
+    # and m24 (m16's WARC intake over the .warc.zst transport, same
+    # oracle verbatim — transport-invisibility is the check) lead the
+    # window.  Displaced past the cap: e10, a19, o04 (balanced cluster
+    # sample / retention cohorts / event funnel — all multi-round
+    # green; e10 stays pinned by the e06 k-means family, a19 by the
+    # temporal o-family, o04 by o06-o09 in selfcheck).
+    # The position-50 boundary row is m06_audio_window_plan.
+    # (a) NEW round 11b
+    "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
+    "m23_multicodec_roundtrip": q_m23_multicodec_roundtrip,
+    "m24_warc_zst_extract": q_m24_warc_zst_extract,
     # (a) NEW round 11
     "s26_crawl_schedule_stream": q_s26_crawl_schedule_stream,
     "g03_personalized_pagerank": q_g03_personalized_pagerank,
@@ -7143,6 +7344,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 0 THEN n_pages ELSE 0 END
                         AS INTEGER) AS n_compressed_streams
             FROM gen ORDER BY doc_id
+        """,
+        "m22_zstd_roundtrip": """
+            SELECT doc_id,
+                   doc_id % 5 AS level_slot,
+                   3 + doc_id % 5 AS n_repeats,
+                   CAST(strlen(repeat(text, CAST(3 + doc_id % 5 AS INTEGER)))
+                        AS INTEGER) AS decoded_len,
+                   md5(repeat(text, CAST(3 + doc_id % 5 AS INTEGER)))
+                       AS decoded_md5
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "m23_multicodec_roundtrip": """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'lz4' WHEN 1 THEN 'snappy'
+                        ELSE 'gzip' END AS codec,
+                   CAST(strlen(repeat(text, CAST(2 + doc_id % 4 AS INTEGER)))
+                        AS INTEGER) AS decoded_len,
+                   md5(repeat(text, CAST(2 + doc_id % 4 AS INTEGER)))
+                       AS decoded_md5
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "m24_warc_zst_extract": """
+            SELECT doc_id AS file_id,
+                   CAST(r + 1 AS INTEGER) AS pos,
+                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/' || CAST(r AS VARCHAR) AS target_uri,
+                   CAST(CASE WHEN r = 2 THEN 404 ELSE 200 END
+                        AS INTEGER) AS http_status,
+                   'text/html' AS mime,
+                   CAST(NULL AS VARCHAR) AS location,
+                   CAST(length(
+                     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                     || '</title><script>var x = '
+                     || CAST(doc_id AS VARCHAR)
+                     || ';</script></head><body><p>Para '
+                     || CAST(r AS VARCHAR) || ' of doc '
+                     || CAST(doc_id AS VARCHAR)
+                     || '.</p><!-- hidden --> &amp; more</body></html>'
+                   ) AS INTEGER) AS payload_len,
+                   TRUE AS digest_ok,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' Para '
+                       || CAST(r AS VARCHAR) || ' of doc '
+                       || CAST(doc_id AS VARCHAR) || '. & more' AS text
+            FROM documents,
+                 unnest(range(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS t(r)
+            UNION ALL
+            SELECT doc_id AS file_id,
+                   CAST(doc_id % 3 + 2 AS INTEGER) AS pos,
+                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/moved' AS target_uri,
+                   CAST(301 AS INTEGER) AS http_status,
+                   'text/html' AS mime,
+                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/target' AS location,
+                   CAST(length('<html><body><p>Moved</p></body></html>')
+                        AS INTEGER) AS payload_len,
+                   TRUE AS digest_ok,
+                   'Moved' AS text
+            FROM documents WHERE doc_id % 5 = 2
+            ORDER BY file_id, pos
         """,
         "m16_warc_extract": """
             SELECT doc_id AS file_id,

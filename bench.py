@@ -150,6 +150,9 @@ HEADLINE = [
     "g03_personalized_pagerank",
     "g04_weighted_pagerank",
     "s27_crawl_link_graph",
+    "m22_zstd_roundtrip",
+    "m23_multicodec_roundtrip",
+    "m24_warc_zst_extract",
 ]
 
 

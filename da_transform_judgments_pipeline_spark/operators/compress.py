@@ -1,0 +1,1260 @@
+"""Pure-stdlib decoders for the zstd / LZ4 / snappy transport codecs.
+
+The reference ingests gzip'd consignments only (tar.gz via
+``archive.untar``; gzip members in ``sources/warc.py``), but a 100 TB
+training corpus arrives under newer transports: Common Crawl mirrors
+and internal lakes ship ``.warc.zst`` / zstd parquet pages, Kafka and
+object-store exports default to LZ4 frames, and legacy Hadoop corpora
+are snappy-framed.  This module decodes all three with the standard
+library only, from public knowledge:
+
+- **zstd** — RFC 8878 (the Zstandard format): frame + block layout,
+  FSE (tANS) table descriptions and the predefined LL/ML/OF
+  distributions, canonical-prefix (Huffman) literals with FSE-coded
+  weights, the three-slot repeat-offset history, xxHash64 content
+  checksums.  Decode only; the differential twin is the *real* libzstd
+  encoder reached through ``pyarrow.Codec('zstd')`` in tests, so every
+  entropy path (raw/RLE/Huffman literals, 1- and 4-stream, predefined/
+  FSE/RLE/repeat sequence tables, multi-block windows) is pinned
+  against the canonical C implementation rather than a self-written
+  encoder that could share a bug.
+- **LZ4** — the public LZ4 frame and block format descriptions
+  (lz4.org): token/extended-length sequences, 64 KiB dependent-block
+  windows, xxHash32 header/block/content checksums.
+- **snappy** — Google's public snappy format description: varint
+  length + literal/copy1/copy2/copy4 tags.
+
+Every entry point takes an explicit ``max_output`` decompression bound
+and raises :class:`CompressBombError` BEFORE materializing past it
+(the ``split_gzip_members`` / ``sitemap`` posture: a declared 4 GiB
+payload in a 100-byte frame must cost 100 bytes, not 4 GiB).  All
+errors are typed ``ValueError`` subclasses so ``on_error='report'``
+row isolation works unchanged.
+
+Scale notes: decoding is executor-side over Arrow batches (see
+:func:`decompress_blobs`); each blob decodes independently, so the
+operator partitions like any other mapInPandas stage and never
+shuffles.  Pure-Python entropy decoding is the slow path vs the JVM's
+native parquet codecs — this module exists for *content* blobs (WARC
+records, message payloads) where the codec lives inside the row, not
+for table storage (leave parquet page compression to the JVM).
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "CompressError",
+    "CompressBombError",
+    "UnsupportedCompressionError",
+    "COMPRESS_MAX_OUTPUT_BYTES",
+    "ZSTD_MAX_WINDOW_BYTES",
+    "xxh32",
+    "xxh64",
+    "snappy_decompress",
+    "lz4_block_decompress",
+    "lz4_frame_decompress",
+    "zstd_decompress",
+    "zstd_frames",
+    "sniff_compression",
+    "decompress",
+    "decompress_blobs",
+]
+
+#: Default cumulative output bound for one blob (all entry points).
+COMPRESS_MAX_OUTPUT_BYTES = 1 << 30
+#: Refuse zstd frames declaring a window larger than this — a window
+#: is task-resident state; multi-GiB windows belong to archive tools,
+#: not a per-row decode stage.
+ZSTD_MAX_WINDOW_BYTES = 128 << 20
+
+ZSTD_MAGIC = 0xFD2FB528
+ZSTD_MAGIC_SKIPPABLE_MIN = 0x184D2A50
+ZSTD_MAGIC_SKIPPABLE_MAX = 0x184D2A5F
+LZ4_MAGIC = 0x184D2204
+
+
+class CompressError(ValueError):
+    """Malformed or truncated compressed data — typed so report-mode
+    row isolation can catch it without masking real bugs."""
+
+
+class CompressBombError(CompressError):
+    """Declared or actual output exceeds the decompression bound."""
+
+
+class UnsupportedCompressionError(CompressError):
+    """A legal-but-unsupported feature (external dictionaries) — named
+    explicitly instead of failing as if the input were corrupt."""
+
+
+# ---------------------------------------------------------------------------
+# xxHash (public algorithm spec, github.com/Cyan4973/xxHash) — needed to
+# verify LZ4 header/block/content checksums and zstd content checksums.
+# ---------------------------------------------------------------------------
+
+_M32 = 0xFFFFFFFF
+_P32_1, _P32_2, _P32_3, _P32_4, _P32_5 = (
+    2654435761,
+    2246822519,
+    3266489917,
+    668265263,
+    374761393,
+)
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _P32_1 + _P32_2) & _M32
+        v2 = (seed + _P32_2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _P32_1) & _M32
+        while i <= n - 16:
+            a, b, c, d = struct.unpack_from("<4I", data, i)
+            v1 = (_rotl32((v1 + a * _P32_2) & _M32, 13) * _P32_1) & _M32
+            v2 = (_rotl32((v2 + b * _P32_2) & _M32, 13) * _P32_1) & _M32
+            v3 = (_rotl32((v3 + c * _P32_2) & _M32, 13) * _P32_1) & _M32
+            v4 = (_rotl32((v4 + d * _P32_2) & _M32, 13) * _P32_1) & _M32
+            i += 16
+        h = (
+            _rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)
+        ) & _M32
+    else:
+        h = (seed + _P32_5) & _M32
+    h = (h + n) & _M32
+    while i <= n - 4:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = (_rotl32((h + k * _P32_3) & _M32, 17) * _P32_4) & _M32
+        i += 4
+    while i < n:
+        h = (_rotl32((h + data[i] * _P32_5) & _M32, 11) * _P32_1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _P32_2) & _M32
+    h ^= h >> 13
+    h = (h * _P32_3) & _M32
+    h ^= h >> 16
+    return h
+
+
+_M64 = 0xFFFFFFFFFFFFFFFF
+_P64_1, _P64_2, _P64_3, _P64_4, _P64_5 = (
+    11400714785074694791,
+    14029467366897019727,
+    1609587929392839161,
+    9650029242287828579,
+    2870177450012600261,
+)
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64_round(acc: int, lane: int) -> int:
+    return (_rotl64((acc + lane * _P64_2) & _M64, 31) * _P64_1) & _M64
+
+
+def _xxh64_merge(acc: int, val: int) -> int:
+    acc ^= _xxh64_round(0, val)
+    return ((acc * _P64_1) + _P64_4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P64_1 + _P64_2) & _M64
+        v2 = (seed + _P64_2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P64_1) & _M64
+        while i <= n - 32:
+            a, b, c, d = struct.unpack_from("<4Q", data, i)
+            v1 = _xxh64_round(v1, a)
+            v2 = _xxh64_round(v2, b)
+            v3 = _xxh64_round(v3, c)
+            v4 = _xxh64_round(v4, d)
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        h = _xxh64_merge(h, v1)
+        h = _xxh64_merge(h, v2)
+        h = _xxh64_merge(h, v3)
+        h = _xxh64_merge(h, v4)
+    else:
+        h = (seed + _P64_5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h = ((_rotl64(h ^ _xxh64_round(0, k), 27) * _P64_1) + _P64_4) & _M64
+        i += 8
+    if i <= n - 4:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = ((_rotl64(h ^ (k * _P64_1) & _M64, 23) * _P64_2) + _P64_3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ (data[i] * _P64_5) & _M64, 11) * _P64_1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# snappy (raw format)
+# ---------------------------------------------------------------------------
+
+
+def snappy_decompress(
+    blob: bytes, max_output: int = COMPRESS_MAX_OUTPUT_BYTES
+) -> bytes:
+    """Decode Google snappy raw format (varint length + tagged
+    literal/copy elements)."""
+    n = len(blob)
+    pos = 0
+    declared = 0
+    shift = 0
+    while True:
+        if pos >= n:
+            raise CompressError("snappy: truncated length varint")
+        byte = blob[pos]
+        pos += 1
+        declared |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise CompressError("snappy: length varint too long")
+    if declared > max_output:
+        raise CompressBombError(
+            f"snappy: declared {declared} bytes exceeds bound {max_output}"
+        )
+    out = bytearray()
+    while pos < n:
+        tag = blob[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            length = tag >> 2
+            if length >= 60:
+                extra = length - 59
+                if pos + extra > n:
+                    raise CompressError("snappy: truncated literal length")
+                length = int.from_bytes(blob[pos : pos + extra], "little")
+                pos += extra
+            length += 1
+            if pos + length > n:
+                raise CompressError("snappy: truncated literal")
+            out += blob[pos : pos + length]
+            pos += length
+        else:
+            if kind == 1:
+                length = ((tag >> 2) & 0x7) + 4
+                if pos >= n:
+                    raise CompressError("snappy: truncated copy1")
+                offset = ((tag >> 5) << 8) | blob[pos]
+                pos += 1
+            elif kind == 2:
+                length = (tag >> 2) + 1
+                if pos + 2 > n:
+                    raise CompressError("snappy: truncated copy2")
+                offset = int.from_bytes(blob[pos : pos + 2], "little")
+                pos += 2
+            else:
+                length = (tag >> 2) + 1
+                if pos + 4 > n:
+                    raise CompressError("snappy: truncated copy4")
+                offset = int.from_bytes(blob[pos : pos + 4], "little")
+                pos += 4
+            _lz_copy(out, offset, length, "snappy")
+        if len(out) > declared:
+            raise CompressError("snappy: output exceeds declared length")
+    if len(out) != declared:
+        raise CompressError(
+            f"snappy: declared {declared} bytes, produced {len(out)}"
+        )
+    return bytes(out)
+
+
+def _lz_copy(out: bytearray, offset: int, length: int, what: str) -> None:
+    """Copy ``length`` bytes from ``offset`` back in ``out`` (overlap =
+    byte-wise repetition, the LZ77 convention all three formats share)."""
+    if offset <= 0 or offset > len(out):
+        raise CompressError(
+            f"{what}: copy offset {offset} outside {len(out)} decoded bytes"
+        )
+    if offset >= length:
+        start = len(out) - offset
+        out += out[start : start + length]
+        return
+    start = len(out) - offset
+    for i in range(length):
+        out.append(out[start + i])
+
+
+# ---------------------------------------------------------------------------
+# LZ4 (block + frame formats)
+# ---------------------------------------------------------------------------
+
+
+def lz4_block_decompress(
+    blob: bytes,
+    max_output: int = COMPRESS_MAX_OUTPUT_BYTES,
+    window: bytes = b"",
+) -> bytes:
+    """Decode one raw LZ4 block.  ``window`` is prior plaintext that
+    matches may reference (dependent-block frames)."""
+    out = bytearray(window)
+    base = len(window)
+    n = len(blob)
+    pos = 0
+    if n == 0:
+        raise CompressError("lz4: empty block")
+    while True:
+        token = blob[pos]
+        pos += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                if pos >= n:
+                    raise CompressError("lz4: truncated literal length")
+                byte = blob[pos]
+                pos += 1
+                lit_len += byte
+                if byte != 255:
+                    break
+        if pos + lit_len > n:
+            raise CompressError("lz4: truncated literals")
+        out += blob[pos : pos + lit_len]
+        pos += lit_len
+        if len(out) - base > max_output:
+            raise CompressBombError(
+                f"lz4: block inflates past bound {max_output}"
+            )
+        if pos == n:
+            break  # last sequence carries literals only
+        if pos + 2 > n:
+            raise CompressError("lz4: truncated match offset")
+        offset = int.from_bytes(blob[pos : pos + 2], "little")
+        pos += 2
+        match_len = (token & 0xF) + 4
+        if token & 0xF == 15:
+            while True:
+                if pos >= n:
+                    raise CompressError("lz4: truncated match length")
+                byte = blob[pos]
+                pos += 1
+                match_len += byte
+                if byte != 255:
+                    break
+        if len(out) - base + match_len > max_output:
+            raise CompressBombError(
+                f"lz4: block inflates past bound {max_output}"
+            )
+        _lz_copy(out, offset, match_len, "lz4")
+    return bytes(out[base:])
+
+
+def lz4_frame_decompress(
+    blob: bytes, max_output: int = COMPRESS_MAX_OUTPUT_BYTES
+) -> bytes:
+    """Decode an LZ4 frame (magic, FLG/BD descriptor, blocks, xxHash32
+    header/block/content checksums, optional dependent blocks)."""
+    n = len(blob)
+    if n < 7:
+        raise CompressError("lz4: truncated frame header")
+    (magic,) = struct.unpack_from("<I", blob, 0)
+    if magic != LZ4_MAGIC:
+        raise CompressError(f"lz4: bad magic 0x{magic:08x}")
+    flg = blob[4]
+    bd = blob[5]
+    if (flg >> 6) != 0b01:
+        raise CompressError(f"lz4: unsupported frame version {flg >> 6}")
+    block_indep = bool(flg & 0x20)
+    block_checksum = bool(flg & 0x10)
+    has_content_size = bool(flg & 0x08)
+    content_checksum = bool(flg & 0x04)
+    has_dict_id = bool(flg & 0x01)
+    pos = 6
+    declared = None
+    if has_content_size:
+        if pos + 8 > n:
+            raise CompressError("lz4: truncated content size")
+        (declared,) = struct.unpack_from("<Q", blob, pos)
+        pos += 8
+        if declared > max_output:
+            raise CompressBombError(
+                f"lz4: declared {declared} bytes exceeds bound {max_output}"
+            )
+    if has_dict_id:
+        raise UnsupportedCompressionError(
+            "lz4: frames with external dictionaries are not supported"
+        )
+    if pos >= n:
+        raise CompressError("lz4: truncated header checksum")
+    hc = blob[pos]
+    expect = (xxh32(blob[4:pos]) >> 8) & 0xFF
+    if hc != expect:
+        raise CompressError(
+            f"lz4: header checksum mismatch (got 0x{hc:02x}, want 0x{expect:02x})"
+        )
+    pos += 1
+    out = bytearray()
+    while True:
+        if pos + 4 > n:
+            raise CompressError("lz4: truncated block size")
+        (size,) = struct.unpack_from("<I", blob, pos)
+        pos += 4
+        if size == 0:
+            break  # EndMark
+        uncompressed = bool(size & 0x80000000)
+        size &= 0x7FFFFFFF
+        if pos + size > n:
+            raise CompressError("lz4: truncated block")
+        data = blob[pos : pos + size]
+        pos += size
+        if block_checksum:
+            if pos + 4 > n:
+                raise CompressError("lz4: truncated block checksum")
+            (bc,) = struct.unpack_from("<I", blob, pos)
+            pos += 4
+            if xxh32(data) != bc:
+                raise CompressError("lz4: block checksum mismatch")
+        if uncompressed:
+            if len(out) + size > max_output:
+                raise CompressBombError(
+                    f"lz4: frame inflates past bound {max_output}"
+                )
+            out += data
+        else:
+            window = b"" if block_indep else bytes(out[-65536:])
+            piece = lz4_block_decompress(
+                data, max_output=max_output - len(out), window=window
+            )
+            out += piece
+    if content_checksum:
+        if pos + 4 > n:
+            raise CompressError("lz4: truncated content checksum")
+        (cc,) = struct.unpack_from("<I", blob, pos)
+        pos += 4
+        if xxh32(bytes(out)) != cc:
+            raise CompressError("lz4: content checksum mismatch")
+    if declared is not None and len(out) != declared:
+        raise CompressError(
+            f"lz4: declared {declared} bytes, produced {len(out)}"
+        )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# zstd (RFC 8878)
+# ---------------------------------------------------------------------------
+
+
+class _BackBits:
+    """Backward bitstream (RFC 8878 §3.1.1.4): written LSB-first
+    forward, read from the last byte down; the last byte's highest set
+    bit is the padding sentinel.  ``read(n)`` returns bits
+    ``[pos-n, pos)`` as an integer (stream-highest bit = MSB), the
+    convention every FSE/Huffman consumer in the spec uses."""
+
+    __slots__ = ("b", "pos")
+
+    def __init__(self, b: bytes):
+        if not b:
+            raise CompressError("zstd: empty bitstream")
+        last = b[-1]
+        if last == 0:
+            raise CompressError("zstd: missing bitstream sentinel")
+        self.b = b
+        self.pos = (len(b) - 1) * 8 + last.bit_length() - 1
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.pos -= n
+        p = self.pos
+        if p >= 0:
+            chunk = int.from_bytes(self.b[p >> 3 : (p >> 3) + 9], "little")
+            return (chunk >> (p & 7)) & ((1 << n) - 1)
+        # Overran the start: earlier-missing bits read as zeros in the
+        # LOW positions (libzstd BIT_readBits clamp); callers check
+        # ``pos`` to detect / reject the overrun.
+        avail = n + p
+        if avail <= 0:
+            return 0
+        chunk = int.from_bytes(self.b[0:9], "little")
+        return (chunk & ((1 << avail) - 1)) << (-p)
+
+
+class _FseTable:
+    __slots__ = ("accuracy_log", "symbols", "num_bits", "new_state_base")
+
+    def __init__(self, norm_freqs: list[int], accuracy_log: int):
+        size = 1 << accuracy_log
+        symbols = [0] * size
+        num_bits = [0] * size
+        new_state_base = [0] * size
+        state_desc = [0] * len(norm_freqs)
+        high_threshold = size
+        for s, f in enumerate(norm_freqs):
+            if f == -1:
+                high_threshold -= 1
+                symbols[high_threshold] = s
+                state_desc[s] = 1
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, f in enumerate(norm_freqs):
+            if f <= 0:
+                continue
+            state_desc[s] = f
+            for _ in range(f):
+                symbols[pos] = s
+                pos = (pos + step) & mask
+                while pos >= high_threshold:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise CompressError("zstd: FSE table spread did not close")
+        for i in range(size):
+            s = symbols[i]
+            next_desc = state_desc[s]
+            state_desc[s] += 1
+            nb = accuracy_log - (next_desc.bit_length() - 1)
+            num_bits[i] = nb
+            new_state_base[i] = (next_desc << nb) - size
+        self.accuracy_log = accuracy_log
+        self.symbols = symbols
+        self.num_bits = num_bits
+        self.new_state_base = new_state_base
+
+    @classmethod
+    def rle(cls, symbol: int) -> "_FseTable":
+        t = cls.__new__(cls)
+        t.accuracy_log = 0
+        t.symbols = [symbol]
+        t.num_bits = [0]
+        t.new_state_base = [0]
+        return t
+
+
+def _fse_read_table(
+    blob: bytes, pos: int, max_accuracy_log: int, max_symbols: int
+) -> tuple[_FseTable, int]:
+    """Parse an FSE table description (RFC 8878 §4.1.1) — a FORWARD
+    LSB-first bitstream, byte-aligned at the end.  Returns the table
+    and the new byte position."""
+    bit = pos * 8
+
+    def read_bits(nb: int) -> int:
+        nonlocal bit
+        bp = bit >> 3
+        if bp >= len(blob):
+            raise CompressError("zstd: truncated FSE table description")
+        chunk = int.from_bytes(blob[bp : bp + 4], "little")
+        val = (chunk >> (bit & 7)) & ((1 << nb) - 1)
+        bit += nb
+        return val
+
+    accuracy_log = 5 + read_bits(4)
+    if accuracy_log > max_accuracy_log:
+        raise CompressError(
+            f"zstd: FSE accuracy {accuracy_log} > max {max_accuracy_log}"
+        )
+    remaining = 1 << accuracy_log
+    freqs: list[int] = []
+    while remaining > 0 and len(freqs) < max_symbols:
+        nb = (remaining + 1).bit_length()
+        val = read_bits(nb)
+        lower_mask = (1 << (nb - 1)) - 1
+        threshold = (1 << nb) - 1 - (remaining + 1)
+        if (val & lower_mask) < threshold:
+            bit -= 1
+            val &= lower_mask
+        elif val > lower_mask:
+            val -= threshold
+        proba = val - 1
+        remaining -= -proba if proba < 0 else proba
+        freqs.append(proba)
+        if proba == 0:
+            while True:
+                repeat = read_bits(2)
+                freqs.extend([0] * repeat)
+                if repeat != 3 or len(freqs) >= max_symbols:
+                    break
+    if remaining != 0:
+        raise CompressError("zstd: FSE frequencies do not sum to table size")
+    end = (bit + 7) >> 3
+    if end > len(blob):
+        raise CompressError("zstd: truncated FSE table description")
+    return _FseTable(freqs, accuracy_log), end
+
+
+class _HufTable:
+    __slots__ = ("max_bits", "sym", "nb")
+
+    def __init__(self, weights: list[int]):
+        """``weights`` includes every symbol EXCEPT the last, whose
+        weight is implied (completes the sum to a power of two)."""
+        total = sum((1 << (w - 1)) for w in weights if w > 0)
+        if total == 0:
+            raise CompressError("zstd: Huffman weights sum to zero")
+        max_bits = total.bit_length()
+        left = (1 << max_bits) - total
+        if left & (left - 1):
+            raise CompressError("zstd: Huffman weights leave non-power-of-2 gap")
+        weights = weights + [left.bit_length()]
+        if len(weights) > 256:
+            raise CompressError("zstd: more than 256 Huffman symbols")
+        bits = [max_bits + 1 - w if w > 0 else 0 for w in weights]
+        size = 1 << max_bits
+        sym = bytearray(size)
+        nb = bytearray(size)
+        rank_count = [0] * (max_bits + 1)
+        for blen in bits:
+            rank_count[blen] += 1
+        rank_idx = [0] * (max_bits + 2)
+        rank_idx[max_bits] = 0
+        for i in range(max_bits, 0, -1):
+            rank_idx[i - 1] = rank_idx[i] + rank_count[i] * (1 << (max_bits - i))
+        if rank_idx[0] != size:
+            raise CompressError("zstd: Huffman table does not fill")
+        for s, blen in enumerate(bits):
+            if blen == 0:
+                continue
+            count = 1 << (max_bits - blen)
+            start = rank_idx[blen]
+            for i in range(start, start + count):
+                sym[i] = s
+                nb[i] = blen
+            rank_idx[blen] += count
+        self.max_bits = max_bits
+        self.sym = bytes(sym)
+        self.nb = bytes(nb)
+
+    def decode_stream(self, stream: bytes, count: int) -> bytes:
+        r = _BackBits(stream)
+        mask = (1 << self.max_bits) - 1
+        state = r.read(self.max_bits)
+        sym = self.sym
+        nbt = self.nb
+        out = bytearray(count)
+        for i in range(count):
+            out[i] = sym[state]
+            n = nbt[state]
+            state = ((state << n) | r.read(n)) & mask
+        # Unlike FSE there is no flushed initial state: the stream holds
+        # exactly sum(code lengths) bits, and the peek window overreads
+        # by max_bits zeros at the end — so exact consumption lands at
+        # -max_bits, not 0.
+        if r.pos != -self.max_bits:
+            raise CompressError(
+                f"zstd: Huffman stream mis-sized ({r.pos + self.max_bits} bits off)"
+            )
+        return bytes(out)
+
+
+# FSE-coded Huffman weights use two interleaved states (§4.2.1.2).
+def _fse_decode_interleaved(
+    table: _FseTable, stream: bytes, max_symbols: int
+) -> list[int]:
+    r = _BackBits(stream)
+    al = table.accuracy_log
+    state1 = r.read(al)
+    state2 = r.read(al)
+    syms = table.symbols
+    nbt = table.num_bits
+    base = table.new_state_base
+    out: list[int] = []
+    while True:
+        out.append(syms[state1])
+        state1 = base[state1] + r.read(nbt[state1])
+        if r.pos < 0:
+            out.append(syms[state2])
+            break
+        out.append(syms[state2])
+        state2 = base[state2] + r.read(nbt[state2])
+        if r.pos < 0:
+            out.append(syms[state1])
+            break
+        if len(out) > max_symbols:
+            raise CompressError("zstd: runaway FSE weight stream")
+    if len(out) > max_symbols:
+        raise CompressError("zstd: too many Huffman weights")
+    return out
+
+
+def _read_huf_table(blob: bytes, pos: int) -> tuple[_HufTable, int]:
+    """Huffman tree description (§4.2.1): direct 4-bit weights when the
+    header byte ≥ 128, else FSE-compressed weights."""
+    if pos >= len(blob):
+        raise CompressError("zstd: truncated Huffman description")
+    header = blob[pos]
+    pos += 1
+    if header >= 128:
+        n = header - 127
+        nbytes = (n + 1) // 2
+        if pos + nbytes > len(blob):
+            raise CompressError("zstd: truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            byte = blob[pos + (i >> 1)]
+            weights.append((byte >> 4) if i % 2 == 0 else (byte & 0xF))
+        pos += nbytes
+        return _HufTable(weights), pos
+    comp = blob[pos : pos + header]
+    if len(comp) < header:
+        raise CompressError("zstd: truncated FSE Huffman weights")
+    table, off = _fse_read_table(comp, 0, max_accuracy_log=6, max_symbols=256)
+    weights = _fse_decode_interleaved(table, comp[off:], max_symbols=255)
+    return _HufTable(weights), pos + header
+
+
+# Predefined sequence distributions (RFC 8878 §3.1.1.3.2.2).
+_LL_DEFAULT = [
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+]
+_ML_DEFAULT = [
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1, -1, -1,
+]
+_OF_DEFAULT = [
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1,
+]
+
+_LL_TABLE_DEFAULT = _FseTable(_LL_DEFAULT, 6)
+_ML_TABLE_DEFAULT = _FseTable(_ML_DEFAULT, 6)
+_OF_TABLE_DEFAULT = _FseTable(_OF_DEFAULT, 5)
+
+# Code → (baseline, extra bits) for literals lengths and match lengths
+# (§3.1.1.3.2.1.1).
+_LL_BASE = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536,
+]
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+_MAX_AL = {"ll": 9, "of": 8, "ml": 9}
+
+
+class _ZstdFrameState:
+    """Per-frame decoder state carried across blocks: the previous
+    Huffman table (Treeless literals), the three sequence tables
+    (Repeat mode), and the repeat-offset history."""
+
+    __slots__ = ("huf", "ll", "of", "ml", "rep")
+
+    def __init__(self):
+        self.huf: _HufTable | None = None
+        self.ll: _FseTable | None = None
+        self.of: _FseTable | None = None
+        self.ml: _FseTable | None = None
+        self.rep = [1, 4, 8]
+
+
+def _decode_literals(
+    block: bytes, pos: int, state: _ZstdFrameState
+) -> tuple[bytes, int]:
+    if pos >= len(block):
+        raise CompressError("zstd: truncated literals header")
+    h0 = block[pos]
+    ltype = h0 & 3
+    size_format = (h0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if size_format in (0, 2):
+            regen = h0 >> 3
+            pos += 1
+        elif size_format == 1:
+            if pos + 2 > len(block):
+                raise CompressError("zstd: truncated literals header")
+            regen = (h0 >> 4) | (block[pos + 1] << 4)
+            pos += 2
+        else:
+            if pos + 3 > len(block):
+                raise CompressError("zstd: truncated literals header")
+            regen = (h0 >> 4) | (block[pos + 1] << 4) | (block[pos + 2] << 12)
+            pos += 3
+        if ltype == 0:
+            if pos + regen > len(block):
+                raise CompressError("zstd: truncated raw literals")
+            return block[pos : pos + regen], pos + regen
+        if pos >= len(block):
+            raise CompressError("zstd: truncated RLE literal byte")
+        return bytes([block[pos]]) * regen, pos + 1
+    # Compressed (2) / Treeless (3)
+    if size_format == 0:
+        if pos + 3 > len(block):
+            raise CompressError("zstd: truncated literals header")
+        regen = (h0 >> 4) | ((block[pos + 1] & 0x3F) << 4)
+        comp = (block[pos + 1] >> 6) | (block[pos + 2] << 2)
+        streams = 1
+        pos += 3
+    elif size_format == 1:
+        if pos + 3 > len(block):
+            raise CompressError("zstd: truncated literals header")
+        regen = (h0 >> 4) | ((block[pos + 1] & 0x3F) << 4)
+        comp = (block[pos + 1] >> 6) | (block[pos + 2] << 2)
+        streams = 4
+        pos += 3
+    elif size_format == 2:
+        if pos + 4 > len(block):
+            raise CompressError("zstd: truncated literals header")
+        regen = (h0 >> 4) | (block[pos + 1] << 4) | ((block[pos + 2] & 0x3) << 12)
+        comp = (block[pos + 2] >> 2) | (block[pos + 3] << 6)
+        streams = 4
+        pos += 4
+    else:
+        if pos + 5 > len(block):
+            raise CompressError("zstd: truncated literals header")
+        regen = (h0 >> 4) | (block[pos + 1] << 4) | ((block[pos + 2] & 0x3F) << 12)
+        comp = (block[pos + 2] >> 6) | (block[pos + 3] << 2) | (block[pos + 4] << 10)
+        streams = 4
+        pos += 5
+    end = pos + comp
+    if end > len(block):
+        raise CompressError("zstd: truncated compressed literals")
+    if ltype == 2:
+        huf, pos = _read_huf_table(block, pos)
+        state.huf = huf
+    else:
+        huf = state.huf
+        if huf is None:
+            raise CompressError(
+                "zstd: Treeless literals with no previous Huffman table"
+            )
+    if streams == 1:
+        return huf.decode_stream(block[pos:end], regen), end
+    if end - pos < 6:
+        raise CompressError("zstd: truncated Huffman jump table")
+    s1, s2, s3 = struct.unpack_from("<3H", block, pos)
+    pos += 6
+    total = end - pos
+    if s1 + s2 + s3 > total:
+        raise CompressError("zstd: Huffman jump table exceeds section")
+    part = (regen + 3) >> 2
+    last = regen - 3 * part
+    if last < 0:
+        raise CompressError("zstd: 4-stream literals smaller than 3 parts")
+    bounds = [
+        (pos, s1, part),
+        (pos + s1, s2, part),
+        (pos + s1 + s2, s3, part),
+        (pos + s1 + s2 + s3, total - s1 - s2 - s3, last),
+    ]
+    out = bytearray()
+    for start, size, count in bounds:
+        out += huf.decode_stream(block[start : start + size], count)
+    return bytes(out), end
+
+
+def _read_seq_table(
+    block: bytes,
+    pos: int,
+    mode: int,
+    kind: str,
+    prev: _FseTable | None,
+    default: _FseTable,
+    max_symbol: int,
+) -> tuple[_FseTable, int]:
+    if mode == 0:
+        return default, pos
+    if mode == 1:  # RLE: one byte, the symbol
+        if pos >= len(block):
+            raise CompressError(f"zstd: truncated RLE {kind} table")
+        sym = block[pos]
+        if sym > max_symbol:
+            raise CompressError(f"zstd: {kind} RLE symbol {sym} out of range")
+        return _FseTable.rle(sym), pos + 1
+    if mode == 2:
+        table, pos = _fse_read_table(
+            block, pos, max_accuracy_log=_MAX_AL[kind], max_symbols=max_symbol + 1
+        )
+        return table, pos
+    if prev is None:
+        raise CompressError(f"zstd: Repeat {kind} table with no previous table")
+    return prev, pos
+
+
+def _decode_block(
+    block: bytes, state: _ZstdFrameState, out: bytearray, max_output: int
+) -> None:
+    literals, pos = _decode_literals(block, 0, state)
+    # --- sequences section header ---
+    if pos >= len(block):
+        raise CompressError("zstd: truncated sequences section")
+    b0 = block[pos]
+    pos += 1
+    if b0 == 0:
+        nseq = 0
+    elif b0 < 128:
+        nseq = b0
+    elif b0 < 255:
+        if pos >= len(block):
+            raise CompressError("zstd: truncated sequence count")
+        nseq = ((b0 - 128) << 8) + block[pos]
+        pos += 1
+    else:
+        if pos + 2 > len(block):
+            raise CompressError("zstd: truncated sequence count")
+        nseq = block[pos] + (block[pos + 1] << 8) + 0x7F00
+        pos += 2
+    if nseq == 0:
+        if len(out) + len(literals) > max_output:
+            raise CompressBombError(
+                f"zstd: output exceeds bound {max_output}"
+            )
+        out += literals
+        return
+    if pos >= len(block):
+        raise CompressError("zstd: truncated compression modes")
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise CompressError("zstd: reserved compression-mode bits set")
+    ll_mode, of_mode, ml_mode = (modes >> 6) & 3, (modes >> 4) & 3, (modes >> 2) & 3
+    ll_t, pos = _read_seq_table(
+        block, pos, ll_mode, "ll", state.ll, _LL_TABLE_DEFAULT, 35
+    )
+    of_t, pos = _read_seq_table(
+        block, pos, of_mode, "of", state.of, _OF_TABLE_DEFAULT, 31
+    )
+    ml_t, pos = _read_seq_table(
+        block, pos, ml_mode, "ml", state.ml, _ML_TABLE_DEFAULT, 52
+    )
+    state.ll, state.of, state.ml = ll_t, of_t, ml_t
+    r = _BackBits(block[pos:])
+    ll_state = r.read(ll_t.accuracy_log)
+    of_state = r.read(of_t.accuracy_log)
+    ml_state = r.read(ml_t.accuracy_log)
+    lit_pos = 0
+    rep = state.rep
+    for i in range(nseq):
+        of_code = of_t.symbols[of_state]
+        if of_code > 31:
+            raise CompressError(f"zstd: offset code {of_code} out of range")
+        offset_val = (1 << of_code) + r.read(of_code) if of_code else 1
+        ml_code = ml_t.symbols[ml_state]
+        ml = _ML_BASE[ml_code] + r.read(_ML_BITS[ml_code])
+        ll_code = ll_t.symbols[ll_state]
+        ll = _LL_BASE[ll_code] + r.read(_LL_BITS[ll_code])
+        if r.pos < 0:
+            raise CompressError("zstd: sequence bitstream overrun")
+        if offset_val > 3:
+            offset = offset_val - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = offset_val - 1
+            if ll == 0:
+                idx += 1
+            if idx == 0:
+                offset = rep[0]
+            else:
+                offset = rep[idx] if idx < 3 else rep[0] - 1
+                if offset == 0:
+                    raise CompressError("zstd: repeat offset underflow")
+                if idx > 1:
+                    rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        if lit_pos + ll > len(literals):
+            raise CompressError("zstd: sequence consumes past literals buffer")
+        if len(out) + ll + ml > max_output:
+            raise CompressBombError(f"zstd: output exceeds bound {max_output}")
+        out += literals[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        _lz_copy(out, offset, ml, "zstd")
+        if i != nseq - 1:
+            ll_state = ll_t.new_state_base[ll_state] + r.read(
+                ll_t.num_bits[ll_state]
+            )
+            ml_state = ml_t.new_state_base[ml_state] + r.read(
+                ml_t.num_bits[ml_state]
+            )
+            of_state = of_t.new_state_base[of_state] + r.read(
+                of_t.num_bits[of_state]
+            )
+            if r.pos < 0:
+                raise CompressError("zstd: sequence bitstream overrun")
+    if r.pos != 0:
+        raise CompressError(
+            f"zstd: sequence bitstream mis-sized ({r.pos} bits left)"
+        )
+    rest = len(literals) - lit_pos
+    if len(out) + rest > max_output:
+        raise CompressBombError(f"zstd: output exceeds bound {max_output}")
+    out += literals[lit_pos:]
+
+
+def _decode_frame(
+    blob: bytes, pos: int, max_output: int
+) -> tuple[bytes, int]:
+    """Decode ONE zstd frame starting at ``pos`` (past the magic);
+    returns (payload, position after the frame)."""
+    n = len(blob)
+    if pos >= n:
+        raise CompressError("zstd: truncated frame header")
+    desc = blob[pos]
+    pos += 1
+    fcs_flag = desc >> 6
+    single_segment = bool(desc & 0x20)
+    if desc & 0x08:
+        raise CompressError("zstd: reserved frame-descriptor bit set")
+    has_checksum = bool(desc & 0x04)
+    did_size = (0, 1, 2, 4)[desc & 3]
+    window = None
+    if not single_segment:
+        if pos >= n:
+            raise CompressError("zstd: truncated window descriptor")
+        wd = blob[pos]
+        pos += 1
+        base = 1 << (10 + (wd >> 3))
+        window = base + (base >> 3) * (wd & 7)
+    if did_size:
+        if pos + did_size > n:
+            raise CompressError("zstd: truncated dictionary ID")
+        did = int.from_bytes(blob[pos : pos + did_size], "little")
+        pos += did_size
+        if did != 0:
+            raise UnsupportedCompressionError(
+                f"zstd: frame requires external dictionary {did}"
+            )
+    fcs = None
+    fcs_bytes = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+    if fcs_bytes:
+        if pos + fcs_bytes > n:
+            raise CompressError("zstd: truncated frame content size")
+        fcs = int.from_bytes(blob[pos : pos + fcs_bytes], "little")
+        if fcs_bytes == 2:
+            fcs += 256
+        pos += fcs_bytes
+    if single_segment:
+        window = fcs
+    if fcs is not None and fcs > max_output:
+        raise CompressBombError(
+            f"zstd: declared {fcs} bytes exceeds bound {max_output}"
+        )
+    if window is not None and window > ZSTD_MAX_WINDOW_BYTES:
+        raise CompressBombError(
+            f"zstd: window {window} exceeds bound {ZSTD_MAX_WINDOW_BYTES}"
+        )
+    state = _ZstdFrameState()
+    out = bytearray()
+    while True:
+        if pos + 3 > n:
+            raise CompressError("zstd: truncated block header")
+        header = int.from_bytes(blob[pos : pos + 3], "little")
+        pos += 3
+        last = header & 1
+        btype = (header >> 1) & 3
+        bsize = header >> 3
+        if btype == 0:  # Raw
+            if pos + bsize > n:
+                raise CompressError("zstd: truncated raw block")
+            if len(out) + bsize > max_output:
+                raise CompressBombError(f"zstd: output exceeds bound {max_output}")
+            out += blob[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE
+            if pos >= n:
+                raise CompressError("zstd: truncated RLE block")
+            if len(out) + bsize > max_output:
+                raise CompressBombError(f"zstd: output exceeds bound {max_output}")
+            out += bytes([blob[pos]]) * bsize
+            pos += 1
+        elif btype == 2:  # Compressed
+            if pos + bsize > n:
+                raise CompressError("zstd: truncated compressed block")
+            _decode_block(blob[pos : pos + bsize], state, out, max_output)
+            pos += bsize
+        else:
+            raise CompressError("zstd: reserved block type")
+        if last:
+            break
+    if fcs is not None and len(out) != fcs:
+        raise CompressError(
+            f"zstd: declared {fcs} bytes, produced {len(out)}"
+        )
+    payload = bytes(out)
+    if has_checksum:
+        if pos + 4 > n:
+            raise CompressError("zstd: truncated content checksum")
+        (cc,) = struct.unpack_from("<I", blob, pos)
+        pos += 4
+        if (xxh64(payload) & 0xFFFFFFFF) != cc:
+            raise CompressError("zstd: content checksum mismatch")
+    return payload, pos
+
+
+def zstd_frames(blob: bytes, max_output: int = COMPRESS_MAX_OUTPUT_BYTES):
+    """Yield ``(payload, start, end)`` per zstd frame of a concatenated
+    stream (skippable frames are skipped) — the warc.zst walk, mirroring
+    ``split_gzip_members_indexed``.  ``max_output`` bounds the
+    CUMULATIVE inflated bytes."""
+    n = len(blob)
+    pos = 0
+    budget = max_output
+    while pos < n:
+        if pos + 4 > n:
+            raise CompressError("zstd: truncated frame magic")
+        (magic,) = struct.unpack_from("<I", blob, pos)
+        if ZSTD_MAGIC_SKIPPABLE_MIN <= magic <= ZSTD_MAGIC_SKIPPABLE_MAX:
+            if pos + 8 > n:
+                raise CompressError("zstd: truncated skippable frame")
+            (size,) = struct.unpack_from("<I", blob, pos + 4)
+            if pos + 8 + size > n:
+                raise CompressError("zstd: truncated skippable frame body")
+            pos += 8 + size
+            continue
+        if magic != ZSTD_MAGIC:
+            raise CompressError(f"zstd: bad frame magic 0x{magic:08x} at byte {pos}")
+        payload, end = _decode_frame(blob, pos + 4, budget)
+        budget -= len(payload)
+        yield payload, pos, end
+        pos = end
+
+
+def zstd_decompress(
+    blob: bytes, max_output: int = COMPRESS_MAX_OUTPUT_BYTES
+) -> bytes:
+    """Decode a (possibly multi-frame) zstd stream, bomb-bounded."""
+    parts = [p for p, _, _ in zstd_frames(blob, max_output=max_output)]
+    if not parts:
+        raise CompressError("zstd: no frames present")
+    return parts[0] if len(parts) == 1 else b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + Spark-facing operator
+# ---------------------------------------------------------------------------
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def sniff_compression(blob: bytes) -> str | None:
+    """Magic-based codec sniff for self-describing formats.  Raw snappy
+    and raw LZ4 blocks have no magic — pass those codecs explicitly."""
+    if len(blob) >= 4:
+        (magic,) = struct.unpack_from("<I", blob, 0)
+        if magic == ZSTD_MAGIC or (
+            ZSTD_MAGIC_SKIPPABLE_MIN <= magic <= ZSTD_MAGIC_SKIPPABLE_MAX
+        ):
+            return "zstd"
+        if magic == LZ4_MAGIC:
+            return "lz4"
+    if blob[:2] == _GZIP_MAGIC:
+        return "gzip"
+    return None
+
+
+def decompress(
+    blob: bytes, codec: str, max_output: int = COMPRESS_MAX_OUTPUT_BYTES
+) -> bytes:
+    """One blob, named codec.  ``codec='auto'`` sniffs zstd/lz4/gzip."""
+    if codec == "auto":
+        sniffed = sniff_compression(blob)
+        if sniffed is None:
+            raise UnsupportedCompressionError(
+                "auto codec: no zstd/lz4/gzip magic found"
+            )
+        codec = sniffed
+    if codec == "zstd":
+        return zstd_decompress(blob, max_output=max_output)
+    if codec == "lz4":
+        return lz4_frame_decompress(blob, max_output=max_output)
+    if codec == "lz4_raw":
+        return lz4_block_decompress(blob, max_output=max_output)
+    if codec == "snappy":
+        return snappy_decompress(blob, max_output=max_output)
+    if codec == "gzip":
+        import zlib
+
+        dec = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = dec.decompress(blob, max_output + 1)
+        if len(out) > max_output or dec.unconsumed_tail:
+            raise CompressBombError(
+                f"gzip: output exceeds bound {max_output}"
+            )
+        if not dec.eof:
+            raise CompressError("gzip: truncated stream")
+        return out
+    raise UnsupportedCompressionError(f"unknown codec {codec!r}")
+
+
+def decompress_blobs(
+    df,
+    content_col: str = "content",
+    codec_col: str | None = None,
+    codec: str = "auto",
+    max_output: int = COMPRESS_MAX_OUTPUT_BYTES,
+    on_error: str = "report",
+):
+    """Decode a binary column executor-side as one Arrow-batched
+    ``mapInPandas`` stage (the ``warc_records`` shape): input columns
+    pass through, plus ``decompressed`` (binary) and ``error`` (string,
+    NULL on success).  ``codec_col`` names a per-row codec column;
+    otherwise ``codec`` applies to every row.  ``on_error='report'``
+    isolates bad rows into the error column; ``'raise'`` propagates."""
+    if on_error not in ("report", "raise"):
+        raise ValueError(f"on_error must be 'report' or 'raise', got {on_error!r}")
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    schema = StructType(
+        df.schema.fields
+        + [
+            StructField("decompressed", BinaryType()),
+            StructField("error", StringType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            errs = []
+            for i in range(len(pdf)):
+                blob = pdf[content_col].iloc[i]
+                row_codec = (
+                    str(pdf[codec_col].iloc[i]) if codec_col else codec
+                )
+                try:
+                    if blob is None:
+                        raise CompressError("NULL content")
+                    outs.append(
+                        bytearray(
+                            decompress(bytes(blob), row_codec, max_output=max_output)
+                        )
+                    )
+                    errs.append(None)
+                except CompressError as e:
+                    if on_error == "raise":
+                        raise
+                    outs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            res = pdf.copy()
+            res["decompressed"] = pd.Series(outs, index=pdf.index, dtype=object)
+            res["error"] = pd.Series(errs, index=pdf.index, dtype=object)
+            yield res
+
+    return df.mapInPandas(run, schema)

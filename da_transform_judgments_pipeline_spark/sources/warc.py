@@ -126,6 +126,50 @@ def split_gzip_members_indexed(
     return out
 
 
+def split_warc_members_indexed(
+    blob: bytes,
+) -> list[tuple[bytes, int, int]]:
+    """Transport dispatch for one WARC file: ``.warc.gz`` (concatenated
+    gzip members), ``.warc.zst`` (one zstd frame per record, skippable
+    frames skipped — the IIPC warc.zst convention), or plain ``.warc``
+    (the whole file as one member).  Each element is
+    ``(payload, offset, compressed_length)``; zstd frames inherit the
+    same per-member / cumulative bomb bounds as gzip members.  Frames
+    requiring an external dictionary raise a typed
+    ``UnsupportedCompressionError`` (dictionary warc.zst needs the
+    dictionary frame's contents wired in; refuse loudly, never decode
+    wrong)."""
+    if blob[:2] == b"\x1f\x8b":
+        return split_gzip_members_indexed(blob)
+    if len(blob) >= 4:
+        from ..operators.compress import (
+            CompressBombError,
+            ZSTD_MAGIC,
+            ZSTD_MAGIC_SKIPPABLE_MAX,
+            ZSTD_MAGIC_SKIPPABLE_MIN,
+            zstd_frames,
+        )
+
+        (magic,) = struct.unpack_from("<I", blob, 0)
+        if magic == ZSTD_MAGIC or (
+            ZSTD_MAGIC_SKIPPABLE_MIN <= magic <= ZSTD_MAGIC_SKIPPABLE_MAX
+        ):
+            members = []
+            try:
+                for payload, start, end in zstd_frames(
+                    blob, max_output=WARC_MAX_TOTAL_BYTES
+                ):
+                    if len(payload) > WARC_MAX_MEMBER_BYTES:
+                        raise WarcBombError(
+                            f"zstd frame inflates past {WARC_MAX_MEMBER_BYTES} bytes"
+                        )
+                    members.append((payload, start, end - start))
+            except CompressBombError as e:
+                raise WarcBombError(str(e)) from e
+            return members
+    return [(blob, 0, len(blob))]
+
+
 def _parse_headers(block: bytes, what: str) -> tuple[str, dict]:
     """First line + case-insensitively keyed named headers."""
     try:
@@ -240,10 +284,10 @@ def _parse_one(member: bytes) -> tuple[dict, int]:
 
 def parse_warc(blob: bytes) -> list[dict]:
     """All records of one WARC file — gzipped (one or more records per
-    member) or plain — in file order, each dict as
-    :func:`parse_warc_record` plus ``pos``."""
+    member), zstd-framed (.warc.zst) or plain — in file order, each
+    dict as :func:`parse_warc_record` plus ``pos``."""
     out = []
-    for member in split_gzip_members(blob):
+    for member, _, _ in split_warc_members_indexed(blob):
         while member.strip(b"\r\n"):
             rec, used = _parse_one(member)
             rec["pos"] = len(out)
@@ -421,6 +465,39 @@ def build_warc_gz(
     return b"".join(members)
 
 
+def build_warc_zst(
+    responses: list[dict],
+    filename: str = "crawl.warc.zst",
+    level: int = 3,
+    leading_skippable: bool = True,
+) -> bytes:
+    """The ``.warc.zst`` twin of :func:`build_warc_gz`: identical
+    records, one zstd frame per record (the IIPC warc.zst layout),
+    optionally preceded by a skippable frame where real archives store
+    the shared dictionary (here: an empty marker — dictionary-less
+    archives are the supported decode path).  Frames are produced by
+    the REAL libzstd (via ``pyarrow.Codec``), so reading this file
+    exercises the pure-stdlib zstd decoder against canonical encoder
+    output, not a twin that could share a bug."""
+    import pyarrow as pa
+
+    gz = build_warc_gz(responses, filename=filename, gzip_members=False)
+    # re-split into the records build_warc_gz assembled
+    records = []
+    rest = gz
+    while rest.strip(b"\r\n"):
+        _, used = _parse_one(rest)
+        records.append(rest[:used])
+        rest = rest[used:]
+    codec = pa.Codec("zstd", compression_level=level)
+    out = bytearray()
+    if leading_skippable:
+        out += struct.pack("<II", 0x184D2A50, 0)
+    for rec in records:
+        out += codec.compress(rec, asbytes=True)
+    return bytes(out)
+
+
 WARC_CDX_SCHEMA = (
     "file_id long, pos int, target_uri string, warc_type string,"
     " offset long, length long, member_pos int, payload_digest string,"
@@ -473,7 +550,7 @@ def warc_cdx(
                 try:
                     _check_file_size(blob, max_file_bytes)
                     pos = 0
-                    for member, off, clen in split_gzip_members_indexed(
+                    for member, off, clen in split_warc_members_indexed(
                         bytes(blob)
                     ):
                         mpos = 0
@@ -517,12 +594,12 @@ def fetch_warc_record(
     bytes — pass offset=0 then). ``member_pos`` selects the record
     within a multi-record member (0 = first, the Common Crawl
     per-record-member case)."""
-    member = split_gzip_members(bytes(blob)[offset:offset + length])
+    member = split_warc_members_indexed(bytes(blob)[offset:offset + length])
     if len(member) != 1:
         raise WarcError(
             f"CDX range does not hold exactly one member ({len(member)})"
         )
-    data = member[0]
+    data = member[0][0]
     for _ in range(member_pos):
         if not data.strip(b"\r\n"):
             raise WarcError(

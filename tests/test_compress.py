@@ -1,0 +1,306 @@
+"""zstd / LZ4 / snappy decoder battery.
+
+The differential twin here is NOT a self-written encoder: it is the
+real libzstd / liblz4 / libsnappy reached through
+``pyarrow.Codec`` — the canonical C implementations — so every entropy
+path my pure-stdlib decoders take is pinned against the bytes real
+encoders emit at every compression level.
+"""
+
+import random
+import struct
+
+import pyarrow as pa
+import pytest
+
+from da_transform_judgments_pipeline_spark.operators.compress import (
+    COMPRESS_MAX_OUTPUT_BYTES,
+    CompressBombError,
+    CompressError,
+    UnsupportedCompressionError,
+    decompress,
+    decompress_blobs,
+    lz4_block_decompress,
+    lz4_frame_decompress,
+    sniff_compression,
+    snappy_decompress,
+    xxh32,
+    xxh64,
+    zstd_decompress,
+    zstd_frames,
+)
+
+_RNG = random.Random(11)
+
+SHAPES = {
+    "empty": b"",
+    "one": b"a",
+    "small_text": b"the quick brown fox jumps over the lazy dog. " * 3,
+    "repetitive": b"abcabcabc" * 5000,
+    "all_same": b"\x00" * 40000,
+    "random_small": bytes(_RNG.randrange(256) for _ in range(500)),
+    "random_big": bytes(_RNG.randrange(256) for _ in range(150000)),
+    "text_big": (
+        b"The WARC record block contains the HTTP payload bytes exactly as "
+        b"captured; politeness schedules derive per-host slots. "
+    )
+    * 2000,
+    "struct": b"".join(bytes([i % 251]) * ((i % 13) + 1) for i in range(20000)),
+    "json_like": b"".join(
+        b'{"id":%d,"host":"example-%d.org","score":%d.%d}\n'
+        % (i, i % 97, i % 13, i % 7)
+        for i in range(3000)
+    ),
+    "mixed": (
+        b"lorem ipsum dolor sit amet " * 11
+        + bytes(_RNG.randrange(256) for _ in range(97))
+    )
+    * 2500,
+    "utf8": ("Zažluťoučký kůň úpěl ďábelské ódy — 数据集 " * 4000).encode(),
+}
+
+
+# --- xxHash: public test vectors -------------------------------------------
+
+
+def test_xxhash_vectors():
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"Nobody inspects the spammish repetition") == 0xFBCEA83C8A378BF1
+
+
+# --- differential vs the canonical C encoders ------------------------------
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+@pytest.mark.parametrize("level", [1, 3, 9, 19])
+def test_zstd_differential(shape, level):
+    data = SHAPES[shape]
+    comp = pa.Codec("zstd", compression_level=level).compress(data, asbytes=True)
+    assert zstd_decompress(comp) == data
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_lz4_frame_differential(shape):
+    data = SHAPES[shape]
+    comp = pa.Codec("lz4").compress(data, asbytes=True)
+    assert lz4_frame_decompress(comp) == data
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_lz4_block_differential(shape):
+    data = SHAPES[shape]
+    comp = pa.Codec("lz4_raw").compress(data, asbytes=True)
+    assert lz4_block_decompress(comp) == data
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_snappy_differential(shape):
+    data = SHAPES[shape]
+    comp = pa.Codec("snappy").compress(data, asbytes=True)
+    assert snappy_decompress(comp) == data
+
+
+def test_zstd_multi_megabyte_multi_block():
+    # >128 KiB forces multiple blocks per frame: Treeless literals and
+    # Repeat sequence-table modes carry state across block boundaries.
+    data = SHAPES["text_big"] * 5  # ~1.2 MB
+    comp = pa.Codec("zstd", compression_level=3).compress(data, asbytes=True)
+    assert zstd_decompress(comp) == data
+
+
+# --- zstd frame-level features ---------------------------------------------
+
+
+def _raw_frame(payload: bytes, checksum: bool = False) -> bytes:
+    """Hand-build a legal single-segment zstd frame of raw blocks (with
+    an optional content checksum — libzstd's simple API never emits one,
+    so the verify path needs a constructed fixture)."""
+    desc = 0x20 | (0x04 if checksum else 0)  # single-segment, FCS 1 byte
+    assert len(payload) < 256
+    out = bytearray(struct.pack("<I", 0xFD2FB528))
+    out.append(desc)
+    out.append(len(payload))
+    out += struct.pack("<I", (len(payload) << 3) | (0 << 1) | 1)[:3]
+    out += payload
+    if checksum:
+        out += struct.pack("<I", xxh64(payload) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def test_zstd_content_checksum_verified():
+    frame = _raw_frame(b"checksummed payload", checksum=True)
+    assert zstd_decompress(frame) == b"checksummed payload"
+    bad = bytearray(frame)
+    bad[-1] ^= 0xFF
+    with pytest.raises(CompressError, match="checksum mismatch"):
+        zstd_decompress(bytes(bad))
+
+
+def test_zstd_concatenated_and_skippable_frames():
+    a = pa.Codec("zstd").compress(b"first frame ", asbytes=True)
+    skip = struct.pack("<II", 0x184D2A53, 5) + b"xxxxx"
+    b = pa.Codec("zstd").compress(b"second frame", asbytes=True)
+    stream = skip + a + skip + b
+    assert zstd_decompress(stream) == b"first frame second frame"
+    spans = list(zstd_frames(stream))
+    assert [p for p, _, _ in spans] == [b"first frame ", b"second frame"]
+    # the byte spans index real frame boundaries (warc.zst random access)
+    for payload, start, end in spans:
+        assert zstd_decompress(stream[start:end]) == payload
+
+
+def test_zstd_dictionary_refused_typed():
+    # frame descriptor declares a 1-byte dictionary ID
+    frame = bytearray(_raw_frame(b"x"))
+    frame[4] |= 0x01  # Dictionary_ID_flag = 1
+    frame.insert(6, 0x07)  # dict id byte, before FCS
+    with pytest.raises(UnsupportedCompressionError, match="dictionary"):
+        zstd_decompress(bytes(frame))
+
+
+def test_zstd_bomb_bounds():
+    data = b"\x00" * 100000
+    comp = pa.Codec("zstd", compression_level=3).compress(data, asbytes=True)
+    with pytest.raises(CompressBombError):
+        zstd_decompress(comp, max_output=4096)
+    # declared-size refusal costs nothing: truncating the frame body
+    # after the header must still raise the bomb error, not truncation
+    with pytest.raises(CompressBombError):
+        zstd_decompress(comp[:12], max_output=4096)
+
+
+def test_zstd_truncation_and_garbage_typed():
+    comp = pa.Codec("zstd").compress(SHAPES["json_like"], asbytes=True)
+    for cut in (3, 7, len(comp) // 2, len(comp) - 1):
+        with pytest.raises(CompressError):
+            zstd_decompress(comp[:cut])
+    with pytest.raises(CompressError, match="magic"):
+        zstd_decompress(b"not a zstd frame at all")
+
+
+def test_zstd_declared_size_enforced():
+    frame = bytearray(_raw_frame(b"hello world"))
+    frame[5] = 99  # lie about frame content size
+    with pytest.raises(CompressError, match="declared"):
+        zstd_decompress(bytes(frame))
+
+
+# --- LZ4 / snappy error + bound paths --------------------------------------
+
+
+def test_lz4_header_checksum_enforced():
+    comp = bytearray(pa.Codec("lz4").compress(b"payload bytes", asbytes=True))
+    comp[4] ^= 0x10  # flip a header flag; stored HC byte now mismatches
+    with pytest.raises(CompressError, match="header checksum"):
+        lz4_frame_decompress(bytes(comp))
+
+
+def test_lz4_content_checksum_verified():
+    comp = bytearray(pa.Codec("lz4").compress(SHAPES["small_text"], asbytes=True))
+    # pyarrow's lz4 frames carry a content checksum; corrupt its last byte
+    if comp[4] & 0x04:
+        comp[-1] ^= 0xFF
+        with pytest.raises(CompressError, match="content checksum"):
+            lz4_frame_decompress(bytes(comp))
+    else:  # future pyarrow without checksums: corrupt payload instead
+        comp[12] ^= 0xFF
+        with pytest.raises(CompressError):
+            lz4_frame_decompress(bytes(comp))
+
+
+def test_lz4_bomb_bound():
+    comp = pa.Codec("lz4").compress(b"\x00" * 100000, asbytes=True)
+    with pytest.raises(CompressBombError):
+        lz4_frame_decompress(comp, max_output=4096)
+
+
+def test_snappy_bounds_and_errors():
+    comp = pa.Codec("snappy").compress(b"\x00" * 100000, asbytes=True)
+    with pytest.raises(CompressBombError):
+        snappy_decompress(comp, max_output=4096)
+    with pytest.raises(CompressError):
+        snappy_decompress(comp[: len(comp) // 2])
+    with pytest.raises(CompressError, match="offset"):
+        # copy2 reaching before the start of output
+        snappy_decompress(b"\x08" + b"\x04aa" + b"\x0e\xff\x00")
+
+
+def test_lz4_block_offset_outside_window_typed():
+    # token: 1 literal then a match at offset 9000 with only 1 byte out
+    blob = b"\x14" + b"a" + struct.pack("<H", 9000)
+    with pytest.raises(CompressError, match="offset"):
+        lz4_block_decompress(blob)
+
+
+# --- dispatch ----------------------------------------------------------------
+
+
+def test_sniff_and_auto_dispatch():
+    z = pa.Codec("zstd").compress(b"data", asbytes=True)
+    l = pa.Codec("lz4").compress(b"data", asbytes=True)
+    import gzip as _gz
+
+    g = _gz.compress(b"data")
+    assert sniff_compression(z) == "zstd"
+    assert sniff_compression(l) == "lz4"
+    assert sniff_compression(g) == "gzip"
+    assert sniff_compression(b"\x00\x01\x02\x03") is None
+    for blob in (z, l, g):
+        assert decompress(blob, "auto") == b"data"
+    with pytest.raises(UnsupportedCompressionError):
+        decompress(b"raw snappy has no magic", "auto")
+    with pytest.raises(UnsupportedCompressionError):
+        decompress(b"x", "lzma-nope")
+
+
+def test_gzip_dispatch_bounded():
+    import gzip as _gz
+
+    comp = _gz.compress(b"\x00" * 100000)
+    with pytest.raises(CompressBombError):
+        decompress(comp, "gzip", max_output=4096)
+    assert decompress(comp, "gzip") == b"\x00" * 100000
+
+
+# --- Spark operator ----------------------------------------------------------
+
+
+def test_decompress_blobs_report_mode(spark):
+    rows = [
+        ("zstd", pa.Codec("zstd").compress(b"alpha " * 50, asbytes=True)),
+        ("lz4", pa.Codec("lz4").compress(b"beta " * 50, asbytes=True)),
+        ("snappy", pa.Codec("snappy").compress(b"gamma " * 50, asbytes=True)),
+        ("zstd", b"corrupt bytes, not zstd"),
+        ("snappy", None),
+    ]
+    df = spark.createDataFrame(rows, "codec string, content binary")
+    out = decompress_blobs(df, codec_col="codec").orderBy("codec").collect()
+    by_codec = {}
+    for r in out:
+        by_codec.setdefault(r.codec, []).append(r)
+    good = [r for r in out if r.error is None]
+    bad = [r for r in out if r.error is not None]
+    assert len(good) == 3 and len(bad) == 2
+    assert bytes(by_codec["lz4"][0].decompressed) == b"beta " * 50
+    assert any("CompressError" in r.error for r in bad)
+    # raise mode propagates
+    with pytest.raises(Exception):
+        decompress_blobs(df, codec_col="codec", on_error="raise").collect()
+
+
+def test_decompress_blobs_auto_sniff(spark):
+    import gzip as _gz
+
+    rows = [
+        (1, pa.Codec("zstd", compression_level=9).compress(b"doc one " * 30, asbytes=True)),
+        (2, pa.Codec("lz4").compress(b"doc two " * 30, asbytes=True)),
+        (3, _gz.compress(b"doc three " * 30)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r.doc_id: r for r in decompress_blobs(df).collect()}
+    assert bytes(out[1].decompressed) == b"doc one " * 30
+    assert bytes(out[2].decompressed) == b"doc two " * 30
+    assert bytes(out[3].decompressed) == b"doc three " * 30
+    assert all(r.error is None for r in out.values())

@@ -299,3 +299,61 @@ def test_warc_file_size_guard(spark):
     assert sum(1 for r in cdx if r["file_id"] == 1) == 1
     assert all("per-task bound" in r["error"]
                for r in cdx if r["file_id"] == 1)
+
+
+# --- .warc.zst transport (split_warc_members_indexed + build_warc_zst) ------
+
+
+def test_warc_zst_parses_identically_to_gz():
+    gz_recs = W.parse_warc(W.build_warc_gz(RESP))
+    zst_recs = W.parse_warc(W.build_warc_zst(RESP))
+    assert len(gz_recs) == len(zst_recs) == 4
+    for a, b in zip(gz_recs, zst_recs):
+        for k in ("warc_type", "record_id", "target_uri", "http_status",
+                  "mime", "location", "payload", "digest_ok", "pos"):
+            assert a[k] == b[k], k
+
+
+def test_warc_zst_cdx_ranged_fetch(spark):
+    blob = W.build_warc_zst(RESP)
+    files = spark.createDataFrame(
+        [(1, bytearray(blob))], "file_id long, content binary"
+    )
+    cdx = {r["pos"]: r for r in W.warc_cdx(files).collect()}
+    assert len(cdx) == 4
+    # every record is recoverable from just its compressed byte range
+    for pos, row in cdx.items():
+        rec = W.fetch_warc_record(
+            blob[row["offset"] : row["offset"] + row["length"]], 0,
+            row["length"], row["member_pos"],
+        )
+        if row["warc_type"] == "response":
+            assert rec["target_uri"] == row["target_uri"]
+            assert rec["digest_ok"] is True
+
+
+def test_warc_zst_dictionary_refused_typed(spark):
+    import struct as _s
+
+    blob = bytearray(W.build_warc_zst(RESP, leading_skippable=False))
+    # declare a 1-byte dictionary ID on the first frame:
+    # desc byte follows the 4-byte magic
+    desc = blob[4]
+    assert desc & 0x03 == 0
+    blob[4] = desc | 0x01
+    blob.insert(5 + (0 if desc & 0x20 else 1), 0x07)  # dict id after window
+    files = spark.createDataFrame(
+        [(1, bytes(blob))], "file_id long, content binary"
+    )
+    rows = W.warc_records(files).collect()
+    assert len(rows) == 1
+    assert "UnsupportedCompressionError" in rows[0]["error"]
+    assert "dictionary" in rows[0]["error"]
+
+
+def test_warc_zst_bomb_bounded(monkeypatch):
+    monkeypatch.setattr(W, "WARC_MAX_TOTAL_BYTES", 4096)
+    big = [{"url": "http://h/x", "date": "2021-03-04T05:06:07Z",
+            "payload": b"\x00" * 20000}]
+    with pytest.raises(W.WarcBombError):
+        W.parse_warc(W.build_warc_zst(big))
