@@ -3414,6 +3414,86 @@ def q_m24_warc_zst_extract(spark, sf_dir):
     )
 
 
+def q_m25_wet_pipeline(spark, sf_dir):
+    """The Common Crawl WET derivation end-to-end, TWO WARC generations
+    deep: per document the m16 response corpus (.warc.gz, real gzip
+    members/digests/HTTP framing) is parsed by warc_records, visible
+    text is lifted by the pure-Catalyst html_text, 200-status pages are
+    packed back into a REAL per-record-gzip-member .warc.wet.gz by
+    sources/warc.wet_pack (one applyInPandas group per source archive —
+    the CC job shape: response WARC in, same-named WET out; conversion
+    records carry WARC-Refers-To lineage + genuine sha1 block digests),
+    and the WET files are parsed AGAIN by the same warc_records reader
+    (conversion records: WARC-level text/plain mime, block-digest
+    verification).  Text, positions, URIs and digest bits all have
+    closed forms DuckDB recomputes — a corruption anywhere in either
+    generation (pack or parse) hash-mismatches."""
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        warc_records, wet_pack,
+    )
+
+    files = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.sources.warc import (
+            build_warc_gz,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                resp = [
+                    {
+                        "url": f"https://caselaw.example/{d}/{r}",
+                        "date": "2021-03-04T05:06:07Z",
+                        "status": 404 if r == 2 else 200,
+                        "payload": (
+                            f"<html><head><title>Doc {d}</title>"
+                            f"<script>var x = {d};</script></head>"
+                            f"<body><p>Para {r} of doc {d}.</p>"
+                            f"<!-- hidden --> &amp; more</body></html>"
+                        ).encode(),
+                    }
+                    for r in range(d % 3 + 1)
+                ]
+                blobs.append(bytearray(build_warc_gz(resp)))
+            yield pd.DataFrame(
+                {"file_id": pdf["doc_id"], "content": blobs}
+            )
+
+    corpus = files.mapInPandas(make, "file_id long, content binary")
+    pages = (
+        warc_records(corpus)
+        .filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        .withColumn(
+            "text", text.html_text(F.col("payload").cast("string"))
+        )
+    )
+    wet_files = wet_pack(pages)
+    wet = warc_records(wet_files).filter(
+        F.col("warc_type") == "conversion"
+    )
+    return wet.select(
+        "file_id",
+        "pos",
+        "target_uri",
+        "mime",
+        F.col("payload").cast("string").alias("text"),
+        F.length("payload").alias("text_len"),
+        "digest_ok",
+    ).orderBy("file_id", "pos")
+
+
 def q_m14_jpeg_decode_features(spark, sf_dir):
     """REAL lossy-compressed decode under a hash oracle: per document a
     16x8 two-block JPEG (ITU T.81 — markers, Annex K tables, Huffman
@@ -5503,15 +5583,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dispatch through decompress_blobs, xxHash32 checksums verified),
     # and m24 (m16's WARC intake over the .warc.zst transport, same
     # oracle verbatim — transport-invisibility is the check) lead the
-    # window.  Displaced past the cap: e10, a19, o04 (balanced cluster
-    # sample / retention cohorts / event funnel — all multi-round
-    # green; e10 stays pinned by the e06 k-means family, a19 by the
-    # temporal o-family, o04 by o06-o09 in selfcheck).
-    # The position-50 boundary row is m06_audio_window_plan.
+    # m25 (the Common Crawl WET derivation two WARC generations deep:
+    # responses parsed -> html_text -> wet_pack conversion records w/
+    # Refers-To lineage + block digests -> re-parsed) joins them.
+    # Displaced past the cap: m06, e10, a19, o04 (audio window plan /
+    # balanced cluster sample / retention cohorts / event funnel — all
+    # multi-round green; m06 stays pinned by the m05/m07 family, e10
+    # by the e06 k-means family, a19 by the temporal o-family, o04 by
+    # o06-o09 in selfcheck).
+    # The position-50 boundary row is x17_unigram_lm_score.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
     "m23_multicodec_roundtrip": q_m23_multicodec_roundtrip,
     "m24_warc_zst_extract": q_m24_warc_zst_extract,
+    "m25_wet_pipeline": q_m25_wet_pipeline,
     # (a) NEW round 11
     "s26_crawl_schedule_stream": q_s26_crawl_schedule_stream,
     "g03_personalized_pagerank": q_g03_personalized_pagerank,
@@ -7405,6 +7490,25 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS digest_ok,
                    'Moved' AS text
             FROM documents WHERE doc_id % 5 = 2
+            ORDER BY file_id, pos
+        """,
+        "m25_wet_pipeline": """
+            SELECT doc_id AS file_id,
+                   CAST(r + 1 AS INTEGER) AS pos,
+                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/' || CAST(r AS VARCHAR) AS target_uri,
+                   'text/plain' AS mime,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' Para '
+                       || CAST(r AS VARCHAR) || ' of doc '
+                       || CAST(doc_id AS VARCHAR) || '. & more' AS text,
+                   CAST(strlen('Doc ' || CAST(doc_id AS VARCHAR)
+                       || ' Para ' || CAST(r AS VARCHAR) || ' of doc '
+                       || CAST(doc_id AS VARCHAR) || '. & more')
+                        AS INTEGER) AS text_len,
+                   TRUE AS digest_ok
+            FROM documents,
+                 unnest(range(0, least(CAST(doc_id % 3 + 1 AS BIGINT), 2)))
+                     AS t(r)
             ORDER BY file_id, pos
         """,
         "m16_warc_extract": """

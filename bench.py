@@ -153,6 +153,7 @@ HEADLINE = [
     "m22_zstd_roundtrip",
     "m23_multicodec_roundtrip",
     "m24_warc_zst_extract",
+    "m25_wet_pipeline",
 ]
 
 

@@ -66,9 +66,23 @@ UNTAR_RESULT_SCHEMA = T.StructType(
 )
 
 
-def _untar_bytes(blob: bytes) -> list[dict]:
+def _untar_bytes(
+    blob: bytes, max_bytes: int | None = None
+) -> list[dict]:
     """One archive → member dicts. Regular files only; leading './' stripped
-    (reference behavior: tar_lib.py:25-65 strips './', skips directories)."""
+    (reference behavior: tar_lib.py:25-65 strips './', skips directories).
+    ``tarfile`` handles gz/bz2/xz transparently; ``.tar.zst`` (the modern
+    consignment transport) is inflated first by the pure-stdlib zstd
+    decoder, bounded by ``max_bytes``."""
+    if len(blob) >= 4 and blob[:4] == b"\x28\xb5\x2f\xfd":
+        from ..operators.compress import zstd_decompress
+
+        blob = zstd_decompress(
+            blob,
+            max_output=(
+                max_bytes if max_bytes is not None else DEFAULT_MAX_ARCHIVE_BYTES
+            ),
+        )
     out = []
     with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
         for member in tf:
@@ -137,7 +151,9 @@ def untar(
                     _check_size(
                         f"archive {archive!r}", len(blob), max_archive_bytes
                     )
-                    members = _untar_bytes(bytes(blob))
+                    members = _untar_bytes(
+                        bytes(blob), max_bytes=max_archive_bytes
+                    )
                 except Exception as e:
                     if not report:
                         raise

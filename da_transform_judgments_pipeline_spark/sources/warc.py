@@ -253,6 +253,10 @@ def _parse_one(member: bytes) -> tuple[dict, int]:
         mime = http_headers.get("content-type")
         location = http_headers.get("location")  # 3xx redirect target
         payload = block[hsep + 4:]
+    if mime is None and wtype not in ("response", "request"):
+        # conversion/warcinfo/metadata records type their block at the
+        # WARC level (WET files: text/plain)
+        mime = headers.get("content-type")
     digest_ok = None
     want = headers.get("warc-payload-digest")
     if want is not None:
@@ -260,6 +264,15 @@ def _parse_one(member: bytes) -> tuple[dict, int]:
             raise WarcError(f"unsupported payload digest {want!r}")
         got = base64.b32encode(
             hashlib.sha1(payload).digest()
+        ).decode("ascii")
+        digest_ok = got == want[5:]
+    elif "warc-block-digest" in headers:
+        # WET conversion records carry a block digest instead
+        want = headers["warc-block-digest"]
+        if not want.startswith("sha1:"):
+            raise WarcError(f"unsupported block digest {want!r}")
+        got = base64.b32encode(
+            hashlib.sha1(block).digest()
         ).decode("ascii")
         digest_ok = got == want[5:]
     rec = {
@@ -496,6 +509,115 @@ def build_warc_zst(
     for rec in records:
         out += codec.compress(rec, asbytes=True)
     return bytes(out)
+
+
+def build_wet(
+    conversions: list[dict],
+    filename: str = "crawl.warc.wet.gz",
+    gzip_members: bool = True,
+) -> bytes:
+    """Assemble a real WET file (the Common Crawl extracted-text
+    derivative): a ``warcinfo`` record then one ``conversion`` record
+    per entry — ``WARC-Refers-To`` back to the source response record,
+    a genuine sha1 ``WARC-Block-Digest`` over the text bytes, WARC-level
+    ``Content-Type: text/plain`` — each its own gzip member, fully
+    deterministic.
+
+    Each conversion dict: ``url``, ``date``, ``text`` (str), optional
+    ``refers_to`` (source record id) and ``record_id``."""
+    members = []
+    members.append(_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID",
+             "<urn:uuid:00000000-0000-0000-0001-000000000000>"),
+            ("WARC-Date", "2021-03-04T05:06:07Z"),
+            ("WARC-Filename", filename),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        b"software: da-transform-judgments-pipeline-spark\r\n"
+        b"format: WARC File Format 1.0\r\n"
+        b"conformsTo: conversion (WET)\r\n",
+    ))
+    for i, c in enumerate(conversions):
+        block = c["text"].encode("utf-8")
+        digest = base64.b32encode(hashlib.sha1(block).digest()).decode(
+            "ascii"
+        )
+        headers = [
+            ("WARC-Type", "conversion"),
+            ("WARC-Record-ID", c.get(
+                "record_id",
+                f"<urn:uuid:00000000-0000-0000-0001-{i + 1:012d}>",
+            )),
+            ("WARC-Date", c["date"]),
+            ("WARC-Target-URI", c["url"]),
+        ]
+        if c.get("refers_to"):
+            headers.append(("WARC-Refers-To", c["refers_to"]))
+        headers += [
+            ("WARC-Block-Digest", f"sha1:{digest}"),
+            ("Content-Type", "text/plain"),
+        ]
+        members.append(_record(headers, block))
+    if gzip_members:
+        return b"".join(_gzip_member(m) for m in members)
+    return b"".join(members)
+
+
+def wet_pack(
+    records: DataFrame,
+    id_col: str = "file_id",
+    uri_col: str = "target_uri",
+    text_col: str = "text",
+    date_col: str = "date",
+    refers_col: str = "record_id",
+    order_col: str = "pos",
+) -> DataFrame:
+    """Pack extracted text back into WET files, one per source WARC:
+    ``(file_id, …)`` record rows in → ``(file_id, content)`` out, where
+    ``content`` is a real per-record-gzip-member ``.warc.wet.gz`` built
+    by :func:`build_wet` (conversion records with WARC-Refers-To
+    lineage and genuine block digests).
+
+    One ``applyInPandas`` stage grouped on the FILE id — the WET
+    derivation is embarrassingly parallel per archive (the Common
+    Crawl job shape: response WARC in, same-named WET out), so the one
+    shuffle here is the group-by-file co-location and blob sizes stay
+    archive-sized.  Rows are ordered by ``order_col`` inside the file
+    so output bytes are deterministic."""
+    src = records.select(
+        F.col(id_col).alias("_fid"),
+        F.col(uri_col).alias("_uri"),
+        F.col(text_col).alias("_text"),
+        F.col(date_col).alias("_date"),
+        F.col(refers_col).alias("_ref"),
+        F.col(order_col).alias("_ord"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_ord")
+        fid = pdf["_fid"].iloc[0]
+        conversions = [
+            {
+                "url": u,
+                "date": d,
+                "text": t if t is not None else "",
+                "refers_to": r,
+            }
+            for u, t, d, r in zip(
+                pdf["_uri"], pdf["_text"], pdf["_date"], pdf["_ref"]
+            )
+        ]
+        return pd.DataFrame(
+            {"file_id": [fid], "content": [bytearray(build_wet(conversions))]}
+        )
+
+    return src.groupBy("_fid").applyInPandas(
+        pack, "file_id long, content binary"
+    )
 
 
 WARC_CDX_SCHEMA = (

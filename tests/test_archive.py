@@ -193,3 +193,34 @@ def test_unzip_roundtrip_report_isolation_and_bounds(spark):
     assert "ArchiveTooLargeError" in out[0]["error"]
     with _pytest.raises(ValueError, match="on_error"):
         unzip(df, on_error="nope")
+
+
+def test_untar_tar_zst_transport(spark):
+    """.tar.zst consignments inflate through the pure-stdlib zstd
+    decoder (bounded), then walk the same tar path."""
+    import io as _io
+    import tarfile as _tarfile
+
+    import pyarrow as _pa
+
+    from da_transform_judgments_pipeline_spark.sources import archive as A
+
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in (("a.txt", b"alpha"), ("dir/b.bin", b"\x00\x01")):
+            info = _tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 1234
+            tf.addfile(info, _io.BytesIO(data))
+    tzst = _pa.Codec("zstd", compression_level=9).compress(
+        buf.getvalue(), asbytes=True
+    )
+    df = spark.createDataFrame(
+        [("c.tar.zst", bytearray(tzst))], "path string, content binary"
+    )
+    rows = {r["name"]: r for r in A.untar(df).collect()}
+    assert set(rows) == {"a.txt", "dir/b.bin"}
+    assert bytes(rows["a.txt"]["content"]) == b"alpha"
+    # the whole-archive bound applies to the INFLATED bytes too
+    small = A.untar(df, max_archive_bytes=16, on_error="report").collect()
+    assert len(small) == 1 and "16" in small[0]["error"]

@@ -357,3 +357,56 @@ def test_warc_zst_bomb_bounded(monkeypatch):
             "payload": b"\x00" * 20000}]
     with pytest.raises(W.WarcBombError):
         W.parse_warc(W.build_warc_zst(big))
+
+
+# --- WET derivation (build_wet + wet_pack) -----------------------------------
+
+
+def test_wet_roundtrip_and_block_digest():
+    wet = W.build_wet([
+        {"url": "http://h/a", "date": "2021-03-04T05:06:07Z",
+         "text": "Alpha text.", "refers_to": "<urn:uuid:1>"},
+        {"url": "http://h/b", "date": "2021-03-04T05:06:07Z",
+         "text": "Beta — ünïcode."},
+    ])
+    recs = W.parse_warc(wet)
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "conversion", "conversion"
+    ]
+    assert recs[0]["digest_ok"] is None  # warcinfo carries no digest
+    for r in recs[1:]:
+        assert r["mime"] == "text/plain"
+        assert r["digest_ok"] is True
+    assert recs[2]["payload"].decode() == "Beta — ünïcode."
+    # tampering with the text must flip the BLOCK digest check
+    plain = W.build_wet(
+        [{"url": "http://h/a", "date": "2021-03-04T05:06:07Z",
+          "text": "Alpha text."}],
+        gzip_members=False,
+    )
+    bad = plain.replace(b"Alpha text.", b"Alpha tExt.")
+    assert W.parse_warc(bad)[1]["digest_ok"] is False
+
+
+def test_wet_pack_groups_per_source_archive(spark):
+    rows = [
+        (1, "http://h/a", "text one", "2021-03-04T05:06:07Z", "<urn:uuid:1>", 1),
+        (1, "http://h/b", "text two", "2021-03-04T05:06:07Z", "<urn:uuid:2>", 2),
+        (2, "http://g/c", "text three", "2021-03-04T05:06:07Z", "<urn:uuid:3>", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "file_id long, target_uri string, text string, date string,"
+        " record_id string, pos int",
+    )
+    wet_files = {r.file_id: bytes(r.content)
+                 for r in W.wet_pack(df).collect()}
+    assert set(wet_files) == {1, 2}
+    recs1 = W.parse_warc(wet_files[1])
+    assert [r["target_uri"] for r in recs1[1:]] == [
+        "http://h/a", "http://h/b"
+    ]
+    assert recs1[1]["payload"] == b"text one"
+    assert all(r["digest_ok"] for r in recs1[1:])
+    recs2 = W.parse_warc(wet_files[2])
+    assert recs2[1]["payload"] == b"text three"
