@@ -3494,6 +3494,102 @@ def q_m25_wet_pipeline(spark, sf_dir):
     ).orderBy("file_id", "pos")
 
 
+def q_m26_wat_pipeline(spark, sf_dir):
+    """The Common Crawl WAT derivation end-to-end (m25's metadata twin):
+    responses parsed by warc_records, outlinks lifted by the
+    pure-Catalyst html_links, pages packed into REAL .warc.wat.gz
+    metadata records by sources/warc.wat_pack — each block a
+    DETERMINISTIC JSON envelope (sorted keys, compact separators) in
+    the CC WAT shape with the links under HTML-Metadata/Links, with
+    WARC-Refers-To lineage + sha1 block digests — then re-parsed by the
+    SAME warc_records reader and the envelope decoded by from_json
+    (JVM-side, no UDF).  Status, link count, first link and the digest
+    bit are all closed-form: a corruption in pack, parse, or JSON
+    shape hash-mismatches in DuckDB's recomputation."""
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        warc_records, wat_pack,
+    )
+
+    files = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.sources.warc import (
+            build_warc_gz,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                resp = []
+                for r in range(d % 3 + 1):
+                    anchors = "".join(
+                        f'<a href="https://caselaw.example/{d}/l/{r}/{j}">x</a>'
+                        for j in range(d % 4)
+                    )
+                    resp.append({
+                        "url": f"https://caselaw.example/{d}/{r}",
+                        "date": "2021-03-04T05:06:07Z",
+                        "status": 404 if r == 2 else 200,
+                        "payload": (
+                            f"<html><body><p>Page {r} of {d}.</p>"
+                            f"{anchors}</body></html>"
+                        ).encode(),
+                    })
+                blobs.append(bytearray(build_warc_gz(resp)))
+            yield pd.DataFrame(
+                {"file_id": pdf["doc_id"], "content": blobs}
+            )
+
+    corpus = files.mapInPandas(make, "file_id long, content binary")
+    pages = (
+        warc_records(corpus)
+        .filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        .withColumn(
+            "links", text.html_links(F.col("payload").cast("string"))
+        )
+    )
+    wat_files = wat_pack(pages)
+    wat = warc_records(wat_files).filter(F.col("warc_type") == "metadata")
+    env_schema = (
+        "Envelope struct<"
+        "`WARC-Header-Metadata` struct<`WARC-Date` string,"
+        " `WARC-Target-URI` string, `WARC-Type` string>,"
+        " `Payload-Metadata` struct<`HTTP-Response-Metadata` struct<"
+        "`HTML-Metadata` struct<Links array<struct<path string, url string>>>,"
+        " `Response-Message` struct<Status string>>>>"
+    )
+    parsed = wat.withColumn(
+        "env", F.from_json(F.col("payload").cast("string"), env_schema)
+    )
+    links = F.col("env.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links")
+    return parsed.select(
+        "file_id",
+        "pos",
+        "target_uri",
+        F.col("env.Envelope.Payload-Metadata.HTTP-Response-Metadata.Response-Message.Status")
+        .cast("int")
+        .alias("json_status"),
+        F.col("env.Envelope.WARC-Header-Metadata.WARC-Target-URI").alias(
+            "json_uri"
+        ),
+        F.size(links).alias("n_links"),
+        F.when(F.size(links) > 0, F.element_at(links, 1)["url"]).alias(
+            "first_link"
+        ),
+        "digest_ok",
+    ).orderBy("file_id", "pos")
+
+
 def q_m14_jpeg_decode_features(spark, sf_dir):
     """REAL lossy-compressed decode under a hash oracle: per document a
     16x8 two-block JPEG (ITU T.81 — markers, Annex K tables, Huffman
@@ -5583,20 +5679,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dispatch through decompress_blobs, xxHash32 checksums verified),
     # and m24 (m16's WARC intake over the .warc.zst transport, same
     # oracle verbatim — transport-invisibility is the check) lead the
-    # m25 (the Common Crawl WET derivation two WARC generations deep:
-    # responses parsed -> html_text -> wet_pack conversion records w/
-    # Refers-To lineage + block digests -> re-parsed) joins them.
-    # Displaced past the cap: m06, e10, a19, o04 (audio window plan /
-    # balanced cluster sample / retention cohorts / event funnel — all
-    # multi-round green; m06 stays pinned by the m05/m07 family, e10
-    # by the e06 k-means family, a19 by the temporal o-family, o04 by
+    # m25/m26 (the Common Crawl WET and WAT derivations two WARC
+    # generations deep: responses parsed -> html_text / html_links ->
+    # wet_pack conversion records / wat_pack JSON-envelope metadata
+    # records w/ Refers-To lineage + block digests -> re-parsed, the
+    # WAT envelope decoded JVM-side by from_json) join them.
+    # Displaced past the cap: x17, m06, e10, a19, o04 (unigram LM /
+    # audio window plan / balanced cluster sample / retention cohorts
+    # / event funnel — all multi-round green; x17's tokenization stays
+    # pinned by x24/x25 in-window, m06 by the m05/m07 family, e10 by
+    # the e06 k-means family, a19 by the temporal o-family, o04 by
     # o06-o09 in selfcheck).
-    # The position-50 boundary row is x17_unigram_lm_score.
+    # The position-50 boundary row is x23_epoch_order.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
     "m23_multicodec_roundtrip": q_m23_multicodec_roundtrip,
     "m24_warc_zst_extract": q_m24_warc_zst_extract,
     "m25_wet_pipeline": q_m25_wet_pipeline,
+    "m26_wat_pipeline": q_m26_wat_pipeline,
     # (a) NEW round 11
     "s26_crawl_schedule_stream": q_s26_crawl_schedule_stream,
     "g03_personalized_pagerank": q_g03_personalized_pagerank,
@@ -7490,6 +7590,25 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS digest_ok,
                    'Moved' AS text
             FROM documents WHERE doc_id % 5 = 2
+            ORDER BY file_id, pos
+        """,
+        "m26_wat_pipeline": """
+            SELECT doc_id AS file_id,
+                   CAST(r + 1 AS INTEGER) AS pos,
+                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/' || CAST(r AS VARCHAR) AS target_uri,
+                   CAST(200 AS INTEGER) AS json_status,
+                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/' || CAST(r AS VARCHAR) AS json_uri,
+                   CAST(doc_id % 4 AS INTEGER) AS n_links,
+                   CASE WHEN doc_id % 4 > 0 THEN
+                       'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                           || '/l/' || CAST(r AS VARCHAR) || '/0'
+                   END AS first_link,
+                   TRUE AS digest_ok
+            FROM documents,
+                 unnest(range(0, least(CAST(doc_id % 3 + 1 AS BIGINT), 2)))
+                     AS t(r)
             ORDER BY file_id, pos
         """,
         "m25_wet_pipeline": """

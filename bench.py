@@ -154,6 +154,7 @@ HEADLINE = [
     "m23_multicodec_roundtrip",
     "m24_warc_zst_extract",
     "m25_wet_pipeline",
+    "m26_wat_pipeline",
 ]
 
 

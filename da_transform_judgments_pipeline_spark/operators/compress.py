@@ -56,6 +56,7 @@ __all__ = [
     "lz4_block_decompress",
     "lz4_frame_decompress",
     "zstd_decompress",
+    "zstd_compress_store",
     "zstd_frames",
     "sniff_compression",
     "decompress",
@@ -1142,6 +1143,47 @@ def zstd_decompress(
     if not parts:
         raise CompressError("zstd: no frames present")
     return parts[0] if len(parts) == 1 else b"".join(parts)
+
+
+def zstd_compress_store(data: bytes, checksum: bool = True) -> bytes:
+    """Encode one LEGAL zstd frame in store mode — raw blocks, RLE
+    blocks for constant runs, single-segment header, optional xxHash64
+    content checksum.  No entropy coding, so the output is a hair
+    larger than the input on incompressible data (the point is a
+    stdlib-only WRITER for .warc.zst / .tar.zst when pyarrow is not
+    wanted executor-side); any conforming decoder — including the real
+    libzstd, which the tests use as the validating twin — reads it.
+    Deterministic: same bytes in, same frame out."""
+    n = len(data)
+    out = bytearray(struct.pack("<I", ZSTD_MAGIC))
+    if n < 256:
+        fcs_flag, fcs_bytes = 0, 1
+    elif n <= 0xFFFF + 256:
+        fcs_flag, fcs_bytes = 1, 2
+    elif n <= 0xFFFFFFFF:
+        fcs_flag, fcs_bytes = 2, 4
+    else:
+        fcs_flag, fcs_bytes = 3, 8
+    out.append((fcs_flag << 6) | 0x20 | (0x04 if checksum else 0))
+    fcs = n - 256 if fcs_flag == 1 else n
+    out += fcs.to_bytes(fcs_bytes, "little")
+    block_max = 128 << 10
+    pos = 0
+    while True:
+        chunk = data[pos : pos + block_max]
+        pos += len(chunk)
+        last = 1 if pos >= n else 0
+        if chunk and chunk.count(chunk[0]) == len(chunk):
+            out += struct.pack("<I", (len(chunk) << 3) | (1 << 1) | last)[:3]
+            out.append(chunk[0] if chunk else 0)
+        else:
+            out += struct.pack("<I", (len(chunk) << 3) | (0 << 1) | last)[:3]
+            out += chunk
+        if last:
+            break
+    if checksum:
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -565,6 +565,138 @@ def build_wet(
     return b"".join(members)
 
 
+def build_wat(
+    pages: list[dict],
+    filename: str = "crawl.warc.wat.gz",
+    gzip_members: bool = True,
+) -> bytes:
+    """Assemble a real WAT file (the Common Crawl metadata derivative):
+    a ``warcinfo`` record then one ``metadata`` record per page whose
+    block is a DETERMINISTIC JSON envelope (sorted keys, compact
+    separators — byte-stable across runs) in the CC WAT shape:
+    WARC-Header-Metadata + HTTP-Response-Metadata with the page's
+    extracted outlinks under HTML-Metadata/Links.  Each record carries
+    ``WARC-Refers-To`` lineage and a genuine sha1 block digest.
+
+    Each page dict: ``url``, ``date``, optional ``status`` (int),
+    ``links`` (list of str), ``refers_to``, ``record_id``."""
+    import json as _json
+
+    members = []
+    members.append(_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID",
+             "<urn:uuid:00000000-0000-0000-0002-000000000000>"),
+            ("WARC-Date", "2021-03-04T05:06:07Z"),
+            ("WARC-Filename", filename),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        b"software: da-transform-judgments-pipeline-spark\r\n"
+        b"format: WARC File Format 1.0\r\n"
+        b"conformsTo: metadata (WAT)\r\n",
+    ))
+    for i, p in enumerate(pages):
+        envelope = {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": p["url"],
+                    "WARC-Date": p["date"],
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "Response-Message": {
+                            "Status": str(p.get("status", 200)),
+                        },
+                        "HTML-Metadata": {
+                            "Links": [
+                                {"path": "A@/href", "url": u}
+                                for u in (p.get("links") or [])
+                            ],
+                        },
+                    },
+                },
+            },
+        }
+        block = _json.dumps(
+            envelope, sort_keys=True, separators=(",", ":")
+        ).encode("utf-8")
+        digest = base64.b32encode(hashlib.sha1(block).digest()).decode(
+            "ascii"
+        )
+        headers = [
+            ("WARC-Type", "metadata"),
+            ("WARC-Record-ID", p.get(
+                "record_id",
+                f"<urn:uuid:00000000-0000-0000-0002-{i + 1:012d}>",
+            )),
+            ("WARC-Date", p["date"]),
+            ("WARC-Target-URI", p["url"]),
+        ]
+        if p.get("refers_to"):
+            headers.append(("WARC-Refers-To", p["refers_to"]))
+        headers += [
+            ("WARC-Block-Digest", f"sha1:{digest}"),
+            ("Content-Type", "application/json"),
+        ]
+        members.append(_record(headers, block))
+    if gzip_members:
+        return b"".join(_gzip_member(m) for m in members)
+    return b"".join(members)
+
+
+def wat_pack(
+    records: DataFrame,
+    id_col: str = "file_id",
+    uri_col: str = "target_uri",
+    links_col: str = "links",
+    status_col: str = "http_status",
+    date_col: str = "date",
+    refers_col: str = "record_id",
+    order_col: str = "pos",
+) -> DataFrame:
+    """Pack page metadata into WAT files, one per source WARC — the
+    metadata twin of :func:`wet_pack` (same applyInPandas-per-archive
+    shape, same shuffle story).  ``links_col`` is an array<string> of
+    the page's extracted outlinks."""
+    src = records.select(
+        F.col(id_col).alias("_fid"),
+        F.col(uri_col).alias("_uri"),
+        F.col(links_col).alias("_links"),
+        F.col(status_col).alias("_status"),
+        F.col(date_col).alias("_date"),
+        F.col(refers_col).alias("_ref"),
+        F.col(order_col).alias("_ord"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_ord")
+        fid = pdf["_fid"].iloc[0]
+        pages = [
+            {
+                "url": u,
+                "date": d,
+                "status": int(s) if s is not None else 200,
+                "links": list(l) if l is not None else [],
+                "refers_to": r,
+            }
+            for u, d, s, l, r in zip(
+                pdf["_uri"], pdf["_date"], pdf["_status"],
+                pdf["_links"], pdf["_ref"],
+            )
+        ]
+        return pd.DataFrame(
+            {"file_id": [fid], "content": [bytearray(build_wat(pages))]}
+        )
+
+    return src.groupBy("_fid").applyInPandas(
+        pack, "file_id long, content binary"
+    )
+
+
 def wet_pack(
     records: DataFrame,
     id_col: str = "file_id",

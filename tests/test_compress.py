@@ -304,3 +304,46 @@ def test_decompress_blobs_auto_sniff(spark):
     assert bytes(out[2].decompressed) == b"doc two " * 30
     assert bytes(out[3].decompressed) == b"doc three " * 30
     assert all(r.error is None for r in out.values())
+
+
+# --- store-mode encoder: REAL libzstd is the validating twin -----------------
+
+
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_zstd_store_encoder_read_by_libzstd(shape):
+    from da_transform_judgments_pipeline_spark.operators.compress import (
+        zstd_compress_store,
+    )
+
+    data = SHAPES[shape]
+    frame = zstd_compress_store(data)
+    # the canonical C decoder must accept our frame bit-for-bit
+    assert (
+        pa.Codec("zstd").decompress(
+            frame, decompressed_size=len(data), asbytes=True
+        )
+        == data
+    )
+    # and our own decoder round-trips it (checksum verified)
+    assert zstd_decompress(frame) == data
+
+
+def test_zstd_store_encoder_emits_rle_blocks():
+    from da_transform_judgments_pipeline_spark.operators.compress import (
+        zstd_compress_store,
+    )
+
+    data = b"\x07" * 300000  # 3 blocks, all constant
+    frame = zstd_compress_store(data)
+    assert len(frame) < 64  # RLE blocks: 4 bytes per 128 KiB run
+    assert zstd_decompress(frame) == data
+    assert (
+        pa.Codec("zstd").decompress(
+            frame, decompressed_size=len(data), asbytes=True
+        )
+        == data
+    )
+    # without checksum the frame is 4 bytes shorter and still legal
+    bare = zstd_compress_store(data, checksum=False)
+    assert len(bare) == len(frame) - 4
+    assert zstd_decompress(bare) == data

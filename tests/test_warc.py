@@ -410,3 +410,59 @@ def test_wet_pack_groups_per_source_archive(spark):
     assert all(r["digest_ok"] for r in recs1[1:])
     recs2 = W.parse_warc(wet_files[2])
     assert recs2[1]["payload"] == b"text three"
+
+
+def test_wat_roundtrip_json_envelope(spark):
+    import json as _json
+
+    wat = W.build_wat([
+        {"url": "http://h/a", "date": "2021-03-04T05:06:07Z",
+         "status": 200, "links": ["http://h/x", "http://h/y"],
+         "refers_to": "<urn:uuid:9>"},
+        {"url": "http://h/b", "date": "2021-03-04T05:06:07Z",
+         "links": []},
+    ])
+    recs = W.parse_warc(wat)
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "metadata", "metadata"
+    ]
+    meta = recs[1]
+    assert meta["mime"] == "application/json"
+    assert meta["digest_ok"] is True
+    env = _json.loads(meta["payload"])["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == "http://h/a"
+    links = env["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"]["Links"]
+    assert [l["url"] for l in links] == ["http://h/x", "http://h/y"]
+    # byte-determinism: same pages -> same file
+    assert wat == W.build_wat([
+        {"url": "http://h/a", "date": "2021-03-04T05:06:07Z",
+         "status": 200, "links": ["http://h/x", "http://h/y"],
+         "refers_to": "<urn:uuid:9>"},
+        {"url": "http://h/b", "date": "2021-03-04T05:06:07Z",
+         "links": []},
+    ])
+
+
+def test_wat_pack_groups_and_links(spark):
+    rows = [
+        (1, "http://h/a", ["http://h/x"], 200,
+         "2021-03-04T05:06:07Z", "<urn:uuid:1>", 1),
+        (2, "http://g/c", [], 200,
+         "2021-03-04T05:06:07Z", "<urn:uuid:3>", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "file_id long, target_uri string, links array<string>,"
+        " http_status int, date string, record_id string, pos int",
+    )
+    wats = {r.file_id: bytes(r.content) for r in W.wat_pack(df).collect()}
+    import json as _json
+
+    recs = W.parse_warc(wats[1])
+    env = _json.loads(recs[1]["payload"])["Envelope"]
+    assert env["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"]["Links"] == [
+        {"path": "A@/href", "url": "http://h/x"}
+    ]
+    assert recs[1]["digest_ok"] is True
