@@ -1240,6 +1240,29 @@ def decompress(
         if not dec.eof:
             raise CompressError("gzip: truncated stream")
         return out
+    if codec in ("bz2", "xz", "lzma"):
+        # stdlib codecs, wrapped so the SAME bound/typed-error contract
+        # holds across the whole transport matrix
+        if codec == "bz2":
+            import bz2 as _mod
+
+            dec = _mod.BZ2Decompressor()
+        else:
+            import lzma as _mod
+
+            dec = _mod.LZMADecompressor()
+        try:
+            out = dec.decompress(blob, max_output + 1)
+        except Exception as e:
+            raise CompressError(f"{codec}: corrupt stream: {e}") from e
+        if len(out) > max_output:
+            raise CompressBombError(
+                f"{codec}: output exceeds bound {max_output}"
+            )
+        if not dec.eof:
+            # returned under the cap yet unfinished → it wants more INPUT
+            raise CompressError(f"{codec}: truncated stream")
+        return out
     raise UnsupportedCompressionError(f"unknown codec {codec!r}")
 
 

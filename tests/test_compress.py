@@ -347,3 +347,22 @@ def test_zstd_store_encoder_emits_rle_blocks():
     bare = zstd_compress_store(data, checksum=False)
     assert len(bare) == len(frame) - 4
     assert zstd_decompress(bare) == data
+
+
+def test_bz2_xz_dispatch_bounded():
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    data = b"transport matrix completeness " * 400
+    assert decompress(_bz2.compress(data), "bz2") == data
+    assert decompress(_lzma.compress(data), "xz") == data
+    assert decompress(_lzma.compress(data), "lzma") == data
+    bomb = _bz2.compress(b"\x00" * 200000)
+    with pytest.raises(CompressBombError):
+        decompress(bomb, "bz2", max_output=4096)
+    with pytest.raises(CompressBombError):
+        decompress(_lzma.compress(b"\x00" * 200000), "xz", max_output=4096)
+    with pytest.raises(CompressError, match="truncated"):
+        decompress(_bz2.compress(data)[:20], "bz2")
+    with pytest.raises(CompressError):
+        decompress(b"not bz2 at all", "bz2")

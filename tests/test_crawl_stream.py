@@ -555,3 +555,68 @@ def test_crawl_stream_redirect_discovery(spark, tmp_path):
             _read(spark, out / "accepted").collect()}
     assert acc2["https://h.example/new"] == "the target body"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_crawl_stream_warc_zst_transport(spark, tmp_path):
+    """The streaming intake is transport-agnostic: a wave of .warc.zst
+    files (real libzstd frames per record) flows through the SAME
+    run_crawl_stream path — parse, canonicalize, frontier, text — and a
+    dictionary-requiring zst file isolates as one error row instead of
+    failing the batch."""
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        build_warc_zst,
+    )
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+
+    table = "crawl_stream_zst_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://z.example/seed",)], "url string"),
+        table, buckets=4, path=str(tmp_path / "fidx"),
+    )
+
+    blob1 = build_warc_zst([
+        {"url": "https://z.example/a", "date": "2021-03-04T05:06:07Z",
+         "payload": _html("alpha zst body")},
+        {"url": "https://z.example/b", "date": "2021-03-04T05:06:07Z",
+         "payload": _html("bravo zst body")},
+    ], level=19)
+    (warcs / "z1.warc.zst").write_bytes(blob1)
+    # a frame declaring an external dictionary: typed refusal -> error row
+    bad = bytearray(build_warc_zst(
+        [{"url": "https://z.example/c", "date": "2021-03-04T05:06:07Z",
+          "payload": _html("c")}],
+        leading_skippable=False,
+    ))
+    desc = bad[4]
+    bad[4] = desc | 0x01
+    bad.insert(5 + (0 if desc & 0x20 else 1), 0x07)
+    (warcs / "z2.warc.zst").write_bytes(bytes(bad))
+
+    (manifests / "wave.jsonl").write_text(
+        json.dumps({"file_id": 1, "path": str(warcs / "z1.warc.zst")})
+        + "\n"
+        + json.dumps({"file_id": 2, "path": str(warcs / "z2.warc.zst")})
+        + "\n"
+    )
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    acc = _read(spark, out / "accepted").collect()
+    assert sorted(r["canonical"] for r in acc) == [
+        "https://z.example/a", "https://z.example/b",
+    ]
+    by = {r["canonical"]: r for r in acc}
+    assert by["https://z.example/a"]["text"] == "alpha zst body"
+    assert all(r["digest_ok"] for r in acc)
+    errs = _read(spark, out / "errors").collect()
+    assert len(errs) == 1 and errs[0]["file_id"] == 2
+    assert "dictionary" in errs[0]["error"]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -467,3 +467,28 @@ def test_canonical_url_is_map_side(spark):
     out = df.select(canonical_url("u").alias("c"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_wet_wat_pack_single_shuffle(spark):
+    """The WET/WAT derivations are embarrassingly parallel per ARCHIVE:
+    the plan's only Exchange is the group-by-file co-location (plus
+    nothing on the parse side — warc_records is a mapInPandas leaf)."""
+    import pyspark.sql.functions as F
+
+    from da_transform_judgments_pipeline_spark.operators.scale import (
+        exchange_count,
+    )
+    from da_transform_judgments_pipeline_spark.sources import warc as W
+
+    df = spark.createDataFrame(
+        [(1, "http://h/a", "t", "2021-03-04T05:06:07Z", "<u:1>", 1)],
+        "file_id long, target_uri string, text string, date string,"
+        " record_id string, pos int",
+    )
+    assert exchange_count(W.wet_pack(df)) == 1
+    wat_df = df.withColumn(
+        "links", F.array(F.lit("http://h/x"))
+    ).withColumn("http_status", F.lit(200))
+    assert exchange_count(W.wat_pack(wat_df)) == 1
+    # and re-parsing the packed files adds NO further exchange
+    assert exchange_count(W.warc_records(W.wet_pack(df))) == 1
