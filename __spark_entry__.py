@@ -3479,7 +3479,11 @@ def q_m25_wet_pipeline(spark, sf_dir):
             "text", text.html_text(F.col("payload").cast("string"))
         )
     )
-    wet_files = wet_pack(pages)
+    # AQE coalesces the small packed blobs to one partition at toy SF,
+    # serializing the re-parse — fan back out (the m09-m13 rule)
+    wet_files = wet_pack(pages).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     wet = warc_records(wet_files).filter(
         F.col("warc_type") == "conversion"
     )
@@ -3558,7 +3562,9 @@ def q_m26_wat_pipeline(spark, sf_dir):
             "links", text.html_links(F.col("payload").cast("string"))
         )
     )
-    wat_files = wat_pack(pages)
+    wat_files = wat_pack(pages).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     wat = warc_records(wat_files).filter(F.col("warc_type") == "metadata")
     env_schema = (
         "Envelope struct<"
@@ -4567,6 +4573,40 @@ def q_g01_pagerank(spark, sf_dir):
     )
     return (
         graph.pagerank(nodes, edges, n_iterations=5, damping=0.5)
+        .orderBy("node")
+    )
+
+
+def q_g05_bfs_depths(spark, sf_dir):
+    """CRAWL DEPTH (minimum hops from the seed set) over the g01 link
+    graph — the frontier-control signal every production crawler caps
+    on, as level-synchronous BFS in DataFrames (graph.bfs_depths: per
+    hop one frontier⨝edges join, a distinct, and an anti-join against
+    the visited set; driver holds only the hop counter + an is-empty
+    early-exit scalar; visited set localCheckpoint'ed per hop).  Graph:
+    doc_ids < 256, each i → (i+1) %% 256 and i → (2i+1) %% 256; seeds
+    {0, 128}; max 6 hops.  Depths are small INTEGERS — engine-order
+    independent by construction — and DuckDB recomputes them with a
+    bounded WITH RECURSIVE walk + MIN(depth), so the whole iterative
+    expansion is hash-exact.  Unreachable nodes are absent (never
+    materialize 'everything minus reached' at 100 TB)."""
+    from da_transform_judgments_pipeline_spark.operators import graph
+
+    nodes = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 256)
+        .select(F.col("doc_id").alias("node"))
+    )
+    n = F.col("node")
+    edges = nodes.select(
+        n.alias("src"), ((n + 1) % 256).alias("dst")
+    ).union(
+        nodes.select(n.alias("src"), ((n * 2 + 1) % 256).alias("dst"))
+    )
+    seeds = nodes.filter((n == 0) | (n == 128))
+    return (
+        graph.bfs_depths(edges, seeds, max_hops=6)
         .orderBy("node")
     )
 
@@ -5683,20 +5723,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # generations deep: responses parsed -> html_text / html_links ->
     # wet_pack conversion records / wat_pack JSON-envelope metadata
     # records w/ Refers-To lineage + block digests -> re-parsed, the
-    # WAT envelope decoded JVM-side by from_json) join them.
-    # Displaced past the cap: x17, m06, e10, a19, o04 (unigram LM /
-    # audio window plan / balanced cluster sample / retention cohorts
-    # / event funnel — all multi-round green; x17's tokenization stays
-    # pinned by x24/x25 in-window, m06 by the m05/m07 family, e10 by
-    # the e06 k-means family, a19 by the temporal o-family, o04 by
-    # o06-o09 in selfcheck).
-    # The position-50 boundary row is x23_epoch_order.
+    # WAT envelope decoded JVM-side by from_json) and g05 (crawl DEPTH
+    # — level-synchronous BFS from the seed set, hash-exact against a
+    # bounded WITH RECURSIVE + MIN(depth) oracle) join them.
+    # Displaced past the cap: x23, x17, m06, e10, a19, o04 (epoch
+    # order / unigram LM / audio window plan / balanced cluster sample
+    # / retention cohorts / event funnel — all multi-round green;
+    # x23's epoch shuffling stays pinned by x22 at the position-50
+    # boundary, x17's tokenization by x24/x25, m06 by the m05/m07
+    # family, e10 by the e06 k-means family, a19 by the temporal
+    # o-family, o04 by o06-o09 in selfcheck).
+    # The position-50 boundary row is x22_token_budget_sample.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
     "m23_multicodec_roundtrip": q_m23_multicodec_roundtrip,
     "m24_warc_zst_extract": q_m24_warc_zst_extract,
     "m25_wet_pipeline": q_m25_wet_pipeline,
     "m26_wat_pipeline": q_m26_wat_pipeline,
+    "g05_bfs_depths": q_g05_bfs_depths,
     # (a) NEW round 11
     "s26_crawl_schedule_stream": q_s26_crawl_schedule_stream,
     "g03_personalized_pagerank": q_g03_personalized_pagerank,
@@ -7591,6 +7635,26 @@ def oracle_sql() -> dict[str, str]:
                    'Moved' AS text
             FROM documents WHERE doc_id % 5 = 2
             ORDER BY file_id, pos
+        """,
+        "g05_bfs_depths": """
+            WITH RECURSIVE
+            e AS (
+                SELECT doc_id AS src, (doc_id + 1) % 256 AS dst
+                FROM documents WHERE doc_id < 256
+                UNION ALL
+                SELECT doc_id AS src, (doc_id * 2 + 1) % 256 AS dst
+                FROM documents WHERE doc_id < 256
+            ),
+            walk(node, depth) AS (
+                SELECT doc_id AS node, 0 AS depth
+                FROM documents WHERE doc_id IN (0, 128)
+                UNION ALL
+                SELECT e.dst AS node, w.depth + 1 AS depth
+                FROM walk w JOIN e ON e.src = w.node
+                WHERE w.depth < 6
+            )
+            SELECT node, MIN(depth) AS depth
+            FROM walk GROUP BY node ORDER BY node
         """,
         "m26_wat_pipeline": """
             SELECT doc_id AS file_id,

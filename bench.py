@@ -155,6 +155,7 @@ HEADLINE = [
     "m24_warc_zst_extract",
     "m25_wet_pipeline",
     "m26_wat_pipeline",
+    "g05_bfs_depths",
 ]
 
 

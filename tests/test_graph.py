@@ -300,3 +300,28 @@ def test_html_links_and_resolve(spark):
     assert folded == "https://h.example/up/x"  # the downstream fold
     assert merged["rootless"] == "https://h.example/a"
     assert merged["still_null"] is None
+
+
+def test_bfs_depths_hand_computed(spark):
+    from da_transform_judgments_pipeline_spark.operators.graph import (
+        bfs_depths,
+    )
+
+    # 0→1→2→3→4 chain, 0→3 shortcut, 9 unreachable, 4→0 back-edge (cycle)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (4, 0)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["depth"]
+           for r in bfs_depths(edges, seeds, max_hops=6).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+    # hop cap truncates; early exit when the frontier drains
+    capped = {r["node"]: r["depth"]
+              for r in bfs_depths(edges, seeds, max_hops=1).collect()}
+    assert capped == {0: 0, 1: 1, 3: 1}
+    # multi-seed min-distance
+    seeds2 = spark.createDataFrame([(0,), (2,)], "node long")
+    got2 = {r["node"]: r["depth"]
+            for r in bfs_depths(edges, seeds2, max_hops=6).collect()}
+    assert got2 == {0: 0, 2: 0, 1: 1, 3: 1, 4: 2}
