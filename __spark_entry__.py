@@ -1897,6 +1897,101 @@ def q_a21_large_volume_customers(spark, sf_dir):
     )
 
 
+def q_a26_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped small-quantity-order revenue: for small parts
+    (p_size < 10), the revenue of lineitems whose quantity is under
+    half the part's average quantity — the classic CORRELATED SCALAR
+    SUBQUERY (avg per correlated partkey), decorrelated Spark-first as
+    aggregate-then-co-partitioned-join so the per-part average is one
+    map-side-combinable pass.  Exactness: quantities are small
+    integers, so per-part sums/avgs are order-independent doubles, and
+    revenue is summed as DECIMAL(18,2) (exact) then rounded to 2dp —
+    bit-identical across engines."""
+    li = _T(spark, sf_dir, "lineitem")
+    part = _T(spark, sf_dir, "part")
+    small = part.filter(F.col("p_size") < 10).select("p_partkey")
+    li2 = li.join(F.broadcast(small), li.l_partkey == small.p_partkey)
+    avgq = li2.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    picked = li2.join(avgq, "l_partkey").filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return picked.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2
+        ).cast("double").alias("sum_rev"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+def q_a27_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21-shaped sole-late-supplier report: in multi-supplier
+    orders, suppliers who shipped LATE (l_shipdate > o_orderdate + 60
+    days) while every other supplier of the order shipped on time —
+    Q21's nested EXISTS / NOT EXISTS pair, decorrelated into two
+    integer aggregates (per (order, supplier) any-late; per order
+    supplier count + late-supplier count) and a filter n_supp >= 2 AND
+    n_late == 1.  All-integer surface, unambiguous ordering (count
+    desc, unique s_name) — hash-exact."""
+    li = _T(spark, sf_dir, "lineitem")
+    orders = _T(spark, sf_dir, "orders")
+    sup = _T(spark, sf_dir, "supplier")
+    lo = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int").alias("late"),
+    )
+    pairs = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    stats = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    waiting = (
+        pairs.filter(F.col("late") == 1)
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q_a28_above_brand_average(spark, sf_dir):
+    """Correlated-scalar-subquery shape #3: parts larger than their
+    BRAND's average size ('above-average within group' — the canonical
+    decorrelate-to-window rewrite; Catalyst evaluates one window
+    aggregate partitioned by brand instead of re-running the subquery
+    per row).  p_size is an integer, so the brand average is an
+    order-independent double — bit-identical across engines."""
+    from pyspark.sql import Window
+
+    part = _T(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_avg", F.avg("p_size").over(w))
+        .filter(F.col("p_size") > F.col("brand_avg"))
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_brand",
+            F.col("p_size").cast("int").alias("p_size"),
+            "brand_avg",
+        )
+        .orderBy("p_partkey")
+    )
+
+
 def q_a22_idle_high_balance(spark, sf_dir):
     """TPC-H Q22-shaped lost-opportunity report: customers with
     above-average positive account balance who never placed an URGENT
@@ -5726,14 +5821,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # WAT envelope decoded JVM-side by from_json) and g05 (crawl DEPTH
     # — level-synchronous BFS from the seed set, hash-exact against a
     # bounded WITH RECURSIVE + MIN(depth) oracle) join them.
-    # Displaced past the cap: x23, x17, m06, e10, a19, o04 (epoch
-    # order / unigram LM / audio window plan / balanced cluster sample
-    # / retention cohorts / event funnel — all multi-round green;
-    # x23's epoch shuffling stays pinned by x22 at the position-50
-    # boundary, x17's tokenization by x24/x25, m06 by the m05/m07
+    # a26/a27/a28 (the correlated-subquery TPC-H family: Q17 scalar
+    # correlation decorrelated to aggregate-then-join with a
+    # DECIMAL-exact revenue sum, Q21's EXISTS/NOT-EXISTS pair as two
+    # integer aggregates, and above-brand-average via the
+    # decorrelate-to-window rewrite) join them.
+    # Displaced past the cap: e13, x24, x22, x23, x17, m06, e10, a19,
+    # o04 (all multi-round green; e13's semantic dedup stays pinned by
+    # e14 in-window, x24/x17 by x25's DSIR chain, x22/x23's packing
+    # and epoch order by x15/x16 in-window, m06 by the m05/m07
     # family, e10 by the e06 k-means family, a19 by the temporal
     # o-family, o04 by o06-o09 in selfcheck).
-    # The position-50 boundary row is x22_token_budget_sample.
+    # The position-50 boundary row is d10_substring_dedup.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
     "m23_multicodec_roundtrip": q_m23_multicodec_roundtrip,
@@ -5741,6 +5840,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m25_wet_pipeline": q_m25_wet_pipeline,
     "m26_wat_pipeline": q_m26_wat_pipeline,
     "g05_bfs_depths": q_g05_bfs_depths,
+    "a26_small_quantity_revenue": q_a26_small_quantity_revenue,
+    "a27_waiting_suppliers": q_a27_waiting_suppliers,
+    "a28_above_brand_average": q_a28_above_brand_average,
     # (a) NEW round 11
     "s26_crawl_schedule_stream": q_s26_crawl_schedule_stream,
     "g03_personalized_pagerank": q_g03_personalized_pagerank,
@@ -7635,6 +7737,60 @@ def oracle_sql() -> dict[str, str]:
                    'Moved' AS text
             FROM documents WHERE doc_id % 5 = 2
             ORDER BY file_id, pos
+        """,
+        "a26_small_quantity_revenue": """
+            WITH small AS (
+                SELECT p_partkey FROM part WHERE p_size < 10
+            ),
+            li2 AS (
+                SELECT l.* FROM lineitem l
+                JOIN small s ON l.l_partkey = s.p_partkey
+            ),
+            avgq AS (
+                SELECT l_partkey, AVG(l_quantity) AS avg_qty
+                FROM li2 GROUP BY l_partkey
+            )
+            SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice
+                                       AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS sum_rev,
+                   COUNT(*) AS n_lines
+            FROM li2 l JOIN avgq a ON l.l_partkey = a.l_partkey
+            WHERE l.l_quantity < 0.5 * a.avg_qty
+        """,
+        "a27_waiting_suppliers": """
+            WITH pairs AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_shipdate > o_orderdate
+                                     + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY l_orderkey, l_suppkey
+            ),
+            stats AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp,
+                       SUM(late) AS n_late
+                FROM pairs GROUP BY l_orderkey
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM pairs p
+            JOIN stats t ON p.l_orderkey = t.l_orderkey
+            JOIN supplier ON p.l_suppkey = s_suppkey
+            WHERE p.late = 1 AND t.n_supp >= 2 AND t.n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "a28_above_brand_average": """
+            SELECT p_partkey, p_brand, CAST(p_size AS INTEGER) AS p_size,
+                   brand_avg
+            FROM (
+                SELECT p_partkey, p_brand, p_size,
+                       AVG(p_size) OVER (PARTITION BY p_brand)
+                           AS brand_avg
+                FROM part
+            )
+            WHERE p_size > brand_avg
+            ORDER BY p_partkey
         """,
         "g05_bfs_depths": """
             WITH RECURSIVE

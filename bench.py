@@ -156,6 +156,9 @@ HEADLINE = [
     "m25_wet_pipeline",
     "m26_wat_pipeline",
     "g05_bfs_depths",
+    "a26_small_quantity_revenue",
+    "a27_waiting_suppliers",
+    "a28_above_brand_average",
 ]
 
 
