@@ -207,6 +207,7 @@ def run_crawl_stream(
     once: bool = True,
     on_batch_complete: Callable[[int], None] | None = None,
     rules: DataFrame | None = None,
+    emit_cdx: bool = False,
 ):
     """readStream over a WARC-manifest drop-dir; per micro-batch:
     replay-guard the file list against the processed ledger, side-load
@@ -292,6 +293,24 @@ def run_crawl_stream(
             )
             docs, errors = _extract_docs(files)
             _write_batch_partition(errors, f"{out_dir}/errors", key)
+            if emit_cdx:
+                # the crawler maintains its own random-access index as
+                # it ingests: one CDX row per record with the
+                # compressed byte range inside the archive (+ the
+                # archive path, so a ranged GET can serve any record
+                # later).  Costs one extra parse pass per batch —
+                # opt-in.  Same batch-partitioned idempotent sink as
+                # every other output.
+                from ..sources.warc import warc_cdx
+
+                paths = spark.createDataFrame(
+                    [(e["file_id"], e["path"]) for e in entries],
+                    "file_id long, warc_path string",
+                )
+                cdx = warc_cdx(files).join(
+                    F.broadcast(paths), "file_id"
+                )
+                _write_batch_partition(cdx, f"{out_dir}/cdx", key)
             if rules is not None:
                 from ..operators.robots import robots_filter
 

@@ -620,3 +620,55 @@ def test_crawl_stream_warc_zst_transport(spark, tmp_path):
     assert len(errs) == 1 and errs[0]["file_id"] == 2
     assert "dictionary" in errs[0]["error"]
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_crawl_stream_cdx_sink(spark, tmp_path):
+    """emit_cdx=True: the stream maintains the archive's random-access
+    index as it ingests — one CDX row per record with the compressed
+    byte range + archive path, batch-partitioned like every other
+    sink; any row serves its record back via one ranged read."""
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        fetch_warc_record,
+    )
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+
+    table = "crawl_stream_cdx_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://c.example/seed",)], "url string"),
+        table, buckets=4, path=str(tmp_path / "fidx"),
+    )
+    p1 = _warc(warcs / "c1.warc.gz", [
+        ("https://c.example/a", "alpha body"),
+        ("https://c.example/b", "bravo body"),
+    ])
+    (manifests / "wave.jsonl").write_text(
+        json.dumps({"file_id": 1, "path": p1}) + "\n"
+    )
+    q = run_crawl_stream(
+        spark, str(manifests), table, str(out), emit_cdx=True
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    cdx = _read(spark, out / "cdx").collect()
+    # warcinfo + 2 responses
+    assert len(cdx) == 3
+    responses = [r for r in cdx if r["warc_type"] == "response"]
+    assert sorted(r["target_uri"] for r in responses) == [
+        "https://c.example/a", "https://c.example/b",
+    ]
+    row = responses[0]
+    blob = open(row["warc_path"], "rb").read()
+    rec = fetch_warc_record(
+        blob, row["offset"], row["length"], row["member_pos"]
+    )
+    assert rec["target_uri"] == row["target_uri"]
+    assert rec["digest_ok"] is True
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
