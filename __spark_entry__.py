@@ -3691,6 +3691,83 @@ def q_m26_wat_pipeline(spark, sf_dir):
     ).orderBy("file_id", "pos")
 
 
+def q_m27_flac_decode_features(spark, sf_dir):
+    """REAL FLAC decode under a hash oracle (RFC 9639 — the dominant
+    LOSSLESS audio of a web corpus; WAV/G.711 covered the uncompressed
+    forms in m10/m18): per document a 2-channel 96-sample integer wave
+    with a closed form is encoded as a genuine FLAC stream by the
+    deterministic twin (operators/flaccodec.encode_flac — real CRC-8
+    frame headers, CRC-16 frame footers, STREAMINFO MD5) with the
+    bitstream SHAPE rotating by doc_id: channel decorrelation
+    independent / left-side / right-side / mid-side (%%4), subframe
+    types fixed0..fixed4 / verbatim / constant (%%5), Rice vs Rice2
+    parameter width (%%2), escape-coded raw partitions every %%3, and
+    THREE frames instead of one every %%7.  The pure-stdlib decoder
+    (decode_flac: MSB-first bits, UTF-8-style frame numbers, partition
+    Rice unfold, fixed-predictor reconstruction, inter-channel
+    undecorrelation, all three integrity checks) must recover the
+    exact samples — sums/extrema and the verified-MD5 bit are
+    recomputed analytically by DuckDB.  Lossy audio (MP3/AAC/Vorbis)
+    stays a typed refusal."""
+    docs = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.operators.flaccodec import (
+            decode_flac, encode_flac,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 96
+                if d % 5 == 4:
+                    left = [(d % 256) - 128] * n
+                else:
+                    left = [((i * 7 + d) % 256) - 128 for i in range(n)]
+                right = [((i * 13 + d * 3) % 256) - 128 for i in range(n)]
+                mode = ("independent", "left_side", "right_side",
+                        "mid_side")[d % 4]
+                kind = ("fixed0", "fixed1", "fixed2", "verbatim",
+                        "constant")[d % 5]
+                blob = encode_flac(
+                    [left, right],
+                    channel_mode=mode,
+                    subframe_kinds=[kind, "fixed2"],
+                    rice2=bool(d % 2),
+                    escape=(d % 3 == 0),
+                    frame_size=32 if d % 7 == 0 else None,
+                )
+                dec = decode_flac(blob)
+                gl, gr = dec["samples"]
+                rows.append({
+                    "doc_id": d,
+                    "n_samples": dec["n_samples"],
+                    "n_frames": dec["n_frames"],
+                    "md5_ok": bool(dec["md5_ok"]),
+                    "sum_l": sum(gl),
+                    "sum_r": sum(gr),
+                    "min_l": min(gl),
+                    "max_r": max(gr),
+                })
+            yield pd.DataFrame(rows)
+
+    return (
+        docs.mapInPandas(
+            run,
+            "doc_id long, n_samples int, n_frames int, md5_ok boolean,"
+            " sum_l long, sum_r long, min_l long, max_r long",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_m14_jpeg_decode_features(spark, sf_dir):
     """REAL lossy-compressed decode under a hash oracle: per document a
     16x8 two-block JPEG (ITU T.81 — markers, Annex K tables, Huffman
@@ -4703,6 +4780,55 @@ def q_g05_bfs_depths(spark, sf_dir):
     return (
         graph.bfs_depths(edges, seeds, max_hops=6)
         .orderBy("node")
+    )
+
+
+def q_x35_c4_filters(spark, sf_dir):
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2,
+    text.c4_quality_filter — pure-Catalyst split → higher-order filter
+    → aggregate, map-side/no-shuffle like the Gopher suite): per
+    document a five-line page is constructed CLOSED-FORM (the f05
+    identical-construction trick, with planted violations rotating by
+    doc_id: a missing-terminal-punctuation line every d%%3, a
+    'javascript' line every d%%7, a '{' line every d%%11, a
+    'lorem ipsum' decoration every d%%13, a under-5-words line every
+    d%%5), and both engines apply the SAME rules — Spark via
+    array-filter lambdas, DuckDB via list_filter over the identically
+    built text — so line retention, kept-character counts and the
+    >=3-kept-lines document verdict must agree row by row."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    l0 = F.concat(
+        F.lit("this is the first line of doc "), ds,
+        F.lit(" entirely ordinary"),
+        F.when(d % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(" lorem ipsum.")).otherwise(F.lit("")),
+    )
+    l1 = F.concat(
+        F.lit("the second line has plenty of words to pass"),
+        F.when(d % 7 != 0, F.lit(".")).otherwise(F.lit(" javascript.")),
+    )
+    l2 = F.concat(
+        F.lit("third line carries enough words for the count"),
+        F.when(d % 11 == 0, F.lit(" {.")).otherwise(F.lit("!")),
+    )
+    l3 = F.when(d % 5 == 0, F.lit("short line.")).otherwise(
+        F.lit("the fourth line is long enough to stay here.")
+    )
+    l4 = F.lit("the closing line always ends with proper punctuation?")
+    page = F.concat_ws("\n", l0, l1, l2, l3, l4)
+    built = docs.withColumn("text", page)
+    return (
+        text.c4_quality_filter(built)
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("int").alias("n_lines"),
+            F.col("n_kept").cast("int").alias("n_kept"),
+            F.col("kept_chars").cast("int").alias("kept_chars"),
+            "keep",
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -5826,13 +5952,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # DECIMAL-exact revenue sum, Q21's EXISTS/NOT-EXISTS pair as two
     # integer aggregates, and above-brand-average via the
     # decorrelate-to-window rewrite) join them.
-    # Displaced past the cap: e13, x24, x22, x23, x17, m06, e10, a19,
-    # o04 (all multi-round green; e13's semantic dedup stays pinned by
-    # e14 in-window, x24/x17 by x25's DSIR chain, x22/x23's packing
-    # and epoch order by x15/x16 in-window, m06 by the m05/m07
-    # family, e10 by the e06 k-means family, a19 by the temporal
-    # o-family, o04 by o06-o09 in selfcheck).
-    # The position-50 boundary row is d10_substring_dedup.
+    # x35 (the C4 line-level cleaning rules — Raffel et al. 2020, the
+    # f05 identical-construction trick with five planted violation
+    # regimes, both engines filtering the same built pages) and m27
+    # (REAL FLAC decode, RFC 9639 — CRC-8/CRC-16/MD5 all re-verified,
+    # bitstream shape rotating through 4 channel modes x 5 subframe
+    # types x Rice/Rice2 x escape x multi-frame) join them.
+    # Displaced past the cap: m13, d10, e13, x24, x22, x23, x17, m06,
+    # e10, a19, o04 (all multi-round green — m13 r7-r10 window green,
+    # its zip machinery pinned by m20 in selfcheck; d10 r8-r10 green,
+    # pinned by d11 at position 40; e13 by e14 in-window; x24/x17 by
+    # x25's DSIR chain; x22/x23 by x15/x16; m06 by the m05/m07
+    # family; e10 by the e06 k-means family; a19 by the temporal
+    # o-family; o04 by o06-o09 in selfcheck).
+    # The position-50 boundary row is m12_png_decode_features.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
     "m23_multicodec_roundtrip": q_m23_multicodec_roundtrip,
@@ -5840,6 +5973,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m25_wet_pipeline": q_m25_wet_pipeline,
     "m26_wat_pipeline": q_m26_wat_pipeline,
     "g05_bfs_depths": q_g05_bfs_depths,
+    "x35_c4_filters": q_x35_c4_filters,
+    "m27_flac_decode_features": q_m27_flac_decode_features,
     "a26_small_quantity_revenue": q_a26_small_quantity_revenue,
     "a27_waiting_suppliers": q_a27_waiting_suppliers,
     "a28_above_brand_average": q_a28_above_brand_average,
@@ -7737,6 +7872,79 @@ def oracle_sql() -> dict[str, str]:
                    'Moved' AS text
             FROM documents WHERE doc_id % 5 = 2
             ORDER BY file_id, pos
+        """,
+        "m27_flac_decode_features": """
+            SELECT doc_id,
+                   CAST(96 AS INTEGER) AS n_samples,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 1 END
+                        AS INTEGER) AS n_frames,
+                   TRUE AS md5_ok,
+                   CAST(CASE WHEN doc_id % 5 = 4
+                        THEN 96 * ((doc_id % 256) - 128)
+                        ELSE (SELECT SUM(((i * 7 + doc_id) % 256) - 128)
+                              FROM unnest(range(0, 96)) AS t(i))
+                   END AS BIGINT) AS sum_l,
+                   CAST((SELECT SUM(((i * 13 + doc_id * 3) % 256) - 128)
+                    FROM unnest(range(0, 96)) AS t(i)) AS BIGINT) AS sum_r,
+                   CAST(CASE WHEN doc_id % 5 = 4
+                        THEN (doc_id % 256) - 128
+                        ELSE (SELECT MIN(((i * 7 + doc_id) % 256) - 128)
+                              FROM unnest(range(0, 96)) AS t(i))
+                   END AS BIGINT) AS min_l,
+                   CAST((SELECT MAX(((i * 13 + doc_id * 3) % 256) - 128)
+                    FROM unnest(range(0, 96)) AS t(i)) AS BIGINT) AS max_r
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "x35_c4_filters": """
+            WITH built AS (
+                SELECT doc_id,
+                    'this is the first line of doc '
+                        || CAST(doc_id AS VARCHAR) || ' entirely ordinary'
+                        || CASE WHEN doc_id % 3 <> 0 THEN '.' ELSE '' END
+                        || CASE WHEN doc_id % 13 = 0
+                                THEN ' lorem ipsum.' ELSE '' END
+                    || chr(10) ||
+                    'the second line has plenty of words to pass'
+                        || CASE WHEN doc_id % 7 <> 0
+                                THEN '.' ELSE ' javascript.' END
+                    || chr(10) ||
+                    'third line carries enough words for the count'
+                        || CASE WHEN doc_id % 11 = 0 THEN ' {.' ELSE '!' END
+                    || chr(10) ||
+                    CASE WHEN doc_id % 5 = 0 THEN 'short line.'
+                         ELSE 'the fourth line is long enough to stay here.'
+                    END
+                    || chr(10) ||
+                    'the closing line always ends with proper punctuation?'
+                        AS text
+                FROM documents
+            ),
+            split AS (
+                SELECT doc_id,
+                       string_split(text, chr(10)) AS ls,
+                       list_filter(
+                           string_split(text, chr(10)),
+                           l -> regexp_matches(trim(l), '[.!?"]$')
+                                AND len(string_split_regex(trim(l), ' +'))
+                                    >= 5
+                                AND NOT contains(lower(trim(l)),
+                                                 'javascript')
+                                AND NOT contains(lower(trim(l)),
+                                                 'lorem ipsum')
+                                AND NOT contains(lower(trim(l)), '{')
+                       ) AS kept
+                FROM built
+            )
+            SELECT doc_id,
+                   CAST(len(ls) AS INTEGER) AS n_lines,
+                   CAST(len(kept) AS INTEGER) AS n_kept,
+                   CAST(coalesce(list_sum(
+                       list_transform(kept, l -> length(trim(l)))
+                   ), 0) AS INTEGER) AS kept_chars,
+                   len(kept) >= 3 AS keep
+            FROM split
+            ORDER BY doc_id
         """,
         "a26_small_quantity_revenue": """
             WITH small AS (

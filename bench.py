@@ -159,6 +159,8 @@ HEADLINE = [
     "a26_small_quantity_revenue",
     "a27_waiting_suppliers",
     "a28_above_brand_average",
+    "x35_c4_filters",
+    "m27_flac_decode_features",
 ]
 
 

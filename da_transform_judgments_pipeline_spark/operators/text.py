@@ -2562,3 +2562,54 @@ def normalize_text(
         out_col,
         F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(collapsed),
     )
+
+
+def c4_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2 — the
+    canonical public web-corpus filter, complementing the Gopher
+    DOCUMENT-level rules in :func:`gopher_quality_stats`): a line
+    survives iff it ends in terminal punctuation (``. ! ? "``), has at
+    least ``min_words`` words, and mentions none of ``javascript`` /
+    ``lorem ipsum`` / ``{`` (case-insensitive); a document survives iff
+    at least ``min_kept_lines`` lines do.
+
+    Pure Catalyst and entirely MAP-SIDE (split → higher-order filter →
+    aggregate; no explode, no shuffle, whole-stage codegen) — at 100 TB
+    this runs in the same scan as the other quality signals.  Returns
+    per doc: ``n_lines``, ``n_kept``, ``kept_chars`` (characters the
+    filter retains) and the ``keep`` verdict."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _line_ok(l):
+        t = F.trim(l)
+        low = F.lower(t)
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(F.split(t, " +")) >= min_words)
+            & ~low.contains("javascript")
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("{")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    return (
+        docs.withColumn("_lines", lines)
+        .withColumn("_kept", kept)
+        .select(
+            F.col(doc_id_col),
+            F.size("_lines").alias("n_lines"),
+            F.size("_kept").alias("n_kept"),
+            F.aggregate(
+                "_kept",
+                F.lit(0),
+                lambda acc, l: acc + F.length(F.trim(l)),
+            ).alias("kept_chars"),
+            (F.size("_kept") >= F.lit(min_kept_lines)).alias("keep"),
+        )
+    )
