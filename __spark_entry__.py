@@ -3739,7 +3739,9 @@ def q_m27_flac_decode_features(spark, sf_dir):
                 blob = encode_flac(
                     [left, right],
                     channel_mode=mode,
-                    subframe_kinds=[kind, "fixed2"],
+                    subframe_kinds=[
+                        kind, ("fixed2", "lpc2", "lpc4")[d % 3]
+                    ],
                     rice2=bool(d % 2),
                     escape=(d % 3 == 0),
                     frame_size=32 if d % 7 == 0 else None,

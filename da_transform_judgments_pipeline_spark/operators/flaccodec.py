@@ -11,7 +11,7 @@ features that appear in practice:
 - frame headers: UTF-8-style coded frame/sample numbers, all block-size
   / sample-rate / sample-size code forms, fixed and variable blocking;
 - subframes: CONSTANT, VERBATIM, FIXED orders 0-4, LPC orders 1-32
-  (quantized coefficients + shift), wasted-bits unpacking;
+  (quantized coefficients + shift), wasted-bits unpacking (encoder twin covers both);
 - residuals: partitioned Rice coding (4-bit and 5-bit parameter forms),
   zigzag unfold, escape-coded raw partitions;
 - inter-channel decorrelation: independent, left/side, right/side,
@@ -441,6 +441,15 @@ def _rice_write(w: _BitWriter, resid: list[int], param: int) -> None:
         w.write(z & ((1 << param) - 1), param)
 
 
+def _lpc_coefs(order: int) -> tuple[list[int], int, int]:
+    """Deterministic quantized-LPC parameters for the twin: small
+    alternating coefficients (always inside 5-bit precision), shift 2.
+    ANY integer coefficients are losslessly invertible — the residual
+    stores exactly what the prediction misses."""
+    coefs = [((-1) ** j) * (((j * 3) % 6) + 1) for j in range(order)]
+    return coefs, 5, 2
+
+
 def _write_subframe(
     w: _BitWriter,
     samples: list[int],
@@ -449,29 +458,59 @@ def _write_subframe(
     rice_param: int,
     rice2: bool = False,
     escape: bool = False,
+    wasted_bits: int = 0,
 ) -> None:
     w.write(0, 1)  # padding
+    if wasted_bits:
+        if any(s & ((1 << wasted_bits) - 1) for s in samples):
+            raise ValueError(
+                f"samples not divisible by 2^{wasted_bits} wasted bits"
+            )
+        samples = [s >> wasted_bits for s in samples]
+    eff = bps - wasted_bits
+
+    def _type_and_wasted(code: int) -> None:
+        w.write(code, 6)
+        if wasted_bits:
+            w.write(1, 1)
+            # unary count-1: (k-1) zeros then a terminating 1
+            w.write(1, wasted_bits)
+        else:
+            w.write(0, 1)
+
     if kind == "constant":
-        w.write(0, 6)
-        w.write(0, 1)
-        w.write(samples[0] & ((1 << bps) - 1), bps)
+        _type_and_wasted(0)
+        w.write(samples[0] & ((1 << eff) - 1), eff)
         return
     if kind == "verbatim":
-        w.write(1, 6)
-        w.write(0, 1)
+        _type_and_wasted(1)
         for s in samples:
-            w.write(s & ((1 << bps) - 1), bps)
+            w.write(s & ((1 << eff) - 1), eff)
         return
-    order = int(kind[len("fixed"):])
-    w.write(8 + order, 6)
-    w.write(0, 1)  # no wasted bits
-    for s in samples[:order]:
-        w.write(s & ((1 << bps) - 1), bps)
-    coefs = _FIXED_COEFS[order]
-    resid = []
-    for i in range(order, len(samples)):
-        pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
-        resid.append(samples[i] - pred)
+    if kind.startswith("lpc"):
+        order = int(kind[3:])
+        coefs, prec, shift = _lpc_coefs(order)
+        _type_and_wasted(0x20 | (order - 1))
+        for s in samples[:order]:
+            w.write(s & ((1 << eff) - 1), eff)
+        w.write(prec - 1, 4)
+        w.write(shift, 5)
+        for c in coefs:
+            w.write(c & ((1 << prec) - 1), prec)
+        resid = []
+        for i in range(order, len(samples)):
+            acc = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            resid.append(samples[i] - (acc >> shift))
+    else:
+        order = int(kind[len("fixed"):])
+        _type_and_wasted(8 + order)
+        for s in samples[:order]:
+            w.write(s & ((1 << eff) - 1), eff)
+        coefs = _FIXED_COEFS[order]
+        resid = []
+        for i in range(order, len(samples)):
+            pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            resid.append(samples[i] - pred)
     method = 1 if rice2 else 0
     pbits = 5 if rice2 else 4
     w.write(method, 2)
@@ -497,6 +536,7 @@ def encode_flac(
     rice2: bool = False,
     escape: bool = False,
     frame_size: int | None = None,
+    wasted_bits: int = 0,
 ) -> bytes:
     """Deterministic FLAC encoder twin: real streams with genuine
     CRC-8/CRC-16/MD5.  ``channel_mode``: independent / left_side /
@@ -578,7 +618,7 @@ def encode_flac(
                 kind = "fixed2"  # constant only encodes constants
             _write_subframe(
                 w, data, sub_bps, kind, rice_param, rice2=rice2,
-                escape=escape,
+                escape=escape, wasted_bits=wasted_bits,
             )
         w.align()
         body = bytes(w.buf)

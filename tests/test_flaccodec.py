@@ -96,3 +96,40 @@ def test_skippable_metadata_blocks_and_bps_variants():
     spliced = bytes(blob[:si_end]) + pad + bytes(blob[si_end:])
     dec = decode_flac(spliced)
     assert dec["samples"] == data and dec["bits_per_sample"] == 12
+
+
+@pytest.mark.parametrize("order", [1, 2, 4, 8])
+def test_lpc_subframes_roundtrip(order):
+    n = 128
+    data = [_wave(n, 7, 3, order), _wave(n, 13, 2, 5)]
+    blob = encode_flac(
+        [data[0], data[1]],
+        subframe_kinds=[f"lpc{order}", f"lpc{order}"],
+    )
+    dec = decode_flac(blob)
+    assert dec["samples"] == data
+    assert dec["md5_ok"] is True
+
+
+def test_lpc_mid_side_and_rice2():
+    data = [_wave(200, 11, 2, 3), _wave(200, 5, 3, 9)]
+    blob = encode_flac(
+        data, channel_mode="mid_side",
+        subframe_kinds=["lpc3", "lpc5"], rice2=True, frame_size=64,
+    )
+    dec = decode_flac(blob)
+    assert dec["samples"] == data and dec["n_frames"] == 4
+
+
+def test_wasted_bits_roundtrip():
+    base = _wave(96, 7, 1, 3)
+    scaled = [s << 3 for s in base]  # 3 guaranteed-zero low bits
+    blob = encode_flac(
+        [scaled], subframe_kinds=["fixed2"], wasted_bits=3
+    )
+    dec = decode_flac(blob)
+    assert dec["samples"] == [scaled]
+    assert dec["md5_ok"] is True
+    # and wasted bits compose with LPC
+    blob2 = encode_flac([scaled], subframe_kinds=["lpc2"], wasted_bits=3)
+    assert decode_flac(blob2)["samples"] == [scaled]
