@@ -4834,6 +4834,23 @@ def q_x35_c4_filters(spark, sf_dir):
     )
 
 
+def q_x36_bm25_scores(spark, sf_dir):
+    """Okapi BM25 (text.bm25_scores — Robertson & Walker 1994, the
+    Lucene +1 idf form) of every document against the query
+    {table, scan, value}: corpus stats (N, avgdl, per-term df) are one
+    tiny aggregate collected as k+1 control-plane scalars, then scoring
+    is a single map-side projection (per-term tf via higher-order
+    array filters, the BM25 sum folded into one codegen expression —
+    no shuffle, no UDF).  DuckDB recomputes the identical pipeline —
+    list_filter tf, window df/avgdl, ln idf — and both engines' pure
+    double arithmetic over integer statistics must agree at 6
+    decimals."""
+    docs = _T(spark, sf_dir, "documents")
+    return text.bm25_scores(
+        docs, ["table", "scan", "value"]
+    ).orderBy("doc_id")
+
+
 def q_g03_personalized_pagerank(spark, sf_dir):
     """PERSONALIZED PageRank (graph.pagerank with a reset
     distribution — random-walk-with-restart biased to a seed set, the
@@ -5960,14 +5977,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (REAL FLAC decode, RFC 9639 — CRC-8/CRC-16/MD5 all re-verified,
     # bitstream shape rotating through 4 channel modes x 5 subframe
     # types x Rice/Rice2 x escape x multi-frame) join them.
-    # Displaced past the cap: m13, d10, e13, x24, x22, x23, x17, m06,
-    # e10, a19, o04 (all multi-round green — m13 r7-r10 window green,
-    # its zip machinery pinned by m20 in selfcheck; d10 r8-r10 green,
-    # pinned by d11 at position 40; e13 by e14 in-window; x24/x17 by
-    # x25's DSIR chain; x22/x23 by x15/x16; m06 by the m05/m07
-    # family; e10 by the e06 k-means family; a19 by the temporal
-    # o-family; o04 by o06-o09 in selfcheck).
-    # The position-50 boundary row is m12_png_decode_features.
+    # x36 (Okapi BM25 — control-plane corpus stats + one map-side
+    # no-shuffle scoring projection, both engines' double arithmetic
+    # agreeing at 6 decimals) joins them.
+    # Displaced past the cap: m12, m13, d10, e13, x24, x22, x23, x17,
+    # m06, e10, a19, o04 (all multi-round green — m12's PNG machinery
+    # stays pinned by m09 at position ~41 and the m21 WebP family;
+    # m13 r7-r10 window green, its zip machinery pinned by m20 in
+    # selfcheck; d10 r8-r10 green, pinned by d11 in-window; e13 by
+    # e14; x24/x17 by x25's DSIR chain; x22/x23 by x15/x16; m06 by
+    # the m05/m07 family; e10 by the e06 k-means family; a19 by the
+    # temporal o-family; o04 by o06-o09 in selfcheck).
+    # The position-50 boundary row is m11_video_decode_features.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
     "m23_multicodec_roundtrip": q_m23_multicodec_roundtrip,
@@ -5977,6 +5998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g05_bfs_depths": q_g05_bfs_depths,
     "x35_c4_filters": q_x35_c4_filters,
     "m27_flac_decode_features": q_m27_flac_decode_features,
+    "x36_bm25_scores": q_x36_bm25_scores,
     "a26_small_quantity_revenue": q_a26_small_quantity_revenue,
     "a27_waiting_suppliers": q_a27_waiting_suppliers,
     "a28_above_brand_average": q_a28_above_brand_average,
@@ -7874,6 +7896,53 @@ def oracle_sql() -> dict[str, str]:
                    'Moved' AS text
             FROM documents WHERE doc_id % 5 = 2
             ORDER BY file_id, pos
+        """,
+        "x36_bm25_scores": """
+            WITH base AS (
+                SELECT doc_id,
+                       len(string_split_regex(lower(text), '\\s+'))
+                           AS doclen,
+                       len(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x = 'table')) AS tf0,
+                       len(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x = 'scan')) AS tf1,
+                       len(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x = 'value')) AS tf2
+                FROM documents
+            ),
+            stats AS (
+                SELECT COUNT(*) AS n,
+                       AVG(doclen) AS avgdl,
+                       SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST(doclen AS INTEGER) AS doclen,
+                   ROUND(
+                       0.0
+                       + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                         * (CAST(tf0 AS DOUBLE) * 2.2)
+                         / (CAST(tf0 AS DOUBLE)
+                            + 1.2 * (1.0 - 0.75
+                                     + 0.75 * doclen / avgdl))
+                       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                         * (CAST(tf1 AS DOUBLE) * 2.2)
+                         / (CAST(tf1 AS DOUBLE)
+                            + 1.2 * (1.0 - 0.75
+                                     + 0.75 * doclen / avgdl))
+                       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                         * (CAST(tf2 AS DOUBLE) * 2.2)
+                         / (CAST(tf2 AS DOUBLE)
+                            + 1.2 * (1.0 - 0.75
+                                     + 0.75 * doclen / avgdl))
+                   , 6) AS score
+            FROM base, stats
+            ORDER BY doc_id
         """,
         "m27_flac_decode_features": """
             SELECT doc_id,

@@ -161,6 +161,7 @@ HEADLINE = [
     "a28_above_brand_average",
     "x35_c4_filters",
     "m27_flac_decode_features",
+    "x36_bm25_scores",
 ]
 
 

@@ -2613,3 +2613,71 @@ def c4_quality_filter(
             (F.size("_kept") >= F.lit(min_kept_lines)).alias("keep"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag-of-terms query
+    (Robertson & Walker 1994; the +1 idf form Lucene uses, so idf is
+    always positive) — the retrieval-scoring half a training-data
+    pipeline needs for query-targeted subset selection, alongside the
+    DSIR/contrastive selection already here.
+
+    Spark-first shape: corpus statistics (average document length and
+    each term's document frequency) are ONE tiny aggregate collected as
+    control-plane scalars (the pagerank dangling-mass rule — k+1
+    doubles, never data-proportional), then scoring is a single
+    MAP-SIDE projection: per-term tf via higher-order array ops on the
+    tokenized text, the BM25 sum folded into one expression, no
+    shuffle, no UDF, whole-stage codegen.
+
+    Tokenization: lowercase whitespace split (the x17/x22 convention).
+    Returns (doc_id, doclen, score) with ``score`` rounded to 6
+    decimals — the idf/length math is pure double arithmetic on
+    integer statistics, identical in any engine at that precision."""
+    import math
+
+    toks = F.split(F.lower(F.col(text_col)), "\\s+")
+    base = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.size(toks).alias("doclen"),
+        *[
+            F.size(F.filter(toks, _eq_factory(t))).alias(f"_tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.avg("doclen").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    avgdl = float(stats["avgdl"])
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        df_i = stats[f"_df{i}"]
+        idf = math.log(1.0 + (n - df_i + 0.5) / (df_i + 0.5))
+        tf = F.col(f"_tf{i}").cast("double")
+        denom = tf + k1 * (1.0 - b + b * F.col("doclen") / avgdl)
+        score = score + F.lit(idf) * (tf * (k1 + 1.0)) / denom
+    return base.select(
+        "doc_id", "doclen", F.round(score, 6).alias("score")
+    )
+
+
+def _eq_factory(term: str):
+    """Closure factory for array-filter lambdas (the F.filter
+    second-param-is-index pitfall: never capture via default args)."""
+    def _eq(tok):
+        return tok == F.lit(term)
+
+    return _eq

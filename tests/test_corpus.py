@@ -463,3 +463,40 @@ def test_select_for_training_composes_score_budget_order(spark):
     ).collect()
     dedup.release_cached()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bm25_scores_hand_computed(spark):
+    import math
+
+    from da_transform_judgments_pipeline_spark.operators.scale import (
+        exchange_count,
+    )
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        bm25_scores,
+    )
+
+    rows = [
+        (1, "red fox red"),
+        (2, "blue fox"),
+        (3, "green tree green tree"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_scores(docs, ["red", "fox"], k1=1.2, b=0.75)
+    # the SCORING plan is shuffle-free (stats are control-plane scalars)
+    assert exchange_count(out) == 0
+    got = {r["doc_id"]: r for r in out.collect()}
+    n, avgdl = 3, (3 + 2 + 4) / 3
+    tfs = {1: (2, 1), 2: (0, 1), 3: (0, 0)}
+    lens = {1: 3, 2: 2, 3: 4}
+    dfs = (1, 2)
+    for did in (1, 2, 3):
+        score = 0.0
+        for ti in range(2):
+            idf = math.log(1.0 + (n - dfs[ti] + 0.5) / (dfs[ti] + 0.5))
+            tf = float(tfs[did][ti])
+            denom = tf + 1.2 * (1.0 - 0.75 + 0.75 * lens[did] / avgdl)
+            score += idf * (tf * 2.2) / denom
+        assert got[did]["doclen"] == lens[did]
+        assert abs(got[did]["score"] - round(score, 6)) < 1e-9, did
+    # zero-match doc scores exactly 0
+    assert got[3]["score"] == 0.0
