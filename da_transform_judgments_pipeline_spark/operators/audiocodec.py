@@ -221,3 +221,30 @@ def audio_features(rate: int, samples: np.ndarray) -> dict:
         "peak": round(peak, 6),
         "zcr": round(zc / (n - 1), 6) if n > 1 else 0.0,
     }
+
+
+def decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
+    """Container dispatch: WAV (PCM/G.711, :func:`decode_wav`) or FLAC
+    (the pure-stdlib RFC 9639 decoder in :mod:`.flaccodec`) →
+    ``(sample_rate, samples[n, channels] int)`` in the 16-bit domain
+    (other FLAC depths shift to full scale so downstream features
+    normalize identically).  MP3/OGG remain typed refusals — lossy
+    codecs have no stdlib path and faking them would be dishonest."""
+    blob = bytes(blob)
+    kind = sniff(blob)
+    if kind == "WAV":
+        return decode_wav(blob)
+    if kind == "FLAC":
+        from .flaccodec import decode_flac
+
+        dec = decode_flac(blob)
+        arr = np.array(dec["samples"], dtype=np.int64).T  # (n, channels)
+        if arr.size == 0:
+            arr = arr.reshape(0, max(dec["channels"], 1))
+        bps = dec["bits_per_sample"]
+        if bps < 16:
+            arr = arr << (16 - bps)
+        elif bps > 16:
+            arr = arr >> (bps - 16)
+        return dec["sample_rate"], arr
+    raise UnsupportedAudioError(f"{kind} requires a codec library")

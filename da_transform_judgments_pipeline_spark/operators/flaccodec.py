@@ -488,7 +488,9 @@ def _write_subframe(
             w.write(s & ((1 << eff) - 1), eff)
         return
     if kind.startswith("lpc"):
-        order = int(kind[3:])
+        # predictor order cannot exceed the block (warmup = whole block
+        # is legal; beyond it the bitstream would be malformed)
+        order = min(int(kind[3:]), len(samples))
         coefs, prec, shift = _lpc_coefs(order)
         _type_and_wasted(0x20 | (order - 1))
         for s in samples[:order]:
@@ -502,7 +504,7 @@ def _write_subframe(
             acc = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
             resid.append(samples[i] - (acc >> shift))
     else:
-        order = int(kind[len("fixed"):])
+        order = min(int(kind[len("fixed"):]), len(samples))
         _type_and_wasted(8 + order)
         for s in samples[:order]:
             w.write(s & ((1 << eff) - 1), eff)

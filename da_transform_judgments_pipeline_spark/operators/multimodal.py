@@ -219,12 +219,14 @@ AUDIO_FEATURE_SCHEMA = (
 
 def audio_clip_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL audio decode + per-clip features over mapInPandas: WAV
-    (RIFF/PCM 16-bit) blobs decode through the pure-numpy codec
-    (:mod:`.audiocodec`) into duration / RMS / peak / zero-crossing-rate
-    — actual sample math, no external audio libs needed for this format.
-    Compressed audio raises :class:`.audiocodec.UnsupportedAudioError`
-    naming the sniffed container (MP3/OGG/FLAC are codec-library
-    territory; faking them would be dishonest). Output:
+    (RIFF/PCM 16-bit, G.711) and FLAC (the pure-stdlib RFC 9639
+    decoder — CRCs and STREAMINFO MD5 re-verified during decode) blobs
+    decode through :func:`.audiocodec.decode_audio` into duration /
+    RMS / peak / zero-crossing-rate — actual sample math, no external
+    audio libs.  Lossy audio raises
+    :class:`.audiocodec.UnsupportedAudioError` naming the sniffed
+    container (MP3/OGG stay codec-library territory; faking them would
+    be dishonest). Output:
     (media_id, sample_rate, n_samples, duration_ms, rms, peak, zcr).
 
     ``on_error="report"`` appends an ``error`` column (NULL on success)
@@ -243,7 +245,7 @@ def audio_clip_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    rate, samples = audiocodec.decode_wav(bytes(blob))
+                    rate, samples = audiocodec.decode_audio(bytes(blob))
                     row = {
                         "media_id": mid,
                         **audiocodec.audio_features(rate, samples),

@@ -745,3 +745,30 @@ def test_png_malformed_inputs_raise_typed_errors():
     # all of the above isolate per-row under report mode
     from da_transform_judgments_pipeline_spark.operators import multimodal  # noqa: F401
     assert np.frombuffer(b"", np.uint8).size == 0  # numpy import used
+
+
+def test_audio_clip_features_decodes_flac(spark):
+    """audio_clip_features now routes FLAC through the real decoder;
+    lossy containers still isolate as typed error rows."""
+    from da_transform_judgments_pipeline_spark.operators import multimodal
+    from da_transform_judgments_pipeline_spark.operators.flaccodec import (
+        encode_flac,
+    )
+
+    wave = [((i * 7 + 3) % 256) - 128 for i in range(160)]
+    flac = encode_flac([wave], sample_rate=16000,
+                       subframe_kinds=["fixed2"])
+    rows = [
+        (1, bytearray(flac)),
+        (2, bytearray(b"ID3fake-mp3-bytes")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r
+           for r in multimodal.audio_clip_features(
+               media, on_error="report").collect()}
+    ok = out[1]
+    assert ok["error"] is None
+    assert ok["sample_rate"] == 16000 and ok["n_samples"] == 160
+    assert ok["duration_ms"] == 10.0
+    bad = out[2]
+    assert "UnsupportedAudioError" in bad["error"] and "MP3" in bad["error"]

@@ -614,3 +614,66 @@ def test_robots_longest_match_model_property(rules, path):
     # mirror of the Spark fold: max by (length, allow)
     best = max(matching) if matching else None
     assert (best[1] if best else True) == expected
+
+
+@settings(
+    max_examples=40, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data=st.binary(min_size=0, max_size=4000))
+def test_transport_decoders_roundtrip_any_bytes(data):
+    """For ANY byte string, the canonical C encoders' output must decode
+    back exactly through the pure-stdlib decoders (hypothesis widens
+    the fixed differential shapes to adversarial inputs)."""
+    import pyarrow as pa
+
+    from da_transform_judgments_pipeline_spark.operators.compress import (
+        lz4_frame_decompress,
+        snappy_decompress,
+        zstd_compress_store,
+        zstd_decompress,
+    )
+
+    assert zstd_decompress(
+        pa.Codec("zstd", compression_level=3).compress(data, asbytes=True)
+    ) == data
+    assert lz4_frame_decompress(
+        pa.Codec("lz4").compress(data, asbytes=True)
+    ) == data
+    assert snappy_decompress(
+        pa.Codec("snappy").compress(data, asbytes=True)
+    ) == data
+    # and libzstd must accept our store-mode frames
+    frame = zstd_compress_store(data)
+    assert pa.Codec("zstd").decompress(
+        frame, decompressed_size=len(data), asbytes=True
+    ) == data
+
+
+@settings(
+    max_examples=30, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1, max_size=400,
+    ),
+    mode_i=st.integers(min_value=0, max_value=3),
+    kind_i=st.integers(min_value=0, max_value=5),
+)
+def test_flac_roundtrip_any_samples(samples, mode_i, kind_i):
+    from da_transform_judgments_pipeline_spark.operators.flaccodec import (
+        decode_flac, encode_flac,
+    )
+
+    mode = ("independent", "left_side", "right_side", "mid_side")[mode_i]
+    kind = ("fixed0", "fixed1", "fixed2", "verbatim", "lpc2", "lpc4")[kind_i]
+    other = [(s * 3) % 1000 - 500 for s in samples]
+    blob = encode_flac(
+        [samples, other], channel_mode=mode,
+        subframe_kinds=[kind, "verbatim"],
+    )
+    dec = decode_flac(blob)
+    assert dec["samples"] == [samples, other]
+    assert dec["md5_ok"] is True
