@@ -233,6 +233,43 @@ _RATE_CODES = {
 }
 
 
+
+
+def _parse_vorbis_comment(block: bytes) -> dict[str, str]:
+    """VORBIS_COMMENT metadata (the public Vorbis comment spec FLAC
+    embeds): vendor string + KEY=value pairs, all little-endian
+    length-prefixed UTF-8.  Keys are case-insensitive → lowered."""
+    out: dict[str, str] = {}
+    if len(block) < 8:
+        raise FlacError("truncated Vorbis comment block")
+    vlen = int.from_bytes(block[0:4], "little")
+    pos = 4 + vlen
+    if pos + 4 > len(block):
+        raise FlacError("truncated Vorbis comment vendor string")
+    count = int.from_bytes(block[pos : pos + 4], "little")
+    pos += 4
+    for _ in range(count):
+        if pos + 4 > len(block):
+            raise FlacError("truncated Vorbis comment entry length")
+        clen = int.from_bytes(block[pos : pos + 4], "little")
+        pos += 4
+        entry = block[pos : pos + clen]
+        if len(entry) != clen:
+            raise FlacError("truncated Vorbis comment entry")
+        pos += clen
+        try:
+            text = entry.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise FlacError(f"non-UTF-8 Vorbis comment: {e}")
+        if "=" not in text:
+            raise FlacError(f"Vorbis comment without '=': {text[:40]!r}")
+        k, v = text.split("=", 1)
+        out[k.lower()] = v
+    return out
+
+
+
+
 def decode_flac(blob: bytes, max_samples: int = FLAC_MAX_SAMPLES) -> dict:
     """Decode a FLAC stream.  Returns ``sample_rate``, ``channels``,
     ``bits_per_sample``, ``samples`` (list per channel, ints),
@@ -242,6 +279,7 @@ def decode_flac(blob: bytes, max_samples: int = FLAC_MAX_SAMPLES) -> dict:
         raise FlacError("missing fLaC magic")
     pos = 4
     streaminfo = None
+    tags: dict[str, str] = {}
     last = False
     while not last:
         if pos + 4 > len(blob):
@@ -255,6 +293,8 @@ def decode_flac(blob: bytes, max_samples: int = FLAC_MAX_SAMPLES) -> dict:
             raise FlacError("truncated metadata block")
         if btype == 0:
             streaminfo = blob[pos : pos + length]
+        elif btype == 4:  # VORBIS_COMMENT: the corpus's title/artist tags
+            tags.update(_parse_vorbis_comment(blob[pos : pos + length]))
         elif btype == 127:
             raise FlacError("invalid metadata block type 127")
         pos += length
@@ -384,6 +424,7 @@ def decode_flac(blob: bytes, max_samples: int = FLAC_MAX_SAMPLES) -> dict:
         "n_samples": n_samples,
         "n_frames": n_frames,
         "md5_ok": md5_ok,
+        "tags": tags,
     }
 
 
@@ -539,6 +580,7 @@ def encode_flac(
     escape: bool = False,
     frame_size: int | None = None,
     wasted_bits: int = 0,
+    tags: dict | None = None,
 ) -> bytes:
     """Deterministic FLAC encoder twin: real streams with genuine
     CRC-8/CRC-16/MD5.  ``channel_mode``: independent / left_side /
@@ -572,8 +614,18 @@ def encode_flac(
     h.update(bytes(buf))
     info = si.bytes() + h.digest()
     out = bytearray(b"fLaC")
-    out += struct.pack(">I", (1 << 31) | (0 << 24) | len(info))[:4]
+    last_flag = 0 if tags else (1 << 31)
+    out += struct.pack(">I", last_flag | (0 << 24) | len(info))[:4]
     out += info
+    if tags:
+        vendor = b"da-transform-judgments-pipeline-spark"
+        vc = bytearray(struct.pack("<I", len(vendor)) + vendor)
+        vc += struct.pack("<I", len(tags))
+        for k in sorted(tags):
+            entry = f"{k}={tags[k]}".encode("utf-8")
+            vc += struct.pack("<I", len(entry)) + entry
+        out += struct.pack(">I", (1 << 31) | (4 << 24) | len(vc))[:4]
+        out += vc
     frame_no = 0
     start = 0
     while start < n:

@@ -133,3 +133,22 @@ def test_wasted_bits_roundtrip():
     # and wasted bits compose with LPC
     blob2 = encode_flac([scaled], subframe_kinds=["lpc2"], wasted_bits=3)
     assert decode_flac(blob2)["samples"] == [scaled]
+
+
+def test_vorbis_comment_tags_roundtrip():
+    wave = _wave(96, 7, 1, 3)
+    blob = encode_flac(
+        [wave], tags={"TITLE": "Doc 7", "artist": "crawler",
+                      "url": "http://h/a?x=1"},
+    )
+    dec = decode_flac(blob)
+    assert dec["samples"] == [wave] and dec["md5_ok"] is True
+    assert dec["tags"] == {
+        "title": "Doc 7", "artist": "crawler", "url": "http://h/a?x=1",
+    }
+    # tag-less streams expose an empty dict; truncated blocks are typed
+    assert decode_flac(encode_flac([wave]))["tags"] == {}
+    vc_start = blob.index(b"da-transform") - 8
+    bad = blob[: len(blob) - len(blob) + vc_start + 10]
+    with pytest.raises(FlacError):
+        decode_flac(bad)
