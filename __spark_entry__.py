@@ -3770,6 +3770,80 @@ def q_m27_flac_decode_features(spark, sf_dir):
     )
 
 
+def q_s28_warc_cdx_index(spark, sf_dir):
+    """The CDX random-access index under a hash oracle (warc_cdx was
+    pytest-only until now): per document a WARC with d %% 3 + 1
+    response records is packed as .warc.gz for EVEN doc_ids and
+    .warc.zst for ODD (with its leading skippable frame) — so both
+    transports' compressed-byte-range walks are indexed in one corpus.
+    The oracle pins the STRUCTURE, not just the fields: per file the
+    member ranges must tile the file CONTIGUOUSLY (offset == previous
+    offset + previous length, via a window lag) and the first member
+    must start at 8 for zst (the skippable dictionary slot) vs 0 for
+    gz — DuckDB recomputes record counts, URIs, statuses, member_pos
+    and both structural booleans closed-form."""
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        warc_cdx,
+    )
+
+    files = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.sources.warc import (
+            build_warc_gz, build_warc_zst,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                resp = [
+                    {
+                        "url": f"https://caselaw.example/{d}/{r}",
+                        "date": "2021-03-04T05:06:07Z",
+                        "status": 404 if r == 2 else 200,
+                        "payload": (
+                            f"<html><body><p>Rec {r} of {d}.</p></body></html>"
+                        ).encode(),
+                    }
+                    for r in range(d % 3 + 1)
+                ]
+                blob = (
+                    build_warc_gz(resp)
+                    if d % 2 == 0
+                    else build_warc_zst(resp)
+                )
+                blobs.append(bytearray(blob))
+            yield pd.DataFrame(
+                {"file_id": pdf["doc_id"], "content": blobs}
+            )
+
+    corpus = files.mapInPandas(make, "file_id long, content binary")
+    cdx = warc_cdx(corpus, on_error="raise")
+    w = Window.partitionBy("file_id").orderBy("pos")
+    prev_end = F.lag(F.col("offset") + F.col("length")).over(w)
+    return cdx.select(
+        "file_id",
+        "pos",
+        "member_pos",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        (F.col("offset") == F.coalesce(prev_end, F.col("offset"))).alias(
+            "contiguous"
+        ),
+        F.min("offset").over(
+            Window.partitionBy("file_id")
+        ).cast("int").alias("first_offset"),
+    ).orderBy("file_id", "pos")
+
+
 def q_m14_jpeg_decode_features(spark, sf_dir):
     """REAL lossy-compressed decode under a hash oracle: per document a
     16x8 two-block JPEG (ITU T.81 — markers, Annex K tables, Huffman
@@ -5979,7 +6053,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # types x Rice/Rice2 x escape x multi-frame) join them.
     # x36 (Okapi BM25 — control-plane corpus stats + one map-side
     # no-shuffle scoring projection, both engines' double arithmetic
-    # agreeing at 6 decimals) joins them.
+    # agreeing at 6 decimals) and s28 (the CDX random-access index
+    # itself under an oracle at last: mixed gz/zst corpus, the oracle
+    # pinning STRUCTURE — window-lag contiguity of compressed byte
+    # ranges and the zst skippable-frame lead offset) join them.
+    # m11 additionally displaced for s28 (multi-round green; its Y4M
+    # machinery stays pinned by m05/m07-m08 in selfcheck).
     # Displaced past the cap: m12, m13, d10, e13, x24, x22, x23, x17,
     # m06, e10, a19, o04 (all multi-round green — m12's PNG machinery
     # stays pinned by m09 at position ~41 and the m21 WebP family;
@@ -5988,7 +6067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # e14; x24/x17 by x25's DSIR chain; x22/x23 by x15/x16; m06 by
     # the m05/m07 family; e10 by the e06 k-means family; a19 by the
     # temporal o-family; o04 by o06-o09 in selfcheck).
-    # The position-50 boundary row is m11_video_decode_features.
+    # The position-50 boundary row is m10_audio_decode_features.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
     "m23_multicodec_roundtrip": q_m23_multicodec_roundtrip,
@@ -5999,6 +6078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x35_c4_filters": q_x35_c4_filters,
     "m27_flac_decode_features": q_m27_flac_decode_features,
     "x36_bm25_scores": q_x36_bm25_scores,
+    "s28_warc_cdx_index": q_s28_warc_cdx_index,
     "a26_small_quantity_revenue": q_a26_small_quantity_revenue,
     "a27_waiting_suppliers": q_a27_waiting_suppliers,
     "a28_above_brand_average": q_a28_above_brand_average,
@@ -7943,6 +8023,37 @@ def oracle_sql() -> dict[str, str]:
                    , 6) AS score
             FROM base, stats
             ORDER BY doc_id
+        """,
+        "s28_warc_cdx_index": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 0 END
+                            AS INTEGER) AS first_offset
+                FROM documents
+            )
+            SELECT doc_id AS file_id,
+                   CAST(0 AS INTEGER) AS pos,
+                   CAST(0 AS INTEGER) AS member_pos,
+                   'warcinfo' AS warc_type,
+                   '' AS target_uri,
+                   CAST(NULL AS INTEGER) AS http_status,
+                   TRUE AS contiguous,
+                   first_offset
+            FROM base
+            UNION ALL
+            SELECT doc_id AS file_id,
+                   CAST(r + 1 AS INTEGER) AS pos,
+                   CAST(0 AS INTEGER) AS member_pos,
+                   'response' AS warc_type,
+                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/' || CAST(r AS VARCHAR) AS target_uri,
+                   CAST(CASE WHEN r = 2 THEN 404 ELSE 200 END
+                        AS INTEGER) AS http_status,
+                   TRUE AS contiguous,
+                   first_offset
+            FROM base,
+                 unnest(range(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS t(r)
+            ORDER BY file_id, pos
         """,
         "m27_flac_decode_features": """
             SELECT doc_id,

@@ -162,6 +162,7 @@ HEADLINE = [
     "x35_c4_filters",
     "m27_flac_decode_features",
     "x36_bm25_scores",
+    "s28_warc_cdx_index",
 ]
 
 
