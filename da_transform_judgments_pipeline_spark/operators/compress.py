@@ -370,16 +370,64 @@ def lz4_block_decompress(
 def lz4_frame_decompress(
     blob: bytes, max_output: int = COMPRESS_MAX_OUTPUT_BYTES
 ) -> bytes:
-    """Decode an LZ4 frame (magic, FLG/BD descriptor, blocks, xxHash32
-    header/block/content checksums, optional dependent blocks)."""
+    """Decode LZ4 frames (magic, FLG/BD descriptor, blocks, xxHash32
+    header/block/content checksums, optional dependent blocks).
+    Concatenated frames — the standard multi-frame layout the ``lz4``
+    CLI emits for appended files — decode end-to-end like the zstd
+    path; skippable frames (magic 0x184D2A5x) are skipped; trailing
+    bytes that are not a frame raise instead of being silently
+    dropped."""
     n = len(blob)
-    if n < 7:
+    out_all = bytearray()
+    pos = 0
+    first = True
+    while pos < n:
+        piece, pos = _lz4_one_frame(
+            blob, pos, max_output=max_output - len(out_all), first=first
+        )
+        first = False
+        if piece is not None:
+            out_all += piece
+    return bytes(out_all)
+
+
+# LZ4 frame format: skippable frame magics, mirroring zstd's
+LZ4_MAGIC_SKIPPABLE_MIN = 0x184D2A50
+LZ4_MAGIC_SKIPPABLE_MAX = 0x184D2A5F
+
+
+def _lz4_one_frame(blob, start, max_output, first):
+    """Decode one frame beginning at ``start``; returns
+    ``(payload_or_None, next_pos)``.  ``None`` payload for skippable
+    frames."""
+    n = len(blob)
+    pos = start
+    if pos + 4 > n:
         raise CompressError("lz4: truncated frame header")
-    (magic,) = struct.unpack_from("<I", blob, 0)
+    (magic,) = struct.unpack_from("<I", blob, pos)
+    if LZ4_MAGIC_SKIPPABLE_MIN <= magic <= LZ4_MAGIC_SKIPPABLE_MAX:
+        if pos + 8 > n:
+            raise CompressError("lz4: truncated skippable frame")
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        if pos + 8 + size > n:
+            raise CompressError("lz4: truncated skippable frame")
+        return None, pos + 8 + size
     if magic != LZ4_MAGIC:
-        raise CompressError(f"lz4: bad magic 0x{magic:08x}")
-    flg = blob[4]
-    bd = blob[5]
+        if first:
+            raise CompressError(f"lz4: bad magic 0x{magic:08x}")
+        raise CompressError(
+            f"lz4: trailing bytes after frame are not a frame "
+            f"(magic 0x{magic:08x} at offset {pos})"
+        )
+    if pos + 7 > n:
+        raise CompressError("lz4: truncated frame header")
+    return _lz4_frame_body(blob, pos, max_output)
+
+
+def _lz4_frame_body(blob, start, max_output):
+    n = len(blob)
+    flg = blob[start + 4]
+    bd = blob[start + 5]
     if (flg >> 6) != 0b01:
         raise CompressError(f"lz4: unsupported frame version {flg >> 6}")
     block_indep = bool(flg & 0x20)
@@ -387,7 +435,7 @@ def lz4_frame_decompress(
     has_content_size = bool(flg & 0x08)
     content_checksum = bool(flg & 0x04)
     has_dict_id = bool(flg & 0x01)
-    pos = 6
+    pos = start + 6
     declared = None
     if has_content_size:
         if pos + 8 > n:
@@ -405,7 +453,7 @@ def lz4_frame_decompress(
     if pos >= n:
         raise CompressError("lz4: truncated header checksum")
     hc = blob[pos]
-    expect = (xxh32(blob[4:pos]) >> 8) & 0xFF
+    expect = (xxh32(blob[start + 4 : pos]) >> 8) & 0xFF
     if hc != expect:
         raise CompressError(
             f"lz4: header checksum mismatch (got 0x{hc:02x}, want 0x{expect:02x})"
@@ -455,7 +503,7 @@ def lz4_frame_decompress(
         raise CompressError(
             f"lz4: declared {declared} bytes, produced {len(out)}"
         )
-    return bytes(out)
+    return bytes(out), pos
 
 
 # ---------------------------------------------------------------------------
@@ -561,7 +609,10 @@ def _fse_read_table(
     def read_bits(nb: int) -> int:
         nonlocal bit
         bp = bit >> 3
-        if bp >= len(blob):
+        # the read must END inside the blob too — a short slice would
+        # silently zero-fill the high bits and parse a truncated table
+        # as a different-but-well-formed one
+        if bp >= len(blob) or (bit + nb + 7) // 8 > len(blob):
             raise CompressError("zstd: truncated FSE table description")
         chunk = int.from_bytes(blob[bp : bp + 4], "little")
         val = (chunk >> (bit & 7)) & ((1 << nb) - 1)
@@ -1231,15 +1282,32 @@ def decompress(
     if codec == "gzip":
         import zlib
 
-        dec = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out = dec.decompress(blob, max_output + 1)
-        if len(out) > max_output or dec.unconsumed_tail:
-            raise CompressBombError(
-                f"gzip: output exceeds bound {max_output}"
-            )
-        if not dec.eof:
-            raise CompressError("gzip: truncated stream")
-        return out
+        # Concatenated members — the standard multi-member layout that
+        # `cat a.gz b.gz` / pigz emit — decode end-to-end like the zstd
+        # multi-frame path; corrupt streams surface as typed
+        # CompressError so on_error='report' row isolation holds.
+        out = bytearray()
+        rest = blob
+        while True:
+            dec = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                piece = dec.decompress(rest, max_output - len(out) + 1)
+            except zlib.error as e:
+                raise CompressError(f"gzip: corrupt stream: {e}") from e
+            out += piece
+            if len(out) > max_output or dec.unconsumed_tail:
+                raise CompressBombError(
+                    f"gzip: output exceeds bound {max_output}"
+                )
+            if not dec.eof:
+                raise CompressError("gzip: truncated stream")
+            rest = dec.unused_data
+            if not rest:
+                return bytes(out)
+            if rest[:2] != _GZIP_MAGIC:
+                raise CompressError(
+                    "gzip: trailing bytes after member are not a gzip member"
+                )
     if codec in ("bz2", "xz", "lzma"):
         # stdlib codecs, wrapped so the SAME bound/typed-error contract
         # holds across the whole transport matrix

@@ -2661,7 +2661,17 @@ def bm25_scores(
         ],
     ).collect()[0]
     n = stats["n"]
+    if n == 0:
+        # empty corpus: avgdl is NULL — return an empty, correctly
+        # typed frame rather than crashing on float(None)
+        return base.select(
+            "doc_id", "doclen", F.lit(0.0).alias("score")
+        ).limit(0)
     avgdl = float(stats["avgdl"])
+    if avgdl == 0.0:
+        # all-empty docs: every tf is 0, so every score is 0; avoid the
+        # 0/0 in the length normalizer
+        avgdl = 1.0
     score = F.lit(0.0)
     for i in range(len(query_terms)):
         df_i = stats[f"_df{i}"]

@@ -71,20 +71,28 @@ def _untar_bytes(
 ) -> list[dict]:
     """One archive → member dicts. Regular files only; leading './' stripped
     (reference behavior: tar_lib.py:25-65 strips './', skips directories).
-    ``tarfile`` handles gz/bz2/xz transparently; ``.tar.zst`` (the modern
-    consignment transport) is inflated first by the pure-stdlib zstd
-    decoder, bounded by ``max_bytes``."""
+    Every compressed transport (gz / bz2 / xz / zst) is inflated FIRST
+    through the bounded :func:`..operators.compress.decompress`
+    dispatch, so the ``max_bytes`` decompressed-size bound holds
+    uniformly — a gz tarbomb fails fast with
+    :class:`..operators.compress.CompressBombError` exactly like the
+    zst twin, instead of tarfile inflating it unbounded."""
+    bound = max_bytes if max_bytes is not None else DEFAULT_MAX_ARCHIVE_BYTES
+    transport = None
     if len(blob) >= 4 and blob[:4] == b"\x28\xb5\x2f\xfd":
-        from ..operators.compress import zstd_decompress
+        transport = "zstd"
+    elif blob[:2] == b"\x1f\x8b":
+        transport = "gzip"
+    elif blob[:3] == b"BZh":
+        transport = "bz2"
+    elif blob[:6] == b"\xfd7zXZ\x00":
+        transport = "xz"
+    if transport is not None:
+        from ..operators.compress import decompress
 
-        blob = zstd_decompress(
-            blob,
-            max_output=(
-                max_bytes if max_bytes is not None else DEFAULT_MAX_ARCHIVE_BYTES
-            ),
-        )
+        blob = decompress(blob, transport, max_output=bound)
     out = []
-    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:") as tf:
         for member in tf:
             if not member.isfile():
                 continue

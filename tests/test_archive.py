@@ -224,3 +224,41 @@ def test_untar_tar_zst_transport(spark):
     # the whole-archive bound applies to the INFLATED bytes too
     small = A.untar(df, max_archive_bytes=16, on_error="report").collect()
     assert len(small) == 1 and "16" in small[0]["error"]
+
+
+def test_untar_gz_bz2_xz_bounded_like_zst(spark):
+    """r12 (ADVICE r11): every tar transport honors the same
+    decompressed-size bound — a gz tarbomb fails fast with a typed
+    error row, exactly like the .tar.zst twin, instead of tarfile
+    inflating it unbounded."""
+    import bz2 as _bz2
+    import gzip as _gz
+    import io as _io
+    import lzma as _lzma
+    import tarfile as _tarfile
+
+    from da_transform_judgments_pipeline_spark.sources import archive as A
+
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w") as tf:
+        data = b"\x00" * 1_000_000  # inflates 1 MB from a ~1 KB blob
+        info = _tarfile.TarInfo("bomb.bin")
+        info.size = len(data)
+        tf.addfile(info, _io.BytesIO(data))
+    plain = buf.getvalue()
+    for label, blob in (
+        ("t.tar.gz", _gz.compress(plain)),
+        ("t.tar.bz2", _bz2.compress(plain)),
+        ("t.tar.xz", _lzma.compress(plain)),
+    ):
+        df = spark.createDataFrame(
+            [(label, bytearray(blob))], "path string, content binary"
+        )
+        # healthy under the default bound
+        ok = A.untar(df).collect()
+        assert [r["name"] for r in ok] == ["bomb.bin"]
+        # bounded: compressed size passes the archive guard, inflation
+        # is stopped by the codec layer before materializing
+        rep = A.untar(df, max_archive_bytes=65536, on_error="report").collect()
+        assert len(rep) == 1 and rep[0]["name"] is None, label
+        assert "Bomb" in rep[0]["error"] or "bound" in rep[0]["error"], label

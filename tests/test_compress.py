@@ -366,3 +366,65 @@ def test_bz2_xz_dispatch_bounded():
         decompress(_bz2.compress(data)[:20], "bz2")
     with pytest.raises(CompressError):
         decompress(b"not bz2 at all", "bz2")
+
+
+# --- r12: multi-member / trailing-data contracts (ADVICE r11) ---------------
+
+
+def test_gzip_concatenated_members_decode_fully():
+    """`cat a.gz b.gz` is the standard multi-member layout; silently
+    truncating to member 1 is data loss (ADVICE r11)."""
+    import gzip as _gz
+
+    a, b = b"alpha " * 100, b"bravo " * 77
+    blob = _gz.compress(a) + _gz.compress(b) + _gz.compress(b"tail")
+    assert decompress(blob, "gzip") == a + b + b"tail"
+    # bomb bound applies to the TOTAL across members
+    with pytest.raises(CompressBombError):
+        decompress(blob, "gzip", max_output=len(a) + 10)
+
+
+def test_gzip_corrupt_and_trailing_garbage_typed():
+    import gzip as _gz
+
+    good = _gz.compress(b"payload " * 40)
+    corrupt = good[:10] + b"\xff\xfe" + good[12:]
+    with pytest.raises(CompressError, match="corrupt"):
+        decompress(corrupt, "gzip")
+    with pytest.raises(CompressError, match="trailing"):
+        decompress(good + b"NOT-A-GZIP-MEMBER", "gzip")
+
+
+def test_decompress_blobs_report_isolates_corrupt_gzip(spark):
+    """A corrupt gzip blob must surface as a typed error ROW, not a
+    zlib.error task failure (ADVICE r11: the gzip branch was unwrapped)."""
+    import gzip as _gz
+
+    good = _gz.compress(b"fine " * 30)
+    corrupt = good[:8] + b"\x00\x00\x00\x00" + good[12:]
+    df = spark.createDataFrame(
+        [(1, good), (2, corrupt)], "id int, content binary"
+    )
+    out = decompress_blobs(df, codec="gzip").orderBy("id").collect()
+    assert out[0].error is None and bytes(out[0].decompressed) == b"fine " * 30
+    assert out[1].error is not None and "CompressError" in out[1].error
+
+
+def test_lz4_concatenated_and_skippable_frames():
+    """Concatenated LZ4 frames (lz4 CLI append layout) decode fully;
+    skippable frames are skipped; trailing garbage raises instead of
+    being dropped (ADVICE r11: first-frame-only was silent loss)."""
+    a, b = b"first frame " * 50, b"second frame " * 33
+    fa = pa.Codec("lz4").compress(a, asbytes=True)
+    fb = pa.Codec("lz4").compress(b, asbytes=True)
+    skippable = struct.pack("<II", 0x184D2A50, 6) + b"sixby!"
+    assert lz4_frame_decompress(fa + fb) == a + b
+    assert lz4_frame_decompress(fa + skippable + fb) == a + b
+    assert lz4_frame_decompress(skippable + fa) == a
+    with pytest.raises(CompressError, match="trailing"):
+        lz4_frame_decompress(fa + b"garbage-after-frame")
+    with pytest.raises(CompressError, match="truncated skippable"):
+        lz4_frame_decompress(fa + skippable[:7])
+    # bomb bound applies to the TOTAL across frames
+    with pytest.raises(CompressBombError):
+        lz4_frame_decompress(fa + fb, max_output=len(a) + 4)
