@@ -428,3 +428,91 @@ def test_lz4_concatenated_and_skippable_frames():
     # bomb bound applies to the TOTAL across frames
     with pytest.raises(CompressBombError):
         lz4_frame_decompress(fa + fb, max_output=len(a) + 4)
+
+
+# --- r12: native fast path (pyarrow/libzstd) vs pure twin -------------------
+
+
+from da_transform_judgments_pipeline_spark.operators.compress import (  # noqa: E402
+    lz4_frame_bounds,
+    snappy_declared_length,
+    zstd_frame_bounds,
+)
+
+
+@pytest.mark.parametrize("codec", ["zstd", "lz4", "snappy"])
+@pytest.mark.parametrize("shape", sorted(SHAPES))
+def test_native_engine_matches_pure(codec, shape):
+    """engine='auto' (libzstd/liblz4/libsnappy via pyarrow) must be
+    byte-identical to the pure-stdlib verifying twin on every shape."""
+    data = SHAPES[shape]
+    blob = pa.Codec(codec).compress(data, asbytes=True)
+    assert decompress(blob, codec, engine="auto") == data
+    assert decompress(blob, codec, engine="pure") == data
+
+
+def test_native_engine_multiframe_skippable_and_errors():
+    data = b"record payload " * 400
+    z = pa.Codec("zstd", compression_level=15).compress(data, asbytes=True)
+    sk = struct.pack("<II", 0x184D2A50, 3) + b"abc"
+    assert decompress(z + sk + z, "zstd", engine="auto") == data + data
+    l4 = pa.Codec("lz4").compress(data, asbytes=True)
+    lsk = struct.pack("<II", 0x184D2A51, 2) + b"xy"
+    assert decompress(l4 + lsk + l4, "lz4", engine="auto") == data + data
+    # typed errors identical to the pure path
+    for blob, codec in ((z + b"trailing!", "zstd"), (l4 + b"trailing!", "lz4")):
+        with pytest.raises(CompressError):
+            decompress(blob, codec, engine="auto")
+        with pytest.raises(CompressError):
+            decompress(blob, codec, engine="pure")
+    with pytest.raises(CompressError):
+        decompress(z[: len(z) // 2], "zstd", engine="auto")
+    # bombs stop BEFORE materializing, native path included
+    big = pa.Codec("zstd").compress(b"\x00" * 2_000_000, asbytes=True)
+    with pytest.raises(CompressBombError):
+        decompress(big, "zstd", engine="auto", max_output=4096)
+    with pytest.raises(CompressBombError):
+        decompress(
+            pa.Codec("lz4").compress(b"\x00" * 2_000_000, asbytes=True),
+            "lz4",
+            engine="auto",
+            max_output=4096,
+        )
+    with pytest.raises(CompressBombError):
+        decompress(
+            pa.Codec("snappy").compress(b"\x00" * 2_000_000, asbytes=True),
+            "snappy",
+            engine="auto",
+            max_output=4096,
+        )
+    with pytest.raises(ValueError):
+        decompress(z, "zstd", engine="warp")
+
+
+def test_frame_bounds_walkers():
+    """The cheap header walkers front the native decoder: extents are
+    exact, declared sizes surface, dictionaries refuse typed."""
+    a = pa.Codec("zstd", compression_level=3).compress(b"A" * 9000, asbytes=True)
+    b = pa.Codec("zstd", compression_level=19).compress(b"B" * 4000, asbytes=True)
+    sk = struct.pack("<II", 0x184D2A5F, 5) + b"12345"
+    bounds = zstd_frame_bounds(a + sk + b)
+    assert [(s, e) for s, e, _, _ in bounds] == [
+        (0, len(a)),
+        (len(a), len(a) + len(sk)),
+        (len(a) + len(sk), len(a) + len(sk) + len(b)),
+    ]
+    assert [skp for _, _, _, skp in bounds] == [False, True, False]
+    assert bounds[0][2] == 9000 and bounds[2][2] == 4000  # declared sizes
+    with pytest.raises(CompressError, match="truncated"):
+        zstd_frame_bounds(a[:-3])
+    la = pa.Codec("lz4").compress(b"C" * 7000, asbytes=True)
+    lb = pa.Codec("lz4").compress(b"D" * 100, asbytes=True)
+    lbounds = lz4_frame_bounds(la + lb)
+    assert [(s, e) for s, e, _, _ in lbounds] == [
+        (0, len(la)),
+        (len(la), len(la) + len(lb)),
+    ]
+    with pytest.raises(CompressError, match="trailing"):
+        lz4_frame_bounds(la + b"junk")
+    s = pa.Codec("snappy").compress(b"E" * 12345, asbytes=True)
+    assert snappy_declared_length(s) == 12345
