@@ -5596,6 +5596,7 @@ def q_s27_crawl_link_graph(spark, sf_dir):
         run_crawl_stream,
     )
 
+    _t0 = _time.perf_counter()
     rows = (
         _T(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 23 == 0)
@@ -5604,6 +5605,7 @@ def q_s27_crawl_link_graph(spark, sf_dir):
     )  # control-plane: ~|docs|/23 ids drive FILE construction only
     tmp = tempfile.mkdtemp(prefix="s27_link_graph_")
     table = f"s27_frontier_{_uuid.uuid4().hex[:8]}"
+    _t1 = _t2 = _t3 = None
     try:
         os.makedirs(f"{tmp}/warcs")
         os.makedirs(f"{tmp}/manifests")
@@ -5633,11 +5635,13 @@ def q_s27_crawl_link_graph(spark, sf_dir):
             ),
             table, buckets=4, path=f"{tmp}/fidx",
         )
+        _t1 = _time.perf_counter()
         q = run_crawl_stream(
             spark, f"{tmp}/manifests", table, f"{tmp}/out",
             max_files_per_trigger=100000,
         )
         q.awaitTermination(300)
+        _t2 = _time.perf_counter()
         out = (
             graph.weight_edges(
                 spark.read.parquet(f"{tmp}/out/links").select("src", "dst")
@@ -5645,9 +5649,155 @@ def q_s27_crawl_link_graph(spark, sf_dir):
             .orderBy("src", "dst")
             .localCheckpoint(eager=True)
         )
+        _t3 = _time.perf_counter()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(tmp, ignore_errors=True)
+        _t4 = _time.perf_counter()
+        if _t3 is not None:
+            STREAM_SPLITS["s27_crawl_link_graph"] = {
+                "fixture_sec": round(_t1 - _t0, 3),
+                "stream_sec": round(_t2 - _t1, 3),
+                "collect_sec": round(_t3 - _t2, 3),
+                "teardown_sec": round(_t4 - _t3, 3),
+            }
+    return out
+
+
+def q_s29_crawl_priority_stream(spark, sf_dir):
+    """The crawl loop's PRIORITIZER half composed end-to-end (round-12:
+    crawl_wave_ranks + pagerank warm start + the stream's via/priority
+    queue columns), hash-exact: docs with doc_id %% 29 == 0 become a
+    CYCLE of pages /p/{d} (sorted-id order, each linking next and prev
+    once and an external /x/{d} twice — out-weights 1+1+2 = 4, a power
+    of two), streamed as wave 1. crawl_wave_ranks then ranks the SEEN
+    graph twice — 3 iterations cold from a reset concentrated on the
+    smallest id's page, then 3 MORE warm-started from that result —
+    with damping 0.5, so every iterate is dyadic-exact and the warm
+    vector's float mass is exactly 1.0: the two chained calls are
+    BIT-IDENTICAL to 6 cold iterations, which is what DuckDB recomputes
+    (6 unrolled dangling+update CTEs — the /x targets are dangling
+    receivers, their rank mass re-entering through the reset). Wave 2
+    fetches every /x page (each linking a fresh /y/{d}) with ranks
+    supplied: its discoveries carry via = the /x page and priority =
+    that page's warm-started rank; wave 1 ran with an EMPTY rank frame,
+    so its /x discoveries carry priority 0.0 under the same schema.
+    The oracle recomputes the full queue — cycle edges, 6 rank
+    iterations, attribution — analytically."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from da_transform_judgments_pipeline_spark.sources import frontier
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        build_warc_gz,
+    )
+    from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+        crawl_wave_ranks,
+        run_crawl_stream,
+    )
+
+    _t0 = _time.perf_counter()
+    rows = (
+        _T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 0)
+        .select("doc_id")
+        .collect()
+    )  # control-plane: ~|docs|/29 ids drive FILE construction only
+    ids = sorted(int(r["doc_id"]) for r in rows)
+    n = len(ids)
+    tmp = tempfile.mkdtemp(prefix="s29_priority_")
+    table = f"s29_frontier_{_uuid.uuid4().hex[:8]}"
+    _t1 = _t2 = _t3 = None
+    try:
+        os.makedirs(f"{tmp}/warcs")
+        os.makedirs(f"{tmp}/manifests")
+        pages = []
+        for j, d in enumerate(ids):
+            nxt = ids[(j + 1) % n]
+            prv = ids[(j - 1) % n]
+            html = (
+                f"<html><body><p>prio case {d}</p>"
+                f'<a href="/p/{nxt}">n</a>'
+                f'<a href="/p/{prv}">v</a>'
+                f'<a href="/x/{d}">x</a>'
+                f'<a href="/x/{d}">x2</a></body></html>'
+            ).encode()
+            pages.append({
+                "url": f"https://s29.example/p/{d}",
+                "date": "2021-03-04T05:06:07Z", "payload": html,
+            })
+        with open(f"{tmp}/warcs/w1.warc.gz", "wb") as f:
+            f.write(build_warc_gz(pages))
+        with open(f"{tmp}/manifests/m1.jsonl", "w") as f:
+            f.write(json.dumps(
+                {"file_id": 1, "path": f"{tmp}/warcs/w1.warc.gz"}
+            ) + "\n")
+        frontier.build_url_index(
+            spark.createDataFrame(
+                [("https://seed.example/",)], "url string"
+            ),
+            table, buckets=4, path=f"{tmp}/fidx",
+        )
+        _t1 = _time.perf_counter()
+        q = run_crawl_stream(
+            spark, f"{tmp}/manifests", table, f"{tmp}/out",
+            max_files_per_trigger=100000,
+            ranks=spark.createDataFrame([], "node string, rank double"),
+        )
+        q.awaitTermination(300)
+        reset = spark.createDataFrame(
+            [(f"https://s29.example/p/{ids[0]}", 1.0)],
+            "node string, weight double",
+        )
+        r3 = crawl_wave_ranks(
+            spark, f"{tmp}/out", damping=0.5, n_iterations=3, tol=None,
+            reset=reset,
+        ).localCheckpoint(eager=True)
+        r6 = crawl_wave_ranks(
+            spark, f"{tmp}/out", prev_ranks=r3, damping=0.5,
+            n_iterations=3, tol=None, reset=reset,
+        ).localCheckpoint(eager=True)
+        wave2 = []
+        for d in ids:
+            html = (
+                f"<html><body><p>xp case {d}</p>"
+                f'<a href="/y/{d}">y</a></body></html>'
+            ).encode()
+            wave2.append({
+                "url": f"https://s29.example/x/{d}",
+                "date": "2021-03-04T05:06:07Z", "payload": html,
+            })
+        with open(f"{tmp}/warcs/w2.warc.gz", "wb") as f:
+            f.write(build_warc_gz(wave2))
+        with open(f"{tmp}/manifests/m2.jsonl", "w") as f:
+            f.write(json.dumps(
+                {"file_id": 2, "path": f"{tmp}/warcs/w2.warc.gz"}
+            ) + "\n")
+        q = run_crawl_stream(
+            spark, f"{tmp}/manifests", table, f"{tmp}/out",
+            max_files_per_trigger=100000, ranks=r6,
+        )
+        q.awaitTermination(300)
+        _t2 = _time.perf_counter()
+        out = (
+            spark.read.parquet(f"{tmp}/out/discovered")
+            .select("canonical", "url", "via", "priority")
+            .orderBy("canonical")
+            .localCheckpoint(eager=True)
+        )
+        _t3 = _time.perf_counter()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        _t4 = _time.perf_counter()
+        if _t3 is not None:
+            STREAM_SPLITS["s29_crawl_priority_stream"] = {
+                "fixture_sec": round(_t1 - _t0, 3),
+                "stream_sec": round(_t2 - _t1, 3),
+                "collect_sec": round(_t3 - _t2, 3),
+                "teardown_sec": round(_t4 - _t3, 3),
+            }
     return out
 
 
@@ -6067,6 +6217,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # e14; x24/x17 by x25's DSIR chain; x22/x23 by x15/x16; m06 by
     # the m05/m07 family; e10 by the e06 k-means family; a19 by the
     # temporal o-family; o04 by o06-o09 in selfcheck).
+    # --- Round 12 rotation: s29 (the crawl loop's PRIORITIZER half —
+    # crawl_wave_ranks over the stream's link sink, pagerank WARM START
+    # chained 3+3 iterations bit-identical to 6 cold, and the queue's
+    # via/priority columns — the whole prioritized fetch queue
+    # recomputed analytically by 6 unrolled dangling+update CTEs) is
+    # NEW and leads the window. Displaced past the cap: m10 (multi-
+    # round green since r6; its audio machinery stays pinned in-window
+    # by m18 G.711 and m27 FLAC). The position-50 boundary row is now
+    # m09_image_decode_features. Changed-this-
+    # round queries already in-window: s24/s26/s27 (discovered queue
+    # carries via; sitemap routing now MIME+content-sniff — oracles
+    # unchanged), g01/g03/g04 (pagerank gained initial_ranks/stats
+    # params; the cold path the oracles pin is bit-unchanged), m22-m26
+    # + s28 (the round-12a native codec fast path + truncation/typing
+    # fixes landed under their unchanged oracles).
+    # (a) NEW round 12
+    "s29_crawl_priority_stream": q_s29_crawl_priority_stream,
     # The position-50 boundary row is m10_audio_decode_features.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
@@ -6985,6 +7152,111 @@ WITH docs AS (
 )
 SELECT src, dst, weight FROM edges ORDER BY src, dst
 """
+
+
+def _s29_sql(k: int = 6) -> str:
+    """s29 oracle: the prioritized fetch queue recomputed analytically —
+    the wave-1 cycle edge list (weights by anchor multiplicity: next 1,
+    prev 1, /x twice = 2; W(src) = 4, a power of two), k = 6 unrolled
+    weighted-personalized-PageRank iterations with per-iteration
+    dangling scalars (the /x targets have no out-edges), and the two
+    waves' queue rows: /x discoveries via their /p page at priority 0.0
+    (wave 1 ran with an empty rank frame), /y discoveries via their /x
+    page at that page's iteration-6 rank. 3 cold + 3 warm-started Spark
+    iterations == 6 flat iterations here because the warm mass is
+    exactly 1.0 (see q_s29)."""
+    ctes = [
+        """ids AS (
+          SELECT CAST(doc_id AS BIGINT) AS d FROM documents
+          WHERE doc_id % 29 = 0
+        )""",
+        """cyc AS (
+          SELECT d,
+                 coalesce(lead(d) OVER (ORDER BY d),
+                          (SELECT min(d) FROM ids)) AS nxt,
+                 coalesce(lag(d) OVER (ORDER BY d),
+                          (SELECT max(d) FROM ids)) AS prv
+          FROM ids
+        )""",
+        """anchors AS (
+          SELECT 'https://s29.example/p/' || CAST(d AS VARCHAR) AS src,
+                 'https://s29.example/p/' || CAST(nxt AS VARCHAR) AS dst
+          FROM cyc
+          UNION ALL
+          SELECT 'https://s29.example/p/' || CAST(d AS VARCHAR),
+                 'https://s29.example/p/' || CAST(prv AS VARCHAR)
+          FROM cyc
+          UNION ALL
+          SELECT 'https://s29.example/p/' || CAST(d AS VARCHAR),
+                 'https://s29.example/x/' || CAST(d AS VARCHAR)
+          FROM cyc
+          UNION ALL
+          SELECT 'https://s29.example/p/' || CAST(d AS VARCHAR),
+                 'https://s29.example/x/' || CAST(d AS VARCHAR)
+          FROM cyc
+        )""",
+        """edges AS (
+          SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM anchors GROUP BY src, dst
+        )""",
+        "outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)",
+        """nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges
+          )
+        )""",
+        """r AS (
+          SELECT node,
+                 CASE WHEN node = 'https://s29.example/p/'
+                                  || CAST((SELECT min(d) FROM ids)
+                                          AS VARCHAR)
+                      THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS r0
+          FROM nodes
+        )""",
+        "pr0 AS (SELECT node, r0 AS rank FROM r)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f"""dang{i} AS (
+          SELECT coalesce(sum(p.rank), 0.0) AS dang
+          FROM pr{i - 1} p LEFT JOIN outw ON outw.src = p.node
+          WHERE outw.src IS NULL
+        )""")
+        ctes.append(f"""pr{i} AS (
+          SELECT n.node,
+                 0.5 * r.r0
+                 + 0.5 * (coalesce(s.m, 0.0) + dg.dang * r.r0) AS rank
+          FROM nodes n
+          JOIN r ON r.node = n.node
+          CROSS JOIN dang{i} dg
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank * e.w / outw.ow) AS m
+            FROM edges e
+            JOIN pr{i - 1} p ON p.node = e.src
+            JOIN outw ON outw.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = n.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT canonical, url, via, priority FROM (
+  SELECT 'https://s29.example/x/' || CAST(d AS VARCHAR) AS canonical,
+         'https://s29.example/x/' || CAST(d AS VARCHAR) AS url,
+         'https://s29.example/p/' || CAST(d AS VARCHAR) AS via,
+         CAST(0.0 AS DOUBLE) AS priority
+  FROM ids
+  UNION ALL
+  SELECT 'https://s29.example/y/' || CAST(d AS VARCHAR),
+         'https://s29.example/y/' || CAST(d AS VARCHAR),
+         'https://s29.example/x/' || CAST(d AS VARCHAR),
+         (SELECT rank FROM pr{k}
+          WHERE node = 'https://s29.example/x/' || CAST(ids.d AS VARCHAR))
+  FROM ids
+) ORDER BY canonical
+"""
+    )
 
 
 def _g04_sql(k: int = 4) -> str:
@@ -9220,6 +9492,7 @@ def oracle_sql() -> dict[str, str]:
         "g03_personalized_pagerank": _g03_sql(),
         "g04_weighted_pagerank": _g04_sql(),
         "s27_crawl_link_graph": _s27_sql(),
+        "s29_crawl_priority_stream": _s29_sql(),
         "f05_html_links": _f05_sql(),
         "s25_sitemap_discovery": """
             WITH f AS (SELECT ['daily','weekly','monthly','yearly'] AS fr)

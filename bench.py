@@ -163,6 +163,8 @@ HEADLINE = [
     "m27_flac_decode_features",
     "x36_bm25_scores",
     "s28_warc_cdx_index",
+    # round 12
+    "s29_crawl_priority_stream",
 ]
 
 

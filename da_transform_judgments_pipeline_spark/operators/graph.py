@@ -48,6 +48,8 @@ def pagerank(
     tol: float | None = None,
     reset: DataFrame | None = None,
     weight_col: str | None = None,
+    initial_ranks: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """PageRank over (nodes, edges): rank_0 = r; per iteration
     rank'(v) = (1-d)·r(v) + d·(Σ_{u→v} rank(u)/out_deg(u) +
@@ -63,6 +65,29 @@ def pagerank(
     ``tol``: optional convergence early-exit — stop when the L1 delta
     Σ|rank'-rank| falls below it (one extra scalar aggregate per
     iteration, only when enabled); ``n_iterations`` stays the hard cap.
+
+    ``initial_ranks``: optional WARM START — a (node, rank) frame,
+    typically the PREVIOUS wave's output on a graph that has since
+    grown. rank_0(v) = its rank (duplicates sum); nodes absent from it
+    start at the reset value r(v); the assembled vector is then
+    L1-NORMALIZED to mass 1. The normalization matters: the iteration
+    is an affine contraction with a unique fixed point, but a mass
+    excess (new nodes' seeds on top of a sum-1 warm vector) decays at
+    exactly rate d — the same rate as the cold-start error — so an
+    unnormalized warm start saves nothing (measured: 12 cold vs 14
+    "warm" on a 33%-grown toy). Normalized, the remaining error is the
+    GROWTH perturbation, not the uniform-to-fixed-point distance, and
+    with ``tol`` a hub-skewed grown graph converges in measurably
+    fewer iterations (re-ranking from uniform every crawl wave wastes
+    most of them — the round-11 prioritizer gap). Continuation is
+    exact: warm-starting from a k-iteration result of the SAME graph
+    and running m more reproduces k+m cold iterations (bit-identical
+    whenever the warm vector's float sum is exactly 1.0 — guaranteed
+    on the dyadic oracle graphs, ~1 ulp otherwise).
+
+    ``stats``: optional dict, filled on return with ``iterations``
+    (executed count) and ``l1_delta`` (last measured delta, None when
+    ``tol`` is off) — the warm-start savings are measurable.
 
     ``weight_col``: optional WEIGHTED edges — each out-edge carries
     rank ∝ its weight share of the source's total outgoing weight
@@ -85,6 +110,9 @@ def pagerank(
     mass is ONE scalar aggregate per iteration (control-plane).
     ``localCheckpoint`` keeps lineage constant across iterations."""
     n = nodes.count()
+    if stats is not None:
+        stats["iterations"] = 0
+        stats["l1_delta"] = None
     if n == 0:
         return nodes.select(
             F.col(node_col).alias("node"),
@@ -125,12 +153,39 @@ def pagerank(
     else:
         base = base.withColumn("_r0", F.lit(1.0 / n))
     base = base.persist()
-    ranks = base.select("node", F.col("_r0").alias("rank"))
+    if initial_ranks is not None:
+        # duplicate warm rows add (the reset-seeds rule); stale nodes
+        # no longer in the graph drop via the inner base join; NEW
+        # nodes (absent from the warm frame) start at their reset
+        # value. Checkpointed: detached from whatever files/plan the
+        # caller's previous wave left behind.
+        warm = initial_ranks.groupBy("node").agg(
+            F.sum("rank").alias("_ir")
+        )
+        raw = base.join(warm, "node", "left").select(
+            "node",
+            F.coalesce(F.col("_ir"), F.col("_r0")).alias("_raw"),
+        )
+        mass = raw.agg(F.sum("_raw")).collect()[0][0]
+        if not mass or mass <= 0:
+            raise ValueError(
+                "initial_ranks must carry positive total mass"
+            )
+        ranks = (
+            raw.select(
+                "node", (F.col("_raw") / F.lit(mass)).alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        ranks = base.select("node", F.col("_r0").alias("rank"))
     # persisted: the per-iteration dangling scalar anti-joins this —
     # without the persist it re-aggregates the whole edge list each round
     has_out = deg.select(F.col(src_col).alias("node")).persist()
     try:
-        for _ in range(n_iterations):
+        for _it in range(n_iterations):
+            if stats is not None:
+                stats["iterations"] = _it + 1
             dangling = (
                 ranks.join(has_out, "node", "left_anti")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
@@ -175,6 +230,8 @@ def pagerank(
                     .collect()[0][0]
                 )
                 ranks = new_ranks
+                if stats is not None:
+                    stats["l1_delta"] = delta
                 if delta is not None and delta < tol:
                     break
             else:

@@ -56,6 +56,7 @@ def new_frontier_urls(
     table: str,
     url_col: str = "url",
     order_cols: tuple = (),
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """The per-batch frontier decision: canonicalize, keep ONE
     representative per canonical within the batch (a min-struct over
@@ -64,17 +65,30 @@ def new_frontier_urls(
     is the first discovery in arrival order; with the default empty
     tuple it is the lexicographically-smallest URL string. Returns the
     batch rows that are genuinely new, with their ``canonical`` column.
-    Append the result's canonicals via :func:`append_to_url_index`
-    after a successful fetch wave."""
+    ``keep_cols``: extra payload columns carried THROUGH the dedup on
+    the surviving representative row (appended to the min-struct after
+    the ordering fields, so they ride along without changing which row
+    wins) — e.g. the discovering page's canonical, so a prioritizer can
+    attach that page's rank to the queue row. Append the result's
+    canonicals via :func:`append_to_url_index` after a successful
+    fetch wave."""
     canon = _canon(batch, url_col)
     key = F.struct(
         *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
         F.col(url_col).alias("u"),
+        *[F.col(c).alias(f"k{i}") for i, c in enumerate(keep_cols)],
     )
     firsts = (
         canon.groupBy("canonical")
         .agg(F.min(key).alias("first"))
-        .select("canonical", F.col("first.u").alias(url_col))
+        .select(
+            "canonical",
+            F.col("first.u").alias(url_col),
+            *[
+                F.col(f"first.k{i}").alias(c)
+                for i, c in enumerate(keep_cols)
+            ],
+        )
     )
     index = spark.table(table)
     return firsts.join(index, "canonical", "left_anti")

@@ -103,10 +103,27 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     responses = recs.filter(
         (F.col("error").isNull()) & (F.col("warc_type") == "response")
     )
-    # a response whose URL path names a sitemap is a DISCOVERY DOCUMENT,
-    # not a corpus page: its raw bytes ride along (only for these rows)
-    # so process_batch can parse <loc> entries into the fetch queue
-    is_sm = F.col("target_uri").rlike(r"\.xml(\.gz)?$")
+    # a response that IS a sitemap is a DISCOVERY DOCUMENT, not a
+    # corpus page: its raw bytes ride along (only for these rows) so
+    # process_batch can parse <loc> entries into the fetch queue.
+    # Classification is CONTENT-first (warc.py surfaces the HTTP
+    # Content-Type as ``mime``, and the payload head is sniffed for the
+    # protocol's root elements), because the URL alone misroutes both
+    # ways: an RSS/Atom feed at /feed.xml is a corpus page, and a real
+    # sitemap served at /sitemap (no extension) is a sitemap. The URL
+    # test survives only as a TIEBREAK for gzip-transport payloads,
+    # whose head cannot be sniffed without inflating.
+    _head = F.substring(F.col("payload"), 1, 2048).cast("string")
+    _sniff_sm = _head.rlike(
+        r"<\s*(?:[A-Za-z0-9_.\-]+:)?(?:urlset|sitemapindex)[\s/>]"
+    )
+    _gz = F.substring(F.col("payload"), 1, 2) == F.lit(b"\x1f\x8b")
+    _mime = F.lower(F.coalesce(F.col("mime"), F.lit("")))
+    _mime_sm = _mime.rlike(r"^(application|text)/xml\b") | _mime.rlike(
+        r"^application/(x-)?gzip\b"
+    )
+    _url_sm = F.col("target_uri").rlike(r"\.xml(\.gz)?$")
+    is_sm = _sniff_sm | (_gz & (_mime_sm | _url_sm))
     extracted = responses.select(
         "file_id",
         "pos",
@@ -171,17 +188,21 @@ def _own_canonicals(spark, out_dir: str, key: str):
     (detached from the files the replay is about to overwrite) or None
     when no earlier attempt exists (the happy path — a driver-side
     existence probe, no Spark job)."""
+    from pyspark.errors import AnalysisException
+
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     conf = spark._jsc.hadoopConfiguration()
     found = []
     for sink in ("accepted", "redirects", "sitemaps"):
+        # NO exception guard here: exists() returns False for a missing
+        # path, so anything raised is a genuine FS/IO failure — it must
+        # FAIL the batch (foreachBatch retries it) rather than silently
+        # skip a partition and flip the replay's accepted/url_seen
+        # decisions against the post-append index view
         p = f"{out_dir}/{sink}/batch_key={key}"
-        try:
-            if hpath(p).getFileSystem(conf).exists(hpath(p)):
-                found.append(p)
-        except Exception:
-            pass
+        if hpath(p).getFileSystem(conf).exists(hpath(p)):
+            found.append(p)
     if not found:
         return None
     try:
@@ -192,10 +213,68 @@ def _own_canonicals(spark, out_dir: str, key: str):
             part = spark.read.parquet(p).select("canonical")
             df = part if df is None else df.union(part)
         return df.distinct().localCheckpoint(eager=True)
-    except Exception:
-        # partition dir exists but holds no committed parquet (crash
-        # mid-write, pre-job-commit): nothing reached the index either
+    except AnalysisException:
+        # the ONLY expected failure: partition dir exists but holds no
+        # committed parquet (crash mid-write, pre-job-commit — schema
+        # inference finds nothing to read), so nothing reached the
+        # index either. Corrupt files or transient read IO raise other
+        # types and propagate: the batch fails and replays.
         return None
+
+
+def crawl_wave_ranks(
+    spark: SparkSession,
+    out_dir: str,
+    prev_ranks: DataFrame | None = None,
+    scope: str = "seen",
+    damping: float = 0.85,
+    n_iterations: int = 20,
+    tol: float | None = 1e-6,
+    reset: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The RANK half of the discover→rank→prioritize crawl loop
+    (SKEWCHECK_r11's harness loop as a library call): read the stream's
+    accreted link graph (``{out_dir}/links``), collapse anchor
+    multiplicity into weighted edges, and PageRank it — warm-started
+    from ``prev_ranks`` (the previous wave's output) so a grown graph
+    converges in a fraction of the cold iteration count. Feed the
+    result back to :func:`run_crawl_stream` ``ranks=`` and the next
+    wave's ``out/discovered`` queue carries a ``priority`` column.
+
+    ``scope='seen'`` (production default — the SKEWCHECK_r11 shape)
+    ranks every canonical on either side of an edge: link TARGETS not
+    yet fetched still receive rank through their in-links, which is
+    what makes one-wave-behind prioritization work (this wave's pages
+    were last wave's targets, so they already have ranks).
+    ``scope='crawled'`` ranks the induced subgraph of FETCHED pages
+    only (nodes = sources; edges restricted to targets in that set) —
+    the corpus-quality view, where out-weights count only intra-corpus
+    links. Returns (node, rank); pass it back as next wave's
+    ``prev_ranks``."""
+    if scope not in ("seen", "crawled"):
+        raise ValueError(
+            f"scope must be 'seen' or 'crawled', got {scope!r}"
+        )
+    from ..operators.graph import pagerank, weight_edges
+
+    edges = spark.read.parquet(f"{out_dir}/links").select("src", "dst")
+    w = weight_edges(edges)
+    srcs = w.select(F.col("src").alias("node")).distinct()
+    if scope == "crawled":
+        w = w.join(
+            srcs.select(F.col("node").alias("dst")), "dst", "left_semi"
+        )
+        nodes = srcs
+    else:
+        nodes = srcs.union(
+            w.select(F.col("dst").alias("node"))
+        ).distinct()
+    return pagerank(
+        nodes, w, n_iterations=n_iterations, damping=damping, tol=tol,
+        reset=reset, weight_col="weight", initial_ranks=prev_ranks,
+        stats=stats,
+    )
 
 
 def run_crawl_stream(
@@ -208,6 +287,7 @@ def run_crawl_stream(
     on_batch_complete: Callable[[int], None] | None = None,
     rules: DataFrame | None = None,
     emit_cdx: bool = False,
+    ranks: DataFrame | None = None,
 ):
     """readStream over a WARC-manifest drop-dir; per micro-batch:
     replay-guard the file list against the processed ledger, side-load
@@ -225,7 +305,10 @@ def run_crawl_stream(
       change can make them fetchable later);
     - 3xx responses carrying a Location header → ``{out_dir}/redirects``
       (their own canonical IS marked fetched in the index); fetched
-      SITEMAP responses (URL path ending ``.xml``/``.xml.gz``) →
+      SITEMAP responses (classified by payload-head sniff for
+      ``<urlset>``/``<sitemapindex>`` plus the HTTP ``mime``, with the
+      ``.xml``/``.xml.gz`` URL test only as a gzip-transport tiebreak —
+      an RSS feed at ``/feed.xml`` stays a corpus page) →
       ``{out_dir}/sitemaps`` (one summary row: kind, n_entries,
       report-mode error), likewise indexed as fetched;
     - the fetch queue ``{out_dir}/discovered`` unions FOUR discovery
@@ -233,11 +316,17 @@ def run_crawl_stream(
       ``<a href>`` links, each fetched sitemap's ``<loc>`` entries, and
       (with ``rules``) the hosts' robots ``Sitemap:`` advertisements —
       frontier-deduped against the index but NOT indexed themselves,
-      since the index records fetched URLs. With ``rules`` the queue
-      also carries the POLITENESS schedule: per-host ``slot`` and
-      ``offset_sec`` from the host's Crawl-delay
-      (:func:`..operators.robots.fetch_schedule`), so a rate-limited
-      fetcher can execute it directly;
+      since the index records fetched URLs. Every queue row carries
+      ``via`` — the canonical of the response that discovered it (null
+      for robots ads). With ``rules`` the queue also carries the
+      POLITENESS schedule: per-host ``slot`` and ``offset_sec`` from
+      the host's Crawl-delay (:func:`..operators.robots.fetch_schedule`),
+      so a rate-limited fetcher can execute it directly. With ``ranks``
+      (a (node, rank) frame — :func:`crawl_wave_ranks` over the link
+      graph so far, one wave behind) it also carries ``priority``: the
+      discovering page's rank, 0.0 when unranked — the PRIORITIZER
+      half of the crawl loop (pass ranks consistently across waves, or
+      the sink's partitions disagree on the priority column);
     - the LINK GRAPH accretes in ``{out_dir}/links``: one (src, dst)
       canonical edge per extracted anchor of each newly-accepted page —
       the input :func:`..operators.graph.pagerank` / ``hits`` rank to
@@ -413,11 +502,14 @@ def run_crawl_stream(
                     .join(
                         sm_src.select(
                             F.col("sid").alias("sitemap_id"), "file_id",
-                            "pos",
+                            "pos", "canonical",
                         ),
                         "sitemap_id",
                     )
-                    .select("file_id", "pos", F.col("loc").alias("url"))
+                    .select(
+                        "file_id", "pos", F.col("loc").alias("url"),
+                        F.col("canonical").alias("_via"),
+                    )
                 )
                 dup_in_batch = docs.filter(me != F.col("_first")).select(
                     *CRAWL_DOC_COLUMNS, F.lit("in_batch_dup").alias("reason")
@@ -435,13 +527,18 @@ def run_crawl_stream(
                 # (it records FETCHED urls), so a discovered page's own
                 # WARC is still accepted when it arrives.
                 # out/discovered is the dedup'd fetch queue.
+                # every channel also carries _via — the canonical of
+                # the DISCOVERING response (null for robots ads) — so
+                # the queue row can be prioritized by that page's rank
                 channels = redirects.select(
                     F.col("file_id"), F.col("pos"),
                     F.col("location").alias("url"),
+                    F.col("canonical").alias("_via"),
                 ).union(
                     fresh_docs.select(
                         "file_id", "pos",
                         F.explode("links").alias("url"),
+                        F.col("canonical").alias("_via"),
                     )
                 ).union(sm_locs)
                 if rules is not None and "sitemaps" in rules.columns:
@@ -454,15 +551,17 @@ def run_crawl_stream(
                     ).select(
                         F.lit(-1).cast("long").alias("file_id"),
                         F.col("pos"), "url",
+                        F.lit(None).cast("string").alias("_via"),
                     )
                     channels = channels.union(ads)
                 discovered = new_frontier_urls(
                     channels,
                     spark, frontier_table,
                     order_cols=("file_id", "pos"),
+                    keep_cols=("_via",),
                 ).join(
                     docs.select("canonical"), "canonical", "left_anti"
-                )
+                ).withColumnRenamed("_via", "via")
                 if rules is not None:
                     # the POLITENESS half: every queued fetch gets its
                     # per-host slot and earliest polite offset from the
@@ -473,6 +572,32 @@ def run_crawl_stream(
 
                     discovered = fetch_schedule(
                         discovered, rules, url_col="url"
+                    )
+                if ranks is not None:
+                    # the PRIORITIZER half: priority = the discovering
+                    # page's rank in the caller-supplied (node, rank)
+                    # frame (crawl_wave_ranks over out/links, one wave
+                    # behind by construction); unranked/null via → 0.
+                    # Scale shape: the queue side is bounded by the
+                    # batch (≤ max_files_per_trigger files of links),
+                    # so the batch's via-set is semi-joined INTO the
+                    # rank frame broadcast-side-first — one map-side
+                    # pass over ranks, which never shuffles; the
+                    # checkpoint pins the queue so its plan isn't
+                    # re-derived for the via projection.
+                    discovered = discovered.localCheckpoint(eager=True)
+                    vias = discovered.select(
+                        F.col("via").alias("node")
+                    ).where(F.col("node").isNotNull()).distinct()
+                    pri = ranks.join(F.broadcast(vias), "node").select(
+                        F.col("node").alias("via"),
+                        F.col("rank").alias("priority"),
+                    )
+                    discovered = discovered.join(
+                        F.broadcast(pri), "via", "left"
+                    ).withColumn(
+                        "priority",
+                        F.coalesce(F.col("priority"), F.lit(0.0)),
                     )
                 # the LINK-GRAPH edge sink: (src page canonical →
                 # resolved+canonicalized target), one row per extracted

@@ -672,3 +672,204 @@ def test_crawl_stream_cdx_sink(spark, tmp_path):
     assert rec["target_uri"] == row["target_uri"]
     assert rec["digest_ok"] is True
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_crawl_stream_sitemap_mime_sniff_routing(spark, tmp_path):
+    """Sitemap classification is CONTENT-first, not URL-regex: an RSS
+    feed served at /feed.xml stays a CORPUS page (it used to be
+    silently dropped as a 'sitemap'), an extension-less /sitemap whose
+    body is <urlset> routes to out/sitemaps with its <loc> entries
+    discovered, and a gzip-transport sitemap (unsniffable head; mime +
+    .xml.gz URL tiebreak) parses through parse_sitemap's gzip path."""
+    import gzip as _gzip
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+    table = "crawl_stream_sniff_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://h.example/seed",)], "url string"),
+        table, buckets=2, path=str(tmp_path / "fidx"),
+    )
+    feed = (
+        b'<?xml version="1.0"?><rss version="2.0"><channel>'
+        b"<title>my feed</title><description>feed body text here"
+        b"</description></channel></rss>"
+    )
+    sm_plain = (
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://h.example/s1</loc></url>"
+        b"<url><loc>https://h.example/s2</loc></url></urlset>"
+    )
+    sm_gz_body = (
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://h.example/s3</loc></url></urlset>"
+    )
+    blob = build_warc_gz([
+        {"url": "https://h.example/feed.xml",
+         "date": "2021-03-04T05:06:07Z", "payload": feed,
+         "content_type": "application/xml"},
+        {"url": "https://h.example/sitemap",
+         "date": "2021-03-04T05:06:07Z", "payload": sm_plain,
+         "content_type": "application/xml"},
+        {"url": "https://h.example/sm2.xml.gz",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": _gzip.compress(sm_gz_body, mtime=0),
+         "content_type": "application/x-gzip"},
+    ])
+    (warcs / "f1.warc.gz").write_bytes(blob)
+    (manifests / "w1.jsonl").write_text(json.dumps(
+        {"file_id": 1, "path": str(warcs / "f1.warc.gz")}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+
+    acc = [r["canonical"] for r in _read(spark, out / "accepted").collect()]
+    assert acc == ["https://h.example/feed.xml"]  # the feed IS corpus
+    sm = {r["canonical"]: (r["kind"], r["n_entries"], r["error"])
+          for r in _read(spark, out / "sitemaps").collect()}
+    assert sm == {
+        "https://h.example/sitemap": ("urlset", 2, None),
+        "https://h.example/sm2.xml.gz": ("urlset", 1, None),
+    }
+    disc = sorted(r["canonical"]
+                  for r in _read(spark, out / "discovered").collect())
+    assert disc == [
+        "https://h.example/s1", "https://h.example/s2",
+        "https://h.example/s3",
+    ]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_own_canonicals_propagates_read_errors(spark, tmp_path):
+    """_own_canonicals' exception posture, narrowed (round-12): an
+    EMPTY crashed-attempt partition (dir exists, no committed parquet)
+    still resolves to None — nothing reached the index — but a
+    partition whose read-back genuinely FAILS (corrupt file standing in
+    for transient IO) propagates, failing the batch for foreachBatch to
+    retry, instead of silently flipping replay decisions."""
+    import pytest
+    from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+        _own_canonicals,
+    )
+
+    out = tmp_path / "out"
+    key = "cafe0123-0"
+    part = out / "accepted" / f"batch_key={key}"
+
+    # window A: dir exists, zero committed files -> None (pre-commit
+    # crash; the index never saw these rows either)
+    part.mkdir(parents=True)
+    assert _own_canonicals(spark, str(out), key) is None
+
+    # window B: a committed-looking but unreadable file -> raise
+    (part / "part-00000.snappy.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(Exception) as exc:
+        _own_canonicals(spark, str(out), key)
+    assert "AnalysisException" not in type(exc.value).__name__
+
+    # healthy partition still reads back
+    spark.createDataFrame(
+        [("https://h.example/a",)], "canonical string"
+    ).write.mode("overwrite").parquet(str(part))
+    own = _own_canonicals(spark, str(out), key)
+    assert [r["canonical"] for r in own.collect()] == [
+        "https://h.example/a"
+    ]
+
+
+def test_crawl_stream_rank_priority_two_waves(spark, tmp_path):
+    """The discover→rank→prioritize loop as library calls (round-12):
+    wave 1 crawls a 4-page cycle that also links four /x targets;
+    crawl_wave_ranks (scope='seen') ranks pages AND not-yet-fetched
+    targets over out/links; wave 2 fetches two /x pages with
+    ranks= supplied, and its out/discovered rows carry via (the
+    discovering page) and priority == that page's rank from the
+    supplied frame — nonzero because this wave's pages were last
+    wave's link targets. via is recorded even without ranks (wave 1)."""
+    from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+        crawl_wave_ranks,
+    )
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+    table = "crawl_stream_priority_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://r.example/seed",)], "url string"),
+        table, buckets=2, path=str(tmp_path / "fidx"),
+    )
+    n = 4
+    pages = []
+    for i in range(n):
+        html = (
+            f"<html><body><p>page {i} body</p>"
+            f'<a href="/p/{(i + 1) % n}">n</a>'
+            f'<a href="/p/{(i - 1) % n}">p</a>'
+            f'<a href="/x/{i}">x</a>'
+            f'<a href="/x/{i}">x2</a></body></html>'
+        ).encode()
+        pages.append(
+            {"url": f"https://r.example/p/{i}",
+             "date": "2021-03-04T05:06:07Z", "payload": html}
+        )
+    (warcs / "w1.warc.gz").write_bytes(build_warc_gz(pages))
+    (manifests / "m1.jsonl").write_text(json.dumps(
+        {"file_id": 1, "path": str(warcs / "w1.warc.gz")}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+
+    d1 = _read(spark, out / "discovered").collect()
+    assert {r["canonical"]: r["via"] for r in d1} == {
+        f"https://r.example/x/{i}": f"https://r.example/p/{i}"
+        for i in range(n)
+    }
+    assert "priority" not in _read(spark, out / "discovered").columns
+
+    st: dict = {}
+    ranks = crawl_wave_ranks(
+        spark, str(out), damping=0.5, n_iterations=3, tol=None,
+        stats=st,
+    ).localCheckpoint(eager=True)
+    assert st["iterations"] == 3
+    rank_of = {r["node"]: r["rank"] for r in ranks.collect()}
+    # scope='seen': the unfetched /x targets are ranked (dangling
+    # receivers), the fetched /p pages too
+    for i in range(n):
+        assert rank_of[f"https://r.example/x/{i}"] > 0
+        assert rank_of[f"https://r.example/p/{i}"] > 0
+
+    wave2 = [
+        {"url": f"https://r.example/x/{i}",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": (f"<html><body><p>x {i} body</p>"
+                     f'<a href="/y/{i}">y</a></body></html>').encode()}
+        for i in range(2)
+    ]
+    (warcs / "w2.warc.gz").write_bytes(build_warc_gz(wave2))
+    (manifests / "m2.jsonl").write_text(json.dumps(
+        {"file_id": 2, "path": str(warcs / "w2.warc.gz")}) + "\n")
+    q = run_crawl_stream(
+        spark, str(manifests), table, str(out), ranks=ranks
+    )
+    q.awaitTermination(120)
+
+    disc = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(str(out / "discovered"))
+        .collect()
+    )
+    w2 = {r["canonical"]: r for r in disc
+          if r["batch_key"].endswith("-1")}
+    assert set(w2) == {f"https://r.example/y/{i}" for i in range(2)}
+    for i in range(2):
+        row = w2[f"https://r.example/y/{i}"]
+        assert row["via"] == f"https://r.example/x/{i}"
+        assert row["priority"] == rank_of[f"https://r.example/x/{i}"]
+        assert row["priority"] > 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -325,3 +325,89 @@ def test_bfs_depths_hand_computed(spark):
     got2 = {r["node"]: r["depth"]
             for r in bfs_depths(edges, seeds2, max_hops=6).collect()}
     assert got2 == {0: 0, 2: 0, 1: 1, 3: 1, 4: 2}
+
+
+def test_pagerank_warm_start_continuation_and_savings(spark):
+    """Warm start (round-12): (a) CONTINUATION — on a dyadic graph
+    (damping 0.5, power-of-two N and out-degrees, no dangling) the
+    warm vector's float sum is exactly 1.0, so warm-starting from a
+    3-iteration result and running 3 more is BIT-identical to 6 cold
+    iterations; (b) SAVINGS — with tol, a normalized warm start on a
+    grown hub-skewed graph (the realistic crawl shape: rank far from
+    uniform) converges in fewer iterations than cold, to the same
+    fixed point; (c) coverage rules — stale warm nodes drop, new nodes
+    seed at the reset value, zero/negative mass is a typed error."""
+    nodes, edges = _g(
+        spark, [0, 1, 2, 3],
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (2, 0)],
+    )
+    cold6 = {r["node"]: r["rank"] for r in
+             pagerank(nodes, edges, n_iterations=6, damping=0.5)
+             .collect()}
+    half = pagerank(nodes, edges, n_iterations=3, damping=0.5)
+    warm6 = {r["node"]: r["rank"] for r in
+             pagerank(nodes, edges, n_iterations=3, damping=0.5,
+                      initial_ranks=half).collect()}
+    assert warm6 == cold6  # bit-identical, not approximately
+
+    # grown hub graph: 32 leaves point at a hub that points back; two
+    # NEW leaves join. The warm frame is the old graph's fixed point
+    # (computed with the module docstring's arithmetic in plain
+    # python — a fixture input, not an expected output); cold restarts
+    # from uniform, far from the hub-skewed fixed point.
+    N = 32
+    old_nodes = list(range(N))
+    old_edges = [(i, 0) for i in range(1, N)] + [
+        (0, i) for i in range(1, N)
+    ]
+    prev = {v: 1.0 / N for v in old_nodes}
+    for _ in range(120):
+        contrib = {v: prev[0] / (N - 1) for v in range(1, N)}
+        contrib[0] = sum(prev[i] for i in range(1, N))
+        prev = {v: 0.5 / N + 0.5 * contrib[v] for v in old_nodes}
+    prev_df = spark.createDataFrame(
+        [(v, r) for v, r in prev.items()], "node long, rank double"
+    )
+    nodes2, edges2 = _g(
+        spark, old_nodes + [N, N + 1],
+        old_edges + [(N, 0), (N + 1, 0), (0, N)],
+    )
+    tol = 1e-6
+    st_cold: dict = {}
+    fixed_cold = {r["node"]: r["rank"] for r in pagerank(
+        nodes2, edges2, n_iterations=60, tol=tol, damping=0.5,
+        stats=st_cold,
+    ).collect()}
+    st_warm: dict = {}
+    fixed_warm = {r["node"]: r["rank"] for r in pagerank(
+        nodes2, edges2, n_iterations=60, tol=tol, damping=0.5,
+        initial_ranks=prev_df, stats=st_warm,
+    ).collect()}
+    assert 0 < st_warm["iterations"] < st_cold["iterations"]
+    assert st_warm["l1_delta"] < tol
+    assert set(fixed_warm) == set(fixed_cold)
+    for n in fixed_cold:
+        assert abs(fixed_warm[n] - fixed_cold[n]) < 5 * tol
+    assert abs(sum(fixed_warm.values()) - 1.0) < 1e-9
+
+    # stale nodes in the warm frame (node 9 left the graph) drop; a
+    # warm frame covering NONE of the nodes degrades exactly to a
+    # cold start (coalesce to _r0 then normalize by the exact sum 1)
+    stale = spark.createDataFrame([(9, 0.5)], "node long, rank double")
+    cold1 = {r["node"]: r["rank"] for r in
+             pagerank(nodes, edges, n_iterations=1, damping=0.5)
+             .collect()}
+    warm1 = {r["node"]: r["rank"] for r in
+             pagerank(nodes, edges, n_iterations=1, damping=0.5,
+                      initial_ranks=stale).collect()}
+    assert warm1 == cold1
+    assert 9 not in warm1
+
+    with pytest.raises(ValueError, match="positive total mass"):
+        pagerank(
+            nodes, edges, n_iterations=1,
+            initial_ranks=spark.createDataFrame(
+                [(0, 0.0), (1, 0.0), (2, 0.0), (3, 0.0)],
+                "node long, rank double",
+            ),
+        )

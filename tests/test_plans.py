@@ -242,6 +242,29 @@ def test_driver_contract_registry_consistency():
     assert len(set(window)) == 50
 
 
+def test_every_streaming_query_records_stream_splits():
+    """Every StreamingQuery-lifecycle bench entry must decompose its
+    timing into fixture/stream/collect/teardown via STREAM_SPLITS —
+    otherwise its checkpoint/harness overhead reads as engine time in
+    round-over-round comparisons (the round-11 verdict's s27 gap).
+    Pinned structurally: each streaming query's source records a split
+    under its own registry name."""
+    import inspect
+
+    for fn in (
+        entry.q_s24_crawl_stream_intake,
+        entry.q_s26_crawl_schedule_stream,
+        entry.q_s27_crawl_link_graph,
+        entry.q_s29_crawl_priority_stream,
+    ):
+        name = fn.__name__[2:]
+        src = inspect.getsource(fn)
+        assert f'STREAM_SPLITS["{name}"]' in src, name
+        for part in ("fixture_sec", "stream_sec", "collect_sec",
+                     "teardown_sec"):
+            assert part in src, (name, part)
+
+
 def test_bench_tail_line_survives_2000_char_capture():
     """The driver records only the TAIL (~2000 chars) of bench.py's
     stdout; r5-r7 all recorded `parsed: null` because the line carrying
