@@ -3593,6 +3593,87 @@ def q_m25_wet_pipeline(spark, sf_dir):
     ).orderBy("file_id", "pos")
 
 
+def q_m28_wet_zst_pipeline(spark, sf_dir):
+    """m25's WET derivation with the OUTPUT transport switched to
+    .warc.zst (round-12: the engine writes both transports it reads —
+    wet_pack(transport='zst') emits the IIPC layout, a leading
+    skippable frame + one store-mode RFC 8878 zstd frame per record
+    from the stdlib writer, compress.zstd_compress_store), re-parsed
+    by the same warc_records reader through the zst member walk + the
+    native libzstd fast path. The oracle is m25's VERBATIM — transport
+    invisibility in reverse, the m24 trick applied to the write side:
+    any byte the store-mode writer or the frame walk got wrong would
+    hash-mismatch against the unchanged closed form."""
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        warc_records, wet_pack,
+    )
+
+    files = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.sources.warc import (
+            build_warc_gz,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                resp = [
+                    {
+                        "url": f"https://caselaw.example/{d}/{r}",
+                        "date": "2021-03-04T05:06:07Z",
+                        "status": 404 if r == 2 else 200,
+                        "payload": (
+                            f"<html><head><title>Doc {d}</title>"
+                            f"<script>var x = {d};</script></head>"
+                            f"<body><p>Para {r} of doc {d}.</p>"
+                            f"<!-- hidden --> &amp; more</body></html>"
+                        ).encode(),
+                    }
+                    for r in range(d % 3 + 1)
+                ]
+                blobs.append(bytearray(build_warc_gz(resp)))
+            yield pd.DataFrame(
+                {"file_id": pdf["doc_id"], "content": blobs}
+            )
+
+    corpus = files.mapInPandas(make, "file_id long, content binary")
+    pages = (
+        warc_records(corpus)
+        .filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        .withColumn(
+            "text", text.html_text(F.col("payload").cast("string"))
+        )
+    )
+    # AQE coalesces the small packed blobs to one partition at toy SF,
+    # serializing the re-parse — fan back out (the m09-m13 rule)
+    wet_files = wet_pack(pages, transport="zst").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wet = warc_records(wet_files).filter(
+        F.col("warc_type") == "conversion"
+    )
+    return wet.select(
+        "file_id",
+        "pos",
+        "target_uri",
+        "mime",
+        F.col("payload").cast("string").alias("text"),
+        F.length("payload").alias("text_len"),
+        "digest_ok",
+    ).orderBy("file_id", "pos")
+
+
 def q_m26_wat_pipeline(spark, sf_dir):
     """The Common Crawl WAT derivation end-to-end (m25's metadata twin):
     responses parsed by warc_records, outlinks lifted by the
@@ -6221,11 +6302,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # crawl_wave_ranks over the stream's link sink, pagerank WARM START
     # chained 3+3 iterations bit-identical to 6 cold, and the queue's
     # via/priority columns — the whole prioritized fetch queue
-    # recomputed analytically by 6 unrolled dangling+update CTEs) is
-    # NEW and leads the window. Displaced past the cap: m10 (multi-
-    # round green since r6; its audio machinery stays pinned in-window
-    # by m18 G.711 and m27 FLAC). The position-50 boundary row is now
-    # m09_image_decode_features. Changed-this-
+    # recomputed analytically by 6 unrolled dangling+update CTEs) and
+    # m28 (m25's WET derivation writing the .warc.zst transport —
+    # store-mode RFC 8878 frames from the stdlib writer behind the
+    # IIPC skippable lead, re-parsed through the zst member walk;
+    # oracle is m25's VERBATIM, the m24 transport-invisibility trick
+    # applied to the WRITE side) are NEW and lead the window.
+    # Displaced past the cap: m09 and m10 (multi-round green since r6;
+    # m09's image machinery stays pinned in-window by m21 WebP and by
+    # m12/m14/m17/m19 in selfcheck, m10's audio machinery by m18
+    # G.711 and m27 FLAC in-window). The position-50 boundary row is
+    # now b02_batch_dri_metadata. Changed-this-
     # round queries already in-window: s24/s26/s27 (discovered queue
     # carries via; sitemap routing now MIME+content-sniff — oracles
     # unchanged), g01/g03/g04 (pagerank gained initial_ranks/stats
@@ -6234,6 +6321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fixes landed under their unchanged oracles).
     # (a) NEW round 12
     "s29_crawl_priority_stream": q_s29_crawl_priority_stream,
+    "m28_wet_zst_pipeline": q_m28_wet_zst_pipeline,
     # The position-50 boundary row is m10_audio_decode_features.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
@@ -7704,6 +7792,27 @@ FROM votes ORDER BY doc_id
 """
 
 
+_M25_WET_SQL = """
+            SELECT doc_id AS file_id,
+                   CAST(r + 1 AS INTEGER) AS pos,
+                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/' || CAST(r AS VARCHAR) AS target_uri,
+                   'text/plain' AS mime,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' Para '
+                       || CAST(r AS VARCHAR) || ' of doc '
+                       || CAST(doc_id AS VARCHAR) || '. & more' AS text,
+                   CAST(strlen('Doc ' || CAST(doc_id AS VARCHAR)
+                       || ' Para ' || CAST(r AS VARCHAR) || ' of doc '
+                       || CAST(doc_id AS VARCHAR) || '. & more')
+                        AS INTEGER) AS text_len,
+                   TRUE AS digest_ok
+            FROM documents,
+                 unnest(range(0, least(CAST(doc_id % 3 + 1 AS BIGINT), 2)))
+                     AS t(r)
+            ORDER BY file_id, pos
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "b01_batch_validation": """
@@ -8493,25 +8602,11 @@ def oracle_sql() -> dict[str, str]:
                      AS t(r)
             ORDER BY file_id, pos
         """,
-        "m25_wet_pipeline": """
-            SELECT doc_id AS file_id,
-                   CAST(r + 1 AS INTEGER) AS pos,
-                   'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
-                       || '/' || CAST(r AS VARCHAR) AS target_uri,
-                   'text/plain' AS mime,
-                   'Doc ' || CAST(doc_id AS VARCHAR) || ' Para '
-                       || CAST(r AS VARCHAR) || ' of doc '
-                       || CAST(doc_id AS VARCHAR) || '. & more' AS text,
-                   CAST(strlen('Doc ' || CAST(doc_id AS VARCHAR)
-                       || ' Para ' || CAST(r AS VARCHAR) || ' of doc '
-                       || CAST(doc_id AS VARCHAR) || '. & more')
-                        AS INTEGER) AS text_len,
-                   TRUE AS digest_ok
-            FROM documents,
-                 unnest(range(0, least(CAST(doc_id % 3 + 1 AS BIGINT), 2)))
-                     AS t(r)
-            ORDER BY file_id, pos
-        """,
+        "m25_wet_pipeline": _M25_WET_SQL,
+        # m28: m25's oracle VERBATIM — only the WET transport
+        # differs (zst store-mode frames vs gzip members); the
+        # closed form is transport-blind by construction
+        "m28_wet_zst_pipeline": _M25_WET_SQL,
         "m16_warc_extract": """
             SELECT doc_id AS file_id,
                    CAST(r + 1 AS INTEGER) AS pos,

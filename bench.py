@@ -165,6 +165,7 @@ HEADLINE = [
     "s28_warc_cdx_index",
     # round 12
     "s29_crawl_priority_stream",
+    "m28_wet_zst_pipeline",
 ]
 
 

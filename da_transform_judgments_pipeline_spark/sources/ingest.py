@@ -55,14 +55,22 @@ def url_to_file(
     :class:`ChecksumMismatchError` raised — mirroring the reference's
     multipart abort. Returns ``{url, dest, size, sha256}``.
     """
-    if not allow_overwrite and os.path.exists(dest):
+    from . import fsio
+
+    if not allow_overwrite and fsio.exists(dest):
         raise ObjectExistsError(dest)
-    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
     digest = hashlib.sha256()
     size = 0
     tmp = dest + ".inprogress"
     try:
-        with urllib.request.urlopen(url) as src, open(tmp, "wb") as out:
+        # spool to a sibling, flip the name last: the final key never
+        # holds a partial object. IO goes through the Hadoop FS API
+        # (fsio), so dest may be s3a/abfs/gs/hdfs — there the "rename"
+        # is a copy+delete, which preserves the same contract (the
+        # bytes are complete and checksum-verified before the flip).
+        with urllib.request.urlopen(url) as src, fsio.open_output(
+            tmp
+        ) as out:
             while True:
                 chunk = src.read(chunk_size)
                 if not chunk:
@@ -75,10 +83,9 @@ def url_to_file(
             raise ChecksumMismatchError(
                 f"{url}: expected {expected_sha256}, got {actual}"
             )
-        os.replace(tmp, dest)
+        fsio.rename(tmp, dest, overwrite=True)
     finally:
-        if os.path.exists(tmp):
-            os.remove(tmp)
+        fsio.delete(tmp)
     return {"url": url, "dest": dest, "size": size, "sha256": actual}
 
 

@@ -8,26 +8,28 @@ is the reference's overwrite protection (object_lib.py:196-209).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
+
+from . import fsio
 
 
 def require_absent(path: str) -> None:
     """S6 write guard — raise if target exists (reference:
-    object_lib.py:196-209 raise_error_if_object_exists)."""
-    if os.path.exists(path):
+    object_lib.py:196-209 raise_error_if_object_exists). Scheme-aware
+    (round-12): probes through the active session's Hadoop FS, so the
+    guard holds on s3a/abfs/gs/hdfs paths exactly as on local ones."""
+    if fsio.exists(path):
         raise FileExistsError(f"Object already exists: {path}")
 
 
 def write_single_text(text: str, path: str, allow_overwrite: bool = False) -> None:
     """S5 literal/string sink (reference: object_lib.py:173-194
-    string_to_s3_object)."""
+    string_to_s3_object) — written through the Hadoop FS API
+    (:mod:`.fsio`), so the reference's one-object outputs land on any
+    scheme the deployment carries credentials for."""
     if not allow_overwrite:
         require_absent(path)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w", encoding="utf-8") as f:
-        f.write(text)
+    fsio.write_bytes(path, text.encode("utf-8"), overwrite=True)
 
 
 def write_single_csv(

@@ -425,6 +425,43 @@ def _gzip_member(data: bytes) -> bytes:
     )
 
 
+def _zst_members(members: list[bytes]) -> bytes:
+    """Assemble the IIPC ``.warc.zst`` layout from raw records: the
+    leading SKIPPABLE frame (where real archives store the shared
+    dictionary — empty marker here; dictionary-less is the supported
+    path) then one zstd frame per record.  Frames come from the
+    stdlib store-mode writer (operators.compress.zstd_compress_store
+    — legal RFC 8878 frames any conforming decoder reads, no pyarrow
+    needed executor-side); the engine's own reader takes them through
+    the same split_warc_members_indexed path as libzstd output."""
+    from ..operators.compress import zstd_compress_store
+
+    out = bytearray(struct.pack("<II", 0x184D2A50, 0))
+    for m in members:
+        out += zstd_compress_store(m)
+    return bytes(out)
+
+
+def _pack_members(
+    members: list[bytes], gzip_members: bool, transport: str | None
+) -> bytes:
+    """Shared transport dispatch for the WARC-family builders:
+    ``transport`` of ``'gz'`` / ``'zst'`` / ``'plain'`` wins when
+    given; otherwise the legacy ``gzip_members`` bool picks gz or
+    plain."""
+    if transport is None:
+        transport = "gz" if gzip_members else "plain"
+    if transport == "zst":
+        return _zst_members(members)
+    if transport == "gz":
+        return b"".join(_gzip_member(m) for m in members)
+    if transport == "plain":
+        return b"".join(members)
+    raise ValueError(
+        f"transport must be 'gz', 'zst' or 'plain', got {transport!r}"
+    )
+
+
 def _record(headers: list[tuple[str, str]], block: bytes) -> bytes:
     head = "".join(f"{k}: {v}\r\n" for k, v in headers)
     return (
@@ -536,6 +573,7 @@ def build_wet(
     conversions: list[dict],
     filename: str = "crawl.warc.wet.gz",
     gzip_members: bool = True,
+    transport: str | None = None,
 ) -> bytes:
     """Assemble a real WET file (the Common Crawl extracted-text
     derivative): a ``warcinfo`` record then one ``conversion`` record
@@ -581,15 +619,14 @@ def build_wet(
             ("Content-Type", "text/plain"),
         ]
         members.append(_record(headers, block))
-    if gzip_members:
-        return b"".join(_gzip_member(m) for m in members)
-    return b"".join(members)
+    return _pack_members(members, gzip_members, transport)
 
 
 def build_wat(
     pages: list[dict],
     filename: str = "crawl.warc.wat.gz",
     gzip_members: bool = True,
+    transport: str | None = None,
 ) -> bytes:
     """Assemble a real WAT file (the Common Crawl metadata derivative):
     a ``warcinfo`` record then one ``metadata`` record per page whose
@@ -662,9 +699,7 @@ def build_wat(
             ("Content-Type", "application/json"),
         ]
         members.append(_record(headers, block))
-    if gzip_members:
-        return b"".join(_gzip_member(m) for m in members)
-    return b"".join(members)
+    return _pack_members(members, gzip_members, transport)
 
 
 def _pack_by_file(
@@ -729,11 +764,17 @@ def wat_pack(
     date_col: str = "date",
     refers_col: str = "record_id",
     order_col: str = "pos",
+    transport: str = "gz",
 ) -> DataFrame:
     """Pack page metadata into WAT files, one per source WARC — the
     metadata twin of :func:`wet_pack` (same single-shuffle
     pack-by-file engine).  ``links_col`` is an array<string> of the
-    page's extracted outlinks."""
+    page's extracted outlinks.  ``transport``: ``'gz'`` (default,
+    per-record gzip members) or ``'zst'`` (per-record store-mode zstd
+    frames behind the IIPC skippable-frame lead) — the engine WRITES
+    both transports it reads."""
+    import functools
+
     return _pack_by_file(
         records,
         {
@@ -748,7 +789,7 @@ def wat_pack(
             "links": list(r["_links"]) if r["_links"] is not None else [],
             "refers_to": r["_ref"],
         },
-        build_wat,
+        functools.partial(build_wat, transport=transport),
     )
 
 
@@ -760,6 +801,7 @@ def wet_pack(
     date_col: str = "date",
     refers_col: str = "record_id",
     order_col: str = "pos",
+    transport: str = "gz",
 ) -> DataFrame:
     """Pack extracted text back into WET files, one per source WARC:
     ``(file_id, ...)`` record rows in -> ``(file_id, content)`` out,
@@ -771,7 +813,11 @@ def wet_pack(
     Common Crawl job shape: response WARC in, same-named WET out): one
     repartition on the file id is the only shuffle, rows are sorted
     within partitions so output bytes are deterministic, and the
-    pack-by-file engine amortizes pandas overhead across archives."""
+    pack-by-file engine amortizes pandas overhead across archives.
+    ``transport``: ``'gz'`` (default) or ``'zst'`` — see
+    :func:`wat_pack`."""
+    import functools
+
     return _pack_by_file(
         records,
         {
@@ -784,7 +830,7 @@ def wet_pack(
             "text": r["_text"] if r["_text"] is not None else "",
             "refers_to": r["_ref"],
         },
-        build_wet,
+        functools.partial(build_wet, transport=transport),
     )
 
 

@@ -28,7 +28,6 @@ dead-letter cardinality.
 
 from __future__ import annotations
 
-import os
 import uuid
 from collections.abc import Callable
 
@@ -237,7 +236,7 @@ def replay_guard(batch: DataFrame, seen: DataFrame | None) -> DataFrame:
 
 
 def _processed_keys(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    path = os.path.join(out_dir, "processed")
+    path = f"{out_dir}/processed"
     try:
         return spark.read.parquet(path).select("exec_name")
     except Exception:
@@ -301,7 +300,7 @@ def ledger_other_batches(
     plain unpartitioned ledger (no batch_key column) is tolerated
     too."""
     try:
-        led = spark.read.parquet(os.path.join(out_dir, "processed"))
+        led = spark.read.parquet(f"{out_dir}/processed")
     except Exception:
         return None
     if "batch_key" in led.columns:
@@ -330,7 +329,7 @@ def compact_processed_ledger(
     ``_compacting`` back to ``processed``. Run it from the same offline
     maintenance slot — the guard's read is not transactional against a
     concurrent rewrite. Returns {files_before, files_after, keys}."""
-    path = os.path.join(out_dir, "processed")
+    path = f"{out_dir}/processed"
     src = spark.read.parquet(path)
     files_before = len(src.inputFiles())
     distinct = src.select("exec_name").distinct()
@@ -424,10 +423,10 @@ def run_pipeline(
     )
     stream = with_message_attributes(stream)
 
-    out_events = os.path.join(out_dir, "events")
-    out_retries = os.path.join(out_dir, "retries")
-    out_dlq = os.path.join(out_dir, "dlq")
-    out_processed = os.path.join(out_dir, "processed")
+    out_events = f"{out_dir}/events"
+    out_retries = f"{out_dir}/retries"
+    out_dlq = f"{out_dir}/dlq"
+    out_processed = f"{out_dir}/processed"
 
     flat_cols = [
         "value", "event_name", "reference", "latest_uuid", "exec_name",

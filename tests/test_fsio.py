@@ -1,0 +1,97 @@
+"""Object-store seam tests (sources/fsio, round-12): the single-object
+connectors (S5/S6 sinks, S4 url_to_file) run through the Hadoop
+FileSystem API of the active session, so a NON-file scheme works the
+day credentials exist. Here the stub: scheme is registered against
+RawLocalFileSystem — a genuinely different FileSystem resolution path
+than file:, backed by the same disk so results are assertable."""
+
+import hashlib
+import os
+
+import pytest
+
+from da_transform_judgments_pipeline_spark.sources import fsio, ingest, sinks
+
+
+@pytest.fixture()
+def stub_scheme(spark, tmp_path):
+    """A genuinely non-file scheme: Hadoop's viewfs with a mount table
+    entry resolving /data onto the local disk — the same FileSystem
+    resolution machinery an s3a/abfs/gs URI goes through, assertable
+    against the backing directory. (RawLocalFileSystem can't simply be
+    aliased: its checkPath pins file:///.)"""
+    import uuid
+
+    # FileSystem instances are CACHED per (scheme, authority): a fresh
+    # mount-table name per test keeps each test's mount isolated
+    name = f"fsio-{uuid.uuid4().hex[:8]}"
+    conf = spark._jsc.hadoopConfiguration()
+    conf.set(
+        f"fs.viewfs.mounttable.{name}.link./data", f"file://{tmp_path}"
+    )
+    return f"viewfs://{name}/data"
+
+
+def test_sinks_on_nonfile_scheme(spark, stub_scheme, tmp_path):
+    path = f"{stub_scheme}/a/b/metadata.csv"
+    sinks.write_single_text("h1,h2\nv1,v2\n", path)
+    # bytes land where the mount says (parents created by the FS API)
+    disk = tmp_path / "a" / "b" / "metadata.csv"
+    assert disk.read_text() == "h1,h2\nv1,v2\n"
+    # the S6 guard holds across the scheme
+    with pytest.raises(FileExistsError):
+        sinks.write_single_text("x", path)
+    sinks.write_single_text("v3", path, allow_overwrite=True)
+    assert disk.read_text() == "v3"
+    assert fsio.exists(path) and not fsio.exists(path + ".nope")
+
+
+def test_url_to_file_on_nonfile_scheme(spark, stub_scheme, tmp_path):
+    src = tmp_path / "payload.bin"
+    src.write_bytes(b"y" * 2000)
+    digest = hashlib.sha256(b"y" * 2000).hexdigest()
+    dest = f"{stub_scheme}/out/obj.bin"
+    r = ingest.url_to_file(
+        src.as_uri(), dest, expected_sha256=digest, chunk_size=512
+    )
+    assert r["size"] == 2000 and r["sha256"] == digest
+    disk = tmp_path / "out" / "obj.bin"
+    assert disk.read_bytes() == b"y" * 2000
+    # spool removed; overwrite guard holds on the scheme; mismatch
+    # cleans up without leaving a partial object at the final key
+    assert not (tmp_path / "out" / "obj.bin.inprogress").exists()
+    with pytest.raises(ingest.ObjectExistsError):
+        ingest.url_to_file(src.as_uri(), dest)
+    bad = f"{stub_scheme}/out/bad.bin"
+    with pytest.raises(ingest.ChecksumMismatchError):
+        ingest.url_to_file(src.as_uri(), bad, expected_sha256="0" * 64)
+    assert not (tmp_path / "out" / "bad.bin").exists()
+    assert not (tmp_path / "out" / "bad.bin.inprogress").exists()
+
+
+def test_file_scheme_writes_no_crc_siblings(spark, tmp_path):
+    """On file: paths the raw FS is used, so no .crc sibling appears —
+    the reference's consumers list directories and must see exactly
+    the objects written."""
+    sinks.write_single_text("x", f"file:{tmp_path}/only/f.txt")
+    assert sorted(os.listdir(tmp_path / "only")) == ["f.txt"]
+
+
+def test_fsio_local_fallback_without_session(tmp_path, monkeypatch):
+    """With no active session (pure-library use) the helpers fall back
+    to os/open with identical semantics."""
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", staticmethod(lambda: None)
+    )
+    p = str(tmp_path / "x" / "f.txt")
+    fsio.write_bytes(p, b"abc")
+    assert open(p, "rb").read() == b"abc"
+    with pytest.raises(FileExistsError):
+        fsio.write_bytes(p, b"def")
+    fsio.write_bytes(p, b"def", overwrite=True)
+    fsio.rename(p, p + ".2")
+    assert fsio.exists(p + ".2") and not fsio.exists(p)
+    assert fsio.delete(p + ".2") is True
+    assert fsio.delete(p + ".2") is False

@@ -466,3 +466,79 @@ def test_wat_pack_groups_and_links(spark):
         {"path": "A@/href", "url": "http://h/x"}
     ]
     assert recs[1]["digest_ok"] is True
+
+
+def test_wet_wat_zst_transport_roundtrip(spark):
+    """round-12: the engine WRITES both transports it reads — wet_pack/
+    wat_pack(transport='zst') emit the IIPC .warc.zst layout (leading
+    skippable frame + one store-mode zstd frame per record). The
+    records inside are byte-identical to the gz twin's (transport
+    invisibility through the engine's own parser), and every frame is
+    legal RFC 8878: the REAL libzstd (pyarrow) decodes the
+    concatenation to the same raw records."""
+    rows = [
+        (1, "http://h/a", "text one", "2021-03-04T05:06:07Z",
+         "<urn:uuid:1>", 1),
+        (1, "http://h/b", "text two " * 40, "2021-03-04T05:06:07Z",
+         "<urn:uuid:2>", 2),
+        (2, "http://g/c", "text three", "2021-03-04T05:06:07Z",
+         "<urn:uuid:3>", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "file_id long, target_uri string, text string, date string,"
+        " record_id string, pos int",
+    )
+    gz = {r.file_id: bytes(r.content) for r in W.wet_pack(df).collect()}
+    zst = {r.file_id: bytes(r.content)
+           for r in W.wet_pack(df, transport="zst").collect()}
+    assert set(zst) == {1, 2}
+    for fid in zst:
+        import struct as _struct
+
+        assert _struct.unpack_from("<I", zst[fid], 0)[0] == 0x184D2A50
+        # the engine's own reader: identical records either transport
+        a = W.parse_warc(gz[fid])
+        b = W.parse_warc(zst[fid])
+        assert [(r["warc_type"], r["target_uri"], r["payload"],
+                 r["digest_ok"]) for r in a] == [
+            (r["warc_type"], r["target_uri"], r["payload"],
+             r["digest_ok"]) for r in b]
+        # the canonical decoder: every frame legal, same raw records
+        import pyarrow as pa
+
+        from da_transform_judgments_pipeline_spark.operators.compress import (
+            zstd_frame_bounds,
+        )
+
+        codec = pa.Codec("zstd")
+        raw = b"".join(
+            m for m, _, _ in W.split_warc_members_indexed(zst[fid])
+        )
+        native = bytearray()
+        for start, end, fcs, skippable in zstd_frame_bounds(zst[fid]):
+            if skippable:
+                continue
+            native += codec.decompress(
+                zst[fid][start:end], fcs, asbytes=True
+            )
+        assert bytes(native) == raw
+
+    # the WAT twin through the same transport switch
+    wdf = spark.createDataFrame(
+        [(1, "http://h/a", ["http://h/x"], 200,
+          "2021-03-04T05:06:07Z", "<urn:uuid:1>", 1)],
+        "file_id long, target_uri string, links array<string>,"
+        " http_status int, date string, record_id string, pos int",
+    )
+    wat = {r.file_id: bytes(r.content)
+           for r in W.wat_pack(wdf, transport="zst").collect()}
+    recs = W.parse_warc(wat[1])
+    import json as _json
+
+    env = _json.loads(recs[1]["payload"])["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == "http://h/a"
+    assert recs[1]["digest_ok"] is True
+
+    with pytest.raises(ValueError, match="transport"):
+        W.build_wet([], transport="lz77")
