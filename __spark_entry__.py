@@ -1992,6 +1992,187 @@ def q_a28_above_brand_average(spark, sf_dir):
     )
 
 
+def q_a29_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped minimum-cost supplier: for each part in a size
+    family (p_size %% 7 == 0), the supplier rows achieving the MINIMUM
+    unit price (l_extendedprice / l_quantity) for that part — Q2's
+    correlated scalar MIN decorrelated to aggregate-then-join, ties
+    kept (Q2 returns every supplier at the minimum).  Exactness: the
+    unit price is one per-row IEEE division both engines compute
+    identically, and MIN is a selection (no accumulation), so the
+    equality join back is bit-exact."""
+    li = _T(spark, sf_dir, "lineitem")
+    part = _T(spark, sf_dir, "part")
+    fam = part.filter(F.col("p_size") % 7 == 0).select("p_partkey")
+    priced = (
+        li.join(F.broadcast(fam), li.l_partkey == fam.p_partkey)
+        .select(
+            "l_partkey", "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit"
+            ),
+        )
+    )
+    mins = priced.groupBy("l_partkey").agg(
+        F.min("unit").alias("min_unit")
+    )
+    return (
+        priced.join(mins, "l_partkey")
+        .filter(F.col("unit") == F.col("min_unit"))
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.col("l_suppkey").cast("long").alias("l_suppkey"),
+            F.col("unit").alias("unit_price"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "l_suppkey")
+    )
+
+
+def q_a30_important_suppliers(spark, sf_dir):
+    """TPC-H Q11-shaped value-share threshold: suppliers whose total
+    lineitem value exceeds 1%% of the GLOBAL value — the
+    group-aggregate-vs-global-scalar shape (Q11's HAVING sum > frac *
+    (SELECT sum ...)), decorrelated as one per-supplier aggregate
+    cross-joined with one global scalar (broadcast, stays in-plan).
+    Exactness: values sum as DECIMAL(18,2) (prices are 2dp, the cast
+    is exact, decimal addition is associative) and the threshold
+    compares value*100 > total in the decimal domain — no float
+    rounding anywhere (threshold picked so the filter SELECTS: ~half
+    the suppliers pass at sf0.01, not all of them)."""
+    li = _T(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "value"
+        )
+    )
+    total = per.agg(F.sum("value").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 100 > F.col("total"))
+        .select(
+            F.col("l_suppkey").cast("long").alias("l_suppkey"),
+            F.round(F.col("value"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_suppkey")
+    )
+
+
+def q_a31_top_supplier(spark, sf_dir):
+    """TPC-H Q15-shaped top supplier: per-supplier revenue over one
+    quarter (shipdate in [1996-01-01, 1996-04-01)), returning every
+    supplier tied at the MAX — Q15's aggregate-view + scalar-max
+    shape, decorrelated as aggregate → cross-join max → equality
+    filter.  Revenue sums as DECIMAL(18,2) (exact), so the max and
+    the tie comparison are bit-exact across engines."""
+    li = _T(spark, sf_dir, "lineitem")
+    sup = _T(spark, sf_dir, "supplier")
+    q = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = q.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "rev"
+        )
+    )
+    mx = rev.agg(F.max("rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev") == F.col("max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("l_suppkey"),
+            "s_name",
+            F.round(F.col("rev"), 2).cast("double").alias("total_rev"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def q_a32_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: an OR of three
+    (brand, size-range, quantity-range) conjunctions across the
+    part↔lineitem join — the shape that exercises disjunction
+    pushdown/CNF handling rather than a new operator.  Grouped by
+    brand so the result hashes three rows, revenue as DECIMAL (exact),
+    line counts integer."""
+    li = _T(spark, sf_dir, "lineitem")
+    part = _T(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")),
+                2,
+            ).cast("double").alias("sum_rev"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_a33_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20-shaped excess-availability semi-join chain: suppliers
+    who, for some 'red'-named part, shipped MORE than a quarter of
+    that part's total 1996 volume — Q20's nested IN chain with an
+    aggregate threshold, decorrelated as two aggregates (per
+    (part, supplier) volume; per part total) joined and filtered,
+    then a DISTINCT semi-join up to supplier names.  Quantities are
+    small integers in doubles, so both sums are order-independent and
+    0.25*total (a power-of-two multiple) is exact — bit-exact across
+    engines."""
+    li = _T(spark, sf_dir, "lineitem")
+    part = _T(spark, sf_dir, "part")
+    sup = _T(spark, sf_dir, "supplier")
+    red = part.filter(F.col("p_name").startswith("red")).select(
+        "p_partkey"
+    )
+    y96 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(F.broadcast(red), li.l_partkey == red.p_partkey)
+    per_ps = y96.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = per_ps.join(per_p, "l_partkey").filter(
+        F.col("qty") > 0.25 * F.col("total_qty")
+    )
+    return (
+        dominant.select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("l_suppkey"), "s_name"
+        )
+        .orderBy("l_suppkey")
+    )
+
+
 def q_a22_idle_high_balance(spark, sf_dir):
     """TPC-H Q22-shaped lost-opportunity report: customers with
     above-average positive account balance who never placed an URGENT
@@ -6307,12 +6488,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # store-mode RFC 8878 frames from the stdlib writer behind the
     # IIPC skippable lead, re-parsed through the zst member walk;
     # oracle is m25's VERBATIM, the m24 transport-invisibility trick
-    # applied to the WRITE side) are NEW and lead the window.
-    # Displaced past the cap: m09 and m10 (multi-round green since r6;
-    # m09's image machinery stays pinned in-window by m21 WebP and by
-    # m12/m14/m17/m19 in selfcheck, m10's audio machinery by m18
-    # G.711 and m27 FLAC in-window). The position-50 boundary row is
-    # now b02_batch_dri_metadata. Changed-this-
+    # applied to the WRITE side) are NEW and lead the window, joined
+    # by a29-a33 (the remaining classic TPC-H plan shapes: Q2
+    # correlated-MIN-with-ties decorrelated to aggregate-then-join,
+    # Q11 group-vs-global-scalar threshold compared in the DECIMAL
+    # domain, Q15 max-over-aggregated-view with ties, Q19
+    # disjunction-of-conjunctions pushdown, Q20 nested semi-join chain
+    # with a 0.25x aggregate threshold — completing the
+    # correlated/decorrelated family a26-a28 opened).
+    # Displaced past the cap: x26, x27, e14, b01, b02, m09, m10 (all
+    # multi-round green and unchanged this round, still selfchecked:
+    # x26's perplexity machinery stays pinned by x17 in selfcheck and
+    # x28 in-window, x27's line repetition by x14/x28, e14's
+    # incremental semantic lifecycle by e13 in selfcheck + the chaos
+    # pytests, b01/b02's batch cores by the j02/p01 families in
+    # selfcheck + the reference byte-goldens, m09's image machinery by
+    # m21 WebP and m12/m14/m17/m19 in selfcheck, m10's audio machinery
+    # by m18 G.711 and m27 FLAC in-window). The position-50 boundary
+    # row is now x25_data_selection. Changed-this-
     # round queries already in-window: s24/s26/s27 (discovered queue
     # carries via; sitemap routing now MIME+content-sniff — oracles
     # unchanged), g01/g03/g04 (pagerank gained initial_ranks/stats
@@ -6322,6 +6515,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) NEW round 12
     "s29_crawl_priority_stream": q_s29_crawl_priority_stream,
     "m28_wet_zst_pipeline": q_m28_wet_zst_pipeline,
+    "a29_min_cost_supplier": q_a29_min_cost_supplier,
+    "a30_important_suppliers": q_a30_important_suppliers,
+    "a31_top_supplier": q_a31_top_supplier,
+    "a32_disjunctive_revenue": q_a32_disjunctive_revenue,
+    "a33_dominant_suppliers": q_a33_dominant_suppliers,
     # The position-50 boundary row is m10_audio_decode_features.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
@@ -8562,6 +8760,93 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE p_size > brand_avg
             ORDER BY p_partkey
+        """,
+        "a29_min_cost_supplier": """
+            WITH priced AS (
+              SELECT l_partkey, l_suppkey,
+                     l_extendedprice / l_quantity AS unit
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              WHERE p_size % 7 = 0
+            ), mins AS (
+              SELECT l_partkey, min(unit) AS min_unit
+              FROM priced GROUP BY l_partkey
+            )
+            SELECT DISTINCT CAST(p.l_partkey AS BIGINT) AS p_partkey,
+                   CAST(p.l_suppkey AS BIGINT) AS l_suppkey,
+                   p.unit AS unit_price
+            FROM priced p
+            JOIN mins m
+              ON m.l_partkey = p.l_partkey AND p.unit = m.min_unit
+            ORDER BY p_partkey, l_suppkey
+        """,
+        "a30_important_suppliers": """
+            WITH per AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS value
+              FROM lineitem GROUP BY l_suppkey
+            ), tot AS (SELECT sum(value) AS total FROM per)
+            SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+                   CAST(round(value, 2) AS DOUBLE) AS value
+            FROM per, tot
+            WHERE value * 100 > total
+            ORDER BY value DESC, l_suppkey
+        """,
+        "a31_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            ), mx AS (SELECT max(rev) AS max_rev FROM rev)
+            SELECT CAST(r.l_suppkey AS BIGINT) AS l_suppkey, s.s_name,
+                   CAST(round(r.rev, 2) AS DOUBLE) AS total_rev
+            FROM rev r, mx
+            JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.rev = mx.max_rev
+            ORDER BY l_suppkey
+        """,
+        "a32_disjunctive_revenue": """
+            SELECT p_brand,
+                   CAST(round(
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2
+                   ) AS DOUBLE) AS sum_rev,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "a33_dominant_suppliers": """
+            WITH red AS (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+            ), y96 AS (
+              SELECT l_partkey, l_suppkey, l_quantity
+              FROM lineitem JOIN red ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+            ), per_ps AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+              FROM y96 GROUP BY l_partkey, l_suppkey
+            ), per_p AS (
+              SELECT l_partkey, sum(qty) AS total_qty
+              FROM per_ps GROUP BY l_partkey
+            )
+            SELECT DISTINCT CAST(d.l_suppkey AS BIGINT) AS l_suppkey,
+                   s.s_name
+            FROM per_ps d
+            JOIN per_p t ON t.l_partkey = d.l_partkey
+            JOIN supplier s ON s.s_suppkey = d.l_suppkey
+            WHERE d.qty > 0.25 * t.total_qty
+            ORDER BY l_suppkey
         """,
         "g05_bfs_depths": """
             WITH RECURSIVE

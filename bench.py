@@ -166,6 +166,11 @@ HEADLINE = [
     # round 12
     "s29_crawl_priority_stream",
     "m28_wet_zst_pipeline",
+    "a29_min_cost_supplier",
+    "a30_important_suppliers",
+    "a31_top_supplier",
+    "a32_disjunctive_revenue",
+    "a33_dominant_suppliers",
 ]
 
 
