@@ -312,7 +312,7 @@ def fetch_schedule(
     rules: DataFrame,
     url_col: str = "url",
     default_delay: float = 1.0,
-    order_col: str | None = None,
+    order_col: str | list | tuple | None = None,
     use_prefix_rank: bool = False,
 ) -> DataFrame:
     """The POLITENESS half of crawl scheduling (frontier = discovery,
@@ -325,6 +325,11 @@ def fetch_schedule(
     per-host delay rides the same control-plane broadcast as
     robots_filter, and the slot is a keyed window rank.
 
+    ``order_col`` may be a LIST of column names for compound orderings
+    (all ascending — pre-negate a column for descending, e.g. the
+    prioritized queue ranks by ``-priority`` first so high-rank pages
+    take each host's earliest polite slots).
+
     At web scale host cardinality is huge and groups are small, so the
     keyed window is the right default; for the few-giant-hosts regime
     (an intranet crawl of three hosts) pass ``use_prefix_rank=True`` to
@@ -333,7 +338,10 @@ def fetch_schedule(
     a giant host through one window task."""
     from pyspark.sql import Window
 
-    order = order_col or url_col
+    order = order_col if order_col is not None else url_col
+    orders = (
+        list(order) if isinstance(order, (list, tuple)) else [order]
+    )
     delays = rules.select(
         F.col("host").alias("_host"),
         F.coalesce(F.col("crawl_delay"), F.lit(default_delay)).alias(
@@ -349,11 +357,22 @@ def fetch_schedule(
     if use_prefix_rank:
         from .scale import keyed_prefix_rank
 
-        ranked = keyed_prefix_rank(
-            joined, "_host", order, rank_name="slot"
-        )
+        if len(orders) == 1:
+            ranked = keyed_prefix_rank(
+                joined, "_host", orders[0], rank_name="slot"
+            )
+        else:
+            # compound ordering through the prefix scan: pack the
+            # fields into one struct (struct ordering is field-by-field
+            # — exactly the compound semantics), rank, drop
+            ranked = keyed_prefix_rank(
+                joined.withColumn(
+                    "_ord", F.struct(*[F.col(c) for c in orders])
+                ),
+                "_host", "_ord", rank_name="slot",
+            ).drop("_ord")
     else:
-        w = Window.partitionBy("_host").orderBy(order)
+        w = Window.partitionBy("_host").orderBy(*orders)
         ranked = joined.withColumn(
             "slot", (F.row_number().over(w) - 1).cast("long")
         )

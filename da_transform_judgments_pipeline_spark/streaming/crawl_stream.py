@@ -326,7 +326,10 @@ def run_crawl_stream(
       graph so far, one wave behind) it also carries ``priority``: the
       discovering page's rank, 0.0 when unranked — the PRIORITIZER
       half of the crawl loop (pass ranks consistently across waves, or
-      the sink's partitions disagree on the priority column);
+      the sink's partitions disagree on the priority column). With
+      BOTH ``rules`` and ``ranks``, each host's polite slots are
+      assigned in priority order — high-rank pages take the earliest
+      fetch times;
     - the LINK GRAPH accretes in ``{out_dir}/links``: one (src, dst)
       canonical edge per extracted anchor of each newly-accepted page —
       the input :func:`..operators.graph.pagerank` / ``hits`` rank to
@@ -562,17 +565,6 @@ def run_crawl_stream(
                 ).join(
                     docs.select("canonical"), "canonical", "left_anti"
                 ).withColumnRenamed("_via", "via")
-                if rules is not None:
-                    # the POLITENESS half: every queued fetch gets its
-                    # per-host slot and earliest polite offset from the
-                    # host's Crawl-delay (s23's arithmetic, composed
-                    # into the stream so the queue is directly
-                    # executable by a rate-limited fetcher)
-                    from ..operators.robots import fetch_schedule
-
-                    discovered = fetch_schedule(
-                        discovered, rules, url_col="url"
-                    )
                 if ranks is not None:
                     # the PRIORITIZER half: priority = the discovering
                     # page's rank in the caller-supplied (node, rank)
@@ -599,6 +591,30 @@ def run_crawl_stream(
                         "priority",
                         F.coalesce(F.col("priority"), F.lit(0.0)),
                     )
+                if rules is not None:
+                    # the POLITENESS half: every queued fetch gets its
+                    # per-host slot and earliest polite offset from the
+                    # host's Crawl-delay (s23's arithmetic, composed
+                    # into the stream so the queue is directly
+                    # executable by a rate-limited fetcher). With
+                    # ranks supplied the slots are PRIORITY-ordered
+                    # within each host (negated column = descending):
+                    # high-rank pages take the earliest polite slots —
+                    # the prioritizer and politeness halves composed.
+                    from ..operators.robots import fetch_schedule
+
+                    if ranks is not None:
+                        discovered = fetch_schedule(
+                            discovered.withColumn(
+                                "_negpri", -F.col("priority")
+                            ),
+                            rules, url_col="url",
+                            order_col=["_negpri", "url"],
+                        ).drop("_negpri")
+                    else:
+                        discovered = fetch_schedule(
+                            discovered, rules, url_col="url"
+                        )
                 # the LINK-GRAPH edge sink: (src page canonical →
                 # resolved+canonicalized target), one row per extracted
                 # anchor of every newly-accepted page — what PageRank/

@@ -873,3 +873,100 @@ def test_crawl_stream_rank_priority_two_waves(spark, tmp_path):
         assert row["priority"] == rank_of[f"https://r.example/x/{i}"]
         assert row["priority"] > 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_crawl_stream_priority_ordered_politeness(spark, tmp_path):
+    """With BOTH rules and ranks supplied, the politeness schedule
+    assigns each host's slots in PRIORITY order (slot 0 = the
+    highest-rank discovery, offset = slot x Crawl-delay) — the
+    prioritizer and politeness halves composed. Two pages on one host
+    discover one URL each; the page with more in-links ranks higher,
+    so its discovery takes slot 0 even though its URL sorts LAST
+    alphabetically (pinning that priority, not the URL string, drives
+    the order)."""
+    from da_transform_judgments_pipeline_spark.operators.robots import (
+        robots_rules,
+    )
+    from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+        crawl_wave_ranks,
+    )
+
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+    table = "crawl_stream_prio_polite_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://q.example/seed",)], "url string"),
+        table, buckets=2, path=str(tmp_path / "fidx"),
+    )
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("q.example", "User-agent: *\nCrawl-delay: 3\n")],
+            "host string, content string",
+        ),
+        agent="graftbot",
+    ).localCheckpoint(eager=True)
+    # wave 1: /popular is linked by three pages, /obscure by none —
+    # after ranking, rank(/popular) >> rank(/obscure)
+    w1 = [
+        {"url": f"https://q.example/src{i}",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": (f"<html><body><p>source {i} page</p>"
+                     '<a href="/popular">p</a></body></html>').encode()}
+        for i in range(3)
+    ] + [
+        {"url": "https://q.example/obscure",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": (b"<html><body><p>obscure page</p>"
+                     b'<a href="/src0">s</a></body></html>')},
+    ]
+    (warcs / "w1.warc.gz").write_bytes(build_warc_gz(w1))
+    (manifests / "m1.jsonl").write_text(json.dumps(
+        {"file_id": 1, "path": str(warcs / "w1.warc.gz")}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out),
+                         rules=rules)
+    q.awaitTermination(120)
+    ranks = crawl_wave_ranks(
+        spark, str(out), damping=0.5, n_iterations=4, tol=None
+    ).localCheckpoint(eager=True)
+    rank_of = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert rank_of["https://q.example/popular"] > rank_of[
+        "https://q.example/obscure"
+    ]
+
+    # wave 2: /popular (URL sorts after /another...) and /a-first are
+    # both discovered by NEW pages; /a-first's via is unranked
+    w2 = [
+        {"url": "https://q.example/popular",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": (b"<html><body><p>popular body</p>"
+                     b'<a href="/zz-target">z</a></body></html>')},
+        {"url": "https://q.example/newpage",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": (b"<html><body><p>new page body</p>"
+                     b'<a href="/aa-target">a</a></body></html>')},
+    ]
+    (warcs / "w2.warc.gz").write_bytes(build_warc_gz(w2))
+    (manifests / "m2.jsonl").write_text(json.dumps(
+        {"file_id": 2, "path": str(warcs / "w2.warc.gz")}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out),
+                         rules=rules, ranks=ranks)
+    q.awaitTermination(120)
+
+    disc = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(str(out / "discovered")).collect()
+    )
+    w2rows = {r["canonical"]: r for r in disc
+              if r["batch_key"].endswith("-1")}
+    zz = w2rows["https://q.example/zz-target"]   # via /popular (ranked)
+    aa = w2rows["https://q.example/aa-target"]   # via /newpage (unranked)
+    assert zz["priority"] == rank_of["https://q.example/popular"]
+    assert aa["priority"] == 0.0
+    # priority beats URL order: zz-target sorts LAST but fetches FIRST
+    assert (zz["slot"], zz["offset_sec"]) == (0, 0.0)
+    assert (aa["slot"], aa["offset_sec"]) == (1, 3.0)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
