@@ -4799,6 +4799,116 @@ def q_f04_url_canonicalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_f06_surt_keys(spark, sf_dir):
+    """SURT index keys (functions/strings.surt_key — the Sort-friendly
+    URI Reordering Transform, the Heritrix/OpenWayback/Common Crawl
+    index convention; CC's columnar index ships it as url_surtkey):
+    host labels reversed and comma-joined, one leading www-style label
+    stripped, non-default port kept, scheme dropped, then ')' and the
+    canonicalized path+query. Lexicographic SURT order lays a domain's
+    pages contiguously, turning 'everything under example.com' into a
+    PREFIX RANGE SCAN over a 100 TB sorted CDX/frontier index. Five
+    URL regimes rotate by doc_id (www-strip + default port +
+    dot-segments, explicit port + deep subdomain, bare host + fragment,
+    numbered www label + duplicate slash, single-label host + unsorted
+    query); DuckDB builds the EXPECTED key directly from doc_id, so
+    every rule — reversal, strip, port, ')' join, inherited
+    canonicalization — is hash-checked. Pure Catalyst on top of
+    canonical_url; no UDF."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 5 == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), (d % 13).cast("string"),
+            F.lit(".Example.COM:80/a/./x/../p"), ds,
+            F.lit("?b="), (d % 3).cast("string"), F.lit("&a=1"),
+        ))
+        .when(d % 5 == 1, F.concat(
+            F.lit("https://media.example"), (d % 7).cast("string"),
+            F.lit(".net:8443/x/y"), ds,
+        ))
+        .when(d % 5 == 2, F.concat(
+            F.lit("http://example.com/"), ds, F.lit("#frag"),
+        ))
+        .when(d % 5 == 3, F.concat(
+            F.lit("https://www"), (d % 4).cast("string"),
+            F.lit(".example.org/p//q"), ds,
+        ))
+        .otherwise(F.concat(
+            F.lit("http://localhost:8080/r?z="), ds,
+            F.lit("&y="), (d % 9).cast("string"),
+        ))
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        strings.surt_key(url).alias("surt"),
+    ).orderBy("doc_id")
+
+
+def q_x37_boilerplate_removal(spark, sf_dir):
+    """Block-level boilerplate removal (text.extract_main_text — the
+    jusText / Kohlschuetter link-density heuristic's deterministic
+    core): per document a full page is BUILT in Catalyst — head script,
+    an all-links nav bar, a long body paragraph, a too-short paragraph,
+    a long div, a link-dense footer, plus a regime extra rotating by
+    doc_id %% 3 (an all-anchor related-cases <li>, one more kept
+    appendix paragraph, or nothing) — and the operator must keep
+    EXACTLY the prose blocks: nav (short + density 1), 'Short.'
+    (under min_chars), the footer (density 0.65 > 0.34), and the
+    related-links item (density 1) all drop; the paragraph, div, and
+    appendix survive in order. DuckDB constructs the expected
+    main_text/n_kept/main_chars directly from doc_id, so segmentation,
+    per-block anchor-text accounting, both thresholds, and the
+    newline join are all hash-checked. Map-side projection chain — no
+    shuffle, no UDF."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    p1 = F.concat(
+        F.lit("Case "), ds,
+        F.lit(" body paragraph with sufficient length to be kept"
+              " for corpus review."),
+    )
+    dv = F.concat(
+        F.lit("Further discussion "), (d % 7).cast("string"),
+        F.lit(" of the judgment continues with adequate prose"
+              " length."),
+    )
+    app = F.concat(
+        F.lit("Appendix "), ds,
+        F.lit(" holds one more adequately long paragraph of body"
+              " prose."),
+    )
+    extra = (
+        F.when(d % 3 == 0, F.concat(
+            F.lit('<li><a href="/x'), ds, F.lit('">Related case '),
+            ds, F.lit(" listing</a></li>"),
+        ))
+        .when(d % 3 == 1, F.concat(F.lit("<p>"), app, F.lit("</p>")))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1;</script></head><body>"
+              '<nav><a href="/h">Home</a> <a href="/a">About</a>'
+              "</nav><p>"),
+        p1,
+        F.lit("</p><p>Short.</p><div>"),
+        dv,
+        F.lit("</div>"),
+        extra,
+        F.lit('<footer>(c) Site <a href="/t">Terms</a> '
+              '<a href="/p">Privacy</a></footer></body></html>'),
+    )
+    out = text.extract_main_text(
+        docs.withColumn("html", html), html_col="html"
+    )
+    return out.select(
+        "doc_id", "main_text", "n_kept", "main_chars"
+    ).orderBy("doc_id")
+
+
 def q_x30_split_assign(spark, sf_dir):
     """Contamination-safe train/val/test assignment (text.split_assign):
     the corpus plus a planted re-ingestion (every tenth document
@@ -6495,17 +6605,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # domain, Q15 max-over-aggregated-view with ties, Q19
     # disjunction-of-conjunctions pushdown, Q20 nested semi-join chain
     # with a 0.25x aggregate threshold — completing the
-    # correlated/decorrelated family a26-a28 opened).
-    # Displaced past the cap: x26, x27, e14, b01, b02, m09, m10 (all
-    # multi-round green and unchanged this round, still selfchecked:
-    # x26's perplexity machinery stays pinned by x17 in selfcheck and
-    # x28 in-window, x27's line repetition by x14/x28, e14's
-    # incremental semantic lifecycle by e13 in selfcheck + the chaos
-    # pytests, b01/b02's batch cores by the j02/p01 families in
+    # correlated/decorrelated family a26-a28 opened) and f06 (SURT
+    # index keys — the Heritrix/Common Crawl url_surtkey convention,
+    # reversed comma-joined host labels + www-strip + ')' + the
+    # canonicalized path/query, the prefix-range-scan layout key for a
+    # sorted 100 TB CDX/frontier index; expected keys built directly
+    # from doc_id by DuckDB) and x37 (block-level BOILERPLATE REMOVAL
+    # — the jusText/Kohlschuetter link-density heuristic's
+    # deterministic core as a map-side Catalyst projection chain: nav
+    # bars, link-dense footers, related-links lists and too-short
+    # blocks drop, prose survives; the whole segmentation +
+    # anchor-density decision recomputed by a constructed-page
+    # closed-form oracle).
+    # Displaced past the cap: d11, x25, x26, x27, e14, b01, b02, m09,
+    # m10 (all multi-round green and unchanged this round, still
+    # selfchecked: d11's incremental-substring lifecycle stays pinned
+    # by d10 in selfcheck + its lifecycle pytests, x25's selection
+    # chain by x22-x24 in selfcheck, x26's perplexity machinery by x17
+    # in selfcheck and x28 in-window, x27's line repetition by x14/x28,
+    # e14's incremental semantic lifecycle by e13 in selfcheck + the
+    # chaos pytests, b01/b02's batch cores by the j02/p01 families in
     # selfcheck + the reference byte-goldens, m09's image machinery by
     # m21 WebP and m12/m14/m17/m19 in selfcheck, m10's audio machinery
     # by m18 G.711 and m27 FLAC in-window). The position-50 boundary
-    # row is now x25_data_selection. Changed-this-
+    # row is now m14_jpeg_decode_features. Changed-this-
     # round queries already in-window: s24/s26/s27 (discovered queue
     # carries via; sitemap routing now MIME+content-sniff — oracles
     # unchanged), g01/g03/g04 (pagerank gained initial_ranks/stats
@@ -6520,6 +6643,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a31_top_supplier": q_a31_top_supplier,
     "a32_disjunctive_revenue": q_a32_disjunctive_revenue,
     "a33_dominant_suppliers": q_a33_dominant_suppliers,
+    "f06_surt_keys": q_f06_surt_keys,
+    "x37_boilerplate_removal": q_x37_boilerplate_removal,
     # The position-50 boundary row is m10_audio_decode_features.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
@@ -8760,6 +8885,72 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE p_size > brand_avg
             ORDER BY p_partkey
+        """,
+        "x37_boilerplate_removal": """
+            WITH built AS (
+              SELECT doc_id,
+                     'Case ' || CAST(doc_id AS VARCHAR)
+                       || ' body paragraph with sufficient length to'
+                       || ' be kept for corpus review.' AS p1,
+                     'Further discussion '
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || ' of the judgment continues with adequate'
+                       || ' prose length.' AS dv,
+                     'Appendix ' || CAST(doc_id AS VARCHAR)
+                       || ' holds one more adequately long paragraph'
+                       || ' of body prose.' AS app
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 1
+                        THEN p1 || chr(10) || dv || chr(10) || app
+                        ELSE p1 || chr(10) || dv END AS main_text,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 2 END
+                        AS INTEGER) AS n_kept,
+                   CAST(strlen(
+                     CASE WHEN doc_id % 3 = 1
+                          THEN p1 || chr(10) || dv || chr(10) || app
+                          ELSE p1 || chr(10) || dv END
+                   ) AS BIGINT) AS main_chars
+            FROM built ORDER BY doc_id
+        """,
+        "f06_surt_keys": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 5 AS INTEGER)
+                     WHEN 0 THEN 'HTTP://WWW.Site'
+                       || CAST(doc_id % 13 AS VARCHAR)
+                       || '.Example.COM:80/a/./x/../p'
+                       || CAST(doc_id AS VARCHAR)
+                       || '?b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1'
+                     WHEN 1 THEN 'https://media.example'
+                       || CAST(doc_id % 7 AS VARCHAR) || '.net:8443/x/y'
+                       || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN 'http://example.com/'
+                       || CAST(doc_id AS VARCHAR) || '#frag'
+                     WHEN 3 THEN 'https://www'
+                       || CAST(doc_id % 4 AS VARCHAR)
+                       || '.example.org/p//q' || CAST(doc_id AS VARCHAR)
+                     ELSE 'http://localhost:8080/r?z='
+                       || CAST(doc_id AS VARCHAR)
+                       || '&y=' || CAST(doc_id % 9 AS VARCHAR)
+                   END AS url,
+                   CASE CAST(doc_id % 5 AS INTEGER)
+                     WHEN 0 THEN 'com,example,site'
+                       || CAST(doc_id % 13 AS VARCHAR)
+                       || ')/a/p' || CAST(doc_id AS VARCHAR)
+                       || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR)
+                     WHEN 1 THEN 'net,example'
+                       || CAST(doc_id % 7 AS VARCHAR) || ',media:8443)/x/y'
+                       || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN 'com,example)/'
+                       || CAST(doc_id AS VARCHAR)
+                     WHEN 3 THEN 'org,example)/p/q'
+                       || CAST(doc_id AS VARCHAR)
+                     ELSE 'localhost:8080)/r?y='
+                       || CAST(doc_id % 9 AS VARCHAR)
+                       || '&z=' || CAST(doc_id AS VARCHAR)
+                   END AS surt
+            FROM documents ORDER BY doc_id
         """,
         "a29_min_cost_supplier": """
             WITH priced AS (

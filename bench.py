@@ -171,6 +171,8 @@ HEADLINE = [
     "a31_top_supplier",
     "a32_disjunctive_revenue",
     "a33_dominant_suppliers",
+    "f06_surt_keys",
+    "x37_boilerplate_removal",
 ]
 
 

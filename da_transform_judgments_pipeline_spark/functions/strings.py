@@ -170,3 +170,47 @@ def canonical_url(c: Column | str) -> Column:
     ).otherwise(
         F.concat(scheme, F.lit("://"), host, port, canon_path, canon_query)
     )
+
+
+def surt_key(c: Column | str, strip_www: bool = True) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform — the Heritrix /
+    OpenWayback / Common Crawl index key, from the public webarchive
+    convention): host labels REVERSED and comma-joined, non-default
+    port kept, then ``)`` and the path+query —
+    ``http://www.Example.com/a/../p?b=2&a=1`` →
+    ``com,example)/p?a=1&b=2``. Lexicographic order of SURT keys
+    groups a domain's pages, then each subdomain's, contiguously —
+    the layout key that turns "every page under example.com" into a
+    PREFIX RANGE SCAN over a 100 TB sorted index (what warc_cdx rows
+    or a frontier sort on; the Common Crawl columnar index ships
+    exactly this column as ``url_surtkey``).
+
+    Builds on :func:`canonical_url`, so scheme/host case, default
+    ports, dot-segments, and query order are already normalized;
+    ``strip_www`` (default, matching the CDX convention) drops one
+    leading ``www``/``www2``-style label when more labels remain. The
+    scheme is dropped (http and https collapse — the CDX convention;
+    keep ``canonical_url`` when the distinction matters). Non-URLs
+    pass through untouched like canonical_url; NULL in → NULL out."""
+    u = canonical_url(c)
+    has_scheme = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    auth = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.regexp_extract(auth, r"^([^:]*)", 1)
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    if strip_www:
+        host = F.when(
+            host.rlike(r"^www\d*\..+\."),
+            F.regexp_replace(host, r"^www\d*\.", ""),
+        ).otherwise(host)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    pathq = _substr_from(rest, F.length(auth) + 1)
+    key = F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(
+            F.concat(F.lit(":"), port)
+        ),
+        F.lit(")"),
+        pathq,
+    )
+    return F.when(has_scheme, key).otherwise(u)

@@ -411,3 +411,44 @@ def test_pagerank_warm_start_continuation_and_savings(spark):
                 "node long, rank double",
             ),
         )
+
+
+def test_crawl_wave_ranks_scopes(spark, tmp_path):
+    """crawl_wave_ranks over a links sink: scope='seen' ranks link
+    TARGETS too (dangling receivers — the one-wave-behind prioritizer
+    shape), scope='crawled' ranks the induced subgraph of fetched
+    pages only (out-weights count intra-corpus links only); anchor
+    multiplicity collapses to edge weights; an invalid scope is a
+    typed error."""
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+        crawl_wave_ranks,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("p1", "p2"), ("p2", "p1"),
+            ("p1", "x1"), ("p1", "x1"),  # multiplicity 2
+            ("p2", "x2"),
+        ],
+        "src string, dst string",
+    )
+    links.write.parquet(str(tmp_path / "links"))
+
+    seen = {r["node"]: r["rank"] for r in crawl_wave_ranks(
+        spark, str(tmp_path), damping=0.5, n_iterations=4, tol=None
+    ).collect()}
+    assert set(seen) == {"p1", "p2", "x1", "x2"}
+    assert seen["x1"] > seen["x2"] > 0  # weight-2 target outranks
+
+    crawled = {r["node"]: r["rank"] for r in crawl_wave_ranks(
+        spark, str(tmp_path), damping=0.5, n_iterations=4, tol=None,
+        scope="crawled",
+    ).collect()}
+    # induced subgraph = the p1<->p2 cycle: uniform 1/2 is its exact
+    # fixed point (x edges and their out-weight share drop entirely)
+    assert crawled == {"p1": 0.5, "p2": 0.5}
+
+    with _pytest.raises(ValueError, match="scope"):
+        crawl_wave_ranks(spark, str(tmp_path), scope="everything")

@@ -542,3 +542,96 @@ def test_wet_wat_zst_transport_roundtrip(spark):
 
     with pytest.raises(ValueError, match="transport"):
         W.build_wet([], transport="lz77")
+
+
+def test_surt_key_rules(spark):
+    """SURT (round-12): reversed comma-joined host labels, one leading
+    www-style label stripped only when labels remain, non-default port
+    kept after the labels, scheme dropped, canonicalization (case,
+    default port, dot-segments, query sort, fragment) inherited;
+    non-URLs and NULL pass through like canonical_url; lexicographic
+    SURT order groups a domain before its subdomains."""
+    from pyspark.sql import functions as F
+
+    from da_transform_judgments_pipeline_spark.functions.strings import (
+        surt_key,
+    )
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/a/../p?b=2&a=1",
+         "com,example)/p?a=1&b=2"),
+        ("https://sub.Example.com:8443/x", "com,example,sub:8443)/x"),
+        ("http://example.com", "com,example)/"),
+        ("https://www.com/q", "com,www)/q"),        # lone www survives
+        ("http://www2.news.example.org/art#f", "org,example,news)/art"),
+        ("not a url", "not a url"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, u string"
+    )
+    got = {r["i"]: r["k"]
+           for r in df.select("i", surt_key(F.col("u")).alias("k"))
+           .collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+    # strip_www=False keeps the label
+    keep = df.filter(F.col("i") == 0).select(
+        surt_key(F.col("u"), strip_www=False).alias("k")
+    ).collect()[0]["k"]
+    assert keep == "com,example,www)/p?a=1&b=2"
+    # the layout property: sorting by SURT puts a domain's pages and
+    # THEN each subdomain's contiguously (plain URL sort interleaves
+    # hosts; the reversed labels are what fix it)
+    urls = [
+        "http://b.example.com/1", "http://example.com/2",
+        "http://a.other.net/3", "http://example.com/1",
+        "http://b.example.com/0",
+    ]
+    sdf = spark.createDataFrame([(u,) for u in urls], "u string")
+    ordered = [r["u"] for r in sdf.orderBy(surt_key(F.col("u")))
+               .collect()]
+    assert ordered == [
+        "http://example.com/1", "http://example.com/2",
+        "http://b.example.com/0", "http://b.example.com/1",
+        "http://a.other.net/3",
+    ]
+
+
+def test_extract_main_text_rules(spark):
+    """Boilerplate removal (round-12): content paragraphs survive, nav
+    (short, density 1), sub-min-chars blocks, link-dense footers and
+    all-anchor list items drop; entities decode inside kept blocks;
+    a page with no surviving block yields the empty string; NULL html
+    passes through as NULL text with n_kept 0."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        extract_main_text,
+    )
+
+    body = ("Judgment body paragraph long enough to clear the"
+            " character floor easily.")
+    html = (
+        "<html><head><style>p{}</style></head><body>"
+        '<nav><a href="/h">Home</a></nav>'
+        f"<p>{body}</p>"
+        "<li>tiny</li>"
+        '<div>Mixed block with one <a href="/r">link inside</a> but'
+        " mostly ordinary running prose around it.</div>"
+        "<p>A &amp; B &lt;entities&gt; decode inside kept prose"
+        " blocks correctly here.</p>"
+        '<footer>(c) <a href="/t">Terms</a> <a href="/p">Priv</a>'
+        "</footer></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>too short</p>"), (3, None)],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in extract_main_text(df).collect()}
+    kept = rows[1]["main_text"].split("\n")
+    assert kept[0] == body
+    assert kept[1].startswith("Mixed block with one link inside")
+    assert kept[2] == ("A & B <entities> decode inside kept prose"
+                       " blocks correctly here.")
+    assert rows[1]["n_kept"] == 3
+    assert rows[2]["main_text"] == "" and rows[2]["n_kept"] == 0
+    assert rows[3]["main_text"] is None
