@@ -4909,6 +4909,79 @@ def q_x37_boilerplate_removal(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_e15_int8_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (similarity.quantize_embeddings — the faiss-SQ8-style storage/
+    serving path: 4x smaller vectors, dequantize as q*scale): per
+    vector scale = max|x|/127 and q_i = floor(x_i/max|x|*127 + 0.5) —
+    half-up rounding made EXPLICIT via floor because engines disagree
+    on round()'s tie behavior, while floor(+0.5) is bit-defined; the
+    worst per-component reconstruction error rides along as a data
+    quality column. Every step is element-wise arithmetic or a max
+    SELECTION (order-independent), so DuckDB's verbatim mirror —
+    list_transform/list_max over the same float32→double widenings —
+    agrees bit-exactly; the quantized vector is emitted as a CSV
+    string so the full content hashes. Map-side, no shuffle, no UDF."""
+    from da_transform_judgments_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = _T(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb, vec_col="embedding")
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec"), ",").alias("qvec_csv"),
+        "max_abs_err",
+    ).orderBy("vec_id")
+
+
+def q_s30_redirect_chains(spark, sf_dir):
+    """Redirect-chain resolution (graph.resolve_redirects — the crawl
+    maintenance pass over out/redirects: collapse a → b → c 301 chains
+    onto the final landing URL by POINTER DOUBLING, ~5 self-joins at
+    any chain length instead of a per-hop walk): per doc_id a chain of
+    length doc_id %% 4 + 1 is built closed-form (c{d}/0 → ... →
+    c{d}/L, terminal), docs with doc_id %% 17 == 0 plant a 2-cycle
+    (x{d}/a ⇄ x{d}/b — must come back resolved=false with NULL
+    final/hops, the never-canonicalize-onto-a-cycle policy), and docs
+    with doc_id %% 11 == 0 duplicate their first link row (the
+    per-source dedup). DuckDB rebuilds every row ANALYTICALLY — final
+    = c{d}/L, hops = L - i — no recursion needed, so chain collapse,
+    hop counts, cycle refusal, and dedup are all hash-checked."""
+    from da_transform_judgments_pipeline_spark.operators.graph import (
+        resolve_redirects,
+    )
+
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    hops = (d % 4 + 1).cast("int")
+    chain = docs.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), hops - 1)).alias("i", "_x"),
+    ).select(
+        F.concat(F.lit("https://c"), ds, F.lit("/"),
+                 F.col("i").cast("string")).alias("src"),
+        F.concat(F.lit("https://c"), ds, F.lit("/"),
+                 (F.col("i") + 1).cast("string")).alias("dst"),
+        "doc_id", "i",
+    )
+    dup = chain.filter((d % 11 == 0) & (F.col("i") == 0)).select(
+        "src", "dst"
+    )
+    cyc_docs = docs.filter(d % 17 == 0)
+    cyc = cyc_docs.select(
+        F.concat(F.lit("https://x"), ds, F.lit("/a")).alias("src"),
+        F.concat(F.lit("https://x"), ds, F.lit("/b")).alias("dst"),
+    ).union(cyc_docs.select(
+        F.concat(F.lit("https://x"), ds, F.lit("/b")).alias("src"),
+        F.concat(F.lit("https://x"), ds, F.lit("/a")).alias("dst"),
+    ))
+    edges = chain.select("src", "dst").union(dup).union(cyc)
+    return resolve_redirects(edges, max_hops=16).orderBy("src")
+
+
 def q_x30_split_assign(spark, sf_dir):
     """Contamination-safe train/val/test assignment (text.split_assign):
     the corpus plus a planted re-ingestion (every tenth document
@@ -6616,19 +6689,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # bars, link-dense footers, related-links lists and too-short
     # blocks drop, prose survives; the whole segmentation +
     # anchor-density decision recomputed by a constructed-page
-    # closed-form oracle).
-    # Displaced past the cap: d11, x25, x26, x27, e14, b01, b02, m09,
-    # m10 (all multi-round green and unchanged this round, still
-    # selfchecked: d11's incremental-substring lifecycle stays pinned
-    # by d10 in selfcheck + its lifecycle pytests, x25's selection
+    # closed-form oracle) and e15 (symmetric int8 embedding
+    # quantization, the faiss-SQ8 storage/serving path — explicit
+    # floor(+0.5) half-up rounding so both engines' ties agree,
+    # per-vector scale + worst reconstruction error; DuckDB mirrors
+    # the element-wise arithmetic verbatim, bit-exact).
+    # Displaced past the cap: m20, m14, d11, x25, x26, x27, e14, b01,
+    # b02, m09, m10 (all multi-round green and unchanged this round,
+    # still selfchecked: m20's ZIP machinery stays pinned by m13's
+    # docx-zip path in selfcheck + the archive pytests, m14's JPEG
+    # machinery by m12/m17/m21 in selfcheck/in-window, d11's
+    # incremental-substring lifecycle by
+    # d10 in selfcheck + its lifecycle pytests, x25's selection
     # chain by x22-x24 in selfcheck, x26's perplexity machinery by x17
     # in selfcheck and x28 in-window, x27's line repetition by x14/x28,
     # e14's incremental semantic lifecycle by e13 in selfcheck + the
     # chaos pytests, b01/b02's batch cores by the j02/p01 families in
     # selfcheck + the reference byte-goldens, m09's image machinery by
     # m21 WebP and m12/m14/m17/m19 in selfcheck, m10's audio machinery
-    # by m18 G.711 and m27 FLAC in-window). The position-50 boundary
-    # row is now m14_jpeg_decode_features. Changed-this-
+    # by m18 G.711 and m27 FLAC in-window). s22 RELOCATED up into the
+    # new section (frontier.new_frontier_urls changed this round —
+    # keep_cols — so its row must stay recorded). The position-50
+    # boundary row is now x32_shard_plan. Changed-this-
     # round queries already in-window: s24/s26/s27 (discovered queue
     # carries via; sitemap routing now MIME+content-sniff — oracles
     # unchanged), g01/g03/g04 (pagerank gained initial_ranks/stats
@@ -6645,6 +6727,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a33_dominant_suppliers": q_a33_dominant_suppliers,
     "f06_surt_keys": q_f06_surt_keys,
     "x37_boilerplate_removal": q_x37_boilerplate_removal,
+    "e15_int8_quantize": q_e15_int8_quantize,
+    "s30_redirect_chains": q_s30_redirect_chains,
+    # s22 RELOCATED up from the round-9 section (not new):
+    # frontier.new_frontier_urls changed this round (keep_cols), so
+    # its oracle row must stay inside the recorded window
+    "s22_crawl_frontier": q_s22_crawl_frontier,
     # The position-50 boundary row is m10_audio_decode_features.
     # (a) NEW round 11b
     "m22_zstd_roundtrip": q_m22_zstd_roundtrip,
@@ -6689,7 +6777,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m19_tiff_decode_features": q_m19_tiff_decode_features,
     "x32_shard_plan": q_x32_shard_plan,
     "m20_zip_extract": q_m20_zip_extract,
-    "s22_crawl_frontier": q_s22_crawl_frontier,
     # (a) NEW round 8
     "m14_jpeg_decode_features": q_m14_jpeg_decode_features,
     "d11_incremental_substring_dedup": q_d11_incremental_substring_dedup,
@@ -8885,6 +8972,57 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE p_size > brand_avg
             ORDER BY p_partkey
+        """,
+        "s30_redirect_chains": """
+            WITH chains AS (
+              SELECT doc_id,
+                     CAST(doc_id % 4 + 1 AS INTEGER) AS l,
+                     CAST(i AS INTEGER) AS i
+              FROM documents,
+                   unnest(range(0, CAST(doc_id % 4 + 1 AS BIGINT)))
+                       AS t(i)
+            )
+            SELECT 'https://c' || CAST(doc_id AS VARCHAR) || '/'
+                     || CAST(i AS VARCHAR) AS src,
+                   'https://c' || CAST(doc_id AS VARCHAR) || '/'
+                     || CAST(l AS VARCHAR) AS final,
+                   CAST(l - i AS BIGINT) AS hops,
+                   TRUE AS resolved
+            FROM chains
+            UNION ALL
+            SELECT 'https://x' || CAST(doc_id AS VARCHAR) || s AS src,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), FALSE
+            FROM documents, unnest(['/a', '/b']) AS u(s)
+            WHERE doc_id % 17 = 0
+            ORDER BY src
+        """,
+        "e15_int8_quantize": """
+            WITH q AS (
+              SELECT vec_id, embedding AS e,
+                     list_max(list_transform(
+                       embedding, x -> abs(CAST(x AS DOUBLE))
+                     )) AS m
+              FROM embeddings
+            )
+            SELECT vec_id,
+                   CASE WHEN m = 0 THEN 0.0
+                        ELSE m / 127.0 END AS scale,
+                   array_to_string(
+                     CASE WHEN m = 0
+                          THEN list_transform(e, x -> 0)
+                          ELSE list_transform(e, x -> CAST(floor(
+                            CAST(x AS DOUBLE) / m * 127.0 + 0.5
+                          ) AS INTEGER)) END,
+                     ','
+                   ) AS qvec_csv,
+                   CASE WHEN m = 0 THEN 0.0
+                        ELSE list_max(list_transform(e, x -> abs(
+                          CAST(x AS DOUBLE)
+                          - CAST(CAST(floor(
+                              CAST(x AS DOUBLE) / m * 127.0 + 0.5
+                            ) AS INTEGER) AS DOUBLE) * (m / 127.0)
+                        ))) END AS max_abs_err
+            FROM q ORDER BY vec_id
         """,
         "x37_boilerplate_removal": """
             WITH built AS (

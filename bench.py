@@ -173,6 +173,8 @@ HEADLINE = [
     "a33_dominant_suppliers",
     "f06_surt_keys",
     "x37_boilerplate_removal",
+    "e15_int8_quantize",
+    "s30_redirect_chains",
 ]
 
 

@@ -402,3 +402,77 @@ def bfs_depths(
     finally:
         e.unpersist()
     return visited
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    max_hops: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Collapse HTTP redirect CHAINS to their final landing URL — the
+    crawl-maintenance pass over the stream's ``out/redirects`` sink
+    (a 301 at ``a`` pointing to ``b`` which 301s to ``c`` means every
+    edge, index entry and dedup decision about ``a`` should really
+    attach to ``c``; search engines follow up to ~10 hops then give
+    up, the ``max_hops`` policy here).
+
+    POINTER DOUBLING, not a per-hop walk: with f(v) = v's redirect
+    target (identity elsewhere), each round joins the mapping with
+    itself to compose f^(2^k) — a length-L chain resolves in ⌈log2 L⌉
+    self-joins instead of L sequential ones, so at 100 TB the job is
+    ~5 hash joins regardless of chain length, each localCheckpoint'ed
+    (constant lineage, the pagerank rule). Duplicate redirect rows per
+    source collapse to the bytewise-smallest target first
+    (deterministic).
+
+    Returns one row per redirecting URL: ``(src, final, hops,
+    resolved)``. ``resolved`` is false for cycles (a → b → a never
+    leaves the redirect set) and for chains longer than ``max_hops``;
+    those rows carry NULL final/hops — policy, not best-effort, so a
+    consumer can't accidentally canonicalize onto a cycle member."""
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    import math
+
+    ptr = (
+        edges.groupBy(F.col(src_col).alias("src"))
+        .agg(F.min(dst_col).alias("next"))
+        .withColumn("hops", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = max(1, math.ceil(math.log2(max_hops)) + 1)
+    for _ in range(rounds):
+        hop = ptr.select(
+            F.col("src").alias("_s"),
+            F.col("next").alias("_n"),
+            F.col("hops").alias("_h"),
+        )
+        ptr = (
+            ptr.join(hop, ptr["next"] == hop["_s"], "left")
+            .select(
+                "src",
+                F.coalesce("_n", "next").alias("next"),
+                (
+                    F.col("hops") + F.coalesce(F.col("_h"), F.lit(0))
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    srcs = ptr.select(F.col("src").alias("_rsrc")).localCheckpoint(
+        eager=True
+    )
+    out = ptr.join(srcs, ptr["next"] == srcs["_rsrc"], "left").select(
+        "src",
+        (
+            F.col("_rsrc").isNull() & (F.col("hops") <= max_hops)
+        ).alias("resolved"),
+        F.col("next").alias("_final"),
+        F.col("hops").alias("_hops"),
+    )
+    return out.select(
+        "src",
+        F.when(F.col("resolved"), F.col("_final")).alias("final"),
+        F.when(F.col("resolved"), F.col("_hops")).alias("hops"),
+        "resolved",
+    )

@@ -790,3 +790,60 @@ def pq_topk(
         .orderBy(F.col("approx_dist").asc(), F.col("id"))
         .limit(k)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization — the storage/serving
+    path of an embedding store (int8 vectors are 4x smaller than
+    float32 and what ANN services ship over the wire; the public
+    faiss/SQ8 convention): per vector, ``scale = max|x| / qmax`` with
+    ``qmax = 2^(bits-1) - 1``, and each component maps to
+    ``floor(x / max|x| * qmax + 0.5)`` — an EXPLICIT half-up rounding
+    via floor, chosen over round() because engines disagree on
+    half-even vs half-up tie behavior while floor(+0.5) is bit-defined
+    everywhere (the oracle mirrors it verbatim). The all-zero vector
+    quantizes to zeros with scale 0 (no divide-by-zero under ANSI).
+
+    Adds ``out_col`` (array<int>), ``scale`` (double — dequantize as
+    ``q * scale``) and ``max_abs_err`` (double, the worst per-component
+    reconstruction error — ≤ scale/2 by construction, a useful data
+    quality gate). Pure element-wise Catalyst + per-vector max
+    selections: map-side, no shuffle, no UDF; every arithmetic step is
+    order-independent, so results are bit-identical across engines."""
+    if bits < 2 or bits > 31:
+        raise ValueError(f"bits must be in [2, 31], got {bits}")
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.col(vec_col)
+    maxabs = F.array_max(
+        F.transform(v, lambda x: F.abs(x.cast("double")))
+    )
+    out = df.withColumn("_maxabs", maxabs)
+    m = F.col("_maxabs")
+    qvec = F.when(m == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(
+                x.cast("double") / m * F.lit(qmax) + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    out = out.withColumn(out_col, qvec)
+    scale = F.when(m == 0.0, F.lit(0.0)).otherwise(m / F.lit(qmax))
+    out = out.withColumn("scale", scale)
+    err = F.when(m == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(
+                v, F.col(out_col),
+                lambda x, q: F.abs(
+                    x.cast("double") - q.cast("double") * F.col("scale")
+                ),
+            )
+        )
+    )
+    out = out.withColumn("max_abs_err", err)
+    return out.drop("_maxabs")

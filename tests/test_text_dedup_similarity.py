@@ -1546,3 +1546,44 @@ def test_perplexity_buckets_balanced_and_ordered(spark):
     # n_buckets=2: ends keep their names, no middle
     two = t.perplexity_buckets(docs, n_buckets=2, vocab_size=10).collect()
     assert {r["bucket"] for r in two} == {"head", "tail"}
+
+
+def test_quantize_embeddings_rules(spark):
+    """int8 quantization (round-12): q = floor(x/max|x|*127 + 0.5),
+    dequant error bounded by scale/2, extremes hit ±127, the all-zero
+    vector quantizes to zeros with scale 0 (no ANSI divide-by-zero),
+    and invalid bit widths are typed errors."""
+    import pytest as _pytest
+
+    from da_transform_judgments_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 0.5, 0.0]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [-2.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["qvec"] == [127, -127, 64, 0]  # 63.5+0.5 -> 64
+    assert rows[1]["scale"] == 1.0 / 127.0
+    assert rows[1]["max_abs_err"] <= rows[1]["scale"] / 2 + 1e-12
+    assert rows[2]["qvec"] == [0, 0, 0]
+    assert rows[2]["scale"] == 0.0 and rows[2]["max_abs_err"] == 0.0
+    assert rows[3]["qvec"] == [-127, 64]  # 63.5+0.5 half-up again
+    for vid in (1, 3):
+        r = rows[vid]
+        for x, q in zip(
+            [1.0, -1.0, 0.5, 0.0] if vid == 1 else [-2.0, 1.0],
+            r["qvec"],
+        ):
+            assert abs(x - q * r["scale"]) <= r["scale"] / 2 + 1e-12
+    with _pytest.raises(ValueError, match="bits"):
+        quantize_embeddings(df, bits=1)
+    # wider widths shrink the error floor
+    r16 = {r["vec_id"]: r for r in
+           quantize_embeddings(df, bits=16).collect()}
+    assert r16[1]["max_abs_err"] < rows[1]["max_abs_err"]
