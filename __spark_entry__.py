@@ -4982,6 +4982,80 @@ def q_s30_redirect_chains(spark, sf_dir):
     return resolve_redirects(edges, max_hops=16).orderBy("src")
 
 
+def q_a34_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14-shaped promo revenue share: the percentage of one
+    quarter's lineitem revenue carried by PROMO-type parts — the
+    conditional-aggregate RATIO shape (one pass computes both the
+    filtered and total sums; no second scan, no join back). Exactness:
+    both sums accumulate as DECIMAL(18,2) (associative), the share is
+    ONE double expression 100*promo/total over correctly-rounded
+    decimal→double casts — deterministic in both engines."""
+    li = _T(spark, sf_dir, "lineitem")
+    part = _T(spark, sf_dir, "part")
+    q = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = q.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", dec).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )).alias("promo"),
+        F.sum(dec).alias("total"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0) * F.col("promo").cast("double")
+            / F.col("total").cast("double")
+        ).alias("promo_share"),
+        F.round(F.col("promo"), 2).cast("double").alias("promo_rev"),
+        F.round(F.col("total"), 2).cast("double").alias("total_rev"),
+    )
+
+
+def q_a35_returned_item_report(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: the quarter's top 20
+    customers by revenue on RETURNED lineitems (l_returnflag = 'R') —
+    the filtered-fact star join + group + top-k shape, four tables
+    deep (lineitem→orders→customer→nation). Revenue sums as
+    DECIMAL(18,2) (exact) so the ranking and the tie-broken top 20
+    (revenue desc, custkey asc) are hash-stable across engines."""
+    li = _T(spark, sf_dir, "lineitem")
+    orders = _T(spark, sf_dir, "orders")
+    cust = _T(spark, sf_dir, "customer")
+    nation = _T(spark, sf_dir, "nation")
+    q = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate")
+                 >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate")
+                   < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+            ).alias("rev")
+        )
+    )
+    return (
+        q.join(F.broadcast(cust), q.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 def q_x30_split_assign(spark, sf_dir):
     """Contamination-safe train/val/test assignment (text.split_assign):
     the corpus plus a planted re-ingestion (every tenth document
@@ -6677,7 +6751,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Q11 group-vs-global-scalar threshold compared in the DECIMAL
     # domain, Q15 max-over-aggregated-view with ties, Q19
     # disjunction-of-conjunctions pushdown, Q20 nested semi-join chain
-    # with a 0.25x aggregate threshold — completing the
+    # with a 0.25x aggregate threshold, Q14's conditional-aggregate
+    # ratio with decimal-exact sums and one double division, Q10's
+    # filtered-fact star top-k — completing the
     # correlated/decorrelated family a26-a28 opened) and f06 (SURT
     # index keys — the Heritrix/Common Crawl url_surtkey convention,
     # reversed comma-joined host labels + www-strip + ')' + the
@@ -6694,9 +6770,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # floor(+0.5) half-up rounding so both engines' ties agree,
     # per-vector scale + worst reconstruction error; DuckDB mirrors
     # the element-wise arithmetic verbatim, bit-exact).
-    # Displaced past the cap: m20, m14, d11, x25, x26, x27, e14, b01,
-    # b02, m09, m10 (all multi-round green and unchanged this round,
-    # still selfchecked: m20's ZIP machinery stays pinned by m13's
+    # Displaced past the cap: m19, x32, m20, m14, d11, x25, x26, x27,
+    # e14, b01, b02, m09, m10 (all multi-round green and unchanged
+    # this round, still selfchecked: m19's TIFF machinery stays pinned
+    # by m09/m12 in selfcheck and m21 in-window, x32's shard plan by
+    # x16's packing family in-window, m20's ZIP machinery by m13's
     # docx-zip path in selfcheck + the archive pytests, m14's JPEG
     # machinery by m12/m17/m21 in selfcheck/in-window, d11's
     # incremental-substring lifecycle by
@@ -6710,7 +6788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # by m18 G.711 and m27 FLAC in-window). s22 RELOCATED up into the
     # new section (frontier.new_frontier_urls changed this round —
     # keep_cols — so its row must stay recorded). The position-50
-    # boundary row is now x32_shard_plan. Changed-this-
+    # boundary row is now x31_corpus_report. Changed-this-
     # round queries already in-window: s24/s26/s27 (discovered queue
     # carries via; sitemap routing now MIME+content-sniff — oracles
     # unchanged), g01/g03/g04 (pagerank gained initial_ranks/stats
@@ -6729,6 +6807,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x37_boilerplate_removal": q_x37_boilerplate_removal,
     "e15_int8_quantize": q_e15_int8_quantize,
     "s30_redirect_chains": q_s30_redirect_chains,
+    "a34_promo_revenue_share": q_a34_promo_revenue_share,
+    "a35_returned_item_report": q_a35_returned_item_report,
     # s22 RELOCATED up from the round-9 section (not new):
     # frontier.new_frontier_urls changed this round (keep_cols), so
     # its oracle row must stay inside the recorded window
@@ -8972,6 +9052,42 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE p_size > brand_avg
             ORDER BY p_partkey
+        """,
+        "a34_promo_revenue_share": """
+            WITH agg AS (
+              SELECT sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+            )
+            SELECT 100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)
+                       AS promo_share,
+                   CAST(round(promo, 2) AS DOUBLE) AS promo_rev,
+                   CAST(round(total, 2) AS DOUBLE) AS total_rev
+            FROM agg
+        """,
+        "a35_returned_item_report": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+              FROM lineitem
+              JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-04-01'
+              GROUP BY o_custkey
+            )
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+                   n_name,
+                   CAST(round(rev, 2) AS DOUBLE) AS revenue
+            FROM rev
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "s30_redirect_chains": """
             WITH chains AS (

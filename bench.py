@@ -175,6 +175,8 @@ HEADLINE = [
     "x37_boilerplate_removal",
     "e15_int8_quantize",
     "s30_redirect_chains",
+    "a34_promo_revenue_share",
+    "a35_returned_item_report",
 ]
 
 
