@@ -86,6 +86,12 @@ def write_bytes(path: str, data: bytes, overwrite: bool = False) -> None:
         with open(path, mode) as f:
             f.write(data)
         return
+    # probe-then-create so the guard surfaces as the same Python
+    # FileExistsError the local fallback raises (FileSystem.create
+    # would throw a Java FileAlreadyExistsException); create(False)
+    # still backstops the race
+    if not overwrite and fs.exists(p):
+        raise FileExistsError(f"Object already exists: {path}")
     out = fs.create(p, overwrite)
     try:
         out.write(bytearray(data))
@@ -132,13 +138,22 @@ def rename(src: str, dst: str, overwrite: bool = False) -> None:
         if overwrite:
             os.replace(src, dst)
         else:
+            # POSIX os.rename silently REPLACES an existing dst — the
+            # FS path refuses one, so the fallback must too or the
+            # overwrite contract depends on which engine is active
+            if os.path.exists(dst):
+                raise FileExistsError(
+                    f"rename destination exists: {dst}"
+                )
             os.rename(src, dst)
         return
     from pyspark.sql import SparkSession
 
     jvm = SparkSession.getActiveSession()._jvm
     d = jvm.org.apache.hadoop.fs.Path(dst)
-    if overwrite and fs.exists(d):
+    if fs.exists(d):
+        if not overwrite:
+            raise FileExistsError(f"rename destination exists: {dst}")
         fs.delete(d, False)
     if not fs.rename(p, d):
         raise OSError(f"rename failed: {src} -> {dst}")

@@ -44,6 +44,12 @@ def test_sinks_on_nonfile_scheme(spark, stub_scheme, tmp_path):
     sinks.write_single_text("v3", path, allow_overwrite=True)
     assert disk.read_text() == "v3"
     assert fsio.exists(path) and not fsio.exists(path + ".nope")
+    # the raw fsio guard surfaces as FileExistsError on the FS path
+    # too (not a Java FileAlreadyExistsException)
+    with pytest.raises(FileExistsError):
+        fsio.write_bytes(path, b"x")
+    with pytest.raises(FileExistsError):
+        fsio.rename(path, path)  # dst exists, overwrite off
 
 
 def test_url_to_file_on_nonfile_scheme(spark, stub_scheme, tmp_path):
@@ -93,5 +99,12 @@ def test_fsio_local_fallback_without_session(tmp_path, monkeypatch):
     fsio.write_bytes(p, b"def", overwrite=True)
     fsio.rename(p, p + ".2")
     assert fsio.exists(p + ".2") and not fsio.exists(p)
+    # the non-overwrite rename refuses an existing destination on the
+    # local fallback too (POSIX os.rename would silently replace)
+    fsio.write_bytes(p, b"again")
+    with pytest.raises(FileExistsError):
+        fsio.rename(p, p + ".2")
+    fsio.rename(p, p + ".2", overwrite=True)
+    assert open(p + ".2", "rb").read() == b"again"
     assert fsio.delete(p + ".2") is True
     assert fsio.delete(p + ".2") is False
