@@ -220,3 +220,44 @@ def test_robots_rules_report_mode(spark):
         robots_rules(df, agent="g", max_bytes=128).collect()
     with pytest.raises(ValueError, match="raise|report"):
         robots_rules(df, agent="g", on_error="nope")
+
+
+def test_fetch_schedule_compound_order_both_rank_paths(spark):
+    """round-12: order_col accepts a LIST (compound ascending ordering
+    — the prioritized queue's [-priority, url]); the keyed-window path
+    and the few-giant-hosts prefix-rank path (struct-packed compound
+    key) must produce identical slots, including the tie broken by the
+    second column."""
+    from da_transform_judgments_pipeline_spark.operators.robots import (
+        fetch_schedule,
+        robots_rules,
+    )
+
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("h.example", "User-agent: *\nCrawl-delay: 2\n")],
+            "host string, content string",
+        ),
+        agent="graftbot",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h.example/a", -0.5),
+            ("https://h.example/b", -0.9),
+            ("https://h.example/c", -0.5),
+        ],
+        "url string, negpri double",
+    )
+    want = {
+        "https://h.example/b": (0, 0.0),
+        "https://h.example/a": (1, 2.0),
+        "https://h.example/c": (2, 4.0),
+    }
+    for prefix in (False, True):
+        out = fetch_schedule(
+            urls, rules, order_col=["negpri", "url"],
+            use_prefix_rank=prefix,
+        )
+        got = {r["url"]: (r["slot"], r["offset_sec"])
+               for r in out.collect()}
+        assert got == want, (prefix, got)
