@@ -515,3 +515,46 @@ def test_wet_wat_pack_single_shuffle(spark):
     assert exchange_count(W.wat_pack(wat_df)) == 1
     # and re-parsing the packed files adds NO further exchange
     assert exchange_count(W.warc_records(W.wet_pack(df))) == 1
+
+
+def test_round12_map_side_ops_no_exchange(spark):
+    """The round-12 projection operators' scale contracts: boilerplate
+    removal (extract_main_text), SURT keys (surt_key) and int8
+    quantization (quantize_embeddings) are all pure map-side chains —
+    NO Exchange, no Python stage; at 100 TB each is a single scan."""
+    from da_transform_judgments_pipeline_spark.functions.strings import (
+        surt_key,
+    )
+    from da_transform_judgments_pipeline_spark.operators import text
+    from da_transform_judgments_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    html = spark.createDataFrame(
+        [(1, "<p>some long enough paragraph of prose text here</p>")],
+        "doc_id long, html string",
+    )
+    plan = (
+        text.extract_main_text(html)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+    urls = spark.createDataFrame(
+        [("https://www.example.com/a",)], "u string"
+    )
+    plan = (
+        urls.select(surt_key(F.col("u")).alias("k"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0])], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        quantize_embeddings(emb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan, plan
