@@ -677,3 +677,64 @@ def test_flac_roundtrip_any_samples(samples, mode_i, kind_i):
     dec = decode_flac(blob)
     assert dec["samples"] == [samples, other]
     assert dec["md5_ok"] is True
+
+
+_label = st.sampled_from(["example", "news", "sub", "www", "a1", "x"])
+_urls_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["http", "https"]),
+        st.lists(_label, min_size=1, max_size=4).map(".".join),
+        st.sampled_from(["", ":8080"]),
+        st.sampled_from(["/", "/p", "/a/b", "/a/../b", "/p?b=2&a=1"]),
+    ).map(lambda t: f"{t[0]}://{t[1]}{t[2]}{t[3]}"),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(urls=_urls_strategy)
+@SLOW
+def test_surt_key_properties(urls):
+    """SURT invariants over generated URLs (round-12): the key is a
+    pure function of the CANONICAL form (two spellings that
+    canonicalize together share one key), never NULL for an absolute
+    URL, scheme-insensitive (http/https collapse — the CDX
+    convention), and reversing the key's host labels reconstructs the
+    canonical host modulo the stripped www label."""
+    from da_transform_judgments_pipeline_spark.functions.strings import (
+        canonical_url,
+        surt_key,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        "u",
+        canonical_url(F.col("u")).alias("c"),
+        surt_key(F.col("u")).alias("k"),
+        surt_key(canonical_url(F.col("u"))).alias("k2"),
+    ).collect()
+    for r in rows:
+        assert r["k"] is not None
+        assert r["k"] == r["k2"]  # canonical fixpoint: same key
+        host = r["c"].split("://", 1)[1].split("/", 1)[0].split(":")[0]
+        labels = host.split(".")
+        if host.startswith("www.") and len(labels) > 2:
+            labels = labels[1:]
+        rev = ",".join(reversed(labels))
+        assert r["k"].startswith(rev + ")") or r["k"].startswith(
+            rev + ":"
+        ), (r["u"], r["k"], rev)
+    # scheme-insensitivity: flipping http<->https yields the same keys
+    odf = spark.createDataFrame(
+        [(u,) for u in urls]
+        + [(u.replace("http://", "https://", 1)
+            if u.startswith("http://")
+            else u.replace("https://", "http://", 1),)
+           for u in urls],
+        "u string",
+    )
+    ks = [r["k"] for r in odf.select(surt_key(F.col("u")).alias("k"))
+          .collect()]
+    n = len(urls)
+    assert ks[:n] == ks[n:]  # http and https collapse to one key
