@@ -127,8 +127,17 @@ def canonical_url(c: Column | str) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
-    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    # RFC 3986 §3.2.2 IP-literal: a bracketed host ([2001:db8::1])
+    # contains colons, so the host/port split keys on the bracket —
+    # the plain split would truncate the address at its first colon
+    # (r12 fix; non-bracketed authorities take the original branch)
+    _v6 = authority.startswith("[")
+    host = F.when(
+        _v6, F.lower(F.regexp_extract(authority, r"^(\[[^\]]*\])", 1))
+    ).otherwise(F.lower(F.regexp_extract(authority, r"^([^:]*)", 1)))
+    port = F.when(
+        _v6, F.regexp_extract(authority, r"\]:(\d+)$", 1)
+    ).otherwise(F.regexp_extract(authority, r":(\d+)$", 1))
     port = F.when(
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
@@ -196,14 +205,27 @@ def surt_key(c: Column | str, strip_www: bool = True) -> Column:
     has_scheme = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     auth = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    host = F.regexp_extract(auth, r"^([^:]*)", 1)
-    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    _v6 = auth.startswith("[")
+    host = F.when(
+        _v6, F.regexp_extract(auth, r"^(\[[^\]]*\])", 1)
+    ).otherwise(F.regexp_extract(auth, r"^([^:]*)", 1))
+    port = F.when(
+        _v6, F.regexp_extract(auth, r"\]:(\d+)$", 1)
+    ).otherwise(F.regexp_extract(auth, r":(\d+)$", 1))
     if strip_www:
         host = F.when(
             host.rlike(r"^www\d*\..+\."),
             F.regexp_replace(host, r"^www\d*\.", ""),
         ).otherwise(host)
-    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    # IP hosts stay VERBATIM (the webarchive SURT convention: label
+    # reversal is for DNS hierarchies; reversing an address is
+    # meaningless) — bracketed IPv6 and dotted-quad IPv4 alike
+    rev = F.when(
+        _v6 | host.rlike(r"^\d+\.\d+\.\d+\.\d+$"),
+        host,
+    ).otherwise(
+        F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    )
     pathq = _substr_from(rest, F.length(auth) + 1)
     key = F.concat(
         rev,

@@ -564,6 +564,11 @@ def test_surt_key_rules(spark):
         ("http://example.com", "com,example)/"),
         ("https://www.com/q", "com,www)/q"),        # lone www survives
         ("http://www2.news.example.org/art#f", "org,example,news)/art"),
+        # IP hosts stay verbatim (r12: bracketed IPv6 parses instead
+        # of truncating at the first colon; IPv4 never reverses)
+        ("http://[2001:DB8::1]:8080/a/../p", "[2001:db8::1]:8080)/p"),
+        ("https://[::1]/x", "[::1])/x"),
+        ("http://10.0.0.1:8080/r", "10.0.0.1:8080)/r"),
         ("not a url", "not a url"),
         (None, None),
     ]
