@@ -251,10 +251,14 @@ def url_host(url: Column | str) -> Column:
     group under ``host``, and userinfo may itself contain ``:``) and
     stops before port/path/query/fragment."""
     c = F.col(url) if isinstance(url, str) else url
+    # bracketed IP-literals ([2001:db8::1]) carry colons inside the
+    # host, so they match as a unit before the colon-terminated
+    # DNS-host branch (r12 — the plain class truncated IPv6 hosts)
     return F.lower(
         F.regexp_extract(
             c,
-            r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/:?#@]+)",
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?"
+            r"(\[[^\]]*\]|[^/:?#@]+)",
             1,
         )
     )

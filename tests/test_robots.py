@@ -95,6 +95,19 @@ def test_url_host_userinfo_and_ports(spark):
         "url string",
     ).select(url_host("url").alias("h")).collect()
     assert [r["h"] for r in rows] == ["h.example"] * 5
+    # bracketed IPv6 hosts match as a unit (r12 — previously truncated
+    # at the address's first colon)
+    v6 = spark.createDataFrame(
+        [
+            ("http://[2001:DB8::1]:8080/x",),
+            ("https://[::1]/x",),
+            ("https://u@[2001:db8::1]/x",),
+        ],
+        "url string",
+    ).select(url_host("url").alias("h")).collect()
+    assert [r["h"] for r in v6] == [
+        "[2001:db8::1]", "[::1]", "[2001:db8::1]"
+    ]
 
 
 def test_robots_filter_longest_match_and_broadcast(spark):
