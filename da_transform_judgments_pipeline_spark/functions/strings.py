@@ -110,7 +110,10 @@ def canonical_url(c: Column | str) -> Column:
     spellings of one page must collide BEFORE fingerprint dedup ever
     sees their content). Pure Catalyst, no UDF:
 
-    - scheme and host lowercased; fragment dropped;
+    - scheme and host lowercased; fragment dropped; RFC 3986 §3.2.1
+      userinfo (``user:pass@``) dropped — two spellings with and
+      without credentials are one page, and userinfo may itself
+      contain ``:``, which would corrupt the host/port split;
     - default ports stripped (``:80`` for http, ``:443`` for https),
       others kept;
     - path dot-segments resolved with a REAL fold (``aggregate`` over
@@ -127,17 +130,23 @@ def canonical_url(c: Column | str) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    # RFC 3986 §3.2.1 userinfo (user:pass@) is dropped from the key —
+    # the robots.url_host convention; it may itself contain ':' (and
+    # precedes a bracketed host), so it must be stripped BEFORE the
+    # bracket test and host/port split or the host truncates at the
+    # userinfo's first colon (r13 fix; mirrors url_host's regex)
+    hostport = F.regexp_replace(authority, r"^[^/?#]*@", "")
     # RFC 3986 §3.2.2 IP-literal: a bracketed host ([2001:db8::1])
     # contains colons, so the host/port split keys on the bracket —
     # the plain split would truncate the address at its first colon
     # (r12 fix; non-bracketed authorities take the original branch)
-    _v6 = authority.startswith("[")
+    _v6 = hostport.startswith("[")
     host = F.when(
-        _v6, F.lower(F.regexp_extract(authority, r"^(\[[^\]]*\])", 1))
-    ).otherwise(F.lower(F.regexp_extract(authority, r"^([^:]*)", 1)))
+        _v6, F.lower(F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1))
+    ).otherwise(F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)))
     port = F.when(
-        _v6, F.regexp_extract(authority, r"\]:(\d+)$", 1)
-    ).otherwise(F.regexp_extract(authority, r":(\d+)$", 1))
+        _v6, F.regexp_extract(hostport, r"\]:(\d+)$", 1)
+    ).otherwise(F.regexp_extract(hostport, r":(\d+)$", 1))
     port = F.when(
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
@@ -205,13 +214,17 @@ def surt_key(c: Column | str, strip_www: bool = True) -> Column:
     has_scheme = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     auth = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    _v6 = auth.startswith("[")
+    # canonical_url already drops userinfo from its OUTPUT, but surt_key
+    # re-splits the ORIGINAL when its input wasn't canonicalizable —
+    # strip userinfo here too so both entry paths agree (r13)
+    hostport = F.regexp_replace(auth, r"^[^/?#]*@", "")
+    _v6 = hostport.startswith("[")
     host = F.when(
-        _v6, F.regexp_extract(auth, r"^(\[[^\]]*\])", 1)
-    ).otherwise(F.regexp_extract(auth, r"^([^:]*)", 1))
+        _v6, F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
+    ).otherwise(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.when(
-        _v6, F.regexp_extract(auth, r"\]:(\d+)$", 1)
-    ).otherwise(F.regexp_extract(auth, r":(\d+)$", 1))
+        _v6, F.regexp_extract(hostport, r"\]:(\d+)$", 1)
+    ).otherwise(F.regexp_extract(hostport, r":(\d+)$", 1))
     if strip_www:
         host = F.when(
             host.rlike(r"^www\d*\..+\."),

@@ -797,6 +797,8 @@ def quantize_embeddings(
     vec_col: str = "embedding",
     out_col: str = "qvec",
     bits: int = 8,
+    scale_col: str = "scale",
+    err_col: str = "max_abs_err",
 ) -> DataFrame:
     """Symmetric per-vector integer quantization — the storage/serving
     path of an embedding store (int8 vectors are 4x smaller than
@@ -809,21 +811,32 @@ def quantize_embeddings(
     everywhere (the oracle mirrors it verbatim). The all-zero vector
     quantizes to zeros with scale 0 (no divide-by-zero under ANSI).
 
-    Adds ``out_col`` (array<int>), ``scale`` (double — dequantize as
-    ``q * scale``) and ``max_abs_err`` (double, the worst per-component
+    Adds ``out_col`` (array<int>), ``scale_col`` (double — dequantize
+    as ``q * scale``) and ``err_col`` (double, the worst per-component
     reconstruction error — ≤ scale/2 by construction, a useful data
-    quality gate). Pure element-wise Catalyst + per-vector max
-    selections: map-side, no shuffle, no UDF; every arithmetic step is
-    order-independent, so results are bit-identical across engines."""
+    quality gate). Raises if any output or working column name would
+    silently clobber an existing input column (r13, per r12 ADVICE —
+    ``withColumn`` replaces same-named columns without warning); pass
+    ``scale_col``/``err_col``/``out_col`` to steer clear. Pure
+    element-wise Catalyst + per-vector max selections: map-side, no
+    shuffle, no UDF; every arithmetic step is order-independent, so
+    results are bit-identical across engines."""
     if bits < 2 or bits > 31:
         raise ValueError(f"bits must be in [2, 31], got {bits}")
+    tmp_col = f"_{out_col}_maxabs"
+    clobbered = {out_col, scale_col, err_col, tmp_col} & set(df.columns)
+    if clobbered:
+        raise ValueError(
+            "quantize_embeddings output columns already exist: "
+            f"{sorted(clobbered)} — pass out_col/scale_col/err_col"
+        )
     qmax = float((1 << (bits - 1)) - 1)
     v = F.col(vec_col)
     maxabs = F.array_max(
         F.transform(v, lambda x: F.abs(x.cast("double")))
     )
-    out = df.withColumn("_maxabs", maxabs)
-    m = F.col("_maxabs")
+    out = df.withColumn(tmp_col, maxabs)
+    m = F.col(tmp_col)
     qvec = F.when(m == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
         F.transform(
             v,
@@ -834,16 +847,16 @@ def quantize_embeddings(
     )
     out = out.withColumn(out_col, qvec)
     scale = F.when(m == 0.0, F.lit(0.0)).otherwise(m / F.lit(qmax))
-    out = out.withColumn("scale", scale)
+    out = out.withColumn(scale_col, scale)
     err = F.when(m == 0.0, F.lit(0.0)).otherwise(
         F.array_max(
             F.zip_with(
                 v, F.col(out_col),
                 lambda x, q: F.abs(
-                    x.cast("double") - q.cast("double") * F.col("scale")
+                    x.cast("double") - q.cast("double") * F.col(scale_col)
                 ),
             )
         )
     )
-    out = out.withColumn("max_abs_err", err)
-    return out.drop("_maxabs")
+    out = out.withColumn(err_col, err)
+    return out.drop(tmp_col)

@@ -129,10 +129,20 @@ def open_output(path: str, overwrite: bool = True):
 
 
 def rename(src: str, dst: str, overwrite: bool = False) -> None:
-    """Move ``src`` to ``dst`` (the tmp→final visibility flip). With
-    ``overwrite`` the destination is removed first — FileSystem.rename
-    refuses an existing destination on most schemes, unlike
-    ``os.replace``."""
+    """Move ``src`` to ``dst`` (the tmp→final visibility flip).
+
+    Overwrite semantics are failure-safe (r13, per r12 ADVICE — the
+    earlier delete-then-rename left NO object at ``dst`` if the
+    process died between the two steps, and the caller's tmp cleanup
+    then lost the new bytes too):
+
+    - ``file`` scheme (FS-backed or fallback): ``os.replace`` — a
+      POSIX-atomic swap, no window where ``dst`` is absent;
+    - other schemes (no atomic overwrite-rename in the FileSystem
+      API): the old object is PARKED under a side name first, the new
+      object renamed in, then the side name deleted — a crash at any
+      point leaves at least one complete object recoverable, never
+      zero."""
     fs, p = _fs_path(src)
     if fs is None:
         if overwrite:
@@ -154,7 +164,31 @@ def rename(src: str, dst: str, overwrite: bool = False) -> None:
     if fs.exists(d):
         if not overwrite:
             raise FileExistsError(f"rename destination exists: {dst}")
-        fs.delete(d, False)
+        try:
+            scheme = fs.getScheme()
+        except Exception:
+            scheme = None
+        if scheme == "file":
+            os.replace(
+                fs.makeQualified(p).toUri().getPath(),
+                fs.makeQualified(d).toUri().getPath(),
+            )
+            return
+        side = jvm.org.apache.hadoop.fs.Path(dst + ".~replaced~")
+        if fs.exists(side):  # debris from an older crashed flip
+            fs.delete(side, False)
+        if not fs.rename(d, side):
+            raise OSError(f"rename failed: {dst} -> {dst}.~replaced~")
+        try:
+            ok = fs.rename(p, d)
+        except Exception as e:  # some schemes throw instead of False
+            fs.rename(side, d)  # restore the old object
+            raise OSError(f"rename failed: {src} -> {dst}: {e}") from e
+        if not ok:
+            fs.rename(side, d)
+            raise OSError(f"rename failed: {src} -> {dst}")
+        fs.delete(side, False)
+        return
     if not fs.rename(p, d):
         raise OSError(f"rename failed: {src} -> {dst}")
 

@@ -110,20 +110,28 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     # Content-Type as ``mime``, and the payload head is sniffed for the
     # protocol's root elements), because the URL alone misroutes both
     # ways: an RSS/Atom feed at /feed.xml is a corpus page, and a real
-    # sitemap served at /sitemap (no extension) is a sitemap. The URL
-    # test survives only as a TIEBREAK for gzip-transport payloads,
-    # whose head cannot be sniffed without inflating.
+    # sitemap served at /sitemap (no extension) is a sitemap. The
+    # mime/URL tests survive as TIEBREAKS where the sniff is blind:
+    # for gzip-transport payloads (head not sniffable without
+    # inflating) an xml-family declared mime OR a sitemap-shaped URL
+    # routes to discovery — but a GENERIC gzip mime alone does NOT
+    # (r13, per r12 ADVICE: a fetched .tar.gz asset is an asset, not a
+    # sitemap); for PLAIN payloads whose root element sits past the
+    # sniff window (long DOCTYPE/comment preamble), declared XML at a
+    # sitemap-shaped URL still routes to discovery (r13).
     _head = F.substring(F.col("payload"), 1, 2048).cast("string")
     _sniff_sm = _head.rlike(
         r"<\s*(?:[A-Za-z0-9_.\-]+:)?(?:urlset|sitemapindex)[\s/>]"
     )
     _gz = F.substring(F.col("payload"), 1, 2) == F.lit(b"\x1f\x8b")
     _mime = F.lower(F.coalesce(F.col("mime"), F.lit("")))
-    _mime_sm = _mime.rlike(r"^(application|text)/xml\b") | _mime.rlike(
-        r"^application/(x-)?gzip\b"
-    )
+    _mime_xml = _mime.rlike(r"^(application|text)/xml\b")
     _url_sm = F.col("target_uri").rlike(r"\.xml(\.gz)?$")
-    is_sm = _sniff_sm | (_gz & (_mime_sm | _url_sm))
+    is_sm = (
+        _sniff_sm
+        | (_gz & (_mime_xml | _url_sm))
+        | (~_gz & _mime_xml & _url_sm)
+    )
     extracted = responses.select(
         "file_id",
         "pos",

@@ -680,7 +680,14 @@ def test_crawl_stream_sitemap_mime_sniff_routing(spark, tmp_path):
     silently dropped as a 'sitemap'), an extension-less /sitemap whose
     body is <urlset> routes to out/sitemaps with its <loc> entries
     discovered, and a gzip-transport sitemap (unsniffable head; mime +
-    .xml.gz URL tiebreak) parses through parse_sitemap's gzip path."""
+    .xml.gz URL tiebreak) parses through parse_sitemap's gzip path.
+
+    r13 (per r12 ADVICE): a gzip ASSET (application/gzip mime, no
+    sitemap-shaped URL — e.g. a fetched .tar.gz) stays a CORPUS row
+    instead of being permanently mis-indexed as a broken sitemap; and
+    a PLAIN sitemap whose <urlset> root sits past the 2048-byte sniff
+    window (long comment preamble) still routes to discovery via the
+    declared-XML-mime + sitemap-URL tiebreak."""
     import gzip as _gzip
 
     warcs = tmp_path / "warcs"
@@ -708,6 +715,15 @@ def test_crawl_stream_sitemap_mime_sniff_routing(spark, tmp_path):
         b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
         b"<url><loc>https://h.example/s3</loc></url></urlset>"
     )
+    sm_late = (
+        b'<?xml version="1.0"?><!-- '
+        + b"preamble padding " * 150  # root element past the 2048 sniff
+        + b' --><urlset'
+        b' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://h.example/s4</loc></url></urlset>"
+    )
+    assert sm_late.index(b"<urlset") > 2048
+    tarball = _gzip.compress(b"\x00fake-tar-members" * 40, mtime=0)
     blob = build_warc_gz([
         {"url": "https://h.example/feed.xml",
          "date": "2021-03-04T05:06:07Z", "payload": feed,
@@ -719,6 +735,12 @@ def test_crawl_stream_sitemap_mime_sniff_routing(spark, tmp_path):
          "date": "2021-03-04T05:06:07Z",
          "payload": _gzip.compress(sm_gz_body, mtime=0),
          "content_type": "application/x-gzip"},
+        {"url": "https://h.example/assets/data.tar.gz",
+         "date": "2021-03-04T05:06:07Z", "payload": tarball,
+         "content_type": "application/gzip"},
+        {"url": "https://h.example/late.xml",
+         "date": "2021-03-04T05:06:07Z", "payload": sm_late,
+         "content_type": "application/xml"},
     ])
     (warcs / "f1.warc.gz").write_bytes(blob)
     (manifests / "w1.jsonl").write_text(json.dumps(
@@ -726,19 +748,28 @@ def test_crawl_stream_sitemap_mime_sniff_routing(spark, tmp_path):
     q = run_crawl_stream(spark, str(manifests), table, str(out))
     q.awaitTermination(120)
 
-    acc = [r["canonical"] for r in _read(spark, out / "accepted").collect()]
-    assert acc == ["https://h.example/feed.xml"]  # the feed IS corpus
+    acc = sorted(
+        r["canonical"] for r in _read(spark, out / "accepted").collect()
+    )
+    # the feed AND the gzip asset are corpus rows (the asset would
+    # previously have been mis-routed to sitemaps on its generic gzip
+    # mime alone and silently dropped from the corpus forever)
+    assert acc == [
+        "https://h.example/assets/data.tar.gz",
+        "https://h.example/feed.xml",
+    ]
     sm = {r["canonical"]: (r["kind"], r["n_entries"], r["error"])
           for r in _read(spark, out / "sitemaps").collect()}
     assert sm == {
         "https://h.example/sitemap": ("urlset", 2, None),
         "https://h.example/sm2.xml.gz": ("urlset", 1, None),
+        "https://h.example/late.xml": ("urlset", 1, None),
     }
     disc = sorted(r["canonical"]
                   for r in _read(spark, out / "discovered").collect())
     assert disc == [
         "https://h.example/s1", "https://h.example/s2",
-        "https://h.example/s3",
+        "https://h.example/s3", "https://h.example/s4",
     ]
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 

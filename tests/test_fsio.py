@@ -75,6 +75,42 @@ def test_url_to_file_on_nonfile_scheme(spark, stub_scheme, tmp_path):
     assert not (tmp_path / "out" / "bad.bin.inprogress").exists()
 
 
+def test_rename_overwrite_failure_safe(spark, stub_scheme, tmp_path):
+    """r13 (per r12 ADVICE): overwrite-rename must never pass through a
+    state with NO object at dst. On non-file schemes the old object is
+    parked under a side name, the new object renamed in, the side name
+    deleted — and a FAILED flip restores the old object instead of
+    having pre-deleted it. On file: the flip is POSIX-atomic
+    os.replace."""
+    src = f"{stub_scheme}/r/src.bin"
+    dst = f"{stub_scheme}/r/dst.bin"
+    fsio.write_bytes(src, b"new")
+    fsio.write_bytes(dst, b"old")
+    fsio.rename(src, dst, overwrite=True)
+    disk = tmp_path / "r"
+
+    def _objs():  # viewfs keeps .crc siblings; objects are what count
+        return sorted(
+            n for n in os.listdir(disk) if not n.startswith(".")
+        )
+
+    assert _objs() == ["dst.bin"]  # no side debris
+    assert (disk / "dst.bin").read_bytes() == b"new"
+    # failed flip (src vanished): the old object is RESTORED, not lost
+    with pytest.raises(OSError):
+        fsio.rename(f"{stub_scheme}/r/gone.bin", dst, overwrite=True)
+    assert (disk / "dst.bin").read_bytes() == b"new"
+    assert _objs() == ["dst.bin"]
+    # file: scheme takes the atomic os.replace branch
+    p1 = f"file:{tmp_path}/f/src.txt"
+    p2 = f"file:{tmp_path}/f/dst.txt"
+    fsio.write_bytes(p1, b"n2")
+    fsio.write_bytes(p2, b"o2")
+    fsio.rename(p1, p2, overwrite=True)
+    assert (tmp_path / "f" / "dst.txt").read_bytes() == b"n2"
+    assert sorted(os.listdir(tmp_path / "f")) == ["dst.txt"]
+
+
 def test_file_scheme_writes_no_crc_siblings(spark, tmp_path):
     """On file: paths the raw FS is used, so no .crc sibling appears —
     the reference's consumers list directories and must see exactly

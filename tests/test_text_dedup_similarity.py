@@ -1587,3 +1587,15 @@ def test_quantize_embeddings_rules(spark):
     r16 = {r["vec_id"]: r for r in
            quantize_embeddings(df, bits=16).collect()}
     assert r16[1]["max_abs_err"] < rows[1]["max_abs_err"]
+    # r13 (per r12 ADVICE): a would-be clobber of an existing input
+    # column is a typed error, not a silent withColumn replace — and
+    # the names are steerable
+    clash = df.withColumn("scale", F.lit(9.9))
+    with _pytest.raises(ValueError, match="scale"):
+        quantize_embeddings(clash)
+    ok = {r["vec_id"]: r for r in quantize_embeddings(
+        clash, scale_col="q_scale", err_col="q_err"
+    ).collect()}
+    assert ok[1]["q_scale"] == 1.0 / 127.0
+    assert ok[1]["scale"] == 9.9  # the input column survives untouched
+    assert ok[1]["q_err"] <= ok[1]["q_scale"] / 2 + 1e-12
