@@ -3657,6 +3657,15 @@ def q_m24_warc_zst_extract(spark, sf_dir):
                             f"<body><p>Para {r} of doc {d}.</p>"
                             f"<!-- hidden --> &amp; more</body></html>"
                         ).encode(),
+                        # r13: HTTP wire regimes compose with the zst
+                        # transport — decoded output unchanged
+                        **[
+                            {},
+                            {"content_encoding": "gzip"},
+                            {"transfer_encoding": "chunked"},
+                            {"content_encoding": "deflate",
+                             "transfer_encoding": "chunked"},
+                        ][(d + r) % 4],
                     }
                     for r in range(d % 3 + 1)
                 ]
@@ -4485,6 +4494,19 @@ def q_m16_warc_extract(spark, sf_dir):
                             f"<body><p>Para {r} of doc {d}.</p>"
                             f"<!-- hidden --> &amp; more</body></html>"
                         ).encode(),
+                        # real-crawl payload regimes rotate by
+                        # (doc_id + r) % 4 (r13): plain / gzip /
+                        # chunked / deflate+chunked — the DECODED
+                        # payload is identical across all four wire
+                        # forms, so text/payload_len/digest_ok keep
+                        # their closed forms
+                        **[
+                            {},
+                            {"content_encoding": "gzip"},
+                            {"transfer_encoding": "chunked"},
+                            {"content_encoding": "deflate",
+                             "transfer_encoding": "chunked"},
+                        ][(d + r) % 4],
                     }
                     for r in range(d % 3 + 1)
                 ]
@@ -4511,6 +4533,97 @@ def q_m16_warc_extract(spark, sf_dir):
         .select(
             "file_id", "pos", "target_uri", "http_status", "mime",
             "location", "payload_len", "digest_ok", "text",
+            "transfer_encoding", "content_encoding",
+        )
+        .orderBy("file_id", "pos")
+    )
+
+
+def q_m29_warc_revisit_resolution(spark, sf_dir):
+    """WARC ``revisit`` records resolved to their referents (r13 — the
+    Common Crawl dedup convention: a re-fetch whose payload matched a
+    prior capture stores NO body, only WARC-Refers-To + the referred
+    content's WARC-Payload-Digest). Per document the corpus plants
+    three regimes: a mirror revisit pointing at the file's own
+    response (doc_id %% 3 != 0), a STALE revisit whose claimed digest
+    no longer matches the referent (doc_id %% 5 == 0 among those), and
+    a DANGLING revisit whose referent lives outside the corpus
+    (doc_id %% 7 == 0 — real revisits routinely point across archive
+    files). sources/warc.resolve_revisits joins revisit rows to
+    response rows on the globally-unique record id (one equi-join,
+    broadcast-sized revisit side at crawl ratios — no all-pairs) and
+    cross-checks the claimed digest against the referent's verified
+    one. DuckDB builds every output — positions, referent identity,
+    the tri-state digest_match — closed-form from doc_id. Reference
+    analogue: lineage-pointer resolution in tre_lib
+    (lib/tre_lib/tre_lib/message.py:31-170), re-expressed as a join."""
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        resolve_revisits,
+        warc_records,
+    )
+
+    files = (
+        _T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from da_transform_judgments_pipeline_spark.sources.warc import (
+            build_warc_gz,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                body = (
+                    f"<html><body><p>Original {d}.</p></body></html>"
+                ).encode()
+                rid = f"<urn:uuid:0000000d-0000-4000-8000-{d:012d}>"
+                resp = [{
+                    "url": f"https://caselaw.example/{d}/orig",
+                    "date": "2021-03-04T05:06:07Z",
+                    "payload": body,
+                    "record_id": rid,
+                }]
+                if d % 3 != 0:
+                    resp.append({
+                        "url": f"https://caselaw.example/{d}/mirror",
+                        "date": "2021-03-05T05:06:07Z",
+                        "warc_type": "revisit",
+                        "refers_to": rid,
+                        # the stale regime claims a digest the referent
+                        # no longer carries
+                        "payload": (
+                            b"stale content" if d % 5 == 0 else body
+                        ),
+                    })
+                if d % 7 == 0:
+                    resp.append({
+                        "url": f"https://caselaw.example/{d}/ghost",
+                        "date": "2021-03-05T05:06:07Z",
+                        "warc_type": "revisit",
+                        "refers_to": (
+                            f"<urn:uuid:ffffffff-0000-4000-8000-"
+                            f"{d:012d}>"
+                        ),
+                        "payload": body,
+                    })
+                blobs.append(bytearray(build_warc_gz(resp)))
+            yield pd.DataFrame(
+                {"file_id": pdf["doc_id"], "content": blobs}
+            )
+
+    corpus = files.mapInPandas(make, "file_id long, content binary")
+    recs = warc_records(corpus)
+    return (
+        resolve_revisits(recs, payload=False)
+        .select(
+            "file_id", "pos", "target_uri", "refers_to",
+            "ref_file_id", "ref_pos", "resolved_uri", "digest_match",
         )
         .orderBy("file_id", "pos")
     )
@@ -4722,6 +4835,16 @@ def q_x29_crawl_pipeline(spark, sf_dir):
                                 "url": f"https://crawl.example/{d}/{r}",
                                 "date": "2021-03-04T05:06:07Z",
                                 "payload": html,
+                                # r13: a third of the corpus arrives
+                                # gzip-encoded, a third chunked — the
+                                # parser decodes, so the whole oracle
+                                # chain (extraction, language,
+                                # fingerprint, ownership) is UNCHANGED
+                                **[
+                                    {},
+                                    {"content_encoding": "gzip"},
+                                    {"transfer_encoding": "chunked"},
+                                ][(d + r) % 3],
                             }
                             for r in range(n_serves)
                         ])
@@ -5902,6 +6025,13 @@ def q_s24_crawl_stream_intake(spark, sf_dir):
             blob = build_warc_gz([{
                 "url": url, "date": "2021-03-04T05:06:07Z",
                 "payload": html,
+                # r13: rotate real-crawl wire regimes through the
+                # stream — the parser decodes, the oracle is unchanged
+                **[
+                    {},
+                    {"content_encoding": "gzip"},
+                    {"transfer_encoding": "chunked"},
+                ][(d // 13) % 3],
             }])
             with open(warc_path(tag, d), "wb") as f:
                 f.write(blob)
@@ -6802,6 +6932,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # params; the cold path the oracles pin is bit-unchanged), m22-m26
     # + s28 (the round-12a native codec fast path + truncation/typing
     # fixes landed under their unchanged oracles).
+    # --- Round 13 rotation: m29 (WARC revisit resolution — the CC
+    # dedup convention joined back to referents with a tri-state
+    # digest cross-check; the warc layer also gained HTTP payload
+    # decoding this round, exercised by chunked/gzip/deflate regimes
+    # planted in the m16/m24/x29/s24 corpora under their UNCHANGED
+    # oracles). Changed-this-round queries already in-window: f06
+    # (userinfo regime added), m16 (te/ce audit columns + planted
+    # regimes), m24/x29/s24 (planted regimes, oracles unchanged).
+    # (a) NEW round 13
+    "m29_warc_revisit_resolution": q_m29_warc_revisit_resolution,
     # (a) NEW round 12
     "s29_crawl_priority_stream": q_s29_crawl_priority_stream,
     "m28_wet_zst_pipeline": q_m28_wet_zst_pipeline,
@@ -9348,6 +9488,42 @@ def oracle_sql() -> dict[str, str]:
         # differs (zst store-mode frames vs gzip members); the
         # closed form is transport-blind by construction
         "m28_wet_zst_pipeline": _M25_WET_SQL,
+        "m29_warc_revisit_resolution": """
+            WITH mirrors AS (
+              SELECT doc_id AS file_id, 2 AS pos,
+                     'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/mirror' AS target_uri,
+                     '<urn:uuid:0000000d-0000-4000-8000-'
+                       || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+                       || '>' AS refers_to,
+                     doc_id AS ref_file_id, 1 AS ref_pos,
+                     'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/orig' AS resolved_uri,
+                     (doc_id % 5 <> 0) AS digest_match
+              FROM documents WHERE doc_id % 3 <> 0
+            ), ghosts AS (
+              SELECT doc_id AS file_id,
+                     CASE WHEN doc_id % 3 <> 0 THEN 3 ELSE 2 END AS pos,
+                     'https://caselaw.example/' || CAST(doc_id AS VARCHAR)
+                       || '/ghost' AS target_uri,
+                     '<urn:uuid:ffffffff-0000-4000-8000-'
+                       || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+                       || '>' AS refers_to,
+                     CAST(NULL AS BIGINT) AS ref_file_id,
+                     CAST(NULL AS INTEGER) AS ref_pos,
+                     CAST(NULL AS VARCHAR) AS resolved_uri,
+                     CAST(NULL AS BOOLEAN) AS digest_match
+              FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT CAST(file_id AS BIGINT) AS file_id,
+                   CAST(pos AS INTEGER) AS pos,
+                   target_uri, refers_to,
+                   CAST(ref_file_id AS BIGINT) AS ref_file_id,
+                   CAST(ref_pos AS INTEGER) AS ref_pos,
+                   resolved_uri, digest_match
+            FROM (SELECT * FROM mirrors UNION ALL SELECT * FROM ghosts)
+            ORDER BY file_id, pos
+        """,
         "m16_warc_extract": """
             SELECT doc_id AS file_id,
                    CAST(r + 1 AS INTEGER) AS pos,
@@ -9369,7 +9545,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS digest_ok,
                    'Doc ' || CAST(doc_id AS VARCHAR) || ' Para '
                        || CAST(r AS VARCHAR) || ' of doc '
-                       || CAST(doc_id AS VARCHAR) || '. & more' AS text
+                       || CAST(doc_id AS VARCHAR) || '. & more' AS text,
+                   CASE WHEN (doc_id + r) % 4 IN (2, 3)
+                        THEN 'chunked' END AS transfer_encoding,
+                   CASE WHEN (doc_id + r) % 4 = 1 THEN 'gzip'
+                        WHEN (doc_id + r) % 4 = 3 THEN 'deflate'
+                   END AS content_encoding
             FROM documents,
                  unnest(range(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS t(r)
             UNION ALL
@@ -9384,7 +9565,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length('<html><body><p>Moved</p></body></html>')
                         AS INTEGER) AS payload_len,
                    TRUE AS digest_ok,
-                   'Moved' AS text
+                   'Moved' AS text,
+                   CAST(NULL AS VARCHAR) AS transfer_encoding,
+                   CAST(NULL AS VARCHAR) AS content_encoding
             FROM documents WHERE doc_id % 5 = 2
             ORDER BY file_id, pos
         """,

@@ -209,13 +209,123 @@ def _parse_headers(block: bytes, what: str) -> tuple[str, dict]:
     return lines[0], headers
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode RFC 9112 §7.1 ``Transfer-Encoding: chunked`` framing —
+    hex chunk-size lines (chunk extensions after ``;`` ignored), CRLF
+    delimiters, a ``0`` terminator chunk, optional trailers tolerated.
+    Output is strictly smaller than input (framing removed), so no
+    separate bomb bound is needed. Malformed framing is a typed
+    :class:`WarcError` for on_error='report' row isolation."""
+    out = bytearray()
+    i = 0
+    while True:
+        j = body.find(b"\r\n", i)
+        if j < 0:
+            raise WarcError(
+                "chunked payload: missing chunk-size line terminator"
+            )
+        line = body[i:j].split(b";", 1)[0].strip()
+        try:
+            size = int(line, 16)
+        except ValueError:
+            raise WarcError(
+                f"chunked payload: bad chunk size {line[:24]!r}"
+            )
+        if size < 0:
+            raise WarcError(f"chunked payload: negative chunk size {size}")
+        i = j + 2
+        if size == 0:
+            # trailer section (rare) ends at a blank line; anything
+            # there is metadata, not payload — ignore it
+            return bytes(out)
+        chunk = body[i:i + size]
+        if len(chunk) != size:
+            raise WarcError(
+                f"chunked payload: truncated chunk "
+                f"({len(chunk)} < {size} bytes)"
+            )
+        out += chunk
+        i += size
+        if body[i:i + 2] != b"\r\n":
+            raise WarcError("chunked payload: missing chunk-data CRLF")
+        i += 2
+
+
+def _inflate_deflate(blob: bytes, max_output: int) -> bytes:
+    """HTTP ``Content-Encoding: deflate`` — RFC-correct servers send
+    zlib-wrapped (RFC 1950) data, but raw-deflate senders are a
+    well-known reality (the reason every browser tries both). Bounded
+    like the gzip path."""
+    for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+        dec = zlib.decompressobj(wbits)
+        try:
+            out = dec.decompress(blob, max_output + 1)
+        except zlib.error:
+            continue
+        if len(out) > max_output:
+            raise WarcBombError(
+                f"deflate payload inflates past {max_output} bytes"
+            )
+        if dec.eof and not dec.unused_data:
+            return out
+    raise WarcError("deflate payload: corrupt stream")
+
+
+def _decode_http_payload(
+    payload: bytes, http_headers: dict
+) -> tuple[bytes, str | None, str | None]:
+    """Undo the HTTP transfer/content codings on a stored payload —
+    real crawl WARCs store the bytes AS SENT (chunk framing digits,
+    gzip/deflate streams), and flowing those into html_text/dedup as
+    document text is silent corruption. Returns (decoded bytes,
+    transfer_encoding, content_encoding) with the raw header values
+    surfaced as audit columns. Unsupported codings (e.g. ``br`` — no
+    stdlib decoder) raise a typed WarcError so report mode isolates
+    the row instead of emitting compressed bytes as text."""
+    te = http_headers.get("transfer-encoding")
+    ce = http_headers.get("content-encoding")
+    if payload and te:
+        for t in reversed([s.strip().lower() for s in te.split(",")]):
+            if t == "chunked":
+                payload = _dechunk(payload)
+            elif t in ("identity", ""):
+                pass
+            else:
+                raise WarcError(f"unsupported Transfer-Encoding {t!r}")
+    if payload and ce:
+        from ..operators.compress import CompressError, decompress
+
+        for c in reversed([s.strip().lower() for s in ce.split(",")]):
+            if c in ("gzip", "x-gzip"):
+                try:
+                    payload = decompress(
+                        payload, "gzip",
+                        max_output=WARC_MAX_MEMBER_BYTES,
+                    )
+                except CompressError as e:
+                    raise WarcError(f"gzip payload: {e}") from e
+            elif c == "deflate":
+                payload = _inflate_deflate(
+                    payload, WARC_MAX_MEMBER_BYTES
+                )
+            elif c in ("identity", ""):
+                pass
+            else:
+                raise WarcError(f"unsupported Content-Encoding {c!r}")
+    return payload, te, ce
+
+
 def parse_warc_record(member: bytes) -> dict:
     """Parse ONE WARC record (= one gzip member's payload).
 
     Returns dict with: ``warc_type``, ``record_id``, ``date``,
     ``target_uri``, ``http_status`` (int or None), ``mime`` (HTTP
-    Content-Type or None), ``payload`` (bytes), ``digest_ok`` (bool or
-    None when the record carries no payload digest)."""
+    Content-Type or None), ``payload`` (bytes, HTTP transfer/content
+    codings decoded), ``digest_ok`` (bool or None when the record
+    carries no payload digest — always None for ``revisit``, whose
+    payload lives in the referred record), ``refers_to`` /
+    ``payload_digest`` (revisit resolution keys), and the
+    ``transfer_encoding`` / ``content_encoding`` audit values."""
     rec, used = _parse_one(member)
     rest = member[used:]
     if rest.strip(b"\r\n"):
@@ -255,8 +365,13 @@ def _parse_one(member: bytes) -> tuple[dict, int]:
     http_status = None
     mime = None
     location = None
+    tenc = None
+    cenc = None
     payload = block
-    if wtype in ("response", "request") and headers.get(
+    # revisit (the Common Crawl dedup convention): the block carries
+    # the new response's HTTP HEAD only — the payload lives in the
+    # record named by WARC-Refers-To, claimed by WARC-Payload-Digest
+    if wtype in ("response", "request", "revisit") and headers.get(
         "content-type", ""
     ).startswith("application/http"):
         hsep = block.find(b"\r\n\r\n")
@@ -264,7 +379,7 @@ def _parse_one(member: bytes) -> tuple[dict, int]:
             raise WarcError("http block has no header terminator")
         status_line, http_headers = _parse_headers(block[:hsep], "http")
         parts = status_line.split(None, 2)
-        if wtype == "response":
+        if wtype in ("response", "revisit"):
             if len(parts) < 2 or not parts[0].startswith("HTTP/"):
                 raise WarcError(f"bad HTTP status line {status_line!r}")
             try:
@@ -274,28 +389,35 @@ def _parse_one(member: bytes) -> tuple[dict, int]:
         mime = http_headers.get("content-type")
         location = http_headers.get("location")  # 3xx redirect target
         payload = block[hsep + 4:]
+        stored_payload = payload
+        # the payload digest covers the STORED bytes (the WARC spec's
+        # "payload" is the record's own content), so verify BEFORE
+        # undoing the HTTP codings
+        payload, tenc, cenc = _decode_http_payload(payload, http_headers)
+    else:
+        stored_payload = payload
     if mime is None and wtype not in ("response", "request"):
         # conversion/warcinfo/metadata records type their block at the
         # WARC level (WET files: text/plain)
         mime = headers.get("content-type")
     digest_ok = None
     want = headers.get("warc-payload-digest")
-    if want is not None:
+    if want is not None and wtype != "revisit":
         if not want.startswith("sha1:"):
             raise WarcError(f"unsupported payload digest {want!r}")
         got = base64.b32encode(
-            hashlib.sha1(payload).digest()
+            hashlib.sha1(stored_payload).digest()
         ).decode("ascii")
         digest_ok = got == want[5:]
-    elif "warc-block-digest" in headers:
+    elif want is None and "warc-block-digest" in headers:
         # WET conversion records carry a block digest instead
-        want = headers["warc-block-digest"]
-        if not want.startswith("sha1:"):
-            raise WarcError(f"unsupported block digest {want!r}")
+        bwant = headers["warc-block-digest"]
+        if not bwant.startswith("sha1:"):
+            raise WarcError(f"unsupported block digest {bwant!r}")
         got = base64.b32encode(
             hashlib.sha1(block).digest()
         ).decode("ascii")
-        digest_ok = got == want[5:]
+        digest_ok = got == bwant[5:]
     rec = {
         "warc_type": wtype,
         "record_id": headers.get("warc-record-id", ""),
@@ -306,6 +428,10 @@ def _parse_one(member: bytes) -> tuple[dict, int]:
         "location": location,
         "payload": payload,
         "digest_ok": digest_ok,
+        "refers_to": headers.get("warc-refers-to"),
+        "payload_digest": want,
+        "transfer_encoding": tenc,
+        "content_encoding": cenc,
     }
     used = sep + 4 + length
     # consume the two CRLFs separating records (tolerate their absence
@@ -334,7 +460,8 @@ WARC_RECORD_SCHEMA = (
     "file_id long, pos int, warc_type string, record_id string,"
     " date string, target_uri string, http_status int, mime string,"
     " location string, payload binary, payload_len int,"
-    " digest_ok boolean"
+    " digest_ok boolean, refers_to string, payload_digest string,"
+    " transfer_encoding string, content_encoding string"
 )
 
 
@@ -369,7 +496,8 @@ def warc_records(
     cols = [
         "file_id", "pos", "warc_type", "record_id", "date", "target_uri",
         "http_status", "mime", "location", "payload", "payload_len",
-        "digest_ok",
+        "digest_ok", "refers_to", "payload_digest",
+        "transfer_encoding", "content_encoding",
     ] + (["error"] if report else [])
 
     def run(batches):
@@ -394,6 +522,10 @@ def warc_records(
                             "payload": bytearray(r["payload"]),
                             "payload_len": len(r["payload"]),
                             "digest_ok": r["digest_ok"],
+                            "refers_to": r["refers_to"],
+                            "payload_digest": r["payload_digest"],
+                            "transfer_encoding": r["transfer_encoding"],
+                            "content_encoding": r["content_encoding"],
                             **({"error": None} if report else {}),
                         })
                 except Exception as e:
@@ -407,6 +539,56 @@ def warc_records(
 
     schema = WARC_RECORD_SCHEMA + (", error string" if report else "")
     return src.mapInPandas(run, schema=schema)
+
+
+def resolve_revisits(records: DataFrame, payload: bool = True) -> DataFrame:
+    """Resolve WARC ``revisit`` records against their referents — the
+    Common Crawl dedup convention read back: a revisit stores NO body,
+    only ``WARC-Refers-To`` (the referent's record id) and
+    ``WARC-Payload-Digest`` (the referent content's sha1). One row out
+    per revisit row in ``records`` (a :func:`warc_records` frame):
+
+    - ``file_id``/``pos``/``target_uri``/``refers_to``/
+      ``payload_digest`` — the revisit's own identity;
+    - ``ref_file_id``/``ref_pos``/``resolved_uri`` (+
+      ``resolved_payload`` unless ``payload=False``) — the referent
+      response, NULL when it lives outside this corpus (revisits may
+      point across archives; resolve against the widest frame you
+      have);
+    - ``digest_match`` — the revisit's claimed digest equals the
+      referent's verified one (NULL when unresolved): the cheap
+      cross-check that the dedup pointer is not stale.
+
+    Scale shape: one equi-join on ``record_id`` (globally unique by
+    the WARC spec) — the revisit side of a real crawl is a small
+    fraction of records, so AQE broadcasts it; no all-pairs anywhere.
+    Reference analogue: the reference resolves its lineage pointers
+    the same way (tre_lib message UUID references, message.py:31-170),
+    re-expressed as a DataFrame join."""
+    rev = records.filter(F.col("warc_type") == "revisit").select(
+        "file_id", "pos", "target_uri", "refers_to", "payload_digest"
+    )
+    ref_cols = [
+        F.col("record_id").alias("refers_to"),
+        F.col("file_id").alias("ref_file_id"),
+        F.col("pos").alias("ref_pos"),
+        F.col("target_uri").alias("resolved_uri"),
+        F.col("payload_digest").alias("_ref_digest"),
+    ]
+    if payload:
+        ref_cols.append(F.col("payload").alias("resolved_payload"))
+    ref = records.filter(F.col("warc_type") == "response").select(*ref_cols)
+    return (
+        rev.join(ref, "refers_to", "left")
+        .withColumn(
+            "digest_match",
+            F.when(
+                F.col("_ref_digest").isNotNull(),
+                F.col("payload_digest") == F.col("_ref_digest"),
+            ),
+        )
+        .drop("_ref_digest")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -483,7 +665,27 @@ def build_warc_gz(
     (bytes), optional ``status`` (default 200), ``content_type``
     (default text/html), ``location`` (emits the ``Location`` header a
     3xx redirect carries), ``record_id``. Digests are genuine sha1
-    over the payload; everything is deterministic."""
+    over the payload; everything is deterministic.
+
+    Real-crawl payload regimes (r13 — so oracles exercise what
+    production WARCs actually contain):
+
+    - ``content_encoding``: ``'gzip'`` or ``'deflate'`` — the body is
+      stored compressed with a matching ``Content-Encoding`` header
+      (deterministic: pinned-mtime gzip member / zlib level 6);
+    - ``transfer_encoding``: ``'chunked'`` — the (possibly encoded)
+      body is stored in RFC 9112 chunk framing (fixed 57-byte chunks,
+      a chunk extension on the first chunk for parser coverage) with
+      ``Transfer-Encoding: chunked`` and NO Content-Length;
+    - ``warc_type``: ``'revisit'`` — emits a Common-Crawl-convention
+      identical-payload-digest revisit: the block is the HTTP HEAD
+      only, ``WARC-Refers-To`` names ``refers_to``, and
+      ``WARC-Payload-Digest`` is the sha1 of ``payload`` (the referred
+      content, used ONLY for the digest — not stored).
+
+    The WARC-Payload-Digest always covers the STORED bytes (for
+    revisits: the referred bytes), matching the parser's
+    verify-before-decode contract."""
     members = []
     info_body = (
         b"software: da-transform-judgments-pipeline-spark\r\n"
@@ -504,29 +706,82 @@ def build_warc_gz(
         status = int(r.get("status", 200))
         ctype = r.get("content_type", "text/html")
         reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently",
-                  302: "Found", 500: "Internal Server Error"}.get(
-            status, "Status")
+                  302: "Found", 304: "Not Modified",
+                  500: "Internal Server Error"}.get(status, "Status")
         loc = r.get("location")
         loc_hdr = f"Location: {loc}\r\n" if loc else ""
-        http = (
-            f"HTTP/1.1 {status} {reason}\r\n"
-            f"Content-Type: {ctype}\r\n{loc_hdr}"
-            f"Content-Length: {len(payload)}\r\n\r\n"
-        ).encode("latin-1") + payload
-        digest = base64.b32encode(
-            hashlib.sha1(payload).digest()
-        ).decode("ascii")
         rid = r.get(
             "record_id",
             f"<urn:uuid:00000000-0000-0000-0000-{i + 1:012d}>",
         )
+        digest = base64.b32encode(
+            hashlib.sha1(payload).digest()
+        ).decode("ascii")
+        if r.get("warc_type") == "revisit":
+            # identical-payload-digest revisit: HTTP head only — the
+            # digest names the referred record's bytes
+            http = (
+                f"HTTP/1.1 {status} {reason}\r\n"
+                f"Content-Type: {ctype}\r\n{loc_hdr}\r\n"
+            ).encode("latin-1")
+            members.append(_record(
+                [
+                    ("WARC-Type", "revisit"),
+                    ("WARC-Record-ID", rid),
+                    ("WARC-Date", r["date"]),
+                    ("WARC-Target-URI", r["url"]),
+                    ("WARC-Refers-To", r["refers_to"]),
+                    ("WARC-Profile",
+                     "http://netpreserve.org/warc/1.0/revisit/"
+                     "identical-payload-digest"),
+                    ("WARC-Payload-Digest", f"sha1:{digest}"),
+                    ("Content-Type",
+                     "application/http; msgtype=response"),
+                ],
+                http,
+            ))
+            continue
+        body = payload
+        enc_hdr = ""
+        cenc = r.get("content_encoding")
+        if cenc == "gzip":
+            body = _gzip_member(body)
+            enc_hdr = "Content-Encoding: gzip\r\n"
+        elif cenc == "deflate":
+            body = zlib.compress(body, 6)
+            enc_hdr = "Content-Encoding: deflate\r\n"
+        elif cenc is not None:
+            raise ValueError(f"unsupported content_encoding {cenc!r}")
+        tenc = r.get("transfer_encoding")
+        if tenc == "chunked":
+            chunks = [body[o:o + 57] for o in range(0, len(body), 57)]
+            framed = bytearray()
+            for n, ch in enumerate(chunks):
+                ext = b";x=1" if n == 0 else b""
+                framed += f"{len(ch):x}".encode() + ext + b"\r\n"
+                framed += ch + b"\r\n"
+            framed += b"0\r\n\r\n"
+            body = bytes(framed)
+            frame_hdr = "Transfer-Encoding: chunked\r\n"
+        elif tenc is not None:
+            raise ValueError(f"unsupported transfer_encoding {tenc!r}")
+        else:
+            frame_hdr = f"Content-Length: {len(body)}\r\n"
+        stored_digest = base64.b32encode(
+            hashlib.sha1(body).digest()
+        ).decode("ascii")
+        http = (
+            f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: {ctype}\r\n{loc_hdr}{enc_hdr}"
+            f"{frame_hdr}\r\n"
+        ).encode("latin-1") + body
         members.append(_record(
             [
                 ("WARC-Type", "response"),
                 ("WARC-Record-ID", rid),
                 ("WARC-Date", r["date"]),
                 ("WARC-Target-URI", r["url"]),
-                ("WARC-Payload-Digest", f"sha1:{digest}"),
+                ("WARC-Payload-Digest", f"sha1:{stored_digest}"),
                 ("Content-Type", "application/http; msgtype=response"),
             ],
             http,

@@ -100,8 +100,13 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     errors = recs.filter(F.col("error").isNotNull()).select(
         "file_id", "error"
     )
+    # revisit records (the CC dedup convention, r13) ride the same
+    # chain: their payload is EMPTY (the content lives in the record
+    # named by refers_to / payload_digest), so the text stages are
+    # no-ops on them; downstream routes them seen-not-corpus
     responses = recs.filter(
-        (F.col("error").isNull()) & (F.col("warc_type") == "response")
+        (F.col("error").isNull())
+        & (F.col("warc_type").isin("response", "revisit"))
     )
     # a response that IS a sitemap is a DISCOVERY DOCUMENT, not a
     # corpus page: its raw bytes ride along (only for these rows) so
@@ -116,12 +121,19 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     # inflating) an xml-family declared mime OR a sitemap-shaped URL
     # routes to discovery — but a GENERIC gzip mime alone does NOT
     # (r13, per r12 ADVICE: a fetched .tar.gz asset is an asset, not a
-    # sitemap); for PLAIN payloads whose root element sits past the
-    # sniff window (long DOCTYPE/comment preamble), declared XML at a
-    # sitemap-shaped URL still routes to discovery (r13).
+    # sitemap); for PLAIN payloads the tiebreak applies only when the
+    # sniff is INCONCLUSIVE — no root element inside the window (long
+    # DOCTYPE/comment preamble) — so declared XML at a sitemap-shaped
+    # URL still routes to discovery (r13) while an RSS/Atom feed at
+    # /feed.xml (root <rss>/<feed> visible) stays a corpus page.
     _head = F.substring(F.col("payload"), 1, 2048).cast("string")
     _sniff_sm = _head.rlike(
         r"<\s*(?:[A-Za-z0-9_.\-]+:)?(?:urlset|sitemapindex)[\s/>]"
+    )
+    # first ELEMENT in the window ('<' + letter — prolog '<?', comments
+    # '<!--' and DOCTYPE '<!' never match); empty = inconclusive head
+    _root = F.regexp_extract(
+        _head, r"<\s*[A-Za-z][A-Za-z0-9_.\-:]*", 0
     )
     _gz = F.substring(F.col("payload"), 1, 2) == F.lit(b"\x1f\x8b")
     _mime = F.lower(F.coalesce(F.col("mime"), F.lit("")))
@@ -130,7 +142,7 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     is_sm = (
         _sniff_sm
         | (_gz & (_mime_xml | _url_sm))
-        | (~_gz & _mime_xml & _url_sm)
+        | (~_gz & (_root == "") & _mime_xml & _url_sm)
     )
     extracted = responses.select(
         "file_id",
@@ -139,6 +151,9 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         "digest_ok",
         "http_status",
         "location",
+        (F.col("warc_type") == "revisit").alias("_revisit"),
+        "refers_to",
+        "payload_digest",
         is_sm.alias("_sitemap"),
         F.when(is_sm, F.col("payload")).alias("_smblob"),
         # link extraction reads the RAW markup (html_text strips tags);
@@ -202,7 +217,7 @@ def _own_canonicals(spark, out_dir: str, key: str):
     hpath = jvm.org.apache.hadoop.fs.Path
     conf = spark._jsc.hadoopConfiguration()
     found = []
-    for sink in ("accepted", "redirects", "sitemaps"):
+    for sink in ("accepted", "redirects", "sitemaps", "revisits"):
         # NO exception guard here: exists() returns False for a missing
         # path, so anything raised is a genuine FS/IO failure — it must
         # FAIL the batch (foreachBatch retries it) rather than silently
@@ -319,6 +334,12 @@ def run_crawl_stream(
       an RSS feed at ``/feed.xml`` stays a corpus page) →
       ``{out_dir}/sitemaps`` (one summary row: kind, n_entries,
       report-mode error), likewise indexed as fetched;
+    - ``revisit`` records (the Common Crawl dedup convention, r13) →
+      ``{out_dir}/revisits`` — seen-not-corpus like redirects: the
+      URL is marked fetched in the index (no re-queue next wave) and
+      the row carries ``refers_to`` + ``payload_digest``, resolving
+      WHERE the content lives instead of re-entering the corpus as an
+      empty page;
     - the fetch queue ``{out_dir}/discovered`` unions FOUR discovery
       channels — redirect targets, every page's extracted+resolved
       ``<a href>`` links, each fetched sitemap's ``<loc>`` entries, and
@@ -455,13 +476,26 @@ def run_crawl_stream(
                 # discoveries
                 accepted = fresh_docs.filter(
                     ~F.col("_redir") & ~F.col("_sitemap")
+                    & ~F.col("_revisit")
                 ).select(*CRAWL_DOC_COLUMNS)
                 redirects = fresh_docs.filter(F.col("_redir")).select(
                     "file_id", "pos", "target_uri", "canonical",
                     "http_status", "location",
                 )
+                # revisit fetches are SEEN-not-corpus like redirects/
+                # sitemaps (r13): the URL joins the index below (no
+                # re-queue next wave) and the row records WHERE the
+                # content lives — the referred record id + its payload
+                # digest — instead of re-entering the corpus empty
+                revisits = fresh_docs.filter(
+                    F.col("_revisit") & ~F.col("_redir")
+                ).select(
+                    "file_id", "pos", "target_uri", "canonical",
+                    "http_status", "refers_to", "payload_digest",
+                )
                 sm_rows = fresh_docs.filter(
                     F.col("_sitemap") & ~F.col("_redir")
+                    & ~F.col("_revisit")
                 ).select(
                     "file_id", "pos", "target_uri", "canonical", "_smblob"
                 )
@@ -630,6 +664,7 @@ def run_crawl_stream(
                 # deterministic, so replay-safe like every other sink
                 links_out = fresh_docs.filter(
                     ~F.col("_redir") & ~F.col("_sitemap")
+                    & ~F.col("_revisit")
                 ).select(
                     F.col("canonical").alias("src"),
                     F.explode("links").alias("_u"),
@@ -651,6 +686,9 @@ def run_crawl_stream(
                 )
                 _write_batch_partition(
                     sm_summary, f"{out_dir}/sitemaps", key
+                )
+                _write_batch_partition(
+                    revisits, f"{out_dir}/revisits", key
                 )
                 _write_batch_partition(
                     dup_in_batch.union(dup_seen),

@@ -774,6 +774,75 @@ def test_crawl_stream_sitemap_mime_sniff_routing(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_crawl_stream_revisit_routing(spark, tmp_path):
+    """r13: WARC revisit records (the CC dedup convention) route
+    seen-not-corpus — the revisited URL is marked fetched in the
+    frontier index (no re-queue next wave), its row lands in
+    out/revisits carrying refers_to + payload_digest (where the
+    content actually lives), and it never re-enters the corpus as an
+    empty accepted page. A chunked+gzip page in the same wave proves
+    the decoded-payload path composes with the stream."""
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+    table = "crawl_stream_revisit_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://h.example/seed",)], "url string"),
+        table, buckets=2, path=str(tmp_path / "fidx"),
+    )
+    body = _html("original page body with a few words of prose")
+    rid = "<urn:uuid:00000000-0000-0000-0000-0000000000aa>"
+    blob = build_warc_gz([
+        # a real page whose payload is stored chunked+gzip on the wire
+        {"url": "https://h.example/page", "date": "2021-03-04T05:06:07Z",
+         "payload": body, "record_id": rid,
+         "content_encoding": "gzip", "transfer_encoding": "chunked"},
+        # a revisit of a DIFFERENT url pointing at that record
+        {"url": "https://h.example/mirror",
+         "date": "2021-03-05T05:06:07Z", "payload": body,
+         "warc_type": "revisit", "refers_to": rid},
+    ])
+    (warcs / "f1.warc.gz").write_bytes(blob)
+    (manifests / "w1.jsonl").write_text(json.dumps(
+        {"file_id": 1, "path": str(warcs / "f1.warc.gz")}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+
+    acc = {r["canonical"]: r["text"]
+           for r in _read(spark, out / "accepted").collect()}
+    # only the real page is corpus — with its payload DECODED (the
+    # chunk framing and gzip stream never reach html_text)
+    assert list(acc) == ["https://h.example/page"]
+    assert "original page body" in acc["https://h.example/page"]
+    rev = _read(spark, out / "revisits").collect()
+    assert [(r["canonical"], r["refers_to"]) for r in rev] == [
+        ("https://h.example/mirror", rid)
+    ]
+    assert rev[0]["payload_digest"].startswith("sha1:")
+    # both canonicals are indexed as fetched: a second wave re-serving
+    # the mirror URL dedups to url_seen instead of re-queueing
+    idx = {r["canonical"] for r in spark.table(table).collect()}
+    assert {"https://h.example/page", "https://h.example/mirror"} <= idx
+    blob2 = build_warc_gz([
+        {"url": "https://h.example/mirror",
+         "date": "2021-03-06T05:06:07Z", "payload": body},
+    ])
+    (warcs / "f2.warc.gz").write_bytes(blob2)
+    (manifests / "w2.jsonl").write_text(json.dumps(
+        {"file_id": 2, "path": str(warcs / "f2.warc.gz")}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+    dups = [(r["canonical"], r["reason"])
+            for r in _read(spark, out / "duplicates").collect()]
+    assert ("https://h.example/mirror", "url_seen") in dups
+    acc2 = [r["canonical"] for r in _read(spark, out / "accepted").collect()]
+    assert acc2 == ["https://h.example/page"]  # still the one corpus row
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_own_canonicals_propagates_read_errors(spark, tmp_path):
     """_own_canonicals' exception posture, narrowed (round-12): an
     EMPTY crashed-attempt partition (dir exists, no committed parquet)

@@ -31,6 +31,146 @@ def test_roundtrip_gz_and_plain():
             assert rec["pos"] == r + 1
 
 
+def test_http_payload_decoding_regimes():
+    """r13: real crawl WARCs store payloads AS SENT — chunk framing
+    and gzip/deflate streams. The parser must undo both (digest still
+    verified over the STORED bytes) so html_text/dedup never see chunk
+    size digits or compressed bytes as document text."""
+    body = b"<html><body><p>" + b"decoded payload " * 40 + b"</p></body></html>"
+    regimes = [
+        {"content_encoding": "gzip"},
+        {"content_encoding": "deflate"},
+        {"transfer_encoding": "chunked"},
+        {"content_encoding": "gzip", "transfer_encoding": "chunked"},
+        {},
+    ]
+    resp = [
+        {"url": f"https://h.example/{i}", "date": "2021-03-04T05:06:07Z",
+         "payload": body, **rg}
+        for i, rg in enumerate(regimes)
+    ]
+    recs = W.parse_warc(W.build_warc_gz(resp))[1:]
+    for i, (rg, rec) in enumerate(zip(regimes, recs)):
+        assert rec["payload"] == body, rg
+        assert rec["digest_ok"] is True, rg
+        assert rec["content_encoding"] == rg.get("content_encoding"), rg
+        assert rec["transfer_encoding"] == rg.get("transfer_encoding"), rg
+    # the stored bytes really were encoded (not a no-op builder)
+    members = W.split_gzip_members(W.build_warc_gz(resp))
+    assert body not in members[1]       # gzip-compressed on the wire
+    assert b";x=1\r\n" in members[3]    # chunk extension emitted
+    assert b"Content-Length" not in members[3].split(b"\r\n\r\n")[1]
+
+
+def test_http_payload_decoding_failures_are_typed():
+    """Malformed chunk framing / unsupported codings raise WarcError
+    (report mode isolates to one row downstream)."""
+    ok = {"url": "https://h.example/a", "date": "2021-03-04T05:06:07Z",
+          "payload": b"x" * 80, "transfer_encoding": "chunked"}
+    member = W.split_gzip_members(W.build_warc_gz([ok]))[1]
+    # first chunk of an 80-byte body is 57 bytes -> size line "39;x=1"
+    bad = member.replace(b"\r\n39;x=1\r\n", b"\r\nZZ;x=1\r\n")
+    assert bad != member
+    with pytest.raises(W.WarcError, match="bad chunk size"):
+        W.parse_warc_record(bad)
+    # truncated chunk body (claims 0xff bytes, far past the block)
+    bad2 = member.replace(b"\r\n39;x=1\r\n", b"\r\nff;x=1\r\n")
+    assert bad2 != member
+    with pytest.raises(W.WarcError, match="truncated chunk"):
+        W.parse_warc_record(bad2)
+    # unsupported coding (brotli has no stdlib decoder): refusal, not
+    # compressed bytes flowing into the corpus as text
+    br = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\nContent-Length: 4\r\n\r\nXXXX"
+    )
+    rec = W._record(
+        [("WARC-Type", "response"),
+         ("WARC-Record-ID", "<urn:uuid:1>"),
+         ("WARC-Date", "2021-03-04T05:06:07Z"),
+         ("WARC-Target-URI", "https://h.example/br"),
+         ("Content-Type", "application/http; msgtype=response")],
+        br,
+    )
+    with pytest.raises(W.WarcError, match="unsupported Content-Encoding"):
+        W.parse_warc_record(rec)
+
+
+def test_revisit_records_parse():
+    """r13: WARC revisit (the CC dedup convention) — HTTP head only,
+    WARC-Refers-To + WARC-Payload-Digest resolve the content; the
+    parser emits a distinct type with an EMPTY payload instead of a
+    broken response row."""
+    import base64 as b64
+    import hashlib as hl
+
+    body = b"<html><body><p>the original page</p></body></html>"
+    resp = [
+        {"url": "https://h.example/page", "date": "2021-03-04T05:06:07Z",
+         "payload": body,
+         "record_id": "<urn:uuid:00000000-0000-0000-0000-00000000000a>"},
+        {"url": "https://h.example/page", "date": "2021-03-05T05:06:07Z",
+         "payload": body, "warc_type": "revisit", "status": 200,
+         "refers_to": "<urn:uuid:00000000-0000-0000-0000-00000000000a>"},
+    ]
+    recs = W.parse_warc(W.build_warc_gz(resp))
+    orig, rev = recs[1], recs[2]
+    assert rev["warc_type"] == "revisit"
+    assert rev["payload"] == b""
+    assert rev["http_status"] == 200
+    assert rev["digest_ok"] is None  # payload absent — cannot verify
+    assert rev["refers_to"] == orig["record_id"]
+    want = "sha1:" + b64.b32encode(hl.sha1(body).digest()).decode()
+    assert rev["payload_digest"] == want == orig["payload_digest"]
+    assert orig["digest_ok"] is True
+
+
+def test_resolve_revisits(spark):
+    """resolve_revisits: mirror revisits join their referent (digest
+    cross-checked), stale claims surface digest_match=False, dangling
+    refs (referent outside the corpus) stay NULL-resolved."""
+    from pyspark.sql import functions as F
+
+    body = b"<html><body><p>orig</p></body></html>"
+    rid = "<urn:uuid:00000000-0000-4000-8000-000000000001>"
+    blob = W.build_warc_gz([
+        {"url": "https://h.example/orig", "date": "2021-03-04T05:06:07Z",
+         "payload": body, "record_id": rid},
+        {"url": "https://h.example/same", "date": "2021-03-05T05:06:07Z",
+         "warc_type": "revisit", "refers_to": rid, "payload": body},
+        {"url": "https://h.example/stale", "date": "2021-03-05T05:06:07Z",
+         "warc_type": "revisit", "refers_to": rid,
+         "payload": b"different content"},
+        {"url": "https://h.example/ghost", "date": "2021-03-05T05:06:07Z",
+         "warc_type": "revisit", "payload": body,
+         "refers_to": "<urn:uuid:ffffffff-0000-4000-8000-000000000009>"},
+    ])
+    files = spark.createDataFrame(
+        [(1, bytearray(blob))], "file_id long, content binary"
+    )
+    out = {
+        r["target_uri"]: r
+        for r in W.resolve_revisits(W.warc_records(files))
+        .orderBy("pos").collect()
+    }
+    assert set(out) == {"https://h.example/same",
+                        "https://h.example/stale",
+                        "https://h.example/ghost"}
+    same = out["https://h.example/same"]
+    assert same["resolved_uri"] == "https://h.example/orig"
+    assert same["digest_match"] is True
+    assert bytes(same["resolved_payload"]) == body  # content recovered
+    stale = out["https://h.example/stale"]
+    assert stale["resolved_uri"] == "https://h.example/orig"
+    assert stale["digest_match"] is False
+    ghost = out["https://h.example/ghost"]
+    assert ghost["resolved_uri"] is None
+    assert ghost["digest_match"] is None
+    # payload=False keeps the frame narrow for index-only consumers
+    slim = W.resolve_revisits(W.warc_records(files), payload=False)
+    assert "resolved_payload" not in slim.columns
+
+
 def test_member_layout_is_per_record():
     """The CC convention: each record its own gzip member (what makes a
     petabyte archive seekable)."""
