@@ -273,12 +273,16 @@ def q_p12_event_validation(spark, sf_dir):
     the DataFrame twin of the reference's JSON-Schema check —
     schema.json:1-113): envelopes constructed from the events table carry
     one planted defect class per residue (invalid type, missing producer
-    name, unknown event-name, empty lineage); the validator accumulates an
-    errors array per row (T5 report-then-route, never raise)."""
+    name, unknown event-name, empty lineage, and — r13, closing the last
+    dict-path/DF-path parity hole — a malformed lineage UUID VALUE
+    (undashed 32-hex, which the reference's schema.json:19 pattern
+    rejects) and a malformed lineage KEY (no -UUID suffix)); the
+    validator accumulates an errors array per row (T5
+    report-then-route, never raise)."""
     from da_transform_judgments_pipeline_spark.plans import events as evp
 
     ev = _T(spark, sf_dir, "events")
-    m = F.col("event_id") % 5
+    m = F.col("event_id") % 7
     producer = F.struct(
         F.lit("test").alias("environment"),
         F.when(m == 2, F.lit(None).cast("string"))
@@ -290,12 +294,25 @@ def q_p12_event_validation(spark, sf_dir):
         .otherwise("bagit-available")
         .alias("event-name"),
     )
+    h = F.md5(F.col("event_id").cast("string"))
+    dashed = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4),
+        F.substring(h, 13, 4), F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
     uuids = (
         F.when(m == 4, F.array().cast("array<map<string,string>>"))
         .otherwise(
             F.array(
                 F.create_map(
-                    F.lit("TRE-UUID"), F.md5(F.col("event_id").cast("string"))
+                    # m == 6: key misses the -UUID suffix shape
+                    F.when(m == 6, F.lit("TRE UUID"))
+                    .otherwise(F.lit("TRE-UUID")),
+                    # m == 5: undashed md5 — 32 hex chars the UUID
+                    # pattern rejects; everything else a well-formed
+                    # dashed lowercase-hex UUID derived from event_id
+                    F.when(m == 5, h).otherwise(dashed),
                 )
             )
         )
@@ -10159,13 +10176,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "p12_event_validation": """
             SELECT event_id,
-                   CASE CAST(event_id % 5 AS INT)
+                   CASE CAST(event_id % 7 AS INT)
                      WHEN 1 THEN 'invalid-producer-type'
                      WHEN 2 THEN 'missing-producer-name'
                      WHEN 3 THEN 'invalid-event-name'
                      WHEN 4 THEN 'empty-uuids'
+                     WHEN 5 THEN 'invalid-uuid-entry'
+                     WHEN 6 THEN 'invalid-uuid-entry'
                      ELSE '' END AS errors,
-                   CASE WHEN event_id % 5 = 0 THEN 0 ELSE 1 END AS n_errors
+                   CASE WHEN event_id % 7 = 0 THEN 0 ELSE 1 END AS n_errors
             FROM events ORDER BY event_id
         """,
         "p09_shape_dispatch": """

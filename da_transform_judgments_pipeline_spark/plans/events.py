@@ -190,18 +190,36 @@ def validate_events(df: DataFrame, event_col: str = "event") -> DataFrame:
     """Constraint filter producing an `errors` array column (empty == valid).
 
     The DataFrame twin of validate_event: enum membership, version/timestamp
-    presence, non-empty lineage, producer completeness. Invalid rows route to
+    presence, non-empty lineage, producer completeness, and (r13 — the last
+    dict-path/DF-path parity hole) the per-entry lineage shape the
+    reference's JSON Schema enforces (schema.json:19): every UUIDs entry is
+    a single-key map whose key matches ``^[A-Za-z0-9_-]+-UUID$`` and whose
+    value matches the lowercase-hex UUID pattern. Invalid rows route to
     the error stream instead of raising (T5 report-then-route)."""
     e = F.col(event_col)
 
     def err(cond: Column, msg: str) -> Column:
         return F.when(cond, F.lit(msg))
 
+    def bad_entry(entry: Column) -> Column:
+        k = F.element_at(F.map_keys(entry), 1)
+        v = F.element_at(F.map_values(entry), 1)
+        ok = k.rlike(UUID_KEY_RE.pattern) & v.rlike(UUID_RE.pattern)
+        # guard the element_at behind the size test (ANSI: index 1 of
+        # an empty key array is a hard error, not NULL)
+        return F.when(
+            F.size(F.map_keys(entry)) != 1, F.lit(True)
+        ).otherwise(~F.coalesce(ok, F.lit(False)))
+
     checks = F.array(
         err(e.isNull(), "unparseable-event"),
         err(e["version"].isNull(), "missing-version"),
         err(e["timestamp"].isNull(), "missing-timestamp"),
         err(F.size(e["UUIDs"]) <= 0, "empty-uuids"),
+        err(
+            F.exists(e["UUIDs"], bad_entry),
+            "invalid-uuid-entry",
+        ),
         err(e["producer"]["environment"].isNull(), "missing-producer-environment"),
         err(e["producer"]["name"].isNull(), "missing-producer-name"),
         err(e["producer"]["process"].isNull(), "missing-producer-process"),

@@ -239,6 +239,50 @@ def test_replay_guard_unit(spark):
     assert orchestrator.replay_guard(batch, None) is batch
 
 
+def test_event_validation_dict_df_parity(spark):
+    """r13 (per r12 verdict): the DataFrame validator and the dict-path
+    validator agree on EVERY defect class the reference's JSON Schema
+    enforces — including the lineage UUID value pattern
+    (schema.json:19) and the -UUID key-suffix shape, the last checks
+    the DF twin used to wave through."""
+    good = "0123abcd-0000-4000-8000-0123456789ab"
+
+    def mk(uuids, name="TRE", typ="judgment"):
+        return {
+            "version": "1.0.0", "timestamp": 7, "UUIDs": uuids,
+            "producer": {"environment": "test", "name": name,
+                         "process": "x", "type": typ,
+                         "event-name": "bagit-available"},
+            "parameters": {},
+        }
+
+    cases = [
+        mk([{"TRE-UUID": good}]),                        # valid
+        mk([{"TRE-UUID": good.replace("-", "")}]),       # undashed value
+        mk([{"TRE-UUID": good.upper()}]),                # uppercase hex
+        mk([{"TRE UUID": good}]),                        # malformed key
+        mk([{"A-UUID": good, "B-UUID": good}]),          # two-key entry
+        mk([]),                                          # empty lineage
+        mk([{"TRE-UUID": good}], name=None),             # missing name
+        mk([{"TRE-UUID": good}], typ="litigation"),      # bad type
+        mk([{"TRE-UUID": good}, {"X-UUID": "nope"}]),    # bad LATEST
+    ]
+    dict_verdicts = []
+    for c in cases:
+        try:
+            ev.validate_event(c)
+            dict_verdicts.append(True)
+        except ValueError:
+            dict_verdicts.append(False)
+    df = spark.createDataFrame(
+        [(i, ev.event_to_json(c)) for i, c in enumerate(cases)],
+        "i int, value string",
+    )
+    out = ev.validate_events(ev.parse_events(df)).orderBy("i").collect()
+    df_verdicts = [len(r["errors"]) == 0 for r in out]
+    assert df_verdicts == dict_verdicts == [True] + [False] * 8
+
+
 def test_retry_state_batch_twin(spark):
     df = spark.createDataFrame(
         [("A", 0), ("A", 1), ("A", 3), ("B", 1)], ["reference", "retries"]
