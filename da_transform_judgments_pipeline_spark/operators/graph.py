@@ -8,10 +8,12 @@ Spark-first shape: the classic iterative DataFrame job — each iteration
 is one join (ranks onto the out-degree-annotated edge list), one
 map-side division, one shuffle on the destination (the partial-agg sum
 of contributions), and a left join back onto the node set. The driver
-holds only k (iteration count) and the per-iteration dangling-mass
-SCALAR; ranks are localCheckpoint'ed each round so the plan never grows
-(the d05 label-propagation lineage rule). At 100 TB this is exactly the
-GraphX/Pregel data layout without the RDD API."""
+holds only k (the iteration count); the dangling-mass and
+normalization scalars stay IN-PLAN as 1-row broadcast aggregates
+(r13 — per-iteration driver collects serialized a second job each
+round), and ranks are localCheckpoint'ed each round so the plan never
+grows (the d05 label-propagation lineage rule). At 100 TB this is
+exactly the GraphX/Pregel data layout without the RDD API."""
 
 from __future__ import annotations
 
@@ -106,9 +108,12 @@ def pagerank(
     Each iteration: one broadcast-free join of ranks onto the
     PERSISTED degree-annotated edge list (built once — both sides
     hash-partition on ``src``), a map-side division, a partial-agg sum
-    shuffled on ``dst``, and a left join back to the node set; dangling
-    mass is ONE scalar aggregate per iteration (control-plane).
-    ``localCheckpoint`` keeps lineage constant across iterations."""
+    shuffled on ``dst``, and a left join back to the node set; the
+    dangling mass is a 1-row aggregate BROADCAST into the update
+    (r13 — formerly a driver-side scalar collect that serialized a
+    second job per iteration), so each iteration without ``tol`` is
+    exactly ONE Spark action. ``localCheckpoint`` keeps lineage
+    constant across iterations."""
     n = nodes.count()
     if stats is not None:
         stats["iterations"] = 0
@@ -186,11 +191,15 @@ def pagerank(
         for _it in range(n_iterations):
             if stats is not None:
                 stats["iterations"] = _it + 1
+            # the dangling mass stays IN-PLAN (r13): a 1-row aggregate
+            # broadcast into the rank update, so the iteration runs as
+            # ONE Spark action (the eager checkpoint below) instead of
+            # a driver-side scalar collect serializing a second job —
+            # arithmetically identical to the former F.lit(dangling)
             dangling = (
                 ranks.join(has_out, "node", "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .collect()[0][0]
-            )  # one scalar per iteration: control-plane
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            )
             contribs = (
                 fan.join(
                     ranks.withColumnRenamed("node", "_src"), "_src"
@@ -208,6 +217,7 @@ def pagerank(
             )
             new_ranks = (
                 base.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
                 .select(
                     "node",
                     (
@@ -215,7 +225,7 @@ def pagerank(
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("m"), F.lit(0.0))
-                            + F.lit(dangling) * F.col("_r0")
+                            + F.col("_dm") * F.col("_r0")
                         )
                     ).alias("rank"),
                 )
@@ -287,7 +297,7 @@ def hits(
             auths = base.join(a, "node", "left").select(
                 "node",
                 F.coalesce("authority", F.lit(0.0)).alias("authority"),
-            )
+            ).localCheckpoint(eager=True)
             h = (
                 e.join(auths.withColumnRenamed("node", "dst"), "dst")
                 .groupBy(F.col("src").alias("node"))
@@ -295,25 +305,37 @@ def hits(
             )
             hubs = base.join(h, "node", "left").select(
                 "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
-            )
+            ).localCheckpoint(eager=True)
             if normalize:
-                # ONE action for both normalizers (two scalar aggs
-                # cross-joined), halving the per-iteration collects
-                row = (
+                # the normalizers stay IN-PLAN (r13): one 1-row frame
+                # (two scalar aggs over the just-checkpointed RAW
+                # vectors, cross-joined) broadcast into both divisions
+                # — no driver collect; each iteration runs as exactly
+                # the two checkpoint actions. The raw updates are
+                # checkpointed (not the normalized views) so the next
+                # iteration's scans re-derive only a cheap scalar agg
+                # + division over materialized rows.
+                norms = (
                     auths.agg(F.sum("authority").alias("_a"))
                     .crossJoin(hubs.agg(F.sum("hub").alias("_h")))
-                    .collect()[0]
+                    .select(
+                        F.when(
+                            F.col("_a").isNull() | (F.col("_a") == 0.0),
+                            F.lit(1.0),
+                        ).otherwise(F.col("_a")).alias("_a"),
+                        F.when(
+                            F.col("_h").isNull() | (F.col("_h") == 0.0),
+                            F.lit(1.0),
+                        ).otherwise(F.col("_h")).alias("_h"),
+                    )
                 )
-                asum = row["_a"] or 1.0
-                hsum = row["_h"] or 1.0
-                auths = auths.select(
-                    "node", (F.col("authority") / asum).alias("authority")
+                auths = auths.crossJoin(F.broadcast(norms)).select(
+                    "node",
+                    (F.col("authority") / F.col("_a")).alias("authority"),
                 )
-                hubs = hubs.select(
-                    "node", (F.col("hub") / hsum).alias("hub")
+                hubs = hubs.crossJoin(F.broadcast(norms)).select(
+                    "node", (F.col("hub") / F.col("_h")).alias("hub")
                 )
-            auths = auths.localCheckpoint(eager=True)
-            hubs = hubs.localCheckpoint(eager=True)
             if tol is not None and prev_auths is not None:
                 # combined L1 delta over both vectors, ONE action
                 delta = (
