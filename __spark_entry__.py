@@ -2664,6 +2664,70 @@ def q_a25_hll_distinct(spark, sf_dir):
     )
 
 
+def q_a36_hll_exact_twin(spark, sf_dir):
+    """The a25 sketch's EXACT hash-checked twin (r13 — the e08/e09
+    treatment applied to HLL): per event type the exact
+    count-distinct of users (DuckDB recomputes it verbatim) joined
+    against the Datasketches HLL estimate, with ``within_band``
+    asserting the estimate sits inside a 5-sigma relative-error band
+    (lgk=12 → stderr 1.04/sqrt(4096) ≈ 1.63%, band 8%). The sketch is
+    deterministic for a given input set, so the boolean is stable —
+    the driver now hash-checks both the exact cardinalities AND the
+    sketch's accuracy claim, closing the a25 rows-only gap."""
+    from da_transform_judgments_pipeline_spark.operators import scale
+
+    ev = _T(spark, sf_dir, "events")
+    hll = scale.hll_distinct_by_group(ev, "event_type", "user_id").select(
+        "event_type", "approx_distinct"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return (
+        exact.join(hll, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.08
+            ).alias("within_band"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_e16_pq_exact(spark, sf_dir):
+    """PQ under an EXACT hash oracle (r13 — the e09 construction trick
+    applied to Product Quantization): the corpus is BUILT so each
+    subspace's sub-vector is exactly one of 16 known integer centroids
+    (codebook = the population of sub-vectors → reconstruction is
+    LOSSLESS), so pq_encode must pick the true code (its distance is
+    exactly 0, all others positive) and the ADC sum equals the TRUE
+    squared euclidean distance — which DuckDB computes closed-form
+    from vec_id. All values dyadic (integers and quarters), so the
+    round(·, 6) and the ordering agree bit-exactly across engines.
+    Encode+ADC are thereby hash-checked end to end; the k-means
+    training half keeps its e12 recall contract."""
+    emb = _T(spark, sf_dir, "embeddings").select("vec_id")
+    books = [
+        [[float(j), float((j * (2 * s + 1)) % 16)] for j in range(16)]
+        for s in range(4)
+    ]
+    v = F.col("vec_id")
+    comps = []
+    for s in range(4):
+        j = (v + F.lit(s)) % 16
+        comps.append(j.cast("double"))
+        comps.append(((j * (2 * s + 1)) % 16).cast("double"))
+    vecs = emb.withColumn("embedding", F.array(*comps))
+    codes = similarity.pq_encode(vecs, books)
+    return similarity.pq_topk(
+        codes, books, [0.5, 0.25] * 4, k=10
+    )
+
+
 def q_x15_bpe_pair_counts(spark, sf_dir):
     """BPE/WordPiece tokenizer-training inner step (text.bpe_pair_counts):
     corpus-wide adjacent-token-pair frequencies, top-100 by count with
@@ -6954,11 +7018,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # digest cross-check; the warc layer also gained HTTP payload
     # decoding this round, exercised by chunked/gzip/deflate regimes
     # planted in the m16/m24/x29/s24 corpora under their UNCHANGED
-    # oracles). Changed-this-round queries already in-window: f06
-    # (userinfo regime added), m16 (te/ce audit columns + planted
-    # regimes), m24/x29/s24 (planted regimes, oracles unchanged).
+    # oracles), a36 (the a25 HLL sketch's exact count-distinct twin +
+    # hash-checked error-band claim) and e16 (PQ encode+ADC under an
+    # exact oracle via the lossless-codebook construction — the e09
+    # trick). p12 relocated up (validate_events gained the lineage
+    # UUID shape check). Changed-this-round queries already in-window:
+    # f06 (userinfo regime), m16 (te/ce audit columns + planted
+    # regimes), m24/x29/s24 (planted regimes, oracles unchanged),
+    # g01-g04 (dangling/normalizer scalars moved in-plan — dyadic
+    # oracles bit-unchanged), e15 (quantize_embeddings collision
+    # guard), f04 (canonical_url userinfo strip), s26/s27/s29 (crawl
+    # stream: revisit routing + sitemap tiebreak fixes). Displaced:
+    # x28 (multi-round green, unchanged) to the round-9 section.
     # (a) NEW round 13
     "m29_warc_revisit_resolution": q_m29_warc_revisit_resolution,
+    "a36_hll_exact_twin": q_a36_hll_exact_twin,
+    "e16_pq_exact": q_e16_pq_exact,
+    # p12 RELOCATED up (not new): validate_events gained the lineage
+    # UUID shape check this round, and p12's regimes were rebuilt
+    # around it — its oracle row must be inside the recorded window
+    "p12_event_validation": q_p12_event_validation,
     # (a) NEW round 12
     "s29_crawl_priority_stream": q_s29_crawl_priority_stream,
     "m28_wet_zst_pipeline": q_m28_wet_zst_pipeline,
@@ -7011,13 +7090,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m15_pdf_parse": q_m15_pdf_parse,
     "m16_warc_extract": q_m16_warc_extract,
     "m17_gif_decode_features": q_m17_gif_decode_features,
-    "x28_ngram_repetition": q_x28_ngram_repetition,
     "m18_g711_decode_features": q_m18_g711_decode_features,
     "x29_crawl_pipeline": q_x29_crawl_pipeline,
     "f04_url_canonicalize": q_f04_url_canonicalize,
     "x30_split_assign": q_x30_split_assign,
     "s21_robots_filter": q_s21_robots_filter,
     "x31_corpus_report": q_x31_corpus_report,
+    # x28 displaced here from the round-9 section (multi-round green
+    # r9-r12, operator unchanged in r13) to make room for p12's
+    # relocation without pushing changed-this-round f04 past the cap
+    "x28_ngram_repetition": q_x28_ngram_repetition,
     "m19_tiff_decode_features": q_m19_tiff_decode_features,
     "x32_shard_plan": q_x32_shard_plan,
     "m20_zip_extract": q_m20_zip_extract,
@@ -7107,7 +7189,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o03_range_count_join": q_o03_range_count_join,
     "p09_shape_dispatch": q_p09_shape_dispatch,
     "p10_block_locator": q_p10_block_locator,
-    "p12_event_validation": q_p12_event_validation,
     "s08_csv_scan": q_s08_csv_scan,
     "x13_pii_redaction": q_x13_pii_redaction,
     "x14_line_dedup": q_x14_line_dedup,
@@ -9505,6 +9586,31 @@ def oracle_sql() -> dict[str, str]:
         # differs (zst store-mode frames vs gzip members); the
         # closed form is transport-blind by construction
         "m28_wet_zst_pipeline": _M25_WET_SQL,
+        "a36_hll_exact_twin": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                       AS exact_distinct,
+                   TRUE AS within_band
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "e16_pq_exact": """
+            WITH d AS (
+              SELECT vec_id,
+                     round(
+                       ((0.5 - CAST((vec_id + 0) % 16 AS DOUBLE)) * (0.5 - CAST((vec_id + 0) % 16 AS DOUBLE)))
+                     + ((0.25 - CAST((((vec_id + 0) % 16) * 1) % 16 AS DOUBLE)) * (0.25 - CAST((((vec_id + 0) % 16) * 1) % 16 AS DOUBLE)))
+                     + ((0.5 - CAST((vec_id + 1) % 16 AS DOUBLE)) * (0.5 - CAST((vec_id + 1) % 16 AS DOUBLE)))
+                     + ((0.25 - CAST((((vec_id + 1) % 16) * 3) % 16 AS DOUBLE)) * (0.25 - CAST((((vec_id + 1) % 16) * 3) % 16 AS DOUBLE)))
+                     + ((0.5 - CAST((vec_id + 2) % 16 AS DOUBLE)) * (0.5 - CAST((vec_id + 2) % 16 AS DOUBLE)))
+                     + ((0.25 - CAST((((vec_id + 2) % 16) * 5) % 16 AS DOUBLE)) * (0.25 - CAST((((vec_id + 2) % 16) * 5) % 16 AS DOUBLE)))
+                     + ((0.5 - CAST((vec_id + 3) % 16 AS DOUBLE)) * (0.5 - CAST((vec_id + 3) % 16 AS DOUBLE)))
+                     + ((0.25 - CAST((((vec_id + 3) % 16) * 7) % 16 AS DOUBLE)) * (0.25 - CAST((((vec_id + 3) % 16) * 7) % 16 AS DOUBLE)))
+                     , 6) AS approx_dist
+              FROM embeddings
+            )
+            SELECT CAST(vec_id AS BIGINT) AS id, approx_dist
+            FROM d ORDER BY approx_dist, id LIMIT 10
+        """,
         "m29_warc_revisit_resolution": """
             WITH mirrors AS (
               SELECT doc_id AS file_id, 2 AS pos,
