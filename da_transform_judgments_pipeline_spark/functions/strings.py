@@ -125,6 +125,26 @@ def canonical_url(c: Column | str) -> Column:
     Percent-encoding is left byte-exact (case-normalizing %XX without
     decoding reserved characters needs a table the oracle would have to
     mirror — out of scope, documented). NULL in → NULL out."""
+    p = _url_parts(c)
+    return F.when(
+        p["scheme"] == "", p["u"]  # not an absolute URL: pass through
+    ).otherwise(
+        F.concat(
+            p["scheme"], F.lit("://"), p["host"], p["port_sfx"],
+            p["canon_path"], p["canon_query"],
+        )
+    )
+
+
+def _url_parts(c: Column | str) -> dict:
+    """The shared RFC 3986 parse both :func:`canonical_url` and
+    :func:`surt_key` assemble from. One dict of component Columns —
+    surt_key used to RE-PARSE canonical_url's output string, nesting
+    the entire canonicalization tree (dot-segment fold included) at
+    every component reference; Catalyst analysis cost grew with the
+    duplicated tree, a per-query constant measured at several seconds
+    (r13 — the f06 watch item). Building both keys from one parts dict
+    keeps the expression tree ~the size of canonical_url itself."""
     u = F.trim(_col(c))
     u = F.regexp_replace(u, "#.*$", "")  # fragment
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
@@ -147,7 +167,7 @@ def canonical_url(c: Column | str) -> Column:
     port = F.when(
         _v6, F.regexp_extract(hostport, r"\]:(\d+)$", 1)
     ).otherwise(F.regexp_extract(hostport, r":(\d+)$", 1))
-    port = F.when(
+    port_sfx = F.when(
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
         | (port == ""),
@@ -183,11 +203,15 @@ def canonical_url(c: Column | str) -> Column:
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
-    return F.when(
-        scheme == "", u  # not an absolute URL: pass through untouched
-    ).otherwise(
-        F.concat(scheme, F.lit("://"), host, port, canon_path, canon_query)
-    )
+    return {
+        "u": u,
+        "scheme": scheme,
+        "_v6": _v6,
+        "host": host,
+        "port_sfx": port_sfx,
+        "canon_path": canon_path,
+        "canon_query": canon_query,
+    }
 
 
 def surt_key(c: Column | str, strip_www: bool = True) -> Column:
@@ -203,28 +227,19 @@ def surt_key(c: Column | str, strip_www: bool = True) -> Column:
     or a frontier sort on; the Common Crawl columnar index ships
     exactly this column as ``url_surtkey``).
 
-    Builds on :func:`canonical_url`, so scheme/host case, default
+    Builds on the :func:`canonical_url` parse (one SHARED parts dict —
+    r13: the key used to be assembled by re-parsing canonical_url's
+    output string, which nested the whole canonicalization expression
+    tree at every component reference and made Catalyst analysis a
+    multi-second per-query constant), so scheme/host case, default
     ports, dot-segments, and query order are already normalized;
     ``strip_www`` (default, matching the CDX convention) drops one
     leading ``www``/``www2``-style label when more labels remain. The
     scheme is dropped (http and https collapse — the CDX convention;
     keep ``canonical_url`` when the distinction matters). Non-URLs
     pass through untouched like canonical_url; NULL in → NULL out."""
-    u = canonical_url(c)
-    has_scheme = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
-    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    auth = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    # canonical_url already drops userinfo from its OUTPUT, but surt_key
-    # re-splits the ORIGINAL when its input wasn't canonicalizable —
-    # strip userinfo here too so both entry paths agree (r13)
-    hostport = F.regexp_replace(auth, r"^[^/?#]*@", "")
-    _v6 = hostport.startswith("[")
-    host = F.when(
-        _v6, F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
-    ).otherwise(F.regexp_extract(hostport, r"^([^:]*)", 1))
-    port = F.when(
-        _v6, F.regexp_extract(hostport, r"\]:(\d+)$", 1)
-    ).otherwise(F.regexp_extract(hostport, r":(\d+)$", 1))
+    p = _url_parts(c)
+    host = p["host"]
     if strip_www:
         host = F.when(
             host.rlike(r"^www\d*\..+\."),
@@ -234,18 +249,16 @@ def surt_key(c: Column | str, strip_www: bool = True) -> Column:
     # reversal is for DNS hierarchies; reversing an address is
     # meaningless) — bracketed IPv6 and dotted-quad IPv4 alike
     rev = F.when(
-        _v6 | host.rlike(r"^\d+\.\d+\.\d+\.\d+$"),
+        p["_v6"] | host.rlike(r"^\d+\.\d+\.\d+\.\d+$"),
         host,
     ).otherwise(
         F.array_join(F.reverse(F.split(host, r"\.")), ",")
     )
-    pathq = _substr_from(rest, F.length(auth) + 1)
     key = F.concat(
         rev,
-        F.when(port == "", F.lit("")).otherwise(
-            F.concat(F.lit(":"), port)
-        ),
+        p["port_sfx"],  # already default-stripped, ':'-prefixed
         F.lit(")"),
-        pathq,
+        p["canon_path"],
+        p["canon_query"],
     )
-    return F.when(has_scheme, key).otherwise(u)
+    return F.when(p["scheme"] == "", p["u"]).otherwise(key)
