@@ -34,6 +34,49 @@ from __future__ import annotations
 
 import os
 
+#: cached boto3 clients keyed by endpoint (driver-side single-object
+#: ops — one client per process is plenty)
+_S3_CLIENTS: dict = {}
+
+
+def _s3(path: str):
+    """(client, bucket, key) for an ``s3://`` path, or None.
+
+    The Hadoop route (:func:`_fs_path`) is the preferred seam — an
+    ``s3a://`` path with hadoop-aws on the classpath goes through it
+    unchanged. This branch covers the deployment WITHOUT the hadoop-aws
+    jar (this container): plain ``s3://`` URIs are served through
+    boto3 directly against the S3 API (endpoint from
+    ``AWS_ENDPOINT_URL`` — a MinIO/moto endpoint in tests), so the
+    single-object connectors run against a REAL object store with true
+    non-atomic rename semantics. Import-gated: with no boto3 the path
+    falls through to the Hadoop/local route and fails with the normal
+    unknown-scheme error."""
+    if not path.startswith("s3://"):
+        return None
+    try:
+        import boto3
+    except Exception:
+        return None
+    endpoint = os.environ.get("AWS_ENDPOINT_URL")
+    client = _S3_CLIENTS.get(endpoint)
+    if client is None:
+        client = boto3.client("s3", endpoint_url=endpoint)
+        _S3_CLIENTS[endpoint] = client
+    bucket, _, key = path[5:].partition("/")
+    return client, bucket, key
+
+
+def _s3_exists(client, bucket: str, key: str) -> bool:
+    try:
+        client.head_object(Bucket=bucket, Key=key)
+        return True
+    except Exception as e:
+        code = getattr(e, "response", {}).get("Error", {}).get("Code")
+        if code in ("404", "NoSuchKey", "NotFound"):
+            return False
+        raise
+
 
 def _fs_path(path: str):
     """(Hadoop FileSystem, Path) for ``path`` via the active session,
@@ -68,6 +111,9 @@ def _fs_path(path: str):
 
 
 def exists(path: str) -> bool:
+    s3 = _s3(path)
+    if s3 is not None:
+        return _s3_exists(*s3)
     fs, p = _fs_path(path)
     if fs is None:
         return os.path.exists(path)
@@ -77,6 +123,16 @@ def exists(path: str) -> bool:
 def write_bytes(path: str, data: bytes, overwrite: bool = False) -> None:
     """Create ``path`` holding exactly ``data`` (parents implied — the
     FS API creates them; the local fallback makedirs)."""
+    s3 = _s3(path)
+    if s3 is not None:
+        client, bucket, key = s3
+        # probe-then-put: S3 has no create-exclusive, so the guard is
+        # the same check-first the reference's overwrite guard runs
+        # (object_lib.py:196-209 string_to_s3_object + s3_object_exists)
+        if not overwrite and _s3_exists(client, bucket, key):
+            raise FileExistsError(f"Object already exists: {path}")
+        client.put_object(Bucket=bucket, Key=key, Body=data)
+        return
     fs, p = _fs_path(path)
     if fs is None:
         if not overwrite and os.path.exists(path):
@@ -118,9 +174,45 @@ class _FsWriter:
         self.close()
 
 
+class _S3Writer:
+    """Chunked writer onto an S3 object: chunks buffer in memory and
+    the object lands in ONE put at close — the visibility contract the
+    spool+rename pattern wants anyway (S3 objects are all-or-nothing;
+    a production variant would switch to multipart upload past the
+    5 MB part threshold, same semantics)."""
+
+    def __init__(self, client, bucket: str, key: str):
+        self._client = client
+        self._bucket = bucket
+        self._key = key
+        self._buf = bytearray()
+
+    def write(self, chunk: bytes) -> None:
+        self._buf += chunk
+
+    def close(self) -> None:
+        if self._buf is not None:
+            self._client.put_object(
+                Bucket=self._bucket, Key=self._key, Body=bytes(self._buf)
+            )
+            self._buf = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def open_output(path: str, overwrite: bool = True):
-    """A chunk-writable stream at ``path`` (context manager), FS-backed
-    when a session is active, plain file otherwise."""
+    """A chunk-writable stream at ``path`` (context manager), S3- or
+    FS-backed as the scheme resolves, plain file otherwise."""
+    s3 = _s3(path)
+    if s3 is not None:
+        client, bucket, key = s3
+        if not overwrite and _s3_exists(client, bucket, key):
+            raise FileExistsError(f"Object already exists: {path}")
+        return _S3Writer(client, bucket, key)
     fs, p = _fs_path(path)
     if fs is None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -142,7 +234,47 @@ def rename(src: str, dst: str, overwrite: bool = False) -> None:
       API): the old object is PARKED under a side name first, the new
       object renamed in, then the side name deleted — a crash at any
       point leaves at least one complete object recoverable, never
-      zero."""
+      zero;
+    - ``s3://`` via boto3 (see :func:`_s3`): rename IS copy+delete on
+      S3 — the same park-the-old ordering, each copy itself
+      all-or-nothing."""
+    s3 = _s3(src)
+    if s3 is not None:
+        client, bucket, key = s3
+        _, dbucket, dkey = _s3(dst)
+        if not _s3_exists(client, bucket, key):
+            raise OSError(f"rename failed: {src} -> {dst}: no source")
+        if _s3_exists(client, dbucket, dkey):
+            if not overwrite:
+                raise FileExistsError(
+                    f"rename destination exists: {dst}"
+                )
+            side = dkey + ".~replaced~"
+            client.copy_object(
+                Bucket=dbucket, Key=side,
+                CopySource={"Bucket": dbucket, "Key": dkey},
+            )
+            try:
+                client.copy_object(
+                    Bucket=dbucket, Key=dkey,
+                    CopySource={"Bucket": bucket, "Key": key},
+                )
+            except Exception as e:
+                client.copy_object(
+                    Bucket=dbucket, Key=dkey,
+                    CopySource={"Bucket": dbucket, "Key": side},
+                )
+                raise OSError(
+                    f"rename failed: {src} -> {dst}: {e}"
+                ) from e
+            client.delete_object(Bucket=dbucket, Key=side)
+        else:
+            client.copy_object(
+                Bucket=dbucket, Key=dkey,
+                CopySource={"Bucket": bucket, "Key": key},
+            )
+        client.delete_object(Bucket=bucket, Key=key)
+        return
     fs, p = _fs_path(src)
     if fs is None:
         if overwrite:
@@ -195,6 +327,30 @@ def rename(src: str, dst: str, overwrite: bool = False) -> None:
 
 def delete(path: str, recursive: bool = False) -> bool:
     """Remove ``path`` if present; True when something was deleted."""
+    s3 = _s3(path)
+    if s3 is not None:
+        client, bucket, key = s3
+        if recursive:
+            deleted = False
+            pager = client.get_paginator("list_objects_v2")
+            prefix = key.rstrip("/") + "/"
+            for page in pager.paginate(Bucket=bucket, Prefix=prefix):
+                objs = [
+                    {"Key": o["Key"]} for o in page.get("Contents", [])
+                ]
+                if objs:
+                    client.delete_objects(
+                        Bucket=bucket, Delete={"Objects": objs}
+                    )
+                    deleted = True
+            if _s3_exists(client, bucket, key):
+                client.delete_object(Bucket=bucket, Key=key)
+                deleted = True
+            return deleted
+        if not _s3_exists(client, bucket, key):
+            return False
+        client.delete_object(Bucket=bucket, Key=key)
+        return True
     fs, p = _fs_path(path)
     if fs is None:
         if not os.path.exists(path):
