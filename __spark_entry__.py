@@ -2698,6 +2698,62 @@ def q_a36_hll_exact_twin(spark, sf_dir):
     )
 
 
+def q_x39_charset_decode(spark, sf_dir):
+    """Charset-aware payload→text intake (text.decode_payloads, r13 —
+    the HTML5 §13.2.3 prescan order): real crawls are NOT UTF-8, and a
+    blind cast mojibakes Latin-1/Windows-1252/UTF-16 pages before
+    language-ID and fingerprint dedup ever see them. Six regimes
+    rotate by doc_id: declared UTF-8, declared ISO-8859-1 (quoted
+    charset token), Windows-1252 with REAL C1 printables (€ ™ — NOT
+    Latin-1 control chars; one translate over the latin decode),
+    UTF-16LE behind a BOM with a silent Content-Type, <meta charset>
+    prescan when the header is silent, and an unknown charset name
+    falling back to UTF-8. Payload BYTES are constructed in Catalyst
+    (encode + literal C1 bytes) and DuckDB builds the EXPECTED decoded
+    strings and charset labels directly from doc_id — the whole
+    precedence ladder and every decode branch is hash-checked. Pure
+    map-side projections, no UDF, no shuffle."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    m = d % 6
+    s0 = F.concat(F.lit("Résumé №"), ds)
+    s1 = F.concat(F.lit("Café °"), ds)
+    s3 = F.concat(F.lit("Ünïcode "), ds)
+    s4 = F.concat(F.lit('<meta charset="iso-8859-1">café '), ds)
+    s5 = F.concat(F.lit("plain "), ds)
+    payload = (
+        F.when(m == 0, F.encode(s0, "UTF-8"))
+        .when(m == 1, F.encode(s1, "ISO-8859-1"))
+        .when(m == 2, F.concat(
+            F.encode(F.lit("price "), "UTF-8"),
+            F.lit(b"\x80"),  # cp1252 €
+            F.encode(ds, "UTF-8"),
+            F.lit(b"\x99"),  # cp1252 ™
+        ))
+        .when(m == 3, F.concat(
+            F.lit(b"\xff\xfe"), F.encode(s3, "UTF-16LE")
+        ))
+        .when(m == 4, F.encode(s4, "ISO-8859-1"))
+        .otherwise(F.encode(s5, "UTF-8"))
+    )
+    mime = (
+        F.when(m == 0, F.lit("text/html; charset=utf-8"))
+        .when(m == 1, F.lit('text/html; charset="ISO-8859-1"'))
+        .when(m == 2, F.lit("text/html; charset=cp1252"))
+        .when(m == 5, F.lit("text/html; charset=klingon"))
+        .otherwise(F.lit("text/html"))
+    )
+    built = docs.select(
+        "doc_id", payload.alias("payload"), mime.alias("mime")
+    )
+    return (
+        text.decode_payloads(built)
+        .select("doc_id", "charset", "text")
+        .orderBy("doc_id")
+    )
+
+
 def q_e16_pq_exact(spark, sf_dir):
     """PQ under an EXACT hash oracle (r13 — the e09 construction trick
     applied to Product Quantization): the corpus is BUILT so each
@@ -7034,6 +7090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m29_warc_revisit_resolution": q_m29_warc_revisit_resolution,
     "a36_hll_exact_twin": q_a36_hll_exact_twin,
     "e16_pq_exact": q_e16_pq_exact,
+    "x39_charset_decode": q_x39_charset_decode,
     # p12 RELOCATED up (not new): validate_events gained the lineage
     # UUID shape check this round, and p12's regimes were rebuilt
     # around it — its oracle row must be inside the recorded window
@@ -7081,7 +7138,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
     "s23_fetch_schedule": q_s23_fetch_schedule,
     "x34_fix_mojibake": q_x34_fix_mojibake,
-    "s25_sitemap_discovery": q_s25_sitemap_discovery,
     "g01_pagerank": q_g01_pagerank,
     "g02_hits": q_g02_hits,
     "f05_html_links": q_f05_html_links,
@@ -7096,6 +7152,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x30_split_assign": q_x30_split_assign,
     "s21_robots_filter": q_s21_robots_filter,
     "x31_corpus_report": q_x31_corpus_report,
+    # s25 displaced here from the round-10 section (multi-round green
+    # r10-r12, sources/sitemap.py unchanged in r13) to make room for
+    # the new x39 without pushing changed-this-round f04 past the cap
+    "s25_sitemap_discovery": q_s25_sitemap_discovery,
     # x28 displaced here from the round-9 section (multi-round green
     # r9-r12, operator unchanged in r13) to make room for p12's
     # relocation without pushing changed-this-round f04 past the cap
@@ -9586,6 +9646,29 @@ def oracle_sql() -> dict[str, str]:
         # differs (zst store-mode frames vs gzip members); the
         # closed form is transport-blind by construction
         "m28_wet_zst_pipeline": _M25_WET_SQL,
+        "x39_charset_decode": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 1 THEN 'iso-8859-1'
+                     WHEN 2 THEN 'windows-1252'
+                     WHEN 3 THEN 'utf-16le'
+                     WHEN 4 THEN 'iso-8859-1'
+                     ELSE 'utf-8' END AS charset,
+                   CASE CAST(doc_id % 6 AS INT)
+                     WHEN 0 THEN 'R\u00e9sum\u00e9 \u2116'
+                       || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN 'Caf\u00e9 \u00b0'
+                       || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN 'price \u20ac'
+                       || CAST(doc_id AS VARCHAR) || '\u2122'
+                     WHEN 3 THEN '\u00dcn\u00efcode '
+                       || CAST(doc_id AS VARCHAR)
+                     WHEN 4 THEN '<meta charset="iso-8859-1">caf\u00e9 '
+                       || CAST(doc_id AS VARCHAR)
+                     ELSE 'plain ' || CAST(doc_id AS VARCHAR)
+                   END AS text
+            FROM documents ORDER BY doc_id
+        """,
         "a36_hll_exact_twin": """
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT)

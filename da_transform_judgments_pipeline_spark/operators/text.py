@@ -46,6 +46,135 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
 
 
+#: cp1252's C1 range (0x80-0x9F): the 27 printable assignments where
+#: Windows-1252 differs from ISO-8859-1 (which maps them to control
+#: characters) — € ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ' ' " " • – — ˜ ™ š › œ ž Ÿ.
+#: Built from Python's own cp1252 codec so the table can't drift.
+_CP1252_FROM = ""
+_CP1252_TO = ""
+for _c in range(0x80, 0xA0):
+    try:
+        _ch = bytes([_c]).decode("cp1252")
+    except UnicodeDecodeError:  # 0x81 0x8D 0x8F 0x90 0x9D: undefined
+        continue
+    _CP1252_FROM += chr(_c)
+    _CP1252_TO += _ch
+
+
+def decode_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    mime_col: str = "mime",
+    text_col: str = "text",
+    charset_col: str = "charset",
+) -> DataFrame:
+    """Charset-aware payload→text intake (r13) — the HTML5 §13.2.3
+    prescan order, deterministic core. Real crawls are NOT UTF-8: a
+    plain ``payload.cast("string")`` turns every Latin-1/Windows-1252/
+    UTF-16 page into mojibake BEFORE language-ID, quality signals, and
+    fingerprint dedup ever see it. Precedence (first hit wins):
+
+    1. **BOM** — FF FE → UTF-16LE, FE FF → UTF-16BE, EF BB BF → UTF-8
+       (stripped before decoding; a BOM overrides any declared name);
+    2. **Content-Type** ``charset=`` parameter from ``mime_col``;
+    3. **``<meta charset>``** inside the first 1024 bytes (the HTML5
+       prescan window — ASCII-compatible by construction);
+    4. **UTF-8 fallback** (also covers ascii/us-ascii and unknown
+       names — the web's declared-charset long tail is mostly lies).
+
+    Windows-1252 decodes as REAL cp1252, not Latin-1: the C1 range's
+    27 printable assignments are applied via one ``translate`` over
+    the ISO-8859-1 decode (€ " — ™ …); pair with
+    :func:`fix_mojibake` for UNDECLARED cp1252 masquerading as UTF-8.
+    UTF-16 bodies with an odd byte length fall back to the raw cast
+    (structurally malformed); interior malformed sequences raise under
+    ANSI — set ``spark.sql.legacy.codingErrorAction=true`` for the
+    replacement-character posture when ingesting hostile corpora.
+
+    Adds ``charset_col`` (the canonical charset actually used — the
+    audit column) and ``text_col``. Pure Catalyst projections staged
+    per the stage-before-reference rule; map-side, no shuffle, no UDF.
+    """
+    p = F.col(payload_col)
+    bom16le = F.substring(p, 1, 2) == F.lit(b"\xff\xfe")
+    bom16be = F.substring(p, 1, 2) == F.lit(b"\xfe\xff")
+    bom8 = F.substring(p, 1, 3) == F.lit(b"\xef\xbb\xbf")
+    head = F.substring(p, 1, 1024).cast("string")
+    decl = F.lower(
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    F.coalesce(F.col(mime_col), F.lit("")),
+                    r"(?i)charset=['\"]?\s*([A-Za-z0-9_\-]+)", 1,
+                ),
+                F.lit(""),
+            ),
+            F.nullif(
+                F.regexp_extract(
+                    head,
+                    r"(?i)<meta[^>]{0,200}?charset\s*=\s*['\"]?"
+                    r"([A-Za-z0-9_\-]+)", 1,
+                ),
+                F.lit(""),
+            ),
+            F.lit(""),
+        )
+    )
+    canon = (
+        F.when(
+            decl.isin("iso-8859-1", "iso8859-1", "latin-1", "latin1", "l1"),
+            F.lit("iso-8859-1"),
+        )
+        .when(
+            decl.isin("windows-1252", "cp1252", "x-cp1252"),
+            F.lit("windows-1252"),
+        )
+        .when(decl == "utf-16le", F.lit("utf-16le"))
+        .when(decl == "utf-16be", F.lit("utf-16be"))
+        # bare "utf-16" without a BOM is little-endian on the real web
+        # (the HTML5 rule: BOM-sniff, else LE)
+        .when(decl == "utf-16", F.lit("utf-16le"))
+        .otherwise(F.lit("utf-8"))
+    )
+    charset = (
+        F.when(bom8, F.lit("utf-8"))
+        .when(bom16le, F.lit("utf-16le"))
+        .when(bom16be, F.lit("utf-16be"))
+        .otherwise(canon)
+    )
+    out = df.withColumn(charset_col, charset)
+    body = (
+        F.when(bom8, F.substring(p, 4, F.length(p)))
+        .when(bom16le | bom16be, F.substring(p, 3, F.length(p)))
+        .otherwise(p)
+    )
+    out = out.withColumn("_cs_body", body)
+    b = F.col("_cs_body")
+    cs = F.col(charset_col)
+    latin = F.decode(b, "ISO-8859-1")
+    text = (
+        F.when(cs == "iso-8859-1", latin)
+        .when(
+            cs == "windows-1252",
+            F.translate(latin, _CP1252_FROM, _CP1252_TO),
+        )
+        .when(
+            cs == "utf-16le",
+            F.when(
+                F.length(b) % 2 == 0, F.decode(b, "UTF-16LE")
+            ).otherwise(b.cast("string")),
+        )
+        .when(
+            cs == "utf-16be",
+            F.when(
+                F.length(b) % 2 == 0, F.decode(b, "UTF-16BE")
+            ).otherwise(b.cast("string")),
+        )
+        .otherwise(b.cast("string"))
+    )
+    return out.withColumn(text_col, text).drop("_cs_body")
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features + a composite quality score.
 

@@ -432,6 +432,11 @@ def _parse_one(member: bytes) -> tuple[dict, int]:
         "payload_digest": want,
         "transfer_encoding": tenc,
         "content_encoding": cenc,
+        # the CC convention truncates payloads at a size cap and marks
+        # WARC-Truncated: length — a truncated page is NOT the document
+        # (dedup fingerprints and quality signals on it are wrong), so
+        # the reason must ride the row for consumers to filter on
+        "truncated": headers.get("warc-truncated"),
     }
     used = sep + 4 + length
     # consume the two CRLFs separating records (tolerate their absence
@@ -461,7 +466,8 @@ WARC_RECORD_SCHEMA = (
     " date string, target_uri string, http_status int, mime string,"
     " location string, payload binary, payload_len int,"
     " digest_ok boolean, refers_to string, payload_digest string,"
-    " transfer_encoding string, content_encoding string"
+    " transfer_encoding string, content_encoding string,"
+    " truncated string"
 )
 
 
@@ -497,7 +503,7 @@ def warc_records(
         "file_id", "pos", "warc_type", "record_id", "date", "target_uri",
         "http_status", "mime", "location", "payload", "payload_len",
         "digest_ok", "refers_to", "payload_digest",
-        "transfer_encoding", "content_encoding",
+        "transfer_encoding", "content_encoding", "truncated",
     ] + (["error"] if report else [])
 
     def run(batches):
@@ -526,6 +532,7 @@ def warc_records(
                             "payload_digest": r["payload_digest"],
                             "transfer_encoding": r["transfer_encoding"],
                             "content_encoding": r["content_encoding"],
+                            "truncated": r["truncated"],
                             **({"error": None} if report else {}),
                         })
                 except Exception as e:
@@ -775,17 +782,22 @@ def build_warc_gz(
             f"Content-Type: {ctype}\r\n{loc_hdr}{enc_hdr}"
             f"{frame_hdr}\r\n"
         ).encode("latin-1") + body
-        members.append(_record(
-            [
-                ("WARC-Type", "response"),
-                ("WARC-Record-ID", rid),
-                ("WARC-Date", r["date"]),
-                ("WARC-Target-URI", r["url"]),
-                ("WARC-Payload-Digest", f"sha1:{stored_digest}"),
-                ("Content-Type", "application/http; msgtype=response"),
-            ],
-            http,
-        ))
+        warc_headers = [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", rid),
+            ("WARC-Date", r["date"]),
+            ("WARC-Target-URI", r["url"]),
+            ("WARC-Payload-Digest", f"sha1:{stored_digest}"),
+        ]
+        if r.get("truncated"):
+            # CC convention: payload cut at the crawler's size cap —
+            # the caller passes the ALREADY-truncated payload; the
+            # digest covers the stored (truncated) bytes, per spec
+            warc_headers.append(("WARC-Truncated", r["truncated"]))
+        warc_headers.append(
+            ("Content-Type", "application/http; msgtype=response")
+        )
+        members.append(_record(warc_headers, http))
     if gzip_members:
         return b"".join(_gzip_member(m) for m in members)
     return b"".join(members)

@@ -1363,6 +1363,60 @@ def test_ngram_dup_union_fractions_closed_form(spark):
             assert 0.0 <= r[f"dup{n}_union_frac"] <= 1.0
 
 
+def test_decode_payloads_charsets(spark):
+    """r13 charset-aware intake: BOM > Content-Type charset > <meta
+    charset> > UTF-8; Windows-1252 decodes its C1 range as the REAL
+    cp1252 printables (not Latin-1 control chars); bare utf-16 without
+    a BOM is LE; odd-length utf-16 falls back to the raw cast instead
+    of raising; unknown names fall back to UTF-8."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        decode_payloads,
+    )
+
+    s = "Résumé №7 — §2"
+    cases = [
+        # (payload, mime, want_charset, want_text)
+        (s.encode("utf-8"), "text/html; charset=utf-8", "utf-8", s),
+        ("Résumé °7".encode("latin-1"),
+         'text/html; charset="ISO-8859-1"', "iso-8859-1", "Résumé °7"),
+        ("price €9 — 'ok'™".encode("cp1252"),
+         "text/html; charset=windows-1252", "windows-1252",
+         "price €9 — 'ok'™"),
+        (b"\xff\xfe" + s.encode("utf-16-le"), "text/html",
+         "utf-16le", s),
+        (b"\xfe\xff" + s.encode("utf-16-be"), "text/html",
+         "utf-16be", s),
+        # BOM beats a lying Content-Type
+        (b"\xef\xbb\xbf" + s.encode("utf-8"),
+         "text/html; charset=utf-16le", "utf-8", s),
+        # meta prescan when the Content-Type is silent
+        (('<html><head><meta charset="iso-8859-1"></head><body>é'
+          ).encode("latin-1"), "text/html", "iso-8859-1",
+         '<html><head><meta charset="iso-8859-1"></head><body>é'),
+        # bare utf-16 declaration, no BOM -> LE (the HTML5 rule)
+        (s.encode("utf-16-le"), "text/html; charset=utf-16",
+         "utf-16le", s),
+        # unknown charset name -> utf-8 fallback
+        (s.encode("utf-8"), "text/html; charset=x-mystery", "utf-8", s),
+        # structurally malformed utf-16 (odd length) -> raw cast
+        (b"A\x00B", "text/html; charset=utf-16le", "utf-16le", None),
+        (None, None, "utf-8", None),  # NULL payload stays NULL
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p) if p is not None else None, m)
+         for i, (p, m, _, _) in enumerate(cases)],
+        "i int, payload binary, mime string",
+    )
+    rows = {r["i"]: r for r in decode_payloads(df).collect()}
+    for i, (_, _, want_cs, want_text) in enumerate(cases):
+        if cases[i][0] is not None:
+            assert rows[i]["charset"] == want_cs, (i, rows[i]["charset"])
+        if want_text is not None:
+            assert rows[i]["text"] == want_text, (i, rows[i]["text"])
+    assert rows[10]["text"] is None
+    assert rows[9]["text"] is not None  # odd utf-16: raw cast, no raise
+
+
 def test_fix_mojibake_planted_and_noop(spark):
     """fix_mojibake: planted cp1252 double-encodings repair to the
     original text (2- and 3-char digraphs, longest-first), clean

@@ -125,6 +125,36 @@ def test_revisit_records_parse():
     assert orig["digest_ok"] is True
 
 
+def test_warc_truncated_surfaces(spark):
+    """r13: the CC size-cap convention — WARC-Truncated: length rides
+    the row so consumers can exclude cut payloads from fingerprints and
+    quality signals; the digest covers the stored (truncated) bytes."""
+    full = b"<html><body>" + b"x" * 200 + b"</body></html>"
+    recs = W.parse_warc(W.build_warc_gz([
+        {"url": "https://h.example/cut", "date": "2021-03-04T05:06:07Z",
+         "payload": full[:64], "truncated": "length"},
+        {"url": "https://h.example/whole",
+         "date": "2021-03-04T05:06:07Z", "payload": full},
+    ]))
+    cut, whole = recs[1], recs[2]
+    assert cut["truncated"] == "length"
+    assert cut["digest_ok"] is True  # digest over the stored bytes
+    assert cut["payload"] == full[:64]
+    assert whole["truncated"] is None
+    files = spark.createDataFrame(
+        [(1, bytearray(W.build_warc_gz([
+            {"url": "https://h.example/cut",
+             "date": "2021-03-04T05:06:07Z",
+             "payload": full[:64], "truncated": "length"},
+        ])))],
+        "file_id long, content binary",
+    )
+    row = W.warc_records(files).filter(
+        W.F.col("warc_type") == "response"
+    ).collect()[0]
+    assert row["truncated"] == "length"
+
+
 def test_resolve_revisits(spark):
     """resolve_revisits: mirror revisits join their referent (digest
     cross-checked), stale claims surface digest_match=False, dangling
