@@ -2754,6 +2754,71 @@ def q_x39_charset_decode(spark, sf_dir):
     )
 
 
+def q_x40_page_directives(spark, sf_dir):
+    """Page-level crawl directives (r13): ``<link rel="canonical">`` —
+    the publisher's own dedup declaration (mirrors/tracking-variant/
+    pagination URLs collapse to one canonical BEFORE content
+    fingerprints run) — and ``<meta name="robots">`` (noindex pages
+    are fetched-but-not-corpus, nofollow pages feed no discovery).
+    Five regimes rotate by doc_id: rel-then-href canonical with an
+    absolute target, href-then-rel with a ROOT-RELATIVE target
+    (resolved against the page URL via text.resolve_link), a
+    noindex,nofollow meta (spaces normalized away), a content-first
+    INDEX,FOLLOW meta (case folded), and a page with neither (NULLs,
+    booleans false). DuckDB builds every output closed-form from
+    doc_id; both extractors are Java-regex ∩ RE2 Catalyst projections
+    — map-side, no UDF."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    m = d % 5
+    page = F.concat(
+        F.lit("https://site"), (d % 7).cast("string"),
+        F.lit(".example/a/page"), ds,
+    )
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html><head><link rel="canonical"'
+                  ' href="https://canon.example/p'), ds,
+            F.lit('"></head><body><p>x</p></body></html>'),
+        ))
+        .when(m == 1, F.concat(
+            F.lit('<html><head><link href="/c/'), ds,
+            F.lit('" rel=canonical></head><body>y</body></html>'),
+        ))
+        .when(m == 2, F.lit(
+            '<html><head><meta name="robots" content="noindex,'
+            ' nofollow"></head><body>z</body></html>'
+        ))
+        .when(m == 3, F.lit(
+            '<html><head><meta content="INDEX, FOLLOW" name=robots>'
+            '</head><body>w</body></html>'
+        ))
+        .otherwise(F.lit("<html><body>plain</body></html>"))
+    )
+    built = docs.select(
+        "doc_id", page.alias("page_url"), html.alias("html")
+    )
+    href = text.html_canonical_link(F.col("html"))
+    robots = text.html_meta_robots(F.col("html"))
+    return built.select(
+        "doc_id",
+        href.alias("canonical_href"),
+        text.resolve_link(F.col("page_url"), href).alias(
+            "canonical_resolved"
+        ),
+        robots.alias("robots_directives"),
+        F.coalesce(
+            F.array_contains(F.split(robots, ","), "noindex"),
+            F.lit(False),
+        ).alias("noindex"),
+        F.coalesce(
+            F.array_contains(F.split(robots, ","), "nofollow"),
+            F.lit(False),
+        ).alias("nofollow"),
+    ).orderBy("doc_id")
+
+
 def q_e16_pq_exact(spark, sf_dir):
     """PQ under an EXACT hash oracle (r13 — the e09 construction trick
     applied to Product Quantization): the corpus is BUILT so each
@@ -7091,6 +7156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a36_hll_exact_twin": q_a36_hll_exact_twin,
     "e16_pq_exact": q_e16_pq_exact,
     "x39_charset_decode": q_x39_charset_decode,
+    "x40_page_directives": q_x40_page_directives,
     # p12 RELOCATED up (not new): validate_events gained the lineage
     # UUID shape check this round, and p12's regimes were rebuilt
     # around it — its oracle row must be inside the recorded window
@@ -7137,7 +7203,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
     "s23_fetch_schedule": q_s23_fetch_schedule,
-    "x34_fix_mojibake": q_x34_fix_mojibake,
     "g01_pagerank": q_g01_pagerank,
     "g02_hits": q_g02_hits,
     "f05_html_links": q_f05_html_links,
@@ -7152,6 +7217,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x30_split_assign": q_x30_split_assign,
     "s21_robots_filter": q_s21_robots_filter,
     "x31_corpus_report": q_x31_corpus_report,
+    # x34 displaced here from the round-10 section (multi-round green
+    # r10-r12, fix_mojibake unchanged in r13) to make room for the new
+    # x40 without pushing changed-this-round f04 past the cap
+    "x34_fix_mojibake": q_x34_fix_mojibake,
     # s25 displaced here from the round-10 section (multi-round green
     # r10-r12, sources/sitemap.py unchanged in r13) to make room for
     # the new x39 without pushing changed-this-round f04 past the cap
@@ -9646,6 +9715,28 @@ def oracle_sql() -> dict[str, str]:
         # differs (zst store-mode frames vs gzip members); the
         # closed form is transport-blind by construction
         "m28_wet_zst_pipeline": _M25_WET_SQL,
+        "x40_page_directives": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 5 AS INT)
+                     WHEN 0 THEN 'https://canon.example/p'
+                       || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN '/c/' || CAST(doc_id AS VARCHAR)
+                   END AS canonical_href,
+                   CASE CAST(doc_id % 5 AS INT)
+                     WHEN 0 THEN 'https://canon.example/p'
+                       || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN 'https://site'
+                       || CAST(doc_id % 7 AS VARCHAR) || '.example/c/'
+                       || CAST(doc_id AS VARCHAR)
+                   END AS canonical_resolved,
+                   CASE CAST(doc_id % 5 AS INT)
+                     WHEN 2 THEN 'noindex,nofollow'
+                     WHEN 3 THEN 'index,follow'
+                   END AS robots_directives,
+                   (doc_id % 5 = 2) AS noindex,
+                   (doc_id % 5 = 2) AS nofollow
+            FROM documents ORDER BY doc_id
+        """,
         "x39_charset_decode": """
             SELECT doc_id,
                    CASE CAST(doc_id % 6 AS INT)

@@ -2687,6 +2687,60 @@ def html_links(col: Column | str) -> Column:
     )
 
 
+def html_canonical_link(col: Column | str) -> Column:
+    """The ``<link rel="canonical" href=...>`` target of an HTML page,
+    or NULL — the publisher's OWN dedup declaration (the Google
+    convention): mirrors, tracking-parameter variants and paginated
+    views all point at one canonical URL, and a crawl that honors it
+    collapses them BEFORE content fingerprints ever run. Both
+    attribute orders (rel-then-href and href-then-rel) and all three
+    legal quote shells handled; the first declaration wins (the
+    convention when a broken page carries several). Pure Catalyst —
+    Java-regex ∩ RE2, so a DuckDB oracle runs the identical
+    extraction. Resolve the result with :func:`resolve_link` +
+    ``canonical_url`` like any discovery href; never trust it blindly
+    cross-host (canonical-to-elsewhere is a known spam vector — policy
+    belongs to the caller)."""
+    c = F.col(col) if isinstance(col, str) else col
+    rel_first = F.regexp_extract(
+        c,
+        r"(?i)<link[^>]*rel\s*=\s*['\"]?canonical['\"]?[^>]*"
+        r"href\s*=\s*['\"]?([^'\"\s>]+)", 1,
+    )
+    href_first = F.regexp_extract(
+        c,
+        r"(?i)<link[^>]*href\s*=\s*['\"]?([^'\"\s>]+)['\"]?[^>]*"
+        r"rel\s*=\s*['\"]?canonical", 1,
+    )
+    out = F.coalesce(F.nullif(rel_first, F.lit("")),
+                     F.nullif(href_first, F.lit("")))
+    return out
+
+
+def html_meta_robots(col: Column | str) -> Column:
+    """The ``<meta name="robots" content=...>`` directive list of an
+    HTML page, lowercased and whitespace-normalized (``'noindex,
+    nofollow'`` → ``'noindex,nofollow'``), or NULL when absent — the
+    page-level exclusion protocol that complements robots.txt: a
+    ``noindex`` page is fetched but must NOT enter the corpus, a
+    ``nofollow`` page's links must not feed discovery. Check with
+    ``F.array_contains(F.split(col, ','), 'noindex')``. First
+    declaration wins; pure Catalyst."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.regexp_extract(
+        c,
+        r"(?i)<meta[^>]*name\s*=\s*['\"]?robots['\"]?[^>]*"
+        r"content\s*=\s*['\"]([^'\"]*)", 1,
+    )
+    raw2 = F.regexp_extract(
+        c,
+        r"(?i)<meta[^>]*content\s*=\s*['\"]([^'\"]*)['\"][^>]*"
+        r"name\s*=\s*['\"]?robots", 1,
+    )
+    got = F.coalesce(F.nullif(raw, F.lit("")), F.nullif(raw2, F.lit("")))
+    return F.lower(F.regexp_replace(got, r"\s+", ""))
+
+
 def resolve_link(
     base_url: Column | str,
     href: Column | str,

@@ -1363,6 +1363,48 @@ def test_ngram_dup_union_fractions_closed_form(spark):
             assert 0.0 <= r[f"dup{n}_union_frac"] <= 1.0
 
 
+def test_html_page_directives(spark):
+    """r13 page-level crawl directives: canonical link extraction
+    handles both attribute orders and all quote shells, first
+    declaration wins, meta robots folds case and whitespace, absence
+    is NULL."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        html_canonical_link,
+        html_meta_robots,
+    )
+
+    cases = [
+        ('<link rel="canonical" href="https://a/x">', "https://a/x", None),
+        ("<link href='/y' rel='canonical'>", "/y", None),
+        ("<LINK REL=canonical HREF=https://b/z>", "https://b/z", None),
+        # first canonical wins over a second declaration
+        ('<link rel="canonical" href="/one">'
+         '<link rel="canonical" href="/two">', "/one", None),
+        # rel=stylesheet link must NOT match
+        ('<link rel="stylesheet" href="/s.css">', None, None),
+        ('<meta name="robots" content="NOINDEX, nofollow">',
+         None, "noindex,nofollow"),
+        ("<meta content='index' name=robots>", None, "index"),
+        # name=viewport etc must NOT match
+        ('<meta name="viewport" content="width=1">', None, None),
+        ("<p>no head stuff</p>", None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _, _) in enumerate(cases)], "i int, h string"
+    )
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            html_canonical_link("h").alias("c"),
+            html_meta_robots("h").alias("r"),
+        ).collect()
+    }
+    for i, (_, want_c, want_r) in enumerate(cases):
+        assert rows[i]["c"] == want_c, (i, rows[i]["c"], want_c)
+        assert rows[i]["r"] == want_r, (i, rows[i]["r"], want_r)
+
+
 def test_decode_payloads_charsets(spark):
     """r13 charset-aware intake: BOM > Content-Type charset > <meta
     charset> > UTF-8; Windows-1252 decodes its C1 range as the REAL
