@@ -177,6 +177,12 @@ HEADLINE = [
     "s30_redirect_chains",
     "a34_promo_revenue_share",
     "a35_returned_item_report",
+    # round 13
+    "m29_warc_revisit_resolution",
+    "a36_hll_exact_twin",
+    "e16_pq_exact",
+    "x39_charset_decode",
+    "x40_page_directives",
 ]
 
 
