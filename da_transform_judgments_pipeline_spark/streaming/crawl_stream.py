@@ -144,6 +144,16 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         | (_gz & (_mime_xml | _url_sm))
         | (~_gz & (_root == "") & _mime_xml & _url_sm)
     )
+    # page-level exclusion protocol (r13): <meta name=robots> noindex
+    # pages are fetched-but-not-corpus (routed like revisits below),
+    # nofollow pages contribute NO links to discovery or the graph
+    _meta = text.html_meta_robots(F.col("payload").cast("string"))
+    _noindex = F.coalesce(
+        F.array_contains(F.split(_meta, ","), "noindex"), F.lit(False)
+    )
+    _nofollow = F.coalesce(
+        F.array_contains(F.split(_meta, ","), "nofollow"), F.lit(False)
+    )
     extracted = responses.select(
         "file_id",
         "pos",
@@ -154,6 +164,8 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         (F.col("warc_type") == "revisit").alias("_revisit"),
         "refers_to",
         "payload_digest",
+        _noindex.alias("_noindex"),
+        _meta.alias("robots_meta"),
         is_sm.alias("_sitemap"),
         F.when(is_sm, F.col("payload")).alias("_smblob"),
         # link extraction reads the RAW markup (html_text strips tags);
@@ -163,14 +175,18 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         # discovery); dot segments are folded downstream by
         # canonical_url, and genuinely unresolvable forms
         # (fragment-only, mailto:, other schemes) → null → dropped
-        F.filter(
-            F.transform(
-                text.html_links(F.col("payload").cast("string")),
-                lambda h: text.resolve_link(
-                    F.col("target_uri"), h, merge_relative=True
+        F.when(
+            _nofollow, F.array().cast("array<string>")
+        ).otherwise(
+            F.filter(
+                F.transform(
+                    text.html_links(F.col("payload").cast("string")),
+                    lambda h: text.resolve_link(
+                        F.col("target_uri"), h, merge_relative=True
+                    ),
                 ),
-            ),
-            lambda u: u.isNotNull(),
+                lambda u: u.isNotNull(),
+            )
         ).alias("links"),
         text.html_text(F.col("payload").cast("string")).alias("_raw"),
     )
@@ -217,7 +233,8 @@ def _own_canonicals(spark, out_dir: str, key: str):
     hpath = jvm.org.apache.hadoop.fs.Path
     conf = spark._jsc.hadoopConfiguration()
     found = []
-    for sink in ("accepted", "redirects", "sitemaps", "revisits"):
+    for sink in ("accepted", "redirects", "sitemaps", "revisits",
+                 "noindex"):
         # NO exception guard here: exists() returns False for a missing
         # path, so anything raised is a genuine FS/IO failure — it must
         # FAIL the batch (foreachBatch retries it) rather than silently
@@ -334,6 +351,12 @@ def run_crawl_stream(
       an RSS feed at ``/feed.xml`` stays a corpus page) →
       ``{out_dir}/sitemaps`` (one summary row: kind, n_entries,
       report-mode error), likewise indexed as fetched;
+    - ``<meta name=robots>`` pages (r13): ``noindex`` responses are
+      fetched-but-not-corpus → ``{out_dir}/noindex`` (URL indexed as
+      fetched, page never enters accepted; its links still feed
+      discovery and the link graph); ``nofollow`` responses contribute
+      NO links to any channel (emptied at extraction, so the graph
+      sink and the fetch queue both honor it);
     - ``revisit`` records (the Common Crawl dedup convention, r13) →
       ``{out_dir}/revisits`` — seen-not-corpus like redirects: the
       URL is marked fetched in the index (no re-queue next wave) and
@@ -476,8 +499,19 @@ def run_crawl_stream(
                 # discoveries
                 accepted = fresh_docs.filter(
                     ~F.col("_redir") & ~F.col("_sitemap")
-                    & ~F.col("_revisit")
+                    & ~F.col("_revisit") & ~F.col("_noindex")
                 ).select(*CRAWL_DOC_COLUMNS)
+                # meta-robots noindex (r13): fetched-but-not-corpus —
+                # the URL joins the index (no re-fetch loop) but the
+                # page must NOT enter the corpus; its LINKS still feed
+                # discovery unless nofollow emptied them upstream
+                noindex_rows = fresh_docs.filter(
+                    F.col("_noindex") & ~F.col("_redir")
+                    & ~F.col("_sitemap") & ~F.col("_revisit")
+                ).select(
+                    "file_id", "pos", "target_uri", "canonical",
+                    "robots_meta",
+                )
                 redirects = fresh_docs.filter(F.col("_redir")).select(
                     "file_id", "pos", "target_uri", "canonical",
                     "http_status", "location",
@@ -689,6 +723,9 @@ def run_crawl_stream(
                 )
                 _write_batch_partition(
                     revisits, f"{out_dir}/revisits", key
+                )
+                _write_batch_partition(
+                    noindex_rows, f"{out_dir}/noindex", key
                 )
                 _write_batch_partition(
                     dup_in_batch.union(dup_seen),

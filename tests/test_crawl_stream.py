@@ -843,6 +843,76 @@ def test_crawl_stream_revisit_routing(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_crawl_stream_meta_robots_routing(spark, tmp_path):
+    """r13 page-level exclusion: a noindex page is fetched-but-not-
+    corpus (routed to out/noindex, URL indexed, links STILL feed
+    discovery), a nofollow page stays corpus but contributes no links,
+    and a noindex,nofollow page does neither."""
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+    table = "crawl_stream_metarobots_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://h.example/seed",)], "url string"),
+        table, buckets=2, path=str(tmp_path / "fidx"),
+    )
+
+    def page(meta, href, body):
+        m = f'<meta name="robots" content="{meta}">' if meta else ""
+        return (
+            f"<html><head>{m}</head><body><p>{body}</p>"
+            f'<a href="{href}">x</a></body></html>'
+        ).encode()
+
+    blob = build_warc_gz([
+        {"url": "https://h.example/ni", "date": "2021-03-04T05:06:07Z",
+         "payload": page("noindex", "/from-ni", "not for the corpus")},
+        {"url": "https://h.example/nf", "date": "2021-03-04T05:06:07Z",
+         "payload": page("NOFOLLOW", "/from-nf", "corpus but no links")},
+        {"url": "https://h.example/both",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": page("noindex, nofollow", "/from-both", "neither")},
+        {"url": "https://h.example/plain",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": page(None, "/from-plain", "normal page")},
+    ])
+    (warcs / "f1.warc.gz").write_bytes(blob)
+    (manifests / "w1.jsonl").write_text(json.dumps(
+        {"file_id": 1, "path": str(warcs / "f1.warc.gz")}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+
+    acc = sorted(r["canonical"]
+                 for r in _read(spark, out / "accepted").collect())
+    assert acc == ["https://h.example/nf", "https://h.example/plain"]
+    ni = {r["canonical"]: r["robots_meta"]
+          for r in _read(spark, out / "noindex").collect()}
+    assert ni == {
+        "https://h.example/ni": "noindex",
+        "https://h.example/both": "noindex,nofollow",
+    }
+    # discovery: noindex page's link followed, nofollow pages' dropped
+    disc = sorted(r["canonical"]
+                  for r in _read(spark, out / "discovered").collect())
+    assert disc == [
+        "https://h.example/from-ni", "https://h.example/from-plain",
+    ]
+    # the graph sink honors nofollow too
+    links = sorted((r["src"], r["dst"])
+                   for r in _read(spark, out / "links").collect())
+    assert links == [
+        ("https://h.example/ni", "https://h.example/from-ni"),
+        ("https://h.example/plain", "https://h.example/from-plain"),
+    ]
+    # every fetched URL is indexed — noindex pages never re-queue
+    idx = {r["canonical"] for r in spark.table(table).collect()}
+    assert {"https://h.example/ni", "https://h.example/both"} <= idx
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_own_canonicals_propagates_read_errors(spark, tmp_path):
     """_own_canonicals' exception posture, narrowed (round-12): an
     EMPTY crashed-attempt partition (dir exists, no committed parquet)
