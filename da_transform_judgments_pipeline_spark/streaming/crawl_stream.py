@@ -144,10 +144,21 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         | (_gz & (_mime_xml | _url_sm))
         | (~_gz & (_root == "") & _mime_xml & _url_sm)
     )
+    # charset-correct intake (r13): the HTML5 prescan ladder (BOM >
+    # Content-Type charset > <meta charset> > UTF-8) decodes the page
+    # ONCE; links, directives, extraction, language and quality all
+    # read the decoded string instead of a blind UTF-8 cast — a
+    # Latin-1/cp1252/UTF-16 page stops mojibaking before dedup
+    # fingerprints ever see it (fix_mojibake still rescues UNDECLARED
+    # cp1252 downstream)
+    responses = text.decode_payloads(
+        responses, payload_col="payload", mime_col="mime",
+        text_col="_page", charset_col="_charset",
+    )
     # page-level exclusion protocol (r13): <meta name=robots> noindex
     # pages are fetched-but-not-corpus (routed like revisits below),
     # nofollow pages contribute NO links to discovery or the graph
-    _meta = text.html_meta_robots(F.col("payload").cast("string"))
+    _meta = text.html_meta_robots(F.col("_page"))
     _noindex = F.coalesce(
         F.array_contains(F.split(_meta, ","), "noindex"), F.lit(False)
     )
@@ -180,7 +191,7 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         ).otherwise(
             F.filter(
                 F.transform(
-                    text.html_links(F.col("payload").cast("string")),
+                    text.html_links(F.col("_page")),
                     lambda h: text.resolve_link(
                         F.col("target_uri"), h, merge_relative=True
                     ),
@@ -188,7 +199,7 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
                 lambda u: u.isNotNull(),
             )
         ).alias("links"),
-        text.html_text(F.col("payload").cast("string")).alias("_raw"),
+        text.html_text(F.col("_page")).alias("_raw"),
     )
     extracted = (
         text.fix_mojibake(extracted, text_col="_raw", out_col="text")

@@ -878,6 +878,13 @@ def test_crawl_stream_meta_robots_routing(spark, tmp_path):
         {"url": "https://h.example/plain",
          "date": "2021-03-04T05:06:07Z",
          "payload": page(None, "/from-plain", "normal page")},
+        # a declared-Latin-1 page: the r13 charset ladder must decode
+        # it before extraction (a blind UTF-8 cast would mojibake it)
+        {"url": "https://h.example/latin",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": "<html><body><p>Café crawl page</p></body></html>"
+         .encode("latin-1"),
+         "content_type": "text/html; charset=iso-8859-1"},
     ])
     (warcs / "f1.warc.gz").write_bytes(blob)
     (manifests / "w1.jsonl").write_text(json.dumps(
@@ -885,9 +892,13 @@ def test_crawl_stream_meta_robots_routing(spark, tmp_path):
     q = run_crawl_stream(spark, str(manifests), table, str(out))
     q.awaitTermination(120)
 
-    acc = sorted(r["canonical"]
-                 for r in _read(spark, out / "accepted").collect())
-    assert acc == ["https://h.example/nf", "https://h.example/plain"]
+    acc = {r["canonical"]: r["text"]
+           for r in _read(spark, out / "accepted").collect()}
+    assert sorted(acc) == [
+        "https://h.example/latin", "https://h.example/nf",
+        "https://h.example/plain",
+    ]
+    assert acc["https://h.example/latin"] == "Café crawl page"
     ni = {r["canonical"]: r["robots_meta"]
           for r in _read(spark, out / "noindex").collect()}
     assert ni == {
