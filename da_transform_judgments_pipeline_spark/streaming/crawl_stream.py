@@ -177,6 +177,9 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         "payload_digest",
         _noindex.alias("_noindex"),
         _meta.alias("robots_meta"),
+        # the publisher's own dedup declaration (r13): resolved +
+        # canonicalized downstream; honored SAME-HOST only
+        text.html_canonical_link(F.col("_page")).alias("_canon_href"),
         is_sm.alias("_sitemap"),
         F.when(is_sm, F.col("payload")).alias("_smblob"),
         # link extraction reads the RAW markup (html_text strips tags);
@@ -213,12 +216,40 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("keep").alias("quality_keep"),
     )
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    from ..operators.robots import url_host
+
     docs = (
         extracted
         .join(langed, ["file_id", "pos"])
         .join(quality, ["file_id", "pos"])
         .withColumn("fp", F.md5(norm))
         .withColumn("canonical", canonical_url(F.col("target_uri")))
+        # rel=canonical honored SAME-HOST only (r13): a print/tracking
+        # variant declaring its canonical collapses BEFORE content
+        # fingerprints; a cross-host declaration is the classic
+        # canonical-hijack spam vector and is ignored (the page stays
+        # an ordinary corpus candidate)
+        .withColumn(
+            "_canon_target",
+            canonical_url(
+                text.resolve_link(
+                    F.col("target_uri"), F.col("_canon_href"),
+                    merge_relative=True,
+                )
+            ),
+        )
+        .withColumn(
+            "_canon_dup",
+            F.coalesce(
+                F.col("_canon_target").isNotNull()
+                & (F.col("_canon_target") != F.col("canonical"))
+                & (
+                    url_host(F.col("_canon_target"))
+                    == url_host(F.col("canonical"))
+                ),
+                F.lit(False),
+            ),
+        )
     )
     return docs, errors
 
@@ -245,7 +276,7 @@ def _own_canonicals(spark, out_dir: str, key: str):
     conf = spark._jsc.hadoopConfiguration()
     found = []
     for sink in ("accepted", "redirects", "sitemaps", "revisits",
-                 "noindex"):
+                 "noindex", "canonical_variants"):
         # NO exception guard here: exists() returns False for a missing
         # path, so anything raised is a genuine FS/IO failure — it must
         # FAIL the batch (foreachBatch retries it) rather than silently
@@ -368,6 +399,13 @@ def run_crawl_stream(
       discovery and the link graph); ``nofollow`` responses contribute
       NO links to any channel (emptied at extraction, so the graph
       sink and the fetch queue both honor it);
+    - SAME-HOST ``rel=canonical`` variants (r13): a page declaring a
+      different canonical URL on its own host is a publisher-declared
+      duplicate → ``{out_dir}/canonical_variants`` (seen-not-corpus,
+      the row records the pointer + content fingerprint) and the
+      canonical TARGET joins the discovery channels; cross-host
+      declarations are ignored (the canonical-hijack spam vector) and
+      the page stays an ordinary corpus candidate;
     - ``revisit`` records (the Common Crawl dedup convention, r13) →
       ``{out_dir}/revisits`` — seen-not-corpus like redirects: the
       URL is marked fetched in the index (no re-queue next wave) and
@@ -511,7 +549,22 @@ def run_crawl_stream(
                 accepted = fresh_docs.filter(
                     ~F.col("_redir") & ~F.col("_sitemap")
                     & ~F.col("_revisit") & ~F.col("_noindex")
+                    & ~F.col("_canon_dup")
                 ).select(*CRAWL_DOC_COLUMNS)
+                # same-host rel=canonical variants (r13): seen-not-
+                # corpus — the page is a publisher-declared duplicate,
+                # its row records the pointer, and the canonical
+                # TARGET becomes a discovery so the real page gets
+                # fetched (its own later WARC is still accepted)
+                canon_variants = fresh_docs.filter(
+                    F.col("_canon_dup") & ~F.col("_redir")
+                    & ~F.col("_sitemap") & ~F.col("_revisit")
+                    & ~F.col("_noindex")
+                ).select(
+                    "file_id", "pos", "target_uri", "canonical",
+                    F.col("_canon_target").alias("canon_target"),
+                    "fp",
+                )
                 # meta-robots noindex (r13): fetched-but-not-corpus —
                 # the URL joins the index (no re-fetch loop) but the
                 # page must NOT enter the corpus; its LINKS still feed
@@ -630,7 +683,15 @@ def run_crawl_stream(
                         F.explode("links").alias("url"),
                         F.col("canonical").alias("_via"),
                     )
-                ).union(sm_locs)
+                ).union(sm_locs).union(
+                    # a declared canonical target is a discovery: the
+                    # variant was fetched, the REAL page may not be yet
+                    canon_variants.select(
+                        "file_id", "pos",
+                        F.col("canon_target").alias("url"),
+                        F.col("canonical").alias("_via"),
+                    )
+                )
                 if rules is not None and "sitemaps" in rules.columns:
                     # robots 'Sitemap:' advertisements are standing
                     # discoveries; file_id -1 ranks them first in ties,
@@ -737,6 +798,9 @@ def run_crawl_stream(
                 )
                 _write_batch_partition(
                     noindex_rows, f"{out_dir}/noindex", key
+                )
+                _write_batch_partition(
+                    canon_variants, f"{out_dir}/canonical_variants", key
                 )
                 _write_batch_partition(
                     dup_in_batch.union(dup_seen),

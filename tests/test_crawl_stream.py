@@ -924,6 +924,79 @@ def test_crawl_stream_meta_robots_routing(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_crawl_stream_canonical_variant_routing(spark, tmp_path):
+    """r13: a page declaring a SAME-HOST rel=canonical pointing
+    elsewhere is a publisher-declared duplicate — routed to
+    out/canonical_variants (seen-not-corpus, pointer + fingerprint
+    recorded), its canonical TARGET queued for fetch, and the target's
+    own later WARC still accepted. A CROSS-HOST declaration (the
+    canonical-hijack spam vector) is ignored."""
+    warcs = tmp_path / "warcs"
+    warcs.mkdir()
+    manifests = tmp_path / "manifests"
+    manifests.mkdir()
+    out = tmp_path / "out"
+    table = "crawl_stream_canonvar_frontier"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    frontier.build_url_index(
+        spark.createDataFrame([("https://h.example/seed",)], "url string"),
+        table, buckets=2, path=str(tmp_path / "fidx"),
+    )
+
+    def page(canon, body):
+        link = f'<link rel="canonical" href="{canon}">' if canon else ""
+        return (
+            f"<html><head>{link}</head><body><p>{body}</p></body></html>"
+        ).encode()
+
+    blob = build_warc_gz([
+        {"url": "https://h.example/article?utm=x",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": page("/article", "tracking variant of the piece")},
+        {"url": "https://h.example/self",
+         "date": "2021-03-04T05:06:07Z",
+         # canonical pointing at ITSELF (modulo canonicalization):
+         # not a variant, stays corpus
+         "payload": page("https://h.example/self", "self canonical")},
+        {"url": "https://h.example/victim",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": page("https://evil.example/steal",
+                         "cross host declaration ignored")},
+    ])
+    (warcs / "f1.warc.gz").write_bytes(blob)
+    (manifests / "w1.jsonl").write_text(json.dumps(
+        {"file_id": 1, "path": str(warcs / "f1.warc.gz")}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+
+    acc = sorted(r["canonical"]
+                 for r in _read(spark, out / "accepted").collect())
+    assert acc == ["https://h.example/self", "https://h.example/victim"]
+    cv = {r["canonical"]: r["canon_target"] for r in
+          _read(spark, out / "canonical_variants").collect()}
+    assert cv == {
+        "https://h.example/article?utm=x": "https://h.example/article",
+    }
+    disc = sorted(r["canonical"]
+                  for r in _read(spark, out / "discovered").collect())
+    assert disc == ["https://h.example/article"]
+    # wave 2: the canonical target's own WARC arrives — accepted
+    blob2 = build_warc_gz([
+        {"url": "https://h.example/article",
+         "date": "2021-03-05T05:06:07Z",
+         "payload": page(None, "the real article body")},
+    ])
+    (warcs / "f2.warc.gz").write_bytes(blob2)
+    (manifests / "w2.jsonl").write_text(json.dumps(
+        {"file_id": 2, "path": str(warcs / "f2.warc.gz")}) + "\n")
+    q = run_crawl_stream(spark, str(manifests), table, str(out))
+    q.awaitTermination(120)
+    acc2 = sorted(r["canonical"]
+                  for r in _read(spark, out / "accepted").collect())
+    assert "https://h.example/article" in acc2
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_own_canonicals_propagates_read_errors(spark, tmp_path):
     """_own_canonicals' exception posture, narrowed (round-12): an
     EMPTY crashed-attempt partition (dir exists, no committed parquet)
