@@ -61,7 +61,26 @@ def _s3(path: str):
     endpoint = os.environ.get("AWS_ENDPOINT_URL")
     client = _S3_CLIENTS.get(endpoint)
     if client is None:
-        client = boto3.client("s3", endpoint_url=endpoint)
+        kw = {"endpoint_url": endpoint} if endpoint else {}
+        try:
+            import botocore.session
+
+            no_creds = (
+                botocore.session.get_session().get_credentials() is None
+            )
+        except Exception:
+            no_creds = False
+        if no_creds:
+            # a credential-LESS environment with an s3 path: sign with
+            # placeholder keys rather than raising NoCredentialsError
+            # before the request — public buckets and test endpoints
+            # (MinIO/moto rigs) accept it; a real private bucket still
+            # fails, at the request with a clear auth error
+            kw.update(
+                aws_access_key_id="anonymous",
+                aws_secret_access_key="anonymous",
+            )
+        client = boto3.client("s3", **kw)
         _S3_CLIENTS[endpoint] = client
     bucket, _, key = path[5:].partition("/")
     return client, bucket, key

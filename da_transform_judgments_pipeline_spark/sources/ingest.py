@@ -115,13 +115,31 @@ def ingest_urls(
     flag + ``error`` message), never raised mid-job — a single bad URL must
     not fail a 100 TB ingest; route the error rows instead.
     """
+    import os
+
     import pandas as pd
 
     has_ck = checksum_col is not None and checksum_col in urls.columns
     cols = [url_col, dest_col] + ([checksum_col] if has_ck else [])
     src = urls.select(*cols)
 
+    # non-secret S3 configuration travels WITH the job (r13): executor
+    # Python workers inherit the JVM's env from SESSION start, not the
+    # driver's current env, so an endpoint set after startup (or only
+    # driver-side) never reaches them. Endpoint/region are config, not
+    # credentials — those come from each worker's own standard chain
+    # (instance profile / env), never serialized into the closure.
+    _s3_env = {
+        k: os.environ[k]
+        for k in ("AWS_ENDPOINT_URL", "AWS_DEFAULT_REGION")
+        if k in os.environ
+    }
+
     def transfer(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import os as _os
+
+        for k, v in _s3_env.items():
+            _os.environ.setdefault(k, v)
         for pdf in batches:
             out = []
             for rec in pdf.to_dict("records"):
