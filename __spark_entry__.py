@@ -2819,6 +2819,34 @@ def q_x40_page_directives(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_x41_mixture_epochs(spark, sf_dir):
+    """True-oversampling data-mixing plan (text.mixture_epochs, r13 —
+    the Pile/LLaMA recipe x22's up-capped epoch-0 deliberately left to
+    the caller): four sources rotate by doc_id (web/books/code/wiki at
+    weights 5/2/2/1), the 60k-token budget makes web/books/code
+    OVERSAMPLED (full passes > 0) while wiki takes a partial prefix;
+    every document's n_copies = floor(target/avail) full passes + a
+    deterministic md5-ordered remainder prefix (first doc crossing the
+    leftover boundary included — budget met, never undershot). One
+    control-plane availability aggregate, literal CASE targets, ONE
+    per-source window cumsum. DuckDB recomputes availability, the
+    float target arithmetic, the md5 order and the prefix rule
+    verbatim — every n_copies hash-checked."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    src = (
+        F.when(d % 4 == 0, "web")
+        .when(d % 4 == 1, "books")
+        .when(d % 4 == 2, "code")
+        .otherwise("wiki")
+    )
+    return text.mixture_epochs(
+        docs.withColumn("source", src),
+        {"web": 5.0, "books": 2.0, "code": 2.0, "wiki": 1.0},
+        total_tokens=60000,
+    ).orderBy("doc_id")
+
+
 def q_e16_pq_exact(spark, sf_dir):
     """PQ under an EXACT hash oracle (r13 — the e09 construction trick
     applied to Product Quantization): the corpus is BUILT so each
@@ -7157,6 +7185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e16_pq_exact": q_e16_pq_exact,
     "x39_charset_decode": q_x39_charset_decode,
     "x40_page_directives": q_x40_page_directives,
+    "x41_mixture_epochs": q_x41_mixture_epochs,
     # p12 RELOCATED up (not new): validate_events gained the lineage
     # UUID shape check this round, and p12's regimes were rebuilt
     # around it — its oracle row must be inside the recorded window
@@ -7202,7 +7231,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) NEW round 10
     "x33_ngram_dup_union": q_x33_ngram_dup_union,
     "s24_crawl_stream_intake": q_s24_crawl_stream_intake,
-    "s23_fetch_schedule": q_s23_fetch_schedule,
     "g01_pagerank": q_g01_pagerank,
     "g02_hits": q_g02_hits,
     "f05_html_links": q_f05_html_links,
@@ -7217,6 +7245,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x30_split_assign": q_x30_split_assign,
     "s21_robots_filter": q_s21_robots_filter,
     "x31_corpus_report": q_x31_corpus_report,
+    # s23 displaced here from the round-10 section (multi-round green
+    # r10-r12, robots.fetch_schedule unchanged in r13) to make room
+    # for the new x41 without pushing changed-this-round f04 past 50
+    "s23_fetch_schedule": q_s23_fetch_schedule,
     # x34 displaced here from the round-10 section (multi-round green
     # r10-r12, fix_mojibake unchanged in r13) to make room for the new
     # x40 without pushing changed-this-round f04 past the cap
@@ -9715,6 +9747,47 @@ def oracle_sql() -> dict[str, str]:
         # differs (zst store-mode frames vs gzip members); the
         # closed form is transport-blind by construction
         "m28_wet_zst_pipeline": _M25_WET_SQL,
+        "x41_mixture_epochs": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'web'
+                          WHEN 1 THEN 'books' WHEN 2 THEN 'code'
+                          ELSE 'wiki' END AS source,
+                     len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> ''
+                     )) AS n_tokens
+              FROM documents
+            ), a AS (
+              SELECT source, SUM(n_tokens) AS avail
+              FROM t GROUP BY source
+            ), plan AS (
+              SELECT source, avail,
+                     CAST(floor(60000 * (
+                       CASE source WHEN 'web' THEN 5.0
+                            WHEN 'books' THEN 2.0 WHEN 'code' THEN 2.0
+                            ELSE 1.0 END / 10.0
+                     )) AS BIGINT) AS target
+              FROM a
+            ), o AS (
+              SELECT t.doc_id, t.source, t.n_tokens,
+                     p.target // p.avail AS n_full,
+                     p.target - (p.target // p.avail) * p.avail AS rem,
+                     COALESCE(SUM(t.n_tokens) OVER (
+                       PARTITION BY t.source
+                       ORDER BY md5(':' || t.source || ':'
+                                    || CAST(t.doc_id AS VARCHAR)),
+                                t.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING
+                     ), 0) AS prev
+              FROM t JOIN plan p USING (source)
+            )
+            SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(n_full + CASE WHEN prev < rem THEN 1 ELSE 0 END
+                        AS INT) AS n_copies
+            FROM o ORDER BY doc_id
+        """,
         "x40_page_directives": """
             SELECT doc_id,
                    CASE CAST(doc_id % 5 AS INT)

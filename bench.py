@@ -183,6 +183,7 @@ HEADLINE = [
     "e16_pq_exact",
     "x39_charset_decode",
     "x40_page_directives",
+    "x41_mixture_epochs",
 ]
 
 

@@ -1637,6 +1637,95 @@ def token_budget_sample(
     )
 
 
+def mixture_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """True-OVERSAMPLING mixture plan (r13) — the complement of
+    :func:`token_budget_sample`'s up-capped epoch-0: the Pile/LLaMA
+    recipe where a high-weight source SMALLER than its token target is
+    repeated across epochs. Per weighted source,
+    ``target_s = floor(B · w_s/Σw)``; every document gets
+    ``floor(target_s / avail_s)`` FULL passes, and the remainder pass
+    takes documents in deterministic md5 order until the leftover
+    target is covered (the first document CROSSING the boundary is
+    included — budget met, never undershot; the x22 prefix rule).
+    ``n_copies`` is how many times the document appears in the mixed
+    corpus (0 = not selected this mix). Σ(n_copies · n_tokens) per
+    source lands in [target_s, target_s + max_doc) — the standard
+    pack-then-truncate tolerance.
+
+    Shape: ONE availability aggregation (S rows collected — control
+    plane, like the BM25 stats rule), full/remainder targets compiled
+    into literal CASE chains, then a single per-source window cumsum
+    (one keyed shuffle) decides the remainder prefix. Deterministic
+    across engines/cluster sizes; sources absent from ``weights`` are
+    dropped. Returns (id, source, n_tokens, n_copies)."""
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be positive")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    from pyspark.sql import Window
+
+    avail = {
+        r["s"]: int(r["toks"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(token_count(text_col)).alias("toks"))
+        .collect()
+    }
+    full_case = None
+    rem_case = None
+    keep = []
+    for s, w in sorted(weights.items()):
+        if s not in avail or avail[s] <= 0:
+            continue
+        target = int(total_tokens * (w / wsum))
+        full = target // avail[s]
+        rem = target - full * avail[s]
+        keep.append(s)
+        fc = F.when(F.col(source_col) == s, F.lit(full))
+        rc = F.when(F.col(source_col) == s, F.lit(rem))
+        full_case = fc if full_case is None else full_case.when(
+            F.col(source_col) == s, F.lit(full)
+        )
+        rem_case = rc if rem_case is None else rem_case.when(
+            F.col(source_col) == s, F.lit(rem)
+        )
+    base = df.select(
+        F.col(id_col), F.col(source_col),
+        token_count(text_col).alias("n_tokens"),
+    )
+    if not keep:
+        return base.withColumn("n_copies", F.lit(0)).limit(0)
+    base = base.filter(F.col(source_col).isin(*keep))
+    ordk = F.md5(F.concat_ws(
+        ":", F.lit(salt), F.col(source_col), F.col(id_col).cast("string")
+    ))
+    w_cum = (
+        Window.partitionBy(source_col)
+        .orderBy(ordk, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn("_prev", F.coalesce(
+            F.sum("n_tokens").over(w_cum), F.lit(0)
+        ))
+        .select(
+            id_col, source_col, "n_tokens",
+            (
+                full_case
+                + (F.col("_prev") < rem_case).cast("int")
+            ).alias("n_copies"),
+        )
+    )
+
+
 def select_for_training(
     df: DataFrame,
     target_value: str,

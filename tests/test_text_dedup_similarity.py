@@ -1363,6 +1363,46 @@ def test_ngram_dup_union_fractions_closed_form(spark):
             assert 0.0 <= r[f"dup{n}_union_frac"] <= 1.0
 
 
+def test_mixture_epochs_budget_and_oversampling(spark):
+    """r13 true-oversampling mixture plan: per weighted source the
+    mixed mass sum(n_copies * n_tokens) lands in [target, target +
+    max_doc) (budget met, never undershot); a source smaller than its
+    target gets FULL passes for every doc; unweighted sources drop;
+    determinism across partitionings."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        mixture_epochs,
+    )
+
+    rows = [
+        (i, "big" if i < 40 else ("small" if i < 48 else "junk"),
+         "tok " * ((i % 7) + 3))
+        for i in range(56)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights = {"big": 1.0, "small": 3.0}
+    budget = 400
+    out = mixture_epochs(df, weights, budget).collect()
+    assert {r["source"] for r in out} == {"big", "small"}  # junk dropped
+    avail = {"big": sum((i % 7) + 3 for i in range(40)),
+             "small": sum((i % 7) + 3 for i in range(40, 48))}
+    for s, w in weights.items():
+        target = int(budget * w / 4.0)
+        mass = sum(r["n_copies"] * r["n_tokens"] for r in out
+                   if r["source"] == s)
+        max_doc = max(r["n_tokens"] for r in out if r["source"] == s)
+        assert target <= mass < target + max_doc, (s, target, mass)
+        full = target // avail[s]
+        assert all(r["n_copies"] >= full for r in out
+                   if r["source"] == s), s
+    # 'small' is oversampled (target 300 >> avail ~48): full passes > 1
+    assert min(r["n_copies"] for r in out if r["source"] == "small") >= 6
+    # partitioning-independent
+    out2 = mixture_epochs(df.repartition(7), weights, budget).collect()
+    assert sorted((r["doc_id"], r["n_copies"]) for r in out) == sorted(
+        (r["doc_id"], r["n_copies"]) for r in out2
+    )
+
+
 def test_html_page_directives(spark):
     """r13 page-level crawl directives: canonical link extraction
     handles both attribute orders and all quote shells, first
