@@ -7168,17 +7168,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # decoding this round, exercised by chunked/gzip/deflate regimes
     # planted in the m16/m24/x29/s24 corpora under their UNCHANGED
     # oracles), a36 (the a25 HLL sketch's exact count-distinct twin +
-    # hash-checked error-band claim) and e16 (PQ encode+ADC under an
+    # hash-checked error-band claim), e16 (PQ encode+ADC under an
     # exact oracle via the lossless-codebook construction — the e09
-    # trick). p12 relocated up (validate_events gained the lineage
-    # UUID shape check). Changed-this-round queries already in-window:
-    # f06 (userinfo regime), m16 (te/ce audit columns + planted
-    # regimes), m24/x29/s24 (planted regimes, oracles unchanged),
-    # g01-g04 (dangling/normalizer scalars moved in-plan — dyadic
-    # oracles bit-unchanged), e15 (quantize_embeddings collision
-    # guard), f04 (canonical_url userinfo strip), s26/s27/s29 (crawl
-    # stream: revisit routing + sitemap tiebreak fixes). Displaced:
-    # x28 (multi-round green, unchanged) to the round-9 section.
+    # trick), x39 (charset-aware payload decoding: the HTML5 prescan
+    # ladder with REAL cp1252, bytes encoded in Catalyst, every branch
+    # hash-checked — and wired into the crawl stream), x40 (page-level
+    # directives: rel=canonical extraction + meta-robots, both honored
+    # in the stream: noindex/nofollow enforcement + same-host
+    # canonical-variant dedup with new seen-not-corpus sinks) and x41
+    # (true-oversampling mixture plan — full passes + md5-ordered
+    # remainder prefix, the Pile/LLaMA epoch recipe). p12 relocated up
+    # (validate_events gained the lineage UUID shape check).
+    # Changed-this-round queries already in-window: f06 (userinfo
+    # regime), m16 (te/ce audit columns + planted regimes),
+    # m24/x29/s24 (planted regimes, oracles unchanged), g01-g04
+    # (dangling/normalizer scalars moved in-plan — dyadic oracles
+    # bit-unchanged), e15 (quantize_embeddings collision guard), f04
+    # (canonical_url userinfo strip), s26/s27/s29 (crawl stream:
+    # revisit/noindex/canonical-variant routing + sitemap tiebreak
+    # fixes + charset ladder — oracles unchanged). Displaced: x28,
+    # s25, x34, s23 (all multi-round green and unchanged this round)
+    # to the round-9/10 sections.
     # (a) NEW round 13
     "m29_warc_revisit_resolution": q_m29_warc_revisit_resolution,
     "a36_hll_exact_twin": q_a36_hll_exact_twin,
