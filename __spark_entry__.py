@@ -2765,13 +2765,19 @@ def q_x40_page_directives(spark, sf_dir):
     (resolved against the page URL via text.resolve_link), a
     noindex,nofollow meta (spaces normalized away), a content-first
     INDEX,FOLLOW meta (case folded), and a page with neither (NULLs,
-    booleans false). DuckDB builds every output closed-form from
-    doc_id; both extractors are Java-regex ∩ RE2 Catalyst projections
-    — map-side, no UDF."""
+    booleans false). r14 adds the four regimes the r13 extractors got
+    wrong (r13 verdict "what's wrong" #1-3 + ADVICE): a legal UNQUOTED
+    ``content=noindex`` (previously NULL — the noindex page entered
+    the corpus), ``robotsx``/``canonical-next`` decoy names that must
+    NOT match, an order-conflict page where an href-then-rel canonical
+    EARLIER in the document beats a rel-then-href one later, and
+    ``content=none`` — the spec shorthand for noindex,nofollow. DuckDB
+    builds every output closed-form from doc_id; both extractors are
+    Java-regex ∩ RE2 Catalyst projections — map-side, no UDF."""
     docs = _T(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     ds = d.cast("string")
-    m = d % 5
+    m = d % 9
     page = F.concat(
         F.lit("https://site"), (d % 7).cast("string"),
         F.lit(".example/a/page"), ds,
@@ -2794,6 +2800,25 @@ def q_x40_page_directives(spark, sf_dir):
             '<html><head><meta content="INDEX, FOLLOW" name=robots>'
             '</head><body>w</body></html>'
         ))
+        .when(m == 5, F.lit(
+            "<html><head><meta name=robots content=noindex></head>"
+            "<body>u</body></html>"
+        ))
+        .when(m == 6, F.lit(
+            '<html><head><meta name="robotsx" content="noindex">'
+            '<link rel="canonical-next" href="/decoy"></head>'
+            "<body>v</body></html>"
+        ))
+        .when(m == 7, F.concat(
+            F.lit('<html><head><link href="/first'), ds,
+            F.lit('" rel="canonical"><link rel="canonical"'
+                  ' href="https://second.example/p'), ds,
+            F.lit('"></head><body>t</body></html>'),
+        ))
+        .when(m == 8, F.lit(
+            "<html><head><meta name=robots content=none></head>"
+            "<body>s</body></html>"
+        ))
         .otherwise(F.lit("<html><body>plain</body></html>"))
     )
     built = docs.select(
@@ -2808,14 +2833,8 @@ def q_x40_page_directives(spark, sf_dir):
             "canonical_resolved"
         ),
         robots.alias("robots_directives"),
-        F.coalesce(
-            F.array_contains(F.split(robots, ","), "noindex"),
-            F.lit(False),
-        ).alias("noindex"),
-        F.coalesce(
-            F.array_contains(F.split(robots, ","), "nofollow"),
-            F.lit(False),
-        ).alias("nofollow"),
+        text.robots_noindex(robots).alias("noindex"),
+        text.robots_nofollow(robots).alias("nofollow"),
     ).orderBy("doc_id")
 
 
@@ -9800,24 +9819,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "x40_page_directives": """
             SELECT doc_id,
-                   CASE CAST(doc_id % 5 AS INT)
+                   CASE CAST(doc_id % 9 AS INT)
                      WHEN 0 THEN 'https://canon.example/p'
                        || CAST(doc_id AS VARCHAR)
                      WHEN 1 THEN '/c/' || CAST(doc_id AS VARCHAR)
+                     WHEN 7 THEN '/first' || CAST(doc_id AS VARCHAR)
                    END AS canonical_href,
-                   CASE CAST(doc_id % 5 AS INT)
+                   CASE CAST(doc_id % 9 AS INT)
                      WHEN 0 THEN 'https://canon.example/p'
                        || CAST(doc_id AS VARCHAR)
                      WHEN 1 THEN 'https://site'
                        || CAST(doc_id % 7 AS VARCHAR) || '.example/c/'
                        || CAST(doc_id AS VARCHAR)
+                     WHEN 7 THEN 'https://site'
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/first' || CAST(doc_id AS VARCHAR)
                    END AS canonical_resolved,
-                   CASE CAST(doc_id % 5 AS INT)
+                   CASE CAST(doc_id % 9 AS INT)
                      WHEN 2 THEN 'noindex,nofollow'
                      WHEN 3 THEN 'index,follow'
+                     WHEN 5 THEN 'noindex'
+                     WHEN 8 THEN 'none'
                    END AS robots_directives,
-                   (doc_id % 5 = 2) AS noindex,
-                   (doc_id % 5 = 2) AS nofollow
+                   (doc_id % 9 IN (2, 5, 8)) AS noindex,
+                   (doc_id % 9 IN (2, 8)) AS nofollow
             FROM documents ORDER BY doc_id
         """,
         "x39_charset_decode": """

@@ -2758,6 +2758,16 @@ HTML_HREF_RE = (
 #: the quote-shell strip applied to every captured value (both engines)
 HREF_STRIP_RE = """^["']|["']$"""
 
+#: attribute-value captures used INSIDE one already-extracted tag body
+#: (r14): quoted values keep their shell (stripped afterwards), legal
+#: unquoted values run to the next whitespace/'>'. Java-regex ∩ RE2.
+_ATTR_HREF_RE = (
+    """(?i)href\\s*=\\s*("[^"]*"|'[^']*'|[^\\s>"'][^\\s>]*)"""
+)
+_ATTR_CONTENT_RE = (
+    """(?i)content\\s*=\\s*("[^"]*"|'[^']*'|[^\\s>"'][^\\s>]*)"""
+)
+
 
 def html_links(col: Column | str) -> Column:
     """All ``<a href>`` targets of an HTML payload, in document order —
@@ -2791,18 +2801,28 @@ def html_canonical_link(col: Column | str) -> Column:
     cross-host (canonical-to-elsewhere is a known spam vector — policy
     belongs to the caller)."""
     c = F.col(col) if isinstance(col, str) else col
-    rel_first = F.regexp_extract(
-        c,
-        r"(?i)<link[^>]*rel\s*=\s*['\"]?canonical['\"]?[^>]*"
-        r"href\s*=\s*['\"]?([^'\"\s>]+)", 1,
+    # r14 (per r13 verdict): tag-scoped first-wins. Extract every
+    # <link ...> tag body (up to but excluding '>'), keep the ones
+    # that carry BOTH a rel=canonical token and an href, take the
+    # FIRST in document order, then pull the href out of that one tag.
+    # This fixes (a) the declaration-order tie-break — an href-then-rel
+    # spelling earlier in the document now beats a rel-then-href one
+    # later — and (b) the rel=canonical-next decoy: the token needs a
+    # closing quote / whitespace / '/' or tag end after "canonical".
+    tags = F.regexp_extract_all(c, F.lit(r"(?i)<link[^>]*"), F.lit(0))
+    sel = F.filter(
+        tags,
+        lambda t: t.rlike(r"(?i)rel\s*=\s*['\"]?canonical(['\"\s/]|$)")
+        & t.rlike(_ATTR_HREF_RE),
     )
-    href_first = F.regexp_extract(
-        c,
-        r"(?i)<link[^>]*href\s*=\s*['\"]?([^'\"\s>]+)['\"]?[^>]*"
-        r"rel\s*=\s*['\"]?canonical", 1,
+    first = F.get(sel, 0)
+    out = F.nullif(
+        F.regexp_replace(
+            F.regexp_extract(first, _ATTR_HREF_RE, 1),
+            HREF_STRIP_RE, "",
+        ),
+        F.lit(""),
     )
-    out = F.coalesce(F.nullif(rel_first, F.lit("")),
-                     F.nullif(href_first, F.lit("")))
     return out
 
 
@@ -2816,18 +2836,52 @@ def html_meta_robots(col: Column | str) -> Column:
     ``F.array_contains(F.split(col, ','), 'noindex')``. First
     declaration wins; pure Catalyst."""
     c = F.col(col) if isinstance(col, str) else col
-    raw = F.regexp_extract(
-        c,
-        r"(?i)<meta[^>]*name\s*=\s*['\"]?robots['\"]?[^>]*"
-        r"content\s*=\s*['\"]([^'\"]*)", 1,
+    # r14 (per r13 verdict): tag-scoped first-wins, same shape as
+    # html_canonical_link. Fixes (a) legal UNQUOTED content values —
+    # <meta name=robots content=noindex> used to return NULL and the
+    # noindex page entered the corpus; (b) the name-token boundary —
+    # name="robotsx" no longer matches as robots; (c) the
+    # declaration-order tie-break across attribute orders.
+    tags = F.regexp_extract_all(c, F.lit(r"(?i)<meta[^>]*"), F.lit(0))
+    sel = F.filter(
+        tags,
+        lambda t: t.rlike(r"(?i)name\s*=\s*['\"]?robots(['\"\s/]|$)")
+        & t.rlike(_ATTR_CONTENT_RE),
     )
-    raw2 = F.regexp_extract(
-        c,
-        r"(?i)<meta[^>]*content\s*=\s*['\"]([^'\"]*)['\"][^>]*"
-        r"name\s*=\s*['\"]?robots", 1,
+    first = F.get(sel, 0)
+    got = F.nullif(
+        F.regexp_replace(
+            F.regexp_extract(first, _ATTR_CONTENT_RE, 1),
+            HREF_STRIP_RE, "",
+        ),
+        F.lit(""),
     )
-    got = F.coalesce(F.nullif(raw, F.lit("")), F.nullif(raw2, F.lit("")))
     return F.lower(F.regexp_replace(got, r"\s+", ""))
+
+
+def robots_noindex(robots: Column) -> Column:
+    """True when a :func:`html_meta_robots` directive list excludes the
+    page from the corpus: a ``noindex`` token, or ``none`` — which per
+    the robots-meta spec means ``noindex, nofollow`` (r14, per r13
+    ADVICE: ``content="none"`` pages previously entered the corpus).
+    NULL-safe (absent directives → False)."""
+    toks = F.split(robots, ",")
+    return F.coalesce(
+        F.array_contains(toks, "noindex")
+        | F.array_contains(toks, "none"),
+        F.lit(False),
+    )
+
+
+def robots_nofollow(robots: Column) -> Column:
+    """True when the directive list suppresses link discovery:
+    ``nofollow``, or the ``none`` shorthand. NULL-safe."""
+    toks = F.split(robots, ",")
+    return F.coalesce(
+        F.array_contains(toks, "nofollow")
+        | F.array_contains(toks, "none"),
+        F.lit(False),
+    )
 
 
 def resolve_link(

@@ -130,9 +130,25 @@ def _fs_path(path: str):
 
 
 def exists(path: str) -> bool:
+    """True when ``path`` names an object OR a "directory" (r14).
+
+    The Hadoop FileSystem route answers True for directories; the
+    boto3 ``s3://`` branch used to HEAD only the exact key, so a
+    prefix with objects under it reported False and a pre-write
+    directory probe behaved differently depending on which backend
+    served the path. Parity restored: when the exact-key HEAD 404s,
+    one ``list_objects_v2(Prefix=key + "/", MaxKeys=1)`` probe
+    decides whether the path is a non-empty directory prefix."""
     s3 = _s3(path)
     if s3 is not None:
-        return _s3_exists(*s3)
+        client, bucket, key = s3
+        if _s3_exists(client, bucket, key):
+            return True
+        prefix = key.rstrip("/") + "/"
+        resp = client.list_objects_v2(
+            Bucket=bucket, Prefix=prefix, MaxKeys=1
+        )
+        return resp.get("KeyCount", 0) > 0
     fs, p = _fs_path(path)
     if fs is None:
         return os.path.exists(path)
@@ -260,7 +276,16 @@ def rename(src: str, dst: str, overwrite: bool = False) -> None:
     s3 = _s3(src)
     if s3 is not None:
         client, bucket, key = s3
-        _, dbucket, dkey = _s3(dst)
+        s3_dst = _s3(dst)
+        if s3_dst is None:
+            # _s3(dst) is None when dst is not s3:// — unpacking it
+            # crashed with a bare TypeError before r14 (ADVICE)
+            raise OSError(
+                "rename failed: cross-scheme rename unsupported: "
+                f"{src} -> {dst} (s3:// source needs an s3:// "
+                "destination)"
+            )
+        _, dbucket, dkey = s3_dst
         if not _s3_exists(client, bucket, key):
             raise OSError(f"rename failed: {src} -> {dst}: no source")
         if _s3_exists(client, dbucket, dkey):
@@ -294,6 +319,14 @@ def rename(src: str, dst: str, overwrite: bool = False) -> None:
             )
         client.delete_object(Bucket=bucket, Key=key)
         return
+    if _s3(dst) is not None:
+        # symmetric guard: a local/Hadoop source into the boto3 s3://
+        # branch would otherwise create a literal "s3:/..." local file
+        raise OSError(
+            "rename failed: cross-scheme rename unsupported: "
+            f"{src} -> {dst} (s3:// destination needs an s3:// "
+            "source)"
+        )
     fs, p = _fs_path(src)
     if fs is None:
         if overwrite:

@@ -23,7 +23,7 @@ files) — EVERY crash window replays to identical sink contents:
   MINUS the current batch's partition, so a crashed batch ALWAYS
   replays in full (even after a partial ledger write) while a
   cross-batch duplicate resend is still dropped.
-- every corpus sink (``accepted``/``duplicates``/``redirects``/
+- every sink (``accepted``/``seen``/``links``/``duplicates``/
   ``discovered``/``disallowed``/``errors``) is batch_key-partitioned and
   written with dynamic-partition OVERWRITE: a replay after a crash in
   the pre-ledger window REPLACES the batch's partition instead of
@@ -31,7 +31,7 @@ files) — EVERY crash window replays to identical sink contents:
   post-ledger.
 - replay decisions are pinned to the ORIGINAL attempt's index view:
   before the frontier anti-joins, the batch's own previously-written
-  ``accepted``/``redirects`` partitions (if a crashed attempt left
+  ``accepted``/``seen`` partitions (if a crashed attempt left
   them) are subtracted from the index, so a crash AFTER the idempotent
   ``append_to_url_index`` cannot flip the batch's accepted rows into
   ``url_seen`` duplicates on replay.
@@ -87,6 +87,69 @@ CRAWL_DOC_COLUMNS = [
     "file_id", "pos", "target_uri", "canonical", "digest_ok",
     "detected_lang", "n_tokens", "quality_keep", "fp", "text",
 ]
+
+#: column order of the consolidated {out_dir}/seen sink (r14): the five
+#: fetched-but-not-corpus families — redirects, sitemaps, revisits,
+#: noindex, canonical variants — share ONE batch-partitioned sink with
+#: a ``kind`` discriminator instead of one write job each. At bench
+#: scale the fixed per-job cost of five thin sinks dominated a
+#: micro-batch (BENCH_r13: s24/s26/s27/s29 regressed 20-45% on sink
+#: fan-out); one union write restores one job, and at 100× data per
+#: batch nothing changes — the rows were disjoint filters of the same
+#: persisted frame either way. Columns not carried by a kind are NULL.
+SEEN_COLUMNS = [
+    "kind", "file_id", "pos", "target_uri", "canonical",
+    "http_status", "location", "refers_to", "payload_digest",
+    "robots_meta", "canon_target", "fp",
+    "sitemap_kind", "n_entries", "error",
+]
+
+#: per-kind projections of {out_dir}/seen — the pre-r14 per-sink
+#: schemas, which :func:`read_seen` reconstructs (``sitemap`` restores
+#: its own ``kind`` column from ``sitemap_kind``)
+SEEN_KINDS = {
+    "redirect": [
+        "file_id", "pos", "target_uri", "canonical", "http_status",
+        "location",
+    ],
+    "sitemap": [
+        "file_id", "pos", "target_uri", "canonical", "sitemap_kind",
+        "n_entries", "error",
+    ],
+    "revisit": [
+        "file_id", "pos", "target_uri", "canonical", "http_status",
+        "refers_to", "payload_digest",
+    ],
+    "noindex": [
+        "file_id", "pos", "target_uri", "canonical", "robots_meta",
+    ],
+    "canonical_variant": [
+        "file_id", "pos", "target_uri", "canonical", "canon_target",
+        "fp",
+    ],
+}
+
+
+def read_seen(spark: SparkSession, out_dir: str, kind: str | None = None):
+    """Read the consolidated seen-not-corpus sink. With ``kind`` (one
+    of :data:`SEEN_KINDS`) the result is filtered to that family and
+    projected to its pre-consolidation schema — the migration path for
+    readers of the former ``{out_dir}/redirects``/``sitemaps``/
+    ``revisits``/``noindex``/``canonical_variants`` directories."""
+    df = spark.read.parquet(f"{out_dir}/seen")
+    if kind is None:
+        return df
+    if kind not in SEEN_KINDS:
+        raise ValueError(
+            f"unknown seen kind {kind!r}; expected one of "
+            f"{sorted(SEEN_KINDS)}"
+        )
+    out = df.filter(F.col("kind") == kind).select(
+        *SEEN_KINDS[kind], "batch_key"
+    )
+    if kind == "sitemap":
+        out = out.withColumnRenamed("sitemap_kind", "kind")
+    return out
 
 
 def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -158,13 +221,12 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     # page-level exclusion protocol (r13): <meta name=robots> noindex
     # pages are fetched-but-not-corpus (routed like revisits below),
     # nofollow pages contribute NO links to discovery or the graph
+    # r14: the none-aware helpers — content="none" means noindex AND
+    # nofollow per the robots-meta spec, and the extractor now reads
+    # legal unquoted content=noindex values (r13 verdict defect #1)
     _meta = text.html_meta_robots(F.col("_page"))
-    _noindex = F.coalesce(
-        F.array_contains(F.split(_meta, ","), "noindex"), F.lit(False)
-    )
-    _nofollow = F.coalesce(
-        F.array_contains(F.split(_meta, ","), "nofollow"), F.lit(False)
-    )
+    _noindex = text.robots_noindex(_meta)
+    _nofollow = text.robots_nofollow(_meta)
     extracted = responses.select(
         "file_id",
         "pos",
@@ -262,7 +324,7 @@ def _norm_path(col):
 
 def _own_canonicals(spark, out_dir: str, key: str):
     """Canonicals a CRASHED earlier attempt of this very batch already
-    wrote to accepted/redirects — the exact set append_to_url_index
+    wrote to accepted/seen — the exact set append_to_url_index
     would have added. Subtracting them from the index view pins replay
     decisions to the original attempt's pre-append view, closing the
     crash-after-index-append window. Returns a localCheckpointed frame
@@ -275,8 +337,7 @@ def _own_canonicals(spark, out_dir: str, key: str):
     hpath = jvm.org.apache.hadoop.fs.Path
     conf = spark._jsc.hadoopConfiguration()
     found = []
-    for sink in ("accepted", "redirects", "sitemaps", "revisits",
-                 "noindex", "canonical_variants"):
+    for sink in ("accepted", "seen"):
         # NO exception guard here: exists() returns False for a missing
         # path, so anything raised is a genuine FS/IO failure — it must
         # FAIL the batch (foreachBatch retries it) rather than silently
@@ -385,29 +446,36 @@ def run_crawl_stream(
       robots.txt disallows → ``{out_dir}/disallowed`` BEFORE the
       frontier decision, and they never enter the index (a policy
       change can make them fetchable later);
-    - 3xx responses carrying a Location header → ``{out_dir}/redirects``
+    - every fetched-but-not-corpus response lands in the ONE
+      consolidated ``{out_dir}/seen`` sink (r14 — one write job per
+      batch where five thin sinks used to each launch their own; read
+      back per-family via :func:`read_seen`), discriminated by
+      ``kind``:
+    - ``kind='redirect'``: 3xx responses carrying a Location header
       (their own canonical IS marked fetched in the index); fetched
       SITEMAP responses (classified by payload-head sniff for
       ``<urlset>``/``<sitemapindex>`` plus the HTTP ``mime``, with the
       ``.xml``/``.xml.gz`` URL test only as a gzip-transport tiebreak —
       an RSS feed at ``/feed.xml`` stays a corpus page) →
-      ``{out_dir}/sitemaps`` (one summary row: kind, n_entries,
+      ``kind='sitemap'`` (one summary row: sitemap_kind, n_entries,
       report-mode error), likewise indexed as fetched;
-    - ``<meta name=robots>`` pages (r13): ``noindex`` responses are
-      fetched-but-not-corpus → ``{out_dir}/noindex`` (URL indexed as
-      fetched, page never enters accepted; its links still feed
-      discovery and the link graph); ``nofollow`` responses contribute
-      NO links to any channel (emptied at extraction, so the graph
-      sink and the fetch queue both honor it);
+    - ``<meta name=robots>`` pages (r13): ``noindex`` responses —
+      including the unquoted ``content=noindex`` spelling and the
+      ``none`` shorthand (r14) — are fetched-but-not-corpus →
+      ``kind='noindex'`` (URL indexed as fetched, page never enters
+      accepted; its links still feed discovery and the link graph);
+      ``nofollow`` (or ``none``) responses contribute NO links to any
+      channel (emptied at extraction, so the graph sink and the fetch
+      queue both honor it);
     - SAME-HOST ``rel=canonical`` variants (r13): a page declaring a
       different canonical URL on its own host is a publisher-declared
-      duplicate → ``{out_dir}/canonical_variants`` (seen-not-corpus,
-      the row records the pointer + content fingerprint) and the
+      duplicate → ``kind='canonical_variant'`` (seen-not-corpus, the
+      row records the pointer + content fingerprint) and the
       canonical TARGET joins the discovery channels; cross-host
       declarations are ignored (the canonical-hijack spam vector) and
       the page stays an ordinary corpus candidate;
     - ``revisit`` records (the Common Crawl dedup convention, r13) →
-      ``{out_dir}/revisits`` — seen-not-corpus like redirects: the
+      ``kind='revisit'`` — seen-not-corpus like redirects: the
       URL is marked fetched in the index (no re-queue next wave) and
       the row carries ``refers_to`` + ``payload_digest``, resolving
       WHERE the content lives instead of re-entering the corpus as an
@@ -777,30 +845,55 @@ def run_crawl_stream(
                 ).select(
                     "src", canonical_url(F.col("_u")).alias("dst")
                 )
-                # accepted is (re)written FIRST and redirects SECOND so
-                # a crash between them leaves exactly the prefix
+                # the five seen-not-corpus families in ONE sink (r14):
+                # disjoint filters of the same persisted frame, tagged
+                # with a kind column and union'd — one write job where
+                # r13 launched five, the fix for the s24/s26/s27/s29
+                # sink-fan-out regression. unionByName fills the
+                # columns a kind doesn't carry with NULLs.
+                seen = (
+                    redirects.select(
+                        F.lit("redirect").alias("kind"), "*"
+                    )
+                    .unionByName(
+                        sm_summary.select(
+                            F.lit("sitemap").alias("kind"),
+                            "file_id", "pos", "target_uri", "canonical",
+                            F.col("kind").alias("sitemap_kind"),
+                            "n_entries", "error",
+                        ),
+                        allowMissingColumns=True,
+                    )
+                    .unionByName(
+                        revisits.select(
+                            F.lit("revisit").alias("kind"), "*"
+                        ),
+                        allowMissingColumns=True,
+                    )
+                    .unionByName(
+                        noindex_rows.select(
+                            F.lit("noindex").alias("kind"), "*"
+                        ),
+                        allowMissingColumns=True,
+                    )
+                    .unionByName(
+                        canon_variants.select(
+                            F.lit("canonical_variant").alias("kind"), "*"
+                        ),
+                        allowMissingColumns=True,
+                    )
+                    .select(*SEEN_COLUMNS)
+                )
+                # accepted is (re)written FIRST and seen SECOND so a
+                # crash between them leaves exactly the prefix
                 # _own_canonicals reads back; every sink write replaces
                 # this batch's partition (idempotent under replay)
                 _write_batch_partition(
                     accepted, f"{out_dir}/accepted", key
                 )
+                _write_batch_partition(seen, f"{out_dir}/seen", key)
                 _write_batch_partition(
                     links_out, f"{out_dir}/links", key
-                )
-                _write_batch_partition(
-                    redirects, f"{out_dir}/redirects", key
-                )
-                _write_batch_partition(
-                    sm_summary, f"{out_dir}/sitemaps", key
-                )
-                _write_batch_partition(
-                    revisits, f"{out_dir}/revisits", key
-                )
-                _write_batch_partition(
-                    noindex_rows, f"{out_dir}/noindex", key
-                )
-                _write_batch_partition(
-                    canon_variants, f"{out_dir}/canonical_variants", key
                 )
                 _write_batch_partition(
                     dup_in_batch.union(dup_seen),

@@ -7,6 +7,7 @@ import json
 from da_transform_judgments_pipeline_spark.sources import frontier
 from da_transform_judgments_pipeline_spark.sources.warc import build_warc_gz
 from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+    read_seen,
     run_crawl_stream,
 )
 
@@ -448,7 +449,7 @@ def test_crawl_stream_sitemap_and_politeness(spark, tmp_path):
     acc = sorted(r["canonical"]
                  for r in _read(spark, out / "accepted").collect())
     assert acc == ["https://h.example/l1", "https://h.example/p1"]
-    sm = _read(spark, out / "sitemaps").collect()
+    sm = read_seen(spark, str(out), "sitemap").collect()
     assert [(r["canonical"], r["kind"], r["n_entries"], r["error"])
             for r in sm] == [
         ("https://h.example/sitemap.xml", "urlset", 2, None),
@@ -514,7 +515,7 @@ def test_crawl_stream_redirect_discovery(spark, tmp_path):
     q.awaitTermination(120)
     acc = {r["canonical"] for r in _read(spark, out / "accepted").collect()}
     assert acc == {"https://h.example/page"}
-    red = _read(spark, out / "redirects").collect()
+    red = read_seen(spark, str(out), "redirect").collect()
     assert sorted((r["canonical"], r["location"]) for r in red) == [
         ("https://h.example/also-old", "https://h.example/new"),
         ("https://h.example/old", "https://h.example/new"),
@@ -759,7 +760,7 @@ def test_crawl_stream_sitemap_mime_sniff_routing(spark, tmp_path):
         "https://h.example/feed.xml",
     ]
     sm = {r["canonical"]: (r["kind"], r["n_entries"], r["error"])
-          for r in _read(spark, out / "sitemaps").collect()}
+          for r in read_seen(spark, str(out), "sitemap").collect()}
     assert sm == {
         "https://h.example/sitemap": ("urlset", 2, None),
         "https://h.example/sm2.xml.gz": ("urlset", 1, None),
@@ -817,7 +818,7 @@ def test_crawl_stream_revisit_routing(spark, tmp_path):
     # chunk framing and gzip stream never reach html_text)
     assert list(acc) == ["https://h.example/page"]
     assert "original page body" in acc["https://h.example/page"]
-    rev = _read(spark, out / "revisits").collect()
+    rev = read_seen(spark, str(out), "revisit").collect()
     assert [(r["canonical"], r["refers_to"]) for r in rev] == [
         ("https://h.example/mirror", rid)
     ]
@@ -878,6 +879,31 @@ def test_crawl_stream_meta_robots_routing(spark, tmp_path):
         {"url": "https://h.example/plain",
          "date": "2021-03-04T05:06:07Z",
          "payload": page(None, "/from-plain", "normal page")},
+        # r14: legal UNQUOTED content value — the r13 extractor
+        # returned NULL here and this page entered the corpus
+        {"url": "https://h.example/unq",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": (
+             b"<html><head><meta name=robots content=noindex></head>"
+             b'<body><p>unquoted noindex</p><a href="/from-unq">x</a>'
+             b"</body></html>"
+         )},
+        # r14: content=none is the spec shorthand for noindex,nofollow
+        {"url": "https://h.example/none",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": (
+             b"<html><head><meta name=robots content=none></head>"
+             b'<body><p>none page</p><a href="/from-none">x</a>'
+             b"</body></html>"
+         )},
+        # r14: a robots-prefixed decoy name must NOT suppress the page
+        {"url": "https://h.example/decoy",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": (
+             b'<html><head><meta name="robotsx" content="noindex">'
+             b'</head><body><p>decoy meta page</p>'
+             b'<a href="/from-decoy">x</a></body></html>'
+         )},
         # a declared-Latin-1 page: the r13 charset ladder must decode
         # it before extraction (a blind UTF-8 cast would mojibake it)
         {"url": "https://h.example/latin",
@@ -895,32 +921,39 @@ def test_crawl_stream_meta_robots_routing(spark, tmp_path):
     acc = {r["canonical"]: r["text"]
            for r in _read(spark, out / "accepted").collect()}
     assert sorted(acc) == [
-        "https://h.example/latin", "https://h.example/nf",
-        "https://h.example/plain",
+        "https://h.example/decoy", "https://h.example/latin",
+        "https://h.example/nf", "https://h.example/plain",
     ]
     assert acc["https://h.example/latin"] == "Café crawl page"
     ni = {r["canonical"]: r["robots_meta"]
-          for r in _read(spark, out / "noindex").collect()}
+          for r in read_seen(spark, str(out), "noindex").collect()}
     assert ni == {
         "https://h.example/ni": "noindex",
         "https://h.example/both": "noindex,nofollow",
+        "https://h.example/unq": "noindex",
+        "https://h.example/none": "none",
     }
-    # discovery: noindex page's link followed, nofollow pages' dropped
+    # discovery: noindex pages' links followed, nofollow (and none)
+    # pages' dropped; the decoy meta never suppresses anything
     disc = sorted(r["canonical"]
                   for r in _read(spark, out / "discovered").collect())
     assert disc == [
-        "https://h.example/from-ni", "https://h.example/from-plain",
+        "https://h.example/from-decoy", "https://h.example/from-ni",
+        "https://h.example/from-plain", "https://h.example/from-unq",
     ]
-    # the graph sink honors nofollow too
+    # the graph sink honors nofollow (and the none shorthand) too
     links = sorted((r["src"], r["dst"])
                    for r in _read(spark, out / "links").collect())
     assert links == [
+        ("https://h.example/decoy", "https://h.example/from-decoy"),
         ("https://h.example/ni", "https://h.example/from-ni"),
         ("https://h.example/plain", "https://h.example/from-plain"),
+        ("https://h.example/unq", "https://h.example/from-unq"),
     ]
     # every fetched URL is indexed — noindex pages never re-queue
     idx = {r["canonical"] for r in spark.table(table).collect()}
-    assert {"https://h.example/ni", "https://h.example/both"} <= idx
+    assert {"https://h.example/ni", "https://h.example/both",
+            "https://h.example/unq", "https://h.example/none"} <= idx
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
@@ -973,7 +1006,7 @@ def test_crawl_stream_canonical_variant_routing(spark, tmp_path):
                  for r in _read(spark, out / "accepted").collect())
     assert acc == ["https://h.example/self", "https://h.example/victim"]
     cv = {r["canonical"]: r["canon_target"] for r in
-          _read(spark, out / "canonical_variants").collect()}
+          read_seen(spark, str(out), "canonical_variant").collect()}
     assert cv == {
         "https://h.example/article?utm=x": "https://h.example/article",
     }
