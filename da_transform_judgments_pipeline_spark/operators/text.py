@@ -86,10 +86,16 @@ def decode_payloads(
     27 printable assignments are applied via one ``translate`` over
     the ISO-8859-1 decode (€ " — ™ …); pair with
     :func:`fix_mojibake` for UNDECLARED cp1252 masquerading as UTF-8.
-    UTF-16 bodies with an odd byte length fall back to the raw cast
-    (structurally malformed); interior malformed sequences raise under
-    ANSI — set ``spark.sql.legacy.codingErrorAction=true`` for the
-    replacement-character posture when ingesting hostile corpora.
+    UTF-16 bodies that are structurally malformed — odd byte length,
+    or an UNPAIRED surrogate code unit (the only other malformation
+    UTF-16 admits) — fall back to the raw cast instead of decoding:
+    under Spark 4 ANSI ``F.decode`` RAISES on malformed input, and in
+    a stream one hostile page with a lying ``charset=utf-16`` header
+    would otherwise fail its whole foreachBatch batch forever (r14,
+    per r13 ADVICE). The surrogate check is a parity-anchored rlike
+    over the byte-transparent ISO-8859-1 view — pure Catalyst, and
+    only evaluated on rows already routed to a UTF-16 branch
+    (CaseWhen is lazy per row).
 
     Adds ``charset_col`` (the canonical charset actually used — the
     audit column) and ``text_col``. Pure Catalyst projections staged
@@ -152,6 +158,33 @@ def decode_payloads(
     b = F.col("_cs_body")
     cs = F.col(charset_col)
     latin = F.decode(b, "ISO-8859-1")
+    # Unpaired-surrogate scan on the byte-transparent latin view: a
+    # UTF-16 code unit is a 2-byte pair whose HIGH byte marks the
+    # surrogate class (D8-DB = high surrogate, DC-DF = low). LE puts
+    # the high byte at odd offsets, BE at even; (?:[\s\S]{2})* anchors
+    # unit parity, and the four alternatives per endianness are: lone
+    # high at end, high followed by a non-low unit, lone low at start,
+    # low after a non-high unit. Valid astral pairs match none.
+    bad16le = (
+        latin.rlike("^(?:[\\s\\S]{2})*[\\s\\S][\\xd8-\\xdb]$")
+        | latin.rlike(
+            "^(?:[\\s\\S]{2})*[\\s\\S][\\xd8-\\xdb][\\s\\S][^\\xdc-\\xdf]"
+        )
+        | latin.rlike("^[\\s\\S][\\xdc-\\xdf]")
+        | latin.rlike(
+            "^(?:[\\s\\S]{2})*[\\s\\S][^\\xd8-\\xdb][\\s\\S][\\xdc-\\xdf]"
+        )
+    )
+    bad16be = (
+        latin.rlike("^(?:[\\s\\S]{2})*[\\xd8-\\xdb][\\s\\S]$")
+        | latin.rlike(
+            "^(?:[\\s\\S]{2})*[\\xd8-\\xdb][\\s\\S][^\\xdc-\\xdf]"
+        )
+        | latin.rlike("^[\\xdc-\\xdf]")
+        | latin.rlike(
+            "^(?:[\\s\\S]{2})*[^\\xd8-\\xdb][\\s\\S][\\xdc-\\xdf]"
+        )
+    )
     text = (
         F.when(cs == "iso-8859-1", latin)
         .when(
@@ -161,13 +194,15 @@ def decode_payloads(
         .when(
             cs == "utf-16le",
             F.when(
-                F.length(b) % 2 == 0, F.decode(b, "UTF-16LE")
+                (F.length(b) % 2 == 0) & ~bad16le,
+                F.decode(b, "UTF-16LE"),
             ).otherwise(b.cast("string")),
         )
         .when(
             cs == "utf-16be",
             F.when(
-                F.length(b) % 2 == 0, F.decode(b, "UTF-16BE")
+                (F.length(b) % 2 == 0) & ~bad16be,
+                F.decode(b, "UTF-16BE"),
             ).otherwise(b.cast("string")),
         )
         .otherwise(b.cast("string"))

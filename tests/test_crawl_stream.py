@@ -911,6 +911,21 @@ def test_crawl_stream_meta_robots_routing(spark, tmp_path):
          "payload": "<html><body><p>Café crawl page</p></body></html>"
          .encode("latin-1"),
          "content_type": "text/html; charset=iso-8859-1"},
+        # r14 (ADVICE): a hostile page — lying charset=utf-16 header,
+        # even length, unpaired surrogate. Spark 4 ANSI F.decode
+        # raises on it; decode_payloads must degrade to the raw cast
+        # so ONE bad record never fails (and forever retries) the
+        # whole foreachBatch batch
+        {"url": "https://h.example/hostile",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": (
+             # 50 markup bytes + the lone high surrogate = 52, EVEN —
+             # so the surrogate scan (not the odd-length fallback) is
+             # what must route this to the raw cast
+             b"<html><body><p>hostile utf16 lie</p></body></html>"
+             b"\x00\xd8"
+         ),
+         "content_type": "text/html; charset=utf-16"},
     ])
     (warcs / "f1.warc.gz").write_bytes(blob)
     (manifests / "w1.jsonl").write_text(json.dumps(
@@ -921,10 +936,14 @@ def test_crawl_stream_meta_robots_routing(spark, tmp_path):
     acc = {r["canonical"]: r["text"]
            for r in _read(spark, out / "accepted").collect()}
     assert sorted(acc) == [
-        "https://h.example/decoy", "https://h.example/latin",
-        "https://h.example/nf", "https://h.example/plain",
+        "https://h.example/decoy", "https://h.example/hostile",
+        "https://h.example/latin", "https://h.example/nf",
+        "https://h.example/plain",
     ]
     assert acc["https://h.example/latin"] == "Café crawl page"
+    # the hostile declared-utf-16 page degraded to the raw cast (its
+    # markup survives recognizably) instead of failing the batch
+    assert "hostile utf16 lie" in acc["https://h.example/hostile"]
     ni = {r["canonical"]: r["robots_meta"]
           for r in read_seen(spark, str(out), "noindex").collect()}
     assert ni == {

@@ -1499,6 +1499,50 @@ def test_decode_payloads_charsets(spark):
     assert rows[9]["text"] is not None  # odd utf-16: raw cast, no raise
 
 
+def test_decode_payloads_unpaired_surrogates_degrade(spark):
+    """r14 (per r13 ADVICE): under Spark 4 ANSI, F.decode raises on
+    malformed UTF-16 — an even-length payload with an UNPAIRED
+    surrogate behind a lying charset=utf-16 header would fail a whole
+    foreachBatch batch forever. decode_payloads must instead fall back
+    to the raw cast for such bodies (both endiannesses, every lone-
+    surrogate position) while VALID astral pairs still decode."""
+    from da_transform_judgments_pipeline_spark.operators.text import (
+        decode_payloads,
+    )
+
+    cases = [
+        # (payload, mime, decodes_cleanly, want_text_if_clean)
+        ("a\U0001F600b".encode("utf-16-le"),
+         "text/html; charset=utf-16", True, "a\U0001F600b"),
+        ("x\U0001F600".encode("utf-16-be"),
+         "text/html; charset=utf-16be", True, "x\U0001F600"),
+        # lone high surrogate at end / mid; lone low at start / mid
+        (b"a\x00\x00\xd8", "text/html; charset=utf-16", False, None),
+        (b"a\x00\x00\xd8b\x00", "text/html; charset=utf-16",
+         False, None),
+        (b"\x00\xdca\x00", "text/html; charset=utf-16", False, None),
+        (b"a\x00\x00\xdcb\x00", "text/html; charset=utf-16",
+         False, None),
+        # a valid pair then a lone low: still malformed
+        ("\U0001F600".encode("utf-16-le") + b"\x00\xdc",
+         "text/html; charset=utf-16", False, None),
+        (b"\xd8\x00\x00a", "text/html; charset=utf-16be", False, None),
+        (b"\xdc\x00\x00a", "text/html; charset=utf-16be", False, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p), m) for i, (p, m, _, _) in enumerate(cases)],
+        "i int, payload binary, mime string",
+    )
+    rows = {r["i"]: r for r in decode_payloads(df).collect()}  # no raise
+    for i, (_, _, clean, want) in enumerate(cases):
+        assert rows[i]["text"] is not None, i
+        if clean:
+            assert rows[i]["text"] == want, (i, rows[i]["text"])
+        else:  # raw cast: surrogate byte survives as replacement/junk,
+            # never a decoded surrogate pair and never an exception
+            assert "\U0001F600" not in rows[i]["text"], i
+
+
 def test_fix_mojibake_planted_and_noop(spark):
     """fix_mojibake: planted cp1252 double-encodings repair to the
     original text (2- and 3-char digraphs, longest-first), clean
