@@ -3906,15 +3906,17 @@ def q_m24_warc_zst_extract(spark, sf_dir):
                             f"<body><p>Para {r} of doc {d}.</p>"
                             f"<!-- hidden --> &amp; more</body></html>"
                         ).encode(),
-                        # r13: HTTP wire regimes compose with the zst
-                        # transport — decoded output unchanged
+                        # r13 (+br r14): HTTP wire regimes compose
+                        # with the zst transport — decoded output
+                        # unchanged
                         **[
                             {},
                             {"content_encoding": "gzip"},
                             {"transfer_encoding": "chunked"},
                             {"content_encoding": "deflate",
                              "transfer_encoding": "chunked"},
-                        ][(d + r) % 4],
+                            {"content_encoding": "br"},
+                        ][(d + r) % 5],
                     }
                     for r in range(d % 3 + 1)
                 ]
@@ -4744,18 +4746,19 @@ def q_m16_warc_extract(spark, sf_dir):
                             f"<!-- hidden --> &amp; more</body></html>"
                         ).encode(),
                         # real-crawl payload regimes rotate by
-                        # (doc_id + r) % 4 (r13): plain / gzip /
-                        # chunked / deflate+chunked — the DECODED
-                        # payload is identical across all four wire
-                        # forms, so text/payload_len/digest_ok keep
-                        # their closed forms
+                        # (doc_id + r) % 5 (r13, +br r14): plain /
+                        # gzip / chunked / deflate+chunked / brotli —
+                        # the DECODED payload is identical across all
+                        # five wire forms, so text/payload_len/
+                        # digest_ok keep their closed forms
                         **[
                             {},
                             {"content_encoding": "gzip"},
                             {"transfer_encoding": "chunked"},
                             {"content_encoding": "deflate",
                              "transfer_encoding": "chunked"},
-                        ][(d + r) % 4],
+                            {"content_encoding": "br"},
+                        ][(d + r) % 5],
                     }
                     for r in range(d % 3 + 1)
                 ]
@@ -5093,7 +5096,8 @@ def q_x29_crawl_pipeline(spark, sf_dir):
                                     {},
                                     {"content_encoding": "gzip"},
                                     {"transfer_encoding": "chunked"},
-                                ][(d + r) % 3],
+                                    {"content_encoding": "br"},
+                                ][(d + r) % 4],
                             }
                             for r in range(n_serves)
                         ])
@@ -6280,7 +6284,8 @@ def q_s24_crawl_stream_intake(spark, sf_dir):
                     {},
                     {"content_encoding": "gzip"},
                     {"transfer_encoding": "chunked"},
-                ][(d // 13) % 3],
+                    {"content_encoding": "br"},
+                ][(d // 13) % 4],
             }])
             with open(warc_path(tag, d), "wb") as f:
                 f.write(blob)
@@ -9951,10 +9956,11 @@ def oracle_sql() -> dict[str, str]:
                    'Doc ' || CAST(doc_id AS VARCHAR) || ' Para '
                        || CAST(r AS VARCHAR) || ' of doc '
                        || CAST(doc_id AS VARCHAR) || '. & more' AS text,
-                   CASE WHEN (doc_id + r) % 4 IN (2, 3)
+                   CASE WHEN (doc_id + r) % 5 IN (2, 3)
                         THEN 'chunked' END AS transfer_encoding,
-                   CASE WHEN (doc_id + r) % 4 = 1 THEN 'gzip'
-                        WHEN (doc_id + r) % 4 = 3 THEN 'deflate'
+                   CASE WHEN (doc_id + r) % 5 = 1 THEN 'gzip'
+                        WHEN (doc_id + r) % 5 = 3 THEN 'deflate'
+                        WHEN (doc_id + r) % 5 = 4 THEN 'br'
                    END AS content_encoding
             FROM documents,
                  unnest(range(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS t(r)

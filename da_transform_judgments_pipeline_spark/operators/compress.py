@@ -1578,6 +1578,18 @@ def sniff_compression(blob: bytes) -> str | None:
     return None
 
 
+def _brotli_available() -> bool:
+    """Whether the canonical brotli codec is reachable (a seam the
+    no-codec refusal test patches — pyarrow.lib.Codec is an immutable
+    C type, so the probe can't be monkeypatched directly)."""
+    try:
+        import pyarrow as pa
+
+        return bool(pa.Codec.is_available("brotli"))
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return False
+
+
 def decompress(
     blob: bytes,
     codec: str,
@@ -1643,6 +1655,31 @@ def decompress(
                 raise CompressError(
                     "gzip: trailing bytes after member are not a gzip member"
                 )
+    if codec in ("brotli", "br"):
+        # HTTP ``Content-Encoding: br`` (RFC 7932) — ~everything
+        # Cloudflare-fronted serves it, so a crawl that refuses br
+        # loses a visible slice of responses to out/errors. There is
+        # deliberately NO pure-python twin (the format needs RFC
+        # 7932's 120 KB static dictionary); the canonical-lib fast
+        # path alone carries it (r14): pyarrow streams brotli without
+        # a declared size, and the bounded chunked read preserves the
+        # bomb contract exactly like zstd/lz4. Without a brotli-
+        # capable pyarrow the typed refusal stands.
+        if engine == "pure":
+            raise UnsupportedCompressionError(
+                "brotli: no pure-python decoder (canonical-lib only — "
+                "RFC 7932's static dictionary rules out a stdlib twin)"
+            )
+        if not _brotli_available():
+            raise UnsupportedCompressionError(
+                "brotli: pyarrow with brotli support unavailable"
+            )
+        try:
+            return _native_stream_decompress(blob, "brotli", max_output)
+        except CompressError:
+            raise
+        except Exception as e:
+            raise CompressError(f"brotli: corrupt stream: {e}") from e
     if codec in ("bz2", "xz", "lzma"):
         # stdlib codecs, wrapped so the SAME bound/typed-error contract
         # holds across the whole transport matrix

@@ -279,9 +279,12 @@ def _decode_http_payload(
     gzip/deflate streams), and flowing those into html_text/dedup as
     document text is silent corruption. Returns (decoded bytes,
     transfer_encoding, content_encoding) with the raw header values
-    surfaced as audit columns. Unsupported codings (e.g. ``br`` — no
-    stdlib decoder) raise a typed WarcError so report mode isolates
-    the row instead of emitting compressed bytes as text."""
+    surfaced as audit columns. ``br`` (RFC 7932 — what most
+    Cloudflare-fronted sites actually serve) decodes through the
+    canonical-lib fast path (pyarrow brotli, bounded reads, r14);
+    genuinely unsupported codings raise a typed WarcError so report
+    mode isolates the row instead of emitting compressed bytes as
+    text."""
     te = http_headers.get("transfer-encoding")
     ce = http_headers.get("content-encoding")
     if payload and te:
@@ -308,6 +311,17 @@ def _decode_http_payload(
                 payload = _inflate_deflate(
                     payload, WARC_MAX_MEMBER_BYTES
                 )
+            elif c == "br":
+                try:
+                    payload = decompress(
+                        payload, "brotli",
+                        max_output=WARC_MAX_MEMBER_BYTES,
+                    )
+                except CompressError as e:
+                    # includes the typed refusal when pyarrow lacks
+                    # the brotli codec — either way one error row,
+                    # never compressed bytes flowing on as text
+                    raise WarcError(f"br payload: {e}") from e
             elif c in ("identity", ""):
                 pass
             else:
@@ -677,9 +691,10 @@ def build_warc_gz(
     Real-crawl payload regimes (r13 — so oracles exercise what
     production WARCs actually contain):
 
-    - ``content_encoding``: ``'gzip'`` or ``'deflate'`` — the body is
-      stored compressed with a matching ``Content-Encoding`` header
-      (deterministic: pinned-mtime gzip member / zlib level 6);
+    - ``content_encoding``: ``'gzip'``, ``'deflate'`` or ``'br'`` (r14)
+      — the body is stored compressed with a matching
+      ``Content-Encoding`` header (deterministic: pinned-mtime gzip
+      member / zlib level 6 / single-shot pyarrow brotli);
     - ``transfer_encoding``: ``'chunked'`` — the (possibly encoded)
       body is stored in RFC 9112 chunk framing (fixed 57-byte chunks,
       a chunk extension on the first chunk for parser coverage) with
@@ -757,6 +772,13 @@ def build_warc_gz(
         elif cenc == "deflate":
             body = zlib.compress(body, 6)
             enc_hdr = "Content-Encoding: deflate\r\n"
+        elif cenc == "br":
+            # canonical brotli via pyarrow (deterministic single-shot
+            # encode) — the r14 regime the decoder's br path reads
+            import pyarrow as pa
+
+            body = pa.Codec("brotli").compress(body, asbytes=True)
+            enc_hdr = "Content-Encoding: br\r\n"
         elif cenc is not None:
             raise ValueError(f"unsupported content_encoding {cenc!r}")
         tenc = r.get("transfer_encoding")

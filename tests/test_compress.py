@@ -516,3 +516,32 @@ def test_frame_bounds_walkers():
         lz4_frame_bounds(la + b"junk")
     s = pa.Codec("snappy").compress(b"E" * 12345, asbytes=True)
     assert snappy_declared_length(s) == 12345
+
+
+def test_brotli_canonical_lib_path_and_refusals(monkeypatch):
+    """r14 (per r13 verdict): HTTP ``Content-Encoding: br`` decodes
+    through the canonical-lib fast path — pyarrow streams brotli
+    WITHOUT a declared size, and the bounded chunked read keeps the
+    bomb contract. There is deliberately no stdlib twin (RFC 7932's
+    120 KB static dictionary), so engine='pure' and a pyarrow without
+    the codec both stay TYPED refusals, and corrupt/truncated streams
+    raise typed errors for report-mode row isolation."""
+    data = b"brotli payload for the crawl " * 500
+    enc = pa.Codec("brotli").compress(data, asbytes=True)
+    assert decompress(enc, "brotli") == data
+    assert decompress(enc, "br") == data  # the HTTP token alias
+    with pytest.raises(CompressBombError, match="exceeds bound"):
+        decompress(enc, "brotli", max_output=100)
+    with pytest.raises(CompressError, match="brotli: corrupt stream"):
+        decompress(b"\x00\xff" * 10, "brotli")
+    with pytest.raises(CompressError, match="brotli: corrupt stream"):
+        decompress(enc[: len(enc) // 2], "brotli")  # truncated
+    with pytest.raises(UnsupportedCompressionError, match="no pure"):
+        decompress(enc, "brotli", engine="pure")
+    from da_transform_judgments_pipeline_spark.operators import (
+        compress as _compress_mod,
+    )
+
+    monkeypatch.setattr(_compress_mod, "_brotli_available", lambda: False)
+    with pytest.raises(UnsupportedCompressionError, match="unavailable"):
+        decompress(enc, "brotli")

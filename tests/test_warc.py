@@ -78,8 +78,9 @@ def test_http_payload_decoding_failures_are_typed():
     assert bad2 != member
     with pytest.raises(W.WarcError, match="truncated chunk"):
         W.parse_warc_record(bad2)
-    # unsupported coding (brotli has no stdlib decoder): refusal, not
-    # compressed bytes flowing into the corpus as text
+    # CORRUPT br (r14: br now decodes via the canonical-lib path, so
+    # junk bytes are a typed corrupt-stream error — still one isolated
+    # row, never compressed bytes flowing into the corpus as text)
     br = (
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
         b"Content-Encoding: br\r\nContent-Length: 4\r\n\r\nXXXX"
@@ -92,8 +93,44 @@ def test_http_payload_decoding_failures_are_typed():
          ("Content-Type", "application/http; msgtype=response")],
         br,
     )
-    with pytest.raises(W.WarcError, match="unsupported Content-Encoding"):
+    with pytest.raises(W.WarcError, match="br payload"):
         W.parse_warc_record(rec)
+    # a genuinely unknown coding still refuses typed
+    unk = br.replace(b"Content-Encoding: br", b"Content-Encoding: xz9")
+    rec2 = W._record(
+        [("WARC-Type", "response"),
+         ("WARC-Record-ID", "<urn:uuid:2>"),
+         ("WARC-Date", "2021-03-04T05:06:07Z"),
+         ("WARC-Target-URI", "https://h.example/unk"),
+         ("Content-Type", "application/http; msgtype=response")],
+        unk,
+    )
+    with pytest.raises(W.WarcError, match="unsupported Content-Encoding"):
+        W.parse_warc_record(rec2)
+
+
+def test_brotli_content_encoding_roundtrip():
+    """r14: a ``Content-Encoding: br`` response (what Cloudflare-
+    fronted sites actually serve) decodes through the canonical-lib
+    fast path — payload, digest verification and audit columns all
+    behave exactly like the gzip/deflate regimes."""
+    body = b"<html><body><p>served over brotli</p></body></html>"
+    blob = W.build_warc_gz([
+        {"url": "https://h.example/br", "date": "2021-03-04T05:06:07Z",
+         "payload": body, "content_encoding": "br"},
+        {"url": "https://h.example/br-chunked",
+         "date": "2021-03-04T05:06:07Z",
+         "payload": body, "content_encoding": "br",
+         "transfer_encoding": "chunked"},
+    ])
+    members = W.split_gzip_members(blob)
+    assert body not in members[1]  # brotli-compressed on the wire
+    for m, want_te in ((members[1], None), (members[2], "chunked")):
+        rec = W.parse_warc_record(m)
+        assert rec["payload"] == body
+        assert rec["digest_ok"] is True
+        assert rec["content_encoding"] == "br"
+        assert rec["transfer_encoding"] == want_te
 
 
 def test_revisit_records_parse():
