@@ -6187,7 +6187,13 @@ def q_s22_crawl_frontier(spark, sf_dir):
     index with ZERO index-side Exchange (plan-gated in pytest). Every
     26th doc re-discovers an already-indexed page through a messy
     spelling, so the canonicalization is what keeps it OUT of the
-    frontier. DuckDB recomputes the whole decision closed-form."""
+    frontier. r14 adds the RECRAWL policy twin: every indexed page
+    carries a closed-form ``fetched_at`` stamp (100 when its doc_id %%
+    3 == 0, else 10000), and the same batch is decided twice — once
+    fetch-once (``policy='fetch_once'``, the pre-r14 rows) and once
+    with ``refetch_before=5000`` (``policy='ttl'``), where the STALE
+    re-discovered pages re-enter the queue. DuckDB recomputes both
+    decisions closed-form."""
     from da_transform_judgments_pipeline_spark.sources import frontier
 
     docs = _T(spark, sf_dir, "documents").select("doc_id")
@@ -6197,13 +6203,17 @@ def q_s22_crawl_frontier(spark, sf_dir):
         corpus = docs.filter(d % 13 != 0).select(
             F.concat(
                 F.lit("https://caselaw.example/case/"), d.cast("string")
-            ).alias("url")
+            ).alias("url"),
+            F.when(d % 3 == 0, F.lit(100))
+            .otherwise(F.lit(10000)).alias("fa"),
         )
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".cache", "urls",
             table,
         )
-        frontier.build_url_index(corpus, table, buckets=8, path=path)
+        frontier.build_url_index(
+            corpus, table, buckets=8, path=path, fetched_at_col="fa"
+        )
     k = F.when(d % 26 == 0, d + 1).otherwise(d).cast("string")
     batch_docs = docs.filter(d % 13 == 0)
 
@@ -6216,10 +6226,13 @@ def q_s22_crawl_frontier(spark, sf_dir):
         )
 
     batch = messy("a").union(messy("b"))
-    return (
-        frontier.new_frontier_urls(batch, spark, table)
-        .orderBy("canonical")
+    once = frontier.new_frontier_urls(batch, spark, table).select(
+        F.lit("fetch_once").alias("policy"), "canonical", "url"
     )
+    ttl = frontier.new_frontier_urls(
+        batch, spark, table, refetch_before=5000
+    ).select(F.lit("ttl").alias("policy"), "canonical", "url")
+    return once.unionByName(ttl).orderBy("policy", "canonical")
 
 
 def q_s24_crawl_stream_intake(spark, sf_dir):
@@ -10990,14 +11003,31 @@ def oracle_sql() -> dict[str, str]:
             FROM r ORDER BY doc_id
         """,
         "s22_crawl_frontier": """
-            SELECT 'https://caselaw.example/case/'
-                     || CAST(doc_id AS VARCHAR) AS canonical,
-                   'HTTPS://CaseLaw.Example:443/case/x/../'
-                     || CAST(doc_id AS VARCHAR) || '#a'
-                     || CAST(doc_id AS VARCHAR) AS url
-            FROM documents
-            WHERE doc_id % 13 = 0 AND doc_id % 26 != 0
-            ORDER BY canonical
+            WITH unseen AS (
+              SELECT 'https://caselaw.example/case/'
+                       || CAST(doc_id AS VARCHAR) AS canonical,
+                     'HTTPS://CaseLaw.Example:443/case/x/../'
+                       || CAST(doc_id AS VARCHAR) || '#a'
+                       || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+              WHERE doc_id % 13 = 0 AND doc_id % 26 != 0
+            ), stale AS (
+              -- r14 TTL policy: the re-discovered page doc_id+1 has
+              -- stamp 100 (< cutoff 5000) exactly when (doc_id+1)%3=0
+              SELECT 'https://caselaw.example/case/'
+                       || CAST(doc_id + 1 AS VARCHAR) AS canonical,
+                     'HTTPS://CaseLaw.Example:443/case/x/../'
+                       || CAST(doc_id + 1 AS VARCHAR) || '#a'
+                       || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+              WHERE doc_id % 26 = 0 AND (doc_id + 1) % 3 = 0
+            )
+            SELECT 'fetch_once' AS policy, canonical, url FROM unseen
+            UNION ALL
+            SELECT 'ttl' AS policy, canonical, url FROM unseen
+            UNION ALL
+            SELECT 'ttl' AS policy, canonical, url FROM stale
+            ORDER BY policy, canonical
         """,
         "m20_zip_extract": """
             WITH m AS (

@@ -6,14 +6,25 @@ half). The d06/d11/e14 incremental-index lifecycle applied to URLs:
 - URLs canonicalize first (:func:`..functions.strings.canonical_url` —
   RFC 3986 §6), so `HTTP://Host:80/a/../b` and `http://host/b` collide
   BEFORE the index is consulted;
-- the index holds one row per distinct canonical URL, bucketed on it,
-  so each batch's anti-join plans with ZERO index-side Exchange (the
-  batch shuffles; the 100 TB side never does — plan-gated in pytest);
+- the index holds (canonical, fetched_at) rows bucketed on the
+  canonical, so each batch's anti-join plans with ZERO index-side
+  Exchange (the batch shuffles; the 100 TB side never does —
+  plan-gated in pytest);
 - batches dedup internally before the index join (a crawl batch
   re-discovers the same link many times): keep-lowest min-struct over
   ``(*order_cols, url)`` — pass e.g. ``order_cols=("batch_id", "pos")``
   to keep the first discovery in arrival order, or omit it to keep the
   lexicographically-smallest URL string per canonical;
+- RECRAWL (r14): rows carry an optional ``fetched_at`` epoch-seconds
+  stamp. With ``refetch_before`` the frontier decision suppresses only
+  canonicals with a FRESH enough fetch on record — a stale page
+  re-enters the queue, which is what lets a long-running crawl refresh
+  a corpus instead of freezing it at first fetch. Refetches APPEND a
+  newer-stamped row (the index stays append-only — no in-place update
+  at 100 TB); suppression reads "any row fresh enough", so no
+  aggregation is needed on the decision path. Rows with a NULL stamp
+  (seeds, legacy appends) never expire — the pre-r14 behavior, and the
+  conservative default for timestamp-less callers;
 - append + compaction reuse the dedup_stream lifecycle (crash-safe
   write-first/swap-last, bucket layout preserved).
 """
@@ -37,14 +48,28 @@ def build_url_index(
     buckets: int = 32,
     path: str | None = None,
     mode: str = "overwrite",
+    fetched_at_col: str | None = None,
 ) -> None:
     """Materialize the seen-URL set once: one row per DISTINCT canonical
     URL, bucketed on it. State is the frontier's honest minimum (every
     crawler keeps exactly this set); the full-history scan is paid here
-    and amortized over every later batch."""
+    and amortized over every later batch. With ``fetched_at_col`` the
+    named column (epoch seconds, castable to long) stamps each row —
+    the max per canonical wins; without it rows carry a NULL stamp and
+    never expire."""
     from ..operators.scale import write_bucketed
 
-    seen = _canon(df, url_col).select("canonical").distinct()
+    canon = _canon(df, url_col)
+    if fetched_at_col is not None:
+        seen = canon.groupBy("canonical").agg(
+            F.max(F.col(fetched_at_col).cast("long")).alias("fetched_at")
+        )
+    else:
+        seen = (
+            canon.select("canonical")
+            .distinct()
+            .withColumn("fetched_at", F.lit(None).cast("long"))
+        )
     write_bucketed(
         seen, table, "canonical", buckets=buckets, mode=mode, path=path
     )
@@ -57,6 +82,7 @@ def new_frontier_urls(
     url_col: str = "url",
     order_cols: tuple = (),
     keep_cols: tuple = (),
+    refetch_before: int | None = None,
 ) -> DataFrame:
     """The per-batch frontier decision: canonicalize, keep ONE
     representative per canonical within the batch (a min-struct over
@@ -69,9 +95,15 @@ def new_frontier_urls(
     the surviving representative row (appended to the min-struct after
     the ordering fields, so they ride along without changing which row
     wins) — e.g. the discovering page's canonical, so a prioritizer can
-    attach that page's rank to the queue row. Append the result's
-    canonicals via :func:`append_to_url_index` after a successful
-    fetch wave."""
+    attach that page's rank to the queue row.
+
+    ``refetch_before`` (r14, epoch seconds): the recrawl/TTL policy.
+    Only index rows with ``fetched_at`` NULL (never expires) or ``>=
+    refetch_before`` suppress a URL — a canonical whose every stamp is
+    older is STALE and re-enters the queue. The filter is map-side on
+    the bucketed scan, so the zero-index-side-Exchange plan survives.
+    Append the result's canonicals via :func:`append_to_url_index`
+    after a successful fetch wave."""
     canon = _canon(batch, url_col)
     key = F.struct(
         *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
@@ -91,6 +123,11 @@ def new_frontier_urls(
         )
     )
     index = spark.table(table)
+    if refetch_before is not None:
+        index = index.filter(
+            F.col("fetched_at").isNull()
+            | (F.col("fetched_at") >= F.lit(int(refetch_before)))
+        )
     return firsts.join(index, "canonical", "left_anti")
 
 
@@ -99,23 +136,55 @@ def append_to_url_index(
     new_urls: DataFrame,
     table: str,
     buckets: int | None = None,
+    fetched_at_col: str | None = None,
 ) -> None:
     """Append freshly-fetched canonicals to the index, preserving the
     bucket layout (bucket count read from the catalog, the
     append_to_substring_index pattern) so later batches' zero-Exchange
-    anti-join plans survive appends. An anti-join re-guard keeps the
-    table one-row-per-canonical even if a caller replays an append (the
-    d06 replay-safety rule)."""
+    anti-join plans survive appends.
+
+    Without ``fetched_at_col`` (the pre-r14 contract): an anti-join
+    re-guard keeps the table one-row-per-canonical even if a caller
+    replays an append (the d06 replay-safety rule) — rows land with a
+    NULL stamp and never expire. With ``fetched_at_col`` (epoch
+    seconds): a refetch appends a NEW row only when its stamp is
+    STRICTLY newer than the canonical's newest stored stamp, so a
+    replayed append (same stamp) is still dropped, while a genuine
+    recrawl accretes its newer stamp without rewriting history. A
+    canonical first recorded WITHOUT a stamp stays stamp-less (it
+    never expires, so a later stamp would be unreachable anyway). The
+    guard aggregation groups on the table's bucket column — no
+    index-side Exchange."""
     if buckets is None:
         from ..streaming.dedup_stream import _table_buckets
 
         buckets = _table_buckets(spark, table) or 32
     from ..operators.scale import write_bucketed
 
-    fresh = (
-        new_urls.select("canonical")
-        .distinct()
-        .join(spark.table(table), "canonical", "left_anti")
-    )
+    if fetched_at_col is None:
+        fresh = (
+            new_urls.select("canonical")
+            .distinct()
+            .join(spark.table(table), "canonical", "left_anti")
+            .withColumn("fetched_at", F.lit(None).cast("long"))
+        )
+    else:
+        incoming = new_urls.groupBy("canonical").agg(
+            F.max(F.col(fetched_at_col).cast("long")).alias("fetched_at")
+        )
+        prev = spark.table(table).groupBy("canonical").agg(
+            F.max("fetched_at").alias("_prev"),
+            F.lit(True).alias("_present"),
+        )
+        fresh = (
+            incoming.join(prev, "canonical", "left")
+            .filter(
+                F.col("_present").isNull()
+                | F.coalesce(
+                    F.col("fetched_at") > F.col("_prev"), F.lit(False)
+                )
+            )
+            .select("canonical", "fetched_at")
+        )
     write_bucketed(fresh, table, "canonical", buckets=buckets, mode="append")
     spark.catalog.refreshTable(table)

@@ -234,6 +234,13 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         "digest_ok",
         "http_status",
         "location",
+        # the fetch clock (r14 recrawl): the record's own WARC-Date as
+        # epoch seconds — deterministic, and exactly what a frontier
+        # freshness policy should key on (when the page was FETCHED,
+        # not when the batch ran)
+        F.unix_timestamp(F.to_timestamp(F.col("date"))).alias(
+            "_fetched_at"
+        ),
         (F.col("warc_type") == "revisit").alias("_revisit"),
         "refers_to",
         "payload_digest",
@@ -431,6 +438,7 @@ def run_crawl_stream(
     rules: DataFrame | None = None,
     emit_cdx: bool = False,
     ranks: DataFrame | None = None,
+    recrawl_ttl_sec: int | None = None,
 ):
     """readStream over a WARC-manifest drop-dir; per micro-batch:
     replay-guard the file list against the processed ledger, side-load
@@ -514,6 +522,17 @@ def run_crawl_stream(
     sequence replays to identical contents (see the module docstring's
     window-by-window argument); the chaos tests inject into each
     window via the ``_chaos_hook`` seam. Returns the StreamingQuery.
+
+    RECRAWL (r14): every indexed canonical is stamped with its
+    record's WARC-Date (epoch seconds) on append. With
+    ``recrawl_ttl_sec`` set, each batch computes its clock as the
+    newest WARC-Date it carries and treats canonicals whose newest
+    stamp predates ``clock - ttl`` as STALE: an arriving refetch of a
+    stale page is re-accepted (not ``url_seen``), its canonical can
+    re-enter the discovery queue, and the refetch appends a
+    newer-stamped row (append-only — the replay guard drops same-stamp
+    replays, so every crash window still converges). Without the
+    parameter behavior is exactly the pre-r14 fetch-once frontier.
 
     The ledger shares run_pipeline's layout, so
     :func:`.orchestrator.compact_processed_ledger` is the maintenance
@@ -603,6 +622,22 @@ def run_crawl_stream(
                 # from its sink partitions) so accepted/url_seen
                 # decisions replay IDENTICALLY
                 index = spark.table(frontier_table)
+                cutoff = None
+                if recrawl_ttl_sec is not None:
+                    # the batch clock: the newest WARC-Date in the
+                    # batch (a control-plane scalar over the persisted
+                    # frame; deterministic, so replays agree). Pages
+                    # whose newest index stamp predates (clock - ttl)
+                    # are STALE: their arriving refetch is re-accepted
+                    # instead of url_seen, and their canonical
+                    # re-enters the discovery queue.
+                    _now = docs.agg(F.max("_fetched_at")).first()[0]
+                    if _now is not None:
+                        cutoff = int(_now) - int(recrawl_ttl_sec)
+                        index = index.filter(
+                            F.col("fetched_at").isNull()
+                            | (F.col("fetched_at") >= F.lit(cutoff))
+                        )
                 own = _own_canonicals(spark, out_dir, key)
                 if own is not None:
                     index = index.join(own, "canonical", "left_anti")
@@ -778,6 +813,7 @@ def run_crawl_stream(
                     spark, frontier_table,
                     order_cols=("file_id", "pos"),
                     keep_cols=("_via",),
+                    refetch_before=cutoff,
                 ).join(
                     docs.select("canonical"), "canonical", "left_anti"
                 ).withColumnRenamed("_via", "via")
@@ -916,8 +952,9 @@ def run_crawl_stream(
                 # via _own_canonicals
                 append_to_url_index(
                     spark,
-                    fresh_docs.select("canonical"),
+                    fresh_docs.select("canonical", "_fetched_at"),
                     frontier_table,
+                    fetched_at_col="_fetched_at",
                 )
                 spark.catalog.refreshTable(frontier_table)
                 _fire("after_index", batch_id)

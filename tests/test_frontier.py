@@ -115,3 +115,97 @@ def test_frontier_index_side_never_shuffles(spark, tmp_path):
     # bucketed scan reports its bucket layout (SelectedBucketsCount)
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_frontier_recrawl_ttl_and_stamp_replay_safety(spark, tmp_path):
+    """r14 recrawl: a canonical whose newest fetched_at stamp is older
+    than the refetch cutoff RE-ENTERS the queue; a fresh one doesn't;
+    NULL-stamped rows never expire. The timestamp append is
+    replay-safe (same stamp dropped, newer stamp accretes a new row)
+    and the refetch-filtered anti-join keeps the zero-index-side-
+    Exchange plan."""
+    import re
+
+    from da_transform_judgments_pipeline_spark.sources import frontier
+
+    table = "frontier_ttl"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    seed = spark.createDataFrame(
+        [
+            ("https://h.example/stale", 1000),
+            ("https://h.example/fresh", 5000),
+            ("https://h.example/eternal", None),
+        ],
+        "url string, fa long",
+    )
+    frontier.build_url_index(
+        seed, table, buckets=4, path=str(tmp_path / "ttl"),
+        fetched_at_col="fa",
+    )
+    batch = _urls(spark, [
+        "https://h.example/stale",    # stamp 1000 < 4000 → re-queue
+        "https://h.example/fresh",    # stamp 5000 ≥ 4000 → suppressed
+        "https://h.example/eternal",  # NULL stamp → never expires
+        "https://h.example/new",      # unseen → queued
+    ])
+    # without a cutoff: pre-r14 behavior, only the unseen URL queues
+    got0 = sorted(r["canonical"] for r in
+                  frontier.new_frontier_urls(batch, spark, table)
+                  .collect())
+    assert got0 == ["https://h.example/new"]
+    got = sorted(r["canonical"] for r in
+                 frontier.new_frontier_urls(
+                     batch, spark, table, refetch_before=4000
+                 ).collect())
+    assert got == ["https://h.example/new", "https://h.example/stale"]
+
+    # wave 2: the stale page was refetched at t=6000 — its append
+    # accretes a newer-stamped row; a REPLAY of the same append (the
+    # crash-window contract) must not duplicate it
+    refetched = spark.createDataFrame(
+        [("https://h.example/stale", 6000),
+         ("https://h.example/new", 6000)],
+        "canonical string, fa long",
+    )
+    frontier.append_to_url_index(
+        spark, refetched, table, fetched_at_col="fa"
+    )
+    frontier.append_to_url_index(  # replay: same stamps, no new rows
+        spark, refetched, table, fetched_at_col="fa"
+    )
+    rows = {(r["canonical"], r["fetched_at"])
+            for r in spark.table(table).collect()}
+    assert ("https://h.example/stale", 1000) in rows
+    assert ("https://h.example/stale", 6000) in rows
+    assert ("https://h.example/new", 6000) in rows
+    assert len([r for r in rows if r[0].endswith("/stale")]) == 2
+    # the refreshed page is now suppressed at the same cutoff…
+    got2 = sorted(r["canonical"] for r in
+                  frontier.new_frontier_urls(
+                      batch, spark, table, refetch_before=4000
+                  ).collect())
+    assert got2 == []
+    # …until the clock passes its newest stamp — at cutoff 7000 every
+    # stamped page (fresh@5000, new@6000, stale@6000) is stale again,
+    # and only the NULL-stamped eternal row still suppresses
+    got3 = sorted(r["canonical"] for r in
+                  frontier.new_frontier_urls(
+                      batch, spark, table, refetch_before=7000
+                  ).collect())
+    assert got3 == ["https://h.example/fresh", "https://h.example/new",
+                    "https://h.example/stale"]
+
+    # plan gate on the NEW schema + refetch filter: the index side
+    # still joins with zero Exchange above its bucketed scan
+    plan = (
+        frontier.new_frontier_urls(
+            batch, spark, table, refetch_before=4000
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 2, plan
+    idx_scan = re.search(r"\n([^\n]*FileScan[^\n]*frontier_ttl[^\n]*)",
+                         plan)
+    assert idx_scan is not None, plan
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
