@@ -1211,6 +1211,40 @@ def warc_cdx(
     return src.mapInPandas(run, schema=schema)
 
 
+def write_cdx_surt(
+    cdx: DataFrame,
+    path: str,
+    target_file_mb: int = 256,
+    mode: str = "error",
+) -> int:
+    """Materialize a :func:`warc_cdx` index in the SURT-ordered layout
+    (r14 — the composition f06 + s28 were built for): add the
+    ``surt`` column (:func:`..functions.strings.surt_key` over
+    ``target_uri`` — host labels reversed, the Common Crawl
+    ``url_surtkey`` convention) and write it range-partitioned and
+    file-sorted on ``(surt, file_id, pos)`` via
+    :func:`..sources.sinks.write_sorted_parquet`.
+
+    This is the concrete 100 TB random-access story: lexicographic
+    SURT order lays every page of a domain — then of each subdomain —
+    CONTIGUOUSLY, so "all records under example.com" becomes a prefix
+    range over the sorted index; with disjoint per-file key ranges the
+    parquet footer stats prune the scan to the few files whose range
+    intersects the prefix (layout-asserted in pytest), and each hit
+    row then serves its record with one ranged GET
+    (:func:`fetch_warc_record`). Error rows (NULL target_uri in
+    report mode) sort first under a NULL key rather than being
+    dropped. Returns the partition/file count used."""
+    from ..functions.strings import surt_key
+    from .sinks import write_sorted_parquet
+
+    keyed = cdx.withColumn("surt", surt_key(F.col("target_uri")))
+    return write_sorted_parquet(
+        keyed, path, ["surt", "file_id", "pos"],
+        target_file_mb=target_file_mb, mode=mode,
+    )
+
+
 def fetch_warc_record(
     blob: bytes, offset: int, length: int, member_pos: int = 0
 ) -> dict:

@@ -856,3 +856,89 @@ def test_extract_main_text_rules(spark):
     assert rows[1]["n_kept"] == 3
     assert rows[2]["main_text"] == "" and rows[2]["n_kept"] == 0
     assert rows[3]["main_text"] is None
+
+
+def test_cdx_surt_layout_prunes_host_prefix(spark, tmp_path):
+    """r14: the SURT-ordered CDX layout (write_cdx_surt = surt_key +
+    write_sorted_parquet over warc_cdx rows). Layout assertions, the
+    z-order-test pattern: per-file surt ranges are DISJOINT and each
+    file internally sorted, and a host-prefix scan ("every record
+    under hostNN.example") intersects only a small slice of the files
+    — the footer-stat pruning contract that makes a domain lookup a
+    prefix range scan instead of a full-index pass at 100 TB."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from da_transform_judgments_pipeline_spark.sources.warc import (
+        warc_cdx,
+        write_cdx_surt,
+    )
+
+    # 12 hosts x 40 pages; two-level subdomains on a third of them so
+    # SURT (not plain URL) order is what groups a domain's pages
+    blobs = []
+    for h in range(12):
+        host = (f"sub.host{h:02d}.example" if h % 3 == 0
+                else f"host{h:02d}.example")
+        blob = W.build_warc_gz([
+            {"url": f"https://{host}/p/{i:03d}",
+             "date": "2021-03-04T05:06:07Z",
+             "payload": (f"<html><body><p>page {h}/{i} body text"
+                         f"</p></body></html>").encode() * 40}
+            for i in range(40)
+        ])
+        blobs.append((h, bytearray(blob)))
+    files = spark.createDataFrame(blobs, "file_id long, content binary")
+    cdx = warc_cdx(files).filter(F.col("warc_type") == "response")
+    out = str(tmp_path / "cdx_surt")
+    n = write_cdx_surt(cdx, out, target_file_mb=1)
+    assert n >= 4, n  # enough files for pruning to mean anything
+
+    parts = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert len(parts) >= 4
+    ranges = []
+    for f in parts:
+        ks = [r.surt for r in spark.read.parquet(f).select("surt")
+              .collect()]
+        assert ks == sorted(ks), f  # within-file order
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint file key ranges
+
+    # host-prefix prunability: the files whose [min,max] intersect the
+    # prefix range are a small slice of the layout
+    prefix = "example,host07)"
+    touched = [
+        (lo, hi) for lo, hi in ranges
+        if not (hi < prefix or lo >= prefix + "￿")
+    ]
+    assert 1 <= len(touched) <= max(2, len(ranges) // 3), (
+        prefix, ranges,
+    )
+    # and the pruned scan answers correctly: all 40 pages of the host,
+    # none of any other host's
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("surt").startswith(prefix))
+        .select("target_uri")
+        .collect()
+    )
+    assert len(got) == 40
+    assert all("host07.example/p/" in r.target_uri for r in got)
+    # SURT grouping: the subdomain'd host00 pages are contiguous too
+    got2 = (
+        spark.read.parquet(out)
+        .filter(F.col("surt").startswith("example,host00)"))
+        .count()
+    )
+    assert got2 == 0  # sub.host00 sorts under example,host00,sub)
+    got3 = (
+        spark.read.parquet(out)
+        .filter(F.col("surt").startswith("example,host00,"))
+        .count()
+    )
+    assert got3 == 40
