@@ -152,14 +152,21 @@ def read_seen(spark: SparkSession, out_dir: str, kind: str | None = None):
     return out
 
 
-def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(file_id, content) → (docs, errors): the x29 chain — WARC record
-    parse (report mode), HTTP responses only, Catalyst HTML tag-strip,
-    cp1252 mojibake repair (x34 — a no-op on clean text, so it composes
-    with zero semantic cost and rescues double-encoded crawls before
-    the language/quality signals see them), language-ID, Gopher quality
-    signals, md5 content fingerprint, RFC 3986 canonical URL."""
-    recs = warc_records(files, on_error="report")
+def _extract_docs(
+    files: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(file_id, content) → (docs, errors, recs): the x29 chain — WARC
+    record parse (report mode), HTTP responses only, Catalyst HTML
+    tag-strip, cp1252 mojibake repair (x34 — a no-op on clean text, so
+    it composes with zero semantic cost and rescues double-encoded
+    crawls before the language/quality signals see them), language-ID,
+    Gopher quality signals, md5 content fingerprint, RFC 3986
+    canonical URL. ``recs`` is the PERSISTED parse output both returns
+    derive from (r14): the errors sink and the docs cache fill used to
+    each run the full WARC parse — the single most expensive stage of
+    a batch — so the caller persists once and unpersists when the
+    batch's sinks are written."""
+    recs = warc_records(files, on_error="report").persist()
     errors = recs.filter(F.col("error").isNotNull()).select(
         "file_id", "error"
     )
@@ -223,8 +230,15 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     # nofollow pages contribute NO links to discovery or the graph
     # r14: the none-aware helpers — content="none" means noindex AND
     # nofollow per the robots-meta spec, and the extractor now reads
-    # legal unquoted content=noindex values (r13 verdict defect #1)
-    _meta = text.html_meta_robots(F.col("_page"))
+    # legal unquoted content=noindex values (r13 verdict defect #1).
+    # The extractor is STAGED as its own column (the stage-before-
+    # reference rule): three inline references used to triple its
+    # expression tree in the projection, a measurable slice of the
+    # per-batch Catalyst analysis constant.
+    responses = responses.withColumn(
+        "_meta", text.html_meta_robots(F.col("_page"))
+    )
+    _meta = F.col("_meta")
     _noindex = text.robots_noindex(_meta)
     _nofollow = text.robots_nofollow(_meta)
     extracted = responses.select(
@@ -277,20 +291,27 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
         text.fix_mojibake(extracted, text_col="_raw", out_col="text")
         .drop("_raw", "chars_recovered", "had_mojibake")
     )
-    langed = text.language_id(extracted).select(
-        "file_id", "pos", "detected_lang"
-    )
-    quality = text.quality_filter(extracted).select(
-        "file_id", "pos", "n_tokens",
+    # language-ID and the Gopher quality rules are ROW-WISE transforms
+    # (withColumn chains over the same frame), so they compose
+    # linearly (r14): the old extracted⋈langed⋈quality self-joins
+    # shuffled the batch twice per micro-batch AND tripled the
+    # extraction chain's Catalyst tree in the plan — measured as the
+    # dominant slice of the per-batch analysis constant. Chained,
+    # there is ONE copy of the chain and zero joins; the explicit
+    # select drops the per-language hit counts and per-rule audit
+    # signals the helpers add.
+    base_cols = extracted.columns
+    enriched = text.quality_filter(
+        text.language_id(extracted)
+    ).select(
+        *base_cols, "detected_lang", "n_tokens",
         F.col("keep").alias("quality_keep"),
     )
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     from ..operators.robots import url_host
 
     docs = (
-        extracted
-        .join(langed, ["file_id", "pos"])
-        .join(quality, ["file_id", "pos"])
+        enriched
         .withColumn("fp", F.md5(norm))
         .withColumn("canonical", canonical_url(F.col("target_uri")))
         # rel=canonical honored SAME-HOST only (r13): a print/tracking
@@ -320,7 +341,7 @@ def _extract_docs(files: DataFrame) -> tuple[DataFrame, DataFrame]:
             ),
         )
     )
-    return docs, errors
+    return docs, errors, recs
 
 
 def _norm_path(col):
@@ -571,7 +592,7 @@ def run_crawl_stream(
             files = scan.join(F.broadcast(ids), "_p").select(
                 "file_id", "content"
             )
-            docs, errors = _extract_docs(files)
+            docs, errors, recs = _extract_docs(files)
             _write_batch_partition(errors, f"{out_dir}/errors", key)
             if emit_cdx:
                 # the crawler maintains its own random-access index as
@@ -609,10 +630,18 @@ def run_crawl_stream(
                 F.col("http_status").isin(301, 302, 303, 307, 308)
                 & F.col("location").isNotNull()
             )
+            # localCheckpoint, not persist (r14): the extraction
+            # chain's logical plan is enormous (charset ladder, robots
+            # and canonical extractors, link resolution — thousands of
+            # Catalyst nodes), and EVERY sink job re-ANALYZES the full
+            # tree above a mere cache. Checkpointing truncates the
+            # lineage so each of the batch's ~8 jobs plans against a
+            # leaf relation instead — the f06 shared-parse lesson
+            # applied to the stream. Eager: materialized here, once.
             docs = (
                 docs.withColumn("_first", first)
                 .withColumn("_redir", is_redir)
-                .persist()
+                .localCheckpoint(eager=True)
             )
             try:
                 survivors = docs.filter(me == F.col("_first"))
@@ -641,7 +670,23 @@ def run_crawl_stream(
                 own = _own_canonicals(spark, out_dir, key)
                 if own is not None:
                     index = index.join(own, "canonical", "left_anti")
-                fresh_docs = survivors.join(index, "canonical", "left_anti")
+                # ONE index join decides fresh-vs-seen for the whole
+                # batch (r14): seven sink branches used to each
+                # re-run their own anti/semi join against the index —
+                # seven bucketed index scans per micro-batch. The
+                # marked frame is persisted (batch-sized, the same
+                # weight as the docs cache), so every branch below is
+                # a cache filter and the index is scanned once here
+                # plus once for the discovery queue's own decision.
+                marked = survivors.join(
+                    index.select(
+                        "canonical", F.lit(True).alias("_seen")
+                    ).dropDuplicates(["canonical"]),
+                    "canonical", "left",
+                ).localCheckpoint(eager=True)
+                fresh_docs = marked.filter(
+                    F.col("_seen").isNull()
+                ).drop("_seen")
                 # a 3xx fetch is a SEEN url (it joins the index below)
                 # but not a corpus document: its row lands in
                 # out/redirects and its Location target becomes a
@@ -760,9 +805,9 @@ def run_crawl_stream(
                 dup_in_batch = docs.filter(me != F.col("_first")).select(
                     *CRAWL_DOC_COLUMNS, F.lit("in_batch_dup").alias("reason")
                 )
-                dup_seen = survivors.join(
-                    index.select("canonical"), "canonical", "left_semi"
-                ).select(*CRAWL_DOC_COLUMNS, F.lit("url_seen").alias("reason"))
+                dup_seen = marked.filter(F.col("_seen")).select(
+                    *CRAWL_DOC_COLUMNS, F.lit("url_seen").alias("reason")
+                )
                 # discovered = redirect targets + extracted page links
                 # not yet fetched: index anti-join + in-batch
                 # min-struct dedup, MINUS canonicals fetched in this
@@ -959,7 +1004,10 @@ def run_crawl_stream(
                 spark.catalog.refreshTable(frontier_table)
                 _fire("after_index", batch_id)
             finally:
-                docs.unpersist()
+                # docs/marked are localCheckpoints — their RDDs are
+                # released by the ContextCleaner; only the parse cache
+                # needs an explicit unpersist
+                recs.unpersist()
         if on_batch_complete is not None:
             on_batch_complete(batch_id)
 
