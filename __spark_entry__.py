@@ -6235,6 +6235,61 @@ def q_s22_crawl_frontier(spark, sf_dir):
     return once.unionByName(ttl).orderBy("policy", "canonical")
 
 
+def q_s31_recrawl_queue(spark, sf_dir):
+    """The recrawl SCHEDULER (frontier.recrawl_queue, r14 — the other
+    half of the fetched_at/TTL policy: new_frontier_urls decides
+    admission, this decides WHAT to refresh): a stamped index is built
+    closed-form — every doc a canonical with first-fetch stamp
+    (doc_id %% 7) x 1000, docs with doc_id %% 4 == 0 REFETCHED once
+    (+500, appended through the newer-stamp guard, so max-per-
+    canonical is what the scheduler must read) — plus sitemap
+    ``<changefreq>`` hints on two residues: doc_id %% 11 == 0 pages are
+    ``never`` (archived — excluded outright) and doc_id %% 13 == 0
+    pages are ``hourly`` (TTL 3600 instead of the 3000 default). At
+    now=8000 the due set, stalest first, is fully analytic: DuckDB
+    recomputes max-stamp, per-page TTL precedence, the never
+    exclusion, and the ordering closed-form. The index-side
+    aggregation groups on the bucket column — zero index-side
+    Exchange (plan-gated in pytest)."""
+    from da_transform_judgments_pipeline_spark.sources import frontier
+
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    table = f"rcq_{_minhash_index_prefix(spark, sf_dir)}"
+    url = F.concat(
+        F.lit("https://caselaw.example/case/"), d.cast("string")
+    )
+    if not spark.catalog.tableExists(table):
+        base = docs.select(
+            url.alias("url"), ((d % 7) * 1000).alias("fa")
+        )
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".cache", "urls",
+            table,
+        )
+        frontier.build_url_index(
+            base, table, buckets=8, path=path, fetched_at_col="fa"
+        )
+        refetch = docs.filter(d % 4 == 0).select(
+            url.alias("canonical"),
+            ((d % 7) * 1000 + 500).alias("fa"),
+        )
+        frontier.append_to_url_index(
+            spark, refetch, table, fetched_at_col="fa"
+        )
+    hints = (
+        docs.filter((d % 11 == 0) | (d % 13 == 0))
+        .select(
+            url.alias("canonical"),
+            F.when(d % 11 == 0, F.lit("never"))
+            .otherwise(F.lit("hourly")).alias("changefreq"),
+        )
+    )
+    return frontier.recrawl_queue(
+        spark, table, now=8000, default_ttl_sec=3000, changefreq=hints
+    )
+
+
 def q_s24_crawl_stream_intake(spark, sf_dir):
     """STREAMING crawl intake end-to-end (streaming/crawl_stream.
     run_crawl_stream — the x29 chain driven by an arriving-WARC manifest
@@ -7226,6 +7281,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fixes + charset ladder — oracles unchanged). Displaced: x28,
     # s25, x34, s23 (all multi-round green and unchanged this round)
     # to the round-9/10 sections.
+    # --- Round 14 rotation: s31 NEW (the recrawl scheduler —
+    # max-stamp per canonical + changefreq-aware TTLs + the never
+    # exclusion, all closed-form; the other half of the r14
+    # fetched_at policy). s22 REBUILT in place (stamped index + the
+    # fetch_once/ttl policy twin — its oracle changed, already
+    # in-window at ~21). Changed-this-round queries already in-window:
+    # x40 (extractors rebuilt tag-scoped first-wins + four new
+    # regimes: unquoted content=, robotsx/canonical-next decoys,
+    # order-conflict, content=none), m16 (br slot in the %5 wire
+    # rotation + oracle's encoding columns follow), m24/x29/s24 (br
+    # slots, oracles unchanged), s24/s26/s27/s29 (seen-sink
+    # consolidation + localCheckpoint/chain/single-join restructure —
+    # oracles unchanged, perf back at/below r12), x39 (decode_payloads
+    # gained the unpaired-surrogate raw-cast fallback — oracle rows
+    # unchanged, malformed regime pytest-pinned).
+    # (a) NEW round 14
+    "s31_recrawl_queue": q_s31_recrawl_queue,
     # (a) NEW round 13
     "m29_warc_revisit_resolution": q_m29_warc_revisit_resolution,
     "a36_hll_exact_twin": q_a36_hll_exact_twin,
@@ -7269,7 +7341,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s28_warc_cdx_index": q_s28_warc_cdx_index,
     "a26_small_quantity_revenue": q_a26_small_quantity_revenue,
     "a27_waiting_suppliers": q_a27_waiting_suppliers,
-    "a28_above_brand_average": q_a28_above_brand_average,
     # (a) NEW round 11
     "s26_crawl_schedule_stream": q_s26_crawl_schedule_stream,
     "g03_personalized_pagerank": q_g03_personalized_pagerank,
@@ -7292,6 +7363,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x30_split_assign": q_x30_split_assign,
     "s21_robots_filter": q_s21_robots_filter,
     "x31_corpus_report": q_x31_corpus_report,
+    # a28 DISPLACED from the window this round (multi-round green,
+    # unchanged) to make room for s31 while keeping r13-changed f04
+    # inside positions 1-50
+    "a28_above_brand_average": q_a28_above_brand_average,
     # s23 displaced here from the round-10 section (multi-round green
     # r10-r12, robots.fetch_schedule unchanged in r13) to make room
     # for the new x41 without pushing changed-this-round f04 past 50
@@ -11001,6 +11076,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, host, crawl_delay, slot,
                    round(slot * crawl_delay, 6) AS offset_sec
             FROM r ORDER BY doc_id
+        """,
+        "s31_recrawl_queue": """
+            WITH idx AS (
+              SELECT 'https://caselaw.example/case/'
+                       || CAST(doc_id AS VARCHAR) AS canonical,
+                     (doc_id % 7) * 1000
+                       + CASE WHEN doc_id % 4 = 0 THEN 500 ELSE 0 END
+                       AS last_fetched_at,
+                     CASE WHEN doc_id % 11 = 0 THEN 'never'
+                          WHEN doc_id % 13 = 0 THEN 'hourly'
+                     END AS cf
+              FROM documents
+            )
+            SELECT canonical,
+                   CAST(last_fetched_at AS BIGINT) AS last_fetched_at,
+                   CAST(8000 - last_fetched_at AS BIGINT)
+                       AS staleness_sec
+            FROM idx
+            WHERE (cf IS NULL OR cf <> 'never')
+              AND 8000 - last_fetched_at >
+                  CASE WHEN cf = 'hourly' THEN 3600 ELSE 3000 END
+            ORDER BY staleness_sec DESC, canonical
         """,
         "s22_crawl_frontier": """
             WITH unseen AS (

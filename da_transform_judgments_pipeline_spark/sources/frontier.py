@@ -131,6 +131,82 @@ def new_frontier_urls(
     return firsts.join(index, "canonical", "left_anti")
 
 
+#: the sitemap ``<changefreq>`` vocabulary mapped to TTL seconds (the
+#: public sitemaps.org hint semantics); ``never`` means "archived —
+#: do not re-fetch" and drops the page from the recrawl queue.
+CHANGEFREQ_TTL_SEC = {
+    "always": 0,
+    "hourly": 3600,
+    "daily": 86400,
+    "weekly": 604800,
+    "monthly": 2592000,
+    "yearly": 31536000,
+}
+
+
+def recrawl_queue(
+    spark: SparkSession,
+    table: str,
+    now: int,
+    default_ttl_sec: int,
+    changefreq: DataFrame | None = None,
+) -> DataFrame:
+    """The SCHEDULING half of recrawl (r14; :func:`new_frontier_urls`
+    ``refetch_before`` is the admission half): scan the stamped index
+    and emit the pages DUE for a refresh, stalest first — the queue a
+    re-fetch wave executes.
+
+    Per canonical the NEWEST ``fetched_at`` stamp wins (refetches
+    append rows; see :func:`append_to_url_index`); staleness is
+    ``now - last_fetched_at`` and a page is due when staleness exceeds
+    its TTL. With ``changefreq`` (a ``(canonical, changefreq)`` frame
+    — e.g. the sitemap ``<changefreq>`` hints surfaced by
+    ``sources.sitemap.sitemap_entries``) per-page TTLs come from
+    :data:`CHANGEFREQ_TTL_SEC`; ``never`` pages drop out entirely,
+    unknown values fall back to ``default_ttl_sec``. NULL-stamped rows
+    (seeds, pre-r14 appends) never re-queue — consistent with the
+    decision path's never-expires reading.
+
+    Scale shape: the aggregation groups on the table's bucket column,
+    so the 100 TB index side plans with zero Exchange (plan-gated in
+    pytest); the optional changefreq join is keyed on the same column,
+    and the output is the (small) due set only."""
+    idx = (
+        spark.table(table)
+        .filter(F.col("fetched_at").isNotNull())
+        .groupBy("canonical")
+        .agg(F.max("fetched_at").alias("last_fetched_at"))
+    )
+    if changefreq is not None:
+        idx = idx.join(
+            changefreq.select("canonical", "changefreq")
+            .dropDuplicates(["canonical"]),
+            "canonical", "left",
+        )
+        cf = F.lower(F.col("changefreq"))
+        ttl = F.coalesce(
+            *[
+                F.when(cf == name, F.lit(int(sec)))
+                for name, sec in CHANGEFREQ_TTL_SEC.items()
+            ],
+            F.lit(int(default_ttl_sec)),
+        )
+        idx = idx.filter(
+            cf.isNull() | (cf != "never")
+        ).withColumn("_ttl", ttl)
+    else:
+        idx = idx.withColumn("_ttl", F.lit(int(default_ttl_sec)))
+    return (
+        idx.withColumn(
+            "staleness_sec",
+            F.lit(int(now)) - F.col("last_fetched_at"),
+        )
+        .filter(F.col("staleness_sec") > F.col("_ttl"))
+        .select("canonical", "last_fetched_at", "staleness_sec")
+        .orderBy(F.desc("staleness_sec"), "canonical")
+    )
+
+
 def append_to_url_index(
     spark: SparkSession,
     new_urls: DataFrame,

@@ -209,3 +209,79 @@ def test_frontier_recrawl_ttl_and_stamp_replay_safety(spark, tmp_path):
     assert idx_scan is not None, plan
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_recrawl_queue_changefreq_and_plan(spark, tmp_path):
+    """r14 scheduler: recrawl_queue reads max-stamp per canonical,
+    applies changefreq-aware TTLs ('never' drops out, unknown values
+    fall back to the default), orders stalest-first — and its
+    index-side aggregation groups on the bucket column with ZERO
+    Exchange above the bucketed scan (the 100 TB contract)."""
+    import re
+
+    from da_transform_judgments_pipeline_spark.sources import frontier
+
+    table = "frontier_rcq"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    seed = spark.createDataFrame(
+        [
+            ("https://h.example/old", 1000),       # stale, default ttl
+            ("https://h.example/older", 500),      # stalest
+            ("https://h.example/fresh", 7500),     # within default ttl
+            ("https://h.example/hourly", 4000),    # due only via hourly
+            ("https://h.example/archived", 100),   # never -> excluded
+            ("https://h.example/seedrow", None),   # NULL stamp: never
+        ],
+        "url string, fa long",
+    )
+    frontier.build_url_index(
+        seed, table, buckets=4, path=str(tmp_path / "rcq"),
+        fetched_at_col="fa",
+    )
+    # a refetch row: /old was re-fetched at 2000 -> max wins
+    frontier.append_to_url_index(
+        spark,
+        spark.createDataFrame(
+            [("https://h.example/old", 2000)], "canonical string, fa long"
+        ),
+        table, fetched_at_col="fa",
+    )
+    hints = spark.createDataFrame(
+        [("https://h.example/archived", "never"),
+         ("https://h.example/hourly", "hourly"),
+         ("https://h.example/old", "quarterly")],  # unknown -> default
+        "canonical string, changefreq string",
+    )
+    q = frontier.recrawl_queue(
+        spark, table, now=8000, default_ttl_sec=3000, changefreq=hints
+    )
+    got = [(r["canonical"], r["last_fetched_at"], r["staleness_sec"])
+           for r in q.collect()]
+    # default ttl 3000: due iff last < 5000; hourly 3600: last < 4400
+    assert got == [
+        ("https://h.example/older", 500, 7500),
+        ("https://h.example/old", 2000, 6000),   # max stamp won
+        ("https://h.example/hourly", 4000, 4000),
+    ]
+    # without hints: hourly page (4000 >= 5000? no -> due), archived
+    # page re-enters, NULL row still excluded
+    got2 = [r["canonical"] for r in frontier.recrawl_queue(
+        spark, table, now=8000, default_ttl_sec=3000
+    ).collect()]
+    assert got2 == [
+        "https://h.example/archived", "https://h.example/older",
+        "https://h.example/old", "https://h.example/hourly",
+    ]
+    plan = (
+        frontier.recrawl_queue(
+            spark, table, now=8000, default_ttl_sec=3000
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    idx_scan = re.search(r"FileScan[^\n]*frontier_rcq", plan)
+    assert idx_scan is not None, plan
+    # no Exchange between the bucketed scan and the max() aggregation
+    # (the final orderBy's range Exchange sits on the tiny due set)
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+    agg_region = plan[plan.index("FileScan"):] if "FileScan" in plan else plan
+    assert "Exchange hashpartitioning" not in agg_region, plan
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
