@@ -184,6 +184,8 @@ HEADLINE = [
     "x39_charset_decode",
     "x40_page_directives",
     "x41_mixture_epochs",
+    # round 14
+    "s31_recrawl_queue",
 ]
 
 

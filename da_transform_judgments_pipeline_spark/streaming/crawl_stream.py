@@ -393,6 +393,32 @@ def _own_canonicals(spark, out_dir: str, key: str):
         return None
 
 
+def compact_cdx_surt(
+    spark: SparkSession,
+    out_dir: str,
+    dest: str,
+    target_file_mb: int = 256,
+    mode: str = "error",
+) -> int:
+    """Periodic maintenance for the stream's opt-in CDX sink (r14):
+    the per-batch ``{out_dir}/cdx`` partitions accrete in arrival
+    order; this materializes them into the SURT-ordered random-access
+    layout (:func:`..sources.warc.write_cdx_surt` — range-partitioned
+    and file-sorted on the reversed-host key) at ``dest``, so "every
+    record under example.com" prunes to a handful of files and each
+    hit serves its record with one ranged GET
+    (:func:`..sources.warc.fetch_warc_record`). Run it on the cadence
+    of :func:`.orchestrator.compact_processed_ledger`; the stream
+    keeps appending to ``{out_dir}/cdx`` untouched. Returns the file
+    count written."""
+    from ..sources.warc import write_cdx_surt
+
+    cdx = spark.read.parquet(f"{out_dir}/cdx").drop("batch_key")
+    return write_cdx_surt(
+        cdx, dest, target_file_mb=target_file_mb, mode=mode
+    )
+
+
 def crawl_wave_ranks(
     spark: SparkSession,
     out_dir: str,

@@ -672,6 +672,31 @@ def test_crawl_stream_cdx_sink(spark, tmp_path):
     )
     assert rec["target_uri"] == row["target_uri"]
     assert rec["digest_ok"] is True
+
+    # r14 maintenance pass: the accreted per-batch cdx partitions
+    # compact into the SURT-ordered random-access layout, and a
+    # host-prefix row from THAT layout still serves its record back
+    # via one ranged read
+    from pyspark.sql import functions as F
+
+    from da_transform_judgments_pipeline_spark.streaming.crawl_stream \
+        import compact_cdx_surt
+
+    n = compact_cdx_surt(spark, str(out), str(tmp_path / "cdx_surt"))
+    assert n >= 1
+    surt = spark.read.parquet(str(tmp_path / "cdx_surt"))
+    hit = (
+        surt.filter(F.col("surt").startswith("example,c)/a"))
+        .collect()
+    )
+    assert len(hit) == 1
+    h = hit[0]
+    rec2 = fetch_warc_record(
+        open(h["warc_path"], "rb").read(),
+        h["offset"], h["length"], h["member_pos"],
+    )
+    assert rec2["target_uri"] == "https://c.example/a"
+    assert rec2["digest_ok"] is True
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
