@@ -6245,12 +6245,15 @@ def q_s31_recrawl_queue(spark, sf_dir):
     canonical is what the scheduler must read) — plus sitemap
     ``<changefreq>`` hints on two residues: doc_id %% 11 == 0 pages are
     ``never`` (archived — excluded outright) and doc_id %% 13 == 0
-    pages are ``hourly`` (TTL 3600 instead of the 3000 default). At
+    pages are ``hourly`` (TTL 3600 instead of the 3000 default), and
+    docs with doc_id %% 17 == 0 carry a ``<lastmod>`` 100s NEWER than
+    their last fetch — the publisher-declared modification that makes
+    a page due IMMEDIATELY, TTL regardless (``never`` still wins). At
     now=8000 the due set, stalest first, is fully analytic: DuckDB
-    recomputes max-stamp, per-page TTL precedence, the never
-    exclusion, and the ordering closed-form. The index-side
-    aggregation groups on the bucket column — zero index-side
-    Exchange (plan-gated in pytest)."""
+    recomputes max-stamp, per-page TTL precedence, the lastmod
+    override, the never exclusion, and the ordering closed-form. The
+    index-side aggregation groups on the bucket column — zero
+    index-side Exchange (plan-gated in pytest)."""
     from da_transform_judgments_pipeline_spark.sources import frontier
 
     docs = _T(spark, sf_dir, "documents").select("doc_id")
@@ -6277,12 +6280,15 @@ def q_s31_recrawl_queue(spark, sf_dir):
         frontier.append_to_url_index(
             spark, refetch, table, fetched_at_col="fa"
         )
+    last = (d % 7) * 1000 + F.when(d % 4 == 0, 500).otherwise(0)
     hints = (
-        docs.filter((d % 11 == 0) | (d % 13 == 0))
+        docs.filter((d % 11 == 0) | (d % 13 == 0) | (d % 17 == 0))
         .select(
             url.alias("canonical"),
             F.when(d % 11 == 0, F.lit("never"))
-            .otherwise(F.lit("hourly")).alias("changefreq"),
+            .when(d % 13 == 0, F.lit("hourly")).alias("changefreq"),
+            F.when(d % 17 == 0, last + 100).cast("long")
+            .alias("lastmod"),
         )
     )
     return frontier.recrawl_queue(
@@ -11086,17 +11092,21 @@ def oracle_sql() -> dict[str, str]:
                        AS last_fetched_at,
                      CASE WHEN doc_id % 11 = 0 THEN 'never'
                           WHEN doc_id % 13 = 0 THEN 'hourly'
-                     END AS cf
+                     END AS cf,
+                     (doc_id % 17 = 0 AND doc_id % 11 <> 0)
+                       AS modified
               FROM documents
             )
             SELECT canonical,
                    CAST(last_fetched_at AS BIGINT) AS last_fetched_at,
                    CAST(8000 - last_fetched_at AS BIGINT)
-                       AS staleness_sec
+                       AS staleness_sec,
+                   modified
             FROM idx
             WHERE (cf IS NULL OR cf <> 'never')
-              AND 8000 - last_fetched_at >
-                  CASE WHEN cf = 'hourly' THEN 3600 ELSE 3000 END
+              AND (8000 - last_fetched_at >
+                     CASE WHEN cf = 'hourly' THEN 3600 ELSE 3000 END
+                   OR modified)
             ORDER BY staleness_sec DESC, canonical
         """,
         "s22_crawl_frontier": """

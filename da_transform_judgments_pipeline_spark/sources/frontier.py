@@ -159,13 +159,18 @@ def recrawl_queue(
     Per canonical the NEWEST ``fetched_at`` stamp wins (refetches
     append rows; see :func:`append_to_url_index`); staleness is
     ``now - last_fetched_at`` and a page is due when staleness exceeds
-    its TTL. With ``changefreq`` (a ``(canonical, changefreq)`` frame
-    — e.g. the sitemap ``<changefreq>`` hints surfaced by
-    ``sources.sitemap.sitemap_entries``) per-page TTLs come from
-    :data:`CHANGEFREQ_TTL_SEC`; ``never`` pages drop out entirely,
-    unknown values fall back to ``default_ttl_sec``. NULL-stamped rows
-    (seeds, pre-r14 appends) never re-queue — consistent with the
-    decision path's never-expires reading.
+    its TTL. With ``changefreq`` (a ``(canonical, changefreq[,
+    lastmod])`` frame — e.g. the sitemap ``<changefreq>``/``<lastmod>``
+    hints surfaced by ``sources.sitemap.sitemap_entries``) per-page
+    TTLs come from :data:`CHANGEFREQ_TTL_SEC`; ``never`` pages drop
+    out entirely, unknown values fall back to ``default_ttl_sec``; and
+    when the frame carries a ``lastmod`` column (epoch seconds,
+    castable to long), a publisher-declared modification NEWER than
+    the page's last fetch makes it due IMMEDIATELY, TTL regardless —
+    the highest-precision recrawl signal the web actually publishes
+    (``never`` still wins over lastmod: an archived page stays out).
+    NULL-stamped rows (seeds, pre-r14 appends) never re-queue —
+    consistent with the decision path's never-expires reading.
 
     Scale shape: the aggregation groups on the table's bucket column,
     so the 100 TB index side plans with zero Exchange (plan-gated in
@@ -177,9 +182,13 @@ def recrawl_queue(
         .groupBy("canonical")
         .agg(F.max("fetched_at").alias("last_fetched_at"))
     )
+    modified = F.lit(False)
     if changefreq is not None:
+        hint_cols = ["canonical", "changefreq"] + (
+            ["lastmod"] if "lastmod" in changefreq.columns else []
+        )
         idx = idx.join(
-            changefreq.select("canonical", "changefreq")
+            changefreq.select(*hint_cols)
             .dropDuplicates(["canonical"]),
             "canonical", "left",
         )
@@ -194,6 +203,12 @@ def recrawl_queue(
         idx = idx.filter(
             cf.isNull() | (cf != "never")
         ).withColumn("_ttl", ttl)
+        if "lastmod" in hint_cols:
+            modified = F.coalesce(
+                F.col("lastmod").cast("long")
+                > F.col("last_fetched_at"),
+                F.lit(False),
+            )
     else:
         idx = idx.withColumn("_ttl", F.lit(int(default_ttl_sec)))
     return (
@@ -201,8 +216,14 @@ def recrawl_queue(
             "staleness_sec",
             F.lit(int(now)) - F.col("last_fetched_at"),
         )
-        .filter(F.col("staleness_sec") > F.col("_ttl"))
-        .select("canonical", "last_fetched_at", "staleness_sec")
+        .withColumn("_mod", modified)
+        .filter(
+            (F.col("staleness_sec") > F.col("_ttl")) | F.col("_mod")
+        )
+        .select(
+            "canonical", "last_fetched_at", "staleness_sec",
+            F.col("_mod").alias("modified"),
+        )
         .orderBy(F.desc("staleness_sec"), "canonical")
     )
 

@@ -247,21 +247,26 @@ def test_recrawl_queue_changefreq_and_plan(spark, tmp_path):
         table, fetched_at_col="fa",
     )
     hints = spark.createDataFrame(
-        [("https://h.example/archived", "never"),
-         ("https://h.example/hourly", "hourly"),
-         ("https://h.example/old", "quarterly")],  # unknown -> default
-        "canonical string, changefreq string",
+        [("https://h.example/archived", "never", None),
+         ("https://h.example/hourly", "hourly", None),
+         ("https://h.example/old", "quarterly", None),  # unknown->dflt
+         # a <lastmod> NEWER than the last fetch: due IMMEDIATELY,
+         # TTL regardless (/fresh is otherwise within its TTL)
+         ("https://h.example/fresh", None, 7600)],
+        "canonical string, changefreq string, lastmod long",
     )
     q = frontier.recrawl_queue(
         spark, table, now=8000, default_ttl_sec=3000, changefreq=hints
     )
-    got = [(r["canonical"], r["last_fetched_at"], r["staleness_sec"])
+    got = [(r["canonical"], r["last_fetched_at"], r["staleness_sec"],
+            r["modified"])
            for r in q.collect()]
     # default ttl 3000: due iff last < 5000; hourly 3600: last < 4400
     assert got == [
-        ("https://h.example/older", 500, 7500),
-        ("https://h.example/old", 2000, 6000),   # max stamp won
-        ("https://h.example/hourly", 4000, 4000),
+        ("https://h.example/older", 500, 7500, False),
+        ("https://h.example/old", 2000, 6000, False),  # max stamp won
+        ("https://h.example/hourly", 4000, 4000, False),
+        ("https://h.example/fresh", 7500, 500, True),  # lastmod wins
     ]
     # without hints: hourly page (4000 >= 5000? no -> due), archived
     # page re-enters, NULL row still excluded
