@@ -700,10 +700,11 @@ def run_crawl_stream(
                 # batch (r14): seven sink branches used to each
                 # re-run their own anti/semi join against the index —
                 # seven bucketed index scans per micro-batch. The
-                # marked frame is persisted (batch-sized, the same
-                # weight as the docs cache), so every branch below is
-                # a cache filter and the index is scanned once here
-                # plus once for the discovery queue's own decision.
+                # marked frame is eagerly checkpointed (batch-sized,
+                # the same weight as the docs checkpoint), so every
+                # branch below filters a leaf relation and the index
+                # is scanned once here plus once for the discovery
+                # queue's own decision.
                 marked = survivors.join(
                     index.select(
                         "canonical", F.lit(True).alias("_seen")
@@ -714,11 +715,11 @@ def run_crawl_stream(
                     F.col("_seen").isNull()
                 ).drop("_seen")
                 # a 3xx fetch is a SEEN url (it joins the index below)
-                # but not a corpus document: its row lands in
-                # out/redirects and its Location target becomes a
-                # frontier DISCOVERY for the next fetch wave; likewise
-                # a fetched SITEMAP is seen-but-not-corpus: its row
-                # lands in out/sitemaps and its <loc> entries become
+                # but not a corpus document: its row lands in the seen
+                # sink as kind='redirect' and its Location target
+                # becomes a frontier DISCOVERY for the next fetch
+                # wave; likewise a fetched SITEMAP is seen-but-not-
+                # corpus (kind='sitemap') and its <loc> entries become
                 # discoveries
                 accepted = fresh_docs.filter(
                     ~F.col("_redir") & ~F.col("_sitemap")
