@@ -158,3 +158,40 @@ def test_delete_on_s3(s3_bucket):
     assert fsio.delete(p) is False
     assert fsio.delete(f"{s3_bucket}/d", recursive=True) is True
     assert _ls(f"{s3_bucket}/d") == []
+
+
+def test_exists_directory_prefix_on_s3(s3_bucket):
+    """r14 (per r13 ADVICE): the Hadoop FileSystem route answers True
+    for a directory; the boto3 s3:// branch used to HEAD only the
+    exact key, so a prefix with objects under it reported False and
+    pre-write directory probes diverged by backend. Parity: a
+    non-empty 'directory' prefix is True (with or without a trailing
+    slash), an empty one is False, and the exact-object probe is
+    unchanged."""
+    fsio.write_bytes(f"{s3_bucket}/batch/in/0/doc.xml", b"<x/>")
+    assert fsio.exists(f"{s3_bucket}/batch/in/0/doc.xml")
+    assert fsio.exists(f"{s3_bucket}/batch/in/0")
+    assert fsio.exists(f"{s3_bucket}/batch/in/0/")
+    assert fsio.exists(f"{s3_bucket}/batch")
+    assert not fsio.exists(f"{s3_bucket}/batch/in/1")
+    assert not fsio.exists(f"{s3_bucket}/batch/in/0/doc")  # no such
+    # object AND no object under "doc/" — a name PREFIX is not a dir
+
+
+def test_cross_scheme_rename_refuses_typed(s3_bucket, tmp_path):
+    """r14 (per r13 ADVICE): rename with an s3:// source and a local
+    destination used to crash unpacking _s3(dst) (TypeError); the
+    reverse direction would have written a literal 's3:/...' local
+    file. Both directions now refuse with a descriptive OSError and
+    leave the source untouched."""
+    src = f"{s3_bucket}/move/src.bin"
+    fsio.write_bytes(src, b"payload")
+    with pytest.raises(OSError, match="cross-scheme"):
+        fsio.rename(src, str(tmp_path / "dst.bin"))
+    assert _get(src) == b"payload"  # source untouched
+    local = tmp_path / "local.bin"
+    local.write_bytes(b"local")
+    with pytest.raises(OSError, match="cross-scheme"):
+        fsio.rename(str(local), f"{s3_bucket}/move/dst.bin")
+    assert local.read_bytes() == b"local"
+    assert not fsio.exists(f"{s3_bucket}/move/dst.bin")
