@@ -136,14 +136,14 @@ def read_seen(spark: SparkSession, out_dir: str, kind: str | None = None):
     projected to its pre-consolidation schema — the migration path for
     readers of the former ``{out_dir}/redirects``/``sitemaps``/
     ``revisits``/``noindex``/``canonical_variants`` directories."""
-    df = spark.read.parquet(f"{out_dir}/seen")
-    if kind is None:
-        return df
-    if kind not in SEEN_KINDS:
+    if kind is not None and kind not in SEEN_KINDS:
         raise ValueError(
             f"unknown seen kind {kind!r}; expected one of "
             f"{sorted(SEEN_KINDS)}"
         )
+    df = spark.read.parquet(f"{out_dir}/seen")
+    if kind is None:
+        return df
     out = df.filter(F.col("kind") == kind).select(
         *SEEN_KINDS[kind], "batch_key"
     )

@@ -1382,3 +1382,13 @@ def test_crawl_stream_recrawl_ttl_refreshes_stale_pages(spark, tmp_path):
             for r in _read(spark, out / "duplicates").collect()]
     assert ("https://h.example/stale", "url_seen") in dups
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_read_seen_rejects_unknown_kind(spark, tmp_path):
+    """read_seen validates the kind BEFORE touching storage, so a typo
+    gets the descriptive error rather than a missing-path analysis
+    failure."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown seen kind"):
+        read_seen(spark, str(tmp_path / "nowhere"), "redirects")
