@@ -52,6 +52,7 @@ offsets only.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -170,6 +171,7 @@ def _extract_docs(
     errors = recs.filter(F.col("error").isNotNull()).select(
         "file_id", "error"
     )
+    xp = _extract_exprs()
     # revisit records (the CC dedup convention, r13) ride the same
     # chain: their payload is EMPTY (the content lives in the record
     # named by refers_to / payload_digest), so the text stages are
@@ -178,6 +180,74 @@ def _extract_docs(
         (F.col("error").isNull())
         & (F.col("warc_type").isin("response", "revisit"))
     )
+    # charset-correct intake (r13): the HTML5 prescan ladder (BOM >
+    # Content-Type charset > <meta charset> > UTF-8) decodes the page
+    # ONCE; links, directives, extraction, language and quality all
+    # read the decoded string instead of a blind UTF-8 cast — a
+    # Latin-1/cp1252/UTF-16 page stops mojibaking before dedup
+    # fingerprints ever see it (fix_mojibake still rescues UNDECLARED
+    # cp1252 downstream)
+    responses = text.decode_payloads(
+        responses, payload_col="payload", mime_col="mime",
+        text_col="_page", charset_col="_charset",
+    )
+    # page-level exclusion protocol (r13): <meta name=robots> noindex
+    # pages are fetched-but-not-corpus (routed like revisits below),
+    # nofollow pages contribute NO links to discovery or the graph.
+    # The extractor is STAGED as its own column (the stage-before-
+    # reference rule): three inline references used to triple its
+    # expression tree in the projection, a measurable slice of the
+    # per-batch Catalyst analysis constant.
+    responses = responses.withColumn("_meta", xp["meta"])
+    extracted = responses.select(*xp["select_cols"])
+    extracted = (
+        text.fix_mojibake(extracted, text_col="_raw", out_col="text")
+        .drop("_raw", "chars_recovered", "had_mojibake")
+    )
+    # language-ID and the Gopher quality rules are ROW-WISE transforms
+    # (withColumn chains over the same frame), so they compose
+    # linearly (r14): the old extracted⋈langed⋈quality self-joins
+    # shuffled the batch twice per micro-batch AND tripled the
+    # extraction chain's Catalyst tree in the plan — measured as the
+    # dominant slice of the per-batch analysis constant. Chained,
+    # there is ONE copy of the chain and zero joins; the explicit
+    # select drops the per-language hit counts and per-rule audit
+    # signals the helpers add.
+    base_cols = extracted.columns
+    enriched = text.quality_filter(
+        text.language_id(extracted)
+    ).select(
+        *base_cols, "detected_lang", "n_tokens",
+        F.col("keep").alias("quality_keep"),
+    )
+    docs = (
+        enriched
+        .withColumn("fp", xp["fp"])
+        .withColumn("canonical", xp["canonical"])
+        # rel=canonical honored SAME-HOST only (r13): a print/tracking
+        # variant declaring its canonical collapses BEFORE content
+        # fingerprints; a cross-host declaration is the classic
+        # canonical-hijack spam vector and is ignored (the page stays
+        # an ordinary corpus candidate)
+        .withColumn("_canon_target", xp["canon_target"])
+        .withColumn("_canon_dup", xp["canon_dup"])
+    )
+    return docs, errors, recs
+
+
+#: built-once Column fragments of :func:`_extract_docs` (r14-opt): the
+#: extraction tree is assembled from FIXED column names, and building
+#: it through py4j measured ~1.6 s of driver time per micro-batch —
+#: pure plan construction, identical every batch. Cached per process
+#: alongside operators.text's own _PLAN_CACHE.
+_EXTRACT_EXPRS: dict = {}
+
+
+def _extract_exprs() -> dict:
+    if _EXTRACT_EXPRS:
+        return _EXTRACT_EXPRS
+    from ..operators.robots import url_host
+
     # a response that IS a sitemap is a DISCOVERY DOCUMENT, not a
     # corpus page: its raw bytes ride along (only for these rows) so
     # process_batch can parse <loc> entries into the fetch queue.
@@ -214,40 +284,19 @@ def _extract_docs(
         | (_gz & (_mime_xml | _url_sm))
         | (~_gz & (_root == "") & _mime_xml & _url_sm)
     )
-    # charset-correct intake (r13): the HTML5 prescan ladder (BOM >
-    # Content-Type charset > <meta charset> > UTF-8) decodes the page
-    # ONCE; links, directives, extraction, language and quality all
-    # read the decoded string instead of a blind UTF-8 cast — a
-    # Latin-1/cp1252/UTF-16 page stops mojibaking before dedup
-    # fingerprints ever see it (fix_mojibake still rescues UNDECLARED
-    # cp1252 downstream)
-    responses = text.decode_payloads(
-        responses, payload_col="payload", mime_col="mime",
-        text_col="_page", charset_col="_charset",
-    )
-    # page-level exclusion protocol (r13): <meta name=robots> noindex
-    # pages are fetched-but-not-corpus (routed like revisits below),
-    # nofollow pages contribute NO links to discovery or the graph
     # r14: the none-aware helpers — content="none" means noindex AND
-    # nofollow per the robots-meta spec, and the extractor now reads
-    # legal unquoted content=noindex values (r13 verdict defect #1).
-    # The extractor is STAGED as its own column (the stage-before-
-    # reference rule): three inline references used to triple its
-    # expression tree in the projection, a measurable slice of the
-    # per-batch Catalyst analysis constant.
-    responses = responses.withColumn(
-        "_meta", text.html_meta_robots(F.col("_page"))
-    )
+    # nofollow per the robots-meta spec, and the extractor reads
+    # legal unquoted content=noindex values (r13 verdict defect #1)
     _meta = F.col("_meta")
     _noindex = text.robots_noindex(_meta)
     _nofollow = text.robots_nofollow(_meta)
-    extracted = responses.select(
-        "file_id",
-        "pos",
-        "target_uri",
-        "digest_ok",
-        "http_status",
-        "location",
+    select_cols = [
+        F.col("file_id"),
+        F.col("pos"),
+        F.col("target_uri"),
+        F.col("digest_ok"),
+        F.col("http_status"),
+        F.col("location"),
         # the fetch clock (r14 recrawl): the record's own WARC-Date as
         # epoch seconds — deterministic, and exactly what a frontier
         # freshness policy should key on (when the page was FETCHED,
@@ -256,8 +305,8 @@ def _extract_docs(
             "_fetched_at"
         ),
         (F.col("warc_type") == "revisit").alias("_revisit"),
-        "refers_to",
-        "payload_digest",
+        F.col("refers_to"),
+        F.col("payload_digest"),
         _noindex.alias("_noindex"),
         _meta.alias("robots_meta"),
         # the publisher's own dedup declaration (r13): resolved +
@@ -286,62 +335,33 @@ def _extract_docs(
             )
         ).alias("links"),
         text.html_text(F.col("_page")).alias("_raw"),
-    )
-    extracted = (
-        text.fix_mojibake(extracted, text_col="_raw", out_col="text")
-        .drop("_raw", "chars_recovered", "had_mojibake")
-    )
-    # language-ID and the Gopher quality rules are ROW-WISE transforms
-    # (withColumn chains over the same frame), so they compose
-    # linearly (r14): the old extracted⋈langed⋈quality self-joins
-    # shuffled the batch twice per micro-batch AND tripled the
-    # extraction chain's Catalyst tree in the plan — measured as the
-    # dominant slice of the per-batch analysis constant. Chained,
-    # there is ONE copy of the chain and zero joins; the explicit
-    # select drops the per-language hit counts and per-rule audit
-    # signals the helpers add.
-    base_cols = extracted.columns
-    enriched = text.quality_filter(
-        text.language_id(extracted)
-    ).select(
-        *base_cols, "detected_lang", "n_tokens",
-        F.col("keep").alias("quality_keep"),
-    )
+    ]
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    from ..operators.robots import url_host
-
-    docs = (
-        enriched
-        .withColumn("fp", F.md5(norm))
-        .withColumn("canonical", canonical_url(F.col("target_uri")))
-        # rel=canonical honored SAME-HOST only (r13): a print/tracking
-        # variant declaring its canonical collapses BEFORE content
-        # fingerprints; a cross-host declaration is the classic
-        # canonical-hijack spam vector and is ignored (the page stays
-        # an ordinary corpus candidate)
-        .withColumn(
-            "_canon_target",
-            canonical_url(
-                text.resolve_link(
-                    F.col("target_uri"), F.col("_canon_href"),
-                    merge_relative=True,
-                )
-            ),
-        )
-        .withColumn(
-            "_canon_dup",
-            F.coalesce(
-                F.col("_canon_target").isNotNull()
-                & (F.col("_canon_target") != F.col("canonical"))
-                & (
-                    url_host(F.col("_canon_target"))
-                    == url_host(F.col("canonical"))
-                ),
-                F.lit(False),
-            ),
+    canonical = canonical_url(F.col("target_uri"))
+    canon_target = canonical_url(
+        text.resolve_link(
+            F.col("target_uri"), F.col("_canon_href"),
+            merge_relative=True,
         )
     )
-    return docs, errors, recs
+    _EXTRACT_EXPRS.update({
+        "meta": text.html_meta_robots(F.col("_page")),
+        "select_cols": select_cols,
+        "fp": F.md5(norm),
+        "canonical": canonical,
+        "canon_target": canon_target,
+        "canon_dup": F.coalesce(
+            F.col("_canon_target").isNotNull()
+            & (F.col("_canon_target") != F.col("canonical"))
+            & (
+                url_host(F.col("_canon_target"))
+                == url_host(F.col("canonical"))
+            ),
+            F.lit(False),
+        ),
+        "links_dst": canonical_url(F.col("_u")),
+    })
+    return _EXTRACT_EXPRS
 
 
 def _norm_path(col):
@@ -619,7 +639,21 @@ def run_crawl_stream(
                 "file_id", "content"
             )
             docs, errors, recs = _extract_docs(files)
-            _write_batch_partition(errors, f"{out_dir}/errors", key)
+            # Overlap independent per-batch jobs (r14-opt, guide §2.6:
+            # Spark happily runs several jobs at once inside one
+            # application; these were serialized only because the
+            # driver called them sequentially). The errors sink — whose
+            # action FILLS the shared parse cache — the opt-in CDX
+            # parse, and the replay read-back are all independent of
+            # the extraction checkpoint materialized below, so they run
+            # on a small thread pool while the main thread materializes
+            # the big chain; per-partition cache locks make the
+            # concurrent fills compute the parse exactly once.
+            pool = ThreadPoolExecutor(max_workers=6)
+            fut_err = pool.submit(
+                _write_batch_partition, errors, f"{out_dir}/errors", key
+            )
+            fut_cdx = None
             if emit_cdx:
                 # the crawler maintains its own random-access index as
                 # it ingests: one CDX row per record with the
@@ -637,40 +671,35 @@ def run_crawl_stream(
                 cdx = warc_cdx(files).join(
                     F.broadcast(paths), "file_id"
                 )
-                _write_batch_partition(cdx, f"{out_dir}/cdx", key)
+                fut_cdx = pool.submit(
+                    _write_batch_partition, cdx, f"{out_dir}/cdx", key
+                )
+            # the replay read-back is two parquet reads + a distinct —
+            # an independent job, overlapped with the jobs above
+            fut_own = pool.submit(_own_canonicals, spark, out_dir, key)
             if rules is not None:
                 from ..operators.robots import robots_filter
 
-                flagged = robots_filter(docs, rules, url_col="target_uri")
-                _write_batch_partition(
-                    flagged.filter(~F.col("allowed")).select(
-                        *CRAWL_DOC_COLUMNS
-                    ),
-                    f"{out_dir}/disallowed", key,
-                )
-                docs = flagged.filter(F.col("allowed")).drop("allowed")
+                docs = robots_filter(docs, rules, url_col="target_uri")
+            else:
+                docs = docs.withColumn("allowed", F.lit(True))
 
             me = F.struct(F.col("file_id"), F.col("pos"))
-            first = F.min(me).over(Window.partitionBy("canonical"))
+            # first occurrence among ALLOWED rows only (min skips the
+            # NULL branch) — identical to the old compute-after-the-
+            # robots-filter ordering, but in the same plan as the
+            # robots verdict, so the extraction chain is built ONCE
+            # for both the disallowed sink and the corpus branches
+            # (r14-opt: the disallowed write used to execute the full
+            # chain a second time before the checkpoint existed)
+            first = F.min(F.when(F.col("allowed"), me)).over(
+                Window.partitionBy("canonical")
+            )
             is_redir = (
                 F.col("http_status").isin(301, 302, 303, 307, 308)
                 & F.col("location").isNotNull()
             )
-            # localCheckpoint, not persist (r14): the extraction
-            # chain's logical plan is enormous (charset ladder, robots
-            # and canonical extractors, link resolution — thousands of
-            # Catalyst nodes), and EVERY sink job re-ANALYZES the full
-            # tree above a mere cache. Checkpointing truncates the
-            # lineage so each of the batch's ~8 jobs plans against a
-            # leaf relation instead — the f06 shared-parse lesson
-            # applied to the stream. Eager: materialized here, once.
-            docs = (
-                docs.withColumn("_first", first)
-                .withColumn("_redir", is_redir)
-                .localCheckpoint(eager=True)
-            )
             try:
-                survivors = docs.filter(me == F.col("_first"))
                 # the decision view of the index: on a replay after a
                 # crashed attempt already ran append_to_url_index,
                 # subtract that attempt's own canonicals (read back
@@ -679,40 +708,73 @@ def run_crawl_stream(
                 index = spark.table(frontier_table)
                 cutoff = None
                 if recrawl_ttl_sec is not None:
-                    # the batch clock: the newest WARC-Date in the
-                    # batch (a control-plane scalar over the persisted
-                    # frame; deterministic, so replays agree). Pages
-                    # whose newest index stamp predates (clock - ttl)
-                    # are STALE: their arriving refetch is re-accepted
+                    # the batch clock: the newest WARC-Date among the
+                    # batch's robots-allowed response/revisit records
+                    # (a control-plane scalar; deterministic, so
+                    # replays agree). Computed from the PERSISTED
+                    # parse output rather than the extraction chain —
+                    # same row set, same expression, but the agg
+                    # never executes the chain (r14-opt). Pages whose
+                    # newest index stamp predates (clock - ttl) are
+                    # STALE: their arriving refetch is re-accepted
                     # instead of url_seen, and their canonical
                     # re-enters the discovery queue.
-                    _now = docs.agg(F.max("_fetched_at")).first()[0]
+                    clk = recs.filter(
+                        F.col("error").isNull()
+                        & F.col("warc_type").isin("response", "revisit")
+                    )
+                    if rules is not None:
+                        from ..operators.robots import robots_filter
+
+                        clk = robots_filter(
+                            clk, rules, url_col="target_uri"
+                        ).filter(F.col("allowed"))
+                    _now = clk.agg(
+                        F.max(
+                            F.unix_timestamp(F.to_timestamp(F.col("date")))
+                        )
+                    ).first()[0]
                     if _now is not None:
                         cutoff = int(_now) - int(recrawl_ttl_sec)
                         index = index.filter(
                             F.col("fetched_at").isNull()
                             | (F.col("fetched_at") >= F.lit(cutoff))
                         )
-                own = _own_canonicals(spark, out_dir, key)
+                own = fut_own.result()
                 if own is not None:
                     index = index.join(own, "canonical", "left_anti")
-                # ONE index join decides fresh-vs-seen for the whole
-                # batch (r14): seven sink branches used to each
-                # re-run their own anti/semi join against the index —
-                # seven bucketed index scans per micro-batch. The
-                # marked frame is eagerly checkpointed (batch-sized,
-                # the same weight as the docs checkpoint), so every
-                # branch below filters a leaf relation and the index
-                # is scanned once here plus once for the discovery
-                # queue's own decision.
-                marked = survivors.join(
-                    index.select(
-                        "canonical", F.lit(True).alias("_seen")
-                    ).dropDuplicates(["canonical"]),
-                    "canonical", "left",
-                ).localCheckpoint(eager=True)
-                fresh_docs = marked.filter(
-                    F.col("_seen").isNull()
+                # ONE checkpoint materializes the whole per-batch
+                # decision state (r14-opt, formerly docs + marked —
+                # two jobs): the extraction chain, the robots verdict,
+                # the first-occurrence window AND the index decision
+                # join land in a single eager localCheckpoint. The
+                # join keys on ``canonical`` — the window's own
+                # partitioning — so it reuses that Exchange (guide
+                # §2.4: two operations keyed the same way share one
+                # exchange) instead of shuffling a second time, and
+                # every sink branch below plans against a leaf
+                # relation (the f06 shared-parse lesson; a bare
+                # persist() would re-ANALYZE the thousands-of-nodes
+                # chain above the cache for every one of the batch's
+                # ~8 jobs). The index is scanned once here plus once
+                # for the discovery queue's own decision.
+                marked = (
+                    docs.withColumn("_first", first)
+                    .withColumn("_redir", is_redir)
+                    .join(
+                        index.select(
+                            "canonical", F.lit(True).alias("_seen")
+                        ).dropDuplicates(["canonical"]),
+                        "canonical", "left",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                fut_err.result()
+                if fut_cdx is not None:
+                    fut_cdx.result()
+                docs_ok = marked.filter(F.col("allowed"))
+                fresh_docs = docs_ok.filter(
+                    (me == F.col("_first")) & F.col("_seen").isNull()
                 ).drop("_seen")
                 # a 3xx fetch is a SEEN url (it joins the index below)
                 # but not a corpus document: its row lands in the seen
@@ -829,10 +891,14 @@ def run_crawl_stream(
                         F.col("canonical").alias("_via"),
                     )
                 )
-                dup_in_batch = docs.filter(me != F.col("_first")).select(
+                dup_in_batch = docs_ok.filter(
+                    me != F.col("_first")
+                ).select(
                     *CRAWL_DOC_COLUMNS, F.lit("in_batch_dup").alias("reason")
                 )
-                dup_seen = marked.filter(F.col("_seen")).select(
+                dup_seen = docs_ok.filter(
+                    (me == F.col("_first")) & F.col("_seen")
+                ).select(
                     *CRAWL_DOC_COLUMNS, F.lit("url_seen").alias("reason")
                 )
                 # discovered = redirect targets + extracted page links
@@ -887,9 +953,9 @@ def run_crawl_stream(
                     keep_cols=("_via",),
                     refetch_before=cutoff,
                 ).join(
-                    docs.select("canonical"), "canonical", "left_anti"
+                    docs_ok.select("canonical"), "canonical", "left_anti"
                 ).withColumnRenamed("_via", "via")
-                if ranks is not None:
+                def _discovered_job(d=discovered):
                     # the PRIORITIZER half: priority = the discovering
                     # page's rank in the caller-supplied (node, rank)
                     # frame (crawl_wave_ranks over out/links, one wave
@@ -900,45 +966,54 @@ def run_crawl_stream(
                     # rank frame broadcast-side-first — one map-side
                     # pass over ranks, which never shuffles; the
                     # checkpoint pins the queue so its plan isn't
-                    # re-derived for the via projection.
-                    discovered = discovered.localCheckpoint(eager=True)
-                    vias = discovered.select(
-                        F.col("via").alias("node")
-                    ).where(F.col("node").isNotNull()).distinct()
-                    pri = ranks.join(F.broadcast(vias), "node").select(
-                        F.col("node").alias("via"),
-                        F.col("rank").alias("priority"),
-                    )
-                    discovered = discovered.join(
-                        F.broadcast(pri), "via", "left"
-                    ).withColumn(
-                        "priority",
-                        F.coalesce(F.col("priority"), F.lit(0.0)),
-                    )
-                if rules is not None:
-                    # the POLITENESS half: every queued fetch gets its
-                    # per-host slot and earliest polite offset from the
-                    # host's Crawl-delay (s23's arithmetic, composed
-                    # into the stream so the queue is directly
-                    # executable by a rate-limited fetcher). With
-                    # ranks supplied the slots are PRIORITY-ordered
-                    # within each host (negated column = descending):
-                    # high-rank pages take the earliest polite slots —
-                    # the prioritizer and politeness halves composed.
-                    from ..operators.robots import fetch_schedule
-
+                    # re-derived for the via projection. The whole
+                    # queue job (checkpoint + rank attach + politeness
+                    # + write) runs as ONE of the concurrent sink jobs
+                    # (r14-opt) — its checkpoint used to serialize on
+                    # the driver before any sink started.
                     if ranks is not None:
-                        discovered = fetch_schedule(
-                            discovered.withColumn(
-                                "_negpri", -F.col("priority")
-                            ),
-                            rules, url_col="url",
-                            order_col=["_negpri", "url"],
-                        ).drop("_negpri")
-                    else:
-                        discovered = fetch_schedule(
-                            discovered, rules, url_col="url"
+                        d = d.localCheckpoint(eager=True)
+                        vias = d.select(
+                            F.col("via").alias("node")
+                        ).where(F.col("node").isNotNull()).distinct()
+                        pri = ranks.join(
+                            F.broadcast(vias), "node"
+                        ).select(
+                            F.col("node").alias("via"),
+                            F.col("rank").alias("priority"),
                         )
+                        d = d.join(
+                            F.broadcast(pri), "via", "left"
+                        ).withColumn(
+                            "priority",
+                            F.coalesce(F.col("priority"), F.lit(0.0)),
+                        )
+                    if rules is not None:
+                        # the POLITENESS half: every queued fetch gets
+                        # its per-host slot and earliest polite offset
+                        # from the host's Crawl-delay (s23's
+                        # arithmetic, composed into the stream so the
+                        # queue is directly executable by a
+                        # rate-limited fetcher). With ranks supplied
+                        # the slots are PRIORITY-ordered within each
+                        # host (negated column = descending): high-rank
+                        # pages take the earliest polite slots — the
+                        # prioritizer and politeness halves composed.
+                        from ..operators.robots import fetch_schedule
+
+                        if ranks is not None:
+                            d = fetch_schedule(
+                                d.withColumn(
+                                    "_negpri", -F.col("priority")
+                                ),
+                                rules, url_col="url",
+                                order_col=["_negpri", "url"],
+                            ).drop("_negpri")
+                        else:
+                            d = fetch_schedule(d, rules, url_col="url")
+                    _write_batch_partition(
+                        d, f"{out_dir}/discovered", key
+                    )
                 # the LINK-GRAPH edge sink: (src page canonical →
                 # resolved+canonicalized target), one row per extracted
                 # anchor of every newly-accepted page — what PageRank/
@@ -951,7 +1026,7 @@ def run_crawl_stream(
                     F.col("canonical").alias("src"),
                     F.explode("links").alias("_u"),
                 ).select(
-                    "src", canonical_url(F.col("_u")).alias("dst")
+                    "src", _extract_exprs()["links_dst"].alias("dst")
                 )
                 # the five seen-not-corpus families in ONE sink (r14):
                 # disjoint filters of the same persisted frame, tagged
@@ -992,24 +1067,61 @@ def run_crawl_stream(
                     )
                     .select(*SEEN_COLUMNS)
                 )
-                # accepted is (re)written FIRST and seen SECOND so a
-                # crash between them leaves exactly the prefix
-                # _own_canonicals reads back; every sink write replaces
-                # this batch's partition (idempotent under replay)
-                _write_batch_partition(
-                    accepted, f"{out_dir}/accepted", key
-                )
-                _write_batch_partition(seen, f"{out_dir}/seen", key)
-                _write_batch_partition(
-                    links_out, f"{out_dir}/links", key
-                )
-                _write_batch_partition(
-                    dup_in_batch.union(dup_seen),
-                    f"{out_dir}/duplicates", key,
-                )
-                _write_batch_partition(
-                    discovered, f"{out_dir}/discovered", key
-                )
+                # the corpus sinks are disjoint projections of the
+                # same leaf checkpoint — independent write jobs, run
+                # CONCURRENTLY on the pool (r14-opt, guide §2.6): at
+                # micro-batch scale each job's fixed cost dominates,
+                # and five-in-flight overlaps those constants; at
+                # 100 TB per-batch the jobs' tasks interleave on free
+                # executor slots exactly like any multi-tenant stage.
+                # Crash-window posture is unchanged: every sink write
+                # still replaces this batch's partition (idempotent
+                # under replay), the ledger still strictly FOLLOWS all
+                # sinks and the index append the ledger, and a crash
+                # mid-phase leaves some subset of partitions written —
+                # the same observable states the old serial order
+                # could leave, all absorbed by replay. (_own_canonicals
+                # only matters after an index append, by which point
+                # every sink had completed.)
+                sink_futs = [
+                    pool.submit(
+                        _write_batch_partition,
+                        accepted, f"{out_dir}/accepted", key,
+                    ),
+                    pool.submit(
+                        _write_batch_partition,
+                        seen, f"{out_dir}/seen", key,
+                    ),
+                    pool.submit(
+                        _write_batch_partition,
+                        links_out, f"{out_dir}/links", key,
+                    ),
+                    pool.submit(
+                        _write_batch_partition,
+                        dup_in_batch.union(dup_seen),
+                        f"{out_dir}/duplicates", key,
+                    ),
+                    pool.submit(_discovered_job),
+                ]
+                if rules is not None:
+                    sink_futs.append(pool.submit(
+                        _write_batch_partition,
+                        marked.filter(~F.col("allowed")).select(
+                            *CRAWL_DOC_COLUMNS
+                        ),
+                        f"{out_dir}/disallowed", key,
+                    ))
+                first_exc = None
+                for fut in sink_futs:
+                    try:
+                        fut.result()
+                    except BaseException as exc:  # noqa: BLE001 — any
+                        # sink failure must fail the batch before the
+                        # ledger writes; collect so every job settles
+                        if first_exc is None:
+                            first_exc = exc
+                if first_exc is not None:
+                    raise first_exc
                 _fire("after_sinks", batch_id)
                 # ledger next (its partition also overwrites): from here
                 # a replay reprocesses the full batch because the guard
@@ -1031,9 +1143,10 @@ def run_crawl_stream(
                 spark.catalog.refreshTable(frontier_table)
                 _fire("after_index", batch_id)
             finally:
-                # docs/marked are localCheckpoints — their RDDs are
-                # released by the ContextCleaner; only the parse cache
-                # needs an explicit unpersist
+                # marked is a localCheckpoint — its RDD is released by
+                # the ContextCleaner; only the parse cache needs an
+                # explicit unpersist
+                pool.shutdown(wait=True)
                 recs.unpersist()
         if on_batch_complete is not None:
             on_batch_complete(batch_id)
