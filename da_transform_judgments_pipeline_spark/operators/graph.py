@@ -157,6 +157,20 @@ def pagerank(
         ).select("node", F.coalesce("_r0", F.lit(0.0)).alias("_r0"))
     else:
         base = base.withColumn("_r0", F.lit(1.0 / n))
+    # fold the has-out-edges flag INTO the node frame once (r14-opt):
+    # the per-iteration dangling mass used to be an anti-join of the
+    # full rank vector against the out-degree set — a join per
+    # iteration at any scale. With ``_ho`` riding the rank rows the
+    # dangling mass is a filter+agg over the just-checkpointed leaf;
+    # the summed set is identical, so dyadic oracles are bit-exact.
+    base = base.join(
+        deg.select(
+            F.col(src_col).alias("node"), F.lit(True).alias("_ho")
+        ),
+        "node", "left",
+    ).select(
+        "node", "_r0", F.coalesce("_ho", F.lit(False)).alias("_ho")
+    )
     base = base.persist()
     if initial_ranks is not None:
         # duplicate warm rows add (the reset-seeds rule); stale nodes
@@ -170,6 +184,7 @@ def pagerank(
         raw = base.join(warm, "node", "left").select(
             "node",
             F.coalesce(F.col("_ir"), F.col("_r0")).alias("_raw"),
+            "_ho",
         )
         mass = raw.agg(F.sum("_raw")).collect()[0][0]
         if not mass or mass <= 0:
@@ -178,15 +193,13 @@ def pagerank(
             )
         ranks = (
             raw.select(
-                "node", (F.col("_raw") / F.lit(mass)).alias("rank")
+                "node", (F.col("_raw") / F.lit(mass)).alias("rank"),
+                "_ho",
             )
             .localCheckpoint(eager=True)
         )
     else:
-        ranks = base.select("node", F.col("_r0").alias("rank"))
-    # persisted: the per-iteration dangling scalar anti-joins this —
-    # without the persist it re-aggregates the whole edge list each round
-    has_out = deg.select(F.col(src_col).alias("node")).persist()
+        ranks = base.select("node", F.col("_r0").alias("rank"), "_ho")
     try:
         for _it in range(n_iterations):
             if stats is not None:
@@ -195,9 +208,11 @@ def pagerank(
             # broadcast into the rank update, so the iteration runs as
             # ONE Spark action (the eager checkpoint below) instead of
             # a driver-side scalar collect serializing a second job —
-            # arithmetically identical to the former F.lit(dangling)
+            # arithmetically identical to the former F.lit(dangling).
+            # r14-opt: a filter on the carried _ho flag, not an
+            # anti-join — same summed set, one less join per iteration
             dangling = (
-                ranks.join(has_out, "node", "left_anti")
+                ranks.filter(~F.col("_ho"))
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
             contribs = (
@@ -228,6 +243,7 @@ def pagerank(
                             + F.col("_dm") * F.col("_r0")
                         )
                     ).alias("rank"),
+                    "_ho",
                 )
                 .localCheckpoint(eager=True)
             )
@@ -249,8 +265,7 @@ def pagerank(
     finally:
         fan.unpersist()
         base.unpersist()
-        has_out.unpersist()
-    return ranks
+    return ranks.drop("_ho")
 
 
 def hits(
