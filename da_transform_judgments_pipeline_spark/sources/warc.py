@@ -1005,9 +1005,18 @@ def _pack_by_file(
     one archive's rows in memory (an archive must fit in task RAM
     anyway to be packed)."""
     select = [F.col(c).alias(a) for c, a in cols.items()]
+    # Pin the shuffle's partition COUNT (r14-opt): a bare
+    # ``repartition("_fid")`` lets AQE coalesce by BYTES, and the pack
+    # stage's cost is per-FILE Python work, not bytes — at bench SF the
+    # few-MB shuffle coalesced to ONE partition and serialized the
+    # whole pack (measured 2.9 s of the 5 s m25 pipeline). One
+    # partition per core is the floor for a CPU-bound Python stage; at
+    # real scale (~1 GB archives) the byte sizes dominate and this
+    # count matches what AQE would pick anyway.
+    sc = records.sparkSession.sparkContext
     src = (
         records.select(*select)
-        .repartition("_fid")
+        .repartition(sc.defaultParallelism, "_fid")
         .sortWithinPartitions("_fid", "_ord")
     )
 
