@@ -1260,14 +1260,35 @@ def embedding_near_duplicates_lsh(
         df, id_col, vec_col, n_planes, radius, seed, dim
     )
 
-    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    # Per-VECTOR norms are computed once on the n-row base and carried
+    # through the candidate joins (r14-opt, guide §2.3: do per-row work
+    # before the pair explosion): the verify used to evaluate three
+    # array aggregates per CANDIDATE (dot + both norms) — at real
+    # candidate volumes that is 3x the higher-order-function work for
+    # values that only depend on the vector. Same expression per
+    # vector, so every cosine is bit-identical to the fused form.
+    vnorm = F.sqrt(
+        F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        vnorm.alias("_na"),
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        vnorm.alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6),
+            F.round(dot / (F.col("_na") * F.col("_nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
