@@ -1128,9 +1128,9 @@ def _srp_candidates(
     bucket equi-join. Returns (persisted base with id/vec/sig, candidate
     pair frame id_a < id_b). Used by the near-dup operator and by the
     pruning-economics probe :func:`embedding_lsh_candidate_stats`."""
-    from .similarity import hamming_ball_masks, hyperplane_signature
+    from .similarity import hamming_ball_masks_col, hyperplane_signature
 
-    masks = hamming_ball_masks(n_planes, radius)
+    masks_col = hamming_ball_masks_col(n_planes, radius)
 
     base = _spread(
         df.select(
@@ -1149,7 +1149,7 @@ def _srp_candidates(
     probes = base.select(
         "id",
         "sig",
-        F.explode(F.lit(masks)).alias("m"),
+        F.explode(masks_col).alias("m"),
     ).select("id", F.col("m").bitwiseXOR(F.col("sig")).alias("probe_sig"))
 
     candidates = (

@@ -149,13 +149,38 @@ def _hyperplane_sig_sql(
     return "(" + " + ".join(terms) + ")"
 
 
+#: process-wide Column caches (r14-opt): the signature SQL is a
+#: ~n_planes·dim-term expression whose F.expr parse measured ~0.5 s at
+#: 16×64, and a hamming ball at radius 4 over 16 planes is a 2517-int
+#: literal crossing py4j element by element — both depend only on the
+#: scalar parameters, so build each once per process.
+_SIG_COL_CACHE: dict = {}
+_MASK_COL_CACHE: dict = {}
+
+
 def hyperplane_signature(
     vec_sql: str, n_planes: int = 16, dim: int = 64, seed: int = 42
 ) -> Column:
     """Random-hyperplane (SRP) LSH signature of a vector-typed SQL
     expression (e.g. ``"CAST(embedding AS array<double>)"``) as an INT
     bucket key: sign(dot(plane, vec)) per plane packs into bits."""
-    return F.expr(_hyperplane_sig_sql(vec_sql, n_planes, dim, seed))
+    key = (vec_sql, n_planes, dim, seed)
+    col = _SIG_COL_CACHE.get(key)
+    if col is None:
+        col = F.expr(_hyperplane_sig_sql(vec_sql, n_planes, dim, seed))
+        _SIG_COL_CACHE[key] = col
+    return col
+
+
+def hamming_ball_masks_col(n_planes: int, radius: int) -> Column:
+    """:func:`hamming_ball_masks` as a cached array LITERAL Column —
+    the probe-explode sites' building block."""
+    key = (n_planes, radius)
+    col = _MASK_COL_CACHE.get(key)
+    if col is None:
+        col = F.lit(hamming_ball_masks(n_planes, radius))
+        _MASK_COL_CACHE[key] = col
+    return col
 
 
 def signature_of(vec: list[float], n_planes: int, seed: int = 42) -> int:
@@ -311,7 +336,7 @@ def knn_join_lsh(
     if dim is None:
         first = left.select(left_vec).first()
         dim = len(first[0])
-    masks = hamming_ball_masks(n_planes, probe_radius)
+    masks_col = hamming_ball_masks_col(n_planes, probe_radius)
     l = left.select(
         F.col(left_id).alias("id_l"),
         F.col(left_vec).cast("array<double>").alias("vl"),
@@ -327,7 +352,7 @@ def knn_join_lsh(
         ).alias("sig_r"),
     )
     probes = l.select(
-        "id_l", "sig_l", F.explode(F.lit(masks)).alias("m")
+        "id_l", "sig_l", F.explode(masks_col).alias("m")
     ).select("id_l", F.col("m").bitwiseXOR(F.col("sig_l")).alias("probe_sig"))
     candidates = (
         probes.join(

@@ -999,24 +999,34 @@ def ngram_repetition_suite(
     its OWN projected column: nesting them as one expression duplicates
     each subtree at every reference, and with nine n values the
     unresolved tree grows multiplicatively until Catalyst analysis
-    dominates the query (the _toks_sql staging rationale, compounded)."""
-    toked = df.withColumn("_toks", tokens(F.col(text_col)))
-    out = toked.withColumn(
-        "_total", F.length(F.array_join(F.col("_toks"), " "))
-    )
+    dominates the query (the _toks_sql staging rationale, compounded).
+    The ~30-stage step list is cached process-wide per parameter tuple
+    (:data:`_PLAN_CACHE` — measured ~1.3 s of py4j tree building per
+    call)."""
+    ckey = ("ngram_repetition_suite", text_col, tuple(top_ns),
+            tuple(dup_ns))
+    cached = _PLAN_CACHE.get(ckey)
+    if cached is not None:
+        steps, tmp = cached
+        out = df
+        for name, expr in steps:
+            out = out.withColumn(name, expr)
+        return out.drop(*tmp)
+    steps: list = []
+    steps.append(("_toks", tokens(F.col(text_col))))
+    steps.append(("_total", F.length(F.array_join(F.col("_toks"), " "))))
     total = F.col("_total")
     tmp = ["_toks", "_total"]
 
     def stage_runs(n: int) -> str:
-        nonlocal out
         srt_c, sta_c, run_c = f"_srt{n}", f"_sta{n}", f"_runs{n}"
         tmp.extend([srt_c, sta_c, run_c])
-        out = out.withColumn(
-            srt_c, F.array_sort(ngrams_from_tokens(F.col("_toks"), n))
+        steps.append(
+            (srt_c, F.array_sort(ngrams_from_tokens(F.col("_toks"), n)))
         )
         srt = F.col(srt_c)
         sz = F.size(srt)
-        out = out.withColumn(
+        steps.append((
             sta_c,
             F.when(
                 sz > 0,
@@ -1029,10 +1039,10 @@ def ngram_repetition_suite(
                     ),
                 ),
             ).otherwise(F.array().cast("array<int>")),
-        )
+        ))
         starts = F.col(sta_c)
         nst = F.size(starts)
-        out = out.withColumn(
+        steps.append((
             run_c,
             F.transform(
                 starts,
@@ -1046,14 +1056,14 @@ def ngram_repetition_suite(
                     F.element_at(srt, s + 1).alias("gram"),
                 ),
             ),
-        )
+        ))
         return run_c
 
     for n in top_ns:
         rc = stage_runs(n)
         best_c = f"_best{n}"
         tmp.append(best_c)
-        out = out.withColumn(
+        steps.append((
             best_c,
             F.array_min(
                 F.transform(
@@ -1063,16 +1073,16 @@ def ngram_repetition_suite(
                     ),
                 )
             ),
-        )
+        ))
         best = F.col(best_c)
         chars = (-best["nc"]).cast("long") * F.length(best["gram"])
-        out = out.withColumn(
+        steps.append((
             f"top{n}_char_frac",
             F.when(
                 (F.size(F.col(rc)) > 0) & (total > 0),
                 F.round(chars / total.cast("double"), 6),
             ).otherwise(F.lit(0.0)),
-        )
+        ))
     for n in dup_ns:
         rc = stage_runs(n)
         covered = F.aggregate(
@@ -1084,12 +1094,16 @@ def ngram_repetition_suite(
                 r["cnt"].cast("long") * F.length(r["gram"]).cast("long"),
             ).otherwise(F.lit(0).cast("long")),
         )
-        out = out.withColumn(
+        steps.append((
             f"dup{n}_char_frac",
             F.when(
                 total > 0, F.round(covered / total.cast("double"), 6)
             ).otherwise(F.lit(0.0)),
-        )
+        ))
+    _PLAN_CACHE[ckey] = (steps, tmp)
+    out = df
+    for name, expr in steps:
+        out = out.withColumn(name, expr)
     return out.drop(*tmp)
 
 
@@ -1117,11 +1131,20 @@ def ngram_dup_union_fractions(
     sliding window of flags to decide whether the token (and the space
     after it) is covered. No explode, no shuffle — a projection over
     the corpus, like the proxy suite. Each intermediate is staged as
-    its own projected column (the x28 analysis-blowup rationale)."""
-    toked = df.withColumn("_toks", tokens(F.col(text_col)))
-    out = toked.withColumn(
-        "_total", F.length(F.array_join(F.col("_toks"), " "))
-    )
+    its own projected column (the x28 analysis-blowup rationale). The
+    step list is cached process-wide per parameter tuple
+    (:data:`_PLAN_CACHE` — ~1.2 s of py4j tree building per call)."""
+    ckey = ("ngram_dup_union_fractions", text_col, tuple(dup_ns))
+    cached = _PLAN_CACHE.get(ckey)
+    if cached is not None:
+        steps, tmp = cached
+        out = df
+        for name, expr in steps:
+            out = out.withColumn(name, expr)
+        return out.drop(*tmp)
+    steps: list = []
+    steps.append(("_toks", tokens(F.col(text_col))))
+    steps.append(("_total", F.length(F.array_join(F.col("_toks"), " "))))
     toks = F.col("_toks")
     total = F.col("_total")
     sz = F.size(toks)
@@ -1130,8 +1153,8 @@ def ngram_dup_union_fractions(
     for n in dup_ns:
         g_c, s_c, m_c, f_c = f"_g{n}", f"_s{n}", f"_m{n}", f"_f{n}"
         tmp.extend([g_c, s_c, m_c, f_c])
-        out = out.withColumn(g_c, ngrams_from_tokens(toks, n))
-        out = out.withColumn(s_c, F.array_sort(F.col(g_c)))
+        steps.append((g_c, ngrams_from_tokens(toks, n)))
+        steps.append((s_c, F.array_sort(F.col(g_c))))
         srt = F.col(s_c)
         gsz = F.size(srt)
         # duplicated grams = adjacent equals in the sorted stream
@@ -1148,13 +1171,13 @@ def ngram_dup_union_fractions(
                 )
             ),
         ).otherwise(F.array().cast("array<string>"))
-        out = out.withColumn(
+        steps.append((
             m_c,
             F.map_from_arrays(
                 dups, F.array_repeat(F.lit(True), F.size(dups))
             ),
-        )
-        out = out.withColumn(
+        ))
+        steps.append((
             f_c,
             F.transform(
                 F.col(g_c),
@@ -1162,43 +1185,53 @@ def ngram_dup_union_fractions(
                     F.try_element_at(F.col(m_c), g), F.lit(False)
                 ),
             ),
-        )
+        ))
         flags = F.col(f_c)
         last = sz - n  # last occurrence start index (0-based)
 
-        def win_exists(lo, hi):
-            return F.exists(
-                F.slice(flags, lo + 1, hi - lo + 1), lambda x: x
-            )
-
-        def step(acc, t):
-            tok_cov = win_exists(
-                F.greatest(t - (n - 1), F.lit(0)), F.least(t, last)
-            )
-            sp_cov = (t < sz - 1) & win_exists(
-                F.greatest(t - (n - 2), F.lit(0)), F.least(t, last)
-            )
-            return (
-                acc
-                + F.when(
-                    tok_cov,
-                    F.length(F.element_at(toks, t + 1)).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-                + F.when(sp_cov, F.lit(1).cast("long")).otherwise(
-                    F.lit(0).cast("long")
+        def make_step(n, flags, last):
+            # closure FACTORY, not default args: pyspark's HOF bridge
+            # counts every parameter of the lambda's signature
+            def win_exists(lo, hi):
+                return F.exists(
+                    F.slice(flags, lo + 1, hi - lo + 1), lambda x: x
                 )
-            )
+
+            def step(acc, t):
+                tok_cov = win_exists(
+                    F.greatest(t - (n - 1), F.lit(0)), F.least(t, last)
+                )
+                sp_cov = (t < sz - 1) & win_exists(
+                    F.greatest(t - (n - 2), F.lit(0)), F.least(t, last)
+                )
+                return (
+                    acc
+                    + F.when(
+                        tok_cov,
+                        F.length(F.element_at(toks, t + 1)).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    + F.when(sp_cov, F.lit(1).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+
+            return step
 
         covered = F.aggregate(
-            F.sequence(F.lit(0), sz - 1), F.lit(0).cast("long"), step
+            F.sequence(F.lit(0), sz - 1), F.lit(0).cast("long"),
+            make_step(n, flags, last),
         )
-        out = out.withColumn(
+        steps.append((
             f"dup{n}_union_frac",
             F.when(
                 (sz >= n) & (total > 0),
                 F.round(covered / total.cast("double"), 6),
             ).otherwise(F.lit(0.0)),
-        )
+        ))
+    _PLAN_CACHE[ckey] = (steps, tmp)
+    out = df
+    for name, expr in steps:
+        out = out.withColumn(name, expr)
     return out.drop(*tmp)
 
 
