@@ -114,11 +114,22 @@ def pagerank(
     second job per iteration), so each iteration without ``tol`` is
     exactly ONE Spark action. ``localCheckpoint`` keeps lineage
     constant across iterations."""
-    n = nodes.count()
+    # ONE pass over the caller's node derivation (r14-opt, guide §1.3
+    # duplicate work / §5 driver): ``nodes.count()`` used to execute
+    # the node subtree once for the scalar and the persisted ``base``
+    # re-executed it at first materialization — for crawl_wave_ranks
+    # that subtree is a parquet read + weight agg + union + distinct.
+    # Persisting the raw projection first makes the count materialize
+    # the cache; everything below (distinct, seed/flag joins) scans
+    # memory. ``n`` still counts RAW input rows (duplicates included),
+    # bit-identical to the former ``nodes.count()``.
+    raw = nodes.select(F.col(node_col).alias("node")).persist()
+    n = raw.count()
     if stats is not None:
         stats["iterations"] = 0
         stats["l1_delta"] = None
     if n == 0:
+        raw.unpersist()
         return nodes.select(
             F.col(node_col).alias("node"),
             F.lit(0.0).alias("rank"),
@@ -143,7 +154,7 @@ def pagerank(
         ),
         "_src",
     ).persist()  # scanned every iteration: pay the join once
-    base = nodes.select(F.col(node_col).alias("node")).distinct()
+    base = raw.distinct()
     if reset is not None:
         # sum per node first: duplicate seed rows must add weight, not
         # multiply base rows through the left join
@@ -265,6 +276,7 @@ def pagerank(
     finally:
         fan.unpersist()
         base.unpersist()
+        raw.unpersist()
     return ranks.drop("_ho")
 
 
