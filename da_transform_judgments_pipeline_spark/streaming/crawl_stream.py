@@ -364,10 +364,62 @@ def _extract_exprs() -> dict:
     return _EXTRACT_EXPRS
 
 
-def _norm_path(col):
-    """Strip the URI scheme a binaryFile scan prepends (file:/a, file:///a
-    → /a) so manifest paths and scan paths join."""
-    return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/{0,2}(/)", "$1")
+def _read_manifest_files(spark: SparkSession, entries) -> DataFrame:
+    """(file_id, path) manifest rows → (file_id, content): each TASK
+    reads its own file's bytes directly from storage (local path or
+    ``s3://`` via the fsio boto3 seam) inside the Arrow batch loop.
+
+    r14-opt, guide §2.3/§8 (shuffle keys and metadata, move heavy
+    bytes once) + §6 (small-file packing): the former ``binaryFile``
+    scan charged each file only ``openCostInBytes`` (4 MB), so a
+    micro-batch of small WARCs packed into a handful of scan
+    partitions and the parse — the most expensive stage of a batch —
+    ran nearly serial; it also re-listed every path on the driver each
+    batch and needed a broadcast join to map scan paths back to
+    manifest file_ids. Distributing the ≤``max_files_per_trigger``
+    manifest ROWS round-robin over ``min(n_files,
+    defaultParallelism)`` partitions gives the parse one task per file
+    up to the core count at ANY scale (the same expression the
+    pack-by-file stage uses), ships zero payload bytes through the
+    driver or any shuffle, and keeps read failures task-side — a
+    missing file still fails the batch exactly like a failed scan.
+    Bomb bounds are unchanged: ``warc_records`` applies its
+    per-file size check to these bytes as before."""
+    rows = [(int(e["file_id"]), e["path"]) for e in entries]
+    n_slots = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
+
+    def _read(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..sources.fsio import _s3
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for fid, p in zip(pdf["file_id"], pdf["path"]):
+                s3 = _s3(p)
+                if s3 is not None:
+                    client, bucket, key = s3
+                    body = client.get_object(Bucket=bucket, Key=key)[
+                        "Body"
+                    ].read()
+                else:
+                    # strip a file:/ | file:/// scheme; plain paths pass
+                    local = _re.sub(
+                        r"^file:/{0,2}(/)", r"\1", p
+                    )
+                    with open(local, "rb") as fh:
+                        body = fh.read()
+                ids.append(fid)
+                blobs.append(bytearray(body))
+            yield pd.DataFrame({"file_id": ids, "content": blobs})
+
+    return (
+        spark.createDataFrame(rows, "file_id long, path string")
+        .repartition(n_slots)
+        .mapInPandas(_read, "file_id long, content binary")
+    )
 
 
 def _own_canonicals(spark, out_dir: str, key: str):
@@ -624,20 +676,7 @@ def run_crawl_stream(
         # per micro-batch — this collect is a file list, never data
         entries = fresh.select("file_id", "path").collect()
         if entries:
-            scan = (
-                spark.read.format("binaryFile")
-                .load([e["path"] for e in entries])
-                .select(
-                    _norm_path(F.col("path")).alias("_p"), "content"
-                )
-            )
-            ids = spark.createDataFrame(
-                [(e["file_id"], e["path"]) for e in entries],
-                "file_id long, _mp string",
-            ).select("file_id", _norm_path(F.col("_mp")).alias("_p"))
-            files = scan.join(F.broadcast(ids), "_p").select(
-                "file_id", "content"
-            )
+            files = _read_manifest_files(spark, entries)
             docs, errors, recs = _extract_docs(files)
             # Overlap independent per-batch jobs (r14-opt, guide §2.6:
             # Spark happily runs several jobs at once inside one

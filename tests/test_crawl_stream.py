@@ -1392,3 +1392,34 @@ def test_read_seen_rejects_unknown_kind(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown seen kind"):
         read_seen(spark, str(tmp_path / "nowhere"), "redirects")
+
+
+def test_read_manifest_files_task_read_parity(spark, tmp_path):
+    """The task-side manifest read (r14-opt) returns exactly the
+    (file_id, content) rows the old binaryFile scan produced: one row
+    per manifest entry, bytes identical to the on-disk file, file: and
+    plain spellings both accepted, and parallelism = min(n_files,
+    defaultParallelism) partitions."""
+    from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+        _read_manifest_files,
+    )
+
+    blobs = {}
+    entries = []
+    for i in range(5):
+        p = tmp_path / f"f{i}.warc.gz"
+        blobs[i] = _warc(p, [(f"https://t.example/{i}", f"body {i}")])
+        entries.append({
+            "file_id": i,
+            # exercise both the plain and the file:-scheme spellings
+            "path": f"file://{p}" if i % 2 else str(p),
+        })
+    out = _read_manifest_files(spark, entries)
+    assert out.rdd.getNumPartitions() == min(
+        5, spark.sparkContext.defaultParallelism
+    )
+    got = {int(r["file_id"]): bytes(r["content"]) for r in out.collect()}
+    assert set(got) == set(range(5))
+    for i in range(5):
+        with open(tmp_path / f"f{i}.warc.gz", "rb") as fh:
+            assert got[i] == fh.read()
