@@ -19,6 +19,18 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+#: built URL-key Columns memoized per (fn, column-name[, params]) —
+#: r14-opt, guide §5 (the driver is a shared resource): one
+#: canonical_url/surt_key construction is ~30 py4j Column ops
+#: including two HOF lambdas, measured ~200 ms per call, and the
+#: frontier rebuilds it every stream micro-batch. Cached ONLY for
+#: plain column-NAME inputs — a name fully determines the unresolved
+#: tree, and Columns are immutable plan fragments reusable across any
+#: DataFrame carrying that name. Column-typed inputs (arbitrary
+#: expressions) are built fresh as before.
+_KEY_CACHE: dict = {}
+
+
 def basename(c: Column | str) -> Column:
     """Last path segment — os.path.basename for '/'-separated keys.
 
@@ -125,6 +137,12 @@ def canonical_url(c: Column | str) -> Column:
     Percent-encoding is left byte-exact (case-normalizing %XX without
     decoding reserved characters needs a table the oracle would have to
     mirror — out of scope, documented). NULL in → NULL out."""
+    if isinstance(c, str):
+        key = ("canonical_url", c)
+        cached = _KEY_CACHE.get(key)
+        if cached is None:
+            cached = _KEY_CACHE[key] = canonical_url(F.col(c))
+        return cached
     p = _url_parts(c)
     return F.when(
         p["scheme"] == "", p["u"]  # not an absolute URL: pass through
@@ -238,6 +256,12 @@ def surt_key(c: Column | str, strip_www: bool = True) -> Column:
     scheme is dropped (http and https collapse — the CDX convention;
     keep ``canonical_url`` when the distinction matters). Non-URLs
     pass through untouched like canonical_url; NULL in → NULL out."""
+    if isinstance(c, str):
+        key = ("surt_key", c, strip_www)
+        cached = _KEY_CACHE.get(key)
+        if cached is None:
+            cached = _KEY_CACHE[key] = surt_key(F.col(c), strip_www)
+        return cached
     p = _url_parts(c)
     host = p["host"]
     if strip_www:

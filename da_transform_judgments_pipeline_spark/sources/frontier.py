@@ -38,7 +38,9 @@ from ..functions.strings import canonical_url
 
 
 def _canon(df: DataFrame, url_col: str) -> DataFrame:
-    return df.withColumn("canonical", canonical_url(F.col(url_col)))
+    # string form → the memoized key Column (strings._KEY_CACHE): the
+    # stream rebuilds this per micro-batch, ~200 ms of py4j each
+    return df.withColumn("canonical", canonical_url(url_col))
 
 
 def build_url_index(

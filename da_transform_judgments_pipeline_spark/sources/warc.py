@@ -1247,7 +1247,7 @@ def write_cdx_surt(
     from ..functions.strings import surt_key
     from .sinks import write_sorted_parquet
 
-    keyed = cdx.withColumn("surt", surt_key(F.col("target_uri")))
+    keyed = cdx.withColumn("surt", surt_key("target_uri"))
     return write_sorted_parquet(
         keyed, path, ["surt", "file_id", "pos"],
         target_file_mb=target_file_mb, mode=mode,
