@@ -314,6 +314,18 @@ def hits(
     hubs = base.withColumn("hub", F.lit(1.0))
     auths = base.withColumn("authority", F.lit(1.0))
     prev_auths = prev_hubs = None
+    # r14-opt: with normalize=False and no tol (the integer path-count
+    # regime) the auth vector is referenced exactly ONCE per iteration
+    # (by the hub update) and once by the final join, so checkpointing
+    # it buys nothing — keep it LAZY and halve the per-iteration
+    # actions (2 → 1). Plan depth stays constant (each hub checkpoint
+    # nests one lazy auth hop), and the values are bit-identical:
+    # integer sums are summation-order independent, so the final
+    # join's re-evaluation of auth_n agrees with the hub chain's. The
+    # normalized/tol paths keep the eager checkpoint — their per-
+    # iteration scalar aggregates and float division orders must read
+    # one materialized vector.
+    lazy_auths = not normalize and tol is None
     try:
         for _ in range(n_iterations):
             a = (
@@ -324,7 +336,9 @@ def hits(
             auths = base.join(a, "node", "left").select(
                 "node",
                 F.coalesce("authority", F.lit(0.0)).alias("authority"),
-            ).localCheckpoint(eager=True)
+            )
+            if not lazy_auths:
+                auths = auths.localCheckpoint(eager=True)
             h = (
                 e.join(auths.withColumnRenamed("node", "dst"), "dst")
                 .groupBy(F.col("src").alias("node"))
