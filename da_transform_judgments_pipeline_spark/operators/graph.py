@@ -460,7 +460,14 @@ def bfs_depths(
             nxt = nxt.localCheckpoint(eager=True)
             if nxt.isEmpty():
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            # the visited set is a UNION of already-checkpointed hop
+            # leaves — re-materializing the whole accumulated set every
+            # hop (r13 shape) re-copied hop 1's rows max_hops times.
+            # Lazy union keeps the anti-join probe side a flat union of
+            # ≤max_hops leaf relations (bounded, never re-derived) and
+            # drops one full-set materialization per hop (r14-opt,
+            # guide §1.2: don't recompute what you already hold).
+            visited = visited.unionByName(nxt)
             frontier = nxt
     finally:
         e.unpersist()
