@@ -529,9 +529,10 @@ def resolve_redirects(
             )
             .localCheckpoint(eager=True)
         )
-    srcs = ptr.select(F.col("src").alias("_rsrc")).localCheckpoint(
-        eager=True
-    )
+    # a projection of the checkpointed ptr leaf — no separate
+    # materialization needed (r14-opt: this eager checkpoint re-copied
+    # the full pointer table once per call)
+    srcs = ptr.select(F.col("src").alias("_rsrc"))
     out = ptr.join(srcs, ptr["next"] == srcs["_rsrc"], "left").select(
         "src",
         (
