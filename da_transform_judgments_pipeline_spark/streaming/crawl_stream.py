@@ -10,8 +10,9 @@ no ``binaryFile`` readStream, so the stream is a WARC **manifest**: a
 drop-dir of JSON lines ``{"file_id": N, "path": "..."}`` naming each
 landed .warc.gz. Structured Streaming tracks manifest offsets (the
 cheap, checkpointable part); each micro-batch SIDE-LOADS the named
-files' bytes through an ordinary ``binaryFile`` batch read — bytes are
-never stream state.
+files' bytes task-side (one Arrow task per file up to the core count —
+:func:`_read_manifest_files`) — bytes are never stream state and never
+cross the driver or a shuffle.
 
 Exactly-once posture (the orchestrator's T10 machinery applied to
 files) — EVERY crash window replays to identical sink contents:
@@ -384,8 +385,38 @@ def _read_manifest_files(spark: SparkSession, entries) -> DataFrame:
     driver or any shuffle, and keeps read failures task-side — a
     missing file still fails the batch exactly like a failed scan.
     Bomb bounds are unchanged: ``warc_records`` applies its
-    per-file size check to these bytes as before."""
+    per-file size check to these bytes as before.
+
+    Paths on OTHER remote schemes (hdfs://, viewfs://, s3a://…) fall
+    back to the pre-r14 ``binaryFile`` scan + broadcast id join: the
+    Python workers have no JVM gateway, so only the Hadoop readers can
+    serve those — the fallback keeps every scheme Spark supports
+    readable at the cost of the scan's packing behavior."""
     rows = [(int(e["file_id"]), e["path"]) for e in entries]
+    import re as _re_s
+
+    def _task_readable(p: str) -> bool:
+        m = _re_s.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):", p)
+        return m is None or m.group(1) in ("file", "s3")
+
+    if not all(_task_readable(p) for _, p in rows):
+        scan = (
+            spark.read.format("binaryFile")
+            .load([p for _, p in rows])
+            .select(F.col("path").alias("_p"), "content")
+        )
+        ids = spark.createDataFrame(rows, "file_id long, _mp string")
+        norm = lambda c: F.regexp_replace(  # noqa: E731
+            c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/{0,2}(/)", "$1"
+        )
+        return (
+            scan.withColumn("_p", norm(F.col("_p")))
+            .join(
+                F.broadcast(ids.select("file_id", norm(F.col("_mp")).alias("_p"))),
+                "_p",
+            )
+            .select("file_id", "content")
+        )
     n_slots = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
 
     def _read(batches):
