@@ -308,7 +308,9 @@ def robots_filter(
         )
     )
     allowed = F.when(best.isNull(), F.lit(True)).otherwise(best["allow"])
-    return joined.withColumn("allowed", allowed).drop("_host", "rules")
+    # one projection folds the verdict and the _host/rules drop (r14-opt
+    # §1: withColumn + drop would re-analyze the tree twice more)
+    return joined.select(*urls.columns, allowed.alias("allowed"))
 
 
 def fetch_schedule(

@@ -120,9 +120,15 @@ def decode_payloads(
     cached = _PLAN_CACHE.get(ckey)
     if cached is not None:
         charset, body, text = cached
-        out = df.withColumn(charset_col, charset)
-        out = out.withColumn("_cs_body", body)
-        return out.withColumn(text_col, text).drop("_cs_body")
+        # two analysis passes, not four: charset/_cs_body are
+        # independent (one withColumns), and the text projection
+        # folds the _cs_body drop into its own select (r14-opt §1:
+        # every withColumn/drop re-analyzes the whole accumulated
+        # tree eagerly — a measurable per-micro-batch driver constant
+        # on the crawl chain)
+        out = df.withColumns({charset_col: charset, "_cs_body": body})
+        keep = [c for c in out.columns if c != "_cs_body"]
+        return out.select(*keep, text.alias(text_col))
     p = F.col(payload_col)
     bom16le = F.substring(p, 1, 2) == F.lit(b"\xff\xfe")
     bom16be = F.substring(p, 1, 2) == F.lit(b"\xfe\xff")
@@ -170,13 +176,12 @@ def decode_payloads(
         .when(bom16be, F.lit("utf-16be"))
         .otherwise(canon)
     )
-    out = df.withColumn(charset_col, charset)
     body = (
         F.when(bom8, F.substring(p, 4, F.length(p)))
         .when(bom16le | bom16be, F.substring(p, 3, F.length(p)))
         .otherwise(p)
     )
-    out = out.withColumn("_cs_body", body)
+    out = df.withColumns({charset_col: charset, "_cs_body": body})
     b = F.col("_cs_body")
     cs = F.col(charset_col)
     latin = F.decode(b, "ISO-8859-1")
@@ -230,7 +235,8 @@ def decode_payloads(
         .otherwise(b.cast("string"))
     )
     _PLAN_CACHE[ckey] = (charset, body, text)
-    return out.withColumn(text_col, text).drop("_cs_body")
+    keep = [c for c in out.columns if c != "_cs_body"]
+    return out.select(*keep, text.alias(text_col))
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -319,10 +325,12 @@ def language_id(
         )]
         if ckey is not None:
             _PLAN_CACHE[ckey] = steps
-    out = df
-    for name, expr in steps:
-        out = out.withColumn(name, expr)
-    return out
+    # two analysis passes, not len(profiles)+1: the per-language hit
+    # columns are mutually independent (one withColumns), only the
+    # argmax references them (r14-opt §1 — eager per-withColumn
+    # re-analysis is a driver constant per micro-batch)
+    out = df.withColumns(dict(steps[:-1]))
+    return out.withColumns(dict(steps[-1:]))
 
 
 def _argmax_lang(langs: list[str]) -> Column:
@@ -1400,16 +1408,9 @@ def quality_filter(
     )
     cached = _PLAN_CACHE.get(ckey)
     if cached is not None:
-        out = df
-        for name, expr in cached[0]:
-            out = out.withColumn(name, expr)
-        out = out.drop("_toks")
-        for name, expr in cached[1]:
-            out = out.withColumn(name, expr)
-        return out
+        return _quality_apply(df, *cached)
     c = F.col(text_col)
     toks = tokens(c)
-    out = df.withColumn("_toks", toks)
     tk = F.col("_toks")
     n_tokens = F.size(tk)
     safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
@@ -1426,15 +1427,6 @@ def quality_filter(
         F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
     ) / 3
     symbol_ratio = F.round((n_hash + n_ellipsis) / safe_tokens, 4)
-
-    out = (
-        out.withColumn("n_tokens", n_tokens)
-        .withColumn("mean_token_len", mean_token_len)
-        .withColumn("alpha_ratio", alpha_ratio)
-        .withColumn("stop_hits", stop_hits)
-        .withColumn("symbol_ratio", symbol_ratio)
-        .drop("_toks")
-    )
     fail = (
         F.when(F.col("n_tokens") < min_tokens, "too_short")
         .when(F.col("n_tokens") > max_tokens, "too_long")
@@ -1445,16 +1437,33 @@ def quality_filter(
         .when(F.col("symbol_ratio") > max_symbol_ratio, "symbol_heavy")
     )
     keep = F.when(fail.isNull(), 1).otherwise(0)
-    _PLAN_CACHE[ckey] = (
+    cached = (
+        toks,
         [
-            ("_toks", toks), ("n_tokens", n_tokens),
+            ("n_tokens", n_tokens),
             ("mean_token_len", mean_token_len),
             ("alpha_ratio", alpha_ratio), ("stop_hits", stop_hits),
             ("symbol_ratio", symbol_ratio),
         ],
         [("fail_reason", fail), ("keep", keep)],
     )
-    return out.withColumn("fail_reason", fail).withColumn("keep", keep)
+    _PLAN_CACHE[ckey] = cached
+    return _quality_apply(df, *cached)
+
+
+def _quality_apply(df, toks, signals, verdicts) -> DataFrame:
+    """Apply quality_filter's cached expression levels in THREE
+    analysis passes instead of nine (r14-opt §1: withColumn/drop each
+    re-analyze the whole accumulated tree eagerly): stage ``_toks``,
+    project all signals while folding the ``_toks`` drop into the same
+    select, then add the verdict columns (which reference the signal
+    COLUMNS) in one withColumns."""
+    out = df.withColumn("_toks", toks)
+    keep_cols = [c for c in out.columns if c != "_toks"]
+    out = out.select(
+        *keep_cols, *[expr.alias(name) for name, expr in signals]
+    )
+    return out.withColumns(dict(verdicts))
 
 
 #: Characters whose UTF-8 bytes, mis-read as Windows-1252 and
@@ -1521,10 +1530,10 @@ def fix_mojibake(
             ("had_mojibake", F.col(out_col) != src),
         ]
         _PLAN_CACHE[ckey] = steps
-    out = df
-    for name, expr in steps:
-        out = out.withColumn(name, expr)
-    return out
+    # two analysis passes, not three: chars_recovered/had_mojibake both
+    # reference only out_col (r14-opt §1)
+    out = df.withColumn(steps[0][0], steps[0][1])
+    return out.withColumns(dict(steps[1:]))
 
 
 # map-side PII patterns: kept to syntax valid in BOTH Java regex (Spark)
