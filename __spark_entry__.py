@@ -6783,15 +6783,25 @@ def q_s29_crawl_priority_stream(spark, sf_dir):
             table, buckets=4, path=f"{tmp}/fidx",
         )
         _t1 = _time.perf_counter()
+        # r14-opt (guide §4): both control-plane frames are pure-JVM
+        # relations — a createDataFrame list leaf is a pickled Python
+        # RDD over defaultParallelism slices, costing ~32 Python worker
+        # tasks on EVERY action that scans it (the empty rank frame is
+        # re-scanned per micro-batch, the reset seed twice per pagerank
+        # call). Same values, same dtypes, bit-identical math.
+        empty_ranks = spark.range(0).select(
+            F.lit(None).cast("string").alias("node"),
+            F.lit(None).cast("double").alias("rank"),
+        )
         q = run_crawl_stream(
             spark, f"{tmp}/manifests", table, f"{tmp}/out",
             max_files_per_trigger=100000,
-            ranks=spark.createDataFrame([], "node string, rank double"),
+            ranks=empty_ranks,
         )
         q.awaitTermination(300)
-        reset = spark.createDataFrame(
-            [(f"https://s29.example/p/{ids[0]}", 1.0)],
-            "node string, weight double",
+        reset = spark.sql(
+            "SELECT :u AS node, CAST(1.0 AS DOUBLE) AS weight",
+            args={"u": f"https://s29.example/p/{ids[0]}"},
         )
         r3 = crawl_wave_ranks(
             spark, f"{tmp}/out", damping=0.5, n_iterations=3, tol=None,

@@ -200,11 +200,13 @@ def _extract_docs(
     # expression tree in the projection, a measurable slice of the
     # per-batch Catalyst analysis constant.
     responses = responses.withColumn("_meta", xp["meta"])
+    # the cp1252 mojibake repair (x34 semantics, fix_mojibake's exact
+    # replace chain) is INLINED into the projection (r14-opt §1): the
+    # stream only keeps the repaired text, so staging `_raw` and then
+    # dropping it plus the two audit columns cost three more full-tree
+    # analyses per micro-batch for nothing — `_raw` is referenced
+    # exactly once, so inlining duplicates no subtree
     extracted = responses.select(*xp["select_cols"])
-    extracted = (
-        text.fix_mojibake(extracted, text_col="_raw", out_col="text")
-        .drop("_raw", "chars_recovered", "had_mojibake")
-    )
     # language-ID and the Gopher quality rules are ROW-WISE transforms
     # (withColumn chains over the same frame), so they compose
     # linearly (r14): the old extracted⋈langed⋈quality self-joins
@@ -223,17 +225,33 @@ def _extract_docs(
     )
     docs = (
         enriched
-        .withColumn("fp", xp["fp"])
-        .withColumn("canonical", xp["canonical"])
         # rel=canonical honored SAME-HOST only (r13): a print/tracking
         # variant declaring its canonical collapses BEFORE content
         # fingerprints; a cross-host declaration is the classic
         # canonical-hijack spam vector and is ignored (the page stays
-        # an ordinary corpus candidate)
-        .withColumn("_canon_target", xp["canon_target"])
-        .withColumn("_canon_dup", xp["canon_dup"])
+        # an ordinary corpus candidate). Two withColumns levels, not
+        # four withColumn analyses (r14-opt §1): fp/canonical/
+        # _canon_target are mutually independent; only _canon_dup
+        # references them as columns.
+        .withColumns({
+            "fp": xp["fp"],
+            "canonical": xp["canonical"],
+            "_canon_target": xp["canon_target"],
+        })
+        .withColumns({"_canon_dup": xp["canon_dup"]})
     )
     return docs, errors, recs
+
+
+def _mojibake_fixed(col):
+    """fix_mojibake's exact replace chain (same pinned digraph table,
+    longest forms first) as a bare Column over ``col`` — the
+    expression form, for inlining the repair into the extraction
+    projection (the audit columns are not kept in the stream)."""
+    fixed = col
+    for m, c in text.mojibake_table():
+        fixed = F.replace(fixed, F.lit(m), F.lit(c))
+    return fixed
 
 
 #: built-once Column fragments of :func:`_extract_docs` (r14-opt): the
@@ -335,7 +353,7 @@ def _extract_exprs() -> dict:
                 lambda u: u.isNotNull(),
             )
         ).alias("links"),
-        text.html_text(F.col("_page")).alias("_raw"),
+        _mojibake_fixed(text.html_text(F.col("_page"))).alias("text"),
     ]
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     canonical = canonical_url(F.col("target_uri"))
@@ -363,6 +381,32 @@ def _extract_exprs() -> dict:
         "links_dst": canonical_url(F.col("_u")),
     })
     return _EXTRACT_EXPRS
+
+
+def _manifest_df(spark: SparkSession, rows) -> DataFrame:
+    """``(file_id, path)`` rows as a pure-JVM local relation.
+
+    r14-opt (guide §4 — eliminate the Python boundary): a
+    ``spark.createDataFrame(rows, ...)`` leaf is a pickled Python RDD
+    sliced over ``defaultParallelism`` partitions, so EVERY job that
+    scans it launches that many Python worker tasks — measured
+    0.4–0.6 s per action at local[32] for a ONE-ROW manifest (and the
+    manifest subtree executes 2–3× per micro-batch: parse-cache fill,
+    the opt-in CDX pass, the path map). A parameterized explode binds
+    the same rows as array literals and stays entirely in the JVM —
+    zero Python tasks, one partition."""
+    if not rows:
+        return spark.createDataFrame([], "file_id long, path string")
+    return spark.sql(
+        "SELECT CAST(element_at(:ids, i + 1) AS BIGINT) AS file_id, "
+        "element_at(:paths, i + 1) AS path "
+        "FROM (SELECT explode(sequence(0, :n - 1)) AS i)",
+        args={
+            "ids": [int(fid) for fid, _ in rows],
+            "paths": [p for _, p in rows],
+            "n": len(rows),
+        },
+    )
 
 
 def _read_manifest_files(spark: SparkSession, entries) -> DataFrame:
@@ -405,7 +449,7 @@ def _read_manifest_files(spark: SparkSession, entries) -> DataFrame:
             .load([p for _, p in rows])
             .select(F.col("path").alias("_p"), "content")
         )
-        ids = spark.createDataFrame(rows, "file_id long, _mp string")
+        ids = _manifest_df(spark, rows).withColumnRenamed("path", "_mp")
         norm = lambda c: F.regexp_replace(  # noqa: E731
             c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/{0,2}(/)", "$1"
         )
@@ -447,7 +491,7 @@ def _read_manifest_files(spark: SparkSession, entries) -> DataFrame:
             yield pd.DataFrame({"file_id": ids, "content": blobs})
 
     return (
-        spark.createDataFrame(rows, "file_id long, path string")
+        _manifest_df(spark, rows)
         .repartition(n_slots)
         .mapInPandas(_read, "file_id long, content binary")
     )
@@ -734,10 +778,9 @@ def run_crawl_stream(
                 # every other output.
                 from ..sources.warc import warc_cdx
 
-                paths = spark.createDataFrame(
-                    [(e["file_id"], e["path"]) for e in entries],
-                    "file_id long, warc_path string",
-                )
+                paths = _manifest_df(
+                    spark, [(e["file_id"], e["path"]) for e in entries]
+                ).withColumnRenamed("path", "warc_path")
                 cdx = warc_cdx(files).join(
                     F.broadcast(paths), "file_id"
                 )
@@ -829,8 +872,7 @@ def run_crawl_stream(
                 # ~8 jobs). The index is scanned once here plus once
                 # for the discovery queue's own decision.
                 marked = (
-                    docs.withColumn("_first", first)
-                    .withColumn("_redir", is_redir)
+                    docs.withColumns({"_first": first, "_redir": is_redir})
                     .join(
                         index.select(
                             "canonical", F.lit(True).alias("_seen")
