@@ -40,6 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from da_transform_judgments_pipeline_spark.functions import (  # noqa: E402
     strings,
 )
+from da_transform_judgments_pipeline_spark.session import (  # noqa: E402
+    local_df,
+)
 from da_transform_judgments_pipeline_spark.operators import (  # noqa: E402
     clustering,
     dedup,
@@ -164,8 +167,8 @@ def q_s02_existence_probe(spark, sf_dir):
     against the catalog with a startswith predicate; tiny probe side stays
     broadcast (nested-loop on the broadcast side, scan-once on the big side)."""
     docs = _T(spark, sf_dir, "documents")
-    probes = spark.createDataFrame(
-        [("src1",), ("src3",), ("no-such-prefix",)], ["probe"]
+    probes = local_df(
+        spark, [("src1",), ("src3",), ("no-such-prefix",)], "probe string"
     )
     sources = docs.select("source").distinct()
     return (
@@ -6442,8 +6445,8 @@ def q_s24_crawl_stream_intake(spark, sf_dir):
             wave2.append(wave1[0])
 
         frontier.build_url_index(
-            spark.createDataFrame(
-                [("https://crawl.example/seed",)], "url string"
+            local_df(
+                spark, [("https://crawl.example/seed",)], "url string"
             ),
             table, buckets=4, path=f"{tmp}/fidx",
         )
@@ -6574,14 +6577,14 @@ def q_s26_crawl_schedule_stream(spark, sf_dir):
         with open(f"{tmp}/manifests/wave.jsonl", "w") as f:
             f.write("\n".join(json.dumps(x) for x in manifest) + "\n")
         rules = robots_rules(
-            spark.createDataFrame(
-                robots_src, "host string, content string"
+            local_df(
+                spark, robots_src, "host string, content string"
             ),
             agent="graftbot",
         ).localCheckpoint(eager=True)
         frontier.build_url_index(
-            spark.createDataFrame(
-                [("https://seed.example/",)], "url string"
+            local_df(
+                spark, [("https://seed.example/",)], "url string"
             ),
             table, buckets=4, path=f"{tmp}/fidx",
         )
@@ -6673,8 +6676,8 @@ def q_s27_crawl_link_graph(spark, sf_dir):
                 {"file_id": 1, "path": f"{tmp}/warcs/pages.warc.gz"}
             ) + "\n")
         frontier.build_url_index(
-            spark.createDataFrame(
-                [("https://seed.example/",)], "url string"
+            local_df(
+                spark, [("https://seed.example/",)], "url string"
             ),
             table, buckets=4, path=f"{tmp}/fidx",
         )
@@ -6777,8 +6780,8 @@ def q_s29_crawl_priority_stream(spark, sf_dir):
                 {"file_id": 1, "path": f"{tmp}/warcs/w1.warc.gz"}
             ) + "\n")
         frontier.build_url_index(
-            spark.createDataFrame(
-                [("https://seed.example/",)], "url string"
+            local_df(
+                spark, [("https://seed.example/",)], "url string"
             ),
             table, buckets=4, path=f"{tmp}/fidx",
         )
@@ -6950,11 +6953,11 @@ def q_x21_bpe_train(spark, sf_dir):
         return spark.createDataFrame(
             [], "rank long, left string, right string, pair_count long"
         )
-    return spark.createDataFrame(merges).select(
-        F.col("rank").cast("long"),
-        "left",
-        "right",
-        F.col("pair_count").cast("long"),
+    return local_df(
+        spark,
+        [(m["rank"], m["left"], m["right"], m["pair_count"])
+         for m in merges],
+        "rank long, left string, right string, pair_count long",
     ).orderBy("rank")
 
 
@@ -7003,7 +7006,8 @@ def q_b02_batch_dri_metadata(spark, sf_dir):
                 dc["IDENTIFIER_PREFIX"],
             )
         )
-    config = spark.createDataFrame(
+    config = local_df(
+        spark,
         cfg_rows,
         "consignment string, reference string, export_datetime string,"
         " identifier_prefix string",

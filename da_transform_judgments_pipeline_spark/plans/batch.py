@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.validation import STATUS_OK
+from ..session import local_df
 from ..sources.archive import untar
 from ..sources.catalog import read_file_catalog
 from ..sources.manifest import manifest_from_lines
@@ -329,7 +330,7 @@ def validate_bagit_files_batch(
         (p["archive_path"], p["unpacked_root"], p["out_prefix"])
         for p in plans
     ]
-    plan_df = spark.createDataFrame(
+    plan_df = local_df(spark, 
         plan_rows, "archive_path string, unpacked_root string, out_prefix string"
     )
     # persisted ONCE: three downstream actions (member write, validation
@@ -589,7 +590,7 @@ def validate_bagit_batch(
             ("sha_url", "sha_name"),
         )
     ]
-    copy_df = spark.createDataFrame(copy_rows, "src string, dest string")
+    copy_df = local_df(spark, copy_rows, "src string, dest string")
     copy_results = {
         r["dest"]: r for r in copy_objects_streamed(copy_df).collect()
     }
@@ -848,7 +849,7 @@ def bagit_to_dri_sip_batch(
             f"file-metadata.csv missing required columns: {missing}"
         )
 
-    config_df = spark.createDataFrame(
+    config_df = local_df(spark, 
         [
             (
                 p["root"],
@@ -873,7 +874,7 @@ def bagit_to_dri_sip_batch(
     )
 
     # 4) SIP metadata files: CSVs + sidecars + schema files → one write
-    name_dim = spark.createDataFrame(
+    name_dim = local_df(spark, 
         [
             (
                 p["root"],
@@ -925,13 +926,13 @@ def bagit_to_dri_sip_batch(
         _sip_files(md_csv, "md_key", "md_side", "md_name")
         .unionByName(_sip_files(cl_csv, "cl_key", "cl_side", "cl_name"))
         .unionByName(
-            spark.createDataFrame(schema_rows, "name string, content binary")
+            local_df(spark, schema_rows, "name string, content binary")
         )
     )
     _write_members(sip_meta, store)
 
     # 5) one pack job for every SIP, then one archive+sidecar write
-    pack_dim = spark.createDataFrame(
+    pack_dim = local_df(spark, 
         [
             (
                 p["root"],
@@ -992,7 +993,7 @@ def bagit_to_dri_sip_batch(
     zip_to_root = {p["dc"]["BATCH"] + ".tar.gz": p["root"] for p in live}
     if len(zip_to_root) != len(live):
         raise ValueError("duplicate SIP batch names in one batch")
-    zip_dim = spark.createDataFrame(
+    zip_dim = local_df(spark, 
         [(z, r) for z, r in zip_to_root.items()], "archive string, root string"
     )
     to_out = packed.join(F.broadcast(zip_dim), "archive").select(
@@ -1122,7 +1123,7 @@ def orchestrated_batch_stage(
             )
             for e in out
         ]
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "value string, event_name string, reference string"
         )
 

@@ -63,6 +63,40 @@ def get_spark(
     return spark
 
 
+def local_df(spark: SparkSession, rows, ddl: str):
+    """Small CONTROL-PLANE row lists as a pure-JVM local relation.
+
+    ``spark.createDataFrame(list, ...)`` builds a pickled Python RDD
+    sliced over ``defaultParallelism`` partitions, so every job that
+    scans the frame launches that many Python worker tasks — measured
+    0.34–0.6 s per action at local[32] for a ONE-ROW frame (r14-opt,
+    guide §4: eliminate the Python boundary). This binds the same rows
+    as JVM array literals over a ``range(n)`` leaf instead: zero Python
+    tasks, values and dtypes identical to the createDataFrame twin
+    (each column is cast to its declared DDL type).
+
+    For control-plane sizes only (manifests, config dims, seed lists —
+    the rows live in one driver list either way); the array literals
+    ride the plan, so do not feed it data-plane row counts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(ddl)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    rows = [
+        tuple(bytes(v) if isinstance(v, bytearray) else v for v in r)
+        for r in rows
+    ]
+    idx = (F.col("id") + 1).cast("int")
+    return spark.range(len(rows)).select(*[
+        F.element_at(
+            F.lit([r[i] for r in rows]), idx
+        ).cast(f.dataType).alias(f.name)
+        for i, f in enumerate(schema.fields)
+    ])
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver testdata parquet tables as temp views; return dict.
 
