@@ -127,7 +127,7 @@ def decode_payloads(
         # tree eagerly — a measurable per-micro-batch driver constant
         # on the crawl chain)
         out = df.withColumns({charset_col: charset, "_cs_body": body})
-        keep = [c for c in out.columns if c != "_cs_body"]
+        keep = [c for c in out.columns if c not in ("_cs_body", text_col)]
         return out.select(*keep, text.alias(text_col))
     p = F.col(payload_col)
     bom16le = F.substring(p, 1, 2) == F.lit(b"\xff\xfe")
@@ -235,7 +235,7 @@ def decode_payloads(
         .otherwise(b.cast("string"))
     )
     _PLAN_CACHE[ckey] = (charset, body, text)
-    keep = [c for c in out.columns if c != "_cs_body"]
+    keep = [c for c in out.columns if c not in ("_cs_body", text_col)]
     return out.select(*keep, text.alias(text_col))
 
 
