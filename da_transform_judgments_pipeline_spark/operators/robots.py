@@ -310,7 +310,10 @@ def robots_filter(
     allowed = F.when(best.isNull(), F.lit(True)).otherwise(best["allow"])
     # one projection folds the verdict and the _host/rules drop (r14-opt
     # §1: withColumn + drop would re-analyze the tree twice more)
-    return joined.select(*urls.columns, allowed.alias("allowed"))
+    return joined.select(
+        *[c for c in urls.columns if c != "allowed"],
+        allowed.alias("allowed"),
+    )
 
 
 def fetch_schedule(

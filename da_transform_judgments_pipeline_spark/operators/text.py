@@ -1459,7 +1459,10 @@ def _quality_apply(df, toks, signals, verdicts) -> DataFrame:
     select, then add the verdict columns (which reference the signal
     COLUMNS) in one withColumns."""
     out = df.withColumn("_toks", toks)
-    keep_cols = [c for c in out.columns if c != "_toks"]
+    new_names = {name for name, _ in signals}
+    keep_cols = [
+        c for c in out.columns if c != "_toks" and c not in new_names
+    ]
     out = out.select(
         *keep_cols, *[expr.alias(name) for name, expr in signals]
     )
