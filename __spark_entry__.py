@@ -5784,7 +5784,10 @@ def q_g01_pagerank(spark, sf_dir):
         nodes.select(n.alias("src"), ((n * 2 + 1) % 256).alias("dst"))
     )
     return (
-        graph.pagerank(nodes, edges, n_iterations=5, damping=0.5)
+        graph.pagerank(
+            nodes, edges, n_iterations=5, damping=0.5,
+            nodes_distinct=True,  # doc_id is unique (r14-opt)
+        )
         .orderBy("node")
     )
 
@@ -5926,7 +5929,8 @@ def q_g03_personalized_pagerank(spark, sf_dir):
     )
     return (
         graph.pagerank(
-            nodes, edges, n_iterations=4, damping=0.5, reset=reset
+            nodes, edges, n_iterations=4, damping=0.5, reset=reset,
+            nodes_distinct=True,  # doc_id is unique (r14-opt)
         )
         .orderBy("node")
     )
@@ -5963,6 +5967,7 @@ def q_g04_weighted_pagerank(spark, sf_dir):
         graph.pagerank(
             nodes, weighted, n_iterations=4, damping=0.5,
             weight_col="weight",
+            nodes_distinct=True,  # doc_id is unique (r14-opt)
         )
         .orderBy("node")
     )

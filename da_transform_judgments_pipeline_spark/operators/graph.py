@@ -52,6 +52,7 @@ def pagerank(
     weight_col: str | None = None,
     initial_ranks: DataFrame | None = None,
     stats: dict | None = None,
+    nodes_distinct: bool = False,
 ) -> DataFrame:
     """PageRank over (nodes, edges): rank_0 = r; per iteration
     rank'(v) = (1-d)·r(v) + d·(Σ_{u→v} rank(u)/out_deg(u) +
@@ -90,6 +91,11 @@ def pagerank(
     ``stats``: optional dict, filled on return with ``iterations``
     (executed count) and ``l1_delta`` (last measured delta, None when
     ``tol`` is off) — the warm-start savings are measurable.
+
+    ``nodes_distinct``: the caller's claim that ``nodes`` has no
+    duplicate rows, which skips the defensive de-dup (one Exchange per
+    call). The ranked set is identical either way; duplicates with the
+    flag wrongly set would double base rows through the seed join.
 
     ``weight_col``: optional WEIGHTED edges — each out-edge carries
     rank ∝ its weight share of the source's total outgoing weight
@@ -154,7 +160,12 @@ def pagerank(
         ),
         "_src",
     ).persist()  # scanned every iteration: pay the join once
-    base = raw.distinct()
+    # nodes_distinct=True is the caller's claim that the node frame
+    # carries no duplicate rows (crawl_wave_ranks passes .distinct()
+    # outputs; the registry fixtures key on unique doc_ids), dropping
+    # the defensive distinct — one Exchange + one shuffle stage per
+    # call on a set that is identical either way (r14-opt, guide §2.1)
+    base = raw if nodes_distinct else raw.distinct()
     if reset is not None:
         # sum per node first: duplicate seed rows must add weight, not
         # multiply base rows through the left join

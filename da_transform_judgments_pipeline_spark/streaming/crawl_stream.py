@@ -617,7 +617,7 @@ def crawl_wave_ranks(
     return pagerank(
         nodes, w, n_iterations=n_iterations, damping=damping, tol=tol,
         reset=reset, weight_col="weight", initial_ranks=prev_ranks,
-        stats=stats,
+        stats=stats, nodes_distinct=True,
     )
 
 
