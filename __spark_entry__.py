@@ -6744,6 +6744,7 @@ def q_s29_crawl_priority_stream(spark, sf_dir):
         build_warc_gz,
     )
     from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+        crawl_wave_graph,
         crawl_wave_ranks,
         run_crawl_stream,
     )
@@ -6811,14 +6812,23 @@ def q_s29_crawl_priority_stream(spark, sf_dir):
             "SELECT :u AS node, CAST(1.0 AS DOUBLE) AS weight",
             args={"u": f"https://s29.example/p/{ids[0]}"},
         )
-        r3 = crawl_wave_ranks(
-            spark, f"{tmp}/out", damping=0.5, n_iterations=3, tol=None,
-            reset=reset,
-        ).localCheckpoint(eager=True)
-        r6 = crawl_wave_ranks(
-            spark, f"{tmp}/out", prev_ranks=r3, damping=0.5,
-            n_iterations=3, tol=None, reset=reset,
-        ).localCheckpoint(eager=True)
+        # r14-opt (guide §1.3): both rank legs run on the SAME wave-1
+        # link graph — build the weighted-edge collapse, node union
+        # and seeded base ONCE and share the persisted setup; the
+        # legs' arithmetic (and the dyadic 3+3 ≡ 6-cold identity) is
+        # unchanged.
+        wg = crawl_wave_graph(spark, f"{tmp}/out", reset=reset)
+        try:
+            r3 = crawl_wave_ranks(
+                spark, f"{tmp}/out", damping=0.5, n_iterations=3,
+                tol=None, graph=wg,
+            ).localCheckpoint(eager=True)
+            r6 = crawl_wave_ranks(
+                spark, f"{tmp}/out", prev_ranks=r3, damping=0.5,
+                n_iterations=3, tol=None, graph=wg,
+            ).localCheckpoint(eager=True)
+        finally:
+            wg.release()
         wave2 = []
         for d in ids:
             html = (

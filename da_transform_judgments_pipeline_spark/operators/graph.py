@@ -39,9 +39,128 @@ def weight_edges(edges: DataFrame, src_col: str = "src",
     )
 
 
-def pagerank(
+class PagerankGraph:
+    """Precomputed, persisted :func:`pagerank` setup — the node base
+    (seeded with the reset distribution and the has-out-edges flag)
+    and the degree-annotated edge fan. Build it once via
+    :func:`pagerank_graph` and pass it to several ``pagerank(...,
+    graph=...)`` calls that differ only in ``initial_ranks`` /
+    ``damping`` / iteration budget (the crawl loop's chained
+    warm-start shape ranks the SAME accreted graph twice per wave —
+    rebuilding the weighted-edge collapse, node union and seeded base
+    per call is pure duplicate work, r14-opt guide §1.3). The frames
+    are persisted; call :meth:`release` after the last consuming call
+    has materialized its result."""
+
+    __slots__ = ("raw", "n", "fan", "base", "_extra")
+
+    def __init__(self, raw, n, fan, base, extra=()):
+        self.raw = raw
+        self.n = n
+        self.fan = fan
+        self.base = base
+        self._extra = list(extra)
+
+    def adopt(self, df: DataFrame) -> None:
+        """Tie another persisted frame's lifetime to this setup —
+        :meth:`release` will unpersist it too (crawl_wave_graph pins
+        the weighted-edge frame the setup's subtrees scan)."""
+        self._extra.append(df)
+
+    def release(self) -> None:
+        """Unpersist every frame this setup pinned (idempotent)."""
+        for df in (self.fan, self.base, self.raw, *self._extra):
+            if df is not None:
+                df.unpersist()
+
+
+def pagerank_graph(
     nodes: DataFrame,
     edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    reset: DataFrame | None = None,
+    weight_col: str | None = None,
+    nodes_distinct: bool = False,
+) -> PagerankGraph:
+    """Build :class:`PagerankGraph` for :func:`pagerank` ``graph=`` —
+    parameters exactly as there. The arithmetic is identical to the
+    inline setup (this IS the former setup, extracted), so sharing a
+    graph across calls is bit-exact versus rebuilding it per call."""
+    # ONE pass over the caller's node derivation (r14-opt, guide §1.3
+    # duplicate work / §5 driver): ``nodes.count()`` used to execute
+    # the node subtree once for the scalar and the persisted ``base``
+    # re-executed it at first materialization — for crawl_wave_ranks
+    # that subtree is a parquet read + weight agg + union + distinct.
+    # Persisting the raw projection first makes the count materialize
+    # the cache; everything below (distinct, seed/flag joins) scans
+    # memory. ``n`` still counts RAW input rows (duplicates included),
+    # bit-identical to the former ``nodes.count()``.
+    raw = nodes.select(F.col(node_col).alias("node")).persist()
+    n = raw.count()
+    if n == 0:
+        return PagerankGraph(raw, 0, None, None)
+    if weight_col is not None:
+        deg = edges.groupBy(src_col).agg(
+            F.sum(weight_col).alias("out_deg")
+        )
+        fan_src = edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"),
+            F.col(weight_col).alias("_w"),
+        )
+    else:
+        deg = out_degrees(edges, src_col)
+        fan_src = edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"),
+            F.lit(1.0).alias("_w"),
+        )
+    fan = fan_src.join(
+        deg.select(
+            F.col(src_col).alias("_src"), "out_deg"
+        ),
+        "_src",
+    ).persist()  # scanned every iteration: pay the join once
+    # nodes_distinct=True is the caller's claim that the node frame
+    # carries no duplicate rows (crawl_wave_ranks passes .distinct()
+    # outputs; the registry fixtures key on unique doc_ids), dropping
+    # the defensive distinct — one Exchange + one shuffle stage per
+    # call on a set that is identical either way (r14-opt, guide §2.1)
+    base = raw if nodes_distinct else raw.distinct()
+    if reset is not None:
+        # sum per node first: duplicate seed rows must add weight, not
+        # multiply base rows through the left join
+        seeds = reset.groupBy("node").agg(F.sum("weight").alias("_w"))
+        total = seeds.agg(F.sum("_w")).collect()[0][0]
+        if not total or total <= 0:
+            raise ValueError("reset weights must sum to a positive value")
+        base = base.join(
+            seeds.select("node", (F.col("_w") / total).alias("_r0")),
+            "node", "left",
+        ).select("node", F.coalesce("_r0", F.lit(0.0)).alias("_r0"))
+    else:
+        base = base.withColumn("_r0", F.lit(1.0 / n))
+    # fold the has-out-edges flag INTO the node frame once (r14-opt):
+    # the per-iteration dangling mass used to be an anti-join of the
+    # full rank vector against the out-degree set — a join per
+    # iteration at any scale. With ``_ho`` riding the rank rows the
+    # dangling mass is a filter+agg over the just-checkpointed leaf;
+    # the summed set is identical, so dyadic oracles are bit-exact.
+    base = base.join(
+        deg.select(
+            F.col(src_col).alias("node"), F.lit(True).alias("_ho")
+        ),
+        "node", "left",
+    ).select(
+        "node", "_r0", F.coalesce("_ho", F.lit(False)).alias("_ho")
+    )
+    base = base.persist()
+    return PagerankGraph(raw, n, fan, base)
+
+
+def pagerank(
+    nodes: DataFrame | None = None,
+    edges: DataFrame | None = None,
     n_iterations: int = 10,
     damping: float = 0.85,
     node_col: str = "node",
@@ -53,6 +172,7 @@ def pagerank(
     initial_ranks: DataFrame | None = None,
     stats: dict | None = None,
     nodes_distinct: bool = False,
+    graph: PagerankGraph | None = None,
 ) -> DataFrame:
     """PageRank over (nodes, edges): rank_0 = r; per iteration
     rank'(v) = (1-d)·r(v) + d·(Σ_{u→v} rank(u)/out_deg(u) +
@@ -111,6 +231,14 @@ def pagerank(
     way (g03 the personalized form, power-of-two reset weights), while
     production keeps the usual 0.85.
 
+    ``graph``: optional precomputed setup from :func:`pagerank_graph`
+    (r14-opt, guide §1.3) — skips the node count, edge-fan build and
+    seed normalization entirely, so chained calls over the same graph
+    (warm-start waves) pay the setup once. ``nodes``/``edges``/
+    ``reset`` must be omitted with it (they are encoded in the graph,
+    as are ``weight_col``/``nodes_distinct``); the caller owns the
+    graph's :meth:`PagerankGraph.release`.
+
     Each iteration: one broadcast-free join of ranks onto the
     PERSISTED degree-annotated edge list (built once — both sides
     hash-partition on ``src``), a map-side division, a partial-agg sum
@@ -120,80 +248,28 @@ def pagerank(
     second job per iteration), so each iteration without ``tol`` is
     exactly ONE Spark action. ``localCheckpoint`` keeps lineage
     constant across iterations."""
-    # ONE pass over the caller's node derivation (r14-opt, guide §1.3
-    # duplicate work / §5 driver): ``nodes.count()`` used to execute
-    # the node subtree once for the scalar and the persisted ``base``
-    # re-executed it at first materialization — for crawl_wave_ranks
-    # that subtree is a parquet read + weight agg + union + distinct.
-    # Persisting the raw projection first makes the count materialize
-    # the cache; everything below (distinct, seed/flag joins) scans
-    # memory. ``n`` still counts RAW input rows (duplicates included),
-    # bit-identical to the former ``nodes.count()``.
-    raw = nodes.select(F.col(node_col).alias("node")).persist()
-    n = raw.count()
+    own = graph is None
+    if own:
+        if nodes is None or edges is None:
+            raise ValueError("pagerank needs nodes and edges, or graph")
+        graph = pagerank_graph(
+            nodes, edges, node_col=node_col, src_col=src_col,
+            dst_col=dst_col, reset=reset, weight_col=weight_col,
+            nodes_distinct=nodes_distinct,
+        )
+    elif nodes is not None or edges is not None or reset is not None:
+        raise ValueError(
+            "pagerank(graph=...) encodes nodes/edges/reset already — "
+            "pass them to pagerank_graph instead"
+        )
     if stats is not None:
         stats["iterations"] = 0
         stats["l1_delta"] = None
-    if n == 0:
-        raw.unpersist()
-        return nodes.select(
-            F.col(node_col).alias("node"),
-            F.lit(0.0).alias("rank"),
-        )
-    if weight_col is not None:
-        deg = edges.groupBy(src_col).agg(
-            F.sum(weight_col).alias("out_deg")
-        )
-        fan_src = edges.select(
-            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"),
-            F.col(weight_col).alias("_w"),
-        )
-    else:
-        deg = out_degrees(edges, src_col)
-        fan_src = edges.select(
-            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"),
-            F.lit(1.0).alias("_w"),
-        )
-    fan = fan_src.join(
-        deg.select(
-            F.col(src_col).alias("_src"), "out_deg"
-        ),
-        "_src",
-    ).persist()  # scanned every iteration: pay the join once
-    # nodes_distinct=True is the caller's claim that the node frame
-    # carries no duplicate rows (crawl_wave_ranks passes .distinct()
-    # outputs; the registry fixtures key on unique doc_ids), dropping
-    # the defensive distinct — one Exchange + one shuffle stage per
-    # call on a set that is identical either way (r14-opt, guide §2.1)
-    base = raw if nodes_distinct else raw.distinct()
-    if reset is not None:
-        # sum per node first: duplicate seed rows must add weight, not
-        # multiply base rows through the left join
-        seeds = reset.groupBy("node").agg(F.sum("weight").alias("_w"))
-        total = seeds.agg(F.sum("_w")).collect()[0][0]
-        if not total or total <= 0:
-            raise ValueError("reset weights must sum to a positive value")
-        base = base.join(
-            seeds.select("node", (F.col("_w") / total).alias("_r0")),
-            "node", "left",
-        ).select("node", F.coalesce("_r0", F.lit(0.0)).alias("_r0"))
-    else:
-        base = base.withColumn("_r0", F.lit(1.0 / n))
-    # fold the has-out-edges flag INTO the node frame once (r14-opt):
-    # the per-iteration dangling mass used to be an anti-join of the
-    # full rank vector against the out-degree set — a join per
-    # iteration at any scale. With ``_ho`` riding the rank rows the
-    # dangling mass is a filter+agg over the just-checkpointed leaf;
-    # the summed set is identical, so dyadic oracles are bit-exact.
-    base = base.join(
-        deg.select(
-            F.col(src_col).alias("node"), F.lit(True).alias("_ho")
-        ),
-        "node", "left",
-    ).select(
-        "node", "_r0", F.coalesce("_ho", F.lit(False)).alias("_ho")
-    )
-    base = base.persist()
+    if graph.n == 0:
+        if own:
+            graph.release()
+        return graph.raw.select("node", F.lit(0.0).alias("rank"))
+    fan, base = graph.fan, graph.base
     if initial_ranks is not None:
         # duplicate warm rows add (the reset-seeds rule); stale nodes
         # no longer in the graph drop via the inner base join; NEW
@@ -203,18 +279,18 @@ def pagerank(
         warm = initial_ranks.groupBy("node").agg(
             F.sum("rank").alias("_ir")
         )
-        raw = base.join(warm, "node", "left").select(
+        warmed = base.join(warm, "node", "left").select(
             "node",
             F.coalesce(F.col("_ir"), F.col("_r0")).alias("_raw"),
             "_ho",
         )
-        mass = raw.agg(F.sum("_raw")).collect()[0][0]
+        mass = warmed.agg(F.sum("_raw")).collect()[0][0]
         if not mass or mass <= 0:
             raise ValueError(
                 "initial_ranks must carry positive total mass"
             )
         ranks = (
-            raw.select(
+            warmed.select(
                 "node", (F.col("_raw") / F.lit(mass)).alias("rank"),
                 "_ho",
             )
@@ -285,9 +361,8 @@ def pagerank(
             else:
                 ranks = new_ranks
     finally:
-        fan.unpersist()
-        base.unpersist()
-        raw.unpersist()
+        if own:
+            graph.release()
     return ranks.drop("_ho")
 
 

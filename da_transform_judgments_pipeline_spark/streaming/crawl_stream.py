@@ -566,6 +566,52 @@ def compact_cdx_surt(
     )
 
 
+def crawl_wave_graph(
+    spark: SparkSession,
+    out_dir: str,
+    scope: str = "seen",
+    reset: DataFrame | None = None,
+):
+    """Build the persisted PageRank setup :func:`crawl_wave_ranks`
+    runs on — the weighted-edge collapse of ``{out_dir}/links``, the
+    scope's node set, and the seeded/flagged base — ONCE, for sharing
+    across chained calls via ``crawl_wave_ranks(graph=...)`` (r14-opt,
+    guide §1.3): the prioritizer shape ranks the SAME accreted graph
+    twice per wave (a cold leg then a warm-started leg), and
+    rebuilding the collapse + node union + seed normalization per
+    call is pure duplicate work — at crawl scale a full extra shuffle
+    over the link graph. The weighted frame is persisted too (it is
+    scanned by the node union, the edge fan and the degree aggregate —
+    three executions of the links group-by otherwise). Values are
+    bit-identical to the per-call build; the caller owns
+    ``.release()`` after the last consuming call."""
+    if scope not in ("seen", "crawled"):
+        raise ValueError(
+            f"scope must be 'seen' or 'crawled', got {scope!r}"
+        )
+    from ..operators.graph import pagerank_graph, weight_edges
+
+    edges = spark.read.parquet(f"{out_dir}/links").select("src", "dst")
+    w = weight_edges(edges).persist()
+    srcs = w.select(F.col("src").alias("node")).distinct()
+    if scope == "crawled":
+        ew = w.join(
+            srcs.select(F.col("node").alias("dst")), "dst", "left_semi"
+        )
+        nodes = srcs
+    else:
+        ew = w
+        nodes = srcs.union(
+            w.select(F.col("dst").alias("node"))
+        ).distinct()
+    g = pagerank_graph(
+        nodes, ew, reset=reset, weight_col="weight",
+        nodes_distinct=True,
+    )
+    g.adopt(w)
+    return g
+
+
 def crawl_wave_ranks(
     spark: SparkSession,
     out_dir: str,
@@ -576,6 +622,7 @@ def crawl_wave_ranks(
     tol: float | None = 1e-6,
     reset: DataFrame | None = None,
     stats: dict | None = None,
+    graph=None,
 ) -> DataFrame:
     """The RANK half of the discover→rank→prioritize crawl loop
     (SKEWCHECK_r11's harness loop as a library call): read the stream's
@@ -595,30 +642,32 @@ def crawl_wave_ranks(
     only (nodes = sources; edges restricted to targets in that set) —
     the corpus-quality view, where out-weights count only intra-corpus
     links. Returns (node, rank); pass it back as next wave's
-    ``prev_ranks``."""
-    if scope not in ("seen", "crawled"):
-        raise ValueError(
-            f"scope must be 'seen' or 'crawled', got {scope!r}"
-        )
-    from ..operators.graph import pagerank, weight_edges
+    ``prev_ranks``.
 
-    edges = spark.read.parquet(f"{out_dir}/links").select("src", "dst")
-    w = weight_edges(edges)
-    srcs = w.select(F.col("src").alias("node")).distinct()
-    if scope == "crawled":
-        w = w.join(
-            srcs.select(F.col("node").alias("dst")), "dst", "left_semi"
+    ``graph``: optional shared setup from :func:`crawl_wave_graph` —
+    chained calls over the same wave's links (cold + warm-started)
+    then pay the edge collapse/node union/seed build once; ``scope``
+    and ``reset`` are encoded in it (passing ``reset`` alongside is a
+    typed error), and the caller owns ``graph.release()``."""
+    from ..operators.graph import pagerank
+
+    own = graph is None
+    if own:
+        graph = crawl_wave_graph(spark, out_dir, scope=scope,
+                                 reset=reset)
+    elif reset is not None:
+        raise ValueError(
+            "crawl_wave_ranks(graph=...) encodes reset already — "
+            "pass it to crawl_wave_graph instead"
         )
-        nodes = srcs
-    else:
-        nodes = srcs.union(
-            w.select(F.col("dst").alias("node"))
-        ).distinct()
-    return pagerank(
-        nodes, w, n_iterations=n_iterations, damping=damping, tol=tol,
-        reset=reset, weight_col="weight", initial_ranks=prev_ranks,
-        stats=stats, nodes_distinct=True,
-    )
+    try:
+        return pagerank(
+            n_iterations=n_iterations, damping=damping, tol=tol,
+            initial_ranks=prev_ranks, stats=stats, graph=graph,
+        )
+    finally:
+        if own:
+            graph.release()
 
 
 def run_crawl_stream(

@@ -413,6 +413,89 @@ def test_pagerank_warm_start_continuation_and_savings(spark):
         )
 
 
+def test_pagerank_shared_graph_bit_identical(spark, tmp_path):
+    """A shared :class:`PagerankGraph` (r14-opt, guide §1.3) is the
+    per-call setup EXTRACTED, so chained calls over one shared setup
+    reproduce independent calls bit-exactly: 3 warm-started on 3 ==
+    6 cold (the s29 dyadic identity), crawl_wave_graph matches
+    crawl_wave_ranks' own per-call build in both scopes, misuse
+    (nodes/edges/reset alongside graph) is a typed error, and
+    release() leaves every returned frame computable."""
+    from da_transform_judgments_pipeline_spark.operators.graph import (
+        pagerank_graph,
+    )
+    from da_transform_judgments_pipeline_spark.streaming.crawl_stream import (
+        crawl_wave_graph,
+        crawl_wave_ranks,
+    )
+
+    nodes, edges = _g(
+        spark, [0, 1, 2, 3],
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (2, 0)],
+    )
+    cold6 = {r["node"]: r["rank"] for r in
+             pagerank(nodes, edges, n_iterations=6, damping=0.5)
+             .collect()}
+    g = pagerank_graph(nodes, edges)
+    try:
+        r3 = pagerank(n_iterations=3, damping=0.5, graph=g)
+        warm6 = {r["node"]: r["rank"] for r in
+                 pagerank(n_iterations=3, damping=0.5, graph=g,
+                          initial_ranks=r3).collect()}
+        assert warm6 == cold6  # bit-identical, not approximately
+        with pytest.raises(ValueError, match="pagerank_graph"):
+            pagerank(nodes, edges, graph=g)
+    finally:
+        g.release()
+    # the result of a released graph stays computable (checkpointed /
+    # recomputable plans, no dangling cache reference)
+    assert {r["node"]: r["rank"] for r in r3.collect()} == {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, n_iterations=3, damping=0.5)
+        .collect()
+    }
+
+    links = spark.createDataFrame(
+        [
+            ("p1", "p2"), ("p2", "p1"),
+            ("p1", "x1"), ("p1", "x1"),
+            ("p2", "x2"),
+        ],
+        "src string, dst string",
+    )
+    links.write.parquet(str(tmp_path / "links"))
+    for scope in ("seen", "crawled"):
+        per_call = {r["node"]: r["rank"] for r in crawl_wave_ranks(
+            spark, str(tmp_path), damping=0.5, n_iterations=4,
+            tol=None, scope=scope,
+        ).collect()}
+        wg = crawl_wave_graph(spark, str(tmp_path), scope=scope)
+        try:
+            shared = {r["node"]: r["rank"] for r in crawl_wave_ranks(
+                spark, str(tmp_path), damping=0.5, n_iterations=4,
+                tol=None, graph=wg,
+            ).collect()}
+            assert shared == per_call
+            with pytest.raises(ValueError, match="crawl_wave_graph"):
+                crawl_wave_ranks(
+                    spark, str(tmp_path), graph=wg,
+                    reset=spark.createDataFrame(
+                        [("p1", 1.0)], "node string, weight double"
+                    ),
+                )
+        finally:
+            wg.release()
+
+    # empty node set through the shared path: same empty frame
+    en, ee = _g(spark, [], [])
+    ge = pagerank_graph(en, ee)
+    try:
+        out = pagerank(n_iterations=2, graph=ge)
+        assert out.columns == ["node", "rank"] and out.count() == 0
+    finally:
+        ge.release()
+
+
 def test_crawl_wave_ranks_scopes(spark, tmp_path):
     """crawl_wave_ranks over a links sink: scope='seen' ranks link
     TARGETS too (dangling receivers — the one-wave-behind prioritizer
