@@ -5821,7 +5821,9 @@ def q_g05_bfs_depths(spark, sf_dir):
     )
     seeds = nodes.filter((n == 0) | (n == 128))
     return (
-        graph.bfs_depths(edges, seeds, max_hops=6)
+        # r14-opt: the seed set filters a unique key — claim it
+        # distinct and skip the defensive de-dup Exchange (guide §2.1)
+        graph.bfs_depths(edges, seeds, max_hops=6, seeds_distinct=True)
         .orderBy("node")
     )
 

@@ -392,7 +392,15 @@ def hits(
     oracle trick (the g01 dyadic-damping idea, integer edition; DuckDB
     recomputes via unrolled join/aggregate CTEs). Each iteration is two
     hash-partitioned join+agg shuffles; lineage is truncated per round
-    like :func:`pagerank`."""
+    like :func:`pagerank`.
+
+    No ``nodes_distinct`` escape here, deliberately (r14-opt,
+    measured): unlike :func:`pagerank` — whose base is node-
+    partitioned by its seed/flag joins regardless — this distinct IS
+    what leaves the persisted base hash-partitioned on ``node``, and
+    every per-iteration join reuses that Exchange; dropping it pushes
+    a fresh Exchange into each consumer (plan evidence:
+    plans/r14/g02_hits_{after,s4after}.txt, 10 → 15 Exchanges)."""
     base = nodes.select(F.col(node_col).alias("node")).distinct().persist()
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -504,6 +512,7 @@ def bfs_depths(
     src_col: str = "src",
     dst_col: str = "dst",
     node_col: str = "node",
+    seeds_distinct: bool = False,
 ) -> DataFrame:
     """Minimum hop distance from a seed set — crawl DEPTH, the classic
     frontier-control signal (Mercator/Heritrix cap crawls by hops from
@@ -521,17 +530,24 @@ def bfs_depths(
     absent from the result — at 100 TB you never materialize
     "everything minus reached".
 
-    Returns (node, depth): depth 0 = seed rows themselves."""
+    Returns (node, depth): depth 0 = seed rows themselves.
+
+    ``seeds_distinct``: the caller's claim that ``seeds`` carries no
+    duplicate rows, skipping the defensive de-dup (one Exchange per
+    call — the :func:`pagerank` flag, r14-opt guide §2.1); the depth
+    map is identical either way, but duplicates with the flag wrongly
+    set would emit duplicate depth-0 rows."""
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
     ).persist()
     try:
+        visited = seeds.select(F.col(node_col).alias("node"))
+        if not seeds_distinct:
+            visited = visited.distinct()
         visited = (
-            seeds.select(F.col(node_col).alias("node"))
-            .distinct()
-            .withColumn("depth", F.lit(0))
+            visited.withColumn("depth", F.lit(0))
             .localCheckpoint(eager=True)
         )
         frontier = visited

@@ -496,6 +496,32 @@ def test_pagerank_shared_graph_bit_identical(spark, tmp_path):
         ge.release()
 
 
+def test_bfs_seeds_distinct_claim_bit_identical(spark):
+    """The pagerank nodes_distinct claim extended to bfs_depths
+    (r14-opt, guide §2.1): with already-distinct seeds,
+    seeds_distinct=True skips the defensive de-dup Exchange ahead of
+    the depth-0 checkpoint (whose leaf forgets partitioning anyway)
+    and returns the identical depth map. hits deliberately keeps its
+    distinct — there it IS the persisted base's partitioning, reused
+    by every per-iteration join."""
+    from da_transform_judgments_pipeline_spark.operators.graph import (
+        bfs_depths,
+    )
+
+    nodes, edges = _g(
+        spark, list(range(8)),
+        [(i, (i + 1) % 8) for i in range(8)]
+        + [(i, (2 * i + 1) % 8) for i in range(8)],
+    )
+    seeds = nodes.filter(F.col("node").isin(0, 4))
+    plain = {r["node"]: r["depth"] for r in
+             bfs_depths(edges, seeds, max_hops=3).collect()}
+    claimed = {r["node"]: r["depth"] for r in
+               bfs_depths(edges, seeds, max_hops=3,
+                          seeds_distinct=True).collect()}
+    assert claimed == plain and plain[0] == 0 and plain[4] == 0
+
+
 def test_crawl_wave_ranks_scopes(spark, tmp_path):
     """crawl_wave_ranks over a links sink: scope='seen' ranks link
     TARGETS too (dangling receivers — the one-wave-behind prioritizer
