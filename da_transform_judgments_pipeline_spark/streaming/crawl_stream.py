@@ -593,15 +593,19 @@ def crawl_wave_graph(
 
     edges = spark.read.parquet(f"{out_dir}/links").select("src", "dst")
     w = weight_edges(edges).persist()
-    srcs = w.select(F.col("src").alias("node")).distinct()
     if scope == "crawled":
+        srcs = w.select(F.col("src").alias("node")).distinct()
         ew = w.join(
             srcs.select(F.col("node").alias("dst")), "dst", "left_semi"
         )
         nodes = srcs
     else:
         ew = w
-        nodes = srcs.union(
+        # the union's own distinct absorbs a staged srcs.distinct()
+        # (set-identical, and the union aggregate dedups map-side
+        # anyway) — the inner de-dup was one redundant Exchange per
+        # call (r14-opt, guide §2.1)
+        nodes = w.select(F.col("src").alias("node")).union(
             w.select(F.col("dst").alias("node"))
         ).distinct()
     g = pagerank_graph(
