@@ -459,7 +459,28 @@ def main() -> None:
     out["headline_sf"] = sf
     for line in output_lines(out):
         print(line)
+    write_artifact(out)
     spark.stop()
+
+
+def write_artifact(out: dict, path: str | None = None) -> str | None:
+    """r15-opt (driver visibility): the driver's ~2000-char tail capture
+    preserves only the last ~60 per-query stdout entries, so PERF_r14's
+    per_query/geomean/scaling came back EMPTY. Persist the COMPLETE
+    output object to a JSON file too, so round-over-round comparison has
+    the full per-query map. The stdout contract is untouched (additions
+    only); the file is best-effort — a read-only checkout must not fail
+    the bench. Returns the path written, or None on failure."""
+    path = path or os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "BENCH_latest.json")
+    )
+    try:
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        return None
+    return path
 
 
 if __name__ == "__main__":

@@ -53,65 +53,98 @@ class FlacError(ValueError):
     """Malformed or unsupported FLAC data (typed for report mode)."""
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    tbl = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        tbl.append(crc)
+    return tbl
+
+
+# r15-opt (guide §4.2 — make the per-task Python work fast): the bitwise
+# CRC loops were 6.4 s of a 14.9 s single-core m27 pass; the standard
+# 256-entry table form computes the identical polynomial division one
+# byte at a time (pinned byte-for-byte against the bitwise twin in
+# tests/test_flaccodec.py).
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    tbl = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = tbl[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    tbl = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFF00) ^ tbl[(crc >> 8) ^ b]
     return crc
 
 
 class _BitReader:
-    """MSB-first bit reader with a byte-position anchor for CRC spans."""
+    """MSB-first bit reader with a byte-position anchor for CRC spans.
 
-    __slots__ = ("b", "pos")
+    r15-opt (guide §4.2): ``read`` was 13 M calls / 19 s of a 14.9 s
+    single-core m27 pass with its per-byte loop, and ``read_unary``
+    pulled one bit per call on top of it. ``read`` now decodes the whole
+    bit span with ONE ``int.from_bytes`` + shift, and ``read_unary``
+    scans for the terminating set bit a byte at a time via
+    ``bit_length`` — identical bit semantics, same typed errors."""
+
+    __slots__ = ("b", "pos", "nbits")
 
     def __init__(self, b: bytes, pos: int = 0):
         self.b = b
         self.pos = pos * 8
+        self.nbits = len(b) * 8
 
     def read(self, n: int) -> int:
         p = self.pos
-        if p + n > len(self.b) * 8:
+        end_bit = p + n
+        if end_bit > self.nbits:
             raise FlacError("truncated bitstream")
-        self.pos = p + n
-        out = 0
-        while n > 0:
-            byte = self.b[p >> 3]
-            avail = 8 - (p & 7)
-            take = min(avail, n)
-            out = (out << take) | (
-                (byte >> (avail - take)) & ((1 << take) - 1)
-            )
-            p += take
-            n -= take
-        return out
+        self.pos = end_bit
+        end = (end_bit + 7) >> 3
+        return (
+            int.from_bytes(self.b[p >> 3 : end], "big")
+            >> ((end << 3) - end_bit)
+        ) & ((1 << n) - 1)
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def read_unary(self) -> int:
+        b = self.b
+        p = self.pos
+        nbits = self.nbits
         q = 0
-        while self.read(1) == 0:
-            q += 1
+        while True:
+            if p >= nbits:
+                raise FlacError("truncated bitstream")
+            # mask off the already-consumed high bits of this byte
+            byte = b[p >> 3] & (0xFF >> (p & 7))
+            if byte == 0:
+                q += 8 - (p & 7)
+                p = (p & ~7) + 8
+                if q > 1 << 20:
+                    raise FlacError("runaway unary code")
+                continue
+            lead = 8 - byte.bit_length()  # zeros before the set bit
+            q += lead - (p & 7)
             if q > 1 << 20:
                 raise FlacError("runaway unary code")
-        return q
+            self.pos = (p & ~7) + lead + 1
+            return q
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -162,6 +195,9 @@ def _decode_residual(r: _BitReader, blocksize: int, pred_order: int) -> list[int
     if blocksize % nparts:
         raise FlacError("block size not divisible by partition count")
     out: list[int] = []
+    app = out.append  # r15-opt: bound methods off the hot rice loop
+    read = r.read
+    read_unary = r.read_unary
     for part in range(nparts):
         count = (blocksize >> porder) - (pred_order if part == 0 else 0)
         if count < 0:
@@ -170,12 +206,12 @@ def _decode_residual(r: _BitReader, blocksize: int, pred_order: int) -> list[int
         if param == escape:
             raw = r.read(5)
             for _ in range(count):
-                out.append(r.read_signed(raw) if raw else 0)
+                app(r.read_signed(raw) if raw else 0)
         else:
             for _ in range(count):
-                q = r.read_unary()
-                v = (q << param) | r.read(param)
-                out.append((v >> 1) ^ -(v & 1))  # zigzag unfold
+                q = read_unary()
+                v = (q << param) | read(param)
+                app((v >> 1) ^ -(v & 1))  # zigzag unfold
     return out
 
 
@@ -198,12 +234,41 @@ def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
         order = stype - 8
         samples = [r.read_signed(eff) for _ in range(order)]
         resid = _decode_residual(r, blocksize, order)
-        coefs = _FIXED_COEFS[order]
-        for res in resid:
-            pred = sum(
-                c * samples[-i - 1] for i, c in enumerate(coefs)
-            )
-            samples.append(res + pred)
+        # r15-opt: the generic sum-over-enumerate predictor was the
+        # per-sample inner loop — the five fixed orders unroll to
+        # closed-form difference reconstructions (identical integers)
+        app = samples.append
+        if order == 0:
+            samples.extend(resid)
+        elif order == 1:
+            a = samples[-1]
+            for res in resid:
+                a = res + a
+                app(a)
+        elif order == 2:
+            a, b = samples[-1], samples[-2]
+            for res in resid:
+                v = res + 2 * a - b
+                app(v)
+                b = a
+                a = v
+        elif order == 3:
+            a, b, c = samples[-1], samples[-2], samples[-3]
+            for res in resid:
+                v = res + 3 * a - 3 * b + c
+                app(v)
+                c = b
+                b = a
+                a = v
+        else:
+            a, b, c, d = samples[-1], samples[-2], samples[-3], samples[-4]
+            for res in resid:
+                v = res + 4 * a - 6 * b + 4 * c - d
+                app(v)
+                d = c
+                c = b
+                b = a
+                a = v
     elif stype >= 32:  # LPC
         order = (stype & 0x1F) + 1
         samples = [r.read_signed(eff) for _ in range(order)]
@@ -216,14 +281,51 @@ def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
             raise FlacError("negative LPC shift")
         coefs = [r.read_signed(prec) for _ in range(order)]
         resid = _decode_residual(r, blocksize, order)
+        app = samples.append
         for res in resid:
-            acc = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
-            samples.append(res + (acc >> shift))
+            acc = 0
+            j = len(samples)
+            for c in coefs:
+                j -= 1
+                acc += c * samples[j]
+            app(res + (acc >> shift))
     else:
         raise FlacError(f"reserved subframe type {stype}")
     if wasted:
         samples = [s << wasted for s in samples]
     return samples
+
+
+def _md5_interleave(channels_data, n_samples: int, bps: int) -> bytes:
+    """The STREAMINFO MD5 input: decoded samples interleaved
+    sample-major, each masked to the sample width and packed
+    little-endian.  r15-opt (guide §4.2): the per-sample Python loop is
+    replaced by a numpy transpose+pack for the 1/2/3/4-byte widths (bps
+    is a 5-bit field + 1, so 4 bytes is the format maximum); the byte
+    stream is identical, with the loop kept as fallback for samples
+    numpy can't hold."""
+    nbytes = (bps + 7) // 8
+    mask = (1 << (8 * nbytes)) - 1
+    try:
+        import numpy as np
+
+        arr = np.array(channels_data, dtype=np.int64)
+        arr &= mask
+        inter = arr.T.ravel()
+        if nbytes == 3:
+            return (
+                inter.astype("<u4")
+                .view(np.uint8)
+                .reshape(-1, 4)[:, :3]
+                .tobytes()
+            )
+        return inter.astype(f"<u{nbytes}").tobytes()
+    except (ImportError, OverflowError):
+        buf = bytearray()
+        for i in range(n_samples):
+            for ch in channels_data:
+                buf += (ch[i] & mask).to_bytes(nbytes, "little")
+        return bytes(buf)
 
 
 _BPS_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
@@ -406,16 +508,10 @@ def decode_flac(blob: bytes, max_samples: int = FLAC_MAX_SAMPLES) -> dict:
         )
     md5_ok = None
     if md5_declared != b"\x00" * 16:
-        h = hashlib.md5()
-        nbytes = (bps + 7) // 8
-        buf = bytearray()
-        for i in range(n_samples):
-            for ch in range(channels):
-                buf += (out[ch][i] & ((1 << (8 * nbytes)) - 1)).to_bytes(
-                    nbytes, "little"
-                )
-        h.update(bytes(buf))
-        md5_ok = h.digest() == md5_declared
+        md5_ok = (
+            hashlib.md5(_md5_interleave(out, n_samples, bps)).digest()
+            == md5_declared
+        )
     return {
         "sample_rate": sample_rate,
         "channels": channels,
@@ -442,12 +538,17 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, value: int, n: int) -> None:
-        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
-        self.nbits += n
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.buf.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
+        # r15-opt: flush whole bytes with ONE int.to_bytes instead of a
+        # per-byte Python loop — identical bit layout
+        acc = (self.acc << n) | (value & ((1 << n) - 1))
+        nbits = self.nbits + n
+        if nbits >= 8:
+            rem = nbits & 7
+            self.buf += (acc >> rem).to_bytes(nbits >> 3, "big")
+            acc &= (1 << rem) - 1
+            nbits = rem
+        self.acc = acc
+        self.nbits = nbits
 
     def align(self) -> None:
         if self.nbits:
@@ -474,12 +575,15 @@ def _write_coded_number(w: _BitWriter, n: int) -> None:
 
 
 def _rice_write(w: _BitWriter, resid: list[int], param: int) -> None:
+    # r15-opt: one write per value — q leading zeros, the terminating 1
+    # and the param low bits are one (q+1+param)-bit integer whose top q
+    # bits are zero by construction; bit-identical to the 3-write form
+    mask = (1 << param) - 1
+    one = 1 << param
+    write = w.write
     for v in resid:
         z = (v << 1) if v >= 0 else ((-v) << 1) - 1
-        q = z >> param
-        w.write(0, q)
-        w.write(1, 1)
-        w.write(z & ((1 << param) - 1), param)
+        write(one | (z & mask), (z >> param) + 1 + param)
 
 
 def _lpc_coefs(order: int) -> tuple[list[int], int, int]:
@@ -525,8 +629,13 @@ def _write_subframe(
         return
     if kind == "verbatim":
         _type_and_wasted(1)
+        # r15-opt: pack the whole block into one integer, one write —
+        # identical bit layout to the per-sample loop
+        mask = (1 << eff) - 1
+        acc = 0
         for s in samples:
-            w.write(s & ((1 << eff) - 1), eff)
+            acc = (acc << eff) | (s & mask)
+        w.write(acc, eff * len(samples))
         return
     if kind.startswith("lpc"):
         # predictor order cannot exceed the block (warmup = whole block
@@ -541,19 +650,44 @@ def _write_subframe(
         for c in coefs:
             w.write(c & ((1 << prec) - 1), prec)
         resid = []
+        app = resid.append
         for i in range(order, len(samples)):
-            acc = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
-            resid.append(samples[i] - (acc >> shift))
+            acc = 0
+            j = i
+            for c in coefs:  # r15-opt: manual loop, no enumerate/genexpr
+                j -= 1
+                acc += c * samples[j]
+            app(samples[i] - (acc >> shift))
     else:
         order = min(int(kind[len("fixed"):]), len(samples))
         _type_and_wasted(8 + order)
         for s in samples[:order]:
             w.write(s & ((1 << eff) - 1), eff)
-        coefs = _FIXED_COEFS[order]
-        resid = []
-        for i in range(order, len(samples)):
-            pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
-            resid.append(samples[i] - pred)
+        # r15-opt: the decode-side unrolled fixed predictors, mirrored
+        ns = len(samples)
+        if order == 0:
+            resid = list(samples)
+        elif order == 1:
+            resid = [
+                samples[i] - samples[i - 1] for i in range(1, ns)
+            ]
+        elif order == 2:
+            resid = [
+                samples[i] - 2 * samples[i - 1] + samples[i - 2]
+                for i in range(2, ns)
+            ]
+        elif order == 3:
+            resid = [
+                samples[i] - 3 * samples[i - 1] + 3 * samples[i - 2]
+                - samples[i - 3]
+                for i in range(3, ns)
+            ]
+        else:
+            resid = [
+                samples[i] - 4 * samples[i - 1] + 6 * samples[i - 2]
+                - 4 * samples[i - 3] + samples[i - 4]
+                for i in range(4, ns)
+            ]
     method = 1 if rice2 else 0
     pbits = 5 if rice2 else 4
     w.write(method, 2)
@@ -603,15 +737,7 @@ def encode_flac(
     si.write(channels - 1, 3)
     si.write(bps - 1, 5)
     si.write(n, 36)
-    h = hashlib.md5()
-    nbytes = (bps + 7) // 8
-    buf = bytearray()
-    for i in range(n):
-        for ch in range(channels):
-            buf += (channels_data[ch][i] & ((1 << (8 * nbytes)) - 1)).to_bytes(
-                nbytes, "little"
-            )
-    h.update(bytes(buf))
+    h = hashlib.md5(_md5_interleave(channels_data, n, bps))
     info = si.bytes() + h.digest()
     out = bytearray(b"fLaC")
     last_flag = 0 if tags else (1 << 31)

@@ -46,37 +46,61 @@ class WebpError(UnsupportedImageError):
 
 class _BitReader:
     """LSB-first bit reader (VP8L convention: within each byte the
-    least-significant bit comes first)."""
+    least-significant bit comes first).
+
+    r15-opt (guide §4.2): ``read`` decodes the whole span with one
+    ``int.from_bytes`` + shift instead of a per-bit loop — 2.1 M calls
+    / 2.3 s of the single-core m21 pass. Identical bit semantics and
+    the same typed truncation error."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0  # bit position
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.pos >> 3
-            if byte >= len(self.data):
-                raise WebpError("VP8L bitstream truncated")
-            bit = (self.data[byte] >> (self.pos & 7)) & 1
-            v |= bit << i
-            self.pos += 1
-        return v
+        if n == 0:
+            return 0
+        p = self.pos
+        end_bit = p + n
+        last_byte = (end_bit - 1) >> 3
+        if last_byte >= len(self.data):
+            raise WebpError("VP8L bitstream truncated")
+        self.pos = end_bit
+        chunk = int.from_bytes(self.data[p >> 3 : last_byte + 1], "little")
+        return (chunk >> (p & 7)) & ((1 << n) - 1)
 
 
 class _BitWriter:
+    """r15-opt: whole-byte flush through one ``int.to_bytes`` per write
+    (was: one Python list append PER BIT plus a per-bit assembly loop
+    in ``bytes()``) — identical LSB-first layout."""
+
     def __init__(self):
-        self.bits: list[int] = []
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n):
-            self.bits.append((value >> i) & 1)
+        acc = self.acc | ((value & ((1 << n) - 1)) << self.nbits)
+        nbits = self.nbits + n
+        nbytes = nbits >> 3
+        if nbytes:
+            self.buf += (acc & ((1 << (nbytes << 3)) - 1)).to_bytes(
+                nbytes, "little"
+            )
+            acc >>= nbytes << 3
+            nbits &= 7
+        self.acc = acc
+        self.nbits = nbits
+
+    def bit_len(self) -> int:
+        return (len(self.buf) << 3) + self.nbits
 
     def bytes(self) -> bytes:
-        out = bytearray((len(self.bits) + 7) // 8)
-        for i, b in enumerate(self.bits):
-            out[i >> 3] |= b << (i & 7)
-        return bytes(out)
+        out = bytes(self.buf)
+        if self.nbits:
+            out += bytes([self.acc])  # zero-padded final partial byte
+        return out
 
 
 # ------------------------------------------------------- prefix codes
@@ -118,11 +142,22 @@ class _PrefixCode:
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        # r15-opt: inline the per-bit pulls (this is the per-symbol hot
+        # loop — 1.9 M calls); same MSB-first walk, same typed errors
+        data = br.data
+        ndata = len(data)
+        p = br.pos
         acc = 0
+        get = self.map.get
         for l in range(1, _MAX_CODE_LEN + 1):
-            acc = (acc << 1) | br.read(1)
-            s = self.map.get((l, acc))
+            byte = p >> 3
+            if byte >= ndata:
+                raise WebpError("VP8L bitstream truncated")
+            acc = (acc << 1) | ((data[byte] >> (p & 7)) & 1)
+            p += 1
+            s = get((l, acc))
             if s is not None:
+                br.pos = p
                 return s
         raise WebpError("invalid prefix code in bitstream")
 
@@ -643,8 +678,14 @@ def decode_webp(blob: bytes) -> np.ndarray:
 
 def _emit_symbol(bw: _BitWriter, codes: dict, sym: int) -> None:
     code, length = codes[sym]
-    for j in range(length - 1, -1, -1):  # canonical bits, MSB first
-        bw.write((code >> j) & 1, 1)
+    # canonical bits, MSB first — one LSB-first write of the
+    # bit-reversed code is the identical stream (r15-opt: was one
+    # write call PER BIT)
+    rev = 0
+    for _ in range(length):
+        rev = (rev << 1) | (code & 1)
+        code >>= 1
+    bw.write(rev, length)
 
 
 def _write_code(bw: _BitWriter, used: list[int], alphabet: int) -> dict:
@@ -791,7 +832,7 @@ def encode_webp_lossless(
             img = 0xFF000000 | (idx << 8)
         bw.write(0, 1)  # end of transforms
         _write_main_image(bw, img, cache_bits=0, lz77=False)
-        return _riff_wrap(bw, 1 + (len(bw.bits) + 7) // 8)
+        return _riff_wrap(bw, 1 + (bw.bit_len() + 7) // 8)
     if predictor_mode is not None:
         size_bits = 4
         bw.write(1, 1)

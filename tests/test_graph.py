@@ -210,11 +210,14 @@ def test_hits_hand_computed_and_normalized(spark):
     assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-9
     assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
     # convergence early-exit: once the normalized vectors are
-    # stationary, tol stops the loop with the full run's result
+    # stationary, tol stops the loop with the full run's result (this
+    # 3-node cycle is stationary well before 12 iterations — r15: was
+    # 2×30 iterations, ~80 s of pure per-job floor for the same
+    # contract)
     full = {r["node"]: (r["hub"], r["authority"]) for r in
-            hits(nodes, edges, n_iterations=30).collect()}
+            hits(nodes, edges, n_iterations=12).collect()}
     early = {r["node"]: (r["hub"], r["authority"]) for r in
-             hits(nodes, edges, n_iterations=30, tol=1e-12).collect()}
+             hits(nodes, edges, n_iterations=12, tol=1e-12).collect()}
     for k in full:
         assert early[k][0] == pytest.approx(full[k][0], abs=1e-9)
         assert early[k][1] == pytest.approx(full[k][1], abs=1e-9)
@@ -372,7 +375,11 @@ def test_pagerank_warm_start_continuation_and_savings(spark):
         spark, old_nodes + [N, N + 1],
         old_edges + [(N, 0), (N + 1, 0), (0, N)],
     )
-    tol = 1e-6
+    # r15: tol 1e-6 → 1e-4 — the contract (warm converges in strictly
+    # fewer iterations than cold, to the same fixed point within 5·tol)
+    # is scale-free in tol; the tighter setting bought ~10 more
+    # iterations of per-job floor per run and nothing else
+    tol = 1e-4
     st_cold: dict = {}
     fixed_cold = {r["node"]: r["rank"] for r in pagerank(
         nodes2, edges2, n_iterations=60, tol=tol, damping=0.5,
@@ -465,14 +472,15 @@ def test_pagerank_shared_graph_bit_identical(spark, tmp_path):
     )
     links.write.parquet(str(tmp_path / "links"))
     for scope in ("seen", "crawled"):
+        # r15: 2 iterations prove shared == per-call just as well as 4
         per_call = {r["node"]: r["rank"] for r in crawl_wave_ranks(
-            spark, str(tmp_path), damping=0.5, n_iterations=4,
+            spark, str(tmp_path), damping=0.5, n_iterations=2,
             tol=None, scope=scope,
         ).collect()}
         wg = crawl_wave_graph(spark, str(tmp_path), scope=scope)
         try:
             shared = {r["node"]: r["rank"] for r in crawl_wave_ranks(
-                spark, str(tmp_path), damping=0.5, n_iterations=4,
+                spark, str(tmp_path), damping=0.5, n_iterations=2,
                 tol=None, graph=wg,
             ).collect()}
             assert shared == per_call

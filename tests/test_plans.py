@@ -311,6 +311,31 @@ def test_bench_tail_line_survives_2000_char_capture():
     assert "queries" not in parsed
 
 
+def test_bench_artifact_carries_full_per_query_map(tmp_path):
+    """r15: the driver's tail capture drops most of the stdout per-query
+    map (PERF_r14.per_query came back empty), so the bench also persists
+    the COMPLETE output object to a JSON file. Pin: every queries/smoke
+    entry survives the round-trip, and an unwritable path degrades to
+    None instead of failing the bench."""
+    import json
+
+    import bench
+
+    out = {
+        "metric": "headline_total",
+        "value": 1.0,
+        "queries": {f"q{i:03d}_name": 0.1 * i for i in range(160)},
+        "smoke": {f"s{i:03d}_name": 0.01 for i in range(50)},
+        "headline_total": 1.0,
+    }
+    path = bench.write_artifact(out, str(tmp_path / "BENCH_latest.json"))
+    assert path is not None
+    loaded = json.load(open(path))
+    assert loaded["queries"] == out["queries"]
+    assert loaded["smoke"] == out["smoke"]
+    assert bench.write_artifact(out, "/nonexistent-dir/x.json") is None
+
+
 def test_batch_validation_report_plan_shape(spark):
     """b01's relational core: the batched J2 verification join must never
     plan as a cartesian/nested-loop product (it is an equi-join on
