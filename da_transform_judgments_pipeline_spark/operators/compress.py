@@ -310,9 +310,19 @@ def _lz_copy(out: bytearray, offset: int, length: int, what: str) -> None:
         start = len(out) - offset
         out += out[start : start + length]
         return
+    # overlapped copy = periodic repetition with period `offset`: extend
+    # by doubling slices instead of per-byte appends (r15-opt — the
+    # per-byte loop was the hot path for long matches over short
+    # periods, exactly what repeated-text corpora produce); identical
+    # bytes, O(log(length/offset)) slice ops
     start = len(out) - offset
-    for i in range(length):
-        out.append(out[start + i])
+    avail = offset
+    remaining = length
+    while remaining > 0:
+        take = avail if avail < remaining else remaining
+        out += out[start : start + take]
+        remaining -= take
+        avail += take
 
 
 # ---------------------------------------------------------------------------
@@ -1505,14 +1515,36 @@ def _native_decompress(blob, codec, max_output):
         if not any(not sk for _, _, _, sk in frames):
             raise CompressError("zstd: no frames present")
         declared_total = 0
+        all_declared = True
         for _, _, fcs, sk in frames:
-            if not sk and fcs is not None:
-                declared_total += fcs
-                if declared_total > max_output:
-                    raise CompressBombError(
-                        f"zstd: declared {declared_total} bytes exceeds "
-                        f"bound {max_output}"
-                    )
+            if sk:
+                continue
+            if fcs is None:
+                all_declared = False
+                continue
+            declared_total += fcs
+            if declared_total > max_output:
+                raise CompressBombError(
+                    f"zstd: declared {declared_total} bytes exceeds "
+                    f"bound {max_output}"
+                )
+        if all_declared:
+            # r15-opt: every frame declares its content size, so the
+            # one-shot ZSTD_decompress path (handles concatenated +
+            # skippable frames) replaces the chunked
+            # CompressedInputStream — same bytes, ~50 µs less per-blob
+            # stream setup; any native balk falls through to the
+            # chunked/pure paths below
+            import pyarrow as pa
+
+            try:
+                out = pa.Codec("zstd").decompress(
+                    blob, decompressed_size=declared_total, asbytes=True
+                )
+                if len(out) == declared_total:
+                    return out
+            except Exception:
+                pass
         name = "zstd"
     elif codec == "lz4":
         frames = lz4_frame_bounds(blob)

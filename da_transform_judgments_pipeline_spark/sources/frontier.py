@@ -271,9 +271,24 @@ def append_to_url_index(
         incoming = new_urls.groupBy("canonical").agg(
             F.max(F.col(fetched_at_col).cast("long")).alias("fetched_at")
         )
-        prev = spark.table(table).groupBy("canonical").agg(
-            F.max("fetched_at").alias("_prev"),
-            F.lit(True).alias("_present"),
+        # r15-opt (guide §2.3 — aggregate less): the guard only needs
+        # the newest stored stamp FOR THE BATCH'S OWN canonicals, and
+        # the left join below drops every other key anyway — semi-join
+        # the index scan down to the (batch-sized, broadcastable)
+        # incoming set BEFORE aggregating, so per-batch work tracks the
+        # batch instead of aggregating the whole 100 TB index. Rows and
+        # stamps are identical; the agg still groups on the bucket
+        # column (no index-side Exchange — plan-gated in pytest).
+        prev = (
+            spark.table(table)
+            .join(
+                F.broadcast(incoming.select("canonical")),
+                "canonical", "left_semi",
+            )
+            .groupBy("canonical").agg(
+                F.max("fetched_at").alias("_prev"),
+                F.lit(True).alias("_present"),
+            )
         )
         fresh = (
             incoming.join(prev, "canonical", "left")

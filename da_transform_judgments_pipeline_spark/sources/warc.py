@@ -708,6 +708,17 @@ def build_warc_gz(
     The WARC-Payload-Digest always covers the STORED bytes (for
     revisits: the referred bytes), matching the parser's
     verify-before-decode contract."""
+    members = _build_warc_members(responses, filename)
+    if gzip_members:
+        return b"".join(_gzip_member(m) for m in members)
+    return b"".join(members)
+
+
+def _build_warc_members(responses: list[dict], filename: str) -> list[bytes]:
+    """:func:`build_warc_gz`'s record list, factored out (r15-opt) so
+    :func:`build_warc_zst` frames the SAME records without re-parsing
+    the joined plain stream to recover their bounds — the parse was
+    ~40% of every build_warc_zst call."""
     members = []
     info_body = (
         b"software: da-transform-judgments-pipeline-spark\r\n"
@@ -820,9 +831,7 @@ def build_warc_gz(
             ("Content-Type", "application/http; msgtype=response")
         )
         members.append(_record(warc_headers, http))
-    if gzip_members:
-        return b"".join(_gzip_member(m) for m in members)
-    return b"".join(members)
+    return members
 
 
 def build_warc_zst(
@@ -841,14 +850,10 @@ def build_warc_zst(
     output, not a twin that could share a bug."""
     import pyarrow as pa
 
-    gz = build_warc_gz(responses, filename=filename, gzip_members=False)
-    # re-split into the records build_warc_gz assembled
-    records = []
-    rest = gz
-    while rest.strip(b"\r\n"):
-        _, used = _parse_one(rest)
-        records.append(rest[:used])
-        rest = rest[used:]
+    # the records build_warc_gz assembles, taken directly from the
+    # shared builder (r15-opt: this used to re-parse the joined plain
+    # stream with _parse_one to recover each record's bounds)
+    records = _build_warc_members(responses, filename)
     codec = pa.Codec("zstd", compression_level=level)
     out = bytearray()
     if leading_skippable:

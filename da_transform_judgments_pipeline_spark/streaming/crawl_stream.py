@@ -397,14 +397,22 @@ def _manifest_df(spark: SparkSession, rows) -> DataFrame:
     zero Python tasks, one partition."""
     if not rows:
         return spark.createDataFrame([], "file_id long, path string")
+    # r15-opt (guide §5 — the driver is a shared resource): the former
+    # parameterized ARRAY args crossed py4j one element at a time
+    # (pyspark lowers a list arg to array(lit(x), ...)), measured
+    # ~0.4-0.5 s of per-batch driver time at 385 manifest rows and
+    # linear in the batch size. The rows now cross as ONE json string
+    # parsed JVM-side by from_json — same values, same pure-JVM
+    # one-partition relation, one py4j call.
+    import json as _json
+
     return spark.sql(
-        "SELECT CAST(element_at(:ids, i + 1) AS BIGINT) AS file_id, "
-        "element_at(:paths, i + 1) AS path "
-        "FROM (SELECT explode(sequence(0, :n - 1)) AS i)",
+        "SELECT s.file_id, s.path FROM (SELECT explode(from_json("
+        ":j, 'array<struct<file_id: bigint, path: string>>')) AS s)",
         args={
-            "ids": [int(fid) for fid, _ in rows],
-            "paths": [p for _, p in rows],
-            "n": len(rows),
+            "j": _json.dumps(
+                [{"file_id": int(fid), "path": p} for fid, p in rows]
+            ),
         },
     )
 
