@@ -2028,12 +2028,20 @@ def q_a27_waiting_suppliers(spark, sf_dir):
     pairs = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("late")
     )
-    stats = pairs.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    # r15-opt (guide §2.4/§3): when n_late == 1 the sole late supplier
+    # is a per-order AGGREGATE (max over the single late pair), so the
+    # former pairs⋈stats self-join — one extra shuffle of pairs plus
+    # the join itself — folds into the order-level groupBy. Same rows:
+    # the filter admits exactly the orders whose unique late supplier
+    # the old join recovered. Oracle hash-exact (selfcheck green).
     waiting = (
-        pairs.filter(F.col("late") == 1)
-        .join(stats, "l_orderkey")
+        pairs.groupBy("l_orderkey").agg(
+            F.count("*").alias("n_supp"),
+            F.sum("late").alias("n_late"),
+            F.max(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("l_suppkey"),
+        )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     return (
