@@ -1333,6 +1333,13 @@ def connected_components(
             )
         )
         .distinct()
+        # r15-opt (guide §2.4 — establish the partitioning once): the
+        # distinct leaves the persisted table hash-partitioned on
+        # (src, dst), so EVERY propagation round re-exchanged it to
+        # join on src. One repartition at build time makes the cached
+        # layout the join's own, and each round shuffles only the
+        # (id, label) table.
+        .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _CACHED.append(edges)

@@ -12,7 +12,6 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .dedup import cosine_similarity
 
@@ -684,16 +683,17 @@ def mmr_rerank(
     ]
     # The result's id field keeps the INPUT id column's type (string doc
     # ids, ints, ...) — the greedy loop is id-type-agnostic, so the
-    # output schema must not hardcode long.
+    # output schema must not hardcode long. r15-opt (guide §4): bind the
+    # ≤k control-plane rows as JVM literals (session.local_df) — the
+    # createDataFrame twin was a pickled Python-RDD leaf whose every
+    # scan launched defaultParallelism Python worker tasks.
+    from ..session import local_df
+
     id_type = df.schema[id_col].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField("rank", T.LongType(), False),
-            T.StructField("id", id_type, True),
-            T.StructField("rel", T.DoubleType(), True),
-        ]
+    return local_df(
+        spark, out,
+        f"rank long, id {id_type.simpleString()}, rel double",
     )
-    return spark.createDataFrame(out, out_schema)
 
 
 def pq_train(
