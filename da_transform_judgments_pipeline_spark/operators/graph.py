@@ -98,6 +98,23 @@ def pagerank_graph(
     # memory. ``n`` still counts RAW input rows (duplicates included),
     # bit-identical to the former ``nodes.count()``.
     raw = nodes.select(F.col(node_col).alias("node")).persist()
+    # r15 (ADVICE): a mid-build failure (e.g. the typed reset-total
+    # error below, raised AFTER raw/fan are persisted) must not leak
+    # the already-persisted frames in the cache — the shared-graph
+    # path builds outside any caller release() scope.
+    try:
+        return _pagerank_graph_body(
+            raw, edges, src_col, dst_col, reset, weight_col,
+            nodes_distinct,
+        )
+    except BaseException:
+        raw.unpersist()
+        raise
+
+
+def _pagerank_graph_body(
+    raw, edges, src_col, dst_col, reset, weight_col, nodes_distinct
+) -> PagerankGraph:
     n = raw.count()
     if n == 0:
         return PagerankGraph(raw, 0, None, None)
@@ -121,6 +138,18 @@ def pagerank_graph(
         ),
         "_src",
     ).persist()  # scanned every iteration: pay the join once
+    try:
+        return _pagerank_graph_base(
+            raw, n, fan, deg, src_col, reset, nodes_distinct
+        )
+    except BaseException:
+        fan.unpersist()
+        raise
+
+
+def _pagerank_graph_base(
+    raw, n, fan, deg, src_col, reset, nodes_distinct
+) -> PagerankGraph:
     # nodes_distinct=True is the caller's claim that the node frame
     # carries no duplicate rows (crawl_wave_ranks passes .distinct()
     # outputs; the registry fixtures key on unique doc_ids), dropping

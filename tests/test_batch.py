@@ -122,13 +122,23 @@ def build_bagit_tar_gz(ref: str, tamper: str | None = None) -> bytes:
     for _, name, content in members_for(ref, tamper):
         entries[name] = content
     buf = io.BytesIO()
-    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+    # r15: member mtimes were pinned but "w:gz" stamps the GZIP HEADER
+    # with wall-clock time — two builds of the same fixture straddling
+    # a second boundary produced different bytes, and the seq-vs-batch
+    # comparisons embed the blobs' checksums in error strings (flaked
+    # once under a loaded host). Tar plain, gzip with mtime=0.
+    with tarfile.open(fileobj=buf, mode="w") as tf:
         for name, content in sorted(entries.items()):
             info = tarfile.TarInfo(name=f"{ref}/{name}")
             info.size = len(content)
             info.mtime = 1660000000
             tf.addfile(info, io.BytesIO(content))
-    return buf.getvalue()
+    out = io.BytesIO()
+    import gzip as _gzip
+
+    with _gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+        gz.write(buf.getvalue())
+    return out.getvalue()
 
 
 def _received_events(spark, tmp_path, store_tag):

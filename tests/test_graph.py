@@ -420,6 +420,25 @@ def test_pagerank_warm_start_continuation_and_savings(spark):
         )
 
 
+def test_pagerank_graph_failed_build_leaves_no_cache(spark):
+    """r15 (ADVICE): pagerank_graph persists raw/fan before the typed
+    reset-total error can fire — a mid-build failure must unpersist
+    them (the shared-graph path builds outside any release() scope)."""
+    from da_transform_judgments_pipeline_spark.operators.graph import (
+        pagerank_graph,
+    )
+
+    nodes, edges = _g(spark, [0, 1], [(0, 1)])
+    bad = spark.createDataFrame(
+        [(0, 0.0), (1, 0.0)], "node long, weight double"
+    )
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cm.isEmpty()
+    with pytest.raises(ValueError, match="positive value"):
+        pagerank_graph(nodes, edges, reset=bad)
+    assert cm.isEmpty() or not was_empty
+
+
 def test_pagerank_shared_graph_bit_identical(spark, tmp_path):
     """A shared :class:`PagerankGraph` (r14-opt, guide §1.3) is the
     per-call setup EXTRACTED, so chained calls over one shared setup
